@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the driver fixtures (TESTDATA.md / FIXTURES.md).
+  *
+  * Mirrors the reference's two data surfaces: the crawl-corpus document
+  * collection (ref `Crawling.py:47` records upserted at `TencentVDB.py:76-78`)
+  * and the vector field (ref `TencentVDB.py:46,49`). Relational + events
+  * tables are the driver's capability-parity fixtures.
+  *
+  * Scale note: plain `spark.read.parquet` keeps Catalyst in charge —
+  * partition pruning, predicate pushdown and column pruning all reach the
+  * scan. Loaders do NOT cache or repartition; each query decides its own
+  * distribution.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+
+  /** Embeddings with the vector cast float→double up front: FIXTURES.md
+    * determinism rule — both Spark and the DuckDB oracle must do vector
+    * arithmetic in double so the rounded scores hash-match.
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"))
+}
