@@ -9,6 +9,10 @@ import graft.sources.Tables
   * each paired with a DuckDB-runnable oracle SQL over the same parquet
   * tables (driver registers them by file stem: region, nation, customer,
   * supplier, part, orders, lineitem, events, documents, embeddings).
+  *
+  * Determinism rules (FIXTURES.md): double vector math on both sides,
+  * `round(score, 6)`, total ORDER BY with integer tie-breaks, exact integral
+  * accumulation for float sums, UTC timezone.
   */
 object SparkEntry {
 
@@ -17,8 +21,10 @@ object SparkEntry {
     * the corpus, joined back to the document payload (title/text analog),
     * reference `main_server.py:164-175` citation shape.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+  def entry(spark: SparkSession): DataFrame =
+    entry(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+
+  def entry(spark: SparkSession, dir: String): DataFrame = {
     val hits = KnnOps.topK(spark, dir, queryId = 0L, k = 3)
     val docs = Tables.documents(spark, dir)
     hits.join(docs, hits("vec_id") === docs("doc_id"), "left")
@@ -29,12 +35,53 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.D vector / knn core ----
-    "q_knn_topk"     -> ((s, d) => KnnOps.topK(s, d)),
-    "q_knn_batch"    -> ((s, d) => KnnOps.topKBatch(s, d)),
-    "q_knn_filtered" -> ((s, d) => KnnOps.topKFiltered(s, d)),
-    "q_sim_join"     -> ((s, d) => KnnOps.simJoin(s, d)),
+    "q_knn_topk"      -> ((s, d) => KnnOps.topK(s, d)),
+    "q_knn_batch"     -> ((s, d) => KnnOps.topKBatch(s, d)),
+    "q_knn_filtered"  -> ((s, d) => KnnOps.topKFiltered(s, d)),
+    "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_vec_centroids" -> ((s, d) => KnnOps.centroids(s, d)),
-    "q_cosine_pair"  -> ((s, d) => cosinePair(s, d)),
+    "q_cosine_pair"   -> ((s, d) => cosinePair(s, d)),
+    // ---- §2.A scans / sources / sinks ----
+    "q_scan_documents"  -> ((s, d) => TextOps.scanDocuments(s, d)),
+    "q_tree_flatten"    -> ((s, d) => TextOps.treeFlatten(s, d)),
+    "q_upsert_lastwins" -> ((s, d) => TextOps.upsertLastWins(s, d)),
+    // ---- §2.B projections / filters ----
+    "q_project_fields"  -> ((s, d) => TextOps.projectFields(s, d)),
+    "q_filter_nonempty" -> ((s, d) => TextOps.filterNonempty(s, d)),
+    "q_filter_metadata" -> ((s, d) => TextOps.filterMetadata(s, d)),
+    // ---- §2.C string / JSON / scalar functions ----
+    "q_clean_text"      -> ((s, d) => TextOps.cleanText(s, d)),
+    "q_truncate"        -> ((s, d) => TextOps.truncate(s, d)),
+    "q_url_concat"      -> ((s, d) => TextOps.urlConcat(s, d)),
+    "q_json_extract"    -> ((s, d) => TextOps.jsonExtract(s, d)),
+    "q_prompt_template" -> ((s, d) => TextOps.promptTemplate(s, d)),
+    "q_citation_format" -> ((s, d) => TextOps.citationFormat(s, d)),
+    "q_scalar_bundle"   -> ((s, d) => RelOps.scalarBundle(s, d)),
+    // ---- §2.E aggregations / result shaping ----
+    "q_flatten_results"  -> ((s, d) => TextOps.flattenResults(s, d)),
+    "q_agg_concat"       -> ((s, d) => TextOps.aggConcat(s, d)),
+    "q_limit"            -> ((s, d) => TextOps.limitK(s, d)),
+    "q_agg_hash"         -> ((s, d) => RelOps.aggHash(s, d)),
+    "q_agg_distinct"     -> ((s, d) => RelOps.aggDistinct(s, d)),
+    "q_approx_distinct"  -> ((s, d) => RelOps.approxDistinct(s, d)),
+    "q_grouping_sets"    -> ((s, d) => RelOps.groupingSets(s, d)),
+    // ---- §2.F joins ----
+    "q_join_hash"      -> ((s, d) => RelOps.joinHash(s, d)),
+    "q_join_broadcast" -> ((s, d) => RelOps.joinBroadcast(s, d)),
+    "q_join_semi"      -> ((s, d) => RelOps.joinSemi(s, d)),
+    "q_join_anti"      -> ((s, d) => RelOps.joinAnti(s, d)),
+    "q_join_outer"     -> ((s, d) => RelOps.joinOuter(s, d)),
+    "q_join_range"     -> ((s, d) => RelOps.joinRange(s, d)),
+    "q_join_asof"      -> ((s, d) => RelOps.joinAsof(s, d)),
+    // ---- §2.G windows ----
+    "q_window_rank"    -> ((s, d) => RelOps.windowRank(s, d)),
+    "q_window_running" -> ((s, d) => RelOps.windowRunning(s, d)),
+    "q_window_lag"     -> ((s, d) => RelOps.windowLag(s, d)),
+    // ---- §2.H sorts / limits / set ops ----
+    "q_sort_limit"    -> ((s, d) => RelOps.sortLimit(s, d)),
+    "q_set_union"     -> ((s, d) => RelOps.setUnion(s, d)),
+    "q_set_intersect" -> ((s, d) => RelOps.setIntersect(s, d)),
+    "q_set_except"    -> ((s, d) => RelOps.setExcept(s, d)),
   )
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
@@ -52,6 +99,7 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // ---- vector ----
     "q_knn_topk" ->
       """SELECT e.vec_id,
         |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS score
@@ -101,5 +149,183 @@ object SparkEntry {
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |ORDER BY a_id ASC""".stripMargin,
+    // ---- scans / RAG dataflow ----
+    "q_scan_documents" ->
+      "SELECT * FROM documents ORDER BY doc_id ASC",
+    "q_tree_flatten" ->
+      """SELECT 'root' AS title, '' AS url, CAST(0 AS BIGINT) AS depth
+        |UNION ALL
+        |SELECT r_name, '/r/' || r_regionkey, 1 FROM region
+        |UNION ALL
+        |SELECT n_name, '/r/' || n_regionkey || '/n/' || n_nationkey, 2 FROM nation
+        |ORDER BY depth ASC, url ASC""".stripMargin,
+    "q_upsert_lastwins" ->
+      """WITH v AS (
+        |  SELECT doc_id, lang, substr(text, 1, 40) AS body, CAST(1 AS BIGINT) AS version FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, lang, 'UPDATED ' || source, 2 FROM documents WHERE doc_id % 7 = 0
+        |)
+        |SELECT doc_id, lang, body, version FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn FROM v)
+        |WHERE rn = 1
+        |ORDER BY doc_id ASC""".stripMargin,
+    "q_project_fields" ->
+      "SELECT doc_id, lang AS title, substr(text, 1, 60) AS body FROM documents ORDER BY doc_id ASC",
+    "q_filter_nonempty" ->
+      "SELECT doc_id, n_chars FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0 ORDER BY doc_id ASC",
+    "q_filter_metadata" ->
+      "SELECT doc_id, lang, source FROM documents WHERE lang = 'en' ORDER BY doc_id ASC",
+    "q_clean_text" ->
+      """SELECT doc_id, substr(cleaned, 1, 80) AS cleaned, CAST(length(cleaned) AS BIGINT) AS clean_len
+        |FROM (SELECT doc_id,
+        |             regexp_replace(replace(text, ' ', chr(10) || chr(10)), '\n+', chr(10), 'g') AS cleaned
+        |      FROM documents)
+        |ORDER BY doc_id ASC""".stripMargin,
+    "q_truncate" ->
+      "SELECT doc_id, substr(text, 1, 6000) AS body, least(n_chars, 6000) AS body_len FROM documents ORDER BY doc_id ASC",
+    "q_url_concat" ->
+      "SELECT doc_id, 'https://corpus.local/' || source || '/' || doc_id AS url FROM documents ORDER BY doc_id ASC",
+    "q_json_extract" ->
+      "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k, event_type FROM events ORDER BY event_id ASC",
+    "q_prompt_template" ->
+      """SELECT doc_id, substr('请按照"总结要点"进行总结,内容是：' || text, 1, 120) AS llm_prompt
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "q_citation_format" ->
+      """WITH ranked AS (
+        |  SELECT lang, source, doc_id,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank
+        |  FROM documents)
+        |SELECT lang,
+        |       '参考链接：' || string_agg(chr(10) || chr(10) || source || '     ' || doc_id, '' ORDER BY rank ASC) AS citations
+        |FROM ranked WHERE rank <= 3
+        |GROUP BY lang ORDER BY lang ASC""".stripMargin,
+    // ---- aggregations / result shaping ----
+    "q_flatten_results" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 2
+        |ORDER BY lang ASC, doc_id ASC""".stripMargin,
+    "q_agg_concat" ->
+      """SELECT lang, string_agg(substr(text, 1, 20), ' | ' ORDER BY doc_id ASC) AS context
+        |FROM documents GROUP BY lang ORDER BY lang ASC""".stripMargin,
+    "q_limit" ->
+      "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 3",
+    "q_agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_base_price,
+        |       round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag ASC, l_linestatus ASC""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT o_orderstatus,
+        |       count(DISTINCT o_custkey) AS n_custs,
+        |       count(DISTINCT o_orderpriority) AS n_prios,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus ASC""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(sum(CAST(round(l_extendedprice * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_price,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag ASC, linestatus ASC""".stripMargin,
+    // ---- joins ----
+    "q_join_hash" ->
+      """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey ASC""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey ASC""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "q_join_outer" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_items,
+        |       coalesce(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE), 0.0) AS sum_qty
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey ASC""".stripMargin,
+    "q_join_range" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |ORDER BY l_orderkey ASC, l_linenumber ASC""".stripMargin,
+    "q_join_asof" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts FROM events WHERE event_type = 'click'),
+        |     j AS (SELECT p.p_id, p.user_id, p.p_ts, c.c_id, c.c_ts,
+        |                  row_number() OVER (PARTITION BY p.p_id ORDER BY c.c_ts DESC NULLS LAST, c.c_id DESC NULLS LAST) AS rn
+        |           FROM p LEFT JOIN c ON p.user_id = c.c_user AND c.c_ts <= p.p_ts)
+        |SELECT p_id, user_id, p_ts, c_id, c_ts FROM j WHERE rn = 1
+        |ORDER BY p_id ASC""".stripMargin,
+    // ---- windows ----
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |WHERE rn <= 3
+        |ORDER BY o_custkey ASC, rn ASC""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       CAST(sum(CAST(round(o_totalprice * 1000000.0) AS BIGINT))
+        |              OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0 AS running_total
+        |FROM orders ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
+    "q_window_lag" ->
+      """SELECT user_id, event_id, ts,
+        |       lag(event_id, 1) OVER w AS prev_event,
+        |       lead(event_id, 1) OVER w AS next_event,
+        |       CAST(floor(date_part('epoch', ts)) AS BIGINT)
+        |         - CAST(floor(date_part('epoch', lag(ts, 1) OVER w)) AS BIGINT) AS gap_sec
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id ASC, event_id ASC""".stripMargin,
+    // ---- sorts / set ops / scalars ----
+    "q_sort_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+    "q_set_union" ->
+      """SELECT nationkey, kind, count(*) AS n FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, 'customer' AS kind FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS BIGINT), 'supplier' FROM supplier)
+        |GROUP BY nationkey, kind
+        |ORDER BY nationkey ASC, kind ASC""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |INTERSECT
+        |SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        |ORDER BY nationkey ASC""".stripMargin,
+    "q_set_except" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |EXCEPT
+        |SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        |ORDER BY nationkey ASC""".stripMargin,
+    "q_scalar_bundle" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |       CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+        |       date_trunc('month', l_shipdate) AS ship_month_start,
+        |       CAST(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT) AS DOUBLE) / 100.0 AS discounted,
+        |       lower(l_returnflag) AS flag_lower,
+        |       l_returnflag || '/' || l_linestatus AS flag_status,
+        |       CAST(length(l_returnflag) AS BIGINT) AS flag_len,
+        |       abs(l_quantity) AS abs_qty
+        |FROM lineitem ORDER BY l_orderkey ASC, l_linenumber ASC""".stripMargin,
   )
 }

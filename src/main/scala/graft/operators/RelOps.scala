@@ -1,0 +1,298 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational capability parity (SURVEY §2.E–H) over the TPC-H-ish fixtures.
+  * The reference delegates all relational semantics to its vector-DB server
+  * (filter indexes, top-k); these queries express the same class of
+  * operations Spark-first so Catalyst owns the physical strategy.
+  *
+  * Determinism discipline (FIXTURES.md): every floating aggregate goes
+  * through an exact DECIMAL accumulation and is cast back to double at the
+  * end — float summation order differs between engines/partitionings, decimal
+  * arithmetic does not. Every output has a total ORDER BY with an integer
+  * tie-break.
+  *
+  * Scale notes per query are inline; the common principles:
+  *  - aggregations are partial (map-side combine) before the key shuffle;
+  *  - small dimension tables are broadcast explicitly;
+  *  - windows shuffle once on their partition key;
+  *  - no driver-side collection anywhere.
+  */
+object RelOps {
+
+  /** Exact integral accumulator (quantities in the fixture are whole
+    * numbers): long sums are associative and engine-independent.
+    */
+  private def sumInt(c: Column): Column = sum(c.cast("long")).cast("double")
+
+  /** Exact money accumulator: scale to integral micros, sum as long, scale
+    * back. Double summation order differs across partitionings/engines and
+    * can flip a rounded digit; integer summation cannot. The per-row
+    * `round(c*1e6)` is deterministic (same IEEE product + same
+    * away-from-zero rounding in Spark and DuckDB).
+    */
+  private def sumMoney(c: Column): Column =
+    sum(round(c * lit(1000000.0)).cast("long")).cast("double") / lit(1000000.0)
+
+  // ---- §2.E aggregations ----
+
+  /** Hash aggregation, TPC-H Q1 shape: sums/avg/count by a low-cardinality
+    * key. Partial aggregation runs map-side (HashAggregate → Exchange →
+    * HashAggregate), so the shuffle carries one row per (key × partition) —
+    * scale-independent of input rows.
+    */
+  def aggHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumInt(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        round(sumInt(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+
+  /** Distinct aggregation: Spark expands count(distinct) into a two-stage
+    * partial-distinct plan (Expand → partial agg on (key, value) → final) —
+    * no single-node distinct set ever materializes.
+    */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(col("o_orderpriority")).as("n_prios"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus").asc)
+
+  /** HLL approximate distinct — the sketch path for 100 TB cardinalities
+    * (constant memory per group vs the exact expand plan). No oracle by
+    * design (approximate ≠ DuckDB's estimate); the driver records a
+    * rows-only check.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_custs"))
+      .orderBy(col("o_orderstatus").asc)
+
+  /** Rollup (grouping sets): one Expand node feeds a single hash aggregate —
+    * all grouping levels computed in one pass over the data.
+    * NULL grouping slots are surfaced as 'ALL' so the total ORDER BY is
+    * engine-independent (Spark sorts nulls first, DuckDB last).
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sumMoney(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_price"), col("n"))
+      .orderBy(col("returnflag").asc, col("linestatus").asc)
+
+  // ---- §2.F joins ----
+
+  /** Equi inner join on the natural key. Large⋈large on o_custkey/c_custkey
+    * → planner picks sort-merge or shuffled-hash; both sides shuffle ONCE on
+    * the join key. At 100 TB: bucket both tables by custkey at ingest and
+    * the shuffle disappears.
+    */
+  def joinHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey").asc)
+
+  /** Broadcast join of small dims: region (5 rows) is broadcast explicitly —
+    * zero shuffle on the fact side at any scale.
+    */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"), "inner")
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy(col("n_nationkey").asc)
+
+  /** Left-semi: customers WITH orders. Semi-join keeps only the left
+    * payload — the build side carries just the key, no payload duplication.
+    */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey").asc)
+
+  /** Left-anti: customers WITHOUT orders (NOT EXISTS). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey").asc)
+
+  /** Left-outer orders→lineitem, aggregated to order grain so the unmatched
+    * side is observable (n_items = 0). Aggregate-after-join lets Catalyst
+    * push the lineitem partial agg below the join when beneficial (AQE).
+    */
+  def joinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    Tables.orders(spark, dir)
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_orderkey")).as("n_items"),
+        coalesce(sumInt(col("l_quantity")), lit(0.0)).as("sum_qty"))
+      .orderBy(col("o_orderkey").asc)
+  }
+
+  /** Range (θ) join: lineitems shipped within 60 days of their order date —
+    * equi key + range predicate. The equi component keeps this a hash/merge
+    * join (the range lands as a post-join filter), so it scales like
+    * `joinHash`; a pure range join would need a bucketed interval scheme.
+    */
+  def joinRange(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("o_orderdate"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+
+  /** As-of join: for each purchase event, the latest click by the same user
+    * at-or-before the purchase time. Planned as equi-join on the user key +
+    * time predicate, then a rank window keeps the latest match — one shuffle
+    * on user_id for the join, one on the purchase id for the window. At
+    * scale the window collapses into the join via a max-by aggregation on
+    * the same key (no extra shuffle).
+    */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("c_ts").desc, col("c_id").desc)
+    purchases
+      .join(clicks, col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"), col("c_ts"))
+      .orderBy(col("p_id").asc)
+  }
+
+  // ---- §2.G windows ----
+
+  /** Ranking trio over a keyed window — the grouped-top-k primitive
+    * (the batch-knn rank reused relationally). One shuffle on the key.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey").asc, col("rn").asc)
+  }
+
+  /** Running sum per customer in date order — frame
+    * (unboundedPreceding→currentRow). Decimal accumulation keeps the
+    * running values engine-exact regardless of DuckDB's segment-tree
+    * evaluation order.
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        (sum(round(col("o_totalprice") * lit(1000000.0)).cast("long")).over(w)
+          .cast("double") / lit(1000000.0)).as("running_total"))
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
+  /** lag/lead over event time per user — the stream-ish delta query in
+    * batch form (gap computation reused by sessionization).
+    */
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        lag(col("event_id"), 1).over(w).as("prev_event"),
+        lead(col("event_id"), 1).over(w).as("next_event"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .as("gap_sec"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
+  // ---- §2.H sorts / limits / set ops ----
+
+  /** Global top-k — compiles to TakeOrderedAndProject: per-partition bounded
+    * heap + driver merge of k·partitions rows, never a full sort.
+    */
+  def sortLimit(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  /** UNION ALL of two projected sides (the per-level union of the tree walk
+    * in relational form). No shuffle — pure concatenation of partitions.
+    */
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("nationkey"), lit("customer").as("kind"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_nationkey").cast("long").as("nationkey"), lit("supplier").as("kind"))
+    c.unionAll(s)
+      .groupBy(col("nationkey"), col("kind"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey").asc, col("kind").asc)
+  }
+
+  /** INTERSECT (distinct semantics): nations that have both customers and
+    * suppliers. Planned as a left-semi over distinct sets.
+    */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").cast("long").as("nationkey"))
+      .intersect(
+        Tables.supplier(spark, dir).select(col("s_nationkey").cast("long").as("nationkey")))
+      .orderBy(col("nationkey").asc)
+
+  /** EXCEPT (distinct semantics): nations with customers but no suppliers. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").cast("long").as("nationkey"))
+      .except(
+        Tables.supplier(spark, dir).select(col("s_nationkey").cast("long").as("nationkey")))
+      .orderBy(col("nationkey").asc)
+
+  /** Scalar-function bundle (SURVEY §2.C `q_scalar_bundle`): string / date /
+    * math built-ins in one projection. Money math goes through decimal so
+    * the rounded value is engine-exact.
+    */
+  def scalarBundle(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        month(col("l_shipdate")).cast("long").as("ship_month"),
+        date_trunc("month", col("l_shipdate")).as("ship_month_start"),
+        (round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
+          .cast("long").cast("double") / lit(100.0)).as("discounted"),
+        lower(col("l_returnflag")).as("flag_lower"),
+        concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("flag_status"),
+        length(col("l_returnflag")).cast("long").as("flag_len"),
+        abs(col("l_quantity")).as("abs_qty"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+}

@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The reference's RAG dataflow, re-expressed as declarative DataFrame
+  * queries over the `documents` fixture (the crawl-corpus analog).
+  *
+  * Covers the full ingest chain (ref `Crawling.py:36-48` →
+  * `TencentVDB.py:74-79`): project `{url,title,text}`, drop empty bodies,
+  * collapse blank lines, truncate, upsert-by-id — and the full answer-shaping
+  * chain (ref `main_server.py:46-51,142-143,164-175`): flatten list-of-lists
+  * results, order-sensitive context concat, prompt assembly, citation format.
+  *
+  * Scale notes: every query here is either a pure per-row projection (no
+  * shuffle at any scale) or a single keyed aggregation/window (one shuffle on
+  * the group key). Nothing collects to the driver; nothing is a UDF — all
+  * whole-stage-codegen built-ins, so filters/projections reach the parquet
+  * scan (PushedFilters / ReadSchema pruning).
+  */
+object TextOps {
+
+  private val UrlBase = "https://corpus.local/"
+
+  /** Full corpus scan — ref `crawlData()` return consumed at
+    * `TencentVDB.py:71`. Plain pass-through so column pruning/pushdown stay
+    * with Catalyst.
+    */
+  def scanDocuments(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).orderBy(col("doc_id").asc)
+
+  /** Record projection `{url, title, text}` — ref `Crawling.py:47`.
+    * Narrow column set → parquet ReadSchema prunes to 3 columns.
+    */
+  def projectFields(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("title"),
+        substring(col("text"), 1, 60).as("body"))
+      .orderBy(col("doc_id").asc)
+
+  /** Drop pages with no body — ref `Crawling.py:43`
+    * (`if nodes is not None and len(nodes)>0`).
+    */
+  def filterNonempty(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
+
+  /** Metadata filter — the declared FilterIndex surface standalone
+    * (ref `TencentVDB.py:48`, design rule `:31-32`). The equality predicate
+    * is pushed into the parquet scan (PushedFilters), which at scale replaces
+    * the reference's FILTER index via partition/row-group pruning.
+    */
+  def filterMetadata(spark: SparkSession, dir: String, lang: String = "en"): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("lang") === lang)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id").asc)
+
+  /** Collapse blank-line runs — ref `re.sub('\n+','\n',text)`
+    * (`Crawling.py:46`). The fixture text has no newlines, so we first
+    * rebuild the ref's dirty-input shape (word separators → double newlines)
+    * and then apply the reference's exact cleanup regex.
+    */
+  def cleanText(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), " ", "\n\n"), "\n+", "\n")
+          .as("cleaned"))
+      .select(col("doc_id"), substring(col("cleaned"), 1, 80).as("cleaned"),
+        length(col("cleaned")).as("clean_len"))
+      .orderBy(col("doc_id").asc)
+
+  /** Head-truncate at ingest — ref `text[:6000]` (`Crawling.py:45`); the
+    * prompt-side variant is 20000 (`main_server.py:143`). Pure projection.
+    */
+  def truncate(spark: SparkSession, dir: String, n: Int = 6000): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, n).as("body"),
+        least(col("n_chars"), lit(n.toLong)).as("body_len"))
+      .orderBy(col("doc_id").asc)
+
+  /** URL join `baseUrl + link` — ref `Crawling.py:26`. */
+  def urlConcat(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(lit(UrlBase), col("source"), lit("/"), col("doc_id")).as("url"))
+      .orderBy(col("doc_id").asc)
+
+  /** JSON field extraction — ref `json.loads(...)` of the nav payload
+    * (`Crawling.py:19`); dynamic-schema analog (`TencentVDB.py:33`) exercised
+    * over the `events.props` JSON column.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_type"))
+      .orderBy(col("event_id").asc)
+
+  /** Upsert-by-id, last-writer-wins — ref `coll.upsert` overwrite semantics
+    * ("若文档 id 已存在，则新数据会直接覆盖原有数据", `TencentVDB.py:69-70,79`).
+    * Simulated re-crawl: every 7th doc arrives again as version 2; the window
+    * dedup keeps the newest version per id. One shuffle on the upsert key —
+    * at scale this is the standard MERGE pattern (hash-partition by id).
+    */
+  def upsertLastWins(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.select(col("doc_id"), col("lang"),
+      substring(col("text"), 1, 40).as("body"), lit(1L).as("version"))
+    val v2 = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("lang"),
+        concat(lit("UPDATED "), col("source")).as("body"), lit(2L).as("version"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("version").desc)
+    v1.unionAll(v2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("body"), col("version"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Recursive nav-tree flatten — ref `getChild` walk (`Crawling.py:23-30`):
+    * emit `{title, baseUrl+link}` per node, recurse into children.
+    *
+    * The tree is the region→nation hierarchy under a synthetic root. The
+    * recursion is re-planned as a Pregel-style FRONTIER ITERATION: each level
+    * is one distributed join frontier⋈edges (child url = parent url + link,
+    * exactly the ref's accumulation at `Crawling.py:26`), unioned until the
+    * frontier empties. Depth iterations = tree depth (bounded, small); each
+    * level is a broadcast-able join — scale-correct for wide shallow trees
+    * (the nav-tree shape).
+    */
+  def treeFlatten(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    // Edge list (parent_link, title, link): root→regions, region→nations.
+    val regionEdges = region.select(lit("").as("parent_link"),
+      col("r_name").as("title"),
+      concat(lit("/r/"), col("r_regionkey")).as("link"))
+    val nationEdges = nation.select(
+      concat(lit("/r/"), col("n_regionkey")).as("parent_link"),
+      col("n_name").as("title"),
+      concat(lit("/n/"), col("n_nationkey")).as("link"))
+    val edges = regionEdges.unionAll(nationEdges)
+
+    var frontier = spark.range(1)
+      .select(lit("root").as("title"), lit("").as("url"), lit(0L).as("depth"))
+    var out = frontier
+    var depth = 0L
+    var more = true
+    while (more) {
+      depth += 1L
+      val next = frontier.alias("f").join(edges.alias("e"),
+          col("f.url") === col("e.parent_link"))
+        .select(col("e.title").as("title"),
+          concat(col("f.url"), col("e.link")).as("url"),
+          lit(depth).as("depth"))
+      more = !next.isEmpty
+      if (more) { out = out.unionAll(next); frontier = next }
+    }
+    out.orderBy(col("depth").asc, col("url").asc)
+  }
+
+  /** Flatten list-of-lists search results — ref nested
+    * `for docs in doc_lists: for doc in docs` (`main_server.py:48-50`).
+    * Inner lists are built per (lang, source) then nested per lang, and the
+    * double `explode` restores flat rows — the genuine two-level unnest.
+    */
+  def flattenResults(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val inner = docs.groupBy(col("lang"), col("source"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 2).as("doc_ids"))
+    val nested = inner.groupBy(col("lang"))
+      .agg(sort_array(collect_list(struct(col("source"), col("doc_ids")))).as("result_lists"))
+    nested
+      .select(col("lang"), explode(col("result_lists")).as("result"))
+      .select(col("lang"), explode(col("result.doc_ids")).as("doc_id"))
+      .orderBy(col("lang").asc, col("doc_id").asc)
+  }
+
+  /** Ordered context concat — ref `listToString` (`main_server.py:46-51`):
+    * retrieved texts concatenated IN SCORE ORDER. Order-sensitivity is the
+    * point: `collect_list` order is nondeterministic, so we collect
+    * (key, text) structs and `array_sort` before joining — the
+    * determinism rule from SURVEY §7.4.
+    */
+  def aggConcat(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("doc_id"), substring(col("text"), 1, 20).as("snip")))),
+          x => x.getField("snip")),
+        " | ").as("context"))
+      .orderBy(col("lang").asc)
+
+  /** Prompt assembly — ref
+    * `"请按照\"" + prompt + "\"进行总结,内容是：" + str` (`main_server.py:142`)
+    * with the 20000-char guard (`main_server.py:143`).
+    */
+  def promptTemplate(spark: SparkSession, dir: String, prompt: String = "总结要点"): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(
+          concat(lit("请按照\""), lit(prompt), lit("\"进行总结,内容是："),
+            col("text")),
+          1, 120).as("llm_prompt"))
+      .orderBy(col("doc_id").asc)
+
+  /** Citation block — ref `main_server.py:171-174`: per retrieved doc append
+    * `"\n\n" + title + "     " + id` after a "参考链接：" header, in rank
+    * order. Rank = top-3 docs per lang by length (the retrieval-score
+    * analog); the concat is window-ranked then sorted-struct aggregated so
+    * the output order matches the rank order deterministically.
+    */
+  def citationFormat(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("lang"))
+      .agg(concat(lit("参考链接："), array_join(
+        transform(
+          array_sort(collect_list(struct(col("rank"),
+            concat(lit("\n\n"), col("source"), lit("     "), col("doc_id")).as("cite")))),
+          x => x.getField("cite")),
+        "")).as("citations"))
+      .orderBy(col("lang").asc)
+  }
+
+  /** Retrieval cap — ref `limit=3` (`main_server.py:41`) standalone:
+    * `orderBy + limit` compiles to `TakeOrderedAndProject` (bounded
+    * per-partition top-k, no global sort).
+    */
+  def limitK(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .limit(k)
+}

@@ -26,7 +26,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "events")
+  /** The fixture's `ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects (TimestampType is µs). Read nanos as long (legacy flag) and
+    * convert explicitly — sub-µs components are zero in the fixture, and
+    * DuckDB's nanosecond reads compare equal at µs precision.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
 
   /** Embeddings with the vector cast float→double up front: FIXTURES.md
