@@ -39,8 +39,15 @@ object SparkEntry {
     "q_knn_batch"     -> ((s, d) => KnnOps.topKBatch(s, d)),
     "q_knn_filtered"  -> ((s, d) => KnnOps.topKFiltered(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
+    "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_vec_centroids" -> ((s, d) => KnnOps.centroids(s, d)),
     "q_cosine_pair"   -> ((s, d) => cosinePair(s, d)),
+    // ---- dedup family (LLM-pipeline north star) ----
+    "q_dedup_exact"   -> ((s, d) => DedupOps.dedupExact(s, d)),
+    "q_dedup_jaccard" -> ((s, d) => DedupOps.jaccardPairs(s, d)),
+    "q_dedup_minhash" -> ((s, d) => DedupOps.minHashLsh(s, d)),
+    "q_dedup_simhash" -> ((s, d) => DedupOps.simHash(s, d)),
+    "q_dedup_embed"   -> ((s, d) => DedupOps.embedNearDup(s, d)),
     // ---- §2.A scans / sources / sinks ----
     "q_scan_documents"  -> ((s, d) => TextOps.scanDocuments(s, d)),
     "q_tree_flatten"    -> ((s, d) => TextOps.treeFlatten(s, d)),
@@ -137,6 +144,47 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) > 0.35
         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "q_sim_join_lsh" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) > 0.35
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "q_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id, fp FROM (
+        |  SELECT doc_id, md5(text) AS fp,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        |  FROM corpus)
+        |WHERE rn = 1
+        |ORDER BY doc_id ASC""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents)
+        |SELECT a_id, b_id, round(j, 6) AS jac FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))) AS j
+        |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id)
+        |WHERE j >= 0.95
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "q_dedup_minhash" ->
+      """WITH ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+        |dup AS (
+        |  SELECT DISTINCT b.doc_id AS b_id
+        |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))) >= 0.95)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT b_id FROM dup)
+        |ORDER BY doc_id ASC""".stripMargin,
+    "q_dedup_embed" ->
+      """SELECT b_id AS dup_id, min(a_id) AS canonical_id FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45)
+        |GROUP BY b_id
+        |ORDER BY dup_id ASC""".stripMargin,
     "q_vec_centroids" ->
       """SELECT label, pos, round(avg(v), 6) AS centroid_v
         |FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,

@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication for LLM training-data pipelines, over the `documents`
+  * corpus (the crawl-collection analog; the reference's only write semantics
+  * is overwrite-by-id, `TencentVDB.py:69-70,79` — everything beyond that is
+  * the north-star pipeline surface).
+  *
+  * Four escalating strategies, each with the 100 TB plan shape:
+  *  - exact: hash-groupBy on a content digest — one shuffle on the digest,
+  *    group sizes are tiny (collision sets), no skew concern.
+  *  - exact set-similarity (Jaccard): all-pairs baseline for the oracle;
+  *    size-ratio blocking prunes the quadratic pair space.
+  *  - MinHash + banded LSH: signature equi-join replaces the cross join —
+  *    the standard near-dup plan at web scale (shuffle on band keys, exact
+  *    rescore only on bucket collisions).
+  *  - SimHash: 64-bit fingerprint; pigeonhole chunk-blocking gives EXACT
+  *    hamming-≤3 recall with 4 equi-joins on 16-bit chunks.
+  * Plus embedding-space near-dup (cosine) in [[KnnOps]] style.
+  */
+object DedupOps {
+
+  /** Distinct word set of a document — the shingle unit for set-similarity.
+    * (Word 1-grams; the fixture vocabulary is word-bag text. For real
+    * corpora swap in character n-gram shingles — same plan shape.)
+    */
+  private def tokenSet(c: Column): Column = array_distinct(split(c, " "))
+
+  /** Exact Jaccard over two token-set columns, double division on both
+    * engines (FIXTURES.md determinism).
+    */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** The dedup corpus: documents plus a simulated re-crawl of every 5th doc
+    * under a surrogate id — so exact dedup has actual duplicates to remove.
+    */
+  private def corpusWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    docs.unionAll(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  /** Exact dedup: group by content digest, keep the lowest id (deterministic
+    * winner). One shuffle on the md5 digest; at 100 TB digests distribute
+    * uniformly so there is no aggregation skew.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+    corpusWithDups(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Exact word-set Jaccard near-dup pairs (j ≥ τ) — the oracle-checkable
+    * baseline for MinHash. The size-ratio block (`|B| ∈ [τ|A|, |A|/τ]`,
+    * a necessary condition for j ≥ τ) prunes the pair space before the
+    * set intersection runs; at scale, prefix filtering (sort tokens by
+    * global frequency, join on rare-prefix tokens) replaces the cross join
+    * entirely — the same candidate-then-verify shape as [[minHashLsh]].
+    */
+  def jaccardPairs(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame = {
+    val ws = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenSet(col("text")).as("s"), size(tokenSet(col("text"))).as("n"))
+    val a = ws.select(col("doc_id").as("a_id"), col("s").as("a_s"), col("n").as("a_n"))
+    val b = ws.select(col("doc_id").as("b_id"), col("s").as("b_s"), col("n").as("b_n"))
+    a.join(b, col("a_id") < col("b_id") &&
+        col("b_n") >= ceil(col("a_n") * tau) && col("b_n") <= floor(col("a_n") / tau))
+      .withColumn("j", jaccard(col("a_s"), col("b_s")))
+      .filter(col("j") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jac"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
+  // ---- MinHash + banded LSH ----
+
+  private val MinhashPrime = (1L << 61) - 1 // Mersenne prime 2^61-1
+  private val NumHashes = 16
+  private val NumBands = 8 // 8 bands × 2 rows
+  /** Deterministic permutation coefficients (fixed seed — results must be
+    * reproducible across runs and engines).
+    */
+  private val (hashA, hashB) = {
+    val rnd = new scala.util.Random(20240812L)
+    val a = Array.fill(NumHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val b = Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  /** MinHash signature columns h0..h15 per doc_id, from the distinct token
+    * stream: h_i(doc) = min over tokens of (a_i·x + b_i) mod p, with
+    * x = 31-bit xxhash64 of the token (products stay < 2^62 — no overflow).
+    * One explode + one groupBy(doc_id): shuffle volume is one row per
+    * (doc, token), aggregated map-side to one row per doc.
+    */
+  private def minhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokenSet(col("text"))).as("t"))
+      .select(col("doc_id"),
+        xxhash64(col("t")).bitwiseAND(lit(0x7FFFFFFFL)).as("x"))
+    val mins = (0 until NumHashes).map { i =>
+      min(pmod(lit(hashA(i)) * col("x") + lit(hashB(i)), lit(MinhashPrime))).as(s"h$i")
+    }
+    tok.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Near-dup SURVIVORS via MinHash + banded LSH: the deduplicated corpus
+    * (docs with no lower-id near-duplicate at j ≥ τ).
+    *
+    * Plan: signatures → explode 8 band keys → self EQUI-join on
+    * (band, key) — this is the cross-join replacement: shuffle on band
+    * keys, candidate pairs only from bucket collisions → distinct pairs →
+    * exact Jaccard rescore → anti-join survivors. With 2-row bands,
+    * P(candidate | j) = 1-(1-j²)^8 — ≥ 1-1e-8 at j ≥ 0.95, so the output
+    * equals the exact [[jaccardPairs]] dedup on the fixtures (validated
+    * against the brute-force oracle).
+    */
+  def minHashLsh(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val sig = minhashSignatures(docs)
+    val bandStructs = (0 until NumBands).map { bnd =>
+      struct(lit(bnd).as("band"), xxhash64(col(s"h${2 * bnd}"), col(s"h${2 * bnd + 1}")).as("bkey"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"))
+    val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"), col("doc_id").as("b_id"))
+    val candidates = l.join(r,
+        col("band") === col("band_r") && col("bkey") === col("bkey_r") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+
+    val ws = docs.select(col("doc_id"), tokenSet(col("text")).as("s"))
+    val verified = candidates
+      .join(ws.select(col("doc_id").as("a_id"), col("s").as("a_s")), "a_id")
+      .join(ws.select(col("doc_id").as("b_id"), col("s").as("b_s")), "b_id")
+      .filter(jaccard(col("a_s"), col("b_s")) >= tau)
+      .select(col("b_id"))
+    docs.join(verified, docs("doc_id") === verified("b_id"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash per doc + near-neighbor count at hamming ≤ 3.
+    *
+    * Fingerprint: per token, xxhash64 bit votes (+1/−1 per position),
+    * position-wise summed, sign → bit. The (doc, pos) shuffle carries
+    * 64 rows/doc. Pair search uses PIGEONHOLE BLOCKING: 4 chunks of
+    * 16 bits — hamming ≤ 3 implies at least one chunk is identical, so
+    * 4 equi-joins on (chunk_idx, chunk_value) give EXACT recall without a
+    * cross join (the classic simhash dedup plan, scale-correct).
+    * No DuckDB oracle (xxhash64 is Spark-native) — rows-only check.
+    */
+  def simHash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val votes = docs
+      .select(col("doc_id"), explode(tokenSet(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(63)),
+          p => when(call_function("shiftright", col("h"), p).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
+        .as(Seq("pos", "vote")))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("vote")).as("v"))
+    val fp = votes.groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, call_function("shiftleft", lit(1L), col("pos"))).otherwise(0L)).as("simhash"))
+
+    val chunked = fp.select(col("doc_id"), col("simhash"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          c => call_function("shiftright", col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))))
+          .as(Seq("chunk", "cval")))
+    val l = chunked.select(col("chunk"), col("cval"), col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+    val r = chunked.select(col("chunk").as("chunk_r"), col("cval").as("cval_r"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+    val nearPairs = l.join(r,
+        col("chunk") === col("chunk_r") && col("cval") === col("cval_r") &&
+          col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+      .filter(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxHamming)
+    val counts = nearPairs.groupBy(col("a_id")).agg(count(lit(1)).as("n_neighbors"))
+    fp.join(counts, fp("doc_id") === counts("a_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Embedding-space near-dup: each doc that has a lower-id neighbor at
+    * cosine ≥ τ, mapped to its canonical (lowest-id) representative — the
+    * "semantic dedup" pass of a training-data pipeline. Exact pair scoring
+    * here (oracle-checkable); at scale the candidate step is the LSH /
+    * bucketed plan of [[KnnOps.simJoinLsh]].
+    */
+  def embedNearDup(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
+    import graft.functions.VectorFunctions.cosineFast
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .filter(round(cosineFast(col("a_emb"), col("b_emb")), 6) >= tau)
+      .groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("canonical_id"))
+      .select(col("b_id").as("dup_id"), col("canonical_id"))
+      .orderBy(col("dup_id").asc)
+  }
+}
