@@ -48,6 +48,16 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) => DedupOps.minHashLsh(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simHash(s, d)),
     "q_dedup_embed"   -> ((s, d) => DedupOps.embedNearDup(s, d)),
+    // ---- text analysis / embedding (LLM-pipeline north star) ----
+    "q_embed_batch"     -> ((s, d) => TextAnalysisOps.embedBatch(s, d)),
+    "q_text_lang"       -> ((s, d) => TextAnalysisOps.langId(s, d)),
+    "q_text_quality"    -> ((s, d) => TextAnalysisOps.qualityScore(s, d)),
+    "q_token_count"     -> ((s, d) => TextAnalysisOps.tokenCount(s, d)),
+    "q_doc_fingerprint" -> ((s, d) => TextAnalysisOps.fingerprint(s, d)),
+    "q_multimodal_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
+    // ---- §2.I events (batch) ----
+    "q_events_tumbling"   -> ((s, d) => EventOps.tumbling(s, d)),
+    "q_events_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     // ---- §2.A scans / sources / sinks ----
     "q_scan_documents"  -> ((s, d) => TextOps.scanDocuments(s, d)),
     "q_tree_flatten"    -> ((s, d) => TextOps.treeFlatten(s, d)),
@@ -197,6 +207,78 @@ object SparkEntry {
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |ORDER BY a_id ASC""".stripMargin,
+    // ---- text analysis ----
+    "q_text_lang" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['table','scan','join','query','index'])) AS BIGINT) AS s_rel,
+        |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['stream','batch','window','watermark'])) AS BIGINT) AS s_stream,
+        |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ['vector','embedding','column','row'])) AS BIGINT) AS s_vec
+        |  FROM documents)
+        |SELECT doc_id, s_rel, s_stream, s_vec,
+        |       CASE WHEN s_rel >= s_stream AND s_rel >= s_vec THEN 'relational'
+        |            WHEN s_stream >= s_vec THEN 'streaming'
+        |            ELSE 'vector' END AS predicted
+        |FROM s ORDER BY doc_id ASC""".stripMargin,
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_distinct, n_alpha,
+        |       round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+        |       round(CAST(n_alpha AS DOUBLE) / n_tokens, 6) AS avg_word_len,
+        |       round(CAST(n_distinct AS DOUBLE) / n_tokens * 0.5 + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5, 6) AS quality
+        |FROM t ORDER BY doc_id ASC""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_runs,
+        |       n_chars
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |       CAST(ascii(substr(md5(text), 1, 1)) % 16 AS BIGINT) AS shard
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |       sha256(text) AS content_sha,
+        |       substr(hex(CAST(text AS BLOB)), 1, 32) AS head_hex,
+        |       64 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 512 AS width,
+        |       64 + (CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * 7) % 512 AS height,
+        |       1 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 16 AS n_frames
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    // ---- events (batch) ----
+    "q_events_tumbling" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |FROM events
+        |GROUP BY date_trunc('day', ts), event_type
+        |ORDER BY day ASC, event_type ASC""".stripMargin,
+    "q_events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR CAST(floor(date_part('epoch', ts)) AS BIGINT)
+        |                   - CAST(floor(date_part('epoch', prev_ts)) AS BIGINT) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id ASC, session_id ASC""".stripMargin,
     // ---- scans / RAG dataflow ----
     "q_scan_documents" ->
       "SELECT * FROM documents ORDER BY doc_id ASC",

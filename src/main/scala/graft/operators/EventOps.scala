@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event analytics in batch form (SURVEY §2.I) over the `events` fixture —
+  * the batch-emulated halves of the streaming pair in
+  * [[graft.streaming.StreamingOps]]. Value sums use the integer-micros
+  * accumulator (engine-exact, see [[RelOps]]).
+  */
+object EventOps {
+
+  /** Tumbling 1-day windows × event_type: the `groupBy(window(...))` shape.
+    * One shuffle on (day, type); partial aggregation map-side. The
+    * streaming twin adds a watermark and incremental state — same logical
+    * aggregation.
+    */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * lit(1000000.0)).cast("long")).cast("double")
+          / lit(1000000.0)).as("sum_value"))
+      .select(col("w.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("day").asc, col("event_type").asc)
+
+  /** Gap-based sessionization in batch SQL: lag → gap>30 min flag → running
+    * sum = session ordinal, then one aggregate per session. Two shuffles,
+    * both on user_id (the window and the session group-by co-partition —
+    * Catalyst reuses the exchange). The streaming twin is
+    * `session_window` / `flatMapGroupsWithState`.
+    */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapSec = gapMinutes * 60L
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id").asc, col("session_id").asc)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text analysis for a training-data pipeline: embedding generation,
+  * language-ID, quality scoring, token counting, fingerprinting — the
+  * operators a 100 TB corpus pass runs between crawl and training.
+  *
+  * The reference delegates embedding to its server
+  * (`Embedding(vector_field='vector', field='text', model=...)`,
+  * `TencentVDB.py:49`); the build env has no network, so [[embedBatch]] is a
+  * deterministic local hashing embedder (SURVEY §7.4) — feature-hashing of
+  * tokens into a fixed-dim signed vector, the classic "hashing trick". All
+  * other ops are pure built-in projections/aggregations.
+  */
+object TextAnalysisOps {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Deterministic hashing embedder — the `q_embed_batch` analog of the
+    * reference's server-side text→vector step (`TencentVDB.py:49`;
+    * dim-agnostic per FIXTURES.md — fixture vectors are 64-d, ref 1024-d).
+    *
+    * Per token: bucket = xxhash64(token) mod dim, sign = one spare hash bit;
+    * vector = L2-normalized signed bucket counts. Implemented entirely as a
+    * per-row `aggregate` over the token array — ZERO shuffle: embedding is a
+    * map-side projection, which is exactly what a 100 TB embed pass needs
+    * (the scan dominates; no data movement). No oracle by design (hash
+    * embedder is engine-native); the driver records a rows-only check, and
+    * the ScalaTest suite asserts determinism + unit norm.
+    */
+  def embedBatch(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions.{l2Norm, l2Normalize}
+    val raw = aggregate(
+      tokens(col("text")),
+      array_repeat(lit(0.0), dim),
+      (acc, t) => {
+        val bucket = pmod(xxhash64(t), lit(dim.toLong))
+        val sgn = when(shiftright(xxhash64(t), 32).bitwiseAND(lit(1L)) === 1L, lit(1.0))
+          .otherwise(lit(-1.0))
+        transform(acc, (x, i) => x + when(bucket === i.cast("long"), sgn).otherwise(lit(0.0)))
+      })
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"), l2Normalize(col("raw")).as("embedding"))
+      .select(col("doc_id"), col("embedding"),
+        round(l2Norm(col("embedding")), 6).as("norm"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Language/domain ID by marker-set intersection — the n-gram-heuristic
+    * shape of a lang-ID pass (count marker hits per class, argmax with a
+    * fixed priority tie-break). Pure projection, oracle-expressible.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val relational = Seq("table", "scan", "join", "query", "index")
+    val streaming = Seq("stream", "batch", "window", "watermark")
+    val vector = Seq("vector", "embedding", "column", "row")
+    def score(markers: Seq[String]): Column =
+      size(array_intersect(array_distinct(tokens(col("text"))),
+        array(markers.map(lit): _*))).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        score(relational).as("s_rel"),
+        score(streaming).as("s_stream"),
+        score(vector).as("s_vec"))
+      .withColumn("predicted",
+        when(col("s_rel") >= col("s_stream") && col("s_rel") >= col("s_vec"), "relational")
+          .when(col("s_stream") >= col("s_vec"), "streaming")
+          .otherwise("vector"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Quality scoring: token count, lexical diversity, average word length,
+    * and a composite score — the filter signal of a corpus-quality pass.
+    * All double arithmetic is single-expression IEEE (engine-identical).
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_alpha"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+      .withColumn("avg_word_len",
+        round(col("n_alpha").cast("double") / col("n_tokens"), 6))
+      .withColumn("quality",
+        round(col("n_distinct").cast("double") / col("n_tokens") * lit(0.5) +
+          least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)) * lit(0.5), 6))
+      .orderBy(col("doc_id").asc)
+
+  /** Token counting: whitespace tokens + a BPE-ish sub-word proxy
+    * (alphabetic runs) — the cost model of a tokenizer pass without the
+    * tokenizer. `regexp_extract_all` is codegen'd; per-row only.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("alpha_runs"),
+        col("n_chars"))
+      .orderBy(col("doc_id").asc)
+
+  /** Document fingerprinting: content digest + a shard bucket derived from
+    * it — the partition key of an exact-dedup / routing pass
+    * (cf. [[DedupOps.dedupExact]]).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("shard", pmod(ascii(substring(col("fp"), 1, 1)).cast("long"), lit(16L)))
+      .orderBy(col("doc_id").asc)
+}

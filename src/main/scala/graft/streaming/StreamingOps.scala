@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event row, typed (the `events` fixture schema minus props). */
+case class Ev(user_id: Long, event_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+/** A closed user session emitted by the stateful operator. */
+case class SessionOut(user_id: Long, n_events: Long, start_ts: Timestamp, end_ts: Timestamp)
+
+/** Keyed state carried per user by [[StreamingOps.statefulSessions]]. */
+case class SessState(n: Long, start: Long, end: Long)
+
+/** Structured Streaming operators (SURVEY §2.I) — the true-streaming twins
+  * of [[graft.operators.EventOps]]. The reference has no data-plane
+  * streaming; its nearest analog is the mutable chat-session state keyed by
+  * session and reset on mode change (`main_server.py:69-84`), which maps to
+  * keyed state in `flatMapGroupsWithState`.
+  *
+  * Every transform takes the input DataFrame (from `readStream` in
+  * production, `MemoryStream` in tests) and returns a streaming DataFrame —
+  * source/sink-agnostic, so the same code runs batch or streaming.
+  *
+  * Scale notes: all three are keyed-state aggregations — state is
+  * partitioned by group key across executors, watermarks bound state size
+  * (late data beyond 1 hour is dropped and its state evicted). No
+  * unbounded driver state anywhere.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-day counts × event_type with a 1-hour watermark — the
+    * incremental form of [[graft.operators.EventOps.tumbling]]. Append-mode
+    * compatible: windows close when the watermark passes their end.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("day"), col("event_type"), col("n"))
+
+  /** Gap-based sessions via the built-in `session_window` (30-minute gap) —
+    * the streaming twin of [[graft.operators.EventOps.sessionize]]. State =
+    * one open window per (user, session), merged as events arrive, closed
+    * by the watermark.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("start_ts"),
+        col("w.end").as("end_ts"), col("n_events"))
+
+  /** Custom keyed state with `flatMapGroupsWithState`: per-user session
+    * accumulation with explicit timeout — the chat-session analog (carry
+    * history while active, emit + reset on gap, ref `main_server.py:69-84`).
+    * Event-time timeout keyed to the watermark; emits a [[SessionOut]] when
+    * a session closes.
+    */
+  def statefulSessions(events: Dataset[Ev], gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, rows: Iterator[Ev],
+        state: GroupState[SessState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(SessionOut(userId, s.n, new Timestamp(s.start), new Timestamp(s.end)))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(s.copy(n = s.n + 1, end = t))
+            case Some(s) =>
+              closed ::= SessionOut(userId, s.n, new Timestamp(s.start), new Timestamp(s.end))
+              cur = Some(SessState(1L, t, t))
+            case None =>
+              cur = Some(SessState(1L, t, t))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}
