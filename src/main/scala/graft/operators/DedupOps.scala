@@ -82,9 +82,13 @@ object DedupOps {
 
   // ---- MinHash + banded LSH ----
 
-  private val MinhashPrime = (1L << 61) - 1 // Mersenne prime 2^61-1
-  private val NumHashes = 16
-  private val NumBands = 8 // 8 bands × 2 rows
+  // Mersenne prime 2^31-1: with a, x < 2^31 the product a·x (< 2^62) wraps
+  // the modulus ~2^31 times, so each (a,b) is a genuinely distinct
+  // permutation. (A larger prime like 2^61-1 would NOT wrap — h would be
+  // monotone in x and every "permutation" would order tokens identically.)
+  private val MinhashPrime = (1L << 31) - 1
+  private val NumHashes = 32
+  private val NumBands = 16 // 16 bands × 2 rows
   /** Deterministic permutation coefficients (fixed seed — results must be
     * reproducible across runs and engines).
     */
@@ -95,9 +99,10 @@ object DedupOps {
     (a, b)
   }
 
-  /** MinHash signature columns h0..h15 per doc_id, from the distinct token
+  /** MinHash signature columns h0..h31 per doc_id, from the distinct token
     * stream: h_i(doc) = min over tokens of (a_i·x + b_i) mod p, with
-    * x = 31-bit xxhash64 of the token (products stay < 2^62 — no overflow).
+    * x = 31-bit xxhash64 of the token (products stay < 2^62 — no long
+    * overflow — while wrapping the 31-bit modulus thoroughly).
     * One explode + one groupBy(doc_id): shuffle volume is one row per
     * (doc, token), aggregated map-side to one row per doc.
     */
@@ -115,11 +120,11 @@ object DedupOps {
   /** Near-dup SURVIVORS via MinHash + banded LSH: the deduplicated corpus
     * (docs with no lower-id near-duplicate at j ≥ τ).
     *
-    * Plan: signatures → explode 8 band keys → self EQUI-join on
+    * Plan: signatures → explode 16 band keys → self EQUI-join on
     * (band, key) — this is the cross-join replacement: shuffle on band
     * keys, candidate pairs only from bucket collisions → distinct pairs →
     * exact Jaccard rescore → anti-join survivors. With 2-row bands,
-    * P(candidate | j) = 1-(1-j²)^8 — ≥ 1-1e-8 at j ≥ 0.95, so the output
+    * P(candidate | j) = 1-(1-j²)^16 — ≥ 1-1e-16 at j ≥ 0.95, so the output
     * equals the exact [[jaccardPairs]] dedup on the fixtures (validated
     * against the brute-force oracle).
     */

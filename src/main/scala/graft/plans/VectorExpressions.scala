@@ -20,9 +20,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Null elements inside the arrays are not expected (embedding fixtures and
   * ingest both produce non-null elements); element null-checks are skipped
   * deliberately to keep the loop branch-free.
+  *
+  * A DIMENSION MISMATCH between the two arrays returns NULL (never a
+  * silently-truncated score): ragged or corrupt embeddings surface as null
+  * scores that any downstream filter/agg makes visible, instead of
+  * plausible-but-wrong similarity values.
   */
 abstract class BinaryVectorExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  // Nullable regardless of child nullability: mismatched dims yield null.
+  override def nullable: Boolean = true
 
   private def isDoubleArray(t: DataType): Boolean = t match {
     case ArrayType(DoubleType, _) => true
@@ -39,14 +47,15 @@ abstract class BinaryVectorExpression extends BinaryExpression {
     }
 }
 
-/** Σ aᵢ·bᵢ over two double arrays (length = min of the two). */
+/** Σ aᵢ·bᵢ over two double arrays (null on length mismatch). */
 case class DotProduct(left: Expression, right: Expression) extends BinaryVectorExpression {
   override def prettyName: String = "vec_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -59,12 +68,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryVectorE
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -83,7 +96,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryV
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
@@ -106,15 +120,19 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryV
       val yv = ctx.freshName("yv")
       val d = ctx.freshName("d")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xv = $a.getDouble($i);
-         |  final double $yv = $b.getDouble($i);
-         |  $ab += $xv * $yv; $aa += $xv * $xv; $bb += $yv * $yv;
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xv = $a.getDouble($i);
+         |    final double $yv = $b.getDouble($i);
+         |    $ab += $xv * $yv; $aa += $xv * $xv; $bb += $yv * $yv;
+         |  }
+         |  final double $d = java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb);
+         |  ${ev.value} = ($d == 0.0) ? 0.0 : $ab / $d;
          |}
-         |final double $d = java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb);
-         |${ev.value} = ($d == 0.0) ? 0.0 : $ab / $d;
        """.stripMargin
     })
 
@@ -129,7 +147,8 @@ case class L2DistanceSq(left: Expression, right: Expression) extends BinaryVecto
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) { val dd = x.getDouble(i) - y.getDouble(i); s += dd * dd; i += 1 }
@@ -143,13 +162,17 @@ case class L2DistanceSq(left: Expression, right: Expression) extends BinaryVecto
       val s = ctx.freshName("s")
       val dd = ctx.freshName("dd")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $dd = $a.getDouble($i) - $b.getDouble($i);
-         |  $s += $dd * $dd;
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $dd = $a.getDouble($i) - $b.getDouble($i);
+         |    $s += $dd * $dd;
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

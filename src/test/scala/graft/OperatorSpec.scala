@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Operator-level invariants on the sf0.001 fixtures (SURVEY §5.2-3).
+  * The DuckDB oracle gate (tools/check_oracle.py) checks exact values;
+  * these pin the algebraic properties that the oracle can't express.
+  */
+class OperatorSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+
+  test("knn with k = n reproduces the full similarity sort") {
+    val n = 499 // corpus minus the query row
+    val topAll = KnnOps.topK(spark, sf, queryId = 0L, k = n)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(topAll.length === n)
+    val full = KnnOps.topK(spark, sf, queryId = 0L, k = n + 100)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(topAll.toSeq === full.toSeq)
+  }
+
+  test("LSH-bucketed similarity join reproduces the exact all-pairs result") {
+    val exact = KnnOps.simJoin(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lsh = KnnOps.simJoinLsh(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lsh.toSeq === exact.toSeq)
+  }
+
+  test("exact dedup removes every simulated re-crawl duplicate and is idempotent") {
+    val out = DedupOps.dedupExact(spark, sf)
+    val ids = out.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.length === 500)         // 600 in, 100 surrogate dups removed
+    assert(ids.forall(_ < 10000))      // originals (lowest id) always win
+    val fps = out.select("fp").distinct().count()
+    assert(fps === 500)                // one survivor per distinct content
+  }
+
+  test("minhash LSH survivors equal the brute-force jaccard dedup") {
+    val pairs = DedupOps.jaccardPairs(spark, sf, tau = 0.95)
+      .select("b_id").distinct().collect().map(_.getLong(0)).toSet
+    val all = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = (all -- pairs).toSeq.sorted
+    val got = DedupOps.minHashLsh(spark, sf, tau = 0.95)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+  }
+
+  test("truncate bounds body length and preserves prefix") {
+    val rows = TextOps.truncate(spark, sf, n = 100)
+      .select(length(col("body")).as("l"), col("body_len")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) <= 100)
+      assert(r.getInt(0).toLong === r.getLong(1))
+    }
+  }
+
+  test("blank-line collapse is idempotent (no \\n runs survive)") {
+    val cleaned = TextOps.cleanText(spark, sf)
+      .filter(col("cleaned").contains("\n\n")).count()
+    assert(cleaned === 0)
+  }
+
+  test("upsert keeps the newest version exactly for re-crawled ids") {
+    val out = TextOps.upsertLastWins(spark, sf).collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val version = r.getLong(3)
+      assert(version === (if (id % 7 == 0) 2L else 1L))
+    }
+    assert(out.map(_.getLong(0)).distinct.length === out.length) // id unique
+  }
+
+  test("tree flatten emits every node exactly once with parent-prefixed urls") {
+    val rows = TextOps.treeFlatten(spark, sf).collect()
+    assert(rows.length === 31) // 1 root + 5 regions + 25 nations
+    assert(rows.count(_.getLong(2) == 0L) === 1)
+    assert(rows.count(_.getLong(2) == 1L) === 5)
+    assert(rows.count(_.getLong(2) == 2L) === 25)
+    rows.filter(_.getLong(2) == 2L).foreach { r =>
+      assert(r.getString(1).matches("/r/\\d+/n/\\d+"))
+    }
+  }
+
+  test("hashing embedder is deterministic, unit-norm, dim-agnostic") {
+    val e1 = TextAnalysisOps.embedBatch(spark, sf, dim = 32).collect()
+    val e2 = TextAnalysisOps.embedBatch(spark, sf, dim = 32).collect()
+    assert(e1.map(_.getSeq[Double](1)).toSeq === e2.map(_.getSeq[Double](1)).toSeq)
+    e1.foreach { r =>
+      assert(r.getSeq[Double](1).length === 32)
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-6) // L2 norm
+    }
+  }
+
+  test("typed mapPartitions decode equals the SQL metadata path") {
+    val typed = MultimodalOps.decodeMeta(MultimodalOps.mediaRecords(spark, sf))
+      .collect().map(m => (m.doc_id, m.byte_len, m.width, m.height, m.n_frames, m.content_sha))
+      .sortBy(_._1)
+    val sql = MultimodalOps.mediaMeta(spark, sf)
+      .select("doc_id", "byte_len", "width", "height", "n_frames", "content_sha")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(typed.toSeq === sql.toSeq)
+  }
+
+  test("simhash neighbor counts are symmetric and self-free") {
+    val rows = DedupOps.simHash(spark, sf).collect()
+    assert(rows.length === 500)
+    val total = rows.map(_.getLong(2)).sum
+    assert(total % 2 === 0) // pair symmetry: every neighbor edge counted twice
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{Ev, StreamingOps}
+
+/** Structured Streaming micro-batch tests via MemoryStream (SURVEY §5.4 —
+  * no DuckDB oracle exists for streaming; correctness = expected windows /
+  * sessions emitted once the watermark closes them).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, user: Long, t: String, typ: String = "click"): Ev =
+    Ev(user, id, ts(t), typ, 1.0)
+
+  test("tumbling day windows emit closed counts once the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.tumblingCounts(in.toDS.toDF)
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, 1, "2024-01-01 01:00:00"), ev(2, 1, "2024-01-01 02:00:00"),
+        ev(3, 2, "2024-01-01 03:00:00", "view"))
+      q.processAllAvailable()
+      // advance watermark past day 1 (+1h slack)
+      in.addData(ev(9, 9, "2024-01-02 02:30:00"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set(
+        ("2024-01-01 00:00:00.0", "click", 2L),
+        ("2024-01-01 00:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("session_window groups by 30-minute gaps per user") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.sessionWindows(in.toDS.toDF)
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, 1, "2024-01-01 10:00:00"), ev(2, 1, "2024-01-01 10:10:00"),
+        ev(3, 1, "2024-01-01 11:30:00")) // >30min gap → second session
+      q.processAllAvailable()
+      in.addData(ev(9, 9, "2024-01-01 14:00:00")) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("session_out")
+        .filter($"user_id" === 1L)
+        .collect().map(r => (r.getTimestamp(1).toString, r.getLong(3))).toSet
+      assert(rows === Set(
+        ("2024-01-01 10:00:00.0", 2L),
+        ("2024-01-01 11:30:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState closes sessions on event-time timeout") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.statefulSessions(in.toDS)
+      .writeStream.format("memory").queryName("stateful_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, 1, "2024-01-01 10:00:00"), ev(2, 1, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      // event far past the session end + gap + watermark → timeout fires
+      in.addData(ev(9, 9, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      in.addData(ev(10, 9, "2024-01-01 16:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("stateful_out").filter($"user_id" === 1L)
+        .collect().map(r => (r.getLong(1), r.getTimestamp(2).toString, r.getTimestamp(3).toString))
+      assert(rows.toSeq === Seq((2L, "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0")))
+    } finally q.stop()
+  }
+}

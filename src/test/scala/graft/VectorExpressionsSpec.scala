@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{CosineSimilarity, DotProduct, L2DistanceSq}
+import graft.functions.VectorFunctions._
+
+/** Codegen vs interpreted parity + edge cases for the native vector
+  * expressions (SURVEY §5.2-3): the DataFrame path exercises whole-stage
+  * codegen (`doGenCode`), direct `.eval()` exercises the interpreted
+  * `nullSafeEval` — both must agree bitwise on every input class.
+  */
+class VectorExpressionsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val arrT = ArrayType(DoubleType, containsNull = false)
+
+  private def interpreted(f: (Literal, Literal) => Any, a: Seq[Double], b: Seq[Double]): Any =
+    f(Literal.create(a, arrT), Literal.create(b, arrT))
+
+  private def viaCodegen(fn: String, a: Seq[Double], b: Seq[Double]): Any = {
+    val df = Seq((a, b)).toDF("a", "b")
+    val c = fn match {
+      case "dot" => dotFast(col("a"), col("b"))
+      case "cos" => cosineFast(col("a"), col("b"))
+      case "l2"  => l2DistanceSqFast(col("a"), col("b"))
+    }
+    df.select(c).collect()(0) match {
+      case Row(null) => null
+      case Row(v: Double) => v
+    }
+  }
+
+  private val cases: Seq[(Seq[Double], Seq[Double])] = {
+    val rnd = new scala.util.Random(7L)
+    val randomPairs = (1 to 25).map { _ =>
+      val n = 1 + rnd.nextInt(96)
+      (Seq.fill(n)(rnd.nextGaussian()), Seq.fill(n)(rnd.nextGaussian()))
+    }
+    randomPairs ++ Seq(
+      (Seq(0.0, 0.0, 0.0), Seq(1.0, 2.0, 3.0)), // zero norm
+      (Seq.empty[Double], Seq.empty[Double]),    // empty
+      (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),      // length mismatch
+    )
+  }
+
+  test("codegen and interpreted paths agree bitwise on all input classes") {
+    cases.foreach { case (a, b) =>
+      assert(viaCodegen("dot", a, b) ===
+        interpreted((x, y) => DotProduct(x, y).eval(null), a, b))
+      assert(viaCodegen("cos", a, b) ===
+        interpreted((x, y) => CosineSimilarity(x, y).eval(null), a, b))
+      assert(viaCodegen("l2", a, b) ===
+        interpreted((x, y) => L2DistanceSq(x, y).eval(null), a, b))
+    }
+  }
+
+  test("length mismatch yields null, not a truncated score") {
+    assert(viaCodegen("dot", Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)) === null)
+    assert(viaCodegen("cos", Seq(1.0), Seq(1.0, 1.0)) === null)
+    assert(viaCodegen("l2", Seq(1.0, 2.0, 3.0), Seq(1.0)) === null)
+  }
+
+  test("zero-norm and empty inputs give cosine 0.0 (total-order safe, no NaN)") {
+    assert(viaCodegen("cos", Seq(0.0, 0.0), Seq(1.0, 2.0)) === 0.0)
+    assert(viaCodegen("cos", Seq.empty[Double], Seq.empty[Double]) === 0.0)
+  }
+
+  test("cosine is bounded in [-1, 1] and cosine(v, v) == 1 (property sweep)") {
+    val rnd = new scala.util.Random(99L)
+    (1 to 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(64)
+      val a = Seq.fill(n)(rnd.nextGaussian() * (1 + rnd.nextInt(1000)))
+      val b = Seq.fill(n)(rnd.nextGaussian() * (1 + rnd.nextInt(1000)))
+      val c = interpreted((x, y) => CosineSimilarity(x, y).eval(null), a, b)
+        .asInstanceOf[Double]
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      val self = interpreted((x, y) => CosineSimilarity(x, y).eval(null), a, a)
+        .asInstanceOf[Double]
+      assert(math.abs(self - 1.0) < 1e-9)
+    }
+  }
+
+  test("HOF formulation and codegen expression agree after rounding") {
+    val rnd = new scala.util.Random(3L)
+    val a = Seq.fill(64)(rnd.nextGaussian())
+    val b = Seq.fill(64)(rnd.nextGaussian())
+    val df = Seq((a, b)).toDF("a", "b")
+    val Row(fast: Double, hof: Double) = df.select(
+      round(cosineFast(col("a"), col("b")), 9),
+      round(cosine(col("a"), col("b")), 9)).collect()(0)
+    assert(fast === hof)
+  }
+}
