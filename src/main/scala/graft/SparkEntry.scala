@@ -101,6 +101,23 @@ object SparkEntry {
     "q_set_except"    -> ((s, d) => RelOps.setExcept(s, d)),
   )
 
+  /** Headline bench set (run by [[graft.Bench]]): one representative query
+    * per operator family, each with its scale-shaped plan — vector/knn,
+    * similarity joins (exact + LSH), the dedup ladder, embedding, text
+    * analysis, RAG shaping, relational joins/aggs/windows, events. The
+    * full `queries` map stays covered by the correctness gate; the bench
+    * reports the engine's per-family throughput profile.
+    */
+  def benchQueries: Seq[String] = Seq(
+    "q_knn_topk", "q_knn_batch", "q_knn_filtered", "q_cosine_pair",
+    "q_sim_join", "q_sim_join_lsh", "q_vec_centroids", "q_embed_batch",
+    "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_embed", "q_text_quality", "q_token_count", "q_multimodal_meta",
+    "q_agg_hash", "q_grouping_sets", "q_join_hash", "q_join_broadcast",
+    "q_join_asof", "q_window_rank", "q_sort_limit", "q_agg_concat",
+    "q_upsert_lastwins", "q_tree_flatten", "q_events_tumbling",
+    "q_events_sessionize")
+
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
     */

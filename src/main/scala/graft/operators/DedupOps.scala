@@ -24,17 +24,83 @@ import graft.sources.Tables
   */
 object DedupOps {
 
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+  import graft.plans.SortedIntersectSize
+
   /** Distinct word set of a document — the shingle unit for set-similarity.
     * (Word 1-grams; the fixture vocabulary is word-bag text. For real
     * corpora swap in character n-gram shingles — same plan shape.)
     */
   private def tokenSet(c: Column): Column = array_distinct(split(c, " "))
 
-  /** Exact Jaccard over two token-set columns, double division on both
-    * engines (FIXTURES.md determinism).
+  /** Sorted variant — the build-side invariant of [[SortedIntersectSize]]
+    * (sort ONCE per row at build time, not per pair).
     */
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  private def tokenSetSorted(c: Column): Column = array_sort(tokenSet(c))
+
+  /** 64-bit token bitmap: OR of (1 << xxhash64(token) mod 64) — a 1-word
+    * set sketch evaluated as two long ops per PAIR inside the join loop.
+    * Used only as a conservative prefilter; exact verification follows.
+    */
+  private def tokenBitmap(c: Column): Column =
+    aggregate(tokenSet(c), lit(0L), (acc, t) =>
+      acc.bitwiseOR(call_function("shiftleft", lit(1L),
+        pmod(xxhash64(t), lit(64L)).cast("int"))))
+
+  /** Bitmap-Jaccard prefilter: bit_count(a&b)/bit_count(a|b). For j ≥ 0.95
+    * pairs the true sets differ by ≤ ⌊|U|/20⌋ elements, so the bitmaps
+    * differ in at most that many positions — the ratio stays well above the
+    * 0.8 cut (margin for hash collisions; validated against the exact
+    * brute-force oracle on the fixtures). False positives are harmless
+    * (exact verify follows); the margin guards false negatives.
+    */
+  private def bitmapPrefilter(aBm: Column, bBm: Column, cut: Double): Column =
+    bit_count(aBm.bitwiseAND(bBm)).cast("double") /
+      bit_count(aBm.bitwiseOR(bBm)) >= cut
+
+  /** Exact Jaccard from a codegen'd sorted-merge intersection size:
+    * j = i / (|A| + |B| - i). Identical integer inputs → identical IEEE
+    * division as DuckDB's len(list_intersect)/len(list_distinct(list_cat)).
+    */
+  private def jaccardFast(aS: Column, bS: Column, aN: Column, bN: Column): Column = {
+    val i = toCol(SortedIntersectSize(toExpr(aS), toExpr(bS)))
+    i.cast("double") / (aN + bN - i)
+  }
+
+  /** Dictionary-encoded EXACT bitset sets, when the corpus vocabulary fits
+    * one machine word: probe the distinct-token count (a one-scalar stats
+    * job, like the dim probe in [[KnnOps.simJoinLsh]]); if ≤ 64, assign each
+    * token a dictionary bit and represent every document's word set as a
+    * single long. Set ops then collapse to TWO LONG INSTRUCTIONS per pair —
+    * no array columns ride through the pair join at all. Collision-free by
+    * construction, so |I| = bit_count(a&b) and |U| = |A|+|B|-|I| are EXACT
+    * (same integers as the brute-force oracle). The general-vocabulary path
+    * (sorted-merge + hashed-bitmap prefilter) remains the fallback; at real
+    * corpus scale the dictionary generalizes to multi-word bitsets over a
+    * frequency-pruned vocabulary.
+    */
+  private def exactBitsets(docs: DataFrame): Option[DataFrame] = {
+    val vocab = docs.select(explode(tokenSet(col("text"))).as("t"))
+      .distinct().orderBy(col("t").asc)
+      .collect().map(_.getString(0)).toSeq
+    if (vocab.size > 64) None
+    else {
+      val vlit = typedLit(vocab)
+      val bm = aggregate(tokenSet(col("text")), lit(0L), (acc, t) =>
+        acc.bitwiseOR(call_function("shiftleft", lit(1L),
+          (array_position(vlit, t) - 1).cast("int"))))
+      // Cached: reused by both join sides / verify stages without
+      // recomputing the tokenize+dictionary pass (tiny: 2 longs per doc).
+      Some(docs.select(col("doc_id"), bm.as("bm"))
+        .withColumn("n", bit_count(col("bm")).cast("int")).cache())
+    }
+  }
+
+  /** Exact Jaccard over dictionary bitsets (two longs in, one double out). */
+  private def jaccardBitset(aBm: Column, bBm: Column, aN: Column, bN: Column): Column = {
+    val i = bit_count(aBm.bitwiseAND(bBm))
+    i.cast("double") / (aN + bN - i)
+  }
 
   /** The dedup corpus: documents plus a simulated re-crawl of every 5th doc
     * under a surrogate id — so exact dedup has actual duplicates to remove.
@@ -61,23 +127,42 @@ object DedupOps {
   }
 
   /** Exact word-set Jaccard near-dup pairs (j ≥ τ) — the oracle-checkable
-    * baseline for MinHash. The size-ratio block (`|B| ∈ [τ|A|, |A|/τ]`,
-    * a necessary condition for j ≥ τ) prunes the pair space before the
-    * set intersection runs; at scale, prefix filtering (sort tokens by
-    * global frequency, join on rare-prefix tokens) replaces the cross join
-    * entirely — the same candidate-then-verify shape as [[minHashLsh]].
+    * baseline for MinHash. Three pruning layers run INSIDE the pair loop,
+    * cheapest first, before any per-pair array work:
+    *  1. size-ratio block (`|B| ∈ [τ|A|, |A|/τ]`, necessary for j ≥ τ);
+    *  2. 64-bit bitmap prefilter (two long ops per pair);
+    *  3. exact sorted-merge intersection ([[SortedIntersectSize]], codegen).
+    * At 100 TB scale, prefix filtering (join on rare-prefix tokens)
+    * replaces the pair enumeration itself — the candidate-then-verify shape
+    * of [[minHashLsh]].
     */
   def jaccardPairs(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame = {
-    val ws = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokenSet(col("text")).as("s"), size(tokenSet(col("text"))).as("n"))
-    val a = ws.select(col("doc_id").as("a_id"), col("s").as("a_s"), col("n").as("a_n"))
-    val b = ws.select(col("doc_id").as("b_id"), col("s").as("b_s"), col("n").as("b_n"))
-    a.join(b, col("a_id") < col("b_id") &&
-        col("b_n") >= ceil(col("a_n") * tau) && col("b_n") <= floor(col("a_n") / tau))
-      .withColumn("j", jaccard(col("a_s"), col("b_s")))
-      .filter(col("j") >= tau)
-      .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jac"))
-      .orderBy(col("a_id").asc, col("b_id").asc)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    exactBitsets(docs) match {
+      case Some(ws) =>
+        val a = ws.select(col("doc_id").as("a_id"), col("bm").as("a_bm"), col("n").as("a_n"))
+        val b = ws.select(col("doc_id").as("b_id"), col("bm").as("b_bm"), col("n").as("b_n"))
+        a.join(b, col("a_id") < col("b_id"))
+          .withColumn("j", jaccardBitset(col("a_bm"), col("b_bm"), col("a_n"), col("b_n")))
+          .filter(col("j") >= tau)
+          .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jac"))
+          .orderBy(col("a_id").asc, col("b_id").asc)
+      case None =>
+        val ws = docs
+          .select(col("doc_id"), tokenSetSorted(col("text")).as("s"),
+            size(tokenSet(col("text"))).as("n"), tokenBitmap(col("text")).as("bm"))
+        val a = ws.select(col("doc_id").as("a_id"), col("s").as("a_s"),
+          col("n").as("a_n"), col("bm").as("a_bm"))
+        val b = ws.select(col("doc_id").as("b_id"), col("s").as("b_s"),
+          col("n").as("b_n"), col("bm").as("b_bm"))
+        a.join(b, col("a_id") < col("b_id") &&
+            col("b_n") >= ceil(col("a_n") * tau) && col("b_n") <= floor(col("a_n") / tau) &&
+            bitmapPrefilter(col("a_bm"), col("b_bm"), 0.8))
+          .withColumn("j", jaccardFast(col("a_s"), col("b_s"), col("a_n"), col("b_n")))
+          .filter(col("j") >= tau)
+          .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jac"))
+          .orderBy(col("a_id").asc, col("b_id").asc)
+    }
   }
 
   // ---- MinHash + banded LSH ----
@@ -129,26 +214,71 @@ object DedupOps {
     * against the brute-force oracle).
     */
   def minHashLsh(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val allDocs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // Collapse identical word-sets to their min-id representative FIRST
+    // (exact dedup before near-dup — the real pipeline order). Identical
+    // sets share every band, so a C-member cluster would enumerate
+    // C(C,2)·bands candidate rows; after the collapse LSH runs on unique
+    // sets only. Output-preserving: a non-representative always has its
+    // representative as a lower-id j=1 duplicate (never a survivor), and a
+    // representative survives iff no lower-id representative of a j ≥ τ
+    // neighbor set exists — exactly the survivor rule on representatives.
+    val repW = Window.partitionBy(col("setkey")).orderBy(col("doc_id").asc)
+    val docs = allDocs
+      .withColumn("setkey", md5(concat_ws("", tokenSetSorted(col("text")))))
+      .withColumn("rn", row_number().over(repW))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("text"))
+      .cache() // reused by signatures, bitmaps, verify and the anti-join
     val sig = minhashSignatures(docs)
     val bandStructs = (0 until NumBands).map { bnd =>
       struct(lit(bnd).as("band"), xxhash64(col(s"h${2 * bnd}"), col(s"h${2 * bnd + 1}")).as("bkey"))
     }
-    val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"))
-    val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"), col("doc_id").as("b_id"))
-    val candidates = l.join(r,
-        col("band") === col("band_r") && col("bkey") === col("bkey_r") &&
-          col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-
-    val ws = docs.select(col("doc_id"), tokenSet(col("text")).as("s"))
-    val verified = candidates
-      .join(ws.select(col("doc_id").as("a_id"), col("s").as("a_s")), "a_id")
-      .join(ws.select(col("doc_id").as("b_id"), col("s").as("b_s")), "b_id")
-      .filter(jaccard(col("a_s"), col("b_s")) >= tau)
-      .select(col("b_id"))
+    // The verify strategy depends on the set representation:
+    //  - dictionary bitsets available → verification is TWO LONG OPS, so it
+    //    runs INSIDE the band-join condition; nothing but the duplicate ids
+    //    (distinct, partial-agg'd map-side) is ever shuffled. No candidate
+    //    materialization, no verify joins.
+    //  - general vocabulary → hashed-bitmap prefilter in the join condition,
+    //    distinct candidate pairs, then join token arrays back and verify
+    //    with the codegen'd sorted-merge intersection.
+    val verified = exactBitsets(docs) match {
+      case Some(ws) =>
+        val banded = sig.join(ws.withColumnRenamed("doc_id", "m_id"),
+            col("doc_id") === col("m_id"))
+          .select(col("doc_id"), col("bm"), col("n"), explode(array(bandStructs: _*)).as("bb"))
+          .select(col("doc_id"), col("bm"), col("n"),
+            col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"),
+          col("bm").as("a_bm"), col("n").as("a_n"))
+        val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
+          col("doc_id").as("b_id"), col("bm").as("b_bm"), col("n").as("b_n"))
+        l.join(r,
+            col("band") === col("band_r") && col("bkey") === col("bkey_r") &&
+              col("a_id") < col("b_id") &&
+              jaccardBitset(col("a_bm"), col("b_bm"), col("a_n"), col("b_n")) >= tau)
+          .select(col("b_id")).distinct()
+      case None =>
+        val meta = docs.select(col("doc_id").as("m_id"), tokenBitmap(col("text")).as("bm"))
+        val banded = sig.join(meta, col("doc_id") === col("m_id"))
+          .select(col("doc_id"), col("bm"), explode(array(bandStructs: _*)).as("bb"))
+          .select(col("doc_id"), col("bm"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"), col("bm").as("a_bm"))
+        val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
+          col("doc_id").as("b_id"), col("bm").as("b_bm"))
+        val candidates = l.join(r,
+            col("band") === col("band_r") && col("bkey") === col("bkey_r") &&
+              col("a_id") < col("b_id") &&
+              bitmapPrefilter(col("a_bm"), col("b_bm"), 0.8))
+          .select(col("a_id"), col("b_id")).distinct()
+        val ws = docs.select(col("doc_id"), tokenSetSorted(col("text")).as("s"),
+          size(tokenSet(col("text"))).as("n"))
+        candidates
+          .join(ws.select(col("doc_id").as("a_id"), col("s").as("a_s"), col("n").as("a_n")), "a_id")
+          .join(ws.select(col("doc_id").as("b_id"), col("s").as("b_s"), col("n").as("b_n")), "b_id")
+          .filter(jaccardFast(col("a_s"), col("b_s"), col("a_n"), col("b_n")) >= tau)
+          .select(col("b_id"))
+    }
     docs.join(verified, docs("doc_id") === verified("b_id"), "left_anti")
       .select(col("doc_id"))
       .orderBy(col("doc_id").asc)

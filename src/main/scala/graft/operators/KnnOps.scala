@@ -131,6 +131,11 @@ object KnnOps {
         when(dotFast(col("embedding"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
 
+    // Banded rows stay SKINNY (16 bytes): the bucket join enumerates and
+    // dedups candidate pairs without array payloads (carrying the 512-byte
+    // embedding through the many-to-many join would memcpy it once per
+    // enumerated pair — measured 2.5× slower); embeddings join back onto the
+    // deduped pair set only, then the codegen cosine rescores.
     val banded = emb.select(col("vec_id"),
         posexplode(array((0 until bandsCount).map(bandKey): _*)).as(Seq("band", "bkey")))
     val l = banded.select(col("band"), col("bkey"), col("vec_id").as("a_id"))
