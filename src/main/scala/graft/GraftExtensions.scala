@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.plans.{CosineSimilarity, DotProduct, L2DistanceSq, SortedIntersectSize}
+
+/** SQL surface for the native expressions: install with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) and the vector/set primitives
+  * become plain SQL functions —
+  * {{{
+  *   SELECT vec_cosine(a.embedding, b.embedding) FROM ...
+  * }}}
+  * This mirrors how the reference exposes its query surface as a declared
+  * API (the SDK call signatures, ref `TencentVDB.py:45-49`): the DataFrame
+  * builders in [[SparkEntry.queries]] and the SQL names here are the same
+  * expressions, so `spark.sql` users get identical plans and codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two array<double> vectors (0.0 on zero norm, null on dim mismatch)"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two array<double> vectors (null on dim mismatch)"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("vec_l2sq"),
+      info("vec_l2sq", "vec_l2sq(a, b) - squared L2 distance of two array<double> vectors (null on dim mismatch)"),
+      (children: Seq[Expression]) => L2DistanceSq(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_size"),
+      info("sorted_intersect_size", "sorted_intersect_size(a, b) - |A ∩ B| of two sorted distinct array<string> sets"),
+      (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1))))
+  }
+}

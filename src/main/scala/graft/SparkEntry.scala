@@ -36,7 +36,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.D vector / knn core ----
     "q_knn_topk"      -> ((s, d) => KnnOps.topK(s, d)),
-    "q_knn_batch"     -> ((s, d) => KnnOps.topKBatch(s, d)),
+    "q_knn_batch"     -> ((s, d) => KnnOps.topKBatchAgg(s, d)),
     "q_knn_filtered"  -> ((s, d) => KnnOps.topKFiltered(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),

@@ -48,9 +48,11 @@ object KnnOps {
       .limit(k)
   }
 
-  /** Batched knn: ref `embeddingItems` list → list-of-lists result
-    * (`main_server.py:40-44`). Queries = vec_id < nQueries, corpus = the
-    * rest. Broadcast the query side; rank window partitioned by query.
+  /** Batched knn, window formulation: ref `embeddingItems` list →
+    * list-of-lists result (`main_server.py:40-44`). Queries = vec_id <
+    * nQueries, corpus = the rest. Broadcast the query side; rank window
+    * partitioned by query. NOTE: the window shuffles every scored candidate
+    * — kept as the semantic reference; [[topKBatchAgg]] is the scale plan.
     */
   def topKBatch(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
     val emb = corpus(spark, dir)
@@ -64,6 +66,32 @@ object KnnOps {
       .orderBy(col("score").desc, col("vec_id").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** Batched knn, bounded-heap formulation — identical output to
+    * [[topKBatch]], different physical plan: the [[graft.plans.TopKScoreId]]
+    * aggregate keeps k entries per query PER MAP TASK (partial aggregation),
+    * so the shuffle carries k·partitions rows per query instead of the whole
+    * scored corpus — the plan that survives a 100 TB corpus. This is the
+    * implementation behind `q_knn_batch`.
+    */
+  def topKBatchAgg(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val emb = corpus(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val cand = emb.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
+    val topk = toCol(graft.plans.TopKScoreId(
+      toExpr(col("score")), toExpr(col("vec_id")), k).toAggregateExpression())
+    cand.groupBy(col("query_id"))
+      .agg(topk.as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.vec_id").as("vec_id"),
+        col("hit.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 

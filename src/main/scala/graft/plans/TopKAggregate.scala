@@ -1,0 +1,109 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k aggregate: keeps the k best (score DESC, id ASC) pairs per
+  * group in a size-k heap — the HNSW-search analog for grouped retrieval
+  * (ref `limit=3` per query, `main_server.py:41`).
+  *
+  * WHY: the rank-window formulation of batched knn shuffles EVERY scored
+  * candidate row to the window partition before discarding all but k — at
+  * 100 TB that shuffle is the whole job. This aggregate is partial-capable:
+  * each map task keeps at most k entries per query locally, so the shuffle
+  * carries k·partitions rows per query instead of the full corpus.
+  *
+  * Heap discipline: the priority queue pops its max element, so the
+  * ordering ranks WORSE entries higher — lower score first, then higher id
+  * (ties at the boundary resolve to the lowest id, matching the
+  * `row_number` tie-break of the window formulation exactly).
+  *
+  * Output: array<struct<vec_id, score>> sorted best-first; `posexplode`
+  * restores (rank-1, row) pairs downstream.
+  */
+case class TopKScoreId(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+
+  require(k > 0, s"top-k requires k > 0, got $k")
+
+  // Max element under this ordering = the WORST entry (popped on overflow).
+  private val worstFirst: Ordering[(Double, Long)] =
+    Ordering.by { case (s, i) => (-s, i) }
+
+  override def prettyName: String = "topk_score_id"
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
+    mutable.PriorityQueue.empty(worstFirst)
+
+  override def update(
+      buf: mutable.PriorityQueue[(Double, Long)],
+      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      buf.enqueue((s.asInstanceOf[Double], i.asInstanceOf[Long]))
+      if (buf.size > k) buf.dequeue()
+    }
+    buf
+  }
+
+  override def merge(
+      b1: mutable.PriorityQueue[(Double, Long)],
+      b2: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+    b2.foreach { e =>
+      b1.enqueue(e)
+      if (b1.size > k) b1.dequeue()
+    }
+    b1
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
+    val best = buf.toSeq.sortBy { case (s, i) => (-s, i) }
+    new GenericArrayData(best.map { case (s, i) => InternalRow(i, s) })
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, i) => out.writeDouble(s); out.writeLong(i) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.enqueue((in.readDouble(), in.readLong())); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKScoreId =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKScoreId =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1))
+}

@@ -22,6 +22,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(topAll.toSeq === full.toSeq)
   }
 
+  test("bounded-heap batch knn equals the rank-window formulation") {
+    val window = KnnOps.topKBatch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val agg = KnnOps.topKBatchAgg(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(agg.toSeq === window.toSeq)
+  }
+
+  test("custom expressions are callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       vec_dot(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS d,
+        |       sorted_intersect_size(array('a','b','c'), array('b','c','d')) AS i
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 23.0)
+    assert(r.getInt(2) === 2)
+  }
+
   test("LSH-bucketed similarity join reproduces the exact all-pairs result") {
     val exact = KnnOps.simJoin(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val lsh = KnnOps.simJoinLsh(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
