@@ -38,6 +38,7 @@ object SparkEntry {
     "q_knn_topk"      -> ((s, d) => KnnOps.topK(s, d)),
     "q_knn_batch"     -> ((s, d) => KnnOps.topKBatchAgg(s, d)),
     "q_knn_filtered"  -> ((s, d) => KnnOps.topKFiltered(s, d)),
+    "q_knn_ivf"       -> ((s, d) => KnnOps.topKIvf(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_vec_centroids" -> ((s, d) => KnnOps.centroids(s, d)),
@@ -73,6 +74,7 @@ object SparkEntry {
     "q_json_extract"    -> ((s, d) => TextOps.jsonExtract(s, d)),
     "q_prompt_template" -> ((s, d) => TextOps.promptTemplate(s, d)),
     "q_citation_format" -> ((s, d) => TextOps.citationFormat(s, d)),
+    "q_html_extract"    -> ((s, d) => TextOps.htmlExtract(s, d)),
     "q_scalar_bundle"   -> ((s, d) => RelOps.scalarBundle(s, d)),
     // ---- §2.E aggregations / result shaping ----
     "q_flatten_results"  -> ((s, d) => TextOps.flattenResults(s, d)),
@@ -224,6 +226,11 @@ object SparkEntry {
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |ORDER BY a_id ASC""".stripMargin,
+    "q_html_extract" ->
+      """SELECT doc_id,
+        |       regexp_extract('<html><body><div class="J-markdown-box">' || substr(text, 1, 80) || '</div></body></html>',
+        |                      '<div class="J-markdown-box">(.*?)</div>', 1) AS body
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
     // ---- text analysis ----
     "q_text_lang" ->
       """WITH s AS (

@@ -183,6 +183,46 @@ object KnnOps {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
+  /** IVF-style ANN retrieval — the reference's latent index surface
+    * (`IVFFLATParams` imported but unused, ref `TencentVDB.py:7`; HNSW is
+    * the exercised one, `TencentVDB.py:46`).
+    *
+    * Build: coarse centroids = per-label element-wise means (labels play
+    * the k-means cell role); inverted lists = the label partitions.
+    * Search: score the query against the tiny centroid table, probe the
+    * `nprobe` nearest cells, and scan ONLY those lists for the exact top-k.
+    * At 100 TB the corpus is partitioned by cell at ingest, so the probe
+    * becomes partition pruning — the scan reads nprobe/K of the data.
+    * Approximate by construction (recall < 1 when the true neighbor lives
+    * in an unprobed cell) → no SQL oracle; recall vs exact knn is pinned in
+    * the test suite.
+    */
+  def topKIvf(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 3,
+      nprobe: Int = 3): DataFrame = {
+    val emb = corpus(spark, dir)
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("centroid"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    val probes = centroids.crossJoin(broadcast(q))
+      .select(col("label"), cosineFast(col("centroid"), col("q_embedding")).as("cscore"))
+      .orderBy(col("cscore").desc, col("label").asc)
+      .limit(nprobe)
+      .select(col("label"))
+    emb.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probes), "label")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Per-label centroid (element-wise mean) — north-star extension; the
     * coarse-quantizer build step for IVF-style ANN. posexplode → positional
     * avg: one shuffle on (label, pos), map-side partial agg for free.

@@ -233,6 +233,24 @@ object TextOps {
       .orderBy(col("lang").asc)
   }
 
+  /** HTML body extraction — ref CSS-select of `div.J-markdown-box` +
+    * `get_text()` (`Crawling.py:41-44`). The zero-egress fixture has no
+    * HTML, so the crawl wrapper is reconstructed first (deterministic) and
+    * the ref's extract-by-container becomes a regexp capture group — a
+    * per-row projection; a jsoup UDF slots into the same column position
+    * when real markup needs a DOM.
+    */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(lit("<html><body><div class=\"J-markdown-box\">"),
+          substring(col("text"), 1, 80),
+          lit("</div></body></html>")).as("html"))
+      .select(col("doc_id"),
+        regexp_extract(col("html"), "<div class=\"J-markdown-box\">(.*?)</div>", 1)
+          .as("body"))
+      .orderBy(col("doc_id").asc)
+
   /** Retrieval cap — ref `limit=3` (`main_server.py:41`) standalone:
     * `orderBy + limit` compiles to `TakeOrderedAndProject` (bounded
     * per-partition top-k, no global sort).

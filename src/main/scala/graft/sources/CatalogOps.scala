@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** DDL surface — the reference's database/collection lifecycle mapped to the
+  * Spark catalog (ref `TencentVDB.py:22` create_database, `:53-61`
+  * create_collection with shard=3, `:23-25` list_databases, `:87-98`
+  * drop_collection / drop_database).
+  *
+  * Collections are tables; the reference's `shard=3` becomes the write-side
+  * partition count (`repartition(n)` before the parquet sink — at cluster
+  * scale this is the file-parallelism knob). Schema stays dynamic the same
+  * way the reference's is ("写入任何字段", `TencentVDB.py:33`): tables take
+  * whatever schema the DataFrame carries.
+  */
+object CatalogOps {
+
+  /** `create_database` (ref `TencentVDB.py:22`). Idempotent. */
+  def createDatabase(spark: SparkSession, name: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
+
+  /** `list_databases` + print loop (ref `TencentVDB.py:23-25`). */
+  def listDatabases(spark: SparkSession): DataFrame =
+    spark.sql("SHOW DATABASES")
+
+  /** `create_collection(name, shard, ...)` (ref `TencentVDB.py:53-61`):
+    * materialize a DataFrame as a managed table with `shards` write
+    * partitions. Index DDL has no Spark analog by design — predicate
+    * pushdown and partition pruning replace the FILTER index (SURVEY §4).
+    */
+  def createCollection(spark: SparkSession, db: String, name: String,
+      data: DataFrame, shards: Int = 3): Unit =
+    data.repartition(shards).write.mode("overwrite")
+      .saveAsTable(s"`$db`.`$name`")
+
+  /** Upsert into a collection — overwrite-by-id (ref `TencentVDB.py:69-79`):
+    * last-writer-wins merge of the new batch over the stored table, keyed on
+    * `idCol`. The read-merge-write cycle is the parquet analog of the
+    * reference's delete+reinsert; table formats with native MERGE (Delta,
+    * Iceberg) collapse this to one command at scale.
+    */
+  def upsert(spark: SparkSession, db: String, name: String,
+      batch: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val table = s"`$db`.`$name`"
+    val current = spark.table(table)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__v").desc)
+    val merged = current.withColumn("__v", lit(1))
+      .unionByName(batch.withColumn("__v", lit(2)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__v", "__rn")
+    // Stage through a scratch table: Spark (correctly) refuses to overwrite
+    // a table its own plan reads from, so the merge materializes first and
+    // the target is rewritten from the staged copy.
+    val staging = s"`$db`.`__${name}_upsert_staging`"
+    merged.write.mode("overwrite").saveAsTable(staging)
+    spark.table(staging).write.mode("overwrite").saveAsTable(table)
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+  }
+
+  /** `drop_collection` (ref `TencentVDB.py:87-89`). */
+  def dropCollection(spark: SparkSession, db: String, name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")
+
+  /** `drop_database` (`delete_and_drop`, ref `TencentVDB.py:91-98`). */
+  def dropDatabase(spark: SparkSession, name: String): Unit =
+    spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
+}

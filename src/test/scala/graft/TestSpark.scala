@@ -10,6 +10,7 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
     .appName("graft-test")
     .getOrCreate()
 
