@@ -84,6 +84,9 @@ object SparkEntry {
     "q_agg_distinct"     -> ((s, d) => RelOps.aggDistinct(s, d)),
     "q_approx_distinct"  -> ((s, d) => RelOps.approxDistinct(s, d)),
     "q_grouping_sets"    -> ((s, d) => RelOps.groupingSets(s, d)),
+    "q_percentile"       -> ((s, d) => RelOps.percentiles(s, d)),
+    "q_histogram"        -> ((s, d) => RelOps.histogram(s, d)),
+    "q_tpch_q3"          -> ((s, d) => RelOps.shippingPriority(s, d)),
     // ---- §2.F joins ----
     "q_join_hash"      -> ((s, d) => RelOps.joinHash(s, d)),
     "q_join_broadcast" -> ((s, d) => RelOps.joinBroadcast(s, d)),
@@ -115,7 +118,7 @@ object SparkEntry {
     "q_sim_join", "q_sim_join_lsh", "q_vec_centroids", "q_embed_batch",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_embed", "q_text_quality", "q_token_count", "q_multimodal_meta",
-    "q_agg_hash", "q_grouping_sets", "q_join_hash", "q_join_broadcast",
+    "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast",
     "q_join_asof", "q_window_rank", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_events_tumbling",
     "q_events_sessionize")
@@ -389,6 +392,28 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag ASC, linestatus ASC""".stripMargin,
+    "q_percentile" ->
+      """SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus ASC""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM orders GROUP BY bucket ORDER BY bucket ASC""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
     // ---- joins ----
     "q_join_hash" ->
       """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice

@@ -277,6 +277,58 @@ object RelOps {
         Tables.supplier(spark, dir).select(col("s_nationkey").cast("long").as("nationkey")))
       .orderBy(col("nationkey").asc)
 
+  /** Exact interpolated percentiles per group — the quantile surface
+    * (Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    * interpolation definition; rounded to absorb last-ulp noise).
+    * `approx_percentile`/KLL is the 100 TB path — same query shape,
+    * sketch-mergeable, omitted from the oracle like [[approxDistinct]].
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+      .orderBy(col("o_orderstatus").asc)
+
+  /** Fixed-width histogram: floor-binning is a pure projection, the count a
+    * standard partial-agg — the profile query of a data-quality pass.
+    */
+  def histogram(spark: SparkSession, dir: String, binWidth: Double = 50000.0): DataFrame =
+    Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / binWidth).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket").asc)
+
+  /** Composite analytical query (TPC-H Q3 shape): 3-table join → grouped
+    * revenue → top-10. The fact-side predicates push to both scans; the
+    * customer filter reduces the build side before the join; the final
+    * top-k is TakeOrderedAndProject. One query exercising scan+filter+
+    * join+agg+sort-limit through a single Catalyst plan.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-01-01"
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(cutoff))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(cutoff))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg((sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(1000000.0))
+        .cast("long")).cast("double") / lit(1000000.0)).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
   /** Scalar-function bundle (SURVEY §2.C `q_scalar_bundle`): string / date /
     * math built-ins in one projection. Money math goes through decimal so
     * the rounded value is engine-exact.

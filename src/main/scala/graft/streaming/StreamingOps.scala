@@ -56,6 +56,17 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("start_ts"),
         col("w.end").as("end_ts"), col("n_events"))
 
+  /** Streaming exact dedup — the overwrite-by-id upsert semantics
+    * (ref `TencentVDB.py:69-70`) on a stream: first-writer-wins per
+    * event_id within the watermark horizon; late duplicates beyond 1 hour
+    * age out of state (bounded memory — the streaming analog of
+    * [[graft.operators.DedupOps.dedupExact]]).
+    */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom keyed state with `flatMapGroupsWithState`: per-user session
     * accumulation with explicit timeout — the chat-session analog (carry
     * history while active, emit + reset on gap, ref `main_server.py:69-84`).

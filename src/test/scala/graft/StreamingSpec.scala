@@ -63,6 +63,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps the first arrival per event_id") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.streamingDedup(in.toDS.toDF)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, 1, "2024-01-01 10:00:00"),
+        ev(1, 1, "2024-01-01 10:00:00", "view"), // duplicate id, same batch
+        ev(2, 2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      in.addData(ev(1, 1, "2024-01-01 10:02:00", "view")) // duplicate, later batch
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .collect().map(r => (r.getLong(1), r.getString(3)))
+      assert(rows.length === 2)
+      assert(rows.toMap === Map(1L -> "click", 2L -> "click"))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState closes sessions on event-time timeout") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
