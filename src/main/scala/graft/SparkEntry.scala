@@ -55,6 +55,7 @@ object SparkEntry {
     "q_text_quality"    -> ((s, d) => TextAnalysisOps.qualityScore(s, d)),
     "q_token_count"     -> ((s, d) => TextAnalysisOps.tokenCount(s, d)),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysisOps.fingerprint(s, d)),
+    "q_text_bigrams"    -> ((s, d) => TextAnalysisOps.bigrams(s, d)),
     "q_multimodal_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
     // ---- §2.I events (batch) ----
     "q_events_tumbling"   -> ((s, d) => EventOps.tumbling(s, d)),
@@ -265,6 +266,15 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_runs,
         |       n_chars
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "q_text_bigrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |                               i -> w[i] || ' ' || w[i + 1])) AS bigram
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 2)
+        |GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC
+        |LIMIT 20""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,
         |       CAST(ascii(substr(md5(text), 1, 1)) % 16 AS BIGINT) AS shard

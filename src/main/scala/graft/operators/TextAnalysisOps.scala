@@ -104,6 +104,24 @@ object TextAnalysisOps {
         col("n_chars"))
       .orderBy(col("doc_id").asc)
 
+  /** Corpus bigram counts (top-N): n-gram generation as a per-row
+    * `transform` over token positions (no self-join), then one count
+    * aggregation — the vocabulary-building pass of a tokenizer pipeline.
+    * Shuffle carries one row per distinct bigram per partition (partial
+    * agg), and the final top-N is TakeOrderedAndProject.
+    */
+  def bigrams(spark: SparkSession, dir: String, topN: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1))))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(topN)
+
   /** Document fingerprinting: content digest + a shard bucket derived from
     * it — the partition key of an exact-dedup / routing pass
     * (cf. [[DedupOps.dedupExact]]).

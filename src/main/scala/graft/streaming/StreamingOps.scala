@@ -56,6 +56,29 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("start_ts"),
         col("w.end").as("end_ts"), col("n_events"))
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks from the preceding hour. Both sides are watermarked so the join
+    * state is bounded: a click is held only until the watermark passes its
+    * join horizon (purchase_ts ∈ [click_ts, click_ts + 1h]). The equi key
+    * (user_id) partitions state across executors.
+    */
+  def clickToPurchaseJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("p_id"), col("p_ts"),
+        col("c_id"), col("c_ts"))
+  }
+
   /** Streaming exact dedup — the overwrite-by-id upsert semantics
     * (ref `TencentVDB.py:69-70`) on a stream: first-writer-wins per
     * event_id within the watermark horizon; late duplicates beyond 1 hour

@@ -63,6 +63,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with preceding clicks") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.clickToPurchaseJoin(in.toDS.toDF)
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, 1, "2024-01-01 10:00:00"),                 // click in window
+        ev(2, 1, "2024-01-01 08:00:00"),                 // click too old
+        ev(3, 1, "2024-01-01 10:30:00", "purchase"),
+        ev(4, 2, "2024-01-01 10:15:00", "purchase"))     // user 2: no click
+      q.processAllAvailable()
+      in.addData(ev(9, 9, "2024-01-01 14:00:00"))        // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      assert(rows.toSeq === Seq((1L, 3L, 1L))) // purchase 3 ← click 1 only
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first arrival per event_id") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.plans.{CosineSimilarity, DotProduct, L2DistanceSq}
+
+/** ScalaCheck algebraic properties of the native vector expressions
+  * (SURVEY §5.3) — run by sbt's ScalaCheck framework directly. These hold
+  * for ALL inputs, not just fixtures: bounds, symmetry, self-similarity,
+  * and the zero/identity edge laws.
+  */
+object VectorProperties extends Properties("graft.plans.VectorExpressions") {
+
+  private val arrT = ArrayType(DoubleType, containsNull = false)
+  private def evalExpr(f: (Literal, Literal) => Any, a: Seq[Double], b: Seq[Double]): Any =
+    f(Literal.create(a, arrT), Literal.create(b, arrT))
+
+  private def cos(a: Seq[Double], b: Seq[Double]): Double =
+    evalExpr((x, y) => CosineSimilarity(x, y).eval(null), a, b).asInstanceOf[Double]
+  private def dot(a: Seq[Double], b: Seq[Double]): Double =
+    evalExpr((x, y) => DotProduct(x, y).eval(null), a, b).asInstanceOf[Double]
+  private def l2sq(a: Seq[Double], b: Seq[Double]): Double =
+    evalExpr((x, y) => L2DistanceSq(x, y).eval(null), a, b).asInstanceOf[Double]
+
+  private val dim = Gen.choose(1, 128)
+  private val component = Gen.choose(-1e6, 1e6)
+  private val vecPair: Gen[(List[Double], List[Double])] = for {
+    n <- dim
+    a <- Gen.listOfN(n, component)
+    b <- Gen.listOfN(n, component)
+  } yield (a, b)
+
+  property("cosine is bounded in [-1, 1]") = forAll(vecPair) { case (a, b) =>
+    val c = cos(a, b)
+    c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9
+  }
+
+  property("cosine(v, v) = 1 for nonzero v") = forAll(dim.flatMap(Gen.listOfN(_, component))) { v =>
+    v.forall(_ == 0.0) || math.abs(cos(v, v) - 1.0) < 1e-9
+  }
+
+  property("cosine and dot are symmetric") = forAll(vecPair) { case (a, b) =>
+    cos(a, b) == cos(b, a) && dot(a, b) == dot(b, a)
+  }
+
+  property("l2 distance is non-negative and zero on identity") = forAll(vecPair) { case (a, b) =>
+    l2sq(a, b) >= 0.0 && l2sq(a, a) == 0.0
+  }
+
+  property("dot expands l2: |a-b|^2 = a·a + b·b - 2a·b (within ulps)") =
+    forAll(vecPair) { case (a, b) =>
+      val lhs = l2sq(a, b)
+      val rhs = dot(a, a) + dot(b, b) - 2.0 * dot(a, b)
+      math.abs(lhs - rhs) <= 1e-6 * math.max(1.0, math.abs(lhs))
+    }
+
+  property("dimension mismatch is null for all three") = forAll(vecPair) { case (a, b) =>
+    val shorter = a.dropRight(1)
+    a.isEmpty || (
+      evalExpr((x, y) => CosineSimilarity(x, y).eval(null), shorter, b) == null &&
+      evalExpr((x, y) => DotProduct(x, y).eval(null), shorter, b) == null &&
+      evalExpr((x, y) => L2DistanceSq(x, y).eval(null), shorter, b) == null)
+  }
+}
