@@ -76,6 +76,8 @@ object SparkEntry {
     "q_prompt_template" -> ((s, d) => TextOps.promptTemplate(s, d)),
     "q_citation_format" -> ((s, d) => TextOps.citationFormat(s, d)),
     "q_html_extract"    -> ((s, d) => TextOps.htmlExtract(s, d)),
+    "q_json_tree"       -> ((s, d) => TextOps.jsonTree(s, d)),
+    "q_rag_e2e"         -> ((s, d) => TextOps.ragEndToEnd(s, d)),
     "q_scalar_bundle"   -> ((s, d) => RelOps.scalarBundle(s, d)),
     // ---- §2.E aggregations / result shaping ----
     "q_flatten_results"  -> ((s, d) => TextOps.flattenResults(s, d)),
@@ -230,6 +232,40 @@ object SparkEntry {
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |ORDER BY a_id ASC""".stripMargin,
+    "q_json_tree" ->
+      """WITH l1 AS (
+        |  SELECT json_extract_string(n, '$.title') AS title,
+        |         json_extract_string(n, '$.link') AS link,
+        |         json_extract(n, '$.children') AS children
+        |  FROM (SELECT unnest(CAST(json_extract(
+        |    '{"list":[{"title":"overview","link":"/overview","children":[{"title":"quickstart","link":"/quickstart"},{"title":"concepts","link":"/concepts"}]},{"title":"api","link":"/api","children":[{"title":"search","link":"/search"},{"title":"upsert","link":"/upsert"},{"title":"ddl","link":"/ddl"}]},{"title":"pricing","link":"/pricing","children":[]}]}',
+        |    '$.list') AS JSON[])) AS n)),
+        |l2 AS (
+        |  SELECT json_extract_string(c, '$.title') AS title,
+        |         link || json_extract_string(c, '$.link') AS sublink
+        |  FROM (SELECT link, unnest(CAST(children AS JSON[])) AS c FROM l1))
+        |SELECT title, 'https://nav.local' || link AS url, CAST(1 AS BIGINT) AS depth FROM l1
+        |UNION ALL
+        |SELECT title, 'https://nav.local' || sublink, 2 FROM l2
+        |ORDER BY depth ASC, url ASC""".stripMargin,
+    "q_rag_e2e" ->
+      """WITH scored AS (
+        |  SELECT e.vec_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS score
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0),
+        |hits AS (
+        |  SELECT vec_id, score,
+        |         row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rank
+        |  FROM scored ORDER BY score DESC, vec_id ASC LIMIT 3),
+        |payload AS (
+        |  SELECT h.rank, d.source, d.doc_id, substr(d.text, 1, 40) AS snip
+        |  FROM hits h JOIN documents d ON h.vec_id = d.doc_id)
+        |SELECT CAST(0 AS BIGINT) AS query_id,
+        |       substr('请按照"总结要点"进行总结,内容是：' || string_agg(snip, '' ORDER BY rank ASC), 1, 200) AS llm_prompt,
+        |       '参考链接：' || string_agg(chr(10) || chr(10) || source || '     ' || doc_id, '' ORDER BY rank ASC) AS citations
+        |FROM payload""".stripMargin,
     "q_html_extract" ->
       """SELECT doc_id,
         |       regexp_extract('<html><body><div class="J-markdown-box">' || substr(text, 1, 80) || '</div></body></html>',

@@ -233,6 +233,76 @@ object TextOps {
       .orderBy(col("lang").asc)
   }
 
+  /** Nav-tree JSON payload, the shape the crawler parses at
+    * `Crawling.py:17-19` (`json.loads(...)["list"]`). A fixed literal —
+    * the offline analog of the fetched sidebar JSON.
+    */
+  private val NavPayload: String =
+    """{"list":[
+      |{"title":"overview","link":"/overview","children":[
+      |  {"title":"quickstart","link":"/quickstart"},
+      |  {"title":"concepts","link":"/concepts"}]},
+      |{"title":"api","link":"/api","children":[
+      |  {"title":"search","link":"/search"},
+      |  {"title":"upsert","link":"/upsert"},
+      |  {"title":"ddl","link":"/ddl"}]},
+      |{"title":"pricing","link":"/pricing","children":[]}
+      |]}""".stripMargin.replace("\n", "")
+
+  /** Nested-JSON nav-tree parse — ref `json.loads` + `getChild` recursion
+    * over the parsed payload (`Crawling.py:17-30`). `from_json` with the
+    * nested schema replaces `json.loads`; one `explode` per level replaces
+    * the recursion (depth-2 payload, matching the reference's nav shape);
+    * child urls accumulate the parent link exactly like
+    * `baseUrl + n["link"]` (`Crawling.py:26`).
+    */
+  def jsonTree(spark: SparkSession, dir: String): DataFrame = {
+    val schema = "STRUCT<list: ARRAY<STRUCT<title: STRING, link: STRING, " +
+      "children: ARRAY<STRUCT<title: STRING, link: STRING>>>>>"
+    val base = "https://nav.local"
+    val l1 = spark.range(1)
+      .select(explode(from_json(lit(NavPayload), schema, Map.empty[String, String])
+        .getField("list")).as("n"))
+      .select(col("n.title").as("title"), col("n.link").as("link"),
+        col("n.children").as("children"))
+    val out1 = l1.select(col("title"), concat(lit(base), col("link")).as("url"),
+      lit(1L).as("depth"))
+    val out2 = l1.select(col("link"), explode(col("children")).as("c"))
+      .select(col("c.title").as("title"),
+        concat(lit(base), col("link"), col("c.link")).as("url"), lit(2L).as("depth"))
+    out1.unionAll(out2).orderBy(col("depth").asc, col("url").asc)
+  }
+
+  /** The reference's ENTIRE query path as one DataFrame (SURVEY §3.2):
+    * knn top-k (`searchByText`, `main_server.py:41`) → payload join →
+    * score-ordered context concat (`listToString`, `:46-51`) → prompt
+    * assembly + truncate (`:142-143`) → citation block (`:171-174`).
+    * One job; the only shuffles are the knn top-k and the final 1-row
+    * aggregation. The composite that proves the chain composes.
+    */
+  def ragEndToEnd(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 3,
+      prompt: String = "总结要点"): DataFrame = {
+    val hits = KnnOps.topK(spark, dir, queryId, k)
+    val w = Window.orderBy(col("score").desc, col("vec_id").asc) // k rows — tiny
+    val ranked = hits.withColumn("rank", row_number().over(w))
+    val docs = Tables.documents(spark, dir)
+    ranked.join(docs, ranked("vec_id") === docs("doc_id"))
+      .select(col("rank"), col("source"), col("doc_id"),
+        substring(col("text"), 1, 40).as("snip"))
+      .agg(
+        substring(
+          concat(lit("请按照\"" + prompt + "\"进行总结,内容是："),
+            array_join(transform(
+              array_sort(collect_list(struct(col("rank"), col("snip")))),
+              x => x.getField("snip")), "")),
+          1, 200).as("llm_prompt"),
+        concat(lit("参考链接："), array_join(transform(
+          array_sort(collect_list(struct(col("rank"),
+            concat(lit("\n\n"), col("source"), lit("     "), col("doc_id")).as("cite")))),
+          x => x.getField("cite")), "")).as("citations"))
+      .select(lit(queryId).as("query_id"), col("llm_prompt"), col("citations"))
+  }
+
   /** HTML body extraction — ref CSS-select of `div.J-markdown-box` +
     * `get_text()` (`Crawling.py:41-44`). The zero-egress fixture has no
     * HTML, so the crawl wrapper is reconstructed first (deterministic) and
