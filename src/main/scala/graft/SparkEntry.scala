@@ -16,22 +16,16 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
-  /** Flagship on sf0.001 — the reference's core query end-to-end:
-    * `searchByText(limit=3)` (ref `main_server.py:41`) = embed-side knn over
-    * the corpus, joined back to the document payload (title/text analog),
-    * reference `main_server.py:164-175` citation shape.
+  /** Flagship on sf0.001 — the reference's ENTIRE KB query path as one
+    * DataFrame (`searchByText(limit=3)` → context concat → prompt →
+    * citations, ref `main_server.py:40-44,46-51,142-143,171-174`); see
+    * [[TextOps.ragEndToEnd]].
     */
   def entry(spark: SparkSession): DataFrame =
     entry(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
 
-  def entry(spark: SparkSession, dir: String): DataFrame = {
-    val hits = KnnOps.topK(spark, dir, queryId = 0L, k = 3)
-    val docs = Tables.documents(spark, dir)
-    hits.join(docs, hits("vec_id") === docs("doc_id"), "left")
-      .select(hits("vec_id"), hits("score"), docs("lang"), docs("source"),
-        substring(docs("text"), 1, 80).as("snippet"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-  }
+  def entry(spark: SparkSession, dir: String): DataFrame =
+    TextOps.ragEndToEnd(spark, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.D vector / knn core ----
@@ -123,7 +117,7 @@ object SparkEntry {
     "q_dedup_embed", "q_text_quality", "q_token_count", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast",
     "q_join_asof", "q_window_rank", "q_sort_limit", "q_agg_concat",
-    "q_upsert_lastwins", "q_tree_flatten", "q_events_tumbling",
+    "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_events_tumbling",
     "q_events_sessionize")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Physical-plan regression guards: the scale properties argued in the
+  * scaladocs (pushdown, broadcast, bounded top-k, partial aggregation) are
+  * pinned here so a refactor that silently degrades a plan fails the build,
+  * not the cluster.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(SimpleMode)
+
+  test("knn top-k compiles to TakeOrderedAndProject with a broadcast query side") {
+    val p = plan(KnnOps.topK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortExec")) // no global sort anywhere
+  }
+
+  test("filtered knn pushes the label predicate into the parquet scan") {
+    val p = plan(KnnOps.topKFiltered(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(label,3)"))
+  }
+
+  test("metadata filter reaches the scan and prunes columns") {
+    val p = plan(TextOps.filterMetadata(spark, sf))
+    assert(p.contains("EqualTo(lang,en)"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"))
+  }
+
+  test("dimension join broadcasts the small side") {
+    val p = plan(RelOps.joinBroadcast(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("hash aggregation is partial (map-side combine before the exchange)") {
+    val p = plan(RelOps.aggHash(spark, sf))
+    assert(p.contains("partial_sum"))
+    assert(p.contains("partial_count"))
+  }
+
+  test("global top-k never plans a full sort") {
+    val p = plan(RelOps.sortLimit(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("batch knn aggregates with the bounded-heap, not a rank window") {
+    val p = plan(KnnOps.topKBatchAgg(spark, sf))
+    assert(p.toLowerCase.contains("topk_score_id"))
+    assert(!p.contains("RunningWindowFunction") && !p.contains("row_number"))
+  }
+
+  test("embedder plans zero exchanges (pure map-side projection)") {
+    val p = plan(TextAnalysisOps.embedBatch(spark, sf))
+    // the only exchange allowed is the final presentation ORDER BY
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1)
+  }
+}
