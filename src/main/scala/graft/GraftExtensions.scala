@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.plans.{CosineSimilarity, DotProduct, L2DistanceSq, SortedIntersectSize}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.plans.{CosineSimilarity, DotProduct, L2DistanceSq, SortedIntersectSize, TopKScoreId}
 
 /** SQL surface for the native expressions: install with
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -35,5 +35,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("sorted_intersect_size"),
       info("sorted_intersect_size", "sorted_intersect_size(a, b) - |A ∩ B| of two sorted distinct array<string> sets"),
       (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("topk_score_id"),
+      info("topk_score_id", "topk_score_id(score, id, k) - aggregate: k best (score DESC, id ASC) pairs as array<struct<vec_id, score>>"),
+      (children: Seq[Expression]) => {
+        val k = children(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_score_id: k must be an integer literal, got $other")
+        }
+        TopKScoreId(children(0), children(1), k)
+      }))
   }
 }

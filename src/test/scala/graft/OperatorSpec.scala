@@ -30,6 +30,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(agg.toSeq === window.toSeq)
   }
 
+  test("approximate distinct stays within the configured error of exact") {
+    val rows = RelOps.approxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = RelOps.aggDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(rows(k) - ex).toDouble / ex < 0.05)
+    }
+  }
+
+  test("percentiles are monotone p25 <= p50 <= p75 <= p95") {
+    RelOps.percentiles(spark, sf).collect().foreach { r =>
+      val Seq(p25, p50, p75, p95) = (1 to 4).map(r.getDouble)
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p95)
+    }
+  }
+
+  test("top-k aggregate is callable from SQL") {
+    import graft.sources.Tables
+    Tables.embeddings(spark, sf).limit(50).createOrReplaceTempView("emb_small")
+    val rows = spark.sql(
+      """SELECT topk_score_id(CAST(vec_id AS DOUBLE), vec_id, 3) AS top
+        |FROM emb_small""".stripMargin).collect()
+    val top = rows(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(_.getLong(0)) === Seq(49L, 48L, 47L)) // highest "scores"
+  }
+
   test("custom expressions are callable from SQL via GraftExtensions") {
     val r = spark.sql(
       """SELECT vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
