@@ -38,6 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("topk_score_id"),
       info("topk_score_id", "topk_score_id(score, id, k) - aggregate: k best (score DESC, id ASC) pairs as array<struct<vec_id, score>>"),
       (children: Seq[Expression]) => {
+        if (children.size != 3) throw new IllegalArgumentException(
+          s"topk_score_id expects 3 arguments (score, id, k), got ${children.size}")
         val k = children(2) match {
           case Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(

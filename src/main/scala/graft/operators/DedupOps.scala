@@ -80,11 +80,14 @@ object DedupOps {
     * frequency-pruned vocabulary.
     */
   private def exactBitsets(docs: DataFrame): Option[DataFrame] = {
-    val vocab = docs.select(explode(tokenSet(col("text"))).as("t"))
-      .distinct().orderBy(col("t").asc)
-      .collect().map(_.getString(0)).toSeq
-    if (vocab.size > 64) None
+    // Probe, don't collect: pull at most 65 distinct tokens — the full
+    // vocabulary reaches the driver only when it provably fits 64 bits.
+    val probe = docs.select(explode(tokenSet(col("text"))).as("t"))
+      .distinct().limit(65)
+      .collect().map(_.getString(0))
+    if (probe.length > 64) None
     else {
+      val vocab = probe.toSeq.sorted
       val vlit = typedLit(vocab)
       val bm = aggregate(tokenSet(col("text")), lit(0L), (acc, t) =>
         acc.bitwiseOR(call_function("shiftleft", lit(1L),
@@ -136,8 +139,14 @@ object DedupOps {
     * replaces the pair enumeration itself — the candidate-then-verify shape
     * of [[minHashLsh]].
     */
-  def jaccardPairs(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+  def jaccardPairs(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame =
+    jaccardPairsOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")), tau)
+
+  /** Corpus-parametric form of [[jaccardPairs]] (docs: doc_id, text) —
+    * lets tests drive BOTH set representations, incl. the >64-token
+    * fallback the fixtures never reach.
+    */
+  private[graft] def jaccardPairsOn(docs: DataFrame, tau: Double): DataFrame = {
     exactBitsets(docs) match {
       case Some(ws) =>
         val a = ws.select(col("doc_id").as("a_id"), col("bm").as("a_bm"), col("n").as("a_n"))
@@ -157,7 +166,7 @@ object DedupOps {
           col("n").as("b_n"), col("bm").as("b_bm"))
         a.join(b, col("a_id") < col("b_id") &&
             col("b_n") >= ceil(col("a_n") * tau) && col("b_n") <= floor(col("a_n") / tau) &&
-            bitmapPrefilter(col("a_bm"), col("b_bm"), 0.8))
+            bitmapPrefilter(col("a_bm"), col("b_bm"), math.max(0.0, tau - 0.15)))
           .withColumn("j", jaccardFast(col("a_s"), col("b_s"), col("a_n"), col("b_n")))
           .filter(col("j") >= tau)
           .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jac"))
@@ -213,8 +222,11 @@ object DedupOps {
     * equals the exact [[jaccardPairs]] dedup on the fixtures (validated
     * against the brute-force oracle).
     */
-  def minHashLsh(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame = {
-    val allDocs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+  def minHashLsh(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame =
+    minHashLshOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")), tau)
+
+  /** Corpus-parametric form of [[minHashLsh]] — see [[jaccardPairsOn]]. */
+  private[graft] def minHashLshOn(allDocs: DataFrame, tau: Double): DataFrame = {
     // Collapse identical word-sets to their min-id representative FIRST
     // (exact dedup before near-dup — the real pipeline order). Identical
     // sets share every band, so a C-member cluster would enumerate
@@ -225,7 +237,7 @@ object DedupOps {
     // neighbor set exists — exactly the survivor rule on representatives.
     val repW = Window.partitionBy(col("setkey")).orderBy(col("doc_id").asc)
     val docs = allDocs
-      .withColumn("setkey", md5(concat_ws("", tokenSetSorted(col("text")))))
+      .withColumn("setkey", md5(concat_ws(" ", tokenSetSorted(col("text")))))
       .withColumn("rn", row_number().over(repW))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("text"))
@@ -269,7 +281,7 @@ object DedupOps {
         val candidates = l.join(r,
             col("band") === col("band_r") && col("bkey") === col("bkey_r") &&
               col("a_id") < col("b_id") &&
-              bitmapPrefilter(col("a_bm"), col("b_bm"), 0.8))
+              bitmapPrefilter(col("a_bm"), col("b_bm"), math.max(0.0, tau - 0.15)))
           .select(col("a_id"), col("b_id")).distinct()
         val ws = docs.select(col("doc_id"), tokenSetSorted(col("text")).as("s"),
           size(tokenSet(col("text"))).as("n"))
@@ -310,10 +322,19 @@ object DedupOps {
     val fp = votes.groupBy(col("doc_id"))
       .agg(sum(when(col("v") > 0, call_function("shiftleft", lit(1L), col("pos"))).otherwise(0L)).as("simhash"))
 
+    // Pigeonhole guarantee needs maxHamming + 1 chunks: ≤ maxHamming
+    // differing bits cannot touch every chunk, so some chunk stays equal.
+    val nChunks = maxHamming + 1
+    require(nChunks >= 1 && nChunks <= 32, s"maxHamming out of range: $maxHamming")
+    val width = 64 / nChunks
+    val chunkCols = (0 until nChunks).map { c =>
+      val start = c * width
+      val len = if (c == nChunks - 1) 64 - start else width
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      call_function("shiftright", col("simhash"), lit(start)).bitwiseAND(lit(mask))
+    }
     val chunked = fp.select(col("doc_id"), col("simhash"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          c => call_function("shiftright", col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))))
-          .as(Seq("chunk", "cval")))
+        posexplode(array(chunkCols: _*)).as(Seq("chunk", "cval")))
     val l = chunked.select(col("chunk"), col("cval"), col("doc_id").as("a_id"), col("simhash").as("a_sh"))
     val r = chunked.select(col("chunk").as("chunk_r"), col("cval").as("cval_r"),
       col("doc_id").as("b_id"), col("simhash").as("b_sh"))

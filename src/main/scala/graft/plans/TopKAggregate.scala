@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -37,6 +38,17 @@ case class TopKScoreId(
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
 
   require(k > 0, s"top-k requires k > 0, got $k")
+
+  // Analysis-time typing — the SQL surface would otherwise fail with a
+  // runtime ClassCastException on, say, an int id column.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double, bigint) arguments, got " +
+          s"${score.dataType.simpleString} and ${id.dataType.simpleString}")
+    }
 
   // Max element under this ordering = the WORST entry (popped on overflow).
   private val worstFirst: Ordering[(Double, Long)] =

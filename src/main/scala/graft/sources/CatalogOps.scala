@@ -45,7 +45,11 @@ object CatalogOps {
     import org.apache.spark.sql.functions._
     val table = s"`$db`.`$name`"
     val current = spark.table(table)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__v").desc)
+    // Tie-break beyond __v with the full row content so a batch that
+    // carries duplicate ids still resolves deterministically (the winner is
+    // a function of row values, not of partitioning).
+    val tieBreak = struct(current.columns.filterNot(_ == idCol).map(col).toIndexedSeq: _*)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__v").desc, tieBreak.desc)
     val merged = current.withColumn("__v", lit(1))
       .unionByName(batch.withColumn("__v", lit(2)))
       .withColumn("__rn", row_number().over(w))

@@ -30,6 +30,12 @@ object Tables {
     * rejects (TimestampType is µs). Read nanos as long (legacy flag) and
     * convert explicitly — sub-µs components are zero in the fixture, and
     * DuckDB's nanosecond reads compare equal at µs precision.
+    *
+    * NOTE: the flag is session-wide — after this call, other nanos-parquet
+    * columns in the same session also read as long (instead of erroring).
+    * The entry-point builders (Verify/Bench/tests) set it up front so the
+    * behavior does not depend on read order; it is re-set here defensively
+    * for sessions constructed elsewhere.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -113,7 +113,9 @@ object StreamingOps {
           val t = e.ts.getTime
           cur match {
             case Some(s) if t - s.end <= gapMs =>
-              cur = Some(s.copy(n = s.n + 1, end = t))
+              // Late-but-accepted events may precede the current bounds:
+              // extend with min/max, never regress the session window.
+              cur = Some(SessState(s.n + 1, math.min(s.start, t), math.max(s.end, t)))
             case Some(s) =>
               closed ::= SessionOut(userId, s.n, new Timestamp(s.start), new Timestamp(s.end))
               cur = Some(SessState(1L, t, t))

@@ -83,6 +83,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(fps === 500)                // one survivor per distinct content
   }
 
+  test("large-vocabulary fallback (sorted-merge + prefilter) matches brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val vocab = (0 until 120).map(i => f"tok$i%03d") // > 64 → fallback path
+    val docs: Seq[(Long, String)] = (0 until 10).flatMap { g =>
+      val base = rnd.shuffle(vocab).take(30)
+      (0 until 4).map { v =>
+        val toks = if (v == 0) base
+          else base.updated(rnd.nextInt(30), vocab(rnd.nextInt(120)))
+        ((g * 4 + v).toLong, toks.mkString(" "))
+      }
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = DedupOps.jaccardPairsOn(df, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = docs.map { case (id, t) => id -> t.split(" ").toSet }
+    val expected = (for {
+      (a, sa) <- sets
+      (b, sb) <- sets if a < b
+      if sa.intersect(sb).size.toDouble / sa.union(sb).size >= 0.9
+    } yield (a, b)).toSet
+    assert(got === expected)
+    val surv = DedupOps.minHashLshOn(df, 0.9).collect().map(_.getLong(0)).toSet
+    assert(surv === docs.map(_._1).toSet -- expected.map(_._2))
+  }
+
   test("minhash LSH survivors equal the brute-force jaccard dedup") {
     val pairs = DedupOps.jaccardPairs(spark, sf, tau = 0.95)
       .select("b_id").distinct().collect().map(_.getLong(0)).toSet

@@ -8,6 +8,7 @@ object TestSpark {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
