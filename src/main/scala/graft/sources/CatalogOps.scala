@@ -64,6 +64,20 @@ object CatalogOps {
     spark.sql(s"DROP TABLE IF EXISTS $staging")
   }
 
+  /** Bucketed collection — the ingest-time layout that makes repeated
+    * key-joins shuffle-free: both sides bucketed (and sorted) on the join
+    * key land co-partitioned, so SortMergeJoin plans with ZERO Exchange
+    * (pinned in PlanSpec). This is the cluster-scale replacement for the
+    * reference's `shard=3` knob: sharding chosen FOR the query key rather
+    * than round-robin.
+    */
+  def createBucketedCollection(spark: SparkSession, db: String, name: String,
+      data: DataFrame, bucketCol: String, buckets: Int = 8): Unit =
+    data.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(s"`$db`.`$name`")
+
   /** `drop_collection` (ref `TencentVDB.py:87-89`). */
   def dropCollection(spark: SparkSession, db: String, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")

@@ -58,6 +58,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("RunningWindowFunction") && !p.contains("row_number"))
   }
 
+  test("bucketed collections join without any shuffle") {
+    import graft.sources.{CatalogOps, Tables}
+    import org.apache.spark.sql.functions.col
+    CatalogOps.dropDatabase(spark, "bucketdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft-test-warehouse/bucketdb.db"))
+    CatalogOps.createDatabase(spark, "bucketdb")
+    CatalogOps.createBucketedCollection(spark, "bucketdb", "orders_b",
+      Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "o_custkey", buckets = 4)
+    CatalogOps.createBucketedCollection(spark, "bucketdb", "customer_b",
+      Tables.customer(spark, sf).select(col("c_custkey"), col("c_name")),
+      "c_custkey", buckets = 4)
+    // Hint a merge join: the fixture dims are small enough to auto-broadcast,
+    // which would bypass buckets entirely; at scale SMJ is what the planner
+    // picks and what the bucket layout makes shuffle-free.
+    val joined = spark.table("`bucketdb`.`orders_b`").hint("merge")
+      .join(spark.table("`bucketdb`.`customer_b`"),
+        col("o_custkey") === col("c_custkey"))
+    val p = plan(joined)
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("Exchange"), s"bucketed join should not shuffle:\n$p")
+    assert(joined.count() === Tables.orders(spark, sf).count())
+    CatalogOps.dropDatabase(spark, "bucketdb")
+  }
+
+  test("sessionization reuses one user_id exchange for window and group-by") {
+    // partitioning by user_id satisfies the (user_id, session_id) group-by
+    // distribution, so the lag window and the session aggregate share ONE
+    // hash exchange (plus only the presentation sort's range exchange).
+    val p = plan(EventOps.sessionize(spark, sf))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
+  }
+
   test("embedder plans zero exchanges (pure map-side projection)") {
     val p = plan(TextAnalysisOps.embedBatch(spark, sf))
     // the only exchange allowed is the final presentation ORDER BY
