@@ -86,6 +86,7 @@ object SparkEntry {
     "q_tpch_q3"          -> ((s, d) => RelOps.shippingPriority(s, d)),
     // ---- §2.F joins ----
     "q_join_hash"      -> ((s, d) => RelOps.joinHash(s, d)),
+    "q_join_salted"    -> ((s, d) => RelOps.joinSalted(s, d)),
     "q_join_broadcast" -> ((s, d) => RelOps.joinBroadcast(s, d)),
     "q_join_semi"      -> ((s, d) => RelOps.joinSemi(s, d)),
     "q_join_anti"      -> ((s, d) => RelOps.joinAnti(s, d)),
@@ -456,6 +457,10 @@ object SparkEntry {
         |LIMIT 10""".stripMargin,
     // ---- joins ----
     "q_join_hash" ->
+      """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey ASC""".stripMargin,
+    "q_join_salted" ->
       """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey ASC""".stripMargin,

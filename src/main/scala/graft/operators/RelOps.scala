@@ -108,6 +108,25 @@ object RelOps {
         col("o_totalprice"))
       .orderBy(col("o_orderkey").asc)
 
+  /** Skew-salted equi join — same semantics as [[joinHash]], skew-proof
+    * plan: the fact side adds a salt in [0, S) to its key, the dimension
+    * side replicates each row S times (one per salt), and the join runs on
+    * (key, salt) — a hot key's rows now spread over S reducers instead of
+    * one straggler. This is the manual form of what AQE skew-join does
+    * adaptively; oracle-checked to produce exactly the [[joinHash]] result.
+    */
+  def joinSalted(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val facts = Tables.orders(spark, dir)
+      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(salts.toLong)))
+    val dims = Tables.customer(spark, dir)
+      .withColumn("salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    facts.join(dims,
+        facts("o_custkey") === dims("c_custkey") && facts("salt") === dims("salt"), "inner")
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey").asc)
+  }
+
   /** Broadcast join of small dims: region (5 rows) is broadcast explicitly —
     * zero shuffle on the fact side at any scale.
     */

@@ -215,6 +215,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(!CatalogOps.listDatabases(spark).collect().map(_.getString(0)).contains("graftdb"))
   }
 
+  test("crawl connector runs the full ingest chain over an injected fetcher") {
+    import graft.sources.{CrawlOps, CrawlTarget}
+    val targets = (1 to 5).map(i => CrawlTarget(s"https://site.local/p$i", s"page$i"))
+    val fetch: String => String = url =>
+      if (url.endsWith("p5")) "<html><div class=\"J-markdown-box\"></div></html>" // empty body
+      else s"""<html><div class="J-markdown-box">body
+               |
+               |
+               |of $url</div></html>""".stripMargin
+    val docs = CrawlOps.crawl(spark, targets, fetch).collect()
+    assert(docs.length === 4) // empty-body page filtered (ref Crawling.py:43)
+    docs.foreach { r =>
+      assert(!r.getString(2).contains("\n\n")) // blank runs collapsed
+      assert(r.getString(2).startsWith("body\nof https://site.local/"))
+    }
+  }
+
+  test("skew-salted join returns exactly the plain hash-join result") {
+    val plainJoin = RelOps.joinHash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val salted = RelOps.joinSalted(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(salted.toSeq === plainJoin.toSeq)
+  }
+
   test("simhash neighbor counts are symmetric and self-free") {
     val rows = DedupOps.simHash(spark, sf).collect()
     assert(rows.length === 500)
