@@ -78,6 +78,20 @@ object CatalogOps {
       .sortBy(bucketCol)
       .saveAsTable(s"`$db`.`$name`")
 
+  /** Partitioned collection — the layout that turns the reference's FILTER
+    * index (`TencentVDB.py:48`, "检索时需作为条件查询的字段") into partition
+    * PRUNING: a filter on the partition column plans as PartitionFilters
+    * and the scan never opens non-matching directories (pinned in
+    * PlanSpec). Partition by the hot low-cardinality predicate columns;
+    * bucket ([[createBucketedCollection]]) by the high-cardinality join
+    * keys.
+    */
+  def createPartitionedCollection(spark: SparkSession, db: String, name: String,
+      data: DataFrame, partitionCol: String): Unit =
+    data.write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .saveAsTable(s"`$db`.`$name`")
+
   /** `drop_collection` (ref `TencentVDB.py:87-89`). */
   def dropCollection(spark: SparkSession, db: String, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")

@@ -92,6 +92,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
   }
 
+  test("partitioned collections prune non-matching partitions at plan time") {
+    import graft.sources.{CatalogOps, Tables}
+    import org.apache.spark.sql.functions.col
+    CatalogOps.dropDatabase(spark, "partdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft-test-warehouse/partdb.db"))
+    CatalogOps.createDatabase(spark, "partdb")
+    CatalogOps.createPartitionedCollection(spark, "partdb", "docs_p",
+      Tables.documents(spark, sf), "lang")
+    val q = spark.table("`partdb`.`docs_p`").filter(col("lang") === "en")
+    val p = plan(q)
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
+    assert(p.contains("(lang") && p.contains("= en)"), p)
+    val expected = Tables.documents(spark, sf).filter(col("lang") === "en").count()
+    assert(q.count() === expected)
+    CatalogOps.dropDatabase(spark, "partdb")
+  }
+
   test("embedder plans zero exchanges (pure map-side projection)") {
     val p = plan(TextAnalysisOps.embedBatch(spark, sf))
     // the only exchange allowed is the final presentation ORDER BY
