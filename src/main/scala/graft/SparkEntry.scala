@@ -95,6 +95,9 @@ object SparkEntry {
     "q_join_asof"      -> ((s, d) => RelOps.joinAsof(s, d)),
     // ---- §2.G windows ----
     "q_window_rank"    -> ((s, d) => RelOps.windowRank(s, d)),
+    "q_window_ntile"   -> ((s, d) => RelOps.windowNtile(s, d)),
+    "q_pivot"          -> ((s, d) => RelOps.pivotEvents(s, d)),
+    "q_agg_stats"      -> ((s, d) => RelOps.aggStats(s, d)),
     "q_window_running" -> ((s, d) => RelOps.windowRunning(s, d)),
     "q_window_lag"     -> ((s, d) => RelOps.windowLag(s, d)),
     // ---- §2.H sorts / limits / set ops ----
@@ -520,6 +523,25 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         |ORDER BY user_id ASC, event_id ASC""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |       ntile(4) OVER (PARTITION BY o_orderstatus
+        |                      ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+        |FROM orders ORDER BY o_orderkey ASC""".stripMargin,
+    "q_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |       count(*) FILTER (WHERE event_type = 'click') AS click,
+        |       count(*) FILTER (WHERE event_type = 'error') AS error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY date_trunc('day', ts) ORDER BY day ASC""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT o_orderstatus,
+        |       round(stddev_samp(o_totalprice), 2) AS sd_price,
+        |       round(corr(o_totalprice, o_custkey), 6) AS corr_price_cust,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus ASC""".stripMargin,
     // ---- sorts / set ops / scalars ----
     "q_sort_limit" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",

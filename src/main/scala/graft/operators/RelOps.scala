@@ -348,6 +348,45 @@ object RelOps {
       .limit(10)
   }
 
+  /** ntile quartiles per status — the equal-frequency binning window
+    * (complement of the equal-width [[histogram]]). One shuffle on the
+    * partition key.
+    */
+  def windowNtile(spark: SparkSession, dir: String, buckets: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ntile(buckets).over(w).as("quartile"))
+      .orderBy(col("o_orderkey").asc)
+  }
+
+  /** PIVOT: event counts per day × type as columns. The explicit value
+    * list keeps the output schema static (a dynamic pivot would need a
+    * values scan first); planned as one aggregation with conditional
+    * counters — no per-column passes.
+    */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day").asc)
+
+  /** Statistical moments per group: sample stddev and correlation.
+    * Rounding absorbs engine-accumulation ulps (stddev ≈ 1e5 at round-2 →
+    * 1e-7 relative tolerance vs ~1e-11 actual divergence).
+    */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
+        round(corr(col("o_totalprice"), col("o_custkey")), 6).as("corr_price_cust"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc)
+
   /** Scalar-function bundle (SURVEY §2.C `q_scalar_bundle`): string / date /
     * math built-ins in one projection. Money math goes through decimal so
     * the rounded value is engine-exact.
