@@ -267,7 +267,7 @@ object SparkEntry {
     "q_html_extract" ->
       """SELECT doc_id,
         |       regexp_extract('<html><body><div class="J-markdown-box">' || substr(text, 1, 80) || '</div></body></html>',
-        |                      '<div class="J-markdown-box">(.*?)</div>', 1) AS body
+        |                      '(?s)<div class="J-markdown-box">(.*?)</div>', 1) AS body
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
     // ---- text analysis ----
     "q_text_lang" ->

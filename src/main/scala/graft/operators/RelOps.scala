@@ -352,12 +352,12 @@ object RelOps {
     * (complement of the equal-width [[histogram]]). One shuffle on the
     * partition key.
     */
-  def windowNtile(spark: SparkSession, dir: String, buckets: Int = 4): DataFrame = {
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderstatus"))
       .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        ntile(buckets).over(w).as("quartile"))
+        ntile(4).over(w).as("quartile"))
       .orderBy(col("o_orderkey").asc)
   }
 

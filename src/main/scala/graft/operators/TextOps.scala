@@ -24,6 +24,14 @@ object TextOps {
 
   private val UrlBase = "https://corpus.local/"
 
+  /** Shared container-extraction pattern (ref `div.J-markdown-box`,
+    * `Crawling.py:41`): dotall so multi-line bodies capture; DOM-less, so
+    * it stops at the first close tag — fixture-grade, with a jsoup UDF as
+    * the real-markup replacement (see [[graft.sources.CrawlOps]]).
+    */
+  private[graft] val MarkdownBoxRegex: String =
+    "(?s)<div class=\"J-markdown-box\">(.*?)</div>"
+
   /** Full corpus scan — ref `crawlData()` return consumed at
     * `TencentVDB.py:71`. Plain pass-through so column pruning/pushdown stay
     * with Catalyst.
@@ -317,8 +325,7 @@ object TextOps {
           substring(col("text"), 1, 80),
           lit("</div></body></html>")).as("html"))
       .select(col("doc_id"),
-        regexp_extract(col("html"), "<div class=\"J-markdown-box\">(.*?)</div>", 1)
-          .as("body"))
+        regexp_extract(col("html"), MarkdownBoxRegex, 1).as("body"))
       .orderBy(col("doc_id").asc)
 
   /** Retrieval cap — ref `limit=3` (`main_server.py:41`) standalone:

@@ -198,8 +198,8 @@ class OperatorSpec extends AnyFunSuite {
     // Clear leftovers from any previously interrupted run (the in-memory
     // catalog forgets tables on restart but their files persist).
     CatalogOps.dropDatabase(spark, "graftdb")
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File("/tmp/graft-test-warehouse/graftdb.db"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/graftdb.db"))
     CatalogOps.createDatabase(spark, "graftdb")
     assert(CatalogOps.listDatabases(spark).collect().map(_.getString(0)).contains("graftdb"))
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 10)
@@ -218,13 +218,13 @@ class OperatorSpec extends AnyFunSuite {
   test("crawl connector runs the full ingest chain over an injected fetcher") {
     import graft.sources.{CrawlOps, CrawlTarget}
     val targets = (1 to 5).map(i => CrawlTarget(s"https://site.local/p$i", s"page$i"))
-    val fetch: String => String = url =>
+    val mkFetch: () => String => String = () => url =>
       if (url.endsWith("p5")) "<html><div class=\"J-markdown-box\"></div></html>" // empty body
       else s"""<html><div class="J-markdown-box">body
                |
                |
                |of $url</div></html>""".stripMargin
-    val docs = CrawlOps.crawl(spark, targets, fetch).collect()
+    val docs = CrawlOps.crawl(spark, targets, mkFetch).collect()
     assert(docs.length === 4) // empty-body page filtered (ref Crawling.py:43)
     docs.foreach { r =>
       assert(!r.getString(2).contains("\n\n")) // blank runs collapsed

@@ -62,8 +62,8 @@ class PlanSpec extends AnyFunSuite {
     import graft.sources.{CatalogOps, Tables}
     import org.apache.spark.sql.functions.col
     CatalogOps.dropDatabase(spark, "bucketdb")
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File("/tmp/graft-test-warehouse/bucketdb.db"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/bucketdb.db"))
     CatalogOps.createDatabase(spark, "bucketdb")
     CatalogOps.createBucketedCollection(spark, "bucketdb", "orders_b",
       Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
@@ -96,8 +96,8 @@ class PlanSpec extends AnyFunSuite {
     import graft.sources.{CatalogOps, Tables}
     import org.apache.spark.sql.functions.col
     CatalogOps.dropDatabase(spark, "partdb")
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File("/tmp/graft-test-warehouse/partdb.db"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/partdb.db"))
     CatalogOps.createDatabase(spark, "partdb")
     CatalogOps.createPartitionedCollection(spark, "partdb", "docs_p",
       Tables.documents(spark, sf), "lang")
