@@ -43,6 +43,7 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) => DedupOps.minHashLsh(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simHash(s, d)),
     "q_dedup_embed"   -> ((s, d) => DedupOps.embedNearDup(s, d)),
+    "q_dedup_ngram"   -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     // ---- text analysis / embedding (LLM-pipeline north star) ----
     "q_embed_batch"     -> ((s, d) => TextAnalysisOps.embedBatch(s, d)),
     "q_text_lang"       -> ((s, d) => TextAnalysisOps.langId(s, d)),
@@ -53,6 +54,7 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
     // ---- §2.I events (batch) ----
     "q_events_tumbling"   -> ((s, d) => EventOps.tumbling(s, d)),
+    "q_events_hopping"    -> ((s, d) => EventOps.hopping(s, d)),
     "q_events_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     // ---- §2.A scans / sources / sinks ----
     "q_scan_documents"  -> ((s, d) => TextOps.scanDocuments(s, d)),
@@ -211,6 +213,26 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT b_id FROM dup)
         |ORDER BY doc_id ASC""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w)), i -> w[i] || '_' || w[i + 1])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 2)
+        |SELECT a_id, b_id, round(j, 6) AS jac FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))) AS j
+        |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id)
+        |WHERE j >= 0.8
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "q_events_hopping" ->
+      """SELECT w_start, event_type, count(*) AS n FROM (
+        |  SELECT event_type,
+        |         unnest([epoch_ms(CAST(floor(date_part('epoch', ts) / 43200) * 43200000 AS BIGINT)),
+        |                 epoch_ms(CAST((floor(date_part('epoch', ts) / 43200) - 1) * 43200000 AS BIGINT))]) AS w_start
+        |  FROM events)
+        |GROUP BY w_start, event_type
+        |ORDER BY w_start ASC, event_type ASC""".stripMargin,
     "q_dedup_embed" ->
       """SELECT b_id AS dup_id, min(a_id) AS canonical_id FROM (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id

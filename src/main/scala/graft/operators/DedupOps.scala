@@ -296,6 +296,28 @@ object DedupOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** n-gram (word bigram) Jaccard near-dup pairs — order-sensitive shingles,
+    * so reordered texts that share a word set no longer count as duplicates
+    * (the complement of the 1-gram [[jaccardPairs]]). Implemented by
+    * deriving the bigram-shingle stream per row and reusing the
+    * set-similarity join; bigram vocabularies exceed one machine word, so
+    * this runs the general path (sorted-merge + hashed-bitmap prefilter)
+    * in production, not just in tests.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(1), size(split(col("text"), " ")) - 1),
+            i => concat_ws("_",
+              element_at(split(col("text"), " "), i),
+              element_at(split(col("text"), " "), i + 1))),
+          " ").as("text"))
+    jaccardPairsOn(docs, tau)
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash per doc + near-neighbor count at hamming ≤ 3.

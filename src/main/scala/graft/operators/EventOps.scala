@@ -26,6 +26,19 @@ object EventOps {
       .select(col("w.start").as("day"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("day").asc, col("event_type").asc)
 
+  /** Hopping (sliding) windows: 1-day windows every 12 hours — each event
+    * lands in windowLength/slide = 2 windows. Spark's `window()` generator
+    * duplicates the row per window BEFORE the keyed aggregation, so the
+    * plan stays one partial-agg shuffle; state in the streaming twin is
+    * bounded by windows-per-key × key cardinality.
+    */
+  def hopping(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+      .orderBy(col("w_start").asc, col("event_type").asc)
+
   /** Gap-based sessionization in batch SQL: lag → gap>30 min flag → running
     * sum = session ordinal, then one aggregate per session. Two shuffles,
     * both on user_id (the window and the session group-by co-partition —
