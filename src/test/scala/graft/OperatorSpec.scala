@@ -240,6 +240,13 @@ class OperatorSpec extends AnyFunSuite {
     assert(salted.toSeq === plainJoin.toSeq)
   }
 
+  test("hopping windows count every event exactly windowLength/slide times") {
+    val totalEvents = graft.sources.Tables.events(spark, sf).count()
+    val hopped = EventOps.hopping(spark, sf)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(hopped === 2 * totalEvents) // 1 day / 12 h = 2 windows per event
+  }
+
   test("simhash neighbor counts are symmetric and self-free") {
     val rows = DedupOps.simHash(spark, sf).collect()
     assert(rows.length === 500)

@@ -63,4 +63,23 @@ object VectorProperties extends Properties("graft.plans.VectorExpressions") {
       evalExpr((x, y) => DotProduct(x, y).eval(null), shorter, b) == null &&
       evalExpr((x, y) => L2DistanceSq(x, y).eval(null), shorter, b) == null)
   }
+
+  // ---- SortedIntersectSize vs the Scala Set model ----
+
+  private val strArrT = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  private val tokenGen = Gen.choose(0, 40).map(i => f"w$i%02d")
+  private val tokenSets: Gen[(List[String], List[String])] = for {
+    a <- Gen.listOf(tokenGen)
+    b <- Gen.listOf(tokenGen)
+  } yield (a.distinct.sorted, b.distinct.sorted)
+
+  property("sorted_intersect_size equals Set.intersect.size") =
+    forAll(tokenSets) { case (a, b) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val lit = (s: List[String]) =>
+        Literal.create(s.map(UTF8String.fromString), strArrT)
+      graft.plans.SortedIntersectSize(lit(a), lit(b)).eval(null) ==
+        a.toSet.intersect(b.toSet).size
+    }
 }
