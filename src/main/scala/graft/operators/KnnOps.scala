@@ -155,7 +155,7 @@ object KnnOps {
     * is the plan that still exists above it.
     */
   def simJoinLsh(spark: SparkSession, dir: String, threshold: Double = 0.35,
-      rowsPerBand: Int = 3, bandsCount: Int = 64): DataFrame = {
+      rowsPerBand: Int = 3, bandsCount: Int = 48): DataFrame = {
     val emb = corpus(spark, dir)
     val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
     val rnd = new scala.util.Random(8123401L)
