@@ -182,7 +182,7 @@ object DedupOps {
   // monotone in x and every "permutation" would order tokens identically.)
   private val MinhashPrime = (1L << 31) - 1
   private val NumHashes = 32
-  private val NumBands = 16 // 16 bands × 2 rows
+  private val NumBands = 8 // 8 bands × 2 rows (of 32 hashes; see recall math below)
   /** Deterministic permutation coefficients (fixed seed — results must be
     * reproducible across runs and engines).
     */
@@ -214,11 +214,11 @@ object DedupOps {
   /** Near-dup SURVIVORS via MinHash + banded LSH: the deduplicated corpus
     * (docs with no lower-id near-duplicate at j ≥ τ).
     *
-    * Plan: signatures → explode 16 band keys → self EQUI-join on
+    * Plan: signatures → explode 8 band keys → self EQUI-join on
     * (band, key) — this is the cross-join replacement: shuffle on band
     * keys, candidate pairs only from bucket collisions → distinct pairs →
     * exact Jaccard rescore → anti-join survivors. With 2-row bands,
-    * P(candidate | j) = 1-(1-j²)^16 — ≥ 1-1e-16 at j ≥ 0.95, so the output
+    * P(candidate | j) = 1-(1-j²)^8 — per-pair miss ≤ 8e-9 at j ≥ 0.95, so the output
     * equals the exact [[jaccardPairs]] dedup on the fixtures (validated
     * against the brute-force oracle).
     */
