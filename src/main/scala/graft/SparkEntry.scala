@@ -86,6 +86,7 @@ object SparkEntry {
     "q_percentile"       -> ((s, d) => RelOps.percentiles(s, d)),
     "q_histogram"        -> ((s, d) => RelOps.histogram(s, d)),
     "q_tpch_q3"          -> ((s, d) => RelOps.shippingPriority(s, d)),
+    "q_part_brands"      -> ((s, d) => RelOps.partBrandRevenue(s, d)),
     // ---- §2.F joins ----
     "q_join_hash"      -> ((s, d) => RelOps.joinHash(s, d)),
     "q_join_salted"    -> ((s, d) => RelOps.joinSalted(s, d)),
@@ -481,6 +482,13 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey ASC
         |LIMIT 10""".stripMargin,
     // ---- joins ----
+    "q_part_brands" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
+        |       count(DISTINCT p_partkey) AS n_parts
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand ASC""".stripMargin,
     "q_join_hash" ->
       """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

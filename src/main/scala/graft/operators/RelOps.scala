@@ -348,6 +348,21 @@ object RelOps {
       .limit(10)
   }
 
+  /** Part-dimension rollup: brand revenue over the lineitem fact — the
+    * remaining star-schema leg (part ⋈ lineitem), large-fact⋈dimension with
+    * the dimension broadcast and exact integer-micros revenue.
+    */
+  def partBrandRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(1000000.0))
+          .cast("long")).cast("double") / lit(1000000.0)).as("revenue"),
+        countDistinct(col("p_partkey")).as("n_parts"))
+      .orderBy(col("p_brand").asc)
+
   /** ntile quartiles per status — the equal-frequency binning window
     * (complement of the equal-width [[histogram]]). One shuffle on the
     * partition key.
