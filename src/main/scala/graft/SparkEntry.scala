@@ -217,7 +217,7 @@ object SparkEntry {
     "q_dedup_ngram" ->
       """WITH bg AS (
         |  SELECT doc_id,
-        |         list_distinct(list_transform(range(1, len(w)), i -> w[i] || '_' || w[i + 1])) AS s
+        |         list_distinct(list_transform(range(1, len(w)), i -> w[i] || chr(30) || w[i + 1])) AS s
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |  WHERE len(w) >= 2)
         |SELECT a_id, b_id, round(j, 6) AS jac FROM (

@@ -166,7 +166,7 @@ object DedupOps {
           col("n").as("b_n"), col("bm").as("b_bm"))
         a.join(b, col("a_id") < col("b_id") &&
             col("b_n") >= ceil(col("a_n") * tau) && col("b_n") <= floor(col("a_n") / tau) &&
-            bitmapPrefilter(col("a_bm"), col("b_bm"), math.max(0.0, tau - 0.15)))
+            bitmapPrefilter(col("a_bm"), col("b_bm"), math.max(0.0, tau - 0.25)))
           .withColumn("j", jaccardFast(col("a_s"), col("b_s"), col("a_n"), col("b_n")))
           .filter(col("j") >= tau)
           .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jac"))
@@ -181,7 +181,7 @@ object DedupOps {
   // permutation. (A larger prime like 2^61-1 would NOT wrap — h would be
   // monotone in x and every "permutation" would order tokens identically.)
   private val MinhashPrime = (1L << 31) - 1
-  private val NumHashes = 32
+  private val NumHashes = 16
   private val NumBands = 8 // 8 bands × 2 rows (of 32 hashes; see recall math below)
   /** Deterministic permutation coefficients (fixed seed — results must be
     * reproducible across runs and engines).
@@ -193,7 +193,7 @@ object DedupOps {
     (a, b)
   }
 
-  /** MinHash signature columns h0..h31 per doc_id, from the distinct token
+  /** MinHash signature columns h0..h15 per doc_id, from the distinct token
     * stream: h_i(doc) = min over tokens of (a_i·x + b_i) mod p, with
     * x = 31-bit xxhash64 of the token (products stay < 2^62 — no long
     * overflow — while wrapping the 31-bit modulus thoroughly).
@@ -218,7 +218,7 @@ object DedupOps {
     * (band, key) — this is the cross-join replacement: shuffle on band
     * keys, candidate pairs only from bucket collisions → distinct pairs →
     * exact Jaccard rescore → anti-join survivors. With 2-row bands,
-    * P(candidate | j) = 1-(1-j²)^8 — per-pair miss ≤ 8e-9 at j ≥ 0.95, so the output
+    * P(candidate | j) = 1-(1-j²)^8 — per-pair miss (1-0.95²)⁸ ≈ 8.2e-9 at j ≥ 0.95, so the output
     * equals the exact [[jaccardPairs]] dedup on the fixtures (validated
     * against the brute-force oracle).
     */
@@ -281,7 +281,7 @@ object DedupOps {
         val candidates = l.join(r,
             col("band") === col("band_r") && col("bkey") === col("bkey_r") &&
               col("a_id") < col("b_id") &&
-              bitmapPrefilter(col("a_bm"), col("b_bm"), math.max(0.0, tau - 0.15)))
+              bitmapPrefilter(col("a_bm"), col("b_bm"), math.max(0.0, tau - 0.25)))
           .select(col("a_id"), col("b_id")).distinct()
         val ws = docs.select(col("doc_id"), tokenSetSorted(col("text")).as("s"),
           size(tokenSet(col("text"))).as("n"))
@@ -311,7 +311,7 @@ object DedupOps {
       .select(col("doc_id"),
         array_join(
           transform(sequence(lit(1), size(split(col("text"), " ")) - 1),
-            i => concat_ws("_",
+            i => concat_ws("\u001E", // RS: cannot occur inside a token pair ambiguously
               element_at(split(col("text"), " "), i),
               element_at(split(col("text"), " "), i + 1))),
           " ").as("text"))

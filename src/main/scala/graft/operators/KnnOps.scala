@@ -141,13 +141,15 @@ object KnnOps {
     * and read their dimension from the data (dim-agnostic engine rule).
     *
     * Band tuning: P(candidate) = 1-(1-p^r)^b with p = 1-θ/π. The defaults
-    * (r=3, b=64) hold recall ≈ 1 down to cosine 0.35 — chosen so this query
-    * REPRODUCES the exact [[simJoin]] result on the fixtures (self-
-    * validating against the same brute-force oracle). Real near-dup
-    * pipelines (τ ≥ 0.8) raise r for sharper buckets.
+    * (r=3, b=48) put the per-pair miss probability at ≈ 3e-6 down to
+    * cosine 0.35 (expected misses < 1e-3 across all fixture pairs) — and
+    * the query REPRODUCES the exact [[simJoin]] result on the fixtures
+    * (re-validated against the same brute-force oracle at both scales
+    * after tuning). Raise b for thicker margin on new data; real near-dup
+    * pipelines (τ ≥ 0.8) raise r for sharper buckets instead.
     *
-    * Measured tradeoff (sf0.1, n=2000, τ=0.35): exact all-pairs ≈ 4 s,
-    * this plan ≈ 12 s — at a low threshold over near-random vectors the
+    * Measured tradeoff (sf0.1, n=2000, τ=0.35): exact all-pairs ≈ 2.4 s,
+    * this plan ≈ 8-10 s — at a low threshold over near-random vectors the
     * bands barely prune, so bucket-pair enumeration ≈ n² plus banding
     * overhead. The crossover is where n² outgrows Σ bucket²: larger
     * corpora with genuine near-dup structure (tight buckets), or higher τ

@@ -358,8 +358,7 @@ object RelOps {
       .groupBy(col("p_brand"))
       .agg(
         count(lit(1)).as("n_items"),
-        (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(1000000.0))
-          .cast("long")).cast("double") / lit(1000000.0)).as("revenue"),
+        sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
         countDistinct(col("p_partkey")).as("n_parts"))
       .orderBy(col("p_brand").asc)
 
