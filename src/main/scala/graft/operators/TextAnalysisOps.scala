@@ -31,7 +31,7 @@ object TextAnalysisOps {
     * embedder is engine-native); the driver records a rows-only check, and
     * the ScalaTest suite asserts determinism + unit norm.
     */
-  def embedBatch(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+  def embedVectors(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
     import graft.functions.VectorFunctions.{l2Norm, l2Normalize}
     val raw = aggregate(
       tokens(col("text")),
@@ -49,6 +49,23 @@ object TextAnalysisOps {
         round(l2Norm(col("embedding")), 6).as("norm"))
       .orderBy(col("doc_id").asc)
   }
+
+  /** `q_embed_batch` driver entry: [[embedVectors]] reduced to scalar
+    * summaries — dim, unit norm, non-zero count, and a content signature
+    * (xxhash64 of the micro-rounded components). The raw array column stays
+    * out of the emitted frame on purpose: the driver's rows-only gate sorts
+    * every output column, and an array column is unhashable there; the
+    * signature carries the same change-detection power in 8 bytes.
+    */
+  def embedBatch(spark: SparkSession, dir: String, dim: Int = 64): DataFrame =
+    embedVectors(spark, dir, dim)
+      .select(col("doc_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        col("norm"),
+        size(filter(col("embedding"), x => x =!= 0.0)).cast("long").as("nnz"),
+        xxhash64(array_join(transform(col("embedding"),
+          x => round(x * 1e6).cast("long").cast("string")), ",")).as("sig"))
+      .orderBy(col("doc_id").asc)
 
   /** Language/domain ID by marker-set intersection — the n-gram-heuristic
     * shape of a lang-ID pass (count marker hits per class, argmax with a

@@ -157,13 +157,28 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("hashing embedder is deterministic, unit-norm, dim-agnostic") {
-    val e1 = TextAnalysisOps.embedBatch(spark, sf, dim = 32).collect()
-    val e2 = TextAnalysisOps.embedBatch(spark, sf, dim = 32).collect()
+    val e1 = TextAnalysisOps.embedVectors(spark, sf, dim = 32).collect()
+    val e2 = TextAnalysisOps.embedVectors(spark, sf, dim = 32).collect()
     assert(e1.map(_.getSeq[Double](1)).toSeq === e2.map(_.getSeq[Double](1)).toSeq)
     e1.foreach { r =>
       assert(r.getSeq[Double](1).length === 32)
       assert(math.abs(r.getDouble(2) - 1.0) < 1e-6) // L2 norm
     }
+  }
+
+  test("embed_batch summary is all-scalar and consistent with the vectors") {
+    val s = TextAnalysisOps.embedBatch(spark, sf, dim = 32)
+    assert(s.schema.fields.forall(f => !f.dataType.typeName.contains("array")))
+    val rows = s.collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === 32L) // dim
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-6) // norm
+      assert(r.getLong(3) > 0L && r.getLong(3) <= 32L) // nnz
+    }
+    // signature is a function of content: identical across evaluations
+    val sig2 = TextAnalysisOps.embedBatch(spark, sf, dim = 32).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(4))).toSeq ===
+      sig2.map(r => (r.getLong(0), r.getLong(4))).toSeq)
   }
 
   test("typed mapPartitions decode equals the SQL metadata path") {
