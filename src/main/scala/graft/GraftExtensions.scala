@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.plans.{CosineSimilarity, DotProduct, L2DistanceSq, SortedIntersectSize, TopKScoreId}
+import graft.plans.{CosineSimilarity, DotProduct, L2DistanceSq, SortedIntersectSize, TopKScoreId, VecSumCount}
 
 /** SQL surface for the native expressions: install with
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -47,5 +47,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         TopKScoreId(children(0), children(1), k)
       }))
+    ext.injectFunction((FunctionIdentifier("vec_sum_count"),
+      info("vec_sum_count", "vec_sum_count(v) - aggregate: element-wise sums + row count of array<double> vectors as struct<sums, n> (centroid = sums[i]/n)"),
+      (children: Seq[Expression]) => VecSumCount(children(0))))
   }
 }

@@ -147,9 +147,13 @@ object DedupOps {
     * fallback the fixtures never reach.
     */
   private[graft] def jaccardPairsOn(docs: DataFrame, tau: Double): DataFrame = {
+    val spread = docs.sparkSession.sparkContext.defaultParallelism
     exactBitsets(docs) match {
       case Some(ws) =>
+        // Stream-side spread: see [[KnnOps.simJoin]] (one-file fixture = one
+        // BNLJ thread otherwise).
         val a = ws.select(col("doc_id").as("a_id"), col("bm").as("a_bm"), col("n").as("a_n"))
+          .repartition(spread)
         val b = ws.select(col("doc_id").as("b_id"), col("bm").as("b_bm"), col("n").as("b_n"))
         a.join(b, col("a_id") < col("b_id"))
           .withColumn("j", jaccardBitset(col("a_bm"), col("b_bm"), col("a_n"), col("b_n")))
@@ -162,6 +166,7 @@ object DedupOps {
             size(tokenSet(col("text"))).as("n"), tokenBitmap(col("text")).as("bm"))
         val a = ws.select(col("doc_id").as("a_id"), col("s").as("a_s"),
           col("n").as("a_n"), col("bm").as("a_bm"))
+          .repartition(spread)
         val b = ws.select(col("doc_id").as("b_id"), col("s").as("b_s"),
           col("n").as("b_n"), col("bm").as("b_bm"))
         a.join(b, col("a_id") < col("b_id") &&
@@ -235,12 +240,14 @@ object DedupOps {
     // representative as a lower-id j=1 duplicate (never a survivor), and a
     // representative survives iff no lower-id representative of a j ≥ τ
     // neighbor set exists — exactly the survivor rule on representatives.
-    val repW = Window.partitionBy(col("setkey")).orderBy(col("doc_id").asc)
+    // min(struct) = lexicographic = lowest doc_id wins; a partial-capable
+    // aggregation (map-side combine), unlike the sort-window formulation
+    // which shuffles every row to its setkey partition before ranking.
     val docs = allDocs
       .withColumn("setkey", md5(concat_ws(" ", tokenSetSorted(col("text")))))
-      .withColumn("rn", row_number().over(repW))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("text"))
+      .groupBy(col("setkey"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("rep"))
+      .select(col("rep.doc_id").as("doc_id"), col("rep.text").as("text"))
       .cache() // reused by signatures, bitmaps, verify and the anti-join
     val sig = minhashSignatures(docs)
     val bandStructs = (0 until NumBands).map { bnd =>
@@ -323,26 +330,32 @@ object DedupOps {
   /** 64-bit SimHash per doc + near-neighbor count at hamming ≤ 3.
     *
     * Fingerprint: per token, xxhash64 bit votes (+1/−1 per position),
-    * position-wise summed, sign → bit. The (doc, pos) shuffle carries
-    * 64 rows/doc. Pair search uses PIGEONHOLE BLOCKING: 4 chunks of
-    * 16 bits — hamming ≤ 3 implies at least one chunk is identical, so
-    * 4 equi-joins on (chunk_idx, chunk_value) give EXACT recall without a
-    * cross join (the classic simhash dedup plan, scale-correct).
-    * No DuckDB oracle (xxhash64 is Spark-native) — rows-only check.
+    * position-wise summed, sign → bit. The 64 positions are 64 parallel
+    * `sum` aggregates over the (doc, token-hash) rows — partial aggregation
+    * folds them map-side into one 64-column row per doc, so the shuffle
+    * carries docs×64 longs (NOT tokens×64 exploded rows: the earlier
+    * posexplode formulation shuffled 64 rows per TOKEN — dim× the corpus —
+    * where this shuffles one row per doc). Pair search uses PIGEONHOLE
+    * BLOCKING: 4 chunks of 16 bits — hamming ≤ 3 implies at least one chunk
+    * is identical, so 4 equi-joins on (chunk_idx, chunk_value) give EXACT
+    * recall without a cross join (the classic simhash dedup plan,
+    * scale-correct). No DuckDB oracle (xxhash64 is Spark-native) —
+    * rows-only check.
     */
   def simHash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val votes = docs
+    val voteCols = (0 until 64).map { p =>
+      sum(when(call_function("shiftright", col("h"), lit(p)).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$p")
+    }
+    val fp = docs
       .select(col("doc_id"), explode(tokenSet(col("text"))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), lit(63)),
-          p => when(call_function("shiftright", col("h"), p).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
-        .as(Seq("pos", "vote")))
-      .groupBy(col("doc_id"), col("pos"))
-      .agg(sum(col("vote")).as("v"))
-    val fp = votes.groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0, call_function("shiftleft", lit(1L), col("pos"))).otherwise(0L)).as("simhash"))
+      .groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(p => when(col(s"v$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
 
     // Pigeonhole guarantee needs maxHamming + 1 chunks: ≤ maxHamming
     // differing bits cannot touch every chunk, so some chunk stays equal.
@@ -381,7 +394,10 @@ object DedupOps {
   def embedNearDup(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
     import graft.functions.VectorFunctions.cosineFast
     val emb = Tables.embeddings(spark, dir)
+    // Stream side spread to core count — see [[KnnOps.simJoin]]: a one-file
+    // fixture otherwise runs the whole O(n²) nested loop on one thread.
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("a_id") < col("b_id"))
       .filter(round(cosineFast(col("a_emb"), col("b_emb")), 6) >= tau)

@@ -122,7 +122,12 @@ object KnnOps {
     */
   def simJoin(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
     val emb = corpus(spark, dir)
+    // The non-equi self-join is a broadcast nested loop whose parallelism is
+    // the STREAM side's partition count. A small fixture is one parquet file
+    // = one partition = one thread doing all O(n²) scoring; spread it to the
+    // core count (at real scale the file count already provides this).
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
@@ -158,16 +163,17 @@ object KnnOps {
     */
   def simJoinLsh(spark: SparkSession, dir: String, threshold: Double = 0.35,
       rowsPerBand: Int = 3, bandsCount: Int = 48): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
     val emb = corpus(spark, dir)
     val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
     val rnd = new scala.util.Random(8123401L)
-    val planes = Array.fill(bandsCount * rowsPerBand, dim)(rnd.nextGaussian())
+    val planes = Array.fill(bandsCount * rowsPerBand * dim)(rnd.nextGaussian())
 
-    def bandKey(bnd: Int): Column =
-      (0 until rowsPerBand).map { j =>
-        val plane = typedLit(planes(bnd * rowsPerBand + j).toSeq)
-        when(dotFast(col("embedding"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
+    // All band keys in one fused matrix-vector expression (see
+    // [[graft.plans.HyperplaneBandKeys]] — the per-band expression-forest
+    // formulation overflowed codegen and doubled the signature cost).
+    val bandKeys = toCol(graft.plans.HyperplaneBandKeys(
+      toExpr(col("embedding")), planes.toSeq, bandsCount, rowsPerBand))
 
     // Banded rows stay SKINNY (16 bytes): the bucket join enumerates and
     // dedups candidate pairs without array payloads (carrying the 512-byte
@@ -175,7 +181,8 @@ object KnnOps {
     // enumerated pair — measured 2.5× slower); embeddings join back onto the
     // deduped pair set only, then the codegen cosine rescores.
     val banded = emb.select(col("vec_id"),
-        posexplode(array((0 until bandsCount).map(bandKey): _*)).as(Seq("band", "bkey")))
+        posexplode(bandKeys).as(Seq("band", "bkey")))
+      .cache() // both join sides read it; signature projection runs once
     val l = banded.select(col("band"), col("bkey"), col("vec_id").as("a_id"))
     val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
       col("vec_id").as("b_id"))
@@ -210,13 +217,7 @@ object KnnOps {
   def topKIvf(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 3,
       nprobe: Int = 3): DataFrame = {
     val emb = corpus(spark, dir)
-    val centroids = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("v")).as("cv"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-        x => x.getField("cv")).as("centroid"))
+    val centroids = centroidVectors(emb)
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
     val probes = centroids.crossJoin(broadcast(q))
@@ -233,16 +234,33 @@ object KnnOps {
       .limit(k)
   }
 
+  /** Per-label centroid vectors via the [[graft.plans.VecSumCount]]
+    * aggregate: each map task folds its rows into one dim-length sum array
+    * per label, so the shuffle carries one row per (task, label) — dim×
+    * less volume than the posexplode → positional-avg formulation (×1024 at
+    * the reference's dimension). Mean = sums[i]/n, one IEEE division.
+    */
+  private def centroidVectors(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val sumCount = toCol(graft.plans.VecSumCount(
+      toExpr(col("embedding"))).toAggregateExpression())
+    emb.groupBy(col("label"))
+      .agg(sumCount.as("sc"))
+      .select(col("label"),
+        transform(col("sc.sums"), x => x / col("sc.n")).as("centroid"))
+  }
+
   /** Per-label centroid (element-wise mean) — north-star extension; the
-    * coarse-quantizer build step for IVF-style ANN. posexplode → positional
-    * avg: one shuffle on (label, pos), map-side partial agg for free.
-    * Output exploded (label, pos, val) for oracle hash-stability.
+    * coarse-quantizer build step for IVF-style ANN ([[centroidVectors]] is
+    * the plan; see its scale note). Output exploded (label, pos, val) for
+    * oracle hash-stability — the explode runs AFTER the aggregation, on
+    * labels×dim rows, not on the corpus.
     */
   def centroids(spark: SparkSession, dir: String): DataFrame = {
-    corpus(spark, dir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("v")), 6).as("centroid_v"))
+    centroidVectors(corpus(spark, dir))
+      .select(col("label"),
+        posexplode(transform(col("centroid"), x => round(x, 6)))
+          .as(Seq("pos", "centroid_v")))
       .orderBy(col("label").asc, col("pos").asc)
   }
 }

@@ -167,6 +167,8 @@ object TextOps {
         .select(col("e.title").as("title"),
           concat(col("f.url"), col("e.link")).as("url"),
           lit(depth).as("depth"))
+        .cache() // the emptiness probe materializes each level anyway; the
+                 // final union then reads levels back instead of re-joining
       more = !next.isEmpty
       if (more) { out = out.unionAll(next); frontier = next }
     }

@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -138,6 +138,113 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryV
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** All random-hyperplane LSH band keys of a vector in ONE fused loop:
+  * key(band) = Σⱼ [dot(v, plane(band·r+j)) > 0] · 2ʲ over `rowsPerBand`
+  * planes per band — the signature step of the cosine similarity join
+  * ([[graft.operators.KnnOps.simJoinLsh]]).
+  *
+  * WHY an expression: the same signature as a per-band expression forest
+  * (`bands × rowsPerBand` DotProduct nodes over 64-element literal arrays)
+  * produces a plan so large Spark truncates its string form, and the
+  * generated method overflows out of whole-stage codegen. Here the plane
+  * matrix is ONE flat reference object and the `bands·r·dim` multiply-adds
+  * are one tight primitive loop — per-row cost is a dense matrix-vector
+  * product, exactly what a 100 TB signature scan needs.
+  *
+  * `planes` is row-major `(bands·rowsPerBand) × dim`; a dim mismatch with
+  * the data raises (a wrong plane matrix is a config bug, not a data
+  * quality event). Output: array<long> of `bands` keys.
+  */
+case class HyperplaneBandKeys(
+    child: Expression,
+    planes: Seq[Double],
+    bands: Int,
+    rowsPerBand: Int) extends UnaryExpression {
+
+  require(bands > 0 && rowsPerBand > 0 && rowsPerBand <= 63,
+    s"invalid banding: $bands bands × $rowsPerBand rows")
+  require(planes.nonEmpty && planes.length % (bands * rowsPerBand) == 0,
+    s"plane matrix size ${planes.length} is not (bands·rowsPerBand)×dim")
+
+  override def prettyName: String = "vec_band_keys"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  // One flat primitive copy shared by interpreted + codegen paths.
+  @transient private lazy val planesArr: Array[Double] = planes.toArray
+
+  private def dim: Int = planes.length / (bands * rowsPerBand)
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(n == dim, s"$prettyName: vector dim $n != plane dim $dim")
+    val p = planesArr
+    val keys = new Array[Long](bands)
+    var off = 0
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += x.getDouble(i) * p(off + i); i += 1 }
+        if (s > 0) key |= (1L << j)
+        off += n
+        j += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planesArr, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val keys = ctx.freshName("keys")
+      val key = ctx.freshName("key")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector dim " + $n + " != plane dim $dim");
+         |}
+         |final long[] $keys = new long[$bands];
+         |int $off = 0;
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $key = 0L;
+         |  for (int $j = 0; $j < $rowsPerBand; $j++) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $a.getDouble($i) * $pRef[$off + $i];
+         |    }
+         |    if ($s > 0) $key |= (1L << $j);
+         |    $off += $n;
+         |  }
+         |  $keys[$b] = $key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Squared L2 distance Σ (aᵢ-bᵢ)², fused single pass. */

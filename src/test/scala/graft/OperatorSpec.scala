@@ -207,6 +207,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(ivfAll === exact) // probing every cell = exact search
   }
 
+  test("vec_sum_count centroids equal the posexplode positional-avg formulation") {
+    import graft.sources.Tables
+    val fast = KnnOps.centroids(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val reference = Tables.embeddings(spark, sf)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")), 6).as("centroid_v"))
+      .orderBy(col("label").asc, col("pos").asc)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(fast.toSeq === reference.toSeq)
+  }
+
+  test("vec_sum_count fails loudly on ragged vector dimensions") {
+    import spark.implicits._
+    val ragged = Seq((1, Seq(1.0, 2.0)), (1, Seq(1.0, 2.0, 3.0))).toDF("label", "embedding")
+      .select(col("label"), col("embedding").cast("array<double>").as("embedding"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val agg = toCol(graft.plans.VecSumCount(toExpr(col("embedding"))).toAggregateExpression())
+    val ex = intercept[Exception] {
+      ragged.coalesce(1).groupBy(col("label")).agg(agg.as("sc")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("dimension mismatch")))
+  }
+
   test("catalog lifecycle: create, load, upsert-by-id, drop") {
     import graft.sources.{CatalogOps, Tables}
     import org.apache.spark.sql.functions._
