@@ -110,6 +110,21 @@ class PlanSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "partdb")
   }
 
+  test("centroids aggregate vectors whole (no pre-shuffle dim-explode)") {
+    val df = KnnOps.centroids(spark, sf)
+    val p = plan(df)
+    assert(p.toLowerCase.contains("vec_sum_count"), p)
+    // one hash exchange for the label group-by (plus the presentation
+    // range sort); the Generate (posexplode) must sit ABOVE the aggregate,
+    // on labels x dim rows, never below it on the corpus
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
+    val lines = p.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate"))
+    val aggIdx = lines.indexWhere(_.contains("vec_sum_count"))
+    assert(genIdx >= 0 && aggIdx >= 0 && genIdx < aggIdx,
+      s"posexplode must be downstream of the aggregate:\n$p")
+  }
+
   test("embedder plans zero exchanges (pure map-side projection)") {
     val p = plan(TextAnalysisOps.embedBatch(spark, sf))
     // the only exchange allowed is the final presentation ORDER BY

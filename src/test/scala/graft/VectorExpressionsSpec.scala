@@ -85,6 +85,36 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("hyperplane band keys: codegen and interpreted paths agree; keys bounded") {
+    import graft.plans.HyperplaneBandKeys
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol}
+    val rnd = new scala.util.Random(41L)
+    val bands = 6; val rows = 3; val dim = 16
+    val planes = Seq.fill(bands * rows * dim)(rnd.nextGaussian())
+    val vecs = (1 to 20).map(_ => Seq.fill(dim)(rnd.nextGaussian()))
+    val viaCodegenKeys = vecs.map { v =>
+      Seq(v).toDF("v")
+        .select(toCol(HyperplaneBandKeys(
+          Literal.create(v, arrT), planes, bands, rows)).as("k"))
+        .collect()(0).getSeq[Long](0)
+    }
+    val viaEval = vecs.map { v =>
+      HyperplaneBandKeys(Literal.create(v, arrT), planes, bands, rows)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+    }
+    assert(viaCodegenKeys === viaEval)
+    viaEval.foreach { keys =>
+      assert(keys.length === bands)
+      keys.foreach(k => assert(k >= 0L && k < (1L << rows)))
+    }
+    // a dim mismatch is a config bug: loud failure, not a silent signature
+    val bad = intercept[Exception] {
+      HyperplaneBandKeys(Literal.create(Seq(1.0, 2.0), arrT), planes, bands, rows).eval(null)
+    }
+    assert(bad.getMessage.contains("dim"))
+  }
+
   test("HOF formulation and codegen expression agree after rounding") {
     val rnd = new scala.util.Random(3L)
     val a = Seq.fill(64)(rnd.nextGaussian())
