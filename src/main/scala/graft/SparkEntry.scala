@@ -36,6 +36,7 @@ object SparkEntry {
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_vec_centroids" -> ((s, d) => KnnOps.centroids(s, d)),
+    "q_vec_quantize"  -> ((s, d) => KnnOps.quantize(s, d)),
     "q_cosine_pair"   -> ((s, d) => cosinePair(s, d)),
     // ---- dedup family (LLM-pipeline north star) ----
     "q_dedup_exact"   -> ((s, d) => DedupOps.dedupExact(s, d)),
@@ -248,6 +249,18 @@ object SparkEntry {
         |      FROM embeddings)
         |GROUP BY label, pos
         |ORDER BY label ASC, pos ASC""".stripMargin,
+    "q_vec_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         127.0 / greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 1e-12) AS s
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |       round(s, 6) AS scale_r,
+        |       CAST(list_min(list_transform(v, x -> round(x * s))) AS BIGINT) AS qmin,
+        |       CAST(list_max(list_transform(v, x -> round(x * s))) AS BIGINT) AS qmax,
+        |       round(sqrt(list_sum(list_transform(v,
+        |         x -> (x - round(x * s) / s) * (x - round(x * s) / s)))), 6) AS recon_err
+        |FROM q ORDER BY vec_id ASC""".stripMargin,
     "q_cosine_pair" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score

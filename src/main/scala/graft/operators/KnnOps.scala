@@ -250,6 +250,34 @@ object KnnOps {
         transform(col("sc.sums"), x => x / col("sc.n")).as("centroid"))
   }
 
+  /** Int8 scalar quantization of the embedding column — the storage-side
+    * counterpart of the ANN index (the reference's server quantizes
+    * similarly behind its HNSW configuration; for us it is what makes a
+    * 100 TB vector scan read 25% of the bytes: 1024-d float32 → 1024 B/row).
+    * Per-vector symmetric scheme: scale = 127/max|xᵢ|, qᵢ = round(xᵢ·scale).
+    * Pure per-row projection (no shuffle); emits scalar summaries — scale,
+    * quantized range, and the L2 reconstruction error — which keep the
+    * query oracle-checkable (the int8 payload itself is engine-native).
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = corpus(spark, dir)
+    val scale = lit(127.0) / greatest(
+      array_max(transform(col("embedding"), x => abs(x))), lit(1e-12))
+    emb.select(col("vec_id"), col("embedding"), scale.as("scale"))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        array_min(transform(col("embedding"), x => round(x * col("scale"))))
+          .cast("long").as("qmin"),
+        array_max(transform(col("embedding"), x => round(x * col("scale"))))
+          .cast("long").as("qmax"),
+        round(sqrt(aggregate(
+          transform(col("embedding"),
+            x => (x - round(x * col("scale")) / col("scale")) *
+                 (x - round(x * col("scale")) / col("scale"))),
+          lit(0.0), (acc, e) => acc + e)), 6).as("recon_err"))
+      .orderBy(col("vec_id").asc)
+  }
+
   /** Per-label centroid (element-wise mean) — north-star extension; the
     * coarse-quantizer build step for IVF-style ANN ([[centroidVectors]] is
     * the plan; see its scale note). Output exploded (label, pos, val) for
