@@ -32,7 +32,8 @@ object SparkEntry {
     "q_knn_topk"      -> ((s, d) => KnnOps.topK(s, d)),
     "q_knn_batch"     -> ((s, d) => KnnOps.topKBatchAgg(s, d)),
     "q_knn_filtered"  -> ((s, d) => KnnOps.topKFiltered(s, d)),
-    "q_knn_ivf"       -> ((s, d) => KnnOps.topKIvf(s, d)),
+    "q_knn_ivf"        -> ((s, d) => KnnOps.topKIvf(s, d)),
+    "q_knn_ivf_kmeans" -> ((s, d) => KnnOps.topKIvfKmeans(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_vec_centroids" -> ((s, d) => KnnOps.centroids(s, d)),

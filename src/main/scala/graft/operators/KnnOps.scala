@@ -255,6 +255,85 @@ object KnnOps {
         transform(col("sc.sums"), x => x / col("sc.n")).as("centroid"))
   }
 
+  /** Lloyd's k-means coarse quantizer over the embedding column — the
+    * trained-cell IVF build (the reference's latent IVFFLAT surface, ref
+    * `TencentVDB.py:7`). Each iteration is one distributed pass: fused
+    * [[graft.plans.NearestCentroid]] assignment (projection, no shuffle)
+    * then a [[graft.plans.VecSumCount]] aggregation — the shuffle carries
+    * one (cell, sums, n) row per map task. Only the k×dim MODEL ever
+    * reaches the driver (like any broadcast ML model); rows never do.
+    * Deterministic: init = first k vectors by vec_id, cosine ties to the
+    * lowest cell, empty cells keep their previous centroid. At 100 TB the
+    * trainer runs on a sample; assignment stays a full-corpus projection.
+    */
+  private[graft] def kmeansCentroids(emb: DataFrame, kCells: Int, iters: Int): Array[Double] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    var cents = emb.orderBy(col("vec_id").asc).limit(kCells)
+      .select(col("embedding")).collect()
+      .flatMap(_.getSeq[Double](0)).toArray
+    require(cents.length == kCells * dim, s"need ≥ $kCells vectors to seed k-means")
+    (1 to iters).foreach { _ =>
+      val assign = toCol(graft.plans.NearestCentroid(
+        toExpr(col("embedding")), cents.toSeq, kCells))
+      val sumCount = toCol(graft.plans.VecSumCount(
+        toExpr(col("embedding"))).toAggregateExpression())
+      val next = cents.clone()
+      emb.select(assign.as("cell"), col("embedding"))
+        .groupBy(col("cell")).agg(sumCount.as("sc"))
+        .select(col("cell"), col("sc.sums"), col("sc.n"))
+        .collect()
+        .foreach { r =>
+          val cell = r.getInt(0); val s = r.getSeq[Double](1); val n = r.getLong(2)
+          var i = 0
+          while (i < dim) { next(cell * dim + i) = s(i) / n; i += 1 }
+        }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF retrieval over TRAINED cells: [[kmeansCentroids]] builds the
+    * coarse quantizer, the query probes its `nprobe` nearest cells
+    * (driver-side over the k×dim model), and only those cells are scanned
+    * for the exact top-k — at ingest the corpus would be partitioned by
+    * cell, turning the probe into partition pruning. Approximate by
+    * construction → rows-only (recall vs exact pinned in tests).
+    */
+  def topKIvfKmeans(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 3,
+      kCells: Int = 8, nprobe: Int = 2, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val emb = corpus(spark, dir).cache() // scanned per training pass + search
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    val cents = kmeansCentroids(emb, kCells, iters)
+    val qVec = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+
+    def cosLocal(c: Int): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < dim) {
+        val x = qVec(i); val y = cents(c * dim + i)
+        ab += x * y; aa += x * x; bb += y * y; i += 1
+      }
+      val d = math.sqrt(aa) * math.sqrt(bb)
+      if (d == 0.0) 0.0 else ab / d
+    }
+    val probes = (0 until kCells).sortBy(c => (-cosLocal(c), c)).take(nprobe)
+
+    val assign = toCol(graft.plans.NearestCentroid(
+      toExpr(col("embedding")), cents.toSeq, kCells))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    emb.filter(col("vec_id") =!= queryId)
+      .withColumn("cell", assign)
+      .filter(col("cell").isin(probes: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Int8 scalar quantization of the embedding column — the storage-side
     * counterpart of the ANN index (the reference's server quantizes
     * similarly behind its HNSW configuration; for us it is what makes a

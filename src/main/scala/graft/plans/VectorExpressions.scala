@@ -247,6 +247,99 @@ case class HyperplaneBandKeys(
     copy(child = newChild)
 }
 
+/** Index of the nearest centroid by cosine similarity — the IVF cell
+  * assignment step ([[graft.operators.KnnOps]] k-means coarse quantizer;
+  * the reference's latent IVFFLAT surface, ref `TencentVDB.py:7`).
+  * `centroids` is row-major k × dim; ties and zero-norm vectors resolve to
+  * the LOWEST cell index (deterministic assignment). One fused loop over
+  * the centroid matrix per row — same shape as [[HyperplaneBandKeys]]: a
+  * reference-object matrix, no literal expression forest.
+  */
+case class NearestCentroid(
+    child: Expression,
+    centroids: Seq[Double],
+    k: Int) extends UnaryExpression {
+
+  require(k > 0 && centroids.nonEmpty && centroids.length % k == 0,
+    s"centroid matrix size ${centroids.length} is not k×dim (k=$k)")
+
+  override def prettyName: String = "vec_nearest_centroid"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val centArr: Array[Double] = centroids.toArray
+  // Centroid norms are constant across rows — precompute once.
+  @transient private lazy val centNorm: Array[Double] = {
+    val dim = centroids.length / k
+    Array.tabulate(k) { c =>
+      var s = 0.0; var i = 0
+      while (i < dim) { val v = centArr(c * dim + i); s += v * v; i += 1 }
+      math.sqrt(s)
+    }
+  }
+
+  private def dim: Int = centroids.length / k
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(n == dim, s"$prettyName: vector dim $n != centroid dim $dim")
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var ab = 0.0; var i = 0
+      while (i < n) { ab += x.getDouble(i) * centArr(c * n + i); i += 1 }
+      val d = centNorm(c)
+      val score = if (d == 0.0) 0.0 else ab / d // vector norm constant per row — omit
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centArr, "double[]")
+    val nRef = ctx.addReferenceObj("centNorms", centNorm, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val ab = ctx.freshName("ab")
+      val d = ctx.freshName("d")
+      val score = ctx.freshName("score")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector dim " + $n + " != centroid dim $dim");
+         |}
+         |int $best = 0;
+         |double $bestScore = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $ab = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $ab += $a.getDouble($i) * $cRef[$c * $n + $i];
+         |  }
+         |  final double $d = $nRef[$c];
+         |  final double $score = ($d == 0.0) ? 0.0 : $ab / $d;
+         |  if ($score > $bestScore) { $bestScore = $score; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Squared L2 distance Σ (aᵢ-bᵢ)², fused single pass. */
 case class L2DistanceSq(left: Expression, right: Expression) extends BinaryVectorExpression {
   override def prettyName: String = "vec_l2sq"

@@ -207,6 +207,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(ivfAll === exact) // probing every cell = exact search
   }
 
+  test("k-means IVF: probing every cell reproduces exact knn; result deterministic") {
+    val exact = KnnOps.topK(spark, sf, queryId = 0L, k = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val allCells = KnnOps.topKIvfKmeans(spark, sf, queryId = 0L, k = 3,
+      kCells = 4, nprobe = 4, iters = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(allCells === exact) // probing every cell = exact search
+    val r1 = KnnOps.topKIvfKmeans(spark, sf, queryId = 0L, k = 3).collect()
+    val r2 = KnnOps.topKIvfKmeans(spark, sf, queryId = 0L, k = 3).collect()
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq) // seeded training
+    assert(r1.length === 3)
+  }
+
   test("int8 quantization bounds the code range and reconstruction error") {
     val rows = KnnOps.quantize(spark, sf).collect()
     assert(rows.nonEmpty)
