@@ -303,9 +303,14 @@ object KnnOps {
   def topKIvfKmeans(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 3,
       kCells: Int = 8, nprobe: Int = 2, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
-    val emb = corpus(spark, dir).cache() // scanned per training pass + search
+    val emb = corpus(spark, dir)
+    // Cache ONLY for the duration of training, then release: a persistent
+    // cache on the raw table plan would make every other query on the same
+    // plan read the InMemoryRelation instead of the parquet scan — silently
+    // discarding predicate pushdown session-wide (caught by PlanSpec).
+    emb.cache()
     val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
-    val cents = kmeansCentroids(emb, kCells, iters)
+    val cents = try kmeansCentroids(emb, kCells, iters) finally emb.unpersist()
     val qVec = emb.filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Double](0).toArray
 
