@@ -105,6 +105,7 @@ object SparkEntry {
     "q_agg_stats"      -> ((s, d) => RelOps.aggStats(s, d)),
     "q_window_running" -> ((s, d) => RelOps.windowRunning(s, d)),
     "q_window_lag"     -> ((s, d) => RelOps.windowLag(s, d)),
+    "q_window_range"   -> ((s, d) => RelOps.windowRange(s, d)),
     // ---- §2.H sorts / limits / set ops ----
     "q_sort_limit"    -> ((s, d) => RelOps.sortLimit(s, d)),
     "q_set_union"     -> ((s, d) => RelOps.setUnion(s, d)),
@@ -120,12 +121,13 @@ object SparkEntry {
     * reports the engine's per-family throughput profile.
     */
   def benchQueries: Seq[String] = Seq(
-    "q_knn_topk", "q_knn_batch", "q_knn_filtered", "q_cosine_pair",
-    "q_sim_join", "q_sim_join_lsh", "q_vec_centroids", "q_embed_batch",
+    "q_knn_topk", "q_knn_batch", "q_knn_filtered", "q_knn_ivf_kmeans",
+    "q_cosine_pair", "q_sim_join", "q_sim_join_lsh", "q_vec_centroids",
+    "q_vec_quantize", "q_embed_batch",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_embed", "q_text_quality", "q_token_count", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast",
-    "q_join_asof", "q_window_rank", "q_sort_limit", "q_agg_concat",
+    "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_events_tumbling",
     "q_events_sessionize")
 
@@ -566,6 +568,15 @@ object SparkEntry {
         |         - CAST(floor(date_part('epoch', lag(ts, 1) OVER w)) AS BIGINT) AS gap_sec
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id ASC, event_id ASC""".stripMargin,
+    "q_window_range" ->
+      """SELECT user_id, event_id, ts,
+        |       count(*) OVER w AS n_last_hour,
+        |       CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER w AS DOUBLE) / 1000000.0 AS sum_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(floor(date_part('epoch', ts)) AS BIGINT)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id ASC, event_id ASC""".stripMargin,
     "q_window_ntile" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,

@@ -255,6 +255,26 @@ object RelOps {
       .orderBy(col("user_id").asc, col("event_id").asc)
   }
 
+  /** Time-RANGE frame: per user, events and value-sum in the trailing hour
+    * by EVENT TIME (ties share the frame — a RANGE frame, not ROWS; the
+    * rolling rate-limit / activity-burst query of an events pipeline).
+    * Frame bounds are epoch seconds on both engines; the value sum follows
+    * the integer-micros determinism rule.
+    */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"))
+      .rangeBetween(-3600L, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        (sum(round(col("value") * 1e6).cast("long")).over(w).cast("double") / 1e6)
+          .as("sum_last_hour"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
   // ---- §2.H sorts / limits / set ops ----
 
   /** Global top-k — compiles to TakeOrderedAndProject: per-partition bounded
