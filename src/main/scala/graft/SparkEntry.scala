@@ -76,6 +76,7 @@ object SparkEntry {
     "q_html_extract"    -> ((s, d) => TextOps.htmlExtract(s, d)),
     "q_json_tree"       -> ((s, d) => TextOps.jsonTree(s, d)),
     "q_rag_e2e"         -> ((s, d) => TextOps.ragEndToEnd(s, d)),
+    "q_ingest_e2e"      -> ((s, d) => TextOps.ingestEndToEnd(s, d)),
     "q_scalar_bundle"   -> ((s, d) => RelOps.scalarBundle(s, d)),
     // ---- §2.E aggregations / result shaping ----
     "q_flatten_results"  -> ((s, d) => TextOps.flattenResults(s, d)),
@@ -303,6 +304,23 @@ object SparkEntry {
         |       substr('请按照"总结要点"进行总结,内容是：' || string_agg(snip, '' ORDER BY rank ASC), 1, 200) AS llm_prompt,
         |       '参考链接：' || string_agg(chr(10) || chr(10) || source || '     ' || doc_id, '' ORDER BY rank ASC) AS citations
         |FROM payload""".stripMargin,
+    "q_ingest_e2e" ->
+      """WITH v AS (
+        |  SELECT 'https://corpus.local/' || source || '/' || doc_id AS url, doc_id, text,
+        |         CAST(1 AS BIGINT) AS version
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://corpus.local/' || source || '/' || doc_id, doc_id, text || ' refreshed', 2
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |c AS (
+        |  SELECT url, doc_id, version,
+        |         substr(regexp_replace(text, ' +', ' ', 'g'), 1, 6000) AS body
+        |  FROM v),
+        |u AS (
+        |  SELECT *, row_number() OVER (PARTITION BY url ORDER BY version DESC) AS rn FROM c)
+        |SELECT url, doc_id, version, CAST(length(body) AS BIGINT) AS body_len, md5(body) AS fp
+        |FROM u WHERE rn = 1
+        |ORDER BY url ASC""".stripMargin,
     "q_html_extract" ->
       """SELECT doc_id,
         |       regexp_extract('<html><body><div class="J-markdown-box">' || substr(text, 1, 80) || '</div></body></html>',

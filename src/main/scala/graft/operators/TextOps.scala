@@ -313,6 +313,34 @@ object TextOps {
       .select(lit(queryId).as("query_id"), col("llm_prompt"), col("citations"))
   }
 
+  /** The reference's ENTIRE ingest path as one DataFrame (SURVEY §3.1, the
+    * ingest twin of [[ragEndToEnd]]): crawl records with a re-crawl batch
+    * (`crawlData`, `Crawling.py:33-51`) → URL key (`Crawling.py:26`) →
+    * whitespace-run collapse (`re.sub`, `Crawling.py:46`) → 6000-char
+    * truncate (`Crawling.py:45`) → overwrite-by-id upsert
+    * (`TencentVDB.py:74-79`) → content fingerprint (the downstream dedup
+    * key). One linear job: projections all the way to the single
+    * last-writer-wins shuffle on the id.
+    */
+  def ingestEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val url = concat(lit("https://corpus.local/"), col("source"), lit("/"), col("doc_id"))
+    val v1 = docs.select(url.as("url"), col("doc_id"), col("text"), lit(1L).as("version"))
+    val v2 = docs.filter(col("doc_id") % 5 === 0) // simulated re-crawl batch
+      .select(url.as("url"), col("doc_id"),
+        concat(col("text"), lit(" refreshed")).as("text"), lit(2L).as("version"))
+    val cleaned = v1.unionAll(v2)
+      .select(col("url"), col("doc_id"), col("version"),
+        substring(regexp_replace(col("text"), " +", " "), 1, 6000).as("body"))
+    val w = Window.partitionBy(col("url")).orderBy(col("version").desc)
+    cleaned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("url"), col("doc_id"), col("version"),
+        length(col("body")).cast("long").as("body_len"), md5(col("body")).as("fp"))
+      .orderBy(col("url").asc)
+  }
+
   /** HTML body extraction — ref CSS-select of `div.J-markdown-box` +
     * `get_text()` (`Crawling.py:41-44`). The zero-egress fixture has no
     * HTML, so the crawl wrapper is reconstructed first (deterministic) and
