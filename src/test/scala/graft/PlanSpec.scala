@@ -130,4 +130,9 @@ class PlanSpec extends AnyFunSuite {
     // the only exchange allowed is the final presentation ORDER BY
     assert(p.linesIterator.count(_.contains("Exchange")) <= 1)
   }
+
+  test("quantization plans zero exchanges (pure map-side projection)") {
+    val p = plan(KnnOps.quantize(spark, sf))
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1, p)
+  }
 }

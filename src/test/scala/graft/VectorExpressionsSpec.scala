@@ -115,6 +115,33 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("dim"))
   }
 
+  test("nearest-centroid assignment matches brute-force argmax cosine") {
+    import graft.plans.NearestCentroid
+    val rnd = new scala.util.Random(17L)
+    val k = 5; val dim = 12
+    val cents = Seq.fill(k * dim)(rnd.nextGaussian())
+    def cosRef(v: Seq[Double], c: Int): Double = {
+      val cv = cents.slice(c * dim, (c + 1) * dim)
+      val ab = v.zip(cv).map { case (x, y) => x * y }.sum
+      val d = math.sqrt(cv.map(x => x * x).sum) // row norm constant: omitted, argmax unchanged
+      if (d == 0.0) 0.0 else ab / d
+    }
+    (1 to 50).foreach { _ =>
+      val v = Seq.fill(dim)(rnd.nextGaussian())
+      val got = NearestCentroid(Literal.create(v, arrT), cents, k)
+        .eval(null).asInstanceOf[Int]
+      val want = (0 until k).maxBy(c => (cosRef(v, c), -c))
+      assert(got === want)
+    }
+    // codegen path agrees with the interpreted one
+    val v0 = Seq.fill(dim)(rnd.nextGaussian())
+    val viaDf = Seq(v0).toDF("v")
+      .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        NearestCentroid(Literal.create(v0, arrT), cents, k)).as("c"))
+      .collect()(0).getInt(0)
+    assert(viaDf === NearestCentroid(Literal.create(v0, arrT), cents, k).eval(null))
+  }
+
   test("HOF formulation and codegen expression agree after rounding") {
     val rnd = new scala.util.Random(3L)
     val a = Seq.fill(64)(rnd.nextGaussian())
