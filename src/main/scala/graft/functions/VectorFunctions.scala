@@ -48,10 +48,11 @@ object VectorFunctions {
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Cosine against a pre-normalized corpus column: when the corpus norm is
-    * materialized once (ingest time), per-query scoring is a single dot —
-    * the 100 TB-scale path used by the knn operators.
+    * materialized once (ingest time, [[graft.sources.CatalogOps
+    * .createVectorCollection]]), per-query scoring is a single dot — the
+    * 100 TB-scale path ([[graft.operators.KnnOps.topKPrenormed]]).
     */
-  def cosinePrenormed(aUnit: Column, bUnit: Column): Column = dot(aUnit, bUnit)
+  def cosinePrenormed(aUnit: Column, bUnit: Column): Column = dotFast(aUnit, bUnit)
 
   /** a / ‖a‖ — unit-normalize an embedding (ingest-time materialization). */
   def l2Normalize(a: Column): Column = {

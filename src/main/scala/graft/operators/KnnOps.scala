@@ -48,6 +48,26 @@ object KnnOps {
       .limit(k)
   }
 
+  /** Single-query knn over a MATERIALIZED unit-vector collection
+    * ([[graft.sources.CatalogOps.createVectorCollection]]): scoring is one
+    * dot product per row — the normalization was paid at ingest, which is
+    * where a 100 TB corpus wants it (same plan shape as [[topK]]:
+    * broadcast 1-row query, TakeOrderedAndProject bounded top-k). Scores
+    * can differ from the fused cosine in the last ulp (different float
+    * operation order), so this variant is validated by equality-within-
+    * tolerance against [[topK]] in tests rather than by the SQL oracle.
+    */
+  def topKPrenormed(unitized: DataFrame, queryId: Long = 0L, k: Int = 3): DataFrame = {
+    val q = unitized.filter(col("vec_id") === queryId)
+      .select(col("unit").as("q_unit"))
+    unitized.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotFast(col("unit"), col("q_unit")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Batched knn, window formulation: ref `embeddingItems` list →
     * list-of-lists result (`main_server.py:40-44`). Queries = vec_id <
     * nQueries, corpus = the rest. Broadcast the query side; rank window

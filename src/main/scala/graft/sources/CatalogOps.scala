@@ -92,6 +92,25 @@ object CatalogOps {
       .partitionBy(partitionCol)
       .saveAsTable(s"`$db`.`$name`")
 
+  /** Vector collection — the `build_index=True` ingest analog (ref
+    * `TencentVDB.py:79`; the server builds its HNSW index at upsert). We
+    * materialize what the cosine metric actually needs at query time: the
+    * unit-normalized vector (and the norm for reconstruction), so every
+    * query-time score collapses from a fused 3-accumulator cosine to ONE
+    * dot product — at 100 TB the normalization cost is paid once at ingest
+    * instead of per query ([[graft.operators.KnnOps.topKPrenormed]]).
+    */
+  def createVectorCollection(spark: SparkSession, db: String, name: String,
+      data: DataFrame, vecCol: String = "embedding", shards: Int = 3): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFunctions.{l2Norm, l2Normalize}
+    data
+      .withColumn("norm", l2Norm(col(vecCol)))
+      .withColumn("unit", l2Normalize(col(vecCol)))
+      .repartition(shards).write.mode("overwrite")
+      .saveAsTable(s"`$db`.`$name`")
+  }
+
   /** `drop_collection` (ref `TencentVDB.py:87-89`). */
   def dropCollection(spark: SparkSession, db: String, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")

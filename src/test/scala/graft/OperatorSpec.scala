@@ -284,6 +284,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(!CatalogOps.listDatabases(spark).collect().map(_.getString(0)).contains("graftdb"))
   }
 
+  test("prenormed knn over a materialized vector collection equals exact knn") {
+    import graft.sources.{CatalogOps, Tables}
+    CatalogOps.dropDatabase(spark, "vecdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/vecdb.db"))
+    CatalogOps.createDatabase(spark, "vecdb")
+    CatalogOps.createVectorCollection(spark, "vecdb", "emb_v",
+      Tables.embeddings(spark, sf))
+    val unitized = spark.table("`vecdb`.`emb_v`")
+    // the materialized norm reconstructs the original scale
+    assert(unitized.filter(col("norm") <= 0.0).count() === 0)
+    val pre = KnnOps.topKPrenormed(unitized, queryId = 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = KnnOps.topK(spark, sf, queryId = 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pre.map(_._1).toSeq === exact.map(_._1).toSeq)
+    pre.zip(exact).foreach { case ((_, s1), (_, s2)) =>
+      assert(math.abs(s1 - s2) < 2e-6) // one-dot vs fused cosine: ulp-level
+    }
+    CatalogOps.dropDatabase(spark, "vecdb")
+  }
+
   test("crawl connector runs the full ingest chain over an injected fetcher") {
     import graft.sources.{CrawlOps, CrawlTarget}
     val targets = (1 to 5).map(i => CrawlTarget(s"https://site.local/p$i", s"page$i"))
