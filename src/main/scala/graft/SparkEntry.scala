@@ -89,6 +89,7 @@ object SparkEntry {
     "q_percentile"       -> ((s, d) => RelOps.percentiles(s, d)),
     "q_histogram"        -> ((s, d) => RelOps.histogram(s, d)),
     "q_tpch_q3"          -> ((s, d) => RelOps.shippingPriority(s, d)),
+    "q_tpch_q4"          -> ((s, d) => RelOps.orderPriorityCheck(s, d)),
     "q_part_brands"      -> ((s, d) => RelOps.partBrandRevenue(s, d)),
     // ---- §2.F joins ----
     "q_join_hash"      -> ((s, d) => RelOps.joinHash(s, d)),
@@ -515,6 +516,15 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey ASC
         |LIMIT 10""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin,
     // ---- joins ----
     "q_part_brands" ->
       """SELECT p_brand, count(*) AS n_items,

@@ -368,6 +368,27 @@ object RelOps {
       .limit(10)
   }
 
+  /** Composite EXISTS query (TPC-H Q4 shape, adapted to the fixture's
+    * columns): orders counted by priority when at least one line item
+    * shipped more than 30 days after the order date. The correlated EXISTS
+    * plans as a LEFT SEMI join with a composite (equi + range) condition —
+    * the fact side is deduplicated BY THE JOIN (no distinct needed), and
+    * the priority aggregation runs on the surviving orders only.
+    */
+  def orderPriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-06-01"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
   /** Part-dimension rollup: brand revenue over the lineitem fact — the
     * remaining star-schema leg (part ⋈ lineitem), large-fact⋈dimension with
     * the dimension broadcast and exact integer-micros revenue.

@@ -79,6 +79,15 @@ object StreamingOps {
         col("c_id"), col("c_ts"))
   }
 
+  /** Stream-static enrichment: every micro-batch hash-joins against the
+    * broadcast dimension (no streaming state at all — the static side is a
+    * plain batch DataFrame, re-broadcast per batch). The streaming form of
+    * the dimension-lookup join: at scale the dimension is the small side by
+    * definition, so the stream never shuffles.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), key)
+
   /** Streaming exact dedup — the overwrite-by-id upsert semantics
     * (ref `TencentVDB.py:69-70`) on a stream: first-writer-wins per
     * event_id within the watermark horizon; late duplicates beyond 1 hour

@@ -105,6 +105,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dimension per batch") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq(("click", 1), ("view", 2), ("purchase", 9))
+      .toDF("event_type", "severity")
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.enrichWithDim(in.toDS.toDF, dim, "event_type")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, 1, "2024-01-01 10:00:00"),
+        ev(2, 1, "2024-01-01 10:01:00", "purchase"),
+        ev(3, 2, "2024-01-01 10:02:00", "signup")) // no dim row → dropped (inner)
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .collect().map(r => (r.getLong(2), r.getInt(5))).toSet
+      assert(rows === Set((1L, 1), (2L, 9)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState closes sessions on event-time timeout") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
