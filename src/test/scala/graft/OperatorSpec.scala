@@ -66,6 +66,12 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getDouble(0) === 1.0)
     assert(r.getDouble(1) === 23.0)
     assert(r.getInt(2) === 2)
+    val agg = spark.sql(
+      """SELECT vec_sum_count(v) AS sc FROM VALUES
+        |  (array(1.0D, 2.0D)), (array(3.0D, 4.0D)) AS t(v)""".stripMargin)
+      .collect()(0).getStruct(0)
+    assert(agg.getSeq[Double](0) === Seq(4.0, 6.0))
+    assert(agg.getLong(1) === 2L)
   }
 
   test("LSH-bucketed similarity join reproduces the exact all-pairs result") {
