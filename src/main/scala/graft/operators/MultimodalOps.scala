@@ -13,6 +13,12 @@ case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String)
 case class MediaMeta(doc_id: Long, byte_len: Long, width: Long, height: Long,
     n_frames: Long, content_sha: String)
 
+/** One sampled frame of a media payload (the 1→N frame-extraction shape). */
+case class FrameRecord(doc_id: Long, frame_idx: Long, frame_payload: Array[Byte])
+
+/** A media feature vector (the media-embedding output schema). */
+case class MediaFeature(doc_id: Long, feature: Array[Float])
+
 /** Multimodal-column plumbing: treat media as `binary` payloads with typed
   * metadata, decode/feature-extract as a per-partition batch operator.
   *
@@ -63,6 +69,65 @@ object MultimodalOps {
         val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
         digest.reset()
         MediaMeta(r.doc_id, r.payload.length.toLong, w, h, f, sha)
+      }
+    }
+  }
+
+  /** STUBBED RESIZE — 1→1 per-partition transform. The fake "codec"
+    * truncates/cycles the payload to exactly w·h bytes (a real deployment
+    * swaps the body for an image resampler; signature, batch shape and the
+    * payload-in/payload-out contract stay identical). Deterministic.
+    */
+  def resize(records: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    require(w > 0 && h > 0, s"invalid target dims ${w}x$h")
+    val target = w * h
+    records.mapPartitions { it =>
+      it.map { r =>
+        val out = Array.tabulate(target)(i =>
+          if (r.payload.isEmpty) 0.toByte else r.payload(i % r.payload.length))
+        MediaRecord(r.doc_id, out, r.mime)
+      }
+    }
+  }
+
+  /** STUBBED FRAME SAMPLING — the 1→N flatMap shape of video frame
+    * extraction: emit every `everyN`-th of the payload's `n_frames` (from
+    * the stub decode), each frame a deterministic slice of the payload.
+    * At scale this is the row-count-multiplying step, so it runs map-side
+    * with nothing shuffled until the downstream per-frame operator asks.
+    */
+  def sampleFrames(records: Dataset[MediaRecord], everyN: Int = 2): Dataset[FrameRecord] = {
+    import records.sparkSession.implicits._
+    require(everyN > 0, s"invalid stride $everyN")
+    records.flatMap { r =>
+      val (_, _, nFrames) = fakeDecode(r.payload.length.toLong)
+      (0L until nFrames by everyN.toLong).map { idx =>
+        val chunk = math.max(1, r.payload.length / math.max(1L, nFrames).toInt)
+        val start = (idx.toInt * chunk) % math.max(1, r.payload.length)
+        FrameRecord(r.doc_id, idx,
+          r.payload.slice(start, math.min(start + chunk, r.payload.length)))
+      }
+    }
+  }
+
+  /** STUBBED FEATURE EXTRACTION — payload → fixed-dim float vector by byte
+    * bucketing (a real deployment swaps the body for a vision/audio model
+    * forward pass batched per partition). Output plugs straight into the
+    * vector operators ([[KnnOps]]) — the media-embedding bridge.
+    */
+  def featureExtract(records: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeature] = {
+    import records.sparkSession.implicits._
+    require(dim > 0, s"invalid feature dim $dim")
+    records.mapPartitions { it =>
+      it.map { r =>
+        val acc = new Array[Float](dim)
+        var i = 0
+        while (i < r.payload.length) {
+          acc(i % dim) += (r.payload(i) & 0xFF) / 255.0f
+          i += 1
+        }
+        MediaFeature(r.doc_id, acc)
       }
     }
   }

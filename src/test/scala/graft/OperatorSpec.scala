@@ -197,6 +197,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(typed.toSeq === sql.toSeq)
   }
 
+  test("multimodal resize/frame-sample/feature stubs keep shapes and determinism") {
+    val recs = MultimodalOps.mediaRecords(spark, sf)
+    val resized = MultimodalOps.resize(recs, 8, 8).collect()
+    assert(resized.length === recs.count())
+    resized.foreach(r => assert(r.payload.length === 64))
+    val frames = MultimodalOps.sampleFrames(recs, everyN = 2).collect()
+    val metaFrames = MultimodalOps.decodeMeta(recs).collect()
+      .map(m => m.doc_id -> m.n_frames).toMap
+    val byDoc = frames.groupBy(_.doc_id)
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.length === ((metaFrames(id) + 1) / 2)) // ceil(n_frames / 2)
+      assert(fs.map(_.frame_idx).sorted.toSeq === fs.map(_.frame_idx).toSeq.sorted)
+    }
+    val f1 = MultimodalOps.featureExtract(recs, dim = 16).collect()
+      .map(f => f.doc_id -> f.feature.toSeq).toMap
+    val f2 = MultimodalOps.featureExtract(recs, dim = 16).collect()
+      .map(f => f.doc_id -> f.feature.toSeq).toMap
+    assert(f1 === f2)
+    f1.values.foreach(v => assert(v.length === 16 && v.forall(_ >= 0.0f)))
+  }
+
   test("IVF probe retrieval recalls the exact top-k on the fixture") {
     val exact = KnnOps.topK(spark, sf, queryId = 0L, k = 3)
       .select("vec_id").collect().map(_.getLong(0)).toSet
