@@ -52,6 +52,7 @@ object SparkEntry {
     "q_text_quality"    -> ((s, d) => TextAnalysisOps.qualityScore(s, d)),
     "q_token_count"     -> ((s, d) => TextAnalysisOps.tokenCount(s, d)),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysisOps.fingerprint(s, d)),
+    "q_doc_winnow"      -> ((s, d) => TextAnalysisOps.winnowFingerprint(s, d)),
     "q_text_bigrams"    -> ((s, d) => TextAnalysisOps.bigrams(s, d)),
     "q_multimodal_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
     // ---- §2.I events (batch) ----
@@ -371,6 +372,25 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp,
         |       CAST(ascii(substr(md5(text), 1, 1)) % 16 AS BIGINT) AS shard
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "q_doc_winnow" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) - 4), i ->
+        |           ascii(substr(text, i,     1)) * CAST(1 AS BIGINT) +
+        |           ascii(substr(text, i + 1, 1)) * CAST(31 AS BIGINT) +
+        |           ascii(substr(text, i + 2, 1)) * CAST(961 AS BIGINT) +
+        |           ascii(substr(text, i + 3, 1)) * CAST(29791 AS BIGINT) +
+        |           ascii(substr(text, i + 4, 1)) * CAST(923521 AS BIGINT) +
+        |           ascii(substr(text, i + 5, 1)) * CAST(28629151 AS BIGINT)) AS hs
+        |  FROM documents WHERE length(text) >= 9),
+        |wn AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(hs) - 2), m ->
+        |           list_min(hs[m:m+3]))) AS fps
+        |  FROM h)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+        |       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+        |FROM wn ORDER BY doc_id ASC""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,

@@ -139,6 +139,43 @@ object TextAnalysisOps {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(topN)
 
+  /** Rolling-hash winnowing fingerprints (the MOSS scheme): polynomial
+    * k-gram hashes over the character stream, then the minimum of each
+    * w-hash window — shift-resistant local fingerprints, the
+    * plagiarism/chunk-level-dedup complement of the whole-document digest
+    * ([[fingerprint]]). Entirely per-row higher-order functions — no
+    * shuffle; the polynomial (base 31, no modulus — 6 ASCII terms stay
+    * under 2^33) computes the identical BIGINT in DuckDB, so the emitted
+    * set summary is oracle-checkable.
+    */
+  def winnowFingerprint(spark: SparkSession, dir: String,
+      k: Int = 6, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 2, s"degenerate winnowing params k=$k w=$w")
+    val text = col("text")
+    val kgramHash = (i: Column) =>
+      (0 until k).map { j =>
+        ascii(text.substr(i + lit(j), lit(1))).cast("long") *
+          lit(math.pow(31, j).toLong)
+      }.reduce(_ + _)
+    val hashes = transform(sequence(lit(1), length(text) - (k - 1)), kgramHash)
+    val winnowed = (hs: Column) =>
+      array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+        m => array_min(slice(hs, m, lit(w)))))
+    Tables.documents(spark, dir)
+      .filter(length(text) >= k + w - 1)
+      // Materialize the hash array BEFORE windowing: referencing the
+      // k-gram transform expression directly inside the winnow lambda
+      // would re-evaluate ALL hashes per window (O(L²·k) per row — it hung
+      // the verify run); a bound column reference makes each slice O(w).
+      .select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"), winnowed(col("hs")).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Document fingerprinting: content digest + a shard bucket derived from
     * it — the partition key of an exact-dedup / routing pass
     * (cf. [[DedupOps.dedupExact]]).
