@@ -53,6 +53,7 @@ object SparkEntry {
     "q_token_count"     -> ((s, d) => TextAnalysisOps.tokenCount(s, d)),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysisOps.fingerprint(s, d)),
     "q_doc_winnow"      -> ((s, d) => TextAnalysisOps.winnowFingerprint(s, d)),
+    "q_sample_split"    -> ((s, d) => TextAnalysisOps.sampleSplit(s, d)),
     "q_text_bigrams"    -> ((s, d) => TextAnalysisOps.bigrams(s, d)),
     "q_multimodal_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
     // ---- §2.I events (batch) ----
@@ -371,6 +372,12 @@ object SparkEntry {
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,
         |       CAST(ascii(substr(md5(text), 1, 1)) % 16 AS BIGINT) AS shard
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "q_sample_split" ->
+      """SELECT doc_id, (doc_id * 2654435761) % 1000 AS bucket,
+        |       CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+        |            WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'valid'
+        |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
     "q_doc_winnow" ->
       """WITH h AS (

@@ -67,6 +67,23 @@ object TextAnalysisOps {
           x => round(x * 1e6).cast("long").cast("string")), ",")).as("sig"))
       .orderBy(col("doc_id").asc)
 
+  /** Deterministic train/valid/test split — the dataset-split operator of a
+    * training pipeline. Bucket = Knuth multiplicative hash of the id mod
+    * 1000 (NOT `df.sample`: rows keep their split across runs, engines,
+    * and repartitions — reproducibility is the point); 80/10/10. A pure
+    * projection, and the bucket predicate pushes to the scan when a single
+    * split is selected.
+    */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id") * lit(2654435761L), lit(1000L)).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 800, "train")
+          .when(col("bucket") < 900, "valid")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id").asc)
+
   /** Language/domain ID by marker-set intersection — the n-gram-heuristic
     * shape of a lang-ID pass (count marker hits per class, argmax with a
     * fixed priority tie-break). Pure projection, oracle-expressible.
