@@ -106,6 +106,7 @@ object SparkEntry {
     "q_window_rank"    -> ((s, d) => RelOps.windowRank(s, d)),
     "q_window_ntile"   -> ((s, d) => RelOps.windowNtile(s, d)),
     "q_pivot"          -> ((s, d) => RelOps.pivotEvents(s, d)),
+    "q_unpivot"        -> ((s, d) => RelOps.unpivotLineitem(s, d)),
     "q_agg_stats"      -> ((s, d) => RelOps.aggStats(s, d)),
     "q_window_running" -> ((s, d) => RelOps.windowRunning(s, d)),
     "q_window_lag"     -> ((s, d) => RelOps.windowLag(s, d)),
@@ -646,6 +647,14 @@ object SparkEntry {
         |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |       count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY date_trunc('day', ts) ORDER BY day ASC""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'quantity', l_quantity FROM lineitem)
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, metric ASC""".stripMargin,
     "q_agg_stats" ->
       """SELECT o_orderstatus,
         |       round(stddev_samp(o_totalprice), 2) AS sd_price,

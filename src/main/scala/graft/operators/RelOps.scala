@@ -368,6 +368,18 @@ object RelOps {
       .limit(10)
   }
 
+  /** UNPIVOT — wide measure columns to long (metric, val) rows via
+    * `stack`, the inverse reshape of [[pivotEvents]]. A Generate projection
+    * (map-side 1→3, no shuffle); the long form is what generic
+    * metric-store sinks and per-metric aggregations consume.
+    */
+  def unpivotLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("stack(3, 'discount', l_discount, 'price', l_extendedprice, 'quantity', l_quantity)")
+          .as(Seq("metric", "val")))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc, col("metric").asc)
+
   /** Composite EXISTS query (TPC-H Q4 shape, adapted to the fixture's
     * columns): orders counted by priority when at least one line item
     * shipped more than 30 days after the order date. The correlated EXISTS
