@@ -60,6 +60,7 @@ object SparkEntry {
     "q_events_tumbling"   -> ((s, d) => EventOps.tumbling(s, d)),
     "q_events_hopping"    -> ((s, d) => EventOps.hopping(s, d)),
     "q_events_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
+    "q_events_retention"  -> ((s, d) => EventOps.retention(s, d)),
     // ---- §2.A scans / sources / sinks ----
     "q_scan_documents"  -> ((s, d) => TextOps.scanDocuments(s, d)),
     "q_tree_flatten"    -> ((s, d) => TextOps.treeFlatten(s, d)),
@@ -436,6 +437,15 @@ object SparkEntry {
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id ASC, session_id ASC""".stripMargin,
+    "q_events_retention" ->
+      """WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT cohort_day,
+        |       CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |       count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day ASC, day_offset ASC""".stripMargin,
     // ---- scans / RAG dataflow ----
     "q_scan_documents" ->
       "SELECT * FROM documents ORDER BY doc_id ASC",

@@ -62,4 +62,24 @@ object EventOps {
         max(col("ts")).as("session_end"))
       .orderBy(col("user_id").asc, col("session_id").asc)
   }
+
+  /** Cohort retention matrix: users grouped by first-seen day, activity
+    * counted per (cohort, day-offset) — the engagement query every events
+    * warehouse runs. Two shuffles: first-seen per user, then the cohort
+    * aggregation; the user→cohort join reuses the user_id partitioning
+    * from the first-seen aggregate.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day").asc, col("day_offset").asc)
+  }
 }
