@@ -166,7 +166,13 @@ object TextAnalysisOps {
     * set summary is oracle-checkable.
     */
   def winnowFingerprint(spark: SparkSession, dir: String,
-      k: Int = 6, w: Int = 4): DataFrame = {
+      k: Int = 6, w: Int = 4): DataFrame =
+    winnowFingerprintOn(Tables.documents(spark, dir), k, w)
+
+  /** Corpus-parametric form of [[winnowFingerprint]] (docs: doc_id, text) —
+    * drives the random-string model test as well as the fixture query.
+    */
+  private[graft] def winnowFingerprintOn(docs: DataFrame, k: Int, w: Int): DataFrame = {
     require(k >= 2 && w >= 2, s"degenerate winnowing params k=$k w=$w")
     val text = col("text")
     val kgramHash = (i: Column) =>
@@ -178,7 +184,7 @@ object TextAnalysisOps {
     val winnowed = (hs: Column) =>
       array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
         m => array_min(slice(hs, m, lit(w)))))
-    Tables.documents(spark, dir)
+    docs
       .filter(length(text) >= k + w - 1)
       // Materialize the hash array BEFORE windowing: referencing the
       // k-gram transform expression directly inside the winnow lambda

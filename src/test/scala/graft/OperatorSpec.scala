@@ -197,6 +197,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(typed.toSeq === sql.toSeq)
   }
 
+  test("winnowing fingerprints match the plain-Scala model on random strings") {
+    import spark.implicits._
+    val k = 6; val w = 4
+    val rnd = new scala.util.Random(271828L)
+    val strings = (0L until 50L).map { id =>
+      val len = k + w - 1 + rnd.nextInt(120)
+      (id, Array.fill(len)((32 + rnd.nextInt(95)).toChar).mkString) // printable ASCII
+    }
+    def model(s: String): (Long, Long, Long) = {
+      val hs = (0 to s.length - k).map { i =>
+        (0 until k).map(j => s(i + j).toLong * math.pow(31, j).toLong).sum
+      }
+      val fps = hs.sliding(w).map(_.min).toSeq.distinct
+      (fps.length.toLong, fps.min, fps.max)
+    }
+    val got = TextAnalysisOps.winnowFingerprintOn(
+        strings.toDF("doc_id", "text"), k, w)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    strings.foreach { case (id, s) => assert(got(id) === model(s), s"doc $id") }
+  }
+
   test("multimodal resize/frame-sample/feature stubs keep shapes and determinism") {
     val recs = MultimodalOps.mediaRecords(spark, sf)
     val resized = MultimodalOps.resize(recs, 8, 8).collect()
