@@ -64,6 +64,52 @@ object CatalogOps {
     spark.sql(s"DROP TABLE IF EXISTS $staging")
   }
 
+  /** Partition-scoped upsert into a PARTITIONED collection — the 100 TB
+    * form of [[upsert]]: instead of rewriting the whole table, merge the
+    * batch with ONLY the stored partitions it touches and rewrite just
+    * those via dynamic partition overwrite. Untouched partitions keep
+    * their files byte-for-byte (pinned in tests). Requires every batch row
+    * to carry the partition column; last-writer-wins per id within the
+    * touched partitions, same semantics as [[upsert]].
+    */
+  def upsertPartitioned(spark: SparkSession, db: String, name: String,
+      batch: DataFrame, idCol: String, partCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val table = s"`$db`.`$name`"
+    val touched = batch.select(col(partCol)).distinct()
+    val current = spark.table(table)
+      .join(broadcast(touched), partCol) // only affected partitions read
+    val tieBreak = struct(current.columns.filterNot(_ == idCol).map(col).toIndexedSeq: _*)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__v").desc, tieBreak.desc)
+    val merged = current.withColumn("__v", lit(1))
+      .unionByName(batch.withColumn("__v", lit(2)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__v", "__rn")
+    // Stage the merge (the plan reads the target table), then rewrite ONLY
+    // the touched partitions: dynamic mode makes INSERT OVERWRITE replace
+    // exactly the partition directories present in the staged frame.
+    val staging = s"`$db`.`__${name}_upsert_staging`"
+    merged.write.mode("overwrite").saveAsTable(staging)
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // insertInto is POSITIONAL and a partitioned table's schema lists the
+      // partition column last (while the using-join above moved it first) —
+      // re-project to the target's column order.
+      val targetCols = spark.table(table).columns.toIndexedSeq.map(col)
+      spark.table(staging).select(targetCols: _*)
+        .write.mode("overwrite").insertInto(s"$db.$name")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
+  }
+
   /** Bucketed collection — the ingest-time layout that makes repeated
     * key-joins shuffle-free: both sides bucketed (and sorted) on the join
     * key land co-partitioned, so SortMergeJoin plans with ZERO Exchange

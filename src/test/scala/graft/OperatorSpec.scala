@@ -332,6 +332,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(!CatalogOps.listDatabases(spark).collect().map(_.getString(0)).contains("graftdb"))
   }
 
+  test("partition-scoped upsert rewrites only the touched partitions") {
+    import graft.sources.{CatalogOps, Tables}
+    CatalogOps.dropDatabase(spark, "pupdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/pupdb.db"))
+    CatalogOps.createDatabase(spark, "pupdb")
+    CatalogOps.createPartitionedCollection(spark, "pupdb", "docs_p",
+      Tables.documents(spark, sf).select(col("doc_id"), col("text"), col("lang")), "lang")
+    val tableDir = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath + "/pupdb.db/docs_p")
+    def partFiles(lang: String): Set[(String, Long)] = {
+      val d = new java.io.File(tableDir, s"lang=$lang")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val langs = spark.table("`pupdb`.`docs_p`").select("lang").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(langs.length >= 2, langs.mkString(","))
+    val (touchLang, keepLang) = (langs.head, langs.last)
+    val keepBefore = partFiles(keepLang)
+    val before = spark.table("`pupdb`.`docs_p`").count()
+    val batchIds = Tables.documents(spark, sf)
+      .filter(col("lang") === touchLang).limit(3)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    import spark.implicits._
+    val batch = batchIds.toSeq.map(id => (id, "PUPDATED", touchLang))
+      .toDF("doc_id", "text", "lang")
+    CatalogOps.upsertPartitioned(spark, "pupdb", "docs_p", batch, "doc_id", "lang")
+    val after = spark.table("`pupdb`.`docs_p`")
+    assert(after.count() === before) // overwrite-by-id, not append
+    assert(after.filter(col("text") === "PUPDATED").count() === batchIds.length)
+    assert(partFiles(keepLang) === keepBefore) // untouched partition intact
+    CatalogOps.dropDatabase(spark, "pupdb")
+  }
+
   test("prenormed knn over a materialized vector collection equals exact knn") {
     import graft.sources.{CatalogOps, Tables}
     CatalogOps.dropDatabase(spark, "vecdb")
