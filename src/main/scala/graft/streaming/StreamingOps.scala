@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** One event row, typed (the `events` fixture schema minus props). */
 case class Ev(user_id: Long, event_id: Long, ts: Timestamp, event_type: String, value: Double)
@@ -78,6 +78,24 @@ object StreamingOps {
       .select(col("p_user").as("user_id"), col("p_id"), col("p_ts"),
         col("c_id"), col("c_ts"))
   }
+
+  /** Streaming ingest into a catalog collection: each micro-batch runs the
+    * overwrite-by-id merge ([[graft.sources.CatalogOps.upsert]], the
+    * reference's `coll.upsert` loop `TencentVDB.py:74-79` made incremental).
+    * `foreachBatch` is the escape hatch that lets a streaming source drive
+    * a batch sink transactionally per micro-batch; at scale the inner
+    * upsert is the partition-scoped variant.
+    */
+  def streamingUpsert(stream: DataFrame, db: String, name: String,
+      idCol: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.CatalogOps.upsert(batch.sparkSession, db, name, batch.toDF, idCol)
+        }
+      }
+      .start()
 
   /** Stream-static enrichment: every micro-batch hash-joins against the
     * broadcast dimension (no streaming state at all — the static side is a

@@ -105,6 +105,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming upsert merges each micro-batch into the collection by id") {
+    import graft.sources.CatalogOps
+    implicit val ctx = spark.sqlContext
+    CatalogOps.dropDatabase(spark, "streamdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/streamdb.db"))
+    CatalogOps.createDatabase(spark, "streamdb")
+    val seed = Seq(ev(1, 1, "2024-01-01 10:00:00")).toDF
+    CatalogOps.createCollection(spark, "streamdb", "evts", seed, shards = 1)
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.streamingUpsert(in.toDS.toDF, "streamdb", "evts", "event_id")
+    try {
+      in.addData(
+        ev(1, 1, "2024-01-01 11:00:00", "view"), // overwrites seed row id 1
+        ev(2, 2, "2024-01-01 11:01:00"))
+      q.processAllAvailable()
+      in.addData(ev(3, 3, "2024-01-01 11:02:00"))
+      q.processAllAvailable()
+      val rows = spark.table("`streamdb`.`evts`")
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("event_type")).toMap
+      assert(rows.keySet === Set(1L, 2L, 3L))
+      assert(rows(1L) === "view") // last writer won
+    } finally {
+      q.stop()
+      CatalogOps.dropDatabase(spark, "streamdb")
+    }
+  }
+
   test("stream-static enrichment joins the broadcast dimension per batch") {
     implicit val ctx = spark.sqlContext
     val dim = Seq(("click", 1), ("view", 2), ("purchase", 9))
