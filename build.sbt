@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe the forked runMain's stdout straight through, UNPREFIXED: sbt's
+// default logger tags every line with [info]/[error], which breaks any
+// machine consumer of Bench's single JSON metric line (the driver's
+// BENCH_r*.json recorded parsed:null every round because of the prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
