@@ -185,7 +185,12 @@ object KnnOps {
       rowsPerBand: Int = 3, bandsCount: Int = 48): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
     val emb = corpus(spark, dir)
-    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    val dimRow = emb.select(size(col("embedding")).as("d")).limit(1).collect()
+    if (dimRow.isEmpty) { // empty corpus: no pairs, keep the output schema
+      return emb.select(col("vec_id").as("a_id"), col("vec_id").as("b_id"),
+        lit(0.0).as("score")).limit(0)
+    }
+    val dim = dimRow(0).getInt(0)
     val rnd = new scala.util.Random(8123401L)
     val planes = Array.fill(bandsCount * rowsPerBand * dim)(rnd.nextGaussian())
 

@@ -309,6 +309,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("dimension mismatch")))
   }
 
+  test("LSH similarity join is graceful on an empty corpus") {
+    import graft.sources.Tables
+    val empty = Tables.embeddings(spark, sf).filter(col("vec_id") < 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_empty").toFile
+    try {
+      empty.write.mode("overwrite").parquet(tmp.getPath + "/embeddings.parquet")
+      val out = KnnOps.simJoinLsh(spark, tmp.getPath)
+      assert(out.count() === 0)
+      assert(out.columns.toSeq === Seq("a_id", "b_id", "score"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
+  test("reference pipeline composes end-to-end through the catalog") {
+    import graft.sources.{CatalogOps, Tables}
+    CatalogOps.dropDatabase(spark, "ragdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/ragdb.db"))
+    CatalogOps.createDatabase(spark, "ragdb")
+    // ingest: vector collection with materialized unit vectors (index build)
+    CatalogOps.createVectorCollection(spark, "ragdb", "kb",
+      Tables.embeddings(spark, sf))
+    // query path: prenormed one-dot retrieval over the stored collection...
+    val hits = KnnOps.topKPrenormed(spark.table("`ragdb`.`kb`"), queryId = 0L, k = 3)
+    // ...must retrieve the same documents as the raw-parquet exact plan
+    val exactIds = KnnOps.topK(spark, sf, queryId = 0L, k = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val hitIds = hits.select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(hitIds === exactIds)
+    // answer shaping: payload join + citation block over the retrieved ids
+    val answer = hits.join(Tables.documents(spark, sf),
+        hits("vec_id") === col("doc_id"))
+      .agg(concat(lit("参考链接："),
+        array_join(sort_array(collect_list(
+          concat(lit("\n\n"), col("source"), lit("     "), col("doc_id")))), ""))
+        .as("citations"))
+      .collect()(0).getString(0)
+    assert(answer.startsWith("参考链接："))
+    exactIds.foreach(id => assert(answer.contains(id.toString)))
+    CatalogOps.dropDatabase(spark, "ragdb")
+  }
+
   test("catalog lifecycle: create, load, upsert-by-id, drop") {
     import graft.sources.{CatalogOps, Tables}
     import org.apache.spark.sql.functions._
