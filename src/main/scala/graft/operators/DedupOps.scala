@@ -79,23 +79,26 @@ object DedupOps {
     * corpus scale the dictionary generalizes to multi-word bitsets over a
     * frequency-pruned vocabulary.
     */
-  private def exactBitsets(docs: DataFrame): Option[DataFrame] = {
-    // Probe, don't collect: pull at most 65 distinct tokens — the full
-    // vocabulary reaches the driver only when it provably fits 64 bits.
+  /** Probe, don't collect: pull at most 65 distinct tokens — the full
+    * vocabulary reaches the driver only when it provably fits 64 bits.
+    */
+  private def probeVocab(docs: DataFrame): Option[Seq[String]] = {
     val probe = docs.select(explode(tokenSet(col("text"))).as("t"))
       .distinct().limit(65)
       .collect().map(_.getString(0))
-    if (probe.length > 64) None
-    else {
-      val vocab = probe.toSeq.sorted
+    if (probe.length > 64) None else Some(probe.toSeq.sorted)
+  }
+
+  private def exactBitsets(docs: DataFrame): Option[DataFrame] = {
+    probeVocab(docs).map { vocab =>
       val vlit = typedLit(vocab)
       val bm = aggregate(tokenSet(col("text")), lit(0L), (acc, t) =>
         acc.bitwiseOR(call_function("shiftleft", lit(1L),
           (array_position(vlit, t) - 1).cast("int"))))
       // Cached: reused by both join sides / verify stages without
       // recomputing the tokenize+dictionary pass (tiny: 2 longs per doc).
-      Some(docs.select(col("doc_id"), bm.as("bm"))
-        .withColumn("n", bit_count(col("bm")).cast("int")).cache())
+      docs.select(col("doc_id"), bm.as("bm"))
+        .withColumn("n", bit_count(col("bm")).cast("int")).cache()
     }
   }
 
@@ -198,22 +201,40 @@ object DedupOps {
     (a, b)
   }
 
-  /** MinHash signature columns h0..h15 per doc_id, from the distinct token
-    * stream: h_i(doc) = min over tokens of (a_i·x + b_i) mod p, with
-    * x = 31-bit xxhash64 of the token (products stay < 2^62 — no long
-    * overflow — while wrapping the 31-bit modulus thoroughly).
-    * One explode + one groupBy(doc_id): shuffle volume is one row per
-    * (doc, token), aggregated map-side to one row per doc.
+  /** MinHash signatures h0..h15 AND the verify-side set representation per
+    * doc, in ONE aggregation over the same exploded token stream:
+    * h_i(doc) = min over tokens of (a_i·x + b_i) mod p, with x = 31-bit
+    * xxhash64 of the token (products stay < 2^62 — no long overflow —
+    * while wrapping the 31-bit modulus thoroughly); the set side is a
+    * `bit_or` bitmap (dictionary bit when the vocabulary fits one word,
+    * hashed bit otherwise) plus, on the general path, the sorted token
+    * array for exact verification. One explode + one groupBy(doc_id):
+    * shuffle volume is one row per (doc, token) with map-side partial
+    * aggregation — the earlier separate signature ⋈ bitmap join cost two
+    * extra exchanges for data that was derivable from the same stream.
     */
-  private def minhashSignatures(docs: DataFrame): DataFrame = {
+  private def minhashSigMeta(docs: DataFrame, vocab: Option[Seq[String]]): DataFrame = {
+    val bitPos = vocab match {
+      case Some(v) => (array_position(typedLit(v), col("t")) - 1).cast("int")
+      case None => pmod(xxhash64(col("t")), lit(64L)).cast("int")
+    }
     val tok = docs
       .select(col("doc_id"), explode(tokenSet(col("text"))).as("t"))
       .select(col("doc_id"),
-        xxhash64(col("t")).bitwiseAND(lit(0x7FFFFFFFL)).as("x"))
+        xxhash64(col("t")).bitwiseAND(lit(0x7FFFFFFFL)).as("x"),
+        call_function("shiftleft", lit(1L), bitPos).as("bit"),
+        col("t"))
     val mins = (0 until NumHashes).map { i =>
       min(pmod(lit(hashA(i)) * col("x") + lit(hashB(i)), lit(MinhashPrime))).as(s"h$i")
     }
-    tok.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val setSide =
+      if (vocab.isDefined) Seq(bit_or(col("bit")).as("bm"))
+      else Seq(bit_or(col("bit")).as("bm"),
+        sort_array(collect_list(col("t"))).as("s"), count(lit(1)).as("n"))
+    val aggs = mins ++ setSide
+    val base = tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    if (vocab.isDefined) base.withColumn("n", bit_count(col("bm")).cast("int"))
+    else base.withColumn("n", col("n").cast("int"))
   }
 
   /** Near-dup SURVIVORS via MinHash + banded LSH: the deduplicated corpus
@@ -249,7 +270,9 @@ object DedupOps {
       .agg(min(struct(col("doc_id"), col("text"))).as("rep"))
       .select(col("rep.doc_id").as("doc_id"), col("rep.text").as("text"))
       .cache() // reused by signatures, bitmaps, verify and the anti-join
-    val sig = minhashSignatures(docs)
+    val vocab = probeVocab(docs)
+    // cached: the general path reads it for both banding and verify join-backs
+    val sig = minhashSigMeta(docs, vocab).cache()
     val bandStructs = (0 until NumBands).map { bnd =>
       struct(lit(bnd).as("band"), xxhash64(col(s"h${2 * bnd}"), col(s"h${2 * bnd + 1}")).as("bkey"))
     }
@@ -261,10 +284,9 @@ object DedupOps {
     //  - general vocabulary → hashed-bitmap prefilter in the join condition,
     //    distinct candidate pairs, then join token arrays back and verify
     //    with the codegen'd sorted-merge intersection.
-    val verified = exactBitsets(docs) match {
-      case Some(ws) =>
-        val banded = sig.join(ws.withColumnRenamed("doc_id", "m_id"),
-            col("doc_id") === col("m_id"))
+    val verified = vocab match {
+      case Some(_) =>
+        val banded = sig
           .select(col("doc_id"), col("bm"), col("n"), explode(array(bandStructs: _*)).as("bb"))
           .select(col("doc_id"), col("bm"), col("n"),
             col("bb.band").as("band"), col("bb.bkey").as("bkey"))
@@ -278,8 +300,7 @@ object DedupOps {
               jaccardBitset(col("a_bm"), col("b_bm"), col("a_n"), col("b_n")) >= tau)
           .select(col("b_id")).distinct()
       case None =>
-        val meta = docs.select(col("doc_id").as("m_id"), tokenBitmap(col("text")).as("bm"))
-        val banded = sig.join(meta, col("doc_id") === col("m_id"))
+        val banded = sig
           .select(col("doc_id"), col("bm"), explode(array(bandStructs: _*)).as("bb"))
           .select(col("doc_id"), col("bm"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
         val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"), col("bm").as("a_bm"))
@@ -290,8 +311,7 @@ object DedupOps {
               col("a_id") < col("b_id") &&
               bitmapPrefilter(col("a_bm"), col("b_bm"), math.max(0.0, tau - 0.25)))
           .select(col("a_id"), col("b_id")).distinct()
-        val ws = docs.select(col("doc_id"), tokenSetSorted(col("text")).as("s"),
-          size(tokenSet(col("text"))).as("n"))
+        val ws = sig.select(col("doc_id"), col("s"), col("n"))
         candidates
           .join(ws.select(col("doc_id").as("a_id"), col("s").as("a_s"), col("n").as("a_n")), "a_id")
           .join(ws.select(col("doc_id").as("b_id"), col("s").as("b_s"), col("n").as("b_n")), "b_id")
