@@ -92,7 +92,7 @@ object StreamingOps {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
-          graft.sources.CatalogOps.upsert(batch.sparkSession, db, name, batch.toDF, idCol)
+          graft.sources.CatalogOps.upsert(batch.sparkSession, db, name, batch.toDF(), idCol)
         }
       }
       .start()
