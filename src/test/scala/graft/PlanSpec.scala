@@ -135,4 +135,20 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(KnnOps.quantize(spark, sf))
     assert(p.linesIterator.count(_.contains("Exchange")) <= 1, p)
   }
+
+  test("EXISTS query plans a semi join with the date filter pushed down") {
+    val p = plan(RelOps.orderPriorityCheck(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+  }
+
+  test("ingest composite shuffles once (the last-writer-wins window)") {
+    val p = plan(TextOps.ingestEndToEnd(spark, sf))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
+  }
+
+  test("time-RANGE window reuses one user_id exchange") {
+    val p = plan(RelOps.windowRange(spark, sf))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
+  }
 }
