@@ -173,13 +173,14 @@ object KnnOps {
     * after tuning). Raise b for thicker margin on new data; real near-dup
     * pipelines (τ ≥ 0.8) raise r for sharper buckets instead.
     *
-    * Measured tradeoff (sf0.1, n=2000, τ=0.35): exact all-pairs ≈ 2.4 s,
-    * this plan ≈ 8-10 s — at a low threshold over near-random vectors the
-    * bands barely prune, so bucket-pair enumeration ≈ n² plus banding
-    * overhead. The crossover is where n² outgrows Σ bucket²: larger
-    * corpora with genuine near-dup structure (tight buckets), or higher τ
-    * (sharper r). The exact join is the right plan below that point; this
-    * is the plan that still exists above it.
+    * Measured tradeoff (fixture sf0.1, n=2000, τ=0.35): exact all-pairs is
+    * FASTER — at a low threshold over near-random vectors the bands barely
+    * prune (p(random)=0.5 vs p(τ)=0.61), so bucket-pair enumeration ≈ n².
+    * The crossover is real and measured ([[graft.LshCrossover]], planted
+    * near-dup corpus at τ=0.8): n=20k → exact 13.1 s vs LSH(r=12,b=64)
+    * 5.2 s at 99.9% recall; n=50k → exact 80.2 s vs LSH(r=16,b=96) 9.4 s
+    * at 99.6% recall, the gap widening with n. The exact join is the right
+    * plan below the crossover; this is the plan that still exists above it.
     */
   def simJoinLsh(spark: SparkSession, dir: String, threshold: Double = 0.35,
       rowsPerBand: Int = 3, bandsCount: Int = 48): DataFrame = {
