@@ -56,7 +56,7 @@ object LshCrossover {
     // Measured on this box: n=20k → exact 13.1s / LSH(r=12,b=64) 5.2s at
     // 99.9% recall; n=50k → exact 80.2s / LSH(r=16,b=96) 9.4s at 99.6%.
     time("banded LSH r=16 b=96")(
-      graft.operators.KnnOps.simJoinLsh(spark, dir, tau, rowsPerBand = 16, bandsCount = 96).count())
+      graft.operators.KnnOps.simJoinLsh(spark, dir, tau, rowsPerBandOverride = 16, bandsCountOverride = 96).count())
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     spark.stop()
   }

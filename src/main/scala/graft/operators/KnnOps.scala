@@ -165,13 +165,12 @@ object KnnOps {
     * rescoring keeps only true matches. Hyperplanes are seeded-deterministic
     * and read their dimension from the data (dim-agnostic engine rule).
     *
-    * Band tuning: P(candidate) = 1-(1-p^r)^b with p = 1-θ/π. The defaults
-    * (r=3, b=48) put the per-pair miss probability at ≈ 3e-6 down to
-    * cosine 0.35 (expected misses < 1e-3 across all fixture pairs) — and
-    * the query REPRODUCES the exact [[simJoin]] result on the fixtures
-    * (re-validated against the same brute-force oracle at both scales
-    * after tuning). Raise b for thicker margin on new data; real near-dup
-    * pipelines (τ ≥ 0.8) raise r for sharper buckets instead.
+    * Band tuning is AUTOMATIC ([[lshParams]]): P(candidate) = 1-(1-pʳ)ᵇ
+    * with p = 1-θ/π, sized so a pair at the threshold is missed with
+    * probability ≤ 1e-6 (τ=0.35 → r=3, b=53; τ=0.8 → r=7, b=62). On the
+    * fixtures the query REPRODUCES the exact [[simJoin]] result
+    * (validated against the brute-force oracle at both scales); explicit
+    * overrides remain for experiments ([[graft.LshCrossover]]).
     *
     * Measured tradeoff (fixture sf0.1, n=2000, τ=0.35): exact all-pairs is
     * FASTER — at a low threshold over near-random vectors the bands barely
@@ -182,9 +181,31 @@ object KnnOps {
     * at 99.6% recall, the gap widening with n. The exact join is the right
     * plan below the crossover; this is the plan that still exists above it.
     */
+  /** Collision-model banding auto-tuner: given the join threshold, pick
+    * (rowsPerBand, bands) so a pair AT the threshold is missed with
+    * probability ≤ `targetMiss`. p = 1 - θ/π is the per-hyperplane
+    * agreement probability; r is sized so a band matches a threshold pair
+    * with probability ≈ 0.2 (sharp enough to thin random buckets, shallow
+    * enough that the band count stays small), then b follows from
+    * (1-pʳ)ᵇ ≤ targetMiss. Pairs above the threshold miss exponentially
+    * less. This is how the operator adapts from the oracle's permissive
+    * τ=0.35 (r=3, b=53) to a real near-dup τ=0.8 (r=7, b=62) without the
+    * caller thinking about banding at all.
+    */
+  private[graft] def lshParams(threshold: Double, targetMiss: Double = 1e-6): (Int, Int) = {
+    val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    require(p > 0.0 && p < 1.0, s"threshold $threshold gives degenerate agreement p=$p")
+    val r = math.max(1, math.min(24, math.floor(math.log(0.2) / math.log(p)).toInt))
+    val b = math.max(1, math.ceil(math.log(targetMiss) / math.log1p(-math.pow(p, r))).toInt)
+    (r, b)
+  }
+
   def simJoinLsh(spark: SparkSession, dir: String, threshold: Double = 0.35,
-      rowsPerBand: Int = 3, bandsCount: Int = 48): DataFrame = {
+      rowsPerBandOverride: Int = 0, bandsCountOverride: Int = 0): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val (autoR, autoB) = lshParams(threshold)
+    val rowsPerBand = if (rowsPerBandOverride > 0) rowsPerBandOverride else autoR
+    val bandsCount = if (bandsCountOverride > 0) bandsCountOverride else autoB
     val emb = corpus(spark, dir)
     val dimRow = emb.select(size(col("embedding")).as("d")).limit(1).collect()
     if (dimRow.isEmpty) { // empty corpus: no pairs, keep the output schema

@@ -74,6 +74,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(agg.getLong(1) === 2L)
   }
 
+  test("LSH banding auto-tuner meets the miss target across thresholds") {
+    Seq(0.2, 0.35, 0.5, 0.8, 0.9, 0.95).foreach { tau =>
+      val (r, b) = KnnOps.lshParams(tau)
+      val p = 1.0 - math.acos(tau) / math.Pi
+      val miss = math.pow(1.0 - math.pow(p, r), b)
+      assert(miss <= 1e-6 * 1.0001, s"tau=$tau r=$r b=$b miss=$miss")
+      assert(r >= 1 && b >= 1 && b <= 500, s"tau=$tau r=$r b=$b")
+    }
+    assert(KnnOps.lshParams(0.35) === ((3, 53)))
+    assert(KnnOps.lshParams(0.8) === ((7, 62)))
+  }
+
   test("LSH-bucketed similarity join reproduces the exact all-pairs result") {
     val exact = KnnOps.simJoin(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val lsh = KnnOps.simJoinLsh(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
