@@ -247,6 +247,12 @@ object DedupOps {
     * P(candidate | j) = 1-(1-j²)^8 — per-pair miss (1-0.95²)⁸ ≈ 8.2e-9 at j ≥ 0.95, so the output
     * equals the exact [[jaccardPairs]] dedup on the fixtures (validated
     * against the brute-force oracle).
+    *
+    * Measured at 10× fixture scale ([[graft.DedupScale]]: 30k docs,
+    * 10k-word vocabulary — the general path — 20% planted near-dups at
+    * j ≈ 0.95, τ=0.9): blocked all-pairs 668.7 s vs this plan 6.5 s —
+    * 103× — with EXACTLY equal survivor sets. This is the quadratic-vs-
+    * candidate crossover the banding exists for.
     */
   def minHashLsh(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame =
     minHashLshOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")), tau)
