@@ -79,6 +79,26 @@ object StreamingOps {
         col("c_id"), col("c_ts"))
   }
 
+  /** Watermarked windowed TOP-K: the bounded-heap aggregate
+    * ([[graft.plans.TopKScoreId]]) inside a streaming window aggregation —
+    * per tumbling day, the k highest-value events. The same
+    * partial-merge contract that bounds the batch shuffle bounds the
+    * streaming STATE here: each open window stores k entries, not its
+    * event history; windows emit on watermark close (append mode).
+    */
+  def windowedTopK(events: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val topk = toCol(graft.plans.TopKScoreId(
+      toExpr(col("value")), toExpr(col("event_id")), k).toAggregateExpression())
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(topk.as("topk"))
+      .select(col("w.start").as("day"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("day"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.vec_id").as("event_id"), col("hit.score").as("value"))
+  }
+
   /** Streaming ingest into a catalog collection: each micro-batch runs the
     * overwrite-by-id merge ([[graft.sources.CatalogOps.upsert]], the
     * reference's `coll.upsert` loop `TencentVDB.py:74-79` made incremental).

@@ -105,6 +105,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed top-k keeps the k best events per closed window") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.windowedTopK(in.toDS.toDF, k = 2)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, 10, ts("2024-01-01 01:00:00"), "click", 5.0),
+        Ev(1, 11, ts("2024-01-01 02:00:00"), "click", 9.0),
+        Ev(2, 12, ts("2024-01-01 03:00:00"), "view", 7.0),
+        Ev(2, 13, ts("2024-01-01 04:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(9, 99, ts("2024-01-02 02:30:00"), "click", 0.0)) // close day 1
+      q.processAllAvailable()
+      val rows = spark.table("topk_out")
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+      assert(rows === Seq((1, 11L, 9.0), (2, 12L, 7.0))) // top-2 by value
+    } finally q.stop()
+  }
+
   test("streaming upsert merges each micro-batch into the collection by id") {
     import graft.sources.CatalogOps
     implicit val ctx = spark.sqlContext
