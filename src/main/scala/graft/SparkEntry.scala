@@ -80,6 +80,7 @@ object SparkEntry {
     "q_json_tree"       -> ((s, d) => TextOps.jsonTree(s, d)),
     "q_rag_e2e"         -> ((s, d) => TextOps.ragEndToEnd(s, d)),
     "q_ingest_e2e"      -> ((s, d) => TextOps.ingestEndToEnd(s, d)),
+    "q_chunk_split"     -> ((s, d) => TextOps.chunkSplit(s, d)),
     "q_scalar_bundle"   -> ((s, d) => RelOps.scalarBundle(s, d)),
     // ---- §2.E aggregations / result shaping ----
     "q_flatten_results"  -> ((s, d) => TextOps.flattenResults(s, d)),
@@ -309,6 +310,16 @@ object SparkEntry {
         |       substr('请按照"总结要点"进行总结,内容是：' || string_agg(snip, '' ORDER BY rank ASC), 1, 200) AS llm_prompt,
         |       '参考链接：' || string_agg(chr(10) || chr(10) || source || '     ' || doc_id, '' ORDER BY rank ASC) AS citations
         |FROM payload""".stripMargin,
+    "q_chunk_split" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |         greatest(1, CAST(ceil((length(text) - 200) / 150.0) + 1 AS BIGINT)) AS n
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |       substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk,
+        |       CAST(length(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len
+        |FROM (SELECT doc_id, text, unnest(range(0, n)) AS i FROM c)
+        |ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
     "q_ingest_e2e" ->
       """WITH v AS (
         |  SELECT 'https://corpus.local/' || source || '/' || doc_id AS url, doc_id, text,

@@ -313,6 +313,29 @@ object TextOps {
       .select(lit(queryId).as("query_id"), col("llm_prompt"), col("citations"))
   }
 
+  /** Overlapping-window document chunking — what a real RAG ingest does
+    * where the reference hard-truncates (`text[:6000]`, `Crawling.py:45`):
+    * fixed-size character windows advancing by (size − overlap), so every
+    * boundary appears intact in some chunk. A 1→N map-side Generate; chunk
+    * count is the closed form max(1, ⌈(len − size)/step⌉ + 1), identical
+    * IEEE arithmetic in the DuckDB oracle.
+    */
+  def chunkSplit(spark: SparkSession, dir: String,
+      size: Int = 200, overlap: Int = 50): DataFrame = {
+    require(size > overlap && overlap >= 0, s"bad chunking: size=$size overlap=$overlap")
+    val step = size - overlap
+    val nChunks = greatest(lit(1),
+      (ceil((length(col("text")) - size).cast("double") / step) + 1).cast("int"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => col("text").substr(i * step + 1, lit(size))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"), length(col("chunk")).cast("long").as("chunk_len"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+  }
+
   /** The reference's ENTIRE ingest path as one DataFrame (SURVEY §3.1, the
     * ingest twin of [[ragEndToEnd]]): crawl records with a re-crawl batch
     * (`crawlData`, `Crawling.py:33-51`) → URL key (`Crawling.py:26`) →

@@ -209,6 +209,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(typed.toSeq === sql.toSeq)
   }
 
+  test("chunk splitting overlaps adjacent chunks and covers the document") {
+    val rows = TextOps.chunkSplit(spark, sf, size = 200, overlap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = rows.groupBy(_._1)
+    val lens = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2).map(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.takeRight(50) === b.take(50)) // overlap intact
+        case _ =>
+      }
+      // full coverage: advancing 150 per chunk, ending past the doc length
+      assert(150L * (sorted.length - 1) + sorted.last.length >= lens(id))
+    }
+  }
+
   test("winnowing fingerprints match the plain-Scala model on random strings") {
     import spark.implicits._
     val k = 6; val w = 4
