@@ -36,6 +36,7 @@ object SparkEntry {
     "q_knn_ivf_kmeans" -> ((s, d) => KnnOps.topKIvfKmeans(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
+    "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
     "q_vec_centroids" -> ((s, d) => KnnOps.centroids(s, d)),
     "q_vec_quantize"  -> ((s, d) => KnnOps.quantize(s, d)),
     "q_cosine_pair"   -> ((s, d) => cosinePair(s, d)),
@@ -192,6 +193,12 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) > 0.35
         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
     "q_sim_join_lsh" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) > 0.35
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "q_sim_join_auto" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

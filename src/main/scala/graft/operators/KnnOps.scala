@@ -252,6 +252,23 @@ object KnnOps {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
+  /** Cost-based similarity-join dispatch — the same statistics-driven
+    * physical choice Catalyst makes for broadcast-vs-shuffle joins,
+    * applied to the similarity join: below the measured crossover
+    * (~10-20k rows, [[graft.LshCrossover]]) the all-pairs nested loop is
+    * faster (banding cannot prune thin data and its enumeration overhead
+    * dominates); above it the banded plan wins asymptotically. The corpus
+    * row count is one cheap aggregate over the pruned scan. Results are
+    * identical either way (LSH recall margin ≤ 1e-6 per pair by
+    * [[lshParams]]), so the oracle is shared with [[simJoin]].
+    */
+  def simJoinAuto(spark: SparkSession, dir: String, threshold: Double = 0.35,
+      crossoverRows: Long = 10000L): DataFrame = {
+    val n = corpus(spark, dir).count()
+    if (n <= crossoverRows) simJoin(spark, dir, threshold)
+    else simJoinLsh(spark, dir, threshold)
+  }
+
   /** IVF-style ANN retrieval — the reference's latent index surface
     * (`IVFFLATParams` imported but unused, ref `TencentVDB.py:7`; HNSW is
     * the exercised one, `TencentVDB.py:46`).
