@@ -413,20 +413,17 @@ object DedupOps {
 
   /** Embedding-space near-dup: each doc that has a lower-id neighbor at
     * cosine ≥ τ, mapped to its canonical (lowest-id) representative — the
-    * "semantic dedup" pass of a training-data pipeline. Exact pair scoring
-    * here (oracle-checkable); at scale the candidate step is the LSH /
-    * bucketed plan of [[KnnOps.simJoinLsh]].
+    * "semantic dedup" pass of a training-data pipeline. The pair source is
+    * the cost-dispatching similarity join ([[KnnOps.simJoinAuto]]): exact
+    * all-pairs below the measured crossover, banded LSH above it — so this
+    * pass inherits the scale path without its own tuning. (The join emits
+    * score > τ−ε and the ≥ τ cut reapplies on the rounded score, keeping
+    * the boundary semantics of the oracle exactly.)
     */
   def embedNearDup(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
-    import graft.functions.VectorFunctions.cosineFast
-    val emb = Tables.embeddings(spark, dir)
-    // Stream side spread to core count — see [[KnnOps.simJoin]]: a one-file
-    // fixture otherwise runs the whole O(n²) nested loop on one thread.
-    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      .repartition(spark.sparkContext.defaultParallelism)
-    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    a.join(b, col("a_id") < col("b_id"))
-      .filter(round(cosineFast(col("a_emb"), col("b_emb")), 6) >= tau)
+    // strictly-greater join threshold nudged below τ so pairs AT τ survive
+    KnnOps.simJoinAuto(spark, dir, threshold = tau - 1e-7)
+      .filter(col("score") >= tau)
       .groupBy(col("b_id"))
       .agg(min(col("a_id")).as("canonical_id"))
       .select(col("b_id").as("dup_id"), col("canonical_id"))
