@@ -130,7 +130,7 @@ object SparkEntry {
     */
   def benchQueries: Seq[String] = Seq(
     "q_knn_topk", "q_knn_batch", "q_knn_filtered", "q_knn_ivf_kmeans",
-    "q_cosine_pair", "q_sim_join", "q_sim_join_lsh", "q_vec_centroids",
+    "q_cosine_pair", "q_sim_join", "q_sim_join_lsh", "q_sim_join_auto", "q_vec_centroids",
     "q_vec_quantize", "q_embed_batch",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_embed", "q_text_quality", "q_token_count", "q_multimodal_meta",
