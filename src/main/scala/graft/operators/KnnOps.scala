@@ -156,6 +156,25 @@ object KnnOps {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
+  /** Collision-model banding auto-tuner: given the join threshold, pick
+    * (rowsPerBand, bands) so a pair AT the threshold is missed with
+    * probability ≤ `targetMiss`. p = 1 - θ/π is the per-hyperplane
+    * agreement probability; r is sized so a band matches a threshold pair
+    * with probability ≈ 0.2 (sharp enough to thin random buckets, shallow
+    * enough that the band count stays small), then b follows from
+    * (1-pʳ)ᵇ ≤ targetMiss. Pairs above the threshold miss exponentially
+    * less. This is how the operator adapts from the oracle's permissive
+    * τ=0.35 (r=3, b=53) to a real near-dup τ=0.8 (r=7, b=62) without the
+    * caller thinking about banding at all.
+    */
+  private[graft] def lshParams(threshold: Double, targetMiss: Double = 1e-6): (Int, Int) = {
+    val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    require(p > 0.0 && p < 1.0, s"threshold $threshold gives degenerate agreement p=$p")
+    val r = math.max(1, math.min(24, math.floor(math.log(0.2) / math.log(p)).toInt))
+    val b = math.max(1, math.ceil(math.log(targetMiss) / math.log1p(-math.pow(p, r))).toInt)
+    (r, b)
+  }
+
   /** LSH-bucketed similarity join — the cross-join replacement at scale.
     *
     * Random-hyperplane signatures (sign of the projection, the SimHash-for-
@@ -179,27 +198,9 @@ object KnnOps {
     * near-dup corpus at τ=0.8): n=20k → exact 13.1 s vs LSH(r=12,b=64)
     * 5.2 s at 99.9% recall; n=50k → exact 80.2 s vs LSH(r=16,b=96) 9.4 s
     * at 99.6% recall, the gap widening with n. The exact join is the right
-    * plan below the crossover; this is the plan that still exists above it.
+    * plan below the crossover; this is the plan that still exists above it
+    * (and [[simJoinAuto]] picks the side for you).
     */
-  /** Collision-model banding auto-tuner: given the join threshold, pick
-    * (rowsPerBand, bands) so a pair AT the threshold is missed with
-    * probability ≤ `targetMiss`. p = 1 - θ/π is the per-hyperplane
-    * agreement probability; r is sized so a band matches a threshold pair
-    * with probability ≈ 0.2 (sharp enough to thin random buckets, shallow
-    * enough that the band count stays small), then b follows from
-    * (1-pʳ)ᵇ ≤ targetMiss. Pairs above the threshold miss exponentially
-    * less. This is how the operator adapts from the oracle's permissive
-    * τ=0.35 (r=3, b=53) to a real near-dup τ=0.8 (r=7, b=62) without the
-    * caller thinking about banding at all.
-    */
-  private[graft] def lshParams(threshold: Double, targetMiss: Double = 1e-6): (Int, Int) = {
-    val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
-    require(p > 0.0 && p < 1.0, s"threshold $threshold gives degenerate agreement p=$p")
-    val r = math.max(1, math.min(24, math.floor(math.log(0.2) / math.log(p)).toInt))
-    val b = math.max(1, math.ceil(math.log(targetMiss) / math.log1p(-math.pow(p, r))).toInt)
-    (r, b)
-  }
-
   def simJoinLsh(spark: SparkSession, dir: String, threshold: Double = 0.35,
       rowsPerBandOverride: Int = 0, bandsCountOverride: Int = 0): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
