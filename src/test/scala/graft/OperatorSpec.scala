@@ -74,6 +74,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(agg.getLong(1) === 2L)
   }
 
+  test("similarity-join dispatcher branches agree on the fixture") {
+    val viaExact = KnnOps.simJoinAuto(spark, sf, crossoverRows = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val viaLsh = KnnOps.simJoinAuto(spark, sf, crossoverRows = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(viaExact.nonEmpty)
+    assert(viaLsh.toSeq === viaExact.toSeq)
+  }
+
   test("LSH banding auto-tuner meets the miss target across thresholds") {
     Seq(0.2, 0.35, 0.5, 0.8, 0.9, 0.95).foreach { tau =>
       val (r, b) = KnnOps.lshParams(tau)
