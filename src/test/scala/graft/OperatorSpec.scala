@@ -74,6 +74,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(agg.getLong(1) === 2L)
   }
 
+  test("retention matrix: offsets non-negative, day 0 covers every user") {
+    import graft.sources.Tables
+    val rows = EventOps.retention(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (day_offset, n_users)
+    assert(rows.nonEmpty && rows.forall(_._1 >= 0L))
+    val day0 = rows.filter(_._1 == 0L).map(_._2).sum
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(day0 === users) // every user is active on their own first day
+  }
+
   test("similarity-join dispatcher branches agree on the fixture") {
     val viaExact = KnnOps.simJoinAuto(spark, sf, crossoverRows = Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
