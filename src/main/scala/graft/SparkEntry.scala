@@ -82,6 +82,7 @@ object SparkEntry {
     "q_rag_e2e"         -> ((s, d) => TextOps.ragEndToEnd(s, d)),
     "q_ingest_e2e"      -> ((s, d) => TextOps.ingestEndToEnd(s, d)),
     "q_chunk_split"     -> ((s, d) => TextOps.chunkSplit(s, d)),
+    "q_pipeline_e2e"    -> ((s, d) => TextOps.pipelineEndToEnd(s, d)),
     "q_scalar_bundle"   -> ((s, d) => RelOps.scalarBundle(s, d)),
     // ---- §2.E aggregations / result shaping ----
     "q_flatten_results"  -> ((s, d) => TextOps.flattenResults(s, d)),
@@ -317,6 +318,37 @@ object SparkEntry {
         |       substr('请按照"总结要点"进行总结,内容是：' || string_agg(snip, '' ORDER BY rank ASC), 1, 200) AS llm_prompt,
         |       '参考链接：' || string_agg(chr(10) || chr(10) || source || '     ' || doc_id, '' ORDER BY rank ASC) AS citations
         |FROM payload""".stripMargin,
+    "q_pipeline_e2e" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |  FROM documents),
+        |filtered AS (
+        |  SELECT doc_id, text FROM q
+        |  WHERE n_tokens >= 30 AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3),
+        |deduped AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        |    FROM filtered)
+        |  WHERE rn = 1),
+        |chunked AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |         substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk
+        |  FROM (SELECT doc_id, text,
+        |               unnest(range(0, greatest(1, CAST(ceil((length(text) - 200) / 150.0) + 1 AS BIGINT)))) AS i
+        |        FROM deduped)),
+        |assigned AS (
+        |  SELECT doc_id, chunk,
+        |         CASE WHEN (doc_id * 2654435761 + chunk_idx * 40503) % 1000 < 800 THEN 'train'
+        |              WHEN (doc_id * 2654435761 + chunk_idx * 40503) % 1000 < 900 THEN 'valid'
+        |              ELSE 'test' END AS split
+        |  FROM chunked)
+        |SELECT split, count(*) AS n_chunks,
+        |       CAST(sum(len(string_split(chunk, ' '))) AS BIGINT) AS n_tokens,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM assigned GROUP BY split ORDER BY split ASC""".stripMargin,
     "q_chunk_split" ->
       """WITH c AS (
         |  SELECT doc_id, text,

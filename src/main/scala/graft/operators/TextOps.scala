@@ -321,12 +321,18 @@ object TextOps {
     * IEEE arithmetic in the DuckDB oracle.
     */
   def chunkSplit(spark: SparkSession, dir: String,
-      size: Int = 200, overlap: Int = 50): DataFrame = {
+      size: Int = 200, overlap: Int = 50): DataFrame =
+    chunkSplitOn(Tables.documents(spark, dir), size, overlap)
+
+  /** Corpus-parametric form of [[chunkSplit]] (docs: doc_id, text) — also
+    * a stage of the [[pipelineEndToEnd]] composite.
+    */
+  private[graft] def chunkSplitOn(docs: DataFrame, size: Int, overlap: Int): DataFrame = {
     require(size > overlap && overlap >= 0, s"bad chunking: size=$size overlap=$overlap")
     val step = size - overlap
     val nChunks = greatest(lit(1),
       (ceil((length(col("text")) - size).cast("double") / step) + 1).cast("int"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), nChunks - 1),
           i => col("text").substr(i * step + 1, lit(size))))
@@ -334,6 +340,45 @@ object TextOps {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("chunk"), length(col("chunk")).cast("long").as("chunk_len"))
       .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+  }
+
+  /** The LLM TRAINING-DATA pipeline as ONE plan — the north-star chain the
+    * engine exists for, composed from the operators it already ships:
+    * quality gate (token count + lexical diversity) → exact dedup on the
+    * content digest (lowest id wins) → overlapping-window chunking →
+    * deterministic hash split assignment per chunk → per-split corpus
+    * statistics. Shuffles: the dedup window and the final 3-group
+    * aggregate; everything else is map-side. Oracle-checked end to end.
+    */
+  def pipelineEndToEnd(spark: SparkSession, dir: String,
+      minTokens: Int = 30, minDistinctRatio: Double = 0.3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(split(col("text"), " "))).cast("long"))
+      .filter(col("n_tokens") >= minTokens &&
+        col("n_distinct").cast("double") / col("n_tokens") >= minDistinctRatio)
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+    val deduped = docs
+      .withColumn("fp", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("text"))
+    val chunks = chunkSplitOn(deduped, size = 200, overlap = 50)
+    chunks
+      // both multipliers coprime with the modulus — a shared factor would
+      // cancel a term (doc_id·1000·K ≡ 0 mod 1000 degenerated every chunk
+      // of a doc to the same bucket stripe)
+      .withColumn("bucket",
+        pmod(col("doc_id") * lit(2654435761L) + col("chunk_idx") * lit(40503L), lit(1000L)))
+      .withColumn("split",
+        when(col("bucket") < 800, "train")
+          .when(col("bucket") < 900, "valid")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(size(split(col("chunk"), " ")).cast("long")).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("split").asc)
   }
 
   /** The reference's ENTIRE ingest path as one DataFrame (SURVEY §3.1, the
