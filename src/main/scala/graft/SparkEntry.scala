@@ -137,8 +137,8 @@ object SparkEntry {
     "q_dedup_embed", "q_text_quality", "q_token_count", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast",
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
-    "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_events_tumbling",
-    "q_events_sessionize")
+    "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
+    "q_events_tumbling", "q_events_sessionize")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
