@@ -454,7 +454,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(after.count() === before) // overwrite-by-id, not append
     assert(after.filter(col("text") === "PUPDATED").count() === batchIds.length)
     assert(partFiles(keepLang) === keepBefore) // untouched partition intact
+    // a batch with an unseen partition value creates that partition
+    val fresh = Seq((999999L, "NEWDOC", "zz")).toDF("doc_id", "text", "lang")
+    CatalogOps.upsertPartitioned(spark, "pupdb", "docs_p", fresh, "doc_id", "lang")
+    assert(spark.table("`pupdb`.`docs_p`").filter(col("lang") === "zz").count() === 1)
+    assert(partFiles(keepLang) === keepBefore) // still untouched
     CatalogOps.dropDatabase(spark, "pupdb")
+  }
+
+  test("chunking rejects degenerate parameters") {
+    intercept[IllegalArgumentException] {
+      TextOps.chunkSplit(spark, sf, size = 50, overlap = 50)
+    }
   }
 
   test("prenormed knn over a materialized vector collection equals exact knn") {
