@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.plans.{CosineSimilarity, DotProduct, L2DistanceSq, SortedIntersectSize, TopKScoreId, VecSumCount}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import graft.plans.{CosineSimilarity, DotProduct, HyperplaneBandKeys, L2DistanceSq, NearestCentroid, SortedIntersectSize, TopKScoreId, VecSumCount}
 
 /** SQL surface for the native expressions: install with
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -50,5 +51,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_sum_count"),
       info("vec_sum_count", "vec_sum_count(v) - aggregate: element-wise sums + row count of array<double> vectors as struct<sums, n> (centroid = sums[i]/n)"),
       (children: Seq[Expression]) => VecSumCount(children(0))))
+    ext.injectFunction((FunctionIdentifier("vec_band_keys"),
+      info("vec_band_keys", "vec_band_keys(v, planes, bands, rows_per_band) - all LSH band keys of an array<double> vector; planes is a constant row-major (bands*rows)xdim array<double>"),
+      (children: Seq[Expression]) => {
+        if (children.size != 4) throw new IllegalArgumentException(
+          s"vec_band_keys expects 4 arguments, got ${children.size}")
+        HyperplaneBandKeys(children(0), constDoubles(children(1), "planes"),
+          constInt(children(2), "bands"), constInt(children(3), "rows_per_band"))
+      }))
+    ext.injectFunction((FunctionIdentifier("vec_nearest_centroid"),
+      info("vec_nearest_centroid", "vec_nearest_centroid(v, centroids, k) - index of the max-cosine centroid; centroids is a constant row-major kxdim array<double>"),
+      (children: Seq[Expression]) => {
+        if (children.size != 3) throw new IllegalArgumentException(
+          s"vec_nearest_centroid expects 3 arguments, got ${children.size}")
+        NearestCentroid(children(0), constDoubles(children(1), "centroids"),
+          constInt(children(2), "k"))
+      }))
+  }
+
+  // The matrix arguments are model constants (like a broadcast ML model),
+  // so they must be foldable at registration: array literals fold to one
+  // reference object instead of an expression forest per row.
+  private def constDoubles(e: Expression, name: String): Seq[Double] = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$name must be a constant array<double> literal")
+    e.eval() match {
+      case a: ArrayData => a.toObjectArray(org.apache.spark.sql.types.DoubleType)
+        .map(v => v.asInstanceOf[Number].doubleValue()).toSeq
+      case other => throw new IllegalArgumentException(
+        s"$name must evaluate to an array, got $other")
+    }
+  }
+
+  private def constInt(e: Expression, name: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(s"$name must be a constant integer")
+    e.eval().asInstanceOf[Number].intValue()
   }
 }

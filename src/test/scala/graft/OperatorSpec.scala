@@ -72,6 +72,13 @@ class OperatorSpec extends AnyFunSuite {
       .collect()(0).getStruct(0)
     assert(agg.getSeq[Double](0) === Seq(4.0, 6.0))
     assert(agg.getLong(1) === 2L)
+    // constant-matrix expressions: planes/centroids fold at registration
+    val m = spark.sql(
+      """SELECT vec_band_keys(array(1.0D, 0.0D), array(1.0D, 0.0D, 0.0D, 1.0D), 2, 1) AS keys,
+        |       vec_nearest_centroid(array(1.0D, 0.0D), array(0.0D, 1.0D, 1.0D, 0.0D), 2) AS cell
+        |""".stripMargin).collect()(0)
+    assert(m.getSeq[Long](0) === Seq(1L, 0L)) // dot>0 for plane (1,0); not for (0,1)
+    assert(m.getInt(1) === 1) // centroid (1,0) is the cosine argmax
   }
 
   test("retention matrix: offsets non-negative, day 0 covers every user") {
