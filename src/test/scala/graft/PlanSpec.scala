@@ -147,6 +147,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
   }
 
+  test("training-pipeline composite stays at four exchanges") {
+    // dedup window hash + countDistinct's two-phase agg + presentation sort;
+    // quality gate, chunking and split assignment are all map-side
+    val p = plan(TextOps.pipelineEndToEnd(spark, sf))
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 4, p)
+    assert(p.linesIterator.count(_.contains("Generate")) === 1, p)
+  }
+
   test("time-RANGE window reuses one user_id exchange") {
     val p = plan(RelOps.windowRange(spark, sf))
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
