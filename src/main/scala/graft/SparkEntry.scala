@@ -44,6 +44,7 @@ object SparkEntry {
     "q_dedup_exact"   -> ((s, d) => DedupOps.dedupExact(s, d)),
     "q_dedup_jaccard" -> ((s, d) => DedupOps.jaccardPairs(s, d)),
     "q_dedup_minhash" -> ((s, d) => DedupOps.minHashLsh(s, d)),
+    "q_dedup_minhash_pairs" -> ((s, d) => DedupOps.minHashLshPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simHash(s, d)),
     "q_dedup_embed"   -> ((s, d) => DedupOps.embedNearDup(s, d)),
     "q_dedup_ngram"   -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
@@ -217,6 +218,14 @@ object SparkEntry {
         |WHERE rn = 1
         |ORDER BY doc_id ASC""".stripMargin,
     "q_dedup_jaccard" ->
+      """WITH ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents)
+        |SELECT a_id, b_id, round(j, 6) AS jac FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))) AS j
+        |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id)
+        |WHERE j >= 0.95
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "q_dedup_minhash_pairs" ->
       """WITH ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents)
         |SELECT a_id, b_id, round(j, 6) AS jac FROM (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,

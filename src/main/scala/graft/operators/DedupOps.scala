@@ -329,6 +329,66 @@ object DedupOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Near-dup PAIRS via MinHash banding — the candidate-then-verify twin of
+    * the exact [[jaccardPairs]] (as [[KnnOps.simJoinLsh]] is to
+    * [[KnnOps.simJoin]]); completes the family: exact pairs / banded
+    * pairs / banded survivors. No identical-set collapse here — a pair of
+    * identical documents IS a j=1 pair of the exact output, so every doc
+    * bands individually. Verification is the same exact Jaccard as the
+    * brute-force path (bitset or sorted-merge), so the result matches
+    * [[jaccardPairs]] up to the banding miss probability (≈ 8e-9 per pair
+    * at j ≥ 0.95) — reproduced exactly on the fixtures.
+    */
+  def minHashLshPairs(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame =
+    minHashLshPairsOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")), tau)
+
+  private[graft] def minHashLshPairsOn(docs: DataFrame, tau: Double): DataFrame = {
+    val vocab = probeVocab(docs)
+    val sig = minhashSigMeta(docs, vocab).cache()
+    val bandStructs = (0 until NumBands).map { bnd =>
+      struct(lit(bnd).as("band"), xxhash64(col(s"h${2 * bnd}"), col(s"h${2 * bnd + 1}")).as("bkey"))
+    }
+    vocab match {
+      case Some(_) =>
+        val banded = sig
+          .select(col("doc_id"), col("bm"), col("n"), explode(array(bandStructs: _*)).as("bb"))
+          .select(col("doc_id"), col("bm"), col("n"),
+            col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"),
+          col("bm").as("a_bm"), col("n").as("a_n"))
+        val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
+          col("doc_id").as("b_id"), col("bm").as("b_bm"), col("n").as("b_n"))
+        l.join(r,
+            col("band") === col("band_r") && col("bkey") === col("bkey_r") &&
+              col("a_id") < col("b_id") &&
+              jaccardBitset(col("a_bm"), col("b_bm"), col("a_n"), col("b_n")) >= tau)
+          .select(col("a_id"), col("b_id"),
+            round(jaccardBitset(col("a_bm"), col("b_bm"), col("a_n"), col("b_n")), 6).as("jac"))
+          .distinct()
+          .orderBy(col("a_id").asc, col("b_id").asc)
+      case None =>
+        val banded = sig
+          .select(col("doc_id"), col("bm"), explode(array(bandStructs: _*)).as("bb"))
+          .select(col("doc_id"), col("bm"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"), col("bm").as("a_bm"))
+        val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
+          col("doc_id").as("b_id"), col("bm").as("b_bm"))
+        val candidates = l.join(r,
+            col("band") === col("band_r") && col("bkey") === col("bkey_r") &&
+              col("a_id") < col("b_id") &&
+              bitmapPrefilter(col("a_bm"), col("b_bm"), math.max(0.0, tau - 0.25)))
+          .select(col("a_id"), col("b_id")).distinct()
+        val ws = sig.select(col("doc_id"), col("s"), col("n"))
+        candidates
+          .join(ws.select(col("doc_id").as("a_id"), col("s").as("a_s"), col("n").as("a_n")), "a_id")
+          .join(ws.select(col("doc_id").as("b_id"), col("s").as("b_s"), col("n").as("b_n")), "b_id")
+          .withColumn("j", jaccardFast(col("a_s"), col("b_s"), col("a_n"), col("b_n")))
+          .filter(col("j") >= tau)
+          .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jac"))
+          .orderBy(col("a_id").asc, col("b_id").asc)
+    }
+  }
+
   /** n-gram (word bigram) Jaccard near-dup pairs — order-sensitive shingles,
     * so reordered texts that share a word set no longer count as duplicates
     * (the complement of the 1-gram [[jaccardPairs]]). Implemented by
