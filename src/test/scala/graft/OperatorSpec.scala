@@ -151,6 +151,9 @@ class OperatorSpec extends AnyFunSuite {
     assert(got === expected)
     val surv = DedupOps.minHashLshOn(df, 0.9).collect().map(_.getLong(0)).toSet
     assert(surv === docs.map(_._1).toSet -- expected.map(_._2))
+    val bandedPairs = DedupOps.minHashLshPairsOn(df, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bandedPairs === expected) // pairs variant, same general path
   }
 
   test("minhash LSH survivors equal the brute-force jaccard dedup") {
