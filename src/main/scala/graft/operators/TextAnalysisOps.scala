@@ -24,8 +24,12 @@ object TextAnalysisOps {
     * dim-agnostic per FIXTURES.md — fixture vectors are 64-d, ref 1024-d).
     *
     * Per token: bucket = xxhash64(token) mod dim, sign = one spare hash bit;
-    * vector = L2-normalized signed bucket counts. Implemented entirely as a
-    * per-row `aggregate` over the token array — ZERO shuffle: embedding is a
+    * vector = L2-normalized signed bucket counts. The token loop is the
+    * fused [[graft.plans.FeatureHashEmbed]] codegen expression —
+    * O(tokens + dim) per row (the earlier HOF `aggregate`/`transform`
+    * formulation re-wrote the whole accumulator per token: O(tokens × dim),
+    * a ~1000× arithmetic blowup at reference dims; output pinned
+    * bit-identical in tests). ZERO shuffle either way: embedding is a
     * map-side projection, which is exactly what a 100 TB embed pass needs
     * (the scan dominates; no data movement). No oracle by design (hash
     * embedder is engine-native); the driver records a rows-only check, and
@@ -33,15 +37,8 @@ object TextAnalysisOps {
     */
   def embedVectors(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
     import graft.functions.VectorFunctions.{l2Norm, l2Normalize}
-    val raw = aggregate(
-      tokens(col("text")),
-      array_repeat(lit(0.0), dim),
-      (acc, t) => {
-        val bucket = pmod(xxhash64(t), lit(dim.toLong))
-        val sgn = when(shiftright(xxhash64(t), 32).bitwiseAND(lit(1L)) === 1L, lit(1.0))
-          .otherwise(lit(-1.0))
-        transform(acc, (x, i) => x + when(bucket === i.cast("long"), sgn).otherwise(lit(0.0)))
-      })
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val raw = toCol(graft.plans.FeatureHashEmbed(toExpr(col("text")), dim))
     Tables.documents(spark, dir)
       .select(col("doc_id"), raw.as("raw"))
       .select(col("doc_id"), l2Normalize(col("raw")).as("embedding"))

@@ -213,6 +213,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("fused feature-hash embedder equals the HOF formulation bit-for-bit") {
+    import graft.sources.Tables
+    // The O(tokens × dim) aggregate/transform formulation the codegen
+    // expression replaced — kept here as the semantic oracle.
+    def hofRaw(dim: Int) = aggregate(
+      split(col("text"), " "),
+      array_repeat(lit(0.0), dim),
+      (acc, t) => {
+        val bucket = pmod(xxhash64(t), lit(dim.toLong))
+        val sgn = when(shiftright(xxhash64(t), 32).bitwiseAND(lit(1L)) === 1L, lit(1.0))
+          .otherwise(lit(-1.0))
+        transform(acc, (x, i) => x + when(bucket === i.cast("long"), sgn).otherwise(lit(0.0)))
+      })
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    for (dim <- Seq(8, 64)) {
+      val both = Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          toCol(graft.plans.FeatureHashEmbed(toExpr(col("text")), dim)).as("fused"),
+          hofRaw(dim).as("hof"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Double](1) === r.getSeq[Double](2),
+          s"doc ${r.getLong(0)} dim $dim: fused != HOF")
+      }
+    }
+  }
+
   test("embed_batch summary is all-scalar and consistent with the vectors") {
     val s = TextAnalysisOps.embedBatch(spark, sf, dim = 32)
     assert(s.schema.fields.forall(f => !f.dataType.typeName.contains("array")))
