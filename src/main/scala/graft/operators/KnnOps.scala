@@ -378,17 +378,7 @@ object KnnOps {
     val cents = try kmeansCentroids(emb, kCells, iters) finally emb.unpersist()
     val qVec = emb.filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Double](0).toArray
-
-    def cosLocal(c: Int): Double = {
-      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
-      while (i < dim) {
-        val x = qVec(i); val y = cents(c * dim + i)
-        ab += x * y; aa += x * x; bb += y * y; i += 1
-      }
-      val d = math.sqrt(aa) * math.sqrt(bb)
-      if (d == 0.0) 0.0 else ab / d
-    }
-    val probes = (0 until kCells).sortBy(c => (-cosLocal(c), c)).take(nprobe)
+    val probes = nearestCells(qVec, cents, kCells, nprobe)
 
     val assign = toCol(graft.plans.NearestCentroid(
       toExpr(col("embedding")), cents.toSeq, kCells))
@@ -402,6 +392,78 @@ object KnnOps {
         round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Driver-side probe selection: the `nprobe` cells whose centroids score
+    * highest against the query, cosine with lowest-cell tie-break — runs
+    * over the k×dim MODEL only (the broadcast-ML-model pattern; rows never
+    * reach the driver). Shared by [[topKIvfKmeans]] (in-query training) and
+    * [[topKIvfPartitioned]] (persisted model).
+    */
+  private[graft] def nearestCells(qVec: Array[Double], cents: Array[Double],
+      kCells: Int, nprobe: Int): Seq[Int] = {
+    val dim = qVec.length
+    def cosLocal(c: Int): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < dim) {
+        val x = qVec(i); val y = cents(c * dim + i)
+        ab += x * y; aa += x * x; bb += y * y; i += 1
+      }
+      val d = math.sqrt(aa) * math.sqrt(bb)
+      if (d == 0.0) 0.0 else ab / d
+    }
+    (0 until kCells).sortBy(c => (-cosLocal(c), c)).take(nprobe)
+  }
+
+  /** IVF probe over a cell-PARTITIONED collection
+    * ([[graft.sources.CatalogOps.createIvfCollection]]) — the plan
+    * [[topKIvfKmeans]]'s scaladoc promises, materialized: cells were
+    * assigned at ingest and the corpus written `partitionBy("cell")`, so
+    * the `cell IN (probes)` predicate here is a PARTITION filter — the
+    * scan opens nprobe/kCells of the directories and reads nothing else
+    * (vs. computing the cell per row over a full scan and discarding
+    * (kCells−nprobe)/kCells of the bytes AFTER reading them). Probe cells
+    * come from the persisted k×dim model table; only that model is
+    * collected. Same output as [[topKIvfKmeans]] given the same training
+    * data (pinned in tests, plus the PlanSpec pruning guard).
+    */
+  def topKIvfPartitioned(spark: SparkSession, db: String, name: String,
+      queryId: Long = 0L, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val model = spark.table(s"`$db`.`${name}__model`")
+      .orderBy(col("cell").asc).collect()
+    val kCells = model.length
+    val cents = model.flatMap(_.getSeq[Double](1))
+    val coll = spark.table(s"`$db`.`$name`")
+    val qVec = coll.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    val probes = nearestCells(qVec, cents, kCells, nprobe)
+    val q = coll.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    coll.filter(col("cell").isin(probes.map(Int.box): _*) &&
+        col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Build-then-probe composite for the driver contract (`q_knn_ivf_part`):
+    * ingest the embeddings fixture as an IVF-partitioned collection, then
+    * answer the standard fixture query through the partition-pruned probe.
+    * The build cost is the index build ([[topKIvfKmeans]] pays the same
+    * training per call); at 100 TB the build runs once per ingest and every
+    * query pays only the pruned read. Approximate by construction →
+    * rows-only, same as the other IVF entries.
+    */
+  def topKIvfPartitionedE2E(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 3, kCells: Int = 8, nprobe: Int = 2, iters: Int = 3): DataFrame = {
+    import graft.sources.CatalogOps
+    val db = "graft_ivf"
+    CatalogOps.createDatabase(spark, db)
+    CatalogOps.createIvfCollection(spark, db, "emb_ivf",
+      corpus(spark, dir), "embedding", kCells, iters)
+    topKIvfPartitioned(spark, db, "emb_ivf", queryId, k, nprobe)
   }
 
   /** Int8 scalar quantization of the embedding column — the storage-side

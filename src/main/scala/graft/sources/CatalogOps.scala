@@ -157,6 +157,45 @@ object CatalogOps {
       .saveAsTable(s"`$db`.`$name`")
   }
 
+  /** IVF-partitioned vector collection — the ingest-time layout that makes
+    * the coarse-quantizer probe an actual partition-pruned read (the
+    * `build_index=True` analog for the reference's latent IVFFLAT surface,
+    * ref `TencentVDB.py:7,79`). Trains the k-means quantizer
+    * ([[graft.operators.KnnOps.kmeansCentroids]]) over `vecCol`, assigns
+    * every row its nearest cell with the fused
+    * [[graft.plans.NearestCentroid]] projection, and writes the corpus
+    * `partitionBy("cell")` — so a probe that touches `nprobe` of `kCells`
+    * cells plans `PartitionFilters: [cell IN (...)]` and the scan never
+    * opens the other directories (pinned in PlanSpec). The k×dim model is
+    * persisted alongside as `name__model`; query time reads the MODEL, not
+    * the corpus, to choose cells ([[graft.operators.KnnOps
+    * .topKIvfPartitioned]]). Returns the flattened row-major centroids.
+    */
+  def createIvfCollection(spark: SparkSession, db: String, name: String,
+      data: DataFrame, vecCol: String = "embedding",
+      kCells: Int = 8, iters: Int = 3): Array[Double] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    // Cache only for the training iterations (the Lloyd passes re-read the
+    // data `iters` times); released before the write so no InMemoryRelation
+    // leaks into unrelated plans (see KnnOps.topKIvfKmeans).
+    data.cache()
+    val cents = try graft.operators.KnnOps.kmeansCentroids(data, kCells, iters)
+      finally data.unpersist()
+    val assign = toCol(graft.plans.NearestCentroid(
+      toExpr(col(vecCol)), cents.toSeq, kCells))
+    data.withColumn("cell", assign)
+      .write.mode("overwrite").partitionBy("cell")
+      .saveAsTable(s"`$db`.`$name`")
+    val dim = cents.length / kCells
+    val model = (0 until kCells).map(c =>
+      (c, cents.slice(c * dim, (c + 1) * dim).toSeq))
+    spark.createDataFrame(model).toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .saveAsTable(s"`$db`.`${name}__model`")
+    cents
+  }
+
   /** `drop_collection` (ref `TencentVDB.py:87-89`). */
   def dropCollection(spark: SparkSession, db: String, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")

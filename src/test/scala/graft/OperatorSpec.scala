@@ -499,6 +499,32 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "pupdb")
   }
 
+  test("partition-pruned IVF probe equals the in-query kmeans IVF") {
+    import graft.sources.{CatalogOps, Tables}
+    CatalogOps.dropDatabase(spark, "ivfdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/ivfdb.db"))
+    CatalogOps.createDatabase(spark, "ivfdb")
+    CatalogOps.createIvfCollection(spark, "ivfdb", "emb_ivf",
+      Tables.embeddings(spark, sf))
+    // the collection landed as one directory per cell
+    val tableDir = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath + "/ivfdb.db/emb_ivf")
+    val cellDirs = tableDir.listFiles().filter(_.getName.startsWith("cell=")).map(_.getName)
+    assert(cellDirs.nonEmpty && cellDirs.length <= 8, cellDirs.mkString(","))
+    // identical training data + deterministic kmeans → identical probe result
+    val part = KnnOps.topKIvfPartitioned(spark, "ivfdb", "emb_ivf")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val kmeans = KnnOps.topKIvfKmeans(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(part === kmeans)
+    // the e2e contract entry runs the same build-then-probe
+    val e2e = KnnOps.topKIvfPartitionedE2E(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(e2e === kmeans)
+    CatalogOps.dropDatabase(spark, "ivfdb")
+  }
+
   test("chunking rejects degenerate parameters") {
     intercept[IllegalArgumentException] {
       TextOps.chunkSplit(spark, sf, size = 50, overlap = 50)

@@ -110,6 +110,34 @@ class PlanSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "partdb")
   }
 
+  test("IVF probe over a cell-partitioned collection prunes partitions at plan time") {
+    import graft.sources.{CatalogOps, Tables}
+    import org.apache.spark.sql.functions.col
+    CatalogOps.dropDatabase(spark, "ivfplandb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/ivfplandb.db"))
+    CatalogOps.createDatabase(spark, "ivfplandb")
+    CatalogOps.createIvfCollection(spark, "ivfplandb", "emb_ivf",
+      Tables.embeddings(spark, sf))
+    val q = KnnOps.topKIvfPartitioned(spark, "ivfplandb", "emb_ivf")
+    val p = plan(q)
+    // the probed cells land in PartitionFilters — the scan never opens the
+    // other cell directories (vs. computing the cell per row post-read)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")), p)
+    // and the probe plan carries no per-row centroid assignment at all
+    assert(!p.contains("vec_nearest_centroid"), p)
+    // nprobe=2 of kCells=8: the partition filter enumerates exactly 2 cells
+    val inList = "cell[^ ]* IN \\(([^)]*)\\)".r.findFirstMatchIn(p)
+    assert(inList.isDefined, p)
+    assert(inList.get.group(1).split(",").length === 2, p)
+    // and the probe still reads real data: k result rows from the fixture
+    assert(q.count() === 3)
+    assert(spark.table("`ivfplandb`.`emb_ivf`").count() ===
+      Tables.embeddings(spark, sf).count())
+    CatalogOps.dropDatabase(spark, "ivfplandb")
+  }
+
   test("centroids aggregate vectors whole (no pre-shuffle dim-explode)") {
     val df = KnnOps.centroids(spark, sf)
     val p = plan(df)
