@@ -82,7 +82,7 @@ object DedupOps {
   /** Probe, don't collect: pull at most 65 distinct tokens — the full
     * vocabulary reaches the driver only when it provably fits 64 bits.
     */
-  private def probeVocab(docs: DataFrame): Option[Seq[String]] = {
+  private[graft] def probeVocab(docs: DataFrame): Option[Seq[String]] = {
     val probe = docs.select(explode(tokenSet(col("text"))).as("t"))
       .distinct().limit(65)
       .collect().map(_.getString(0))
@@ -213,7 +213,7 @@ object DedupOps {
     * aggregation — the earlier separate signature ⋈ bitmap join cost two
     * extra exchanges for data that was derivable from the same stream.
     */
-  private def minhashSigMeta(docs: DataFrame, vocab: Option[Seq[String]]): DataFrame = {
+  private[graft] def minhashSigMeta(docs: DataFrame, vocab: Option[Seq[String]]): DataFrame = {
     val bitPos = vocab match {
       case Some(v) => (array_position(typedLit(v), col("t")) - 1).cast("int")
       case None => pmod(xxhash64(col("t")), lit(64L)).cast("int")
@@ -253,12 +253,22 @@ object DedupOps {
     * j ≈ 0.95, τ=0.9): blocked all-pairs 668.7 s vs this plan 6.5 s —
     * 103× — with EXACTLY equal survivor sets. This is the quadratic-vs-
     * candidate crossover the banding exists for.
+    *
+    * Band buckets larger than `maxBucket` are dropped from candidate
+    * generation ([[LshGuard]] — recall contract, cost bound, and the
+    * measured fixture headroom behind the default).
     */
-  def minHashLsh(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame =
-    minHashLshOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")), tau)
+  def minHashLsh(spark: SparkSession, dir: String, tau: Double = 0.95,
+      maxBucket: Int = LshGuard.DefaultMaxBucket): DataFrame =
+    minHashLshOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      tau, maxBucket)
 
-  /** Corpus-parametric form of [[minHashLsh]] — see [[jaccardPairsOn]]. */
-  private[graft] def minHashLshOn(allDocs: DataFrame, tau: Double): DataFrame = {
+  /** Corpus-parametric form of [[minHashLsh]] — see [[jaccardPairsOn]].
+    * Band buckets larger than `maxBucket` are dropped from candidate
+    * generation ([[LshGuard]] — recall contract and fixture headroom).
+    */
+  private[graft] def minHashLshOn(allDocs: DataFrame, tau: Double,
+      maxBucket: Int = LshGuard.DefaultMaxBucket): DataFrame = {
     // Collapse identical word-sets to their min-id representative FIRST
     // (exact dedup before near-dup — the real pipeline order). Identical
     // sets share every band, so a C-member cluster would enumerate
@@ -292,10 +302,10 @@ object DedupOps {
     //    with the codegen'd sorted-merge intersection.
     val verified = vocab match {
       case Some(_) =>
-        val banded = sig
+        val banded = LshGuard.dropHotBuckets(sig
           .select(col("doc_id"), col("bm"), col("n"), explode(array(bandStructs: _*)).as("bb"))
           .select(col("doc_id"), col("bm"), col("n"),
-            col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+            col("bb.band").as("band"), col("bb.bkey").as("bkey")), maxBucket)
         val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"),
           col("bm").as("a_bm"), col("n").as("a_n"))
         val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
@@ -306,9 +316,10 @@ object DedupOps {
               jaccardBitset(col("a_bm"), col("b_bm"), col("a_n"), col("b_n")) >= tau)
           .select(col("b_id")).distinct()
       case None =>
-        val banded = sig
+        val banded = LshGuard.dropHotBuckets(sig
           .select(col("doc_id"), col("bm"), explode(array(bandStructs: _*)).as("bb"))
-          .select(col("doc_id"), col("bm"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+          .select(col("doc_id"), col("bm"), col("bb.band").as("band"), col("bb.bkey").as("bkey")),
+          maxBucket)
         val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"), col("bm").as("a_bm"))
         val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
           col("doc_id").as("b_id"), col("bm").as("b_bm"))
@@ -339,10 +350,13 @@ object DedupOps {
     * [[jaccardPairs]] up to the banding miss probability (≈ 8e-9 per pair
     * at j ≥ 0.95) — reproduced exactly on the fixtures.
     */
-  def minHashLshPairs(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame =
-    minHashLshPairsOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")), tau)
+  def minHashLshPairs(spark: SparkSession, dir: String, tau: Double = 0.95,
+      maxBucket: Int = LshGuard.DefaultMaxBucket): DataFrame =
+    minHashLshPairsOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      tau, maxBucket)
 
-  private[graft] def minHashLshPairsOn(docs: DataFrame, tau: Double): DataFrame = {
+  private[graft] def minHashLshPairsOn(docs: DataFrame, tau: Double,
+      maxBucket: Int = LshGuard.DefaultMaxBucket): DataFrame = {
     val vocab = probeVocab(docs)
     val sig = minhashSigMeta(docs, vocab).cache()
     val bandStructs = (0 until NumBands).map { bnd =>
@@ -350,10 +364,10 @@ object DedupOps {
     }
     vocab match {
       case Some(_) =>
-        val banded = sig
+        val banded = LshGuard.dropHotBuckets(sig
           .select(col("doc_id"), col("bm"), col("n"), explode(array(bandStructs: _*)).as("bb"))
           .select(col("doc_id"), col("bm"), col("n"),
-            col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+            col("bb.band").as("band"), col("bb.bkey").as("bkey")), maxBucket)
         val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"),
           col("bm").as("a_bm"), col("n").as("a_n"))
         val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
@@ -367,9 +381,10 @@ object DedupOps {
           .distinct()
           .orderBy(col("a_id").asc, col("b_id").asc)
       case None =>
-        val banded = sig
+        val banded = LshGuard.dropHotBuckets(sig
           .select(col("doc_id"), col("bm"), explode(array(bandStructs: _*)).as("bb"))
-          .select(col("doc_id"), col("bm"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+          .select(col("doc_id"), col("bm"), col("bb.band").as("band"), col("bb.bkey").as("bkey")),
+          maxBucket)
         val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"), col("bm").as("a_bm"))
         val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
           col("doc_id").as("b_id"), col("bm").as("b_bm"))

@@ -200,9 +200,14 @@ object KnnOps {
     * at 99.6% recall, the gap widening with n. The exact join is the right
     * plan below the crossover; this is the plan that still exists above it
     * (and [[simJoinAuto]] picks the side for you).
+    *
+    * Degenerate buckets (boilerplate clusters) are dropped from candidate
+    * generation above `maxBucket` rows — see [[LshGuard]] for the recall
+    * contract and the measured fixture headroom.
     */
   def simJoinLsh(spark: SparkSession, dir: String, threshold: Double = 0.35,
-      rowsPerBandOverride: Int = 0, bandsCountOverride: Int = 0): DataFrame = {
+      rowsPerBandOverride: Int = 0, bandsCountOverride: Int = 0,
+      maxBucket: Int = LshGuard.DefaultMaxBucket): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
     val (autoR, autoB) = lshParams(threshold)
     val rowsPerBand = if (rowsPerBandOverride > 0) rowsPerBandOverride else autoR
@@ -228,9 +233,10 @@ object KnnOps {
     // embedding through the many-to-many join would memcpy it once per
     // enumerated pair — measured 2.5× slower); embeddings join back onto the
     // deduped pair set only, then the codegen cosine rescores.
-    val banded = emb.select(col("vec_id"),
-        posexplode(bandKeys).as(Seq("band", "bkey")))
-      .cache() // both join sides read it; signature projection runs once
+    val banded = LshGuard.dropHotBuckets(
+      emb.select(col("vec_id"), posexplode(bandKeys).as(Seq("band", "bkey")))
+        .cache(), // both join sides + the guard's count read it; signature projection runs once
+      maxBucket)
     val l = banded.select(col("band"), col("bkey"), col("vec_id").as("a_id"))
     val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
       col("vec_id").as("b_id"))
@@ -461,6 +467,15 @@ object KnnOps {
     import graft.sources.CatalogOps
     val db = "graft_ivf"
     CatalogOps.createDatabase(spark, db)
+    // A fresh session's in-memory catalog forgets tables, but a previous
+    // JVM's physical dirs survive in the warehouse — saveAsTable refuses
+    // the orphaned location. Drop (no-op when unknown) and clear both.
+    Seq("emb_ivf", "emb_ivf__model").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
+          s"/$db.db/$t"))
+    }
     CatalogOps.createIvfCollection(spark, db, "emb_ivf",
       corpus(spark, dir), "embedding", kCells, iters)
     topKIvfPartitioned(spark, db, "emb_ivf", queryId, k, nprobe)

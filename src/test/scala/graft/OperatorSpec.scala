@@ -499,6 +499,80 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "pupdb")
   }
 
+  test("hot-bucket guard drops only boilerplate-cluster minhash pairs") {
+    import spark.implicits._
+    // 40 unrelated docs (unique vocabularies), 2 planted near-dup pairs,
+    // and a 300-doc boilerplate cluster: 100 shared tokens + 1 unique each
+    // (j ≈ 0.98 inside the cluster) — near-identical signatures put the
+    // whole cluster into the same band buckets, the web-corpus pathology
+    // the guard exists for. Vocabulary >> 64 forces the general path.
+    val normal = (0 until 40).map(i => (i.toLong, (0 until 10).map(j => s"n${i}_t$j").mkString(" ")))
+    val planted = Seq(
+      (900L, ((0 until 20).map(j => s"p0_$j") :+ "p0_a").mkString(" ")),
+      (901L, ((0 until 20).map(j => s"p0_$j") :+ "p0_b").mkString(" ")),
+      (902L, ((0 until 20).map(j => s"p1_$j") :+ "p1_a").mkString(" ")),
+      (903L, ((0 until 20).map(j => s"p1_$j") :+ "p1_b").mkString(" ")))
+    val base = (0 until 100).map(j => s"boiler_$j").mkString(" ")
+    val cluster = (0 until 300).map(i => (1000L + i, s"$base u$i"))
+    val docs = (normal ++ planted ++ cluster).toDF("doc_id", "text")
+    val tau = 0.9 // planted pairs: j = 20/22 ≈ 0.909
+    def pairs(cap: Int): Set[(Long, Long)] =
+      DedupOps.minHashLshPairsOn(docs, tau, cap)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unCapped = pairs(0)
+    val capped = pairs(50)
+    val plantedPairs = Set((900L, 901L), (902L, 903L))
+    // uncapped: the cluster contributes C(300,2) pairs — the quadratic blowup
+    assert(unCapped.size >= 300 * 299 / 2, s"got ${unCapped.size}")
+    assert(plantedPairs.subsetOf(unCapped))
+    // capped: bounded output, planted pairs intact, and the ONLY losses are
+    // cluster-internal pairs (both sides inside the oversized buckets)
+    assert(capped.size < 1000, s"got ${capped.size}")
+    assert(plantedPairs.subsetOf(capped))
+    val lost = unCapped -- capped
+    assert(lost.nonEmpty && lost.forall { case (a, b) => a >= 1000L && b >= 1000L })
+    // survivors variant: same surgical contract — non-cluster survivors equal
+    val survU = DedupOps.minHashLshOn(docs, tau, 0)
+      .collect().map(_.getLong(0)).toSet
+    val survC = DedupOps.minHashLshOn(docs, tau, 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(survU.filter(_ < 1000L) === survC.filter(_ < 1000L))
+  }
+
+  test("hot-bucket guard drops only the degenerate vector cluster in LSH sim-join") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(424242L)
+    def randVec(): Seq[Double] = Seq.fill(dim)(rnd.nextGaussian())
+    val normals = (0 until 50).map(i => (i.toLong, randVec()))
+    // planted near-dup pair among the normals (cosine ≈ 1)
+    val v = randVec()
+    val pair = Seq((900L, v), (901L, v.map(_ * 1.0000001)))
+    // 200 EXACTLY identical vectors: every band bucket of the cluster has
+    // 200 rows — deterministically hot at cap=30
+    val cv = randVec()
+    val cluster = (0 until 200).map(i => (1000L + i, cv))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hot").toFile
+    try {
+      (normals ++ pair ++ cluster).toDF("vec_id", "embedding")
+        .withColumn("label", lit(0))
+        .write.mode("overwrite").parquet(tmp.getPath + "/embeddings.parquet")
+      def pairs(cap: Int): Set[(Long, Long)] =
+        KnnOps.simJoinLsh(spark, tmp.getPath, threshold = 0.8, maxBucket = cap)
+          .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val unCapped = pairs(0)
+      val capped = pairs(30)
+      assert(unCapped.size >= 200 * 199 / 2, s"got ${unCapped.size}")
+      assert(unCapped.contains((900L, 901L)))
+      assert(capped.contains((900L, 901L)))
+      val lost = unCapped -- capped
+      assert(lost.nonEmpty && lost.forall { case (a, b) => a >= 1000L && b >= 1000L })
+      // everything outside the degenerate cluster is untouched
+      assert(capped.filter { case (a, b) => a < 1000L && b < 1000L } ===
+        unCapped.filter { case (a, b) => a < 1000L && b < 1000L })
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
   test("partition-pruned IVF probe equals the in-query kmeans IVF") {
     import graft.sources.{CatalogOps, Tables}
     CatalogOps.dropDatabase(spark, "ivfdb")
