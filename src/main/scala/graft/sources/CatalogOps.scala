@@ -74,10 +74,27 @@ object CatalogOps {
     */
   def upsertPartitioned(spark: SparkSession, db: String, name: String,
       batch: DataFrame, idCol: String, partCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    // batch rows carry their partition value, so the touched set is the
+    // batch's partitions (every one of them retains at least the batch's
+    // own winning rows — no partition can empty out on this path)
+    mergeTouchedPartitions(spark, db, name, batch, idCol, partCol,
+      batch.select(col(partCol)).distinct())
+  }
+
+  /** Shared merge core of [[upsertPartitioned]] and [[upsertIvf]]:
+    * last-writer-wins the batch over the stored rows of exactly the
+    * `touched` partitions, rewrite those via dynamic partition overwrite,
+    * and drop any touched partition the merge emptied (a row that MOVED
+    * partition leaves its old one behind; dynamic overwrite cannot express
+    * an empty rewrite, so the stale directory is dropped explicitly).
+    */
+  private def mergeTouchedPartitions(spark: SparkSession, db: String, name: String,
+      batch: DataFrame, idCol: String, partCol: String,
+      touched: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val table = s"`$db`.`$name`"
-    val touched = batch.select(col(partCol)).distinct()
     val current = spark.table(table)
       .join(broadcast(touched), partCol) // only affected partitions read
     val tieBreak = struct(current.columns.filterNot(_ == idCol).map(col).toIndexedSeq: _*)
@@ -101,6 +118,16 @@ object CatalogOps {
       val targetCols = spark.table(table).columns.toIndexedSeq.map(col)
       spark.table(staging).select(targetCols: _*)
         .write.mode("overwrite").insertInto(s"$db.$name")
+      // touched partitions absent from the staged frame lost their last row
+      // to a partition move — drop them, or the stale copy survives
+      val isStr = spark.table(table).schema(partCol).dataType ==
+        org.apache.spark.sql.types.StringType
+      touched.join(spark.table(staging).select(col(partCol)).distinct(),
+          Seq(partCol), "left_anti")
+        .collect().foreach { r =>
+          val v = if (isStr) s"'${r.get(0)}'" else r.get(0).toString
+          spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partCol=$v)")
+        }
     } finally {
       prior match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
@@ -108,6 +135,37 @@ object CatalogOps {
       }
       spark.sql(s"DROP TABLE IF EXISTS $staging")
     }
+  }
+
+  /** Incremental index maintenance for an IVF collection — the per-upsert
+    * `build_index=True` of the reference (`TencentVDB.py:79`: the server
+    * re-indexes each upsert) composed with the partition-scoped upsert:
+    * the batch's cells are re-derived from the PERSISTED quantizer model
+    * ([[createIvfCollection]]'s `name__model` — centroids are not
+    * retrained; that is an index REBUILD), and only the partitions the
+    * batch lands in — plus the old cells of updated ids, since a changed
+    * vector can move cells — are merged and rewritten. Untouched cell
+    * partitions keep their files byte-for-byte (pinned in tests); a cell
+    * partition emptied by a move is dropped rather than left stale.
+    * The batch carries the collection's row schema minus `cell`.
+    */
+  def upsertIvf(spark: SparkSession, db: String, name: String,
+      batch: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val model = spark.table(s"`$db`.`${name}__model`")
+      .orderBy(col("cell").asc).collect()
+    val kCells = model.length
+    val cents = model.flatMap(_.getSeq[Double](1))
+    val assign = toCol(graft.plans.NearestCentroid(
+      toExpr(col(vecCol)), cents.toSeq, kCells))
+    val derived = batch.withColumn("cell", assign)
+    val oldCells = spark.table(s"`$db`.`$name`")
+      .join(broadcast(batch.select(col(idCol)).distinct()), idCol)
+      .select(col("cell"))
+    mergeTouchedPartitions(spark, db, name, derived, idCol, "cell",
+      derived.select(col("cell")).union(oldCells).distinct())
   }
 
   /** Bucketed collection — the ingest-time layout that makes repeated

@@ -599,6 +599,74 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "ivfdb")
   }
 
+  test("IVF upsert rewrites only moved-into and moved-out-of cell partitions") {
+    import graft.sources.{CatalogOps, Tables}
+    CatalogOps.dropDatabase(spark, "ivfupdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/ivfupdb.db"))
+    CatalogOps.createDatabase(spark, "ivfupdb")
+    val cents = CatalogOps.createIvfCollection(spark, "ivfupdb", "emb_ivf",
+      Tables.embeddings(spark, sf))
+    val dim = cents.length / 8
+    val coll = spark.table("`ivfupdb`.`emb_ivf`")
+    val before = coll.count()
+    // move one stored id into a DIFFERENT cell by rewriting its vector to
+    // that cell's own centroid (nearest to itself by construction)
+    val victim = coll.select(col("vec_id"), col("cell")).orderBy(col("vec_id")).head()
+    val (vid, oldCell) = (victim.getLong(0), victim.getInt(1))
+    val newCell = (oldCell + 1) % 8
+    val target = cents.slice(newCell * dim, (newCell + 1) * dim).toSeq
+    import spark.implicits._
+    val batch = Seq((vid, 0, target), (999999L, 0, target))
+      .toDF("vec_id", "label", "embedding")
+    // a cell neither moved out of nor into must keep its files untouched
+    val tableDir = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath + "/ivfupdb.db/emb_ivf")
+    def files(cell: Int): Set[(String, Long)] = {
+      val d = new java.io.File(tableDir, s"cell=$cell")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val untouchedCell = (0 until 8).find(c => c != oldCell && c != newCell).get
+    val keepBefore = files(untouchedCell)
+    assert(keepBefore.nonEmpty)
+    CatalogOps.upsertIvf(spark, "ivfupdb", "emb_ivf", batch)
+    val after = spark.table("`ivfupdb`.`emb_ivf`")
+    assert(after.count() === before + 1) // one update + one insert
+    assert(after.groupBy(col("vec_id")).count().filter(col("count") > 1).count() === 0)
+    // both batch rows landed in the model-derived cell
+    assert(after.filter(col("vec_id").isin(vid, 999999L))
+      .select(col("cell")).collect().map(_.getInt(0)).toSeq === Seq(newCell, newCell))
+    assert(files(untouchedCell) === keepBefore)
+  }
+
+  test("IVF upsert drops a cell partition emptied by a move") {
+    import graft.sources.CatalogOps
+    import spark.implicits._
+    CatalogOps.dropDatabase(spark, "ivfmvdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/ivfmvdb.db"))
+    CatalogOps.createDatabase(spark, "ivfmvdb")
+    // hand-built 2-cell collection: cell 0 holds exactly one row
+    Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("cell", "centroid")
+      .write.saveAsTable("`ivfmvdb`.`tiny__model`")
+    Seq((1L, Seq(1.0, 0.0), 0), (2L, Seq(0.0, 1.0), 1), (3L, Seq(0.0, 0.9), 1))
+      .toDF("vec_id", "embedding", "cell")
+      .write.partitionBy("cell").saveAsTable("`ivfmvdb`.`tiny`")
+    // the only cell-0 row moves to cell 1
+    CatalogOps.upsertIvf(spark, "ivfmvdb", "tiny", Seq((1L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding"))
+    val after = spark.table("`ivfmvdb`.`tiny`")
+    assert(after.count() === 3)
+    assert(after.filter(col("cell") === 0).count() === 0) // no stale copy
+    assert(after.filter(col("vec_id") === 1L).select(col("cell")).head().getInt(0) === 1)
+    val parts = spark.sql("SHOW PARTITIONS `ivfmvdb`.`tiny`")
+      .collect().map(_.getString(0)).toSeq
+    assert(!parts.contains("cell=0"), parts.mkString(","))
+    CatalogOps.dropDatabase(spark, "ivfmvdb")
+  }
+
   test("chunking rejects degenerate parameters") {
     intercept[IllegalArgumentException] {
       TextOps.chunkSplit(spark, sf, size = 50, overlap = 50)
