@@ -14,6 +14,10 @@ import org.apache.spark.sql.SparkSession
 object DedupScale {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 30000
+    // "noblocked": skip the O(n²) baseline (668.7 s at n=30k, measured
+    // round 4) and cross-check the candidate paths against each other —
+    // both are exact, so equality still validates.
+    val skipBlocked = args.length > 1 && args(1) == "noblocked"
     val tau = 0.9
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -48,8 +52,12 @@ object DedupScale {
       println(f"[dedupscale] n=$n tau=$tau $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       out
     }
-    val exactPairs = time("blocked all-pairs jaccard") {
-      graft.operators.DedupOps.jaccardPairsOn(docs, tau)
+    val prefixPairs = time("prefix-filter jaccard") {
+      graft.operators.DedupOps.jaccardPairsPrefixOn(docs, tau)
+        .select("b_id").distinct().collect().map(_.getLong(0)).toSet
+    }
+    val exactPairs = if (skipBlocked) prefixPairs else time("blocked all-pairs jaccard") {
+      graft.operators.DedupOps.jaccardPairsBlockedOn(docs, tau)
         .select("b_id").distinct().collect().map(_.getLong(0)).toSet
     }
     val lshSurvivors = time("minhash banded LSH survivors") {
@@ -59,7 +67,7 @@ object DedupScale {
     val allIds = (0L until (base.length + dups.length).toLong).toSet
     val exactSurvivors = allIds -- exactPairs
     println(s"[dedupscale] exact survivors=${exactSurvivors.size} lsh survivors=${lshSurvivors.size} " +
-      s"equal=${exactSurvivors == lshSurvivors}")
+      s"equal=${exactSurvivors == lshSurvivors} prefix_pairs_equal=${prefixPairs == exactPairs}")
     spark.stop()
   }
 }

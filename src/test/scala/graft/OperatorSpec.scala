@@ -149,6 +149,10 @@ class OperatorSpec extends AnyFunSuite {
       if sa.intersect(sb).size.toDouble / sa.union(sb).size >= 0.9
     } yield (a, b)).toSet
     assert(got === expected)
+    // the candidate-driven path and the blocked pair loop agree exactly
+    val blocked = DedupOps.jaccardPairsBlockedOn(df, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === expected)
     val surv = DedupOps.minHashLshOn(df, 0.9).collect().map(_.getLong(0)).toSet
     assert(surv === docs.map(_._1).toSet -- expected.map(_._2))
     val bandedPairs = DedupOps.minHashLshPairsOn(df, 0.9)
