@@ -259,20 +259,77 @@ object KnnOps {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
+  /** Corpus row count from parquet FOOTER metadata — the dispatcher's
+    * statistic, read driver-side like catalog stats: a `count()` launches
+    * a distributed job over every split just to answer a number the
+    * footers already hold. Handles a single file or a directory of
+    * part-files; None on anything unreadable (caller falls back to the
+    * scan).
+    */
+  private[graft] def parquetRowCount(spark: SparkSession, path: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(path)
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) return None
+      val files =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).toSeq.filter(s => s.isFile &&
+            s.getPath.getName.endsWith(".parquet"))
+        else Seq(fs.getFileStatus(root))
+      var total = 0L
+      files.foreach { st =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try total += r.getRecordCount finally r.close()
+      }
+      Some(total)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Crossover row count for [[simJoinAuto]], derived from the banding
+    * collision model calibrated on the measured [[graft.LshCrossover]]
+    * curve instead of a hardcoded constant. The banded plan's per-pair
+    * work relative to the exact nested loop is ρ = b·p_randʳ — the
+    * expected band collisions of a RANDOM (orthogonal, p_rand = ½) pair,
+    * each costing a candidate enumeration + rescore where the exact join
+    * scores the pair once. ρ ≥ 1 means banding cannot prune even
+    * orthogonal data (the τ=0.35 fixture regime: r=3, b=53 → ρ=6.6) and
+    * the exact join wins at every n. Below 1, the banded plan must also
+    * amortize its linear signature/shuffle overhead ∝ b·r per row;
+    * equating overhead against the (1−ρ) pair-work savings gives
+    * n* = K·b·r/(1−ρ), with K ≈ 12 calibrated at the measured τ=0.8
+    * crossover (`LshCrossover`: exact/LSH invert around n ≈ 10⁴ —
+    * 13.1 s vs 5.2 s at n=20k, 80.2 s vs 9.4 s at n=50k).
+    */
+  private[graft] def derivedCrossover(threshold: Double): Long = {
+    val (r, b) = lshParams(threshold)
+    val rho = b * math.pow(0.5, r)
+    if (rho >= 1.0) Long.MaxValue
+    else math.max(1L, math.round(12.0 * b * r / (1.0 - rho)))
+  }
+
   /** Cost-based similarity-join dispatch — the same statistics-driven
     * physical choice Catalyst makes for broadcast-vs-shuffle joins,
-    * applied to the similarity join: below the measured crossover
-    * (~10-20k rows, [[graft.LshCrossover]]) the all-pairs nested loop is
-    * faster (banding cannot prune thin data and its enumeration overhead
-    * dominates); above it the banded plan wins asymptotically. The corpus
-    * row count is one cheap aggregate over the pruned scan. Results are
-    * identical either way (LSH recall margin ≤ 1e-6 per pair by
-    * [[lshParams]]), so the oracle is shared with [[simJoin]].
+    * applied to the similarity join: below the crossover the all-pairs
+    * nested loop is faster (banding cannot prune thin data and its
+    * enumeration overhead dominates); above it the banded plan wins
+    * asymptotically. Both inputs are statistics, not jobs: the row count
+    * comes from parquet footers ([[parquetRowCount]]) and the threshold
+    * maps to a crossover through the calibrated collision model
+    * ([[derivedCrossover]]); pass `crossoverRows ≥ 0` to override.
+    * Results are identical either way (LSH recall margin ≤ 1e-6 per pair
+    * by [[lshParams]]), so the oracle is shared with [[simJoin]].
     */
   def simJoinAuto(spark: SparkSession, dir: String, threshold: Double = 0.35,
-      crossoverRows: Long = 10000L): DataFrame = {
-    val n = corpus(spark, dir).count()
-    if (n <= crossoverRows) simJoin(spark, dir, threshold)
+      crossoverRows: Long = -1L): DataFrame = {
+    val crossover =
+      if (crossoverRows >= 0L) crossoverRows else derivedCrossover(threshold)
+    val n = parquetRowCount(spark, s"$dir/embeddings.parquet")
+      .getOrElse(corpus(spark, dir).count())
+    if (n <= crossover) simJoin(spark, dir, threshold)
     else simJoinLsh(spark, dir, threshold)
   }
 

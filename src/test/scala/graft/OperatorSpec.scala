@@ -100,6 +100,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(viaLsh.toSeq === viaExact.toSeq)
   }
 
+  test("dispatcher statistics: footer row count and model-derived crossover") {
+    import graft.sources.Tables
+    // footer metadata equals the scan count, for a file and for a directory
+    val meta = KnnOps.parquetRowCount(spark, sf + "/embeddings.parquet")
+    assert(meta === Some(Tables.embeddings(spark, sf).count()))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cnt").toFile
+    try {
+      Tables.embeddings(spark, sf).repartition(3)
+        .write.mode("overwrite").parquet(tmp.getPath + "/e.parquet")
+      assert(KnnOps.parquetRowCount(spark, tmp.getPath + "/e.parquet") === meta)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    assert(KnnOps.parquetRowCount(spark, sf + "/nope.parquet") === None)
+    // low-threshold regime: banding cannot prune random data → exact always
+    assert(KnnOps.derivedCrossover(0.35) === Long.MaxValue)
+    // high-threshold regime: finite and near the measured LshCrossover ~10k
+    val c8 = KnnOps.derivedCrossover(0.8)
+    assert(c8 > 5000L && c8 < 20000L, s"crossover(0.8)=$c8")
+    val c9 = KnnOps.derivedCrossover(0.9)
+    assert(c9 > 1000L && c9 < c8, s"crossover(0.9)=$c9")
+  }
+
   test("LSH banding auto-tuner meets the miss target across thresholds") {
     Seq(0.2, 0.35, 0.5, 0.8, 0.9, 0.95).foreach { tau =>
       val (r, b) = KnnOps.lshParams(tau)
