@@ -97,17 +97,30 @@ object KnnOps {
     * implementation behind `q_knn_batch`.
     */
   def topKBatchAgg(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
     val emb = corpus(spark, dir)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-    val cand = emb.filter(col("vec_id") >= nQueries)
+    topKForQueries(queries, emb.filter(col("vec_id") >= nQueries), k)
+  }
+
+  /** Bounded-heap top-k for an ARBITRARY query table (query_id,
+    * q_embedding) against an arbitrary candidate corpus (vec_id,
+    * embedding) — the core behind [[topKBatchAgg]] and the per-micro-batch
+    * scorer of [[graft.streaming.StreamingOps.streamingKnn]]. The query
+    * side broadcasts (small by definition: one batch of queries; the
+    * corpus may be 100 TB and never moves), and the
+    * [[graft.plans.TopKScoreId]] partial aggregation bounds the shuffle
+    * at k rows per (query, map task).
+    */
+  def topKForQueries(queries: DataFrame, cand: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val scored = cand
       .crossJoin(broadcast(queries))
       .select(col("query_id"), col("vec_id"),
         round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
     val topk = toCol(graft.plans.TopKScoreId(
       toExpr(col("score")), toExpr(col("vec_id")), k).toAggregateExpression())
-    cand.groupBy(col("query_id"))
+    scored.groupBy(col("query_id"))
       .agg(topk.as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
       .select(col("query_id"), col("hit.vec_id").as("vec_id"),

@@ -117,6 +117,28 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming knn — the reference's query path (`searchByText`, ref
+    * `main_server.py:40-44`) as a stream: each micro-batch of query
+    * vectors (query_id, q_embedding) is answered with the bounded-heap
+    * top-k against the STATIC corpus
+    * ([[graft.operators.KnnOps.topKForQueries]]), through `foreachBatch`
+    * like [[streamingUpsert]] — stateless per batch, so there is no
+    * streaming-aggregation state to watermark. The micro-batch query side
+    * broadcasts; the corpus is scanned per batch and never broadcast or
+    * shuffled (the 100 TB side stays put; over an IVF collection the
+    * inner scorer swaps for the partition-pruned probe). `sink` receives
+    * each batch's ranked results with its batch id.
+    */
+  def streamingKnn(queryStream: DataFrame, corpus: DataFrame, k: Int = 3)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.KnnOps.topKForQueries(batch.toDF(), corpus, k), id)
+      }
+      .start()
+
   /** Stream-static enrichment: every micro-batch hash-joins against the
     * broadcast dimension (no streaming state at all — the static side is a
     * plain batch DataFrame, re-broadcast per batch). The streaming form of

@@ -174,6 +174,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming knn answers each query micro-batch like the batch top-k") {
+    implicit val ctx = spark.sqlContext
+    val sf = TestSpark.Sf
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val corpus = emb.filter($"vec_id" >= 5)
+    val queries = emb.filter($"vec_id" < 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](2)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+    val q = StreamingOps.streamingKnn(
+      in.toDS.toDF("query_id", "q_embedding"), corpus, k = 3) { (out, _) =>
+      results.synchronized {
+        results ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      }
+    }
+    try {
+      in.addData(queries.take(3).toSeq: _*)
+      q.processAllAvailable()
+      in.addData(queries.drop(3).toSeq: _*)
+      q.processAllAvailable()
+      val expected = graft.operators.KnnOps.topKBatchAgg(spark, sf, nQueries = 5, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(results.toSet === expected)
+      assert(results.size === 15) // 5 queries x k=3, each exactly once
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState closes sessions on event-time timeout") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
