@@ -50,8 +50,14 @@ object EmbedScale {
     checksum(fused); checksum(hof)
     val cf = time(s"fused dim=$dim")(checksum(fused))
     val ch = time(s"hof   dim=$dim")(checksum(hof))
-    assert(cf == ch, s"checksum mismatch: fused=$cf hof=$ch")
-    println(s"[embedscale] checksums agree: $cf")
+    // Equality is asserted PER ROW, not on the two checksums: those come
+    // from separate sum() jobs whose partial-merge order is partition-
+    // dependent, so exact-double equality would only hold by accident of
+    // a single-partition input. The checksums remain as timing payloads.
+    val mismatches = docs.select(fused.as("f"), hof.as("h"))
+      .filter(not(col("f") === col("h"))).count()
+    assert(mismatches == 0L, s"$mismatches rows diverge between fused and HOF")
+    println(s"[embedscale] per-row equal; checksums fused=$cf hof=$ch")
     spark.stop()
   }
 }

@@ -60,7 +60,8 @@ case class FeatureHashEmbed(child: Expression, dim: Int) extends UnaryExpression
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    // any collation: the split/hash here are byte-based and collation-agnostic
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires string, got ${other.simpleString}")
   }

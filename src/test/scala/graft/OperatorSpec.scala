@@ -252,8 +252,18 @@ class OperatorSpec extends AnyFunSuite {
         transform(acc, (x, i) => x + when(bucket === i.cast("long"), sgn).otherwise(lit(0.0)))
       })
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    import spark.implicits._
+    // fixture corpus is clean single-space text — the adversarial rows pin
+    // the split semantics the fused loop must reproduce: empty string,
+    // consecutive/leading/trailing spaces (empty tokens DO get hashed),
+    // and multi-byte UTF-8
+    val adversarial = Seq(
+      (9000L, ""), (9001L, "a  b"), (9002L, " a"), (9003L, "a "),
+      (9004L, "  "), (9005L, "héllo wörld ünïcode"), (9006L, "多 字 节 文本"),
+      (9007L, "mixed 多字节 ascii")).toDF("doc_id", "text")
     for (dim <- Seq(8, 64)) {
-      val both = Tables.documents(spark, sf)
+      val both = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+        .unionAll(adversarial)
         .select(col("doc_id"),
           toCol(graft.plans.FeatureHashEmbed(toExpr(col("text")), dim)).as("fused"),
           hofRaw(dim).as("hof"))
