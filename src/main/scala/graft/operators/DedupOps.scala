@@ -361,10 +361,11 @@ object DedupOps {
     //    with the codegen'd sorted-merge intersection.
     val verified = vocab match {
       case Some(_) =>
+        // cached: the guard's bucket count AND both join sides read it
         val banded = LshGuard.dropHotBuckets(sig
           .select(col("doc_id"), col("bm"), col("n"), explode(array(bandStructs: _*)).as("bb"))
           .select(col("doc_id"), col("bm"), col("n"),
-            col("bb.band").as("band"), col("bb.bkey").as("bkey")), maxBucket)
+            col("bb.band").as("band"), col("bb.bkey").as("bkey")).cache(), maxBucket)
         val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"),
           col("bm").as("a_bm"), col("n").as("a_n"))
         val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
@@ -377,8 +378,8 @@ object DedupOps {
       case None =>
         val banded = LshGuard.dropHotBuckets(sig
           .select(col("doc_id"), col("bm"), explode(array(bandStructs: _*)).as("bb"))
-          .select(col("doc_id"), col("bm"), col("bb.band").as("band"), col("bb.bkey").as("bkey")),
-          maxBucket)
+          .select(col("doc_id"), col("bm"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+          .cache(), maxBucket)
         val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"), col("bm").as("a_bm"))
         val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
           col("doc_id").as("b_id"), col("bm").as("b_bm"))
@@ -426,7 +427,7 @@ object DedupOps {
         val banded = LshGuard.dropHotBuckets(sig
           .select(col("doc_id"), col("bm"), col("n"), explode(array(bandStructs: _*)).as("bb"))
           .select(col("doc_id"), col("bm"), col("n"),
-            col("bb.band").as("band"), col("bb.bkey").as("bkey")), maxBucket)
+            col("bb.band").as("band"), col("bb.bkey").as("bkey")).cache(), maxBucket)
         val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"),
           col("bm").as("a_bm"), col("n").as("a_n"))
         val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
@@ -442,8 +443,8 @@ object DedupOps {
       case None =>
         val banded = LshGuard.dropHotBuckets(sig
           .select(col("doc_id"), col("bm"), explode(array(bandStructs: _*)).as("bb"))
-          .select(col("doc_id"), col("bm"), col("bb.band").as("band"), col("bb.bkey").as("bkey")),
-          maxBucket)
+          .select(col("doc_id"), col("bm"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+          .cache(), maxBucket)
         val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"), col("bm").as("a_bm"))
         val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
           col("doc_id").as("b_id"), col("bm").as("b_bm"))
