@@ -37,6 +37,7 @@ object SparkEntry {
     // method and its recall test remain (KnnOps.topKIvf).
     "q_knn_ivf_kmeans" -> ((s, d) => KnnOps.topKIvfKmeans(s, d)),
     "q_knn_ivf_part"   -> ((s, d) => KnnOps.topKIvfPartitionedE2E(s, d)),
+    "q_knn_hnsw"       -> ((s, d) => GraphAnnOps.topKNsw(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
@@ -135,6 +136,7 @@ object SparkEntry {
     */
   def benchQueries: Seq[String] = Seq(
     "q_knn_topk", "q_knn_batch", "q_knn_filtered", "q_knn_ivf_kmeans", "q_knn_ivf_part",
+    "q_knn_hnsw",
     "q_cosine_pair", "q_sim_join", "q_sim_join_lsh", "q_sim_join_auto", "q_vec_centroids",
     "q_vec_quantize", "q_embed_batch",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** One partition's navigable-small-world graph, flattened for the Dataset
+  * encoder: vectors row-major, adjacency as offsets + a flat neighbor
+  * list (CSR layout).
+  */
+case class NswGraph(part: Int, n: Int, dim: Int, ids: Array[Long],
+    vecs: Array[Double], adjOff: Array[Int], adj: Array[Int])
+
+/** Graph-based ANN — the reference's literal index type
+  * (`HNSWParams(m=16, efconstruction=200)`, ref `TencentVDB.py:46`),
+  * re-planned for Spark's execution model instead of one shared mutable
+  * graph: each PARTITION builds its own navigable-small-world graph in
+  * `mapPartitions` (no shuffle — the graph never crosses partitions, the
+  * ingest analog of the reference server's per-shard index), and a query
+  * beam-searches every partition graph independently, merging k rows per
+  * partition through a global bounded top-k. Search cost per partition is
+  * O(ef · M · dim) hops instead of a full scan; the merge carries
+  * k·partitions rows — the same shuffle contract as the bounded-heap knn.
+  *
+  * Single-layer NSW rather than the hierarchical variant: with per-
+  * partition graphs the node count per graph is corpus/partitions, so the
+  * log-factor the hierarchy buys is already paid by the partition fan-out
+  * (and build stays deterministic: insertion in vec_id order, similarity
+  * ties break to the lower node).
+  *
+  * Approximate by construction → rows-only in the driver contract; recall
+  * vs the exact scan is pinned in tests (fixture recall is exact because
+  * efSearch ≥ nodes-per-partition makes each local search exhaustive).
+  */
+object GraphAnnOps {
+
+  /** Cosine between a stored node and a query, double accumulation in
+    * index order — the same operation order as the fused codegen cosine,
+    * so scores agree to the ulp.
+    */
+  private def cosAt(vecs: Array[Double], dim: Int, node: Int,
+      q: Array[Double]): Double = {
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    val base = node * dim
+    while (i < dim) {
+      val x = vecs(base + i); val y = q(i)
+      ab += x * y; aa += x * x; bb += y * y; i += 1
+    }
+    val d = math.sqrt(aa) * math.sqrt(bb)
+    if (d == 0.0) 0.0 else ab / d
+  }
+
+  /** Greedy beam search over the first `limit` nodes of an adjacency
+    * structure: expand the best unexpanded candidate, keep the `ef` best
+    * visited. Returns (node, score) sorted best-first with lower-node
+    * tie-breaks. Entry point is node 0 (the lowest vec_id — deterministic).
+    */
+  private def beamSearch(vecs: Array[Double], dim: Int,
+      adjacency: Array[scala.collection.mutable.ArrayBuffer[Int]],
+      limit: Int, q: Array[Double], ef: Int): Array[(Int, Double)] = {
+    if (limit <= 0) return Array.empty
+    val visited = new java.util.BitSet(limit)
+    // candidates: best-first by (score desc, node asc)
+    val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by[(Double, Int), (Double, Int)] { case (s, nd) => (s, -nd) })
+    // result pool: worst-first so the floor is O(1) to inspect/evict
+    val pool = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by[(Double, Int), (Double, Int)] { case (s, nd) => (-s, nd) })
+    val s0 = cosAt(vecs, dim, 0, q)
+    visited.set(0); cand.enqueue((s0, 0)); pool.enqueue((s0, 0))
+    while (cand.nonEmpty) {
+      val (s, node) = cand.dequeue()
+      // the classic termination: the best candidate cannot improve the pool
+      if (pool.size >= ef && s < pool.head._1) { cand.clear() }
+      else {
+        val neigh = adjacency(node)
+        var i = 0
+        while (i < neigh.length) {
+          val nb = neigh(i)
+          if (nb < limit && !visited.get(nb)) {
+            visited.set(nb)
+            val sn = cosAt(vecs, dim, nb, q)
+            if (pool.size < ef || sn > pool.head._1) {
+              cand.enqueue((sn, nb)); pool.enqueue((sn, nb))
+              if (pool.size > ef) pool.dequeue()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    pool.toArray.map { case (s, nd) => (nd, s) }
+      .sortBy { case (nd, s) => (-s, nd) }
+  }
+
+  /** Build one NSW graph per partition: nodes inserted in vec_id order,
+    * each connected bidirectionally to its `m` best neighbors among the
+    * `efConstruction` found by beam search over the graph built so far;
+    * adjacency lists prune back to `m` keeping the most similar (the
+    * HNSW "select neighbors simple" rule). Pure per-partition compute —
+    * zero shuffle.
+    */
+  def buildGraphs(emb: DataFrame, m: Int = 16,
+      efConstruction: Int = 200): Dataset[NswGraph] = {
+    import emb.sparkSession.implicits._
+    emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val n = rows.length
+          val dim = rows(0)._2.length
+          val vecs = new Array[Double](n * dim)
+          var r = 0
+          while (r < n) {
+            val v = rows(r)._2; var i = 0
+            while (i < dim) { vecs(r * dim + i) = v(i); i += 1 }
+            r += 1
+          }
+          val adjacency = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+          def pruneTo(node: Int): Unit = {
+            val a = adjacency(node)
+            if (a.length > m) {
+              val q = new Array[Double](dim)
+              System.arraycopy(vecs, node * dim, q, 0, dim)
+              val kept = a.map(nb => (nb, cosAt(vecs, dim, nb, q)))
+                .sortBy { case (nb, s) => (-s, nb) }.take(m).map(_._1)
+              a.clear(); a ++= kept
+            }
+          }
+          var node = 1
+          while (node < n) {
+            val q = new Array[Double](dim)
+            System.arraycopy(vecs, node * dim, q, 0, dim)
+            val found = beamSearch(vecs, dim, adjacency, node, q, efConstruction)
+            val neighbors = found.take(m)
+            neighbors.foreach { case (nb, _) =>
+              adjacency(node) += nb
+              adjacency(nb) += node
+              pruneTo(nb)
+            }
+            node += 1
+          }
+          val adjOff = new Array[Int](n + 1)
+          var o = 0; var j = 0
+          while (j < n) { o += adjacency(j).length; adjOff(j + 1) = o; j += 1 }
+          val adjFlat = new Array[Int](o)
+          j = 0
+          while (j < n) {
+            var p = adjOff(j); val a = adjacency(j); var i = 0
+            while (i < a.length) { adjFlat(p) = a(i); p += 1; i += 1 }
+            j += 1
+          }
+          Iterator.single(NswGraph(
+            org.apache.spark.TaskContext.getPartitionId(), n, dim,
+            rows.map(_._1), vecs, adjOff, adjFlat))
+        }
+      }
+  }
+
+  /** Search every partition graph for the query's `efSearch`-beam top-k;
+    * the global merge is k rows per graph through one bounded sort.
+    */
+  def searchGraphs(graphs: Dataset[NswGraph], qVec: Array[Double],
+      k: Int = 3, efSearch: Int = 100): DataFrame = {
+    import graphs.sparkSession.implicits._
+    graphs.flatMap { g =>
+      val adjacency = Array.tabulate(g.n) { node =>
+        val a = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var p = g.adjOff(node)
+        while (p < g.adjOff(node + 1)) { a += g.adj(p); p += 1 }
+        a
+      }
+      beamSearch(g.vecs, g.dim, adjacency, g.n, qVec, math.max(efSearch, k))
+        .take(k).map { case (node, s) => (g.ids(node), s) }
+    }.toDF("vec_id", "score")
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Build-then-search composite for the driver contract (`q_knn_hnsw`):
+    * the reference's exercised query (`searchByText(limit=3)` over its
+    * HNSW index) through the per-partition graphs. The corpus spreads by
+    * vec_id hash first — the fixture is one parquet file = one partition,
+    * which would otherwise build ONE graph on one thread (at real scale
+    * the file count provides the spread, and the graphs are built once at
+    * ingest, not per query).
+    */
+  def topKNsw(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 3,
+      m: Int = 16, efConstruction: Int = 200, efSearch: Int = 100): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qVec = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    val corpus = emb.filter(col("vec_id") =!= queryId)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+    searchGraphs(buildGraphs(corpus, m, efConstruction), qVec, k, efSearch)
+  }
+}

@@ -360,6 +360,33 @@ class OperatorSpec extends AnyFunSuite {
     f1.values.foreach(v => assert(v.length === 16 && v.forall(_ >= 0.0f)))
   }
 
+  test("NSW graph knn recalls the exact top-k on the fixture, deterministically") {
+    // efSearch ≥ nodes-per-partition makes each local beam exhaustive over
+    // its (connected-by-construction) graph, so fixture recall is exact
+    val nsw = GraphAnnOps.topKNsw(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = KnnOps.topK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(nsw.map(_._1).toSeq === exact.map(_._1).toSeq)
+    nsw.zip(exact).foreach { case ((_, s1), (_, s2)) =>
+      assert(math.abs(s1 - s2) < 1e-6)
+    }
+    val again = GraphAnnOps.topKNsw(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(again.toSeq === nsw.toSeq)
+    // the index artifact itself: one graph per non-empty partition, every
+    // node within degree bounds after pruning
+    val graphs = GraphAnnOps.buildGraphs(
+      graft.sources.Tables.embeddings(spark, sf)
+        .repartition(8, col("vec_id"))).collect()
+    assert(graphs.nonEmpty && graphs.length <= 8)
+    graphs.foreach { g =>
+      val degrees = (0 until g.n).map(i => g.adjOff(i + 1) - g.adjOff(i))
+      assert(degrees.forall(d => d >= 1 || g.n == 1), s"isolated node in part ${g.part}")
+      assert(degrees.forall(_ <= 16 + 1), s"degree bound violated in part ${g.part}")
+    }
+  }
+
   test("IVF probe retrieval recalls the exact top-k on the fixture") {
     val exact = KnnOps.topK(spark, sf, queryId = 0L, k = 3)
       .select("vec_id").collect().map(_.getLong(0)).toSet
