@@ -181,6 +181,17 @@ object GraphAnnOps {
       .limit(k)
   }
 
+  /** Search a PERSISTED graph collection
+    * ([[graft.sources.CatalogOps.createNswCollection]]): the build was
+    * paid at ingest; a query costs one beam search per stored graph row
+    * plus the k·graphs merge.
+    */
+  def searchStored(spark: SparkSession, db: String, name: String,
+      qVec: Array[Double], k: Int = 3, efSearch: Int = 100): DataFrame = {
+    import spark.implicits._
+    searchGraphs(spark.table(s"`$db`.`$name`").as[NswGraph], qVec, k, efSearch)
+  }
+
   /** Build-then-search composite for the driver contract (`q_knn_hnsw`):
     * the reference's exercised query (`searchByText(limit=3)` over its
     * HNSW index) through the per-partition graphs. The corpus spreads by

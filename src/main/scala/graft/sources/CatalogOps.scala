@@ -254,6 +254,23 @@ object CatalogOps {
     cents
   }
 
+  /** NSW graph collection — the graph-index ingest analog of
+    * [[createIvfCollection]] (the reference builds its HNSW at upsert,
+    * `TencentVDB.py:79`): the per-partition graphs
+    * ([[graft.operators.GraphAnnOps.buildGraphs]]) materialize as ONE
+    * table row per partition (CSR-flattened arrays), so queries pay only
+    * the beam searches ([[graft.operators.GraphAnnOps.searchStored]]) —
+    * never a rebuild. `shards` controls graph count = search fan-out.
+    */
+  def createNswCollection(spark: SparkSession, db: String, name: String,
+      data: DataFrame, shards: Int = 8, m: Int = 16,
+      efConstruction: Int = 200): Unit = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.GraphAnnOps.buildGraphs(
+        data.repartition(shards, col("vec_id")), m, efConstruction)
+      .write.mode("overwrite").saveAsTable(s"`$db`.`$name`")
+  }
+
   /** `drop_collection` (ref `TencentVDB.py:87-89`). */
   def dropCollection(spark: SparkSession, db: String, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")

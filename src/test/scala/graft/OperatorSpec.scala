@@ -387,6 +387,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("stored NSW collection answers queries without rebuilding") {
+    import graft.sources.{CatalogOps, Tables}
+    CatalogOps.dropDatabase(spark, "nswdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/nswdb.db"))
+    CatalogOps.createDatabase(spark, "nswdb")
+    val emb = Tables.embeddings(spark, sf)
+    CatalogOps.createNswCollection(spark, "nswdb", "emb_nsw",
+      emb.filter(col("vec_id") =!= 0L))
+    val qVec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    val stored = GraphAnnOps.searchStored(spark, "nswdb", "emb_nsw", qVec)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = KnnOps.topK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(stored.map(_._1).toSeq === exact.map(_._1).toSeq)
+    stored.zip(exact).foreach { case ((_, s1), (_, s2)) =>
+      assert(math.abs(s1 - s2) < 1e-6)
+    }
+    CatalogOps.dropDatabase(spark, "nswdb")
+  }
+
   test("IVF probe retrieval recalls the exact top-k on the fixture") {
     val exact = KnnOps.topK(spark, sf, queryId = 0L, k = 3)
       .select("vec_id").collect().map(_.getLong(0)).toSet
