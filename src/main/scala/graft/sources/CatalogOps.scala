@@ -266,9 +266,63 @@ object CatalogOps {
       data: DataFrame, shards: Int = 8, m: Int = 16,
       efConstruction: Int = 200): Unit = {
     import org.apache.spark.sql.functions.col
+    // partitioned by graph id so incremental maintenance ([[upsertNsw]])
+    // can rewrite exactly the rebuilt graphs via dynamic overwrite
     graft.operators.GraphAnnOps.buildGraphs(
         data.repartition(shards, col("vec_id")), m, efConstruction)
-      .write.mode("overwrite").saveAsTable(s"`$db`.`$name`")
+      .write.mode("overwrite").partitionBy("part")
+      .saveAsTable(s"`$db`.`$name`")
+    // build parameters travel with the index: the upsert must re-shard and
+    // re-build with the SAME hash fan-out and graph constants
+    spark.createDataFrame(Seq((shards, m, efConstruction)))
+      .toDF("shards", "m", "ef_construction")
+      .coalesce(1).write.mode("overwrite")
+      .saveAsTable(s"`$db`.`${name}__meta`")
+  }
+
+  /** Incremental NSW maintenance — the graph twin of [[upsertIvf]]: the
+    * batch's target graphs are found by replaying the ingest hash
+    * (`pmod(hash(vec_id), shards)` — `functions.hash` IS the Murmur3 used
+    * by `repartition(n, col)`, seed 42), those graphs' rows are recovered
+    * from their stored vectors, merged last-writer-wins with the batch,
+    * and ONLY the touched graphs rebuild (same insertion order, same
+    * constants from `name__meta`) and rewrite via dynamic partition
+    * overwrite. Untouched graph partitions keep their files byte-for-byte
+    * (pinned in tests). Batch schema: (vec_id, embedding).
+    */
+  def upsertNsw(spark: SparkSession, db: String, name: String,
+      batch: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val meta = spark.table(s"`$db`.`${name}__meta`").head()
+    val (shards, m, efC) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val touched = batch
+      .select(pmod(hash(col("vec_id")), lit(shards)).as("part")).distinct()
+    val graphs = spark.table(s"`$db`.`$name`")
+    // decode the touched graphs back to (vec_id, embedding) rows
+    val stored = graphs.join(broadcast(touched), "part")
+      .select(col("dim"), posexplode(col("ids")).as(Seq("i", "vec_id")),
+        col("vecs"))
+      .select(col("vec_id"),
+        slice(col("vecs"), col("i") * col("dim") + 1, col("dim")).as("embedding"))
+    // last-writer-wins: batch rows replace stored rows of the same id
+    val merged = stored.join(batch.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(batch.select(col("vec_id"), col("embedding").cast("array<double>")))
+    // same hash fan-out → rebuilt graphs land on their original part ids;
+    // untouched parts are empty partitions and emit no rows
+    val rebuilt = graft.operators.GraphAnnOps.buildGraphs(
+      merged.repartition(shards, col("vec_id")), m, efC)
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val targetCols = spark.table(s"`$db`.`$name`").columns.toIndexedSeq.map(col)
+      rebuilt.toDF().select(targetCols: _*)
+        .write.mode("overwrite").insertInto(s"$db.$name")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
   }
 
   /** `drop_collection` (ref `TencentVDB.py:87-89`). */

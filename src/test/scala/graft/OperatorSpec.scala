@@ -409,6 +409,49 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "nswdb")
   }
 
+  test("NSW upsert rebuilds only the touched partition graphs") {
+    import graft.sources.{CatalogOps, Tables}
+    import spark.implicits._
+    CatalogOps.dropDatabase(spark, "nswupdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/nswupdb.db"))
+    CatalogOps.createDatabase(spark, "nswupdb")
+    val emb = Tables.embeddings(spark, sf)
+    CatalogOps.createNswCollection(spark, "nswupdb", "emb_nsw", emb, shards = 8)
+    val beforeIds = spark.table("`nswupdb`.`emb_nsw`")
+      .select(explode(col("ids")).as("id")).collect().map(_.getLong(0)).toSet
+    // batch: move id 1 onto id 2's vector, and insert a brand-new id
+    val v2 = emb.filter(col("vec_id") === 2L)
+      .select(col("embedding")).head().getSeq[Double](0)
+    val batch = Seq((1L, v2), (777777L, v2.map(_ * -1.0))).toDF("vec_id", "embedding")
+    val touched = batch.select(pmod(hash(col("vec_id")), lit(8)).as("p"))
+      .collect().map(_.getInt(0)).toSet
+    val untouchedPart = (0 until 8).find(p => !touched.contains(p)).get
+    val tableDir = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath + "/nswupdb.db/emb_nsw")
+    def files(p: Int): Set[(String, Long)] =
+      new java.io.File(tableDir, s"part=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val keepBefore = files(untouchedPart)
+    assert(keepBefore.nonEmpty)
+    CatalogOps.upsertNsw(spark, "nswupdb", "emb_nsw", batch)
+    assert(files(untouchedPart) === keepBefore) // untouched graphs intact
+    val afterIds = spark.table("`nswupdb`.`emb_nsw`")
+      .select(explode(col("ids")).as("id")).collect().map(_.getLong(0)).toSeq
+    assert(afterIds.toSet === beforeIds + 777777L) // one insert, no id lost
+    assert(afterIds.distinct.length === afterIds.length) // ...or duplicated
+    // the rebuilt graphs serve the new vectors: the inserted id is its own
+    // nearest neighbor, and the moved id now scores 1.0 against id 2's vector
+    val hitNew = GraphAnnOps.searchStored(spark, "nswupdb", "emb_nsw",
+      v2.map(_ * -1.0).toArray, k = 1).head()
+    assert(hitNew.getLong(0) === 777777L && hitNew.getDouble(1) === 1.0)
+    val hitMoved = GraphAnnOps.searchStored(spark, "nswupdb", "emb_nsw",
+      v2.toArray, k = 3).collect().map(_.getLong(0)).toSet
+    assert(hitMoved.contains(1L) && hitMoved.contains(2L))
+    CatalogOps.dropDatabase(spark, "nswupdb")
+  }
+
   test("IVF probe retrieval recalls the exact top-k on the fixture") {
     val exact = KnnOps.topK(spark, sf, queryId = 0L, k = 3)
       .select("vec_id").collect().map(_.getLong(0)).toSet
