@@ -29,8 +29,12 @@ case class NswGraph(part: Int, n: Int, dim: Int, ids: Array[Long],
   * ties break to the lower node).
   *
   * Approximate by construction → rows-only in the driver contract; recall
-  * vs the exact scan is pinned in tests (fixture recall is exact because
-  * efSearch ≥ nodes-per-partition makes each local search exhaustive).
+  * vs the exact scan is pinned in tests. Fixture recall is exact:
+  * nodes-per-partition ≈ m, so the graphs stay essentially unpruned and
+  * an efSearch ≥ nodes beam is exhaustive. (Pruned graphs are directed —
+  * a prune drops A→B but not B→A — so recall < 1 is possible exactly as
+  * in HNSW; the ScalaCheck suite pins the unpruned-equality and
+  * true-score contracts.)
   */
 object GraphAnnOps {
 
@@ -119,45 +123,67 @@ object GraphAnnOps {
             while (i < dim) { vecs(r * dim + i) = v(i); i += 1 }
             r += 1
           }
-          val adjacency = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
-          def pruneTo(node: Int): Unit = {
-            val a = adjacency(node)
-            if (a.length > m) {
-              val q = new Array[Double](dim)
-              System.arraycopy(vecs, node * dim, q, 0, dim)
-              val kept = a.map(nb => (nb, cosAt(vecs, dim, nb, q)))
-                .sortBy { case (nb, s) => (-s, nb) }.take(m).map(_._1)
-              a.clear(); a ++= kept
-            }
-          }
-          var node = 1
-          while (node < n) {
-            val q = new Array[Double](dim)
-            System.arraycopy(vecs, node * dim, q, 0, dim)
-            val found = beamSearch(vecs, dim, adjacency, node, q, efConstruction)
-            val neighbors = found.take(m)
-            neighbors.foreach { case (nb, _) =>
-              adjacency(node) += nb
-              adjacency(nb) += node
-              pruneTo(nb)
-            }
-            node += 1
-          }
-          val adjOff = new Array[Int](n + 1)
-          var o = 0; var j = 0
-          while (j < n) { o += adjacency(j).length; adjOff(j + 1) = o; j += 1 }
-          val adjFlat = new Array[Int](o)
-          j = 0
-          while (j < n) {
-            var p = adjOff(j); val a = adjacency(j); var i = 0
-            while (i < a.length) { adjFlat(p) = a(i); p += 1; i += 1 }
-            j += 1
-          }
-          Iterator.single(NswGraph(
-            org.apache.spark.TaskContext.getPartitionId(), n, dim,
-            rows.map(_._1), vecs, adjOff, adjFlat))
+          Iterator.single(buildLocal(
+            org.apache.spark.TaskContext.getPartitionId(),
+            rows.map(_._1), vecs, dim, m, efConstruction))
         }
       }
+  }
+
+  /** Pure per-partition graph construction (the `mapPartitions` body) —
+    * also ScalaCheck-driven directly, without Spark jobs.
+    */
+  private[graft] def buildLocal(part: Int, ids: Array[Long],
+      vecs: Array[Double], dim: Int, m: Int, efConstruction: Int): NswGraph = {
+    val n = ids.length
+    val adjacency = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    def pruneTo(node: Int): Unit = {
+      val a = adjacency(node)
+      if (a.length > m) {
+        val q = new Array[Double](dim)
+        System.arraycopy(vecs, node * dim, q, 0, dim)
+        val kept = a.map(nb => (nb, cosAt(vecs, dim, nb, q)))
+          .sortBy { case (nb, s) => (-s, nb) }.take(m).map(_._1)
+        a.clear(); a ++= kept
+      }
+    }
+    var node = 1
+    while (node < n) {
+      val q = new Array[Double](dim)
+      System.arraycopy(vecs, node * dim, q, 0, dim)
+      val found = beamSearch(vecs, dim, adjacency, node, q, efConstruction)
+      val neighbors = found.take(m)
+      neighbors.foreach { case (nb, _) =>
+        adjacency(node) += nb
+        adjacency(nb) += node
+        pruneTo(nb)
+      }
+      node += 1
+    }
+    val adjOff = new Array[Int](n + 1)
+    var o = 0; var j = 0
+    while (j < n) { o += adjacency(j).length; adjOff(j + 1) = o; j += 1 }
+    val adjFlat = new Array[Int](o)
+    j = 0
+    while (j < n) {
+      var p = adjOff(j); val a = adjacency(j); var i = 0
+      while (i < a.length) { adjFlat(p) = a(i); p += 1; i += 1 }
+      j += 1
+    }
+    NswGraph(part, n, dim, ids, vecs, adjOff, adjFlat)
+  }
+
+  /** Pure single-graph query (the `flatMap` body of [[searchGraphs]]). */
+  private[graft] def searchLocal(g: NswGraph, q: Array[Double],
+      ef: Int): Array[(Long, Double)] = {
+    val adjacency = Array.tabulate(g.n) { node =>
+      val a = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var p = g.adjOff(node)
+      while (p < g.adjOff(node + 1)) { a += g.adj(p); p += 1 }
+      a
+    }
+    beamSearch(g.vecs, g.dim, adjacency, g.n, q, ef)
+      .map { case (node, s) => (g.ids(node), s) }
   }
 
   /** Search every partition graph for the query's `efSearch`-beam top-k;
@@ -167,14 +193,7 @@ object GraphAnnOps {
       k: Int = 3, efSearch: Int = 100): DataFrame = {
     import graphs.sparkSession.implicits._
     graphs.flatMap { g =>
-      val adjacency = Array.tabulate(g.n) { node =>
-        val a = scala.collection.mutable.ArrayBuffer.empty[Int]
-        var p = g.adjOff(node)
-        while (p < g.adjOff(node + 1)) { a += g.adj(p); p += 1 }
-        a
-      }
-      beamSearch(g.vecs, g.dim, adjacency, g.n, qVec, math.max(efSearch, k))
-        .take(k).map { case (node, s) => (g.ids(node), s) }
+      searchLocal(g, qVec, math.max(efSearch, k)).take(k)
     }.toDF("vec_id", "score")
       .select(col("vec_id"), round(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)

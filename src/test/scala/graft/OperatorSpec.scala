@@ -361,8 +361,8 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("NSW graph knn recalls the exact top-k on the fixture, deterministically") {
-    // efSearch ≥ nodes-per-partition makes each local beam exhaustive over
-    // its (connected-by-construction) graph, so fixture recall is exact
+    // nodes-per-partition ≈ m keeps the graphs essentially unpruned, so an
+    // efSearch ≥ nodes beam is exhaustive and fixture recall is exact
     val nsw = GraphAnnOps.topKNsw(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     val exact = KnnOps.topK(spark, sf)
