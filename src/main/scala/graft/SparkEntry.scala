@@ -101,6 +101,7 @@ object SparkEntry {
     "q_histogram"        -> ((s, d) => RelOps.histogram(s, d)),
     "q_tpch_q3"          -> ((s, d) => RelOps.shippingPriority(s, d)),
     "q_tpch_q4"          -> ((s, d) => RelOps.orderPriorityCheck(s, d)),
+    "q_tpch_q5"          -> ((s, d) => RelOps.localSupplierVolume(s, d)),
     "q_part_brands"      -> ((s, d) => RelOps.partBrandRevenue(s, d)),
     // ---- §2.F joins ----
     "q_join_hash"      -> ((s, d) => RelOps.joinHash(s, d)),
@@ -627,6 +628,20 @@ object SparkEntry {
         |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
     // ---- joins ----
     "q_part_brands" ->
       """SELECT p_brand, count(*) AS n_items,

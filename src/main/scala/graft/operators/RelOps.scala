@@ -368,6 +368,39 @@ object RelOps {
       .limit(10)
   }
 
+  /** TPC-H Q5 (local supplier volume) — the classic 6-table join-order
+    * test: region→nation prune first (tiny dims, broadcast), the
+    * customer-nation = supplier-nation condition closes the cycle, and
+    * the one large-large join (lineitem ⋈ orders) carries only pruned
+    * keys. Money sums via the integer-micros trick (FIXTURES.md float
+    * determinism rule).
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(1000000.0))
+        .cast("long")).cast("double") / lit(1000000.0)).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
   /** UNPIVOT — wide measure columns to long (metric, val) rows via
     * `stack`, the inverse reshape of [[pivotEvents]]. A Generate projection
     * (map-side 1→3, no shuffle); the long form is what generic
