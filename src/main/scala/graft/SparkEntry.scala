@@ -61,6 +61,8 @@ object SparkEntry {
     "q_doc_winnow"      -> ((s, d) => TextAnalysisOps.winnowFingerprint(s, d)),
     "q_sample_split"    -> ((s, d) => TextAnalysisOps.sampleSplit(s, d)),
     "q_text_bigrams"    -> ((s, d) => TextAnalysisOps.bigrams(s, d)),
+    "q_text_redact"     -> ((s, d) => TextAnalysisOps.redactPii(s, d)),
+    "q_text_repetition" -> ((s, d) => TextAnalysisOps.repetitionSignals(s, d)),
     "q_multimodal_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
     // ---- §2.I events (batch) ----
     "q_events_tumbling"   -> ((s, d) => EventOps.tumbling(s, d)),
@@ -436,6 +438,42 @@ object SparkEntry {
         |GROUP BY bigram
         |ORDER BY n DESC, bigram ASC
         |LIMIT 20""".stripMargin,
+    "q_text_redact" ->
+      """WITH pii AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@example.com via +1-555-' ||
+        |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |         ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |         regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM pii
+        |), s2 AS (
+        |  SELECT doc_id, n_emails,
+        |         CAST(len(regexp_extract_all(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |         regexp_replace(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM s1
+        |)
+        |SELECT doc_id, n_emails, n_ips,
+        |       CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9()\-. ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+        |       regexp_replace(t2, '\+?[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM s2 ORDER BY doc_id ASC""".stripMargin,
+    "q_text_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(len(w) - 1 AS BIGINT) AS n_bigrams,
+        |         unnest(list_transform(range(1, len(w)),
+        |                               i -> w[i] || chr(30) || w[i + 1])) AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 2
+        |), c AS (
+        |  SELECT doc_id, n_bigrams, bg, count(*) AS c FROM b GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, n_bigrams, max(c) AS top_bigram_n,
+        |       round(CAST(max(c) AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac
+        |FROM c GROUP BY doc_id, n_bigrams
+        |ORDER BY doc_id ASC""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,
         |       CAST(ascii(substr(md5(text), 1, 1)) % 16 AS BIGINT) AS shard

@@ -153,6 +153,63 @@ object TextAnalysisOps {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(topN)
 
+  /** PII redaction — the scrubbing pass every training-data pipeline runs
+    * before a corpus ships: emails, then IPv4 addresses, then phone-shaped
+    * digit runs, each counted at its own stage (phone patterns would
+    * otherwise also count the dotted IPs) and replaced with a typed tag.
+    * The fixture corpus is a clean word-bag, so the query plants
+    * deterministic PII derived from fixture fields first — the scrubber
+    * then provably finds and removes all of it (pinned in tests). Pure
+    * per-row `regexp_replace` chain: codegen'd, zero shuffle.
+    */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phoneRe = "\\+?[0-9][0-9()\\-. ]{6,}[0-9]"
+    val withPii = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com via +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")).as("t"))
+    val afterEmail = regexp_replace(col("t"), emailRe, "<EMAIL>")
+    withPii
+      .select(col("doc_id"), col("t"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        afterEmail.as("t1"))
+      .select(col("doc_id"), col("n_emails"),
+        size(regexp_extract_all(col("t1"), lit(ipRe), lit(0))).cast("long").as("n_ips"),
+        regexp_replace(col("t1"), ipRe, "<IP>").as("t2"))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"),
+        size(regexp_extract_all(col("t2"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        regexp_replace(col("t2"), phoneRe, "<PHONE>").as("redacted"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Gopher-style repetition signal: the fraction of a document's word
+    * bigrams taken by its single most frequent bigram — the standard
+    * boilerplate/templated-text filter (high top-bigram share = loops or
+    * copy-paste). Two partial-aggregated groupBys: per-(doc, bigram)
+    * counts fold map-side, then one max per doc — shuffle volume is
+    * distinct bigrams, never token positions.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), (size(col("w")) - 1).cast("long").as("n_bigrams"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws("\u001E", // RS: tokens cannot collide across the seam
+            element_at(col("w"), i), element_at(col("w"), i + 1)))).as("bg"))
+      .groupBy(col("doc_id"), col("n_bigrams"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_bigrams"))
+      .agg(max(col("c")).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6)
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id").asc)
+
   /** Rolling-hash winnowing fingerprints (the MOSS scheme): polynomial
     * k-gram hashes over the character stream, then the minimum of each
     * w-hash window — shift-resistant local fingerprints, the

@@ -201,6 +201,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("PII redaction finds every planted pattern and leaves none behind") {
+    val rows = TextAnalysisOps.redactPii(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === 1L, "one planted email") // n_emails
+      assert(r.getLong(2) === 1L, "one planted ip")    // n_ips
+      assert(r.getLong(3) === 1L, "one planted phone") // n_phones
+      val red = r.getString(4)
+      assert(red.contains("<EMAIL>") && red.contains("<IP>") && red.contains("<PHONE>"))
+      assert(!red.contains("@") && !red.contains("555"))
+    }
+  }
+
+  test("repetition signal is a valid fraction and maximal bigram share") {
+    TextAnalysisOps.repetitionSignals(spark, sf).collect().foreach { r =>
+      val (n, top, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(top >= 1L && top <= n)
+      assert(frac > 0.0 && frac <= 1.0)
+      assert(math.abs(frac - math.rint(top.toDouble / n * 1e6) / 1e6) < 1e-9)
+    }
+  }
+
   test("blank-line collapse is idempotent (no \\n runs survive)") {
     val cleaned = TextOps.cleanText(spark, sf)
       .filter(col("cleaned").contains("\n\n")).count()
