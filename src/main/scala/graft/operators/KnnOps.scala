@@ -524,6 +524,48 @@ object KnnOps {
       .limit(k)
   }
 
+  /** Batched IVF probe over a cell-partitioned collection: every query in
+    * the (small) batch picks its `nprobe` cells from the persisted model
+    * driver-side, the scan prunes to the UNION of probed cells
+    * (PartitionFilters — one pruned read serves the whole batch), and a
+    * broadcast (query, cell) table restricts scoring to each query's own
+    * cells before the bounded-heap top-k. The per-micro-batch scorer of
+    * [[graft.streaming.StreamingOps.streamingKnnIvf]] — the streaming ANN
+    * shape where neither the corpus nor most of its partitions are read.
+    */
+  def topKForQueriesIvf(spark: SparkSession, db: String, name: String,
+      queries: DataFrame, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val model = spark.table(s"`$db`.`${name}__model`")
+      .orderBy(col("cell").asc).collect()
+    val kCells = model.length
+    val cents = model.flatMap(_.getSeq[Double](1))
+    // the query batch is micro-batch-sized by contract; probes computed on
+    // the driver against the k×dim model, like any broadcast ML model
+    val qRows = queries.select(col("query_id"), col("q_embedding")).collect()
+    val probeRows = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      nearestCells(qv, cents, kCells, nprobe).map(c => (qid, c, qv.toSeq))
+    }
+    val qprobe = spark.createDataFrame(probeRows.toSeq)
+      .toDF("query_id", "cell", "q_embedding")
+    val allCells = probeRows.map(_._2).distinct.map(Int.box)
+    val scored = spark.table(s"`$db`.`$name`")
+      .filter(col("cell").isin(allCells: _*)) // partition-pruned once for the batch
+      .join(broadcast(qprobe), "cell")        // each row meets only its probers
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
+    val topk = toCol(graft.plans.TopKScoreId(
+      toExpr(col("score")), toExpr(col("vec_id")), k).toAggregateExpression())
+    scored.groupBy(col("query_id"))
+      .agg(topk.as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.vec_id").as("vec_id"),
+        col("hit.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** Build-then-probe composite for the driver contract (`q_knn_ivf_part`):
     * ingest the embeddings fixture as an IVF-partitioned collection, then
     * answer the standard fixture query through the partition-pruned probe.

@@ -139,6 +139,25 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming knn over an IVF-partitioned collection
+    * ([[graft.sources.CatalogOps.createIvfCollection]]) — the 100 TB
+    * streaming ANN: each micro-batch picks its probe cells from the
+    * persisted model and reads ONLY those partitions
+    * ([[graft.operators.KnnOps.topKForQueriesIvf]]), so a query batch
+    * touches nprobe/kCells of the corpus instead of scanning it.
+    */
+  def streamingKnnIvf(queryStream: DataFrame, db: String, name: String,
+      k: Int = 3, nprobe: Int = 2)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.KnnOps.topKForQueriesIvf(
+            batch.sparkSession, db, name, batch.toDF(), k, nprobe), id)
+      }
+      .start()
+
   /** Stream-static enrichment: every micro-batch hash-joins against the
     * broadcast dimension (no streaming state at all — the static side is a
     * plain batch DataFrame, re-broadcast per batch). The streaming form of

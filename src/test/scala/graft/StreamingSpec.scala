@@ -202,6 +202,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IVF knn prunes per micro-batch and matches the batch probe") {
+    import graft.sources.{CatalogOps, Tables}
+    import graft.operators.KnnOps
+    implicit val ctx = spark.sqlContext
+    CatalogOps.dropDatabase(spark, "sivfdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/sivfdb.db"))
+    CatalogOps.createDatabase(spark, "sivfdb")
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    CatalogOps.createIvfCollection(spark, "sivfdb", "emb_ivf", emb)
+    val queries = emb.filter($"vec_id" < 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](2)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+    val q = StreamingOps.streamingKnnIvf(
+      in.toDS.toDF("query_id", "q_embedding"), "sivfdb", "emb_ivf", k = 4) { (out, _) =>
+      results.synchronized {
+        results ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      }
+    }
+    try {
+      in.addData(queries(0)); q.processAllAvailable()
+      in.addData(queries(1)); q.processAllAvailable()
+      queries.foreach { case (qid, _) =>
+        val got = results.filter(_._1 == qid).sortBy(_._4)
+        // the stored query vector is its own best probe hit...
+        assert(got.head._2 === qid && got.head._3 === 1.0)
+        // ...and the rest reproduce the single-query partition-pruned probe
+        val expected = KnnOps.topKIvfPartitioned(spark, "sivfdb", "emb_ivf", qid, k = 3)
+          .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+        assert(got.drop(1).map(t => (t._2, t._3)).toSeq === expected)
+      }
+    } finally {
+      q.stop()
+      CatalogOps.dropDatabase(spark, "sivfdb")
+    }
+  }
+
   test("flatMapGroupsWithState closes sessions on event-time timeout") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
