@@ -67,6 +67,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NearestCentroid(children(0), constDoubles(children(1), "centroids"),
           constInt(children(2), "k"))
       }))
+    ext.injectFunction((FunctionIdentifier("nav_tree_explode"),
+      info("nav_tree_explode", "nav_tree_explode(json) - table function: flatten a nested {title, link, children} nav tree into (title, url, depth) rows at any depth"),
+      (children: Seq[Expression]) => graft.plans.NavTreeExplode(children(0))))
   }
 
   // The matrix arguments are model constants (like a broadcast ML model),

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_citation_format" -> ((s, d) => TextOps.citationFormat(s, d)),
     "q_html_extract"    -> ((s, d) => TextOps.htmlExtract(s, d)),
     "q_json_tree"       -> ((s, d) => TextOps.jsonTree(s, d)),
+    "q_json_tree_deep"  -> ((s, d) => TextOps.jsonTreeDeep(s, d)),
     "q_rag_e2e"         -> ((s, d) => TextOps.ragEndToEnd(s, d)),
     "q_ingest_e2e"      -> ((s, d) => TextOps.ingestEndToEnd(s, d)),
     "q_chunk_split"     -> ((s, d) => TextOps.chunkSplit(s, d)),
@@ -162,6 +163,26 @@ object SparkEntry {
         round(cosineFast(col("a_emb"), col("b_emb")), 6).as("score"))
       .orderBy(col("a_id").asc)
   }
+
+  /** Shared by q_json_tree (schema-typed explodes) and q_json_tree_deep
+    * (recursive Generator) — identical rows by contract.
+    */
+  private val JsonTreeOracle: String =
+    """WITH l1 AS (
+      |  SELECT json_extract_string(n, '$.title') AS title,
+      |         json_extract_string(n, '$.link') AS link,
+      |         json_extract(n, '$.children') AS children
+      |  FROM (SELECT unnest(CAST(json_extract(
+      |    '{"list":[{"title":"overview","link":"/overview","children":[{"title":"quickstart","link":"/quickstart"},{"title":"concepts","link":"/concepts"}]},{"title":"api","link":"/api","children":[{"title":"search","link":"/search"},{"title":"upsert","link":"/upsert"},{"title":"ddl","link":"/ddl"}]},{"title":"pricing","link":"/pricing","children":[]}]}',
+      |    '$.list') AS JSON[])) AS n)),
+      |l2 AS (
+      |  SELECT json_extract_string(c, '$.title') AS title,
+      |         link || json_extract_string(c, '$.link') AS sublink
+      |  FROM (SELECT link, unnest(CAST(children AS JSON[])) AS c FROM l1))
+      |SELECT title, 'https://nav.local' || link AS url, CAST(1 AS BIGINT) AS depth FROM l1
+      |UNION ALL
+      |SELECT title, 'https://nav.local' || sublink, 2 FROM l2
+      |ORDER BY depth ASC, url ASC""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // ---- vector ----
@@ -301,22 +322,10 @@ object SparkEntry {
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |ORDER BY a_id ASC""".stripMargin,
-    "q_json_tree" ->
-      """WITH l1 AS (
-        |  SELECT json_extract_string(n, '$.title') AS title,
-        |         json_extract_string(n, '$.link') AS link,
-        |         json_extract(n, '$.children') AS children
-        |  FROM (SELECT unnest(CAST(json_extract(
-        |    '{"list":[{"title":"overview","link":"/overview","children":[{"title":"quickstart","link":"/quickstart"},{"title":"concepts","link":"/concepts"}]},{"title":"api","link":"/api","children":[{"title":"search","link":"/search"},{"title":"upsert","link":"/upsert"},{"title":"ddl","link":"/ddl"}]},{"title":"pricing","link":"/pricing","children":[]}]}',
-        |    '$.list') AS JSON[])) AS n)),
-        |l2 AS (
-        |  SELECT json_extract_string(c, '$.title') AS title,
-        |         link || json_extract_string(c, '$.link') AS sublink
-        |  FROM (SELECT link, unnest(CAST(children AS JSON[])) AS c FROM l1))
-        |SELECT title, 'https://nav.local' || link AS url, CAST(1 AS BIGINT) AS depth FROM l1
-        |UNION ALL
-        |SELECT title, 'https://nav.local' || sublink, 2 FROM l2
-        |ORDER BY depth ASC, url ASC""".stripMargin,
+    "q_json_tree" -> JsonTreeOracle,
+    // the recursive Generator flattens the SAME payload to the SAME rows —
+    // one oracle serves both formulations
+    "q_json_tree_deep" -> JsonTreeOracle,
     "q_rag_e2e" ->
       """WITH scored AS (
         |  SELECT e.vec_id,

@@ -283,6 +283,23 @@ object TextOps {
     out1.unionAll(out2).orderBy(col("depth").asc, col("url").asc)
   }
 
+  /** [[jsonTree]] through the recursive [[graft.plans.NavTreeExplode]]
+    * Generator — ONE Generate node flattens the whole payload at any
+    * nesting depth, where the schema-typed formulation needs one explode
+    * per level (and the frontier join one distributed pass per level).
+    * Same rows as [[jsonTree]] on the depth-2 reference payload (shared
+    * oracle); the arbitrary-depth behavior is pinned in ScalaTest.
+    */
+  def jsonTreeDeep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    spark.range(1)
+      .select(toCol(graft.plans.NavTreeExplode(toExpr(lit(NavPayload))))
+        .as(Seq("title", "url", "depth")))
+      .select(col("title"),
+        concat(lit("https://nav.local"), col("url")).as("url"), col("depth"))
+      .orderBy(col("depth").asc, col("url").asc)
+  }
+
   /** The reference's ENTIRE query path as one DataFrame (SURVEY §3.2):
     * knn top-k (`searchByText`, `main_server.py:41`) → payload join →
     * score-ordered context concat (`listToString`, `:46-51`) → prompt

@@ -81,6 +81,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(m.getInt(1) === 1) // centroid (1,0) is the cosine argmax
   }
 
+  test("recursive tree Generator flattens any depth in one pass") {
+    // depth-2 reference payload: identical rows to the schema-typed explodes
+    val deep = TextOps.jsonTreeDeep(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val typed = TextOps.jsonTree(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(deep === typed)
+    // depth-4 nesting the per-level formulation cannot express without
+    // another explode stage per level
+    val nested =
+      """{"title":"a","link":"/a","children":[
+        |  {"title":"b","link":"/b","children":[
+        |    {"title":"c","link":"/c","children":[
+        |      {"title":"d","link":"/d"}]}]},
+        |  {"title":"e","link":"/e"}]}""".stripMargin.replace("\n", "")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val rows = spark.range(1)
+      .select(toCol(graft.plans.NavTreeExplode(toExpr(lit(nested))))
+        .as(Seq("title", "url", "depth")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq(
+      ("a", "/a", 1L), ("b", "/a/b", 2L), ("c", "/a/b/c", 3L),
+      ("d", "/a/b/c/d", 4L), ("e", "/a/e", 2L))) // preorder, urls accumulate
+    // and the UDTF is a SQL table function via GraftExtensions
+    val viaSql = spark.sql(
+      s"SELECT t.* FROM (SELECT 1) LATERAL VIEW nav_tree_explode('$nested') t")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(viaSql === rows)
+  }
+
   test("retention matrix: offsets non-negative, day 0 covers every user") {
     import graft.sources.Tables
     val rows = EventOps.retention(spark, sf).collect()
