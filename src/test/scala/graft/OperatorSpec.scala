@@ -390,6 +390,30 @@ class OperatorSpec extends AnyFunSuite {
     strings.foreach { case (id, s) => assert(got(id) === model(s), s"doc $id") }
   }
 
+  test("PPM decode path is real: true dimensions and channel means") {
+    import spark.implicits._
+    import graft.operators.{MediaRecord, MultimodalOps}
+    // a valid 4x2 P6 with a header comment: R=10, G=20, B=30 everywhere
+    val header = "P6\n# test image\n4 2\n255\n".getBytes("US-ASCII")
+    val pixels = Array.fill(8)(Array[Byte](10, 20, 30)).flatten
+    val ppm = header ++ pixels
+    val records = Seq(
+      MediaRecord(1L, ppm, "image/x-portable-pixmap"),
+      MediaRecord(2L, "not an image".getBytes("UTF-8"), "text/plain")).toDS
+    val meta = MultimodalOps.decodeMetaPpm(records).collect().sortBy(_.doc_id)
+    assert(meta(0).width === 4L && meta(0).height === 2L && meta(0).n_frames === 1L)
+    // the non-PPM row routed through the labeled stub, not the parser
+    assert(meta(1).width === 64L + "not an image".length % 512L)
+    val feats = MultimodalOps.meanRgb(records).collect()
+    assert(feats.map(_.doc_id).toSeq === Seq(1L)) // non-PPM yields no feature
+    val f = feats(0).feature
+    assert(math.abs(f(0) - 10f / 255f) < 1e-6 &&
+      math.abs(f(1) - 20f / 255f) < 1e-6 && math.abs(f(2) - 30f / 255f) < 1e-6)
+    // malformed payloads are rejected, not mis-parsed
+    assert(MultimodalOps.parsePpm("P6\n4 2\n255\nxx".getBytes("US-ASCII")).isEmpty)
+    assert(MultimodalOps.parsePpm("P5\n4 2\n255\n".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("multimodal resize/frame-sample/feature stubs keep shapes and determinism") {
     val recs = MultimodalOps.mediaRecords(spark, sf)
     val resized = MultimodalOps.resize(recs, 8, 8).collect()
