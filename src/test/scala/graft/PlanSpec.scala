@@ -164,6 +164,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Exchange")) <= 1, p)
   }
 
+  test("Q5 broadcasts the pruned dimensions and pushes the date filter") {
+    val p = plan(RelOps.localSupplierVolume(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+    assert(p.contains("partial_sum"), p) // revenue combines map-side
+  }
+
+  test("PII redaction plans zero exchanges (pure regexp projection)") {
+    val p = plan(TextAnalysisOps.redactPii(spark, sf))
+    // only the presentation ORDER BY may exchange
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1, p)
+  }
+
   test("EXISTS query plans a semi join with the date filter pushed down") {
     val p = plan(RelOps.orderPriorityCheck(spark, sf))
     assert(p.contains("LeftSemi"), p)
