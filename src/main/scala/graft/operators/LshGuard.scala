@@ -39,6 +39,11 @@ private[graft] object LshGuard {
 
   /** Remove all rows of (band, key) buckets with more than `cap` rows;
     * `cap <= 0` disables the guard.
+    *
+    * The hot set is probed EAGERLY (one aggregation job over the — cached
+    * by every caller — banded frame): a healthy corpus has no oversized
+    * buckets, and then the candidate join plans with no anti-join at all;
+    * the guard's steady-state cost is the stats job, not a per-row filter.
     */
   def dropHotBuckets(banded: DataFrame, cap: Int,
       bandCol: String = "band", keyCol: String = "bkey"): DataFrame = {
@@ -48,7 +53,8 @@ private[graft] object LshGuard {
         .agg(count(lit(1)).as("__bsz"))
         .filter(col("__bsz") > cap)
         .select(col(bandCol), col(keyCol))
-      banded.join(broadcast(hot), Seq(bandCol, keyCol), "left_anti")
+      if (hot.isEmpty) banded
+      else banded.join(broadcast(hot), Seq(bandCol, keyCol), "left_anti")
     }
   }
 }
