@@ -114,8 +114,14 @@ object KnnOps {
     */
   def topKForQueries(queries: DataFrame, cand: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    // an at-least-once source can replay a query row; a duplicated
+    // query_id would double-score every candidate and fill the k-slot
+    // heap with duplicates — resolve deterministically first
+    val uniq = queries.groupBy(col("query_id"))
+      .agg(max(struct(col("q_embedding"))).as("__w"))
+      .select(col("query_id"), col("__w.q_embedding").as("q_embedding"))
     val scored = cand
-      .crossJoin(broadcast(queries))
+      .crossJoin(broadcast(uniq))
       .select(col("query_id"), col("vec_id"),
         round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
     val topk = toCol(graft.plans.TopKScoreId(
@@ -293,6 +299,10 @@ object KnnOps {
           fs.listStatus(root).toSeq.filter(s => s.isFile &&
             s.getPath.getName.endsWith(".parquet"))
         else Seq(fs.getFileStatus(root))
+      // a dir with no direct part-files (e.g. a partitioned layout's
+      // nested cell=N/ dirs) is NOT an empty dataset — fall back to the
+      // scan count rather than mis-reporting zero rows
+      if (files.isEmpty) return None
       var total = 0L
       files.foreach { st =>
         val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
@@ -510,11 +520,13 @@ object KnnOps {
     val kCells = model.length
     val cents = model.flatMap(_.getSeq[Double](1))
     val coll = spark.table(s"`$db`.`$name`")
+    // the one id-lookup read this path pays (in production the query
+    // vector arrives from outside); the probe below reuses the collected
+    // vector as a literal instead of scanning the collection again
     val qVec = coll.filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Double](0).toArray
     val probes = nearestCells(qVec, cents, kCells, nprobe)
-    val q = coll.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_embedding"))
+    val q = spark.range(1).select(typedLit(qVec.toSeq).as("q_embedding"))
     coll.filter(col("cell").isin(probes.map(Int.box): _*) &&
         col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
@@ -541,8 +553,12 @@ object KnnOps {
     val kCells = model.length
     val cents = model.flatMap(_.getSeq[Double](1))
     // the query batch is micro-batch-sized by contract; probes computed on
-    // the driver against the k×dim model, like any broadcast ML model
-    val qRows = queries.select(col("query_id"), col("q_embedding")).collect()
+    // the driver against the k×dim model, like any broadcast ML model.
+    // Replayed query_ids resolve deterministically (see topKForQueries).
+    val qRows = queries.groupBy(col("query_id"))
+      .agg(max(struct(col("q_embedding"))).as("__w"))
+      .select(col("query_id"), col("__w.q_embedding").as("q_embedding"))
+      .collect()
     val probeRows = qRows.flatMap { r =>
       val qid = r.getLong(0)
       val qv = r.getSeq[Double](1).toArray

@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * per distinct key per task crosses the shuffle), the hot set is by
   * construction tiny and broadcast, and the removal is a map-side
   * anti-join — no sort, no second wide shuffle of the banded rows.
+  *
+  * Cache lifecycle: callers cache the banded frame because the guard's
+  * probe and both join sides read it. The cache lives until the session
+  * releases it (Spark's CacheManager holds it past the query) — a
+  * long-lived session running many dedup batches should
+  * `spark.catalog.clearCache()` between corpora, the same contract as
+  * every lazily-returned cached intermediate in this engine.
   */
 private[graft] object LshGuard {
 

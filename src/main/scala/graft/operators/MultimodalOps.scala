@@ -152,9 +152,13 @@ object MultimodalOps {
         else skipping = false
       }
       if (i >= b.length || !b(i).toChar.isDigit) return None
-      var x = 0
-      while (i < b.length && b(i).toChar.isDigit) { x = x * 10 + (b(i) - '0'.toByte); i += 1 }
-      vals(v) = x; v += 1
+      var x = 0L // Long + cap: an Int accumulator would wrap a long digit
+      while (i < b.length && b(i).toChar.isDigit) {
+        x = x * 10 + (b(i) - '0'.toByte)
+        if (x > Int.MaxValue) return None
+        i += 1
+      }
+      vals(v) = x.toInt; v += 1
     }
     if (i >= b.length || !b(i).toChar.isWhitespace) return None
     i += 1 // exactly one whitespace separates maxval from the pixel plane

@@ -53,7 +53,13 @@ case class NavTreeExplode(child: Expression)
           while (i < kids.size()) { walk(kids.get(i), url, depth + 1); i += 1 }
         }
       }
-      val root = NavTreeExplode.Mapper.readTree(json.toString)
+      // malformed payloads emit nothing — the same row-local failure
+      // semantics as from_json (null struct → no exploded rows), so one
+      // bad page cannot abort a corpus-wide flatten
+      val root =
+        try NavTreeExplode.Mapper.readTree(json.toString)
+        catch { case _: com.fasterxml.jackson.core.JacksonException => null }
+      if (root == null) return Iterator.empty
       val list = root.get("list")
       if (list != null && list.isArray) {
         var i = 0

@@ -120,12 +120,17 @@ object CatalogOps {
         .write.mode("overwrite").insertInto(s"$db.$name")
       // touched partitions absent from the staged frame lost their last row
       // to a partition move — drop them, or the stale copy survives
-      val isStr = spark.table(table).schema(partCol).dataType ==
-        org.apache.spark.sql.types.StringType
+      val numeric = spark.table(table).schema(partCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
       touched.join(spark.table(staging).select(col(partCol)).distinct(),
           Seq(partCol), "left_anti")
         .collect().foreach { r =>
-          val v = if (isStr) s"'${r.get(0)}'" else r.get(0).toString
+          // numeric values go bare; everything else (string, date, ...) is
+          // quoted with embedded quotes doubled — the literal must parse
+          // even for values like "it's"
+          val v =
+            if (numeric) r.get(0).toString
+            else s"'${r.get(0).toString.replace("'", "''")}'"
           spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partCol=$v)")
         }
     } finally {
@@ -291,10 +296,16 @@ object CatalogOps {
     * (pinned in tests). Batch schema: (vec_id, embedding).
     */
   def upsertNsw(spark: SparkSession, db: String, name: String,
-      batch: DataFrame): Unit = {
+      rawBatch: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     val meta = spark.table(s"`$db`.`${name}__meta`").head()
     val (shards, m, efC) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    // a batch carrying the same id twice resolves deterministically (the
+    // winner is a function of row values — same rule as the merge core's
+    // tie-break), never of partitioning
+    val batch = rawBatch.groupBy(col("vec_id"))
+      .agg(max(struct(col("embedding"))).as("__w"))
+      .select(col("vec_id"), col("__w.embedding").as("embedding"))
     val touched = batch
       .select(pmod(hash(col("vec_id")), lit(shards)).as("part")).distinct()
     val graphs = spark.table(s"`$db`.`$name`")

@@ -151,6 +151,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(c9 > 1000L && c9 < c8, s"crossover(0.9)=$c9")
   }
 
+  test("review regressions: replayed queries, bad payloads, nested layouts") {
+    import spark.implicits._
+    import graft.sources.Tables
+    // a replayed query row must not displace true neighbors from the heap
+    val emb = Tables.embeddings(spark, sf)
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val replayed = q0.unionAll(q0) // same query twice in one batch
+    val got = KnnOps.topKForQueries(replayed, emb.filter(col("vec_id") >= 5), k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.length === 3 && got.map(_._1).distinct.length === 3)
+    // malformed nav payload emits nothing instead of failing the job
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val bad = spark.range(1)
+      .select(toCol(graft.plans.NavTreeExplode(toExpr(lit("{\"title\":"))))
+        .as(Seq("title", "url", "depth")))
+    assert(bad.count() === 0)
+    // a PPM width that overflows Int is rejected, not wrapped
+    assert(MultimodalOps.parsePpm(
+      ("P6\n4294967298 1\n255\n" + "x" * 8).getBytes("US-ASCII")).isEmpty)
+    // a partitioned layout (no direct part-files) reports None, not 0 rows
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nest").toFile
+    try {
+      Seq((1L, 0), (2L, 1)).toDF("id", "cell")
+        .write.partitionBy("cell").parquet(tmp.getPath + "/t.parquet")
+      assert(KnnOps.parquetRowCount(spark, tmp.getPath + "/t.parquet") === None)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
   test("LSH banding auto-tuner meets the miss target across thresholds") {
     Seq(0.2, 0.35, 0.5, 0.8, 0.9, 0.95).foreach { tau =>
       val (r, b) = KnnOps.lshParams(tau)
