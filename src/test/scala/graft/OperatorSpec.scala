@@ -240,6 +240,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(bandedPairs === expected) // pairs variant, same general path
   }
 
+  test("prefix-filter jaccard equals the blocked pair loop across random corpora") {
+    import spark.implicits._
+    // randomized sizes/overlap structure across several thresholds: the
+    // prefix bound must never lose a pair the blocked enumeration finds
+    for ((seed, tau) <- Seq((1L, 0.95), (2L, 0.9), (3L, 0.8), (4L, 0.7), (5L, 0.6))) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 150).map(i => f"t$i%03d")
+      val docs = (0 until 60).map { id =>
+        val n = 3 + rnd.nextInt(25)
+        val base = rnd.shuffle(vocab).take(n)
+        // half the docs are perturbations of an earlier doc (real near-dups)
+        val toks = if (id % 2 == 1 && id > 0) {
+          val parent = rnd.shuffle(vocab).take(n) // fresh half the time too
+          if (rnd.nextBoolean()) base.updated(rnd.nextInt(n), vocab(rnd.nextInt(150)))
+          else parent
+        } else base
+        (id.toLong, toks.mkString(" "))
+      }.toDF("doc_id", "text")
+      val prefix = DedupOps.jaccardPairsPrefixOn(docs, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val blocked = DedupOps.jaccardPairsBlockedOn(docs, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefix === blocked, s"seed=$seed tau=$tau")
+    }
+  }
+
   test("minhash LSH survivors equal the brute-force jaccard dedup") {
     val pairs = DedupOps.jaccardPairs(spark, sf, tau = 0.95)
       .select("b_id").distinct().collect().map(_.getLong(0)).toSet
