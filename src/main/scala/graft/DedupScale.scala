@@ -17,7 +17,13 @@ object DedupScale {
     // "noblocked": skip the O(n²) baseline (668.7 s at n=30k, measured
     // round 4) and cross-check the candidate paths against each other —
     // both are exact, so equality still validates.
-    val skipBlocked = args.length > 1 && args(1) == "noblocked"
+    // "hotcluster": measure the LshGuard instead — plant a boilerplate
+    // cluster (the web-corpus pathology) and compare the band join with
+    // the guard on vs off: bounded stays bounded, unguarded re-creates
+    // the quadratic join inside the cluster's buckets.
+    val mode = if (args.length > 1) args(1) else ""
+    if (mode == "hotcluster") { hotClusterRun(n); return }
+    val skipBlocked = mode == "noblocked"
     val tau = 0.9
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -68,6 +74,54 @@ object DedupScale {
     val exactSurvivors = allIds -- exactPairs
     println(s"[dedupscale] exact survivors=${exactSurvivors.size} lsh survivors=${lshSurvivors.size} " +
       s"equal=${exactSurvivors == lshSurvivors} prefix_pairs_equal=${prefixPairs == exactPairs}")
+    spark.stop()
+  }
+
+  /** Guard measurement: half the corpus is a single boilerplate cluster
+    * (shared 100-token base, one unique token each — near-identical
+    * signatures land every member in the same band buckets), half is
+    * normal. The guard (cap below the cluster size) must keep the run
+    * bounded and leave non-cluster survivors untouched; the unguarded run
+    * shows the quadratic candidate blowup the guard exists to stop.
+    */
+  private def hotClusterRun(n: Int): Unit = {
+    val tau = 0.9
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val rnd = new scala.util.Random(7171L)
+    val vocab = (0 until 10000).map(i => f"w$i%05d")
+    val normal = (0 until n / 2).map { i =>
+      val seen = collection.mutable.LinkedHashSet.empty[String]
+      while (seen.size < 40) seen += vocab(rnd.nextInt(vocab.length))
+      (i.toLong, seen.mkString(" "))
+    }
+    val base = (0 until 100).map(j => s"boiler_$j").mkString(" ")
+    val cluster = (0 until n / 2).map(i => (1000000L + i, s"$base u$i"))
+    val docs = (normal ++ cluster).toDF("doc_id", "text").repartition(32).cache()
+    docs.count()
+    val clusterSize = n / 2
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"[dedupscale] hotcluster n=$n cluster=$clusterSize $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      out
+    }
+    val guarded = time(s"guarded (cap=${clusterSize / 2})") {
+      graft.operators.DedupOps.minHashLshOn(docs, tau, clusterSize / 2)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val unguarded = time("unguarded (cap=0)") {
+      graft.operators.DedupOps.minHashLshOn(docs, tau, 0)
+        .collect().map(_.getLong(0)).toSet
+    }
+    println(s"[dedupscale] non-cluster survivors equal=" +
+      s"${guarded.filter(_ < 1000000L) == unguarded.filter(_ < 1000000L)} " +
+      s"guarded=${guarded.size} unguarded=${unguarded.size}")
     spark.stop()
   }
 }

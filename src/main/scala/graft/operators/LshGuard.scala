@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   * pairs between a cluster member and an outside row survive through
   * their other bands.
   *
+  * Measured (`graft.DedupScale <n> hotcluster`, 10k docs half of which
+  * are one boilerplate cluster, τ=0.9): guarded 8.6 s vs unguarded
+  * 64.8 s — 7.5×, widening quadratically with cluster size — with
+  * non-cluster survivors identical.
+  *
   * Cost shape: the per-key counts partial-aggregate map-side (one row
   * per distinct key per task crosses the shuffle), the hot set is by
   * construction tiny and broadcast, and the removal is a map-side
