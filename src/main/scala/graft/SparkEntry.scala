@@ -69,6 +69,7 @@ object SparkEntry {
     "q_events_hopping"    -> ((s, d) => EventOps.hopping(s, d)),
     "q_events_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "q_events_retention"  -> ((s, d) => EventOps.retention(s, d)),
+    "q_events_funnel"     -> ((s, d) => EventOps.funnel(s, d)),
     // ---- §2.A scans / sources / sinks ----
     "q_scan_documents"  -> ((s, d) => TextOps.scanDocuments(s, d)),
     "q_tree_flatten"    -> ((s, d) => TextOps.treeFlatten(s, d)),
@@ -124,6 +125,7 @@ object SparkEntry {
     "q_window_running" -> ((s, d) => RelOps.windowRunning(s, d)),
     "q_window_lag"     -> ((s, d) => RelOps.windowLag(s, d)),
     "q_window_range"   -> ((s, d) => RelOps.windowRange(s, d)),
+    "q_window_firstlast" -> ((s, d) => RelOps.windowFirstLast(s, d)),
     // ---- §2.H sorts / limits / set ops ----
     "q_sort_limit"    -> ((s, d) => RelOps.sortLimit(s, d)),
     "q_set_union"     -> ((s, d) => RelOps.setUnion(s, d)),
@@ -558,6 +560,28 @@ object SparkEntry {
         |FROM ev JOIN f USING (user_id)
         |GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day ASC, day_offset ASC""".stripMargin,
+    "q_events_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS click_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+        |       CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+        |            WHEN c.click_ts IS NOT NULL THEN 2
+        |            ELSE 1 END AS funnel_stage
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id ASC""".stripMargin,
     // ---- scans / RAG dataflow ----
     "q_scan_documents" ->
       "SELECT * FROM documents ORDER BY doc_id ASC",
@@ -769,6 +793,14 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id
         |             ORDER BY CAST(floor(date_part('epoch', ts)) AS BIGINT)
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id ASC, event_id ASC""".stripMargin,
+    "q_window_firstlast" ->
+      """SELECT user_id, event_id, event_type,
+        |       first_value(event_type) OVER w AS first_type,
+        |       last_value(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id ASC, event_id ASC""".stripMargin,
     "q_window_ntile" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,

@@ -82,4 +82,33 @@ object EventOps {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("cohort_day").asc, col("day_offset").asc)
   }
+
+  /** Ordered funnel conversion (view → click → purchase): each step's
+    * timestamp is the user's first qualifying event STRICTLY AFTER the
+    * previous step — the order-sensitive conversion query a simple
+    * per-type min cannot answer. Three conditional min-aggregations
+    * chained by joins, every one hashed on user_id, so the exchanges
+    * reuse one partitioning; funnel_stage = deepest step reached.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val view = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    val click = ev.filter(col("event_type") === "click")
+      .join(view, "user_id")
+      .filter(col("ts") > col("view_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(click, "user_id")
+      .filter(col("ts") > col("click_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+    view.join(click, Seq("user_id"), "left")
+      .join(purchase, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_ts"), col("click_ts"), col("purchase_ts"),
+        when(col("purchase_ts").isNotNull, 3)
+          .when(col("click_ts").isNotNull, 2)
+          .otherwise(1).as("funnel_stage"))
+      .orderBy(col("user_id").asc)
+  }
 }

@@ -275,6 +275,22 @@ object RelOps {
       .orderBy(col("user_id").asc, col("event_id").asc)
   }
 
+  /** FIRST_VALUE / LAST_VALUE over the full partition frame — each event
+    * annotated with its user's first and last event type (entry/exit-page
+    * analysis). Total (ts, event_id) ordering keeps both engines'
+    * window results identical; one user_id exchange.
+    */
+  def windowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
   // ---- §2.H sorts / limits / set ops ----
 
   /** Global top-k — compiles to TakeOrderedAndProject: per-partition bounded

@@ -111,6 +111,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(viaSql === rows)
   }
 
+  test("funnel steps are strictly ordered and stages consistent") {
+    val rows = EventOps.funnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, c, p, stage) =
+        (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3), r.getInt(4))
+      assert(v != null)
+      if (c != null) assert(c.after(v)) // strictly after the view step
+      if (p != null) assert(c != null && p.after(c)) // no skipping stages
+      assert(stage === (if (p != null) 3 else if (c != null) 2 else 1))
+    }
+  }
+
   test("retention matrix: offsets non-negative, day 0 covers every user") {
     import graft.sources.Tables
     val rows = EventOps.retention(spark, sf).collect()
