@@ -213,6 +213,47 @@ object MultimodalOps {
     }
   }
 
+  /** REAL resize for P6 payloads: nearest-neighbor resampling of the RGB
+    * plane, emitting a well-formed P6 at the target dimensions (so the
+    * output round-trips through [[parsePpm]]). Non-PPM payloads pass
+    * through the labeled stub [[resize]] untouched — same mixed-corpus
+    * contract as [[decodeMetaPpm]].
+    */
+  def resizePpm(records: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    require(w > 0 && h > 0, s"invalid target dims ${w}x$h")
+    records.mapPartitions { it =>
+      it.map { r =>
+        parsePpm(r.payload) match {
+          case Some((sw, sh, maxv, off)) =>
+            val header = s"P6\n$w $h\n$maxv\n".getBytes("US-ASCII")
+            val out = new Array[Byte](header.length + w * h * 3)
+            System.arraycopy(header, 0, out, 0, header.length)
+            var y = 0
+            while (y < h) {
+              val sy = y * sh / h
+              var x = 0
+              while (x < w) {
+                val sx = x * sw / w
+                val src = off + (sy * sw + sx) * 3
+                val dst = header.length + (y * w + x) * 3
+                out(dst) = r.payload(src)
+                out(dst + 1) = r.payload(src + 1)
+                out(dst + 2) = r.payload(src + 2)
+                x += 1
+              }
+              y += 1
+            }
+            MediaRecord(r.doc_id, out, r.mime)
+          case None =>
+            val fallback = Array.tabulate(w * h)(i =>
+              if (r.payload.isEmpty) 0.toByte else r.payload(i % r.payload.length))
+            MediaRecord(r.doc_id, fallback, r.mime)
+        }
+      }
+    }
+  }
+
   /** Pure-SQL metadata extraction over the binary column — oracle-checkable
     * (octet_length / sha256 / modular fake dims compute identically in
     * DuckDB). `q_multimodal_meta`.

@@ -482,6 +482,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(MultimodalOps.parsePpm("P5\n4 2\n255\n".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("PPM resize resamples nearest-neighbor and round-trips the format") {
+    import spark.implicits._
+    import graft.operators.{MediaRecord, MultimodalOps}
+    // 4x2, each pixel's red channel encodes its (x, y): r = 10*x + y
+    val header = "P6\n4 2\n255\n".getBytes("US-ASCII")
+    val pixels = (for (y <- 0 until 2; x <- 0 until 4)
+      yield Array((10 * x + y).toByte, 0.toByte, 0.toByte)).flatten.toArray
+    val records = Seq(MediaRecord(1L, header ++ pixels, "image/x-portable-pixmap")).toDS
+    val out = MultimodalOps.resizePpm(records, 2, 1).collect()(0).payload
+    val parsed = MultimodalOps.parsePpm(out)
+    assert(parsed.isDefined)
+    val (w, h, _, off) = parsed.get
+    assert(w === 2 && h === 1)
+    // nearest-neighbor: target (0,0) <- source (0,0) r=0; (1,0) <- (2,0) r=20
+    assert(out(off) === 0.toByte && out(off + 3) === 20.toByte)
+  }
+
+  test("batch sessionizer agrees with Spark's native session_window") {
+    // two independent formulations of 30-minute-gap sessions: the lag+sum
+    // window chain (EventOps.sessionize) and the built-in session_window
+    // aggregate must produce identical (user, start, end, n) sessions
+    val ours = EventOps.sessionize(spark, sf)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val native = graft.sources.Tables.events(spark, sf)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("s"), max(col("ts")).as("e"))
+      .select(col("user_id"), col("s"), col("e"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(ours === native)
+  }
+
   test("multimodal resize/frame-sample/feature stubs keep shapes and determinism") {
     val recs = MultimodalOps.mediaRecords(spark, sf)
     val resized = MultimodalOps.resize(recs, 8, 8).collect()
