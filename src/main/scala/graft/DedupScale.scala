@@ -12,6 +12,32 @@ import org.apache.spark.sql.SparkSession
   * τ=0.9 — and at what cost.
   */
 object DedupScale {
+  // one session + timer for both modes: the hotcluster numbers quoted in
+  // LshGuard's scaladoc stay comparable to the main-path measurements
+  private def benchSession(): SparkSession = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  private def timed[A](tag: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val out = f
+    println(f"[dedupscale] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    out
+  }
+
+  private def randomDoc(rnd: scala.util.Random, vocab: IndexedSeq[String],
+      nTokens: Int = 40): Array[String] = {
+    val seen = collection.mutable.LinkedHashSet.empty[String]
+    while (seen.size < nTokens) seen += vocab(rnd.nextInt(vocab.length))
+    seen.toArray
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 30000
     // "noblocked": skip the O(n²) baseline (668.7 s at n=30k, measured
@@ -25,22 +51,12 @@ object DedupScale {
     if (mode == "hotcluster") { hotClusterRun(n); return }
     val skipBlocked = mode == "noblocked"
     val tau = 0.9
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = benchSession()
     import spark.implicits._
 
     val rnd = new scala.util.Random(9090L)
     val vocab = (0 until 10000).map(i => f"w$i%05d")
-    def sample40(): Array[String] = {
-      val seen = collection.mutable.LinkedHashSet.empty[String]
-      while (seen.size < 40) seen += vocab(rnd.nextInt(vocab.length))
-      seen.toArray
-    }
-    val base = Array.fill(n * 4 / 5)(sample40())
+    val base = Array.fill(n * 4 / 5)(randomDoc(rnd, vocab))
     val dups = Array.fill(n / 5) {
       val b = base(rnd.nextInt(base.length)).clone()
       b(rnd.nextInt(b.length)) = vocab(rnd.nextInt(vocab.length))
@@ -52,12 +68,7 @@ object DedupScale {
       .repartition(32).cache()
     docs.count()
 
-    def time[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val out = f
-      println(f"[dedupscale] n=$n tau=$tau $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      out
-    }
+    def time[A](name: String)(f: => A): A = timed(s"n=$n tau=$tau $name")(f)
     val prefixPairs = time("prefix-filter jaccard") {
       graft.operators.DedupOps.jaccardPairsPrefixOn(docs, tau)
         .select("b_id").distinct().collect().map(_.getLong(0)).toSet
@@ -86,31 +97,18 @@ object DedupScale {
     */
   private def hotClusterRun(n: Int): Unit = {
     val tau = 0.9
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = benchSession()
     import spark.implicits._
     val rnd = new scala.util.Random(7171L)
     val vocab = (0 until 10000).map(i => f"w$i%05d")
-    val normal = (0 until n / 2).map { i =>
-      val seen = collection.mutable.LinkedHashSet.empty[String]
-      while (seen.size < 40) seen += vocab(rnd.nextInt(vocab.length))
-      (i.toLong, seen.mkString(" "))
-    }
+    val normal = (0 until n / 2).map(i => (i.toLong, randomDoc(rnd, vocab).mkString(" ")))
     val base = (0 until 100).map(j => s"boiler_$j").mkString(" ")
     val cluster = (0 until n / 2).map(i => (1000000L + i, s"$base u$i"))
     val docs = (normal ++ cluster).toDF("doc_id", "text").repartition(32).cache()
     docs.count()
     val clusterSize = n / 2
-    def time[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val out = f
-      println(f"[dedupscale] hotcluster n=$n cluster=$clusterSize $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      out
-    }
+    def time[A](name: String)(f: => A): A =
+      timed(s"hotcluster n=$n cluster=$clusterSize $name")(f)
     val guarded = time(s"guarded (cap=${clusterSize / 2})") {
       graft.operators.DedupOps.minHashLshOn(docs, tau, clusterSize / 2)
         .collect().map(_.getLong(0)).toSet

@@ -80,15 +80,22 @@ object MultimodalOps {
     */
   def resize(records: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import records.sparkSession.implicits._
-    require(w > 0 && h > 0, s"invalid target dims ${w}x$h")
-    val target = w * h
-    records.mapPartitions { it =>
-      it.map { r =>
-        val out = Array.tabulate(target)(i =>
-          if (r.payload.isEmpty) 0.toByte else r.payload(i % r.payload.length))
-        MediaRecord(r.doc_id, out, r.mime)
-      }
-    }
+    requireDims(w, h)
+    records.mapPartitions(_.map(stubResizeRecord(_, w, h)))
+  }
+
+  private def requireDims(w: Int, h: Int): Unit =
+    require(w > 0 && h > 0 && w.toLong * h * 3 + 32 <= Int.MaxValue,
+      s"invalid target dims ${w}x$h")
+
+  /** The one stub-resize contract (cycle the payload to w·h bytes) —
+    * shared by [[resize]] and [[resizePpm]]'s non-PPM fallback so the two
+    * cannot diverge.
+    */
+  private def stubResizeRecord(r: MediaRecord, w: Int, h: Int): MediaRecord = {
+    val out = Array.tabulate(w * h)(i =>
+      if (r.payload.isEmpty) 0.toByte else r.payload(i % r.payload.length))
+    MediaRecord(r.doc_id, out, r.mime)
   }
 
   /** STUBBED FRAME SAMPLING — the 1→N flatMap shape of video frame
@@ -221,7 +228,7 @@ object MultimodalOps {
     */
   def resizePpm(records: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import records.sparkSession.implicits._
-    require(w > 0 && h > 0, s"invalid target dims ${w}x$h")
+    requireDims(w, h)
     records.mapPartitions { it =>
       it.map { r =>
         parsePpm(r.payload) match {
@@ -245,10 +252,7 @@ object MultimodalOps {
               y += 1
             }
             MediaRecord(r.doc_id, out, r.mime)
-          case None =>
-            val fallback = Array.tabulate(w * h)(i =>
-              if (r.payload.isEmpty) 0.toByte else r.payload(i % r.payload.length))
-            MediaRecord(r.doc_id, fallback, r.mime)
+          case None => stubResizeRecord(r, w, h)
         }
       }
     }

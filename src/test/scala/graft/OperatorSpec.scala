@@ -257,18 +257,21 @@ class OperatorSpec extends AnyFunSuite {
     import spark.implicits._
     // randomized sizes/overlap structure across several thresholds: the
     // prefix bound must never lose a pair the blocked enumeration finds
+    var totalPairs = 0
     for ((seed, tau) <- Seq((1L, 0.95), (2L, 0.9), (3L, 0.8), (4L, 0.7), (5L, 0.6))) {
       val rnd = new scala.util.Random(seed)
       val vocab = (0 until 150).map(i => f"t$i%03d")
+      var prev: Seq[String] = Seq.empty
       val docs = (0 until 60).map { id =>
-        val n = 3 + rnd.nextInt(25)
-        val base = rnd.shuffle(vocab).take(n)
-        // half the docs are perturbations of an earlier doc (real near-dups)
-        val toks = if (id % 2 == 1 && id > 0) {
-          val parent = rnd.shuffle(vocab).take(n) // fresh half the time too
-          if (rnd.nextBoolean()) base.updated(rnd.nextInt(n), vocab(rnd.nextInt(150)))
-          else parent
-        } else base
+        val toks =
+          if (id % 2 == 1 && prev.nonEmpty)
+            // genuine near-dup: perturb ONE token of the PREVIOUS doc
+            prev.updated(rnd.nextInt(prev.length), vocab(rnd.nextInt(150)))
+          else {
+            val n = 8 + rnd.nextInt(20)
+            rnd.shuffle(vocab).take(n)
+          }
+        prev = toks
         (id.toLong, toks.mkString(" "))
       }.toDF("doc_id", "text")
       val prefix = DedupOps.jaccardPairsPrefixOn(docs, tau)
@@ -276,7 +279,9 @@ class OperatorSpec extends AnyFunSuite {
       val blocked = DedupOps.jaccardPairsBlockedOn(docs, tau)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(prefix === blocked, s"seed=$seed tau=$tau")
+      totalPairs += prefix.size
     }
+    assert(totalPairs > 50, s"vacuous corpus: only $totalPairs pairs") // real pairs exercised
   }
 
   test("minhash LSH survivors equal the brute-force jaccard dedup") {
@@ -500,20 +505,40 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("batch sessionizer agrees with Spark's native session_window") {
-    // two independent formulations of 30-minute-gap sessions: the lag+sum
-    // window chain (EventOps.sessionize) and the built-in session_window
-    // aggregate must produce identical (user, start, end, n) sessions
-    val ours = EventOps.sessionize(spark, sf)
-      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
-      .toSet
-    val native = graft.sources.Tables.events(spark, sf)
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("s"), max(col("ts")).as("e"))
-      .select(col("user_id"), col("s"), col("e"), col("n_events"))
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
-      .toSet
-    assert(ours === native)
+    // Two independent formulations of 30-minute-gap sessions must produce
+    // identical (user, start, end, n) tuples. Controlled corpus: the lag
+    // chain splits on SECOND-truncated diff > 1800 while session_window
+    // splits on exact micros >= 1800 s, so gaps sit clearly on one side
+    // of the boundary (<= 29m59s merge, >= 31m split) — where the two
+    // semantics provably coincide; a fixture regeneration can't trip it.
+    import spark.implicits._
+    val base = 1700000000L * 1000000L // epoch micros, with sub-second offsets below
+    def ev(id: Long, user: Long, offsetMicros: Long) =
+      (id, (base + offsetMicros) * 1000L, user, "click", 1.0, "{}")
+    val events = Seq(
+      ev(1, 1, 0L), ev(2, 1, 600L * 1000000), // +10m: merge
+      ev(3, 1, 600L * 1000000 + 1799500000L), // +29m59.5s: merge both ways
+      ev(4, 1, 600L * 1000000 + 1799500000L + 1860L * 1000000), // +31m: split
+      ev(5, 2, 300500000L), // lone event, sub-second offset
+      ev(6, 3, 0L), ev(7, 3, 7200L * 1000000) // +2h: split
+    )
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess").toFile
+    try {
+      events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(tmp.getPath + "/events.parquet")
+      val ours = EventOps.sessionize(spark, tmp.getPath)
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+      val native = graft.sources.Tables.events(spark, tmp.getPath)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("s"), max(col("ts")).as("e"))
+        .select(col("user_id"), col("s"), col("e"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+      assert(ours === native)
+      assert(ours.size === 5) // u1: 2 sessions, u2: 1, u3: 2
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 
   test("multimodal resize/frame-sample/feature stubs keep shapes and determinism") {
