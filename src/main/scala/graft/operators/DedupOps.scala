@@ -320,14 +320,16 @@ object DedupOps {
   def minHashLsh(spark: SparkSession, dir: String, tau: Double = 0.95,
       maxBucket: Int = LshGuard.DefaultMaxBucket): DataFrame =
     minHashLshOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-      tau, maxBucket)
+      tau, maxBucket,
+      KnnOps.parquetRowCount(spark, s"$dir/documents.parquet"))
 
   /** Corpus-parametric form of [[minHashLsh]] — see [[jaccardPairsOn]].
     * Band buckets larger than `maxBucket` are dropped from candidate
     * generation ([[LshGuard]] — recall contract and fixture headroom).
     */
   private[graft] def minHashLshOn(allDocs: DataFrame, tau: Double,
-      maxBucket: Int = LshGuard.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = LshGuard.DefaultMaxBucket,
+      knownRows: Option[Long] = None): DataFrame = {
     // Collapse identical word-sets to their min-id representative FIRST
     // (exact dedup before near-dup — the real pipeline order). Identical
     // sets share every band, so a C-member cluster would enumerate
@@ -361,11 +363,12 @@ object DedupOps {
     //    with the codegen'd sorted-merge intersection.
     val verified = vocab match {
       case Some(_) =>
-        // cached: the guard's bucket count AND both join sides read it
+        // banding re-derives from the cached `sig` per consumer — the
+        // b×-docs banded frame itself is never materialized (LshGuard)
         val banded = LshGuard.dropHotBuckets(sig
           .select(col("doc_id"), col("bm"), col("n"), explode(array(bandStructs: _*)).as("bb"))
           .select(col("doc_id"), col("bm"), col("n"),
-            col("bb.band").as("band"), col("bb.bkey").as("bkey")).cache(), maxBucket)
+            col("bb.band").as("band"), col("bb.bkey").as("bkey")), maxBucket, knownRows)
         val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"),
           col("bm").as("a_bm"), col("n").as("a_n"))
         val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
@@ -378,8 +381,8 @@ object DedupOps {
       case None =>
         val banded = LshGuard.dropHotBuckets(sig
           .select(col("doc_id"), col("bm"), explode(array(bandStructs: _*)).as("bb"))
-          .select(col("doc_id"), col("bm"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-          .cache(), maxBucket)
+          .select(col("doc_id"), col("bm"), col("bb.band").as("band"), col("bb.bkey").as("bkey")),
+          maxBucket, knownRows)
         val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"), col("bm").as("a_bm"))
         val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
           col("doc_id").as("b_id"), col("bm").as("b_bm"))
@@ -413,10 +416,12 @@ object DedupOps {
   def minHashLshPairs(spark: SparkSession, dir: String, tau: Double = 0.95,
       maxBucket: Int = LshGuard.DefaultMaxBucket): DataFrame =
     minHashLshPairsOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-      tau, maxBucket)
+      tau, maxBucket,
+      KnnOps.parquetRowCount(spark, s"$dir/documents.parquet"))
 
   private[graft] def minHashLshPairsOn(docs: DataFrame, tau: Double,
-      maxBucket: Int = LshGuard.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = LshGuard.DefaultMaxBucket,
+      knownRows: Option[Long] = None): DataFrame = {
     val vocab = probeVocab(docs)
     val sig = minhashSigMeta(docs, vocab).cache()
     val bandStructs = (0 until NumBands).map { bnd =>
@@ -427,7 +432,7 @@ object DedupOps {
         val banded = LshGuard.dropHotBuckets(sig
           .select(col("doc_id"), col("bm"), col("n"), explode(array(bandStructs: _*)).as("bb"))
           .select(col("doc_id"), col("bm"), col("n"),
-            col("bb.band").as("band"), col("bb.bkey").as("bkey")).cache(), maxBucket)
+            col("bb.band").as("band"), col("bb.bkey").as("bkey")), maxBucket, knownRows)
         val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"),
           col("bm").as("a_bm"), col("n").as("a_n"))
         val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
@@ -443,8 +448,8 @@ object DedupOps {
       case None =>
         val banded = LshGuard.dropHotBuckets(sig
           .select(col("doc_id"), col("bm"), explode(array(bandStructs: _*)).as("bb"))
-          .select(col("doc_id"), col("bm"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-          .cache(), maxBucket)
+          .select(col("doc_id"), col("bm"), col("bb.band").as("band"), col("bb.bkey").as("bkey")),
+          maxBucket, knownRows)
         val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"), col("bm").as("a_bm"))
         val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
           col("doc_id").as("b_id"), col("bm").as("b_bm"))

@@ -252,10 +252,14 @@ object KnnOps {
     // embedding through the many-to-many join would memcpy it once per
     // enumerated pair — measured 2.5× slower); embeddings join back onto the
     // deduped pair set only, then the codegen cosine rescores.
+    // NOT cached: at scale the banded frame is b× the corpus. The fused
+    // signature projection re-runs per consumer (both join sides + the
+    // guard's lazy build side), which costs cheap codegen passes instead
+    // of materializing b×n rows. Footer row count (metadata, no job) lets
+    // the guard elide itself when no bucket can possibly exceed the cap.
     val banded = LshGuard.dropHotBuckets(
-      emb.select(col("vec_id"), posexplode(bandKeys).as(Seq("band", "bkey")))
-        .cache(), // both join sides + the guard's count read it; signature projection runs once
-      maxBucket)
+      emb.select(col("vec_id"), posexplode(bandKeys).as(Seq("band", "bkey"))),
+      maxBucket, parquetRowCount(spark, s"$dir/embeddings.parquet"))
     val l = banded.select(col("band"), col("bkey"), col("vec_id").as("a_id"))
     val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
       col("vec_id").as("b_id"))

@@ -31,12 +31,16 @@ import org.apache.spark.sql.functions._
   * construction tiny and broadcast, and the removal is a map-side
   * anti-join — no sort, no second wide shuffle of the banded rows.
   *
-  * Cache lifecycle: callers cache the banded frame because the guard's
-  * probe and both join sides read it. The cache lives until the session
-  * releases it (Spark's CacheManager holds it past the query) — a
-  * long-lived session running many dedup batches should
-  * `spark.catalog.clearCache()` between corpora, the same contract as
-  * every lazily-returned cached intermediate in this engine.
+  * The guard is LAZY: it plans the anti-join unconditionally and never
+  * runs a job of its own. The hot-key aggregation executes as the
+  * anti-join's broadcast BUILD side inside the caller's query (one
+  * subtree, reused across both join inputs by exchange reuse), so a
+  * healthy corpus pays one partial-agg'd stats pass and an
+  * empty-build-side anti-join filter — no driver round-trip, no
+  * materialized banded frame. (The previous eager formulation probed
+  * `hot.isEmpty` as a separate job and required callers to cache the
+  * b×-corpus banded frame; at 100 TB that cache is the dominant cost,
+  * and the probe job alone was the measured round-6 bench regression.)
   */
 private[graft] object LshGuard {
 
@@ -50,23 +54,28 @@ private[graft] object LshGuard {
   val DefaultMaxBucket = 10000
 
   /** Remove all rows of (band, key) buckets with more than `cap` rows;
-    * `cap <= 0` disables the guard.
+    * `cap <= 0` disables the guard. Pure plan transformation — the hot
+    * set is computed lazily as the broadcast build of the anti-join when
+    * the caller's query runs (see the cost-shape note above).
     *
-    * The hot set is probed EAGERLY (one aggregation job over the — cached
-    * by every caller — banded frame): a healthy corpus has no oversized
-    * buckets, and then the candidate join plans with no anti-join at all;
-    * the guard's steady-state cost is the stats job, not a per-row filter.
+    * `totalRows` is the source-corpus row count when the caller knows it
+    * from METADATA (parquet footers / catalog stats — never a job).
+    * Within one band every source row lands in exactly one bucket, so no
+    * bucket can exceed the corpus row count: `totalRows <= cap` proves
+    * the guard is a no-op and it is elided from the plan entirely — the
+    * small-corpus case pays zero. A corpus above the cap (or an unknown
+    * count) plans the lazy anti-join.
     */
   def dropHotBuckets(banded: DataFrame, cap: Int,
+      totalRows: Option[Long] = None,
       bandCol: String = "band", keyCol: String = "bkey"): DataFrame = {
-    if (cap <= 0) banded
+    if (cap <= 0 || totalRows.exists(_ <= cap)) banded
     else {
       val hot = banded.groupBy(col(bandCol), col(keyCol))
         .agg(count(lit(1)).as("__bsz"))
         .filter(col("__bsz") > cap)
         .select(col(bandCol), col(keyCol))
-      if (hot.isEmpty) banded
-      else banded.join(broadcast(hot), Seq(bandCol, keyCol), "left_anti")
+      banded.join(broadcast(hot), Seq(bandCol, keyCol), "left_anti")
     }
   }
 }
