@@ -30,6 +30,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.D vector / knn core ----
     "q_knn_topk"      -> ((s, d) => KnnOps.topK(s, d)),
+    "q_knn_text"      -> ((s, d) => KnnOps.topKByText(s, d, KnnTextQuery)),
     "q_knn_batch"     -> ((s, d) => KnnOps.topKBatchAgg(s, d)),
     "q_knn_filtered"  -> ((s, d) => KnnOps.topKFiltered(s, d)),
     // q_knn_ivf (label-cell IVF) retired from the contract: superseded by
@@ -141,8 +142,8 @@ object SparkEntry {
     * reports the engine's per-family throughput profile.
     */
   def benchQueries: Seq[String] = Seq(
-    "q_knn_topk", "q_knn_batch", "q_knn_filtered", "q_knn_ivf_kmeans", "q_knn_ivf_part",
-    "q_knn_hnsw",
+    "q_knn_topk", "q_knn_text", "q_knn_batch", "q_knn_filtered", "q_knn_ivf_kmeans",
+    "q_knn_ivf_part", "q_knn_hnsw",
     "q_cosine_pair", "q_sim_join", "q_sim_join_lsh", "q_sim_join_auto", "q_vec_centroids",
     "q_vec_quantize", "q_embed_batch",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
@@ -186,8 +187,30 @@ object SparkEntry {
       |SELECT title, 'https://nav.local' || sublink, 2 FROM l2
       |ORDER BY depth ASC, url ASC""".stripMargin
 
+  /** The `q_knn_text` query string (fixture-vocabulary words) and its raw
+    * feature-hash vector — computed by the SAME pure-JVM kernel the plan's
+    * [[graft.plans.FeatureHashEmbed]] expression compiles to, so the SQL
+    * oracle's literal can never drift from the engine. Components are
+    * signed token counts (exact small integers), so the literal round-trips
+    * exactly through SQL text; cosine scale-invariance makes normalization
+    * unnecessary on either side.
+    */
+  private[graft] val KnnTextQuery = "fast vector query scan"
+
+  private[graft] def knnTextQueryVec(dim: Int = 64): Array[Double] =
+    graft.plans.FeatureHash.embed(
+      org.apache.spark.unsafe.types.UTF8String.fromString(KnnTextQuery), dim)
+      .toDoubleArray
+
   def oracleSql: Map[String, String] = Map(
     // ---- vector ----
+    "q_knn_text" ->
+      s"""SELECT e.vec_id, e.label,
+         |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |             CAST([${knnTextQueryVec().mkString(", ")}] AS DOUBLE[])), 6) AS score
+         |FROM embeddings e
+         |ORDER BY score DESC, e.vec_id ASC
+         |LIMIT 3""".stripMargin,
     "q_knn_topk" ->
       """SELECT e.vec_id,
         |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS score

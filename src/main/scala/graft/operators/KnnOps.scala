@@ -151,6 +151,35 @@ object KnnOps {
       .limit(k)
   }
 
+  /** Query-by-TEXT retrieval — the reference's actual first call: the
+    * client sends a STRING and the server embeds it before searching
+    * (`searchByText(embeddingItems=[prompt_text], limit=3)`, ref
+    * `main_server.py:40-41`; embedding decl `TencentVDB.py:49`). Composed
+    * Spark-first: [[graft.plans.FeatureHashEmbed]] embeds the literal
+    * inside the plan (a 1-row projection), the vector broadcasts, and the
+    * corpus-side scoring/top-k is the same TakeOrderedAndProject shape as
+    * [[topK]] — at 100 TB the text→vector step adds nothing to the scan-
+    * dominated cost.
+    *
+    * The RAW hash vector (signed token counts — exact small integers) is
+    * used unnormalized: cosine is scale-invariant, and integer components
+    * round-trip exactly into the SQL oracle's literal, which is what makes
+    * this entry oracle-checkable while `q_embed_batch` itself is not.
+    */
+  def topKByText(spark: SparkSession, dir: String, queryText: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val emb = corpus(spark, dir)
+    // dim-agnostic rule: the embedder's width comes from the stored corpus
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    val q = spark.range(1).select(
+      toCol(graft.plans.FeatureHashEmbed(toExpr(lit(queryText)), dim)).as("q_embedding"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Similarity θ-join: all pairs with cosine > threshold (north-star
     * "similarity search/join"). Self-join deduped by `a.vec_id < b.vec_id`.
     * Scoring is the fused codegen [[graft.plans.CosineSimilarity]] — the

@@ -22,6 +22,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(topAll.toSeq === full.toSeq)
   }
 
+  test("query-by-text knn: text path equals the vector path given the embedded vector") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol}
+    import graft.functions.VectorFunctions.cosineFast
+    // the plan-side composition (embed inside the query)
+    val textPath = KnnOps.topKByText(spark, sf, SparkEntry.KnnTextQuery, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // the vector path: the SAME raw vector, pre-embedded driver-side by the
+    // pure-JVM kernel (what the DuckDB oracle literal is built from)
+    val qv = SparkEntry.knnTextQueryVec()
+    assert(qv.exists(_ != 0.0), "query vector must be non-degenerate")
+    assert(qv.forall(x => x == math.rint(x)), "raw hash vector must be integral")
+    val q = spark.range(1).select(typedLit(qv.toSeq).as("q_embedding"))
+    val vecPath = graft.sources.Tables.embeddings(spark, sf)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(textPath.toSeq === vecPath.toSeq)
+    // and the in-plan FeatureHashEmbed agrees bit-for-bit with the kernel
+    val planVec = spark.range(1).select(
+      toCol(graft.plans.FeatureHashEmbed(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(SparkEntry.KnnTextQuery),
+          org.apache.spark.sql.types.StringType), 64)).as("v"))
+      .head().getSeq[Double](0)
+    assert(planVec.toArray.toSeq === qv.toSeq)
+  }
+
   test("bounded-heap batch knn equals the rank-window formulation") {
     val window = KnnOps.topKBatch(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
