@@ -228,4 +228,42 @@ object GraphAnnOps {
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
     searchGraphs(buildGraphs(corpus, m, efConstruction), qVec, k, efSearch)
   }
+
+  /** Probe-ONLY graph entry (`q_knn_hnsw_probe`) — the query-path twin of
+    * [[topKNsw]], which rebuilds every graph per call (honest about it, but
+    * the bench then measures ingest, not retrieval). The graph collection
+    * is built once per session if absent (warmup / first call pays it);
+    * after that a call costs the beam searches over the stored CSR rows
+    * plus the k·graphs merge — the number a 1000-executor serving path
+    * actually pays. The full corpus is indexed (an index doesn't know its
+    * future queries); the fixture query row is filtered AFTER search, so
+    * results stay comparable with [[topKNsw]] — searched with one extra
+    * slot to absorb the query's own self-hit.
+    */
+  def topKNswProbe(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 3, shards: Int = 8, m: Int = 16, efConstruction: Int = 200,
+      efSearch: Int = 100): DataFrame = {
+    import graft.sources.CatalogOps
+    val db = "graft_nsw_probe"
+    val name = "emb_nsw"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.$name")) {
+        CatalogOps.createDatabase(spark, db)
+        Seq(name, s"${name}__meta").foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+            new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
+              s"/$db.db/$t"))
+        }
+        CatalogOps.createNswCollection(spark, db, name,
+          Tables.embeddings(spark, dir), shards, m, efConstruction)
+      }
+    }
+    val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    searchStored(spark, db, name, qVec, k + 1, efSearch)
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }

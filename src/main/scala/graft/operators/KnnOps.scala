@@ -548,20 +548,32 @@ object KnnOps {
     */
   def topKIvfPartitioned(spark: SparkSession, db: String, name: String,
       queryId: Long = 0L, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    // the one id-lookup read this path pays (in production the query
+    // vector arrives from outside, see the vector overload below); it
+    // scans the collection because the cell of an id is unknown a priori
+    val qVec = spark.table(s"`$db`.`$name`")
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    topKIvfPartitionedVec(spark, db, name, qVec, queryId, k, nprobe)
+  }
+
+  /** Vector-query core of [[topKIvfPartitioned]] — the production shape:
+    * the query vector arrives from outside (a text embedding, a stored
+    * lookup, a stream row), so the probe pays ONLY the model read and the
+    * partition-pruned scan; `excludeId < 0` disables the self-exclusion.
+    */
+  def topKIvfPartitionedVec(spark: SparkSession, db: String, name: String,
+      qVec: Array[Double], excludeId: Long = -1L, k: Int = 3,
+      nprobe: Int = 2): DataFrame = {
     val model = spark.table(s"`$db`.`${name}__model`")
       .orderBy(col("cell").asc).collect()
     val kCells = model.length
     val cents = model.flatMap(_.getSeq[Double](1))
-    val coll = spark.table(s"`$db`.`$name`")
-    // the one id-lookup read this path pays (in production the query
-    // vector arrives from outside); the probe below reuses the collected
-    // vector as a literal instead of scanning the collection again
-    val qVec = coll.filter(col("vec_id") === queryId)
-      .select(col("embedding")).head().getSeq[Double](0).toArray
     val probes = nearestCells(qVec, cents, kCells, nprobe)
     val q = spark.range(1).select(typedLit(qVec.toSeq).as("q_embedding"))
-    coll.filter(col("cell").isin(probes.map(Int.box): _*) &&
-        col("vec_id") =!= queryId)
+    spark.table(s"`$db`.`$name`")
+      .filter(col("cell").isin(probes.map(Int.box): _*) &&
+        col("vec_id") =!= excludeId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cell"),
         round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
@@ -640,6 +652,44 @@ object KnnOps {
     CatalogOps.createIvfCollection(spark, db, "emb_ivf",
       corpus(spark, dir), "embedding", kCells, iters)
     topKIvfPartitioned(spark, db, "emb_ivf", queryId, k, nprobe)
+  }
+
+  /** Probe-ONLY IVF entry (`q_knn_ivf_probe`) — the query-path cost of the
+    * partitioned index, which is the number that matters at 100×: an index
+    * is built once per ingest and probed millions of times, but
+    * [[topKIvfPartitionedE2E]] (`q_knn_ivf_part`) measures build+probe
+    * fused, hiding the probe under the training cost. Here the collection
+    * is built only if ABSENT in this session (the bench warmup pass or the
+    * first Verify call pays it); every subsequent call is the pure probe —
+    * model read, driver-side cell choice, partition-pruned scan.
+    */
+  def topKIvfProbe(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 3, kCells: Int = 8, nprobe: Int = 2, iters: Int = 3): DataFrame = {
+    import graft.sources.CatalogOps
+    val db = "graft_ivf_probe"
+    val name = "emb_ivf"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.$name") ||
+          !spark.catalog.tableExists(s"$db.${name}__model")) {
+        CatalogOps.createDatabase(spark, db)
+        // previous JVMs leave orphaned warehouse dirs behind the in-memory
+        // catalog's back — clear both before the fresh build
+        Seq(name, s"${name}__model").foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+            new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
+              s"/$db.db/$t"))
+        }
+        CatalogOps.createIvfCollection(spark, db, name,
+          corpus(spark, dir), "embedding", kCells, iters)
+      }
+    }
+    // query vector from the small SOURCE file (pushed id filter), not a
+    // full scan of the partitioned collection — the probe below then
+    // touches only the nprobe pruned cells
+    val qVec = corpus(spark, dir).filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    topKIvfPartitionedVec(spark, db, name, qVec, queryId, k, nprobe)
   }
 
   /** Int8 scalar quantization of the embedding column — the storage-side

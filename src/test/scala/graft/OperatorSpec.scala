@@ -241,6 +241,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh.toSeq === exact.toSeq)
   }
 
+  test("probe-only IVF/NSW entries reuse the session collection and match their twins") {
+    // IVF: probe-only output equals the build-per-call composite (same
+    // deterministic training), and the second call rewrites no files
+    val e2e = KnnOps.topKIvfPartitionedE2E(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val probe1 = KnnOps.topKIvfProbe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(probe1.toSeq === e2e.toSeq)
+    def listing(db: String, t: String) = {
+      val root = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db/$t")
+      import scala.jdk.CollectionConverters._
+      org.apache.commons.io.FileUtils
+        .listFiles(root, Array("parquet"), true).asScala
+        .map(f => (f.getPath, f.lastModified, f.length)).toSeq.sorted
+    }
+    val ivfBefore = listing("graft_ivf_probe.db", "emb_ivf")
+    assert(ivfBefore.nonEmpty)
+    val probe2 = KnnOps.topKIvfProbe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(probe2.toSeq === probe1.toSeq)
+    assert(listing("graft_ivf_probe.db", "emb_ivf") === ivfBefore)
+    // NSW: fixture graphs are exhaustive at efSearch=100 → probe matches
+    // the exact scan, and repeat calls leave the stored graphs untouched
+    val exact = KnnOps.topK(spark, sf, queryId = 0L, k = 3)
+      .collect().map(_.getLong(0))
+    val nsw1 = GraphAnnOps.topKNswProbe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(nsw1.map(_._1).toSeq === exact.toSeq)
+    val nswBefore = listing("graft_nsw_probe.db", "emb_nsw")
+    assert(nswBefore.nonEmpty)
+    val nsw2 = GraphAnnOps.topKNswProbe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(nsw2.toSeq === nsw1.toSeq)
+    assert(listing("graft_nsw_probe.db", "emb_nsw") === nswBefore)
+  }
+
   test("exact dedup removes every simulated re-crawl duplicate and is idempotent") {
     val out = DedupOps.dedupExact(spark, sf)
     val ids = out.select("doc_id").collect().map(_.getLong(0))
