@@ -22,13 +22,16 @@ case class MediaFeature(doc_id: Long, feature: Array[Float])
 /** Multimodal-column plumbing: treat media as `binary` payloads with typed
   * metadata, decode/feature-extract as a per-partition batch operator.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC FAKE (dimensions derived from payload bytes — clearly
-  * marked below); everything Spark-side is real and tested: the binary
-  * schema, the typed `Dataset[MediaRecord]` → `Dataset[MediaMeta]`
-  * `mapPartitions` shape (partition-batched, the JVM analog of
-  * `mapInPandas`), and the pure-SQL fingerprint/metadata path that the
-  * oracle checks. Payload bytes here are the fixture text UTF-8 encoded —
+  * Image decode is REAL for every format the JDK itself can read: PPM/P6
+  * via the hand-rolled parser ([[parsePpm]]) and PNG/JPEG/BMP/GIF/WBMP via
+  * `javax.imageio` ([[decodeImage]] — ships with the JRE, zero added
+  * dependencies). Audio/video codecs are not in the JDK, so THOSE decode
+  * steps remain DETERMINISTIC FAKES (clearly marked below), as does the
+  * fallback for payloads no codec claims. Everything Spark-side is real
+  * and tested: the binary schema, the typed `Dataset[MediaRecord]` →
+  * `Dataset[MediaMeta]` `mapPartitions` shape (partition-batched, the JVM
+  * analog of `mapInPandas`), and the pure-SQL fingerprint/metadata path
+  * that the oracle checks. Fixture payloads are the text UTF-8 encoded —
   * the plumbing is payload-agnostic.
   *
   * Scale notes: decode is a map-side `mapPartitions` — zero shuffle; batch
@@ -175,10 +178,22 @@ object MultimodalOps {
     Some((w, h, maxv, i))
   }
 
-  /** Typed decode with a REAL codec path: P6 payloads get their true
-    * dimensions from [[parsePpm]]; anything else falls back to the labeled
-    * stub ([[fakeDecode]]) so mixed-format corpora still flow. Same
-    * partition-batched shape as [[decodeMeta]].
+  /** REAL decode via the JDK's OWN raster codecs — `javax.imageio.ImageIO`
+    * (PNG, JPEG, BMP, GIF, WBMP readers ship with every JRE; zero new
+    * dependencies). Reader dispatch is by content magic, not mime, so a
+    * mislabeled column still decodes; None for payloads no registered
+    * reader claims (text, audio, truncated images).
+    */
+  private[graft] def decodeImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Typed decode with a REAL codec chain: P6 payloads parse via
+    * [[parsePpm]] (ImageIO has no PPM reader), every ImageIO-supported
+    * format (PNG/JPEG/BMP/GIF/WBMP) gets its true dimensions from the
+    * JDK decoder, and only payloads no codec claims fall back to the
+    * labeled stub ([[fakeDecode]]) so mixed-format corpora still flow.
+    * Same partition-batched shape as [[decodeMeta]].
     */
   def decodeMetaPpm(records: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     import records.sparkSession.implicits._
@@ -187,7 +202,10 @@ object MultimodalOps {
       it.map { r =>
         val (w, h, f) = parsePpm(r.payload) match {
           case Some((pw, ph, _, _)) => (pw.toLong, ph.toLong, 1L)
-          case None => fakeDecode(r.payload.length.toLong)
+          case None => decodeImage(r.payload) match {
+            case Some(img) => (img.getWidth.toLong, img.getHeight.toLong, 1L)
+            case None => fakeDecode(r.payload.length.toLong)
+          }
         }
         val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
         digest.reset()
@@ -196,9 +214,11 @@ object MultimodalOps {
     }
   }
 
-  /** REAL feature extraction for P6 payloads: per-channel mean intensity
-    * normalized by maxval — an actual image statistic, not a byte hash.
-    * Non-PPM payloads yield null (filter or route to the stub extractor).
+  /** REAL feature extraction: per-channel mean intensity normalized to
+    * [0,1] — an actual image statistic, not a byte hash — over P6 payloads
+    * (raw plane walk) or any ImageIO-decodable format (pixel walk over the
+    * decoded raster). Payloads no codec claims are dropped (route them to
+    * the stub extractor if needed).
     */
   def meanRgb(records: Dataset[MediaRecord]): Dataset[MediaFeature] = {
     import records.sparkSession.implicits._
@@ -215,16 +235,36 @@ object MultimodalOps {
           }
           MediaFeature(r.doc_id,
             Array.tabulate(3)(c => (sums(c) / n / maxv).toFloat))
-        }
+        }.orElse(decodeImage(r.payload).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sums = new Array[Double](3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sums(0) += (rgb >> 16) & 0xFF
+              sums(1) += (rgb >> 8) & 0xFF
+              sums(2) += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          MediaFeature(r.doc_id,
+            Array.tabulate(3)(c => (sums(c) / n / 255.0).toFloat))
+        })
       }
     }
   }
 
-  /** REAL resize for P6 payloads: nearest-neighbor resampling of the RGB
-    * plane, emitting a well-formed P6 at the target dimensions (so the
-    * output round-trips through [[parsePpm]]). Non-PPM payloads pass
-    * through the labeled stub [[resize]] untouched — same mixed-corpus
-    * contract as [[decodeMetaPpm]].
+  /** REAL resize: nearest-neighbor resampling (deterministic — no AWT
+    * interpolation hints whose kernels could vary) for P6 payloads (raw
+    * plane, emitted as well-formed P6 so the output round-trips through
+    * [[parsePpm]]) and for any ImageIO-decodable format (decoded raster,
+    * re-encoded as PNG — the JDK's lossless writer). Only payloads no
+    * codec claims pass through the labeled stub [[resize]] — same
+    * mixed-corpus contract as [[decodeMetaPpm]].
     */
   def resizePpm(records: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import records.sparkSession.implicits._
@@ -252,7 +292,26 @@ object MultimodalOps {
               y += 1
             }
             MediaRecord(r.doc_id, out, r.mime)
-          case None => stubResizeRecord(r, w, h)
+          case None => decodeImage(r.payload) match {
+            case Some(img) =>
+              val dst = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val (sw, sh) = (img.getWidth, img.getHeight)
+              var y = 0
+              while (y < h) {
+                val sy = y * sh / h
+                var x = 0
+                while (x < w) {
+                  dst.setRGB(x, y, img.getRGB(x * sw / w, sy))
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", bos)
+              MediaRecord(r.doc_id, bos.toByteArray, "image/png")
+            case None => stubResizeRecord(r, w, h)
+          }
         }
       }
     }

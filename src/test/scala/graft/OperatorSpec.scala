@@ -571,6 +571,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(off) === 0.toByte && out(off + 3) === 20.toByte)
   }
 
+  test("PNG/JPEG decode via the JDK codecs: true dimensions, pixels, and resize") {
+    import spark.implicits._
+    import graft.operators.{MediaRecord, MultimodalOps}
+    def encode(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // PNG is lossless: exact dims AND exact channel means survive decode
+    val png = encode("png", 5, 3, 0x0A141E) // R=10 G=20 B=30
+    val jpg = encode("jpg", 7, 4, 0x808080) // grey survives JPEG well
+    val records = Seq(
+      MediaRecord(1L, png, "image/png"),
+      MediaRecord(2L, jpg, "image/jpeg"),
+      MediaRecord(3L, "not an image".getBytes("UTF-8"), "text/plain")).toDS
+    val meta = MultimodalOps.decodeMetaPpm(records).collect().sortBy(_.doc_id)
+    assert(meta(0).width === 5L && meta(0).height === 3L)
+    assert(meta(1).width === 7L && meta(1).height === 4L)
+    assert(meta(2).width === 64L + "not an image".length % 512L) // stub fallback
+    val feats = MultimodalOps.meanRgb(records).collect().sortBy(_.doc_id)
+    assert(feats.map(_.doc_id).toSeq === Seq(1L, 2L)) // unclaimed payload drops
+    val f = feats(0).feature
+    assert(math.abs(f(0) - 10f / 255f) < 1e-6 &&
+      math.abs(f(1) - 20f / 255f) < 1e-6 && math.abs(f(2) - 30f / 255f) < 1e-6)
+    assert(feats(1).feature.forall(c => math.abs(c - 128f / 255f) < 0.02f))
+    // resize decodes, nearest-neighbor resamples, re-encodes as PNG
+    val resized = MultimodalOps.resizePpm(records, 2, 2).collect().sortBy(_.doc_id)
+    val back = MultimodalOps.decodeImage(resized(0).payload)
+    assert(resized(0).mime === "image/png" && back.isDefined)
+    assert(back.get.getWidth === 2 && back.get.getHeight === 2)
+    assert((back.get.getRGB(0, 0) & 0xFFFFFF) === 0x0A141E) // lossless round-trip
+    assert(resized(2).payload.length === 4) // unclaimed payload → labeled stub
+  }
+
   test("batch sessionizer agrees with Spark's native session_window") {
     // Two independent formulations of 30-minute-gap sessions must produce
     // identical (user, start, end, n) tuples. Controlled corpus: the lag
