@@ -692,6 +692,64 @@ object KnnOps {
     topKIvfPartitionedVec(spark, db, name, qVec, queryId, k, nprobe)
   }
 
+  /** Two-phase knn over a QUANTIZED collection
+    * ([[graft.sources.CatalogOps.createQuantizedCollection]]) — the scan
+    * that makes the "¼ of the bytes" claim real: phase 1 scores the int8
+    * codes with the fused [[graft.plans.Int8QueryCosine]] byte loop
+    * (TakeOrderedAndProject keeps `rescoreK` candidates per partition; the
+    * scan reads codes + vec_id only — no float arrays move), phase 2
+    * re-scores ONLY those candidates at full precision with an id filter
+    * PUSHED INTO the full-precision scan (candidate set is rescoreK rows —
+    * driver-bounded by construction, like a query batch). Quantization can
+    * reorder near-ties, so phase 1 over-fetches rescoreK ≥ k and phase 2
+    * restores exact order; recall vs the exact scan is pinned in tests.
+    */
+  def topKQuantized(spark: SparkSession, db: String, name: String,
+      full: DataFrame, qVec: Array[Double], excludeId: Long = -1L,
+      k: Int = 3, rescoreK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val approx = toCol(graft.plans.Int8QueryCosine(toExpr(col("codes")), qVec.toSeq))
+    val candidates = spark.table(s"`$db`.`$name`")
+      .filter(col("vec_id") =!= excludeId)
+      .select(col("vec_id"), approx.as("ascore"))
+      .orderBy(col("ascore").desc, col("vec_id").asc)
+      .limit(math.max(k, rescoreK))
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val q = spark.range(1).select(typedLit(qVec.toSeq).as("q_embedding"))
+    full.filter(col("vec_id").isin(candidates.map(Long.box): _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Probe-only quantized entry (`q_knn_quantized`): build the int8
+    * collection once per session if absent, then answer the standard
+    * fixture query through the two-phase scan. Rows-only (quantized
+    * candidate generation is engine-native); recall and storage ratio are
+    * pinned in tests.
+    */
+  def topKQuantizedProbe(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 3, rescoreK: Int = 12): DataFrame = {
+    import graft.sources.CatalogOps
+    val db = "graft_q8_probe"
+    val name = "emb_q8"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.$name")) {
+        CatalogOps.createDatabase(spark, db)
+        spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+          new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
+            s"/$db.db/$name"))
+        CatalogOps.createQuantizedCollection(spark, db, name, corpus(spark, dir))
+      }
+    }
+    val qVec = corpus(spark, dir).filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    topKQuantized(spark, db, name, corpus(spark, dir), qVec, queryId, k, rescoreK)
+  }
+
   /** Int8 scalar quantization of the embedding column — the storage-side
     * counterpart of the ANN index (the reference's server quantizes
     * similarly behind its HNSW configuration; for us it is what makes a

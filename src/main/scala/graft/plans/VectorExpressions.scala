@@ -379,3 +379,124 @@ case class L2DistanceSq(left: Expression, right: Expression) extends BinaryVecto
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Per-vector symmetric int8 quantizer: array<double> → dim signed bytes
+  * (BinaryType). scale = 127/max(|xᵢ|, 1e-12), codeᵢ = round(xᵢ·scale) —
+  * the ingest-side encoder of the quantized collection
+  * ([[graft.sources.CatalogOps.createQuantizedCollection]]). ¼ the
+  * footprint of float32 (⅛ of the double fixtures); cosine against the
+  * codes needs NO scale (it cancels), so the probe reads bytes only.
+  */
+case class Int8Codes(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "int8_codes"
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    Int8Codes.encode(x)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.Int8Codes.encode($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Int8Codes {
+  /** Shared by the interpreted and generated paths (one JIT-compiled body,
+    * the [[FeatureHash]] pattern).
+    */
+  def encode(x: ArrayData): Array[Byte] = {
+    val n = x.numElements()
+    var mx = 0.0; var i = 0
+    while (i < n) { val a = math.abs(x.getDouble(i)); if (a > mx) mx = a; i += 1 }
+    val scale = 127.0 / math.max(mx, 1e-12)
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) { out(i) = Math.round(x.getDouble(i) * scale).toByte; i += 1 }
+    out
+  }
+}
+
+/** Cosine between an int8 CODE vector and a full-precision query constant,
+  * in ONE byte loop (dot + code norm fused; the query norm is precomputed
+  * once). The scoring expression of the quantized scan
+  * ([[graft.operators.KnnOps.topKQuantized]]): the query rides along as a
+  * reference object (the broadcast-model pattern, like [[NearestCentroid]])
+  * and the per-row cost is dim fused multiply-adds over raw bytes inside
+  * whole-stage codegen. The per-vector scale cancels out of cosine, so the
+  * scan reads ONLY the code bytes — the ¼-footprint claim made real.
+  */
+case class Int8QueryCosine(child: Expression, query: Seq[Double])
+    extends UnaryExpression {
+  require(query.nonEmpty, "query vector must be non-empty")
+
+  override def prettyName: String = "int8_query_cosine"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary codes, got ${other.simpleString}")
+  }
+
+  @transient private lazy val qArr: Array[Double] = query.toArray
+  @transient private lazy val qNorm: Double = {
+    var s = 0.0; var i = 0
+    while (i < qArr.length) { s += qArr(i) * qArr(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  private def dim: Int = query.length
+
+  override def nullSafeEval(v: Any): Any = {
+    val codes = v.asInstanceOf[Array[Byte]]
+    require(codes.length == dim,
+      s"$prettyName: code length ${codes.length} != query dim $dim")
+    var ab = 0.0; var bb = 0.0; var i = 0
+    while (i < dim) {
+      val c = codes(i).toDouble
+      ab += c * qArr(i); bb += c * c; i += 1
+    }
+    val d = math.sqrt(bb) * qNorm
+    if (d == 0.0) 0.0 else ab / d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("query", qArr, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val ab = ctx.freshName("ab")
+      val bb = ctx.freshName("bb")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      s"""
+         |if ($a.length != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: code length " + $a.length + " != query dim $dim");
+         |}
+         |double $ab = 0.0;
+         |double $bb = 0.0;
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  final double $c = (double) $a[$i];
+         |  $ab += $c * $qRef[$i];
+         |  $bb += $c * $c;
+         |}
+         |final double $d = Math.sqrt($bb) * $qNorm;
+         |${ev.value} = ($d == 0.0) ? 0.0 : $ab / $d;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

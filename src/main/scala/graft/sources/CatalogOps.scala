@@ -285,6 +285,28 @@ object CatalogOps {
       .saveAsTable(s"`$db`.`${name}__meta`")
   }
 
+  /** Int8-QUANTIZED collection — the storage-side counterpart of the ANN
+    * indexes: every vector stored as dim signed bytes
+    * ([[graft.plans.Int8Codes]]: per-vector symmetric scheme, scale =
+    * 127/max|xᵢ|) plus its `scale` (for reconstruction; cosine scoring
+    * does not need it — it cancels). The quantized scan reads ~⅛ the bytes
+    * of the double-array fixture (~¼ of a float32 corpus) — measured and
+    * pinned in tests — which is what makes a 100 TB first-pass vector scan
+    * affordable; [[graft.operators.KnnOps.topKQuantized]] rescores the
+    * survivors at full precision.
+    */
+  def createQuantizedCollection(spark: SparkSession, db: String, name: String,
+      data: DataFrame, vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    data
+      .withColumn("scale", round(lit(127.0) / greatest(
+        array_max(transform(col(vecCol), x => abs(x))), lit(1e-12)), 6))
+      .withColumn("codes", toCol(graft.plans.Int8Codes(toExpr(col(vecCol)))))
+      .drop(vecCol)
+      .write.mode("overwrite").saveAsTable(s"`$db`.`$name`")
+  }
+
   /** Incremental NSW maintenance — the graph twin of [[upsertIvf]]: the
     * batch's target graphs are found by replaying the ingest hash
     * (`pmod(hash(vec_id), shards)` — `functions.hash` IS the Murmur3 used

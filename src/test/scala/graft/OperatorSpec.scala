@@ -278,6 +278,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(listing("graft_nsw_probe.db", "emb_nsw") === nswBefore)
   }
 
+  test("quantized collection: two-phase probe matches the exact scan at ~1/8 the bytes") {
+    val exact = KnnOps.topK(spark, sf, queryId = 0L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val q1 = KnnOps.topKQuantizedProbe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // the int8 phase generates candidates; the full-precision rescore
+    // restores EXACT scores and order, so the output matches the exact scan
+    assert(q1.toSeq === exact.toSeq)
+    val q2 = KnnOps.topKQuantizedProbe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(q2.toSeq === q1.toSeq) // collection reused, not rebuilt
+    // storage: codes replace the 8-byte-per-component array — the
+    // quantized table must be well under a third of the source bytes
+    // (~1/8 + parquet overhead; float32 corpora would see ~1/4)
+    val srcBytes = org.apache.commons.io.FileUtils.sizeOf(
+      new java.io.File(s"$sf/embeddings.parquet"))
+    val qBytes = org.apache.commons.io.FileUtils.sizeOf(
+      new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath + "/graft_q8_probe.db/emb_q8"))
+    assert(qBytes > 0 && qBytes.toDouble / srcBytes < 0.3,
+      s"quantized $qBytes vs source $srcBytes")
+    // codes round-trip: reconstructed vectors stay within the scalar-
+    // quantization error bound |x̂ᵢ−xᵢ| ≤ max|x|/254 per component
+    val row = spark.table("graft_q8_probe.emb_q8")
+      .filter(col("vec_id") === 7L).select(col("codes"), col("scale")).head()
+    val (codes, scale) = (row.getAs[Array[Byte]](0), row.getDouble(1))
+    val orig = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 7L).select(col("embedding")).head().getSeq[Double](0)
+    val maxAbs = orig.map(math.abs).max
+    codes.zip(orig).foreach { case (c, x) =>
+      assert(math.abs(c / scale - x) <= maxAbs / 254.0 + 1e-6) }
+  }
+
   test("exact dedup removes every simulated re-crawl duplicate and is idempotent") {
     val out = DedupOps.dedupExact(spark, sf)
     val ids = out.select("doc_id").collect().map(_.getLong(0))

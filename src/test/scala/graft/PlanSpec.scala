@@ -138,6 +138,29 @@ class PlanSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "ivfplandb")
   }
 
+  test("quantized phase-1 scan reads codes only (scale pruned) via bounded top-k") {
+    import graft.sources.CatalogOps
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    CatalogOps.dropDatabase(spark, "q8plandb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/q8plandb.db"))
+    CatalogOps.createDatabase(spark, "q8plandb")
+    CatalogOps.createQuantizedCollection(spark, "q8plandb", "emb_q8",
+      graft.sources.Tables.embeddings(spark, sf))
+    val qv = Array.fill(64)(0.5)
+    val phase1 = spark.table("`q8plandb`.`emb_q8`")
+      .select(col("vec_id"),
+        toCol(graft.plans.Int8QueryCosine(toExpr(col("codes")), qv.toSeq)).as("ascore"))
+      .orderBy(col("ascore").desc, col("vec_id").asc).limit(12)
+    val p = plan(phase1)
+    // the candidate pass never reads scale or label — bytes on disk that
+    // stay on disk are the whole point of the quantized first pass
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,codes:binary>"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    CatalogOps.dropDatabase(spark, "q8plandb")
+  }
+
   test("centroids aggregate vectors whole (no pre-shuffle dim-explode)") {
     val df = KnnOps.centroids(spark, sf)
     val p = plan(df)
