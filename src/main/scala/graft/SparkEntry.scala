@@ -204,7 +204,7 @@ object SparkEntry {
     */
   private[graft] val KnnTextQuery = "fast vector query scan"
 
-  private[graft] def knnTextQueryVec(dim: Int = 64): Array[Double] =
+  private[graft] def knnTextQueryVec(dim: Int = KnnOps.DefaultEmbedDim): Array[Double] =
     graft.plans.FeatureHash.embed(
       org.apache.spark.unsafe.types.UTF8String.fromString(KnnTextQuery), dim)
       .toDoubleArray

@@ -246,8 +246,14 @@ object GraphAnnOps {
     import graft.sources.CatalogOps
     val db = "graft_nsw_probe"
     val name = "emb_nsw"
+    // single-JVM guard only — see the cross-session note in
+    // [[KnnOps.topKIvfProbe]]
     this.synchronized {
-      if (!spark.catalog.tableExists(s"$db.$name")) {
+      // a crash between the two saveAsTable writes leaves the main table
+      // present with a missing __meta — require BOTH before trusting the
+      // collection (mirrors topKIvfProbe's model-table check)
+      if (!spark.catalog.tableExists(s"$db.$name") ||
+          !spark.catalog.tableExists(s"$db.${name}__meta")) {
         CatalogOps.createDatabase(spark, db)
         Seq(name, s"${name}__meta").foreach { t =>
           spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")

@@ -27,6 +27,13 @@ import graft.sources.Tables
   */
 object KnnOps {
 
+  /** The fixture corpus's embedding width. ONE constant shared by the
+    * text-query entry ([[topKByText]]) and the oracle-SQL builder
+    * ([[graft.SparkEntry.knnTextQueryVec]]), so the engine's in-plan
+    * embedding and the DuckDB literal can never desync on dimension.
+    */
+  val DefaultEmbedDim = 64
+
   /** Corpus with vectors cast to double. */
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -68,33 +75,16 @@ object KnnOps {
       .limit(k)
   }
 
-  /** Batched knn, window formulation: ref `embeddingItems` list →
+  /** Batched knn, bounded-heap formulation: ref `embeddingItems` list →
     * list-of-lists result (`main_server.py:40-44`). Queries = vec_id <
-    * nQueries, corpus = the rest. Broadcast the query side; rank window
-    * partitioned by query. NOTE: the window shuffles every scored candidate
-    * — kept as the semantic reference; [[topKBatchAgg]] is the scale plan.
-    */
-  def topKBatch(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
-    val emb = corpus(spark, dir)
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-    val cand = emb.filter(col("vec_id") >= nQueries)
-      .crossJoin(broadcast(queries))
-      .select(col("query_id"), col("vec_id"),
-        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id").asc, col("rank").asc)
-  }
-
-  /** Batched knn, bounded-heap formulation — identical output to
-    * [[topKBatch]], different physical plan: the [[graft.plans.TopKScoreId]]
+    * nQueries, corpus = the rest. The [[graft.plans.TopKScoreId]]
     * aggregate keeps k entries per query PER MAP TASK (partial aggregation),
     * so the shuffle carries k·partitions rows per query instead of the whole
-    * scored corpus — the plan that survives a 100 TB corpus. This is the
-    * implementation behind `q_knn_batch`.
+    * scored corpus — the plan that survives a 100 TB corpus. (The rank-
+    * window formulation this replaced — shuffle EVERY scored candidate,
+    * then row_number — lives on only as PlanSpec's negative example, which
+    * also pins its output equal to this one.) This is the implementation
+    * behind `q_knn_batch`.
     */
   def topKBatchAgg(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
     val emb = corpus(spark, dir)
@@ -166,11 +156,14 @@ object KnnOps {
     * round-trip exactly into the SQL oracle's literal, which is what makes
     * this entry oracle-checkable while `q_embed_batch` itself is not.
     */
-  def topKByText(spark: SparkSession, dir: String, queryText: String, k: Int = 3): DataFrame = {
+  def topKByText(spark: SparkSession, dir: String, queryText: String, k: Int = 3,
+      dim: Int = DefaultEmbedDim): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
     val emb = corpus(spark, dir)
-    // dim-agnostic rule: the embedder's width comes from the stored corpus
-    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    // the embedder width is a property of the corpus SCHEMA, not its rows —
+    // callers pass it (or the shared default below); probing it with a
+    // head() job would launch one scan per call just to learn a constant
+    // (PlanSpec pins the zero-job construction)
     val q = spark.range(1).select(
       toCol(graft.plans.FeatureHashEmbed(toExpr(lit(queryText)), dim)).as("q_embedding"))
     emb.crossJoin(broadcast(q))
@@ -668,6 +661,10 @@ object KnnOps {
     import graft.sources.CatalogOps
     val db = "graft_ivf_probe"
     val name = "emb_ivf"
+    // guards THIS JVM's build-if-absent (the local driver contract runs
+    // single-JVM); concurrent builds from separate sessions would still
+    // race on the shared warehouse dir — production would take a catalog
+    // lock or build under a staging name and swap
     this.synchronized {
       if (!spark.catalog.tableExists(s"$db.$name") ||
           !spark.catalog.tableExists(s"$db.${name}__model")) {
@@ -735,6 +732,7 @@ object KnnOps {
     import graft.sources.CatalogOps
     val db = "graft_q8_probe"
     val name = "emb_q8"
+    // single-JVM guard only — see the cross-session note in [[topKIvfProbe]]
     this.synchronized {
       if (!spark.catalog.tableExists(s"$db.$name")) {
         CatalogOps.createDatabase(spark, db)

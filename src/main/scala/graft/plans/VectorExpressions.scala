@@ -439,6 +439,11 @@ object Int8Codes {
 case class Int8QueryCosine(child: Expression, query: Seq[Double])
     extends UnaryExpression {
   require(query.nonEmpty, "query vector must be non-empty")
+  // NaN/Infinity have no Java literal form, so a non-finite component (or a
+  // norm that overflows) would render as an unparseable token in the
+  // generated source; the norm is also shipped as a reference object below
+  require(query.forall(java.lang.Double.isFinite),
+    "query vector components must be finite")
 
   override def prettyName: String = "int8_query_cosine"
   override def dataType: DataType = DoubleType
@@ -473,6 +478,10 @@ case class Int8QueryCosine(child: Expression, query: Seq[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val qRef = ctx.addReferenceObj("query", qArr, "double[]")
+    // reference object, not an interpolated literal: a double renders
+    // through toString, which for non-finite values is not valid Java
+    val qNormRef = ctx.addReferenceObj("qNorm", java.lang.Double.valueOf(qNorm),
+      "java.lang.Double")
     nullSafeCodeGen(ctx, ev, a => {
       val ab = ctx.freshName("ab")
       val bb = ctx.freshName("bb")
@@ -491,7 +500,7 @@ case class Int8QueryCosine(child: Expression, query: Seq[Double])
          |  $ab += $c * $qRef[$i];
          |  $bb += $c * $c;
          |}
-         |final double $d = Math.sqrt($bb) * $qNorm;
+         |final double $d = Math.sqrt($bb) * $qNormRef.doubleValue();
          |${ev.value} = ($d == 0.0) ? 0.0 : $ab / $d;
        """.stripMargin
     })

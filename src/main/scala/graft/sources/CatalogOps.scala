@@ -300,8 +300,11 @@ object CatalogOps {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
     data
-      .withColumn("scale", round(lit(127.0) / greatest(
-        array_max(transform(col(vecCol), x => abs(x))), lit(1e-12)), 6))
+      // stored UNROUNDED: this must be the exact value the encoder divides
+      // by, or reconstruction code/scale drifts beyond the max|x|/254 bound
+      // for large-magnitude vectors (and rounds to 0.0 past ~1.27e8)
+      .withColumn("scale", lit(127.0) / greatest(
+        array_max(transform(col(vecCol), x => abs(x))), lit(1e-12)))
       .withColumn("codes", toCol(graft.plans.Int8Codes(toExpr(col(vecCol)))))
       .drop(vecCol)
       .write.mode("overwrite").saveAsTable(s"`$db`.`$name`")

@@ -53,7 +53,7 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("bounded-heap batch knn equals the rank-window formulation") {
-    val window = KnnOps.topKBatch(spark, sf)
+    val window = NegativePlans.topKBatchWindow(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     val agg = KnnOps.topKBatchAgg(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))

@@ -58,6 +58,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("RunningWindowFunction") && !p.contains("row_number"))
   }
 
+  test("NEGATIVE: the retired rank-window batch knn shuffles every scored candidate") {
+    // the formulation KnnOps.topKBatchAgg replaced (and why it replaced it):
+    // the window's hash exchange carries the WHOLE scored corpus per query,
+    // where the bounded-heap shuffle carries k rows per (query, map task)
+    val p = plan(NegativePlans.topKBatchWindow(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(query_id")), p)
+    assert(!p.toLowerCase.contains("topk_score_id"), p)
+  }
+
+  test("text-query knn builds its plan without launching any job") {
+    // the query embedding is a 1-row in-plan projection and the corpus dim
+    // is a shared schema constant — constructing + planning the query must
+    // not probe the data (a head() probe here would cost one scan per call)
+    val group = "textplan-" + System.nanoTime()
+    spark.sparkContext.setJobGroup(group, "q_knn_text construction", false)
+    try {
+      val df = KnnOps.topKByText(spark, sf, SparkEntry.KnnTextQuery)
+      val p = plan(df)
+      // the embed expression is foldable (literal input) — Catalyst folds
+      // it to a constant vector at plan time, so either form may appear
+      assert(p.toLowerCase.contains("feature_hash_embed") ||
+        p.toLowerCase.contains("vec_cosine"), p)
+      Thread.sleep(200) // status store is fed asynchronously
+      assert(spark.sparkContext.statusTracker.getJobIdsForGroup(group).isEmpty)
+    } finally spark.sparkContext.clearJobGroup()
+  }
+
   test("bucketed collections join without any shuffle") {
     import graft.sources.{CatalogOps, Tables}
     import org.apache.spark.sql.functions.col
@@ -222,5 +251,37 @@ class PlanSpec extends AnyFunSuite {
   test("time-RANGE window reuses one user_id exchange") {
     val p = plan(RelOps.windowRange(spark, sf))
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
+  }
+}
+
+/** Formulations RETIRED from production, kept only so PlanSpec can pin WHY
+  * they were retired (the negative plan) and OperatorSpec can pin that the
+  * replacement is output-identical.
+  */
+private[graft] object NegativePlans {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+  import graft.functions.VectorFunctions.cosineFast
+
+  /** The rank-window batched knn [[graft.operators.KnnOps.topKBatchAgg]]
+    * replaced: broadcast queries, score, then row_number over a window
+    * partitioned by query — a shuffle of EVERY scored candidate, where the
+    * bounded-heap aggregate ships k rows per (query, map task).
+    */
+  def topKBatchWindow(spark: SparkSession, dir: String,
+      nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val cand = emb.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id").asc, col("rank").asc)
   }
 }
