@@ -14,10 +14,28 @@ import org.apache.spark.sql.functions._
   * partition pruning, predicate pushdown and column pruning all reach the
   * scan. Loaders do NOT cache or repartition; each query decides its own
   * distribution.
+  *
+  * Schema inference on a bare `spark.read.parquet` launches one footer-read
+  * job per call — a per-query-construction cost that at 100 TB (many footers)
+  * and high query rates is pure driver-side waste. The fixture tables are
+  * immutable, so the first inferred `StructType` per path is cached JVM-wide
+  * and every later load passes it explicitly: constructing a query plan then
+  * launches zero jobs (pinned by PlanSpec).
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val cached = schemaCache.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put(path, df.schema)
+      df
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")

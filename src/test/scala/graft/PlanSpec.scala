@@ -72,19 +72,54 @@ class PlanSpec extends AnyFunSuite {
   test("text-query knn builds its plan without launching any job") {
     // the query embedding is a 1-row in-plan projection and the corpus dim
     // is a shared schema constant — constructing + planning the query must
-    // not probe the data (a head() probe here would cost one scan per call)
+    // not probe the data (a head() probe here would cost one scan per call).
+    // The first-ever read of a path pays one schema-inference job, so warm
+    // the loader's schema cache first: that cost is per-path-per-JVM, not
+    // per-query-construction.
+    import graft.sources.Tables
+    Tables.embeddings(spark, sf)
     val group = "textplan-" + System.nanoTime()
     spark.sparkContext.setJobGroup(group, "q_knn_text construction", false)
+    val p =
+      try plan(KnnOps.topKByText(spark, sf, SparkEntry.KnnTextQuery))
+      finally spark.sparkContext.clearJobGroup()
+    // the embed expression is foldable (literal input) — Catalyst folds
+    // it to a constant vector at plan time, so either form may appear
+    assert(p.toLowerCase.contains("feature_hash_embed") ||
+      p.toLowerCase.contains("vec_cosine"), p)
+    // The status store is fed asynchronously; events are delivered in order,
+    // so once a marker job started *after* construction is visible, any job
+    // construction had launched would be visible too.
+    val marker = "textplan-marker-" + System.nanoTime()
+    spark.sparkContext.setJobGroup(marker, "marker", false)
+    try spark.range(1).count() finally spark.sparkContext.clearJobGroup()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.sparkContext.statusTracker.getJobIdsForGroup(marker).isEmpty &&
+           System.nanoTime() < deadline) Thread.sleep(10)
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(marker).nonEmpty,
+      "marker job never reached the status store")
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(group).isEmpty)
+  }
+
+  test("table loaders cache schemas: re-reading a path plans without any job") {
+    // engine-wide extension of the guard above: after the first load of a
+    // path, constructing ANY scan of it must not pay a footer-inference job
+    import graft.sources.Tables
+    for (t <- Seq("documents", "orders", "lineitem", "customer"))
+      Tables.table(spark, sf, t) // warm (no-op for paths other tests touched)
+    val group = "schemacache-" + System.nanoTime()
+    spark.sparkContext.setJobGroup(group, "cached constructions", false)
     try {
-      val df = KnnOps.topKByText(spark, sf, SparkEntry.KnnTextQuery)
-      val p = plan(df)
-      // the embed expression is foldable (literal input) — Catalyst folds
-      // it to a constant vector at plan time, so either form may appear
-      assert(p.toLowerCase.contains("feature_hash_embed") ||
-        p.toLowerCase.contains("vec_cosine"), p)
-      Thread.sleep(200) // status store is fed asynchronously
-      assert(spark.sparkContext.statusTracker.getJobIdsForGroup(group).isEmpty)
+      for (t <- Seq("documents", "orders", "lineitem", "customer"))
+        Tables.table(spark, sf, t).queryExecution.executedPlan
     } finally spark.sparkContext.clearJobGroup()
+    val marker = "schemacache-marker-" + System.nanoTime()
+    spark.sparkContext.setJobGroup(marker, "marker", false)
+    try spark.range(1).count() finally spark.sparkContext.clearJobGroup()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.sparkContext.statusTracker.getJobIdsForGroup(marker).isEmpty &&
+           System.nanoTime() < deadline) Thread.sleep(10)
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(group).isEmpty)
   }
 
   test("bucketed collections join without any shuffle") {
