@@ -69,10 +69,15 @@ object DedupScale {
     docs.count()
 
     def time[A](name: String)(f: => A): A = timed(s"n=$n tau=$tau $name")(f)
+    val dictPairs = time("dict-bitset jaccard") {
+      graft.operators.DedupOps.jaccardPairsDictOn(docs, tau)
+        .select("b_id").distinct().collect().map(_.getLong(0)).toSet
+    }
     val prefixPairs = time("prefix-filter jaccard") {
       graft.operators.DedupOps.jaccardPairsPrefixOn(docs, tau)
         .select("b_id").distinct().collect().map(_.getLong(0)).toSet
     }
+    assert(dictPairs == prefixPairs, "dict-bitset path must equal the prefix path")
     val exactPairs = if (skipBlocked) prefixPairs else time("blocked all-pairs jaccard") {
       graft.operators.DedupOps.jaccardPairsBlockedOn(docs, tau)
         .select("b_id").distinct().collect().map(_.getLong(0)).toSet

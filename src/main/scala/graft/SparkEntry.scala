@@ -17,15 +17,16 @@ import graft.sources.Tables
 object SparkEntry {
 
   /** Flagship on sf0.001 — the reference's ENTIRE KB query path as one
-    * DataFrame (`searchByText(limit=3)` → context concat → prompt →
-    * citations, ref `main_server.py:40-44,46-51,142-143,171-174`); see
-    * [[TextOps.ragEndToEnd]].
+    * DataFrame, seeded the way the reference seeds it: from TYPED TEXT
+    * (`prompt_text → searchByText(limit=3) → context concat → prompt →
+    * citations`, ref `main_server.py:130-143,46-51,171-175`); see
+    * [[TextOps.ragEndToEndText]].
     */
   def entry(spark: SparkSession): DataFrame =
     entry(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
 
   def entry(spark: SparkSession, dir: String): DataFrame =
-    TextOps.ragEndToEnd(spark, dir)
+    TextOps.ragEndToEndText(spark, dir, KnnTextQuery)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.D vector / knn core ----
@@ -45,6 +46,10 @@ object SparkEntry {
     "q_knn_ivf_probe"  -> ((s, d) => KnnOps.topKIvfProbe(s, d)),
     "q_knn_hnsw_probe" -> ((s, d) => GraphAnnOps.topKNswProbe(s, d)),
     "q_knn_quantized"  -> ((s, d) => KnnOps.topKQuantizedProbe(s, d)),
+    // filtered ANN on the INDEX path (predicate composed with the probe,
+    // not with an exact scan — the FILTER-index production shape)
+    "q_knn_ivf_filtered"  -> ((s, d) => KnnOps.topKIvfFiltered(s, d)),
+    "q_knn_hnsw_filtered" -> ((s, d) => GraphAnnOps.topKNswFiltered(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
@@ -95,7 +100,8 @@ object SparkEntry {
     "q_html_extract"    -> ((s, d) => TextOps.htmlExtract(s, d)),
     "q_json_tree"       -> ((s, d) => TextOps.jsonTree(s, d)),
     "q_json_tree_deep"  -> ((s, d) => TextOps.jsonTreeDeep(s, d)),
-    "q_rag_e2e"         -> ((s, d) => TextOps.ragEndToEnd(s, d)),
+    "q_rag_e2e"         -> ((s, d) => TextOps.ragEndToEndText(s, d, KnnTextQuery)),
+    "q_rag_e2e_vec"     -> ((s, d) => TextOps.ragEndToEnd(s, d)),
     "q_ingest_e2e"      -> ((s, d) => TextOps.ingestEndToEnd(s, d)),
     "q_chunk_split"     -> ((s, d) => TextOps.chunkSplit(s, d)),
     "q_pipeline_e2e"    -> ((s, d) => TextOps.pipelineEndToEnd(s, d)),
@@ -150,7 +156,7 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q_knn_topk", "q_knn_text", "q_knn_batch", "q_knn_filtered", "q_knn_ivf_kmeans",
     "q_knn_ivf_part", "q_knn_hnsw", "q_knn_ivf_probe", "q_knn_hnsw_probe",
-    "q_knn_quantized",
+    "q_knn_quantized", "q_knn_ivf_filtered", "q_knn_hnsw_filtered",
     "q_cosine_pair", "q_sim_join", "q_sim_join_lsh", "q_sim_join_auto", "q_vec_centroids",
     "q_vec_quantize", "q_embed_batch",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
@@ -359,6 +365,23 @@ object SparkEntry {
     // one oracle serves both formulations
     "q_json_tree_deep" -> JsonTreeOracle,
     "q_rag_e2e" ->
+      s"""WITH scored AS (
+         |  SELECT e.vec_id,
+         |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |               CAST([${knnTextQueryVec().mkString(", ")}] AS DOUBLE[])), 6) AS score
+         |  FROM embeddings e),
+         |hits AS (
+         |  SELECT vec_id, score,
+         |         row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rank
+         |  FROM scored ORDER BY score DESC, vec_id ASC LIMIT 3),
+         |payload AS (
+         |  SELECT h.rank, d.source, d.doc_id, substr(d.text, 1, 40) AS snip
+         |  FROM hits h JOIN documents d ON h.vec_id = d.doc_id)
+         |SELECT '$KnnTextQuery' AS query,
+         |       substr('请按照"总结要点"进行总结,内容是：' || string_agg(snip, '' ORDER BY rank ASC), 1, 200) AS llm_prompt,
+         |       '参考链接：' || string_agg(chr(10) || chr(10) || source || '     ' || doc_id, '' ORDER BY rank ASC) AS citations
+         |FROM payload""".stripMargin,
+    "q_rag_e2e_vec" ->
       """WITH scored AS (
         |  SELECT e.vec_id,
         |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS score

@@ -74,10 +74,10 @@ object DedupOps {
     * single long. Set ops then collapse to TWO LONG INSTRUCTIONS per pair —
     * no array columns ride through the pair join at all. Collision-free by
     * construction, so |I| = bit_count(a&b) and |U| = |A|+|B|-|I| are EXACT
-    * (same integers as the brute-force oracle). The general-vocabulary path
-    * (sorted-merge + hashed-bitmap prefilter) remains the fallback; at real
-    * corpus scale the dictionary generalizes to multi-word bitsets over a
-    * frequency-pruned vocabulary.
+    * (same integers as the brute-force oracle). Above 64 tokens the SAME
+    * idea runs at corpus scale as [[jaccardPairsDictOn]]: multi-word
+    * bitsets over a frequency-pruned vocabulary, with rare tokens as a
+    * sorted residual.
     */
   /** Probe, don't collect: pull at most 65 distinct tokens — the full
     * vocabulary reaches the driver only when it provably fits 64 bits.
@@ -161,8 +161,82 @@ object DedupOps {
           .filter(col("j") >= tau)
           .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jac"))
           .orderBy(col("a_id").asc, col("b_id").asc)
-      case None => jaccardPairsPrefixOn(docs, tau)
+      case None => jaccardPairsDictOn(docs, tau)
     }
+  }
+
+  /** Prefix-filter candidate pairs — the shared candidate generator of the
+    * general-vocabulary paths (see [[jaccardPairsPrefixOn]] for the
+    * SSJoin/AllPairs argument): under the ascending-document-frequency
+    * token order, an equi-join on each doc's first |X| − ⌈τ·|X|⌉ + 1
+    * tokens generates EVERY j ≥ τ pair, with the size-ratio block in the
+    * join condition. Output: distinct (a_id, b_id).
+    */
+  private def prefixCandidates(docs: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau out of range: $tau")
+    val tok = docs.select(col("doc_id"), size(tokenSet(col("text"))).as("n"),
+      explode(tokenSet(col("text"))).as("t"))
+    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("t").asc)
+    val prefix = tok.join(dfreq, "t")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceil(col("n") * tau) + 1)
+      .select(col("t"), col("doc_id"), col("n"))
+    val pl = prefix.select(col("t"), col("doc_id").as("a_id"), col("n").as("a_n"))
+    val pr = prefix.select(col("t").as("t_r"), col("doc_id").as("b_id"), col("n").as("b_n"))
+    pl.join(pr,
+        col("t") === col("t_r") && col("a_id") < col("b_id") &&
+          col("b_n") >= ceil(col("a_n") * tau) && col("b_n") <= floor(col("a_n") / tau))
+      .select(col("a_id"), col("b_id")).distinct()
+  }
+
+  /** The multi-word-bitset general path — the ≤64-token dictionary trick at
+    * CORPUS vocabulary: a frequency-pruned dictionary (top `maxBits` tokens
+    * by document frequency — one map-side-combined aggregation whose output
+    * is bounded at `maxBits` rows, collected like any broadcast model)
+    * turns the frequent bulk of every document's word set into
+    * ⌈maxBits/64⌉ machine words ([[graft.plans.DictEncode]]); the rare
+    * remainder stays a short sorted residual array. Candidates come from
+    * the same exact prefix filter as [[jaccardPairsPrefixOn]]; verification
+    * is Σ popcount word ops ([[graft.plans.BitsetIntersectSize]]) plus a
+    * residual sorted-merge — EXACT at any vocabulary (a dictionary, not a
+    * hash: |I| = bitset part + residual part, same integers as the
+    * brute-force oracle). vs the token-array prefix path the verify joins
+    * move W longs + a few rare tokens per doc instead of the whole token
+    * array, and the per-pair merge loop collapses to word ops — measured
+    * in [[graft.DedupScale]] at 30k docs / 10k-word vocabulary.
+    */
+  private[graft] def jaccardPairsDictOn(docs: DataFrame, tau: Double,
+      maxBits: Int = 4096): DataFrame = {
+    import graft.plans.BitsetIntersectSize
+    require(maxBits >= 64, s"dictionary must hold at least one word: $maxBits")
+    val vocab = docs.select(explode(tokenSet(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("t").asc).limit(maxBits)
+      .collect().map(_.getString(0)).toSeq
+    if (vocab.isEmpty) { // empty corpus: keep the output schema
+      return docs.select(col("doc_id").as("a_id"), col("doc_id").as("b_id"),
+        lit(0.0).as("jac")).limit(0)
+    }
+    val enc = toCol(graft.plans.DictEncode(toExpr(tokenSet(col("text"))), vocab))
+    // cached: read by both verify join-backs (tiny: W longs + rare residue)
+    val ws = docs.select(col("doc_id"), enc.as("e"))
+      .select(col("doc_id"), col("e.bm").as("bm"), col("e.rest").as("rest"),
+        col("e.n").as("n"))
+      .cache()
+    val i = (toCol(BitsetIntersectSize(toExpr(col("a_bm")), toExpr(col("b_bm")))) +
+      toCol(SortedIntersectSize(toExpr(col("a_rest")), toExpr(col("b_rest")))))
+      .cast("int")
+    prefixCandidates(docs, tau)
+      .join(ws.select(col("doc_id").as("a_id"), col("bm").as("a_bm"),
+        col("rest").as("a_rest"), col("n").as("a_n")), "a_id")
+      .join(ws.select(col("doc_id").as("b_id"), col("bm").as("b_bm"),
+        col("rest").as("b_rest"), col("n").as("b_n")), "b_id")
+      .withColumn("i", i)
+      .withColumn("j", col("i").cast("double") / (col("a_n") + col("b_n") - col("i")))
+      .filter(col("j") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jac"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
   /** Blocked all-pairs general path — the pre-candidate formulation, kept

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -200,6 +200,49 @@ object GraphAnnOps {
       .limit(k)
   }
 
+  /** FILTERED graph-ANN search — predicate composed with the beam search,
+    * the reference's declared FILTER-index-with-HNSW shape (ref
+    * `TencentVDB.py:31-32,48`). Graph rows store ids and vectors only
+    * (attributes would bloat every CSR row), so the composition is the
+    * standard HNSW POST-FILTER with over-fetch: each graph's beam emits
+    * `k·overFetch` candidates instead of k (the ef/nprobe headroom that
+    * keeps recall up when the predicate thins the neighborhood), the
+    * candidate set — k·overFetch·graphs rows, bounded by construction —
+    * BROADCASTS into a join with the attribute table, the predicate
+    * applies there (and pushes into the attribute scan), and the global
+    * top-k re-ranks what survives. One plan, no driver round-trip.
+    * Exhaustive when k·overFetch ≥ nodes-per-graph and efSearch ≥ nodes —
+    * the fixture equality pin vs the exact filtered scan; approximate
+    * below that, like every graph probe.
+    */
+  def searchGraphsFiltered(graphs: Dataset[NswGraph], qVec: Array[Double],
+      attrs: DataFrame, predicate: Column, k: Int = 3, efSearch: Int = 100,
+      overFetch: Int = 4): DataFrame = {
+    import graphs.sparkSession.implicits._
+    require(overFetch >= 1, s"invalid overFetch $overFetch")
+    val perGraph = k * overFetch
+    val candidates = graphs.flatMap { g =>
+      searchLocal(g, qVec, math.max(efSearch, perGraph)).take(perGraph)
+    }.toDF("vec_id", "score")
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+    attrs.filter(predicate)
+      .join(broadcast(candidates), "vec_id")
+      .select(col("vec_id"), col("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** [[searchGraphsFiltered]] over a persisted NSW collection — the
+    * filtered twin of [[searchStored]].
+    */
+  def searchStoredFiltered(spark: SparkSession, db: String, name: String,
+      qVec: Array[Double], attrs: DataFrame, predicate: Column, k: Int = 3,
+      efSearch: Int = 100, overFetch: Int = 4): DataFrame = {
+    import spark.implicits._
+    searchGraphsFiltered(spark.table(s"`$db`.`$name`").as[NswGraph], qVec,
+      attrs, predicate, k, efSearch, overFetch)
+  }
+
   /** Search a PERSISTED graph collection
     * ([[graft.sources.CatalogOps.createNswCollection]]): the build was
     * paid at ingest; a query costs one beam search per stored graph row
@@ -243,11 +286,23 @@ object GraphAnnOps {
   def topKNswProbe(spark: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 3, shards: Int = 8, m: Int = 16, efConstruction: Int = 200,
       efSearch: Int = 100): DataFrame = {
+    val (db, name) = ensureNswProbeCollection(spark, dir, shards, m, efConstruction)
+    val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    searchStored(spark, db, name, qVec, k + 1, efSearch)
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Build-if-absent for the probe-only NSW entries — single-JVM guard
+    * only; see the cross-session note in [[KnnOps.topKIvfProbe]].
+    */
+  private[graft] def ensureNswProbeCollection(spark: SparkSession, dir: String,
+      shards: Int, m: Int, efConstruction: Int): (String, String) = {
     import graft.sources.CatalogOps
     val db = "graft_nsw_probe"
     val name = "emb_nsw"
-    // single-JVM guard only — see the cross-session note in
-    // [[KnnOps.topKIvfProbe]]
     this.synchronized {
       // a crash between the two saveAsTable writes leaves the main table
       // present with a missing __meta — require BOTH before trusting the
@@ -265,11 +320,30 @@ object GraphAnnOps {
           Tables.embeddings(spark, dir), shards, m, efConstruction)
       }
     }
-    val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === queryId)
+    (db, name)
+  }
+
+  /** FILTERED graph-ANN probe entry (`q_knn_hnsw_filtered`) — the indexed
+    * twin of [[KnnOps.topKFiltered]], same shape as [[KnnOps
+    * .topKIvfFiltered]] on the IVF side: stored graphs beam-search with
+    * over-fetch headroom, the label predicate applies on the attribute
+    * join ([[searchStoredFiltered]]), results re-rank globally. The
+    * query's own row is excluded by predicate (one extra over-fetch slot
+    * absorbs the self-hit). Approximate by construction → rows-only;
+    * equality vs the exact filtered scan at exhaustive over-fetch and
+    * recall at production over-fetch are test-pinned.
+    */
+  def topKNswFiltered(spark: SparkSession, dir: String, queryId: Long = 0L,
+      labelEq: Int = 3, k: Int = 5, shards: Int = 8, m: Int = 16,
+      efConstruction: Int = 200, efSearch: Int = 100,
+      overFetch: Int = 4): DataFrame = {
+    val (db, name) = ensureNswProbeCollection(spark, dir, shards, m, efConstruction)
+    val emb = Tables.embeddings(spark, dir)
+    val qVec = emb.filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Double](0).toArray
-    searchStored(spark, db, name, qVec, k + 1, efSearch)
-      .filter(col("vec_id") =!= queryId)
-      .orderBy(col("score").desc, col("vec_id").asc)
-      .limit(k)
+    searchStoredFiltered(spark, db, name, qVec,
+      attrs = emb.select(col("vec_id"), col("label")),
+      predicate = col("label") === labelEq && col("vec_id") =!= queryId,
+      k, efSearch, overFetch)
   }
 }

@@ -554,10 +554,20 @@ object KnnOps {
     * the query vector arrives from outside (a text embedding, a stored
     * lookup, a stream row), so the probe pays ONLY the model read and the
     * partition-pruned scan; `excludeId < 0` disables the self-exclusion.
+    *
+    * `predicate` is the FILTERED-ANN composition on the index path — the
+    * reference's FILTER index exists precisely to constrain an HNSW search
+    * (ref `TencentVDB.py:31-32,48`). The predicate lands BELOW the scoring
+    * projection, so Catalyst pushes it into the cell-pruned scan
+    * (PartitionFilters for the probe, PushedFilters for the predicate —
+    * both plan-pinned): the scan reads only matching rows of the probed
+    * cells. Recall composes multiplicatively — a filtered true neighbor in
+    * an unprobed cell is still missed — so callers that filter hard should
+    * raise `nprobe` headroom (the recall/nprobe curve is test-pinned).
     */
   def topKIvfPartitionedVec(spark: SparkSession, db: String, name: String,
       qVec: Array[Double], excludeId: Long = -1L, k: Int = 3,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, predicate: Column = lit(true)): DataFrame = {
     val model = spark.table(s"`$db`.`${name}__model`")
       .orderBy(col("cell").asc).collect()
     val kCells = model.length
@@ -566,7 +576,7 @@ object KnnOps {
     val q = spark.range(1).select(typedLit(qVec.toSeq).as("q_embedding"))
     spark.table(s"`$db`.`$name`")
       .filter(col("cell").isin(probes.map(Int.box): _*) &&
-        col("vec_id") =!= excludeId)
+        col("vec_id") =!= excludeId && predicate)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cell"),
         round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
@@ -658,13 +668,26 @@ object KnnOps {
     */
   def topKIvfProbe(spark: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 3, kCells: Int = 8, nprobe: Int = 2, iters: Int = 3): DataFrame = {
+    val (db, name) = ensureIvfProbeCollection(spark, dir, kCells, iters)
+    // query vector from the small SOURCE file (pushed id filter), not a
+    // full scan of the partitioned collection — the probe below then
+    // touches only the nprobe pruned cells
+    val qVec = corpus(spark, dir).filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    topKIvfPartitionedVec(spark, db, name, qVec, queryId, k, nprobe)
+  }
+
+  /** Build-if-absent for the probe-only IVF entries — guards THIS JVM's
+    * build (the local driver contract runs single-JVM); concurrent builds
+    * from separate sessions would still race on the shared warehouse dir —
+    * production would take a catalog lock or build under a staging name
+    * and swap.
+    */
+  private[graft] def ensureIvfProbeCollection(spark: SparkSession, dir: String,
+      kCells: Int, iters: Int): (String, String) = {
     import graft.sources.CatalogOps
     val db = "graft_ivf_probe"
     val name = "emb_ivf"
-    // guards THIS JVM's build-if-absent (the local driver contract runs
-    // single-JVM); concurrent builds from separate sessions would still
-    // race on the shared warehouse dir — production would take a catalog
-    // lock or build under a staging name and swap
     this.synchronized {
       if (!spark.catalog.tableExists(s"$db.$name") ||
           !spark.catalog.tableExists(s"$db.${name}__model")) {
@@ -681,12 +704,30 @@ object KnnOps {
           corpus(spark, dir), "embedding", kCells, iters)
       }
     }
-    // query vector from the small SOURCE file (pushed id filter), not a
-    // full scan of the partitioned collection — the probe below then
-    // touches only the nprobe pruned cells
+    (db, name)
+  }
+
+  /** FILTERED ANN on the IVF index path (`q_knn_ivf_filtered`) — the
+    * production retrieval shape the reference's FILTER index declares
+    * ("top-k about X where label = Y, served from the index", ref
+    * `TencentVDB.py:31-32,48`): metadata predicate composed with the
+    * partition-pruned probe, not with a full exact scan
+    * ([[topKFiltered]] is that oracle-checkable baseline). The label
+    * filter pushes into the pruned scan; `nprobe` defaults higher than
+    * the unfiltered probe because the predicate thins each probed cell
+    * (recall vs the exact filtered scan is test-pinned, exact at
+    * nprobe = kCells). Approximate below that → rows-only in the
+    * contract.
+    */
+  def topKIvfFiltered(spark: SparkSession, dir: String, queryId: Long = 0L,
+      labelEq: Int = 3, k: Int = 5, kCells: Int = 8, nprobe: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val (db, name) = ensureIvfProbeCollection(spark, dir, kCells, iters)
     val qVec = corpus(spark, dir).filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Double](0).toArray
-    topKIvfPartitionedVec(spark, db, name, qVec, queryId, k, nprobe)
+    topKIvfPartitionedVec(spark, db, name, qVec, queryId, k, nprobe,
+        predicate = col("label") === labelEq)
+      .select(col("vec_id"), col("score"))
   }
 
   /** Two-phase knn over a QUANTIZED collection
@@ -695,30 +736,87 @@ object KnnOps {
     * codes with the fused [[graft.plans.Int8QueryCosine]] byte loop
     * (TakeOrderedAndProject keeps `rescoreK` candidates per partition; the
     * scan reads codes + vec_id only — no float arrays move), phase 2
-    * re-scores ONLY those candidates at full precision with an id filter
-    * PUSHED INTO the full-precision scan (candidate set is rescoreK rows —
-    * driver-bounded by construction, like a query batch). Quantization can
-    * reorder near-ties, so phase 1 over-fetches rescoreK ≥ k and phase 2
-    * restores exact order; recall vs the exact scan is pinned in tests.
+    * re-scores ONLY those candidates at full precision. The phases compose
+    * as ONE plan: the bounded candidate set (rescoreK rows by construction)
+    * BROADCASTS into a hash join with the full-precision side — no driver
+    * collect between phases, so a caller can batch, compose, or stream
+    * this without a per-query driver round-trip. (The full side is pruned
+    * to (vec_id, embedding) columns; a layout that wants row-group skipping
+    * for the rescore sorts the full table by vec_id at ingest — the join
+    * itself stays map-side either way.) Quantization can reorder near-ties,
+    * so phase 1 over-fetches rescoreK ≥ k and phase 2 restores exact order;
+    * recall vs the exact scan is pinned in tests.
+    *
+    * `predicate` composes a metadata filter on the index path (the FILTER
+    * index surface, ref `TencentVDB.py:31-32,48`): it lands in the PHASE-1
+    * codes scan (pushed to parquet), so every candidate already satisfies
+    * it and the rescore needs no re-check.
     */
   def topKQuantized(spark: SparkSession, db: String, name: String,
       full: DataFrame, qVec: Array[Double], excludeId: Long = -1L,
-      k: Int = 3, rescoreK: Int = 12): DataFrame = {
+      k: Int = 3, rescoreK: Int = 12, predicate: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
     val approx = toCol(graft.plans.Int8QueryCosine(toExpr(col("codes")), qVec.toSeq))
     val candidates = spark.table(s"`$db`.`$name`")
-      .filter(col("vec_id") =!= excludeId)
+      .filter(col("vec_id") =!= excludeId && predicate)
       .select(col("vec_id"), approx.as("ascore"))
       .orderBy(col("ascore").desc, col("vec_id").asc)
       .limit(math.max(k, rescoreK))
-      .select(col("vec_id")).collect().map(_.getLong(0))
+      .select(col("vec_id"))
     val q = spark.range(1).select(typedLit(qVec.toSeq).as("q_embedding"))
-    full.filter(col("vec_id").isin(candidates.map(Long.box): _*))
+    full.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candidates), "vec_id")
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Batched two-phase quantized knn — [[topKQuantized]] for a query TABLE
+    * (query_id, q_embedding), one job for the whole batch: phase 1 scores
+    * every (code, query) pair via the broadcast query side and the fused
+    * [[graft.plans.Int8ColCosine]] byte loop, the bounded-heap
+    * [[graft.plans.TopKScoreId]] keeps `rescoreK` candidates per query
+    * (k·partitions shuffle rows, same contract as [[topKForQueries]]),
+    * and phase 2 re-scores the exploded candidate set — batch·rescoreK
+    * rows, broadcast into the full-precision join. The per-micro-batch
+    * scorer of [[graft.streaming.StreamingOps.streamingKnnQuantized]].
+    * Output ≡ running [[topKQuantized]] per query (test-pinned).
+    */
+  def topKForQueriesQuantized(spark: SparkSession, db: String, name: String,
+      full: DataFrame, queries: DataFrame, k: Int = 3,
+      rescoreK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    // replayed query_ids resolve deterministically (see topKForQueries)
+    val uniq = queries.groupBy(col("query_id"))
+      .agg(max(struct(col("q_embedding"))).as("__w"))
+      .select(col("query_id"), col("__w.q_embedding").as("q_embedding"))
+    val approx = toCol(graft.plans.Int8ColCosine(
+      toExpr(col("codes")), toExpr(col("q_embedding"))))
+    val scored = spark.table(s"`$db`.`$name`")
+      .crossJoin(broadcast(uniq))
+      .select(col("query_id"), col("vec_id"), approx.as("ascore"))
+    val candK = toCol(graft.plans.TopKScoreId(
+      toExpr(col("ascore")), toExpr(col("vec_id")), math.max(k, rescoreK))
+      .toAggregateExpression())
+    val candidates = scored.groupBy(col("query_id"))
+      .agg(candK.as("cand"))
+      .select(col("query_id"), explode(col("cand")).as("hit"))
+      .select(col("query_id"), col("hit.vec_id").as("vec_id"))
+      .join(broadcast(uniq), "query_id") // rescore needs each candidate's query vector
+    val rescored = full.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candidates), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
+    val topk = toCol(graft.plans.TopKScoreId(
+      toExpr(col("score")), toExpr(col("vec_id")), k).toAggregateExpression())
+    rescored.groupBy(col("query_id"))
+      .agg(topk.as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.vec_id").as("vec_id"),
+        col("hit.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id").asc, col("rank").asc)
   }
 
   /** Probe-only quantized entry (`q_knn_quantized`): build the int8

@@ -19,15 +19,26 @@ case class FrameRecord(doc_id: Long, frame_idx: Long, frame_payload: Array[Byte]
 /** A media feature vector (the media-embedding output schema). */
 case class MediaFeature(doc_id: Long, feature: Array[Float])
 
+/** Decoded audio metadata (the audio-decode output schema). */
+case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
+    bits: Long, n_samples: Long, duration_ms: Long, content_sha: String)
+
+/** Per-channel audio features: RMS level and DC mean, both in [-1, 1]. */
+case class AudioFeature(doc_id: Long, rms: Array[Float], mean: Array[Float])
+
 /** Multimodal-column plumbing: treat media as `binary` payloads with typed
   * metadata, decode/feature-extract as a per-partition batch operator.
   *
   * Image decode is REAL for every format the JDK itself can read: PPM/P6
   * via the hand-rolled parser ([[parsePpm]]) and PNG/JPEG/BMP/GIF/WBMP via
   * `javax.imageio` ([[decodeImage]] — ships with the JRE, zero added
-  * dependencies). Audio/video codecs are not in the JDK, so THOSE decode
-  * steps remain DETERMINISTIC FAKES (clearly marked below), as does the
-  * fallback for payloads no codec claims. Everything Spark-side is real
+  * dependencies). Audio decode is REAL the same way: WAV/AIFF/AU via
+  * `javax.sound.sampled.AudioSystem` ([[decodeAudio]] — also in every
+  * JRE), with true sample-rate/duration metadata ([[audioMeta]]) and
+  * per-channel RMS/mean features ([[audioFeatures]]). Only VIDEO codecs
+  * are absent from the JDK, so that decode step remains a DETERMINISTIC
+  * FAKE (clearly marked below), as does the fallback for payloads no
+  * codec claims. Everything Spark-side is real
   * and tested: the binary schema, the typed `Dataset[MediaRecord]` →
   * `Dataset[MediaMeta]` `mapPartitions` shape (partition-batched, the JVM
   * analog of `mapInPandas`), and the pure-SQL fingerprint/metadata path
@@ -311,6 +322,107 @@ object MultimodalOps {
               javax.imageio.ImageIO.write(dst, "png", bos)
               MediaRecord(r.doc_id, bos.toByteArray, "image/png")
             case None => stubResizeRecord(r, w, h)
+          }
+        }
+      }
+    }
+  }
+
+  /** REAL audio container probe via the JDK's OWN sampled-audio stack —
+    * `javax.sound.sampled.AudioSystem` (WAV/AIFF/AU readers ship with
+    * every JRE; zero new dependencies, the audio twin of [[decodeImage]]).
+    * Returns the true format and frame count; None for payloads no
+    * registered reader claims (text, images, truncated containers).
+    */
+  private[graft] def decodeAudio(b: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try Some((in.getFormat, in.getFrameLength)) finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode a payload to normalized interleaved PCM samples in [-1, 1]:
+    * the JDK conversion chain re-encodes whatever the container holds
+    * (8/16-bit, signed/unsigned, big/little-endian, µ-law/a-law) as
+    * 16-bit signed little-endian, so the sample walk below has ONE case.
+    * Returns (channels, samples); None when no reader claims the payload.
+    */
+  private[graft] def readPcm(b: Array[Byte]): Option[(Int, Array[Double])] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val src = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(b))
+      try {
+        val f = src.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+          f.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, src)
+        try {
+          val bytes = pcm.readAllBytes()
+          val n = bytes.length / 2
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            out(i) = (((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xFF))
+              / 32768.0)
+            i += 1
+          }
+          Some((f.getChannels, out))
+        } finally pcm.close()
+      } finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Typed audio-decode: true sample rate, channel count, bit depth, frame
+    * count and duration from the container header — the audio analog of
+    * [[decodeMetaPpm]], same partition-batched map-side shape (zero
+    * shuffle). Payloads no audio reader claims are dropped (route them to
+    * the image or stub decoders — the mixed-corpus contract).
+    */
+  def audioMeta(records: Dataset[MediaRecord]): Dataset[AudioMeta] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      it.flatMap { r =>
+        decodeAudio(r.payload).map { case (fmt, frames) =>
+          val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
+          digest.reset()
+          AudioMeta(r.doc_id,
+            math.round(fmt.getSampleRate.toDouble),
+            fmt.getChannels.toLong,
+            fmt.getSampleSizeInBits.toLong,
+            frames,
+            math.round(frames * 1000.0 / fmt.getFrameRate), sha)
+        }
+      }
+    }
+  }
+
+  /** REAL audio feature extraction: per-channel RMS level and DC mean over
+    * the decoded PCM samples — actual signal statistics (a 440 Hz sine at
+    * amplitude A has RMS A/√2 and mean ≈ 0; both are test-pinned on
+    * generated WAV payloads). Map-side like every decode here; output
+    * plugs into the vector operators as a (short) feature vector.
+    */
+  def audioFeatures(records: Dataset[MediaRecord]): Dataset[AudioFeature] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        readPcm(r.payload).flatMap { case (channels, samples) =>
+          val n = samples.length / math.max(1, channels)
+          if (n == 0) None
+          else {
+            val mean = new Array[Double](channels)
+            val sq = new Array[Double](channels)
+            var i = 0
+            while (i < n * channels) {
+              val c = i % channels
+              mean(c) += samples(i); sq(c) += samples(i) * samples(i)
+              i += 1
+            }
+            Some(AudioFeature(r.doc_id,
+              Array.tabulate(channels)(c => math.sqrt(sq(c) / n).toFloat),
+              Array.tabulate(channels)(c => (mean(c) / n).toFloat)))
           }
         }
       }

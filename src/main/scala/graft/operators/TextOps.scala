@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -308,8 +308,34 @@ object TextOps {
     * aggregation. The composite that proves the chain composes.
     */
   def ragEndToEnd(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 3,
-      prompt: String = "总结要点"): DataFrame = {
-    val hits = KnnOps.topK(spark, dir, queryId, k)
+      prompt: String = "总结要点"): DataFrame =
+    ragAssemble(spark, dir, KnnOps.topK(spark, dir, queryId, k), prompt,
+      lit(queryId).as("query_id"))
+
+  /** The flagship: the reference's KB path seeded the way the reference
+    * actually seeds it — from TYPED TEXT, not a stored vector
+    * (`prompt_text → searchByText → listToString → prompt → citations`,
+    * ref `main_server.py:130-143,171-175`): the query string embeds
+    * IN-PLAN via [[graft.plans.FeatureHashEmbed]] ([[KnnOps.topKByText]] —
+    * zero extra job, the embed folds to a constant at plan time), then the
+    * identical payload-join/concat/citation chain as [[ragEndToEnd]]. The
+    * raw hash vector round-trips exactly into the SQL oracle's literal
+    * ([[graft.SparkEntry.knnTextQueryVec]]), which keeps the whole
+    * composite oracle-checkable end to end. The vector-seeded
+    * [[ragEndToEnd]] stays as the stored-query variant (`q_rag_e2e_vec`).
+    */
+  def ragEndToEndText(spark: SparkSession, dir: String, queryText: String,
+      k: Int = 3, prompt: String = "总结要点"): DataFrame =
+    ragAssemble(spark, dir, KnnOps.topKByText(spark, dir, queryText, k)
+        .select(col("vec_id"), col("score")), prompt,
+      lit(queryText).as("query"))
+
+  /** Shared context-assembly tail of the two RAG flagships: rank the hits,
+    * join payloads, fold the score-ordered snippets into the prompt and the
+    * citation block (ref `main_server.py:46-51,142-143,171-174`).
+    */
+  private def ragAssemble(spark: SparkSession, dir: String, hits: DataFrame,
+      prompt: String, idCol: Column): DataFrame = {
     val w = Window.orderBy(col("score").desc, col("vec_id").asc) // k rows — tiny
     val ranked = hits.withColumn("rank", row_number().over(w))
     val docs = Tables.documents(spark, dir)
@@ -327,7 +353,7 @@ object TextOps {
           array_sort(collect_list(struct(col("rank"),
             concat(lit("\n\n"), col("source"), lit("     "), col("doc_id")).as("cite")))),
           x => x.getField("cite")), "")).as("citations"))
-      .select(lit(queryId).as("query_id"), col("llm_prompt"), col("citations"))
+      .select(idCol, col("llm_prompt"), col("citations"))
   }
 
   /** Overlapping-window document chunking — what a real RAG ingest does

@@ -411,6 +411,74 @@ case class Int8Codes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Cosine between an int8 CODE vector and a full-precision query COLUMN —
+  * the batch twin of [[Int8QueryCosine]]: where the single-query probe bakes
+  * its vector in as a reference object, a BATCH of queries arrives as a
+  * broadcast column ([[graft.operators.KnnOps.topKForQueriesQuantized]]),
+  * so both sides are expressions. Same fused byte loop, same cancellation
+  * of the per-vector scale; null on dimension mismatch like every binary
+  * vector expression here.
+  */
+case class Int8ColCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "int8_col_cosine"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (org.apache.spark.sql.types.BinaryType, ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, array<double>), got ${l.simpleString} and ${r.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[Array[Byte]]
+    val q = b.asInstanceOf[ArrayData]
+    val n = codes.length
+    if (n != q.numElements()) return null
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val c = codes(i).toDouble; val y = q.getDouble(i)
+      ab += c * y; aa += c * c; bb += y * y; i += 1
+    }
+    val d = math.sqrt(aa) * math.sqrt(bb)
+    if (d == 0.0) 0.0 else ab / d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val ab = ctx.freshName("ab")
+      val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val c = ctx.freshName("c")
+      val y = ctx.freshName("y")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = $a.length;
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $c = (double) $a[$i];
+         |    final double $y = $b.getDouble($i);
+         |    $ab += $c * $y; $aa += $c * $c; $bb += $y * $y;
+         |  }
+         |  final double $d = java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb);
+         |  ${ev.value} = ($d == 0.0) ? 0.0 : $ab / $d;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object Int8Codes {
   /** Shared by the interpreted and generated paths (one JIT-compiled body,
     * the [[FeatureHash]] pattern).

@@ -158,6 +158,26 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming knn over an int8-QUANTIZED collection
+    * ([[graft.sources.CatalogOps.createQuantizedCollection]]) — the
+    * byte-scan streaming ANN: each micro-batch runs the single-plan
+    * two-phase probe ([[graft.operators.KnnOps.topKForQueriesQuantized]]):
+    * phase 1 reads codes only (~⅛ the bytes) against the broadcast query
+    * batch, phase 2 rescores the bounded candidate set at full precision —
+    * one job per batch, no driver round-trip between phases.
+    */
+  def streamingKnnQuantized(queryStream: DataFrame, db: String, name: String,
+      full: DataFrame, k: Int = 3, rescoreK: Int = 12)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.KnnOps.topKForQueriesQuantized(
+            batch.sparkSession, db, name, full, batch.toDF(), k, rescoreK), id)
+      }
+      .start()
+
   /** Stream-static enrichment: every micro-batch hash-joins against the
     * broadcast dimension (no streaming state at all — the static side is a
     * plain batch DataFrame, re-broadcast per batch). The streaming form of

@@ -353,6 +353,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(bandedPairs === expected) // pairs variant, same general path
   }
 
+  test("multi-word-bitset jaccard stays exact when the dictionary is smaller than the vocabulary") {
+    import spark.implicits._
+    // 120-token vocabulary, dictionary pruned to 64 bits: roughly half of
+    // every document's tokens land in the sorted residual — the path where
+    // bitset + residual-merge must still sum to the exact intersection
+    val rnd = new scala.util.Random(23L)
+    val vocab = (0 until 120).map(i => f"tok$i%03d")
+    val docs: Seq[(Long, String)] = (0 until 12).flatMap { g =>
+      val base = rnd.shuffle(vocab).take(25)
+      (0 until 3).map { v =>
+        val toks = if (v == 0) base
+          else base.updated(rnd.nextInt(25), vocab(rnd.nextInt(120)))
+        ((g * 3 + v).toLong, toks.mkString(" "))
+      }
+    }
+    val df = docs.toDF("doc_id", "text")
+    for (tau <- Seq(0.9, 0.7)) {
+      val dict = DedupOps.jaccardPairsDictOn(df, tau, maxBits = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val blocked = DedupOps.jaccardPairsBlockedOn(df, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(dict === blocked, s"tau=$tau")
+      assert(dict.nonEmpty, s"vacuous corpus at tau=$tau")
+    }
+  }
+
   test("prefix-filter jaccard equals the blocked pair loop across random corpora") {
     import spark.implicits._
     // randomized sizes/overlap structure across several thresholds: the
@@ -602,6 +628,60 @@ class OperatorSpec extends AnyFunSuite {
     assert(w === 2 && h === 1)
     // nearest-neighbor: target (0,0) <- source (0,0) r=0; (1,0) <- (2,0) r=20
     assert(out(off) === 0.toByte && out(off + 3) === 20.toByte)
+  }
+
+  test("WAV/AIFF audio decode via the JDK: true format, true duration, real signal stats") {
+    import spark.implicits._
+    import graft.operators.{MediaRecord, MultimodalOps}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // a 440 Hz sine per channel at the given amplitudes — 16-bit PCM,
+    // container-encoded by the JDK's own writers (WAV little-endian,
+    // AIFF big-endian)
+    def tone(sampleRate: Float, seconds: Double, amps: Seq[Double],
+        aiff: Boolean): Array[Byte] = {
+      val channels = amps.length
+      val frames = (sampleRate * seconds).toInt
+      val bytes = new Array[Byte](frames * channels * 2)
+      for (i <- 0 until frames; c <- 0 until channels) {
+        val v = math.round(amps(c) * 32767.0 *
+          math.sin(2 * math.Pi * 440.0 * i / sampleRate)).toInt
+        val idx = (i * channels + c) * 2
+        if (aiff) { bytes(idx) = ((v >> 8) & 0xFF).toByte; bytes(idx + 1) = (v & 0xFF).toByte }
+        else { bytes(idx) = (v & 0xFF).toByte; bytes(idx + 1) = ((v >> 8) & 0xFF).toByte }
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate,
+        16, channels, channels * 2, sampleRate, aiff)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais,
+        if (aiff) AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val records = Seq(
+      MediaRecord(1L, tone(8000f, 0.5, Seq(0.5), aiff = false), "audio/wav"),
+      MediaRecord(2L, tone(16000f, 0.25, Seq(0.25, 0.8), aiff = false), "audio/wav"),
+      MediaRecord(3L, tone(8000f, 0.5, Seq(0.5), aiff = true), "audio/aiff"),
+      MediaRecord(4L, "not audio at all".getBytes("UTF-8"), "text/plain")).toDS
+    val meta = MultimodalOps.audioMeta(records).collect().sortBy(_.doc_id)
+    // payloads no audio reader claims are dropped, never mis-decoded
+    assert(meta.map(_.doc_id).toSeq === Seq(1L, 2L, 3L))
+    assert(meta(0).sample_rate === 8000L && meta(0).channels === 1L &&
+      meta(0).bits === 16L && meta(0).n_samples === 4000L &&
+      meta(0).duration_ms === 500L)
+    assert(meta(1).sample_rate === 16000L && meta(1).channels === 2L &&
+      meta(1).n_samples === 4000L && meta(1).duration_ms === 250L)
+    assert(meta(2).sample_rate === 8000L && meta(2).duration_ms === 500L)
+    // signal statistics: a sine at amplitude A has RMS A/√2 and mean ≈ 0 —
+    // 0.5 s at 440 Hz is an integral 220 cycles, so both hold tightly
+    val feats = MultimodalOps.audioFeatures(records).collect().sortBy(_.doc_id)
+    assert(feats.map(_.doc_id).toSeq === Seq(1L, 2L, 3L))
+    def close(a: Float, b: Double, tol: Double = 0.01) = math.abs(a - b) < tol
+    assert(close(feats(0).rms(0), 0.5 / math.sqrt(2)), feats(0).rms.mkString(","))
+    assert(close(feats(0).mean(0), 0.0))
+    assert(close(feats(1).rms(0), 0.25 / math.sqrt(2)), feats(1).rms.mkString(","))
+    assert(close(feats(1).rms(1), 0.8 / math.sqrt(2)), feats(1).rms.mkString(","))
+    assert(close(feats(2).rms(0), 0.5 / math.sqrt(2)), feats(2).rms.mkString(","))
   }
 
   test("PNG/JPEG decode via the JDK codecs: true dimensions, pixels, and resize") {
@@ -1198,5 +1278,107 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.length === 500)
     val total = rows.map(_.getLong(2)).sum
     assert(total % 2 === 0) // pair symmetry: every neighbor edge counted twice
+  }
+
+  test("filtered IVF probe: exact at exhaustive probes, valid + recall-bounded below") {
+    // nprobe = kCells probes every cell — the index path degenerates to the
+    // exact filtered scan, pinning that the predicate composition itself
+    // loses nothing (all loss comes from cell pruning)
+    val exact = KnnOps.topKFiltered(spark, sf, queryId = 0L, labelEq = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val exhaustive = KnnOps.topKIvfFiltered(spark, sf, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(exhaustive.toSeq === exact.toSeq)
+    // production nprobe: every hit must satisfy the predicate, carry its
+    // exact score, and keep meaningful recall on the fixture
+    val probed = KnnOps.topKIvfFiltered(spark, sf) // nprobe = 4 of 8
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probed.length === 5)
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(probed.map(t => Long.box(t._1)): _*))
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    probed.foreach { case (id, score) =>
+      assert(labels(id) === 3)
+      val ex = exact.find(_._1 == id) // scores are exact wherever ids overlap
+      ex.foreach { case (_, s) => assert(s === score) }
+    }
+    val recall = probed.map(_._1).count(exact.map(_._1).contains) / 5.0
+    assert(recall >= 0.4, s"filtered-IVF fixture recall $recall")
+  }
+
+  test("filtered NSW probe: exact at exhaustive over-fetch, valid below") {
+    val exact = KnnOps.topKFiltered(spark, sf, queryId = 0L, labelEq = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // k·overFetch = 65 ≥ nodes-per-graph (500/8) and efSearch ≥ nodes: every
+    // graph search is exhaustive, so post-filter + re-rank IS the exact scan
+    val exhaustive = GraphAnnOps.topKNswFiltered(spark, sf, overFetch = 13)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(exhaustive.toSeq === exact.toSeq)
+    // production over-fetch: predicate holds, scores exact, recall bounded
+    val probed = GraphAnnOps.topKNswFiltered(spark, sf) // overFetch = 4
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probed.length === 5)
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(probed.map(t => Long.box(t._1)): _*))
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    probed.foreach { case (id, score) =>
+      assert(labels(id) === 3)
+      exact.find(_._1 == id).foreach { case (_, s) => assert(s === score) }
+    }
+    val recall = probed.map(_._1).count(exact.map(_._1).contains) / 5.0
+    assert(recall >= 0.4, s"filtered-NSW fixture recall $recall")
+  }
+
+  test("quantized probe with a predicate equals the exact filtered scan at full rescore") {
+    KnnOps.topKQuantizedProbe(spark, sf) // ensure the session collection
+    val qVec = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    // rescoreK = corpus: phase 1 keeps every predicate row, so the rescore
+    // reproduces the exact filtered scan bit for bit
+    val got = KnnOps.topKQuantized(spark, "graft_q8_probe", "emb_q8",
+        graft.sources.Tables.embeddings(spark, sf), qVec, excludeId = 0L,
+        k = 5, rescoreK = 500, predicate = col("label") === 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = KnnOps.topKFiltered(spark, sf, queryId = 0L, labelEq = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq === exact.toSeq)
+  }
+
+  test("batched quantized probe equals the per-query two-phase probe") {
+    import spark.implicits._
+    KnnOps.topKQuantizedProbe(spark, sf) // ensure the session collection
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val batch = KnnOps.topKForQueriesQuantized(spark, "graft_q8_probe", "emb_q8",
+        emb, queries, k = 3, rescoreK = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(batch.length === 12) // 4 queries × k
+    (0L until 4L).foreach { qid =>
+      val qVec = emb.filter(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Double](0).toArray
+      val single = KnnOps.topKQuantized(spark, "graft_q8_probe", "emb_q8",
+          emb, qVec, excludeId = -1L, k = 3, rescoreK = 12)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+      assert(batch.filter(_._1 == qid).toSeq === single.toSeq, s"query $qid")
+    }
+  }
+
+  test("text-seeded RAG flagship assembles prompt and citations from the text query") {
+    val rows = TextOps.ragEndToEndText(spark, sf, SparkEntry.KnnTextQuery).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getString(0) === SparkEntry.KnnTextQuery)
+    assert(r.getString(1).startsWith("请按照\"总结要点\"进行总结,内容是："))
+    assert(r.getString(2).startsWith("参考链接："))
+    // the citation block carries exactly the text-knn hit ids, rank-ordered
+    val hits = KnnOps.topKByText(spark, sf, SparkEntry.KnnTextQuery, k = 3)
+      .collect().map(_.getLong(0))
+    val cited = r.getString(2).split("\n\n").drop(1)
+      .map(_.split(" {5}")(1).trim.toLong).toSeq
+    assert(cited === hits.toSeq)
   }
 }

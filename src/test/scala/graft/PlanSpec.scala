@@ -225,6 +225,69 @@ class PlanSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "q8plandb")
   }
 
+  test("filtered IVF probe composes partition pruning with a pushed predicate") {
+    import graft.sources.{CatalogOps, Tables}
+    import org.apache.spark.sql.functions.col
+    CatalogOps.dropDatabase(spark, "ivffiltdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/ivffiltdb.db"))
+    CatalogOps.createDatabase(spark, "ivffiltdb")
+    CatalogOps.createIvfCollection(spark, "ivffiltdb", "emb_ivf",
+      Tables.embeddings(spark, sf))
+    val qVec = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    val q = KnnOps.topKIvfPartitionedVec(spark, "ivffiltdb", "emb_ivf", qVec,
+      excludeId = 0L, k = 5, nprobe = 4, predicate = col("label") === 3)
+    val p = plan(q)
+    // both prunings land in the ONE scan: cells as PartitionFilters (4 of
+    // 8 directories opened), the label predicate as PushedFilters
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")), p)
+    val inList = "cell[^ ]* IN \\(([^)]*)\\)".r.findFirstMatchIn(p)
+    assert(inList.isDefined && inList.get.group(1).split(",").length === 4, p)
+    assert(p.contains("EqualTo(label,3)"), p)
+    CatalogOps.dropDatabase(spark, "ivffiltdb")
+  }
+
+  test("quantized two-phase probe is ONE plan: no driver collect between phases") {
+    import graft.sources.{CatalogOps, Tables}
+    import org.apache.spark.sql.functions.col
+    CatalogOps.dropDatabase(spark, "q8onedb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/q8onedb.db"))
+    CatalogOps.createDatabase(spark, "q8onedb")
+    CatalogOps.createQuantizedCollection(spark, "q8onedb", "emb_q8",
+      Tables.embeddings(spark, sf))
+    val qVec = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    // constructing + planning the probe must launch no job: phase 1 is a
+    // bounded subplan broadcast into the rescore join, not a collect
+    val group = "q8plan-" + System.nanoTime()
+    spark.sparkContext.setJobGroup(group, "quantized probe construction", false)
+    val p =
+      try plan(KnnOps.topKQuantized(spark, "q8onedb", "emb_q8",
+        Tables.embeddings(spark, sf), qVec, excludeId = 0L,
+        predicate = col("label") === 3))
+      finally spark.sparkContext.clearJobGroup()
+    // both phases visible in ONE physical plan: the byte-loop candidate
+    // pass (bounded by TakeOrderedAndProject), the broadcast of the
+    // candidate set, and the full-precision rescore
+    assert(p.toLowerCase.contains("int8_query_cosine"), p)
+    assert(p.toLowerCase.contains("vec_cosine"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // the predicate lands in the phase-1 codes scan
+    assert(p.contains("EqualTo(label,3)"), p)
+    val marker = "q8plan-marker-" + System.nanoTime()
+    spark.sparkContext.setJobGroup(marker, "marker", false)
+    try spark.range(1).count() finally spark.sparkContext.clearJobGroup()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.sparkContext.statusTracker.getJobIdsForGroup(marker).isEmpty &&
+           System.nanoTime() < deadline) Thread.sleep(10)
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(group).isEmpty)
+    CatalogOps.dropDatabase(spark, "q8onedb")
+  }
+
   test("centroids aggregate vectors whole (no pre-shuffle dim-explode)") {
     val df = KnnOps.centroids(spark, sf)
     val p = plan(df)
