@@ -64,6 +64,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => DedupOps.simHash(s, d)),
     "q_dedup_embed"   -> ((s, d) => DedupOps.embedNearDup(s, d)),
     "q_dedup_ngram"   -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
+    "q_dedup_cc"      -> ((s, d) => DedupOps.dedupConnected(s, d)),
     // ---- text analysis / embedding (LLM-pipeline north star) ----
     "q_embed_batch"     -> ((s, d) => TextAnalysisOps.embedBatch(s, d)),
     "q_text_lang"       -> ((s, d) => TextAnalysisOps.langId(s, d)),
@@ -160,7 +161,7 @@ object SparkEntry {
     "q_cosine_pair", "q_sim_join", "q_sim_join_lsh", "q_sim_join_auto", "q_vec_centroids",
     "q_vec_quantize", "q_embed_batch",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
-    "q_dedup_embed", "q_text_quality", "q_token_count", "q_multimodal_meta",
+    "q_dedup_embed", "q_dedup_cc", "q_text_quality", "q_token_count", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast",
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
@@ -321,6 +322,22 @@ object SparkEntry {
         |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id)
         |WHERE j >= 0.8
         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "q_dedup_cc" ->
+      """WITH RECURSIVE
+        |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))) >= 0.95),
+        |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(n, m) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a WHERE e.b <> r.n),
+        |comp AS (SELECT n AS doc_id, least(n, min(m)) AS component FROM reach GROUP BY n)
+        |SELECT d.doc_id, coalesce(k.component, d.doc_id) AS component
+        |FROM documents d LEFT JOIN comp k USING (doc_id)
+        |ORDER BY doc_id ASC""".stripMargin,
     "q_events_hopping" ->
       """SELECT w_start, event_type, count(*) AS n FROM (
         |  SELECT event_type,

@@ -643,4 +643,92 @@ object DedupOps {
       .select(col("b_id").as("dup_id"), col("canonical_id"))
       .orderBy(col("dup_id").asc)
   }
+
+  /** Transitive-closure dedup: connected components over the verified
+    * near-dup pairs, each doc labeled with its component's minimum id.
+    * The pairwise passes above answer "who is similar to whom"; a real
+    * corpus dedup must answer "which docs are the SAME group" — and
+    * similarity is not transitive (A≈B, B≈C does not give A≈C ≥ τ), so the
+    * group is the connected component of the similarity graph, not the
+    * neighbor list. Pair source is the banded-LSH path
+    * ([[minHashLshPairs]]); resolution is [[connectedComponentsOn]].
+    */
+  def dedupConnected(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val star = connectedComponentsOn(
+      minHashLshPairs(spark, dir, tau).select(col("a_id").as("a"), col("b_id").as("b")))
+    docs.join(star.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Alternating large-star / small-star connected components (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+    * MapReduce and Beyond", SoCC'14): O(log²n) rounds worst-case, a handful
+    * in practice, each round linear in the edge count. Returns the star
+    * graph `(node, component)` — one row per non-root node, component =
+    * the component's minimum node id.
+    *
+    * Both stars are expressed as groupBy-min + equi-join back ON THE SAME
+    * KEY, so Catalyst reuses one exchange per star and NO per-node
+    * neighbor array is ever collected — a giant component costs the same
+    * per-row work as a small one (the usual `collect_set` formulation
+    * OOMs on the root's neighborhood at web scale; this one cannot).
+    * Each round materializes via `localCheckpoint` to truncate the
+    * iterative lineage (on a cluster, `checkpoint` to reliable storage —
+    * same plan shape).
+    */
+  private[graft] def connectedComponentsOn(pairs: DataFrame): DataFrame = {
+    // downhill edges (hi → lo), self-loops dropped
+    var edges = pairs
+      .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint()
+    // fixed-point signature: (row count, order-independent hash fold —
+    // XOR, since edges are distinct rows; ANSI-safe where a sum of
+    // full-range hashes would overflow). A stable signature means the star
+    // map stopped changing — and the transform is idempotent at the fixed
+    // point, so one phantom extra round from a hash collision could only
+    // re-emit the same set.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(edges)
+    var converged = sig._1 == 0L
+    var rounds = 0
+    while (!converged && rounds < 40) {
+      // LARGE-STAR: per node u over the UNDIRECTED neighborhood Γ(u),
+      // attach every larger neighbor v > u to m = min(Γ(u) ∪ {u}).
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val minU = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      // distinct is load-bearing: different u re-emit the same (v, m) edge,
+      // and those duplicates would fan out through small-star's join
+      val large = sym.join(minU, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), least(col("u"), col("mv")).as("lo"))
+        .distinct()
+      // SMALL-STAR: per node u over its smaller neighbors L (downhill
+      // edges grouped by hi), attach u and every v ∈ L to m = min(L).
+      val minHi = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val small = large.join(minHi, "hi")
+        .select(col("lo").as("node"), col("m"))
+        .filter(col("node") =!= col("m"))
+        .unionAll(minHi.select(col("hi").as("node"), col("m")))
+        .select(col("node").as("hi"), col("m").as("lo"))
+        .distinct()
+        .localCheckpoint()
+      val next = signature(small)
+      converged = next == sig
+      sig = next
+      edges = small
+      rounds += 1
+    }
+    require(converged, s"connected components did not converge in $rounds rounds")
+    edges.select(col("hi").as("node"), col("lo").as("component"))
+  }
 }

@@ -1381,4 +1381,38 @@ class OperatorSpec extends AnyFunSuite {
       .map(_.split(" {5}")(1).trim.toLong).toSeq
     assert(cited === hits.toSeq)
   }
+
+  test("connected components resolve transitive chains that pairwise dedup cannot") {
+    import spark.implicits._
+    // A≈B, B≈C, C≈D with no direct A≈D pair: one component rooted at A
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (20L, 21L))
+      .toDF("a", "b")
+    val got = DedupOps.connectedComponentsOn(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 1L, 3L -> 1L, 4L -> 1L,
+      11L -> 10L, 12L -> 10L, 21L -> 20L))
+    // empty pair set converges immediately to an empty star
+    assert(DedupOps.connectedComponentsOn(
+      Seq.empty[(Long, Long)].toDF("a", "b")).count() === 0L)
+  }
+
+  test("connected components match driver-side union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val edges = (0 until 300)
+      .map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    // union-find that always roots at the component minimum
+    val parent = Array.tabulate(120)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = (0 until 120).map(n => n.toLong -> find(n).toLong)
+      .filter(p => p._1 != p._2).toMap
+    val got = DedupOps.connectedComponentsOn(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
 }
