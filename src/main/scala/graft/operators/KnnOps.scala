@@ -887,4 +887,150 @@ object KnnOps {
           .as(Seq("pos", "centroid_v")))
       .orderBy(col("label").asc, col("pos").asc)
   }
+
+  /** PQ codebook training — per-subspace Lloyd iterations, ALL subspaces in
+    * one distributed pass per iteration: [[graft.plans.PqSubAssign]]
+    * assigns every subspace's cell in a single fused projection, the
+    * explode emits (sub, cell, subvector) rows (same total bytes as the
+    * corpus — each vector splits, nothing duplicates), and one
+    * (sub, cell) aggregation computes every Lloyd update at once. The
+    * alternative — M independent k-means jobs — would re-scan the corpus
+    * M·iters times; this scans it iters times regardless of M. Only the
+    * m·k·subDim model (= dim·k doubles, the [[kmeansCentroids]] precedent)
+    * is ever collected. Returns the flat sub-major codebook
+    * (`[(s·k + c)·subDim + i]`). Seeding: subvectors of the first k
+    * vectors by id — deterministic, like [[kmeansCentroids]].
+    */
+  private[graft] def pqCodebooks(emb: DataFrame, m: Int, kCent: Int,
+      iters: Int): Array[Double] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val subDim = dim / m
+    val seed = emb.orderBy(col("vec_id").asc).limit(kCent)
+      .select(col("embedding")).collect().map(_.getSeq[Double](0))
+    require(seed.length == kCent, s"need ≥ $kCent vectors to seed PQ")
+    var cb = new Array[Double](m * kCent * subDim)
+    for (s <- 0 until m; c <- 0 until kCent; i <- 0 until subDim)
+      cb((s * kCent + c) * subDim + i) = seed(c)(s * subDim + i)
+    val subStructs = (0 until m).map { s =>
+      struct(lit(s).as("sub"),
+        element_at(col("cells"), s + 1).as("cell"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("sv"))
+    }
+    (1 to iters).foreach { _ =>
+      val assign = toCol(graft.plans.PqSubAssign(
+        toExpr(col("embedding")), cb.toSeq, m, kCent))
+      val sumCount = toCol(graft.plans.VecSumCount(
+        toExpr(col("sv"))).toAggregateExpression())
+      val next = cb.clone()
+      emb.select(col("embedding"), assign.as("cells"))
+        .select(explode(array(subStructs: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.cell").as("cell"), col("e.sv").as("sv"))
+        .groupBy(col("sub"), col("cell")).agg(sumCount.as("sc"))
+        .select(col("sub"), col("cell"), col("sc.sums"), col("sc.n"))
+        .collect()
+        .foreach { r =>
+          val sub = r.getInt(0); val cell = r.getInt(1)
+          val sums = r.getSeq[Double](2); val n = r.getLong(3)
+          var i = 0
+          while (i < subDim) {
+            next((sub * kCent + cell) * subDim + i) = sums(i) / n; i += 1
+          }
+        }
+      cb = next
+    }
+    cb
+  }
+
+  /** PQ-ADC knn over a PQ collection
+    * ([[graft.sources.CatalogOps.createPqCollection]]): phase 1 scans ONLY
+    * the M-byte code column — each row costs M table lookups
+    * ([[graft.plans.PqAdcDot]]), independent of dim — normalized by the
+    * stored exact row norm to an approximate cosine; phase 2 re-scores the
+    * top `rescoreK` codes at full precision through the same bounded
+    * candidate-broadcast subplan as [[topKQuantized]] (ONE plan, no
+    * driver collect between phases). At 1024-d float32 the code scan reads
+    * 1/128th of the exact scan's bytes (M=8 codes + 8-byte norm vs 4 KiB).
+    */
+  def topKPq(spark: SparkSession, db: String, name: String,
+      full: DataFrame, qVec: Array[Double], excludeId: Long = -1L,
+      k: Int = 3, rescoreK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val meta = spark.table(s"`$db`.`${name}__pqmeta`").head()
+    val (m, kCent) = (meta.getInt(0), meta.getInt(1))
+    val subDim = qVec.length / m
+    // the model read: m·k·subDim doubles (= k×dim), the bounded
+    // broadcast-model pattern shared with nearestCells
+    val cb = new Array[Double](m * kCent * subDim)
+    spark.table(s"`$db`.`${name}__pqmodel`").collect().foreach { r =>
+      val sub = r.getInt(0); val cell = r.getInt(1)
+      val c = r.getSeq[Double](2)
+      var i = 0
+      while (i < subDim) { cb((sub * kCent + cell) * subDim + i) = c(i); i += 1 }
+    }
+    val lut = new Array[Double](m * kCent)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < kCent) {
+        var d = 0.0; var i = 0
+        while (i < subDim) { d += qVec(s * subDim + i) * cb((s * kCent + c) * subDim + i); i += 1 }
+        lut(s * kCent + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+    val adc = toCol(graft.plans.PqAdcDot(toExpr(col("codes")), lut.toSeq, m, kCent))
+    val candidates = spark.table(s"`$db`.`$name`")
+      .filter(col("vec_id") =!= excludeId)
+      .select(col("vec_id"), (adc / (col("norm") * lit(qNorm))).as("ascore"))
+      .orderBy(col("ascore").desc, col("vec_id").asc)
+      .limit(math.max(k, rescoreK))
+      .select(col("vec_id"))
+    val q = spark.range(1).select(typedLit(qVec.toSeq).as("q_embedding"))
+    full.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candidates), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Contract probe for [[topKPq]]: builds the PQ collection once per
+    * session over the fixture corpus (same build-once guard as
+    * [[topKQuantizedProbe]]), then answers from the codes. Fixture vectors
+    * are near-random (no cluster structure for the codebooks to exploit),
+    * so the probe over-fetches rescoreK=64; approximate by construction →
+    * rows-only, plumbing equality and planted-structure recall pinned in
+    * tests.
+    */
+  def topKPqProbe(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 3, rescoreK: Int = 64): DataFrame = {
+    import graft.sources.CatalogOps
+    val db = "graft_pq_probe"
+    val name = "emb_pq"
+    // single-JVM guard only — see the cross-session note in [[topKIvfProbe]]
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.$name") ||
+          !spark.catalog.tableExists(s"$db.${name}__pqmodel") ||
+          !spark.catalog.tableExists(s"$db.${name}__pqmeta")) {
+        CatalogOps.createDatabase(spark, db)
+        // previous JVMs leave orphaned warehouse dirs behind the in-memory
+        // catalog's back — clear ALL the collection's tables before the build
+        Seq(name, s"${name}__pqmodel", s"${name}__pqmeta").foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+            new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
+              s"/$db.db/$t"))
+        }
+        CatalogOps.createPqCollection(spark, db, name, corpus(spark, dir))
+      }
+    }
+    val qVec = corpus(spark, dir).filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    topKPq(spark, db, name, corpus(spark, dir), qVec, queryId, k, rescoreK)
+  }
 }

@@ -310,6 +310,46 @@ object CatalogOps {
       .write.mode("overwrite").saveAsTable(s"`$db`.`$name`")
   }
 
+  /** PRODUCT-QUANTIZED collection — the next footprint step after
+    * [[createQuantizedCollection]]: per-subspace k-means codebooks
+    * ([[graft.operators.KnnOps.pqCodebooks]], one distributed Lloyd pass
+    * per iteration for ALL subspaces), every vector stored as M byte codes
+    * ([[graft.plans.PqCodes]]) plus its exact L2 norm (so the ADC score
+    * normalizes to a cosine without reconstruction). At 1024-d float32 and
+    * M=8 the code column is 1/512th of the vector bytes; the probe
+    * ([[graft.operators.KnnOps.topKPq]]) reads codes + norm only and
+    * re-scores survivors at full precision. Codebooks persist to
+    * `name__pqmodel` (sub, cell, centroid) and the shape to
+    * `name__pqmeta` (m, k, sub_dim) — the probe reads the model tables,
+    * never retrains.
+    */
+  def createPqCollection(spark: SparkSession, db: String, name: String,
+      data: DataFrame, vecCol: String = "embedding",
+      m: Int = 8, kCent: Int = 16, iters: Int = 3): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    import graft.functions.VectorFunctions.dotFast
+    // cache-train-unpersist: see createIvfCollection
+    data.cache()
+    val cb = try graft.operators.KnnOps.pqCodebooks(data, m, kCent, iters)
+      finally data.unpersist()
+    val subDim = cb.length / (m * kCent)
+    val codes = toCol(graft.plans.PqCodes(toExpr(col(vecCol)), cb.toSeq, m, kCent))
+    data
+      .withColumn("codes", codes)
+      .withColumn("norm", sqrt(dotFast(col(vecCol), col(vecCol))))
+      .drop(vecCol)
+      .write.mode("overwrite").saveAsTable(s"`$db`.`$name`")
+    val model = for (s <- 0 until m; c <- 0 until kCent) yield
+      (s, c, cb.slice((s * kCent + c) * subDim, (s * kCent + c + 1) * subDim).toSeq)
+    spark.createDataFrame(model).toDF("sub", "cell", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .saveAsTable(s"`$db`.`${name}__pqmodel`")
+    spark.createDataFrame(Seq((m, kCent, subDim))).toDF("m", "k", "sub_dim")
+      .coalesce(1).write.mode("overwrite")
+      .saveAsTable(s"`$db`.`${name}__pqmeta`")
+  }
+
   /** Incremental NSW maintenance — the graph twin of [[upsertIvf]]: the
     * batch's target graphs are found by replaying the ingest hash
     * (`pmod(hash(vec_id), shards)` — `functions.hash` IS the Murmur3 used

@@ -1382,6 +1382,99 @@ class OperatorSpec extends AnyFunSuite {
     assert(cited === hits.toSeq)
   }
 
+  test("PQ probe at exhaustive rescore equals the exact knn") {
+    // rescoreK ≥ corpus: every row survives phase 1, so the full-precision
+    // rescore IS the exact scan regardless of codebook quality
+    val got = KnnOps.topKPqProbe(spark, sf, queryId = 0L, k = 3, rescoreK = 500)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = KnnOps.topK(spark, sf, queryId = 0L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === exact.toSeq)
+    // production over-fetch: k valid rows with exact scores
+    val probed = KnnOps.topKPqProbe(spark, sf, queryId = 0L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probed.length === 3)
+    val all = KnnOps.topK(spark, sf, queryId = 0L, k = 499)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    probed.foreach { case (id, s) => assert(all(id) === s) }
+  }
+
+  test("PQ on clustered data: codes recover the exact top-k at modest rescore") {
+    import spark.implicits._
+    // planted structure (the regime PQ exists for): 10 tight clusters —
+    // fixture embeddings are near-random, where no codebook can help
+    val rnd = new scala.util.Random(31L)
+    val dim = 32
+    val centers = Array.fill(10, dim)(rnd.nextGaussian())
+    val vecs: Seq[(Long, Seq[Double])] = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, (0 until dim).map(d => c(d) + 0.05 * rnd.nextGaussian()))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val db = "graft_test_pq"
+    graft.sources.CatalogOps.createDatabase(spark, db)
+    // the test warehouse persists across JVMs behind the in-memory catalog
+    Seq("clustered", "clustered__pqmodel", "clustered__pqmeta").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft-test-warehouse/$db.db/$t"))
+    }
+    graft.sources.CatalogOps.createPqCollection(spark, db, "clustered", df,
+      m = 4, kCent = 16, iters = 3)
+    val qVec = vecs.head._2.toArray
+    val got = KnnOps.topKPq(spark, db, "clustered", df, qVec,
+        excludeId = 0L, k = 5, rescoreK = 40)
+      .collect().map(_.getLong(0))
+    import graft.functions.VectorFunctions.cosineFast
+    val exact = df.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(Seq(Tuple1(qVec.toSeq)).toDF("q")))
+      .select(col("vec_id"), cosineFast(col("embedding"), col("q")).as("s"))
+      .orderBy(col("s").desc, col("vec_id").asc)
+      .limit(5).collect().map(_.getLong(0))
+    assert(got.toSeq === exact.toSeq)
+  }
+
+  test("PQ expressions: codegen matches driver math, ADC equals reconstructed dot") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val rnd = new scala.util.Random(13L)
+    val (m, k, subDim) = (4, 8, 4)
+    val dim = m * subDim
+    val cb = Array.fill(m * k * subDim)(rnd.nextGaussian())
+    val vecs = (0 until 20).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+    val q = Array.fill(dim)(rnd.nextGaussian())
+    val lut = Array.tabulate(m * k) { j =>
+      val (s, c) = (j / k, j % k)
+      (0 until subDim).map(i => q(s * subDim + i) * cb((s * k + c) * subDim + i)).sum
+    }
+    val df = vecs.toDF("vec_id", "v")
+    val got = df.select(col("vec_id"),
+        toCol(graft.plans.PqCodes(toExpr(col("v")), cb.toSeq, m, k)).as("codes"))
+      .select(col("vec_id"), col("codes"),
+        toCol(graft.plans.PqAdcDot(toExpr(col("codes")), lut.toSeq, m, k)).as("adc"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getDouble(2)))
+      .sortBy(_._1)
+    vecs.foreach { case (id, v) =>
+      // driver-side argmin reimplementation
+      val expCodes = (0 until m).map { s =>
+        (0 until k).minBy { c =>
+          (0 until subDim).map { i =>
+            val d = v(s * subDim + i) - cb((s * k + c) * subDim + i); d * d
+          }.sum
+        }
+      }
+      val (_, codes, adc) = got(id.toInt)
+      assert(codes.map(_ & 0xFF).toSeq === expCodes)
+      // ADC dot == dot(q, reconstruction from codebook centroids)
+      val recon = (0 until dim).map { d =>
+        val s = d / subDim
+        cb((s * k + expCodes(s)) * subDim + (d % subDim))
+      }
+      val reconDot = (0 until dim).map(d => q(d) * recon(d)).sum
+      assert(math.abs(adc - reconDot) < 1e-9)
+    }
+  }
+
   test("connected components resolve transitive chains that pairwise dedup cannot") {
     import spark.implicits._
     // A≈B, B≈C, C≈D with no direct A≈D pair: one component rooted at A
