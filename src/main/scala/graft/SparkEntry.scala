@@ -47,6 +47,7 @@ object SparkEntry {
     "q_knn_hnsw_probe" -> ((s, d) => GraphAnnOps.topKNswProbe(s, d)),
     "q_knn_quantized"  -> ((s, d) => KnnOps.topKQuantizedProbe(s, d)),
     "q_knn_pq"         -> ((s, d) => KnnOps.topKPqProbe(s, d)),
+    "q_knn_ivfpq"      -> ((s, d) => KnnOps.topKIvfPqProbe(s, d)),
     // filtered ANN on the INDEX path (predicate composed with the probe,
     // not with an exact scan — the FILTER-index production shape)
     "q_knn_ivf_filtered"  -> ((s, d) => KnnOps.topKIvfFiltered(s, d)),
@@ -158,7 +159,7 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q_knn_topk", "q_knn_text", "q_knn_batch", "q_knn_filtered", "q_knn_ivf_kmeans",
     "q_knn_ivf_part", "q_knn_hnsw", "q_knn_ivf_probe", "q_knn_hnsw_probe",
-    "q_knn_quantized", "q_knn_pq", "q_knn_ivf_filtered", "q_knn_hnsw_filtered",
+    "q_knn_quantized", "q_knn_pq", "q_knn_ivfpq", "q_knn_ivf_filtered", "q_knn_hnsw_filtered",
     "q_cosine_pair", "q_sim_join", "q_sim_join_lsh", "q_sim_join_auto", "q_vec_centroids",
     "q_vec_quantize", "q_embed_batch",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",

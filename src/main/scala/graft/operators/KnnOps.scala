@@ -957,11 +957,36 @@ object KnnOps {
       full: DataFrame, qVec: Array[Double], excludeId: Long = -1L,
       k: Int = 3, rescoreK: Int = 12): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val (lut, m, kCent) = pqQueryLut(spark, db, name, qVec)
+    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+    val adc = toCol(graft.plans.PqAdcDot(toExpr(col("codes")), lut.toSeq, m, kCent))
+    val candidates = spark.table(s"`$db`.`$name`")
+      .filter(col("vec_id") =!= excludeId)
+      .select(col("vec_id"), (adc / (col("norm") * lit(qNorm))).as("ascore"))
+      .orderBy(col("ascore").desc, col("vec_id").asc)
+      .limit(math.max(k, rescoreK))
+      .select(col("vec_id"))
+    val q = spark.range(1).select(typedLit(qVec.toSeq).as("q_embedding"))
+    full.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candidates), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Query LUT for a PQ collection: reads the persisted codebooks (the
+    * m·k·subDim model — k×dim doubles, the bounded broadcast-model pattern
+    * shared with [[nearestCells]]) and precomputes every ⟨query subvector,
+    * centroid⟩ dot product. The per-row scan cost downstream is M lookups
+    * into this table regardless of dim.
+    */
+  private def pqQueryLut(spark: SparkSession, db: String, name: String,
+      qVec: Array[Double]): (Array[Double], Int, Int) = {
     val meta = spark.table(s"`$db`.`${name}__pqmeta`").head()
     val (m, kCent) = (meta.getInt(0), meta.getInt(1))
     val subDim = qVec.length / m
-    // the model read: m·k·subDim doubles (= k×dim), the bounded
-    // broadcast-model pattern shared with nearestCells
     val cb = new Array[Double](m * kCent * subDim)
     spark.table(s"`$db`.`${name}__pqmodel`").collect().foreach { r =>
       val sub = r.getInt(0); val cell = r.getInt(1)
@@ -981,10 +1006,37 @@ object KnnOps {
       }
       s += 1
     }
+    (lut, m, kCent)
+  }
+
+  /** IVF-PQ knn — the composed 100 TB index
+    * ([[graft.sources.CatalogOps.createIvfPqCollection]]): the coarse
+    * quantizer prunes the scan to `nprobe` cell PARTITIONS (directories
+    * never opened, like [[topKIvfPartitionedVec]]), the PQ codes make the
+    * surviving rows cost M byte-lookups each ([[PqAdcDot]]), and the
+    * bounded full-precision rescore rides the same single-plan candidate
+    * broadcast as [[topKPq]]. Composes with a metadata `predicate`
+    * (pushed into the same pruned scan — the filtered-ANN rule). Codes
+    * here quantize the raw vectors against one shared codebook; classic
+    * residual encoding (per-cell codebooks over x − centroid) is a
+    * quality upgrade with the identical plan shape.
+    */
+  def topKIvfPq(spark: SparkSession, db: String, name: String,
+      full: DataFrame, qVec: Array[Double], excludeId: Long = -1L,
+      k: Int = 3, rescoreK: Int = 12, nprobe: Int = 2,
+      predicate: Column = lit(true)): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val model = spark.table(s"`$db`.`${name}__model`")
+      .orderBy(col("cell").asc).collect()
+    val kCells = model.length
+    val cents = model.flatMap(_.getSeq[Double](1))
+    val probes = nearestCells(qVec, cents, kCells, nprobe)
+    val (lut, m, kCent) = pqQueryLut(spark, db, name, qVec)
     val qNorm = math.sqrt(qVec.map(x => x * x).sum)
     val adc = toCol(graft.plans.PqAdcDot(toExpr(col("codes")), lut.toSeq, m, kCent))
     val candidates = spark.table(s"`$db`.`$name`")
-      .filter(col("vec_id") =!= excludeId)
+      .filter(col("cell").isin(probes.map(Int.box): _*) &&
+        col("vec_id") =!= excludeId && predicate)
       .select(col("vec_id"), (adc / (col("norm") * lit(qNorm))).as("ascore"))
       .orderBy(col("ascore").desc, col("vec_id").asc)
       .limit(math.max(k, rescoreK))
@@ -997,6 +1049,34 @@ object KnnOps {
         round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Contract probe for [[topKIvfPq]] — build-once over the fixture
+    * corpus, then a pruned+coded answer. Near-random fixture vectors →
+    * generous nprobe/rescoreK like [[topKPqProbe]]; rows-only.
+    */
+  def topKIvfPqProbe(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 3, rescoreK: Int = 64, nprobe: Int = 4): DataFrame = {
+    import graft.sources.CatalogOps
+    val db = "graft_ivfpq_probe"
+    val name = "emb_ivfpq"
+    // single-JVM guard only — see the cross-session note in [[topKIvfProbe]]
+    this.synchronized {
+      val tables = Seq(name, s"${name}__model", s"${name}__pqmodel", s"${name}__pqmeta")
+      if (tables.exists(t => !spark.catalog.tableExists(s"$db.$t"))) {
+        CatalogOps.createDatabase(spark, db)
+        tables.foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+            new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
+              s"/$db.db/$t"))
+        }
+        CatalogOps.createIvfPqCollection(spark, db, name, corpus(spark, dir))
+      }
+    }
+    val qVec = corpus(spark, dir).filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    topKIvfPq(spark, db, name, corpus(spark, dir), qVec, queryId, k, rescoreK, nprobe)
   }
 
   /** Contract probe for [[topKPq]]: builds the PQ collection once per

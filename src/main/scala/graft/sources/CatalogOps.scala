@@ -350,6 +350,55 @@ object CatalogOps {
       .saveAsTable(s"`$db`.`${name}__pqmeta`")
   }
 
+  /** IVF-PQ collection — the composed 100 TB index: the coarse quantizer's
+    * cell becomes the PARTITION column (directory pruning at plan time,
+    * like [[createIvfCollection]]) and the rows store PQ byte codes + the
+    * exact norm instead of the vector (like [[createPqCollection]]). A
+    * probe ([[graft.operators.KnnOps.topKIvfPq]]) therefore reads
+    * nprobe/kCells of the directories AND only M bytes + a double per
+    * surviving row — the two prunings multiply. Persists the coarse model
+    * (`__model`), the PQ codebooks (`__pqmodel`), and the shape
+    * (`__pqmeta`).
+    */
+  def createIvfPqCollection(spark: SparkSession, db: String, name: String,
+      data: DataFrame, vecCol: String = "embedding", kCells: Int = 8,
+      m: Int = 8, kCent: Int = 16, iters: Int = 3): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    import graft.functions.VectorFunctions.dotFast
+    // cache-train-unpersist: both trainings re-read the data iters times
+    data.cache()
+    val (cents, cb) = try {
+      (graft.operators.KnnOps.kmeansCentroids(data, kCells, iters),
+        graft.operators.KnnOps.pqCodebooks(data, m, kCent, iters))
+    } finally data.unpersist()
+    val assign = toCol(graft.plans.NearestCentroid(
+      toExpr(col(vecCol)), cents.toSeq, kCells))
+    val codes = toCol(graft.plans.PqCodes(toExpr(col(vecCol)), cb.toSeq, m, kCent))
+    data
+      .withColumn("cell", assign)
+      .withColumn("codes", codes)
+      .withColumn("norm", sqrt(dotFast(col(vecCol), col(vecCol))))
+      .drop(vecCol)
+      .write.mode("overwrite").partitionBy("cell")
+      .saveAsTable(s"`$db`.`$name`")
+    val dim = cents.length / kCells
+    val coarse = (0 until kCells).map(c =>
+      (c, cents.slice(c * dim, (c + 1) * dim).toSeq))
+    spark.createDataFrame(coarse).toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .saveAsTable(s"`$db`.`${name}__model`")
+    val subDim = cb.length / (m * kCent)
+    val model = for (s <- 0 until m; c <- 0 until kCent) yield
+      (s, c, cb.slice((s * kCent + c) * subDim, (s * kCent + c + 1) * subDim).toSeq)
+    spark.createDataFrame(model).toDF("sub", "cell", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .saveAsTable(s"`$db`.`${name}__pqmodel`")
+    spark.createDataFrame(Seq((m, kCent, subDim))).toDF("m", "k", "sub_dim")
+      .coalesce(1).write.mode("overwrite")
+      .saveAsTable(s"`$db`.`${name}__pqmeta`")
+  }
+
   /** Incremental NSW maintenance — the graph twin of [[upsertIvf]]: the
     * batch's target graphs are found by replaying the ingest hash
     * (`pmod(hash(vec_id), shards)` — `functions.hash` IS the Murmur3 used

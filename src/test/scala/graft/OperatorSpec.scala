@@ -1434,6 +1434,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.toSeq === exact.toSeq)
   }
 
+  test("IVF-PQ probe: exact at exhaustive settings, composes a predicate") {
+    // nprobe = kCells and rescoreK ≥ corpus: no pruning, every row
+    // rescored at full precision ⇒ exactly the brute-force scan
+    val got = KnnOps.topKIvfPqProbe(spark, sf, queryId = 0L, k = 3,
+        rescoreK = 500, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = KnnOps.topK(spark, sf, queryId = 0L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === exact.toSeq)
+    // filtered variant at exhaustive settings equals the exact filtered scan
+    val qVec = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    val gotF = KnnOps.topKIvfPq(spark, "graft_ivfpq_probe", "emb_ivfpq",
+        graft.sources.Tables.embeddings(spark, sf), qVec, excludeId = 0L,
+        k = 5, rescoreK = 500, nprobe = 8, predicate = col("label") === 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exactF = KnnOps.topKFiltered(spark, sf, queryId = 0L, labelEq = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(gotF.toSeq === exactF.toSeq)
+    // production settings: k valid rows with exact scores
+    val probed = KnnOps.topKIvfPqProbe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probed.length === 3)
+    val all = KnnOps.topK(spark, sf, queryId = 0L, k = 499)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    probed.foreach { case (id, s) => assert(all(id) === s) }
+  }
+
   test("PQ expressions: codegen matches driver math, ADC equals reconstructed dot") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}

@@ -288,6 +288,41 @@ class PlanSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "q8onedb")
   }
 
+  test("IVF-PQ probe multiplies both prunings in one scan: partitions AND bytes") {
+    import graft.sources.{CatalogOps, Tables}
+    import org.apache.spark.sql.functions.col
+    CatalogOps.dropDatabase(spark, "ivfpqdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/ivfpqdb.db"))
+    CatalogOps.createDatabase(spark, "ivfpqdb")
+    CatalogOps.createIvfPqCollection(spark, "ivfpqdb", "emb_ivfpq",
+      Tables.embeddings(spark, sf))
+    val qVec = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    val q = KnnOps.topKIvfPq(spark, "ivfpqdb", "emb_ivfpq",
+      Tables.embeddings(spark, sf), qVec, excludeId = 0L, nprobe = 2)
+    val p = plan(q)
+    // pruning #1: the probed cells are PARTITION filters (nprobe=2 of 8
+    // directories opened), never a post-read predicate
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")), p)
+    val inList = "cell[^ ]* IN \\(([^)]*)\\)".r.findFirstMatchIn(p)
+    assert(inList.isDefined && inList.get.group(1).split(",").length === 2, p)
+    // pruning #2: the phase-1 scan reads codes + norm only — no label, and
+    // no vector column exists in the collection at all
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.exists(l =>
+      l.contains("codes:binary") && l.contains("norm:double") &&
+        !l.contains("label")), readSchemas.mkString("\n"))
+    // ONE plan: ADC candidates broadcast into the full-precision rescore
+    assert(p.toLowerCase.contains("pq_adc_dot"), p)
+    assert(p.toLowerCase.contains("vec_cosine"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(q.count() === 3)
+    CatalogOps.dropDatabase(spark, "ivfpqdb")
+  }
+
   test("centroids aggregate vectors whole (no pre-shuffle dim-explode)") {
     val df = KnnOps.centroids(spark, sf)
     val p = plan(df)
