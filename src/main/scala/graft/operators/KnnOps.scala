@@ -984,16 +984,9 @@ object KnnOps {
     */
   private def pqQueryLut(spark: SparkSession, db: String, name: String,
       qVec: Array[Double]): (Array[Double], Int, Int) = {
-    val meta = spark.table(s"`$db`.`${name}__pqmeta`").head()
-    val (m, kCent) = (meta.getInt(0), meta.getInt(1))
-    val subDim = qVec.length / m
-    val cb = new Array[Double](m * kCent * subDim)
-    spark.table(s"`$db`.`${name}__pqmodel`").collect().foreach { r =>
-      val sub = r.getInt(0); val cell = r.getInt(1)
-      val c = r.getSeq[Double](2)
-      var i = 0
-      while (i < subDim) { cb((sub * kCent + cell) * subDim + i) = c(i); i += 1 }
-    }
+    val (cb, m, kCent, subDim) = readPqModel(spark, db, name)
+    require(qVec.length == m * subDim,
+      s"query dim ${qVec.length} != collection dim ${m * subDim}")
     val lut = new Array[Double](m * kCent)
     var s = 0
     while (s < m) {
@@ -1007,6 +1000,94 @@ object KnnOps {
       s += 1
     }
     (lut, m, kCent)
+  }
+
+  /** Batched PQ knn — [[topKPq]] for a query TABLE (query_id, q_embedding),
+    * one job for the whole batch: the (micro-batch-sized, like
+    * [[topKForQueriesIvf]]) query set collects once, each query's ADC LUT
+    * is built driver-side against the persisted model (m·k doubles per
+    * query — the LUT is itself a tiny model), and the broadcast
+    * (query_id, lut, …) table scores every code row via
+    * [[graft.plans.PqAdcDotCol]] into a bounded heap per query; phase 2
+    * re-scores the exploded candidates at full precision. Output ≡ running
+    * [[topKPq]] per query (test-pinned); the per-micro-batch scorer of
+    * [[graft.streaming.StreamingOps.streamingKnnPq]].
+    */
+  def topKForQueriesPq(spark: SparkSession, db: String, name: String,
+      full: DataFrame, queries: DataFrame, k: Int = 3,
+      rescoreK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val (cb, m, kCent, subDim) = readPqModel(spark, db, name)
+    // replayed query_ids resolve deterministically (see topKForQueries)
+    val qRows = queries.groupBy(col("query_id"))
+      .agg(max(struct(col("q_embedding"))).as("__w"))
+      .select(col("query_id"), col("__w.q_embedding").as("q_embedding"))
+      .collect()
+    val lutRows = qRows.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      require(qv.length == m * subDim,
+        s"query dim ${qv.length} != collection dim ${m * subDim}")
+      val lut = new Array[Double](m * kCent)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < kCent) {
+          var d = 0.0; var i = 0
+          while (i < subDim) { d += qv(s * subDim + i) * cb((s * kCent + c) * subDim + i); i += 1 }
+          lut(s * kCent + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      (qid, lut.toSeq, math.sqrt(qv.map(x => x * x).sum), qv.toSeq)
+    }
+    val qlut = spark.createDataFrame(lutRows.toSeq)
+      .toDF("query_id", "lut", "q_norm", "q_embedding")
+    val adc = toCol(graft.plans.PqAdcDotCol(
+      toExpr(col("codes")), toExpr(col("lut")), m, kCent))
+    val scored = spark.table(s"`$db`.`$name`")
+      .crossJoin(broadcast(qlut.select(col("query_id"), col("lut"), col("q_norm"))))
+      .select(col("query_id"), col("vec_id"),
+        (adc / (col("norm") * col("q_norm"))).as("ascore"))
+    val candK = toCol(graft.plans.TopKScoreId(
+      toExpr(col("ascore")), toExpr(col("vec_id")), math.max(k, rescoreK))
+      .toAggregateExpression())
+    val candidates = scored.groupBy(col("query_id"))
+      .agg(candK.as("cand"))
+      .select(col("query_id"), explode(col("cand")).as("hit"))
+      .select(col("query_id"), col("hit.vec_id").as("vec_id"))
+      .join(broadcast(qlut.select(col("query_id"), col("q_embedding"))), "query_id")
+    val rescored = full.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candidates), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
+    val topk = toCol(graft.plans.TopKScoreId(
+      toExpr(col("score")), toExpr(col("vec_id")), k).toAggregateExpression())
+    rescored.groupBy(col("query_id"))
+      .agg(topk.as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.vec_id").as("vec_id"),
+        col("hit.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** Persisted PQ model read: (flat codebooks, m, k, subDim) — shared by
+    * the query LUT and the incremental upsert's batch encoder
+    * ([[graft.sources.CatalogOps.upsertIvfPq]]).
+    */
+  private[graft] def readPqModel(spark: SparkSession, db: String,
+      name: String): (Array[Double], Int, Int, Int) = {
+    val meta = spark.table(s"`$db`.`${name}__pqmeta`").head()
+    val (m, kCent, subDim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val cb = new Array[Double](m * kCent * subDim)
+    spark.table(s"`$db`.`${name}__pqmodel`").collect().foreach { r =>
+      val sub = r.getInt(0); val cell = r.getInt(1)
+      val c = r.getSeq[Double](2)
+      var i = 0
+      while (i < subDim) { cb((sub * kCent + cell) * subDim + i) = c(i); i += 1 }
+    }
+    (cb, m, kCent, subDim)
   }
 
   /** IVF-PQ knn — the composed 100 TB index

@@ -181,6 +181,59 @@ object PqSubAssign {
   * construction (codes are fixed-width binary); a wrong-width code row
   * throws rather than scoring garbage.
   */
+/** Batch twin of [[PqAdcDot]]: where the single-query probe bakes its LUT
+  * in as a reference object, a BATCH of queries arrives as a broadcast
+  * column of per-query LUTs ([[graft.operators.KnnOps.topKForQueriesPq]]),
+  * so both sides are expressions. Same M-lookup loop; null on a LUT whose
+  * width is not m·k (a ragged LUT scores nothing, silently-wrong never).
+  */
+case class PqAdcDotCol(left: Expression, right: Expression, m: Int, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(m > 0 && k > 0, s"PQ needs m > 0 and k > 0 (m=$m, k=$k)")
+
+  override def prettyName: String = "pq_adc_dot_col"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (org.apache.spark.sql.types.BinaryType, ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary codes, array<double> lut), got ${l.simpleString} and ${r.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[Array[Byte]]
+    val lut = b.asInstanceOf[ArrayData]
+    if (codes.length != m || lut.numElements() != m * k) return null
+    var s = 0.0
+    var i = 0
+    while (i < m) { s += lut.getDouble(i * k + (codes(i) & 0xFF)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |if ($a.length != $m || $b.numElements() != ${m * k}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $s += $b.getDouble($i * $k + (((int) $a[$i]) & 0xFF));
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class PqAdcDot(child: Expression, lut: Seq[Double], m: Int, k: Int)
     extends UnaryExpression {
 

@@ -399,6 +399,40 @@ object CatalogOps {
       .saveAsTable(s"`$db`.`${name}__pqmeta`")
   }
 
+  /** Incremental IVF-PQ maintenance — [[upsertIvf]] for the composed
+    * index: the batch's cells AND codes are re-derived from the PERSISTED
+    * models (coarse centroids from `__model`, codebooks from `__pqmodel` —
+    * neither retrains; that is an index REBUILD), and only the touched
+    * cell partitions — the batch's cells plus the old cells of updated
+    * ids — merge and rewrite. Untouched cell partitions keep their files
+    * byte-for-byte; emptied partitions drop. Batch schema: the raw row
+    * (id, vector, attrs) — the encoder derives what the collection stores.
+    */
+  def upsertIvfPq(spark: SparkSession, db: String, name: String,
+      batch: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    import graft.functions.VectorFunctions.dotFast
+    val model = spark.table(s"`$db`.`${name}__model`")
+      .orderBy(col("cell").asc).collect()
+    val kCells = model.length
+    val cents = model.flatMap(_.getSeq[Double](1))
+    val (cb, m, kCent, _) = graft.operators.KnnOps.readPqModel(spark, db, name)
+    val derived = batch
+      .withColumn("cell", toCol(graft.plans.NearestCentroid(
+        toExpr(col(vecCol)), cents.toSeq, kCells)))
+      .withColumn("codes", toCol(graft.plans.PqCodes(
+        toExpr(col(vecCol)), cb.toSeq, m, kCent)))
+      .withColumn("norm", sqrt(dotFast(col(vecCol), col(vecCol))))
+      .drop(vecCol)
+    val oldCells = spark.table(s"`$db`.`$name`")
+      .join(broadcast(batch.select(col(idCol)).distinct()), idCol)
+      .select(col("cell"))
+    mergeTouchedPartitions(spark, db, name, derived, idCol, "cell",
+      derived.select(col("cell")).union(oldCells).distinct())
+  }
+
   /** Incremental NSW maintenance — the graph twin of [[upsertIvf]]: the
     * batch's target graphs are found by replaying the ingest hash
     * (`pmod(hash(vec_id), shards)` — `functions.hash` IS the Murmur3 used

@@ -178,6 +178,26 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming knn over a PQ collection
+    * ([[graft.sources.CatalogOps.createPqCollection]]) — the ADC streaming
+    * ANN: each micro-batch's query LUTs build driver-side against the
+    * persisted codebooks and broadcast into the M-lookups-per-row code
+    * scan ([[graft.operators.KnnOps.topKForQueriesPq]]), with the bounded
+    * candidate set rescored at full precision — one job per batch, like
+    * [[streamingKnnQuantized]] but dimension-independent per scanned row.
+    */
+  def streamingKnnPq(queryStream: DataFrame, db: String, name: String,
+      full: DataFrame, k: Int = 3, rescoreK: Int = 12)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.KnnOps.topKForQueriesPq(
+            batch.sparkSession, db, name, full, batch.toDF(), k, rescoreK), id)
+      }
+      .start()
+
   /** Stream-static enrichment: every micro-batch hash-joins against the
     * broadcast dimension (no streaming state at all — the static side is a
     * plain batch DataFrame, re-broadcast per batch). The streaming form of

@@ -1463,6 +1463,70 @@ class OperatorSpec extends AnyFunSuite {
     probed.foreach { case (id, s) => assert(all(id) === s) }
   }
 
+  test("batched PQ probe equals the per-query two-phase probe") {
+    import spark.implicits._
+    KnnOps.topKPqProbe(spark, sf) // ensure the session collection
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val batch = KnnOps.topKForQueriesPq(spark, "graft_pq_probe", "emb_pq",
+        emb, queries, k = 3, rescoreK = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(batch.length === 12) // 4 queries × k
+    (0L until 4L).foreach { qid =>
+      val qVec = emb.filter(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Double](0).toArray
+      val single = KnnOps.topKPq(spark, "graft_pq_probe", "emb_pq",
+          emb, qVec, excludeId = -1L, k = 3, rescoreK = 64)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+      assert(batch.filter(_._1 == qid).toSeq === single.toSeq, s"query $qid")
+    }
+  }
+
+  test("IVF-PQ upsert re-encodes with stored models, touches only affected partitions") {
+    import graft.sources.{CatalogOps, Tables}
+    import spark.implicits._
+    CatalogOps.dropDatabase(spark, "ivfpqupdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/ivfpqupdb.db"))
+    CatalogOps.createDatabase(spark, "ivfpqupdb")
+    CatalogOps.createIvfPqCollection(spark, "ivfpqupdb", "emb",
+      Tables.embeddings(spark, sf))
+    val coll = spark.table("`ivfpqupdb`.`emb`")
+    val before = coll.count()
+    // a NEW id carrying the exact vector of stored row 0: the stored models
+    // must give it row 0's cell, codes, and norm (no retrain on upsert)
+    val r0 = coll.filter(col("vec_id") === 0L)
+      .select(col("cell"), col("codes"), col("norm")).head()
+    val (cell0, codes0, norm0) = (r0.getInt(0), r0.getAs[Array[Byte]](1), r0.getDouble(2))
+    val v0 = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Double](0)
+    val label0 = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(col("label")).head().getInt(0)
+    val tableDir = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath + "/ivfpqupdb.db/emb")
+    def files(cell: Int): Set[(String, Long)] = {
+      val d = new java.io.File(tableDir, s"cell=$cell")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val untouched = (0 until 8).find(_ != cell0).get
+    val keepBefore = files(untouched)
+    assert(keepBefore.nonEmpty)
+    CatalogOps.upsertIvfPq(spark, "ivfpqupdb", "emb",
+      Seq((999999L, label0, v0)).toDF("vec_id", "label", "embedding"))
+    val after = spark.table("`ivfpqupdb`.`emb`")
+    assert(after.count() === before + 1)
+    val newRow = after.filter(col("vec_id") === 999999L)
+      .select(col("cell"), col("codes"), col("norm")).head()
+    assert(newRow.getInt(0) === cell0)
+    assert(newRow.getAs[Array[Byte]](1).toSeq === codes0.toSeq)
+    assert(newRow.getDouble(2) === norm0)
+    assert(files(untouched) === keepBefore)
+    CatalogOps.dropDatabase(spark, "ivfpqupdb")
+  }
+
   test("PQ expressions: codegen matches driver math, ADC equals reconstructed dot") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
