@@ -1097,10 +1097,14 @@ object KnnOps {
     * surviving rows cost M byte-lookups each ([[PqAdcDot]]), and the
     * bounded full-precision rescore rides the same single-plan candidate
     * broadcast as [[topKPq]]. Composes with a metadata `predicate`
-    * (pushed into the same pruned scan — the filtered-ANN rule). Codes
-    * here quantize the raw vectors against one shared codebook; classic
-    * residual encoding (per-cell codebooks over x − centroid) is a
-    * quality upgrade with the identical plan shape.
+    * (pushed into the same pruned scan — the filtered-ANN rule).
+    *
+    * Codes quantize RESIDUALS (x − centroid(cell), the classic IVF-PQ
+    * formulation): the estimate is ⟨q, x⟩ ≈ ⟨q, centroid⟩ + ⟨q, residual̂⟩,
+    * where the first term is one double per PROBED CELL (a broadcast join
+    * on the partition column — the codebooks are shared across cells, so
+    * the ADC LUT itself is still a single reference object) and the second
+    * is the M-lookup ADC sum.
     */
   def topKIvfPq(spark: SparkSession, db: String, name: String,
       full: DataFrame, qVec: Array[Double], excludeId: Long = -1L,
@@ -1114,11 +1118,20 @@ object KnnOps {
     val probes = nearestCells(qVec, cents, kCells, nprobe)
     val (lut, m, kCent) = pqQueryLut(spark, db, name, qVec)
     val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+    val dim = qVec.length
+    val centDots = probes.map { c =>
+      var d = 0.0; var i = 0
+      while (i < dim) { d += qVec(i) * cents(c * dim + i); i += 1 }
+      (c, d)
+    }
+    val centTable = spark.createDataFrame(centDots).toDF("cell", "__cdot")
     val adc = toCol(graft.plans.PqAdcDot(toExpr(col("codes")), lut.toSeq, m, kCent))
     val candidates = spark.table(s"`$db`.`$name`")
       .filter(col("cell").isin(probes.map(Int.box): _*) &&
         col("vec_id") =!= excludeId && predicate)
-      .select(col("vec_id"), (adc / (col("norm") * lit(qNorm))).as("ascore"))
+      .join(broadcast(centTable), "cell")
+      .select(col("vec_id"),
+        ((adc + col("__cdot")) / (col("norm") * lit(qNorm))).as("ascore"))
       .orderBy(col("ascore").desc, col("vec_id").asc)
       .limit(math.max(k, rescoreK))
       .select(col("vec_id"))

@@ -353,12 +353,15 @@ object CatalogOps {
   /** IVF-PQ collection — the composed 100 TB index: the coarse quantizer's
     * cell becomes the PARTITION column (directory pruning at plan time,
     * like [[createIvfCollection]]) and the rows store PQ byte codes + the
-    * exact norm instead of the vector (like [[createPqCollection]]). A
-    * probe ([[graft.operators.KnnOps.topKIvfPq]]) therefore reads
-    * nprobe/kCells of the directories AND only M bytes + a double per
-    * surviving row — the two prunings multiply. Persists the coarse model
-    * (`__model`), the PQ codebooks (`__pqmodel`), and the shape
-    * (`__pqmeta`).
+    * exact norm instead of the vector (like [[createPqCollection]]). Codes
+    * quantize the RESIDUAL x − centroid(cell) — the classic IVF-PQ
+    * formulation: residuals concentrate near zero, so the shared codebooks
+    * spend their 256^M capacity on the part the coarse quantizer didn't
+    * explain; the probe re-adds ⟨q, centroid⟩ per probed cell. A probe
+    * ([[graft.operators.KnnOps.topKIvfPq]]) therefore reads nprobe/kCells
+    * of the directories AND only M bytes + a double per surviving row —
+    * the two prunings multiply. Persists the coarse model (`__model`),
+    * the residual codebooks (`__pqmodel`), and the shape (`__pqmeta`).
     */
   def createIvfPqCollection(spark: SparkSession, db: String, name: String,
       data: DataFrame, vecCol: String = "embedding", kCells: Int = 8,
@@ -368,18 +371,26 @@ object CatalogOps {
     import graft.functions.VectorFunctions.dotFast
     // cache-train-unpersist: both trainings re-read the data iters times
     data.cache()
-    val (cents, cb) = try {
-      (graft.operators.KnnOps.kmeansCentroids(data, kCells, iters),
-        graft.operators.KnnOps.pqCodebooks(data, m, kCent, iters))
-    } finally data.unpersist()
+    val cents = try graft.operators.KnnOps.kmeansCentroids(data, kCells, iters)
+      finally data.unpersist()
     val assign = toCol(graft.plans.NearestCentroid(
       toExpr(col(vecCol)), cents.toSeq, kCells))
-    val codes = toCol(graft.plans.PqCodes(toExpr(col(vecCol)), cb.toSeq, m, kCent))
-    data
-      .withColumn("cell", assign)
+    // RESIDUAL encoding (the classic IVF-PQ formulation): codes quantize
+    // x − centroid(cell), which concentrates the codebooks on the
+    // small-magnitude residual distribution instead of the full spread —
+    // the probe adds ⟨q, centroid⟩ back per cell. zip_with is interpreted,
+    // but this is the one-time ingest path, not a query loop.
+    val residualOf = residualFrame(spark, data, vecCol, assign, cents, kCells)
+    residualOf.cache()
+    val cb = try graft.operators.KnnOps.pqCodebooks(
+        residualOf.select(col("vec_id"), col("__residual").as("embedding")),
+        m, kCent, iters)
+      finally residualOf.unpersist()
+    val codes = toCol(graft.plans.PqCodes(toExpr(col("__residual")), cb.toSeq, m, kCent))
+    residualOf
       .withColumn("codes", codes)
       .withColumn("norm", sqrt(dotFast(col(vecCol), col(vecCol))))
-      .drop(vecCol)
+      .drop(vecCol, "__residual")
       .write.mode("overwrite").partitionBy("cell")
       .saveAsTable(s"`$db`.`$name`")
     val dim = cents.length / kCells
@@ -397,6 +408,25 @@ object CatalogOps {
     spark.createDataFrame(Seq((m, kCent, subDim))).toDF("m", "k", "sub_dim")
       .coalesce(1).write.mode("overwrite")
       .saveAsTable(s"`$db`.`${name}__pqmeta`")
+  }
+
+  /** (vec_id, …, cell, __residual) frame: each row's vector minus its
+    * cell's centroid — the encoder input of the residual IVF-PQ build and
+    * upsert. The k×dim centroid table broadcasts; the subtraction is a
+    * per-row projection.
+    */
+  private def residualFrame(spark: SparkSession, data: DataFrame,
+      vecCol: String, assign: org.apache.spark.sql.Column,
+      cents: Array[Double], kCells: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dim = cents.length / kCells
+    val centTable = spark.createDataFrame((0 until kCells).map(c =>
+        (c, cents.slice(c * dim, (c + 1) * dim).toSeq)))
+      .toDF("cell", "__cent")
+    data.withColumn("cell", assign)
+      .join(broadcast(centTable), "cell")
+      .withColumn("__residual", zip_with(col(vecCol), col("__cent"), (x, c) => x - c))
+      .drop("__cent")
   }
 
   /** Incremental IVF-PQ maintenance — [[upsertIvf]] for the composed
@@ -419,13 +449,13 @@ object CatalogOps {
     val kCells = model.length
     val cents = model.flatMap(_.getSeq[Double](1))
     val (cb, m, kCent, _) = graft.operators.KnnOps.readPqModel(spark, db, name)
-    val derived = batch
-      .withColumn("cell", toCol(graft.plans.NearestCentroid(
-        toExpr(col(vecCol)), cents.toSeq, kCells)))
+    val assign = toCol(graft.plans.NearestCentroid(
+      toExpr(col(vecCol)), cents.toSeq, kCells))
+    val derived = residualFrame(spark, batch, vecCol, assign, cents, kCells)
       .withColumn("codes", toCol(graft.plans.PqCodes(
-        toExpr(col(vecCol)), cb.toSeq, m, kCent)))
+        toExpr(col("__residual")), cb.toSeq, m, kCent)))
       .withColumn("norm", sqrt(dotFast(col(vecCol), col(vecCol))))
-      .drop(vecCol)
+      .drop(vecCol, "__residual")
     val oldCells = spark.table(s"`$db`.`$name`")
       .join(broadcast(batch.select(col(idCol)).distinct()), idCol)
       .select(col("cell"))

@@ -1463,6 +1463,46 @@ class OperatorSpec extends AnyFunSuite {
     probed.foreach { case (id, s) => assert(all(id) === s) }
   }
 
+  test("residual IVF-PQ on clustered data recovers the exact top-k at modest settings") {
+    import spark.implicits._
+    // same planted-cluster regime as the flat-PQ test: the coarse cells
+    // absorb the cluster structure and the residual codes order the
+    // within-cell neighbors — modest nprobe/rescoreK recover exactness
+    val rnd = new scala.util.Random(47L)
+    val dim = 32
+    val centers = Array.fill(8, dim)(rnd.nextGaussian())
+    val vecs: Seq[(Long, Seq[Double])] = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, (0 until dim).map(d => c(d) + 0.05 * rnd.nextGaussian()))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val db = "graft_test_ivfpq"
+    graft.sources.CatalogOps.createDatabase(spark, db)
+    Seq("clustered", "clustered__model", "clustered__pqmodel", "clustered__pqmeta")
+      .foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"/tmp/graft-test-warehouse/$db.db/$t"))
+      }
+    graft.sources.CatalogOps.createIvfPqCollection(spark, db, "clustered", df,
+      kCells = 8, m = 4, kCent = 16, iters = 3)
+    val qVec = vecs.head._2.toArray
+    // rescoreK ≥ the 40-member cluster: within a tight cluster the
+    // residual near-ties are rank-resolved by the exact rescore, not by
+    // ADC — the candidate set must cover the cluster, like the flat-PQ
+    // test's 40-of-300
+    val got = KnnOps.topKIvfPq(spark, db, "clustered", df, qVec,
+        excludeId = 0L, k = 5, rescoreK = 48, nprobe = 3)
+      .collect().map(_.getLong(0))
+    import graft.functions.VectorFunctions.cosineFast
+    val exact = df.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(Seq(Tuple1(qVec.toSeq)).toDF("q")))
+      .select(col("vec_id"), cosineFast(col("embedding"), col("q")).as("s"))
+      .orderBy(col("s").desc, col("vec_id").asc)
+      .limit(5).collect().map(_.getLong(0))
+    assert(got.toSeq === exact.toSeq)
+  }
+
   test("batched PQ probe equals the per-query two-phase probe") {
     import spark.implicits._
     KnnOps.topKPqProbe(spark, sf) // ensure the session collection
