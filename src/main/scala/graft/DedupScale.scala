@@ -49,6 +49,10 @@ object DedupScale {
     // the quadratic join inside the cluster's buckets.
     val mode = if (args.length > 1) args(1) else ""
     if (mode == "hotcluster") { hotClusterRun(n); return }
+    // "cc": measure the transitive-closure resolution (connected
+    // components over the banded-LSH pairs) and validate the star map
+    // against driver-side union-find.
+    if (mode == "cc") { ccRun(n); return }
     val skipBlocked = mode == "noblocked"
     val tau = 0.9
     val spark = benchSession()
@@ -90,6 +94,61 @@ object DedupScale {
     val exactSurvivors = allIds -- exactPairs
     println(s"[dedupscale] exact survivors=${exactSurvivors.size} lsh survivors=${lshSurvivors.size} " +
       s"equal=${exactSurvivors == lshSurvivors} prefix_pairs_equal=${prefixPairs == exactPairs}")
+    spark.stop()
+  }
+
+  /** Closure measurement: the planted near-dups of one base doc form
+    * star/chain clusters (base≈dup₁, base≈dup₂, often dup₁≈dup₂), so the
+    * pair set has real transitive structure. Times the banded pair pass
+    * and the large-star/small-star closure separately, then checks the
+    * star map equals driver-side union-find over the same pairs.
+    */
+  private def ccRun(n: Int): Unit = {
+    val tau = 0.9
+    val spark = benchSession()
+    import spark.implicits._
+    val rnd = new scala.util.Random(9090L)
+    val vocab = (0 until 10000).map(i => f"w$i%05d")
+    val base = Array.fill(n * 4 / 5)(randomDoc(rnd, vocab))
+    val dups = Array.fill(n / 5) {
+      val b = base(rnd.nextInt(base.length)).clone()
+      b(rnd.nextInt(b.length)) = vocab(rnd.nextInt(vocab.length))
+      b
+    }
+    val docs = (base ++ dups).zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+      .repartition(32).cache()
+    docs.count()
+    def time[A](name: String)(f: => A): A = timed(s"cc n=$n tau=$tau $name")(f)
+    val pairsDf = time("pair generation (banded LSH)") {
+      val df = graft.operators.DedupOps.minHashLshPairsOn(docs, tau)
+        .select($"a_id".as("a"), $"b_id".as("b")).cache()
+      df.count()
+      df
+    }
+    val star = time("connected components (large-star/small-star)") {
+      graft.operators.DedupOps.connectedComponentsOn(pairsDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // driver-side union-find over the same pairs, rooted at component mins
+    val edges = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expect = nodes.map(v => v -> find(v)).filter(p => p._1 != p._2).toMap
+    val comps = nodes.map(find).distinct.length
+    val largest = nodes.groupBy(find).map(_._2.length).max
+    println(s"[dedupscale] cc pairs=${edges.length} nodes=${nodes.length} " +
+      s"components=$comps largest=$largest union_find_equal=${star == expect}")
     spark.stop()
   }
 
