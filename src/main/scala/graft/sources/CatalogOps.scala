@@ -515,6 +515,47 @@ object CatalogOps {
   }
 
   /** `drop_collection` (ref `TencentVDB.py:87-89`). */
+  /** Small-file compaction — the maintenance pass every incrementally
+    * upserted collection needs at scale: each partition-scoped merge
+    * leaves one more file per touched partition, and a 100 TB table fed
+    * by streaming upserts decays into millions of footer-read-dominated
+    * small files. Rewrites every partition to `filesPerPartition` files
+    * (hash-clustered on the partition column, so each partition value
+    * lands in exactly that many write tasks), row-preserving, through the
+    * same staging-then-overwrite dance as the partition-scoped upsert
+    * (the plan reads the table it rewrites). Unpartitioned tables
+    * rewrite to exactly `filesPerPartition` files.
+    */
+  def compactCollection(spark: SparkSession, db: String, name: String,
+      filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions._
+    require(filesPerPartition >= 1, s"filesPerPartition must be ≥ 1")
+    val table = s"`$db`.`$name`"
+    val partCols = spark.catalog.listColumns(s"$db.$name")
+      .collect().filter(_.isPartition).map(_.name).toSeq
+    val df = spark.table(table)
+    val clustered =
+      if (partCols.isEmpty) df.repartition(filesPerPartition)
+      else if (filesPerPartition == 1) df.repartition(partCols.map(col): _*)
+      else df.repartition((partCols.map(col) :+
+        pmod(hash(col(df.columns.head)), lit(filesPerPartition))): _*)
+    val staging = s"`$db`.`__${name}_compact_staging`"
+    clustered.write.mode("overwrite").saveAsTable(staging)
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val targetCols = spark.table(table).columns.toIndexedSeq.map(col)
+      spark.table(staging).select(targetCols: _*)
+        .write.mode("overwrite").insertInto(s"$db.$name")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
+  }
+
   def dropCollection(spark: SparkSession, db: String, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")
 

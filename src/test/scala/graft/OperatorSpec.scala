@@ -1567,6 +1567,44 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "ivfpqupdb")
   }
 
+  test("compaction collapses upsert-fragmented partitions to one file, rows intact") {
+    import graft.sources.{CatalogOps, Tables}
+    import spark.implicits._
+    CatalogOps.dropDatabase(spark, "compactdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/compactdb.db"))
+    CatalogOps.createDatabase(spark, "compactdb")
+    CatalogOps.createIvfCollection(spark, "compactdb", "emb_ivf",
+      Tables.embeddings(spark, sf))
+    // two APPEND batches — the streaming-ingest pattern (partition-scoped
+    // upserts REPLACE files; appends accumulate them, one+ per batch)
+    val mk = (from: Long) => spark.table("`compactdb`.`emb_ivf`")
+      .filter(col("vec_id") < 8)
+      .select((col("vec_id") + from).as("vec_id"), col("label"),
+        col("embedding"), col("cell"))
+    mk(100000L).write.mode("append").insertInto("compactdb.emb_ivf")
+    mk(200000L).write.mode("append").insertInto("compactdb.emb_ivf")
+    val tableDir = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath + "/compactdb.db/emb_ivf")
+    def fileCounts: Map[String, Int] = tableDir.listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+      .toMap
+    assert(fileCounts.values.exists(_ > 1), fileCounts.toString) // fragmented
+    val before = spark.table("`compactdb`.`emb_ivf`")
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toSet
+    CatalogOps.compactCollection(spark, "compactdb", "emb_ivf")
+    val countsAfter = fileCounts
+    assert(countsAfter.values.forall(_ === 1), countsAfter.toString)
+    val after = spark.table("`compactdb`.`emb_ivf`")
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toSet
+    assert(after === before)
+    // the partition layout survives: the probe still prunes
+    val q = KnnOps.topKIvfPartitioned(spark, "compactdb", "emb_ivf")
+    assert(q.count() === 3)
+    CatalogOps.dropDatabase(spark, "compactdb")
+  }
+
   test("PQ expressions: codegen matches driver math, ADC equals reconstructed dot") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
