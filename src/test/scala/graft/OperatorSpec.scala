@@ -1605,6 +1605,38 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "compactdb")
   }
 
+  test("IVF-PQ lifecycle: create, probe, incremental upsert, compact — consistent throughout") {
+    import graft.sources.{CatalogOps, Tables}
+    import spark.implicits._
+    CatalogOps.dropDatabase(spark, "lifecycledb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/lifecycledb.db"))
+    CatalogOps.createDatabase(spark, "lifecycledb")
+    val emb = Tables.embeddings(spark, sf)
+    CatalogOps.createIvfPqCollection(spark, "lifecycledb", "emb", emb)
+    val qVec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    def probe(full: org.apache.spark.sql.DataFrame) =
+      KnnOps.topKIvfPq(spark, "lifecycledb", "emb", full, qVec,
+          excludeId = 0L, k = 3, rescoreK = 500, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val initial = probe(emb)
+    // upsert a new id carrying the query vector itself: at exhaustive
+    // settings it must become the top hit (score 1.0)
+    CatalogOps.upsertIvfPq(spark, "lifecycledb", "emb",
+      Seq((777777L, 0, qVec.toSeq)).toDF("vec_id", "label", "embedding"))
+    val emb2 = emb.unionByName(
+      Seq((777777L, 0, qVec.toSeq)).toDF("vec_id", "label", "embedding")
+        .select(emb.columns.map(col).toIndexedSeq: _*))
+    val afterUpsert = probe(emb2)
+    assert(afterUpsert.head === ((777777L, 1.0)))
+    assert(afterUpsert.tail === initial.take(2))
+    // compaction changes files, never answers
+    CatalogOps.compactCollection(spark, "lifecycledb", "emb")
+    assert(probe(emb2) === afterUpsert)
+    CatalogOps.dropDatabase(spark, "lifecycledb")
+  }
+
   test("PQ expressions: codegen matches driver math, ADC equals reconstructed dot") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
