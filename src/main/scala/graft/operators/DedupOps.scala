@@ -663,6 +663,70 @@ object DedupOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** One micro-batch of the STREAMING near-dup dedup
+    * ([[graft.streaming.StreamingOps.streamingDedupMinhash]]): the
+    * continuous-crawl analog of [[minHashLsh]], FIRST-ARRIVAL-WINS across
+    * batches (the reference's overwrite-by-id stream made content-aware).
+    *
+    * Per batch: (1) in-batch near-dup dedup (lowest id wins, the batch
+    * twin of the batch rule); (2) the survivors' band keys equi-join the
+    * persisted signature store — the batch side broadcasts, the store is
+    * NEVER rescanned beyond this pruned join (at corpus scale the store
+    * is bucketed on the band key so the probe is bucket-local, and the
+    * [[LshGuard]] boilerplate pathology applies to the store side the
+    * same way); (3) bucket collisions verify with exact Jaccard against
+    * ONLY the candidate stored docs; (4) fresh uniques append to the docs
+    * table and their band rows to the signature store. A batch doc
+    * near-duplicating a STORED doc always loses, whatever its id —
+    * streaming semantics are arrival-ordered. With ids fed in ascending
+    * order the result equals the batch [[minHashLshOn]] survivors when
+    * near-dup groups are transitive (test-pinned on the planted fixture);
+    * the rules can diverge on a doc similar only to an already-DROPPED
+    * doc — the batch rule consults it, the store no longer holds it (the
+    * batch rule is itself order-sensitive there; [[dedupConnected]] is
+    * the order-free resolution).
+    */
+  private[graft] def dedupIncrementalBatch(batch0: DataFrame, db: String,
+      name: String, tau: Double): Unit = {
+    val spark = batch0.sparkSession
+    val batch = batch0.select(col("doc_id"), col("text"))
+    val inBatch = minHashLshOn(batch, tau).select(col("doc_id"))
+    val survivors = batch.join(inBatch, "doc_id").cache()
+    // general-vocabulary signatures: a stream never has a stable dictionary
+    val sig = minhashSigMeta(survivors, None)
+    val bandStructs = (0 until NumBands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        xxhash64(col(s"h${2 * bnd}"), col(s"h${2 * bnd + 1}")).as("bkey"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val fresh =
+      if (!spark.catalog.tableExists(s"$db.$name")) survivors
+      else {
+        val cand = spark.table(s"`$db`.`${name}__sigs`")
+          .join(broadcast(bands.withColumnRenamed("doc_id", "new_id")),
+            Seq("band", "bkey"))
+          .select(col("new_id"), col("doc_id").as("old_id")).distinct()
+        val newTok = survivors
+          .select(col("doc_id").as("new_id"), tokenSet(col("text")).as("new_s"))
+        val oldTok = spark.table(s"`$db`.`$name`")
+          .select(col("doc_id").as("old_id"), tokenSet(col("text")).as("old_s"))
+        val dupIds = cand.join(newTok, "new_id").join(oldTok, "old_id")
+          .withColumn("j",
+            size(array_intersect(col("new_s"), col("old_s"))).cast("double") /
+              size(array_union(col("new_s"), col("old_s"))))
+          .filter(col("j") >= tau)
+          .select(col("new_id").as("doc_id")).distinct()
+        survivors.join(dupIds, Seq("doc_id"), "left_anti")
+      }
+    val freshC = fresh.cache()
+    freshC.write.mode("append").saveAsTable(s"`$db`.`$name`")
+    bands.join(freshC.select(col("doc_id")), "doc_id")
+      .write.mode("append").saveAsTable(s"`$db`.`${name}__sigs`")
+    freshC.unpersist()
+    survivors.unpersist()
+  }
+
   /** Alternating large-star / small-star connected components (Kiveris,
     * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
     * MapReduce and Beyond", SoCC'14): O(log²n) rounds worst-case, a handful

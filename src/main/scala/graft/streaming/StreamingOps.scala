@@ -178,6 +178,25 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming NEAR-DUP dedup — the continuous-crawl ingest filter
+    * ([[graft.operators.DedupOps.dedupIncrementalBatch]] per micro-batch):
+    * each batch of (doc_id, text) dedupes within itself, probes the
+    * persisted MinHash signature store for cross-batch near-duplicates
+    * (banded equi-join, batch side broadcast — the store is never
+    * rescanned), and appends only the fresh uniques + their band keys.
+    * First-arrival-wins across batches; [[streamingDedup]] remains the
+    * exact-id twin.
+    */
+  def streamingDedupMinhash(docStream: DataFrame, db: String, name: String,
+      tau: Double = 0.9): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.DedupOps.dedupIncrementalBatch(batch.toDF(), db, name, tau)
+      }
+      .start()
+
   /** Streaming knn over a PQ collection
     * ([[graft.sources.CatalogOps.createPqCollection]]) — the ADC streaming
     * ANN: each micro-batch's query LUTs build driver-side against the

@@ -316,6 +316,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup dedup equals the batch LSH survivors (ascending ids)") {
+    import graft.sources.CatalogOps
+    import graft.operators.DedupOps
+    implicit val ctx = spark.sqlContext
+    CatalogOps.dropDatabase(spark, "sdedupdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/sdedupdb.db"))
+    CatalogOps.createDatabase(spark, "sdedupdb")
+    // 10 groups of 4: one base + three near-variants (j ≥ 0.9 one-token
+    // swaps) — dups occur within AND across the two micro-batches
+    val rnd = new scala.util.Random(17L)
+    val vocab = (0 until 120).map(i => f"tok$i%03d")
+    val docs: Seq[(Long, String)] = (0 until 10).flatMap { g =>
+      val base = rnd.shuffle(vocab).take(30)
+      (0 until 4).map { v =>
+        val toks = if (v == 0) base
+          else base.updated(rnd.nextInt(30), vocab(rnd.nextInt(120)))
+        ((g * 4 + v).toLong, toks.mkString(" "))
+      }
+    }.sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingDedupMinhash(
+      in.toDS.toDF("doc_id", "text"), "sdedupdb", "corpus", tau = 0.9)
+    try {
+      in.addData(docs.take(20): _*); q.processAllAvailable()
+      in.addData(docs.drop(20): _*); q.processAllAvailable()
+      val streamed = spark.table("`sdedupdb`.`corpus`")
+        .collect().map(_.getLong(0)).toSet
+      val batchSurvivors = DedupOps.minHashLshOn(docs.toDF("doc_id", "text"), 0.9)
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed === batchSurvivors)
+      // the signature store carries exactly the survivors' band rows
+      val sigIds = spark.table("`sdedupdb`.`corpus__sigs`")
+        .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(sigIds === batchSurvivors)
+    } finally {
+      q.stop()
+      CatalogOps.dropDatabase(spark, "sdedupdb")
+    }
+  }
+
   test("flatMapGroupsWithState closes sessions on event-time timeout") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
