@@ -185,7 +185,11 @@ object StreamingOps {
     * (banded equi-join, batch side broadcast — the store is never
     * rescanned), and appends only the fresh uniques + their band keys.
     * First-arrival-wins across batches; [[streamingDedup]] remains the
-    * exact-id twin.
+    * exact-id twin. foreachBatch is at-least-once: a full-batch replay is
+    * self-healing (the store already holds the batch, so every doc drops
+    * as its own duplicate), but a crash BETWEEN the two appends can leak
+    * one batch's rows into one table only — production wants both appends
+    * in one transactional commit (table-format dependent).
     */
   def streamingDedupMinhash(docStream: DataFrame, db: String, name: String,
       tau: Double = 0.9): StreamingQuery =
