@@ -82,4 +82,46 @@ object VectorProperties extends Properties("graft.plans.VectorExpressions") {
       graft.plans.SortedIntersectSize(lit(a), lit(b)).eval(null) ==
         a.toSet.intersect(b.toSet).size
     }
+
+  // ---- PQ codes / ADC vs the arithmetic model, incl. the signed-byte
+  // boundary (k > 127: code 200 stores as byte -56, must read back via
+  // & 0xFF — a sign bug here scores garbage silently) ----
+
+  private val pqCase: Gen[(Int, Int, Int, Long)] = for {
+    m <- Gen.choose(1, 4)
+    k <- Gen.oneOf(4, 16, 130, 256) // beyond Byte.MaxValue on purpose
+    subDim <- Gen.choose(1, 4)
+    seed <- Gen.choose(0L, 1000000L)
+  } yield (m, k, subDim, seed)
+
+  property("pq codes are the L2-argmin and ADC equals the reconstructed dot") =
+    forAll(pqCase) { case (m, k, subDim, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val dim = m * subDim
+      val cb = Array.fill(m * k * subDim)(rnd.nextGaussian())
+      val v = Seq.fill(dim)(rnd.nextGaussian())
+      val q = Array.fill(dim)(rnd.nextGaussian())
+      val codes = graft.plans.PqCodes(Literal.create(v, arrT), cb.toSeq, m, k)
+        .eval(null).asInstanceOf[Array[Byte]]
+      val expCodes = (0 until m).map { s =>
+        (0 until k).minBy { c =>
+          (0 until subDim).map { i =>
+            val d = v(s * subDim + i) - cb((s * k + c) * subDim + i); d * d
+          }.sum
+        }
+      }
+      val codesOk = codes.map(_ & 0xFF).toSeq == expCodes
+      val lut = Array.tabulate(m * k) { j =>
+        val (s, c) = (j / k, j % k)
+        (0 until subDim).map(i => q(s * subDim + i) * cb((s * k + c) * subDim + i)).sum
+      }
+      val adc = graft.plans.PqAdcDot(
+          Literal.create(codes, org.apache.spark.sql.types.BinaryType),
+          lut.toSeq, m, k)
+        .eval(null).asInstanceOf[Double]
+      val reconDot = (0 until dim).map { d =>
+        q(d) * cb((d / subDim * k + expCodes(d / subDim)) * subDim + (d % subDim))
+      }.sum
+      codesOk && math.abs(adc - reconDot) < 1e-9
+    }
 }
