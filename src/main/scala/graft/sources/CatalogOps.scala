@@ -515,6 +515,70 @@ object CatalogOps {
   }
 
   /** `drop_collection` (ref `TencentVDB.py:87-89`). */
+  /** Row deletion by id — the write the dedup pipeline ends with (drop the
+    * losers from the collection; the reference only deletes whole
+    * collections, `TencentVDB.py:87-98`, but a training-data store needs
+    * the row form). Partitioned collections rewrite ONLY the partitions
+    * that hold doomed ids (dynamic overwrite, untouched files intact,
+    * emptied partitions dropped — the [[upsertIvf]] machinery pointed at
+    * removal); unpartitioned collections rewrite whole through the same
+    * staging dance. `ids` is a 1-column frame (any name) and broadcasts —
+    * delete cost scales with the touched partitions, not the table.
+    */
+  def deleteByIds(spark: SparkSession, db: String, name: String,
+      ids: DataFrame, idCol: String = "vec_id"): Unit = {
+    import org.apache.spark.sql.functions._
+    val table = s"`$db`.`$name`"
+    val doomed = ids.toDF(idCol).distinct()
+    val partCols = spark.catalog.listColumns(s"$db.$name")
+      .collect().filter(_.isPartition).map(_.name).toSeq
+    if (partCols.isEmpty) {
+      val staging = s"`$db`.`__${name}_delete_staging`"
+      spark.table(table).join(broadcast(doomed), Seq(idCol), "left_anti")
+        .write.mode("overwrite").saveAsTable(staging)
+      try {
+        val targetCols = spark.table(table).columns.toIndexedSeq.map(col)
+        spark.table(staging).select(targetCols: _*)
+          .write.mode("overwrite").insertInto(s"$db.$name")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $staging")
+      return
+    }
+    val partCol = partCols.head
+    val touched = spark.table(table)
+      .join(broadcast(doomed), idCol)
+      .select(col(partCol)).distinct()
+    val staging = s"`$db`.`__${name}_delete_staging`"
+    spark.table(table)
+      .join(broadcast(touched), partCol) // only affected partitions read
+      .join(broadcast(doomed), Seq(idCol), "left_anti")
+      .write.mode("overwrite").saveAsTable(staging)
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val targetCols = spark.table(table).columns.toIndexedSeq.map(col)
+      spark.table(staging).select(targetCols: _*)
+        .write.mode("overwrite").insertInto(s"$db.$name")
+      // a partition whose every row was doomed is absent from the staged
+      // frame — dynamic overwrite leaves it untouched, so drop it
+      val numeric = spark.table(table).schema(partCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      touched.join(spark.table(staging).select(col(partCol)).distinct(),
+          Seq(partCol), "left_anti")
+        .collect().foreach { r =>
+          val v =
+            if (numeric) r.get(0).toString
+            else s"'${r.get(0).toString.replace("'", "''")}'"
+          spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partCol=$v)")
+        }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
+  }
+
   /** Small-file compaction — the maintenance pass every incrementally
     * upserted collection needs at scale: each partition-scoped merge
     * leaves one more file per touched partition, and a 100 TB table fed

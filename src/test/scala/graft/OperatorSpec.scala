@@ -1637,6 +1637,46 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "lifecycledb")
   }
 
+  test("deleteByIds rewrites only doomed partitions and drops emptied ones") {
+    import graft.sources.CatalogOps
+    import spark.implicits._
+    CatalogOps.dropDatabase(spark, "deldb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/deldb.db"))
+    CatalogOps.createDatabase(spark, "deldb")
+    // hand-built 3-cell collection: cell 0 holds exactly one row
+    Seq((1L, Seq(1.0, 0.0), 0), (2L, Seq(0.0, 1.0), 1), (3L, Seq(0.0, 0.9), 1),
+        (4L, Seq(0.5, 0.5), 2), (5L, Seq(0.6, 0.4), 2))
+      .toDF("vec_id", "embedding", "cell")
+      .write.partitionBy("cell").saveAsTable("`deldb`.`tiny`")
+    val tableDir = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath + "/deldb.db/tiny")
+    def files(cell: Int): Set[(String, Long)] = {
+      val d = new java.io.File(tableDir, s"cell=$cell")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val keepCell2 = files(2)
+    assert(keepCell2.nonEmpty)
+    // dooms the only cell-0 row (partition must drop) and one of two
+    // cell-1 rows (partition must rewrite); cell 2 untouched
+    CatalogOps.deleteByIds(spark, "deldb", "tiny", Seq(1L, 2L).toDF("vec_id"))
+    val after = spark.table("`deldb`.`tiny`")
+    assert(after.select($"vec_id").collect().map(_.getLong(0)).toSet === Set(3L, 4L, 5L))
+    assert(files(2) === keepCell2) // untouched partition byte-identical
+    val parts = spark.sql("SHOW PARTITIONS `deldb`.`tiny`")
+      .collect().map(_.getString(0)).toSeq
+    assert(!parts.contains("cell=0"), parts.mkString(","))
+    // unpartitioned twin
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("vec_id", "text")
+      .write.saveAsTable("`deldb`.`flat`")
+    CatalogOps.deleteByIds(spark, "deldb", "flat", Seq(2L).toDF("id"))
+    assert(spark.table("`deldb`.`flat`").select($"vec_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    CatalogOps.dropDatabase(spark, "deldb")
+  }
+
   test("PQ expressions: codegen matches driver math, ADC equals reconstructed dot") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
