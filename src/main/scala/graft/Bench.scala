@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** One-line JSON fragment describing the machine at measurement time —
+    * system load average, available memory, cpu count. Short scheduler-bound
+    * queries swing 3× with co-tenant load alone (PERF_NOTES.md), so a bench
+    * number without its environment cannot be compared across rounds.
+    */
+  private[graft] def envJson(): String = {
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val load = os.getSystemLoadAverage
+    val memAvailKb =
+      try scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemAvailable:") =>
+          l.split("\\s+")(1).toLong }
+        .getOrElse(-1L)
+      catch { case _: Throwable => -1L }
+    val cpus = Runtime.getRuntime.availableProcessors()
+    s"""{"load_avg":$load,"mem_available_kb":$memAvailKb,"cpus":$cpus}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -19,21 +38,23 @@ object Bench {
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => () }
     }
-    // Best of two timed passes: single-pass numbers on this box swing up
+    // Best of THREE timed passes: single-pass numbers on this box swing up
     // to 4× on the nested-loop-heavy similarity queries from machine noise
-    // alone; the min is the reproducible steady-state cost.
+    // alone, and round 9 showed two passes still let a 3× spike through on
+    // the short scheduler-bound queries (PERF_NOTES.md); the min is the
+    // reproducible steady-state cost.
     def timedPass(): Map[String, Double] = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val passes = Seq(timedPass(), timedPass(), timedPass())
+    val results = passes.head.map { case (k, _) => k -> passes.map(_(k)).min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","env":${envJson()}}""")
     spark.stop()
   }
 }

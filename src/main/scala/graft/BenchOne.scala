@@ -29,7 +29,7 @@ object BenchOne {
       println(f"[benchone] $name: $dt%.3f s ($n rows)")
       dt
     }
-    println(f"[benchone] $name best=${times.min}%.3f s")
+    println(f"[benchone] $name best=${times.min}%.3f s env=${Bench.envJson()}")
     spark.stop()
   }
 }
