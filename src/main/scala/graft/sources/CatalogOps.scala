@@ -514,6 +514,66 @@ object CatalogOps {
     }
   }
 
+  /** Graph-aware row deletion for an NSW collection — the index-consistent
+    * twin of [[deleteByIds]] (which routes here automatically): candidate
+    * graphs come from replaying the ingest hash over the doomed ids, a
+    * graph counts as TOUCHED only if it actually holds one (absent ids
+    * cost nothing), survivors of the touched graphs decode back to rows
+    * ([[upsertNsw]]'s decode), and ONLY those graphs rebuild with the
+    * stored constants and rewrite via dynamic partition overwrite.
+    * Untouched graph partitions keep their files byte-for-byte; a graph
+    * whose every node was doomed emits no row and its partition drops.
+    * After this, [[graft.operators.GraphAnnOps.searchStored]] can never
+    * serve a deleted id (pinned in tests).
+    */
+  def deleteNsw(spark: SparkSession, db: String, name: String,
+      ids: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val table = s"`$db`.`$name`"
+    val meta = spark.table(s"`$db`.`${name}__meta`").head()
+    val (shards, m, efC) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val doomed = ids.toDF("vec_id").distinct()
+    // same Murmur3 as repartition(n, col) — see upsertNsw
+    val cand = doomed
+      .select(pmod(hash(col("vec_id")), lit(shards)).as("part")).distinct()
+    val graphs = spark.table(table)
+    val touched = graphs.join(broadcast(cand), "part")
+      .select(col("part"), explode(col("ids")).as("vec_id"))
+      .join(broadcast(doomed), "vec_id")
+      .select(col("part")).distinct()
+    val kept = graphs.join(broadcast(touched), "part")
+      .select(col("dim"), posexplode(col("ids")).as(Seq("i", "vec_id")),
+        col("vecs"))
+      .select(col("vec_id"),
+        slice(col("vecs"), col("i") * col("dim") + 1, col("dim")).as("embedding"))
+      .join(broadcast(doomed), Seq("vec_id"), "left_anti")
+    // same hash fan-out → every rebuilt graph lands on its original part id
+    val rebuilt = graft.operators.GraphAnnOps.buildGraphs(
+      kept.repartition(shards, col("vec_id")), m, efC)
+    // stage (the plan reads the table it rewrites), then dynamic-overwrite
+    // exactly the staged graph partitions and drop the emptied ones
+    val staging = s"`$db`.`__${name}_delete_staging`"
+    rebuilt.toDF().write.mode("overwrite").saveAsTable(staging)
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val targetCols = spark.table(table).columns.toIndexedSeq.map(col)
+      spark.table(staging).select(targetCols: _*)
+        .write.mode("overwrite").insertInto(s"$db.$name")
+      touched.join(spark.table(staging).select(col("part")).distinct(),
+          Seq("part"), "left_anti")
+        .collect().foreach { r =>
+          spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (part=${r.get(0)})")
+        }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
+  }
+
   /** `drop_collection` (ref `TencentVDB.py:87-89`). */
   /** Row deletion by id — the write the dedup pipeline ends with (drop the
     * losers from the collection; the reference only deletes whole
@@ -522,16 +582,40 @@ object CatalogOps {
     * that hold doomed ids (dynamic overwrite, untouched files intact,
     * emptied partitions dropped — the [[upsertIvf]] machinery pointed at
     * removal); unpartitioned collections rewrite whole through the same
-    * staging dance. `ids` is a 1-column frame (any name) and broadcasts —
-    * delete cost scales with the touched partitions, not the table.
+    * staging dance; NSW graph collections route to [[deleteNsw]] (the ids
+    * live inside CSR arrays — only a graph rebuild can remove them).
+    * `ids` is a 1-column frame (any name) and broadcasts — delete cost
+    * scales with the touched partitions, not the table.
     */
   def deleteByIds(spark: SparkSession, db: String, name: String,
       ids: DataFrame, idCol: String = "vec_id"): Unit = {
     import org.apache.spark.sql.functions._
     val table = s"`$db`.`$name`"
+    // An NSW collection stores GRAPHS, not rows — its ids live inside CSR
+    // arrays, so a row-level anti-join cannot touch them and a naive delete
+    // would leave stale nodes for every future probe to serve. Route to the
+    // graph-aware rebuild instead (the index-consistency contract: a probe
+    // must never return a deleted id).
+    val colsLower = spark.table(table).columns.map(_.toLowerCase).toSet
+    if (spark.catalog.tableExists(s"$db.${name}__meta") &&
+        Set("part", "ids", "vecs", "adjoff", "adj").subsetOf(colsLower)) {
+      require(idCol == "vec_id",
+        s"NSW collections are keyed on vec_id; got idCol=$idCol")
+      deleteNsw(spark, db, name, ids)
+      return
+    }
     val doomed = ids.toDF(idCol).distinct()
     val partCols = spark.catalog.listColumns(s"$db.$name")
       .collect().filter(_.isPartition).map(_.name).toSeq
+    // With 2+ partition columns, a fully-doomed SUBpartition (a=x,b=y)
+    // whose sibling (a=x,b=z) survives would be absent from the staged
+    // frame, untouched by dynamic overwrite, and missed by a first-level
+    // DROP PARTITION sweep — the delete would report success while doomed
+    // rows survive. Refuse loudly until the full-tuple form is needed
+    // (the engine's own collections are all single-level).
+    require(partCols.size <= 1,
+      s"deleteByIds supports at most one partition column; $table has " +
+        partCols.mkString("(", ", ", ")"))
     if (partCols.isEmpty) {
       val staging = s"`$db`.`__${name}_delete_staging`"
       spark.table(table).join(broadcast(doomed), Seq(idCol), "left_anti")

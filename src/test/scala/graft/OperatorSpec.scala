@@ -1677,6 +1677,111 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "deldb")
   }
 
+  test("deleteByIds refuses a multi-column-partitioned table") {
+    import graft.sources.CatalogOps
+    import spark.implicits._
+    CatalogOps.dropDatabase(spark, "delmpdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/delmpdb.db"))
+    CatalogOps.createDatabase(spark, "delmpdb")
+    // a fully-doomed subpartition (a=1,b=1) with a surviving sibling
+    // (a=1,b=2) is exactly the shape a single-level delete would corrupt
+    Seq((1L, "r1", 1, 1), (2L, "r2", 1, 2), (3L, "r3", 2, 1))
+      .toDF("vec_id", "v", "a", "b")
+      .write.partitionBy("a", "b").saveAsTable("`delmpdb`.`multi`")
+    val e = intercept[IllegalArgumentException] {
+      CatalogOps.deleteByIds(spark, "delmpdb", "multi", Seq(1L).toDF("vec_id"))
+    }
+    assert(e.getMessage.contains("at most one partition column"))
+    assert(spark.table("`delmpdb`.`multi`").count() === 3) // untouched
+    CatalogOps.dropDatabase(spark, "delmpdb")
+  }
+
+  test("deleteByIds on an NSW collection rebuilds touched graphs; probes never serve deleted ids") {
+    import graft.sources.{CatalogOps, Tables}
+    import spark.implicits._
+    CatalogOps.dropDatabase(spark, "nswdeldb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/nswdeldb.db"))
+    CatalogOps.createDatabase(spark, "nswdeldb")
+    val emb = Tables.embeddings(spark, sf)
+    CatalogOps.createNswCollection(spark, "nswdeldb", "emb_nsw", emb, shards = 8)
+    val byPart = emb
+      .select(col("vec_id"), pmod(hash(col("vec_id")), lit(8)).as("p"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val doomId = 5L
+    val doomPart = byPart.find(_._1 == doomId).get._2
+    val emptyPart = (0 until 8).find(_ != doomPart).get
+    val emptyIds = byPart.filter(_._2 == emptyPart).map(_._1).toSeq
+    val untouchedPart = (0 until 8)
+      .find(p => p != doomPart && p != emptyPart).get
+    val tableDir = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath + "/nswdeldb.db/emb_nsw")
+    def files(p: Int): Set[(String, Long)] = {
+      val d = new java.io.File(tableDir, s"part=$p")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val keepBefore = files(untouchedPart)
+    assert(keepBefore.nonEmpty)
+    val vDoom = emb.filter(col("vec_id") === doomId)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    // before: the doomed vector is served, at its own id, score 1.0
+    val hitBefore = GraphAnnOps.searchStored(spark, "nswdeldb", "emb_nsw", vDoom, k = 1).head()
+    assert(hitBefore.getLong(0) === doomId && hitBefore.getDouble(1) === 1.0)
+    val doomedSet = (doomId +: emptyIds).toSet
+    // deleteByIds ROUTES to the graph rebuild (no deleteNsw in the call)
+    CatalogOps.deleteByIds(spark, "nswdeldb", "emb_nsw",
+      doomedSet.toSeq.toDF("vec_id"))
+    val afterIds = spark.table("`nswdeldb`.`emb_nsw`")
+      .select(explode(col("ids")).as("id")).collect().map(_.getLong(0)).toSet
+    assert(afterIds === byPart.map(_._1).toSet -- doomedSet)
+    assert(files(untouchedPart) === keepBefore) // untouched graphs intact
+    val parts = spark.sql("SHOW PARTITIONS `nswdeldb`.`emb_nsw`")
+      .collect().map(_.getString(0)).toSeq
+    assert(!parts.contains(s"part=$emptyPart"), parts.mkString(",")) // emptied graph dropped
+    // the probe can never serve a deleted id — even queried with the
+    // deleted row's own vector (which would have scored 1.0)
+    val served = GraphAnnOps.searchStored(spark, "nswdeldb", "emb_nsw",
+        vDoom, k = 20, efSearch = 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(served.nonEmpty && served.intersect(doomedSet).isEmpty)
+    CatalogOps.dropDatabase(spark, "nswdeldb")
+  }
+
+  test("deleteByIds removes codes: quantized and IVF-PQ probes never serve deleted ids") {
+    import graft.sources.{CatalogOps, Tables}
+    import spark.implicits._
+    CatalogOps.dropDatabase(spark, "codedeldb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/codedeldb.db"))
+    CatalogOps.createDatabase(spark, "codedeldb")
+    val emb = Tables.embeddings(spark, sf)
+    val qVec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    // IVF-PQ: cell-partitioned byte codes — the partition-scoped delete path
+    CatalogOps.createIvfPqCollection(spark, "codedeldb", "emb_ivfpq", emb)
+    def probePq() = KnnOps.topKIvfPq(spark, "codedeldb", "emb_ivfpq", emb,
+        qVec, excludeId = -1L, k = 3, rescoreK = 500, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pqBefore = probePq()
+    assert(pqBefore.head === ((0L, 1.0))) // the row's own vector tops the probe
+    CatalogOps.deleteByIds(spark, "codedeldb", "emb_ivfpq", Seq(0L).toDF("vec_id"))
+    val pqAfter = probePq()
+    assert(!pqAfter.map(_._1).contains(0L))
+    assert(pqAfter.head === pqBefore(1)) // survivors keep their scores/order
+    // int8-quantized: unpartitioned codes — the whole-rewrite delete path
+    CatalogOps.createQuantizedCollection(spark, "codedeldb", "emb_q", emb)
+    def probeQ() = KnnOps.topKQuantized(spark, "codedeldb", "emb_q", emb,
+        qVec, excludeId = -1L, k = 3, rescoreK = 500)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probeQ().head === ((0L, 1.0)))
+    CatalogOps.deleteByIds(spark, "codedeldb", "emb_q", Seq(0L).toDF("vec_id"))
+    assert(!probeQ().map(_._1).contains(0L))
+    CatalogOps.dropDatabase(spark, "codedeldb")
+  }
+
   test("PQ expressions: codegen matches driver math, ADC equals reconstructed dot") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
