@@ -67,6 +67,8 @@ object AnnRecall {
     CatalogOps.createDatabase(spark, db)
     CatalogOps.createIvfCollection(spark, db, "ivf", df, kCells = nClusters)
     CatalogOps.createNswCollection(spark, db, "nsw", df.select(col("vec_id"), col("embedding")))
+    CatalogOps.createNswRoutedCollection(spark, db, "nswr",
+      df.select(col("vec_id"), col("embedding")), kCells = nClusters)
     CatalogOps.createQuantizedCollection(spark, db, "q8", df)
     CatalogOps.createPqCollection(spark, db, "pq", df, m = 8, kCent = 16)
     CatalogOps.createIvfPqCollection(spark, db, "ivfpq", df, kCells = nClusters, m = 8, kCent = 16)
@@ -79,6 +81,13 @@ object AnnRecall {
     for (ef <- Seq(32, 64))
       recall(s"NSW stored graphs (efSearch=$ef)") { (qid, qv) =>
         GraphAnnOps.searchStored(spark, db, "nsw", qv.toArray, k + 1, ef)
+          .collect().map(_.getLong(0)).filter(_ != qid).take(k).toSeq
+      }
+    // routed: nprobe of nClusters graph partitions searched instead of all
+    for (nprobe <- Seq(1, 2, 4))
+      recall(s"NSW routed (nprobe=$nprobe/$nClusters, ef=32)") { (qid, qv) =>
+        GraphAnnOps.searchStoredRouted(spark, db, "nswr", qv.toArray,
+            k + 1, 32, nprobe)
           .collect().map(_.getLong(0)).filter(_ != qid).take(k).toSeq
       }
     for (rk <- Seq(k, 2 * k, 4 * k))

@@ -45,6 +45,9 @@ object SparkEntry {
     // only the query path — the 100×-relevant number
     "q_knn_ivf_probe"  -> ((s, d) => KnnOps.topKIvfProbe(s, d)),
     "q_knn_hnsw_probe" -> ((s, d) => GraphAnnOps.topKNswProbe(s, d)),
+    // routed graph probe: coarse quantizer picks nprobe cell graphs, the
+    // beam search never touches the rest (partition-pruned, plan-pinned)
+    "q_knn_hnsw_routed" -> ((s, d) => GraphAnnOps.topKNswRouted(s, d)),
     "q_knn_quantized"  -> ((s, d) => KnnOps.topKQuantizedProbe(s, d)),
     "q_knn_pq"         -> ((s, d) => KnnOps.topKPqProbe(s, d)),
     "q_knn_ivfpq"      -> ((s, d) => KnnOps.topKIvfPqProbe(s, d)),
@@ -159,6 +162,7 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q_knn_topk", "q_knn_text", "q_knn_batch", "q_knn_filtered", "q_knn_ivf_kmeans",
     "q_knn_ivf_part", "q_knn_hnsw", "q_knn_ivf_probe", "q_knn_hnsw_probe",
+    "q_knn_hnsw_routed",
     "q_knn_quantized", "q_knn_pq", "q_knn_ivfpq", "q_knn_ivf_filtered", "q_knn_hnsw_filtered",
     "q_cosine_pair", "q_sim_join", "q_sim_join_lsh", "q_sim_join_auto", "q_vec_centroids",
     "q_vec_quantize", "q_embed_batch",

@@ -130,6 +130,39 @@ object GraphAnnOps {
       }
   }
 
+  /** Build one NSW graph per PART VALUE — the routed twin of
+    * [[buildGraphs]]: rows arrive as (part, vec_id, embedding), group by
+    * part (one shuffle — the same cost the IVF write pays for
+    * `partitionBy`), and each group builds its graph with `part` as the
+    * graph id. Where [[buildGraphs]] lets the physical partition id name
+    * the graph (hash sharding), here the caller chooses the part — the
+    * coarse-quantizer cell for a routed collection, or the decoded
+    * original part for maintenance rebuilds (which is why the incremental
+    * upsert/delete paths build through THIS entry for both layouts: rows
+    * go back to exactly the graph they came from).
+    */
+  def buildGraphsByPart(rows: DataFrame, m: Int = 16,
+      efConstruction: Int = 200): Dataset[NswGraph] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("part").cast("int"), col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (part, it) =>
+        val rs = it.toArray.sortBy(_._2)
+        val n = rs.length
+        val dim = rs(0)._3.length
+        val vecs = new Array[Double](n * dim)
+        var r = 0
+        while (r < n) {
+          val v = rs(r)._3; var i = 0
+          while (i < dim) { vecs(r * dim + i) = v(i); i += 1 }
+          r += 1
+        }
+        buildLocal(part, rs.map(_._2), vecs, dim, m, efConstruction)
+      }
+  }
+
   /** Cosine between two STORED nodes — the diversity comparison of
     * [[selectDiverse]] (same accumulation order as [[cosAt]]).
     */
@@ -307,6 +340,80 @@ object GraphAnnOps {
       qVec: Array[Double], k: Int = 3, efSearch: Int = 100): DataFrame = {
     import spark.implicits._
     searchGraphs(spark.table(s"`$db`.`$name`").as[NswGraph], qVec, k, efSearch)
+  }
+
+  /** ROUTED graph search over a coarse-quantizer-partitioned NSW
+    * collection ([[graft.sources.CatalogOps.createNswRoutedCollection]]) —
+    * the serving shape the reference's sharded HNSW implies
+    * (`shard=3`, ref `TencentVDB.py:55`: shards are ROUTED, not
+    * broadcast): the query picks its `nprobe` nearest cells driver-side
+    * from the persisted k×dim model (the same [[KnnOps.nearestCells]] the
+    * IVF probe uses) and beam-searches ONLY those cells' graphs — the
+    * `part IN (probes)` predicate is a PARTITION filter on the graph
+    * table (plan-pinned), so at 10k graph partitions a query touches
+    * nprobe of them instead of all (the last all-partitions fan-out in
+    * the engine, closed). Recall now composes like IVF's: a true
+    * neighbor in an unprobed cell is missed, so nprobe trades recall for
+    * fan-out (measured on planted clusters in `graft.AnnRecall`);
+    * exhaustive at nprobe = kCells.
+    */
+  def searchStoredRouted(spark: SparkSession, db: String, name: String,
+      qVec: Array[Double], k: Int = 3, efSearch: Int = 100,
+      nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val model = spark.table(s"`$db`.`${name}__model`")
+      .orderBy(col("cell").asc).collect()
+    val kCells = model.length
+    val cents = model.flatMap(_.getSeq[Double](1))
+    val probes = KnnOps.nearestCells(qVec, cents, kCells, nprobe)
+    searchGraphs(spark.table(s"`$db`.`$name`")
+        .filter(col("part").isin(probes.map(Int.box): _*)).as[NswGraph],
+      qVec, k, efSearch)
+  }
+
+  /** Probe entry for the ROUTED graph collection (`q_knn_hnsw_routed`):
+    * build-if-absent (warmup pays it), then every call is the pure routed
+    * probe — model read, driver-side cell choice, beam searches over the
+    * nprobe pruned graph partitions. One extra search slot absorbs the
+    * query's own self-hit, like [[topKNswProbe]].
+    */
+  def topKNswRouted(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 3, kCells: Int = 8, nprobe: Int = 2, m: Int = 16,
+      efConstruction: Int = 200, efSearch: Int = 100): DataFrame = {
+    val (db, name) = ensureNswRoutedCollection(spark, dir, kCells, m, efConstruction)
+    val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    searchStoredRouted(spark, db, name, qVec, k + 1, efSearch, nprobe)
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Build-if-absent for the routed probe entry — single-JVM guard only;
+    * see the cross-session note in [[KnnOps.topKIvfProbe]].
+    */
+  private[graft] def ensureNswRoutedCollection(spark: SparkSession, dir: String,
+      kCells: Int, m: Int, efConstruction: Int): (String, String) = {
+    import graft.sources.CatalogOps
+    val db = "graft_nsw_routed"
+    val name = "emb_nsw"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.$name") ||
+          !spark.catalog.tableExists(s"$db.${name}__meta") ||
+          !spark.catalog.tableExists(s"$db.${name}__model")) {
+        CatalogOps.createDatabase(spark, db)
+        Seq(name, s"${name}__meta", s"${name}__model").foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+            new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
+              s"/$db.db/$t"))
+        }
+        CatalogOps.createNswRoutedCollection(spark, db, name,
+          Tables.embeddings(spark, dir), kCells = kCells, m = m,
+          efConstruction = efConstruction)
+      }
+    }
+    (db, name)
   }
 
   /** Build-then-search composite for the driver contract (`q_knn_hnsw`):

@@ -279,10 +279,64 @@ object CatalogOps {
       .saveAsTable(s"`$db`.`$name`")
     // build parameters travel with the index: the upsert must re-shard and
     // re-build with the SAME hash fan-out and graph constants
-    spark.createDataFrame(Seq((shards, m, efConstruction)))
-      .toDF("shards", "m", "ef_construction")
+    spark.createDataFrame(Seq((shards, m, efConstruction, false)))
+      .toDF("shards", "m", "ef_construction", "routed")
       .coalesce(1).write.mode("overwrite")
       .saveAsTable(s"`$db`.`${name}__meta`")
+  }
+
+  /** ROUTED NSW collection — [[createNswCollection]] with the coarse
+    * quantizer of [[createIvfCollection]] choosing the graphs: k-means
+    * cells become the graph PARTITIONS (one NSW graph per cell), so a
+    * query probes the `nprobe` nearest cells' graphs instead of
+    * beam-searching every shard — the reference's sharded-HNSW serving
+    * shape (`shard=3`, ref `TencentVDB.py:55`) with IVF-grade partition
+    * pruning on top ([[graft.operators.GraphAnnOps.searchStoredRouted]]).
+    * Persists the k×dim model as `name__model` (probe reads the MODEL to
+    * route) and the build constants + `routed=true` as `name__meta` (the
+    * maintenance paths branch on it: batch rows route by cell, not by id
+    * hash).
+    */
+  def createNswRoutedCollection(spark: SparkSession, db: String, name: String,
+      data: DataFrame, kCells: Int = 8, iters: Int = 3, m: Int = 16,
+      efConstruction: Int = 200): Unit = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    // cache-train-unpersist: see createIvfCollection
+    data.cache()
+    val cents = try graft.operators.KnnOps.kmeansCentroids(data, kCells, iters)
+      finally data.unpersist()
+    val assign = toCol(graft.plans.NearestCentroid(
+      toExpr(col("embedding")), cents.toSeq, kCells))
+    graft.operators.GraphAnnOps.buildGraphsByPart(
+        data.select(assign.as("part"), col("vec_id"), col("embedding")),
+        m, efConstruction)
+      .write.mode("overwrite").partitionBy("part")
+      .saveAsTable(s"`$db`.`$name`")
+    val dim = cents.length / kCells
+    val model = (0 until kCells).map(c =>
+      (c, cents.slice(c * dim, (c + 1) * dim).toSeq))
+    spark.createDataFrame(model).toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .saveAsTable(s"`$db`.`${name}__model`")
+    spark.createDataFrame(Seq((kCells, m, efConstruction, true)))
+      .toDF("shards", "m", "ef_construction", "routed")
+      .coalesce(1).write.mode("overwrite")
+      .saveAsTable(s"`$db`.`${name}__meta`")
+  }
+
+  /** (shards, m, efConstruction, routed) of an NSW collection; `routed`
+    * defaults false for meta tables written before the flag existed.
+    */
+  private def readNswMeta(spark: SparkSession, db: String,
+      name: String): (Int, Int, Int, Boolean) = {
+    val df = spark.table(s"`$db`.`${name}__meta`")
+    val r = df.head()
+    val routed = df.columns.indexOf("routed") match {
+      case -1 => false
+      case i  => r.getBoolean(i)
+    }
+    (r.getInt(0), r.getInt(1), r.getInt(2), routed)
   }
 
   /** Int8-QUANTIZED collection — the storage-side counterpart of the ANN
@@ -476,83 +530,63 @@ object CatalogOps {
   def upsertNsw(spark: SparkSession, db: String, name: String,
       rawBatch: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
-    val meta = spark.table(s"`$db`.`${name}__meta`").head()
-    val (shards, m, efC) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val (shards, m, efC, routed) = readNswMeta(spark, db, name)
     // a batch carrying the same id twice resolves deterministically (the
     // winner is a function of row values — same rule as the merge core's
     // tie-break), never of partitioning
     val batch = rawBatch.groupBy(col("vec_id"))
       .agg(max(struct(col("embedding"))).as("__w"))
-      .select(col("vec_id"), col("__w.embedding").as("embedding"))
-    val touched = batch
-      .select(pmod(hash(col("vec_id")), lit(shards)).as("part")).distinct()
+      .select(col("vec_id"), col("__w.embedding").as("embedding").cast("array<double>"))
+    // each batch row's target graph: the id hash for sharded collections,
+    // the nearest coarse cell (from the PERSISTED model — no retrain) for
+    // routed ones
+    val batchP =
+      if (!routed)
+        batch.withColumn("part", pmod(hash(col("vec_id")), lit(shards)))
+      else {
+        val model = spark.table(s"`$db`.`${name}__model`")
+          .orderBy(col("cell").asc).collect()
+        val cents = model.flatMap(_.getSeq[Double](1))
+        batch.withColumn("part", toCol(graft.plans.NearestCentroid(
+          toExpr(col("embedding")), cents.toSeq, model.length)))
+      }
     val graphs = spark.table(s"`$db`.`$name`")
-    // decode the touched graphs back to (vec_id, embedding) rows
+    // a routed update can MOVE cells (the new vector routes elsewhere), so
+    // the old graphs of updated ids are touched too; for sharded
+    // collections old part == new part and this union adds nothing
+    val oldParts = graphs
+      .select(col("part"), explode(col("ids")).as("vec_id"))
+      .join(broadcast(batch.select(col("vec_id"))), "vec_id")
+      .select(col("part")).distinct()
+    val touched = batchP.select(col("part")).union(oldParts).distinct()
+    // decode the touched graphs back to (part, vec_id, embedding) rows
     val stored = graphs.join(broadcast(touched), "part")
-      .select(col("dim"), posexplode(col("ids")).as(Seq("i", "vec_id")),
-        col("vecs"))
-      .select(col("vec_id"),
+      .select(col("part"), col("dim"),
+        posexplode(col("ids")).as(Seq("i", "vec_id")), col("vecs"))
+      .select(col("part"), col("vec_id"),
         slice(col("vecs"), col("i") * col("dim") + 1, col("dim")).as("embedding"))
     // last-writer-wins: batch rows replace stored rows of the same id
     val merged = stored.join(batch.select(col("vec_id")), Seq("vec_id"), "left_anti")
-      .unionByName(batch.select(col("vec_id"), col("embedding").cast("array<double>")))
-    // same hash fan-out → rebuilt graphs land on their original part ids;
-    // untouched parts are empty partitions and emit no rows
-    val rebuilt = graft.operators.GraphAnnOps.buildGraphs(
-      merged.repartition(shards, col("vec_id")), m, efC)
-    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val targetCols = spark.table(s"`$db`.`$name`").columns.toIndexedSeq.map(col)
-      rebuilt.toDF().select(targetCols: _*)
-        .write.mode("overwrite").insertInto(s"$db.$name")
-    } finally {
-      prior match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+      .unionByName(batchP.select(col("part"), col("vec_id"), col("embedding")))
+    rewriteTouchedGraphs(spark, db, name, touched, merged, m, efC)
   }
 
-  /** Graph-aware row deletion for an NSW collection — the index-consistent
-    * twin of [[deleteByIds]] (which routes here automatically): candidate
-    * graphs come from replaying the ingest hash over the doomed ids, a
-    * graph counts as TOUCHED only if it actually holds one (absent ids
-    * cost nothing), survivors of the touched graphs decode back to rows
-    * ([[upsertNsw]]'s decode), and ONLY those graphs rebuild with the
-    * stored constants and rewrite via dynamic partition overwrite.
-    * Untouched graph partitions keep their files byte-for-byte; a graph
-    * whose every node was doomed emits no row and its partition drops.
-    * After this, [[graft.operators.GraphAnnOps.searchStored]] can never
-    * serve a deleted id (pinned in tests).
+  /** Shared rebuild-and-rewrite tail of [[upsertNsw]] and [[deleteNsw]]:
+    * rebuild the touched graphs from their merged/surviving rows (each row
+    * goes back to exactly its own part — [[graft.operators.GraphAnnOps
+    * .buildGraphsByPart]]), stage (the plan reads the table it rewrites),
+    * dynamic-overwrite exactly the staged graph partitions, and drop any
+    * touched partition that emptied (every node deleted, or a routed
+    * update moved a cell's last row away).
     */
-  def deleteNsw(spark: SparkSession, db: String, name: String,
-      ids: DataFrame): Unit = {
+  private def rewriteTouchedGraphs(spark: SparkSession, db: String,
+      name: String, touched: DataFrame, rows: DataFrame,
+      m: Int, efC: Int): Unit = {
     import org.apache.spark.sql.functions._
     val table = s"`$db`.`$name`"
-    val meta = spark.table(s"`$db`.`${name}__meta`").head()
-    val (shards, m, efC) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    val doomed = ids.toDF("vec_id").distinct()
-    // same Murmur3 as repartition(n, col) — see upsertNsw
-    val cand = doomed
-      .select(pmod(hash(col("vec_id")), lit(shards)).as("part")).distinct()
-    val graphs = spark.table(table)
-    val touched = graphs.join(broadcast(cand), "part")
-      .select(col("part"), explode(col("ids")).as("vec_id"))
-      .join(broadcast(doomed), "vec_id")
-      .select(col("part")).distinct()
-    val kept = graphs.join(broadcast(touched), "part")
-      .select(col("dim"), posexplode(col("ids")).as(Seq("i", "vec_id")),
-        col("vecs"))
-      .select(col("vec_id"),
-        slice(col("vecs"), col("i") * col("dim") + 1, col("dim")).as("embedding"))
-      .join(broadcast(doomed), Seq("vec_id"), "left_anti")
-    // same hash fan-out → every rebuilt graph lands on its original part id
-    val rebuilt = graft.operators.GraphAnnOps.buildGraphs(
-      kept.repartition(shards, col("vec_id")), m, efC)
-    // stage (the plan reads the table it rewrites), then dynamic-overwrite
-    // exactly the staged graph partitions and drop the emptied ones
-    val staging = s"`$db`.`__${name}_delete_staging`"
+    val rebuilt = graft.operators.GraphAnnOps.buildGraphsByPart(rows, m, efC)
+    val staging = s"`$db`.`__${name}_graph_staging`"
     rebuilt.toDF().write.mode("overwrite").saveAsTable(staging)
     val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -572,6 +606,47 @@ object CatalogOps {
       }
       spark.sql(s"DROP TABLE IF EXISTS $staging")
     }
+  }
+
+  /** Graph-aware row deletion for an NSW collection — the index-consistent
+    * twin of [[deleteByIds]] (which routes here automatically): candidate
+    * graphs come from replaying the ingest hash over the doomed ids, a
+    * graph counts as TOUCHED only if it actually holds one (absent ids
+    * cost nothing), survivors of the touched graphs decode back to rows
+    * ([[upsertNsw]]'s decode), and ONLY those graphs rebuild with the
+    * stored constants and rewrite via dynamic partition overwrite.
+    * Untouched graph partitions keep their files byte-for-byte; a graph
+    * whose every node was doomed emits no row and its partition drops.
+    * After this, [[graft.operators.GraphAnnOps.searchStored]] can never
+    * serve a deleted id (pinned in tests).
+    */
+  def deleteNsw(spark: SparkSession, db: String, name: String,
+      ids: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val (shards, m, efC, routed) = readNswMeta(spark, db, name)
+    val doomed = ids.toDF("vec_id").distinct()
+    val graphs = spark.table(s"`$db`.`$name`")
+    // candidate graphs: the id hash narrows the scan for sharded
+    // collections (same Murmur3 as repartition(n, col) — see upsertNsw);
+    // a routed part depends on the VECTOR, so every graph's id list is
+    // scanned — still one row per graph, ids column only
+    val cand =
+      if (!routed) doomed
+        .select(pmod(hash(col("vec_id")), lit(shards)).as("part")).distinct()
+      else graphs.select(col("part")).distinct()
+    // touched = candidates that actually hold a doomed id (absent ids
+    // cost nothing)
+    val touched = graphs.join(broadcast(cand), "part")
+      .select(col("part"), explode(col("ids")).as("vec_id"))
+      .join(broadcast(doomed), "vec_id")
+      .select(col("part")).distinct()
+    val kept = graphs.join(broadcast(touched), "part")
+      .select(col("part"), col("dim"),
+        posexplode(col("ids")).as(Seq("i", "vec_id")), col("vecs"))
+      .select(col("part"), col("vec_id"),
+        slice(col("vecs"), col("i") * col("dim") + 1, col("dim")).as("embedding"))
+      .join(broadcast(doomed), Seq("vec_id"), "left_anti")
+    rewriteTouchedGraphs(spark, db, name, touched, kept, m, efC)
   }
 
   /** `drop_collection` (ref `TencentVDB.py:87-89`). */

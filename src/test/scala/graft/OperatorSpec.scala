@@ -1750,6 +1750,77 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "nswdeldb")
   }
 
+  test("routed NSW: exhaustive probe equals exact; upsert routes by cell; delete stays consistent") {
+    import graft.sources.{CatalogOps, Tables}
+    import spark.implicits._
+    CatalogOps.dropDatabase(spark, "nswrdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/nswrdb.db"))
+    CatalogOps.createDatabase(spark, "nswrdb")
+    val emb = Tables.embeddings(spark, sf)
+    CatalogOps.createNswRoutedCollection(spark, "nswrdb", "emb_nswr", emb)
+    val qVec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    // exhaustive settings (nprobe = kCells, beam ≥ nodes) must equal the
+    // exact scan — same contract as the unrouted stored-graph test
+    val exact = KnnOps.topK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val routed = GraphAnnOps.searchStoredRouted(spark, "nswrdb", "emb_nswr",
+        qVec, k = 4, efSearch = 1000, nprobe = 8)
+      .filter(col("vec_id") =!= 0L).limit(3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(routed.map(_._1).toSeq === exact.map(_._1).toSeq)
+    routed.zip(exact).foreach { case ((_, s1), (_, s2)) =>
+      assert(math.abs(s1 - s2) < 1e-6)
+    }
+    val tableDir = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath + "/nswrdb.db/emb_nswr")
+    def partFiles(): Map[String, Set[(String, Long)]] = tableDir.listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("part="))
+      .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet)
+      .toMap
+    def partOf(id: Long): Option[String] = spark.table("`nswrdb`.`emb_nswr`")
+      .select(col("part"), explode(col("ids")).as("id"))
+      .filter(col("id") === id).collect().headOption.map("part=" + _.getInt(0))
+    // UPSERT a new id carrying id 0's vector: it must route to id 0's cell
+    // and only that cell's graph may rewrite
+    val before = partFiles()
+    CatalogOps.upsertNsw(spark, "nswrdb", "emb_nswr",
+      Seq((888888L, qVec.toSeq)).toDF("vec_id", "embedding"))
+    val newPart = partOf(888888L).get
+    assert(partOf(0L).get === newPart) // same vector → same cell
+    val after = partFiles()
+    assert((before.keySet - newPart).forall(p => after(p) === before(p)),
+      "untouched cell graphs must stay byte-identical")
+    // the routed probe now serves the new id at 1.0 (tie after id 0)
+    val hits = GraphAnnOps.searchStoredRouted(spark, "nswrdb", "emb_nswr",
+        qVec, k = 2, efSearch = 1000, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(hits.toSeq === Seq((0L, 1.0), (888888L, 1.0)))
+    // MOVE: re-upsert 888888 with a vector from a DIFFERENT cell — the id
+    // must leave its old graph and appear in exactly the donor's cell
+    val donor = emb
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .find { case (id, _) =>
+        partOf(id).isDefined && partOf(id).get != newPart }.get
+    CatalogOps.upsertNsw(spark, "nswrdb", "emb_nswr",
+      Seq((888888L, donor._2)).toDF("vec_id", "embedding"))
+    assert(partOf(888888L).get === partOf(donor._1).get)
+    val dupCheck = spark.table("`nswrdb`.`emb_nswr`")
+      .select(explode(col("ids")).as("id")).filter(col("id") === 888888L).count()
+    assert(dupCheck === 1L) // gone from the old graph, present once
+    // DELETE through the generic entry (routes to the graph rebuild):
+    // the probe must never serve the deleted id again
+    CatalogOps.deleteByIds(spark, "nswrdb", "emb_nswr", Seq(888888L).toDF("vec_id"))
+    val served = GraphAnnOps.searchStoredRouted(spark, "nswrdb", "emb_nswr",
+        donor._2.toArray, k = 10, efSearch = 1000, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(served.nonEmpty && !served.contains(888888L))
+    CatalogOps.dropDatabase(spark, "nswrdb")
+  }
+
   test("deleteByIds removes codes: quantized and IVF-PQ probes never serve deleted ids") {
     import graft.sources.{CatalogOps, Tables}
     import spark.implicits._

@@ -202,6 +202,32 @@ class PlanSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "ivfplandb")
   }
 
+  test("routed NSW probe prunes graph partitions at plan time") {
+    import graft.sources.{CatalogOps, Tables}
+    import org.apache.spark.sql.functions.col
+    CatalogOps.dropDatabase(spark, "nswrplandb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/nswrplandb.db"))
+    CatalogOps.createDatabase(spark, "nswrplandb")
+    CatalogOps.createNswRoutedCollection(spark, "nswrplandb", "emb_nswr",
+      Tables.embeddings(spark, sf))
+    val qVec = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    val q = GraphAnnOps.searchStoredRouted(spark, "nswrplandb", "emb_nswr",
+      qVec, k = 3, efSearch = 100, nprobe = 2)
+    val p = plan(q)
+    // the routed cells land in PartitionFilters — the beam search never
+    // deserializes the other cells' graphs (the IVF pruning contract,
+    // now on the graph path too)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("part")), p)
+    val inList = "part[^ ]* IN \\(([^)]*)\\)".r.findFirstMatchIn(p)
+    assert(inList.isDefined, p)
+    assert(inList.get.group(1).split(",").length === 2, p)
+    assert(q.count() === 3)
+    CatalogOps.dropDatabase(spark, "nswrplandb")
+  }
+
   test("quantized phase-1 scan reads codes only (scale pruned) via bounded top-k") {
     import graft.sources.CatalogOps
     import org.apache.spark.sql.functions.col
