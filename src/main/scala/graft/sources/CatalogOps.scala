@@ -404,6 +404,56 @@ object CatalogOps {
       .saveAsTable(s"`$db`.`${name}__pqmeta`")
   }
 
+  /** Incremental maintenance for a plain PQ collection — completes the
+    * upsert family ([[upsertIvf]], [[upsertIvfPq]], [[upsertNsw]]): the
+    * batch's codes re-derive from the PERSISTED codebooks (`__pqmodel` /
+    * `__pqmeta` — no retraining; that is an index REBUILD), so an encoded
+    * batch row is byte-identical to what [[createPqCollection]] would have
+    * produced (pinned in tests). The collection is unpartitioned, so file
+    * scoping works by WRITE MODE instead of partition pruning: a batch of
+    * brand-new ids APPENDS (every existing file stays byte-for-byte); a
+    * batch that updates stored ids must remove the old rows and pays the
+    * staged whole-table merge — the honest cost of updating an
+    * unpartitioned layout (key-partitioned layouts exist for update-heavy
+    * tables; PQ collections are bulk-ingest + append in practice).
+    */
+  def upsertPq(spark: SparkSession, db: String, name: String,
+      batch: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    import graft.functions.VectorFunctions.dotFast
+    val table = s"`$db`.`$name`"
+    val (cb, m, kCent, _) = graft.operators.KnnOps.readPqModel(spark, db, name)
+    // a batch carrying the same id twice resolves deterministically —
+    // winner by row value, same rule as the other upsert paths
+    val keyW = max(struct(batch.columns.filterNot(_ == idCol).map(col).toIndexedSeq: _*)).as("__w")
+    val dedup = batch.groupBy(col(idCol)).agg(keyW)
+      .select(col(idCol) +: batch.columns.filterNot(_ == idCol)
+        .map(c => col(s"__w.$c").as(c)).toIndexedSeq: _*)
+    val derived = dedup
+      .withColumn("codes", toCol(graft.plans.PqCodes(
+        toExpr(col(vecCol)), cb.toSeq, m, kCent)))
+      .withColumn("norm", sqrt(dotFast(col(vecCol), col(vecCol))))
+      .drop(vecCol)
+    val targetCols = spark.table(table).columns.toIndexedSeq.map(col)
+    val updates = spark.table(table)
+      .join(broadcast(dedup.select(col(idCol))), idCol).limit(1).count()
+    if (updates == 0L) {
+      derived.select(targetCols: _*).write.mode("append").insertInto(s"$db.$name")
+    } else {
+      val staging = s"`$db`.`__${name}_upsert_staging`"
+      spark.table(table)
+        .join(broadcast(dedup.select(col(idCol))), Seq(idCol), "left_anti")
+        .unionByName(derived.select(targetCols: _*))
+        .write.mode("overwrite").saveAsTable(staging)
+      try {
+        spark.table(staging).select(targetCols: _*)
+          .write.mode("overwrite").insertInto(s"$db.$name")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
+  }
+
   /** IVF-PQ collection — the composed 100 TB index: the coarse quantizer's
     * cell becomes the PARTITION column (directory pruning at plan time,
     * like [[createIvfCollection]]) and the rows store PQ byte codes + the

@@ -1567,6 +1567,67 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "ivfpqupdb")
   }
 
+  test("upsertPq re-encodes from persisted codebooks; appends leave stored files untouched") {
+    import graft.sources.{CatalogOps, Tables}
+    import spark.implicits._
+    CatalogOps.dropDatabase(spark, "pqupdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/pqupdb.db"))
+    CatalogOps.createDatabase(spark, "pqupdb")
+    val emb = Tables.embeddings(spark, sf)
+    CatalogOps.createPqCollection(spark, "pqupdb", "emb_pq", emb)
+    val before = spark.table("`pqupdb`.`emb_pq`").count()
+    def row(id: Long) = spark.table("`pqupdb`.`emb_pq`")
+      .filter(col("vec_id") === id)
+      .select(col("codes"), col("norm")).head()
+    val r0 = row(0L)
+    val (codes0, norm0) = (r0.getAs[Array[Byte]](0), r0.getDouble(1))
+    val v0 = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Double](0)
+    val label0 = emb.filter(col("vec_id") === 0L)
+      .select(col("label")).head().getInt(0)
+    val tableDir = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath + "/pqupdb.db/emb_pq")
+    def files(): Set[(String, Long)] = tableDir.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    val keepBefore = files()
+    assert(keepBefore.nonEmpty)
+    // APPEND path: a brand-new id re-encodes through the PERSISTED
+    // codebooks (same vector → byte-identical codes) and every stored
+    // file stays byte-for-byte
+    CatalogOps.upsertPq(spark, "pqupdb", "emb_pq",
+      Seq((999999L, label0, v0)).toDF("vec_id", "label", "embedding"))
+    assert(spark.table("`pqupdb`.`emb_pq`").count() === before + 1)
+    val rNew = row(999999L)
+    assert(rNew.getAs[Array[Byte]](0).toSeq === codes0.toSeq)
+    assert(rNew.getDouble(1) === norm0)
+    assert(keepBefore.subsetOf(files())) // append never rewrites
+    // UPDATE path: moving the id onto id 1's vector re-encodes to id 1's
+    // codes, keeps the count, and leaves no duplicate
+    val v1 = emb.filter(col("vec_id") === 1L)
+      .select(col("embedding")).head().getSeq[Double](0)
+    val r1 = row(1L)
+    CatalogOps.upsertPq(spark, "pqupdb", "emb_pq",
+      Seq((999999L, label0, v1)).toDF("vec_id", "label", "embedding"))
+    assert(spark.table("`pqupdb`.`emb_pq`").count() === before + 1)
+    assert(spark.table("`pqupdb`.`emb_pq`")
+      .filter(col("vec_id") === 999999L).count() === 1)
+    val rUpd = row(999999L)
+    assert(rUpd.getAs[Array[Byte]](0).toSeq === r1.getAs[Array[Byte]](0).toSeq)
+    assert(rUpd.getDouble(1) === r1.getDouble(1))
+    // the probe serves the updated encoding: exhaustive rescore against
+    // id 1's vector must surface the moved id at score 1.0
+    val emb2 = emb.unionByName(
+      Seq((999999L, label0, v1)).toDF("vec_id", "label", "embedding")
+        .select(emb.columns.map(col).toIndexedSeq: _*))
+    val hits = KnnOps.topKPq(spark, "pqupdb", "emb_pq", emb2,
+        v1.toArray, excludeId = -1L, k = 2, rescoreK = 600)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(hits.toSeq === Seq((1L, 1.0), (999999L, 1.0)))
+    CatalogOps.dropDatabase(spark, "pqupdb")
+  }
+
   test("compaction collapses upsert-fragmented partitions to one file, rows intact") {
     import graft.sources.{CatalogOps, Tables}
     import spark.implicits._
