@@ -403,7 +403,8 @@ object DedupOps {
     */
   private[graft] def minHashLshOn(allDocs: DataFrame, tau: Double,
       maxBucket: Int = LshGuard.DefaultMaxBucket,
-      knownRows: Option[Long] = None): DataFrame = {
+      knownRows: Option[Long] = None,
+      release: Boolean = false): DataFrame = {
     // Collapse identical word-sets to their min-id representative FIRST
     // (exact dedup before near-dup — the real pipeline order). Identical
     // sets share every band, so a C-member cluster would enumerate
@@ -472,9 +473,22 @@ object DedupOps {
           .filter(jaccardFast(col("a_s"), col("b_s"), col("a_n"), col("b_n")) >= tau)
           .select(col("b_id"))
     }
-    docs.join(verified, docs("doc_id") === verified("b_id"), "left_anti")
+    val result = docs.join(verified, docs("doc_id") === verified("b_id"), "left_anti")
       .select(col("doc_id"))
       .orderBy(col("doc_id").asc)
+    // `release` materializes the survivors and DROPS the internal caches:
+    // a long-running stream calls this once per micro-batch with a NEW
+    // plan each time, so without the release every batch would leave two
+    // cached plans in executor storage forever (LRU-evicted, but wasted).
+    // The batch entry points keep the lazy form — their caches are reused
+    // across the session by plan identity.
+    if (!release) result
+    else {
+      val out = result.localCheckpoint()
+      sig.unpersist()
+      docs.unpersist()
+      out
+    }
   }
 
   /** Near-dup PAIRS via MinHash banding — the candidate-then-verify twin of
@@ -687,10 +701,23 @@ object DedupOps {
     * the order-free resolution).
     */
   private[graft] def dedupIncrementalBatch(batch0: DataFrame, db: String,
-      name: String, tau: Double): Unit = {
+      name: String, tau: Double, batchId: Option[Long] = None): Unit = {
     val spark = batch0.sparkSession
+    // At-least-once replay protection (foreachBatch can replay a batch
+    // after a crash): a commit marker written AFTER both appends makes a
+    // fully-committed batch a no-op on replay; the partial-crash windows
+    // are closed by writing SIGS FIRST and id-anti-joining both appends —
+    // every step is idempotent, so any replay converges to the same store
+    // (scenarios pinned in StreamingSpec).
+    val commitsName = s"${name}__commits"
+    if (batchId.isDefined && spark.catalog.tableExists(s"$db.$commitsName") &&
+        spark.table(s"`$db`.`$commitsName`")
+          .filter(col("batch_id") === batchId.get).limit(1).count() > 0L)
+      return
     val batch = batch0.select(col("doc_id"), col("text"))
-    val inBatch = minHashLshOn(batch, tau).select(col("doc_id"))
+    // release=true: the per-batch plan is new every time — without it the
+    // stream accumulates two cached plans per micro-batch
+    val inBatch = minHashLshOn(batch, tau, release = true).select(col("doc_id"))
     val survivors = batch.join(inBatch, "doc_id").cache()
     // general-vocabulary signatures: a stream never has a stable dictionary
     val sig = minhashSigMeta(survivors, None)
@@ -707,22 +734,58 @@ object DedupOps {
           .join(broadcast(bands.withColumnRenamed("doc_id", "new_id")),
             Seq("band", "bkey"))
           .select(col("new_id"), col("doc_id").as("old_id")).distinct()
-        val newTok = survivors
-          .select(col("doc_id").as("new_id"), tokenSet(col("text")).as("new_s"))
-        val oldTok = spark.table(s"`$db`.`$name`")
-          .select(col("doc_id").as("old_id"), tokenSet(col("text")).as("old_s"))
-        val dupIds = cand.join(newTok, "new_id").join(oldTok, "old_id")
-          .withColumn("j",
-            size(array_intersect(col("new_s"), col("old_s"))).cast("double") /
-              size(array_union(col("new_s"), col("old_s"))))
-          .filter(col("j") >= tau)
-          .select(col("new_id").as("doc_id")).distinct()
-        survivors.join(dupIds, Seq("doc_id"), "left_anti")
+          .cache() // reused: old-id pruning + the verify join
+        try {
+          val newTok = survivors
+            .select(col("doc_id").as("new_id"), tokenSet(col("text")).as("new_s"))
+          // candidate-pruned verify: only the candidate old docs are
+          // fetched and re-tokenized (broadcast join on old_id — the
+          // candidate set is micro-batch-bounded, like the band probe
+          // above), so per-batch verify cost scales with the candidates,
+          // not the stored corpus
+          val oldIds = cand.select(col("old_id")).distinct()
+          val oldTok = spark.table(s"`$db`.`$name`")
+            .select(col("doc_id").as("old_id"), col("text"))
+            .join(broadcast(oldIds), "old_id")
+            .select(col("old_id"), tokenSet(col("text")).as("old_s"))
+          val dupIds = cand.join(newTok, "new_id").join(oldTok, "old_id")
+            .withColumn("j",
+              size(array_intersect(col("new_s"), col("old_s"))).cast("double") /
+                size(array_union(col("new_s"), col("old_s"))))
+            .filter(col("j") >= tau)
+            .select(col("new_id").as("doc_id")).distinct()
+          // materialize before releasing the candidate cache it reads
+          survivors.join(dupIds, Seq("doc_id"), "left_anti").localCheckpoint()
+        } finally cand.unpersist()
       }
     val freshC = fresh.cache()
-    freshC.write.mode("append").saveAsTable(s"`$db`.`$name`")
-    bands.join(freshC.select(col("doc_id")), "doc_id")
-      .write.mode("append").saveAsTable(s"`$db`.`${name}__sigs`")
+    val freshIds = freshC.select(col("doc_id"))
+    // SIG rows first: a crash here leaves sigs without docs — the replay's
+    // verify cannot flag those ids (no stored text), recomputes the same
+    // fresh set, and the anti-joins below skip what already landed
+    val sigRows = bands.join(freshIds, "doc_id")
+    val sigsToWrite =
+      if (!spark.catalog.tableExists(s"$db.${name}__sigs")) sigRows
+      else sigRows.join(
+        spark.table(s"`$db`.`${name}__sigs`")
+          .join(broadcast(freshIds), "doc_id")
+          .select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    sigsToWrite.write.mode("append").saveAsTable(s"`$db`.`${name}__sigs`")
+    // DOCS second: a crash between docs and the marker is healed by the
+    // verify itself (the replayed rows j=1-match their own stored copy)
+    val docsToWrite =
+      if (!spark.catalog.tableExists(s"$db.$name")) freshC
+      else freshC.join(
+        spark.table(s"`$db`.`$name`")
+          .join(broadcast(freshIds), "doc_id")
+          .select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    docsToWrite.write.mode("append").saveAsTable(s"`$db`.`$name`")
+    batchId.foreach { id =>
+      spark.createDataFrame(Seq(Tuple1(id))).toDF("batch_id")
+        .write.mode("append").saveAsTable(s"`$db`.`$commitsName`")
+    }
     freshC.unpersist()
     survivors.unpersist()
   }

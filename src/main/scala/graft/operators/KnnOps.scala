@@ -962,7 +962,11 @@ object KnnOps {
     val adc = toCol(graft.plans.PqAdcDot(toExpr(col("codes")), lut.toSeq, m, kCent))
     val candidates = spark.table(s"`$db`.`$name`")
       .filter(col("vec_id") =!= excludeId)
-      .select(col("vec_id"), (adc / (col("norm") * lit(qNorm))).as("ascore"))
+      // greatest() guards a zero-norm stored vector: NaN sorts ABOVE every
+      // real score in Spark, so unguarded zero-norm rows would silently
+      // consume rescoreK candidate slots (int8 guards the same way)
+      .select(col("vec_id"),
+        (adc / (greatest(col("norm"), lit(1e-12)) * lit(math.max(qNorm, 1e-12)))).as("ascore"))
       .orderBy(col("ascore").desc, col("vec_id").asc)
       .limit(math.max(k, rescoreK))
       .select(col("vec_id"))
@@ -1049,7 +1053,9 @@ object KnnOps {
     val scored = spark.table(s"`$db`.`$name`")
       .crossJoin(broadcast(qlut.select(col("query_id"), col("lut"), col("q_norm"))))
       .select(col("query_id"), col("vec_id"),
-        (adc / (col("norm") * col("q_norm"))).as("ascore"))
+        // zero-norm guard: see topKPq
+        (adc / (greatest(col("norm"), lit(1e-12)) *
+          greatest(col("q_norm"), lit(1e-12)))).as("ascore"))
     val candK = toCol(graft.plans.TopKScoreId(
       toExpr(col("ascore")), toExpr(col("vec_id")), math.max(k, rescoreK))
       .toAggregateExpression())
@@ -1131,7 +1137,9 @@ object KnnOps {
         col("vec_id") =!= excludeId && predicate)
       .join(broadcast(centTable), "cell")
       .select(col("vec_id"),
-        ((adc + col("__cdot")) / (col("norm") * lit(qNorm))).as("ascore"))
+        // zero-norm guard: see topKPq
+        ((adc + col("__cdot")) /
+          (greatest(col("norm"), lit(1e-12)) * lit(math.max(qNorm, 1e-12)))).as("ascore"))
       .orderBy(col("ascore").desc, col("vec_id").asc)
       .limit(math.max(k, rescoreK))
       .select(col("vec_id"))

@@ -185,19 +185,21 @@ object StreamingOps {
     * (banded equi-join, batch side broadcast — the store is never
     * rescanned), and appends only the fresh uniques + their band keys.
     * First-arrival-wins across batches; [[streamingDedup]] remains the
-    * exact-id twin. foreachBatch is at-least-once: a full-batch replay is
-    * self-healing (the store already holds the batch, so every doc drops
-    * as its own duplicate), but a crash BETWEEN the two appends can leak
-    * one batch's rows into one table only — production wants both appends
-    * in one transactional commit (table-format dependent).
+    * exact-id twin. foreachBatch is at-least-once and the batch commit is
+    * replay-safe: a commit marker per batchId makes a fully-committed
+    * batch a no-op, and the partial-crash windows between the two appends
+    * close via sigs-first ordering + idempotent id-anti-joined appends
+    * (see [[graft.operators.DedupOps.dedupIncrementalBatch]]) — no
+    * transactional table format required.
     */
   def streamingDedupMinhash(docStream: DataFrame, db: String, name: String,
       tau: Double = 0.9): StreamingQuery =
     docStream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
-          graft.operators.DedupOps.dedupIncrementalBatch(batch.toDF(), db, name, tau)
+          graft.operators.DedupOps.dedupIncrementalBatch(batch.toDF(), db, name,
+            tau, batchId = Some(batchId))
       }
       .start()
 

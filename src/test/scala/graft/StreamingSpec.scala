@@ -357,6 +357,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup ingest replays converge: committed, post-sigs, and post-docs crash windows") {
+    import graft.sources.CatalogOps
+    import graft.operators.DedupOps
+    CatalogOps.dropDatabase(spark, "rdedupdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/rdedupdb.db"))
+    CatalogOps.createDatabase(spark, "rdedupdb")
+    val rnd = new scala.util.Random(23L)
+    val vocab = (0 until 120).map(i => f"tok$i%03d")
+    def doc(): String = rnd.shuffle(vocab).take(30).mkString(" ")
+    val base = rnd.shuffle(vocab).take(30)
+    val texts: Map[Long, String] = Map(
+      0L -> base.mkString(" "), 1L -> doc(), 2L -> doc(), 3L -> doc(),
+      4L -> doc(),
+      5L -> base.updated(3, "zzz").mkString(" "), // near-dup of doc 0
+      6L -> doc())
+    def run(ids: Seq[Long], batchId: Long): Unit =
+      DedupOps.dedupIncrementalBatch(
+        ids.map(i => (i, texts(i))).toDF("doc_id", "text"),
+        "rdedupdb", "corpus", tau = 0.9, batchId = Some(batchId))
+    def state(): (Set[Long], Map[Long, Long], Set[Long]) = (
+      spark.table("`rdedupdb`.`corpus`").collect().map(_.getLong(0)).toSet,
+      spark.table("`rdedupdb`.`corpus__sigs`").groupBy($"doc_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      spark.table("`rdedupdb`.`corpus__commits`").collect().map(_.getLong(0)).toSet)
+    run(Seq(0L, 1L, 2L, 3L), 1L)
+    val s1 = state()
+    assert(s1._1 === Set(0L, 1L, 2L, 3L) && s1._3 === Set(1L))
+    // COMMITTED replay: the marker short-circuits — byte-identical state
+    run(Seq(0L, 1L, 2L, 3L), 1L)
+    assert(state() === s1)
+    // POST-DOCS crash (both appends landed, marker lost): replay flags
+    // every row as its own stored duplicate and only restores the marker
+    run(Seq(4L, 5L), 2L) // 5 near-dups stored doc 0 → dropped
+    val s2 = state()
+    assert(s2._1 === Set(0L, 1L, 2L, 3L, 4L) && !s2._2.contains(5L))
+    CatalogOps.deleteByIds(spark, "rdedupdb", "corpus__commits",
+      Seq(2L).toDF("batch_id"), idCol = "batch_id")
+    run(Seq(4L, 5L), 2L)
+    assert(state() === s2)
+    // POST-SIGS crash (sig rows landed, docs lost): replay re-appends the
+    // doc exactly once and never duplicates its sig rows
+    run(Seq(6L), 3L)
+    val s3 = state()
+    CatalogOps.deleteByIds(spark, "rdedupdb", "corpus",
+      Seq(6L).toDF("doc_id"), idCol = "doc_id")
+    CatalogOps.deleteByIds(spark, "rdedupdb", "corpus__commits",
+      Seq(3L).toDF("batch_id"), idCol = "batch_id")
+    run(Seq(6L), 3L)
+    assert(state() === s3)
+    CatalogOps.dropDatabase(spark, "rdedupdb")
+  }
+
   test("flatMapGroupsWithState closes sessions on event-time timeout") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
