@@ -49,14 +49,19 @@ object Tables {
     * convert explicitly — sub-µs components are zero in the fixture, and
     * DuckDB's nanosecond reads compare equal at µs precision.
     *
-    * NOTE: the flag is session-wide — after this call, other nanos-parquet
-    * columns in the same session also read as long (instead of erroring).
-    * The entry-point builders (Verify/Bench/tests) set it up front so the
-    * behavior does not depend on read order; it is re-set here defensively
-    * for sessions constructed elsewhere.
+    * The flag has no per-read form (the schema converter consults session
+    * conf), and a table loader mutating session conf is a global that
+    * changes how OTHER reads behave — so this loader REQUIRES the flag
+    * instead of setting it. Every entry point (Verify/Bench/BenchOne/
+    * PlanAudit/tests) sets it at session build; a session constructed
+    * elsewhere gets a clear error naming the conf, not a silent
+    * session-wide behavior change.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet carries TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (all graft entry points do)")
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
