@@ -26,6 +26,10 @@ case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
 /** Per-channel audio features: RMS level and DC mean, both in [-1, 1]. */
 case class AudioFeature(doc_id: Long, rms: Array[Float], mean: Array[Float])
 
+/** Parsed video container metadata (the video-probe output schema). */
+case class VideoMeta(doc_id: Long, byte_len: Long, duration_ms: Long,
+    width: Long, height: Long, n_tracks: Long, content_sha: String)
+
 /** Multimodal-column plumbing: treat media as `binary` payloads with typed
   * metadata, decode/feature-extract as a per-partition batch operator.
   *
@@ -35,10 +39,13 @@ case class AudioFeature(doc_id: Long, rms: Array[Float], mean: Array[Float])
   * dependencies). Audio decode is REAL the same way: WAV/AIFF/AU via
   * `javax.sound.sampled.AudioSystem` ([[decodeAudio]] — also in every
   * JRE), with true sample-rate/duration metadata ([[audioMeta]]) and
-  * per-channel RMS/mean features ([[audioFeatures]]). Only VIDEO codecs
-  * are absent from the JDK, so that decode step remains a DETERMINISTIC
-  * FAKE (clearly marked below), as does the fallback for payloads no
-  * codec claims. Everything Spark-side is real
+  * per-channel RMS/mean features ([[audioFeatures]]). VIDEO codecs are
+  * absent from the JDK, so frame DECODE remains a DETERMINISTIC FAKE
+  * (clearly marked below, as is the fallback for payloads no codec
+  * claims) — but video container METADATA is real: [[parseMp4]] walks
+  * the ISO-BMFF box tree (MP4/MOV — pure JVM, the video twin of
+  * [[parsePpm]]) and [[videoMeta]] reports true duration, dimensions
+  * and track count from mvhd/tkhd. Everything Spark-side is real
   * and tested: the binary schema, the typed `Dataset[MediaRecord]` →
   * `Dataset[MediaMeta]` `mapPartitions` shape (partition-batched, the JVM
   * analog of `mapInPandas`), and the pure-SQL fingerprint/metadata path
@@ -424,6 +431,98 @@ object MultimodalOps {
               Array.tabulate(channels)(c => math.sqrt(sq(c) / n).toFloat),
               Array.tabulate(channels)(c => (mean(c) / n).toFloat)))
           }
+        }
+      }
+    }
+  }
+
+  /** REAL MP4/ISO-BMFF container-metadata parse — pure JVM box walk, the
+    * video twin of [[parsePpm]] (ISO/IEC 14496-12 box layout: 32-bit size
+    * + fourcc, size 1 → 64-bit largesize, size 0 → to-end-of-enclosing).
+    * Requires a leading `ftyp` (the MP4/MOV magic), then reads `moov/mvhd`
+    * for timescale+duration (both version 0 and 1 layouts) and every
+    * `moov/trak/tkhd` for the 16.16 fixed-point presentation dimensions
+    * (max across tracks — audio tracks carry 0×0). Returns
+    * (duration_ms, width, height, n_tracks); None for payloads that are
+    * not well-formed ISO-BMFF. Frame DECODE stays out of scope (no video
+    * codec ships with the JDK) — this is the honest boundary: real
+    * container truth, stubbed pixels.
+    */
+  private[graft] def parseMp4(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    def u32(i: Int): Long =
+      ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+        ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def typ(i: Int): String = new String(b, i + 4, 4, "US-ASCII")
+    if (b.length < 12 || typ(0) != "ftyp") return None
+    var durationMs = -1L
+    var w = 0L; var h = 0L; var tracks = 0L
+    def walk(from: Int, to: Int): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        var size = u32(i)
+        var hdr = 8
+        if (size == 1L) {
+          if (i + 16 > to) return false
+          size = u64(i + 8); hdr = 16
+        } else if (size == 0L) size = (to - i).toLong
+        if (size < hdr || size > (to - i).toLong) return false
+        typ(i) match {
+          case "moov" | "trak" =>
+            if (typ(i) == "trak") tracks += 1
+            if (!walk(i + hdr, i + size.toInt)) return false
+          case "mvhd" =>
+            val p = i + hdr
+            if (p + 4 > to) return false
+            val ver = b(p) & 0xFF
+            if (ver == 1) {
+              if (p + 32 > to) return false
+              val timescale = u32(p + 20); val dur = u64(p + 24)
+              if (timescale > 0) durationMs = math.round(dur * 1000.0 / timescale)
+            } else {
+              if (p + 20 > to) return false
+              val timescale = u32(p + 12); val dur = u32(p + 16)
+              if (timescale > 0) durationMs = math.round(dur * 1000.0 / timescale)
+            }
+          case "tkhd" =>
+            val p = i + hdr
+            if (p + 4 > to) return false
+            val ver = b(p) & 0xFF
+            // version/flags + creation/modification + track_id + reserved
+            // + duration, then reserved(8) layer(2) alternate(2) volume(2)
+            // reserved(2) matrix(36) → width/height as 16.16 fixed point
+            val base = if (ver == 1) p + 4 + 8 + 8 + 4 + 4 + 8
+                       else p + 4 + 4 + 4 + 4 + 4 + 4
+            val wOff = base + 8 + 2 + 2 + 2 + 2 + 36
+            if (wOff + 8 <= to) {
+              val tw = u32(wOff) >> 16; val th = u32(wOff + 4) >> 16
+              if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
+            }
+          case _ => ()
+        }
+        i += size.toInt
+      }
+      i == to // trailing garbage = not a well-formed container
+    }
+    if (!walk(0, b.length) || durationMs < 0) None
+    else Some((durationMs, w, h, tracks))
+  }
+
+  /** Typed video-container probe: true duration, presentation dimensions
+    * and track count from the ISO-BMFF header — the video analog of
+    * [[audioMeta]], same partition-batched map-side shape (zero shuffle).
+    * Payloads that are not MP4/MOV containers are dropped (route them to
+    * the image/audio decoders — the mixed-corpus contract).
+    */
+  def videoMeta(records: Dataset[MediaRecord]): Dataset[VideoMeta] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      it.flatMap { r =>
+        parseMp4(r.payload).map { case (durMs, w, h, tracks) =>
+          val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
+          digest.reset()
+          VideoMeta(r.doc_id, r.payload.length.toLong, durMs, w, h, tracks, sha)
         }
       }
     }

@@ -721,6 +721,56 @@ class OperatorSpec extends AnyFunSuite {
     assert(resized(2).payload.length === 4) // unclaimed payload → labeled stub
   }
 
+  test("MP4 box walk reports real duration, dimensions, and track count") {
+    import spark.implicits._
+    import graft.operators.{MediaRecord, MultimodalOps}
+    def box(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(payload.length + 8)
+      bb.putInt(payload.length + 8).put(fourcc.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+        "isom".getBytes("US-ASCII"))
+    // mvhd version 0: timescale 1000, duration 5400 ticks → 5400 ms
+    val mvhdV0 = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0).putInt(1000).putInt(5400)
+      box("mvhd", bb.array())
+    }
+    // mvhd version 1 (64-bit times): timescale 90000, duration 675000 → 7500 ms
+    val mvhdV1 = {
+      val bb = java.nio.ByteBuffer.allocate(112)
+      bb.putInt(0x01000000).putLong(0L).putLong(0L).putInt(90000).putLong(675000L)
+      box("mvhd", bb.array())
+    }
+    def tkhd(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.putInt(0).putInt(0).putInt(0).putInt(1).putInt(0).putInt(5400)
+      bb.position(bb.position() + 8 + 2 + 2 + 2 + 2 + 36)
+      bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+      box("tkhd", bb.array())
+    }
+    // video 640x360 + audio track (0x0 dims — must not win the max)
+    val mp4V0 = ftyp ++ box("moov",
+      mvhdV0 ++ box("trak", tkhd(640, 360)) ++ box("trak", tkhd(0, 0)))
+    val mp4V1 = ftyp ++ box("moov", mvhdV1 ++ box("trak", tkhd(1920, 1080)))
+    val records = Seq(
+      MediaRecord(1L, mp4V0, "video/mp4"),
+      MediaRecord(2L, mp4V1, "video/mp4"),
+      MediaRecord(3L, "not a video".getBytes("UTF-8"), "text/plain")).toDS
+    val meta = MultimodalOps.videoMeta(records).collect().sortBy(_.doc_id)
+    assert(meta.map(_.doc_id).toSeq === Seq(1L, 2L)) // unclaimed payload drops
+    assert(meta(0).duration_ms === 5400L)
+    assert(meta(0).width === 640L && meta(0).height === 360L)
+    assert(meta(0).n_tracks === 2L)
+    assert(meta(1).duration_ms === 7500L) // 64-bit mvhd layout
+    assert(meta(1).width === 1920L && meta(1).height === 1080L)
+    assert(meta(1).n_tracks === 1L)
+    // truncated container (box size past the payload end) → rejected
+    assert(MultimodalOps.parseMp4(mp4V0.dropRight(4)).isEmpty)
+  }
+
   test("batch sessionizer agrees with Spark's native session_window") {
     // Two independent formulations of 30-minute-gap sessions must produce
     // identical (user, start, end, n) tuples. Controlled corpus: the lag
