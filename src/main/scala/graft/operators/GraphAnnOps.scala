@@ -371,6 +371,62 @@ object GraphAnnOps {
       qVec, k, efSearch)
   }
 
+  /** Batched ROUTED graph search — [[searchStoredRouted]] for a query
+    * TABLE (query_id, q_embedding), one job for the whole batch: every
+    * query picks its `nprobe` cells driver-side against the k×dim model
+    * (micro-batch-sized by contract, like [[KnnOps.topKForQueriesIvf]]),
+    * the graph scan prunes to the UNION of probed cells (one pruned read
+    * serves the batch), each pruned graph beam-searches only the queries
+    * routed to IT (driver-broadcast routing map), and the bounded-heap
+    * [[graft.plans.TopKScoreId]] merges k rows per (query, graph). The
+    * per-micro-batch scorer of [[graft.streaming.StreamingOps
+    * .streamingKnnNswRouted]]. Output ≡ running [[searchStoredRouted]]
+    * per query (test-pinned).
+    */
+  def searchStoredRoutedBatch(spark: SparkSession, db: String, name: String,
+      queries: DataFrame, k: Int = 3, efSearch: Int = 100,
+      nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val model = spark.table(s"`$db`.`${name}__model`")
+      .orderBy(col("cell").asc).collect()
+    val kCells = model.length
+    val cents = model.flatMap(_.getSeq[Double](1))
+    // replayed query_ids resolve deterministically (see topKForQueries)
+    val qRows = queries.groupBy(col("query_id"))
+      .agg(max(struct(col("q_embedding"))).as("__w"))
+      .select(col("query_id"), col("__w.q_embedding").as("q_embedding"))
+      .collect()
+    val routing: Map[Int, Array[(Long, Array[Double])]] = qRows
+      .flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Double](1).toArray
+        KnnOps.nearestCells(qv, cents, kCells, nprobe).map(c => (c, (qid, qv)))
+      }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val routingB = spark.sparkContext.broadcast(routing)
+    val probedParts = routing.keys.toSeq.map(Int.box)
+    val ef = math.max(efSearch, k)
+    val hits = spark.table(s"`$db`.`$name`")
+      .filter(col("part").isin(probedParts: _*)).as[NswGraph]
+      .flatMap { g =>
+        routingB.value.getOrElse(g.part, Array.empty[(Long, Array[Double])])
+          .iterator.flatMap { case (qid, qv) =>
+            searchLocal(g, qv, ef).take(k).map { case (id, s) => (qid, id, s) }
+          }
+      }
+      .toDF("query_id", "vec_id", "score")
+      .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+    val topk = toCol(graft.plans.TopKScoreId(
+      toExpr(col("score")), toExpr(col("vec_id")), k).toAggregateExpression())
+    hits.groupBy(col("query_id"))
+      .agg(topk.as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.vec_id").as("vec_id"),
+        col("hit.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** Probe entry for the ROUTED graph collection (`q_knn_hnsw_routed`):
     * build-if-absent (warmup pays it), then every call is the pure routed
     * probe — model read, driver-side cell choice, beam searches over the

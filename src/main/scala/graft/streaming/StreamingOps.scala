@@ -223,6 +223,27 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming knn over a ROUTED NSW collection
+    * ([[graft.sources.CatalogOps.createNswRoutedCollection]]) — the graph
+    * member of the streaming ANN family (exact / IVF / int8 / PQ /
+    * graphs): each micro-batch's queries route driver-side against the
+    * persisted coarse model, the graph scan prunes to the union of probed
+    * cells, and each pruned graph beam-searches only its own queries
+    * ([[graft.operators.GraphAnnOps.searchStoredRoutedBatch]]) — one job
+    * per batch, nprobe·batch graph searches instead of graphs·batch.
+    */
+  def streamingKnnNswRouted(queryStream: DataFrame, db: String, name: String,
+      k: Int = 3, efSearch: Int = 100, nprobe: Int = 2)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.GraphAnnOps.searchStoredRoutedBatch(
+            batch.sparkSession, db, name, batch.toDF(), k, efSearch, nprobe), id)
+      }
+      .start()
+
   /** Stream-static enrichment: every micro-batch hash-joins against the
     * broadcast dimension (no streaming state at all — the static side is a
     * plain batch DataFrame, re-broadcast per batch). The streaming form of

@@ -1932,6 +1932,33 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "nswrdb")
   }
 
+  test("batched routed graph search equals the per-query routed probe") {
+    import graft.sources.{CatalogOps, Tables}
+    import spark.implicits._
+    CatalogOps.dropDatabase(spark, "nswrbdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/nswrbdb.db"))
+    CatalogOps.createDatabase(spark, "nswrbdb")
+    val emb = Tables.embeddings(spark, sf)
+    CatalogOps.createNswRoutedCollection(spark, "nswrbdb", "emb_nswr", emb)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val batched = GraphAnnOps.searchStoredRoutedBatch(spark, "nswrbdb", "emb_nswr",
+        queries, k = 3, efSearch = 100, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(batched.length === 12) // 4 queries × k
+    (0L until 4L).foreach { qid =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Double](0).toArray
+      val single = GraphAnnOps.searchStoredRouted(spark, "nswrbdb", "emb_nswr",
+          qv, k = 3, efSearch = 100, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(batched.filter(_._1 == qid).sortBy(_._4)
+        .map(t => (t._2, t._3)).toSeq === single.toSeq, s"query $qid diverged")
+    }
+    CatalogOps.dropDatabase(spark, "nswrbdb")
+  }
+
   test("deleteByIds removes codes: quantized and IVF-PQ probes never serve deleted ids") {
     import graft.sources.{CatalogOps, Tables}
     import spark.implicits._
