@@ -1153,6 +1153,99 @@ object KnnOps {
       .limit(k)
   }
 
+  /** Batched IVF-PQ knn — [[topKIvfPq]] for a query TABLE
+    * (query_id, q_embedding), one job for the whole batch, composing BOTH
+    * batch prunings: the scan reads only the UNION of every query's
+    * probed cell partitions (PartitionFilters, like
+    * [[topKForQueriesIvf]]), and each surviving row is ADC-scored only
+    * against the queries that probed ITS cell (broadcast (query, cell,
+    * ⟨q,centroid⟩) routing table restores the residual's coarse term per
+    * pair). Per-query LUTs build driver-side against the persisted
+    * codebooks; the bounded-heap candidates rescore at full precision in
+    * the same plan. Output ≡ running [[topKIvfPq]] per query
+    * (test-pinned); the per-micro-batch scorer of
+    * [[graft.streaming.StreamingOps.streamingKnnIvfPq]].
+    */
+  def topKForQueriesIvfPq(spark: SparkSession, db: String, name: String,
+      full: DataFrame, queries: DataFrame, k: Int = 3, rescoreK: Int = 12,
+      nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val model = spark.table(s"`$db`.`${name}__model`")
+      .orderBy(col("cell").asc).collect()
+    val kCells = model.length
+    val cents = model.flatMap(_.getSeq[Double](1))
+    val (cb, m, kCent, subDim) = readPqModel(spark, db, name)
+    // replayed query_ids resolve deterministically (see topKForQueries)
+    val qRows = queries.groupBy(col("query_id"))
+      .agg(max(struct(col("q_embedding"))).as("__w"))
+      .select(col("query_id"), col("__w.q_embedding").as("q_embedding"))
+      .collect()
+    val dim = m * subDim
+    val lutRows = qRows.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      require(qv.length == dim, s"query dim ${qv.length} != collection dim $dim")
+      val lut = new Array[Double](m * kCent)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < kCent) {
+          var d = 0.0; var i = 0
+          while (i < subDim) { d += qv(s * subDim + i) * cb((s * kCent + c) * subDim + i); i += 1 }
+          lut(s * kCent + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      (qid, lut.toSeq, math.sqrt(qv.map(x => x * x).sum), qv.toSeq)
+    }
+    val qlut = spark.createDataFrame(lutRows.toSeq)
+      .toDF("query_id", "lut", "q_norm", "q_embedding")
+    // per-query probed cells + the coarse term ⟨q, centroid⟩ per pair
+    val probeRows = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      nearestCells(qv, cents, kCells, nprobe).map { c =>
+        var d = 0.0; var i = 0
+        while (i < dim) { d += qv(i) * cents(c * dim + i); i += 1 }
+        (qid, c, d)
+      }
+    }
+    val qprobe = spark.createDataFrame(probeRows.toSeq)
+      .toDF("query_id", "cell", "__cdot")
+    val allCells = probeRows.map(_._2).distinct.map(Int.box)
+    val adc = toCol(graft.plans.PqAdcDotCol(
+      toExpr(col("codes")), toExpr(col("lut")), m, kCent))
+    val scored = spark.table(s"`$db`.`$name`")
+      .filter(col("cell").isin(allCells: _*)) // partition-pruned once for the batch
+      .join(broadcast(qprobe), "cell")        // each row meets only its probers
+      .join(broadcast(qlut.select(col("query_id"), col("lut"), col("q_norm"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        // zero-norm guard: see topKPq
+        ((adc + col("__cdot")) / (greatest(col("norm"), lit(1e-12)) *
+          greatest(col("q_norm"), lit(1e-12)))).as("ascore"))
+    val candK = toCol(graft.plans.TopKScoreId(
+      toExpr(col("ascore")), toExpr(col("vec_id")), math.max(k, rescoreK))
+      .toAggregateExpression())
+    val candidates = scored.groupBy(col("query_id"))
+      .agg(candK.as("cand"))
+      .select(col("query_id"), explode(col("cand")).as("hit"))
+      .select(col("query_id"), col("hit.vec_id").as("vec_id"))
+      .join(broadcast(qlut.select(col("query_id"), col("q_embedding"))), "query_id")
+    val rescored = full.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candidates), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
+    val topk = toCol(graft.plans.TopKScoreId(
+      toExpr(col("score")), toExpr(col("vec_id")), k).toAggregateExpression())
+    rescored.groupBy(col("query_id"))
+      .agg(topk.as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.vec_id").as("vec_id"),
+        col("hit.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** Contract probe for [[topKIvfPq]] — build-once over the fixture
     * corpus, then a pruned+coded answer. Near-random fixture vectors →
     * generous nprobe/rescoreK like [[topKPqProbe]]; rows-only.

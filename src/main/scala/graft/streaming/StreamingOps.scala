@@ -223,6 +223,27 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming knn over an IVF-PQ collection
+    * ([[graft.sources.CatalogOps.createIvfPqCollection]]) — the composed
+    * 100 TB index served per micro-batch: queries route to their cells
+    * driver-side, the scan prunes to the batch's union of cell
+    * partitions, surviving rows pay M ADC byte-lookups only against the
+    * queries that probed their cell, and the bounded candidates rescore
+    * at full precision ([[graft.operators.KnnOps.topKForQueriesIvfPq]]) —
+    * both prunings multiply, one job per batch.
+    */
+  def streamingKnnIvfPq(queryStream: DataFrame, db: String, name: String,
+      full: DataFrame, k: Int = 3, rescoreK: Int = 12, nprobe: Int = 2)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.KnnOps.topKForQueriesIvfPq(
+            batch.sparkSession, db, name, full, batch.toDF(), k, rescoreK, nprobe), id)
+      }
+      .start()
+
   /** Streaming knn over a ROUTED NSW collection
     * ([[graft.sources.CatalogOps.createNswRoutedCollection]]) — the graph
     * member of the streaming ANN family (exact / IVF / int8 / PQ /

@@ -1573,6 +1573,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("batched IVF-PQ probe equals the per-query pruned+coded probe") {
+    import spark.implicits._
+    KnnOps.topKIvfPqProbe(spark, sf) // ensure the session collection
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val batch = KnnOps.topKForQueriesIvfPq(spark, "graft_ivfpq_probe", "emb_ivfpq",
+        emb, queries, k = 3, rescoreK = 64, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(batch.length === 12) // 4 queries × k
+    (0L until 4L).foreach { qid =>
+      val qVec = emb.filter(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Double](0).toArray
+      val single = KnnOps.topKIvfPq(spark, "graft_ivfpq_probe", "emb_ivfpq",
+          emb, qVec, excludeId = -1L, k = 3, rescoreK = 64, nprobe = 4)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+      assert(batch.filter(_._1 == qid).toSeq === single.toSeq, s"query $qid")
+    }
+  }
+
   test("IVF-PQ upsert re-encodes with stored models, touches only affected partitions") {
     import graft.sources.{CatalogOps, Tables}
     import spark.implicits._

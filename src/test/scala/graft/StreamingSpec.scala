@@ -316,6 +316,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming IVF-PQ knn answers each micro-batch like the batched probe") {
+    import graft.sources.{CatalogOps, Tables}
+    import graft.operators.KnnOps
+    implicit val ctx = spark.sqlContext
+    CatalogOps.dropDatabase(spark, "sivfpqdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/sivfpqdb.db"))
+    CatalogOps.createDatabase(spark, "sivfpqdb")
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    CatalogOps.createIvfPqCollection(spark, "sivfpqdb", "emb_ivfpq", emb)
+    val queries = emb.filter($"vec_id" < 4).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](2)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+    val q = StreamingOps.streamingKnnIvfPq(
+      in.toDS.toDF("query_id", "q_embedding"), "sivfpqdb", "emb_ivfpq", emb,
+      k = 3, rescoreK = 64, nprobe = 4) { (out, _) =>
+      results.synchronized {
+        results ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      }
+    }
+    try {
+      in.addData(queries.take(2).toSeq: _*); q.processAllAvailable()
+      in.addData(queries.drop(2).toSeq: _*); q.processAllAvailable()
+      val expected = KnnOps.topKForQueriesIvfPq(spark, "sivfpqdb", "emb_ivfpq",
+          emb, emb.filter($"vec_id" < 4)
+            .select($"vec_id".as("query_id"), $"embedding".as("q_embedding")),
+          k = 3, rescoreK = 64, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(results.toSet === expected)
+      assert(results.size === 12) // 4 queries × k=3, each exactly once
+    } finally {
+      q.stop()
+      CatalogOps.dropDatabase(spark, "sivfpqdb")
+    }
+  }
+
   test("streaming routed graph knn answers each micro-batch like the batched probe") {
     import graft.sources.{CatalogOps, Tables}
     import graft.operators.GraphAnnOps

@@ -125,3 +125,33 @@ object VectorProperties extends Properties("graft.plans.VectorExpressions") {
       codesOk && math.abs(adc - reconDot) < 1e-9
     }
 }
+
+/** ScalaCheck robustness of the pure-JVM MP4 box walk: arbitrary byte
+  * garbage — including ftyp-prefixed garbage — must never throw, and
+  * anything without the ftyp magic is rejected outright. The parser feeds
+  * a mapPartitions task, where one crafted payload throwing would fail
+  * the whole partition.
+  */
+object Mp4ParseProperties extends Properties("graft.operators.MultimodalOps.parseMp4") {
+  import org.scalacheck.Gen
+  import graft.operators.MultimodalOps.parseMp4
+
+  private val bytes: Gen[Array[Byte]] =
+    Gen.choose(0, 256).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+
+  property("never throws on arbitrary bytes") = forAll(bytes) { b =>
+    parseMp4(b); true
+  }
+
+  property("never throws on ftyp-prefixed garbage") = forAll(bytes) { b =>
+    val hdr = java.nio.ByteBuffer.allocate(8)
+      .putInt(b.length + 8).put("ftyp".getBytes("US-ASCII")).array()
+    parseMp4(hdr ++ b); true
+  }
+
+  property("non-ftyp payloads are rejected") = forAll(bytes) { b =>
+    val isFtyp = b.length >= 12 && new String(b, 4, 4, "ISO-8859-1") == "ftyp"
+    isFtyp || parseMp4(b).isEmpty
+  }
+}
