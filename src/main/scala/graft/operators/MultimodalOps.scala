@@ -26,9 +26,13 @@ case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
 /** Per-channel audio features: RMS level and DC mean, both in [-1, 1]. */
 case class AudioFeature(doc_id: Long, rms: Array[Float], mean: Array[Float])
 
-/** Parsed video container metadata (the video-probe output schema). */
+/** Parsed video container metadata (the video-probe output schema).
+  * `n_frames` is the stsz sample count of the largest-dimensioned track
+  * (the video track — audio tracks carry 0×0 dims), 0 when absent.
+  */
 case class VideoMeta(doc_id: Long, byte_len: Long, duration_ms: Long,
-    width: Long, height: Long, n_tracks: Long, content_sha: String)
+    width: Long, height: Long, n_frames: Long, n_tracks: Long,
+    content_sha: String)
 
 /** Multimodal-column plumbing: treat media as `binary` payloads with typed
   * metadata, decode/feature-extract as a per-partition batch operator.
@@ -442,13 +446,15 @@ object MultimodalOps {
     * Requires a leading `ftyp` (the MP4/MOV magic), then reads `moov/mvhd`
     * for timescale+duration (both version 0 and 1 layouts) and every
     * `moov/trak/tkhd` for the 16.16 fixed-point presentation dimensions
-    * (max across tracks — audio tracks carry 0×0). Returns
-    * (duration_ms, width, height, n_tracks); None for payloads that are
-    * not well-formed ISO-BMFF. Frame DECODE stays out of scope (no video
-    * codec ships with the JDK) — this is the honest boundary: real
-    * container truth, stubbed pixels.
+    * (the largest-dimensioned track wins — audio tracks carry 0×0) plus
+    * that track's REAL frame count from its sample-size table
+    * (`mdia/minf/stbl/stsz` sample_count). Returns
+    * (duration_ms, width, height, n_frames, n_tracks); None for payloads
+    * that are not well-formed ISO-BMFF. Frame DECODE stays out of scope
+    * (no video codec ships with the JDK) — this is the honest boundary:
+    * real container truth, stubbed pixels.
     */
-  private[graft] def parseMp4(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+  private[graft] def parseMp4(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
     def u32(i: Int): Long =
       ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
         ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
@@ -456,7 +462,10 @@ object MultimodalOps {
     def typ(i: Int): String = new String(b, i + 4, 4, "US-ASCII")
     if (b.length < 12 || typ(0) != "ftyp") return None
     var durationMs = -1L
-    var w = 0L; var h = 0L; var tracks = 0L
+    var w = 0L; var h = 0L; var frames = 0L; var tracks = 0L
+    // per-trak accumulation: tkhd dims + stsz sample count; the
+    // largest-dimensioned trak (the video track) wins the globals
+    var trakW = 0L; var trakH = 0L; var trakSamples = 0L
     def walk(from: Int, to: Int): Boolean = {
       var i = from
       while (i + 8 <= to) {
@@ -468,9 +477,19 @@ object MultimodalOps {
         } else if (size == 0L) size = (to - i).toLong
         if (size < hdr || size > (to - i).toLong) return false
         typ(i) match {
-          case "moov" | "trak" =>
-            if (typ(i) == "trak") tracks += 1
+          case "moov" | "mdia" | "minf" | "stbl" =>
             if (!walk(i + hdr, i + size.toInt)) return false
+          case "trak" =>
+            tracks += 1
+            trakW = 0L; trakH = 0L; trakSamples = 0L
+            if (!walk(i + hdr, i + size.toInt)) return false
+            if (trakW > 0 && trakH > 0 && trakW * trakH > w * h) {
+              w = trakW; h = trakH; frames = trakSamples
+            }
+          case "stsz" =>
+            // version/flags(4) + sample_size(4) + sample_count(4)
+            val p = i + hdr
+            if (p + 12 <= to) trakSamples = u32(p + 8)
           case "mvhd" =>
             val p = i + hdr
             if (p + 4 > to) return false
@@ -496,7 +515,7 @@ object MultimodalOps {
             val wOff = base + 8 + 2 + 2 + 2 + 2 + 36
             if (wOff + 8 <= to) {
               val tw = u32(wOff) >> 16; val th = u32(wOff + 4) >> 16
-              if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
+              if (tw > 0 && th > 0) { trakW = tw; trakH = th }
             }
           case _ => ()
         }
@@ -505,7 +524,7 @@ object MultimodalOps {
       i == to // trailing garbage = not a well-formed container
     }
     if (!walk(0, b.length) || durationMs < 0) None
-    else Some((durationMs, w, h, tracks))
+    else Some((durationMs, w, h, frames, tracks))
   }
 
   /** Typed video-container probe: true duration, presentation dimensions
@@ -519,10 +538,11 @@ object MultimodalOps {
     records.mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       it.flatMap { r =>
-        parseMp4(r.payload).map { case (durMs, w, h, tracks) =>
+        parseMp4(r.payload).map { case (durMs, w, h, frames, tracks) =>
           val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
           digest.reset()
-          VideoMeta(r.doc_id, r.payload.length.toLong, durMs, w, h, tracks, sha)
+          VideoMeta(r.doc_id, r.payload.length.toLong, durMs, w, h, frames,
+            tracks, sha)
         }
       }
     }

@@ -751,9 +751,16 @@ class OperatorSpec extends AnyFunSuite {
       bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
       box("tkhd", bb.array())
     }
-    // video 640x360 + audio track (0x0 dims — must not win the max)
+    def stsz(samples: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.putInt(0).putInt(0).putInt(samples) // vf, sample_size=0, sample_count
+      box("mdia", box("minf", box("stbl", box("stsz", bb.array()))))
+    }
+    // video 640x360 @ 90 frames + audio track (0x0 dims, 430 samples —
+    // must win neither the dims nor the frame count)
     val mp4V0 = ftyp ++ box("moov",
-      mvhdV0 ++ box("trak", tkhd(640, 360)) ++ box("trak", tkhd(0, 0)))
+      mvhdV0 ++ box("trak", tkhd(640, 360) ++ stsz(90)) ++
+        box("trak", tkhd(0, 0) ++ stsz(430)))
     val mp4V1 = ftyp ++ box("moov", mvhdV1 ++ box("trak", tkhd(1920, 1080)))
     val records = Seq(
       MediaRecord(1L, mp4V0, "video/mp4"),
@@ -763,9 +770,11 @@ class OperatorSpec extends AnyFunSuite {
     assert(meta.map(_.doc_id).toSeq === Seq(1L, 2L)) // unclaimed payload drops
     assert(meta(0).duration_ms === 5400L)
     assert(meta(0).width === 640L && meta(0).height === 360L)
+    assert(meta(0).n_frames === 90L) // the VIDEO track's stsz count
     assert(meta(0).n_tracks === 2L)
     assert(meta(1).duration_ms === 7500L) // 64-bit mvhd layout
     assert(meta(1).width === 1920L && meta(1).height === 1080L)
+    assert(meta(1).n_frames === 0L) // no sample table present
     assert(meta(1).n_tracks === 1L)
     // truncated container (box size past the payload end) → rejected
     assert(MultimodalOps.parseMp4(mp4V0.dropRight(4)).isEmpty)
