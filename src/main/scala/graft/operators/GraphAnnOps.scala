@@ -371,6 +371,30 @@ object GraphAnnOps {
       qVec, k, efSearch)
   }
 
+  /** FILTERED search on the ROUTED graph path — the routed twin of
+    * [[searchStoredFiltered]], composing all three prunings: the coarse
+    * quantizer opens only `nprobe` cell graphs (partition pruning), each
+    * probed graph over-fetches `k·overFetch` beam candidates (the
+    * post-filter headroom), and the predicate applies on the broadcast
+    * attribute join. Recall composes multiplicatively on BOTH axes — an
+    * unprobed cell and a filtered-out neighborhood each cost — so hard
+    * filters want nprobe AND overFetch headroom (equality vs the exact
+    * filtered scan at exhaustive settings is test-pinned).
+    */
+  def searchStoredRoutedFiltered(spark: SparkSession, db: String, name: String,
+      qVec: Array[Double], attrs: DataFrame, predicate: Column, k: Int = 3,
+      efSearch: Int = 100, nprobe: Int = 2, overFetch: Int = 4): DataFrame = {
+    import spark.implicits._
+    val model = spark.table(s"`$db`.`${name}__model`")
+      .orderBy(col("cell").asc).collect()
+    val kCells = model.length
+    val cents = model.flatMap(_.getSeq[Double](1))
+    val probes = KnnOps.nearestCells(qVec, cents, kCells, nprobe)
+    searchGraphsFiltered(spark.table(s"`$db`.`$name`")
+        .filter(col("part").isin(probes.map(Int.box): _*)).as[NswGraph],
+      qVec, attrs, predicate, k, efSearch, overFetch)
+  }
+
   /** Batched ROUTED graph search — [[searchStoredRouted]] for a query
     * TABLE (query_id, q_embedding), one job for the whole batch: every
     * query picks its `nprobe` cells driver-side against the k×dim model

@@ -1961,6 +1961,37 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "nswrdb")
   }
 
+  test("filtered routed graph search equals the exact filtered scan at exhaustive settings") {
+    import graft.sources.{CatalogOps, Tables}
+    import spark.implicits._
+    CatalogOps.dropDatabase(spark, "nswrfdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/nswrfdb.db"))
+    CatalogOps.createDatabase(spark, "nswrfdb")
+    val emb = Tables.embeddings(spark, sf)
+    CatalogOps.createNswRoutedCollection(spark, "nswrfdb", "emb_nswr", emb)
+    val qVec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    // exhaustive: every cell probed, beam >= nodes, over-fetch >= matches
+    val got = GraphAnnOps.searchStoredRoutedFiltered(spark, "nswrfdb", "emb_nswr",
+        qVec, attrs = emb.select(col("vec_id"), col("label")),
+        predicate = col("label") === 3 && col("vec_id") =!= 0L,
+        k = 5, efSearch = 1000, nprobe = 8, overFetch = 200)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = KnnOps.topKFiltered(spark, sf, queryId = 0L, labelEq = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))) // (vec_id, label, score)
+    assert(got.map(_._1).toSeq === exact.map(_._1).toSeq)
+    got.zip(exact).foreach { case ((_, s1), (_, s2)) =>
+      assert(math.abs(s1 - s2) < 1e-6)
+    }
+    // pruned settings still return k rows (recall measured elsewhere)
+    assert(GraphAnnOps.searchStoredRoutedFiltered(spark, "nswrfdb", "emb_nswr",
+      qVec, emb.select(col("vec_id"), col("label")),
+      col("label") === 3 && col("vec_id") =!= 0L,
+      k = 5, efSearch = 100, nprobe = 2).count() <= 5)
+    CatalogOps.dropDatabase(spark, "nswrfdb")
+  }
+
   test("batched routed graph search equals the per-query routed probe") {
     import graft.sources.{CatalogOps, Tables}
     import spark.implicits._
