@@ -603,13 +603,17 @@ object CatalogOps {
       }
     val graphs = spark.table(s"`$db`.`$name`")
     // a routed update can MOVE cells (the new vector routes elsewhere), so
-    // the old graphs of updated ids are touched too; for sharded
-    // collections old part == new part and this union adds nothing
-    val oldParts = graphs
-      .select(col("part"), explode(col("ids")).as("vec_id"))
-      .join(broadcast(batch.select(col("vec_id"))), "vec_id")
-      .select(col("part")).distinct()
-    val touched = batchP.select(col("part")).union(oldParts).distinct()
+    // the old graphs of updated ids are touched too — found by scanning
+    // the stored id lists (part + ids columns only, one row per graph).
+    // Sharded collections skip the scan entirely: part is a function of
+    // the id, so old part == new part by construction.
+    val touched =
+      if (!routed) batchP.select(col("part")).distinct()
+      else batchP.select(col("part")).union(
+          graphs.select(col("part"), explode(col("ids")).as("vec_id"))
+            .join(broadcast(batch.select(col("vec_id"))), "vec_id")
+            .select(col("part")))
+        .distinct()
     // decode the touched graphs back to (part, vec_id, embedding) rows
     val stored = graphs.join(broadcast(touched), "part")
       .select(col("part"), col("dim"),
