@@ -11,11 +11,14 @@ object Bench {
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val load = os.getSystemLoadAverage
     val memAvailKb =
-      try scala.io.Source.fromFile("/proc/meminfo").getLines()
-        .collectFirst { case l if l.startsWith("MemAvailable:") =>
-          l.split("\\s+")(1).toLong }
-        .getOrElse(-1L)
-      catch { case _: Throwable => -1L }
+      try {
+        val src = scala.io.Source.fromFile("/proc/meminfo")
+        try src.getLines()
+          .collectFirst { case l if l.startsWith("MemAvailable:") =>
+            l.split("\\s+")(1).toLong }
+          .getOrElse(-1L)
+        finally src.close()
+      } catch { case _: Throwable => -1L }
     val cpus = Runtime.getRuntime.availableProcessors()
     s"""{"load_avg":$load,"mem_available_kb":$memAvailKb,"cpus":$cpus}"""
   }

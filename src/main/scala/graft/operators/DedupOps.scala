@@ -704,16 +704,20 @@ object DedupOps {
       name: String, tau: Double, batchId: Option[Long] = None): Unit = {
     val spark = batch0.sparkSession
     // At-least-once replay protection (foreachBatch can replay a batch
-    // after a crash): a commit marker written AFTER both appends makes a
-    // fully-committed batch a no-op on replay; the partial-crash windows
+    // after a crash): a commit watermark written AFTER both appends makes
+    // a fully-committed batch a no-op on replay; the partial-crash windows
     // are closed by writing SIGS FIRST and id-anti-joining both appends —
     // every step is idempotent, so any replay converges to the same store
-    // (scenarios pinned in StreamingSpec).
+    // (scenarios pinned in StreamingSpec). Batch ids are monotonic, so the
+    // watermark is ONE row overwritten per batch — not an append-per-batch
+    // table that would accumulate small files and a full scan on the hot
+    // path of every micro-batch.
     val commitsName = s"${name}__commits"
-    if (batchId.isDefined && spark.catalog.tableExists(s"$db.$commitsName") &&
-        spark.table(s"`$db`.`$commitsName`")
-          .filter(col("batch_id") === batchId.get).limit(1).count() > 0L)
-      return
+    if (batchId.isDefined && spark.catalog.tableExists(s"$db.$commitsName")) {
+      val r = spark.table(s"`$db`.`$commitsName`")
+        .agg(max(col("batch_id"))).head()
+      if (!r.isNullAt(0) && batchId.get <= r.getLong(0)) return
+    }
     val batch = batch0.select(col("doc_id"), col("text"))
     // release=true: the per-batch plan is new every time — without it the
     // stream accumulates two cached plans per micro-batch
@@ -784,7 +788,7 @@ object DedupOps {
     docsToWrite.write.mode("append").saveAsTable(s"`$db`.`$name`")
     batchId.foreach { id =>
       spark.createDataFrame(Seq(Tuple1(id))).toDF("batch_id")
-        .write.mode("append").saveAsTable(s"`$db`.`$commitsName`")
+        .write.mode("overwrite").saveAsTable(s"`$db`.`$commitsName`")
     }
     freshC.unpersist()
     survivors.unpersist()

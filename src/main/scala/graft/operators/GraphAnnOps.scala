@@ -361,10 +361,7 @@ object GraphAnnOps {
       qVec: Array[Double], k: Int = 3, efSearch: Int = 100,
       nprobe: Int = 2): DataFrame = {
     import spark.implicits._
-    val model = spark.table(s"`$db`.`${name}__model`")
-      .orderBy(col("cell").asc).collect()
-    val kCells = model.length
-    val cents = model.flatMap(_.getSeq[Double](1))
+    val (cents, kCells) = KnnOps.readCoarseModel(spark, db, name)
     val probes = KnnOps.nearestCells(qVec, cents, kCells, nprobe)
     searchGraphs(spark.table(s"`$db`.`$name`")
         .filter(col("part").isin(probes.map(Int.box): _*)).as[NswGraph],
@@ -385,10 +382,7 @@ object GraphAnnOps {
       qVec: Array[Double], attrs: DataFrame, predicate: Column, k: Int = 3,
       efSearch: Int = 100, nprobe: Int = 2, overFetch: Int = 4): DataFrame = {
     import spark.implicits._
-    val model = spark.table(s"`$db`.`${name}__model`")
-      .orderBy(col("cell").asc).collect()
-    val kCells = model.length
-    val cents = model.flatMap(_.getSeq[Double](1))
+    val (cents, kCells) = KnnOps.readCoarseModel(spark, db, name)
     val probes = KnnOps.nearestCells(qVec, cents, kCells, nprobe)
     searchGraphsFiltered(spark.table(s"`$db`.`$name`")
         .filter(col("part").isin(probes.map(Int.box): _*)).as[NswGraph],
@@ -412,10 +406,7 @@ object GraphAnnOps {
       nprobe: Int = 2): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
-    val model = spark.table(s"`$db`.`${name}__model`")
-      .orderBy(col("cell").asc).collect()
-    val kCells = model.length
-    val cents = model.flatMap(_.getSeq[Double](1))
+    val (cents, kCells) = KnnOps.readCoarseModel(spark, db, name)
     // replayed query_ids resolve deterministically (see topKForQueries)
     val qRows = queries.groupBy(col("query_id"))
       .agg(max(struct(col("q_embedding"))).as("__w"))

@@ -512,6 +512,19 @@ object KnnOps {
     * reach the driver). Shared by [[topKIvfKmeans]] (in-query training) and
     * [[topKIvfPartitioned]] (persisted model).
     */
+  /** Persisted coarse-quantizer read: (flat row-major centroids, kCells)
+    * from `name__model` — the one loader for every consumer (IVF probes,
+    * IVF/IVF-PQ upserts, routed-NSW search and maintenance), so the
+    * routing tie-break and model shape cannot silently diverge between a
+    * path that writes cells and a path that probes them.
+    */
+  private[graft] def readCoarseModel(spark: SparkSession, db: String,
+      name: String): (Array[Double], Int) = {
+    val model = spark.table(s"`$db`.`${name}__model`")
+      .orderBy(col("cell").asc).collect()
+    (model.flatMap(_.getSeq[Double](1)), model.length)
+  }
+
   private[graft] def nearestCells(qVec: Array[Double], cents: Array[Double],
       kCells: Int, nprobe: Int): Seq[Int] = {
     val dim = qVec.length
@@ -568,10 +581,7 @@ object KnnOps {
   def topKIvfPartitionedVec(spark: SparkSession, db: String, name: String,
       qVec: Array[Double], excludeId: Long = -1L, k: Int = 3,
       nprobe: Int = 2, predicate: Column = lit(true)): DataFrame = {
-    val model = spark.table(s"`$db`.`${name}__model`")
-      .orderBy(col("cell").asc).collect()
-    val kCells = model.length
-    val cents = model.flatMap(_.getSeq[Double](1))
+    val (cents, kCells) = readCoarseModel(spark, db, name)
     val probes = nearestCells(qVec, cents, kCells, nprobe)
     val q = spark.range(1).select(typedLit(qVec.toSeq).as("q_embedding"))
     spark.table(s"`$db`.`$name`")
@@ -596,10 +606,7 @@ object KnnOps {
   def topKForQueriesIvf(spark: SparkSession, db: String, name: String,
       queries: DataFrame, k: Int = 3, nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
-    val model = spark.table(s"`$db`.`${name}__model`")
-      .orderBy(col("cell").asc).collect()
-    val kCells = model.length
-    val cents = model.flatMap(_.getSeq[Double](1))
+    val (cents, kCells) = readCoarseModel(spark, db, name)
     // the query batch is micro-batch-sized by contract; probes computed on
     // the driver against the k×dim model, like any broadcast ML model.
     // Replayed query_ids resolve deterministically (see topKForQueries).
@@ -960,13 +967,14 @@ object KnnOps {
     val (lut, m, kCent) = pqQueryLut(spark, db, name, qVec)
     val qNorm = math.sqrt(qVec.map(x => x * x).sum)
     val adc = toCol(graft.plans.PqAdcDot(toExpr(col("codes")), lut.toSeq, m, kCent))
+    // the norm filter EXCLUDES zero-norm stored vectors (cosine undefined;
+    // their ADC dot against nonzero centroids is nonzero, so a mere
+    // denominator guard would hand them a huge finite score and a stolen
+    // rescoreK slot — NaN-sorting would too); pushed into the scan
     val candidates = spark.table(s"`$db`.`$name`")
-      .filter(col("vec_id") =!= excludeId)
-      // greatest() guards a zero-norm stored vector: NaN sorts ABOVE every
-      // real score in Spark, so unguarded zero-norm rows would silently
-      // consume rescoreK candidate slots (int8 guards the same way)
+      .filter(col("vec_id") =!= excludeId && col("norm") > 1e-12)
       .select(col("vec_id"),
-        (adc / (greatest(col("norm"), lit(1e-12)) * lit(math.max(qNorm, 1e-12)))).as("ascore"))
+        (adc / (col("norm") * lit(math.max(qNorm, 1e-12)))).as("ascore"))
       .orderBy(col("ascore").desc, col("vec_id").asc)
       .limit(math.max(k, rescoreK))
       .select(col("vec_id"))
@@ -1051,11 +1059,10 @@ object KnnOps {
     val adc = toCol(graft.plans.PqAdcDotCol(
       toExpr(col("codes")), toExpr(col("lut")), m, kCent))
     val scored = spark.table(s"`$db`.`$name`")
+      .filter(col("norm") > 1e-12) // zero-norm rows excluded: see topKPq
       .crossJoin(broadcast(qlut.select(col("query_id"), col("lut"), col("q_norm"))))
       .select(col("query_id"), col("vec_id"),
-        // zero-norm guard: see topKPq
-        (adc / (greatest(col("norm"), lit(1e-12)) *
-          greatest(col("q_norm"), lit(1e-12)))).as("ascore"))
+        (adc / (col("norm") * greatest(col("q_norm"), lit(1e-12)))).as("ascore"))
     val candK = toCol(graft.plans.TopKScoreId(
       toExpr(col("ascore")), toExpr(col("vec_id")), math.max(k, rescoreK))
       .toAggregateExpression())
@@ -1117,10 +1124,7 @@ object KnnOps {
       k: Int = 3, rescoreK: Int = 12, nprobe: Int = 2,
       predicate: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
-    val model = spark.table(s"`$db`.`${name}__model`")
-      .orderBy(col("cell").asc).collect()
-    val kCells = model.length
-    val cents = model.flatMap(_.getSeq[Double](1))
+    val (cents, kCells) = readCoarseModel(spark, db, name)
     val probes = nearestCells(qVec, cents, kCells, nprobe)
     val (lut, m, kCent) = pqQueryLut(spark, db, name, qVec)
     val qNorm = math.sqrt(qVec.map(x => x * x).sum)
@@ -1134,12 +1138,12 @@ object KnnOps {
     val adc = toCol(graft.plans.PqAdcDot(toExpr(col("codes")), lut.toSeq, m, kCent))
     val candidates = spark.table(s"`$db`.`$name`")
       .filter(col("cell").isin(probes.map(Int.box): _*) &&
-        col("vec_id") =!= excludeId && predicate)
+        col("vec_id") =!= excludeId && col("norm") > 1e-12 && predicate)
       .join(broadcast(centTable), "cell")
       .select(col("vec_id"),
-        // zero-norm guard: see topKPq
+        // zero-norm rows excluded by the pushed filter: see topKPq
         ((adc + col("__cdot")) /
-          (greatest(col("norm"), lit(1e-12)) * lit(math.max(qNorm, 1e-12)))).as("ascore"))
+          (col("norm") * lit(math.max(qNorm, 1e-12)))).as("ascore"))
       .orderBy(col("ascore").desc, col("vec_id").asc)
       .limit(math.max(k, rescoreK))
       .select(col("vec_id"))
@@ -1170,10 +1174,7 @@ object KnnOps {
       full: DataFrame, queries: DataFrame, k: Int = 3, rescoreK: Int = 12,
       nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
-    val model = spark.table(s"`$db`.`${name}__model`")
-      .orderBy(col("cell").asc).collect()
-    val kCells = model.length
-    val cents = model.flatMap(_.getSeq[Double](1))
+    val (cents, kCells) = readCoarseModel(spark, db, name)
     val (cb, m, kCent, subDim) = readPqModel(spark, db, name)
     // replayed query_ids resolve deterministically (see topKForQueries)
     val qRows = queries.groupBy(col("query_id"))
@@ -1217,13 +1218,13 @@ object KnnOps {
     val adc = toCol(graft.plans.PqAdcDotCol(
       toExpr(col("codes")), toExpr(col("lut")), m, kCent))
     val scored = spark.table(s"`$db`.`$name`")
-      .filter(col("cell").isin(allCells: _*)) // partition-pruned once for the batch
-      .join(broadcast(qprobe), "cell")        // each row meets only its probers
+      .filter(col("cell").isin(allCells: _*) && // partition-pruned once for the batch
+        col("norm") > 1e-12)                    // zero-norm rows excluded: see topKPq
+      .join(broadcast(qprobe), "cell")          // each row meets only its probers
       .join(broadcast(qlut.select(col("query_id"), col("lut"), col("q_norm"))), "query_id")
       .select(col("query_id"), col("vec_id"),
-        // zero-norm guard: see topKPq
-        ((adc + col("__cdot")) / (greatest(col("norm"), lit(1e-12)) *
-          greatest(col("q_norm"), lit(1e-12)))).as("ascore"))
+        ((adc + col("__cdot")) /
+          (col("norm") * greatest(col("q_norm"), lit(1e-12)))).as("ascore"))
     val candK = toCol(graft.plans.TopKScoreId(
       toExpr(col("ascore")), toExpr(col("vec_id")), math.max(k, rescoreK))
       .toAggregateExpression())

@@ -466,7 +466,12 @@ object MultimodalOps {
     // per-trak accumulation: tkhd dims + stsz sample count; the
     // largest-dimensioned trak (the video track) wins the globals
     var trakW = 0L; var trakH = 0L; var trakSamples = 0L
-    def walk(from: Int, to: Int): Boolean = {
+    // Real ISO-BMFF nests ~6 deep (moov/trak/mdia/minf/stbl); a crafted
+    // payload of recursively nested container headers must be rejected,
+    // not allowed to overflow the stack inside a mapPartitions task.
+    val MaxDepth = 16
+    def walk(from: Int, to: Int, depth: Int): Boolean = {
+      if (depth > MaxDepth) return false
       var i = from
       while (i + 8 <= to) {
         var size = u32(i)
@@ -476,36 +481,40 @@ object MultimodalOps {
           size = u64(i + 8); hdr = 16
         } else if (size == 0L) size = (to - i).toLong
         if (size < hdr || size > (to - i).toLong) return false
+        // leaf fields are bounds-checked against the box's OWN end — a
+        // truncated box must reject, never read sibling bytes as metadata
+        val end = i + size.toInt
         typ(i) match {
           case "moov" | "mdia" | "minf" | "stbl" =>
-            if (!walk(i + hdr, i + size.toInt)) return false
+            if (!walk(i + hdr, end, depth + 1)) return false
           case "trak" =>
             tracks += 1
             trakW = 0L; trakH = 0L; trakSamples = 0L
-            if (!walk(i + hdr, i + size.toInt)) return false
+            if (!walk(i + hdr, end, depth + 1)) return false
             if (trakW > 0 && trakH > 0 && trakW * trakH > w * h) {
               w = trakW; h = trakH; frames = trakSamples
             }
           case "stsz" =>
             // version/flags(4) + sample_size(4) + sample_count(4)
             val p = i + hdr
-            if (p + 12 <= to) trakSamples = u32(p + 8)
+            if (p + 12 > end) return false
+            trakSamples = u32(p + 8)
           case "mvhd" =>
             val p = i + hdr
-            if (p + 4 > to) return false
+            if (p + 4 > end) return false
             val ver = b(p) & 0xFF
             if (ver == 1) {
-              if (p + 32 > to) return false
+              if (p + 32 > end) return false
               val timescale = u32(p + 20); val dur = u64(p + 24)
               if (timescale > 0) durationMs = math.round(dur * 1000.0 / timescale)
             } else {
-              if (p + 20 > to) return false
+              if (p + 20 > end) return false
               val timescale = u32(p + 12); val dur = u32(p + 16)
               if (timescale > 0) durationMs = math.round(dur * 1000.0 / timescale)
             }
           case "tkhd" =>
             val p = i + hdr
-            if (p + 4 > to) return false
+            if (p + 4 > end) return false
             val ver = b(p) & 0xFF
             // version/flags + creation/modification + track_id + reserved
             // + duration, then reserved(8) layer(2) alternate(2) volume(2)
@@ -513,17 +522,16 @@ object MultimodalOps {
             val base = if (ver == 1) p + 4 + 8 + 8 + 4 + 4 + 8
                        else p + 4 + 4 + 4 + 4 + 4 + 4
             val wOff = base + 8 + 2 + 2 + 2 + 2 + 36
-            if (wOff + 8 <= to) {
-              val tw = u32(wOff) >> 16; val th = u32(wOff + 4) >> 16
-              if (tw > 0 && th > 0) { trakW = tw; trakH = th }
-            }
+            if (wOff + 8 > end) return false
+            val tw = u32(wOff) >> 16; val th = u32(wOff + 4) >> 16
+            if (tw > 0 && th > 0) { trakW = tw; trakH = th }
           case _ => ()
         }
         i += size.toInt
       }
       i == to // trailing garbage = not a well-formed container
     }
-    if (!walk(0, b.length) || durationMs < 0) None
+    if (!walk(0, b.length, 0) || durationMs < 0) None
     else Some((durationMs, w, h, frames, tracks))
   }
 

@@ -159,10 +159,7 @@ object CatalogOps {
       vecCol: String = "embedding"): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
-    val model = spark.table(s"`$db`.`${name}__model`")
-      .orderBy(col("cell").asc).collect()
-    val kCells = model.length
-    val cents = model.flatMap(_.getSeq[Double](1))
+    val (cents, kCells) = graft.operators.KnnOps.readCoarseModel(spark, db, name)
     val assign = toCol(graft.plans.NearestCentroid(
       toExpr(col(vecCol)), cents.toSeq, kCells))
     val derived = batch.withColumn("cell", assign)
@@ -548,10 +545,7 @@ object CatalogOps {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
     import graft.functions.VectorFunctions.dotFast
-    val model = spark.table(s"`$db`.`${name}__model`")
-      .orderBy(col("cell").asc).collect()
-    val kCells = model.length
-    val cents = model.flatMap(_.getSeq[Double](1))
+    val (cents, kCells) = graft.operators.KnnOps.readCoarseModel(spark, db, name)
     val (cb, m, kCent, _) = graft.operators.KnnOps.readPqModel(spark, db, name)
     val assign = toCol(graft.plans.NearestCentroid(
       toExpr(col(vecCol)), cents.toSeq, kCells))
@@ -595,11 +589,9 @@ object CatalogOps {
       if (!routed)
         batch.withColumn("part", pmod(hash(col("vec_id")), lit(shards)))
       else {
-        val model = spark.table(s"`$db`.`${name}__model`")
-          .orderBy(col("cell").asc).collect()
-        val cents = model.flatMap(_.getSeq[Double](1))
+        val (cents, kCells) = graft.operators.KnnOps.readCoarseModel(spark, db, name)
         batch.withColumn("part", toCol(graft.plans.NearestCentroid(
-          toExpr(col("embedding")), cents.toSeq, model.length)))
+          toExpr(col("embedding")), cents.toSeq, kCells)))
       }
     val graphs = spark.table(s"`$db`.`$name`")
     // a routed update can MOVE cells (the new vector routes elsewhere), so

@@ -778,6 +778,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(meta(1).n_tracks === 1L)
     // truncated container (box size past the payload end) → rejected
     assert(MultimodalOps.parseMp4(mp4V0.dropRight(4)).isEmpty)
+    // adversarial nesting: 100k recursively nested container headers must
+    // reject at the depth cap, not overflow the stack inside a Spark task
+    val depth = 100000
+    val bomb = new Array[Byte](8 * depth)
+    val moovTag = "moov".getBytes("US-ASCII")
+    (0 until depth).foreach { lvl =>
+      val remaining = 8 * (depth - lvl)
+      val bb = java.nio.ByteBuffer.wrap(bomb, 8 * lvl, 8)
+      bb.putInt(remaining).put(moovTag)
+    }
+    assert(MultimodalOps.parseMp4(ftyp ++ bomb).isEmpty)
+    // a truncated LEAF box (stsz missing its sample_count) must reject the
+    // container, never read a sibling box's bytes as the frame count
+    val badStsz = ftyp ++ box("moov", mvhdV0 ++ box("trak",
+      tkhd(640, 360) ++ box("mdia", box("minf", box("stbl",
+        box("stsz", Array[Byte](0, 0, 0, 0, 0, 0, 0, 0)) ++
+          box("free", Array.fill(8)(0.toByte)))))))
+    assert(MultimodalOps.parseMp4(badStsz).isEmpty)
   }
 
   test("batch sessionizer agrees with Spark's native session_window") {
