@@ -82,6 +82,13 @@ object SparkEntry {
     "q_text_redact"     -> ((s, d) => TextAnalysisOps.redactPii(s, d)),
     "q_text_repetition" -> ((s, d) => TextAnalysisOps.repetitionSignals(s, d)),
     "q_multimodal_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
+    // ---- lexical / hybrid retrieval (RAG serving stack) ----
+    "q_text_bm25"      -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
+    "q_hybrid_rrf"     -> ((s, d) => RetrievalOps.hybridRrf(s, d)),
+    "q_tfidf_topterms" -> ((s, d) => RetrievalOps.tfidfTopTerms(s, d)),
+    // greedy MMR is not one-query SQL-expressible: rows-only by design,
+    // cross-checked in RetrievalSpec against a reference implementation
+    "q_knn_mmr"        -> ((s, d) => RetrievalOps.mmrRerank(s, d)),
     // ---- §2.I events (batch) ----
     "q_events_tumbling"   -> ((s, d) => EventOps.tumbling(s, d)),
     "q_events_hopping"    -> ((s, d) => EventOps.hopping(s, d)),
@@ -221,6 +228,41 @@ object SparkEntry {
     graft.plans.FeatureHash.embed(
       org.apache.spark.unsafe.types.UTF8String.fromString(KnnTextQuery), dim)
       .toDoubleArray
+
+  /** BM25 oracle fragments, generated from the SAME term list
+    * ([[RetrievalOps.queryTerms]] of [[KnnTextQuery]]) the engine scores,
+    * in the SAME fixed order — the fp `+` chain must associate identically
+    * on both engines (FIXTURES.md determinism rules). Constants appear as
+    * the SAME decimal numerals the Column expression uses (`2.2`, `1.2`,
+    * `0.25`, `0.75`), so both sides parse identical doubles.
+    */
+  private def bm25Terms: Seq[String] = RetrievalOps.queryTerms(KnnTextQuery)
+
+  private def bm25BaseCtes: String = {
+    val ts = bm25Terms
+    val tfCols = ts.indices.map(i =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '${ts(i)}')) AS DOUBLE) AS tf$i")
+      .mkString(",\n       ")
+    val dfAggs = ts.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(",\n       ")
+    s"""f AS (
+       |  SELECT doc_id,
+       |       CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+       |       $tfCols
+       |  FROM documents),
+       |s AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+       |       $dfAggs
+       |  FROM f)""".stripMargin
+  }
+
+  private def bm25ScoreExpr: String =
+    bm25Terms.indices.map(i =>
+      s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))")
+      .mkString("\n     + ")
+
+  private def bm25AnyHit: String = bm25Terms.indices.map(i => s"tf$i").mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
     // ---- vector ----
@@ -516,6 +558,56 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_runs,
         |       n_chars
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    // ---- lexical / hybrid retrieval ----
+    "q_text_bm25" ->
+      s"""WITH $bm25BaseCtes
+         |SELECT doc_id,
+         |       round($bm25ScoreExpr, 6) AS bm25
+         |FROM f CROSS JOIN s
+         |WHERE $bm25AnyHit > 0
+         |ORDER BY bm25 DESC, doc_id ASC
+         |LIMIT 20""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH $bm25BaseCtes,
+         |b AS (
+         |  SELECT doc_id, round($bm25ScoreExpr, 6) AS bm25
+         |  FROM f CROSS JOIN s
+         |  WHERE $bm25AnyHit > 0
+         |  ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+         |lex AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lrank FROM b),
+         |vp AS (
+         |  SELECT vec_id,
+         |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |               CAST([${knnTextQueryVec().mkString(", ")}] AS DOUBLE[])), 6) AS vscore
+         |  FROM embeddings
+         |  ORDER BY vscore DESC, vec_id ASC LIMIT 20),
+         |vec AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vscore DESC, vec_id ASC) AS vrank FROM vp)
+         |SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+         |       CAST(COALESCE(l.lrank, 0) AS BIGINT) AS lex_rank,
+         |       CAST(COALESCE(v.vrank, 0) AS BIGINT) AS vec_rank,
+         |       round(COALESCE(1.0 / (60.0 + l.lrank), 0.0) + COALESCE(1.0 / (60.0 + v.vrank), 0.0), 6) AS rrf
+         |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.vec_id
+         |ORDER BY rrf DESC, doc_id ASC
+         |LIMIT 10""".stripMargin,
+    "q_tfidf_topterms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, term, round(tf * ln(n / df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+        |  FROM s)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf
+        |FROM r WHERE rk <= 3
+        |ORDER BY doc_id ASC, rk ASC""".stripMargin,
     "q_text_bigrams" ->
       """SELECT bigram, count(*) AS n FROM (
         |  SELECT unnest(list_transform(range(1, len(w)),
