@@ -178,7 +178,8 @@ object SparkEntry {
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast",
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
-    "q_events_tumbling", "q_events_sessionize")
+    "q_events_tumbling", "q_events_sessionize",
+    "q_text_bm25", "q_hybrid_rrf", "q_tfidf_topterms", "q_knn_mmr")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
