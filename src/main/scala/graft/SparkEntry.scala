@@ -84,6 +84,9 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
     // ---- lexical / hybrid retrieval (RAG serving stack) ----
     "q_text_bm25"      -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
+    // served from the persisted stats store, built create-half +
+    // upsert-half so the incremental path faces the oracle every run
+    "q_text_bm25_stored" -> ((s, d) => RetrievalOps.bm25TopKStored(s, d)),
     "q_hybrid_rrf"     -> ((s, d) => RetrievalOps.hybridRrf(s, d)),
     "q_tfidf_topterms" -> ((s, d) => RetrievalOps.tfidfTopTerms(s, d)),
     // greedy MMR is not one-query SQL-expressible: rows-only by design,
@@ -561,6 +564,18 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
     // ---- lexical / hybrid retrieval ----
     "q_text_bm25" ->
+      s"""WITH $bm25BaseCtes
+         |SELECT doc_id,
+         |       round($bm25ScoreExpr, 6) AS bm25
+         |FROM f CROSS JOIN s
+         |WHERE $bm25AnyHit > 0
+         |ORDER BY bm25 DESC, doc_id ASC
+         |LIMIT 20""".stripMargin,
+    // the stored-stats probe is bit-identical to the live two-scan path
+    // (exact-integer partials; see RetrievalOps.bm25TopKStored) — it
+    // faces the SAME oracle, which is the point: the persisted artifact
+    // must never drift from the definition
+    "q_text_bm25_stored" ->
       s"""WITH $bm25BaseCtes
          |SELECT doc_id,
          |       round($bm25ScoreExpr, 6) AS bm25

@@ -284,4 +284,111 @@ object RetrievalOps {
     }
     out.toSeq
   }
+
+  /** `q_text_bm25_stored`: BM25 top-k served from a PERSISTED statistics
+    * store ([[graft.sources.CatalogOps.createBm25Stats]]) — the serving
+    * shape [[bm25Scored]]'s scaladoc promises at 100 TB: the stats pass is
+    * paid once at ingest, so a query costs
+    *
+    *  1. a sum over the (tiny) stats-partials log — bounded driver read,
+    *  2. a `term IN (...)` pushed-filter probe of the df log — reads only
+    *     the FEW query terms' rows, never the vocabulary,
+    *  3. ONE corpus scan scoring with the merged values as fold-time
+    *     literals — no join, no broadcast, no shuffle; the top-k is
+    *     `TakeOrderedAndProject` (plan-pinned: zero Exchange operators).
+    *
+    * Results are bit-identical to [[bm25TopK]] (same oracle SQL): every
+    * stored partial is an exact integer count, so merge order cannot
+    * perturb n / df / sum_dl, and `avgdl = sum_dl / n` is the same double
+    * `avg(dl)` computes. Pinned by RetrievalSpec, including across a
+    * create + upsert split of the corpus and after compaction.
+    */
+  def bm25TopKStored(spark: SparkSession, dir: String,
+      query: String = graft.SparkEntry.KnnTextQuery, k: Int = 20): DataFrame = {
+    val (db, name) = ensureBm25Store(spark, dir)
+    bm25TopKStoredOn(spark, Tables.documents(spark, dir), db, name, query, k)
+  }
+
+  /** Score an explicit corpus frame against a stored stats artifact (the
+    * store is corpus-agnostic — ingest and serving frames are the
+    * caller's contract, exactly as with the vector collections).
+    */
+  def bm25TopKStoredOn(spark: SparkSession, corpus: DataFrame,
+      db: String, name: String, query: String, k: Int): DataFrame = {
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val statsRow = spark.table(s"`$db`.`${name}__bm25stats`")
+      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl")).head()
+    val n = statsRow.getDouble(0)
+    val avgdl = statsRow.getDouble(1) / n
+    val dfMap = dfProbe(spark, db, name, terms)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    bm25ScoreWithLiterals(corpus, terms, n, avgdl, dfMap, k)
+  }
+
+  /** Build-if-absent for the stored-BM25 contract entry — deliberately
+    * built as create-on-half + upsert-the-rest so every contract run
+    * exercises the INCREMENTAL maintenance path against the SQL oracle,
+    * not just the fresh build. Same JVM-scoped guard semantics as
+    * [[KnnOps.ensureIvfProbeCollection]].
+    */
+  private[graft] def ensureBm25Store(spark: SparkSession, dir: String): (String, String) = {
+    import graft.sources.CatalogOps
+    val db = "graft_bm25"
+    val name = "docs"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__bm25stats") ||
+          !spark.catalog.tableExists(s"$db.${name}__bm25df")) {
+        CatalogOps.createDatabase(spark, db)
+        Seq(s"${name}__bm25stats", s"${name}__bm25df").foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+            new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
+              s"/$db.db/$t"))
+        }
+        val docs = Tables.documents(spark, dir)
+        CatalogOps.createBm25Stats(spark, db, name,
+          docs.filter(col("doc_id") % 2 === 0))
+        CatalogOps.upsertBm25Stats(spark, db, name,
+          docs.filter(col("doc_id") % 2 =!= 0))
+      }
+    }
+    (db, name)
+  }
+
+  /** The df-log probe — package-visible so RetrievalSpec can pin the
+    * pushed `term IN (...)` scan filter.
+    */
+  private[graft] def dfProbe(spark: SparkSession, db: String, name: String,
+      terms: Seq[String]): DataFrame =
+    spark.table(s"`$db`.`${name}__bm25df`")
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+
+  /** One-scan BM25 scoring with the corpus statistics as literals: the
+    * same expression shape as [[bm25Scored]]'s termScore with the stats
+    * columns constant-folded — Catalyst folds `log(<literals>)` at
+    * optimization time through the same `Math.log`, so scores match the
+    * live path bit-for-bit.
+    */
+  private def bm25ScoreWithLiterals(corpus: DataFrame, terms: Seq[String],
+      n: Double, avgdl: Double, dfMap: Map[String, Double], k: Int): DataFrame = {
+    val w = toks(col("text"))
+    def tf(i: Int): Column =
+      size(filter(w, x => x === lit(terms(i)))).cast("double")
+    def termScore(i: Int): Column = {
+      val dfi = dfMap.getOrElse(terms(i), 0.0)
+      val idf = log((lit(n) - lit(dfi) + 0.5) / (lit(dfi) + 0.5) + 1.0)
+      idf * (tf(i) * lit(K1Plus1)) /
+        (tf(i) + lit(K1) * (lit(1.0 - B) + lit(B) *
+          size(w).cast("double") / lit(avgdl)))
+    }
+    val anyHit = terms.indices.map(tf).reduce(_ + _) > 0
+    corpus
+      .filter(anyHit)
+      .select(col("doc_id"),
+        round(terms.indices.map(termScore).reduce(_ + _), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

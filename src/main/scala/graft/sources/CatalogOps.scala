@@ -825,6 +825,77 @@ object CatalogOps {
     }
   }
 
+  /** BM25 corpus-statistics store — the "index-time" artifact that turns
+    * [[graft.operators.RetrievalOps.bm25Scored]]'s two corpus scans into
+    * the ONE-scan serving probe ([[graft.operators.RetrievalOps
+    * .bm25TopKStored]]). Lucene pays these statistics at index time; this
+    * is the same trade as a catalog artifact.
+    *
+    * Log-structured and mergeable by design: both tables are APPEND-ONLY
+    * logs of associative partials —
+    *
+    *  - `name__bm25stats`: rows of `(n, sum_dl)` (docs and summed doc
+    *    lengths of one ingest batch); the corpus totals are their sums.
+    *  - `name__bm25df`: rows of `(term, df)` (per-batch document
+    *    frequencies); a term's corpus df is the sum of its rows.
+    *
+    * So [[upsertBm25Stats]] APPENDS one batch's partials — O(batch), no
+    * read-modify-write, no O(vocabulary) rewrite — and the probe merges at
+    * read time, where it only ever touches the FEW query terms (pushed
+    * `term IN (...)` filter). [[compactBm25Stats]] folds the log back to
+    * one row per term when batch count grows. All partials are exact
+    * integer counts in doubles, so merge order can never change a score
+    * (fp-exact up to 2^53 — the determinism rule the oracle equality
+    * relies on).
+    */
+  def createBm25Stats(spark: SparkSession, db: String, name: String,
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeBm25Partials(spark, db, name, docs, idCol, textCol, overwrite = true)
+
+  /** Append one ingest batch's BM25 partials — see [[createBm25Stats]]. */
+  def upsertBm25Stats(spark: SparkSession, db: String, name: String,
+      newDocs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeBm25Partials(spark, db, name, newDocs, idCol, textCol, overwrite = false)
+
+  private def writeBm25Partials(spark: SparkSession, db: String, name: String,
+      docs: DataFrame, idCol: String, textCol: String, overwrite: Boolean): Unit = {
+    import org.apache.spark.sql.functions._
+    val mode = if (overwrite) "overwrite" else "append"
+    val toks = split(col(textCol), " ")
+    // dl = size of ALL tokens (empty strings included) — the SAME length
+    // the live scorer and the SQL oracle use
+    val perDoc = docs.select(col(idCol), toks.as("w"))
+      .select(size(col("w")).cast("double").as("dl"), col("w"))
+    perDoc.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("dl")).as("sum_dl"))
+      .write.mode(mode).saveAsTable(s"`$db`.`${name}__bm25stats`")
+    perDoc.select(explode(array_distinct(col("w"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+      .write.mode(mode).saveAsTable(s"`$db`.`${name}__bm25df`")
+  }
+
+  /** Fold the append-only BM25 partial logs down to one stats row and one
+    * row per term (staging-table swap, same pattern as
+    * [[compactCollection]]). Probe results are unchanged — the partials
+    * are exact counts, so the fold is a pure merge.
+    */
+  def compactBm25Stats(spark: SparkSession, db: String, name: String): Unit = {
+    import org.apache.spark.sql.functions._
+    Seq(
+      (s"${name}__bm25stats",
+        (d: DataFrame) => d.agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))),
+      (s"${name}__bm25df",
+        (d: DataFrame) => d.groupBy(col("term")).agg(sum(col("df")).as("df")))
+    ).foreach { case (t, fold) =>
+      val staging = s"`$db`.`__${t}_compact_staging`"
+      fold(spark.table(s"`$db`.`$t`")).write.mode("overwrite").saveAsTable(staging)
+      try spark.table(staging).write.mode("overwrite")
+        .saveAsTable(s"`$db`.`$t`")
+      finally spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
+  }
+
   def dropCollection(spark: SparkSession, db: String, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")
 

@@ -150,6 +150,54 @@ class RetrievalSpec extends AnyFunSuite {
       "MMR degenerated to pure relevance — lambda wiring suspect")
   }
 
+  test("stored-stats bm25 equals the live path across create+upsert and compaction") {
+    import graft.sources.CatalogOps
+    val db = "graft_bm25_spec"
+    val name = "docs_t"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, sf)
+    // build the store incrementally: 3 uneven batches through the
+    // append-only log
+    CatalogOps.createBm25Stats(spark, db, name, docs.filter(col("doc_id") < 100))
+    CatalogOps.upsertBm25Stats(spark, db, name,
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 150))
+    CatalogOps.upsertBm25Stats(spark, db, name, docs.filter(col("doc_id") >= 150))
+    val live = RetrievalOps.bm25TopK(spark, sf, query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val stored = RetrievalOps.bm25TopKStoredOn(spark, docs, db, name, query, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored === live, "stored-stats probe must be bit-identical to live")
+    // the partial log really is multi-row before compaction…
+    assert(spark.table(s"`$db`.`${name}__bm25stats`").count() === 3)
+    CatalogOps.compactBm25Stats(spark, db, name)
+    // …and folds to one stats row / one row per term, same answers
+    assert(spark.table(s"`$db`.`${name}__bm25stats`").count() === 1)
+    val dfTab = spark.table(s"`$db`.`${name}__bm25df`")
+    assert(dfTab.count() === dfTab.select("term").distinct().count())
+    val compacted = RetrievalOps.bm25TopKStoredOn(spark, docs, db, name, query, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(compacted === live)
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
+  test("stored bm25 plan: one corpus scan, zero exchanges; df probe pushes term IN") {
+    val (db, name) = RetrievalOps.ensureBm25Store(spark, TestSpark.Sf)
+    val probePlan = RetrievalOps
+      .bm25TopKStoredOn(spark, Tables.documents(spark, sf), db, name, query, 20)
+      .queryExecution.executedPlan.toString
+    assert(!probePlan.contains("Exchange"),
+      s"serving probe must not shuffle — stats are literals:\n$probePlan")
+    assert(probePlan.contains("TakeOrderedAndProject"), probePlan)
+    assert("documents\\.parquet".r.findAllIn(probePlan).size >= 1 &&
+      probePlan.split("FileScan").length - 1 === 1,
+      s"exactly ONE corpus scan (the live path pays two):\n$probePlan")
+    val dfPlan = RetrievalOps.dfProbe(spark, db, name, terms)
+      .queryExecution.executedPlan.toString
+    assert(dfPlan.contains("PushedFilters: [In(term"),
+      s"df probe must push term IN into the scan:\n$dfPlan")
+  }
+
   test("bm25 plan: stats side is broadcast, top-k is TakeOrderedAndProject") {
     val plan = RetrievalOps.bm25TopK(spark, sf, query, k = 20)
       .queryExecution.executedPlan.toString
