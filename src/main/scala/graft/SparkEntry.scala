@@ -182,7 +182,8 @@ object SparkEntry {
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
     "q_events_tumbling", "q_events_sessionize",
-    "q_text_bm25", "q_hybrid_rrf", "q_tfidf_topterms", "q_knn_mmr")
+    "q_text_bm25", "q_text_bm25_stored", "q_hybrid_rrf", "q_tfidf_topterms",
+    "q_knn_mmr")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.

@@ -858,39 +858,120 @@ object CatalogOps {
     writeBm25Partials(spark, db, name, newDocs, idCol, textCol, overwrite = false)
 
   private def writeBm25Partials(spark: SparkSession, db: String, name: String,
-      docs: DataFrame, idCol: String, textCol: String, overwrite: Boolean): Unit = {
+      docs: DataFrame, idCol: String, textCol: String, overwrite: Boolean,
+      batchId: Long = -1L, negated: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     val mode = if (overwrite) "overwrite" else "append"
+    val sign = if (negated) -1L else 1L
     val toks = split(col(textCol), " ")
     // dl = size of ALL tokens (empty strings included) — the SAME length
     // the live scorer and the SQL oracle use
     val perDoc = docs.select(col(idCol), toks.as("w"))
       .select(size(col("w")).cast("double").as("dl"), col("w"))
-    perDoc.agg(count(lit(1)).cast("double").as("n"),
-        sum(col("dl")).as("sum_dl"))
-      .write.mode(mode).saveAsTable(s"`$db`.`${name}__bm25stats`")
+    // batch_id is the PARTITION column: batch-API writes land in dir -1;
+    // streaming batches land in their own dir, making the existence
+    // check in [[bm25StatsIncrementalBatch]] a partition-pruned no-scan
+    perDoc.agg((count(lit(1)) * sign).cast("double").as("n"),
+        (sum(col("dl")) * sign).as("sum_dl"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(mode).partitionBy("batch_id")
+      .saveAsTable(s"`$db`.`${name}__bm25stats`")
     perDoc.select(explode(array_distinct(col("w"))).as("term"))
       .groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("df"))
-      .write.mode(mode).saveAsTable(s"`$db`.`${name}__bm25df`")
+      .agg((count(lit(1)) * sign).cast("double").as("df"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(mode).partitionBy("batch_id")
+      .saveAsTable(s"`$db`.`${name}__bm25df`")
   }
+
+  /** One micro-batch of streaming BM25 maintenance
+    * ([[graft.streaming.StreamingOps.streamingBm25Stats]] calls this per
+    * batch): append the batch's partials, replay-safe under foreachBatch's
+    * at-least-once contract. Same watermark design as
+    * [[graft.operators.DedupOps.dedupIncrementalBatch]] — a fully
+    * committed batch no-ops via the 1-row commit watermark — and the
+    * partial-crash window between the two appends closes because each
+    * append is individually idempotent: partials are tagged with the
+    * batch id as a PARTITION value, so "already appended" is a
+    * partition-existence check (directory listing, no data scan) and a
+    * replay appends only the log the crash lost. Compaction folds batch
+    * dirs away, so quiesce the stream before [[compactBm25Stats]] (the
+    * commit watermark still blocks committed-batch replays after it).
+    */
+  def bm25StatsIncrementalBatch(batch: DataFrame, db: String, name: String,
+      batchId: Long, idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val commitsName = s"${name}__bm25commits"
+    if (spark.catalog.tableExists(s"$db.$commitsName")) {
+      val r = spark.table(s"`$db`.`$commitsName`")
+        .agg(max(col("batch_id"))).head()
+      if (!r.isNullAt(0) && batchId <= r.getLong(0)) return
+    }
+    def alreadyAppended(t: String): Boolean =
+      spark.catalog.tableExists(s"$db.$t") &&
+        !spark.table(s"`$db`.`$t`")
+          .filter(col("batch_id") === batchId).limit(1).isEmpty
+    val toks = split(col(textCol), " ")
+    val perDoc = batch.select(col(idCol), toks.as("w"))
+      .select(size(col("w")).cast("double").as("dl"), col("w"))
+    if (!alreadyAppended(s"${name}__bm25stats"))
+      perDoc.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("dl")).as("sum_dl"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("batch_id")
+        .saveAsTable(s"`$db`.`${name}__bm25stats`")
+    if (!alreadyAppended(s"${name}__bm25df"))
+      perDoc.select(explode(array_distinct(col("w"))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("batch_id")
+        .saveAsTable(s"`$db`.`${name}__bm25df`")
+    spark.createDataFrame(Seq(Tuple1(batchId))).toDF("batch_id")
+      .write.mode("overwrite").saveAsTable(s"`$db`.`$commitsName`")
+  }
+
+  /** Remove documents from the BM25 store by appending NEGATED partials —
+    * deletion in a log-structured store is just ingest with sign flipped,
+    * and because every partial is an exact integer count the merged
+    * (n, sum_dl, df) after remove(docs) equals a fresh build without
+    * them, bit-for-bit (RetrievalSpec pins this). O(batch) like upsert;
+    * no read-modify-write; [[compactBm25Stats]] folds cancelled rows
+    * away. The caller passes the SAME rows it deletes from the corpus
+    * table (`deleteByIds` + removeBm25Stats is the composed lifecycle).
+    */
+  def removeBm25Stats(spark: SparkSession, db: String, name: String,
+      removedDocs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    writeBm25Partials(spark, db, name, removedDocs, idCol, textCol,
+      overwrite = false, negated = true)
 
   /** Fold the append-only BM25 partial logs down to one stats row and one
     * row per term (staging-table swap, same pattern as
     * [[compactCollection]]). Probe results are unchanged — the partials
-    * are exact counts, so the fold is a pure merge.
+    * are exact counts, so the fold is a pure merge; terms whose df
+    * cancelled to zero are dropped.
     */
   def compactBm25Stats(spark: SparkSession, db: String, name: String): Unit = {
     import org.apache.spark.sql.functions._
+    // the merged rows keep the MAX folded batch_id so the streaming
+    // watermark ordering survives compaction (see bm25StatsIncrementalBatch)
     Seq(
       (s"${name}__bm25stats",
-        (d: DataFrame) => d.agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))),
+        (d: DataFrame) => d.agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"),
+          max(col("batch_id")).as("batch_id"))),
       (s"${name}__bm25df",
-        (d: DataFrame) => d.groupBy(col("term")).agg(sum(col("df")).as("df")))
+        (d: DataFrame) => {
+          val maxBatch = d.agg(max(col("batch_id"))).head().getLong(0)
+          d.groupBy(col("term")).agg(sum(col("df")).as("df"))
+            .filter(col("df") =!= 0.0)
+            .withColumn("batch_id", lit(maxBatch))
+        })
     ).foreach { case (t, fold) =>
       val staging = s"`$db`.`__${t}_compact_staging`"
       fold(spark.table(s"`$db`.`$t`")).write.mode("overwrite").saveAsTable(staging)
-      try spark.table(staging).write.mode("overwrite")
+      try spark.table(staging).write.mode("overwrite").partitionBy("batch_id")
         .saveAsTable(s"`$db`.`$t`")
       finally spark.sql(s"DROP TABLE IF EXISTS $staging")
     }

@@ -265,6 +265,27 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming BM25 statistics maintenance — the lexical-index analog of
+    * the streaming vector-ingest paths: each micro-batch of
+    * (doc_id, text) appends its exact mergeable partials to the persisted
+    * BM25 store ([[graft.sources.CatalogOps.bm25StatsIncrementalBatch]]),
+    * so [[graft.operators.RetrievalOps.bm25TopKStoredOn]] always serves
+    * current corpus statistics without ever rescanning the corpus.
+    * Replay-safe under foreachBatch's at-least-once contract: committed
+    * batches no-op via the commit watermark, and the two appends are
+    * individually idempotent through batch-id partition tagging.
+    * StreamingSpec pins stream-equals-batch and replay convergence.
+    */
+  def streamingBm25Stats(docStream: DataFrame, db: String,
+      name: String): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.CatalogOps.bm25StatsIncrementalBatch(batch.toDF(), db, name, id)
+      }
+      .start()
+
   /** Stream-static enrichment: every micro-batch hash-joins against the
     * broadcast dimension (no streaming state at all — the static side is a
     * plain batch DataFrame, re-broadcast per batch). The streaming form of

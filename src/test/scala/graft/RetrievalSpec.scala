@@ -181,6 +181,29 @@ class RetrievalSpec extends AnyFunSuite {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("removeBm25Stats: negated partials make remove(X) equal a build that never saw X") {
+    import graft.sources.CatalogOps
+    val db = "graft_bm25_rm"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, sf)
+    val keep = docs.filter(col("doc_id") < 250)
+    CatalogOps.createBm25Stats(spark, db, "full", docs)
+    CatalogOps.removeBm25Stats(spark, db, "full", docs.filter(col("doc_id") >= 250))
+    CatalogOps.createBm25Stats(spark, db, "fresh", keep)
+    def probe(name: String) =
+      RetrievalOps.bm25TopKStoredOn(spark, keep, db, name, query, 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe("full") === probe("fresh"),
+      "store after remove must be bit-identical to a build without the removed docs")
+    // compaction folds the cancelled terms away entirely
+    CatalogOps.compactBm25Stats(spark, db, "full")
+    val dfTab = spark.table(s"`$db`.`full__bm25df`")
+    assert(dfTab.filter(col("df") <= 0).count() === 0, "cancelled terms must drop")
+    assert(probe("full") === probe("fresh"))
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("stored bm25 plan: one corpus scan, zero exchanges; df probe pushes term IN") {
     val (db, name) = RetrievalOps.ensureBm25Store(spark, TestSpark.Sf)
     val probePlan = RetrievalOps

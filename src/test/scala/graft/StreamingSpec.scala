@@ -486,6 +486,56 @@ class StreamingSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "rdedupdb")
   }
 
+  test("streaming BM25 stats: stream equals batch; every replay window converges") {
+    import graft.sources.{CatalogOps, Tables}
+    import graft.operators.RetrievalOps
+    implicit val ctx = spark.sqlContext
+    val db = "rbm25db"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingBm25Stats(
+      in.toDF.toDF("doc_id", "text"), db, "corpus")
+    try {
+      in.addData(rows.filter(_._1 < 250).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(rows.filter(_._1 >= 250).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val query = SparkEntry.KnnTextQuery
+    def probe() = RetrievalOps.bm25TopKStoredOn(spark, docs, db, "corpus", query, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val live = RetrievalOps.bm25TopK(spark, TestSpark.Sf, query, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val streamed = probe()
+    assert(streamed === live, "streamed store must serve the batch-exact statistics")
+    def state() = (
+      spark.table(s"`$db`.`corpus__bm25stats`").count(),
+      spark.table(s"`$db`.`corpus__bm25df`").count(),
+      spark.table(s"`$db`.`corpus__bm25commits`").head().getLong(0))
+    val s0 = state()
+    val batch1 = rows.filter(_._1 >= 250).toIndexedSeq.toDF("doc_id", "text")
+    // COMMITTED replay: watermark short-circuits, nothing appends
+    CatalogOps.bm25StatsIncrementalBatch(batch1, db, "corpus", 1L)
+    assert(state() === s0)
+    // POST-APPENDS crash (both logs landed, watermark lost): partition
+    // tags make both appends no-ops; only the watermark is restored
+    spark.sql(s"DROP TABLE `$db`.`corpus__bm25commits`")
+    CatalogOps.bm25StatsIncrementalBatch(batch1, db, "corpus", 1L)
+    assert(state() === s0 && probe() === live)
+    // MID-APPENDS crash (stats landed, df lost): replay restores exactly
+    // the missing df partition — stats must not double-count
+    spark.sql(s"DROP TABLE `$db`.`corpus__bm25commits`")
+    spark.sql(s"ALTER TABLE `$db`.`corpus__bm25df` DROP PARTITION (batch_id=1)")
+    CatalogOps.bm25StatsIncrementalBatch(batch1, db, "corpus", 1L)
+    assert(state() === s0 && probe() === live)
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("flatMapGroupsWithState closes sessions on event-time timeout") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
