@@ -88,6 +88,10 @@ object SparkEntry {
     // upsert-half so the incremental path faces the oracle every run
     "q_text_bm25_stored" -> ((s, d) => RetrievalOps.bm25TopKStored(s, d)),
     "q_hybrid_rrf"     -> ((s, d) => RetrievalOps.hybridRrf(s, d)),
+    // both pools from persisted artifacts (BM25 store + routed NSW index):
+    // approximate on the vector side by construction → rows-only;
+    // exhaustive-settings equality to q_hybrid_rrf pinned in RetrievalSpec
+    "q_hybrid_rrf_served" -> ((s, d) => RetrievalOps.hybridRrfServed(s, d)),
     "q_tfidf_topterms" -> ((s, d) => RetrievalOps.tfidfTopTerms(s, d)),
     // greedy MMR is not one-query SQL-expressible: rows-only by design,
     // cross-checked in RetrievalSpec against a reference implementation
@@ -182,8 +186,8 @@ object SparkEntry {
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
     "q_events_tumbling", "q_events_sessionize",
-    "q_text_bm25", "q_text_bm25_stored", "q_hybrid_rrf", "q_tfidf_topterms",
-    "q_knn_mmr")
+    "q_text_bm25", "q_text_bm25_stored", "q_hybrid_rrf", "q_hybrid_rrf_served",
+    "q_tfidf_topterms", "q_knn_mmr")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.

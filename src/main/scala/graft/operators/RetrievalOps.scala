@@ -356,6 +356,57 @@ object RetrievalOps {
     (db, name)
   }
 
+  /** `q_hybrid_rrf_served`: the full SERVING-PATH hybrid — both pools come
+    * from persisted artifacts instead of corpus scans: the lexical pool
+    * from the BM25 statistics store ([[bm25TopKStoredOn]], one corpus
+    * scan, no stats pass) and the vector pool from the routed NSW graph
+    * index ([[graft.operators.GraphAnnOps.searchStoredRouted]], nprobe
+    * pruned cell graphs, no exact scan), fused by the same
+    * reciprocal-rank arithmetic as [[hybridRrf]]. This is the complete
+    * production query of the engine's two retrieval stacks composed —
+    * what a deployment actually runs per request at 100 TB, where neither
+    * side can afford its exact twin. Approximate on the vector side by
+    * construction → rows-only in the contract; RetrievalSpec pins
+    * equality to the exact [[hybridRrf]] at exhaustive probe settings
+    * (efSearch ≥ corpus, nprobe = kCells) and fusion validity below them.
+    */
+  def hybridRrfServed(spark: SparkSession, dir: String,
+      query: String = graft.SparkEntry.KnnTextQuery,
+      pool: Int = 20, k: Int = 10,
+      efSearch: Int = 100, nprobe: Int = 2,
+      kCells: Int = 8): DataFrame = {
+    val (ldb, lname) = ensureBm25Store(spark, dir)
+    val lex = bm25TopKStoredOn(spark, Tables.documents(spark, dir),
+        ldb, lname, query, pool)
+      .withColumn("lrank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+
+    val (gdb, gname) = GraphAnnOps.ensureNswRoutedCollection(
+      spark, dir, kCells, m = 16, efConstruction = 200)
+    val qvec = graft.plans.FeatureHash.embed(
+      org.apache.spark.unsafe.types.UTF8String.fromString(query),
+      KnnOps.DefaultEmbedDim).toDoubleArray
+    val vec = GraphAnnOps.searchStoredRouted(spark, gdb, gname, qvec,
+        pool, efSearch, nprobe)
+      .select(col("vec_id"), round(col("score"), 6).as("vscore"))
+      .orderBy(col("vscore").desc, col("vec_id").asc)
+      .limit(pool)
+      .withColumn("vrank",
+        row_number().over(Window.orderBy(col("vscore").desc, col("vec_id").asc)))
+
+    lex.join(vec, col("doc_id") === col("vec_id"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        coalesce(col("lrank"), lit(0)).cast("long").as("lex_rank"),
+        coalesce(col("vrank"), lit(0)).cast("long").as("vec_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("lrank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("vrank")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** The df-log probe — package-visible so RetrievalSpec can pin the
     * pushed `term IN (...)` scan filter.
     */

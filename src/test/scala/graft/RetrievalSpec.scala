@@ -181,6 +181,33 @@ class RetrievalSpec extends AnyFunSuite {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("served hybrid equals the exact hybrid at exhaustive probes, valid below") {
+    val exact = RetrievalOps.hybridRrf(spark, sf, query, pool = 20, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // exhaustive: beam ≥ corpus, all cells probed → the routed index IS the
+    // exact scan, so the whole fusion must match bit-for-bit
+    val served = RetrievalOps.hybridRrfServed(spark, sf, query, pool = 20, k = 10,
+        efSearch = 1000, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(served.toSeq === exact.toSeq)
+    // production settings: approximate vector pool, but the fusion stays
+    // valid — k rows, rrf consistent with the two rank columns
+    val prod = RetrievalOps.hybridRrfServed(spark, sf, query, pool = 20, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(prod.length === 10)
+    prod.foreach { case (_, lr, vr, rrf) =>
+      assert(lr >= 0 && vr >= 0 && (lr > 0 || vr > 0))
+      val exp = (if (lr > 0) 1.0 / (60.0 + lr) else 0.0) +
+        (if (vr > 0) 1.0 / (60.0 + vr) else 0.0)
+      assert(rrf === math.rint(exp * 1e6) / 1e6)
+    }
+    // the lexical side is index-independent: its ranks agree with exact
+    val exactLex = exact.filter(_._2 > 0).map(t => t._1 -> t._2).toMap
+    prod.filter(_._2 > 0).foreach { case (id, lr, _, _) =>
+      exactLex.get(id).foreach(e => assert(e === lr, s"lex rank of $id"))
+    }
+  }
+
   test("removeBm25Stats: negated partials make remove(X) equal a build that never saw X") {
     import graft.sources.CatalogOps
     val db = "graft_bm25_rm"
