@@ -92,6 +92,16 @@ object SparkEntry {
     // approximate on the vector side by construction → rows-only;
     // exhaustive-settings equality to q_hybrid_rrf pinned in RetrievalSpec
     "q_hybrid_rrf_served" -> ((s, d) => RetrievalOps.hybridRrfServed(s, d)),
+    // batched lexical serving: one corpus scan for a whole query table;
+    // rows-only (per-query fp chain not SQL-shareable across a join) —
+    // bit-equality to the stored single-query path pinned in RetrievalSpec
+    "q_text_bm25_batch" -> ((s, d) => {
+      val (db, name) = RetrievalOps.ensureBm25Store(s, d)
+      RetrievalOps.bm25ForQueriesStored(s, sources.Tables.documents(s, d), db, name,
+        s.createDataFrame(Seq(
+          (0L, KnnTextQuery), (1L, "hash join merge"), (2L, "stream window agg")))
+          .toDF("query_id", "qtext"))
+    }),
     "q_tfidf_topterms" -> ((s, d) => RetrievalOps.tfidfTopTerms(s, d)),
     // greedy MMR is not one-query SQL-expressible: rows-only by design,
     // cross-checked in RetrievalSpec against a reference implementation
@@ -186,8 +196,8 @@ object SparkEntry {
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
     "q_events_tumbling", "q_events_sessionize",
-    "q_text_bm25", "q_text_bm25_stored", "q_hybrid_rrf", "q_hybrid_rrf_served",
-    "q_tfidf_topterms", "q_knn_mmr")
+    "q_text_bm25", "q_text_bm25_stored", "q_text_bm25_batch",
+    "q_hybrid_rrf", "q_hybrid_rrf_served", "q_tfidf_topterms", "q_knn_mmr")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.

@@ -407,6 +407,87 @@ object RetrievalOps {
       .limit(k)
   }
 
+  /** `q_text_bm25_batch`: batched BM25 serving from the stored statistics —
+    * ONE corpus scan answers a whole query table (query_id, qtext), the
+    * lexical twin of [[KnnOps.topKForQueries]]'s batched knn.
+    *
+    * Shape: the query batch's term lists collect driver-side (the batch is
+    * the bounded small side by contract, exactly like the broadcast query
+    * vectors of batched knn); their merged df values come from one pushed
+    * `term IN` probe of the df log. A broadcast (query_id, term, tidx, idf)
+    * table joins the token-exploded corpus — only tokens matching SOME
+    * query term survive the join — then ONE explicit repartition on
+    * (doc_id, query_id) feeds both aggregations exchange-free: tf per
+    * (doc, query, term), then the per-query score. The final per-query
+    * top-k is the bounded-heap [[graft.plans.TopKScoreId]] aggregate —
+    * map-side k-entry heaps, so the last shuffle carries k·partitions rows
+    * per query, never the scored corpus.
+    *
+    * Determinism: the per-query sum folds `sort_array(collect_list(struct
+    * (tidx, partial)))` in fixed tidx order, and a term with tf = 0
+    * contributes an exact fp `+0.0` in the single-query chain — so batched
+    * scores are BIT-IDENTICAL to [[bm25TopKStoredOn]] per query
+    * (RetrievalSpec pins it); rows-only in the contract because the
+    * batched SQL oracle would need a per-query fp chain DuckDB cannot
+    * share across a join.
+    */
+  def bm25ForQueriesStored(spark: SparkSession, corpus: DataFrame,
+      db: String, name: String, queries: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val qTerms: Array[(Long, Seq[String])] = queries
+      .select(col("query_id"), col("qtext")).collect()
+      .map(r => (r.getLong(0), queryTerms(r.getString(1))))
+      .filter(_._2.nonEmpty)
+    require(qTerms.nonEmpty, "batched BM25 needs at least one non-empty query")
+    val allTerms = qTerms.flatMap(_._2).distinct.toSeq
+
+    val statsRow = spark.table(s"`$db`.`${name}__bm25stats`")
+      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl")).head()
+    val n = statsRow.getDouble(0)
+    val avgdl = statsRow.getDouble(1) / n
+    val dfMap = dfProbe(spark, db, name, allTerms)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // (query_id, term, tidx, idf): idf precomputed per term with the same
+    // Math.log the single-query literal fold uses
+    val termRows = qTerms.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) =>
+        val dfi = dfMap.getOrElse(t, 0.0)
+        (qid, t, i, math.log((n - dfi + 0.5) / (dfi + 0.5) + 1.0))
+      }
+    }.toIndexedSeq
+    val termsDf = broadcast(
+      spark.createDataFrame(termRows).toDF("query_id", "term", "tidx", "idf"))
+
+    val matched = corpus
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("double").as("dl"),
+        explode(toks(col("text"))).as("term"))
+      .join(termsDf, "term")
+      .repartition(col("doc_id"), col("query_id")) // both aggs reuse this
+    val tf = matched
+      .groupBy(col("doc_id"), col("query_id"), col("tidx"), col("idf"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val partial = tf.withColumn("p",
+      col("idf") * (col("tf") * lit(K1Plus1)) /
+        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))))
+    val scored = partial
+      .groupBy(col("doc_id"), col("query_id"))
+      .agg(sort_array(collect_list(struct(col("tidx"), col("p")))).as("ps"))
+      .select(col("query_id"), col("doc_id"),
+        round(aggregate(col("ps"), lit(0.0),
+          (acc, x) => acc + x.getField("p")), 6).as("bm25"))
+
+    val topk = toCol(graft.plans.TopKScoreId(
+      toExpr(col("bm25")), toExpr(col("doc_id")), k).toAggregateExpression())
+    scored.groupBy(col("query_id"))
+      .agg(topk.as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.vec_id").as("doc_id"), col("hit.score").as("bm25"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** The df-log probe — package-visible so RetrievalSpec can pin the
     * pushed `term IN (...)` scan filter.
     */

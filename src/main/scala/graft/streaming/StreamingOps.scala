@@ -286,6 +286,27 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming BM25 QUERY serving — the lexical member of the streaming
+    * retrieval family (exact / IVF / int8 / PQ / graph knn all have one):
+    * each micro-batch of (query_id, qtext) is answered from the persisted
+    * BM25 statistics store in one corpus scan
+    * ([[graft.operators.RetrievalOps.bm25ForQueriesStored]]) — stateless
+    * per batch, batch side driver-bounded + broadcast, corpus never
+    * shuffled. Pair with [[streamingBm25Stats]] maintaining the same store
+    * for the full streaming lexical stack.
+    */
+  def streamingBm25(queryStream: DataFrame, db: String, name: String,
+      corpus: DataFrame, k: Int = 10)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.RetrievalOps.bm25ForQueriesStored(
+            batch.sparkSession, corpus, db, name, batch.toDF(), k), id)
+      }
+      .start()
+
   /** Stream-static enrichment: every micro-batch hash-joins against the
     * broadcast dimension (no streaming state at all — the static side is a
     * plain batch DataFrame, re-broadcast per batch). The streaming form of

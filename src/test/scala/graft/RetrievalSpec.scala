@@ -208,6 +208,45 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("batched BM25 equals the stored single-query path per query, bit-for-bit") {
+    val (db, name) = RetrievalOps.ensureBm25Store(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val queriesDf = spark.createDataFrame(Seq(
+      (0L, query), (1L, "hash join merge"), (2L, "stream window agg"),
+      (3L, "zzzznotinvocab scan")))
+      .toDF("query_id", "qtext")
+    val got = RetrievalOps.bm25ForQueriesStored(spark, docs, db, name, queriesDf, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    Seq(0L -> query, 1L -> "hash join merge", 2L -> "stream window agg",
+      3L -> "zzzznotinvocab scan").foreach { case (qid, qtext) =>
+      val single = RetrievalOps.bm25TopKStoredOn(spark, docs, db, name, qtext, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val batched = got.getOrElse(qid, Array.empty)
+        .sortBy(_._2).map(t => (t._3, t._4))
+      assert(batched.toSeq === single.toSeq, s"query $qid ($qtext)")
+      // ranks are 1..n with no gaps
+      assert(got.getOrElse(qid, Array.empty).map(_._2).sorted.toSeq ===
+        (1L to batched.length).toSeq)
+    }
+  }
+
+  test("batched BM25 plan: one corpus scan, broadcast terms, one explicit repartition") {
+    val (db, name) = RetrievalOps.ensureBm25Store(spark, sf)
+    val plan = RetrievalOps.bm25ForQueriesStored(spark, Tables.documents(spark, sf),
+        db, name,
+        spark.createDataFrame(Seq((0L, query))).toDF("query_id", "qtext"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("FileScan").length - 1 === 1,
+      s"exactly one corpus scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the (doc,query) repartition + the bounded topk shuffle + the final
+    // order — both aggregations must NOT add exchanges of their own
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 4, s"agg stages must reuse the explicit repartition:\n$plan")
+  }
+
   test("removeBm25Stats: negated partials make remove(X) equal a build that never saw X") {
     import graft.sources.CatalogOps
     val db = "graft_bm25_rm"

@@ -486,6 +486,35 @@ class StreamingSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "rdedupdb")
   }
 
+  test("streaming BM25 answers each query micro-batch like the batched serving path") {
+    import graft.operators.RetrievalOps
+    implicit val ctx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf)
+    val (db, name) = RetrievalOps.ensureBm25Store(spark, TestSpark.Sf)
+    val qs = Seq((0L, SparkEntry.KnnTextQuery), (1L, "hash join merge"),
+      (2L, "stream window agg"))
+    val in = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = StreamingOps.streamingBm25(
+      in.toDF.toDF("query_id", "qtext"), db, name, docs, k = 5) { (out, _) =>
+      results.synchronized {
+        results ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+    }
+    try {
+      in.addData(qs.take(1))
+      q.processAllAvailable()
+      in.addData(qs.drop(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = RetrievalOps.bm25ForQueriesStored(spark, docs, db, name,
+        qs.toDF("query_id", "qtext"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(results.sortBy(t => (t._1, t._2)).toSeq ===
+      batch.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("streaming BM25 stats: stream equals batch; every replay window converges") {
     import graft.sources.{CatalogOps, Tables}
     import graft.operators.RetrievalOps
