@@ -87,6 +87,9 @@ object SparkEntry {
     // served from the persisted stats store, built create-half +
     // upsert-half so the incremental path faces the oracle every run
     "q_text_bm25_stored" -> ((s, d) => RetrievalOps.bm25TopKStored(s, d)),
+    // inverted-postings serving: zero corpus scans, bucket-pruned read;
+    // bit-identical to the stored path → faces the SAME oracle
+    "q_text_bm25_indexed" -> ((s, d) => RetrievalOps.bm25TopKIndexed(s, d)),
     "q_hybrid_rrf"     -> ((s, d) => RetrievalOps.hybridRrf(s, d)),
     // both pools from persisted artifacts (BM25 store + routed NSW index):
     // approximate on the vector side by construction → rows-only;
@@ -98,6 +101,16 @@ object SparkEntry {
     "q_text_bm25_batch" -> ((s, d) => {
       val (db, name) = RetrievalOps.ensureBm25Store(s, d)
       RetrievalOps.bm25ForQueriesStored(s, sources.Tables.documents(s, d), db, name,
+        s.createDataFrame(Seq(
+          (0L, KnnTextQuery), (1L, "hash join merge"), (2L, "stream window agg")))
+          .toDF("query_id", "qtext"))
+    }),
+    // postings-index batched serving: zero corpus scans for a whole query
+    // table; rows-only — bit-equality to the stored batched path (itself
+    // pinned to the single-query chain) pinned in RetrievalSpec
+    "q_text_bm25_batch_indexed" -> ((s, d) => {
+      val (db, name) = RetrievalOps.ensureLexicalIndex(s, d)
+      RetrievalOps.bm25ForQueriesIndexed(s, db, name,
         s.createDataFrame(Seq(
           (0L, KnnTextQuery), (1L, "hash join merge"), (2L, "stream window agg")))
           .toDF("query_id", "qtext"))
@@ -196,7 +209,8 @@ object SparkEntry {
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
     "q_events_tumbling", "q_events_sessionize",
-    "q_text_bm25", "q_text_bm25_stored", "q_text_bm25_batch",
+    "q_text_bm25", "q_text_bm25_stored", "q_text_bm25_indexed",
+    "q_text_bm25_batch", "q_text_bm25_batch_indexed",
     "q_hybrid_rrf", "q_hybrid_rrf_served", "q_tfidf_topterms", "q_knn_mmr")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
@@ -591,6 +605,16 @@ object SparkEntry {
     // faces the SAME oracle, which is the point: the persisted artifact
     // must never drift from the definition
     "q_text_bm25_stored" ->
+      s"""WITH $bm25BaseCtes
+         |SELECT doc_id,
+         |       round($bm25ScoreExpr, 6) AS bm25
+         |FROM f CROSS JOIN s
+         |WHERE $bm25AnyHit > 0
+         |ORDER BY bm25 DESC, doc_id ASC
+         |LIMIT 20""".stripMargin,
+    // the postings-index probe (zero corpus scans) is bit-identical to
+    // both paths above — same oracle again, same no-drift point
+    "q_text_bm25_indexed" ->
       s"""WITH $bm25BaseCtes
          |SELECT doc_id,
          |       round($bm25ScoreExpr, 6) AS bm25

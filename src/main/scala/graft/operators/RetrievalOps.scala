@@ -357,27 +357,28 @@ object RetrievalOps {
   }
 
   /** `q_hybrid_rrf_served`: the full SERVING-PATH hybrid — both pools come
-    * from persisted artifacts instead of corpus scans: the lexical pool
-    * from the BM25 statistics store ([[bm25TopKStoredOn]], one corpus
-    * scan, no stats pass) and the vector pool from the routed NSW graph
-    * index ([[graft.operators.GraphAnnOps.searchStoredRouted]], nprobe
-    * pruned cell graphs, no exact scan), fused by the same
-    * reciprocal-rank arithmetic as [[hybridRrf]]. This is the complete
-    * production query of the engine's two retrieval stacks composed —
-    * what a deployment actually runs per request at 100 TB, where neither
-    * side can afford its exact twin. Approximate on the vector side by
-    * construction → rows-only in the contract; RetrievalSpec pins
-    * equality to the exact [[hybridRrf]] at exhaustive probe settings
-    * (efSearch ≥ corpus, nprobe = kCells) and fusion validity below them.
+    * from persisted artifacts and NEITHER touches the corpus: the lexical
+    * pool from the inverted postings index ([[bm25TopKIndexedOn]],
+    * bucket-pruned posting lists, zero corpus scans) and the vector pool
+    * from the routed NSW graph index ([[graft.operators.GraphAnnOps
+    * .searchStoredRouted]], nprobe pruned cell graphs, no exact scan),
+    * fused by the same reciprocal-rank arithmetic as [[hybridRrf]]. This
+    * is the complete production query of the engine's two retrieval
+    * stacks composed — what a deployment actually runs per request at
+    * 100 TB, where per-query cost must scale with the QUERY (its terms'
+    * posting lists, its probe cells), never the corpus. Approximate on
+    * the vector side by construction → rows-only in the contract;
+    * RetrievalSpec pins equality to the exact [[hybridRrf]] at
+    * exhaustive probe settings (efSearch ≥ corpus, nprobe = kCells) and
+    * fusion validity below them.
     */
   def hybridRrfServed(spark: SparkSession, dir: String,
       query: String = graft.SparkEntry.KnnTextQuery,
       pool: Int = 20, k: Int = 10,
       efSearch: Int = 100, nprobe: Int = 2,
       kCells: Int = 8): DataFrame = {
-    val (ldb, lname) = ensureBm25Store(spark, dir)
-    val lex = bm25TopKStoredOn(spark, Tables.documents(spark, dir),
-        ldb, lname, query, pool)
+    val (ldb, lname) = ensureLexicalIndex(spark, dir)
+    val lex = bm25TopKIndexedOn(spark, ldb, lname, query, pool)
       .withColumn("lrank",
         row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
 
@@ -486,6 +487,184 @@ object RetrievalOps {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("hit.vec_id").as("doc_id"), col("hit.score").as("bm25"))
       .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** `q_text_bm25_indexed`: BM25 top-k served from the INVERTED POSTINGS
+    * index ([[graft.sources.CatalogOps.createPostings]]) — ZERO corpus
+    * scans. The statistics store ([[bm25TopKStored]]) moved the stats
+    * pass to ingest but still re-tokenizes the whole corpus per query;
+    * this is the Lucene end-state where that scan is an ingest cost too:
+    * a query costs
+    *
+    *  1. the (tiny) stats-log sum — n, avgdl,
+    *  2. the pushed `term IN` df-log probe — idf per query term,
+    *  3. ONE read of the postings table pruned to the query terms'
+    *     hash-bucket PARTITIONS (directory-level, [[graft.sources
+    *     .CatalogOps.PostingsBuckets]]) then their rows (row-group-level
+    *     pushed filter) — cost ∝ the query terms' posting lists, NEVER
+    *     the corpus. One explicit `repartition(doc_id)` feeds both
+    *     aggregations (log-merge, then score fold) exchange-free; the
+    *     top-k is `TakeOrderedAndProject`.
+    *
+    * Bit-identical to [[bm25TopKStoredOn]] (and so to [[bm25TopK]], same
+    * oracle SQL): merged tf/dl are exact integer counts, idf folds the
+    * same literals through the same `Math.log`, and the per-doc score
+    * folds `sort_array(collect_list(struct(tidx, partial)))` in fixed
+    * tidx order — a term the doc lacks contributes an exact `+0.0` in the
+    * literal chain, so skipping it cannot change the bits (the
+    * [[bm25ForQueriesStored]] determinism argument). RetrievalSpec pins
+    * equality incl. across create/upsert/remove/compact lifecycles, and
+    * pins the pruned plan.
+    */
+  def bm25TopKIndexed(spark: SparkSession, dir: String,
+      query: String = graft.SparkEntry.KnnTextQuery, k: Int = 20): DataFrame = {
+    val (db, name) = ensureLexicalIndex(spark, dir)
+    bm25TopKIndexedOn(spark, db, name, query, k)
+  }
+
+  /** Serve BM25 from the postings + statistics artifacts alone (no corpus
+    * frame at all — the serving signature of an index-complete store).
+    */
+  def bm25TopKIndexedOn(spark: SparkSession, db: String, name: String,
+      query: String, k: Int): DataFrame = {
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val statsRow = spark.table(s"`$db`.`${name}__bm25stats`")
+      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl")).head()
+    val n = statsRow.getDouble(0)
+    val avgdl = statsRow.getDouble(1) / n
+    val dfMap = dfProbe(spark, db, name, terms)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // term → (tidx, idf) as literal CASE chains: no join, the scoring
+    // plan's only input is the pruned postings scan
+    val tidxCol = terms.zipWithIndex.foldLeft(lit(-1)) { case (acc, (t, i)) =>
+      when(col("term") === lit(t), lit(i)).otherwise(acc)
+    }
+    val idfCol = terms.foldLeft(lit(0.0)) { case (acc, t) =>
+      val dfi = dfMap.getOrElse(t, 0.0)
+      when(col("term") === lit(t),
+        lit(math.log((n - dfi + 0.5) / (dfi + 0.5) + 1.0))).otherwise(acc)
+    }
+    mergedPostings(spark, db, name, terms)
+      .withColumn("tidx", tidxCol)
+      .withColumn("idf", idfCol)
+      .withColumn("p",
+        col("idf") * (col("tf") * lit(K1Plus1)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("tidx"), col("p")))).as("ps"))
+      .select(col("doc_id"),
+        round(aggregate(col("ps"), lit(0.0),
+          (acc, x) => acc + x.getField("p")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** `q_text_bm25_batch_indexed`: batched BM25 serving from the POSTINGS
+    * index — ONE bucket-pruned postings read answers a whole (query_id,
+    * qtext) table, zero corpus scans. [[bm25ForQueriesStored]] with its
+    * one remaining corpus scan replaced by the posting lists of the
+    * batch's term UNION: the pruned read merges the signed log once
+    * (repartitioned on doc_id, which both aggregations AND the broadcast
+    * join downstream reuse — HashPartitioning(doc_id) satisfies every
+    * ClusteredDistribution here by the subset rule), a broadcast
+    * (query_id, term, tidx, idf) table fans each posting out to the
+    * queries that want its term, and the per-query score + bounded-heap
+    * top-k are identical to the stored batched path — so results are
+    * BIT-IDENTICAL to it per query (RetrievalSpec pins it; rows-only in
+    * the contract for the same fp-chain reason).
+    */
+  def bm25ForQueriesIndexed(spark: SparkSession, db: String, name: String,
+      queries: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val qTerms: Array[(Long, Seq[String])] = queries
+      .select(col("query_id"), col("qtext")).collect()
+      .map(r => (r.getLong(0), queryTerms(r.getString(1))))
+      .filter(_._2.nonEmpty)
+    require(qTerms.nonEmpty, "batched BM25 needs at least one non-empty query")
+    val allTerms = qTerms.flatMap(_._2).distinct.toSeq
+
+    val statsRow = spark.table(s"`$db`.`${name}__bm25stats`")
+      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl")).head()
+    val n = statsRow.getDouble(0)
+    val avgdl = statsRow.getDouble(1) / n
+    val dfMap = dfProbe(spark, db, name, allTerms)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val termRows = qTerms.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) =>
+        val dfi = dfMap.getOrElse(t, 0.0)
+        (qid, t, i, math.log((n - dfi + 0.5) / (dfi + 0.5) + 1.0))
+      }
+    }.toIndexedSeq
+    val termsDf = broadcast(
+      spark.createDataFrame(termRows).toDF("query_id", "term", "tidx", "idf"))
+
+    val partial = mergedPostings(spark, db, name, allTerms)
+      .join(termsDf, "term")
+      .withColumn("p",
+        col("idf") * (col("tf") * lit(K1Plus1)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))))
+    val scored = partial
+      .groupBy(col("doc_id"), col("query_id"))
+      .agg(sort_array(collect_list(struct(col("tidx"), col("p")))).as("ps"))
+      .select(col("query_id"), col("doc_id"),
+        round(aggregate(col("ps"), lit(0.0),
+          (acc, x) => acc + x.getField("p")), 6).as("bm25"))
+
+    val topk = toCol(graft.plans.TopKScoreId(
+      toExpr(col("bm25")), toExpr(col("doc_id")), k).toAggregateExpression())
+    scored.groupBy(col("query_id"))
+      .agg(topk.as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.vec_id").as("doc_id"), col("hit.score").as("bm25"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** The bucket-pruned, log-merged postings read shared by the indexed
+    * probes: prune to the query terms' bucket partitions + pushed term
+    * filter, repartition ONCE on doc_id (both downstream aggregations
+    * reuse it), merge the signed log to live (term, doc_id, tf, dl)
+    * rows. Package-visible so RetrievalSpec can pin the plan.
+    */
+  private[graft] def mergedPostings(spark: SparkSession, db: String,
+      name: String, terms: Seq[String]): DataFrame = {
+    val buckets = terms.map(graft.sources.CatalogOps.postingsBucketOf).distinct
+    spark.table(s"`$db`.`${name}__postings`")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .repartition(col("doc_id"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sum(col("tf")).as("tf"), sum(col("dl")).as("dl"))
+      .filter(col("tf") > 0.0)
+  }
+
+  /** Build-if-absent for the indexed contract entries: the BM25
+    * statistics store PLUS the postings index, both deliberately built
+    * create-half + upsert-half so every contract run exercises the
+    * incremental maintenance path. One artifact set, three logs —
+    * stats (n, sum_dl), df, postings — maintained by the same
+    * create/upsert/remove calls.
+    */
+  private[graft] def ensureLexicalIndex(spark: SparkSession, dir: String): (String, String) = {
+    import graft.sources.CatalogOps
+    val (db, name) = ensureBm25Store(spark, dir)
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__postings")) {
+        // a fresh test catalog can meet a stale warehouse dir from a
+        // previous JVM — same wipe ensureBm25Store does for its tables
+        spark.sql(s"DROP TABLE IF EXISTS `$db`.`${name}__postings`")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+          new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
+            s"/$db.db/${name}__postings"))
+        val docs = Tables.documents(spark, dir)
+        CatalogOps.createPostings(spark, db, name,
+          docs.filter(col("doc_id") % 2 === 0))
+        CatalogOps.upsertPostings(spark, db, name,
+          docs.filter(col("doc_id") % 2 =!= 0))
+      }
+    }
+    (db, name)
   }
 
   /** The df-log probe — package-visible so RetrievalSpec can pin the

@@ -977,6 +977,153 @@ object CatalogOps {
     }
   }
 
+  /** Number of term-hash partitions in a postings store. Bounded and
+    * fixed: partitioning by RAW term would create vocabulary-many
+    * directories (unbounded, filesystem-hostile at 100 TB); a hash bucket
+    * keeps the directory count constant while still letting a probe prune
+    * to exactly the query terms' buckets — a few directories out of 64 —
+    * before the pushed `term IN (...)` filter sees a single row group.
+    */
+  val PostingsBuckets = 64
+
+  private def postingsBucket(term: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pmod(xxhash64(term), lit(PostingsBuckets.toLong))
+  }
+
+  /** The SAME bucket function driver-side, so a probe can enumerate its
+    * query terms' bucket partitions as pruning literals without a job:
+    * `xxhash64` is XXH64 with seed 42, and `pmod` on a positive modulus
+    * is `floorMod`. Pinned equal to the column form in CatalogSpec.
+    */
+  private[graft] def postingsBucketOf(term: String): Long =
+    java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term), 42L),
+      PostingsBuckets.toLong)
+
+  /** Inverted postings index — the term→documents artifact that removes
+    * the LAST corpus scan from lexical serving. The statistics store
+    * ([[createBm25Stats]]) already made the stats pass an index-time cost,
+    * but its probe still re-tokenizes the whole corpus per query; at
+    * 100 TB that scan IS the query cost. Lucene's answer (and ours) is the
+    * inverted index: pay one tokenize at ingest, serve from postings.
+    *
+    * `name__postings`: rows of `(term, doc_id, tf, dl)` — one row per
+    * (document, distinct term), `tf` the in-document term frequency, `dl`
+    * the document's token length — PARTITIONED by `bucket =
+    * pmod(xxhash64(term), [[PostingsBuckets]])` so a probe reads only the
+    * query terms' buckets (partition pruning, directory-level) and then
+    * only their rows (pushed `term IN` scan filter, row-group level).
+    * Probe cost is proportional to the query terms' posting lists, never
+    * the corpus.
+    *
+    * Log-structured like the stats store: [[upsertPostings]] APPENDS one
+    * batch's rows (O(batch), no read-modify-write); [[removePostings]]
+    * appends SIGN-FLIPPED rows, so a read-time `sum(tf)/sum(dl)` per
+    * (term, doc_id) cancels deleted documents exactly (all values are
+    * exact integer counts in doubles — merge order cannot perturb them,
+    * the same fp-exactness rule the stats store relies on); survivors are
+    * the rows with merged tf > 0. [[compactPostings]] folds the log.
+    * Contract: appended docs are NEW ids (re-ingest = remove + upsert),
+    * matching the stats-store contract.
+    */
+  def createPostings(spark: SparkSession, db: String, name: String,
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writePostings(spark, db, name, docs, idCol, textCol, overwrite = true)
+
+  /** Append one ingest batch's postings — see [[createPostings]]. */
+  def upsertPostings(spark: SparkSession, db: String, name: String,
+      newDocs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writePostings(spark, db, name, newDocs, idCol, textCol, overwrite = false)
+
+  /** Remove documents by appending negated postings (tf and dl sign-
+    * flipped) — deletion in the log is ingest with sign flipped, exactly
+    * like [[removeBm25Stats]]. Pass the SAME rows deleted from the corpus
+    * table. */
+  def removePostings(spark: SparkSession, db: String, name: String,
+      removedDocs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    writePostings(spark, db, name, removedDocs, idCol, textCol,
+      overwrite = false, negated = true)
+
+  private def writePostings(spark: SparkSession, db: String, name: String,
+      docs: DataFrame, idCol: String, textCol: String, overwrite: Boolean,
+      batchId: Long = -1L, negated: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions._
+    val mode = if (overwrite) "overwrite" else "append"
+    val sign = if (negated) -1.0 else 1.0
+    val toks = split(col(textCol), " ")
+    // tf via explode + count; dl = size of ALL tokens (empty strings
+    // included) — the SAME integers the live scorer and the oracle compute
+    docs.select(col(idCol).as("doc_id"),
+        size(toks).cast("double").as("dl"), explode(toks).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg((count(lit(1)) * sign).cast("double").as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"),
+        (col("dl") * sign).as("dl"),
+        postingsBucket(col("term")).as("bucket"),
+        lit(batchId).as("batch_id"))
+      // bucket is the probe's pruning axis; batch_id nests inside it so a
+      // streaming replay check stays a directory listing (per-bucket dirs)
+      .write.mode(mode).partitionBy("bucket", "batch_id")
+      .saveAsTable(s"`$db`.`${name}__postings`")
+  }
+
+  /** One micro-batch of streaming postings maintenance — replay-safe
+    * under foreachBatch's at-least-once contract with the same two-layer
+    * design as [[bm25StatsIncrementalBatch]]: a 1-row commit watermark
+    * no-ops fully committed batches, and the append itself is idempotent
+    * because `batch_id` is a PARTITION value — "already appended" is a
+    * partition-existence check, no data scan.
+    */
+  def postingsIncrementalBatch(batch: DataFrame, db: String, name: String,
+      batchId: Long, idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val commitsName = s"${name}__postcommits"
+    if (spark.catalog.tableExists(s"$db.$commitsName")) {
+      val r = spark.table(s"`$db`.`$commitsName`")
+        .agg(max(col("batch_id"))).head()
+      if (!r.isNullAt(0) && batchId <= r.getLong(0)) return
+    }
+    val alreadyAppended =
+      spark.catalog.tableExists(s"$db.${name}__postings") &&
+        !spark.table(s"`$db`.`${name}__postings`")
+          .filter(col("batch_id") === batchId).limit(1).isEmpty
+    if (!alreadyAppended)
+      writePostings(spark, db, name, batch, idCol, textCol,
+        overwrite = false, batchId = batchId)
+    spark.createDataFrame(Seq(Tuple1(batchId))).toDF("batch_id")
+      .write.mode("overwrite").saveAsTable(s"`$db`.`$commitsName`")
+  }
+
+  /** Fold the postings log to one row per live (term, doc_id): merged
+    * tf/dl sums, cancelled (deleted) rows dropped. Same staging-table
+    * swap as [[compactBm25Stats]]; the merged rows keep the MAX folded
+    * batch_id so the streaming watermark ordering survives. Probe results
+    * are unchanged — the merge the probe does at read time is exactly the
+    * fold. */
+  def compactPostings(spark: SparkSession, db: String, name: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val t = s"${name}__postings"
+    val maxBatch = spark.table(s"`$db`.`$t`")
+      .agg(max(col("batch_id"))).head().getLong(0)
+    val staging = s"`$db`.`__${t}_compact_staging`"
+    spark.table(s"`$db`.`$t`")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sum(col("tf")).as("tf"), sum(col("dl")).as("dl"))
+      .filter(col("tf") =!= 0.0)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        postingsBucket(col("term")).as("bucket"),
+        lit(maxBatch).as("batch_id"))
+      .write.mode("overwrite").saveAsTable(staging)
+    try spark.table(staging).write.mode("overwrite")
+      .partitionBy("bucket", "batch_id").saveAsTable(s"`$db`.`$t`")
+    finally spark.sql(s"DROP TABLE IF EXISTS $staging")
+  }
+
   def dropCollection(spark: SparkSession, db: String, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")
 

@@ -287,6 +287,113 @@ class RetrievalSpec extends AnyFunSuite {
       s"df probe must push term IN into the scan:\n$dfPlan")
   }
 
+  test("batched indexed BM25 equals the batched stored path bit-for-bit") {
+    val (db, name) = RetrievalOps.ensureLexicalIndex(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val queriesDf = spark.createDataFrame(Seq(
+      (0L, query), (1L, "hash join merge"), (2L, "stream window agg"),
+      (3L, "zzzznotinvocab scan")))
+      .toDF("query_id", "qtext")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val stored = rows(RetrievalOps.bm25ForQueriesStored(
+      spark, docs, db, name, queriesDf, k = 10))
+    val indexed = rows(RetrievalOps.bm25ForQueriesIndexed(
+      spark, db, name, queriesDf, k = 10))
+    assert(stored.nonEmpty)
+    assert(indexed === stored)
+  }
+
+  test("batched indexed plan: one postings scan, broadcast terms, no corpus") {
+    val (db, name) = RetrievalOps.ensureLexicalIndex(spark, sf)
+    val plan = RetrievalOps.bm25ForQueriesIndexed(spark, db, name,
+        spark.createDataFrame(Seq((0L, query))).toDF("query_id", "qtext"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("FileScan").length - 1 === 1,
+      s"the batch is served from the postings table alone:\n$plan")
+    assert(!plan.contains("documents.parquet"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 4,
+      s"agg stages must reuse the explicit doc_id repartition:\n$plan")
+  }
+
+  test("postings bucket: driver-side bucketOf equals the xxhash64 column form") {
+    import graft.sources.CatalogOps
+    val rows = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "").distinct().limit(300)
+      .select(col("term"),
+        pmod(xxhash64(col("term")), lit(CatalogOps.PostingsBuckets.toLong)).as("b"))
+      .collect()
+    assert(rows.length >= 20, "fixture vocabulary sample too small")
+    rows.foreach { r =>
+      assert(CatalogOps.postingsBucketOf(r.getString(0)) === r.getLong(1),
+        s"bucket mismatch for term '${r.getString(0)}'")
+    }
+  }
+
+  test("indexed BM25 equals the stored path bit-for-bit, incl. out-of-vocab terms") {
+    val (db, name) = RetrievalOps.ensureLexicalIndex(spark, sf)
+    Seq(query, "hash join merge", "stream window zzzznotinvocab").foreach { q =>
+      val stored = RetrievalOps
+        .bm25TopKStoredOn(spark, Tables.documents(spark, sf), db, name, q, 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val indexed = RetrievalOps.bm25TopKIndexedOn(spark, db, name, q, 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(stored.nonEmpty, s"query '$q' must hit the fixture corpus")
+      assert(indexed === stored, s"query '$q'")
+    }
+  }
+
+  test("postings lifecycle: remove(X) equals a build that never saw X; compaction invisible") {
+    import graft.sources.CatalogOps
+    val db = "graft_postings_rm"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, sf)
+    val keep = docs.filter(col("doc_id") < 250)
+    val removed = docs.filter(col("doc_id") >= 250)
+    Seq(("full", docs), ("fresh", keep)).foreach { case (n, d) =>
+      CatalogOps.createBm25Stats(spark, db, n, d)
+      CatalogOps.createPostings(spark, db, n, d)
+    }
+    CatalogOps.removeBm25Stats(spark, db, "full", removed)
+    CatalogOps.removePostings(spark, db, "full", removed)
+    def probe(name: String) =
+      RetrievalOps.bm25TopKIndexedOn(spark, db, name, query, 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe("full") === probe("fresh"),
+      "index after remove must be bit-identical to a build without the removed docs")
+    CatalogOps.compactPostings(spark, db, "full")
+    val post = spark.table(s"`$db`.`full__postings`")
+    assert(post.filter(col("tf") <= 0).count() === 0, "cancelled postings must drop")
+    assert(post.groupBy(col("term"), col("doc_id")).count()
+      .filter(col("count") > 1).count() === 0, "compaction folds to one row per (term, doc)")
+    assert(probe("full") === probe("fresh"))
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
+  test("indexed bm25 plan: ONE bucket-pruned postings scan, no corpus, one exchange") {
+    val (db, name) = RetrievalOps.ensureLexicalIndex(spark, sf)
+    val plan = RetrievalOps.bm25TopKIndexedOn(spark, db, name, query, 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("FileScan").length - 1 === 1,
+      s"the scoring plan's only input is the postings table:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"zero corpus scans is the whole point:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"the bucket predicate must prune partitions at the directory level:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(plan).isDefined,
+      s"the term IN filter must reach the row groups:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"both aggregations must reuse the one explicit repartition:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bounded top-k must not global-sort:\n$plan")
+  }
+
   test("bm25 plan: stats side is broadcast, top-k is TakeOrderedAndProject") {
     val plan = RetrievalOps.bm25TopK(spark, sf, query, k = 20)
       .queryExecution.executedPlan.toString
