@@ -286,6 +286,43 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming maintenance of the inverted postings index
+    * ([[graft.sources.CatalogOps.postingsIncrementalBatch]]) — the
+    * ingest-side twin of [[streamingBm25Stats]], usually run on the SAME
+    * document stream so the three lexical logs (stats, df, postings)
+    * advance together and [[graft.operators.RetrievalOps
+    * .bm25TopKIndexedOn]] serves current posting lists with zero corpus
+    * scans. Replay-safe the same two-layer way: commit watermark +
+    * batch-id partition idempotency. StreamingSpec pins
+    * stream-equals-batch and replay convergence.
+    */
+  def streamingPostings(docStream: DataFrame, db: String,
+      name: String): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.CatalogOps.postingsIncrementalBatch(batch.toDF(), db, name, id)
+      }
+      .start()
+
+  /** Streaming INDEXED BM25 query serving — [[streamingBm25]]'s zero-
+    * corpus-scan twin: each (query_id, qtext) micro-batch is answered
+    * from the postings index alone ([[graft.operators.RetrievalOps
+    * .bm25ForQueriesIndexed]]); no corpus frame in the signature at all,
+    * because the serving path never needs one. Stateless per batch.
+    */
+  def streamingBm25Indexed(queryStream: DataFrame, db: String, name: String,
+      k: Int = 10)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.RetrievalOps.bm25ForQueriesIndexed(
+            batch.sparkSession, db, name, batch.toDF(), k), id)
+      }
+      .start()
+
   /** Streaming BM25 QUERY serving — the lexical member of the streaming
     * retrieval family (exact / IVF / int8 / PQ / graph knn all have one):
     * each micro-batch of (query_id, qtext) is answered from the persisted

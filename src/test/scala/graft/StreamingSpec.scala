@@ -515,6 +515,79 @@ class StreamingSpec extends AnyFunSuite {
       batch.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("streaming postings: stream equals batch; every replay window converges") {
+    import graft.sources.{CatalogOps, Tables}
+    import graft.operators.RetrievalOps
+    implicit val ctx = spark.sqlContext
+    val db = "rpostdb"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    // stats + df logs built batch-side; the stream maintains the postings
+    CatalogOps.createBm25Stats(spark, db, "corpus", docs)
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingPostings(
+      in.toDF.toDF("doc_id", "text"), db, "corpus")
+    try {
+      in.addData(rows.filter(_._1 < 250).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(rows.filter(_._1 >= 250).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val query = SparkEntry.KnnTextQuery
+    def probe() = RetrievalOps.bm25TopKIndexedOn(spark, db, "corpus", query, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val live = RetrievalOps.bm25TopK(spark, TestSpark.Sf, query, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val streamed = probe()
+    assert(streamed === live, "streamed postings must serve the batch-exact index")
+    def state() = (
+      spark.table(s"`$db`.`corpus__postings`").count(),
+      spark.table(s"`$db`.`corpus__postcommits`").head().getLong(0))
+    val s0 = state()
+    val batch1 = rows.filter(_._1 >= 250).toIndexedSeq.toDF("doc_id", "text")
+    // COMMITTED replay: watermark short-circuits, nothing appends
+    CatalogOps.postingsIncrementalBatch(batch1, db, "corpus", 1L)
+    assert(state() === s0)
+    // POST-APPEND crash (postings landed, watermark lost): the batch-id
+    // partition tag makes the append a no-op; only the watermark restores
+    spark.sql(s"DROP TABLE `$db`.`corpus__postcommits`")
+    CatalogOps.postingsIncrementalBatch(batch1, db, "corpus", 1L)
+    assert(state() === s0 && probe() === live)
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
+  test("streaming indexed BM25 answers each micro-batch like the batched indexed path") {
+    import graft.operators.RetrievalOps
+    implicit val ctx = spark.sqlContext
+    val (db, name) = RetrievalOps.ensureLexicalIndex(spark, TestSpark.Sf)
+    val qs = Seq((0L, SparkEntry.KnnTextQuery), (1L, "hash join merge"),
+      (2L, "stream window agg"))
+    val in = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = StreamingOps.streamingBm25Indexed(
+      in.toDF.toDF("query_id", "qtext"), db, name, k = 5) { (out, _) =>
+      results.synchronized {
+        results ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+    }
+    try {
+      in.addData(qs.take(1))
+      q.processAllAvailable()
+      in.addData(qs.drop(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = RetrievalOps.bm25ForQueriesIndexed(spark, db, name,
+        qs.toDF("query_id", "qtext"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(results.sortBy(t => (t._1, t._2)).toSeq ===
+      batch.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("streaming BM25 stats: stream equals batch; every replay window converges") {
     import graft.sources.{CatalogOps, Tables}
     import graft.operators.RetrievalOps
