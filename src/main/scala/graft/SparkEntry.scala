@@ -116,6 +116,12 @@ object SparkEntry {
           .toDF("query_id", "qtext"))
     }),
     "q_tfidf_topterms" -> ((s, d) => RetrievalOps.tfidfTopTerms(s, d)),
+    // tf-idf from the postings artifact: one postings scan, no explode,
+    // no self-join; bit-identical to the live path → SAME oracle
+    "q_tfidf_indexed" -> ((s, d) => {
+      val (db, name) = RetrievalOps.ensureLexicalIndex(s, d)
+      RetrievalOps.tfidfTopTermsIndexed(s, db, name)
+    }),
     // greedy MMR is not one-query SQL-expressible: rows-only by design,
     // cross-checked in RetrievalSpec against a reference implementation
     "q_knn_mmr"        -> ((s, d) => RetrievalOps.mmrRerank(s, d)),
@@ -211,7 +217,8 @@ object SparkEntry {
     "q_events_tumbling", "q_events_sessionize",
     "q_text_bm25", "q_text_bm25_stored", "q_text_bm25_indexed",
     "q_text_bm25_batch", "q_text_bm25_batch_indexed",
-    "q_hybrid_rrf", "q_hybrid_rrf_served", "q_tfidf_topterms", "q_knn_mmr")
+    "q_hybrid_rrf", "q_hybrid_rrf_served", "q_tfidf_topterms", "q_tfidf_indexed",
+    "q_knn_mmr")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -647,6 +654,25 @@ object SparkEntry {
          |ORDER BY rrf DESC, doc_id ASC
          |LIMIT 10""".stripMargin,
     "q_tfidf_topterms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, term, round(tf * ln(n / df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+        |  FROM s)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf
+        |FROM r WHERE rk <= 3
+        |ORDER BY doc_id ASC, rk ASC""".stripMargin,
+    // the postings-served tf-idf is bit-identical to the live path —
+    // same oracle, same no-drift point as the bm25 index family
+    "q_tfidf_indexed" ->
       """WITH tf AS (
         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)

@@ -202,6 +202,49 @@ object RetrievalOps {
       .orderBy(col("doc_id").asc, col("rk").asc)
   }
 
+  /** `q_tfidf_indexed`: [[tfidfTopTerms]] served from the POSTINGS index —
+    * the "persist tf/df as a corpus artifact" promise that query's perf
+    * note makes, kept. The live path tokenizes + explodes the corpus into
+    * a (doc, term) shuffle and then SELF-JOINS the tf subtree to derive
+    * df (two evaluations of the explode unless exchange reuse saves it);
+    * here tf IS the postings log (merged), df comes from the df LOG
+    * (vocabulary-sized, exact by the store invariant the lifecycle specs
+    * pin — never recomputed from the corpus), and n from the stats log —
+    * ONE postings scan, zero corpus scans, no explode, no self-join.
+    * Values are bit-identical to the live path (exact integer tf/df/n
+    * through the same `Math.log` and round), so it faces the SAME oracle.
+    *
+    * Scale shape: the postings side shuffles once on (term, doc_id) to
+    * merge the log; the df side is a vocabulary-granularity aggregate
+    * joined in (AQE broadcasts it when small, sort-merges when the
+    * vocabulary is itself huge — either way it avoids re-shuffling the
+    * corpus-granularity rows by term, which is where a stopword's skew
+    * would land); the only other shuffle is the per-doc window. That is
+    * one fewer full-data exchange than deriving df positionally.
+    */
+  def tfidfTopTermsIndexed(spark: SparkSession, db: String, name: String,
+      perDoc: Int = 3): DataFrame = {
+    val n = spark.table(s"`$db`.`${name}__bm25stats`")
+      .agg(sum(col("n"))).head().getDouble(0)
+    val tf = spark.table(s"`$db`.`${name}__postings`")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sum(col("tf")).as("tf"))
+      .filter(col("tf") > 0.0)
+    val df = spark.table(s"`$db`.`${name}__bm25df`")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0.0)
+    val scored = tf.join(df, "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(lit(n) / col("df")), 6).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perDoc)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id").asc, col("rk").asc)
+  }
+
   // private[graft], not private: the Dataset encoder's generated
   // deserializer must see a PUBLIC bytecode constructor (plain `private`
   // fails janino codegen with "Private member cannot be accessed")

@@ -319,6 +319,22 @@ class RetrievalSpec extends AnyFunSuite {
       s"agg stages must reuse the explicit doc_id repartition:\n$plan")
   }
 
+  test("indexed tf-idf equals the live path bit-for-bit; plan never touches the corpus") {
+    val (db, name) = RetrievalOps.ensureLexicalIndex(spark, sf)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+    val live = rows(RetrievalOps.tfidfTopTerms(spark, sf))
+    val indexed = rows(RetrievalOps.tfidfTopTermsIndexed(spark, db, name))
+    assert(live.nonEmpty)
+    assert(indexed === live)
+    val plan = RetrievalOps.tfidfTopTermsIndexed(spark, db, name)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("FileScan").length - 1 === 2,
+      s"postings + vocabulary-sized df log, nothing else:\n$plan")
+    assert(!plan.contains("documents.parquet"), plan)
+    assert(!plan.contains("Generate"), s"no explode — the log IS (doc, term):\n$plan")
+  }
+
   test("postings bucket: driver-side bucketOf equals the xxhash64 column form") {
     import graft.sources.CatalogOps
     val rows = Tables.documents(spark, sf)
