@@ -90,6 +90,14 @@ object SparkEntry {
     // inverted-postings serving: zero corpus scans, bucket-pruned read;
     // bit-identical to the stored path → faces the SAME oracle
     "q_text_bm25_indexed" -> ((s, d) => RetrievalOps.bm25TopKIndexed(s, d)),
+    // FILTER-index composition on the lexical path: metadata predicate
+    // restricts candidates, statistics stay corpus-wide (Lucene semantics)
+    "q_text_bm25_filtered" -> ((s, d) => {
+      val (db, name) = RetrievalOps.ensureLexicalIndex(s, d)
+      RetrievalOps.bm25TopKIndexedFiltered(s, db, name,
+        sources.Tables.documents(s, d), KnnTextQuery,
+        org.apache.spark.sql.functions.col("source") === "src7", 20)
+    }),
     "q_hybrid_rrf"     -> ((s, d) => RetrievalOps.hybridRrf(s, d)),
     // both pools from persisted artifacts (BM25 store + routed NSW index):
     // approximate on the vector side by construction → rows-only;
@@ -215,7 +223,7 @@ object SparkEntry {
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
     "q_events_tumbling", "q_events_sessionize",
-    "q_text_bm25", "q_text_bm25_stored", "q_text_bm25_indexed",
+    "q_text_bm25", "q_text_bm25_stored", "q_text_bm25_indexed", "q_text_bm25_filtered",
     "q_text_bm25_batch", "q_text_bm25_batch_indexed",
     "q_hybrid_rrf", "q_hybrid_rrf_served", "q_tfidf_topterms", "q_tfidf_indexed",
     "q_knn_mmr")
@@ -627,6 +635,17 @@ object SparkEntry {
          |       round($bm25ScoreExpr, 6) AS bm25
          |FROM f CROSS JOIN s
          |WHERE $bm25AnyHit > 0
+         |ORDER BY bm25 DESC, doc_id ASC
+         |LIMIT 20""".stripMargin,
+    // filtered lexical search: predicate restricts candidates only —
+    // statistics stay corpus-wide, so the score CTEs are unchanged
+    "q_text_bm25_filtered" ->
+      s"""WITH $bm25BaseCtes
+         |SELECT doc_id,
+         |       round($bm25ScoreExpr, 6) AS bm25
+         |FROM f CROSS JOIN s
+         |WHERE $bm25AnyHit > 0
+         |  AND doc_id IN (SELECT doc_id FROM documents WHERE source = 'src7')
          |ORDER BY bm25 DESC, doc_id ASC
          |LIMIT 20""".stripMargin,
     "q_hybrid_rrf" ->

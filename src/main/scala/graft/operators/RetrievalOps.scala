@@ -569,7 +569,34 @@ object RetrievalOps {
     * frame at all — the serving signature of an index-complete store).
     */
   def bm25TopKIndexedOn(spark: SparkSession, db: String, name: String,
-      query: String, k: Int): DataFrame = {
+      query: String, k: Int): DataFrame =
+    bm25IndexedCore(spark, db, name, query, k, identity)
+
+  /** `q_text_bm25_filtered`: the FILTER-index composition on the LEXICAL
+    * path — the twin of the vector stack's filtered probes (exact
+    * [[KnnOps.topKFiltered]], IVF cell∘predicate, NSW post-filter): score
+    * from the postings index, restrict candidates to the documents
+    * matching a metadata predicate. The predicate side is a COLUMN-PRUNED
+    * pushed-filter scan of the metadata frame (doc_id + predicate columns
+    * only — never text), left-semi-joined into the per-(term, doc)
+    * postings rows BEFORE the score fold and top-k; the postings side is
+    * already hash-partitioned on doc_id, so only the (small, filtered) id
+    * side shuffles or broadcasts.
+    *
+    * Statistics semantics are Lucene's: the filter restricts CANDIDATES,
+    * not the corpus statistics — idf/avgdl/n stay corpus-wide, so a
+    * document's score is identical filtered or not (the spec pins
+    * filtered == post-filtered-unfiltered on every score). Oracle-green:
+    * the SQL adds one `doc_id IN (SELECT ...)` to the shared BM25 query.
+    */
+  def bm25TopKIndexedFiltered(spark: SparkSession, db: String, name: String,
+      meta: DataFrame, query: String, predicate: Column, k: Int): DataFrame =
+    bm25IndexedCore(spark, db, name, query, k,
+      merged => merged.join(
+        meta.filter(predicate).select(col("doc_id")), Seq("doc_id"), "left_semi"))
+
+  private def bm25IndexedCore(spark: SparkSession, db: String, name: String,
+      query: String, k: Int, restrict: DataFrame => DataFrame): DataFrame = {
     val terms = queryTerms(query)
     require(terms.nonEmpty, "BM25 needs at least one query term")
     val statsRow = spark.table(s"`$db`.`${name}__bm25stats`")
@@ -588,7 +615,7 @@ object RetrievalOps {
       when(col("term") === lit(t),
         lit(math.log((n - dfi + 0.5) / (dfi + 0.5) + 1.0))).otherwise(acc)
     }
-    mergedPostings(spark, db, name, terms)
+    restrict(mergedPostings(spark, db, name, terms))
       .withColumn("tidx", tidxCol)
       .withColumn("idf", idfCol)
       .withColumn("p",

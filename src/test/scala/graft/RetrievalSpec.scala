@@ -287,6 +287,35 @@ class RetrievalSpec extends AnyFunSuite {
       s"df probe must push term IN into the scan:\n$dfPlan")
   }
 
+  test("filtered indexed BM25: candidates restricted, statistics corpus-wide") {
+    val (db, name) = RetrievalOps.ensureLexicalIndex(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val got = RetrievalOps.bm25TopKIndexedFiltered(
+        spark, db, name, docs, query, col("source") === "src7", 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty, "predicate must keep some matching docs")
+    // every hit satisfies the predicate
+    val allowed = docs.filter(col("source") === "src7")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(t => allowed(t._1)))
+    // Lucene filter semantics: scores equal the UNFILTERED scores of the
+    // same docs — the predicate must not perturb idf/avgdl/n
+    val unfiltered = RetrievalOps.bm25TopKIndexedOn(spark, db, name, query,
+        k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(t => allowed(t._1)).take(20).toSeq
+    assert(got === unfiltered)
+    // the metadata side scan is column-pruned and pushes the predicate
+    val plan = RetrievalOps.bm25TopKIndexedFiltered(
+        spark, db, name, docs, query, col("source") === "src7", 20)
+      .queryExecution.executedPlan.toString
+    assert("ReadSchema: [^\\n]*struct<doc_id:bigint,source:string>".r
+      .findFirstIn(plan).isDefined,
+      s"metadata scan must read only (doc_id, source), never text:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(source,src7\\)".r
+      .findFirstIn(plan).isDefined, s"predicate must reach the scan:\n$plan")
+  }
+
   test("batched indexed BM25 equals the batched stored path bit-for-bit") {
     val (db, name) = RetrievalOps.ensureLexicalIndex(spark, sf)
     val docs = Tables.documents(spark, sf)
