@@ -90,6 +90,11 @@ object SparkEntry {
     // inverted-postings serving: zero corpus scans, bucket-pruned read;
     // bit-identical to the stored path → faces the SAME oracle
     "q_text_bm25_indexed" -> ((s, d) => RetrievalOps.bm25TopKIndexed(s, d)),
+    // conjunctive (AND) mode: all terms required, same scores/statistics
+    "q_text_bm25_conj" -> ((s, d) => {
+      val (db, name) = RetrievalOps.ensureLexicalIndex(s, d)
+      RetrievalOps.bm25TopKIndexedConj(s, db, name, KnnTextQuery, 20)
+    }),
     // FILTER-index composition on the lexical path: metadata predicate
     // restricts candidates, statistics stay corpus-wide (Lucene semantics)
     "q_text_bm25_filtered" -> ((s, d) => {
@@ -311,6 +316,9 @@ object SparkEntry {
       .mkString("\n     + ")
 
   private def bm25AnyHit: String = bm25Terms.indices.map(i => s"tf$i").mkString(" + ")
+
+  private def bm25AllHit: String =
+    bm25Terms.indices.map(i => s"tf$i > 0").mkString(" AND ")
 
   def oracleSql: Map[String, String] = Map(
     // ---- vector ----
@@ -635,6 +643,15 @@ object SparkEntry {
          |       round($bm25ScoreExpr, 6) AS bm25
          |FROM f CROSS JOIN s
          |WHERE $bm25AnyHit > 0
+         |ORDER BY bm25 DESC, doc_id ASC
+         |LIMIT 20""".stripMargin,
+    // conjunctive mode: every term required, scores unchanged
+    "q_text_bm25_conj" ->
+      s"""WITH $bm25BaseCtes
+         |SELECT doc_id,
+         |       round($bm25ScoreExpr, 6) AS bm25
+         |FROM f CROSS JOIN s
+         |WHERE $bm25AllHit
          |ORDER BY bm25 DESC, doc_id ASC
          |LIMIT 20""".stripMargin,
     // filtered lexical search: predicate restricts candidates only —

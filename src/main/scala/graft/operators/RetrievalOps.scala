@@ -595,6 +595,27 @@ object RetrievalOps {
       merged => merged.join(
         meta.filter(predicate).select(col("doc_id")), Seq("doc_id"), "left_semi"))
 
+  /** `q_text_bm25_conj`: conjunctive (all-terms-required) lexical search —
+    * the classic AND mode every lexical engine offers next to BM25's OR
+    * default. Candidates must contain EVERY query term; scores and
+    * ranking are unchanged (corpus-wide statistics, same fp chain). On
+    * the postings path the merged rows are unique per (term, doc), so
+    * "has all terms" is a `count over (partition by doc_id)` — and the
+    * frame is already hash-partitioned on doc_id, so the window adds a
+    * local sort, not an exchange. Oracle-green: the SQL conjunction is
+    * `tf_i > 0` for every i.
+    */
+  def bm25TopKIndexedConj(spark: SparkSession, db: String, name: String,
+      query: String, k: Int): DataFrame = {
+    val nTerms = queryTerms(query).length
+    bm25IndexedCore(spark, db, name, query, k, merged =>
+      merged
+        .withColumn("nt",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .filter(col("nt") === nTerms)
+        .drop("nt"))
+  }
+
   private def bm25IndexedCore(spark: SparkSession, db: String, name: String,
       query: String, k: Int, restrict: DataFrame => DataFrame): DataFrame = {
     val terms = queryTerms(query)

@@ -316,6 +316,56 @@ class RetrievalSpec extends AnyFunSuite {
       .findFirstIn(plan).isDefined, s"predicate must reach the scan:\n$plan")
   }
 
+  test("conjunctive BM25: all terms required, scores unchanged") {
+    val (db, name) = RetrievalOps.ensureLexicalIndex(spark, sf)
+    val got = RetrievalOps.bm25TopKIndexedConj(spark, db, name, query, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty, "fixture must contain all-terms docs")
+    val tokens = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    got.foreach { case (id, _) =>
+      assert(terms.forall(tokens(id).contains), s"doc $id must contain every term")
+    }
+    // scores are the corpus-statistics scores, untouched by the AND mode
+    got.foreach { case (id, s) => assert(s === referenceBm25(id)) }
+    // and the ranking equals the unfiltered ranking restricted to AND docs
+    val conjIds = tokens.filter { case (_, tk) => terms.forall(tk.contains) }.keySet
+    val expected = referenceBm25.toSeq.filter(t => conjIds(t._1))
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    assert(got === expected)
+  }
+
+  test("composed deletion: corpus deleteByIds + lexical removes keep serving consistent") {
+    import graft.sources.CatalogOps
+    val db = "graft_lexdel"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, sf)
+    val doomed = docs.filter(col("doc_id") % 7 === 0)
+    CatalogOps.createCollection(spark, db, "corpus", docs)
+    CatalogOps.createBm25Stats(spark, db, "corpus", docs)
+    CatalogOps.createPostings(spark, db, "corpus", docs)
+    // the composed lifecycle: corpus rows + all three lexical logs
+    CatalogOps.deleteByIds(spark, db, "corpus", doomed.select("doc_id"), idCol = "doc_id")
+    CatalogOps.removeBm25Stats(spark, db, "corpus", doomed)
+    CatalogOps.removePostings(spark, db, "corpus", doomed)
+    assert(spark.table(s"`$db`.`corpus`")
+      .filter(col("doc_id") % 7 === 0).count() === 0, "corpus rows must be gone")
+    val hits = RetrievalOps.bm25TopKIndexedOn(spark, db, "corpus", query, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hits.nonEmpty)
+    assert(hits.forall(_._1 % 7 != 0), "serving must never return a deleted id")
+    // and the surviving index equals a build that never saw the deleted docs
+    CatalogOps.createBm25Stats(spark, db, "fresh", docs.filter(col("doc_id") % 7 =!= 0))
+    CatalogOps.createPostings(spark, db, "fresh", docs.filter(col("doc_id") % 7 =!= 0))
+    val fresh = RetrievalOps.bm25TopKIndexedOn(spark, db, "fresh", query, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hits === fresh)
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("batched indexed BM25 equals the batched stored path bit-for-bit") {
     val (db, name) = RetrievalOps.ensureLexicalIndex(spark, sf)
     val docs = Tables.documents(spark, sf)
