@@ -44,26 +44,33 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  /** The fixture's `ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects (TimestampType is µs). Read nanos as long (legacy flag) and
-    * convert explicitly — sub-µs components are zero in the fixture, and
-    * DuckDB's nanosecond reads compare equal at µs precision.
+  /** `ts` normalization: the fixture generations differ in how they write
+    * the timestamp column, so dispatch on the type the scan actually
+    * produces rather than assuming one physical encoding.
     *
-    * The flag has no per-read form (the schema converter consults session
-    * conf), and a table loader mutating session conf is a global that
-    * changes how OTHER reads behave — so this loader REQUIRES the flag
-    * instead of setting it. Every entry point (Verify/Bench/BenchOne/
-    * PlanAudit/tests) sets it at session build; a session constructed
-    * elsewhere gets a clear error naming the conf, not a silent
-    * session-wide behavior change.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark infers
+    *    TIMESTAMP_NTZ; cast to TimestampType (sessions run UTC, so the
+    *    instant is unchanged and downstream window/session ops — and the
+    *    DuckDB oracle, which reads the same file as TIMESTAMP — agree).
+    *  - TIMESTAMP(NANOS) → Spark has no nanos TimestampType; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (all graft entry
+    *    points set it) the scan yields LongType nanos, converted here
+    *    (sub-µs components are zero in that fixture generation).
+    *
+    * The dispatch is on the cached inferred schema, so it costs nothing
+    * per query construction.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet carries TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (all graft entry points do)")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other; expected timestamp, " +
+          "timestamp_ntz, or long (nanos via spark.sql.legacy.parquet.nanosAsLong)")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
 
