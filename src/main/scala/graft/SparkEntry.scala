@@ -81,6 +81,9 @@ object SparkEntry {
     "q_text_bigrams"    -> ((s, d) => TextAnalysisOps.bigrams(s, d)),
     "q_text_redact"     -> ((s, d) => TextAnalysisOps.redactPii(s, d)),
     "q_text_repetition" -> ((s, d) => TextAnalysisOps.repetitionSignals(s, d)),
+    "q_decontaminate"   -> ((s, d) => TextAnalysisOps.decontaminate(s, d)),
+    "q_pack_sequences"  -> ((s, d) => TextAnalysisOps.packSequences(s, d)),
+    "q_domain_mix"      -> ((s, d) => TextAnalysisOps.domainMix(s, d)),
     "q_multimodal_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
     // ---- lexical / hybrid retrieval (RAG serving stack) ----
     "q_text_bm25"      -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
@@ -780,6 +783,46 @@ object SparkEntry {
         |            WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'valid'
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "q_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |ng AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_distinct(list_transform(range(1, len(t) - 2),
+        |           i -> list_aggregate(t[i:i+3], 'string_agg', ' ')))) AS g
+        |  FROM tok),
+        |eval AS (SELECT DISTINCT g FROM ng WHERE source = 'src19'),
+        |hits AS (
+        |  SELECT ng.doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+        |  FROM ng JOIN eval USING (g) WHERE ng.source <> 'src19'
+        |  GROUP BY ng.doc_id)
+        |SELECT d.doc_id, d.source,
+        |       coalesce(h.shared_ngrams, 0) AS shared_ngrams,
+        |       CAST(coalesce(h.shared_ngrams, 0) > 0 AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.source <> 'src19'
+        |ORDER BY d.doc_id ASC""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id // 128 AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tok,
+        |         coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, shard, n_tok, cum_before,
+        |       shard * 100000 + cum_before // 512 AS seq_id
+        |FROM c ORDER BY doc_id ASC""".stripMargin,
+    "q_domain_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, (doc_id * 2654435761) % 1000 AS bucket,
+        |         CAST((CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4 + 1) * 0.25 AS DOUBLE) AS weight
+        |  FROM documents)
+        |SELECT doc_id, source, bucket, weight FROM w
+        |WHERE bucket < weight * 1000
+        |ORDER BY doc_id ASC""".stripMargin,
     "q_doc_winnow" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -262,4 +262,92 @@ object TextAnalysisOps {
       .select(col("doc_id"), md5(col("text")).as("fp"))
       .withColumn("shard", pmod(ascii(substring(col("fp"), 1, 1)).cast("long"), lit(16L)))
       .orderBy(col("doc_id").asc)
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with a held-out eval set — the pass every training corpus runs
+    * so test-set text never reaches training (word 4-grams here; the
+    * 13-gram convention of LLM data work scales the same way). The eval
+    * side (`source = evalSource`) plays the benchmark suite.
+    *
+    * Scale shape: the eval suite is tiny next to a 100 TB corpus, so its
+    * DISTINCT n-gram set is built once and BROADCAST — the corpus side is
+    * a single map-side pass (per-row n-gram transform, no explode of
+    * unmatched rows past the join). Only matched (doc_id, gram) rows reach
+    * the per-doc count, and contamination is rare by construction, so the
+    * hit aggregate is small and broadcast back for the zero-fill left
+    * join: the full corpus is never shuffled.
+    */
+  def decontaminate(spark: SparkSession, dir: String,
+      evalSource: String = "src19", n: Int = 4): DataFrame = {
+    def ngrams(t: Column): Column =
+      when(size(t) >= n,
+        array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+    val docs = Tables.documents(spark, dir)
+    val evalSet = docs.filter(col("source") === evalSource)
+      .select(explode(ngrams(tokens(col("text")))).as("g"))
+      .distinct()
+    val hits = docs.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), explode(ngrams(tokens(col("text")))).as("g"))
+      .join(broadcast(evalSet), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared_ngrams")) // grams are distinct per doc already
+    docs.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("shared_ngrams"), lit(0L)).as("shared_ngrams"))
+      .withColumn("contaminated", (col("shared_ngrams") > 0).cast("long"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Sequence packing: assign each document to the fixed-token-budget
+    * training sequence its first token lands in — the batch-construction
+    * pass between a cleaned corpus and a trainer. Documents are packed in
+    * doc_id order within a SHARD (`doc_id div shardSize`), and the running
+    * token offset is a shard-local window cumsum.
+    *
+    * Scale shape: sharding is the point — a single global packing order
+    * would be one giant window partition (driver-killing at 100 TB), while
+    * shard-local packing is embarrassingly parallel and changes only where
+    * sequence boundaries fall, never their validity. One hash exchange on
+    * `shard`, bounded partitions by construction.
+    */
+  def packSequences(spark: SparkSession, dir: String,
+      budget: Int = 512, shardSize: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(s"doc_id div $shardSize").as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        col("shard") * lit(100000L) + expr(s"cum_before div $budget"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Domain mixing: deterministic weighted down-sampling per source — the
+    * mixture pass that rebalances a crawl toward target domain weights
+    * before training. Keep-decision reuses [[sampleSplit]]'s Knuth
+    * multiplicative hash bucket so the sample is stable across runs and
+    * engines; the weight schedule derives from the source index
+    * (`(idx mod 4 + 1) × 0.25` → 0.25/0.5/0.75/1.0).
+    *
+    * Scale shape: pure map-side filter — no shuffle, no state; the bucket
+    * inequality is computed (hash of doc_id), so it evaluates in the scan
+    * stage rather than the footer, but nothing moves before it. At 100 TB
+    * this is the cheapest possible mixture implementation: one pass,
+    * output size = Σ weightᵢ·|sourceᵢ|.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        pmod(col("doc_id") * lit(2654435761L), lit(1000L)).as("bucket"),
+        ((pmod(regexp_extract(col("source"), "([0-9]+)", 1).cast("long"), lit(4L)) + 1)
+          * lit(0.25)).as("weight"))
+      .filter(col("bucket") < col("weight") * 1000)
+      .orderBy(col("doc_id").asc)
 }

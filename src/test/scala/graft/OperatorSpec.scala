@@ -2143,4 +2143,64 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expect)
   }
+
+  test("decontamination flags exactly the docs sharing an eval 4-gram") {
+    import graft.sources.Tables
+    val rows = TextAnalysisOps.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 != "src19")) // eval source never in the output
+    assert(rows.forall { case (_, _, shared, flag) =>
+      shared >= 0 && flag == (if (shared > 0) 1L else 0L) })
+    assert(rows.exists(_._4 == 1L) && rows.exists(_._4 == 0L)) // non-trivial split
+    // independent recompute of one contaminated doc's overlap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+    val evalGrams = docs.filter(_._2 == "src19").flatMap(d => grams(d._3)).toSet
+    val (cid, _, cShared, _) = rows.find(_._4 == 1L).get
+    val cText = docs.find(_._1 == cid).get._3
+    assert((grams(cText) & evalGrams).size.toLong === cShared)
+  }
+
+  test("sequence packing: shard-local offsets chain and bins respect the budget") {
+    val rows = TextAnalysisOps.packSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (shard, docs) =>
+      val ordered = docs.sortBy(_._1)
+      assert(ordered.head._4 === 0L) // first doc in a shard starts at offset 0
+      ordered.sliding(2).foreach {
+        case Array((_, _, nTok, cum, _), (_, _, _, cumNext, _)) =>
+          assert(cumNext === cum + nTok) // offsets chain exactly
+        case _ =>
+      }
+      ordered.foreach { case (docId, s, _, cum, seq) =>
+        assert(s === docId / 128)
+        assert(seq === shard * 100000L + cum / 512) // bin = start-offset div budget
+      }
+    }
+  }
+
+  test("domain mix keeps exactly the rows under their source's weight threshold") {
+    import graft.sources.Tables
+    val rows = TextAnalysisOps.domainMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, source, bucket, weight) =>
+      val idx = source.replaceAll("[^0-9]", "").toLong
+      assert(weight === (idx % 4 + 1) * 0.25)
+      assert(bucket < weight * 1000)
+    }
+    // the filter is the ONLY row reduction: recompute expected keep count
+    val all = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = all.count { case (id, src) =>
+      val w = (src.replaceAll("[^0-9]", "").toLong % 4 + 1) * 0.25
+      java.lang.Math.floorMod(id * 2654435761L, 1000L) < w * 1000
+    }
+    assert(rows.length === expected)
+  }
 }

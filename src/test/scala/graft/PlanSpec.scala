@@ -411,6 +411,27 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(RelOps.windowRange(spark, sf))
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
   }
+
+  test("decontamination broadcasts both the eval set and the hit counts") {
+    // the 100 TB claim: the corpus side is never shuffled — both joins are
+    // broadcast, and the only hash exchanges carry eval-sized data (the
+    // eval n-gram distinct and the per-doc hit counts)
+    val p = plan(TextAnalysisOps.decontaminate(spark, sf))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) === 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2, p)
+  }
+
+  test("sequence packing shuffles once, on the shard key") {
+    val p = plan(TextAnalysisOps.packSequences(spark, sf))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
+  }
+
+  test("domain mix is map-side: no hash exchange, no join") {
+    val p = plan(TextAnalysisOps.domainMix(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
 
 /** Formulations RETIRED from production, kept only so PlanSpec can pin WHY
