@@ -277,30 +277,56 @@ object TextAnalysisOps {
     * hit aggregate is small and broadcast back for the zero-fill left
     * join: the full corpus is never shuffled.
     */
-  def decontaminate(spark: SparkSession, dir: String,
-      evalSource: String = "src19", n: Int = 4): DataFrame = {
-    def ngrams(t: Column): Column =
-      when(size(t) >= n,
-        array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws(" ", slice(t, i, lit(n))))))
-        .otherwise(array().cast("array<string>"))
-    val docs = Tables.documents(spark, dir)
-    val evalSet = docs.filter(col("source") === evalSource)
-      .select(explode(ngrams(tokens(col("text")))).as("g"))
-      .distinct()
-    val hits = docs.filter(col("source") =!= evalSource)
-      .select(col("doc_id"), explode(ngrams(tokens(col("text")))).as("g"))
-      .join(broadcast(evalSet), "g")
+  private def wordNgrams(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The distinct word-n-gram set of an eval corpus — build ONCE, probe
+    * many times (batch pass or every streaming micro-batch).
+    */
+  private[graft] def ngramSet(evalDocs: DataFrame, n: Int = 4): DataFrame =
+    evalDocs.select(explode(wordNgrams(tokens(col("text")), n)).as("g")).distinct()
+
+  /** Per-doc eval-overlap counts for any (doc_id, text, …) frame against a
+    * prebuilt n-gram set: both joins broadcast, the doc side never
+    * shuffles (see [[decontaminate]] for the scale argument).
+    */
+  private[graft] def contaminationOn(docs: DataFrame, evalNg: DataFrame,
+      n: Int = 4): DataFrame = {
+    val hits = docs
+      .select(col("doc_id"), explode(wordNgrams(tokens(col("text")), n)).as("g"))
+      .join(broadcast(evalNg), "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("shared_ngrams")) // grams are distinct per doc already
-    docs.filter(col("source") =!= evalSource)
-      .select(col("doc_id"), col("source"))
-      .join(broadcast(hits), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"),
-        coalesce(col("shared_ngrams"), lit(0L)).as("shared_ngrams"))
+    docs.join(broadcast(hits), Seq("doc_id"), "left")
+      .withColumn("shared_ngrams", coalesce(col("shared_ngrams"), lit(0L)))
       .withColumn("contaminated", (col("shared_ngrams") > 0).cast("long"))
+  }
+
+  def decontaminate(spark: SparkSession, dir: String,
+      evalSource: String = "src19", n: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evalSet = ngramSet(docs.filter(col("source") === evalSource), n)
+    contaminationOn(
+      docs.filter(col("source") =!= evalSource).select(col("doc_id"), col("source"), col("text")),
+      evalSet, n)
+      .select(col("doc_id"), col("source"), col("shared_ngrams"), col("contaminated"))
       .orderBy(col("doc_id").asc)
   }
+
+  /** Ingest-filter form of [[decontaminate]]: the clean survivors of one
+    * document batch against a prebuilt eval n-gram set — what a streaming
+    * crawl pipeline applies per micro-batch before documents reach the
+    * store (cf. [[DedupOps.dedupIncrementalBatch]] for the near-dup
+    * stage). Returns the batch rows with shared_ngrams = 0, original
+    * columns preserved.
+    */
+  def decontaminateBatch(batch: DataFrame, evalNg: DataFrame, n: Int = 4): DataFrame =
+    contaminationOn(batch, evalNg, n)
+      .filter(col("contaminated") === 0L)
+      .drop("shared_ngrams", "contaminated")
 
   /** Sequence packing: assign each document to the fixed-token-budget
     * training sequence its first token lands in — the batch-construction

@@ -364,6 +364,29 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming benchmark decontamination — the ingest-filter stage a
+    * continuous crawl runs BEFORE near-dup dedup: each document
+    * micro-batch drops rows sharing any word n-gram with the eval suite
+    * ([[graft.operators.TextAnalysisOps.decontaminateBatch]]). The eval
+    * n-gram set is computed ONCE here and cached: per batch it is a
+    * broadcast probe — stateless, no store, no shuffle of the batch.
+    * Composes with [[streamingDedupMinhash]] by feeding the survivors'
+    * sink into that stage's store.
+    */
+  def streamingDecontaminate(docStream: DataFrame, evalDocs: DataFrame,
+      n: Int = 4)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val evalNg = graft.operators.TextAnalysisOps.ngramSet(evalDocs, n).cache()
+    evalNg.count() // materialize once, before the first batch
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.TextAnalysisOps.decontaminateBatch(
+            batch.toDF(), evalNg, n), id)
+      }
+      .start()
+  }
+
   /** Custom keyed state with `flatMapGroupsWithState`: per-user session
     * accumulation with explicit timeout — the chat-session analog (carry
     * history while active, emit + reset on gap, ref `main_server.py:69-84`).

@@ -658,4 +658,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.toSeq === Seq((2L, "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0")))
     } finally q.stop()
   }
+
+  test("streaming decontamination equals the batch pass on the same docs") {
+    import graft.operators.TextAnalysisOps
+    implicit val ctx = spark.sqlContext
+    // eval suite: two fixed phrases; corpus: clean docs + two docs that
+    // embed a full eval 4-gram, split so hits land in BOTH micro-batches
+    val evalDocs = Seq(
+      (900L, "alpha beta gamma delta epsilon"),
+      (901L, "one two three four five six")).toDF("doc_id", "text")
+    val docs: Seq[(Long, String)] = Seq(
+      (1L, "clean words only nothing shared here at all"),
+      (2L, "prefix alpha beta gamma delta suffix"), // contaminated
+      (3L, "totally unrelated content stream row"),
+      (4L, "two three four five embedded middle"), // contaminated
+      (5L, "another clean row with its own words"))
+    val received = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingDecontaminate(
+      in.toDS.toDF("doc_id", "text"), evalDocs) { (out, _) =>
+      received ++= out.collect().map(_.getLong(0))
+    }
+    try {
+      in.addData(docs.take(3): _*); q.processAllAvailable()
+      in.addData(docs.drop(3): _*); q.processAllAvailable()
+      val batchClean = TextAnalysisOps
+        .decontaminateBatch(docs.toDF("doc_id", "text"),
+          TextAnalysisOps.ngramSet(evalDocs))
+        .collect().map(_.getLong(0)).toSet
+      assert(batchClean === Set(1L, 3L, 5L)) // both planted hits dropped
+      assert(received.toSet === batchClean)
+    } finally q.stop()
+  }
 }
