@@ -84,6 +84,7 @@ object SparkEntry {
     "q_decontaminate"   -> ((s, d) => TextAnalysisOps.decontaminate(s, d)),
     "q_pack_sequences"  -> ((s, d) => TextAnalysisOps.packSequences(s, d)),
     "q_domain_mix"      -> ((s, d) => TextAnalysisOps.domainMix(s, d)),
+    "q_curate_e2e"      -> ((s, d) => TextAnalysisOps.curateEndToEnd(s, d)),
     "q_multimodal_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
     // ---- lexical / hybrid retrieval (RAG serving stack) ----
     "q_text_bm25"      -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
@@ -234,7 +235,8 @@ object SparkEntry {
     "q_text_bm25", "q_text_bm25_stored", "q_text_bm25_indexed", "q_text_bm25_filtered",
     "q_text_bm25_batch", "q_text_bm25_batch_indexed",
     "q_hybrid_rrf", "q_hybrid_rrf_served", "q_tfidf_topterms", "q_tfidf_indexed",
-    "q_knn_mmr")
+    "q_knn_mmr",
+    "q_decontaminate", "q_pack_sequences", "q_domain_mix", "q_curate_e2e")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -823,6 +825,36 @@ object SparkEntry {
         |SELECT doc_id, source, bucket, weight FROM w
         |WHERE bucket < weight * 1000
         |ORDER BY doc_id ASC""".stripMargin,
+    "q_curate_e2e" ->
+      """WITH gated AS (
+        |  SELECT doc_id, source, text,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |  WHERE source <> 'src19'
+        |    AND len(string_split(text, ' ')) >= 20
+        |    AND (doc_id * 2654435761) % 1000 <
+        |        (CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4 + 1) * 0.25 * 1000),
+        |ng AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 2),
+        |           i -> list_aggregate(string_split(text, ' ')[i:i+3], 'string_agg', ' ')))) AS g
+        |  FROM gated),
+        |eng AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 2),
+        |           i -> list_aggregate(string_split(text, ' ')[i:i+3], 'string_agg', ' ')))) AS g
+        |  FROM documents WHERE source = 'src19'),
+        |dirty AS (SELECT DISTINCT ng.doc_id FROM ng JOIN eng USING (g)),
+        |clean AS (
+        |  SELECT g.doc_id, g.source, g.n_tok, g.doc_id // 128 AS shard
+        |  FROM gated g LEFT JOIN dirty d ON g.doc_id = d.doc_id
+        |  WHERE d.doc_id IS NULL),
+        |packed AS (
+        |  SELECT doc_id, source, n_tok, shard,
+        |         coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM clean)
+        |SELECT doc_id, source, n_tok, shard * 100000 + cum_before // 512 AS seq_id
+        |FROM packed ORDER BY doc_id ASC""".stripMargin,
     "q_doc_winnow" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -328,6 +328,46 @@ object TextAnalysisOps {
       .filter(col("contaminated") === 0L)
       .drop("shared_ngrams", "contaminated")
 
+  /** The full corpus-curation chain as ONE plan — what stands between a
+    * raw crawl and a training run: quality gate → benchmark
+    * decontamination → weighted domain mixing → token-budget sequence
+    * packing, emitting each surviving document with its training-sequence
+    * assignment.
+    *
+    * Stage order is the 100 TB cost order: the map-side gates (quality,
+    * mix bucket) drop rows before the broadcast decontamination probe
+    * touches them, and the packing window — the only data shuffle, hash
+    * on the shard key — sees only final survivors. Everything upstream of
+    * it is scan-stage projection/filter plus eval-sized broadcasts.
+    */
+  def curateEndToEnd(spark: SparkSession, dir: String,
+      evalSource: String = "src19", minTokens: Int = 20,
+      budget: Int = 512, shardSize: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val gated = docs
+      .filter(col("source") =!= evalSource)
+      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      .filter(col("n_tok") >= minTokens)
+      .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(1000L)))
+      .withColumn("weight",
+        (pmod(regexp_extract(col("source"), "([0-9]+)", 1).cast("long"), lit(4L)) + 1)
+          * lit(0.25))
+      .filter(col("bucket") < col("weight") * 1000)
+      .select(col("doc_id"), col("source"), col("text"), col("n_tok"))
+    val evalNg = ngramSet(docs.filter(col("source") === evalSource))
+    val clean = decontaminateBatch(gated, evalNg).drop("text")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    clean
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        col("shard") * lit(100000L) + expr(s"cum_before div $budget"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("seq_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Sequence packing: assign each document to the fixed-token-budget
     * training sequence its first token lands in — the batch-construction
     * pass between a cleaned corpus and a trainer. Documents are packed in

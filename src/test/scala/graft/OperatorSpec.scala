@@ -2184,6 +2184,38 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("curation composite equals the composition of its stages") {
+    import graft.sources.Tables
+    val got = TextAnalysisOps.curateEndToEnd(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // recompute from the individually-tested stage operators
+    val mixKeep = TextAnalysisOps.domainMix(spark, sf).collect().map(_.getLong(0)).toSet
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+    val evalGrams = docs.filter(_._2 == "src19").flatMap(d => grams(d._3)).toSet
+    val survivors = docs
+      .filter(d => d._2 != "src19")
+      .filter(d => d._3.split(" ").length >= 20)
+      .filter(d => mixKeep.contains(d._1))
+      .filter(d => (grams(d._3) & evalGrams).isEmpty)
+      .map(d => (d._1, d._2, d._3.split(" ").length.toLong))
+      .sortBy(_._1)
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq === survivors.toSeq)
+    // packing recompute over the survivor stream
+    val expSeq = scala.collection.mutable.Map[Long, Long]() // shard -> cum
+    survivors.foreach { case (id, _, nTok) =>
+      val shard = id / 128
+      val cum = expSeq.getOrElse(shard, 0L)
+      val seqId = shard * 100000L + cum / 512
+      assert(got.find(_._1 == id).get._4 === seqId)
+      expSeq(shard) = cum + nTok
+    }
+  }
+
   test("domain mix keeps exactly the rows under their source's weight threshold") {
     import graft.sources.Tables
     val rows = TextAnalysisOps.domainMix(spark, sf).collect()

@@ -432,6 +432,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("curation composite: broadcast-only joins, corpus shuffles once (packing)") {
+    // quality + mix gates are scan-stage filters; decontamination joins are
+    // broadcast; the ONLY corpus-sized exchange is the packing window's
+    // shard hash (the other two carry eval n-grams and per-doc hit counts)
+    val p = plan(TextAnalysisOps.curateEndToEnd(spark, sf))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) === 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 3, p)
+  }
 }
 
 /** Formulations RETIRED from production, kept only so PlanSpec can pin WHY
