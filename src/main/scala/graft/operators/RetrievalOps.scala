@@ -67,6 +67,111 @@ object RetrievalOps {
   private[graft] def queryTerms(query: String): Seq[String] =
     query.split(" ").filter(_.nonEmpty).distinct.toSeq
 
+  /** Merged (n, avgdl) of a stats log, or None when the store is empty or
+    * every ingested doc has been removed (Σn ≤ 0). Serving paths return an
+    * EMPTY result then — without the guard an empty store is an NPE on the
+    * null sum and a fully-removed one scores every doc NaN (0/0 avgdl).
+    */
+  private def statsOf(spark: SparkSession, db: String, name: String)
+      : Option[(Double, Double)] = {
+    val r = spark.table(s"`$db`.`${name}__bm25stats`")
+      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl")).head()
+    if (r.isNullAt(0) || r.getDouble(0) <= 0.0 || r.isNullAt(1)) None
+    else Some((r.getDouble(0), r.getDouble(1) / r.getDouble(0)))
+  }
+
+  private def emptyDf(spark: SparkSession,
+      fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(fields.map { case (nm, dt) =>
+        org.apache.spark.sql.types.StructField(nm, dt) }))
+
+  private def emptyTopK(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    emptyDf(spark, "doc_id" -> LongType, "bm25" -> DoubleType)
+  }
+
+  private def emptyBatchedTopK(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    emptyDf(spark, "query_id" -> LongType, "rank" -> LongType,
+      "doc_id" -> LongType, "bm25" -> DoubleType)
+  }
+
+  /** Driver-side (query_id → terms) for the batched serving paths,
+    * DEDUPED by query_id (max-wins on qtext, the same convention as every
+    * batched knn path): foreachBatch is at-least-once, and a duplicated
+    * query row would otherwise put its (qid, term, idf) rows into the
+    * broadcast twice — doubling tf in the stored path's join-count and
+    * double-summing partials in the indexed fold, silently corrupting
+    * scores rather than duplicating output.
+    */
+  private def collectQueryTerms(queries: DataFrame): Array[(Long, Seq[String])] =
+    queries.select(col("query_id"), col("qtext"))
+      .groupBy(col("query_id")).agg(max(col("qtext")).as("qtext"))
+      .collect()
+      .map(r => (r.getLong(0), queryTerms(r.getString(1))))
+      .filter(_._2.nonEmpty)
+      .sortBy(_._1)
+
+  /** The broadcast (query_id, term, tidx, idf) fan-out table both batched
+    * paths join against — idf precomputed per term with the same Math.log
+    * the single-query literal fold uses.
+    */
+  private def termIdfTable(spark: SparkSession,
+      qTerms: Array[(Long, Seq[String])], n: Double,
+      dfMap: Map[String, Double]): DataFrame = {
+    val termRows = qTerms.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) =>
+        val dfi = dfMap.getOrElse(t, 0.0)
+        (qid, t, i, math.log((n - dfi + 0.5) / (dfi + 0.5) + 1.0))
+      }
+    }.toIndexedSeq
+    broadcast(spark.createDataFrame(termRows)
+      .toDF("query_id", "term", "tidx", "idf"))
+  }
+
+  /** The shared batched tail: per-(doc, query) fixed-tidx-order score fold
+    * (bit-identical to the single-query literal chain) + bounded-heap
+    * per-query top-k. Input needs (doc_id, query_id, tidx, p).
+    */
+  private def scoreFoldTopK(partial: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val scored = partial
+      .groupBy(col("doc_id"), col("query_id"))
+      .agg(sort_array(collect_list(struct(col("tidx"), col("p")))).as("ps"))
+      .select(col("query_id"), col("doc_id"),
+        round(aggregate(col("ps"), lit(0.0),
+          (acc, x) => acc + x.getField("p")), 6).as("bm25"))
+    val topk = toCol(graft.plans.TopKScoreId(
+      toExpr(col("bm25")), toExpr(col("doc_id")), k).toAggregateExpression())
+    scored.groupBy(col("query_id"))
+      .agg(topk.as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.vec_id").as("doc_id"), col("hit.score").as("bm25"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** Reciprocal-rank fusion of a lexical pool (doc_id, …, lrank) and a
+    * vector pool (vec_id, …, vrank): full-outer on id; a side absent from
+    * the other pool contributes no RRF term (rank reported as 0). Shared
+    * by [[hybridRrf]] and [[hybridRrfServed]] so the absent-rank
+    * convention lives in one place.
+    */
+  private def fuseRrf(lex: DataFrame, vec: DataFrame, k: Int): DataFrame =
+    lex.join(vec, col("doc_id") === col("vec_id"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        coalesce(col("lrank"), lit(0)).cast("long").as("lex_rank"),
+        coalesce(col("vrank"), lit(0)).cast("long").as("vec_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("lrank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("vrank")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+
   /** BM25 score of every matching document against `query`.
     *
     * Plan: one map-side projection computes per-term tf and doc length;
@@ -157,17 +262,7 @@ object RetrievalOps {
       .withColumn("vrank",
         row_number().over(Window.orderBy(col("vscore").desc, col("vec_id").asc)))
 
-    lex.join(vec, col("doc_id") === col("vec_id"), "full_outer")
-      .select(
-        coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
-        coalesce(col("lrank"), lit(0)).cast("long").as("lex_rank"),
-        coalesce(col("vrank"), lit(0)).cast("long").as("vec_rank"),
-        round(
-          coalesce(lit(1.0) / (lit(RrfK) + col("lrank")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(RrfK) + col("vrank")), lit(0.0)),
-          6).as("rrf"))
-      .orderBy(col("rrf").desc, col("doc_id").asc)
-      .limit(k)
+    fuseRrf(lex, vec, k)
   }
 
   /** `q_tfidf_topterms`: the `perDoc` most characteristic terms of each
@@ -224,8 +319,13 @@ object RetrievalOps {
     */
   def tfidfTopTermsIndexed(spark: SparkSession, db: String, name: String,
       perDoc: Int = 3): DataFrame = {
-    val n = spark.table(s"`$db`.`${name}__bm25stats`")
-      .agg(sum(col("n"))).head().getDouble(0)
+    val n = statsOf(spark, db, name) match {
+      case None =>
+        import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+        return emptyDf(spark, "doc_id" -> LongType, "rk" -> LongType,
+          "term" -> StringType, "tfidf" -> DoubleType)
+      case Some((cnt, _)) => cnt
+    }
     val tf = spark.table(s"`$db`.`${name}__postings`")
       .groupBy(col("term"), col("doc_id"))
       .agg(sum(col("tf")).as("tf"))
@@ -360,13 +460,13 @@ object RetrievalOps {
       db: String, name: String, query: String, k: Int): DataFrame = {
     val terms = queryTerms(query)
     require(terms.nonEmpty, "BM25 needs at least one query term")
-    val statsRow = spark.table(s"`$db`.`${name}__bm25stats`")
-      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl")).head()
-    val n = statsRow.getDouble(0)
-    val avgdl = statsRow.getDouble(1) / n
-    val dfMap = dfProbe(spark, db, name, terms)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    bm25ScoreWithLiterals(corpus, terms, n, avgdl, dfMap, k)
+    statsOf(spark, db, name) match {
+      case None => emptyTopK(spark)
+      case Some((n, avgdl)) =>
+        val dfMap = dfProbe(spark, db, name, terms)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        bm25ScoreWithLiterals(corpus, terms, n, avgdl, dfMap, k)
+    }
   }
 
   /** Build-if-absent for the stored-BM25 contract entry — deliberately
@@ -438,17 +538,7 @@ object RetrievalOps {
       .withColumn("vrank",
         row_number().over(Window.orderBy(col("vscore").desc, col("vec_id").asc)))
 
-    lex.join(vec, col("doc_id") === col("vec_id"), "full_outer")
-      .select(
-        coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
-        coalesce(col("lrank"), lit(0)).cast("long").as("lex_rank"),
-        coalesce(col("vrank"), lit(0)).cast("long").as("vec_rank"),
-        round(
-          coalesce(lit(1.0) / (lit(RrfK) + col("lrank")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(RrfK) + col("vrank")), lit(0.0)),
-          6).as("rrf"))
-      .orderBy(col("rrf").desc, col("doc_id").asc)
-      .limit(k)
+    fuseRrf(lex, vec, k)
   }
 
   /** `q_text_bm25_batch`: batched BM25 serving from the stored statistics —
@@ -477,59 +567,29 @@ object RetrievalOps {
     */
   def bm25ForQueriesStored(spark: SparkSession, corpus: DataFrame,
       db: String, name: String, queries: DataFrame, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
-    val qTerms: Array[(Long, Seq[String])] = queries
-      .select(col("query_id"), col("qtext")).collect()
-      .map(r => (r.getLong(0), queryTerms(r.getString(1))))
-      .filter(_._2.nonEmpty)
+    val qTerms = collectQueryTerms(queries)
     require(qTerms.nonEmpty, "batched BM25 needs at least one non-empty query")
     val allTerms = qTerms.flatMap(_._2).distinct.toSeq
-
-    val statsRow = spark.table(s"`$db`.`${name}__bm25stats`")
-      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl")).head()
-    val n = statsRow.getDouble(0)
-    val avgdl = statsRow.getDouble(1) / n
-    val dfMap = dfProbe(spark, db, name, allTerms)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-
-    // (query_id, term, tidx, idf): idf precomputed per term with the same
-    // Math.log the single-query literal fold uses
-    val termRows = qTerms.flatMap { case (qid, ts) =>
-      ts.zipWithIndex.map { case (t, i) =>
-        val dfi = dfMap.getOrElse(t, 0.0)
-        (qid, t, i, math.log((n - dfi + 0.5) / (dfi + 0.5) + 1.0))
-      }
-    }.toIndexedSeq
-    val termsDf = broadcast(
-      spark.createDataFrame(termRows).toDF("query_id", "term", "tidx", "idf"))
-
-    val matched = corpus
-      .select(col("doc_id"),
-        size(toks(col("text"))).cast("double").as("dl"),
-        explode(toks(col("text"))).as("term"))
-      .join(termsDf, "term")
-      .repartition(col("doc_id"), col("query_id")) // both aggs reuse this
-    val tf = matched
-      .groupBy(col("doc_id"), col("query_id"), col("tidx"), col("idf"), col("dl"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val partial = tf.withColumn("p",
-      col("idf") * (col("tf") * lit(K1Plus1)) /
-        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))))
-    val scored = partial
-      .groupBy(col("doc_id"), col("query_id"))
-      .agg(sort_array(collect_list(struct(col("tidx"), col("p")))).as("ps"))
-      .select(col("query_id"), col("doc_id"),
-        round(aggregate(col("ps"), lit(0.0),
-          (acc, x) => acc + x.getField("p")), 6).as("bm25"))
-
-    val topk = toCol(graft.plans.TopKScoreId(
-      toExpr(col("bm25")), toExpr(col("doc_id")), k).toAggregateExpression())
-    scored.groupBy(col("query_id"))
-      .agg(topk.as("hits"))
-      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("hit.vec_id").as("doc_id"), col("hit.score").as("bm25"))
-      .orderBy(col("query_id").asc, col("rank").asc)
+    statsOf(spark, db, name) match {
+      case None => emptyBatchedTopK(spark)
+      case Some((n, avgdl)) =>
+        val dfMap = dfProbe(spark, db, name, allTerms)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val termsDf = termIdfTable(spark, qTerms, n, dfMap)
+        val matched = corpus
+          .select(col("doc_id"),
+            size(toks(col("text"))).cast("double").as("dl"),
+            explode(toks(col("text"))).as("term"))
+          .join(termsDf, "term")
+          .repartition(col("doc_id"), col("query_id")) // both aggs reuse this
+        val partial = matched
+          .groupBy(col("doc_id"), col("query_id"), col("tidx"), col("idf"), col("dl"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+          .withColumn("p",
+            col("idf") * (col("tf") * lit(K1Plus1)) /
+              (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))))
+        scoreFoldTopK(partial, k)
+    }
   }
 
   /** `q_text_bm25_indexed`: BM25 top-k served from the INVERTED POSTINGS
@@ -620,10 +680,10 @@ object RetrievalOps {
       query: String, k: Int, restrict: DataFrame => DataFrame): DataFrame = {
     val terms = queryTerms(query)
     require(terms.nonEmpty, "BM25 needs at least one query term")
-    val statsRow = spark.table(s"`$db`.`${name}__bm25stats`")
-      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl")).head()
-    val n = statsRow.getDouble(0)
-    val avgdl = statsRow.getDouble(1) / n
+    val (n, avgdl) = statsOf(spark, db, name) match {
+      case None => return emptyTopK(spark)
+      case Some(s) => s
+    }
     val dfMap = dfProbe(spark, db, name, terms)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     // term → (tidx, idf) as literal CASE chains: no join, the scoring
@@ -667,50 +727,22 @@ object RetrievalOps {
     */
   def bm25ForQueriesIndexed(spark: SparkSession, db: String, name: String,
       queries: DataFrame, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
-    val qTerms: Array[(Long, Seq[String])] = queries
-      .select(col("query_id"), col("qtext")).collect()
-      .map(r => (r.getLong(0), queryTerms(r.getString(1))))
-      .filter(_._2.nonEmpty)
+    val qTerms = collectQueryTerms(queries)
     require(qTerms.nonEmpty, "batched BM25 needs at least one non-empty query")
     val allTerms = qTerms.flatMap(_._2).distinct.toSeq
-
-    val statsRow = spark.table(s"`$db`.`${name}__bm25stats`")
-      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl")).head()
-    val n = statsRow.getDouble(0)
-    val avgdl = statsRow.getDouble(1) / n
-    val dfMap = dfProbe(spark, db, name, allTerms)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-
-    val termRows = qTerms.flatMap { case (qid, ts) =>
-      ts.zipWithIndex.map { case (t, i) =>
-        val dfi = dfMap.getOrElse(t, 0.0)
-        (qid, t, i, math.log((n - dfi + 0.5) / (dfi + 0.5) + 1.0))
-      }
-    }.toIndexedSeq
-    val termsDf = broadcast(
-      spark.createDataFrame(termRows).toDF("query_id", "term", "tidx", "idf"))
-
-    val partial = mergedPostings(spark, db, name, allTerms)
-      .join(termsDf, "term")
-      .withColumn("p",
-        col("idf") * (col("tf") * lit(K1Plus1)) /
-          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))))
-    val scored = partial
-      .groupBy(col("doc_id"), col("query_id"))
-      .agg(sort_array(collect_list(struct(col("tidx"), col("p")))).as("ps"))
-      .select(col("query_id"), col("doc_id"),
-        round(aggregate(col("ps"), lit(0.0),
-          (acc, x) => acc + x.getField("p")), 6).as("bm25"))
-
-    val topk = toCol(graft.plans.TopKScoreId(
-      toExpr(col("bm25")), toExpr(col("doc_id")), k).toAggregateExpression())
-    scored.groupBy(col("query_id"))
-      .agg(topk.as("hits"))
-      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("hit.vec_id").as("doc_id"), col("hit.score").as("bm25"))
-      .orderBy(col("query_id").asc, col("rank").asc)
+    statsOf(spark, db, name) match {
+      case None => emptyBatchedTopK(spark)
+      case Some((n, avgdl)) =>
+        val dfMap = dfProbe(spark, db, name, allTerms)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val termsDf = termIdfTable(spark, qTerms, n, dfMap)
+        val partial = mergedPostings(spark, db, name, allTerms)
+          .join(termsDf, "term")
+          .withColumn("p",
+            col("idf") * (col("tf") * lit(K1Plus1)) /
+              (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))))
+        scoreFoldTopK(partial, k)
+    }
   }
 
   /** The bucket-pruned, log-merged postings read shared by the indexed

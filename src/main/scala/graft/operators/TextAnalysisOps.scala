@@ -73,8 +73,7 @@ object TextAnalysisOps {
     */
   def sampleSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        pmod(col("doc_id") * lit(2654435761L), lit(1000L)).as("bucket"))
+      .select(col("doc_id"), mixBucket.as("bucket"))
       .select(col("doc_id"), col("bucket"),
         when(col("bucket") < 800, "train")
           .when(col("bucket") < 900, "valid")
@@ -343,27 +342,16 @@ object TextAnalysisOps {
   def curateEndToEnd(spark: SparkSession, dir: String,
       evalSource: String = "src19", minTokens: Int = 20,
       budget: Int = 512, shardSize: Int = 128): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val gated = docs
       .filter(col("source") =!= evalSource)
       .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
       .filter(col("n_tok") >= minTokens)
-      .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(1000L)))
-      .withColumn("weight",
-        (pmod(regexp_extract(col("source"), "([0-9]+)", 1).cast("long"), lit(4L)) + 1)
-          * lit(0.25))
-      .filter(col("bucket") < col("weight") * 1000)
+      .filter(mixBucket < mixWeight * 1000)
       .select(col("doc_id"), col("source"), col("text"), col("n_tok"))
     val evalNg = ngramSet(docs.filter(col("source") === evalSource))
     val clean = decontaminateBatch(gated, evalNg).drop("text")
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    clean
-      .withColumn("shard", expr(s"doc_id div $shardSize"))
-      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-      .withColumn("seq_id",
-        col("shard") * lit(100000L) + expr(s"cum_before div $budget"))
+    withPacking(clean, budget, shardSize)
       .select(col("doc_id"), col("source"), col("n_tok"), col("seq_id"))
       .orderBy(col("doc_id").asc)
   }
@@ -380,20 +368,31 @@ object TextAnalysisOps {
     * sequence boundaries fall, never their validity. One hash exchange on
     * `shard`, bounded partitions by construction.
     */
-  def packSequences(spark: SparkSession, dir: String,
-      budget: Int = 512, shardSize: Int = 128): DataFrame = {
+  /** Shard + running-offset + sequence-id packing columns over a frame
+    * with (doc_id, n_tok) — THE packing formula, shared by
+    * [[packSequences]] and [[curateEndToEnd]] (and mirrored by their SQL
+    * oracles): a doc belongs to the sequence its first token lands in,
+    * within the `doc_id div shardSize` shard's stream.
+    */
+  private def withPacking(df: DataFrame, budget: Int, shardSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        expr(s"doc_id div $shardSize").as("shard"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
+    df.withColumn("shard", expr(s"doc_id div $shardSize"))
       .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .withColumn("seq_id",
         col("shard") * lit(100000L) + expr(s"cum_before div $budget"))
-      .orderBy(col("doc_id").asc)
   }
+
+  def packSequences(spark: SparkSession, dir: String,
+      budget: Int = 512, shardSize: Int = 128): DataFrame =
+    withPacking(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok")),
+      budget, shardSize)
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        col("cum_before"), col("seq_id"))
+      .orderBy(col("doc_id").asc)
 
   /** Domain mixing: deterministic weighted down-sampling per source — the
     * mixture pass that rebalances a crawl toward target domain weights
@@ -408,12 +407,20 @@ object TextAnalysisOps {
     * this is the cheapest possible mixture implementation: one pass,
     * output size = Σ weightᵢ·|sourceᵢ|.
     */
+  /** The Knuth multiplicative-hash sample bucket ([[sampleSplit]]'s) and
+    * the per-source target weight — THE mix gate, shared by [[domainMix]]
+    * and [[curateEndToEnd]] (and mirrored by their SQL oracles).
+    */
+  private def mixBucket: Column =
+    pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+  private def mixWeight: Column =
+    (pmod(regexp_extract(col("source"), "([0-9]+)", 1).cast("long"), lit(4L)) + 1) *
+      lit(0.25)
+
   def domainMix(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        pmod(col("doc_id") * lit(2654435761L), lit(1000L)).as("bucket"),
-        ((pmod(regexp_extract(col("source"), "([0-9]+)", 1).cast("long"), lit(4L)) + 1)
-          * lit(0.25)).as("weight"))
+        mixBucket.as("bucket"), mixWeight.as("weight"))
       .filter(col("bucket") < col("weight") * 1000)
       .orderBy(col("doc_id").asc)
 }

@@ -275,9 +275,11 @@ object CatalogOps {
       .write.mode("overwrite").partitionBy("part")
       .saveAsTable(s"`$db`.`$name`")
     // build parameters travel with the index: the upsert must re-shard and
-    // re-build with the SAME hash fan-out and graph constants
-    spark.createDataFrame(Seq((shards, m, efConstruction, false)))
-      .toDF("shards", "m", "ef_construction", "routed")
+    // re-build with the SAME hash fan-out and graph constants. `kind`
+    // records the collection type so maintenance entry points dispatch on
+    // a declared fact, not on column-name coincidence.
+    spark.createDataFrame(Seq((shards, m, efConstruction, false, "nsw")))
+      .toDF("shards", "m", "ef_construction", "routed", "kind")
       .coalesce(1).write.mode("overwrite")
       .saveAsTable(s"`$db`.`${name}__meta`")
   }
@@ -316,8 +318,8 @@ object CatalogOps {
     spark.createDataFrame(model).toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite")
       .saveAsTable(s"`$db`.`${name}__model`")
-    spark.createDataFrame(Seq((kCells, m, efConstruction, true)))
-      .toDF("shards", "m", "ef_construction", "routed")
+    spark.createDataFrame(Seq((kCells, m, efConstruction, true, "nsw")))
+      .toDF("shards", "m", "ef_construction", "routed", "kind")
       .coalesce(1).write.mode("overwrite")
       .saveAsTable(s"`$db`.`${name}__meta`")
   }
@@ -716,10 +718,19 @@ object CatalogOps {
     // arrays, so a row-level anti-join cannot touch them and a naive delete
     // would leave stale nodes for every future probe to serve. Route to the
     // graph-aware rebuild instead (the index-consistency contract: a probe
-    // must never return a deleted id).
-    val colsLower = spark.table(table).columns.map(_.toLowerCase).toSet
-    if (spark.catalog.tableExists(s"$db.${name}__meta") &&
-        Set("part", "ids", "vecs", "adjoff", "adj").subsetOf(colsLower)) {
+    // must never return a deleted id). Dispatch reads the DECLARED kind
+    // from the meta table; the column-shape sniff only covers meta tables
+    // written before the kind column existed.
+    val isNsw = spark.catalog.tableExists(s"$db.${name}__meta") && {
+      val meta = spark.table(s"`$db`.`${name}__meta`")
+      if (meta.columns.contains("kind"))
+        meta.head().getAs[String]("kind") == "nsw"
+      else {
+        val colsLower = spark.table(table).columns.map(_.toLowerCase).toSet
+        Set("part", "ids", "vecs", "adjoff", "adj").subsetOf(colsLower)
+      }
+    }
+    if (isNsw) {
       require(idCol == "vec_id",
         s"NSW collections are keyed on vec_id; got idCol=$idCol")
       deleteNsw(spark, db, name, ids)
@@ -860,27 +871,49 @@ object CatalogOps {
   private def writeBm25Partials(spark: SparkSession, db: String, name: String,
       docs: DataFrame, idCol: String, textCol: String, overwrite: Boolean,
       batchId: Long = -1L, negated: Boolean = false): Unit = {
-    import org.apache.spark.sql.functions._
     val mode = if (overwrite) "overwrite" else "append"
-    val sign = if (negated) -1L else 1L
-    val toks = split(col(textCol), " ")
-    // dl = size of ALL tokens (empty strings included) — the SAME length
-    // the live scorer and the SQL oracle use
-    val perDoc = docs.select(col(idCol), toks.as("w"))
+    val perDoc = bm25PerDoc(docs, idCol, textCol)
+    writeBm25StatsRow(db, name, perDoc, mode, batchId, negated)
+    writeBm25DfRows(db, name, perDoc, mode, batchId, negated)
+  }
+
+  /** (dl, w) per doc — dl = size of ALL tokens (empty strings included),
+    * the SAME length the live scorer and the SQL oracle use. Shared by the
+    * batch writer and the streaming incremental writer so the partial
+    * definition (tokenization, dl convention — bit-identical to the
+    * oracle) lives once.
+    */
+  private def bm25PerDoc(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.select(col(idCol), split(col(textCol), " ").as("w"))
       .select(size(col("w")).cast("double").as("dl"), col("w"))
-    // batch_id is the PARTITION column: batch-API writes land in dir -1;
-    // streaming batches land in their own dir, making the existence
-    // check in [[bm25StatsIncrementalBatch]] a partition-pruned no-scan
+  }
+
+  // batch_id is the PARTITION column of both partial logs: batch-API
+  // writes land in dir -1; streaming batches land in their own dir, making
+  // the existence check in [[bm25StatsIncrementalBatch]] a partition-pruned
+  // no-scan. sum_dl coalesces to 0.0 so an EMPTY batch writes an exact
+  // (0, 0) partial, not a NULL that serving-time sums would have to dodge.
+  private def writeBm25StatsRow(db: String, name: String, perDoc: DataFrame,
+      saveMode: String, batchId: Long, negated: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions._
+    val sign = if (negated) -1L else 1L
     perDoc.agg((count(lit(1)) * sign).cast("double").as("n"),
-        (sum(col("dl")) * sign).as("sum_dl"))
+        (coalesce(sum(col("dl")), lit(0.0)) * sign).as("sum_dl"))
       .withColumn("batch_id", lit(batchId))
-      .write.mode(mode).partitionBy("batch_id")
+      .write.mode(saveMode).partitionBy("batch_id")
       .saveAsTable(s"`$db`.`${name}__bm25stats`")
+  }
+
+  private def writeBm25DfRows(db: String, name: String, perDoc: DataFrame,
+      saveMode: String, batchId: Long, negated: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions._
+    val sign = if (negated) -1L else 1L
     perDoc.select(explode(array_distinct(col("w"))).as("term"))
       .groupBy(col("term"))
       .agg((count(lit(1)) * sign).cast("double").as("df"))
       .withColumn("batch_id", lit(batchId))
-      .write.mode(mode).partitionBy("batch_id")
+      .write.mode(saveMode).partitionBy("batch_id")
       .saveAsTable(s"`$db`.`${name}__bm25df`")
   }
 
@@ -912,22 +945,11 @@ object CatalogOps {
       spark.catalog.tableExists(s"$db.$t") &&
         !spark.table(s"`$db`.`$t`")
           .filter(col("batch_id") === batchId).limit(1).isEmpty
-    val toks = split(col(textCol), " ")
-    val perDoc = batch.select(col(idCol), toks.as("w"))
-      .select(size(col("w")).cast("double").as("dl"), col("w"))
+    val perDoc = bm25PerDoc(batch, idCol, textCol)
     if (!alreadyAppended(s"${name}__bm25stats"))
-      perDoc.agg(count(lit(1)).cast("double").as("n"),
-          sum(col("dl")).as("sum_dl"))
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("batch_id")
-        .saveAsTable(s"`$db`.`${name}__bm25stats`")
+      writeBm25StatsRow(db, name, perDoc, "append", batchId)
     if (!alreadyAppended(s"${name}__bm25df"))
-      perDoc.select(explode(array_distinct(col("w"))).as("term"))
-        .groupBy(col("term"))
-        .agg(count(lit(1)).cast("double").as("df"))
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("batch_id")
-        .saveAsTable(s"`$db`.`${name}__bm25df`")
+      writeBm25DfRows(db, name, perDoc, "append", batchId)
     spark.createDataFrame(Seq(Tuple1(batchId))).toDF("batch_id")
       .write.mode("overwrite").saveAsTable(s"`$db`.`$commitsName`")
   }

@@ -377,7 +377,7 @@ object StreamingOps {
       n: Int = 4)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val evalNg = graft.operators.TextAnalysisOps.ngramSet(evalDocs, n).cache()
     evalNg.count() // materialize once, before the first batch
-    docStream.writeStream
+    val q = docStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!batch.isEmpty)
@@ -385,6 +385,22 @@ object StreamingOps {
             batch.toDF(), evalNg, n), id)
       }
       .start()
+    // release the cached eval set when THIS query terminates — without it
+    // every started/stopped decontamination stream leaves a cached plan in
+    // executor storage for the session's lifetime (unpersist is idempotent,
+    // so the immediate-termination race below at worst releases twice)
+    val streams = docStream.sparkSession.streams
+    streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) { evalNg.unpersist(); streams.removeListener(this) }
+    })
+    if (!q.isActive) evalNg.unpersist() // terminated before the listener attached
+    q
   }
 
   /** Custom keyed state with `flatMapGroupsWithState`: per-user session

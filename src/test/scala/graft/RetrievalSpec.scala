@@ -497,4 +497,49 @@ class RetrievalSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"bounded top-k must not global-sort:\n$plan")
   }
+
+  test("batched BM25 is replay-proof: duplicated query rows do not change scores") {
+    // at-least-once delivery can hand foreachBatch the same query row
+    // twice — the broadcast term table must dedup by query_id or tf
+    // double-counts and scores silently corrupt
+    val (db, name) = RetrievalOps.ensureBm25Store(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val once = spark.createDataFrame(Seq((0L, query), (1L, "hash join merge")))
+      .toDF("query_id", "qtext")
+    val doubled = spark.createDataFrame(Seq(
+      (0L, query), (1L, "hash join merge"), (0L, query), (1L, "hash join merge")))
+      .toDF("query_id", "qtext")
+    def rows(q: org.apache.spark.sql.DataFrame) =
+      RetrievalOps.bm25ForQueriesStored(spark, docs, db, name, q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(doubled) === rows(once))
+    val (ldb, lname) = RetrievalOps.ensureLexicalIndex(spark, sf)
+    def irows(q: org.apache.spark.sql.DataFrame) =
+      RetrievalOps.bm25ForQueriesIndexed(spark, ldb, lname, q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(irows(doubled) === irows(once))
+  }
+
+  test("empty or fully-removed stats store serves empty results, not NaN/NPE") {
+    import graft.sources.CatalogOps
+    val db = "bm25_empty_db"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    try {
+      val docs = Tables.documents(spark, sf).limit(50)
+      // store built then fully removed: Σn = 0
+      CatalogOps.createBm25Stats(spark, db, "gone", docs)
+      CatalogOps.removeBm25Stats(spark, db, "gone", docs)
+      val served = RetrievalOps.bm25TopKStoredOn(
+        spark, Tables.documents(spark, sf), db, "gone", query, 10).collect()
+      assert(served.isEmpty)
+      // empty-frame build: one (0, 0) partial row, still a valid store
+      CatalogOps.createBm25Stats(spark, db, "void", docs.filter(col("doc_id") < 0))
+      assert(RetrievalOps.bm25TopKStoredOn(
+        spark, Tables.documents(spark, sf), db, "void", query, 10).collect().isEmpty)
+      val queriesDf = spark.createDataFrame(Seq((0L, query))).toDF("query_id", "qtext")
+      assert(RetrievalOps.bm25ForQueriesStored(
+        spark, Tables.documents(spark, sf), db, "gone", queriesDf, 10).collect().isEmpty)
+    } finally CatalogOps.dropDatabase(spark, db)
+  }
 }
