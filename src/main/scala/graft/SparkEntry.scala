@@ -182,9 +182,11 @@ object SparkEntry {
     "q_grouping_sets"    -> ((s, d) => RelOps.groupingSets(s, d)),
     "q_percentile"       -> ((s, d) => RelOps.percentiles(s, d)),
     "q_histogram"        -> ((s, d) => RelOps.histogram(s, d)),
+    "q_tpch_q1"          -> ((s, d) => RelOps.pricingSummary(s, d)),
     "q_tpch_q3"          -> ((s, d) => RelOps.shippingPriority(s, d)),
     "q_tpch_q4"          -> ((s, d) => RelOps.orderPriorityCheck(s, d)),
     "q_tpch_q5"          -> ((s, d) => RelOps.localSupplierVolume(s, d)),
+    "q_tpch_q6"          -> ((s, d) => RelOps.revenueChange(s, d)),
     "q_part_brands"      -> ((s, d) => RelOps.partBrandRevenue(s, d)),
     // ---- §2.F joins ----
     "q_join_hash"      -> ((s, d) => RelOps.joinHash(s, d)),
@@ -1038,6 +1040,27 @@ object SparkEntry {
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket, count(*) AS n
         |FROM orders GROUP BY bucket ORDER BY bucket ASC""".stripMargin,
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_base_price,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+        |       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+        |       round(CAST(sum(CAST(round(l_extendedprice * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_price,
+        |       round(CAST(sum(CAST(round(l_discount * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag ASC, l_linestatus ASC""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,
         |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue

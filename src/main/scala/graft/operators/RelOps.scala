@@ -417,6 +417,52 @@ object RelOps {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** TPC-H Q1 (pricing summary report) — the canonical one-pass fact
+    * aggregation: 8 aggregates over a 2-key group whose cardinality is
+    * tiny (|returnflag|×|linestatus|), so the partial aggregation
+    * collapses map-side and the exchange carries a handful of rows per
+    * map task no matter how large lineitem grows. Money sums and
+    * averages go through the integer-micros trick; averages divide the
+    * exact micro-sum by the group count in one fixed expression shape
+    * shared with the oracle.
+    */
+  def pricingSummary(spark: SparkSession, dir: String,
+      cutoff: String = "2001-09-01"): DataFrame = {
+    def microSum(c: Column): Column =
+      sum(round(c * lit(1000000.0)).cast("long")).cast("double")
+    val cnt = count(lit(1))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit(cutoff))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"), // integral doubles: order-exact
+        (microSum(col("l_extendedprice")) / lit(1000000.0)).as("sum_base_price"),
+        (microSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          / lit(1000000.0)).as("sum_disc_price"),
+        (microSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))) / lit(1000000.0)).as("sum_charge"),
+        round(sum(col("l_quantity")) / cnt, 6).as("avg_qty"),
+        round(microSum(col("l_extendedprice")) / lit(1000000.0) / cnt, 6).as("avg_price"),
+        round(microSum(col("l_discount")) / lit(1000000.0) / cnt, 6).as("avg_disc"),
+        cnt.as("count_order"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+  }
+
+  /** TPC-H Q6 (forecasting revenue change) — the canonical pushed-filter
+    * scan: three scan-level predicates, one global money sum, one output
+    * row. The range filters reach the parquet scan (shipdate/discount/
+    * quantity all in PushedFilters) so at scale the query reads only the
+    * row groups whose statistics overlap the year.
+    */
+  def revenueChange(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg((sum(round(col("l_extendedprice") * col("l_discount") * lit(1000000.0))
+        .cast("long")).cast("double") / lit(1000000.0)).as("revenue"))
+
   /** UNPIVOT — wide measure columns to long (metric, val) rows via
     * `stack`, the inverse reshape of [[pivotEvents]]. A Generate projection
     * (map-side 1→3, no shuffle); the long form is what generic

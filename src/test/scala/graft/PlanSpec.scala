@@ -433,6 +433,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("tpch q6: all three predicates reach the parquet scan") {
+    // formatted mode: SimpleMode truncates the PushedFilters list
+    val p = RelOps.revenueChange(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(p.contains("LessThan(l_quantity,24"), p)
+  }
+
+  test("tpch q1: aggregation is two-phase (map-side partial)") {
+    val p = plan(RelOps.pricingSummary(spark, sf))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) === 2, p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
+  }
+
   test("curation composite: broadcast-only joins, corpus shuffles once (packing)") {
     // quality + mix gates are scan-stage filters; decontamination joins are
     // broadcast; the ONLY corpus-sized exchange is the packing window's
