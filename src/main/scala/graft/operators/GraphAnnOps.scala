@@ -61,7 +61,7 @@ object GraphAnnOps {
     * tie-breaks. Entry point is node 0 (the lowest vec_id — deterministic).
     */
   private def beamSearch(vecs: Array[Double], dim: Int,
-      adjacency: Array[scala.collection.mutable.ArrayBuffer[Int]],
+      neighbors: (Int, Int => Unit) => Unit,
       limit: Int, q: Array[Double], ef: Int): Array[(Int, Double)] = {
     if (limit <= 0) return Array.empty
     val visited = new java.util.BitSet(limit)
@@ -78,20 +78,22 @@ object GraphAnnOps {
       // the classic termination: the best candidate cannot improve the pool
       if (pool.size >= ef && s < pool.head._1) { cand.clear() }
       else {
-        val neigh = adjacency(node)
-        var i = 0
-        while (i < neigh.length) {
-          val nb = neigh(i)
+        neighbors(node, { nb =>
           if (nb < limit && !visited.get(nb)) {
             visited.set(nb)
             val sn = cosAt(vecs, dim, nb, q)
-            if (pool.size < ef || sn > pool.head._1) {
+            // admission mirrors eviction's (score desc, node asc) order: a
+            // score TIED with the floor still enters when its node id is
+            // lower, else boundary ties would resolve to whichever node was
+            // visited first instead of the documented lower-node tie-break
+            val admit = pool.size < ef || sn > pool.head._1 ||
+              (sn == pool.head._1 && nb < pool.head._2)
+            if (admit) {
               cand.enqueue((sn, nb)); pool.enqueue((sn, nb))
               if (pool.size > ef) pool.dequeue()
             }
           }
-          i += 1
-        }
+        })
       }
     }
     pool.toArray.map { case (s, nd) => (nd, s) }
@@ -239,7 +241,10 @@ object GraphAnnOps {
     while (node < n) {
       val q = new Array[Double](dim)
       System.arraycopy(vecs, node * dim, q, 0, dim)
-      val found = beamSearch(vecs, dim, adjacency, node, q, efConstruction)
+      val found = beamSearch(vecs, dim,
+        (nd, f) => { val a = adjacency(nd); var i = 0
+          while (i < a.length) { f(a(i)); i += 1 } },
+        node, q, efConstruction)
       val neighbors = selectDiverse(vecs, dim, found, m)
       neighbors.foreach { nb =>
         adjacency(node) += nb
@@ -261,16 +266,17 @@ object GraphAnnOps {
     NswGraph(part, n, dim, ids, vecs, adjOff, adjFlat)
   }
 
-  /** Pure single-graph query (the `flatMap` body of [[searchGraphs]]). */
+  /** Pure single-graph query (the `flatMap` body of [[searchGraphs]]).
+    * Walks the stored CSR arrays directly — no per-call adjacency
+    * materialization, which matters in the batch path where every routed
+    * query searches the same graph.
+    */
   private[graft] def searchLocal(g: NswGraph, q: Array[Double],
       ef: Int): Array[(Long, Double)] = {
-    val adjacency = Array.tabulate(g.n) { node =>
-      val a = scala.collection.mutable.ArrayBuffer.empty[Int]
-      var p = g.adjOff(node)
-      while (p < g.adjOff(node + 1)) { a += g.adj(p); p += 1 }
-      a
-    }
-    beamSearch(g.vecs, g.dim, adjacency, g.n, q, ef)
+    beamSearch(g.vecs, g.dim,
+      (nd, f) => { var p = g.adjOff(nd); val end = g.adjOff(nd + 1)
+        while (p < end) { f(g.adj(p)); p += 1 } },
+      g.n, q, ef)
       .map { case (node, s) => (g.ids(node), s) }
   }
 

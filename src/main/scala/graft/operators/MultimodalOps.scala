@@ -64,6 +64,24 @@ case class VideoMeta(doc_id: Long, byte_len: Long, duration_ms: Long,
   */
 object MultimodalOps {
 
+  /** Hex SHA-256 of a payload. MessageDigest.digest() already resets the
+    * instance, and the table walk avoids a Formatter allocation per byte
+    * in these per-row paths.
+    */
+  private def shaHex(digest: java.security.MessageDigest,
+      bytes: Array[Byte]): String = {
+    val hex = "0123456789abcdef"
+    val d = digest.digest(bytes)
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = hex((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hex(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** The fixture corpus as binary media records (text bytes as payload). */
   def mediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -91,8 +109,7 @@ object MultimodalOps {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       it.map { r =>
         val (w, h, f) = fakeDecode(r.payload.length.toLong)
-        val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
-        digest.reset()
+        val sha = shaHex(digest, r.payload)
         MediaMeta(r.doc_id, r.payload.length.toLong, w, h, f, sha)
       }
     }
@@ -172,7 +189,11 @@ object MultimodalOps {
     * a well-formed 8-bit P6 payload.
     */
   private[graft] def parsePpm(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
-    if (b.length < 2 || b(0) != 'P'.toByte || b(1) != '6'.toByte) return None
+    if (b.length < 3 || b(0) != 'P'.toByte || b(1) != '6'.toByte) return None
+    // the spec requires whitespace (or a comment) after the magic; without
+    // this check a payload starting "P6123..." would misparse the glued
+    // digits as the width and walk arbitrary bytes as a pixel plane
+    if (!b(2).toChar.isWhitespace && b(2) != '#'.toByte) return None
     var i = 2
     val vals = new Array[Int](3)
     var v = 0
@@ -229,8 +250,7 @@ object MultimodalOps {
             case None => fakeDecode(r.payload.length.toLong)
           }
         }
-        val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
-        digest.reset()
+        val sha = shaHex(digest, r.payload)
         MediaMeta(r.doc_id, r.payload.length.toLong, w, h, f, sha)
       }
     }
@@ -300,11 +320,13 @@ object MultimodalOps {
             System.arraycopy(header, 0, out, 0, header.length)
             var y = 0
             while (y < h) {
-              val sy = y * sh / h
+              // Long index math: y*sh (and x*sw) overflows Int for legal
+              // tall/wide source×target combinations, turning sy negative
+              val sy = (y.toLong * sh / h).toInt
               var x = 0
               while (x < w) {
-                val sx = x * sw / w
-                val src = off + (sy * sw + sx) * 3
+                val sx = (x.toLong * sw / w).toInt
+                val src = off + (sy.toLong * sw + sx).toInt * 3
                 val dst = header.length + (y * w + x) * 3
                 out(dst) = r.payload(src)
                 out(dst + 1) = r.payload(src + 1)
@@ -321,10 +343,10 @@ object MultimodalOps {
               val (sw, sh) = (img.getWidth, img.getHeight)
               var y = 0
               while (y < h) {
-                val sy = y * sh / h
+                val sy = (y.toLong * sh / h).toInt // Long: see the PPM branch
                 var x = 0
                 while (x < w) {
-                  dst.setRGB(x, y, img.getRGB(x * sw / w, sy))
+                  dst.setRGB(x, y, img.getRGB((x.toLong * sw / w).toInt, sy))
                   x += 1
                 }
                 y += 1
@@ -395,9 +417,15 @@ object MultimodalOps {
     records.mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       it.flatMap { r =>
-        decodeAudio(r.payload).map { case (fmt, frames) =>
-          val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
-          digest.reset()
+        // a reader may claim the payload yet report NOT_SPECIFIED (-1) for
+        // frame length or rate (legal e.g. for AU's unknown-data-size
+        // header) — without real numbers the row would carry n_samples=-1
+        // and a zero/negative duration as if they were measurements, so it
+        // routes to the drop contract like any unclaimed payload
+        decodeAudio(r.payload).filter { case (fmt, frames) =>
+          frames >= 0 && fmt.getFrameRate > 0 && fmt.getSampleRate > 0
+        }.map { case (fmt, frames) =>
+          val sha = shaHex(digest, r.payload)
           AudioMeta(r.doc_id,
             math.round(fmt.getSampleRate.toDouble),
             fmt.getChannels.toLong,
@@ -547,8 +575,7 @@ object MultimodalOps {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       it.flatMap { r =>
         parseMp4(r.payload).map { case (durMs, w, h, frames, tracks) =>
-          val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
-          digest.reset()
+          val sha = shaHex(digest, r.payload)
           VideoMeta(r.doc_id, r.payload.length.toLong, durMs, w, h, frames,
             tracks, sha)
         }

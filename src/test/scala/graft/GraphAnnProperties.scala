@@ -84,4 +84,18 @@ object GraphAnnProperties extends Properties("graft.operators.GraphAnnOps") {
     val g2 = GraphAnnOps.buildLocal(0, c.ids, c.vecs, c.dim, 4, 10)
     g1.adjOff.sameElements(g2.adjOff) && g1.adj.sameElements(g2.adj)
   }
+
+  property("pool-boundary score ties admit the lower node (hand-built CSR)") = {
+    // 3 identical vectors: every score ties. Path 0 → 2 → 1 visits the
+    // HIGHER node first; at ef = 2 the pool is full when node 1 arrives
+    // tied with the floor (1.0, node 2) — the admission rule must let the
+    // lower node in (matching eviction's (score desc, node asc) order), so
+    // the search returns ids {10, 11}, exactly what the exact scan's
+    // tie-break contract would return — not first-visited {10, 12}.
+    val g = graft.operators.NswGraph(part = 0, n = 3, dim = 1,
+      ids = Array(10L, 11L, 12L), vecs = Array(1.0, 1.0, 1.0),
+      adjOff = Array(0, 1, 1, 2), adj = Array(2, 1))
+    val got = GraphAnnOps.searchLocal(g, Array(1.0), ef = 2).map(_._1).toSeq
+    org.scalacheck.Prop(got == Seq(10L, 11L)) :| s"got $got"
+  }
 }

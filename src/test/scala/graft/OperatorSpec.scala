@@ -611,6 +611,48 @@ class OperatorSpec extends AnyFunSuite {
     // malformed payloads are rejected, not mis-parsed
     assert(MultimodalOps.parsePpm("P6\n4 2\n255\nxx".getBytes("US-ASCII")).isEmpty)
     assert(MultimodalOps.parsePpm("P5\n4 2\n255\n".getBytes("US-ASCII")).isEmpty)
+    // magic must be FOLLOWED by whitespace: "P6123..." is not a PPM, and
+    // gluing the digits onto the magic must not yield width=123
+    assert(MultimodalOps.parsePpm(
+      ("P6123 45 1\n" + "x" * (123 * 45 * 3)).getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("tall PPM resize stays index-safe (no Int overflow in the sample walk)") {
+    import spark.implicits._
+    import graft.operators.{MediaRecord, MultimodalOps}
+    // 1 x 300000 source to 1 x 100000: y*sh reaches 3e10 — Int math would
+    // go negative around y=7160 and crash the task on a negative index
+    val (sw, sh) = (1, 300000)
+    val header = s"P6\n$sw $sh\n255\n".getBytes("US-ASCII")
+    val payload = header ++ Array.fill(sw * sh * 3)(7.toByte)
+    val out = MultimodalOps.resizePpm(
+      Seq(MediaRecord(1L, payload, "image/x-portable-pixmap")).toDS, 1, 100000)
+      .collect()(0).payload
+    val parsed = MultimodalOps.parsePpm(out)
+    assert(parsed.isDefined)
+    val (w, h, _, off) = parsed.get
+    assert(w === 1 && h === 100000)
+    assert(out(off) === 7.toByte && out(out.length - 1) === 7.toByte)
+  }
+
+  test("audio metadata never carries NOT_SPECIFIED sentinels as measurements") {
+    import spark.implicits._
+    import graft.operators.{MediaRecord, MultimodalOps}
+    // AU header with the legal unknown-data-size marker (0xFFFFFFFF): a
+    // reader may claim it while reporting frameLength = -1 — the row must
+    // either be dropped or carry real non-negative numbers, never -1
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeBytes(".snd"); dos.writeInt(24); dos.writeInt(-1) // size unknown
+    dos.writeInt(3); dos.writeInt(8000); dos.writeInt(1)       // 16-bit PCM mono
+    (0 until 4000).foreach(i => dos.writeShort(i % 256))
+    val rows = MultimodalOps.audioMeta(
+      Seq(MediaRecord(1L, bos.toByteArray, "audio/basic")).toDS).collect()
+    rows.foreach { m =>
+      assert(m.n_samples >= 0L, s"sentinel frame count leaked: $m")
+      assert(m.duration_ms >= 0L, s"sentinel duration leaked: $m")
+      assert(m.sample_rate > 0L, m.toString)
+    }
   }
 
   test("PPM resize resamples nearest-neighbor and round-trips the format") {
