@@ -172,10 +172,20 @@ object DedupOps {
     * tokens generates EVERY j ≥ τ pair, with the size-ratio block in the
     * join condition. Output: distinct (a_id, b_id).
     */
-  private def prefixCandidates(docs: DataFrame, tau: Double): DataFrame = {
+  private def prefixCandidates(docs: DataFrame, tau: Double): DataFrame =
+    prefixCandidatesFromTok(
+      docs.select(col("doc_id"), size(tokenSet(col("text"))).as("n"),
+        explode(tokenSet(col("text"))).as("t")), tau)
+
+  /** Core of [[prefixCandidates]] over a prebuilt (doc_id, n, t) token
+    * frame — one row per (doc, distinct token). Callers that already
+    * materialize the token sets (the cached `ws` of
+    * [[jaccardPairsPrefixOn]]) feed their frame here, so the tau-sensitive
+    * prefix-length rule and the size-ratio block live in exactly one
+    * place.
+    */
+  private def prefixCandidatesFromTok(tok: DataFrame, tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau out of range: $tau")
-    val tok = docs.select(col("doc_id"), size(tokenSet(col("text"))).as("n"),
-      explode(tokenSet(col("text"))).as("t"))
     val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("t").asc)
     val prefix = tok.join(dfreq, "t")
@@ -290,19 +300,8 @@ object DedupOps {
       .select(col("doc_id"), tokenSetSorted(col("text")).as("s"),
         size(tokenSet(col("text"))).as("n"), tokenBitmap(col("text")).as("bm"))
       .cache()
-    val tok = ws.select(col("doc_id"), col("n"), explode(col("s")).as("t"))
-    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("t").asc)
-    val prefix = tok.join(dfreq, "t")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("n") - ceil(col("n") * tau) + 1)
-      .select(col("t"), col("doc_id"), col("n"))
-    val pl = prefix.select(col("t"), col("doc_id").as("a_id"), col("n").as("a_n"))
-    val pr = prefix.select(col("t").as("t_r"), col("doc_id").as("b_id"), col("n").as("b_n"))
-    val candidates = pl.join(pr,
-        col("t") === col("t_r") && col("a_id") < col("b_id") &&
-          col("b_n") >= ceil(col("a_n") * tau) && col("b_n") <= floor(col("a_n") / tau))
-      .select(col("a_id"), col("b_id")).distinct()
+    val candidates = prefixCandidatesFromTok(
+      ws.select(col("doc_id"), col("n"), explode(col("s")).as("t")), tau)
     candidates
       .join(ws.select(col("doc_id").as("a_id"), col("s").as("a_s"),
         col("n").as("a_n"), col("bm").as("a_bm")), "a_id")
@@ -323,7 +322,7 @@ object DedupOps {
   // monotone in x and every "permutation" would order tokens identically.)
   private val MinhashPrime = (1L << 31) - 1
   private val NumHashes = 16
-  private val NumBands = 8 // 8 bands × 2 rows (of 32 hashes; see recall math below)
+  private val NumBands = 8 // 8 bands × 2 rows = exactly NumHashes (16)
   /** Deterministic permutation coefficients (fixed seed — results must be
     * reproducible across runs and engines).
     */

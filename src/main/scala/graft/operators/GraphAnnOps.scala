@@ -479,12 +479,7 @@ object GraphAnnOps {
           !spark.catalog.tableExists(s"$db.${name}__meta") ||
           !spark.catalog.tableExists(s"$db.${name}__model")) {
         CatalogOps.createDatabase(spark, db)
-        Seq(name, s"${name}__meta", s"${name}__model").foreach { t =>
-          spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
-            new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
-              s"/$db.db/$t"))
-        }
+        Seq(name, s"${name}__meta", s"${name}__model").foreach(KnnOps.dropTableAndDir(spark, db, _))
         CatalogOps.createNswRoutedCollection(spark, db, name,
           Tables.embeddings(spark, dir), kCells = kCells, m = m,
           efConstruction = efConstruction)
@@ -549,12 +544,7 @@ object GraphAnnOps {
       if (!spark.catalog.tableExists(s"$db.$name") ||
           !spark.catalog.tableExists(s"$db.${name}__meta")) {
         CatalogOps.createDatabase(spark, db)
-        Seq(name, s"${name}__meta").foreach { t =>
-          spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
-            new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
-              s"/$db.db/$t"))
-        }
+        Seq(name, s"${name}__meta").foreach(KnnOps.dropTableAndDir(spark, db, _))
         CatalogOps.createNswCollection(spark, db, name,
           Tables.embeddings(spark, dir), shards, m, efConstruction)
       }

@@ -486,7 +486,6 @@ object KnnOps {
     // plan read the InMemoryRelation instead of the parquet scan — silently
     // discarding predicate pushdown session-wide (caught by PlanSpec).
     emb.cache()
-    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
     val cents = try kmeansCentroids(emb, kCells, iters) finally emb.unpersist()
     val qVec = emb.filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Double](0).toArray
@@ -637,6 +636,18 @@ object KnnOps {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** Drop a table AND its orphaned warehouse directory: a fresh session's
+    * in-memory catalog forgets tables, but a previous JVM's physical dirs
+    * survive in the warehouse — saveAsTable refuses the orphaned location.
+    * Shared by every build-if-absent probe entry.
+    */
+  private[graft] def dropTableAndDir(spark: SparkSession, db: String, t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
+        s"/$db.db/$t"))
+  }
+
   /** Build-then-probe composite for the driver contract (`q_knn_ivf_part`):
     * ingest the embeddings fixture as an IVF-partitioned collection, then
     * answer the standard fixture query through the partition-pruned probe.
@@ -650,15 +661,7 @@ object KnnOps {
     import graft.sources.CatalogOps
     val db = "graft_ivf"
     CatalogOps.createDatabase(spark, db)
-    // A fresh session's in-memory catalog forgets tables, but a previous
-    // JVM's physical dirs survive in the warehouse — saveAsTable refuses
-    // the orphaned location. Drop (no-op when unknown) and clear both.
-    Seq("emb_ivf", "emb_ivf__model").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
-        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
-          s"/$db.db/$t"))
-    }
+    Seq("emb_ivf", "emb_ivf__model").foreach(dropTableAndDir(spark, db, _))
     CatalogOps.createIvfCollection(spark, db, "emb_ivf",
       corpus(spark, dir), "embedding", kCells, iters)
     topKIvfPartitioned(spark, db, "emb_ivf", queryId, k, nprobe)
@@ -699,14 +702,7 @@ object KnnOps {
       if (!spark.catalog.tableExists(s"$db.$name") ||
           !spark.catalog.tableExists(s"$db.${name}__model")) {
         CatalogOps.createDatabase(spark, db)
-        // previous JVMs leave orphaned warehouse dirs behind the in-memory
-        // catalog's back — clear both before the fresh build
-        Seq(name, s"${name}__model").foreach { t =>
-          spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
-            new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
-              s"/$db.db/$t"))
-        }
+        Seq(name, s"${name}__model").foreach(dropTableAndDir(spark, db, _))
         CatalogOps.createIvfCollection(spark, db, name,
           corpus(spark, dir), "embedding", kCells, iters)
       }
@@ -841,10 +837,7 @@ object KnnOps {
     this.synchronized {
       if (!spark.catalog.tableExists(s"$db.$name")) {
         CatalogOps.createDatabase(spark, db)
-        spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
-          new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
-            s"/$db.db/$name"))
+        dropTableAndDir(spark, db, name)
         CatalogOps.createQuantizedCollection(spark, db, name, corpus(spark, dir))
       }
     }
@@ -994,24 +987,34 @@ object KnnOps {
     * centroid⟩ dot product. The per-row scan cost downstream is M lookups
     * into this table regardless of dim.
     */
-  private def pqQueryLut(spark: SparkSession, db: String, name: String,
-      qVec: Array[Double]): (Array[Double], Int, Int) = {
-    val (cb, m, kCent, subDim) = readPqModel(spark, db, name)
-    require(qVec.length == m * subDim,
-      s"query dim ${qVec.length} != collection dim ${m * subDim}")
+  /** The ADC LUT of one query against a codebook: lut[s·k + c] =
+    * ⟨q_sub(s), centroid(s, c)⟩. THE indexing scheme — single-query,
+    * batched-PQ, and batched-IVF-PQ paths all build through here, so a
+    * codebook-layout change cannot make them score differently.
+    */
+  private def pqBuildLut(qv: Array[Double], cb: Array[Double],
+      m: Int, kCent: Int, subDim: Int): Array[Double] = {
+    require(qv.length == m * subDim,
+      s"query dim ${qv.length} != collection dim ${m * subDim}")
     val lut = new Array[Double](m * kCent)
     var s = 0
     while (s < m) {
       var c = 0
       while (c < kCent) {
         var d = 0.0; var i = 0
-        while (i < subDim) { d += qVec(s * subDim + i) * cb((s * kCent + c) * subDim + i); i += 1 }
+        while (i < subDim) { d += qv(s * subDim + i) * cb((s * kCent + c) * subDim + i); i += 1 }
         lut(s * kCent + c) = d
         c += 1
       }
       s += 1
     }
-    (lut, m, kCent)
+    lut
+  }
+
+  private def pqQueryLut(spark: SparkSession, db: String, name: String,
+      qVec: Array[Double]): (Array[Double], Int, Int) = {
+    val (cb, m, kCent, subDim) = readPqModel(spark, db, name)
+    (pqBuildLut(qVec, cb, m, kCent, subDim), m, kCent)
   }
 
   /** Batched PQ knn — [[topKPq]] for a query TABLE (query_id, q_embedding),
@@ -1038,20 +1041,7 @@ object KnnOps {
     val lutRows = qRows.map { r =>
       val qid = r.getLong(0)
       val qv = r.getSeq[Double](1).toArray
-      require(qv.length == m * subDim,
-        s"query dim ${qv.length} != collection dim ${m * subDim}")
-      val lut = new Array[Double](m * kCent)
-      var s = 0
-      while (s < m) {
-        var c = 0
-        while (c < kCent) {
-          var d = 0.0; var i = 0
-          while (i < subDim) { d += qv(s * subDim + i) * cb((s * kCent + c) * subDim + i); i += 1 }
-          lut(s * kCent + c) = d
-          c += 1
-        }
-        s += 1
-      }
+      val lut = pqBuildLut(qv, cb, m, kCent, subDim)
       (qid, lut.toSeq, math.sqrt(qv.map(x => x * x).sum), qv.toSeq)
     }
     val qlut = spark.createDataFrame(lutRows.toSeq)
@@ -1186,18 +1176,7 @@ object KnnOps {
       val qid = r.getLong(0)
       val qv = r.getSeq[Double](1).toArray
       require(qv.length == dim, s"query dim ${qv.length} != collection dim $dim")
-      val lut = new Array[Double](m * kCent)
-      var s = 0
-      while (s < m) {
-        var c = 0
-        while (c < kCent) {
-          var d = 0.0; var i = 0
-          while (i < subDim) { d += qv(s * subDim + i) * cb((s * kCent + c) * subDim + i); i += 1 }
-          lut(s * kCent + c) = d
-          c += 1
-        }
-        s += 1
-      }
+      val lut = pqBuildLut(qv, cb, m, kCent, subDim)
       (qid, lut.toSeq, math.sqrt(qv.map(x => x * x).sum), qv.toSeq)
     }
     val qlut = spark.createDataFrame(lutRows.toSeq)
@@ -1261,12 +1240,7 @@ object KnnOps {
       val tables = Seq(name, s"${name}__model", s"${name}__pqmodel", s"${name}__pqmeta")
       if (tables.exists(t => !spark.catalog.tableExists(s"$db.$t"))) {
         CatalogOps.createDatabase(spark, db)
-        tables.foreach { t =>
-          spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
-            new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
-              s"/$db.db/$t"))
-        }
+        tables.foreach(dropTableAndDir(spark, db, _))
         CatalogOps.createIvfPqCollection(spark, db, name, corpus(spark, dir))
       }
     }
@@ -1294,14 +1268,8 @@ object KnnOps {
           !spark.catalog.tableExists(s"$db.${name}__pqmodel") ||
           !spark.catalog.tableExists(s"$db.${name}__pqmeta")) {
         CatalogOps.createDatabase(spark, db)
-        // previous JVMs leave orphaned warehouse dirs behind the in-memory
-        // catalog's back — clear ALL the collection's tables before the build
-        Seq(name, s"${name}__pqmodel", s"${name}__pqmeta").foreach { t =>
-          spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
-            new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
-              s"/$db.db/$t"))
-        }
+        Seq(name, s"${name}__pqmodel", s"${name}__pqmeta")
+          .foreach(dropTableAndDir(spark, db, _))
         CatalogOps.createPqCollection(spark, db, name, corpus(spark, dir))
       }
     }

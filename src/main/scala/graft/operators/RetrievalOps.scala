@@ -483,12 +483,7 @@ object RetrievalOps {
       if (!spark.catalog.tableExists(s"$db.${name}__bm25stats") ||
           !spark.catalog.tableExists(s"$db.${name}__bm25df")) {
         CatalogOps.createDatabase(spark, db)
-        Seq(s"${name}__bm25stats", s"${name}__bm25df").foreach { t =>
-          spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`")
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
-            new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
-              s"/$db.db/$t"))
-        }
+        Seq(s"${name}__bm25stats", s"${name}__bm25df").foreach(KnnOps.dropTableAndDir(spark, db, _))
         val docs = Tables.documents(spark, dir)
         CatalogOps.createBm25Stats(spark, db, name,
           docs.filter(col("doc_id") % 2 === 0))
@@ -776,10 +771,7 @@ object RetrievalOps {
       if (!spark.catalog.tableExists(s"$db.${name}__postings")) {
         // a fresh test catalog can meet a stale warehouse dir from a
         // previous JVM — same wipe ensureBm25Store does for its tables
-        spark.sql(s"DROP TABLE IF EXISTS `$db`.`${name}__postings`")
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
-          new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
-            s"/$db.db/${name}__postings"))
+        KnnOps.dropTableAndDir(spark, db, s"${name}__postings")
         val docs = Tables.documents(spark, dir)
         CatalogOps.createPostings(spark, db, name,
           docs.filter(col("doc_id") % 2 === 0))

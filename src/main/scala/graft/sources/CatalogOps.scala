@@ -74,12 +74,16 @@ object CatalogOps {
     */
   def upsertPartitioned(spark: SparkSession, db: String, name: String,
       batch: DataFrame, idCol: String, partCol: String): Unit = {
-    import org.apache.spark.sql.functions.col
-    // batch rows carry their partition value, so the touched set is the
-    // batch's partitions (every one of them retains at least the batch's
-    // own winning rows — no partition can empty out on this path)
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // touched = the batch's partitions PLUS the old partitions of updated
+    // ids: a batch row that changes an id's partition value must erase the
+    // id from its old partition or the table serves duplicate rows for it
+    // (the merge core drops an old partition the move emptied)
+    val oldParts = spark.table(s"`$db`.`$name`")
+      .join(broadcast(batch.select(col(idCol)).distinct()), idCol)
+      .select(col(partCol))
     mergeTouchedPartitions(spark, db, name, batch, idCol, partCol,
-      batch.select(col(partCol)).distinct())
+      batch.select(col(partCol)).union(oldParts).distinct())
   }
 
   /** Shared merge core of [[upsertPartitioned]] and [[upsertIvf]]:
@@ -91,10 +95,20 @@ object CatalogOps {
     */
   private def mergeTouchedPartitions(spark: SparkSession, db: String, name: String,
       batch: DataFrame, idCol: String, partCol: String,
-      touched: DataFrame): Unit = {
+      touchedFrame: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val table = s"`$db`.`$name`"
+    // Materialize the (small by contract) touched set ONCE, up front: its
+    // plan may read the target table (upsertIvf's oldCells does), and the
+    // drop-empty-partition step below runs AFTER insertInto has mutated
+    // that table — a lazy re-evaluation there could see post-overwrite
+    // state and miss a partition a cell move emptied.
+    val touched = {
+      val rows = touchedFrame.distinct().collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), touchedFrame.schema)
+    }
     val current = spark.table(table)
       .join(broadcast(touched), partCol) // only affected partitions read
     val tieBreak = struct(current.columns.filterNot(_ == idCol).map(col).toIndexedSeq: _*)
@@ -269,9 +283,15 @@ object CatalogOps {
       efConstruction: Int = 200): Unit = {
     import org.apache.spark.sql.functions.col
     // partitioned by graph id so incremental maintenance ([[upsertNsw]])
-    // can rewrite exactly the rebuilt graphs via dynamic overwrite
+    // can rewrite exactly the rebuilt graphs via dynamic overwrite.
+    // vec_id is normalized to LONG before the shard hash: Murmur3 is
+    // type-sensitive (hashInt(5) != hashLong(5L)), and upsert/delete
+    // replay this hash from caller-provided frames whose id type may
+    // differ — all three paths cast to long so the replay always lands
+    // on the ingest's partitions.
     graft.operators.GraphAnnOps.buildGraphs(
-        data.repartition(shards, col("vec_id")), m, efConstruction)
+        data.withColumn("vec_id", col("vec_id").cast("long"))
+          .repartition(shards, col("vec_id")), m, efConstruction)
       .write.mode("overwrite").partitionBy("part")
       .saveAsTable(s"`$db`.`$name`")
     // build parameters travel with the index: the upsert must re-shard and
@@ -583,7 +603,8 @@ object CatalogOps {
     // tie-break), never of partitioning
     val batch = rawBatch.groupBy(col("vec_id"))
       .agg(max(struct(col("embedding"))).as("__w"))
-      .select(col("vec_id"), col("__w.embedding").as("embedding").cast("array<double>"))
+      .select(col("vec_id").cast("long").as("vec_id"), // hash replay: see createNswCollection
+        col("__w.embedding").as("embedding").cast("array<double>"))
     // each batch row's target graph: the id hash for sharded collections,
     // the nearest coarse cell (from the PERSISTED model — no retrain) for
     // routed ones
@@ -672,7 +693,11 @@ object CatalogOps {
       ids: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     val (shards, m, efC, routed) = readNswMeta(spark, db, name)
-    val doomed = ids.toDF("vec_id").distinct()
+    // cast to long BEFORE hashing: see createNswCollection — a caller
+    // passing Int ids would otherwise hash to the wrong candidate parts
+    // and the delete would silently no-op
+    val doomed = ids.toDF("vec_id")
+      .select(col("vec_id").cast("long").as("vec_id")).distinct()
     val graphs = spark.table(s"`$db`.`$name`")
     // candidate graphs: the id hash narrows the scan for sharded
     // collections (same Murmur3 as repartition(n, col) — see upsertNsw);
@@ -697,7 +722,6 @@ object CatalogOps {
     rewriteTouchedGraphs(spark, db, name, touched, kept, m, efC)
   }
 
-  /** `drop_collection` (ref `TencentVDB.py:87-89`). */
   /** Row deletion by id — the write the dedup pipeline ends with (drop the
     * losers from the collection; the reference only deletes whole
     * collections, `TencentVDB.py:87-98`, but a training-data store needs
@@ -760,9 +784,15 @@ object CatalogOps {
       return
     }
     val partCol = partCols.head
-    val touched = spark.table(table)
-      .join(broadcast(doomed), idCol)
-      .select(col(partCol)).distinct()
+    // collected once: the sweep below re-uses this AFTER insertInto has
+    // mutated the table a lazy plan would re-read (see mergeTouchedPartitions)
+    val touched = {
+      val frame = spark.table(table)
+        .join(broadcast(doomed), idCol)
+        .select(col(partCol)).distinct()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(frame.collect().toSeq, 1), frame.schema)
+    }
     val staging = s"`$db`.`__${name}_delete_staging`"
     spark.table(table)
       .join(broadcast(touched), partCol) // only affected partitions read
@@ -985,17 +1015,24 @@ object CatalogOps {
           max(col("batch_id")).as("batch_id"))),
       (s"${name}__bm25df",
         (d: DataFrame) => {
-          val maxBatch = d.agg(max(col("batch_id"))).head().getLong(0)
+          // null max = empty log; the fold below then emits zero rows, so
+          // the lit value never lands in a row — any placeholder is safe
+          val maxRow = d.agg(max(col("batch_id"))).head()
+          val maxBatch = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
           d.groupBy(col("term")).agg(sum(col("df")).as("df"))
             .filter(col("df") =!= 0.0)
             .withColumn("batch_id", lit(maxBatch))
         })
     ).foreach { case (t, fold) =>
-      val staging = s"`$db`.`__${t}_compact_staging`"
-      fold(spark.table(s"`$db`.`$t`")).write.mode("overwrite").saveAsTable(staging)
-      try spark.table(staging).write.mode("overwrite").partitionBy("batch_id")
-        .saveAsTable(s"`$db`.`$t`")
-      finally spark.sql(s"DROP TABLE IF EXISTS $staging")
+      // empty log: nothing to fold, and the stats aggregate over zero rows
+      // would write a single all-null partial — skip instead
+      if (!spark.table(s"`$db`.`$t`").isEmpty) {
+        val staging = s"`$db`.`__${t}_compact_staging`"
+        fold(spark.table(s"`$db`.`$t`")).write.mode("overwrite").saveAsTable(staging)
+        try spark.table(staging).write.mode("overwrite").partitionBy("batch_id")
+          .saveAsTable(s"`$db`.`$t`")
+        finally spark.sql(s"DROP TABLE IF EXISTS $staging")
+      }
     }
   }
 
@@ -1130,8 +1167,9 @@ object CatalogOps {
   def compactPostings(spark: SparkSession, db: String, name: String): Unit = {
     import org.apache.spark.sql.functions._
     val t = s"${name}__postings"
-    val maxBatch = spark.table(s"`$db`.`$t`")
-      .agg(max(col("batch_id"))).head().getLong(0)
+    val maxRow = spark.table(s"`$db`.`$t`").agg(max(col("batch_id"))).head()
+    if (maxRow.isNullAt(0)) return // empty log: nothing to fold
+    val maxBatch = maxRow.getLong(0)
     val staging = s"`$db`.`__${t}_compact_staging`"
     spark.table(s"`$db`.`$t`")
       .groupBy(col("term"), col("doc_id"))
@@ -1146,6 +1184,7 @@ object CatalogOps {
     finally spark.sql(s"DROP TABLE IF EXISTS $staging")
   }
 
+  /** `drop_collection` (ref `TencentVDB.py:87-89`). */
   def dropCollection(spark: SparkSession, db: String, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")
 

@@ -1161,6 +1161,16 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.upsertPartitioned(spark, "pupdb", "docs_p", fresh, "doc_id", "lang")
     assert(spark.table("`pupdb`.`docs_p`").filter(col("lang") === "zz").count() === 1)
     assert(partFiles(keepLang) === keepBefore) // still untouched
+    // a batch row that MOVES an id to another partition must erase the old
+    // copy (and drop the partition the move emptied) — without the
+    // old-partition sweep the table would serve doc 999999 twice
+    val moved = Seq((999999L, "MOVED", "zy")).toDF("doc_id", "text", "lang")
+    CatalogOps.upsertPartitioned(spark, "pupdb", "docs_p", moved, "doc_id", "lang")
+    val rows999 = spark.table("`pupdb`.`docs_p`")
+      .filter(col("doc_id") === 999999L).collect()
+    assert(rows999.length === 1, rows999.mkString(";"))
+    assert(rows999(0).getAs[String]("lang") === "zy")
+    assert(spark.table("`pupdb`.`docs_p`").filter(col("lang") === "zz").count() === 0)
     CatalogOps.dropDatabase(spark, "pupdb")
   }
 
@@ -1947,6 +1957,14 @@ class OperatorSpec extends AnyFunSuite {
         vDoom, k = 20, efSearch = 1000)
       .collect().map(_.getLong(0)).toSet
     assert(served.nonEmpty && served.intersect(doomedSet).isEmpty)
+    // id-TYPE-proof hash replay: Murmur3 hashInt(9) != hashLong(9L), so an
+    // IntegerType ids frame hashed as-is would probe the wrong shards and
+    // the delete would silently no-op — the cast-to-long rule must hold
+    CatalogOps.deleteByIds(spark, "nswdeldb", "emb_nsw",
+      Seq(9).toDF("vec_id")) // Int, not Long
+    val afterInt = spark.table("`nswdeldb`.`emb_nsw`")
+      .select(explode(col("ids")).as("id")).collect().map(_.getLong(0)).toSet
+    assert(!afterInt.contains(9L), "Int-typed delete silently no-opped")
     CatalogOps.dropDatabase(spark, "nswdeldb")
   }
 
