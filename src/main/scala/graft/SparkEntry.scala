@@ -550,8 +550,8 @@ object SparkEntry {
         |        FROM deduped)),
         |assigned AS (
         |  SELECT doc_id, chunk,
-        |         CASE WHEN (doc_id * 2654435761 + chunk_idx * 40503) % 1000 < 800 THEN 'train'
-        |              WHEN (doc_id * 2654435761 + chunk_idx * 40503) % 1000 < 900 THEN 'valid'
+        |         CASE WHEN (doc_id * 2246822519 + chunk_idx * 40503) % 1000 < 800 THEN 'train'
+        |              WHEN (doc_id * 2246822519 + chunk_idx * 40503) % 1000 < 900 THEN 'valid'
         |              ELSE 'test' END AS split
         |  FROM chunked)
         |SELECT split, count(*) AS n_chunks,
@@ -822,7 +822,7 @@ object SparkEntry {
     "q_domain_mix" ->
       """WITH w AS (
         |  SELECT doc_id, source, (doc_id * 2654435761) % 1000 AS bucket,
-        |         CAST((CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4 + 1) * 0.25 AS DOUBLE) AS weight
+        |         CAST((coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT), length(source)) % 4 + 1) * 0.25 AS DOUBLE) AS weight
         |  FROM documents)
         |SELECT doc_id, source, bucket, weight FROM w
         |WHERE bucket < weight * 1000
@@ -835,7 +835,7 @@ object SparkEntry {
         |  WHERE source <> 'src19'
         |    AND len(string_split(text, ' ')) >= 20
         |    AND (doc_id * 2654435761) % 1000 <
-        |        (CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4 + 1) * 0.25 * 1000),
+        |        (coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT), length(source)) % 4 + 1) * 0.25 * 1000),
         |ng AS (
         |  SELECT doc_id,
         |         unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 2),
@@ -1023,8 +1023,10 @@ object SparkEntry {
         |       count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus ASC""".stripMargin,
     "q_grouping_sets" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |            ELSE coalesce(l_returnflag, 'NULL') END AS returnflag,
+        |       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |            ELSE coalesce(l_linestatus, 'NULL') END AS linestatus,
         |       CAST(sum(CAST(round(l_extendedprice * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_price,
         |       count(*) AS n
         |FROM lineitem

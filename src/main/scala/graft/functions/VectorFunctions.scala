@@ -43,9 +43,15 @@ object VectorFunctions {
   /** ‖a‖₂ */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** cosine(a, b) = a·b / (‖a‖‖b‖) — ref metric `TencentVDB.py:46`. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** cosine(a, b) = a·b / (‖a‖‖b‖) — ref metric `TencentVDB.py:46`.
+    * Zero-norm inputs score 0.0, matching [[cosineFast]] (an unguarded
+    * 0/0 would emit NaN here while the fused path emits 0.0, and NaN
+    * breaks top-k ordering).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
 
   /** Cosine against a pre-normalized corpus column: when the corpus norm is
     * materialized once (ingest time, [[graft.sources.CatalogOps
@@ -54,10 +60,14 @@ object VectorFunctions {
     */
   def cosinePrenormed(aUnit: Column, bUnit: Column): Column = dotFast(aUnit, bUnit)
 
-  /** a / ‖a‖ — unit-normalize an embedding (ingest-time materialization). */
+  /** a / ‖a‖ — unit-normalize an embedding (ingest-time materialization).
+    * A zero vector stays the zero vector (its signed hash buckets can
+    * cancel exactly): dividing by the true 0 norm would emit all-NaN
+    * components and poison every downstream score.
+    */
   def l2Normalize(a: Column): Column = {
     val n = l2Norm(a)
-    transform(a, x => x / n)
+    when(n === 0.0, a).otherwise(transform(a, x => x / n))
   }
 
   /** Squared L2 distance (euclidean metric surface, ref dim table

@@ -87,10 +87,17 @@ object RelOps {
   def groupingSets(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sumMoney(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      // grouping() discriminates a rollup subtotal from a real NULL data
+      // value — coalesce alone would label both 'ALL' and collide them.
+      // It must be evaluated IN the agg (the rollup bitmap is gone after).
+      .agg(grouping(col("l_returnflag")).as("__gr"),
+        grouping(col("l_linestatus")).as("__gl"),
+        sumMoney(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
       .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        when(col("__gr") === 1, "ALL")
+          .otherwise(coalesce(col("l_returnflag"), lit("NULL"))).as("returnflag"),
+        when(col("__gl") === 1, "ALL")
+          .otherwise(coalesce(col("l_linestatus"), lit("NULL"))).as("linestatus"),
         col("sum_price"), col("n"))
       .orderBy(col("returnflag").asc, col("linestatus").asc)
 
@@ -378,8 +385,7 @@ object RelOps {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg((sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(1000000.0))
-        .cast("long")).cast("double") / lit(1000000.0)).as("revenue"))
+      .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
@@ -412,8 +418,7 @@ object RelOps {
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg((sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(1000000.0))
-        .cast("long")).cast("double") / lit(1000000.0)).as("revenue"))
+      .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
@@ -460,8 +465,7 @@ object RelOps {
         col("l_shipdate") < lit("1997-01-01") &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
-      .agg((sum(round(col("l_extendedprice") * col("l_discount") * lit(1000000.0))
-        .cast("long")).cast("double") / lit(1000000.0)).as("revenue"))
+      .agg(sumMoney(col("l_extendedprice") * col("l_discount")).as("revenue"))
 
   /** UNPIVOT — wide measure columns to long (metric, val) rows via
     * `stack`, the inverse reshape of [[pivotEvents]]. A Generate projection

@@ -289,18 +289,30 @@ object TextAnalysisOps {
     evalDocs.select(explode(wordNgrams(tokens(col("text")), n)).as("g")).distinct()
 
   /** Per-doc eval-overlap counts for any (doc_id, text, …) frame against a
-    * prebuilt n-gram set: both joins broadcast, the doc side never
-    * shuffles (see [[decontaminate]] for the scale argument).
+    * prebuilt n-gram set: the eval set collapses to ONE sorted-array row
+    * broadcast over the docs (nested-loop on a single row — no hash
+    * exchange anywhere near the corpus), and the overlap is a per-row
+    * sorted merge ([[graft.plans.SortedIntersectSize]] codegen).
+    *
+    * Why not a per-gram join: counting per doc would need a join BACK to
+    * zero-fill the clean rows, and the hit-count frame it broadcasts grows
+    * with the number of contaminated docs — fine when contamination is
+    * rare, an OOM cliff when an eval suite overlaps broadly. The merge
+    * form has no cliff: per-row cost is O(|doc grams| + |eval grams|),
+    * and only the eval side (a benchmark suite, bounded by construction)
+    * must fit in memory.
     */
   private[graft] def contaminationOn(docs: DataFrame, evalNg: DataFrame,
       n: Int = 4): DataFrame = {
-    val hits = docs
-      .select(col("doc_id"), explode(wordNgrams(tokens(col("text")), n)).as("g"))
-      .join(broadcast(evalNg), "g")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("shared_ngrams")) // grams are distinct per doc already
-    docs.join(broadcast(hits), Seq("doc_id"), "left")
-      .withColumn("shared_ngrams", coalesce(col("shared_ngrams"), lit(0L)))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val evalArr = broadcast(
+      evalNg.agg(array_sort(collect_set(col("g"))).as("__eval_g")))
+    docs.join(evalArr) // 1-row build side: BroadcastNestedLoopJoin
+      .withColumn("shared_ngrams",
+        toCol(graft.plans.SortedIntersectSize(
+          toExpr(array_sort(wordNgrams(tokens(col("text")), n))),
+          toExpr(col("__eval_g")))).cast("long"))
+      .drop("__eval_g")
       .withColumn("contaminated", (col("shared_ngrams") > 0).cast("long"))
   }
 
@@ -413,9 +425,13 @@ object TextAnalysisOps {
     */
   private def mixBucket: Column =
     pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+  // source index = its digit run, falling back to the name LENGTH for
+  // digit-less sources: regexp_extract's "" would cast to NULL, the filter
+  // would evaluate NULL, and every document from that source would be
+  // silently dropped from the mixture
   private def mixWeight: Column =
-    (pmod(regexp_extract(col("source"), "([0-9]+)", 1).cast("long"), lit(4L)) + 1) *
-      lit(0.25)
+    (pmod(coalesce(regexp_extract(col("source"), "([0-9]+)", 1).cast("long"),
+      length(col("source")).cast("long")), lit(4L)) + 1) * lit(0.25)
 
   def domainMix(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -160,6 +160,7 @@ object TextOps {
     var out = frontier
     var depth = 0L
     var more = true
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (more) {
       depth += 1L
       val next = frontier.alias("f").join(edges.alias("e"),
@@ -169,10 +170,17 @@ object TextOps {
           lit(depth).as("depth"))
         .cache() // the emptiness probe materializes each level anyway; the
                  // final union then reads levels back instead of re-joining
+      levels += next
       more = !next.isEmpty
       if (more) { out = out.unionAll(next); frontier = next }
     }
-    out.orderBy(col("depth").asc, col("url").asc)
+    // Materialize the result, then RELEASE the level caches: they exist to
+    // keep the frontier iteration linear, not to outlive the call — left
+    // cached, every invocation would leak depth+1 plans into executor
+    // storage for the session's lifetime.
+    val rows = out.orderBy(col("depth").asc, col("url").asc).localCheckpoint()
+    levels.foreach(_.unpersist())
+    rows
   }
 
   /** Flatten list-of-lists search results — ref nested
@@ -410,9 +418,13 @@ object TextOps {
     chunks
       // both multipliers coprime with the modulus — a shared factor would
       // cancel a term (doc_id·1000·K ≡ 0 mod 1000 degenerated every chunk
-      // of a doc to the same bucket stripe)
+      // of a doc to the same bucket stripe). The doc_id multiplier is
+      // DELIBERATELY different from the mix/split hash's 2654435761: with
+      // the same constant, a chunk-0 bucket would equal the domain-mix
+      // bucket, and composing mix → split would draw test chunks only
+      // from weight-1.0 sources (a biased eval split).
       .withColumn("bucket",
-        pmod(col("doc_id") * lit(2654435761L) + col("chunk_idx") * lit(40503L), lit(1000L)))
+        pmod(col("doc_id") * lit(2246822519L) + col("chunk_idx") * lit(40503L), lit(1000L)))
       .withColumn("split",
         when(col("bucket") < 800, "train")
           .when(col("bucket") < 900, "valid")

@@ -47,6 +47,13 @@ object StreamingOps {
     * the streaming twin of [[graft.operators.EventOps.sessionize]]. State =
     * one open window per (user, session), merged as events arrive, closed
     * by the watermark.
+    *
+    * Boundary convention: `session_window` SPLITS two events exactly one
+    * gap apart (its per-event interval is half-open `[t, t+gap)`), while
+    * the batch twin's `gap > gapSec` test keeps them together — Spark's
+    * built-in is not configurable here, so the two agree everywhere except
+    * the measure-zero exact-gap boundary ([[statefulSessions]] follows the
+    * batch convention; the cross-validation test avoids exact-gap pairs).
     */
   def sessionWindows(events: DataFrame): DataFrame =
     events
@@ -425,10 +432,17 @@ object StreamingOps {
         sorted.foreach { e =>
           val t = e.ts.getTime
           cur match {
-            case Some(s) if t - s.end <= gapMs =>
-              // Late-but-accepted events may precede the current bounds:
-              // extend with min/max, never regress the session window.
+            // within gap of EITHER bound: a late-but-accepted event may
+            // precede the current start — extend with min/max. The lower
+            // bound matters: without it any t <= s.end satisfies
+            // t - s.end <= gap and an arbitrarily old late event would
+            // merge in and regress the session start.
+            case Some(s) if t - s.end <= gapMs && s.start - t <= gapMs =>
               cur = Some(SessState(s.n + 1, math.min(s.start, t), math.max(s.end, t)))
+            case Some(s) if s.start - t > gapMs =>
+              // older than the session's reach: the batch twin would have
+              // closed it as its own session before this one began
+              closed ::= SessionOut(userId, 1L, e.ts, e.ts)
             case Some(s) =>
               closed ::= SessionOut(userId, s.n, new Timestamp(s.start), new Timestamp(s.end))
               cur = Some(SessState(1L, t, t))

@@ -412,14 +412,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
   }
 
-  test("decontamination broadcasts both the eval set and the hit counts") {
-    // the 100 TB claim: the corpus side is never shuffled — both joins are
-    // broadcast, and the only hash exchanges carry eval-sized data (the
-    // eval n-gram distinct and the per-doc hit counts)
+  test("decontamination is one map-side corpus pass over a broadcast eval row") {
+    // the 100 TB claim: ONE corpus scan, no hash exchange anywhere on the
+    // corpus path — the eval set collapses to a single sorted-array row
+    // (nested-loop broadcast) and the overlap is a per-row sorted merge,
+    // so there is no per-doc hit frame whose size could grow with
+    // contamination
     val p = plan(TextAnalysisOps.decontaminate(spark, sf))
-    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) === 2, p)
-    assert(!p.contains("SortMergeJoin"), p)
-    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("sorted_intersect_size"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) === 2, p) // corpus + eval
   }
 
   test("sequence packing shuffles once, on the shard key") {
@@ -448,14 +451,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
   }
 
-  test("curation composite: broadcast-only joins, corpus shuffles once (packing)") {
-    // quality + mix gates are scan-stage filters; decontamination joins are
-    // broadcast; the ONLY corpus-sized exchange is the packing window's
-    // shard hash (the other two carry eval n-grams and per-doc hit counts)
+  test("curation composite: corpus shuffles once (packing), decontamination map-side") {
+    // quality + mix gates are scan-stage filters; decontamination is the
+    // broadcast-eval-row sorted merge; the ONLY corpus-sized exchange is
+    // the packing window's shard hash (the others carry eval n-grams)
     val p = plan(TextAnalysisOps.curateEndToEnd(spark, sf))
-    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) === 2, p)
-    assert(!p.contains("SortMergeJoin"), p)
-    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 3, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3, p)
   }
 }
 
