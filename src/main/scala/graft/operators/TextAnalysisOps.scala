@@ -308,8 +308,11 @@ object TextAnalysisOps {
     val evalArr = broadcast(
       evalNg.agg(array_sort(collect_set(col("g"))).as("__eval_g")))
     docs.join(evalArr) // 1-row build side: BroadcastNestedLoopJoin
+      // probe, not merge: |doc grams|·log|eval| per row — cost follows the
+      // document, not the eval suite (a linear merge walks the whole eval
+      // array per row and gets slower as the suite grows)
       .withColumn("shared_ngrams",
-        toCol(graft.plans.SortedIntersectSize(
+        toCol(graft.plans.SortedProbeCount(
           toExpr(array_sort(wordNgrams(tokens(col("text")), n))),
           toExpr(col("__eval_g")))).cast("long"))
       .drop("__eval_g")

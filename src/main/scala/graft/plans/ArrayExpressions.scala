@@ -83,6 +83,92 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** |{x ∈ A : x ∈ B}| by BINARY SEARCH of each left element into the sorted
+  * right array — the asymmetric companion of [[SortedIntersectSize]]. The
+  * linear merge is right when the two sides are comparably sized (the
+  * dedup pair loop); when one side is much larger (decontamination probes
+  * a ~50-gram document against a benchmark suite of 10⁴–10⁶ grams), the
+  * merge walks the big side per row while this probe costs
+  * |A|·log|B| — the per-row decontamination cost stays proportional to the
+  * DOCUMENT, not the eval suite. Same invariants: both sides sorted
+  * ascending (binary string order) and distinct; both sides equal the
+  * merge's answer (pinned by property test).
+  */
+case class SortedProbeCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "sorted_probe_count"
+  override def dataType: DataType = IntegerType
+
+  private def isStringArray(t: DataType): Boolean = t match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isStringArray(left.dataType) && isStringArray(right.dataType)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<string> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n1 = x.numElements()
+    val n2 = y.numElements()
+    var i = 0; var c = 0
+    while (i < n1) {
+      val needle = x.getUTF8String(i)
+      var lo = 0; var hi = n2 - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val cmp = y.getUTF8String(mid).compareTo(needle)
+        if (cmp == 0) { c += 1; lo = hi + 2 } // found: exit inner loop
+        else if (cmp < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n1 = ctx.freshName("n1")
+      val n2 = ctx.freshName("n2")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      val cmp = ctx.freshName("cmp")
+      val needle = ctx.freshName("needle")
+      s"""
+         |final int $n1 = $a.numElements();
+         |final int $n2 = $b.numElements();
+         |int $i = 0; int $c = 0;
+         |while ($i < $n1) {
+         |  final org.apache.spark.unsafe.types.UTF8String $needle = $a.getUTF8String($i);
+         |  int $lo = 0; int $hi = $n2 - 1;
+         |  while ($lo <= $hi) {
+         |    final int $mid = ($lo + $hi) >>> 1;
+         |    final int $cmp = $b.getUTF8String($mid).compareTo($needle);
+         |    if ($cmp == 0) { $c++; $lo = $hi + 2; }
+         |    else if ($cmp < 0) { $lo = $mid + 1; }
+         |    else { $hi = $mid - 1; }
+         |  }
+         |  $i++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Dictionary-encode a DISTINCT token array against a frequency-pruned
   * vocabulary: tokens in the dictionary become bits of a multi-word bitset
   * (`bm`: array<long>, ⌈|vocab|/64⌉ words), the rare remainder stays as a

@@ -420,7 +420,7 @@ class PlanSpec extends AnyFunSuite {
     // contamination
     val p = plan(TextAnalysisOps.decontaminate(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("sorted_intersect_size"), p)
+    assert(p.contains("sorted_probe_count"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
     assert(p.linesIterator.count(_.contains("FileScan parquet")) === 2, p) // corpus + eval
   }

@@ -83,6 +83,16 @@ object VectorProperties extends Properties("graft.plans.VectorExpressions") {
         a.toSet.intersect(b.toSet).size
     }
 
+  property("sorted_probe_count equals the merge (and the Set model)") =
+    forAll(tokenSets) { case (a, b) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val lit = (s: List[String]) =>
+        Literal.create(s.map(UTF8String.fromString), strArrT)
+      val expect = a.toSet.intersect(b.toSet).size
+      graft.plans.SortedProbeCount(lit(a), lit(b)).eval(null) == expect &&
+        graft.plans.SortedProbeCount(lit(b), lit(a)).eval(null) == expect
+    }
+
   // ---- PQ codes / ADC vs the arithmetic model, incl. the signed-byte
   // boundary (k > 127: code 200 stores as byte -56, must read back via
   // & 0xFF — a sign bug here scores garbage silently) ----
