@@ -813,11 +813,11 @@ object SparkEntry {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, shard, n_tok,
-        |         coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |         CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM t)
         |SELECT doc_id, shard, n_tok, cum_before,
-        |       shard * 100000 + cum_before // 512 AS seq_id
+        |       CAST(shard * 100000 + cum_before // 512 AS BIGINT) AS seq_id
         |FROM c ORDER BY doc_id ASC""".stripMargin,
     "q_domain_mix" ->
       """WITH w AS (
@@ -852,10 +852,10 @@ object SparkEntry {
         |  WHERE d.doc_id IS NULL),
         |packed AS (
         |  SELECT doc_id, source, n_tok, shard,
-        |         coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |         CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM clean)
-        |SELECT doc_id, source, n_tok, shard * 100000 + cum_before // 512 AS seq_id
+        |SELECT doc_id, source, n_tok, CAST(shard * 100000 + cum_before // 512 AS BIGINT) AS seq_id
         |FROM packed ORDER BY doc_id ASC""".stripMargin,
     "q_doc_winnow" ->
       """WITH h AS (

@@ -49,6 +49,22 @@ def main():
         if sdf.shape != ddf.shape:
             fails.append((name, f"shape differs: spark={sdf.shape} duck={ddf.shape}"))
             continue
+        # Dtype-kind gate: the driver hashes typed values, so an int64 Spark
+        # column against a float64 oracle column (e.g. DuckDB window
+        # sum(BIGINT) -> HUGEINT -> float64) hash-mismatches even when every
+        # value compares equal (7 vs 7.0). Width differences within a kind
+        # (int32 vs int64) DO hash-match in the driver, so compare pandas
+        # dtype .kind (i/u -> i, f, b, O), not the exact dtype.
+        def kind(dt):
+            k = dt.kind
+            return "i" if k in ("i", "u") else k
+        dt_bad = [
+            f"col {c}: spark={sdf[c].dtype} duck={ddf[c].dtype}"
+            for c in sdf.columns if kind(sdf[c].dtype) != kind(ddf[c].dtype)
+        ]
+        if dt_bad:
+            fails.append((name, "dtype kinds differ (CAST the oracle): " + "; ".join(dt_bad)))
+            continue
         bad = None
         for c in sdf.columns:
             a, b = sdf[c].tolist(), ddf[c].tolist()
