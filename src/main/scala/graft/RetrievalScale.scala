@@ -100,7 +100,9 @@ object RetrievalScale {
     val queries = Seq(
       "head"  -> "w0 w1 w2 w3",
       "torso" -> "w200 w350 w500 w800",
-      "tail"  -> s"w${vocabN - 10} w${vocabN / 2 + 7} w${vocabN - 333} w${vocabN - 77}")
+      // all four drawn from ranks near vocabN — a mid-vocab term (rank
+      // ~vocabN/2) is torso-regime and would pollute the tail measurement
+      "tail"  -> s"w${vocabN - 10} w${vocabN - 555} w${vocabN - 333} w${vocabN - 77}")
 
     // correctness first: both paths must agree on every query
     queries.foreach { case (tag, q) =>

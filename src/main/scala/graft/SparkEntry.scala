@@ -782,9 +782,9 @@ object SparkEntry {
         |       CAST(ascii(substr(md5(text), 1, 1)) % 16 AS BIGINT) AS shard
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
     "q_sample_split" ->
-      """SELECT doc_id, (doc_id * 2654435761) % 1000 AS bucket,
-        |       CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
-        |            WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'valid'
+      """SELECT doc_id, (doc_id * 3266489917) % 1000 AS bucket,
+        |       CASE WHEN (doc_id * 3266489917) % 1000 < 800 THEN 'train'
+        |            WHEN (doc_id * 3266489917) % 1000 < 900 THEN 'valid'
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
     "q_decontaminate" ->

@@ -69,11 +69,16 @@ object TextAnalysisOps {
     * 1000 (NOT `df.sample`: rows keep their split across runs, engines,
     * and repartitions — reproducibility is the point); 80/10/10. A pure
     * projection, and the bucket predicate pushes to the scan when a single
-    * split is selected.
+    * split is selected. The multiplier is deliberately NOT [[domainMix]]'s
+    * 2654435761: with a shared constant, every doc surviving a weight-w
+    * source has bucket < w·1000, so composing mix → split would send all
+    * docs from weight ≤ 0.75 sources to 'train' and draw valid/test only
+    * from weight-1.0 sources — the same aliasing the chunk split's
+    * multiplier swap avoids.
     */
   def sampleSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), mixBucket.as("bucket"))
+      .select(col("doc_id"), splitBucket.as("bucket"))
       .select(col("doc_id"), col("bucket"),
         when(col("bucket") < 800, "train")
           .when(col("bucket") < 900, "valid")
@@ -411,8 +416,8 @@ object TextAnalysisOps {
 
   /** Domain mixing: deterministic weighted down-sampling per source — the
     * mixture pass that rebalances a crawl toward target domain weights
-    * before training. Keep-decision reuses [[sampleSplit]]'s Knuth
-    * multiplicative hash bucket so the sample is stable across runs and
+    * before training. Keep-decision uses a Knuth multiplicative hash
+    * bucket so the sample is stable across runs and
     * engines; the weight schedule derives from the source index
     * (`(idx mod 4 + 1) × 0.25` → 0.25/0.5/0.75/1.0).
     *
@@ -422,12 +427,19 @@ object TextAnalysisOps {
     * this is the cheapest possible mixture implementation: one pass,
     * output size = Σ weightᵢ·|sourceᵢ|.
     */
-  /** The Knuth multiplicative-hash sample bucket ([[sampleSplit]]'s) and
-    * the per-source target weight — THE mix gate, shared by [[domainMix]]
-    * and [[curateEndToEnd]] (and mirrored by their SQL oracles).
+  /** The Knuth multiplicative-hash mix bucket and the per-source target
+    * weight — THE mix gate, shared by [[domainMix]] and [[curateEndToEnd]]
+    * (and mirrored by their SQL oracles). [[sampleSplit]] hashes with its
+    * own constant so mix-survival doesn't determine the split.
     */
   private def mixBucket: Column =
     pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+
+  /** [[sampleSplit]]'s bucket — xxHash PRIME32_3, coprime with 1000 and
+    * independent of [[mixBucket]]'s and the chunk split's constants.
+    */
+  private def splitBucket: Column =
+    pmod(col("doc_id") * lit(3266489917L), lit(1000L))
   // source index = its digit run, falling back to the name LENGTH for
   // digit-less sources: regexp_extract's "" would cast to NULL, the filter
   // would evaluate NULL, and every document from that source would be

@@ -419,7 +419,7 @@ object TextOps {
       // both multipliers coprime with the modulus — a shared factor would
       // cancel a term (doc_id·1000·K ≡ 0 mod 1000 degenerated every chunk
       // of a doc to the same bucket stripe). The doc_id multiplier is
-      // DELIBERATELY different from the mix/split hash's 2654435761: with
+      // DELIBERATELY different from the domain-mix hash's 2654435761: with
       // the same constant, a chunk-0 bucket would equal the domain-mix
       // bucket, and composing mix → split would draw test chunks only
       // from weight-1.0 sources (a biased eval split).

@@ -73,17 +73,43 @@ object CatalogOps {
     * touched partitions, same semantics as [[upsert]].
     */
   def upsertPartitioned(spark: SparkSession, db: String, name: String,
-      batch: DataFrame, idCol: String, partCol: String): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+      batch: DataFrame, idCol: String, partCol: String,
+      stablePartitioning: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.col
     // touched = the batch's partitions PLUS the old partitions of updated
     // ids: a batch row that changes an id's partition value must erase the
     // id from its old partition or the table serves duplicate rows for it
-    // (the merge core drops an old partition the move emptied)
-    val oldParts = spark.table(s"`$db`.`$name`")
-      .join(broadcast(batch.select(col(idCol)).distinct()), idCol)
-      .select(col(partCol))
+    // (the merge core drops an old partition the move emptied). When the
+    // partition value is a stable function of the id (hash bucket, a date
+    // embedded in the id), moves are impossible — the caller declares that
+    // with stablePartitioning=true and the old-partition sweep is skipped,
+    // making the upsert read NOTHING outside the batch's own partitions.
+    val touched =
+      if (stablePartitioning) batch.select(col(partCol))
+      else batch.select(col(partCol))
+        .union(oldPartitionsOf(spark, db, name, batch, idCol, partCol))
     mergeTouchedPartitions(spark, db, name, batch, idCol, partCol,
-      batch.select(col(partCol)).union(oldParts).distinct())
+      touched.distinct())
+  }
+
+  /** The moved-id sweep of [[upsertPartitioned]]: the stored partitions
+    * holding any of the batch's ids. NOT a full-table read per batch: the
+    * scan is column-pruned to (id, partition) and the batch's id RANGE is
+    * pushed into the parquet scan, so row groups whose id stats don't
+    * overlap the batch are skipped at the footer — for roughly-monotonic
+    * ids (ingest order) the sweep touches only the row groups that could
+    * hold an updated id. The broadcast join then exacts the match.
+    */
+  private[graft] def oldPartitionsOf(spark: SparkSession, db: String,
+      name: String, batch: DataFrame, idCol: String, partCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, max, min}
+    val batchIds = batch.select(col(idCol)).distinct()
+    val bounds = batchIds.agg(min(col(idCol)), max(col(idCol))).head()
+    spark.table(s"`$db`.`$name`")
+      .select(col(idCol), col(partCol))
+      .filter(col(idCol) >= lit(bounds.get(0)) && col(idCol) <= lit(bounds.get(1)))
+      .join(broadcast(batchIds), idCol)
+      .select(col(partCol))
   }
 
   /** Shared merge core of [[upsertPartitioned]] and [[upsertIvf]]:

@@ -414,7 +414,10 @@ object StreamingOps {
     * accumulation with explicit timeout — the chat-session analog (carry
     * history while active, emit + reset on gap, ref `main_server.py:69-84`).
     * Event-time timeout keyed to the watermark; emits a [[SessionOut]] when
-    * a session closes.
+    * a session closes. Watermark-accepted events older than the open
+    * session's reach accumulate into their own running session (closed on a
+    * > gap jump or at batch end), matching the batch sessionize twin's
+    * grouping of such events instead of emitting one singleton per event.
     */
   def statefulSessions(events: Dataset[Ev], gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -429,6 +432,14 @@ object StreamingOps {
         val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
         var closed = List.empty[SessionOut]
         var cur = state.getOption
+        // running session of too-old late events: two late events within
+        // gap of each other are ONE session in the batch twin, not two
+        // singletons — accumulate, close on a > gap jump or at batch end
+        var late: Option[SessState] = None
+        def closeLate(): Unit = late.foreach { l =>
+          closed ::= SessionOut(userId, l.n, new Timestamp(l.start), new Timestamp(l.end))
+          late = None
+        }
         sorted.foreach { e =>
           val t = e.ts.getTime
           cur match {
@@ -438,18 +449,38 @@ object StreamingOps {
             // t - s.end <= gap and an arbitrarily old late event would
             // merge in and regress the session start.
             case Some(s) if t - s.end <= gapMs && s.start - t <= gapMs =>
-              cur = Some(SessState(s.n + 1, math.min(s.start, t), math.max(s.end, t)))
+              var ns = SessState(s.n + 1, math.min(s.start, t), math.max(s.end, t))
+              // a downward start extension may bring the late accumulator
+              // into reach — absorb it rather than emit a split the batch
+              // twin would merge
+              late match {
+                case Some(l) if ns.start - l.end <= gapMs =>
+                  ns = SessState(ns.n + l.n, math.min(ns.start, l.start), ns.end)
+                  late = None
+                case _ => () // keep pending: start may still decrease
+              }
+              cur = Some(ns)
             case Some(s) if s.start - t > gapMs =>
-              // older than the session's reach: the batch twin would have
-              // closed it as its own session before this one began
-              closed ::= SessionOut(userId, 1L, e.ts, e.ts)
+              // older than the open session's reach: the batch twin would
+              // have closed these as their own session(s) before it began
+              late match {
+                case Some(l) if t - l.end <= gapMs =>
+                  late = Some(SessState(l.n + 1, l.start, math.max(l.end, t)))
+                case _ =>
+                  closeLate()
+                  late = Some(SessState(1L, t, t))
+              }
             case Some(s) =>
               closed ::= SessionOut(userId, s.n, new Timestamp(s.start), new Timestamp(s.end))
               cur = Some(SessState(1L, t, t))
+              // the open session's start can never again reach the late
+              // accumulator after a forward > gap jump — final, close it
+              closeLate()
             case None =>
               cur = Some(SessState(1L, t, t))
           }
         }
+        closeLate()
         cur.foreach { s =>
           state.update(s)
           state.setTimeoutTimestamp(s.end + gapMs)

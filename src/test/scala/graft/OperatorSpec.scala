@@ -1174,6 +1174,44 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "pupdb")
   }
 
+  test("moved-id sweep prunes to the id column and pushes the batch id range; stable partitioning skips it") {
+    import graft.sources.{CatalogOps, Tables}
+    import spark.implicits._
+    CatalogOps.dropDatabase(spark, "swpdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/swpdb.db"))
+    CatalogOps.createDatabase(spark, "swpdb")
+    CatalogOps.createPartitionedCollection(spark, "swpdb", "docs_s",
+      Tables.documents(spark, sf).select(col("doc_id"), col("text"), col("lang")), "lang")
+    val stored = spark.table("`swpdb`.`docs_s`")
+      .filter(col("doc_id").isin(3L, 7L))
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val batch = Seq((3L, "SWEEP1", stored(3L)), (7L, "SWEEP2", stored(7L)))
+      .toDF("doc_id", "text", "lang")
+    // the sweep is NOT a full-table read: only doc_id comes off disk (lang
+    // is a partition column) and the batch's id range reaches the footer,
+    // so row groups outside [3, 7] are stats-skipped
+    val sweep = CatalogOps.oldPartitionsOf(spark, "swpdb", "docs_s", batch, "doc_id", "lang")
+    val p = sweep.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("GreaterThanOrEqual(doc_id,3)"), p)
+    assert(p.contains("LessThanOrEqual(doc_id,7)"), p)
+    assert(p.linesIterator.exists(l =>
+      l.trim.startsWith("ReadSchema") && l.contains("struct<doc_id:bigint>")), p)
+    assert(sweep.collect().map(_.getString(0)).toSet === batch.select("lang")
+      .collect().map(_.getString(0)).toSet)
+    // stablePartitioning=true (partition value is a function of the id by
+    // caller contract): the sweep is skipped and the upsert result is
+    // identical to the default path for a non-moving batch
+    CatalogOps.upsertPartitioned(spark, "swpdb", "docs_s", batch, "doc_id", "lang",
+      stablePartitioning = true)
+    val after = spark.table("`swpdb`.`docs_s`")
+    assert(after.filter(col("text").startsWith("SWEEP")).count() === 2)
+    assert(after.filter(col("doc_id").isin(3L, 7L)).count() === 2) // no duplicates
+    CatalogOps.dropDatabase(spark, "swpdb")
+  }
+
   test("hot-bucket guard drops only boilerplate-cluster minhash pairs") {
     import spark.implicits._
     // 40 unrelated docs (unique vocabularies), 2 planted near-dup pairs,
@@ -2294,5 +2332,32 @@ class OperatorSpec extends AnyFunSuite {
       java.lang.Math.floorMod(id * 2654435761L, 1000L) < w * 1000
     }
     assert(rows.length === expected)
+  }
+
+  test("sample split is not aliased with the domain-mix bucket: valid/test draw from low-weight sources") {
+    // With a shared multiplier, every doc surviving a weight-w source has
+    // mix bucket < w*1000, so valid/test (split bucket >= 800) could only
+    // come from weight-1.0 sources. The independent split hash must give
+    // mix survivors from weight <= 0.75 sources a chance at every split.
+    val mixed = TextAnalysisOps.domainMix(spark, sf)
+      .select("doc_id", "weight")
+    val splits = TextAnalysisOps.sampleSplit(spark, sf)
+      .select("doc_id", "split")
+    val joined = mixed.join(splits, "doc_id")
+      .collect().map(r => (r.getDouble(1), r.getString(2)))
+    assert(joined.nonEmpty)
+    val lowWeight = joined.filter(_._1 <= 0.75)
+    assert(lowWeight.nonEmpty, "fixture must contain weight<=0.75 sources")
+    val lowSplits = lowWeight.map(_._2).toSet
+    assert(lowSplits.contains("valid") || lowSplits.contains("test"),
+      s"mix survivors from low-weight sources landed only in $lowSplits — split hash aliased with mix hash")
+    // and the split itself stays deterministic: bucket = id*3266489917 mod 1000
+    val buckets = TextAnalysisOps.sampleSplit(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    buckets.foreach { case (id, b, s) =>
+      assert(b === java.lang.Math.floorMod(id * 3266489917L, 1000L))
+      val exp = if (b < 800) "train" else if (b < 900) "valid" else "test"
+      assert(s === exp)
+    }
   }
 }

@@ -659,6 +659,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessions merge too-old late events into one session, not per-event singletons") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.statefulSessions(in.toDS)
+      .writeStream.format("memory").queryName("stateful_late_out")
+      .outputMode("append").start()
+    try {
+      // open session 12:00-12:10; watermark after this batch = 11:10
+      in.addData(
+        ev(1, 1, "2024-01-01 12:00:00"), ev(2, 1, "2024-01-01 12:10:00"))
+      q.processAllAvailable()
+      // two watermark-ACCEPTED events (>= 11:10) older than the session's
+      // reach (12:00 - 30 min = 11:30), 13 min apart: the batch twin
+      // sessionizes them as ONE 2-event session, so must the stream
+      in.addData(
+        ev(3, 1, "2024-01-01 11:12:00"), ev(4, 1, "2024-01-01 11:25:00"))
+      q.processAllAvailable()
+      // advance the watermark far past end + gap so the open session times out
+      in.addData(ev(9, 9, "2024-01-01 16:00:00"))
+      q.processAllAvailable()
+      in.addData(ev(10, 9, "2024-01-01 19:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("stateful_late_out").filter($"user_id" === 1L)
+        .collect().map(r => (r.getLong(1), r.getTimestamp(2).toString, r.getTimestamp(3).toString))
+        .sortBy(_._2)
+      assert(rows.toSeq === Seq(
+        (2L, "2024-01-01 11:12:00.0", "2024-01-01 11:25:00.0"),
+        (2L, "2024-01-01 12:00:00.0", "2024-01-01 12:10:00.0")))
+    } finally q.stop()
+  }
+
   test("streaming decontamination equals the batch pass on the same docs") {
     import graft.operators.TextAnalysisOps
     implicit val ctx = spark.sqlContext
