@@ -90,6 +90,33 @@ object AnnRecall {
             k + 1, 32, nprobe)
           .collect().map(_.getLong(0)).filter(_ != qid).take(k).toSeq
       }
+    // routed + filtered: recall composes on BOTH axes — an unprobed cell
+    // and a filtered-out neighborhood each cost — so the claim that hard
+    // filters want nprobe AND overFetch headroom is MEASURED here as a
+    // (nprobe, overFetch) grid against the exact FILTERED scan (predicate
+    // label = 3, 1-in-5 selective on the planted corpus).
+    val attrs = df.select(col("vec_id"), col("label"))
+    val fPred = col("label") === 3
+    def exactTopKFiltered(qVec: Seq[Double], qid: Long): Seq[Long] =
+      df.filter(fPred && col("vec_id") =!= qid)
+        .crossJoin(broadcast(Seq(Tuple1(qVec)).toDF("q")))
+        .select(col("vec_id"), cosineFast(col("embedding"), col("q")).as("s"))
+        .orderBy(col("s").desc, col("vec_id").asc)
+        .limit(k).collect().map(_.getLong(0)).toSeq
+    val fTruth: Map[Long, Seq[Long]] =
+      queries.map { case (qid, _, qv) => qid -> exactTopKFiltered(qv, qid) }.toMap
+    def recallFiltered(name: String)(hit: (Long, Seq[Double]) => Seq[Long]): Unit = {
+      val r = queries.map { case (qid, _, qv) =>
+        hit(qid, qv).count(fTruth(qid).contains).toDouble / k
+      }.sum / nQueries
+      println(f"[annrecall] n=$n dim=$dim clusters=$nClusters  $name%-38s recall@$k = $r%.3f")
+    }
+    for (nprobe <- Seq(1, 2, 4); of <- Seq(1, 2, 4, 8))
+      recallFiltered(s"NSW routed+filtered (np=$nprobe, of=$of)") { (qid, qv) =>
+        GraphAnnOps.searchStoredRoutedFiltered(spark, db, "nswr", qv.toArray,
+            attrs, fPred, k + 1, 32, nprobe, of)
+          .collect().map(_.getLong(0)).filter(_ != qid).take(k).toSeq
+      }
     for (rk <- Seq(k, 2 * k, 4 * k))
       recall(s"int8 two-phase (rescoreK=$rk)") { (qid, qv) =>
         KnnOps.topKQuantized(spark, db, "q8", df, qv.toArray, qid, k, rk)
