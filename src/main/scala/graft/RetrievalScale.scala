@@ -29,6 +29,17 @@ import org.apache.spark.sql.functions._
   * Queries probe three regimes — head terms (dense lists, the fixture's
   * regime), torso, and tail (rare terms, the production regime) — and the
   * two paths are cross-checked equal on every query before timing.
+  *
+  * `runMain graft.RetrievalScale maintenance [nDocs] [nBatches]` measures
+  * the MAINTENANCE side the serving numbers assume away: the postings log
+  * is append-only ([[graft.sources.CatalogOps.postingsIncrementalBatch]]),
+  * so every uncompacted micro-batch adds one `batch_id` sub-partition per
+  * touched bucket and the probe's pruned read opens more, smaller files as
+  * the log grows. This mode ingests micro-batches, times the SAME torso
+  * probe at log depths 0/1/2/4/.../nBatches, then times
+  * [[graft.sources.CatalogOps.compactPostings]] and the post-compaction
+  * probe — the datum that tells an operator how often to fold the log
+  * (probe results are cross-checked unchanged by compaction).
   */
 object RetrievalScale {
   private def benchSession(): SparkSession = {
@@ -50,23 +61,19 @@ object RetrievalScale {
     s
   }
 
-  def main(args: Array[String]): Unit = {
-    val nDocs = if (args.length > 0) args(0).toInt else 50000
-    val vocabN = if (args.length > 1) args(1).toInt else 10000
-    val spark = benchSession()
+  /** Zipf(s=1.07) corpus of 60-token docs with ids [offset, offset+n) —
+    * deterministic in (doc_id, position), generated on the CLUSTER
+    * (n tasks of pure arithmetic, no driver materialization).
+    */
+  private def zipfDocs(spark: SparkSession, n: Int, vocabN: Int,
+      offset: Long = 0L): DataFrame = {
     import spark.implicits._
-    import graft.operators.RetrievalOps
-    import graft.sources.CatalogOps
-
-    // Zipf(s) sampling via the inverse-CDF over precomputed cumulative
-    // weights — deterministic in (doc_id, position), generated on the
-    // CLUSTER (nDocs tasks of pure arithmetic, no driver materialization)
     val s = 1.07
     val weights = Array.tabulate(vocabN)(i => 1.0 / math.pow(i + 1.0, s))
     val cum = weights.scanLeft(0.0)(_ + _).tail
     val total = cum.last
     val bcCum = spark.sparkContext.broadcast(cum)
-    val docs = spark.range(nDocs).select(col("id").as("doc_id"))
+    spark.range(offset, offset + n).select(col("id").as("doc_id"))
       .as[Long].mapPartitions { it =>
         val c = bcCum.value
         it.map { id =>
@@ -82,6 +89,20 @@ object RetrievalScale {
           (id, toks.mkString(" "))
         }
       }.toDF("doc_id", "text")
+  }
+
+  def main(args: Array[String]): Unit =
+    if (args.headOption.contains("maintenance")) maintenance(args.drop(1))
+    else serving(args)
+
+  private def serving(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toInt else 50000
+    val vocabN = if (args.length > 1) args(1).toInt else 10000
+    val spark = benchSession()
+    import graft.operators.RetrievalOps
+    import graft.sources.CatalogOps
+
+    val docs = zipfDocs(spark, nDocs, vocabN)
 
     val db = "retrievalscale"
     CatalogOps.dropDatabase(spark, db)
@@ -132,6 +153,74 @@ object RetrievalScale {
         .filter(col("term").isin(terms: _*)).count()
       println(s"[retrievalscale] $tag posting rows: $rows of ${nDocs}-doc corpus")
     }
+    CatalogOps.dropDatabase(spark, db)
+    spark.stop()
+  }
+
+  /** Probe cost vs uncompacted log depth — see the object doc. */
+  private def maintenance(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toInt else 20000
+    val nBatches = if (args.length > 1) args(1).toInt else 64
+    val vocabN = 10000
+    val batchSize = 200
+    val spark = benchSession()
+    import graft.operators.RetrievalOps
+    import graft.sources.CatalogOps
+
+    val db = "retrievalmaint"
+    CatalogOps.dropDatabase(spark, db)
+    // a crashed prior run can leave the directory behind a fresh metastore
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"/tmp/graft-retrievalscale-warehouse/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    timed(s"build base stats + postings ($nDocs docs)") {
+      val base = zipfDocs(spark, nDocs, vocabN)
+      CatalogOps.createBm25Stats(spark, db, "c", base)
+      CatalogOps.createPostings(spark, db, "c", base)
+    }
+
+    // the serving mode's torso query: sparse enough that pruning works,
+    // dense enough that the probe does real scoring work
+    val q = "w200 w350 w500 w800"
+    def probeRows() = RetrievalOps.bm25TopKIndexedOn(spark, db, "c", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // min of 3 reps: the datum is the plan's cost, not a GC draw
+    def probeSec(): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); probeRows(); (System.nanoTime() - t0) / 1e9
+      }.min
+    def logFiles(): Long = {
+      val u = spark.table(s"`$db`.`c__postings`").inputFiles.length.toLong
+      u
+    }
+
+    probeRows() // warm the probe path once: depth=0 must not be a JIT draw
+    println(f"[retrievalscale] depth=0 files=${logFiles()} probe=${probeSec()}%.2f s")
+    val checkpoints = Iterator.iterate(1)(_ * 2).takeWhile(_ < nBatches).toSeq :+ nBatches
+    var done = 0
+    checkpoints.foreach { target =>
+      while (done < target) {
+        // both serving artifacts take the batch — the probe reads stats
+        // AND postings, so the measured depth is the whole stack's
+        val b = zipfDocs(spark, batchSize, vocabN,
+          offset = nDocs.toLong + done.toLong * batchSize)
+        CatalogOps.bm25StatsIncrementalBatch(b, db, "c", batchId = done + 1L)
+        CatalogOps.postingsIncrementalBatch(b, db, "c", batchId = done + 1L)
+        done += 1
+      }
+      println(f"[retrievalscale] depth=$done files=${logFiles()} probe=${probeSec()}%.2f s")
+    }
+
+    val before = probeRows()
+    val cSec = timed(s"compact stats + postings logs ($nBatches batches folded)") {
+      CatalogOps.compactBm25Stats(spark, db, "c")
+      CatalogOps.compactPostings(spark, db, "c")
+    }
+    // catalog caches the partition listing of the pre-swap table
+    spark.catalog.refreshTable(s"`$db`.`c__postings`")
+    val after = probeRows()
+    require(before == after, "compaction changed probe results")
+    println(f"[retrievalscale] compacted files=${logFiles()} probe=${probeSec()}%.2f s (compact cost $cSec%.2f s, probe results unchanged)")
     CatalogOps.dropDatabase(spark, db)
     spark.stop()
   }
