@@ -70,6 +70,7 @@ object SparkEntry {
     "q_dedup_embed"   -> ((s, d) => DedupOps.embedNearDup(s, d)),
     "q_dedup_ngram"   -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     "q_dedup_cc"      -> ((s, d) => DedupOps.dedupConnected(s, d)),
+    "q_dedup_substring" -> ((s, d) => DedupOps.dedupSubstring(s, d)),
     // ---- text analysis / embedding (LLM-pipeline north star) ----
     "q_embed_batch"     -> ((s, d) => TextAnalysisOps.embedBatch(s, d)),
     "q_text_lang"       -> ((s, d) => TextAnalysisOps.langId(s, d)),
@@ -229,7 +230,8 @@ object SparkEntry {
     "q_cosine_pair", "q_sim_join", "q_sim_join_lsh", "q_sim_join_auto", "q_vec_centroids",
     "q_vec_quantize", "q_embed_batch",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
-    "q_dedup_embed", "q_dedup_cc", "q_text_quality", "q_token_count", "q_multimodal_meta",
+    "q_dedup_embed", "q_dedup_cc", "q_dedup_substring",
+    "q_text_quality", "q_token_count", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast",
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
@@ -433,6 +435,29 @@ object SparkEntry {
         |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id)
         |WHERE j >= 0.8
         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "q_dedup_substring" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |w AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t) - 18),
+        |           i -> list_aggregate(t[i:i+19], 'string_agg', ' '))) AS win
+        |  FROM toks WHERE len(t) >= 20),
+        |dup AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1),
+        |per AS (
+        |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+        |  FROM w JOIN dup USING (win) GROUP BY w.doc_id)
+        |SELECT t.doc_id,
+        |       CAST(greatest(len(t.t) - 19, 0) AS BIGINT) AS n_windows,
+        |       CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        |       CASE WHEN len(t.t) >= 20
+        |            THEN CAST(coalesce(p.n_dup_windows, 0) AS DOUBLE) / (len(t.t) - 19)
+        |            ELSE 0.0 END AS dup_ratio
+        |FROM toks t LEFT JOIN per p ON t.doc_id = p.doc_id
+        |ORDER BY t.doc_id ASC""".stripMargin,
     "q_dedup_cc" ->
       """WITH RECURSIVE
         |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),

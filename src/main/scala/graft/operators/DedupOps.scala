@@ -578,6 +578,64 @@ object DedupOps {
     jaccardPairsOn(docs, tau)
   }
 
+  /** Duplicated-SPAN detection — the SUBSTRING granularity of corpus dedup
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better": exact duplicated token spans are removed corpus-wide, the
+    * one duplication class document-level fingerprints cannot see —
+    * boilerplate headers, license blocks, templated passages inside
+    * otherwise-unique documents). The reference engine has no substring
+    * pass at all; this is the Spark-first shape of the paper's suffix
+    * array: every `w`-token window (stride 1) is hashed, window hashes
+    * are counted corpus-wide, and each document reports how much of it is
+    * covered by windows that occur more than once (in ANY document,
+    * including its own). Output `(doc_id, n_windows, n_dup_windows,
+    * dup_ratio)` — the downstream curation gate drops or trims docs by
+    * `dup_ratio`.
+    *
+    * Scale: the exploded frame is one fixed-width `(doc_id, hash)` row
+    * per window — `tokens − w + 1` rows per doc, never window TEXT. The
+    * plan hashes the windows TWICE (two Generates) on purpose: the
+    * counting side partial-combines map-side so its exchange carries
+    * `(hash, count)` rows, and the probe side semi-joins the re-derived
+    * windows against a broadcast of ONLY the duplicated hashes (the
+    * `count > 1` survivors). The alternative — explode once and reuse the
+    * exchange — would shuffle every raw window row (~16 B × corpus
+    * tokens, i.e. more bytes than the corpus itself); re-running the
+    * codegen'd xxhash64 map work is far cheaper. When duplication is so
+    * pervasive the dup-hash set outgrows the broadcast threshold, AQE
+    * falls back to a shuffled join and pays that big exchange only in the
+    * regime that actually needs it. 64-bit hashes are exact to the
+    * birthday bound (~4e9 windows); beyond that, pair a second seed.
+    * Fixture corpus is [[corpusWithDups]] (planted exact copies), so
+    * copied docs arrive fully span-covered.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String, w: Int = 20): DataFrame =
+    dedupSubstringOn(corpusWithDups(spark, dir), w)
+
+  private[graft] def dedupSubstringOn(docs: DataFrame, w: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val counts = toks.select(col("doc_id"),
+      greatest(size(col("t")) - lit(w - 1), lit(0)).cast("long").as("n_windows"))
+    val exploded = toks.filter(size(col("t")) >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - lit(w - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(w)))))).as("wh"))
+    val dupHashes = exploded.groupBy(col("wh"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("wh"))
+    val perDoc = exploded.join(dupHashes, Seq("wh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    counts.join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        when(col("n_windows") > 0,
+          col("n_dup_windows").cast("double") / col("n_windows"))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id").asc)
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash per doc + near-neighbor count at hamming ≤ 3.

@@ -2334,6 +2334,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.length === expected)
   }
 
+  test("substring dedup flags the shared 20-token span, not unique, short, or partially-overlapping windows") {
+    import spark.implicits._
+    val span = (0 until 20).map(i => s"S$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, uniq("a", 10) + " " + span + " " + uniq("b", 10)), // span at offset 10
+      (2L, uniq("c", 5) + " " + span + " " + uniq("d", 15)),  // same span, different context
+      (3L, uniq("e", 40)),                                    // unique long doc
+      (4L, uniq("f", 10)),                                    // shorter than the window
+      (5L, uniq("g", 25)),                                    // exact-copy pair:
+      (6L, uniq("g", 25))                                     //   every window duplicated
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dedupSubstringOn(docs, 20).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // 40-token docs have 21 windows; ONLY the window equal to the planted
+    // span duplicates — every other window mixes in unique context tokens
+    assert(got(1L) === ((21L, 1L, 1.0 / 21)))
+    assert(got(2L) === ((21L, 1L, 1.0 / 21)))
+    assert(got(3L) === ((21L, 0L, 0.0)))
+    assert(got(4L) === ((0L, 0L, 0.0)))
+    assert(got(5L) === ((6L, 6L, 1.0)))
+    assert(got(6L) === ((6L, 6L, 1.0)))
+  }
+
   test("sample split is not aliased with the domain-mix bucket: valid/test draw from low-weight sources") {
     // With a shared multiplier, every doc surviving a weight-w source has
     // mix bucket < w*1000, so valid/test (split bucket >= 800) could only

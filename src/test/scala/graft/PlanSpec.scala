@@ -430,6 +430,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
   }
 
+  test("substring dedup shuffles counts, not raw windows: two Generates, semi join on the dup set") {
+    val p = plan(DedupOps.dedupSubstring(spark, sf))
+    // two explodes by design — recomputing the codegen'd window hashes is
+    // cheaper than shuffling a raw (doc_id, hash) row per corpus token
+    assert(p.linesIterator.count(_.contains("Generate")) === 2, p)
+    assert(p.contains("LeftSemi"), p)
+    // the counting side partial-combines before its exchange: the window
+    // explode feeds a partial HashAggregate on the hash, so the shuffle
+    // carries (hash, count) rows, not one row per corpus window
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate(keys=[wh") && l.contains("partial_count")), p)
+  }
+
   test("domain mix is map-side: no hash exchange, no join") {
     val p = plan(TextAnalysisOps.domainMix(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"), p)
