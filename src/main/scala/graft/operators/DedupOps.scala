@@ -612,14 +612,24 @@ object DedupOps {
   def dedupSubstring(spark: SparkSession, dir: String, w: Int = 20): DataFrame =
     dedupSubstringOn(corpusWithDups(spark, dir), w)
 
+  /** One `(doc_id, wh)` row per `w`-token window (stride 1) — the shared
+    * window derivation of [[dedupSubstringOn]] and
+    * [[substringIncrementalBatch]]. Docs shorter than `w` tokens emit
+    * nothing.
+    */
+  private[graft] def windowHashes(docs: DataFrame, w: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    toks.filter(size(col("t")) >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - lit(w - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(w)))))).as("wh"))
+  }
+
   private[graft] def dedupSubstringOn(docs: DataFrame, w: Int): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
     val counts = toks.select(col("doc_id"),
       greatest(size(col("t")) - lit(w - 1), lit(0)).cast("long").as("n_windows"))
-    val exploded = toks.filter(size(col("t")) >= w)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("t")) - lit(w - 1)),
-          i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(w)))))).as("wh"))
+    val exploded = windowHashes(docs, w)
     val dupHashes = exploded.groupBy(col("wh"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
@@ -849,6 +859,97 @@ object DedupOps {
     }
     freshC.unpersist()
     survivors.unpersist()
+  }
+
+  /** One micro-batch of STREAMING substring dedup
+    * ([[graft.streaming.StreamingOps.streamingDedupSubstring]]): the
+    * span-coverage ingest filter — [[dedupSubstring]]'s semantics made
+    * arrival-ordered. A batch doc is dropped when more than
+    * `maxDupRatio` of its `w`-token windows duplicate spans of the
+    * RETAINED corpus so far (the persisted window-hash store) or of a
+    * lower-id doc in the same batch; docs shorter than `w` tokens carry
+    * ratio 0 and pass (the span filter cannot judge them). Kept docs
+    * append to `name`; their window hashes append to `name__winhashes`
+    * as `(wh, owner_id)` rows, FIRST WRITER owns the hash.
+    *
+    * Store probe cost ∝ the batch's windows, never the store: the store
+    * side is pruned by a broadcast of the batch's distinct hashes before
+    * its only join. Replay-safe under foreachBatch's at-least-once
+    * contract with the [[dedupIncrementalBatch]] two-layer design: a
+    * 1-row commit watermark no-ops committed batches, and the
+    * hashes-docs partial-crash window is closed by OWNERSHIP — a
+    * replayed doc probing its own crashed-in hashes sees `owner_id ==
+    * doc_id`, which never counts as duplication, so it re-reaches the
+    * original decision and the anti-joined appends fill in whatever is
+    * missing (scenarios pinned in StreamingSpec). Decisions are frozen
+    * via `localCheckpoint` BEFORE the store mutates — a lazy plan
+    * re-evaluated after the hash append would see the batch's own spans
+    * as stored and drop everything.
+    */
+  private[graft] def substringIncrementalBatch(batch0: DataFrame, db: String,
+      name: String, w: Int = 20, maxDupRatio: Double = 0.5,
+      batchId: Option[Long] = None): Unit = {
+    val spark = batch0.sparkSession
+    val commitsName = s"${name}__commits"
+    if (batchId.isDefined && spark.catalog.tableExists(s"$db.$commitsName")) {
+      val r = spark.table(s"`$db`.`$commitsName`")
+        .agg(max(col("batch_id"))).head()
+      if (!r.isNullAt(0) && batchId.get <= r.getLong(0)) return
+    }
+    val batch = batch0.select(col("doc_id"), col("text"))
+    val wins = windowHashes(batch, w).cache()
+    try {
+      val batchOwner = wins.groupBy(col("wh")).agg(min(col("doc_id")).as("batch_owner"))
+      val withBatch = wins.join(batchOwner, "wh")
+      val storeTable = s"$db.${name}__winhashes"
+      val joined =
+        if (spark.catalog.tableExists(storeTable)) {
+          // pruned probe: only the batch's hashes are read off the store
+          val probe = spark.table(s"`$db`.`${name}__winhashes`")
+            .join(broadcast(wins.select(col("wh")).distinct()), "wh")
+            .select(col("wh"), col("owner_id").as("store_owner"))
+          withBatch.join(probe, Seq("wh"), "left_outer")
+        } else withBatch.withColumn("store_owner", lit(null).cast("long"))
+      val perDoc = joined
+        .withColumn("is_dup",
+          (col("store_owner").isNotNull && col("store_owner") =!= col("doc_id")) ||
+            col("batch_owner") < col("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      val kept = batch.join(perDoc, Seq("doc_id"), "left_outer")
+        .filter(coalesce(col("n_dup").cast("double") / col("n_windows"), lit(0.0))
+          <= maxDupRatio)
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint()
+      val keptIds = kept.select(col("doc_id"))
+      // HASHES first (see scaladoc), one owner row per new hash
+      val newHashes = wins.join(keptIds, "doc_id")
+        .groupBy(col("wh")).agg(min(col("doc_id")).as("owner_id"))
+      val hashesToWrite =
+        if (spark.catalog.tableExists(storeTable))
+          newHashes.join(
+            spark.table(s"`$db`.`${name}__winhashes`")
+              .join(broadcast(newHashes.select(col("wh"))), "wh")
+              .select(col("wh")).distinct(),
+            Seq("wh"), "left_anti")
+        else newHashes
+      hashesToWrite.write.mode("append").saveAsTable(s"`$db`.`${name}__winhashes`")
+      // DOCS second, id-anti-joined for replay idempotency
+      val docsToWrite =
+        if (spark.catalog.tableExists(s"$db.$name"))
+          kept.join(
+            spark.table(s"`$db`.`$name`")
+              .join(broadcast(keptIds), "doc_id")
+              .select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+        else kept
+      docsToWrite.write.mode("append").saveAsTable(s"`$db`.`$name`")
+      batchId.foreach { id =>
+        spark.createDataFrame(Seq(Tuple1(id))).toDF("batch_id")
+          .write.mode("overwrite").saveAsTable(s"`$db`.`$commitsName`")
+      }
+    } finally wins.unpersist()
   }
 
   /** Alternating large-star / small-star connected components (Kiveris,

@@ -210,6 +210,29 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming SUBSTRING dedup — the span-coverage ingest filter
+    * ([[graft.operators.DedupOps.substringIncrementalBatch]] per
+    * micro-batch): each batch of (doc_id, text) docs is dropped or kept
+    * by how much of it duplicates `w`-token spans of the retained corpus
+    * so far (persisted window-hash store, probe pruned by a broadcast of
+    * the batch's hashes) or of lower-id docs in the same batch — the
+    * boilerplate/template class [[streamingDedupMinhash]]'s document-
+    * level signatures cannot see. Kept docs + their window hashes
+    * append; first writer owns a hash. Replay-safe via the same commit
+    * watermark + ownership-healed partial-crash windows (pinned in
+    * StreamingSpec).
+    */
+  def streamingDedupSubstring(docStream: DataFrame, db: String, name: String,
+      w: Int = 20, maxDupRatio: Double = 0.5): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.DedupOps.substringIncrementalBatch(batch.toDF(), db, name,
+            w, maxDupRatio, batchId = Some(batchId))
+      }
+      .start()
+
   /** Streaming knn over a PQ collection
     * ([[graft.sources.CatalogOps.createPqCollection]]) — the ADC streaming
     * ANN: each micro-batch's query LUTs build driver-side against the

@@ -433,6 +433,97 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming substring dedup drops span-covered docs, keeps owners and fresh docs") {
+    import graft.sources.CatalogOps
+    implicit val ctx = spark.sqlContext
+    CatalogOps.dropDatabase(spark, "ssubdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/ssubdb.db"))
+    CatalogOps.createDatabase(spark, "ssubdb")
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val d0 = uniq("a", 40); val d1 = uniq("b", 40); val d2 = uniq("c", 40)
+    val batch1 = Seq((0L, d0), (1L, d1), (2L, d2), (3L, uniq("d", 40)))
+    val batch2 = Seq(
+      (10L, d0),                                           // full copy of stored 0 → dropped
+      (11L, uniq("e", 40)),                                // fresh → kept
+      (12L, uniq("f", 40)), (13L, uniq("f", 40)),          // in-batch pair: 12 owns, 13 drops
+      (14L, d1.split(" ").take(20).mkString(" ") + " " + uniq("g", 21)), // 1/22 windows dup → kept
+      (15L, d2.split(" ").take(30).mkString(" ") + " " + uniq("h", 5)))  // 11/16 dup → dropped
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingDedupSubstring(
+      in.toDS.toDF("doc_id", "text"), "ssubdb", "corpus")
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val kept = spark.table("`ssubdb`.`corpus`").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(0L, 1L, 2L, 3L, 11L, 12L, 14L))
+      // first writer owns a hash: the in-batch pair's windows belong to 12
+      val owners = spark.table("`ssubdb`.`corpus__winhashes`")
+        .select($"owner_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(owners === Set(0L, 1L, 2L, 3L, 11L, 12L, 14L))
+      // dropped docs left no hashes behind; doc 14's dup window stays owned by 1
+      val whCount = spark.table("`ssubdb`.`corpus__winhashes`").count()
+      // 40-token docs: 21 windows each (6 docs); doc 14: 22 windows, 1 already
+      // owned by doc 1 → 21 new
+      assert(whCount === 6L * 21 + 21)
+    } finally {
+      q.stop()
+      CatalogOps.dropDatabase(spark, "ssubdb")
+    }
+  }
+
+  test("substring ingest replays converge: committed, post-hashes, and post-docs crash windows") {
+    import graft.sources.CatalogOps
+    import graft.operators.DedupOps
+    CatalogOps.dropDatabase(spark, "rsubdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/rsubdb.db"))
+    CatalogOps.createDatabase(spark, "rsubdb")
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val texts: Map[Long, String] = Map(
+      0L -> uniq("a", 40), 1L -> uniq("b", 40), 2L -> uniq("c", 40),
+      3L -> uniq("d", 40),
+      4L -> uniq("a", 40), // full copy of 0 → dropped
+      5L -> uniq("e", 40))
+    def run(ids: Seq[Long], batchId: Long): Unit =
+      DedupOps.substringIncrementalBatch(
+        ids.map(i => (i, texts(i))).toDF("doc_id", "text"),
+        "rsubdb", "corpus", batchId = Some(batchId))
+    def state(): (Set[Long], Map[Long, Long], Set[Long]) = (
+      spark.table("`rsubdb`.`corpus`").collect().map(_.getLong(0)).toSet,
+      spark.table("`rsubdb`.`corpus__winhashes`").groupBy($"owner_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      spark.table("`rsubdb`.`corpus__commits`").collect().map(_.getLong(0)).toSet)
+    run(Seq(0L, 1L, 2L), 1L)
+    val s1 = state()
+    assert(s1._1 === Set(0L, 1L, 2L) && s1._3 === Set(1L))
+    // COMMITTED replay: the marker short-circuits — byte-identical state
+    run(Seq(0L, 1L, 2L), 1L)
+    assert(state() === s1)
+    // POST-DOCS crash (both appends landed, marker lost): ownership makes
+    // every replayed doc see only its OWN hashes — same decisions, appends
+    // no-op, only the marker is restored
+    run(Seq(3L, 4L), 2L)
+    val s2 = state()
+    assert(s2._1 === Set(0L, 1L, 2L, 3L) && !s2._2.contains(4L))
+    CatalogOps.deleteByIds(spark, "rsubdb", "corpus__commits",
+      Seq(2L).toDF("batch_id"), idCol = "batch_id")
+    run(Seq(3L, 4L), 2L)
+    assert(state() === s2)
+    // POST-HASHES crash (hash rows landed, doc lost): the replayed doc
+    // owns its stored hashes, so it is NOT counted duplicated — the doc
+    // append is restored exactly once, hash rows never duplicate
+    run(Seq(5L), 3L)
+    val s3 = state()
+    CatalogOps.deleteByIds(spark, "rsubdb", "corpus",
+      Seq(5L).toDF("doc_id"), idCol = "doc_id")
+    CatalogOps.deleteByIds(spark, "rsubdb", "corpus__commits",
+      Seq(3L).toDF("batch_id"), idCol = "batch_id")
+    run(Seq(5L), 3L)
+    assert(state() === s3)
+    CatalogOps.dropDatabase(spark, "rsubdb")
+  }
+
   test("near-dup ingest replays converge: committed, post-sigs, and post-docs crash windows") {
     import graft.sources.CatalogOps
     import graft.operators.DedupOps
