@@ -53,6 +53,9 @@ object DedupScale {
     // components over the banded-LSH pairs) and validate the star map
     // against driver-side union-find.
     if (mode == "cc") { ccRun(n); return }
+    // "substring": validate span-coverage dedup against a driver-side
+    // string-window reference, then time it at n and 2n (linear check).
+    if (mode == "substring") { substringRun(n); return }
     val skipBlocked = mode == "noblocked"
     val tau = 0.9
     val spark = benchSession()
@@ -149,6 +152,66 @@ object DedupScale {
     val largest = nodes.groupBy(find).map(_._2.length).max
     println(s"[dedupscale] cc pairs=${edges.length} nodes=${nodes.length} " +
       s"components=$comps largest=$largest union_find_equal=${star == expect}")
+    spark.stop()
+  }
+
+  /** Substring-span dedup at scale: 60-token docs over a 10k vocabulary,
+    * a 25-token boilerplate span planted into 30% of docs at random
+    * offsets (the license-block/template pathology the operator exists
+    * for). Correctness: per-doc (n_windows, n_dup_windows) validated
+    * EXACTLY against a driver-side string-window count at 3k docs (the
+    * Spark side counts xxhash64 hashes — equality also witnesses
+    * collision-freedom at this size). Cost: timed at n and 2n; both the
+    * window explode and the (hash, count) exchange are row-linear, so the
+    * wall-clock ratio should track the corpus ratio.
+    */
+  private def substringRun(n: Int): Unit = {
+    val w = 20
+    val spark = benchSession()
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    val vocab = (0 until 10000).map(i => f"w$i%05d")
+    val boiler = Array.fill(25)(vocab(rnd.nextInt(vocab.length)))
+    def gen(count: Int): Array[(Long, String)] = Array.tabulate(count) { i =>
+      val toks = Array.fill(60)(vocab(rnd.nextInt(vocab.length)))
+      if (rnd.nextDouble() < 0.3) {
+        val p = rnd.nextInt(60 - boiler.length)
+        System.arraycopy(boiler, 0, toks, p, boiler.length)
+      }
+      (i.toLong, toks.mkString(" "))
+    }
+
+    // correctness at 3k docs vs driver-side string windows
+    val small = gen(3000)
+    val winCount = collection.mutable.Map.empty[String, Int]
+    def windows(text: String): Seq[String] = {
+      val t = text.split(" ")
+      if (t.length < w) Seq.empty
+      else (0 to t.length - w).map(i => t.slice(i, i + w).mkString(" "))
+    }
+    small.foreach { case (_, text) =>
+      windows(text).foreach(s => winCount(s) = winCount.getOrElse(s, 0) + 1)
+    }
+    val expect = small.map { case (id, text) =>
+      val ws = windows(text)
+      id -> ((ws.length.toLong, ws.count(winCount(_) > 1).toLong))
+    }.toMap
+    val got = graft.operators.DedupOps
+      .dedupSubstringOn(small.toSeq.toDF("doc_id", "text"), w)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    println(s"[dedupscale] substring n=3000 driver_reference_equal=${got == expect}")
+
+    // cost at n and 2n
+    Seq(n, 2 * n).foreach { sz =>
+      val docs = gen(sz).toSeq.toDF("doc_id", "text").repartition(32).cache()
+      docs.count()
+      val flagged = timed(s"substring n=$sz span-coverage pass") {
+        graft.operators.DedupOps.dedupSubstringOn(docs, w)
+          .filter($"n_dup_windows" > 0).count()
+      }
+      println(s"[dedupscale] substring n=$sz flagged_docs=$flagged")
+      docs.unpersist()
+    }
     spark.stop()
   }
 
