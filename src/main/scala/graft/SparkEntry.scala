@@ -71,6 +71,7 @@ object SparkEntry {
     "q_dedup_ngram"   -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     "q_dedup_cc"      -> ((s, d) => DedupOps.dedupConnected(s, d)),
     "q_dedup_substring" -> ((s, d) => DedupOps.dedupSubstring(s, d)),
+    "q_dedup_substring_trim" -> ((s, d) => DedupOps.dedupSubstringTrim(s, d)),
     // ---- text analysis / embedding (LLM-pipeline north star) ----
     "q_embed_batch"     -> ((s, d) => TextAnalysisOps.embedBatch(s, d)),
     "q_text_lang"       -> ((s, d) => TextAnalysisOps.langId(s, d)),
@@ -458,6 +459,33 @@ object SparkEntry {
         |            ELSE 0.0 END AS dup_ratio
         |FROM toks t LEFT JOIN per p ON t.doc_id = p.doc_id
         |ORDER BY t.doc_id ASC""".stripMargin,
+    "q_dedup_substring_trim" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |wpos AS (SELECT doc_id, t, unnest(range(1, len(t) - 18)) AS pos
+        |         FROM toks WHERE len(t) >= 20),
+        |w AS (SELECT doc_id, pos,
+        |             list_aggregate(t[pos:pos+19], 'string_agg', ' ') AS win
+        |      FROM wpos),
+        |own AS (SELECT win, min(doc_id * 100000 + pos) AS okey, count(*) AS n
+        |        FROM w GROUP BY win),
+        |rem AS (SELECT w.doc_id, w.pos FROM w JOIN own USING (win)
+        |        WHERE own.n > 1 AND w.doc_id * 100000 + w.pos <> own.okey),
+        |tokpos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS k FROM toks),
+        |dropk AS (SELECT DISTINCT tp.doc_id, tp.k
+        |          FROM tokpos tp JOIN rem ON tp.doc_id = rem.doc_id
+        |            AND tp.k BETWEEN rem.pos AND rem.pos + 19),
+        |kept AS (
+        |  SELECT tp.doc_id,
+        |         coalesce(string_agg(tp.t[tp.k], ' ' ORDER BY tp.k)
+        |           FILTER (WHERE d.k IS NULL), '') AS kept_text,
+        |         CAST(count(*) FILTER (WHERE d.k IS NOT NULL) AS BIGINT) AS n_removed
+        |  FROM tokpos tp LEFT JOIN dropk d ON tp.doc_id = d.doc_id AND tp.k = d.k
+        |  GROUP BY tp.doc_id)
+        |SELECT doc_id, kept_text, n_removed FROM kept ORDER BY doc_id ASC""".stripMargin,
     "q_dedup_cc" ->
       """WITH RECURSIVE
         |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),

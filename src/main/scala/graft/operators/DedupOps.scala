@@ -646,6 +646,56 @@ object DedupOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** The ACTIONABLE form of [[dedupSubstring]]: emit each document's text
+    * with duplicated spans REMOVED, keeping the corpus-wide first
+    * occurrence (Lee et al. 2021 drop all-but-one copy of every
+    * duplicated substring; coverage reporting tells you how dirty a doc
+    * is, this pass actually cleans it). A window occurrence `(doc, pos)`
+    * is removable iff its content occurs more than once corpus-wide AND
+    * it is not the globally first occurrence (minimum `(doc_id, pos)`,
+    * encoded as `doc_id·100000 + pos` so Spark and the SQL oracle order
+    * identically); every token covered by a removable window is dropped.
+    * Output `(doc_id, kept_text, n_removed)`.
+    *
+    * Scale shape mirrors [[dedupSubstring]]: the ownership aggregation
+    * partial-combines `(hash, min-key, count)` map-side, the probe side
+    * re-derives windows and joins only the duplicated hashes (AQE
+    * broadcasts while that set is small), and the removable positions
+    * collect per DOC — a list bounded by the document's own window
+    * count, never by the corpus. The final trim is one higher-order
+    * filter over the token array with the doc's removable intervals.
+    */
+  def dedupSubstringTrim(spark: SparkSession, dir: String, w: Int = 20): DataFrame =
+    dedupSubstringTrimOn(corpusWithDups(spark, dir), w)
+
+  private[graft] def dedupSubstringTrimOn(docs: DataFrame, w: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    def wins = toks.filter(size(col("t")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - lit(w - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(w)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("wh"))
+    val dupOwners = wins
+      .groupBy(col("wh"))
+      .agg(min(col("doc_id") * 100000 + col("pos")).as("okey"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("wh"), col("okey"))
+    val removable = wins.join(dupOwners, "wh")
+      .filter(col("doc_id") * 100000 + col("pos") =!= col("okey"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("ps")) // bounded by the doc's windows
+    toks.join(removable, Seq("doc_id"), "left_outer")
+      .withColumn("kept_arr",
+        when(col("ps").isNull, col("t"))
+          .otherwise(filter(col("t"), (tok, i) =>
+            !exists(col("ps"), p => p <= i + 1 && i + 1 <= p + lit(w - 1)))))
+      .select(col("doc_id"),
+        array_join(col("kept_arr"), " ").as("kept_text"),
+        (size(col("t")) - size(col("kept_arr"))).cast("long").as("n_removed"))
+      .orderBy(col("doc_id").asc)
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash per doc + near-neighbor count at hamming ≤ 3.

@@ -2358,6 +2358,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(6L) === ((6L, 6L, 1.0)))
   }
 
+  test("substring trim removes duplicated spans everywhere but the first occurrence") {
+    import spark.implicits._
+    val span = (0 until 20).map(i => s"S$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val d1 = uniq("a", 10) + " " + span + " " + uniq("b", 10) // first occurrence at pos 11
+    val d2 = uniq("c", 5) + " " + span + " " + uniq("d", 15)  // later occurrence at pos 6
+    val docs = Seq(
+      (1L, d1), (2L, d2),
+      (3L, uniq("e", 40)),  // unique: untouched
+      (4L, uniq("f", 10)),  // shorter than the window: untouched
+      (5L, uniq("g", 25)), (6L, uniq("g", 25)) // exact copies: 6 trims to empty
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dedupSubstringTrimOn(docs, 20).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((d1, 0L))) // owner keeps its span
+    assert(got(2L) === ((uniq("c", 5) + " " + uniq("d", 15), 20L))) // span excised
+    assert(got(3L) === ((uniq("e", 40), 0L)))
+    assert(got(4L) === ((uniq("f", 10), 0L)))
+    assert(got(5L) === ((uniq("g", 25), 0L)))
+    assert(got(6L) === (("", 25L))) // full copy vanishes
+  }
+
   test("sample split is not aliased with the domain-mix bucket: valid/test draw from low-weight sources") {
     // With a shared multiplier, every doc surviving a weight-w source has
     // mix bucket < w*1000, so valid/test (split bucket >= 800) could only
