@@ -201,6 +201,28 @@ object DedupScale {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     println(s"[dedupscale] substring n=3000 driver_reference_equal=${got == expect}")
 
+    // trim correctness: same corpus, driver-side first-occurrence removal
+    val ownKey = collection.mutable.Map.empty[String, Long]
+    small.foreach { case (id, text) =>
+      windows(text).zipWithIndex.foreach { case (s, p) =>
+        val key = id * 100000 + (p + 1)
+        if (ownKey.getOrElse(s, Long.MaxValue) > key) ownKey(s) = key
+      }
+    }
+    val expectTrim = small.map { case (id, text) =>
+      val t = text.split(" ")
+      val removablePos = windows(text).zipWithIndex.collect {
+        case (s, p) if winCount(s) > 1 && ownKey(s) != id * 100000 + (p + 1) => p + 1
+      }
+      val dropped = removablePos.flatMap(p => p to p + w - 1).toSet
+      val kept = t.zipWithIndex.collect { case (tok, i) if !dropped(i + 1) => tok }
+      id -> ((kept.mkString(" "), (t.length - kept.length).toLong))
+    }.toMap
+    val gotTrim = graft.operators.DedupOps
+      .dedupSubstringTrimOn(small.toSeq.toDF("doc_id", "text"), w)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    println(s"[dedupscale] substring-trim n=3000 driver_reference_equal=${gotTrim == expectTrim}")
+
     // cost at n and 2n
     Seq(n, 2 * n).foreach { sz =>
       val docs = gen(sz).toSeq.toDF("doc_id", "text").repartition(32).cache()
@@ -209,7 +231,11 @@ object DedupScale {
         graft.operators.DedupOps.dedupSubstringOn(docs, w)
           .filter($"n_dup_windows" > 0).count()
       }
-      println(s"[dedupscale] substring n=$sz flagged_docs=$flagged")
+      val trimmed = timed(s"substring n=$sz trim pass") {
+        graft.operators.DedupOps.dedupSubstringTrimOn(docs, w)
+          .filter($"n_removed" > 0).count()
+      }
+      println(s"[dedupscale] substring n=$sz flagged_docs=$flagged trimmed_docs=$trimmed")
       docs.unpersist()
     }
     spark.stop()
