@@ -1209,6 +1209,12 @@ class OperatorSpec extends AnyFunSuite {
     val after = spark.table("`swpdb`.`docs_s`")
     assert(after.filter(col("text").startsWith("SWEEP")).count() === 2)
     assert(after.filter(col("doc_id").isin(3L, 7L)).count() === 2) // no duplicates
+    // an EMPTY batch is a no-op, not a crash: the sweep's min/max bounds
+    // are null, the range filter keeps nothing, no partition rewrites
+    val before = after.count()
+    CatalogOps.upsertPartitioned(spark, "swpdb", "docs_s",
+      batch.filter(col("doc_id") < 0), "doc_id", "lang")
+    assert(spark.table("`swpdb`.`docs_s`").count() === before)
     CatalogOps.dropDatabase(spark, "swpdb")
   }
 
