@@ -1002,6 +1002,95 @@ object DedupOps {
     } finally wins.unpersist()
   }
 
+  /** One micro-batch of STREAMING substring TRIM
+    * ([[graft.streaming.StreamingOps.streamingTrimSubstring]]): the
+    * cleaning twin of [[substringIncrementalBatch]] — every incoming doc
+    * is KEPT, but tokens covered by a `w`-token window already owned by
+    * the store (or by a lower-id doc in the same batch) are excised
+    * before the doc lands, [[dedupSubstringTrim]]'s first-occurrence
+    * contract made arrival-ordered. The window-hash store records the
+    * ORIGINAL text's windows (first-writer-owned): a later replay of the
+    * same span trims against the first arrival, and re-deriving windows
+    * from trimmed text would instead mint artificial spans straddling
+    * excision boundaries.
+    *
+    * Replay safety is inherited unchanged: the ownership heal —
+    * `owner_id == doc_id` never trims — makes a replayed doc reproduce
+    * its original kept text after the hashes-landed/doc-lost crash
+    * window, and the id-anti-joined appends close the rest (pinned in
+    * StreamingSpec alongside the filter twin's windows).
+    */
+  private[graft] def substringTrimIncrementalBatch(batch0: DataFrame, db: String,
+      name: String, w: Int = 20, batchId: Option[Long] = None): Unit = {
+    val spark = batch0.sparkSession
+    val commitsName = s"${name}__commits"
+    if (batchId.isDefined && spark.catalog.tableExists(s"$db.$commitsName")) {
+      val r = spark.table(s"`$db`.`$commitsName`")
+        .agg(max(col("batch_id"))).head()
+      if (!r.isNullAt(0) && batchId.get <= r.getLong(0)) return
+    }
+    val batch = batch0.select(col("doc_id"), col("text"))
+    val toks = batch.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val wins = toks.filter(size(col("t")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - lit(w - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(w)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("wh"))
+      .cache()
+    try {
+      val batchOwner = wins.groupBy(col("wh")).agg(min(col("doc_id")).as("batch_owner"))
+      val storeTable = s"$db.${name}__winhashes"
+      val withOwners = {
+        val b = wins.join(batchOwner, "wh")
+        if (spark.catalog.tableExists(storeTable)) {
+          val probe = spark.table(s"`$db`.`${name}__winhashes`")
+            .join(broadcast(wins.select(col("wh")).distinct()), "wh")
+            .select(col("wh"), col("owner_id").as("store_owner"))
+          b.join(probe, Seq("wh"), "left_outer")
+        } else b.withColumn("store_owner", lit(null).cast("long"))
+      }
+      val removable = withOwners
+        .filter((col("store_owner").isNotNull && col("store_owner") =!= col("doc_id")) ||
+          col("batch_owner") < col("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("pos")).as("ps")) // bounded by the doc's windows
+      val trimmed = toks.join(removable, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          when(col("ps").isNull, array_join(col("t"), " "))
+            .otherwise(array_join(
+              filter(col("t"), (tok, i) =>
+                !exists(col("ps"), p => p <= i + 1 && i + 1 <= p + lit(w - 1))),
+              " ")).as("text"))
+        .localCheckpoint() // freeze kept text BEFORE the store mutates
+      // HASHES first: the ORIGINAL windows, first writer owns
+      val newHashes = wins.groupBy(col("wh")).agg(min(col("doc_id")).as("owner_id"))
+      val hashesToWrite =
+        if (spark.catalog.tableExists(storeTable))
+          newHashes.join(
+            spark.table(s"`$db`.`${name}__winhashes`")
+              .join(broadcast(newHashes.select(col("wh"))), "wh")
+              .select(col("wh")).distinct(),
+            Seq("wh"), "left_anti")
+        else newHashes
+      hashesToWrite.write.mode("append").saveAsTable(s"`$db`.`${name}__winhashes`")
+      // DOCS second, id-anti-joined for replay idempotency
+      val docIds = trimmed.select(col("doc_id"))
+      val docsToWrite =
+        if (spark.catalog.tableExists(s"$db.$name"))
+          trimmed.join(
+            spark.table(s"`$db`.`$name`")
+              .join(broadcast(docIds), "doc_id")
+              .select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+        else trimmed
+      docsToWrite.write.mode("append").saveAsTable(s"`$db`.`$name`")
+      batchId.foreach { id =>
+        spark.createDataFrame(Seq(Tuple1(id))).toDF("batch_id")
+          .write.mode("overwrite").saveAsTable(s"`$db`.`$commitsName`")
+      }
+    } finally wins.unpersist()
+  }
+
   /** Alternating large-star / small-star connected components (Kiveris,
     * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
     * MapReduce and Beyond", SoCC'14): O(log²n) rounds worst-case, a handful

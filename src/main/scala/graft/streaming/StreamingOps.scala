@@ -233,6 +233,26 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming substring TRIM — the cleaning twin of
+    * [[streamingDedupSubstring]]: every incoming doc lands, but spans
+    * already owned by the retained corpus (or by a lower-id doc in the
+    * same micro-batch) are excised first
+    * ([[graft.operators.DedupOps.substringTrimIncrementalBatch]]) — the
+    * streaming form of [[graft.operators.DedupOps.dedupSubstringTrim]]'s
+    * keep-the-first-occurrence contract. Same window-hash store layout,
+    * same commit watermark + ownership-healed replay windows.
+    */
+  def streamingTrimSubstring(docStream: DataFrame, db: String, name: String,
+      w: Int = 20): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.DedupOps.substringTrimIncrementalBatch(batch.toDF(), db, name,
+            w, batchId = Some(batchId))
+      }
+      .start()
+
   /** Streaming knn over a PQ collection
     * ([[graft.sources.CatalogOps.createPqCollection]]) — the ADC streaming
     * ANN: each micro-batch's query LUTs build driver-side against the

@@ -472,6 +472,90 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming substring trim excises stored and in-batch spans, keeps every doc") {
+    import graft.sources.CatalogOps
+    implicit val ctx = spark.sqlContext
+    CatalogOps.dropDatabase(spark, "strimdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/strimdb.db"))
+    CatalogOps.createDatabase(spark, "strimdb")
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val d0 = uniq("a", 40); val d1 = uniq("b", 40)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingTrimSubstring(
+      in.toDS.toDF("doc_id", "text"), "strimdb", "corpus")
+    try {
+      in.addData((0L, d0), (1L, d1)); q.processAllAvailable()
+      in.addData(
+        (10L, d0),                                            // full copy → lands empty
+        (11L, d1.split(" ").take(20).mkString(" ") + " " + uniq("g", 21)), // stored span excised
+        (12L, uniq("f", 40)), (13L, uniq("f", 40)))           // in-batch pair: 12 intact, 13 empty
+      q.processAllAvailable()
+      val got = spark.table("`strimdb`.`corpus`")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.keySet === Set(0L, 1L, 10L, 11L, 12L, 13L)) // every doc lands
+      assert(got(0L) === d0 && got(1L) === d1 && got(12L) === uniq("f", 40))
+      assert(got(10L) === "" && got(13L) === "")
+      assert(got(11L) === uniq("g", 21)) // the 20 stored-span tokens excised
+      // store carries the ORIGINAL windows, first-writer-owned
+      val owners = spark.table("`strimdb`.`corpus__winhashes`")
+        .select($"owner_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(owners === Set(0L, 1L, 11L, 12L))
+    } finally {
+      q.stop()
+      CatalogOps.dropDatabase(spark, "strimdb")
+    }
+  }
+
+  test("substring trim replays converge: committed, post-hashes, and post-docs crash windows") {
+    import graft.sources.CatalogOps
+    import graft.operators.DedupOps
+    CatalogOps.dropDatabase(spark, "rtrimdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/rtrimdb.db"))
+    CatalogOps.createDatabase(spark, "rtrimdb")
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val texts: Map[Long, String] = Map(
+      0L -> uniq("a", 40), 1L -> uniq("b", 40),
+      2L -> uniq("a", 40), // copy of 0 → lands trimmed empty
+      3L -> uniq("e", 40))
+    def run(ids: Seq[Long], batchId: Long): Unit =
+      DedupOps.substringTrimIncrementalBatch(
+        ids.map(i => (i, texts(i))).toDF("doc_id", "text"),
+        "rtrimdb", "corpus", batchId = Some(batchId))
+    def state(): (Map[Long, String], Map[Long, Long], Set[Long]) = (
+      spark.table("`rtrimdb`.`corpus`").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap,
+      spark.table("`rtrimdb`.`corpus__winhashes`").groupBy($"owner_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      spark.table("`rtrimdb`.`corpus__commits`").collect().map(_.getLong(0)).toSet)
+    run(Seq(0L, 1L), 1L)
+    val s1 = state()
+    assert(s1._1 === Map(0L -> texts(0L), 1L -> texts(1L)) && s1._3 === Set(1L))
+    // COMMITTED replay short-circuits
+    run(Seq(0L, 1L), 1L)
+    assert(state() === s1)
+    // POST-DOCS crash (marker lost): ownership reproduces the same trims,
+    // appends no-op, marker restored
+    run(Seq(2L, 3L), 2L)
+    val s2 = state()
+    assert(s2._1(2L) === "" && s2._1(3L) === texts(3L) && !s2._2.contains(2L))
+    CatalogOps.deleteByIds(spark, "rtrimdb", "corpus__commits",
+      Seq(2L).toDF("batch_id"), idCol = "batch_id")
+    run(Seq(2L, 3L), 2L)
+    assert(state() === s2)
+    // POST-HASHES crash (hash rows landed, docs lost): the replayed docs
+    // own their crashed-in hashes, reproduce their original text, and the
+    // doc append restores them exactly once
+    CatalogOps.deleteByIds(spark, "rtrimdb", "corpus",
+      Seq(3L).toDF("doc_id"), idCol = "doc_id")
+    CatalogOps.deleteByIds(spark, "rtrimdb", "corpus__commits",
+      Seq(2L).toDF("batch_id"), idCol = "batch_id")
+    run(Seq(2L, 3L), 2L)
+    assert(state() === s2)
+    CatalogOps.dropDatabase(spark, "rtrimdb")
+  }
+
   test("substring ingest replays converge: committed, post-hashes, and post-docs crash windows") {
     import graft.sources.CatalogOps
     import graft.operators.DedupOps
