@@ -56,6 +56,10 @@ object DedupScale {
     // "substring": validate span-coverage dedup against a driver-side
     // string-window reference, then time it at n and 2n (linear check).
     if (mode == "substring") { substringRun(n); return }
+    // "winmaint": measure the streaming window-hash store's probe cost vs
+    // uncompacted micro-batch depth, then the compaction fold — the
+    // cadence datum for the substring ingest/trim streams.
+    if (mode == "winmaint") { winmaintRun(n); return }
     val skipBlocked = mode == "noblocked"
     val tau = 0.9
     val spark = benchSession()
@@ -202,17 +206,20 @@ object DedupScale {
     println(s"[dedupscale] substring n=3000 driver_reference_equal=${got == expect}")
 
     // trim correctness: same corpus, driver-side first-occurrence removal
-    val ownKey = collection.mutable.Map.empty[String, Long]
+    // (ownership = lexicographic min (doc_id, pos), matching the operator's
+    // tuple-min — no scalar encoding that could alias for long docs)
+    val ownKey = collection.mutable.Map.empty[String, (Long, Long)]
+    val tupleOrd = Ordering.Tuple2[Long, Long]
     small.foreach { case (id, text) =>
       windows(text).zipWithIndex.foreach { case (s, p) =>
-        val key = id * 100000 + (p + 1)
-        if (ownKey.getOrElse(s, Long.MaxValue) > key) ownKey(s) = key
+        val key = (id, (p + 1).toLong)
+        if (ownKey.get(s).forall(k => tupleOrd.gt(k, key))) ownKey(s) = key
       }
     }
     val expectTrim = small.map { case (id, text) =>
       val t = text.split(" ")
       val removablePos = windows(text).zipWithIndex.collect {
-        case (s, p) if winCount(s) > 1 && ownKey(s) != id * 100000 + (p + 1) => p + 1
+        case (s, p) if winCount(s) > 1 && ownKey(s) != ((id, (p + 1).toLong)) => p + 1
       }
       val dropped = removablePos.flatMap(p => p to p + w - 1).toSet
       val kept = t.zipWithIndex.collect { case (tok, i) if !dropped(i + 1) => tok }
@@ -238,6 +245,97 @@ object DedupScale {
       println(s"[dedupscale] substring n=$sz flagged_docs=$flagged trimmed_docs=$trimmed")
       docs.unpersist()
     }
+    spark.stop()
+  }
+
+  /** Window-hash store maintenance — the cadence twin of
+    * [[RetrievalScale]]'s postings `maintenance` mode, for the substring
+    * ingest/trim streams. The store (`corpus__winhashes`) is an append
+    * log: every micro-batch of [[graft.operators.DedupOps
+    * .substringIncrementalBatch]] adds one file-set, and the per-batch
+    * pruned probe (store ⋈ broadcast of the batch's distinct hashes)
+    * opens every one of them. This mode ingests `n` micro-batches of 250
+    * 60-token docs (30% carrying a shared boilerplate span so the probe
+    * does real matching work), times the SAME held-out probe at log
+    * depths 1/2/4/…/n, folds the log with [[graft.sources.CatalogOps
+    * .compactWinhashes]], checks the store content is row-identical
+    * pre/post, and re-times — the datum that tells an operator how often
+    * to fold.
+    */
+  private def winmaintRun(nArg: Int): Unit = {
+    import graft.sources.CatalogOps
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.functions.broadcast
+    val w = 20
+    // in this mode the positional arg is a BATCH count (the default 30000
+    // is the pairs-mode doc count — clamp to something an append log
+    // plausibly reaches between folds)
+    val nBatches = math.min(nArg, 256)
+    val batchSize = 250
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-dedupscale-warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val db = "dedupwinmaint"
+    CatalogOps.dropDatabase(spark, db)
+    // a crashed prior run can leave the directory behind a fresh metastore
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"/tmp/graft-dedupscale-warehouse/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+
+    val rnd = new scala.util.Random(6060L)
+    val vocab = (0 until 10000).map(i => f"w$i%05d")
+    val boiler = Array.fill(25)(vocab(rnd.nextInt(vocab.length)))
+    def gen(count: Int, offset: Long): Seq[(Long, String)] = Seq.tabulate(count) { i =>
+      val toks = Array.fill(60)(vocab(rnd.nextInt(vocab.length)))
+      if (rnd.nextDouble() < 0.3) {
+        val p = rnd.nextInt(60 - boiler.length)
+        System.arraycopy(boiler, 0, toks, p, boiler.length)
+      }
+      (offset + i, toks.mkString(" "))
+    }
+
+    // the probe every ingest pays: store ⋈ broadcast(batch's distinct
+    // hashes) — held-out batch so the measured work is constant per depth
+    val probeHashes = DedupOps
+      .windowHashes(gen(batchSize, 900000000L).toDF("doc_id", "text"), w)
+      .select($"wh").distinct().cache()
+    probeHashes.count()
+    def store() = spark.table(s"`$db`.`corpus__winhashes`")
+    // min of 3 reps: the datum is the plan's cost, not a GC draw
+    def probeSec(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      store().join(broadcast(probeHashes), "wh").count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    def files(): Long = store().inputFiles.length.toLong
+
+    val checkpoints = Iterator.iterate(1)(_ * 2).takeWhile(_ < nBatches).toSeq :+ nBatches
+    var done = 0
+    checkpoints.foreach { target =>
+      while (done < target) {
+        DedupOps.substringIncrementalBatch(
+          gen(batchSize, done.toLong * batchSize).toDF("doc_id", "text"),
+          db, "corpus", w, batchId = Some(done + 1L))
+        done += 1
+      }
+      println(f"[dedupscale] winmaint depth=$done files=${files()} probe=${probeSec()}%.2f s")
+    }
+
+    val before = store().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t0 = System.nanoTime()
+    CatalogOps.compactWinhashes(spark, db, "corpus")
+    val cSec = (System.nanoTime() - t0) / 1e9
+    val after = store().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    require(before == after, "compaction changed the window-hash store content")
+    println(f"[dedupscale] winmaint compacted files=${files()} probe=${probeSec()}%.2f s " +
+      f"(compact cost $cSec%.2f s, ${before.size} hash rows unchanged)")
+    CatalogOps.dropDatabase(spark, db)
     spark.stop()
   }
 

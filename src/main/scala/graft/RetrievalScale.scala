@@ -219,7 +219,14 @@ object RetrievalScale {
     // catalog caches the partition listing of the pre-swap table
     spark.catalog.refreshTable(s"`$db`.`c__postings`")
     val after = probeRows()
-    require(before == after, "compaction changed probe results")
+    // ranked ids exactly; scores to a tolerance — BM25 scores are floating
+    // point sums whose accumulation order legitimately changes when
+    // compaction rewrites the file/partition layout
+    require(before.map(_._1) == after.map(_._1),
+      "compaction changed the probe's ranked documents")
+    require(before.zip(after).forall { case ((_, s1), (_, s2)) =>
+      math.abs(s1 - s2) < 1e-9 },
+      "compaction moved a probe score by more than 1e-9")
     println(f"[retrievalscale] compacted files=${logFiles()} probe=${probeSec()}%.2f s (compact cost $cSec%.2f s, probe results unchanged)")
     CatalogOps.dropDatabase(spark, db)
     spark.stop()

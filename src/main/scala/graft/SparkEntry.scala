@@ -470,10 +470,11 @@ object SparkEntry {
         |w AS (SELECT doc_id, pos,
         |             list_aggregate(t[pos:pos+19], 'string_agg', ' ') AS win
         |      FROM wpos),
-        |own AS (SELECT win, min(doc_id * 100000 + pos) AS okey, count(*) AS n
-        |        FROM w GROUP BY win),
-        |rem AS (SELECT w.doc_id, w.pos FROM w JOIN own USING (win)
-        |        WHERE own.n > 1 AND w.doc_id * 100000 + w.pos <> own.okey),
+        |own AS (SELECT win, doc_id, pos,
+        |               count(*) OVER (PARTITION BY win) AS n,
+        |               row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        |        FROM w),
+        |rem AS (SELECT doc_id, pos FROM own WHERE n > 1 AND rn > 1),
         |tokpos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS k FROM toks),
         |dropk AS (SELECT DISTINCT tp.doc_id, tp.k
         |          FROM tokpos tp JOIN rem ON tp.doc_id = rem.doc_id

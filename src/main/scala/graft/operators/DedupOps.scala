@@ -652,13 +652,16 @@ object DedupOps {
     * duplicated substring; coverage reporting tells you how dirty a doc
     * is, this pass actually cleans it). A window occurrence `(doc, pos)`
     * is removable iff its content occurs more than once corpus-wide AND
-    * it is not the globally first occurrence (minimum `(doc_id, pos)`,
-    * encoded as `doc_id·100000 + pos` so Spark and the SQL oracle order
-    * identically); every token covered by a removable window is dropped.
-    * Output `(doc_id, kept_text, n_removed)`.
+    * it is not the globally first occurrence (lexicographic minimum
+    * `(doc_id, pos)` — a `min(struct(...))` tuple aggregation, NOT a
+    * `doc_id·K + pos` scalar encoding, which would alias across
+    * documents once a doc carries ≥ K windows: real training corpora
+    * hold 100k-token books); every token covered by a removable window
+    * is dropped. Output `(doc_id, kept_text, n_removed)`.
     *
     * Scale shape mirrors [[dedupSubstring]]: the ownership aggregation
-    * partial-combines `(hash, min-key, count)` map-side, the probe side
+    * partial-combines `(hash, min (doc_id, pos), count)` map-side, the
+    * probe side
     * re-derives windows and joins only the duplicated hashes (AQE
     * broadcasts while that set is small), and the removable positions
     * collect per DOC — a list bounded by the document's own window
@@ -675,14 +678,16 @@ object DedupOps {
         posexplode(transform(sequence(lit(1), size(col("t")) - lit(w - 1)),
           i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(w)))))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("wh"))
+    // min(struct) = lexicographic (doc_id, then pos): safe at any window
+    // count, and still a partial-capable aggregation (map-side combine)
     val dupOwners = wins
       .groupBy(col("wh"))
-      .agg(min(col("doc_id") * 100000 + col("pos")).as("okey"),
+      .agg(min(struct(col("doc_id"), col("pos"))).as("owner"),
         count(lit(1)).as("n"))
       .filter(col("n") > 1)
-      .select(col("wh"), col("okey"))
+      .select(col("wh"), col("owner.doc_id").as("own_doc"), col("owner.pos").as("own_pos"))
     val removable = wins.join(dupOwners, "wh")
-      .filter(col("doc_id") * 100000 + col("pos") =!= col("okey"))
+      .filter(col("doc_id") =!= col("own_doc") || col("pos") =!= col("own_pos"))
       .groupBy(col("doc_id"))
       .agg(collect_list(col("pos")).as("ps")) // bounded by the doc's windows
     toks.join(removable, Seq("doc_id"), "left_outer")
@@ -916,15 +921,24 @@ object DedupOps {
     * span-coverage ingest filter — [[dedupSubstring]]'s semantics made
     * arrival-ordered. A batch doc is dropped when more than
     * `maxDupRatio` of its `w`-token windows duplicate spans of the
-    * RETAINED corpus so far (the persisted window-hash store) or of a
-    * lower-id doc in the same batch; docs shorter than `w` tokens carry
-    * ratio 0 and pass (the span filter cannot judge them). Kept docs
+    * RETAINED corpus so far (the persisted window-hash store), of a
+    * lower-id doc in the same batch, or of an EARLIER occurrence inside
+    * the doc itself (a span repeated k times within one doc counts k−1
+    * duplicated windows — the arrival-ordered reading of the batch
+    * pass's same-doc duplication; the batch twin additionally flags the
+    * first copy once a span repeats anywhere, so a mostly-boilerplate
+    * doc is caught by BOTH passes, at ratio (k−1)/k here vs 1.0 there).
+    * Docs shorter than `w` tokens carry ratio 0 and pass (the span
+    * filter cannot judge them). Kept docs
     * append to `name`; their window hashes append to `name__winhashes`
     * as `(wh, owner_id)` rows, FIRST WRITER owns the hash.
     *
     * Store probe cost ∝ the batch's windows, never the store: the store
     * side is pruned by a broadcast of the batch's distinct hashes before
-    * its only join. Replay-safe under foreachBatch's at-least-once
+    * its only join. The store itself is an append log — one file-set per
+    * micro-batch — so long-running streams fold it periodically with
+    * [[graft.sources.CatalogOps.compactWinhashes]] (probe decisions
+    * unchanged; cadence measured in [[graft.DedupScale]] `winmaint`). Replay-safe under foreachBatch's at-least-once
     * contract with the [[dedupIncrementalBatch]] two-layer design: a
     * 1-row commit watermark no-ops committed batches, and the
     * hashes-docs partial-crash window is closed by OWNERSHIP — a
@@ -947,26 +961,35 @@ object DedupOps {
       if (!r.isNullAt(0) && batchId.get <= r.getLong(0)) return
     }
     val batch = batch0.select(col("doc_id"), col("text"))
-    val wins = windowHashes(batch, w).cache()
+    // one row per (doc, distinct window) with its occurrence count — the
+    // grain every downstream consumer needs (self-repeats fold into `c`,
+    // batch ownership and the store probe key on the hash)
+    val occ = windowHashes(batch, w)
+      .groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("c"))
+      .cache()
     try {
-      val batchOwner = wins.groupBy(col("wh")).agg(min(col("doc_id")).as("batch_owner"))
-      val withBatch = wins.join(batchOwner, "wh")
+      val batchOwner = occ.groupBy(col("wh")).agg(min(col("doc_id")).as("batch_owner"))
+      val withBatch = occ.join(batchOwner, "wh")
       val storeTable = s"$db.${name}__winhashes"
       val joined =
         if (spark.catalog.tableExists(storeTable)) {
           // pruned probe: only the batch's hashes are read off the store
           val probe = spark.table(s"`$db`.`${name}__winhashes`")
-            .join(broadcast(wins.select(col("wh")).distinct()), "wh")
+            .join(broadcast(occ.select(col("wh")).distinct()), "wh")
             .select(col("wh"), col("owner_id").as("store_owner"))
           withBatch.join(probe, Seq("wh"), "left_outer")
         } else withBatch.withColumn("store_owner", lit(null).cast("long"))
+      // externally-owned hash → every occurrence is a dup; otherwise the
+      // doc owns it and only self-repeats beyond the first count (c − 1).
+      // The self clause consults nothing but the batch row itself, so a
+      // replay reproduces the decision bit-for-bit.
       val perDoc = joined
-        .withColumn("is_dup",
-          (col("store_owner").isNotNull && col("store_owner") =!= col("doc_id")) ||
-            col("batch_owner") < col("doc_id"))
+        .withColumn("n_dup_grp",
+          when((col("store_owner").isNotNull && col("store_owner") =!= col("doc_id")) ||
+            col("batch_owner") < col("doc_id"), col("c"))
+            .otherwise(col("c") - 1))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_windows"),
-          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+        .agg(sum(col("c")).as("n_windows"), sum(col("n_dup_grp")).as("n_dup"))
       val kept = batch.join(perDoc, Seq("doc_id"), "left_outer")
         .filter(coalesce(col("n_dup").cast("double") / col("n_windows"), lit(0.0))
           <= maxDupRatio)
@@ -974,7 +997,7 @@ object DedupOps {
         .localCheckpoint()
       val keptIds = kept.select(col("doc_id"))
       // HASHES first (see scaladoc), one owner row per new hash
-      val newHashes = wins.join(keptIds, "doc_id")
+      val newHashes = occ.join(keptIds, "doc_id")
         .groupBy(col("wh")).agg(min(col("doc_id")).as("owner_id"))
       val hashesToWrite =
         if (spark.catalog.tableExists(storeTable))
@@ -999,16 +1022,17 @@ object DedupOps {
         spark.createDataFrame(Seq(Tuple1(id))).toDF("batch_id")
           .write.mode("overwrite").saveAsTable(s"`$db`.`$commitsName`")
       }
-    } finally wins.unpersist()
+    } finally occ.unpersist()
   }
 
   /** One micro-batch of STREAMING substring TRIM
     * ([[graft.streaming.StreamingOps.streamingTrimSubstring]]): the
     * cleaning twin of [[substringIncrementalBatch]] — every incoming doc
     * is KEPT, but tokens covered by a `w`-token window already owned by
-    * the store (or by a lower-id doc in the same batch) are excised
-    * before the doc lands, [[dedupSubstringTrim]]'s first-occurrence
-    * contract made arrival-ordered. The window-hash store records the
+    * the store, by a lower-id doc in the same batch, or by an earlier
+    * position of the SAME doc (self-repeated spans keep only their first
+    * copy) are excised before the doc lands — [[dedupSubstringTrim]]'s
+    * first-occurrence contract made arrival-ordered. The window-hash store records the
     * ORIGINAL text's windows (first-writer-owned): a later replay of the
     * same span trims against the first arrival, and re-deriving windows
     * from trimmed text would instead mint artificial spans straddling
@@ -1039,9 +1063,13 @@ object DedupOps {
       .cache()
     try {
       val batchOwner = wins.groupBy(col("wh")).agg(min(col("doc_id")).as("batch_owner"))
+      // the doc's own first position per hash: self-repeats beyond it are
+      // removable (batch-local, so replays reproduce it deterministically)
+      val firstPos = wins.groupBy(col("doc_id"), col("wh"))
+        .agg(min(col("pos")).as("first_pos"))
       val storeTable = s"$db.${name}__winhashes"
       val withOwners = {
-        val b = wins.join(batchOwner, "wh")
+        val b = wins.join(batchOwner, "wh").join(firstPos, Seq("doc_id", "wh"))
         if (spark.catalog.tableExists(storeTable)) {
           val probe = spark.table(s"`$db`.`${name}__winhashes`")
             .join(broadcast(wins.select(col("wh")).distinct()), "wh")
@@ -1051,7 +1079,7 @@ object DedupOps {
       }
       val removable = withOwners
         .filter((col("store_owner").isNotNull && col("store_owner") =!= col("doc_id")) ||
-          col("batch_owner") < col("doc_id"))
+          col("batch_owner") < col("doc_id") || col("pos") > col("first_pos"))
         .groupBy(col("doc_id"))
         .agg(collect_list(col("pos")).as("ps")) // bounded by the doc's windows
       val trimmed = toks.join(removable, Seq("doc_id"), "left_outer")

@@ -1210,6 +1210,37 @@ object CatalogOps {
     finally spark.sql(s"DROP TABLE IF EXISTS $staging")
   }
 
+  /** Fold the streaming substring-dedup/trim window-hash store
+    * (`{name}__winhashes`, written by [[graft.operators.DedupOps
+    * .substringIncrementalBatch]] / `substringTrimIncrementalBatch`)
+    * from its one-file-set-per-micro-batch append log down to
+    * `filesPerPartition` files. The appends are anti-joined so the store
+    * already holds ONE row per hash; the fold is therefore a layout
+    * rewrite, with `min(owner_id)` making it deterministic should a
+    * violated invariant ever hand it two rows — and since the anti-join
+    * keeps only the first writer's row, first-writer ownership survives
+    * the fold unchanged. Same staging-table swap as [[compactPostings]];
+    * probe decisions are unchanged pre/post (pinned in StreamingSpec,
+    * measured in [[graft.DedupScale]] `winmaint`).
+    */
+  def compactWinhashes(spark: SparkSession, db: String, name: String,
+      filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions._
+    require(filesPerPartition >= 1, s"filesPerPartition must be ≥ 1")
+    val t = s"${name}__winhashes"
+    if (!spark.catalog.tableExists(s"$db.$t")) return
+    val staging = s"`$db`.`__${t}_compact_staging`"
+    spark.table(s"`$db`.`$t`")
+      .groupBy(col("wh")).agg(min(col("owner_id")).as("owner_id"))
+      .repartition(filesPerPartition)
+      .write.mode("overwrite").saveAsTable(staging)
+    try spark.table(staging).write.mode("overwrite").saveAsTable(s"`$db`.`$t`")
+    finally spark.sql(s"DROP TABLE IF EXISTS $staging")
+    // the pre-swap file listing may be cached; the next micro-batch's
+    // probe must read the compacted layout
+    spark.catalog.refreshTable(s"`$db`.`$t`")
+  }
+
   /** `drop_collection` (ref `TencentVDB.py:87-89`). */
   def dropCollection(spark: SparkSession, db: String, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")

@@ -2386,6 +2386,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(6L) === (("", 25L))) // full copy vanishes
   }
 
+  test("substring trim ownership holds for a 100k-window document (no key-space aliasing)") {
+    // A doc_id*100000+pos scalar encoding aliases here: doc 1's occurrence
+    // at pos 100001 keys to 1*100000+100001 = 200001 — the SAME key as
+    // doc 2's occurrence at pos 1 (2*100000+1). The lexicographic
+    // (doc_id, pos) tuple-min must award ownership to doc 1 and trim
+    // doc 2's copy; the aliased encoding sees two occurrences of one key
+    // and trims neither.
+    import spark.implicits._
+    val book = (0 until 100020).map(i => s"a$i").mkString(" ") // 100,001 windows
+    val span = (100000 until 100020).map(i => s"a$i").mkString(" ") // = book's window at pos 100001
+    val tail = (0 until 20).map(i => s"b$i").mkString(" ")
+    val docs = Seq((1L, book), (2L, span + " " + tail)).toDF("doc_id", "text")
+    val got = DedupOps.dedupSubstringTrimOn(docs, 20).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((book, 0L)), "the first occurrence (doc 1, pos 100001) must keep its span")
+    assert(got(2L) === ((tail, 20L)), "doc 2's copy of the span must be trimmed")
+  }
+
   test("sample split is not aliased with the domain-mix bucket: valid/test draw from low-weight sources") {
     // With a shared multiplier, every doc surviving a weight-w source has
     // mix bucket < w*1000, so valid/test (split bucket >= 800) could only

@@ -448,7 +448,8 @@ class StreamingSpec extends AnyFunSuite {
       (11L, uniq("e", 40)),                                // fresh → kept
       (12L, uniq("f", 40)), (13L, uniq("f", 40)),          // in-batch pair: 12 owns, 13 drops
       (14L, d1.split(" ").take(20).mkString(" ") + " " + uniq("g", 21)), // 1/22 windows dup → kept
-      (15L, d2.split(" ").take(30).mkString(" ") + " " + uniq("h", 5)))  // 11/16 dup → dropped
+      (15L, d2.split(" ").take(30).mkString(" ") + " " + uniq("h", 5)),  // 11/16 dup → dropped
+      (16L, (uniq("i", 20) + " ") * 2 + uniq("i", 20)))  // self-boilerplate: 21/41 dup → dropped
     val in = MemoryStream[(Long, String)]
     val q = StreamingOps.streamingDedupSubstring(
       in.toDS.toDF("doc_id", "text"), "ssubdb", "corpus")
@@ -489,18 +490,20 @@ class StreamingSpec extends AnyFunSuite {
       in.addData(
         (10L, d0),                                            // full copy → lands empty
         (11L, d1.split(" ").take(20).mkString(" ") + " " + uniq("g", 21)), // stored span excised
-        (12L, uniq("f", 40)), (13L, uniq("f", 40)))           // in-batch pair: 12 intact, 13 empty
+        (12L, uniq("f", 40)), (13L, uniq("f", 40)),           // in-batch pair: 12 intact, 13 empty
+        (14L, (uniq("j", 20) + " ") * 2 + uniq("j", 20)))     // self-repeat ×3: first copy kept
       q.processAllAvailable()
       val got = spark.table("`strimdb`.`corpus`")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-      assert(got.keySet === Set(0L, 1L, 10L, 11L, 12L, 13L)) // every doc lands
+      assert(got.keySet === Set(0L, 1L, 10L, 11L, 12L, 13L, 14L)) // every doc lands
       assert(got(0L) === d0 && got(1L) === d1 && got(12L) === uniq("f", 40))
       assert(got(10L) === "" && got(13L) === "")
       assert(got(11L) === uniq("g", 21)) // the 20 stored-span tokens excised
+      assert(got(14L) === uniq("j", 20)) // repeats beyond the doc's first copy excised
       // store carries the ORIGINAL windows, first-writer-owned
       val owners = spark.table("`strimdb`.`corpus__winhashes`")
         .select($"owner_id").distinct().collect().map(_.getLong(0)).toSet
-      assert(owners === Set(0L, 1L, 11L, 12L))
+      assert(owners === Set(0L, 1L, 11L, 12L, 14L))
     } finally {
       q.stop()
       CatalogOps.dropDatabase(spark, "strimdb")
@@ -606,6 +609,64 @@ class StreamingSpec extends AnyFunSuite {
     run(Seq(5L), 3L)
     assert(state() === s3)
     CatalogOps.dropDatabase(spark, "rsubdb")
+  }
+
+  test("winhash compaction: content identical, fewer files, downstream decisions unchanged") {
+    import graft.sources.CatalogOps
+    import graft.operators.DedupOps
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    Seq("cwdb1", "cwdb2", "cwtrim").foreach { db =>
+      CatalogOps.dropDatabase(spark, db)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+      CatalogOps.createDatabase(spark, db)
+    }
+    val a = uniq("a", 40)
+    val texts: Map[Long, String] = Map(
+      0L -> a, 1L -> uniq("b", 40), 2L -> uniq("c", 40), 3L -> uniq("d", 40),
+      4L -> uniq("e", 40), 5L -> uniq("f", 40),
+      10L -> a,                                                        // copy of 0 → dropped
+      11L -> (a.split(" ").take(20).mkString(" ") + " " + uniq("g", 21)), // 1/22 dup → kept
+      12L -> uniq("h", 40))                                            // fresh → kept
+    def run(db: String, ids: Seq[Long], batchId: Long): Unit =
+      DedupOps.substringIncrementalBatch(
+        ids.map(i => (i, texts(i))).toDF("doc_id", "text"),
+        db, "corpus", batchId = Some(batchId))
+    def storeSet(db: String): Set[(Long, Long)] =
+      spark.table(s"`$db`.`corpus__winhashes`")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def files(db: String): Int =
+      spark.table(s"`$db`.`corpus__winhashes`").inputFiles.length
+    // twin stores, identical batches: cwdb1 compacts, cwdb2 is the control
+    Seq(Seq(0L, 1L), Seq(2L, 3L), Seq(4L, 5L)).zipWithIndex.foreach { case (ids, i) =>
+      Seq("cwdb1", "cwdb2").foreach(db => run(db, ids, i + 1L))
+    }
+    val filesBefore = files("cwdb1")
+    val before = storeSet("cwdb1")
+    assert(before === storeSet("cwdb2"))
+    CatalogOps.compactWinhashes(spark, "cwdb1", "corpus")
+    assert(storeSet("cwdb1") === before, "fold must not change store content")
+    assert(files("cwdb1") === 1 && filesBefore > 1)
+    // the stream continues over the compacted store: decisions equal the
+    // uncompacted control's, and both stores stay content-equal
+    Seq("cwdb1", "cwdb2").foreach(db => run(db, Seq(10L, 11L, 12L), 4L))
+    def kept(db: String): Set[Long] =
+      spark.table(s"`$db`.`corpus`").collect().map(_.getLong(0)).toSet
+    assert(kept("cwdb1") === kept("cwdb2"))
+    assert(kept("cwdb1") === Set(0L, 1L, 2L, 3L, 4L, 5L, 11L, 12L))
+    assert(storeSet("cwdb1") === storeSet("cwdb2"))
+    // the trim stream shares the store schema: fold, then trim against it
+    DedupOps.substringTrimIncrementalBatch(
+      Seq((0L, a)).toDF("doc_id", "text"), "cwtrim", "corpus", batchId = Some(1L))
+    val tBefore = storeSet("cwtrim")
+    CatalogOps.compactWinhashes(spark, "cwtrim", "corpus")
+    assert(storeSet("cwtrim") === tBefore)
+    DedupOps.substringTrimIncrementalBatch(
+      Seq((10L, a)).toDF("doc_id", "text"), "cwtrim", "corpus", batchId = Some(2L))
+    val trimmed = spark.table("`cwtrim`.`corpus`")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(trimmed(0L) === a && trimmed(10L) === "")
+    Seq("cwdb1", "cwdb2", "cwtrim").foreach(db => CatalogOps.dropDatabase(spark, db))
   }
 
   test("near-dup ingest replays converge: committed, post-sigs, and post-docs crash windows") {
