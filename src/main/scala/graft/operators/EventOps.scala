@@ -45,11 +45,19 @@ object EventOps {
     * Catalyst reuses the exchange). The streaming twin is
     * `session_window` / `flatMapGroupsWithState`.
     */
-  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    sessionizeOn(Tables.events(spark, dir), gapMinutes)
+
+  /** Parametric core of [[sessionize]] (events: user_id, event_id, ts) —
+    * also the equivalence oracle the streaming twin's property tests
+    * compare [[graft.streaming.StreamingOps.statefulSessions]] against
+    * under randomized arrival orders.
+    */
+  private[graft] def sessionizeOn(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     val gapSec = gapMinutes * 60L
-    Tables.events(spark, dir)
+    events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
