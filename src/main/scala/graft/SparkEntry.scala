@@ -72,6 +72,10 @@ object SparkEntry {
     "q_dedup_cc"      -> ((s, d) => DedupOps.dedupConnected(s, d)),
     "q_dedup_substring" -> ((s, d) => DedupOps.dedupSubstring(s, d)),
     "q_dedup_substring_trim" -> ((s, d) => DedupOps.dedupSubstringTrim(s, d)),
+    // image-modality near-dup: rendered-mosaic corpus with planted resized
+    // copies → dHash → pigeonhole-blocked hamming join; rows-only (image
+    // decode is engine-native), planted-copy recovery pinned in tests
+    "q_image_neardup" -> ((s, d) => DedupOps.imageNearDup(s, d)),
     // ---- text analysis / embedding (LLM-pipeline north star) ----
     "q_embed_batch"     -> ((s, d) => TextAnalysisOps.embedBatch(s, d)),
     "q_text_lang"       -> ((s, d) => TextAnalysisOps.langId(s, d)),
@@ -232,6 +236,7 @@ object SparkEntry {
     "q_vec_quantize", "q_embed_batch",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_embed", "q_dedup_cc", "q_dedup_substring", "q_dedup_substring_trim",
+    "q_image_neardup",
     "q_text_quality", "q_token_count", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast",
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",

@@ -733,8 +733,27 @@ object DedupOps {
         (0 until 64).map(p => when(col(s"v$p") > 0, lit(1L << p)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
 
-    // Pigeonhole guarantee needs maxHamming + 1 chunks: ≤ maxHamming
-    // differing bits cannot touch every chunk, so some chunk stays equal.
+    val nearPairs = hammingNearPairs(
+      fp.select(col("doc_id").as("id"), col("simhash").as("fp")), maxHamming)
+    val counts = nearPairs.groupBy(col("a_id")).agg(count(lit(1)).as("n_neighbors"))
+    fp.join(counts, fp("doc_id") === counts("a_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Pigeonhole-blocked hamming pair generation over 64-bit fingerprints
+    * `(id, fp)` — the shared blocking plan of the text [[simHash]] and the
+    * image perceptual-hash pass ([[imageNearDupOn]]). `maxHamming + 1`
+    * chunks: ≤ maxHamming differing bits cannot touch every chunk, so some
+    * chunk stays equal and equi-joins on (chunk_idx, chunk_value) generate
+    * EVERY qualifying pair with EXACT recall — no cross join, shuffle on
+    * chunk keys only; the XOR-popcount verify runs after the distinct.
+    * Output: symmetric (a_id, b_id, a_fp, b_fp) rows, a_id ≠ b_id, both
+    * directions (callers keep one direction with `a_id < b_id` or count
+    * neighbors per a_id).
+    */
+  private[graft] def hammingNearPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1
     require(nChunks >= 1 && nChunks <= 32, s"maxHamming out of range: $maxHamming")
     val width = 64 / nChunks
@@ -742,23 +761,59 @@ object DedupOps {
       val start = c * width
       val len = if (c == nChunks - 1) 64 - start else width
       val mask = if (len >= 64) -1L else (1L << len) - 1L
-      call_function("shiftright", col("simhash"), lit(start)).bitwiseAND(lit(mask))
+      call_function("shiftright", col("fp"), lit(start)).bitwiseAND(lit(mask))
     }
-    val chunked = fp.select(col("doc_id"), col("simhash"),
-        posexplode(array(chunkCols: _*)).as(Seq("chunk", "cval")))
-    val l = chunked.select(col("chunk"), col("cval"), col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+    val chunked = fps.select(col("id"), col("fp"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "cval")))
+    val l = chunked.select(col("chunk"), col("cval"), col("id").as("a_id"), col("fp").as("a_fp"))
     val r = chunked.select(col("chunk").as("chunk_r"), col("cval").as("cval_r"),
-      col("doc_id").as("b_id"), col("simhash").as("b_sh"))
-    val nearPairs = l.join(r,
+      col("id").as("b_id"), col("fp").as("b_fp"))
+    l.join(r,
         col("chunk") === col("chunk_r") && col("cval") === col("cval_r") &&
           col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
-      .filter(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxHamming)
-    val counts = nearPairs.groupBy(col("a_id")).agg(count(lit(1)).as("n_neighbors"))
-    fp.join(counts, fp("doc_id") === counts("a_id"), "left")
-      .select(col("doc_id"), col("simhash"),
-        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
-      .orderBy(col("doc_id").asc)
+      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
+      .filter(bit_count(col("a_fp").bitwiseXOR(col("b_fp"))) <= maxHamming)
+  }
+
+  /** Perceptual-hash IMAGE near-dup pairs — the image-modality member of
+    * the dedup family, composing the multimodal decode stack with the
+    * simhash blocking plan: per-image 64-bit dHash
+    * ([[MultimodalOps.perceptualHash]] — map-side decode, zero shuffle)
+    * then the SAME pigeonhole-blocked hamming join as [[simHash]]
+    * ([[hammingNearPairs]]). Re-encoded (PNG↔PPM), resized, or
+    * mildly-edited copies of a picture land within a few dHash bits, so
+    * the image-dedup pass every multimodal training pipeline runs is the
+    * text plan with a different fingerprint. Output (a_id, b_id,
+    * hamming), a_id < b_id. No DuckDB oracle (image decode is
+    * engine-native) — rows-only, planted-copy recovery pinned in tests.
+    */
+  def imageNearDupOn(records: org.apache.spark.sql.Dataset[MediaRecord],
+      maxHamming: Int = 8): DataFrame =
+    hammingNearPairs(
+      MultimodalOps.perceptualHash(records).toDF()
+        .select(col("doc_id").as("id"), col("dhash").as("fp")), maxHamming)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+
+  /** Fixture-driven form of [[imageNearDupOn]] (`q_image_neardup`): the
+    * corpus carries no rasters, so each document's bytes render as a
+    * deterministic 8×8-block P6 mosaic ([[MultimodalOps.renderPpm]]), and
+    * every 5th doc is re-rendered as a 48×48 nearest-neighbor RESIZE under
+    * a surrogate id — the resized-copy pathology image dedup exists for.
+    * The planted pairs (d, d+10000) must come back through the real
+    * decode → dHash → blocked-join path.
+    */
+  def imageNearDup(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    import spark.implicits._
+    val imgs = MultimodalOps.mediaRecords(spark, dir)
+      .map(r => MediaRecord(r.doc_id,
+        MultimodalOps.renderPpm(r.payload), "image/x-portable-pixmap"))
+    val copies = MultimodalOps
+      .resizePpm(imgs.filter((r: MediaRecord) => r.doc_id % 5 == 0), 48, 48)
+      .map(r => MediaRecord(r.doc_id + 10000, r.payload, r.mime))
+    imageNearDupOn(imgs.unionAll(copies), maxHamming)
   }
 
   /** Embedding-space near-dup: each doc that has a lower-id neighbor at

@@ -19,6 +19,9 @@ case class FrameRecord(doc_id: Long, frame_idx: Long, frame_payload: Array[Byte]
 /** A media feature vector (the media-embedding output schema). */
 case class MediaFeature(doc_id: Long, feature: Array[Float])
 
+/** Perceptual 64-bit image hashes (difference hash + average hash). */
+case class MediaPHash(doc_id: Long, dhash: Long, ahash: Long)
+
 /** Decoded audio metadata (the audio-decode output schema). */
 case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
     bits: Long, n_samples: Long, duration_ms: Long, content_sha: String)
@@ -359,6 +362,117 @@ object MultimodalOps {
         }
       }
     }
+  }
+
+  /** Grayscale pixel access over whatever codec claims the payload — P6
+    * via [[parsePpm]] (raw plane walk) or any ImageIO format (decoded
+    * raster). Integer Rec.601 luma (299/587/114 over 1000): no float
+    * rounding, no AWT colorspace conversion — the same payload hashes
+    * identically on every JVM. Returns (width, height, sample(x, y));
+    * None when no codec claims the payload.
+    */
+  private def graySampler(b: Array[Byte]): Option[(Int, Int, (Int, Int) => Int)] = {
+    def luma(r: Int, g: Int, bl: Int): Int = (r * 299 + g * 587 + bl * 114) / 1000
+    parsePpm(b).map { case (sw, sh, _, off) =>
+      (sw, sh, (sx: Int, sy: Int) => {
+        val p = off + (sy.toLong * sw + sx).toInt * 3
+        luma(b(p) & 0xFF, b(p + 1) & 0xFF, b(p + 2) & 0xFF)
+      })
+    }.orElse(decodeImage(b).map { img =>
+      (img.getWidth, img.getHeight, (sx: Int, sy: Int) => {
+        val rgb = img.getRGB(sx, sy)
+        luma((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+      })
+    })
+  }
+
+  /** Nearest-neighbor gw×gh downsample grid (same index math as
+    * [[resizePpm]], Long-safe): cell (x, y) samples the source pixel at
+    * (⌊x·sw/gw⌋, ⌊y·sh/gh⌋).
+    */
+  private def grayGrid(sw: Int, sh: Int, sample: (Int, Int) => Int,
+      gw: Int, gh: Int): Array[Int] =
+    Array.tabulate(gw * gh) { i =>
+      val x = i % gw; val y = i / gw
+      sample((x.toLong * sw / gw).toInt, (y.toLong * sh / gh).toInt)
+    }
+
+  /** Perceptual image hashes — the image-modality fingerprint that makes
+    * re-encoded/resized copies of one picture land a few bits apart
+    * (where any byte hash sees unrelated payloads):
+    *
+    *  - dHash (difference hash): 9×8 grayscale grid, bit y·8+x set when
+    *    grid(x,y) < grid(x+1,y) — gradient signs survive resampling and
+    *    lossy re-encodes.
+    *  - aHash (average hash): 8×8 grid, bit set when the cell exceeds the
+    *    (integer) grid mean.
+    *
+    * One decode per payload feeds both grids; unclaimed payloads are
+    * dropped (the [[meanRgb]] mixed-corpus contract). Map-side
+    * `mapPartitions`, zero shuffle; the near-dup JOIN over these hashes is
+    * [[DedupOps.imageNearDupOn]] — the same pigeonhole-blocked hamming
+    * plan as the text simhash, no cross join.
+    */
+  def perceptualHash(records: Dataset[MediaRecord]): Dataset[MediaPHash] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        graySampler(r.payload).map { case (sw, sh, sample) =>
+          val dg = grayGrid(sw, sh, sample, 9, 8)
+          var dh = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (dg(y * 9 + x) < dg(y * 9 + x + 1)) dh |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          val ag = grayGrid(sw, sh, sample, 8, 8)
+          val avg = ag.sum / 64
+          var ah = 0L
+          var i = 0
+          while (i < 64) { if (ag(i) > avg) ah |= 1L << i; i += 1 }
+          MediaPHash(r.doc_id, dh, ah)
+        }
+      }
+    }
+  }
+
+  /** Deterministic P6 render of arbitrary bytes as a `blocks`×`blocks`
+    * color mosaic (block k takes payload bytes 3k..3k+2 as RGB, cycled),
+    * `blockPx` pixels per block side. Turns any corpus into a DECODABLE
+    * image corpus — the fixtures ship no rasters, so the image-dedup
+    * contract query renders its own; block structure (not per-pixel
+    * noise) is what perceptual hashing assumes of real photographs, and
+    * it makes the mosaic's dHash invariant under nearest-neighbor
+    * resampling at block granularity.
+    */
+  def renderPpm(payload: Array[Byte], blocks: Int = 8, blockPx: Int = 4): Array[Byte] = {
+    require(blocks > 0 && blockPx > 0 && blocks.toLong * blockPx <= 4096,
+      s"invalid mosaic dims $blocks×$blockPx")
+    val wh = blocks * blockPx
+    val header = s"P6\n$wh $wh\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + wh * wh * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0
+    while (y < wh) {
+      var x = 0
+      while (x < wh) {
+        val block = (y / blockPx) * blocks + (x / blockPx)
+        val base = header.length + (y * wh + x) * 3
+        var c = 0
+        while (c < 3) {
+          out(base + c) =
+            if (payload.isEmpty) 0 else payload((block * 3 + c) % payload.length)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** REAL audio container probe via the JDK's OWN sampled-audio stack —

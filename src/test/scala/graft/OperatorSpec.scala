@@ -2404,6 +2404,84 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(2L) === ((tail, 20L)), "doc 2's copy of the span must be trimmed")
   }
 
+  test("image near-dup recovers resized, re-encoded, and mildly-edited copies via dHash blocking") {
+    import spark.implicits._
+    import graft.operators.{MediaRecord, MultimodalOps}
+    val rnd = new scala.util.Random(1234L)
+    val bytesA = Array.fill(192)(rnd.nextInt(256).toByte)
+    val bytesD = Array.fill(192)(rnd.nextInt(256).toByte)
+    // E = A with one mosaic block recolored white → black — a mild edit,
+    // not a new image; the extreme swap guarantees the gradient signs
+    // against the block's two grid neighbors flip
+    (30 to 32).foreach(i => bytesA(i) = 0xFF.toByte)
+    val bytesE = bytesA.clone()
+    (30 to 32).foreach(i => bytesE(i) = 0x00.toByte)
+    val mosaicA = MultimodalOps.renderPpm(bytesA)
+    // C = the same picture PNG-re-encoded (decode the P6 raster into a
+    // BufferedImage, write PNG): byte-level unrelated, perceptually equal
+    val png = {
+      val (w, h, _, off) = MultimodalOps.parsePpm(mosaicA).get
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = off + (y * w + x) * 3
+        img.setRGB(x, y, ((mosaicA(p) & 0xFF) << 16) |
+          ((mosaicA(p + 1) & 0xFF) << 8) | (mosaicA(p + 2) & 0xFF))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val records = Seq(
+      MediaRecord(1L, mosaicA, "image/x-portable-pixmap"),
+      MediaRecord(3L, png, "image/png"),
+      MediaRecord(4L, MultimodalOps.renderPpm(bytesD), "image/x-portable-pixmap"),
+      MediaRecord(5L, MultimodalOps.renderPpm(bytesE), "image/x-portable-pixmap"),
+      MediaRecord(6L, "not an image".getBytes("UTF-8"), "text/plain")).toDS
+    val withResize = records.unionAll(
+      MultimodalOps.resizePpm(records.filter((r: MediaRecord) => r.doc_id == 1L), 48, 48)
+        .map(r => MediaRecord(2L, r.payload, r.mime)))
+    val df = DedupOps.imageNearDupOn(withResize, maxHamming = 8)
+    // blocked equi-join only — a cross join here would be quadratic at scale
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // resize and PNG re-encode are perceptually identical to the original
+    assert(pairs((1L, 2L)) === 0 && pairs((1L, 3L)) === 0 && pairs((2L, 3L)) === 0)
+    // the one-block edit moves at most two gradient signs per affected row
+    assert(pairs.contains((1L, 5L)) && pairs((1L, 5L)) > 0 && pairs((1L, 5L)) <= 4)
+    // the unrelated mosaic pairs with nothing; unclaimed payloads drop out
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.keys.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("fixture image near-dup recovers every planted resized copy") {
+    import graft.sources.Tables
+    val pairs = DedupOps.imageNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % 5 == 0).map(d => (d, d + 10000)).toSet
+    assert(planted.nonEmpty && planted.subsetOf(pairs),
+      s"missing planted pairs: ${(planted -- pairs).take(5)}")
+  }
+
+  test("perceptual hashes are decode-invariant and discriminate unrelated images") {
+    import spark.implicits._
+    import graft.operators.{MediaRecord, MultimodalOps}
+    val rnd = new scala.util.Random(77L)
+    val bytes = Array.fill(192)(rnd.nextInt(256).toByte)
+    val mosaic = MultimodalOps.renderPpm(bytes)
+    val other = MultimodalOps.renderPpm(Array.fill(192)(rnd.nextInt(256).toByte))
+    val hs = MultimodalOps.perceptualHash(Seq(
+      MediaRecord(1L, mosaic, "image/x-portable-pixmap"),
+      MediaRecord(2L, other, "image/x-portable-pixmap")).toDS)
+      .collect().sortBy(_.doc_id)
+    // dHash and aHash both populated and different across unrelated images
+    assert(hs(0).dhash !== hs(1).dhash)
+    assert(hs(0).ahash !== hs(1).ahash)
+    assert(java.lang.Long.bitCount(hs(0).dhash ^ hs(1).dhash) > 8)
+  }
+
   test("sample split is not aliased with the domain-mix bucket: valid/test draw from low-weight sources") {
     // With a shared multiplier, every doc surviving a weight-w source has
     // mix bucket < w*1000, so valid/test (split bucket >= 800) could only
