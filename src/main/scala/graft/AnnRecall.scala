@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object AnnRecall {
   def main(args: Array[String]): Unit = {
+    // "insertcost": measure upsertNsw's in-place insert path against the
+    // forced whole-graph rebuild on a hot cell — the cadence datum for
+    // steady small-batch graph ingest.
+    if (args.headOption.contains("insertcost")) { insertCost(args.drop(1)); return }
     val n = if (args.length > 0) args(0).toInt else 4000
     val dim = if (args.length > 1) args(1).toInt else 64
     val nClusters = if (args.length > 2) args(2).toInt else 32
@@ -137,6 +141,128 @@ object AnnRecall {
         KnnOps.topKIvfPq(spark, db, "ivfpq", df, qv.toArray, qid, k, rk, nprobe)
           .collect().map(_.getLong(0)).toSeq
       }
+    CatalogOps.dropDatabase(spark, db)
+    spark.stop()
+  }
+
+  /** In-place insert vs forced rebuild on a HOT CELL —
+    * `runMain graft.AnnRecall insertcost [n] [dim] [batches]`. A routed
+    * NSW collection (kCells = 4) takes steady small batches that all land
+    * in ONE cell (the production pathology: a trending topic keeps hitting
+    * the same cluster). Twin collections run the same batch sequence —
+    * one on [[graft.sources.CatalogOps.upsertNsw]]'s default dispatch
+    * (in-place [[graft.operators.GraphAnnOps.insertLocal]]), one with
+    * `insertFrac = 0` (every batch rebuilds the touched graph). Reports
+    * per-batch wall time for both and recall@10 vs the exact scan for
+    * both final collections — the numbers behind the insert path's
+    * existence: the rebuild pays O(cell) per batch and grows with the
+    * cell, the insert pays O(batch).
+    */
+  private def insertCost(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 20000
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val nBatches = if (args.length > 2) args(2).toInt else 8
+    val batchSize = 32
+    val kCells = 4
+    val k = 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-annrecall-warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.functions.VectorFunctions.cosineFast
+    import graft.operators.GraphAnnOps
+    import graft.sources.CatalogOps
+
+    val rnd = new scala.util.Random(2024L)
+    val centers = Array.fill(kCells, dim)(rnd.nextGaussian())
+    def vecNear(c: Int): Seq[Double] =
+      (0 until dim).map(d => centers(c)(d) + 0.15 * rnd.nextGaussian())
+    val base = (0 until n).map(i => (i.toLong, vecNear(i % kCells)))
+    // the hot stream: every batch row lands in cluster 0's cell
+    val batches = (0 until nBatches).map { b =>
+      (0 until batchSize).map(i => (1000000L + b * batchSize + i, vecNear(0)))
+    }
+
+    val db = "anninsert"
+    CatalogOps.dropDatabase(spark, db)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"/tmp/graft-annrecall-warehouse/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    val df = base.toDF("vec_id", "embedding").repartition(32).cache()
+    df.count()
+    // efConstruction kept modest so the BASE builds stay affordable at the
+    // cell sizes that make the rebuild cost visible (recorded in __meta —
+    // both maintenance modes replay the same constants)
+    Seq("nswi", "nswrb").foreach { name =>
+      CatalogOps.createNswRoutedCollection(spark, db, name, df,
+        kCells = kCells, m = 16, efConstruction = 64)
+    }
+    df.unpersist()
+
+    def runMode(name: String, frac: Double): Double = {
+      var total = 0.0
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val t0 = System.nanoTime()
+        CatalogOps.upsertNsw(spark, db, name, b.toDF("vec_id", "embedding"), frac)
+        val s = (System.nanoTime() - t0) / 1e9
+        total += s
+        println(f"[annrecall] insertcost $name batch=$i rows=$batchSize $s%.2f s")
+      }
+      total
+    }
+    val insertTotal = runMode("nswi", 0.2)
+    val rebuildTotal = runMode("nswrb", 0.0)
+
+    // recall@10 of both final collections vs the exact scan (exhaustive
+    // routing: nprobe = kCells) — the insert path must not cost recall
+    val all = (base ++ batches.flatten).toDF("vec_id", "embedding").cache()
+    all.count()
+    val queries = (0 until 10).map(q => batches.flatten.toIndexedSeq(q * 3))
+    def exactTopK(qv: Seq[Double], qid: Long): Seq[Long] =
+      all.filter(col("vec_id") =!= qid)
+        .crossJoin(broadcast(Seq(Tuple1(qv)).toDF("q")))
+        .select(col("vec_id"), cosineFast(col("embedding"), col("q")).as("s"))
+        .orderBy(col("s").desc, col("vec_id").asc)
+        .limit(k).collect().map(_.getLong(0)).toSeq
+    Seq("nswi" -> "insert-path", "nswrb" -> "rebuild-path").foreach { case (name, tag) =>
+      val r = queries.map { case (qid, qv) =>
+        GraphAnnOps.searchStoredRouted(spark, db, name, qv.toArray,
+            k + 1, efSearch = 200, nprobe = kCells)
+          .collect().map(_.getLong(0)).filter(_ != qid).take(k)
+          .count(exactTopK(qv, qid).contains).toDouble / k
+      }.sum / queries.length
+      println(f"[annrecall] insertcost $tag recall@$k = $r%.3f")
+    }
+    println(f"[annrecall] insertcost n=$n cell=${n / kCells + nBatches * batchSize} " +
+      f"batches=$nBatches×$batchSize insert_total=$insertTotal%.2f s " +
+      f"rebuild_total=$rebuildTotal%.2f s speedup=${rebuildTotal / insertTotal}%.1fx " +
+      "(end-to-end: fixed per-batch staging/overwrite overhead included)")
+
+    // the PURE graph-op cost the dispatch trades — one hot cell, no Spark
+    // overhead: rebuild is O(cell · efC · m · dim) per batch and grows
+    // with the cell; insert is O(batch · efC · m · dim), flat
+    val cell0 = (base.filter(_._1 % kCells == 0) ++ batches.flatten).sortBy(_._1)
+    val ids0 = cell0.map(_._1).toArray
+    val vecs0 = cell0.flatMap(_._2).toArray
+    val nStored = cell0.length - batchSize
+    def timeMs(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+    }
+    val g0 = GraphAnnOps.buildLocal(0, ids0.take(nStored),
+      vecs0.take(nStored * dim), dim, 16, 64)
+    val tRebuild = timeMs {
+      GraphAnnOps.buildLocal(0, ids0, vecs0, dim, 16, 64)
+    }
+    val tInsert = timeMs {
+      GraphAnnOps.insertLocal(g0, ids0.drop(nStored),
+        vecs0.drop(nStored * dim), 16, 64)
+    }
+    println(f"[annrecall] insertcost pure-op cell=${cell0.length} batch=$batchSize " +
+      f"rebuild=$tRebuild%.0f ms insert=$tInsert%.0f ms op_speedup=${tRebuild / tInsert}%.0fx")
     CatalogOps.dropDatabase(spark, db)
     spark.stop()
   }

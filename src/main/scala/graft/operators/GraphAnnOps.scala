@@ -226,6 +226,20 @@ object GraphAnnOps {
       vecs: Array[Double], dim: Int, m: Int, efConstruction: Int): NswGraph = {
     val n = ids.length
     val adjacency = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    insertNodes(adjacency, vecs, dim, from = 1, until = n, m, efConstruction)
+    toCsr(part, ids, vecs, dim, adjacency)
+  }
+
+  /** The Malkov insert loop (beam search over the graph so far →
+    * diversity-selected neighbors → bidirectional links → overflow prune)
+    * for nodes [from, until) — the shared core of a from-scratch build
+    * ([[buildLocal]], from = 1) and of TRUE incremental insertion into an
+    * existing graph ([[insertLocal]], from = the stored node count).
+    */
+  private def insertNodes(
+      adjacency: Array[scala.collection.mutable.ArrayBuffer[Int]],
+      vecs: Array[Double], dim: Int, from: Int, until: Int,
+      m: Int, efConstruction: Int): Unit = {
     def pruneTo(node: Int): Unit = {
       val a = adjacency(node)
       if (a.length > m) {
@@ -237,8 +251,8 @@ object GraphAnnOps {
         a.clear(); a ++= kept
       }
     }
-    var node = 1
-    while (node < n) {
+    var node = from
+    while (node < until) {
       val q = new Array[Double](dim)
       System.arraycopy(vecs, node * dim, q, 0, dim)
       val found = beamSearch(vecs, dim,
@@ -253,6 +267,12 @@ object GraphAnnOps {
       }
       node += 1
     }
+  }
+
+  private def toCsr(part: Int, ids: Array[Long], vecs: Array[Double],
+      dim: Int,
+      adjacency: Array[scala.collection.mutable.ArrayBuffer[Int]]): NswGraph = {
+    val n = ids.length
     val adjOff = new Array[Int](n + 1)
     var o = 0; var j = 0
     while (j < n) { o += adjacency(j).length; adjOff(j + 1) = o; j += 1 }
@@ -264,6 +284,41 @@ object GraphAnnOps {
       j += 1
     }
     NswGraph(part, n, dim, ids, vecs, adjOff, adjFlat)
+  }
+
+  /** TRUE incremental insertion into a stored graph — Malkov's insert
+    * without the whole-graph rebuild [[graft.sources.CatalogOps.upsertNsw]]
+    * previously paid for every touched graph: the stored CSR arrays seed
+    * the adjacency, the batch's nodes append in ascending-id order, and
+    * each runs the SAME insert step as construction ([[insertNodes]] —
+    * beam search, diversity selection, link-back, overflow prune). Cost is
+    * O(batch · ef · M · dim) instead of O(graph · ef · M · dim); at a hot
+    * cell receiving steady small batches that is the difference between
+    * paying the cell and paying the batch. The insertion ORDER differs
+    * from a from-scratch build (new ids append after stored ones instead
+    * of interleaving by id), so the graph is not byte-equal to a rebuild —
+    * NSW quality is insertion-order-robust and recall is pinned equal on
+    * planted clusters in tests; callers needing the canonical order force
+    * a rebuild (the update path always does).
+    */
+  private[graft] def insertLocal(g: NswGraph, addIds: Array[Long],
+      addVecs: Array[Double], m: Int, efConstruction: Int): NswGraph = {
+    val nAdd = addIds.length
+    if (nAdd == 0) return g
+    val n0 = g.n
+    val n = n0 + nAdd
+    val vecs = new Array[Double](n * g.dim)
+    System.arraycopy(g.vecs, 0, vecs, 0, n0 * g.dim)
+    System.arraycopy(addVecs, 0, vecs, n0 * g.dim, nAdd * g.dim)
+    val adjacency = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var j = 0
+    while (j < n0) {
+      var p = g.adjOff(j)
+      while (p < g.adjOff(j + 1)) { adjacency(j) += g.adj(p); p += 1 }
+      j += 1
+    }
+    insertNodes(adjacency, vecs, g.dim, from = n0, until = n, m, efConstruction)
+    toCsr(g.part, g.ids ++ addIds, vecs, g.dim, adjacency)
   }
 
   /** Pure single-graph query (the `flatMap` body of [[searchGraphs]]).

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** DDL surface — the reference's database/collection lifecycle mapped to the
   * Spark catalog (ref `TencentVDB.py:22` create_database, `:53-61`
@@ -612,17 +612,29 @@ object CatalogOps {
   /** Incremental NSW maintenance — the graph twin of [[upsertIvf]]: the
     * batch's target graphs are found by replaying the ingest hash
     * (`pmod(hash(vec_id), shards)` — `functions.hash` IS the Murmur3 used
-    * by `repartition(n, col)`, seed 42), those graphs' rows are recovered
-    * from their stored vectors, merged last-writer-wins with the batch,
-    * and ONLY the touched graphs rebuild (same insertion order, same
-    * constants from `name__meta`) and rewrite via dynamic partition
-    * overwrite. Untouched graph partitions keep their files byte-for-byte
-    * (pinned in tests). Batch schema: (vec_id, embedding).
+    * by `repartition(n, col)`, seed 42), and only the touched graphs
+    * rewrite via dynamic partition overwrite; untouched graph partitions
+    * keep their files byte-for-byte (pinned in tests). Batch schema:
+    * (vec_id, embedding).
+    *
+    * Two maintenance paths per touched graph:
+    *  - TRUE INSERT ([[graft.operators.GraphAnnOps.insertLocal]]) when the
+    *    graph's batch rows are all NEW ids and number at most
+    *    `insertFrac` of its stored nodes: the stored CSR seeds the
+    *    adjacency and only the batch runs Malkov's insert step —
+    *    O(batch) per graph, the path a hot cell on a steady small-batch
+    *    stream needs (a rebuild pays O(cell) per batch forever).
+    *  - REBUILD (same insertion order, same constants from `name__meta`)
+    *    when any batch id updates a stored row — a stale node's links
+    *    must not survive — or when the batch is a large fraction of the
+    *    graph, where a from-scratch build costs the same and restores the
+    *    canonical id-interleaved insertion order.
     */
   def upsertNsw(spark: SparkSession, db: String, name: String,
-      rawBatch: DataFrame): Unit = {
+      rawBatch: DataFrame, insertFrac: Double = 0.2): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    import spark.implicits._
     val (shards, m, efC, routed) = readNswMeta(spark, db, name)
     // a batch carrying the same id twice resolves deterministically (the
     // winner is a function of row values — same rule as the merge core's
@@ -655,32 +667,83 @@ object CatalogOps {
             .join(broadcast(batch.select(col("vec_id"))), "vec_id")
             .select(col("part")))
         .distinct()
-    // decode the touched graphs back to (part, vec_id, embedding) rows
-    val stored = graphs.join(broadcast(touched), "part")
+    // per-part dispatch stats (driver-side: the touched set is micro-batch
+    // bounded by contract, one row per graph): stored node count, and how
+    // many batch ids each touched graph ALREADY holds (ids column only —
+    // no vector decode for the stats)
+    val touchedGraphs = graphs.join(broadcast(touched), "part")
+    val storedN: Map[Int, Long] = touchedGraphs
+      .select(col("part"), col("n"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1).toLong).toMap
+    val overlapN: Map[Int, Long] = touchedGraphs
+      .select(col("part"), explode(col("ids")).as("vec_id"))
+      .join(broadcast(batch.select(col("vec_id"))), "vec_id")
+      .groupBy(col("part")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batchN: Map[Int, Long] = batchP
+      .groupBy(col("part").cast("int").as("part")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val insertParts: Set[Int] = batchN.keySet.filter { p =>
+      overlapN.getOrElse(p, 0L) == 0L &&
+        storedN.get(p).exists(ns => batchN(p) <= insertFrac * ns)
+    }
+    val rebuildParts = touched.filter(!col("part").isin(insertParts.toSeq.map(Int.box): _*))
+    // REBUILD path: decode the rebuild graphs back to rows, last-writer-
+    // wins merge with their batch rows, from-scratch build
+    val stored = graphs.join(broadcast(rebuildParts), "part")
       .select(col("part"), col("dim"),
         posexplode(col("ids")).as(Seq("i", "vec_id")), col("vecs"))
       .select(col("part"), col("vec_id"),
         slice(col("vecs"), col("i") * col("dim") + 1, col("dim")).as("embedding"))
-    // last-writer-wins: batch rows replace stored rows of the same id
     val merged = stored.join(batch.select(col("vec_id")), Seq("vec_id"), "left_anti")
-      .unionByName(batchP.select(col("part"), col("vec_id"), col("embedding")))
-    rewriteTouchedGraphs(spark, db, name, touched, merged, m, efC)
+      .unionByName(batchP.select(col("part"), col("vec_id"), col("embedding"))
+        .filter(!col("part").isin(insertParts.toSeq.map(Int.box): _*)))
+    val rebuilt = graft.operators.GraphAnnOps.buildGraphsByPart(merged, m, efC)
+    // INSERT path: cogroup each insert graph with its (new-id) batch rows
+    // and run the incremental insert — the stored graph is read once, the
+    // work is O(batch rows) per graph
+    val written =
+      if (insertParts.isEmpty) rebuilt
+      else {
+        val ip = insertParts.toSeq.map(Int.box)
+        val gks = graphs.filter(col("part").isin(ip: _*))
+          .as[graft.operators.NswGraph].groupByKey(_.part)
+        val rks = batchP.filter(col("part").isin(ip: _*))
+          .select(col("part").cast("int"), col("vec_id"),
+            col("embedding").cast("array<double>"))
+          .as[(Int, Long, Seq[Double])].groupByKey(_._1)
+        val inserted = gks.cogroup(rks) { (_, gs, rows) =>
+          if (!gs.hasNext) Iterator.empty
+          else {
+            val g = gs.next()
+            val rs = rows.toArray.sortBy(_._2) // ascending-id insert order
+            val addVecs = new Array[Double](rs.length * g.dim)
+            var r = 0
+            while (r < rs.length) {
+              val v = rs(r)._3; var i = 0
+              while (i < g.dim) { addVecs(r * g.dim + i) = v(i); i += 1 }
+              r += 1
+            }
+            Iterator.single(graft.operators.GraphAnnOps.insertLocal(
+              g, rs.map(_._2), addVecs, m, efC))
+          }
+        }
+        rebuilt.unionByName(inserted)
+      }
+    rewriteTouchedGraphs(spark, db, name, touched, written)
   }
 
-  /** Shared rebuild-and-rewrite tail of [[upsertNsw]] and [[deleteNsw]]:
-    * rebuild the touched graphs from their merged/surviving rows (each row
-    * goes back to exactly its own part — [[graft.operators.GraphAnnOps
-    * .buildGraphsByPart]]), stage (the plan reads the table it rewrites),
-    * dynamic-overwrite exactly the staged graph partitions, and drop any
-    * touched partition that emptied (every node deleted, or a routed
-    * update moved a cell's last row away).
+  /** Shared rewrite tail of [[upsertNsw]] and [[deleteNsw]]: stage the
+    * rebuilt/incrementally-inserted graphs (the plan reads the table it
+    * rewrites), dynamic-overwrite exactly the staged graph partitions,
+    * and drop any touched partition that emptied (every node deleted, or
+    * a routed update moved a cell's last row away).
     */
   private def rewriteTouchedGraphs(spark: SparkSession, db: String,
-      name: String, touched: DataFrame, rows: DataFrame,
-      m: Int, efC: Int): Unit = {
+      name: String, touched: DataFrame,
+      rebuilt: Dataset[graft.operators.NswGraph]): Unit = {
     import org.apache.spark.sql.functions._
     val table = s"`$db`.`$name`"
-    val rebuilt = graft.operators.GraphAnnOps.buildGraphsByPart(rows, m, efC)
     val staging = s"`$db`.`__${name}_graph_staging`"
     rebuilt.toDF().write.mode("overwrite").saveAsTable(staging)
     val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -745,7 +808,8 @@ object CatalogOps {
       .select(col("part"), col("vec_id"),
         slice(col("vecs"), col("i") * col("dim") + 1, col("dim")).as("embedding"))
       .join(broadcast(doomed), Seq("vec_id"), "left_anti")
-    rewriteTouchedGraphs(spark, db, name, touched, kept, m, efC)
+    rewriteTouchedGraphs(spark, db, name, touched,
+      graft.operators.GraphAnnOps.buildGraphsByPart(kept, m, efC))
   }
 
   /** Row deletion by id — the write the dedup pipeline ends with (drop the

@@ -85,6 +85,44 @@ object GraphAnnProperties extends Properties("graft.operators.GraphAnnOps") {
     g1.adjOff.sameElements(g2.adjOff) && g1.adj.sameElements(g2.adj)
   }
 
+  property("incremental insert: unpruned graph + exhaustive beam still equals brute force") =
+    forAll(corpusGen, Gen.choose(0.0, 1.0)) { (c, splitFrac) =>
+      // build on a prefix, insertLocal the rest: the incrementally-grown
+      // graph must answer exhaustive queries exactly like a full build does
+      val n = c.ids.length
+      val k = math.max(1, math.min(n, (n * splitFrac).toInt))
+      val g0 = GraphAnnOps.buildLocal(0, c.ids.take(k), c.vecs.take(k * c.dim),
+        c.dim, m = n, efConstruction = n)
+      val g = GraphAnnOps.insertLocal(g0, c.ids.drop(k), c.vecs.drop(k * c.dim),
+        m = n, efConstruction = n)
+      val q = c.vecs.slice(0, c.dim)
+      val got = GraphAnnOps.searchLocal(g, q, ef = n)
+      val want = c.ids.indices
+        .map(i => (c.ids(i), cos(c.vecs, c.dim, i, q)))
+        .sortBy { case (id, s) => (-s, id) }
+      got.toSeq == want
+    }
+
+  property("incremental insert respects the degree bound m + 1 and isolates no node") =
+    forAll(corpusGen, Gen.choose(1, 6)) { (c, m) =>
+      val n = c.ids.length
+      val k = math.max(1, n / 2)
+      val g0 = GraphAnnOps.buildLocal(0, c.ids.take(k), c.vecs.take(k * c.dim),
+        c.dim, m, efConstruction = 8)
+      val g = GraphAnnOps.insertLocal(g0, c.ids.drop(k), c.vecs.drop(k * c.dim),
+        m, efConstruction = 8)
+      val degrees = (0 until g.n).map(i => g.adjOff(i + 1) - g.adjOff(i))
+      g.n == n && g.ids.sameElements(c.ids) &&
+        degrees.forall(_ <= m + 1) && (g.n == 1 || degrees.forall(_ >= 1))
+    }
+
+  property("inserting zero nodes is the identity") = forAll(corpusGen) { c =>
+    val g0 = GraphAnnOps.buildLocal(0, c.ids, c.vecs, c.dim, 4, 10)
+    val g = GraphAnnOps.insertLocal(g0, Array.empty[Long], Array.empty[Double], 4, 10)
+    g.adjOff.sameElements(g0.adjOff) && g.adj.sameElements(g0.adj) &&
+      g.ids.sameElements(g0.ids)
+  }
+
   property("pool-boundary score ties admit the lower node (hand-built CSR)") = {
     // 3 identical vectors: every score ties. Path 0 → 2 → 1 visits the
     // HIGHER node first; at ef = 2 the pool is full when node 1 arrives

@@ -990,6 +990,106 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "nswupdb")
   }
 
+  test("NSW upsert dispatch: small new-id batches insert in place, updates and forced mode rebuild") {
+    import graft.sources.{CatalogOps, Tables}
+    import spark.implicits._
+    CatalogOps.dropDatabase(spark, "nswinsdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/nswinsdb.db"))
+    CatalogOps.createDatabase(spark, "nswinsdb")
+    val emb = Tables.embeddings(spark, sf)
+    CatalogOps.createNswCollection(spark, "nswinsdb", "emb_nsw", emb, shards = 4)
+    // a NEGATIVE id sorts before every stored id: an in-place insert
+    // APPENDS it to the graph's id array, a rebuild would put it first —
+    // the stored order is the witness for which path ran
+    val newId = -5L
+    val v = emb.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head().getSeq[Double](0)
+    val newVec = v.map(_ * 0.5) // same direction: cosine 1.0 against v
+    val part = Seq(newId).toDF("id")
+      .select(pmod(hash(col("id").cast("long")), lit(4))).head().getInt(0)
+    def partIds(): Seq[Long] = spark.table("`nswinsdb`.`emb_nsw`")
+      .filter(col("part") === part).select(col("ids")).head().getSeq[Long](0)
+    CatalogOps.upsertNsw(spark, "nswinsdb", "emb_nsw",
+      Seq((newId, newVec)).toDF("vec_id", "embedding"))
+    val afterInsert = partIds()
+    assert(afterInsert.last === newId, "small new-id batch must take the in-place insert path")
+    assert(afterInsert.count(_ == newId) === 1)
+    // the incrementally-grown graph serves the new vector
+    val hit = GraphAnnOps.searchStored(spark, "nswinsdb", "emb_nsw",
+      newVec.toArray, k = 2).collect().map(_.getLong(0))
+    assert(hit.contains(newId) && hit.contains(3L))
+    // updating the id (same batch shape, id now stored) must REBUILD: a
+    // stale node's links cannot survive, and the rebuild restores the
+    // canonical ascending-id insertion order
+    CatalogOps.upsertNsw(spark, "nswinsdb", "emb_nsw",
+      Seq((newId, v.map(_ * -1.0))).toDF("vec_id", "embedding"))
+    val afterUpdate = partIds()
+    assert(afterUpdate.head === newId, "update path must rebuild in ascending-id order")
+    assert(afterUpdate === afterUpdate.sorted)
+    val hitNeg = GraphAnnOps.searchStored(spark, "nswinsdb", "emb_nsw",
+      v.map(_ * -1.0).toArray, k = 1).head()
+    assert(hitNeg.getLong(0) === newId && hitNeg.getDouble(1) === 1.0)
+    // insertFrac = 0 forces the rebuild path even for a fresh id
+    CatalogOps.upsertNsw(spark, "nswinsdb", "emb_nsw",
+      Seq((-7L, newVec)).toDF("vec_id", "embedding"), insertFrac = 0.0)
+    val p7 = Seq(-7L).toDF("id")
+      .select(pmod(hash(col("id").cast("long")), lit(4))).head().getInt(0)
+    val ids7 = spark.table("`nswinsdb`.`emb_nsw`")
+      .filter(col("part") === p7).select(col("ids")).head().getSeq[Long](0)
+    assert(ids7 === ids7.sorted, "insertFrac=0 must force a full rebuild")
+    assert(ids7.contains(-7L))
+    CatalogOps.dropDatabase(spark, "nswinsdb")
+  }
+
+  test("NSW in-place insert matches a from-scratch build's results on planted clusters") {
+    import graft.sources.CatalogOps
+    import spark.implicits._
+    Seq("nswca", "nswcb").foreach { db =>
+      CatalogOps.dropDatabase(spark, db)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+      CatalogOps.createDatabase(spark, db)
+    }
+    val rnd = new scala.util.Random(4242L)
+    val dim = 8
+    def clusterVec(c: Int): Seq[Double] =
+      Seq.tabulate(dim)(i => (if (i % 4 == c) 1.0 else 0.05) + rnd.nextDouble() * 0.05)
+    val base = (0 until 160).map(i => (i.toLong, clusterVec(i % 4)))
+    val extra = (0 until 8).map(i => (1000L + i, clusterVec(i % 4)))
+    // A: create on the base, then in-place insert the extras (4 shards ×
+    // ~40 nodes; ≤ 2 new rows per shard — well under the insert threshold)
+    CatalogOps.createNswCollection(spark, "nswca", "emb_nsw",
+      base.toDF("vec_id", "embedding"), shards = 4)
+    CatalogOps.upsertNsw(spark, "nswca", "emb_nsw", extra.toDF("vec_id", "embedding"))
+    // verify A actually took the insert path (extras appended, not sorted in)
+    val appended = spark.table("`nswca`.`emb_nsw`").select(col("ids")).collect()
+      .map(_.getSeq[Long](0)).filter(_.exists(_ >= 1000L))
+    assert(appended.nonEmpty && appended.forall(ids => ids.last >= 1000L))
+    // B: one from-scratch build over the union
+    CatalogOps.createNswCollection(spark, "nswcb", "emb_nsw",
+      (base ++ extra).toDF("vec_id", "embedding"), shards = 4)
+    // every cluster centroid query returns the same neighbors from both —
+    // and both equal the brute-force exact ranking
+    val all = (base ++ extra).toMap
+    (0 until 4).foreach { c =>
+      val q = Seq.tabulate(dim)(i => if (i % 4 == c) 1.0 else 0.05)
+      def cos(v: Seq[Double]): Double = {
+        val ab = v.zip(q).map { case (x, y) => x * y }.sum
+        ab / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum))
+      }
+      val want = all.toSeq.map { case (id, v) => (id, cos(v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+      val gotA = GraphAnnOps.searchStored(spark, "nswca", "emb_nsw",
+        q.toArray, k = 5, efSearch = 200).collect().map(_.getLong(0)).toSeq
+      val gotB = GraphAnnOps.searchStored(spark, "nswcb", "emb_nsw",
+        q.toArray, k = 5, efSearch = 200).collect().map(_.getLong(0)).toSeq
+      assert(gotA === want, s"cluster $c: insert-path collection diverged from exact")
+      assert(gotB === want, s"cluster $c: rebuilt collection diverged from exact")
+    }
+    Seq("nswca", "nswcb").foreach(db => CatalogOps.dropDatabase(spark, db))
+  }
+
   test("IVF probe retrieval recalls the exact top-k on the fixture") {
     val exact = KnnOps.topK(spark, sf, queryId = 0L, k = 3)
       .select("vec_id").collect().map(_.getLong(0)).toSet
