@@ -2486,6 +2486,88 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(6L) === (("", 25L))) // full copy vanishes
   }
 
+  test("substring coverage equals a suffix-array reference (the Lee et al. exact semantics)") {
+    // The window-hash pass claims: token-window at position p is duplicated
+    // iff p lies inside SOME duplicated substring of length >= w — the
+    // suffix-array formulation of Lee et al. 2021's exact algorithm. This
+    // reference computes it the suffix-array way (no hashing at all):
+    // sort all suffixes of the sentinel-separated token stream; the window
+    // at p repeats corpus-wide iff the suffix at p shares a prefix of
+    // >= w tokens with an ADJACENT suffix in sorted order (equal w-prefixes
+    // are contiguous in suffix-array order, so adjacent LCPs suffice).
+    // Equality on randomized corpora pins both the coverage semantics
+    // (spans longer than w, overlapping repeats, self-repeats, spans at
+    // every stride offset) and collision-freedom of the 64-bit hashes.
+    import spark.implicits._
+    val w = 5
+    def saReference(docs: Seq[(Long, Array[String])]): Map[Long, (Long, Long)] = {
+      val stream = scala.collection.mutable.ArrayBuffer.empty[String]
+      val owner = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      docs.foreach { case (id, toks) =>
+        toks.indices.foreach { i => stream += toks(i); owner += ((id, i)) }
+        stream += s" sep$id"; owner += ((-1L, -1)) // unique: no window spans docs
+      }
+      val a = stream.toArray
+      val n = a.length
+      val sa = (0 until n).sortWith { (i, j) =>
+        var p = i; var q = j
+        while (p < n && q < n && a(p) == a(q)) { p += 1; q += 1 }
+        if (p == n) true else if (q == n) false else a(p) < a(q)
+      }
+      def lcp(i: Int, j: Int): Int = {
+        var l = 0
+        while (i + l < n && j + l < n && a(i + l) == a(j + l)) l += 1
+        l
+      }
+      val adj = (0 until n - 1).map(r => lcp(sa(r), sa(r + 1)))
+      val dup = new Array[Boolean](n)
+      (0 until n).foreach { r =>
+        val best = math.max(if (r > 0) adj(r - 1) else 0,
+          if (r < n - 1) adj(r) else 0)
+        if (best >= w) dup(sa(r)) = true
+      }
+      val counts = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      docs.foreach { case (id, toks) =>
+        counts(id) = (math.max(toks.length - w + 1, 0).toLong, 0L)
+      }
+      (0 until n).foreach { g =>
+        val (id, pos) = owner(g)
+        if (id >= 0) {
+          val len = docs.find(_._1 == id).get._2.length
+          if (pos <= len - w && dup(g)) {
+            val (nw, nd) = counts(id); counts(id) = (nw, nd + 1)
+          }
+        }
+      }
+      counts.toMap
+    }
+    Seq(11L, 22L, 33L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 12).map(i => s"t$i")
+      // random docs over a TINY vocabulary: incidental repeats at every
+      // offset, plus planted structure — an exact-w span shared by two
+      // docs, a long span repeated twice INSIDE one doc, a w-1 span that
+      // must not flag by itself
+      val spanW = Array.fill(w)(vocab(rnd.nextInt(12)))
+      val spanLong = Array.fill(2 * w + 3)(vocab(rnd.nextInt(12)))
+      val shortSpan = Array.fill(w - 1)(vocab(rnd.nextInt(12)))
+      def randToks(k: Int) = Array.fill(k)(vocab(rnd.nextInt(12)))
+      val docs: Seq[(Long, Array[String])] = Seq(
+        (1L, randToks(10) ++ spanW ++ randToks(10)),
+        (2L, randToks(3) ++ spanW ++ randToks(20)),
+        (3L, randToks(4) ++ spanLong ++ randToks(2) ++ spanLong ++ randToks(4)),
+        (4L, shortSpan ++ randToks(8) ++ shortSpan),
+        (5L, randToks(w - 1)), // shorter than the window
+        (6L, randToks(40)), (7L, randToks(40)), (8L, randToks(60))
+      )
+      val got = DedupOps.dedupSubstringOn(
+          docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text"), w)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = saReference(docs)
+      assert(got === want, s"seed $seed: window-hash coverage diverged from the suffix array")
+    }
+  }
+
   test("substring trim ownership holds for a 100k-window document (no key-space aliasing)") {
     // A doc_id*100000+pos scalar encoding aliases here: doc 1's occurrence
     // at pos 100001 keys to 1*100000+100001 = 200001 — the SAME key as
