@@ -753,7 +753,12 @@ object DedupOps {
     * directions (callers keep one direction with `a_id < b_id` or count
     * neighbors per a_id).
     */
-  private[graft] def hammingNearPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
+  /** One (id, fp, chunk, cval) row per pigeonhole chunk of each 64-bit
+    * fingerprint — the blocking keys of [[hammingNearPairs]], exposed so
+    * the streaming image filter can persist them as its store layout
+    * (probe = equi-join on the SAME keys).
+    */
+  private[graft] def hammingChunkRows(fps: DataFrame, maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1
     require(nChunks >= 1 && nChunks <= 32, s"maxHamming out of range: $maxHamming")
     val width = 64 / nChunks
@@ -763,8 +768,12 @@ object DedupOps {
       val mask = if (len >= 64) -1L else (1L << len) - 1L
       call_function("shiftright", col("fp"), lit(start)).bitwiseAND(lit(mask))
     }
-    val chunked = fps.select(col("id"), col("fp"),
+    fps.select(col("id"), col("fp"),
       posexplode(array(chunkCols: _*)).as(Seq("chunk", "cval")))
+  }
+
+  private[graft] def hammingNearPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
+    val chunked = hammingChunkRows(fps, maxHamming)
     val l = chunked.select(col("chunk"), col("cval"), col("id").as("a_id"), col("fp").as("a_fp"))
     val r = chunked.select(col("chunk").as("chunk_r"), col("cval").as("cval_r"),
       col("id").as("b_id"), col("fp").as("b_fp"))
@@ -1172,6 +1181,102 @@ object DedupOps {
           .write.mode("overwrite").saveAsTable(s"`$db`.`$commitsName`")
       }
     } finally wins.unpersist()
+  }
+
+  /** One micro-batch of the STREAMING IMAGE near-dup ingest filter
+    * ([[graft.streaming.StreamingOps.streamingDedupImage]]) — the
+    * perceptual-hash twin of [[dedupIncrementalBatch]] for a continuous
+    * multimodal crawl, FIRST-ARRIVAL-WINS: an incoming image is dropped
+    * when its dHash lands within `maxHamming` bits of a RETAINED image
+    * (the persisted fingerprint store) or of a lower-id image in the
+    * same batch. Payloads no codec claims are KEPT (the filter cannot
+    * judge them) and leave no fingerprint rows.
+    *
+    * Store layout is the blocking structure itself: one
+    * `(doc_id, fp, chunk, cval)` row per pigeonhole chunk
+    * ([[hammingChunkRows]] — maxHamming+1 rows per image), so the probe
+    * is an equi-join on (chunk, cval) pruned by a broadcast of the
+    * batch's chunk keys — per-batch cost ∝ batch × bucket occupancy,
+    * never the stored corpus (at scale, bucket the store on
+    * (chunk, cval) and the probe is bucket-local, the [[LshGuard]]
+    * boilerplate caveat applying to pathological all-identical streams
+    * the same way). Replay-safe under at-least-once foreachBatch with
+    * the standard two layers: a 1-row commit watermark no-ops committed
+    * batches, and the hashes-docs crash window is closed by OWNERSHIP —
+    * a replayed image probing its own crashed-in fingerprint rows sees
+    * `store_id == doc_id`, which never counts, so it re-reaches the
+    * original decision and the id-anti-joined appends fill in whatever
+    * is missing (pinned in StreamingSpec alongside the text twins).
+    */
+  private[graft] def imageIncrementalBatch(batch0: DataFrame, db: String,
+      name: String, maxHamming: Int = 8, batchId: Option[Long] = None): Unit = {
+    val spark = batch0.sparkSession
+    val commitsName = s"${name}__commits"
+    if (batchId.isDefined && spark.catalog.tableExists(s"$db.$commitsName")) {
+      val r = spark.table(s"`$db`.`$commitsName`")
+        .agg(max(col("batch_id"))).head()
+      if (!r.isNullAt(0) && batchId.get <= r.getLong(0)) return
+    }
+    import spark.implicits._
+    val batch = batch0.select(col("doc_id"), col("payload"))
+    val fps = MultimodalOps.perceptualHash(
+        batch.select(col("doc_id"), col("payload"),
+          lit("application/octet-stream").as("mime")).as[MediaRecord]).toDF()
+      .select(col("doc_id").as("id"), col("dhash").as("fp"))
+      .cache()
+    try {
+      // in-batch: lowest id wins its hamming neighborhood
+      val inBatchDropped = hammingNearPairs(fps, maxHamming)
+        .filter(col("a_id") < col("b_id"))
+        .select(col("b_id").as("id")).distinct()
+      val storeTable = s"$db.${name}__imghash"
+      val batchChunks = hammingChunkRows(fps, maxHamming)
+      val storeDropped =
+        if (spark.catalog.tableExists(storeTable)) {
+          // pruned probe: only the batch's chunk buckets are read
+          spark.table(s"`$db`.`${name}__imghash`")
+            .select(col("chunk"), col("cval"),
+              col("doc_id").as("store_id"), col("fp").as("store_fp"))
+            .join(broadcast(batchChunks
+              .select(col("chunk"), col("cval"), col("id"), col("fp"))), Seq("chunk", "cval"))
+            .filter(col("store_id") =!= col("id")) // replay heal: own rows never count
+            .select(col("id"), col("fp"), col("store_fp")).distinct()
+            .filter(bit_count(col("fp").bitwiseXOR(col("store_fp"))) <= maxHamming)
+            .select(col("id")).distinct()
+        } else fps.select(col("id")).limit(0)
+      val droppedIds = inBatchDropped.unionByName(storeDropped).distinct()
+        .withColumnRenamed("id", "doc_id")
+      val kept = batch.join(droppedIds, Seq("doc_id"), "left_anti")
+        .localCheckpoint() // freeze decisions BEFORE the store mutates
+      val keptIds = kept.select(col("doc_id"))
+      // HASHES first (crash window healed by ownership, see scaladoc)
+      val newRows = batchChunks.withColumnRenamed("id", "doc_id")
+        .join(keptIds, "doc_id")
+      val rowsToWrite =
+        if (spark.catalog.tableExists(storeTable))
+          newRows.join(
+            spark.table(s"`$db`.`${name}__imghash`")
+              .join(broadcast(keptIds), "doc_id")
+              .select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+        else newRows
+      rowsToWrite.select(col("doc_id"), col("fp"), col("chunk"), col("cval"))
+        .write.mode("append").saveAsTable(s"`$db`.`${name}__imghash`")
+      // DOCS second, id-anti-joined for replay idempotency
+      val docsToWrite =
+        if (spark.catalog.tableExists(s"$db.$name"))
+          kept.join(
+            spark.table(s"`$db`.`$name`")
+              .join(broadcast(keptIds), "doc_id")
+              .select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+        else kept
+      docsToWrite.write.mode("append").saveAsTable(s"`$db`.`$name`")
+      batchId.foreach { id =>
+        spark.createDataFrame(Seq(Tuple1(id))).toDF("batch_id")
+          .write.mode("overwrite").saveAsTable(s"`$db`.`$commitsName`")
+      }
+    } finally fps.unpersist()
   }
 
   /** Alternating large-star / small-star connected components (Kiveris,

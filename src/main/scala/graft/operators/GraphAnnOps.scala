@@ -58,7 +58,8 @@ object GraphAnnOps {
   /** Greedy beam search over the first `limit` nodes of an adjacency
     * structure: expand the best unexpanded candidate, keep the `ef` best
     * visited. Returns (node, score) sorted best-first with lower-node
-    * tie-breaks. Entry point is node 0 (the lowest vec_id — deterministic).
+    * tie-breaks. Entry point is node 0 — deterministic (the lowest vec_id
+    * of the original build; in-place-inserted nodes append after it).
     */
   private def beamSearch(vecs: Array[Double], dim: Int,
       neighbors: (Int, Int => Unit) => Unit,

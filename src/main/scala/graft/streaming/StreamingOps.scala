@@ -233,6 +233,29 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming IMAGE near-dup — the perceptual-hash ingest filter for a
+    * continuous multimodal crawl
+    * ([[graft.operators.DedupOps.imageIncrementalBatch]] per micro-batch):
+    * each batch of (doc_id, payload) binary images is dropped when its
+    * dHash lands within `maxHamming` bits of a retained image (persisted
+    * chunk-keyed fingerprint store, probe pruned to the batch's chunk
+    * buckets) or of a lower-id image in the same batch — re-encoded and
+    * resized copies of a stored picture never land twice. Payloads no
+    * codec claims pass through unjudged. Same commit watermark +
+    * ownership-healed replay windows as the text twins (pinned in
+    * StreamingSpec).
+    */
+  def streamingDedupImage(mediaStream: DataFrame, db: String, name: String,
+      maxHamming: Int = 8): StreamingQuery =
+    mediaStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.DedupOps.imageIncrementalBatch(batch.toDF(), db, name,
+            maxHamming, batchId = Some(batchId))
+      }
+      .start()
+
   /** Streaming substring TRIM — the cleaning twin of
     * [[streamingDedupSubstring]]: every incoming doc lands, but spans
     * already owned by the retained corpus (or by a lower-id doc in the

@@ -611,6 +611,97 @@ class StreamingSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "rsubdb")
   }
 
+  test("streaming image near-dup drops re-encoded and resized copies, keeps fresh and unjudgeable payloads") {
+    import graft.sources.CatalogOps
+    import graft.operators.{MediaRecord, MultimodalOps}
+    implicit val ctx = spark.sqlContext
+    CatalogOps.dropDatabase(spark, "simgdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/simgdb.db"))
+    CatalogOps.createDatabase(spark, "simgdb")
+    val rnd = new scala.util.Random(99L)
+    def mosaic(): Array[Byte] =
+      MultimodalOps.renderPpm(Array.fill(192)(rnd.nextInt(256).toByte))
+    val a = mosaic(); val b = mosaic()
+    // resized copy of a (perceptually identical) via the real resize path
+    import spark.implicits._
+    val aResized = MultimodalOps.resizePpm(
+      Seq(MediaRecord(0L, a, "image/x-portable-pixmap")).toDS, 48, 48)
+      .collect()(0).payload
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingOps.streamingDedupImage(
+      in.toDS.toDF("doc_id", "payload"), "simgdb", "imgs")
+    try {
+      in.addData((0L, a), (1L, b)); q.processAllAvailable()
+      in.addData(
+        (10L, aResized),                    // resized copy of stored 0 → dropped
+        (11L, mosaic()),                    // fresh → kept
+        (12L, "not an image".getBytes("UTF-8")), // unjudgeable → kept, no fp rows
+        (13L, b), (14L, b))                 // copy of stored 1 + in-batch dup → both dropped
+      q.processAllAvailable()
+      val kept = spark.table("`simgdb`.`imgs`").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(0L, 1L, 11L, 12L))
+      val fpIds = spark.table("`simgdb`.`imgs__imghash`")
+        .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(fpIds === Set(0L, 1L, 11L)) // the unjudgeable payload left no fingerprints
+      // one chunk row per pigeonhole chunk (maxHamming 8 → 9) per image
+      assert(spark.table("`simgdb`.`imgs__imghash`").count() === 3L * 9)
+    } finally {
+      q.stop()
+      CatalogOps.dropDatabase(spark, "simgdb")
+    }
+  }
+
+  test("image ingest replays converge: committed, post-hashes, and post-docs crash windows") {
+    import graft.sources.CatalogOps
+    import graft.operators.{DedupOps, MultimodalOps}
+    CatalogOps.dropDatabase(spark, "rimgdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/rimgdb.db"))
+    CatalogOps.createDatabase(spark, "rimgdb")
+    val rnd = new scala.util.Random(123L)
+    def mosaic(): Array[Byte] =
+      MultimodalOps.renderPpm(Array.fill(192)(rnd.nextInt(256).toByte))
+    val m0 = mosaic()
+    val payloads: Map[Long, Array[Byte]] = Map(
+      0L -> m0, 1L -> mosaic(),
+      2L -> m0,        // copy of 0 → dropped
+      3L -> mosaic())
+    def run(ids: Seq[Long], batchId: Long): Unit =
+      DedupOps.imageIncrementalBatch(
+        ids.map(i => (i, payloads(i))).toDF("doc_id", "payload"),
+        "rimgdb", "imgs", batchId = Some(batchId))
+    def state(): (Set[Long], Map[Long, Long], Set[Long]) = (
+      spark.table("`rimgdb`.`imgs`").collect().map(_.getLong(0)).toSet,
+      spark.table("`rimgdb`.`imgs__imghash`").groupBy($"doc_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      spark.table("`rimgdb`.`imgs__commits`").collect().map(_.getLong(0)).toSet)
+    run(Seq(0L, 1L), 1L)
+    val s1 = state()
+    assert(s1._1 === Set(0L, 1L) && s1._3 === Set(1L))
+    // COMMITTED replay short-circuits
+    run(Seq(0L, 1L), 1L)
+    assert(state() === s1)
+    // POST-DOCS crash (marker lost): same decisions, appends no-op
+    run(Seq(2L, 3L), 2L)
+    val s2 = state()
+    assert(s2._1 === Set(0L, 1L, 3L) && !s2._2.contains(2L))
+    CatalogOps.deleteByIds(spark, "rimgdb", "imgs__commits",
+      Seq(2L).toDF("batch_id"), idCol = "batch_id")
+    run(Seq(2L, 3L), 2L)
+    assert(state() === s2)
+    // POST-HASHES crash (fp rows landed, doc lost): the replayed image owns
+    // its stored fingerprints — store_id == doc_id never counts — so the
+    // doc append restores it exactly once and fp rows never duplicate
+    CatalogOps.deleteByIds(spark, "rimgdb", "imgs",
+      Seq(3L).toDF("doc_id"), idCol = "doc_id")
+    CatalogOps.deleteByIds(spark, "rimgdb", "imgs__commits",
+      Seq(2L).toDF("batch_id"), idCol = "batch_id")
+    run(Seq(2L, 3L), 2L)
+    assert(state() === s2)
+    CatalogOps.dropDatabase(spark, "rimgdb")
+  }
+
   test("winhash compaction: content identical, fewer files, downstream decisions unchanged") {
     import graft.sources.CatalogOps
     import graft.operators.DedupOps
