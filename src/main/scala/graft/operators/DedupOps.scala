@@ -844,6 +844,64 @@ object DedupOps {
       .orderBy(col("dup_id").asc)
   }
 
+  /** SEMANTIC dedup with LEARNED cell blocking — the SemDeDup shape
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): k-means clusters the embedding
+    * space, and duplicate search runs ONLY within a cluster — pairs in
+    * different cells are never compared. This is the third blocking
+    * strategy of the dedup family, distinct from both of the others:
+    * hyperplane-LSH banding ([[KnnOps.simJoinLsh]]) prunes only near
+    * τ→1, and the prefix filter ([[jaccardPairsPrefixOn]]) is lexical —
+    * learned cells capture "same meaning, different words" at the
+    * moderate cosines (τ ≈ 0.9 on real embeddings) where semantic
+    * duplicates actually live. The published trade: a cross-cell
+    * near-dup pair is missed by construction (measured on planted
+    * clusters in tests; kCells = 1 degrades to the exact all-pairs
+    * join, the recall ceiling).
+    *
+    * Plan: cache-train-unpersist k-means (the deterministic seeded
+    * [[KnnOps.kmeansCentroids]]), per-row cell assignment via the
+    * codegen [[graft.plans.NearestCentroid]] (map-side), then a pair
+    * join EQUI-keyed on the cell — the shuffle is the blocking. Exact
+    * cosine verifies in the join condition; output maps every duplicate
+    * to its lowest-id in-cell canonical, `(dup_id, canonical_id)` like
+    * [[embedNearDup]]. Scale notes: Σ cell² bounds the pair work — at
+    * production kCells is thousands (cells of ~√corpus), the join fans
+    * as wide as the cell count, and a pathological giant cell wants the
+    * same cap treatment as [[LshGuard]] or a recursive re-cluster; the
+    * fixture's kCells = 8 is fixture-sized. Rows-only (k-means is
+    * engine-native); planted-cluster recovery and the kCells = 1
+    * exact-equality ceiling are test-pinned.
+    */
+  def semanticDedupCells(spark: SparkSession, dir: String, tau: Double = 0.45,
+      kCells: Int = 8, iters: Int = 3): DataFrame =
+    semanticDedupCellsOn(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      tau, kCells, iters)
+
+  private[graft] def semanticDedupCellsOn(emb: DataFrame, tau: Double,
+      kCells: Int, iters: Int): DataFrame = {
+    import graft.functions.VectorFunctions.cosineFast
+    require(kCells >= 1, s"kCells out of range: $kCells")
+    // cache-train-unpersist: see createIvfCollection
+    emb.cache()
+    val cents = try KnnOps.kmeansCentroids(emb, kCells, iters)
+      finally emb.unpersist()
+    val assign = toCol(graft.plans.NearestCentroid(
+      toExpr(col("embedding")), cents.toSeq, kCells))
+    val cells = emb.select(col("vec_id"), col("embedding"), assign.as("cell"))
+    val a = cells.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = cells.select(col("cell").as("cell_b"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    a.join(b, col("cell") === col("cell_b") && col("a_id") < col("b_id") &&
+        cosineFast(col("a_emb"), col("b_emb")) >= tau)
+      .groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("canonical_id"))
+      .select(col("b_id").as("dup_id"), col("canonical_id"))
+      .orderBy(col("dup_id").asc)
+  }
+
   /** Transitive-closure dedup: connected components over the verified
     * near-dup pairs, each doc labeled with its component's minimum id.
     * The pairwise passes above answer "who is similar to whom"; a real

@@ -2637,6 +2637,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("semantic cell dedup: planted clusters resolve to their canonical; kCells=1 is the exact ceiling") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2025L)
+    val dim = 8
+    // 4 well-separated clusters of 12 vectors: within-cluster cosine high,
+    // cross-cluster low — the regime SemDeDup's learned blocking targets
+    def vecNear(c: Int): Seq[Double] =
+      Seq.tabulate(dim)(i => (if (i % 4 == c) 1.0 else 0.03) + rnd.nextDouble() * 0.03)
+    val vecs = (0 until 48).map(i => (i.toLong, vecNear(i % 4)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = DedupOps.semanticDedupCellsOn(emb, tau = 0.9, kCells = 4, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // brute-force exact pairs at the same tau (driver-side), canonical =
+    // min in-cluster id; clusters are separated so cross-cluster cos < tau
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val ab = a.zip(b).map { case (x, y) => x * y }.sum
+      ab / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exact = vecs.flatMap { case (bId, bV) =>
+      val lowers = vecs.filter { case (aId, aV) => aId < bId && cos(aV, bV) >= 0.9 }
+      if (lowers.isEmpty) None else Some(bId -> lowers.map(_._1).min)
+    }.toMap
+    assert(exact.nonEmpty && exact.values.toSet === Set(0L, 1L, 2L, 3L))
+    // with cells aligned to the planted clusters, the blocked result IS the
+    // exact result — learned blocking loses nothing inside its clusters
+    assert(got === exact)
+    // kCells=1 degrades to the exact all-pairs join for ANY geometry — the
+    // recall ceiling the published method trades against
+    val one = DedupOps.semanticDedupCellsOn(emb, tau = 0.9, kCells = 1, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one === exact)
+    // the trade is real: a planted cross-cell pair (one vector per cluster
+    // direction, nudged together) can be missed when cells split it —
+    // verified structurally instead: every reported pair is within-cell
+    val cells = DedupOps.semanticDedupCellsOn(emb, tau = 0.0, kCells = 4, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // at tau=0 every within-cell pair reports; 4 cells × 12 → 11 dups each
+    assert(cells.length === 44 && cells.map(_._2).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+
   test("fixture image near-dup recovers every planted resized copy") {
     import graft.sources.Tables
     val pairs = DedupOps.imageNearDup(spark, sf).collect()
