@@ -85,6 +85,10 @@ object SparkEntry {
     "q_text_lang"       -> ((s, d) => TextAnalysisOps.langId(s, d)),
     "q_text_quality"    -> ((s, d) => TextAnalysisOps.qualityScore(s, d)),
     "q_token_count"     -> ((s, d) => TextAnalysisOps.tokenCount(s, d)),
+    // REAL trained-BPE token counts (train-then-count composite, the
+    // ingest-cost label); rows-only — the merge loop is engine-native,
+    // pinned against a driver-side reference + the Sennrich toy example
+    "q_bpe_tokens"      -> ((s, d) => TextAnalysisOps.bpeTokens(s, d)),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysisOps.fingerprint(s, d)),
     "q_doc_winnow"      -> ((s, d) => TextAnalysisOps.winnowFingerprint(s, d)),
     "q_sample_split"    -> ((s, d) => TextAnalysisOps.sampleSplit(s, d)),
@@ -241,7 +245,7 @@ object SparkEntry {
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_embed", "q_dedup_cc", "q_dedup_substring", "q_dedup_substring_trim",
     "q_image_neardup", "q_dedup_semantic",
-    "q_text_quality", "q_token_count", "q_multimodal_meta",
+    "q_text_quality", "q_token_count", "q_bpe_tokens", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast",
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",

@@ -1337,6 +1337,43 @@ object DedupOps {
     } finally fps.unpersist()
   }
 
+  /** SERVING probe of the streaming image store — the lookup twin of
+    * [[imageIncrementalBatch]] (the ingest filter answers "should this
+    * land?", this answers "have we seen this picture?"): near-dups of
+    * ONE query image among the retained corpus, `(doc_id, hamming)`
+    * best-first. The query hashes DRIVER-side (one image needs no Spark
+    * job) and its pigeonhole chunk keys become an OR-of-conjunctions
+    * scan predicate on the store — pushed to parquet, so the read prunes
+    * to the query's buckets exactly like the ingest probe. Unjudgeable
+    * payloads return no rows.
+    */
+  def probeImage(spark: SparkSession, db: String, name: String,
+      payload: Array[Byte], maxHamming: Int = 8): DataFrame = {
+    import spark.implicits._
+    MultimodalOps.perceptualHashOne(payload) match {
+      case None => Seq.empty[(Long, Int)].toDF("doc_id", "hamming")
+      case Some((dh, _)) =>
+        // chunk keys derived with EXACTLY hammingChunkRows' layout (the
+        // low bits of an arithmetic shift equal the logical shift's)
+        val nChunks = maxHamming + 1
+        require(nChunks >= 1 && nChunks <= 32, s"maxHamming out of range: $maxHamming")
+        val width = 64 / nChunks
+        val pred = (0 until nChunks).map { c =>
+          val start = c * width
+          val len = if (c == nChunks - 1) 64 - start else width
+          val mask = if (len >= 64) -1L else (1L << len) - 1L
+          col("chunk") === c && col("cval") === ((dh >> start) & mask)
+        }.reduce(_ || _)
+        spark.table(s"`$db`.`${name}__imghash`")
+          .filter(pred)
+          .select(col("doc_id"), col("fp")).distinct()
+          .select(col("doc_id"),
+            bit_count(col("fp").bitwiseXOR(lit(dh))).cast("int").as("hamming"))
+          .filter(col("hamming") <= maxHamming)
+          .orderBy(col("hamming").asc, col("doc_id").asc)
+    }
+  }
+
   /** Alternating large-star / small-star connected components (Kiveris,
     * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
     * MapReduce and Beyond", SoCC'14): O(log²n) rounds worst-case, a handful

@@ -416,29 +416,36 @@ object MultimodalOps {
   def perceptualHash(records: Dataset[MediaRecord]): Dataset[MediaPHash] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
-      it.flatMap { r =>
-        graySampler(r.payload).map { case (sw, sh, sample) =>
-          val dg = grayGrid(sw, sh, sample, 9, 8)
-          var dh = 0L
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              if (dg(y * 9 + x) < dg(y * 9 + x + 1)) dh |= 1L << (y * 8 + x)
-              x += 1
-            }
-            y += 1
-          }
-          val ag = grayGrid(sw, sh, sample, 8, 8)
-          val avg = ag.sum / 64
-          var ah = 0L
-          var i = 0
-          while (i < 64) { if (ag(i) > avg) ah |= 1L << i; i += 1 }
-          MediaPHash(r.doc_id, dh, ah)
-        }
-      }
+      it.flatMap(r => perceptualHashOne(r.payload)
+        .map { case (dh, ah) => MediaPHash(r.doc_id, dh, ah) })
     }
   }
+
+  /** (dHash, aHash) of one payload — the per-row core of
+    * [[perceptualHash]], also called driver-side by the single-image
+    * serving probe ([[DedupOps.probeImage]]: one query image does not
+    * need a Spark job to hash). None when no codec claims the payload.
+    */
+  private[graft] def perceptualHashOne(payload: Array[Byte]): Option[(Long, Long)] =
+    graySampler(payload).map { case (sw, sh, sample) =>
+      val dg = grayGrid(sw, sh, sample, 9, 8)
+      var dh = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (dg(y * 9 + x) < dg(y * 9 + x + 1)) dh |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      val ag = grayGrid(sw, sh, sample, 8, 8)
+      val avg = ag.sum / 64
+      var ah = 0L
+      var i = 0
+      while (i < 64) { if (ag(i) > avg) ah |= 1L << i; i += 1 }
+      (dh, ah)
+    }
 
   /** Deterministic P6 render of arbitrary bytes as a `blocks`×`blocks`
     * color mosaic (block k takes payload bytes 3k..3k+2 as RGB, cycled),

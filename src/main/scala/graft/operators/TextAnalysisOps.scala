@@ -139,6 +139,152 @@ object TextAnalysisOps {
         col("n_chars"))
       .orderBy(col("doc_id").asc)
 
+  /** Train a byte-pair-encoding merge table (Sennrich, Haddow & Birch
+    * 2016, "Neural Machine Translation of Rare Words with Subword
+    * Units") — the REAL tokenizer behind [[tokenCount]]'s proxy. The
+    * corpus-scale half is distributed: one map-side-combined word-count
+    * aggregation, truncated to the `maxWords` most frequent words
+    * (tokenizer training is sample-bounded by nature — this is how
+    * production BPE trainers work, and the collect is bounded at
+    * `maxWords` rows). The model half runs driver-side on that bounded
+    * word-frequency dictionary: repeatedly merge the most frequent
+    * adjacent symbol pair (deterministic lexicographic tie-break),
+    * stopping at `nMerges` or when no pair repeats. Returns the ranked
+    * merge list — a few KB that broadcasts into [[bpeTokenCount]].
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 200,
+      maxWords: Int = 10000): Seq[(String, String)] = {
+    val words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    bpeTrainLocal(words, nMerges)
+  }
+
+  /** The driver-side merge loop of [[bpeTrain]] over a word-frequency
+    * dictionary — also driven directly by tests (the Sennrich toy
+    * example). Each word is a symbol sequence of its characters plus a
+    * `</w>` end marker; stops early once the best pair occurs only once
+    * (merging singletons buys nothing).
+    */
+  private[graft] def bpeTrainLocal(words: Seq[(String, Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    var vocab: Map[Vector[String], Long] = words
+      .map { case (w, c) => (w.map(_.toString).toVector :+ "</w>") -> c }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    def mergeIn(syms: Vector[String], p: (String, String)): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == p._1 && syms(j + 1) == p._2) {
+          out += syms(j) + syms(j + 1); j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      out.result()
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var stop = false
+    while (!stop && merges.length < nMerges) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+          j += 1
+        }
+      }
+      if (pairCounts.isEmpty) stop = true
+      else {
+        val (best, cnt) = pairCounts.toSeq
+          .minBy { case ((l, r), c) => (-c, l, r) }
+        if (cnt < 2) stop = true
+        else {
+          merges += best
+          vocab = vocab.map { case (syms, c) => mergeIn(syms, best) -> c }
+            .groupMapReduce(_._1)(_._2)(_ + _)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Encode one word with a trained merge table: start from characters +
+    * `</w>`, repeatedly apply the LOWEST-RANK applicable merge (leftmost
+    * occurrence) — the standard greedy BPE apply, deterministic. Unseen
+    * character pairs simply never merge (graceful out-of-vocabulary:
+    * the word stays at character granularity).
+    */
+  private[graft] def bpeEncodeWord(word: String,
+      rank: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector :+ "</w>"
+    var done = syms.length <= 1
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = rank.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = j }
+        j += 1
+      }
+      if (bestIdx < 0 || bestRank == Int.MaxValue) done = true
+      else {
+        syms = syms.patch(bestIdx, Vector(syms(bestIdx) + syms(bestIdx + 1)), 2)
+        if (syms.length <= 1) done = true
+      }
+    }
+    syms
+  }
+
+  /** Per-doc REAL BPE token counts — the upgrade of [[tokenCount]]'s
+    * regex proxy to an actual trained tokenizer: the merge-rank table
+    * broadcasts (a few KB), every row tokenizes map-side in
+    * `mapPartitions` with a per-partition word→length memo (natural
+    * corpora are Zipfian — most words repeat, so the encode loop runs
+    * once per DISTINCT word per partition, not per occurrence). Zero
+    * shuffle before the final sort. Output
+    * `(doc_id, n_words, n_bpe_tokens)`.
+    */
+  def bpeTokenCount(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)]): DataFrame =
+    bpeTokenCountOn(spark, Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")), merges)
+
+  private[graft] def bpeTokenCountOn(spark: SparkSession, docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val rankB = spark.sparkContext.broadcast(
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val rank = rankB.value
+        val memo = scala.collection.mutable.Map.empty[String, Int]
+        it.map { case (id, text) =>
+          val ws = text.split(" ").filter(_.nonEmpty)
+          var total = 0L
+          ws.foreach { w =>
+            total += memo.getOrElseUpdate(w, bpeEncodeWord(w, rank).length)
+          }
+          (id, ws.length.toLong, total)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_bpe_tokens")
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** The contract composition (`q_bpe_tokens`): train on the corpus
+    * itself (deterministic — seeded by nothing but the data), then count.
+    * Per-call training is the ingest-cost label, like the index-building
+    * knn entries; a production pipeline trains once and broadcasts.
+    */
+  def bpeTokens(spark: SparkSession, dir: String, nMerges: Int = 200): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    bpeTokenCountOn(spark, docs, bpeTrain(docs, nMerges))
+  }
+
   /** Corpus bigram counts (top-N): n-gram generation as a per-row
     * `transform` over token positions (no self-join), then one count
     * aggregation — the vocabulary-building pass of a tokenizer pipeline.

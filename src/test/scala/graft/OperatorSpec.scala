@@ -2637,6 +2637,78 @@ class OperatorSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("BPE training reproduces the Sennrich toy example and encodes 'lowest' as low + est") {
+    // the published worked example: {low:5, lower:2, newest:6, widest:3}
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = TextAnalysisOps.bpeTrainLocal(words, 5)
+    assert(merges === Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")))
+    val rank = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    // the canonical subword split: an UNSEEN word decomposes into learned units
+    assert(TextAnalysisOps.bpeEncodeWord("lowest", rank) === Vector("low", "est</w>"))
+    // unseen characters degrade gracefully to character granularity
+    assert(TextAnalysisOps.bpeEncodeWord("xyz", rank) ===
+      Vector("x", "y", "z", "</w>"))
+  }
+
+  test("BPE token counts match an independent apply-in-training-order reference") {
+    import spark.implicits._
+    // greedy lowest-rank-first (the operator) ≡ applying merges in training
+    // order (this reference): a lower-rank pair can never be CREATED by a
+    // higher-rank merge, so the two formulations agree — cross-checked here
+    def refEncode(word: String, merges: Seq[(String, String)]): Vector[String] = {
+      var syms = word.map(_.toString).toVector :+ "</w>"
+      merges.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += l + r; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val rnd = new scala.util.Random(31337L)
+    val vocabWords = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "albedo", "betamax", "gambit", "alphabet")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(15))(
+        vocabWords(rnd.nextInt(vocabWords.length))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val merges = TextAnalysisOps.bpeTrain(df, nMerges = 40)
+    assert(merges.nonEmpty)
+    val got = TextAnalysisOps.bpeTokenCountOn(spark, df, merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val expect = ws.map(w => refEncode(w, merges).length.toLong).sum
+      assert(got(id) === ((ws.length.toLong, expect)), s"doc $id")
+    }
+  }
+
+  test("fixture BPE tokens: deterministic, bounded by words and characters") {
+    val r1 = TextAnalysisOps.bpeTokens(spark, sf, nMerges = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val r2 = TextAnalysisOps.bpeTokens(spark, sf, nMerges = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(r1.toSeq === r2.toSeq) // data-seeded training is deterministic
+    assert(r1.nonEmpty)
+    r1.foreach { case (_, nWords, nBpe) =>
+      assert(nBpe >= nWords) // a word is at least one token
+    }
+    // merges actually compress: total BPE tokens well under char+word count
+    import graft.sources.Tables
+    val totalBpe = r1.map(_._3).sum
+    val totalCharPlusWord = Tables.documents(spark, sf)
+      .select(sum(length(regexp_replace(col("text"), " ", "")) +
+        size(split(col("text"), " "))))
+      .head().getLong(0)
+    assert(totalBpe < totalCharPlusWord / 2,
+      s"BPE failed to compress: $totalBpe vs char-level $totalCharPlusWord")
+  }
+
   test("semantic cell dedup: planted clusters resolve to their canonical; kCells=1 is the exact ceiling") {
     import spark.implicits._
     val rnd = new scala.util.Random(2025L)

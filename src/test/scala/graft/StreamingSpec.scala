@@ -646,6 +646,15 @@ class StreamingSpec extends AnyFunSuite {
       assert(fpIds === Set(0L, 1L, 11L)) // the unjudgeable payload left no fingerprints
       // one chunk row per pigeonhole chunk (maxHamming 8 → 9) per image
       assert(spark.table("`simgdb`.`imgs__imghash`").count() === 3L * 9)
+      // the serving probe: a resized copy finds its stored original
+      // best-first; fresh and unjudgeable payloads find nothing
+      import graft.operators.DedupOps
+      val hit = DedupOps.probeImage(spark, "simgdb", "imgs", aResized)
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(hit.headOption.exists(h => h._1 === 0L && h._2 === 0))
+      assert(DedupOps.probeImage(spark, "simgdb", "imgs", mosaic()).isEmpty)
+      assert(DedupOps.probeImage(spark, "simgdb", "imgs",
+        "still not an image".getBytes("UTF-8")).isEmpty)
     } finally {
       q.stop()
       CatalogOps.dropDatabase(spark, "simgdb")
