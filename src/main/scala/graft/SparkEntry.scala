@@ -89,6 +89,9 @@ object SparkEntry {
     // ingest-cost label); rows-only — the merge loop is engine-native,
     // pinned against a driver-side reference + the Sennrich toy example
     "q_bpe_tokens"      -> ((s, d) => TextAnalysisOps.bpeTokens(s, d)),
+    // corpus-trained bigram-LM quality score (CCNet-lineage filter);
+    // exact integer-micros accumulation → fully DuckDB-oracled
+    "q_lm_bigram"       -> ((s, d) => TextAnalysisOps.lmBigramScore(s, d)),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysisOps.fingerprint(s, d)),
     "q_doc_winnow"      -> ((s, d) => TextAnalysisOps.winnowFingerprint(s, d)),
     "q_sample_split"    -> ((s, d) => TextAnalysisOps.sampleSplit(s, d)),
@@ -245,7 +248,7 @@ object SparkEntry {
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_embed", "q_dedup_cc", "q_dedup_substring", "q_dedup_substring_trim",
     "q_image_neardup", "q_dedup_semantic",
-    "q_text_quality", "q_token_count", "q_bpe_tokens", "q_multimodal_meta",
+    "q_text_quality", "q_token_count", "q_bpe_tokens", "q_lm_bigram", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast",
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
@@ -688,6 +691,28 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_runs,
         |       n_chars
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "q_lm_bigram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |big AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |lc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+        |bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+        |per AS (
+        |  SELECT b.doc_id, CAST(bc.c2 AS DOUBLE) / lc.c1 AS p
+        |  FROM big b JOIN bc USING (w1, w2) JOIN lc USING (w1)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         floor(CAST(sum(CAST(floor(p * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |               / count(*) + 0.5) / 1000000.0 AS avg_cond_p,
+        |         floor(min(p) * 1000000.0 + 0.5) / 1000000.0 AS min_cond_p
+        |  FROM per GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(coalesce(a.avg_cond_p, 0.0) AS DOUBLE) AS avg_cond_p,
+        |       CAST(coalesce(a.min_cond_p, 0.0) AS DOUBLE) AS min_cond_p
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id ASC""".stripMargin,
     // ---- lexical / hybrid retrieval ----
     "q_text_bm25" ->
       s"""WITH $bm25BaseCtes

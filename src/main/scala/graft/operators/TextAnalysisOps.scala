@@ -139,6 +139,63 @@ object TextAnalysisOps {
         col("n_chars"))
       .orderBy(col("doc_id").asc)
 
+  /** Bigram language-model quality score — the statistical-LM filter of
+    * the CCNet lineage (Wenzek et al. 2020 filter corpora by LM
+    * perplexity; this is its exactly-testable bigram-MLE form): train
+    * bigram conditional probabilities on the corpus itself —
+    * P(w₂|w₁) = count(w₁w₂) / count(w₁ ·) — and score each document by
+    * the average and minimum conditional probability of its bigrams.
+    * Predictable prose scores high; word salad (every bigram rare)
+    * scores low; `min_cond_p` flags the single most surprising
+    * transition. Docs under two tokens carry zeros.
+    *
+    * Plan: the bigram stream derives per-row (transform over token
+    * positions, no self-join), the two count tables partial-agg map-side
+    * and are MODEL-sized (vocabulary / vocabulary², Zipf-truncated to
+    * top-M bigrams in a production LM — the standard pruning), so they
+    * BROADCAST back into the stream: the corpus itself never shuffles on
+    * the skewed word keys. Scoring uses the exact integer-micros
+    * accumulator (each p is an exact small-int division; its micros
+    * rounding is engine-identical, the sum is integer-exact), so the
+    * whole query faces the DuckDB oracle bit-for-bit.
+    */
+  def lmBigramScore(spark: SparkSession, dir: String): DataFrame =
+    lmBigramScoreOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  private[graft] def lmBigramScoreOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val big = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val leftCounts = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bigramCounts = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    // rounding is floor(x + 0.5) THROUGHOUT — HALF_UP evaluated on the
+    // shared binary double, so Spark and the SQL oracle agree by
+    // construction (round()'s decimal-string HALF_UP can differ from the
+    // engine-side binary rounding exactly at .5-at-7th-decimal boundaries)
+    val scored = big
+      .join(broadcast(bigramCounts), Seq("w1", "w2"))
+      .join(broadcast(leftCounts), Seq("w1"))
+      .withColumn("p", col("c2").cast("double") / col("c1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(sum(floor(col("p") * lit(1000000.0) + lit(0.5)).cast("long"))
+            .cast("double") / count(lit(1)) + lit(0.5)).cast("double")
+          / lit(1000000.0)).as("avg_cond_p"),
+        (floor(min(col("p")) * lit(1000000.0) + lit(0.5)).cast("double")
+          / lit(1000000.0)).as("min_cond_p"))
+    toks.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_cond_p"), lit(0.0)).as("avg_cond_p"),
+        coalesce(col("min_cond_p"), lit(0.0)).as("min_cond_p"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Train a byte-pair-encoding merge table (Sennrich, Haddow & Birch
     * 2016, "Neural Machine Translation of Rare Words with Subword
     * Units") — the REAL tokenizer behind [[tokenCount]]'s proxy. The

@@ -2637,6 +2637,53 @@ class OperatorSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("bigram LM score: hand-computable corpus, repeated bigrams score high, rare transitions flagged") {
+    import spark.implicits._
+    import graft.sources.Tables
+    // fixture-level: recompute the whole thing driver-side, exactly
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val allBigrams = docs.flatMap { case (_, t) =>
+      val w = t.split(" "); if (w.length < 2) Seq.empty else w.sliding(2).map(a => (a(0), a(1))).toSeq
+    }
+    val c1 = allBigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val c2 = allBigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = docs.map { case (id, t) =>
+      val w = t.split(" ")
+      if (w.length < 2) id -> ((0L, 0.0, 0.0))
+      else {
+        val ps = w.sliding(2).map { a =>
+          c2((a(0), a(1))).toDouble / c1(a(0))
+        }.toSeq
+        // floor(x + 0.5) everywhere — the operator's binary-double HALF_UP
+        val sumMicros = ps.map(p => math.floor(p * 1e6 + 0.5).toLong).sum
+        val avg = math.floor(sumMicros.toDouble / ps.length + 0.5) / 1e6
+        id -> ((ps.length.toLong, avg, math.floor(ps.min * 1e6 + 0.5) / 1e6))
+      }
+    }.toMap
+    val got = TextAnalysisOps.lmBigramScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (id, (n, avg, mn)) =>
+      val (en, eavg, emn) = expect(id)
+      assert(n === en, s"doc $id n_bigrams")
+      assert(math.abs(avg - eavg) < 1e-9, s"doc $id avg: $avg vs $eavg")
+      assert(math.abs(mn - emn) < 1e-9, s"doc $id min: $mn vs $emn")
+    }
+    // structural: a doc that is one repeated bigram scores 1.0; a unique
+    // transition inside an otherwise-common context scores its rarity
+    val synth = Seq(
+      (1L, "a b a b a b a b"),  // (a,b) and (b,a) dominate their contexts
+      (2L, "a b a b a zzz b"))  // (a,zzz) is 1 of a's 5 transitions
+      .toDF("doc_id", "text")
+    val s = TextAnalysisOps.lmBigramScoreOn(synth)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    // doc 1: every (a,b) is 5/6 of a's transitions... compute: a appears as
+    // left 6 times total ((a,b)x5 + (a,zzz)x1), b as left 5 ((b,a)x5)
+    assert(s(1L)._2 > 0.8)  // both transition types are their context's bulk
+    assert(s(2L)._2 <= 1.0 / 5.0 + 1e-9) // the zzz transition is rare
+  }
+
   test("BPE training reproduces the Sennrich toy example and encodes 'lowest' as low + est") {
     // the published worked example: {low:5, lower:2, newest:6, widest:3}
     val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
