@@ -1337,6 +1337,27 @@ object DedupOps {
     } finally fps.unpersist()
   }
 
+  /** Group resolution for image near-dups: connected components over the
+    * verified hamming pairs, each image labeled with its component's
+    * minimum id — the image twin of [[dedupConnected]] (hamming ≤ h is
+    * not transitive: A within h of B and B of C does not bound A–C by h,
+    * so "the same picture's variants" is the component, not the neighbor
+    * list). Pairs from [[imageNearDupOn]], closure from
+    * [[connectedComponentsOn]] (large-star/small-star, no neighbor
+    * arrays). Output (doc_id, component) for every decodable image.
+    */
+  def imageDedupConnectedOn(records: org.apache.spark.sql.Dataset[MediaRecord],
+      maxHamming: Int = 8): DataFrame = {
+    val ids = MultimodalOps.perceptualHash(records).toDF().select(col("doc_id"))
+    val star = connectedComponentsOn(
+      imageNearDupOn(records, maxHamming)
+        .select(col("a_id").as("a"), col("b_id").as("b")))
+    ids.join(star.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** SERVING probe of the streaming image store — the lookup twin of
     * [[imageIncrementalBatch]] (the ingest filter answers "should this
     * land?", this answers "have we seen this picture?"): near-dups of

@@ -2796,6 +2796,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(cells.length === 44 && cells.map(_._2).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("image dedup components: a chain of variants resolves to one group") {
+    import spark.implicits._
+    import graft.operators.{MediaRecord, MultimodalOps}
+    val rnd = new scala.util.Random(555L)
+    val bytes = Array.fill(192)(rnd.nextInt(256).toByte)
+    val m = MultimodalOps.renderPpm(bytes)
+    // chain: original → resize → resize-of-resize; plus one unrelated image
+    val base = Seq(
+      MediaRecord(1L, m, "image/x-portable-pixmap"),
+      MediaRecord(4L, MultimodalOps.renderPpm(
+        Array.fill(192)(rnd.nextInt(256).toByte)), "image/x-portable-pixmap")).toDS
+    val r1 = MultimodalOps.resizePpm(base.filter((r: MediaRecord) => r.doc_id == 1L), 48, 48)
+      .map(r => MediaRecord(2L, r.payload, r.mime))
+    val r2 = MultimodalOps.resizePpm(r1, 64, 64)
+      .map(r => MediaRecord(3L, r.payload, r.mime))
+    val got = DedupOps.imageDedupConnectedOn(base.unionAll(r1).unionAll(r2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
   test("fixture image near-dup recovers every planted resized copy") {
     import graft.sources.Tables
     val pairs = DedupOps.imageNearDup(spark, sf).collect()
