@@ -909,7 +909,7 @@ object SparkEntry {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM t)
         |SELECT doc_id, shard, n_tok, cum_before,
-        |       CAST(shard * 100000 + cum_before // 512 AS BIGINT) AS seq_id
+        |       CAST(shard * 4294967296 + cum_before // 512 AS BIGINT) AS seq_id
         |FROM c ORDER BY doc_id ASC""".stripMargin,
     "q_domain_mix" ->
       """WITH w AS (
@@ -947,7 +947,7 @@ object SparkEntry {
         |         CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM clean)
-        |SELECT doc_id, source, n_tok, CAST(shard * 100000 + cum_before // 512 AS BIGINT) AS seq_id
+        |SELECT doc_id, source, n_tok, CAST(shard * 4294967296 + cum_before // 512 AS BIGINT) AS seq_id
         |FROM packed ORDER BY doc_id ASC""".stripMargin,
     "q_doc_winnow" ->
       """WITH h AS (

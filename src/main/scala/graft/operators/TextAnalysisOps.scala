@@ -562,6 +562,18 @@ object TextAnalysisOps {
     * on the shard key — sees only final survivors. Everything upstream of
     * it is scan-stage projection/filter plus eval-sized broadcasts.
     */
+  /** The MAP-SIDE curation gates (token-count floor + weighted domain-mix
+    * bucket) over one (doc_id, source, text) frame — the same
+    * [[mixBucket]]/[[mixWeight]] columns [[curateEndToEnd]] composes, so
+    * the batch chain and the streaming composite
+    * ([[graft.streaming.StreamingOps.streamingCurate]]) cannot diverge.
+    * Pure filters, zero shuffle: rows drop before anything expensive.
+    */
+  private[graft] def curateGates(batch: DataFrame, minTokens: Int): DataFrame =
+    batch
+      .filter(size(tokens(col("text"))).cast("long") >= minTokens)
+      .filter(mixBucket < mixWeight * 1000)
+
   def curateEndToEnd(spark: SparkSession, dir: String,
       evalSource: String = "src19", minTokens: Int = 20,
       budget: Int = 512, shardSize: Int = 128): DataFrame = {
@@ -601,10 +613,16 @@ object TextAnalysisOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // seq_id keys on shard·2³² + in-shard sequence index: 2³² sequences ×
+    // budget tokens per shard is unreachable for any real shard (a 128-doc
+    // shard would need ~2 × 10¹² tokens), so the key can never alias into
+    // the next shard's space — the same hazard class the span-trim
+    // ownership fix closed (a 100000 multiplier aliases once a shard of
+    // book-length docs carries ≥ 100000 sequences)
     df.withColumn("shard", expr(s"doc_id div $shardSize"))
       .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .withColumn("seq_id",
-        col("shard") * lit(100000L) + expr(s"cum_before div $budget"))
+        col("shard") * lit(1L << 32) + expr(s"cum_before div $budget"))
   }
 
   def packSequences(spark: SparkSession, dir: String,
@@ -650,6 +668,89 @@ object TextAnalysisOps {
   private def mixWeight: Column =
     (pmod(coalesce(regexp_extract(col("source"), "([0-9]+)", 1).cast("long"),
       length(col("source")).cast("long")), lit(4L)) + 1) * lit(0.25)
+
+  /** One micro-batch of STREAMING sequence packing
+    * ([[graft.streaming.StreamingOps.streamingPackSequences]]) —
+    * [[packSequences]] made arrival-ordered: each batch's docs take their
+    * training-sequence assignment where their shard's token stream
+    * currently ends, and the stream position advances. Packing order is
+    * ascending doc_id WITHIN a batch and arrival order ACROSS batches
+    * (ids fed ascending reproduce the batch twin exactly — test-pinned).
+    *
+    * State is a LOG, not a mutable row: `{name}__packlog` appends one
+    * `(shard, delta_tokens, batch_id)` row per touched shard per batch,
+    * and a shard's current offset is the SUM of its deltas — the same
+    * associative-partials design as the BM25 stats store, so state
+    * updates are O(touched shards) appends, the read probe prunes to the
+    * batch's shards via a broadcast join, and compaction is a fold.
+    * Replay safety needs no localCheckpoint here: offset reads filter
+    * `batch_id < this batch`, so the batch's own delta append can never
+    * feed back into its own (lazy) plans — a replayed batch recomputes
+    * identical assignments from identical state, delta appends are
+    * batch-id-idempotent, doc appends id-anti-joined, and the usual
+    * 1-row commit watermark short-circuits fully-committed batches.
+    */
+  private[graft] def packingIncrementalBatch(batch0: DataFrame, db: String,
+      name: String, budget: Int = 512, shardSize: Int = 128,
+      batchId: Option[Long] = None): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch0.sparkSession
+    val commitsName = s"${name}__commits"
+    if (batchId.isDefined && spark.catalog.tableExists(s"$db.$commitsName")) {
+      val r = spark.table(s"`$db`.`$commitsName`")
+        .agg(max(col("batch_id"))).head()
+      if (!r.isNullAt(0) && batchId.get <= r.getLong(0)) return
+    }
+    val bid = batchId.getOrElse(0L)
+    val rows = batch0.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+    val logTable = s"$db.${name}__packlog"
+    val base =
+      if (spark.catalog.tableExists(logTable))
+        spark.table(s"`$db`.`${name}__packlog`")
+          .filter(col("batch_id") < bid) // own rows never feed own reads
+          .join(broadcast(rows.select(col("shard")).distinct()), "shard")
+          .groupBy(col("shard")).agg(sum(col("delta_tokens")).as("base"))
+      else rows.select(col("shard")).limit(0).withColumn("base", lit(0L))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val assigned = rows
+      .join(base, Seq("shard"), "left_outer")
+      .withColumn("cum_before",
+        coalesce(col("base"), lit(0L)) +
+          coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        col("shard") * lit(1L << 32) + expr(s"cum_before div $budget"))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("cum_before"),
+        col("seq_id"))
+    // DELTAS first, batch-id-idempotent (a replay whose deltas landed
+    // skips the append; its reads excluded them either way)
+    val deltas = rows.groupBy(col("shard"))
+      .agg(sum(col("n_tok")).as("delta_tokens"))
+      .withColumn("batch_id", lit(bid))
+    val deltasLanded =
+      spark.catalog.tableExists(logTable) &&
+        !spark.table(s"`$db`.`${name}__packlog`")
+          .filter(col("batch_id") === bid).limit(1).isEmpty
+    if (!deltasLanded)
+      deltas.write.mode("append").saveAsTable(s"`$db`.`${name}__packlog`")
+    // DOCS second, id-anti-joined
+    val docIds = assigned.select(col("doc_id"))
+    val docsToWrite =
+      if (spark.catalog.tableExists(s"$db.$name"))
+        assigned.join(
+          spark.table(s"`$db`.`$name`")
+            .join(broadcast(docIds), "doc_id")
+            .select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      else assigned
+    docsToWrite.write.mode("append").saveAsTable(s"`$db`.`$name`")
+    batchId.foreach { id =>
+      spark.createDataFrame(Seq(Tuple1(id))).toDF("batch_id")
+        .write.mode("overwrite").saveAsTable(s"`$db`.`$commitsName`")
+    }
+  }
 
   def domainMix(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

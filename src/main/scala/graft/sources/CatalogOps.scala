@@ -1305,6 +1305,37 @@ object CatalogOps {
     spark.catalog.refreshTable(s"`$db`.`$t`")
   }
 
+  /** Fold the streaming sequence-packing offset log (`{name}__packlog`,
+    * one (shard, delta_tokens, batch_id) row per touched shard per batch
+    * — [[graft.operators.TextAnalysisOps.packingIncrementalBatch]]).
+    * Only rows AT OR BELOW the commit watermark fold (into one summed
+    * row per shard carrying the watermark's batch_id); rows above it —
+    * a batch mid-crash-window — stay untouched, so a replay of that
+    * batch still reads exactly the state it read originally
+    * (`batch_id < bid` sees the folded committed prefix, bid > watermark
+    * by construction). Same staging swap as [[compactBm25Stats]].
+    */
+  def compactPacklog(spark: SparkSession, db: String, name: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val t = s"${name}__packlog"
+    if (!spark.catalog.tableExists(s"$db.$t")) return
+    val commits = s"$db.${name}__commits"
+    if (!spark.catalog.tableExists(commits)) return // nothing provably committed
+    val r = spark.table(s"`$db`.`${name}__commits`").agg(max(col("batch_id"))).head()
+    if (r.isNullAt(0)) return
+    val watermark = r.getLong(0)
+    val log = spark.table(s"`$db`.`$t`")
+    val folded = log.filter(col("batch_id") <= watermark)
+      .groupBy(col("shard")).agg(sum(col("delta_tokens")).as("delta_tokens"))
+      .withColumn("batch_id", lit(watermark))
+      .unionByName(log.filter(col("batch_id") > watermark))
+    val staging = s"`$db`.`__${t}_compact_staging`"
+    folded.write.mode("overwrite").saveAsTable(staging)
+    try spark.table(staging).write.mode("overwrite").saveAsTable(s"`$db`.`$t`")
+    finally spark.sql(s"DROP TABLE IF EXISTS $staging")
+    spark.catalog.refreshTable(s"`$db`.`$t`")
+  }
+
   /** `drop_collection` (ref `TencentVDB.py:87-89`). */
   def dropCollection(spark: SparkSession, db: String, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
@@ -233,6 +233,29 @@ object StreamingOps {
       }
       .start()
 
+  /** STREAMING sequence packing — the stateful tail the curation stream
+    * hands off to ([[graft.operators.TextAnalysisOps
+    * .packingIncrementalBatch]] per micro-batch): every doc lands with
+    * the training-sequence assignment its shard's token stream position
+    * dictates, and the position advances — [[graft.operators
+    * .TextAnalysisOps.packSequences]] made arrival-ordered. Offsets live
+    * in an append-only per-shard delta log (state update = O(touched
+    * shards) appends, reads pruned to the batch's shards, compaction =
+    * [[graft.sources.CatalogOps.compactPacklog]] folding the committed
+    * prefix); replay-safe via batch-id-scoped reads + idempotent appends
+    * + the commit watermark (crash windows pinned).
+    */
+  def streamingPackSequences(docStream: DataFrame, db: String, name: String,
+      budget: Int = 512, shardSize: Int = 128): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.TextAnalysisOps.packingIncrementalBatch(batch.toDF(),
+            db, name, budget, shardSize, batchId = Some(batchId))
+      }
+      .start()
+
   /** Streaming IMAGE near-dup — the perceptual-hash ingest filter for a
     * continuous multimodal crawl
     * ([[graft.operators.DedupOps.imageIncrementalBatch]] per micro-batch):
@@ -458,11 +481,18 @@ object StreamingOps {
             batch.toDF(), evalNg, n), id)
       }
       .start()
-    // release the cached eval set when THIS query terminates — without it
-    // every started/stopped decontamination stream leaves a cached plan in
-    // executor storage for the session's lifetime (unpersist is idempotent,
-    // so the immediate-termination race below at worst releases twice)
-    val streams = docStream.sparkSession.streams
+    releaseOnTermination(docStream.sparkSession, q, () => { evalNg.unpersist(); () })
+    q
+  }
+
+  /** Release a cached frame when a streaming query terminates — without
+    * this every started/stopped stream leaves a cached plan in executor
+    * storage for the session's lifetime (unpersist is idempotent, so the
+    * immediate-termination race at worst releases twice).
+    */
+  private def releaseOnTermination(spark: SparkSession,
+      q: StreamingQuery, release: () => Unit): Unit = {
+    val streams = spark.streams
     streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -470,9 +500,44 @@ object StreamingOps {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == q.id) { evalNg.unpersist(); streams.removeListener(this) }
+        if (e.id == q.id) { release(); streams.removeListener(this) }
     })
-    if (!q.isActive) evalNg.unpersist() // terminated before the listener attached
+    if (!q.isActive) release() // terminated before the listener attached
+  }
+
+  /** The CONTINUOUS curation front — the streaming twin of
+    * [[graft.operators.TextAnalysisOps.curateEndToEnd]]'s
+    * gate → decontaminate → dedup chain (packing stays batch-side: it
+    * needs global shard offsets): each micro-batch of
+    * (doc_id, source, text) docs passes the MAP-SIDE curation gates
+    * (token floor + weighted domain-mix bucket — rows drop before
+    * anything expensive), clears against the once-computed cached eval
+    * n-gram broadcast, and the survivors run the replay-safe near-dup
+    * ingest ([[graft.operators.DedupOps.dedupIncrementalBatch]]) into
+    * the persisted `db.name` collection — commit watermark + idempotent
+    * appends, the same crash-window contract as every ingest stream
+    * here. The per-batch stage order IS the batch composite's 100 TB
+    * cost order, now paid incrementally per micro-batch.
+    */
+  def streamingCurate(docStream: DataFrame, evalDocs: DataFrame, db: String,
+      name: String, minTokens: Int = 20, tau: Double = 0.9,
+      n: Int = 4): StreamingQuery = {
+    import graft.operators.{DedupOps, TextAnalysisOps}
+    val evalNg = TextAnalysisOps.ngramSet(evalDocs, n).cache()
+    val q = docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val gated = TextAnalysisOps.curateGates(batch.toDF(), minTokens)
+          val clean = TextAnalysisOps.decontaminateBatch(gated, evalNg, n)
+          DedupOps.dedupIncrementalBatch(
+            clean.select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("text")),
+            db, name, tau, batchId = Some(batchId))
+        }
+      }
+      .start()
+    releaseOnTermination(docStream.sparkSession, q, () => { evalNg.unpersist(); () })
     q
   }
 

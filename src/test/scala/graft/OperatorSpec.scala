@@ -2383,7 +2383,7 @@ class OperatorSpec extends AnyFunSuite {
       }
       ordered.foreach { case (docId, s, _, cum, seq) =>
         assert(s === docId / 128)
-        assert(seq === shard * 100000L + cum / 512) // bin = start-offset div budget
+        assert(seq === shard * (1L << 32) + cum / 512) // bin = start-offset div budget
       }
     }
   }
@@ -2414,7 +2414,7 @@ class OperatorSpec extends AnyFunSuite {
     survivors.foreach { case (id, _, nTok) =>
       val shard = id / 128
       val cum = expSeq.getOrElse(shard, 0L)
-      val seqId = shard * 100000L + cum / 512
+      val seqId = shard * (1L << 32) + cum / 512
       assert(got.find(_._1 == id).get._4 === seqId)
       expSeq(shard) = cum + nTok
     }

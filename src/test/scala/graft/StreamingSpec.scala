@@ -611,6 +611,138 @@ class StreamingSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "rsubdb")
   }
 
+  test("streaming sequence packing equals the batch twin for in-order arrival; offsets persist across batches") {
+    import graft.sources.{CatalogOps, Tables}
+    import graft.operators.TextAnalysisOps
+    implicit val ctx = spark.sqlContext
+    CatalogOps.dropDatabase(spark, "spackdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/spackdb.db"))
+    CatalogOps.createDatabase(spark, "spackdb")
+    // the fixture corpus fed ascending across THREE micro-batches must
+    // reproduce the batch operator row-for-row
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingPackSequences(
+      in.toDS.toDF("doc_id", "text"), "spackdb", "packed")
+    try {
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { g =>
+        in.addData(g: _*); q.processAllAvailable()
+      }
+      // foreachBatch writes through a CLONED session: refresh before any
+      // outer-session read between micro-batches, or its relation cache
+      // serves the listing it cached at the first read
+      def refresh(): Unit = Seq("packed", "packed__packlog", "packed__commits")
+        .foreach(t => spark.catalog.refreshTable(s"`spackdb`.`$t`"))
+      refresh()
+      val got = spark.table("`spackdb`.`packed`")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1)
+      val want = TextAnalysisOps.packSequences(spark, TestSpark.Sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1)
+      assert(got.toSeq === want.toSeq)
+      // compaction folds the committed log without changing future state:
+      // content-equal assignments for a subsequent batch vs no compaction
+      val before = spark.table("`spackdb`.`packed__packlog`").count()
+      CatalogOps.compactPacklog(spark, "spackdb", "packed")
+      assert(spark.table("`spackdb`.`packed__packlog`").count() < before)
+      in.addData((900000L, "extra words arriving after the fold " + ("x " * 600).trim))
+      q.processAllAvailable()
+      refresh()
+      val late = spark.table("`spackdb`.`packed`")
+        .filter($"doc_id" === 900000L).head()
+      assert(late.getLong(3) === 0L) // fresh shard starts at offset 0
+    } finally {
+      q.stop()
+      CatalogOps.dropDatabase(spark, "spackdb")
+    }
+  }
+
+  test("sequence packing replays converge: committed, post-deltas, and post-docs crash windows") {
+    import graft.sources.CatalogOps
+    import graft.operators.TextAnalysisOps
+    CatalogOps.dropDatabase(spark, "rpackdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/rpackdb.db"))
+    CatalogOps.createDatabase(spark, "rpackdb")
+    def doc(id: Long, words: Int) = (id, (s"w$id " * words).trim)
+    def run(rows: Seq[(Long, String)], batchId: Long): Unit =
+      TextAnalysisOps.packingIncrementalBatch(
+        rows.toDF("doc_id", "text"), "rpackdb", "packed", batchId = Some(batchId))
+    def state(): (Map[Long, (Long, Long)], Long, Set[Long]) = (
+      spark.table("`rpackdb`.`packed`").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap,
+      spark.table("`rpackdb`.`packed__packlog`").count(),
+      spark.table("`rpackdb`.`packed__commits`").collect().map(_.getLong(0)).toSet)
+    // shard 0 (ids < 128): 300 + 300 tokens spill into the second sequence
+    run(Seq(doc(1L, 300), doc(2L, 300)), 1L)
+    val s1 = state()
+    assert(s1._1(1L) === ((0L, 0L)) && s1._1(2L) === ((300L, 0L)))
+    // COMMITTED replay short-circuits
+    run(Seq(doc(1L, 300), doc(2L, 300)), 1L)
+    assert(state() === s1)
+    // next batch continues the shard stream: 600 cum → sequence 1
+    run(Seq(doc(3L, 100)), 2L)
+    val s2 = state()
+    assert(s2._1(3L) === ((600L, 1L)))
+    // POST-DOCS crash (marker lost): identical recompute, appends no-op
+    CatalogOps.deleteByIds(spark, "rpackdb", "packed__commits",
+      Seq(2L).toDF("batch_id"), idCol = "batch_id")
+    run(Seq(doc(3L, 100)), 2L)
+    assert(state() === s2)
+    // POST-DELTAS crash (delta rows landed, docs lost): the replay's reads
+    // exclude its own batch_id, so assignments recompute identically and
+    // the doc append restores them exactly once
+    run(Seq(doc(4L, 50)), 3L)
+    val s3 = state()
+    CatalogOps.deleteByIds(spark, "rpackdb", "packed",
+      Seq(4L).toDF("doc_id"), idCol = "doc_id")
+    CatalogOps.deleteByIds(spark, "rpackdb", "packed__commits",
+      Seq(3L).toDF("batch_id"), idCol = "batch_id")
+    run(Seq(doc(4L, 50)), 3L)
+    assert(state() === s3)
+    CatalogOps.dropDatabase(spark, "rpackdb")
+  }
+
+  test("streaming curation chain: gates, decontamination, and dedup compose per micro-batch") {
+    import graft.sources.CatalogOps
+    implicit val ctx = spark.sqlContext
+    CatalogOps.dropDatabase(spark, "scurdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/scurdb.db"))
+    CatalogOps.createDatabase(spark, "scurdb")
+    def uniq(tag: String, k: Int) = (0 until k).map(i => s"$tag$i").mkString(" ")
+    val evalDocs = Seq((900L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // src4 has mix weight 0.25 → a doc whose Knuth bucket lands >= 250 is
+    // dropped map-side; pick such an id away from the other fixtures
+    val dropMix = (20L to 80L)
+      .find(i => java.lang.Math.floorMod(i * 2654435761L, 1000L) >= 250).get
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.streamingCurate(
+      in.toDS.toDF("doc_id", "source", "text"), evalDocs, "scurdb", "corpus")
+    try {
+      in.addData(
+        (1L, "src3", uniq("a", 25)),                          // survives everything
+        (2L, "src3", uniq("b", 5)),                           // token floor → dropped
+        (dropMix, "src4", uniq("c", 25)),                     // mix bucket → dropped
+        (3L, "src3", "alpha beta gamma delta " + uniq("d", 21))) // eval 4-gram → dropped
+      q.processAllAvailable()
+      in.addData(
+        (10L, "src3", uniq("a", 25)),                         // duplicate of stored 1 → dropped
+        (11L, "src3", uniq("e", 25)))                         // fresh → kept
+      q.processAllAvailable()
+      val kept = spark.table("`scurdb`.`corpus`").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 11L))
+    } finally {
+      q.stop()
+      CatalogOps.dropDatabase(spark, "scurdb")
+    }
+  }
+
   test("streaming image near-dup drops re-encoded and resized copies, keeps fresh and unjudgeable payloads") {
     import graft.sources.CatalogOps
     import graft.operators.{MediaRecord, MultimodalOps}
