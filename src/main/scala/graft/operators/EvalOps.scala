@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Retrieval-evaluation and training-pair-mining operators — the feedback
+  * loop of the reference's retrieval domain (the reference serves cosine
+  * top-3 as RAG context, `main_server.py:40-44`; a production deployment of
+  * that loop needs to MEASURE retrieval quality and to mine training pairs
+  * for the embedding model that powers it).
+  *
+  *  - [[hardNegatives]] — contrastive-pair mining: per query, the top-k
+  *    most-similar candidates whose label DIFFERS from the query's (the
+  *    "hard negatives" an embedding trainer wants; Karpukhin et al. 2020,
+  *    DPR, mine exactly this from BM25/ANN neighbors).
+  *  - [[rankEval]] — Recall@k / MRR / nDCG@k of the exact cosine ranking
+  *    against same-label relevance (the standard IR metric triple,
+  *    Järvelin & Kekäläinen 2002 for nDCG).
+  *
+  * Both reuse the bounded-heap batch scorer [[KnnOps.topKForQueries]]
+  * (broadcast query side, k-per-map-task partial aggregation), so the
+  * corpus-side plan is the one that survives 100 TB: no full shuffle of
+  * scored candidates, no rank window over the corpus.
+  *
+  * Determinism (FIXTURES.md rules): scores are `round(_, 6)` with vec_id
+  * tie-breaks; nDCG's per-rank discount weights are PRECOMPUTED integer
+  * micro-units ([[dcgWeightsMicro]]) injected as literals into BOTH the
+  * Spark plan and the DuckDB oracle, so no `log2` evaluation can diverge
+  * between engines, and the DCG sum is an order-independent integer sum.
+  */
+object EvalOps {
+
+  /** 1e6-scaled DCG discount weights: `w(rank) = round(1e6 / log2(rank+1))`
+    * for rank = 1..k. Integer micro-units so the grouped DCG sum is exact
+    * and order-independent (same trick as the bigram-LM oracle). Shared by
+    * [[rankEval]] and [[graft.SparkEntry]]'s oracle-SQL builder — one
+    * definition, two engines.
+    */
+  def dcgWeightsMicro(k: Int): Seq[Long] =
+    Seq.tabulate(k) { i =>
+      math.floor(1e6 / (math.log(i + 2) / math.log(2.0)) + 0.5).toLong
+    }
+
+  /** Prefix sums of [[dcgWeightsMicro]]: `idcg(n) = Σ_{i=1..n} w(i)` — the
+    * ideal DCG for n relevant items within a depth-k cutoff.
+    */
+  def idcgPrefixMicro(k: Int): Seq[Long] =
+    dcgWeightsMicro(k).scanLeft(0L)(_ + _).tail
+
+  /** Hard-negative mining: for each query vector (`vec_id < nQueries`),
+    * the k most-cosine-similar candidates (`vec_id >= nQueries`) with a
+    * DIFFERENT label. The label predicate lands BELOW the bounded-heap
+    * aggregation — each map task scores and heap-keeps only label-mismatched
+    * rows, so the shuffle still carries k rows per (query, map task) and
+    * the corpus never moves. Output: (query_id, vec_id, score, rank).
+    */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("label").as("q_label"))
+    val cand = emb.filter(col("vec_id") >= nQueries)
+    // join the tiny broadcast query side first, then drop same-label rows
+    // map-side; the remaining plan is exactly the topKForQueries shape
+    val mismatched = cand.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("query_id"), col("q_embedding"),
+        col("vec_id"), col("embedding"))
+    KnnOps.topKForQueriesPrescored(mismatched, k)
+  }
+
+  /** Rank-quality evaluation of the exact cosine top-k ranking against
+    * same-label relevance. Queries = `vec_id < nQueries`, candidates = the
+    * rest; a candidate is RELEVANT to a query iff labels match. Per query:
+    *
+    *  - `n_rel`   — number of relevant candidates in the corpus
+    *  - `hits`    — relevant candidates inside the top-k
+    *  - `recall_at_k` — hits / n_rel
+    *  - `mrr`     — 1 / rank of the first relevant hit (0 when none)
+    *  - `ndcg`    — Σ w(rank_of_hit) / Σ_{i<=min(n_rel,k)} w(i), binary
+    *                gains, weights from [[dcgWeightsMicro]]
+    *
+    * The ranking pass is [[KnnOps.topKForQueries]] (bounded-heap, corpus
+    * never shuffles); everything after it touches only k rows per query
+    * plus one broadcast-sized label-count table, so the metric layer adds
+    * no corpus-scale work — the shape that lets a 100 TB deployment score
+    * a 10k-query eval set as one cheap job.
+    */
+  def rankEval(spark: SparkSession, dir: String,
+               nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("label").as("q_label"))
+    val cand = emb.filter(col("vec_id") >= nQueries)
+
+    // (query_id, vec_id, score, rank) — k rows per query
+    val ranked = KnnOps.topKForQueries(
+      queries.select(col("query_id"), col("q_embedding")), cand, k)
+
+    // relevance judgment: label equality against the candidate corpus
+    val judged = ranked
+      .join(cand.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("query_id"), col("q_label"))),
+        Seq("query_id"))
+      .withColumn("rel", (col("label") === col("q_label")).cast("int"))
+
+    // per-label candidate counts — 10 rows here, label-cardinality rows in
+    // general; broadcast back onto the per-query metrics
+    val relCounts = cand.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_rel"))
+
+    val w = dcgWeightsMicro(k)
+    val wByRank = array(w.map(lit): _*) // element_at is 1-based = rank
+    val idcg = idcgPrefixMicro(k)
+    val idcgByN = array(idcg.map(lit): _*)
+
+    val perQuery = judged.groupBy(col("query_id"))
+      .agg(
+        sum(col("rel")).cast("bigint").as("hits"),
+        sum(when(col("rel") === 1, element_at(wByRank, col("rank")))
+          .otherwise(lit(0L))).cast("bigint").as("dcg_micro"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+
+    queries.select(col("query_id"), col("q_label"))
+      .join(broadcast(relCounts),
+        queries("q_label") === relCounts("label"), "left")
+      .select(col("query_id"), coalesce(col("n_rel"), lit(0L)).as("n_rel"))
+      .join(perQuery, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        col("n_rel").cast("bigint").as("n_rel"),
+        coalesce(col("hits"), lit(0L)).cast("bigint").as("hits"),
+        round(when(col("n_rel") > 0,
+          coalesce(col("hits"), lit(0L)).cast("double") / col("n_rel"))
+          .otherwise(lit(0.0)), 6).as("recall_at_k"),
+        round(when(col("first_rel").isNotNull,
+          lit(1.0) / col("first_rel")).otherwise(lit(0.0)), 6).as("mrr"),
+        round(when(col("n_rel") > 0 && col("dcg_micro").isNotNull,
+          col("dcg_micro").cast("double") /
+            element_at(idcgByN, least(col("n_rel"), lit(k)).cast("int")))
+          .otherwise(lit(0.0)), 6).as("ndcg"))
+      .orderBy(col("query_id").asc)
+  }
+}

@@ -103,15 +103,25 @@ object KnnOps {
     * at k rows per (query, map task).
     */
   def topKForQueries(queries: DataFrame, cand: DataFrame, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
     // an at-least-once source can replay a query row; a duplicated
     // query_id would double-score every candidate and fill the k-slot
     // heap with duplicates — resolve deterministically first
     val uniq = queries.groupBy(col("query_id"))
       .agg(max(struct(col("q_embedding"))).as("__w"))
       .select(col("query_id"), col("__w.q_embedding").as("q_embedding"))
-    val scored = cand
-      .crossJoin(broadcast(uniq))
+    topKForQueriesPrescored(cand.crossJoin(broadcast(uniq)), k)
+  }
+
+  /** The scoring + bounded-heap tail of [[topKForQueries]], taking rows
+    * ALREADY paired as (query_id, q_embedding, vec_id, embedding) — for
+    * callers that interpose a predicate between the broadcast pairing and
+    * the heap (e.g. [[EvalOps.hardNegatives]]' label-mismatch gate). The
+    * caller owns query-side dedup; the corpus-side plan is unchanged
+    * (k rows per query per map task reach the shuffle).
+    */
+  def topKForQueriesPrescored(paired: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val scored = paired
       .select(col("query_id"), col("vec_id"),
         round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
     val topk = toCol(graft.plans.TopKScoreId(

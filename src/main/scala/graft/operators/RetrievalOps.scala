@@ -345,6 +345,111 @@ object RetrievalOps {
       .orderBy(col("doc_id").asc, col("rk").asc)
   }
 
+  /** Default phrase for the phrase-query contract entries — three distinct
+    * adjacent terms with a non-trivial hit set in the fixture corpus.
+    */
+  val PhraseQuery = "stream table hash"
+
+  /** Exact phrase search, LIVE form: documents containing the query terms
+    * ADJACENT and IN ORDER (`"stream table hash"` matches only that token
+    * sequence). The positional-index probe every search engine offers next
+    * to bag-of-words BM25 (Lucene's PhraseQuery); the reference's
+    * SDK exposes only bag-of-words + vector search — this closes the gap.
+    *
+    * Plan: a map-side `contains` pre-gate drops documents missing any term
+    * BEFORE tokenization (substring containment is implied by phrase
+    * containment, and the gate is a pushable string predicate); survivors
+    * posexplode into (doc_id, pos, term) rows restricted to the phrase's
+    * terms, and adjacency is n−1 self-equi-joins on `(doc_id, pos + i)` —
+    * each join side is only the phrase terms' occurrence lists, never the
+    * corpus token stream. Still one full corpus scan per call by
+    * construction; [[phraseSearchIndexed]] is the serving twin that
+    * replaces the scan with a positional-postings probe.
+    *
+    * Output: (doc_id, n_hits, first_pos), 0-based positions, ordered by
+    * doc_id — overlapping occurrences all count, matching the oracle.
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: String = PhraseQuery): DataFrame =
+    phraseSearchOn(Tables.documents(spark, dir), phrase)
+
+  /** [[phraseSearch]] over an arbitrary (doc_id, text) corpus. */
+  def phraseSearchOn(docs: DataFrame, phrase: String): DataFrame = {
+    val terms = phrase.split(" ").filter(_.nonEmpty).toSeq
+    require(terms.length >= 2, "phrase search needs at least two terms")
+    val gated = terms.distinct.foldLeft(docs)(
+      (df, t) => df.filter(col("text").contains(t)))
+    val postings = gated
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(terms.distinct: _*))
+    phraseAdjacency(postings, terms)
+  }
+
+  /** Phrase search, INDEXED form: the adjacency join of [[phraseSearch]]
+    * served from a positional-postings collection
+    * ([[graft.sources.CatalogOps.createPositions]]) — probe cost is the
+    * phrase terms' position lists (bucket-pruned directories, pushed
+    * `term IN` row-group filter), never a corpus scan. Bit-identical
+    * output to the live form → faces the SAME DuckDB oracle.
+    */
+  def phraseSearchIndexed(spark: SparkSession, db: String, name: String,
+      phrase: String = PhraseQuery): DataFrame = {
+    val terms = phrase.split(" ").filter(_.nonEmpty).toSeq
+    require(terms.length >= 2, "phrase search needs at least two terms")
+    val buckets = terms.distinct.map(graft.sources.CatalogOps.postingsBucketOf)
+    // read-time fold of the append/remove log: a position is live while
+    // its signed multiplicity is positive (same log-structured contract
+    // as the tf postings, with row-identity cancellation instead of sums)
+    val postings = spark.table(s"`$db`.`${name}__positions`")
+      .filter(col("bucket").isin(buckets.distinct: _*) &&
+        col("term").isin(terms.distinct: _*))
+      .groupBy(col("doc_id"), col("term"), col("pos"))
+      .agg(sum(col("sign")).as("mult"))
+      .filter(col("mult") > 0L)
+      .select(col("doc_id"), col("pos"), col("term"))
+    phraseAdjacency(postings, terms)
+  }
+
+  /** Shared adjacency tail: from (doc_id, pos, term) occurrence rows of
+    * the phrase's terms, chain n−1 equi-joins `(doc_id, pos+i)` and
+    * aggregate matches per document.
+    */
+  private def phraseAdjacency(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    val p0 = postings.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = terms.zipWithIndex.tail.foldLeft(p0) { case (acc, (t, i)) =>
+      val pi = postings.filter(col("term") === t)
+        .select(col("doc_id").as(s"d$i"), col("pos").as(s"p$i"))
+      acc.join(pi, col("doc_id") === col(s"d$i") &&
+          col(s"p$i") === col("pos") + i)
+        .select(col("doc_id"), col("pos"))
+    }
+    matched.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_hits"),
+        min(col("pos")).cast("bigint").as("first_pos"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Build-if-absent positional index for the indexed phrase contract
+    * entry — create-half + upsert-half so every contract run exercises
+    * the incremental append path, mirroring [[ensureLexicalIndex]].
+    */
+  private[graft] def ensurePositionalIndex(spark: SparkSession, dir: String): (String, String) = {
+    import graft.sources.CatalogOps
+    val (db, name) = ensureBm25Store(spark, dir)
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__positions")) {
+        KnnOps.dropTableAndDir(spark, db, s"${name}__positions")
+        val docs = Tables.documents(spark, dir)
+        CatalogOps.createPositions(spark, db, name,
+          docs.filter(col("doc_id") % 2 === 0))
+        CatalogOps.upsertPositions(spark, db, name,
+          docs.filter(col("doc_id") % 2 =!= 0))
+      }
+    }
+    (db, name)
+  }
+
   // private[graft], not private: the Dataset encoder's generated
   // deserializer must see a PUBLIC bytecode constructor (plain `private`
   // fails janino codegen with "Private member cannot be accessed")

@@ -402,6 +402,21 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming positional-index maintenance — the phrase-query artifact
+    * ([[graft.sources.CatalogOps.createPositions]]) fed one micro-batch
+    * at a time, replay-safe via the same commit-watermark + batch-id-
+    * partition idempotence as [[streamingPostings]].
+    */
+  def streamingPositions(docStream: DataFrame, db: String,
+      name: String): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.CatalogOps.positionsIncrementalBatch(batch.toDF(), db, name, id)
+      }
+      .start()
+
   /** Streaming INDEXED BM25 query serving — [[streamingBm25]]'s zero-
     * corpus-scan twin: each (query_id, qtext) micro-batch is answered
     * from the postings index alone ([[graft.operators.RetrievalOps

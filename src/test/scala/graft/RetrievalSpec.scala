@@ -520,6 +520,61 @@ class RetrievalSpec extends AnyFunSuite {
     assert(irows(doubled) === irows(once))
   }
 
+  test("phrase search: adjacency, order, and overlapping matches count exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x table table table y"),       // overlapping repeated-term hits
+      (2L, "stream table hash stream table hash"),
+      (3L, "stream table x hash"),         // gap breaks the phrase
+      (4L, "hash table stream"))           // order matters
+      .toDF("doc_id", "text")
+    val rep = RetrievalOps.phraseSearchOn(docs, "table table")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rep.toSeq === Seq((1L, 2L, 1L)),
+      "overlapping occurrences must all count, 0-based first position")
+    val tri = RetrievalOps.phraseSearchOn(docs, "stream table hash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri.toSeq === Seq((2L, 2L, 0L)))
+  }
+
+  test("positions lifecycle: indexed equals live; remove(X) equals a build without X") {
+    import graft.sources.CatalogOps
+    val db = "graft_positions_rm"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    CatalogOps.createDatabase(spark, db)
+    try {
+      val docs = Tables.documents(spark, sf)
+      val keep = docs.filter(col("doc_id") % 2 === 0)
+      val removed = docs.filter(col("doc_id") % 2 =!= 0)
+      CatalogOps.createPositions(spark, db, "full", docs)
+      CatalogOps.createPositions(spark, db, "fresh", keep)
+      def probe(name: String) =
+        RetrievalOps.phraseSearchIndexed(spark, db, name, RetrievalOps.PhraseQuery)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // indexed == live on the same corpus
+      val live = RetrievalOps.phraseSearchOn(docs, RetrievalOps.PhraseQuery)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(live.nonEmpty, "fixture must contain the contract phrase")
+      assert(probe("full") === live)
+      // remove(X) == never-ingested-X
+      CatalogOps.removePositions(spark, db, "full", removed)
+      assert(probe("full") === probe("fresh"),
+        "sign-cancelled occurrences must be invisible to the probe")
+    } finally spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
+  test("indexed phrase plan: bucket-pruned positions scan, no corpus, pushed term filter") {
+    val (db, name) = RetrievalOps.ensurePositionalIndex(spark, sf)
+    val plan = RetrievalOps.phraseSearchIndexed(spark, db, name)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"the probe must never scan the corpus:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"the bucket predicate must prune partitions at the directory level:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(plan).isDefined,
+      s"the term IN filter must reach the row groups:\n$plan")
+  }
+
   test("empty or fully-removed stats store serves empty results, not NaN/NPE") {
     import graft.sources.CatalogOps
     val db = "bm25_empty_db"

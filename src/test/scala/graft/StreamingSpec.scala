@@ -1028,6 +1028,59 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("streaming positions: stream equals live phrase scan; replays converge; compaction invisible") {
+    import graft.sources.{CatalogOps, Tables}
+    import graft.operators.RetrievalOps
+    implicit val ctx = spark.sqlContext
+    val db = "rposidb"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingPositions(
+      in.toDF.toDF("doc_id", "text"), db, "corpus")
+    try {
+      in.addData(rows.filter(_._1 < 250).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(rows.filter(_._1 >= 250).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val phrase = RetrievalOps.PhraseQuery
+    def probe() = RetrievalOps.phraseSearchIndexed(spark, db, "corpus", phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val live = RetrievalOps.phraseSearchOn(docs, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(live.nonEmpty && probe() === live,
+      "streamed positions must serve the batch-exact phrase result")
+    def state() = (
+      spark.table(s"`$db`.`corpus__positions`").count(),
+      spark.table(s"`$db`.`corpus__poscommits`").head().getLong(0))
+    val s0 = state()
+    val batch1 = rows.filter(_._1 >= 250).toIndexedSeq.toDF("doc_id", "text")
+    // COMMITTED replay: watermark short-circuits, nothing appends
+    CatalogOps.positionsIncrementalBatch(batch1, db, "corpus", 1L)
+    assert(state() === s0)
+    // POST-APPEND crash (positions landed, watermark lost): the batch-id
+    // partition tag makes the append a no-op; only the watermark restores
+    spark.sql(s"DROP TABLE `$db`.`corpus__poscommits`")
+    CatalogOps.positionsIncrementalBatch(batch1, db, "corpus", 1L)
+    assert(state() === s0 && probe() === live)
+    // remove + compact: cancelled occurrences fold away, probe unchanged
+    CatalogOps.removePositions(spark, db, "corpus",
+      docs.filter($"doc_id" % 2 =!= 0))
+    val afterRemove = probe()
+    CatalogOps.compactPositions(spark, db, "corpus")
+    val pos = spark.table(s"`$db`.`corpus__positions`")
+    assert(pos.filter($"sign" =!= 1L).count() === 0, "only live rows survive the fold")
+    assert(pos.groupBy($"term", $"doc_id", $"pos").count()
+      .filter($"count" > 1).count() === 0, "one row per live occurrence")
+    assert(probe() === afterRemove, "compaction must be probe-invisible")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("streaming indexed BM25 answers each micro-batch like the batched indexed path") {
     import graft.operators.RetrievalOps
     implicit val ctx = spark.sqlContext
