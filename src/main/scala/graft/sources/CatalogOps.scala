@@ -224,6 +224,58 @@ object CatalogOps {
       .sortBy(bucketCol)
       .saveAsTable(s"`$db`.`$name`")
 
+  /** Id-indexed collection — parquet BLOOM FILTERS on the id column for
+    * point lookups (the `query(document_ids=[...])` surface, ref
+    * `TencentVDB.py:69-75`, served without a full scan). Rows are
+    * hash-distributed on the id, which is the realistic post-shuffle
+    * ingest layout AND the adversarial one for min/max row-group stats:
+    * every row group spans nearly the whole id range, so statistics can
+    * prune nothing — the bloom filter is what lets the reader skip row
+    * groups that cannot contain the probed ids. At 100 TB a point fetch
+    * then opens every footer (a listing-scale cost, same as any
+    * unpartitioned probe) but READS almost no data pages.
+    *
+    * `expectedNdvPerGroup` sizes the filter and is PER ROW GROUP (blooms
+    * are a per-row-group structure; parquet-mr derives bits from the
+    * target FPP at that cardinality) — sizing it to the TABLE cardinality
+    * is the measured anti-pattern: every group then carries a
+    * max-size (1 MiB) bloom and a probe pays more bloom bytes than the
+    * data it skips (`graft.LookupScale` caught exactly this).
+    * `rowGroupBytes` is exposed because the skipping granularity IS the
+    * row group — production keeps the default 128 MiB, measurements
+    * shrink it to get many groups per file. Note the complementary
+    * mechanism: row groups whose id column fully DICTIONARY-encodes are
+    * already skippable from the dictionary page alone; the bloom is what
+    * keeps point lookups cheap once groups grow past the 1 MiB dictionary
+    * page cap (~128k distinct longs), which every production-sized group
+    * does.
+    */
+  def createIdIndexedCollection(spark: SparkSession, db: String, name: String,
+      data: DataFrame, idCol: String = "doc_id", shards: Int = 3,
+      expectedNdvPerGroup: Long = 1500000L,
+      rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.functions.col
+    data.repartition(shards, col(idCol))
+      .write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$idCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$idCol", expectedNdvPerGroup.toString)
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .saveAsTable(s"`$db`.`$name`")
+  }
+
+  /** Point lookup by id set — plans as one scan with a pushed
+    * `In(idCol, ...)` filter; on a [[createIdIndexedCollection]] table the
+    * parquet reader drops row groups via the id bloom filter before
+    * touching data pages. Deterministic output order by id.
+    */
+  def lookupByIds(spark: SparkSession, db: String, name: String,
+      ids: Seq[Long], idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.table(s"`$db`.`$name`")
+      .filter(col(idCol).isin(ids: _*))
+      .orderBy(col(idCol).asc)
+  }
+
   /** Partitioned collection — the layout that turns the reference's FILTER
     * index (`TencentVDB.py:48`, "检索时需作为条件查询的字段") into partition
     * PRUNING: a filter on the partition column plans as PartitionFilters

@@ -148,6 +148,45 @@ class PlanSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "bucketdb")
   }
 
+  test("id-indexed collection: bloom filter in every footer, pushed In, exact lookup") {
+    import graft.sources.{CatalogOps, Tables}
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    CatalogOps.dropDatabase(spark, "bloomdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/bloomdb.db"))
+    CatalogOps.createDatabase(spark, "bloomdb")
+    CatalogOps.createIdIndexedCollection(spark, "bloomdb", "docs_ix",
+      Tables.documents(spark, sf), idCol = "doc_id", shards = 3,
+      expectedNdvPerGroup = 1000L)
+    // every written file carries a doc_id bloom filter in its footer
+    val dir = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath + "/bloomdb.db/docs_ix")
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          spark.sessionState.newHadoopConf()))
+      try reader.getRowGroups.asScala.foreach { rg =>
+        val chunk = rg.getColumns.asScala
+          .find(_.getPath.toDotString == "doc_id").get
+        assert(reader.getBloomFilterDataReader(rg).readBloomFilter(chunk) != null,
+          s"row group in ${f.getName} lacks the doc_id bloom filter")
+      } finally reader.close()
+    }
+    // point lookup: pushed In filter, exactly the probed rows, id order
+    val probe = CatalogOps.lookupByIds(spark, "bloomdb", "docs_ix",
+      Seq(7L, 123L, 400L))
+    val p = plan(probe)
+    assert("PushedFilters: \\[[^\\]]*In\\(doc_id".r.findFirstIn(p).isDefined,
+      s"the id set must reach the parquet reader:\n$p")
+    assert(probe.select("doc_id").collect().map(_.getLong(0)).toSeq ===
+      Seq(7L, 123L, 400L))
+    CatalogOps.dropDatabase(spark, "bloomdb")
+  }
+
   test("sessionization reuses one user_id exchange for window and group-by") {
     // partitioning by user_id satisfies the (user_id, session_id) group-by
     // distribution, so the lag window and the session aggregate share ONE
