@@ -85,6 +85,10 @@ object SparkEntry {
     // verify; rows-only (k-means is engine-native), planted-cluster
     // recovery and the kCells=1 exact ceiling pinned in tests
     "q_dedup_semantic" -> ((s, d) => DedupOps.semanticDedupCells(s, d)),
+    // the SERVING form: blocked by the persisted mini-batch-maintained
+    // quantizer (create-half + upsert-half each run); rows-only like its
+    // live twin (k-means is engine-native), behavior pinned in tests
+    "q_dedup_semantic_stored" -> ((s, d) => DedupOps.semanticDedupStoredFixture(s, d)),
     // ---- text analysis / embedding (LLM-pipeline north star) ----
     "q_embed_batch"     -> ((s, d) => TextAnalysisOps.embedBatch(s, d)),
     "q_text_lang"       -> ((s, d) => TextAnalysisOps.langId(s, d)),
@@ -260,7 +264,7 @@ object SparkEntry {
     "q_vec_quantize", "q_embed_batch",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_embed", "q_dedup_cc", "q_dedup_substring", "q_dedup_substring_trim",
-    "q_image_neardup", "q_dedup_semantic",
+    "q_image_neardup", "q_dedup_semantic", "q_dedup_semantic_stored",
     "q_text_quality", "q_token_count", "q_bpe_tokens", "q_lm_bigram", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast",
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",

@@ -881,12 +881,69 @@ object DedupOps {
 
   private[graft] def semanticDedupCellsOn(emb: DataFrame, tau: Double,
       kCells: Int, iters: Int): DataFrame = {
-    import graft.functions.VectorFunctions.cosineFast
     require(kCells >= 1, s"kCells out of range: $kCells")
     // cache-train-unpersist: see createIvfCollection
     emb.cache()
     val cents = try KnnOps.kmeansCentroids(emb, kCells, iters)
       finally emb.unpersist()
+    semanticDedupWithCentroids(emb, cents, kCells, tau)
+  }
+
+  /** Semantic dedup against a PERSISTED quantizer
+    * ([[graft.sources.CatalogOps.createKmeansModel]]) — the serving form:
+    * no training pass, the stored model's centroids block the pair join.
+    * With a model created on the same corpus and parameters this is
+    * bit-identical to [[semanticDedupCells]] (pinned in tests); with a
+    * mini-batch-maintained model it is the production shape — the
+    * quantizer ages gracefully (count-weighted running means) instead of
+    * retraining on the full history per dedup run.
+    */
+  def semanticDedupStored(spark: SparkSession, db: String, name: String,
+      emb: DataFrame, tau: Double = 0.45): DataFrame = {
+    val (cents, _, kCells, _, _) =
+      graft.sources.CatalogOps.readKmeansModel(spark, db, name)
+    semanticDedupWithCentroids(emb, cents, kCells, tau)
+  }
+
+  /** Build-if-absent quantizer for the stored-semantic contract entry —
+    * create-half + mini-batch-upsert-half every contract run, so the
+    * maintenance path faces the fixture each time (same convention as
+    * the lexical/positional index ensures). NOTE the halves: the create
+    * trains Lloyd on the even ids; the odd ids arrive as ONE mini-batch
+    * step — the stored model is the AGED one by construction.
+    */
+  private[graft] def ensureKmeansModel(spark: SparkSession, dir: String,
+      kCells: Int = 8, iters: Int = 3): (String, String) = {
+    import graft.sources.CatalogOps
+    val db = "graft_kmeans"
+    val name = "emb"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__kmeans")) {
+        CatalogOps.createDatabase(spark, db)
+        KnnOps.dropTableAndDir(spark, db, s"${name}__kmeans")
+        val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+        CatalogOps.createKmeansModel(spark, db, name,
+          emb.filter(col("vec_id") % 2 === 0), kCells, iters)
+        CatalogOps.upsertKmeansModel(spark, db, name,
+          emb.filter(col("vec_id") % 2 =!= 0), batchId = 0L)
+      }
+    }
+    (db, name)
+  }
+
+  /** `q_dedup_semantic_stored`: [[semanticDedupStored]] over the
+    * fixture against the maintained quantizer of [[ensureKmeansModel]].
+    */
+  def semanticDedupStoredFixture(spark: SparkSession, dir: String,
+      tau: Double = 0.45): DataFrame = {
+    val (db, name) = ensureKmeansModel(spark, dir)
+    semanticDedupStored(spark, db, name,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), tau)
+  }
+
+  private def semanticDedupWithCentroids(emb: DataFrame, cents: Array[Double],
+      kCells: Int, tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions.cosineFast
     val assign = toCol(graft.plans.NearestCentroid(
       toExpr(col("embedding")), cents.toSeq, kCells))
     val cells = emb.select(col("vec_id"), col("embedding"), assign.as("cell"))

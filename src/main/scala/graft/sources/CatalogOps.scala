@@ -1272,6 +1272,111 @@ object CatalogOps {
       .saveAsTable(s"`$db`.`${name}__postings`")
   }
 
+  /** Persisted k-means centroid model — the learned blocking quantizer
+    * (semantic dedup's cells, IVF's coarse layer) promoted to a
+    * MAINTAINED artifact so a growing corpus refreshes it with
+    * mini-batches instead of retraining on the full history.
+    *
+    * `{name}__kmeans`: one row per cell `(cell, centroid, n, batch_id)` —
+    * model-sized (k rows), so reads/writes are trivially cheap; the
+    * corpus-scale work stays in the one assignment + [[graft.plans
+    * .VecSumCount]] pass per call. `batch_id` doubles as the replay
+    * watermark: the model is a FOLD state, and writing state + watermark
+    * as ONE overwrite makes the update atomic for at-least-once feeds —
+    * no separate commit table can desync from the model it guards.
+    *
+    * Create trains the deterministic seeded Lloyd iterations
+    * ([[graft.operators.KnnOps.kmeansCentroids]]); [[upsertKmeansModel]]
+    * applies one Sculley-2010 mini-batch step: assign the batch to the
+    * STORED centroids, then per cell `c' = (c·n + Σbatch) / (n + m)` —
+    * the count-weighted running mean, so a replayed or empty cell is a
+    * no-op and counts always sum to rows ingested.
+    */
+  def createKmeansModel(spark: SparkSession, db: String, name: String,
+      emb: DataFrame, kCells: Int, iters: Int = 3): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    import graft.operators.KnnOps
+    emb.cache() // cache-train-unpersist: see createIvfCollection
+    val cents = try KnnOps.kmeansCentroids(emb, kCells, iters)
+      finally emb.unpersist()
+    val dim = cents.length / kCells
+    val assign = toCol(graft.plans.NearestCentroid(
+      toExpr(col("embedding")), cents.toSeq, kCells))
+    val counts = emb.select(assign.as("cell"))
+      .groupBy(col("cell")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // watermark -1: streaming feeds start at micro-batch 0, which must
+    // NOT be mistaken for already-applied
+    writeKmeansModel(spark, db, name, kCells, dim, cents,
+      Array.tabulate(kCells)(c => counts.getOrElse(c, 0L)), batchId = -1L)
+  }
+
+  /** One mini-batch model refresh — count-weighted running mean per cell
+    * (see [[createKmeansModel]]). `batchId` is the replay watermark:
+    * batches at or below the stored one no-op. Centroids move, stored
+    * CELL ASSIGNMENTS do not — like every IVF deployment, assignment
+    * drift is reconciled at the next rebuild/compaction, and the probe
+    * keeps working against the cells rows were filed under.
+    */
+  def upsertKmeansModel(spark: SparkSession, db: String, name: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val (cents, counts, kCells, dim, storedBatch) = readKmeansModel(spark, db, name)
+    if (batchId <= storedBatch) return
+    val assign = toCol(graft.plans.NearestCentroid(
+      toExpr(col("embedding")), cents.toSeq, kCells))
+    val sumCount = toCol(graft.plans.VecSumCount(
+      toExpr(col("embedding"))).toAggregateExpression())
+    val next = cents.clone(); val nextN = counts.clone()
+    batch.select(assign.as("cell"), col("embedding"))
+      .groupBy(col("cell")).agg(sumCount.as("sc"))
+      .select(col("cell"), col("sc.sums"), col("sc.n"))
+      .collect()
+      .foreach { r =>
+        val cell = r.getInt(0); val s = r.getSeq[Double](1); val m = r.getLong(2)
+        val n = counts(cell)
+        var i = 0
+        while (i < dim) {
+          next(cell * dim + i) = (cents(cell * dim + i) * n + s(i)) / (n + m)
+          i += 1
+        }
+        nextN(cell) = n + m
+      }
+    writeKmeansModel(spark, db, name, kCells, dim, next, nextN, batchId)
+  }
+
+  /** Stored model → (flat centroids, per-cell counts, k, dim, batch_id). */
+  private[graft] def readKmeansModel(spark: SparkSession, db: String,
+      name: String): (Array[Double], Array[Long], Int, Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    val rows = spark.table(s"`$db`.`${name}__kmeans`")
+      .orderBy(col("cell").asc).collect()
+    val k = rows.length
+    val dim = rows.head.getSeq[Double](1).length
+    val cents = new Array[Double](k * dim)
+    val counts = new Array[Long](k)
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      val v = r.getSeq[Double](1)
+      var i = 0; while (i < dim) { cents(c * dim + i) = v(i); i += 1 }
+      counts(c) = r.getLong(2)
+    }
+    (cents, counts, k, dim, rows.head.getLong(3))
+  }
+
+  private def writeKmeansModel(spark: SparkSession, db: String, name: String,
+      kCells: Int, dim: Int, cents: Array[Double], counts: Array[Long],
+      batchId: Long): Unit = {
+    val rows = (0 until kCells).map { c =>
+      (c, cents.slice(c * dim, (c + 1) * dim).toSeq, counts(c), batchId)
+    }
+    spark.createDataFrame(rows)
+      .toDF("cell", "centroid", "n", "batch_id")
+      .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__kmeans`")
+  }
+
   /** Positional postings — the phrase-query artifact: one row per token
     * OCCURRENCE `(term, doc_id, pos, sign)`, partitioned by the same
     * term-hash `bucket` as [[createPostings]] so a phrase probe prunes to

@@ -402,6 +402,24 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming k-means model maintenance — each embedding micro-batch
+    * applies one mini-batch step to the persisted quantizer
+    * ([[graft.sources.CatalogOps.upsertKmeansModel]]). Replay-safe by
+    * construction: the model row set carries its own batch-id watermark
+    * and state + watermark land in ONE overwrite, so an at-least-once
+    * replay of any crash window is a no-op.
+    */
+  def streamingKmeans(embStream: DataFrame, db: String,
+      name: String): StreamingQuery =
+    embStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.CatalogOps.upsertKmeansModel(
+            batch.sparkSession, db, name, batch.toDF(), id)
+      }
+      .start()
+
   /** Streaming positional-index maintenance — the phrase-query artifact
     * ([[graft.sources.CatalogOps.createPositions]]) fed one micro-batch
     * at a time, replay-safe via the same commit-watermark + batch-id-

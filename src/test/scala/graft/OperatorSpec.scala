@@ -2796,6 +2796,62 @@ class OperatorSpec extends AnyFunSuite {
     assert(cells.length === 44 && cells.map(_._2).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("stored semantic dedup: frozen model equals live; mini-batch tracks clusters; replays no-op") {
+    import spark.implicits._
+    import graft.sources.{CatalogOps, Tables}
+    val db = "kmeansmodel_t"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    // (1) model trained on the full fixture with the live parameters →
+    // the stored probe is bit-identical to the live train-per-call path
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    CatalogOps.createKmeansModel(spark, db, "full", emb, kCells = 8, iters = 3)
+    val stored = DedupOps.semanticDedupStored(spark, db, "full", emb, tau = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val live = DedupOps.semanticDedupCells(spark, sf, tau = 0.45, kCells = 8, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stored === live)
+    // (2) mini-batch maintenance on planted clusters: seed on half the
+    // corpus, age with two mini-batches — centroids land on the cluster
+    // means anyway (count-weighted running mean), counts account all rows
+    val rnd = new scala.util.Random(7L)
+    val dim = 8
+    def vecNear(c: Int): Seq[Double] =
+      Seq.tabulate(dim)(i => (if (i % 4 == c) 1.0 else 0.03) + rnd.nextDouble() * 0.03)
+    val vecs = (0 until 48).map(i => (i.toLong, vecNear(i % 4)))
+    val pdf = vecs.toDF("vec_id", "embedding")
+    CatalogOps.createKmeansModel(spark, db, "planted",
+      pdf.filter($"vec_id" < 24), kCells = 4, iters = 3)
+    CatalogOps.upsertKmeansModel(spark, db, "planted",
+      pdf.filter($"vec_id" >= 24 && $"vec_id" < 36), batchId = 0L)
+    CatalogOps.upsertKmeansModel(spark, db, "planted",
+      pdf.filter($"vec_id" >= 36), batchId = 1L)
+    val (cents, counts, k, d, wm) = CatalogOps.readKmeansModel(spark, db, "planted")
+    assert(k === 4 && d === dim && wm === 1L && counts.sum === 48L)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val ab = a.zip(b).map { case (x, y) => x * y }.sum
+      ab / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    (0 until 4).foreach { c =>
+      val mean = (0 until dim).map(i =>
+        vecs.filter(_._1 % 4 == c).map(_._2(i)).sum / 12.0)
+      val best = (0 until 4).map(cell =>
+        cos(cents.slice(cell * dim, (cell + 1) * dim).toSeq, mean)).max
+      assert(best > 0.999, s"cluster $c lost by the aged model (best cos $best)")
+    }
+    // (3) replays: at-or-below-watermark batches must not move the model
+    val before = spark.table(s"`$db`.`planted__kmeans`").collect().map(_.toString).sorted.toSeq
+    CatalogOps.upsertKmeansModel(spark, db, "planted",
+      pdf.filter($"vec_id" >= 36), batchId = 1L)
+    CatalogOps.upsertKmeansModel(spark, db, "planted",
+      pdf.filter($"vec_id" >= 24 && $"vec_id" < 36), batchId = 0L)
+    val after = spark.table(s"`$db`.`planted__kmeans`").collect().map(_.toString).sorted.toSeq
+    assert(after === before, "replayed mini-batches must be no-ops")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("image dedup components: a chain of variants resolves to one group") {
     import spark.implicits._
     import graft.operators.{MediaRecord, MultimodalOps}

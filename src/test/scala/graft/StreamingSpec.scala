@@ -1028,6 +1028,43 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("streaming kmeans maintenance equals manual mini-batch upserts") {
+    import graft.sources.{CatalogOps, Tables}
+    implicit val ctx = spark.sqlContext
+    val db = "rkmeansdb"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+      .select($"vec_id", $"embedding")
+    val seed = emb.filter($"vec_id" < 250)
+    val restRows = emb.filter($"vec_id" >= 250)
+      .as[(Long, Seq[Double])].collect()
+    // twin A: streamed micro-batches; twin B: the same splits by hand
+    Seq("s", "m").foreach(n =>
+      CatalogOps.createKmeansModel(spark, db, n, seed, kCells = 8, iters = 2))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.streamingKmeans(
+      in.toDF.toDF("vec_id", "embedding"), db, "s")
+    try {
+      in.addData(restRows.filter(_._1 < 380).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(restRows.filter(_._1 >= 380).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    CatalogOps.upsertKmeansModel(spark, db, "m",
+      restRows.filter(_._1 < 380).toIndexedSeq.toDF("vec_id", "embedding"), 0L)
+    CatalogOps.upsertKmeansModel(spark, db, "m",
+      restRows.filter(_._1 >= 380).toIndexedSeq.toDF("vec_id", "embedding"), 1L)
+    val (cs, ns, k, _, wm) = CatalogOps.readKmeansModel(spark, db, "s")
+    val (cm, nm, _, _, _) = CatalogOps.readKmeansModel(spark, db, "m")
+    assert(k === 8 && wm === 1L && ns.sum === 500L)
+    assert(ns.toSeq === nm.toSeq)
+    assert(cs.toSeq === cm.toSeq, "streamed model must equal the manual fold")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("streaming positions: stream equals live phrase scan; replays converge; compaction invisible") {
     import graft.sources.{CatalogOps, Tables}
     import graft.operators.RetrievalOps
