@@ -57,6 +57,9 @@ object SparkEntry {
     "q_knn_hnsw_filtered" -> ((s, d) => GraphAnnOps.topKNswFiltered(s, d)),
     // retrieval-evaluation / pair-mining layer over the knn core
     "q_mine_hardneg"  -> ((s, d) => EvalOps.hardNegatives(s, d)),
+    // ANN-served mining: nprobe-pruned IVF cells, approximate by
+    // construction → rows-only; exhaustive-probe equality test-pinned
+    "q_mine_hardneg_indexed" -> ((s, d) => EvalOps.hardNegativesIndexed(s, d)),
     "q_eval_rank"     -> ((s, d) => EvalOps.rankEval(s, d)),
     // crawl-side link centrality (deterministic synthetic edge graph)
     "q_link_pagerank" -> ((s, d) => LinkOps.pageRank(s, d)),
@@ -140,6 +143,15 @@ object SparkEntry {
     "q_text_phrase_indexed" -> ((s, d) => {
       val (db, name) = RetrievalOps.ensurePositionalIndex(s, d)
       RetrievalOps.phraseSearchIndexed(s, db, name)
+    }),
+    // batched phrase serving: ONE index probe answers a phrase table
+    // (includes a repeated-term phrase — the offset-coverage edge case)
+    "q_text_phrase_batch" -> ((s, d) => {
+      val (db, name) = RetrievalOps.ensurePositionalIndex(s, d)
+      val qs = RetrievalOps.PhraseBatch.zipWithIndex
+        .map { case (p, i) => (i.toLong, p) }
+      RetrievalOps.phraseForQueriesIndexed(s, db, name,
+        s.createDataFrame(qs).toDF("query_id", "phrase"))
     }),
     "q_hybrid_rrf"     -> ((s, d) => RetrievalOps.hybridRrf(s, d)),
     // both pools from persisted artifacts (BM25 store + routed NSW index):
@@ -273,8 +285,8 @@ object SparkEntry {
     "q_text_bm25", "q_text_bm25_stored", "q_text_bm25_indexed", "q_text_bm25_filtered",
     "q_text_bm25_batch", "q_text_bm25_batch_indexed",
     "q_hybrid_rrf", "q_hybrid_rrf_served", "q_tfidf_topterms", "q_tfidf_indexed",
-    "q_knn_mmr", "q_text_phrase", "q_text_phrase_indexed",
-    "q_mine_hardneg", "q_eval_rank", "q_link_pagerank",
+    "q_knn_mmr", "q_text_phrase", "q_text_phrase_indexed", "q_text_phrase_batch",
+    "q_mine_hardneg", "q_mine_hardneg_indexed", "q_eval_rank", "q_link_pagerank",
     "q_decontaminate", "q_pack_sequences", "q_domain_mix", "q_curate_e2e")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
@@ -337,15 +349,20 @@ object SparkEntry {
     * phrase definition for the engine and the oracle. DuckDB lists are
     * 1-based, so `pos = i - 1` restores the engine's 0-based token offsets.
     */
+  private def phrasePosCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |p AS (SELECT doc_id, i - 1 AS pos, t[i] AS term
+      |      FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks))""".stripMargin
+
+  private def phraseJoinsAndPreds(terms: Seq[String]): (String, String) = (
+    terms.indices.tail.map(i =>
+      s"  JOIN p p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i").mkString("\n"),
+    terms.zipWithIndex.map { case (t, i) => s"p$i.term = '$t'" }.mkString(" AND "))
+
   private def phraseOracleSql: String = {
-    val terms = RetrievalOps.PhraseQuery.split(" ").filter(_.nonEmpty)
-    val joins = terms.indices.tail.map(i =>
-      s"  JOIN p p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i").mkString("\n")
-    val preds = terms.zipWithIndex
-      .map { case (t, i) => s"p$i.term = '$t'" }.mkString(" AND ")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |p AS (SELECT doc_id, i - 1 AS pos, t[i] AS term
-       |      FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+    val terms = RetrievalOps.PhraseQuery.split(" ").filter(_.nonEmpty).toSeq
+    val (joins, preds) = phraseJoinsAndPreds(terms)
+    s"""WITH $phrasePosCtes,
        |m AS (
        |  SELECT p0.doc_id, p0.pos
        |  FROM p p0
@@ -354,6 +371,32 @@ object SparkEntry {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
        |       CAST(min(pos) AS BIGINT) AS first_pos
        |FROM m GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin
+  }
+
+  /** Batched phrase oracle: one per-phrase match CTE, UNION ALL, grouped
+    * per (query_id, doc_id) — generated from the SAME
+    * [[RetrievalOps.PhraseBatch]] the engine answers.
+    */
+  private def phraseBatchOracleSql: String = {
+    val mCtes = RetrievalOps.PhraseBatch.zipWithIndex.map { case (phrase, qi) =>
+      val terms = phrase.split(" ").filter(_.nonEmpty).toSeq
+      val (joins, preds) = phraseJoinsAndPreds(terms)
+      s"""m$qi AS (
+         |  SELECT $qi AS query_id, p0.doc_id, p0.pos
+         |  FROM p p0
+         |$joins
+         |  WHERE $preds)""".stripMargin
+    }.mkString(",\n")
+    val union = RetrievalOps.PhraseBatch.indices
+      .map(qi => s"SELECT * FROM m$qi").mkString(" UNION ALL ")
+    s"""WITH $phrasePosCtes,
+       |$mCtes,
+       |allm AS ($union)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_hits,
+       |       CAST(min(pos) AS BIGINT) AS first_pos
+       |FROM allm GROUP BY query_id, doc_id
+       |ORDER BY query_id ASC, doc_id ASC""".stripMargin
   }
 
   private def bm25Terms: Seq[String] = RetrievalOps.queryTerms(KnnTextQuery)
@@ -893,6 +936,7 @@ object SparkEntry {
          |ORDER BY bm25 DESC, doc_id ASC
          |LIMIT 20""".stripMargin,
     "q_text_phrase" -> phraseOracleSql,
+    "q_text_phrase_batch" -> phraseBatchOracleSql,
     // the positional-index probe is bit-identical to the live scan —
     // same oracle, same no-drift point as the bm25 indexed twins
     "q_text_phrase_indexed" -> phraseOracleSql,

@@ -71,6 +71,51 @@ object EvalOps {
     KnnOps.topKForQueriesPrescored(mismatched, k)
   }
 
+  /** Hard-negative mining on the INDEX path: the same label-mismatch
+    * mining as [[hardNegatives]], served from the IVF cell-partitioned
+    * collection — per query only the `nprobe` nearest cells are scanned
+    * (partition-pruned once for the whole batch), so mining a 10k-query
+    * panel against a 100 TB corpus touches nprobe/kCells of it instead of
+    * all of it. Approximate by construction (a hard negative hiding in an
+    * unprobed cell is missed — the standard ANN-mining trade, DPR mines
+    * from BM25/ANN pools the same way); equality to the exact path at
+    * exhaustive probes is test-pinned. The label predicate sits between
+    * the cell join and the bounded heap, exactly like the exact form.
+    */
+  def hardNegativesIndexed(spark: SparkSession, dir: String,
+      nQueries: Int = 5, k: Int = 5, nprobe: Int = 2,
+      kCells: Int = 8, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    import graft.functions.VectorFunctions.cosineFast
+    val (db, name) = KnnOps.ensureIvfProbeCollection(spark, dir, kCells, iters)
+    val (cents, nCells) = KnnOps.readCoarseModel(spark, db, name)
+    val qRows = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+    val probeRows = qRows.flatMap { r =>
+      val qv = r.getSeq[Double](1).toArray
+      KnnOps.nearestCells(qv, cents, nCells, nprobe)
+        .map(c => (r.getLong(0), c, qv.toSeq, r.getInt(2)))
+    }
+    val qprobe = spark.createDataFrame(probeRows.toIndexedSeq)
+      .toDF("query_id", "cell", "q_embedding", "q_label")
+    val allCells = probeRows.map(_._2).distinct.map(Int.box)
+    val scored = spark.table(s"`$db`.`$name`")
+      .filter(col("cell").isin(allCells.toIndexedSeq: _*))
+      .join(broadcast(qprobe), "cell")
+      .filter(col("label") =!= col("q_label") && col("vec_id") >= nQueries)
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
+    val topk = toCol(graft.plans.TopKScoreId(
+      toExpr(col("score")), toExpr(col("vec_id")), k).toAggregateExpression())
+    scored.groupBy(col("query_id"))
+      .agg(topk.as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.vec_id").as("vec_id"),
+        col("hit.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** Rank-quality evaluation of the exact cosine top-k ranking against
     * same-label relevance. Queries = `vec_id < nQueries`, candidates = the
     * rest; a candidate is RELEVANT to a query iff labels match. Per query:

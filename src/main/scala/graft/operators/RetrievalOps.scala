@@ -350,6 +350,12 @@ object RetrievalOps {
     */
   val PhraseQuery = "stream table hash"
 
+  /** Phrase table for the batched contract entry — includes a
+    * repeated-term phrase (the offset-coverage edge case).
+    */
+  val PhraseBatch: Seq[String] =
+    Seq("stream table hash", "table table", "slow hash batch")
+
   /** Exact phrase search, LIVE form: documents containing the query terms
     * ADJACENT and IN ORDER (`"stream table hash"` matches only that token
     * sequence). The positional-index probe every search engine offers next
@@ -408,6 +414,48 @@ object RetrievalOps {
       .filter(col("mult") > 0L)
       .select(col("doc_id"), col("pos"), col("term"))
     phraseAdjacency(postings, terms)
+  }
+
+  /** Batched phrase serving: ONE positional-index probe answers a whole
+    * (query_id, phrase) table — the phrase twin of [[bm25ForQueriesIndexed]].
+    * Phrase terms are driver-bounded (they are queries) and broadcast as a
+    * (query_id, term, tidx, qlen) fan-out table; the store is read once,
+    * pruned to the union of the phrases' buckets and terms. A phrase
+    * occurrence is a `(query_id, doc_id, start)` group covering ALL tidx
+    * offsets (`pos − tidx = start`), so matching is one aggregation —
+    * repeated-term phrases need no special case because each offset
+    * demands its own distinct position row. Per-query output is
+    * bit-identical to [[phraseSearchIndexed]] (pinned in tests).
+    */
+  def phraseForQueriesIndexed(spark: SparkSession, db: String, name: String,
+      queries: DataFrame): DataFrame = {
+    val qs: Array[(Long, Seq[String])] = queries
+      .select(col("query_id"), col("phrase")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    require(qs.forall(_._2.length >= 2), "phrase search needs at least two terms")
+    val allTerms = qs.flatMap(_._2).distinct.toSeq
+    val buckets = allTerms.map(graft.sources.CatalogOps.postingsBucketOf).distinct
+    val fanout = qs.flatMap { case (qid, terms) =>
+      terms.zipWithIndex.map { case (t, i) => (qid, t, i, terms.length) }
+    }.toSeq
+    val qterms = spark.createDataFrame(fanout)
+      .toDF("query_id", "term", "tidx", "qlen")
+    val live = spark.table(s"`$db`.`${name}__positions`")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("term"), col("pos"))
+      .agg(sum(col("sign")).as("mult"))
+      .filter(col("mult") > 0L)
+      .select(col("doc_id"), col("pos"), col("term"))
+    val starts = live.join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("qlen"),
+        (col("pos") - col("tidx")).as("start"), col("tidx"))
+      .groupBy(col("query_id"), col("doc_id"), col("qlen"), col("start"))
+      .agg(countDistinct(col("tidx")).as("covered"))
+      .filter(col("covered") === col("qlen"))
+    starts.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_hits"),
+        min(col("start")).cast("bigint").as("first_pos"))
+      .orderBy(col("query_id").asc, col("doc_id").asc)
   }
 
   /** Shared adjacency tail: from (doc_id, pos, term) occurrence rows of

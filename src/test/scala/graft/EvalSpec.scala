@@ -56,6 +56,28 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("indexed hard negatives equal the exact path at exhaustive probes; valid below") {
+    val kCells = 8
+    val exact = EvalOps.hardNegatives(spark, sf, 5, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val exhaustive = EvalOps.hardNegativesIndexed(spark, sf, 5, 5,
+      nprobe = kCells, kCells = kCells).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(exhaustive === exact,
+      "probing every cell must reproduce the exact mining result")
+    // pruned probes: a valid (possibly shallower) mining pool — every hit
+    // is label-mismatched and ranked consistently
+    val byId = emb.map(e => e._1 -> e._2).toMap
+    val pruned = EvalOps.hardNegativesIndexed(spark, sf, 5, 5,
+      nprobe = 2, kCells = kCells).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(pruned.nonEmpty)
+    pruned.groupBy(_._1).foreach { case (q, hits) =>
+      assert(hits.map(_._3).sorted.toSeq === (1 to hits.length).toSeq)
+      hits.foreach { case (_, id, _) => assert(byId(id) !== byId(q)) }
+    }
+  }
+
   test("rankEval equals an independent metric computation (recall/MRR/nDCG)") {
     val nQ = 8; val k = 10
     val got = EvalOps.rankEval(spark, sf, nQ, k).collect()

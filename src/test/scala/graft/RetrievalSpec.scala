@@ -563,6 +563,28 @@ class RetrievalSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("batched phrase probe equals the single-phrase probe per query") {
+    val (db, name) = RetrievalOps.ensurePositionalIndex(spark, sf)
+    val phrases = RetrievalOps.PhraseBatch
+    val qs = spark.createDataFrame(
+      phrases.zipWithIndex.map { case (p, i) => (i.toLong, p) })
+      .toDF("query_id", "phrase")
+    val batched = RetrievalOps.phraseForQueriesIndexed(spark, db, name, qs)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val singles = phrases.zipWithIndex.map { case (p, i) =>
+      val single = RetrievalOps.phraseSearchIndexed(spark, db, name, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(batched.getOrElse(i.toLong, Seq.empty) === single,
+        s"batched result for '$p' must equal the single-phrase probe")
+      single
+    }
+    // at sf0.001 not every contract phrase has hits; the probe must still
+    // answer a mixed hit/miss batch correctly, with at least one hit
+    assert(singles.exists(_.nonEmpty), "every phrase empty — fixture drifted")
+  }
+
   test("indexed phrase plan: bucket-pruned positions scan, no corpus, pushed term filter") {
     val (db, name) = RetrievalOps.ensurePositionalIndex(spark, sf)
     val plan = RetrievalOps.phraseSearchIndexed(spark, db, name)
