@@ -48,6 +48,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         TopKScoreId(children(0), children(1), k)
       }))
+    ext.injectFunction((FunctionIdentifier("space_saving_topk"),
+      info("space_saving_topk", "space_saving_topk(term, m) - aggregate: SpaceSaving heavy-hitter sketch, at most m (term, count, err) entries as array<struct<term, count, err>> sorted count DESC"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2) throw new IllegalArgumentException(
+          s"space_saving_topk expects 2 arguments (term, m), got ${children.size}")
+        val m = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"space_saving_topk: m must be an integer literal, got $other")
+        }
+        graft.plans.SpaceSavingTopK(children(0), m)
+      }))
     ext.injectFunction((FunctionIdentifier("vec_sum_count"),
       info("vec_sum_count", "vec_sum_count(v) - aggregate: element-wise sums + row count of array<double> vectors as struct<sums, n> (centroid = sums[i]/n)"),
       (children: Seq[Expression]) => VecSumCount(children(0))))

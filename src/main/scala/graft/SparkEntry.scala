@@ -97,6 +97,9 @@ object SparkEntry {
     "q_text_lang"       -> ((s, d) => TextAnalysisOps.langId(s, d)),
     "q_text_quality"    -> ((s, d) => TextAnalysisOps.qualityScore(s, d)),
     "q_token_count"     -> ((s, d) => TextAnalysisOps.tokenCount(s, d)),
+    // sketch-aggregated vocabulary head: one pass, m-entry partials —
+    // exact (and therefore oracled) whenever the vocabulary fits in m
+    "q_term_heavyhitters" -> ((s, d) => TextAnalysisOps.heavyHitterTerms(s, d)),
     // REAL trained-BPE token counts (train-then-count composite, the
     // ingest-cost label); rows-only — the merge loop is engine-native,
     // pinned against a driver-side reference + the Sennrich toy example
@@ -277,7 +280,7 @@ object SparkEntry {
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_embed", "q_dedup_cc", "q_dedup_substring", "q_dedup_substring_trim",
     "q_image_neardup", "q_dedup_semantic", "q_dedup_semantic_stored",
-    "q_text_quality", "q_token_count", "q_bpe_tokens", "q_lm_bigram", "q_multimodal_meta",
+    "q_text_quality", "q_token_count", "q_term_heavyhitters", "q_bpe_tokens", "q_lm_bigram", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast",
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
@@ -856,6 +859,12 @@ object SparkEntry {
         |       round(CAST(n_alpha AS DOUBLE) / n_tokens, 6) AS avg_word_len,
         |       round(CAST(n_distinct AS DOUBLE) / n_tokens * 0.5 + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5, 6) AS quality
         |FROM t ORDER BY doc_id ASC""".stripMargin,
+    "q_term_heavyhitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS err
+        |FROM tok GROUP BY term
+        |ORDER BY n DESC, term ASC
+        |LIMIT 15""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

@@ -131,6 +131,33 @@ object TextAnalysisOps {
     * (alphabetic runs) — the cost model of a tokenizer pass without the
     * tokenizer. `regexp_extract_all` is codegen'd; per-row only.
     */
+  /** Corpus-wide heavy-hitter terms via the [[graft.plans.SpaceSavingTopK]]
+    * sketch aggregate — vocabulary-head statistics (stopword discovery,
+    * boilerplate-term detection) in ONE partial-agg'd pass whose shuffle
+    * carries m-entry sketches instead of term rows (contrast: the tf-idf
+    * ingest pays explode + full term-keyed shuffle because it needs the
+    * WHOLE distribution; this needs only the head). Exact whenever the
+    * vocabulary fits in m — true for the fixture, which is why the
+    * contract entry is DuckDB-oracled; the approximation bounds for
+    * m < |vocab| are property-pinned in AggregateProperties.
+    */
+  def heavyHitterTerms(spark: SparkSession, dir: String,
+      m: Int = 256, topK: Int = 15): DataFrame =
+    heavyHitterTermsOn(Tables.documents(spark, dir), m, topK)
+
+  def heavyHitterTermsOn(docs: DataFrame, m: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val sketch = toCol(graft.plans.SpaceSavingTopK(
+      toExpr(col("term")), m).toAggregateExpression())
+    docs.select(explode(split(col("text"), " ")).as("term"))
+      .agg(sketch.as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term").as("term"), col("e.count").as("n"),
+        col("e.err").as("err"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(topK)
+  }
+
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),

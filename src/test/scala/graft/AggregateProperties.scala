@@ -78,4 +78,60 @@ object AggregateProperties extends Properties("graft.plans.Aggregates") {
         n == vecs.length && sums == want
       }
     }
+
+  private val termsAndSplit: Gen[(List[String], Int, Int)] = for {
+    n <- Gen.choose(0, 300)
+    // skewed draw over a small alphabet so heavy hitters exist
+    terms <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.const("hot"), 5 -> Gen.const("warm"),
+      3 -> Gen.oneOf("a", "b", "c"),
+      1 -> Gen.choose(0, 40).map(i => s"t$i")))
+    m <- Gen.choose(2, 12)
+    parts <- Gen.choose(1, 6)
+  } yield (terms, m, parts)
+
+  private val ssOut = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("count", LongType),
+    org.apache.spark.sql.types.StructField("err", LongType)))
+
+  property("space_saving: overestimates bounded by err; saturated heavy hitters survive; exact when vocab fits") =
+    forAll(termsAndSplit) { case (terms, m, parts) =>
+      val agg = graft.plans.SpaceSavingTopK(
+        BoundReference(0, org.apache.spark.sql.types.StringType, nullable = false), m)
+      def trow(t: String): InternalRow = new GenericInternalRow(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+      val partitions = terms.zipWithIndex.groupMap(_._2 % parts)(_._1)
+      val buffers = (0 until parts).map { p =>
+        partitions.getOrElse(p, Nil).foldLeft(agg.createAggregationBuffer()) {
+          (b, t) => agg.update(b, trow(t))
+        }
+      }
+      val merged = buffers.reduceLeft(agg.merge)
+      val got = agg.eval(merged).asInstanceOf[ArrayData]
+        .toArray[InternalRow](ssOut)
+        .map(r => (r.getUTF8String(0).toString, r.getLong(1), r.getLong(2)))
+      val truth = terms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // (1) SpaceSaving bounds: true ∈ [count − err, count]
+      val bounds = got.forall { case (t, c, e) =>
+        val tr = truth.getOrElse(t, 0L); tr <= c && c - e <= tr
+      }
+      // (2) per-partition guarantee, preserved by the floor-merge: any
+      // term with true count > parts·(n_p/m) per partition survives; the
+      // conservative global form — true > n/m·parts... use the safe bound:
+      // a term with true count > Σ_p n_p/m (= n/m) survives when parts = 1
+      val heavySurvive = if (parts == 1) {
+        truth.filter(_._2 > terms.length.toLong / m)
+          .keys.forall(t => got.exists(_._1 == t))
+      } else true
+      // (3) exactness when every buffer held every key it saw and the
+      // merged vocabulary fits: no eviction, no truncation → exact counts
+      val exact = if (truth.size <= m &&
+          partitions.values.forall(p => p.distinct.size <= m)) {
+        got.forall { case (t, c, e) => e == 0L && truth(t) == c } &&
+          got.length == truth.size
+      } else true
+      bounds && heavySurvive && exact
+    }
 }
