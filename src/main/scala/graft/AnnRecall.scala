@@ -20,6 +20,10 @@ object AnnRecall {
     // forced whole-graph rebuild on a hot cell — the cadence datum for
     // steady small-batch graph ingest.
     if (args.headOption.contains("insertcost")) { insertCost(args.drop(1)); return }
+    // "hardneg": overlap@k of ANN-served hard-negative mining vs the
+    // exact label-filtered scan on the fixture, across the nprobe grid —
+    // the mining analog of the filtered-ANN recall grid.
+    if (args.headOption.contains("hardneg")) { hardnegRecall(args.drop(1)); return }
     val n = if (args.length > 0) args(0).toInt else 4000
     val dim = if (args.length > 1) args(1).toInt else 64
     val nClusters = if (args.length > 2) args(2).toInt else 32
@@ -158,6 +162,34 @@ object AnnRecall {
     * existence: the rebuild pays O(cell) per batch and grows with the
     * cell, the insert pays O(batch).
     */
+  private def hardnegRecall(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val nQueries = 20; val k = 10; val kCells = 8
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.EvalOps
+    val exact = EvalOps.hardNegatives(spark, dir, nQueries, k).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    println(s"[annrecall] hardneg overlap@$k vs exact, $nQueries queries, kCells=$kCells ($dir)")
+    Seq(1, 2, 4, kCells).foreach { nprobe =>
+      val got = EvalOps.hardNegativesIndexed(spark, dir, nQueries, k,
+        nprobe = nprobe, kCells = kCells).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val overlap = exact.map { case (q, ids) =>
+        got.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size
+      }.sum / exact.size
+      println(f"[annrecall] nprobe=$nprobe%-2d overlap=${overlap}%.3f")
+    }
+    spark.stop()
+  }
+
   private def insertCost(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 20000
     val dim = if (args.length > 1) args(1).toInt else 64

@@ -1272,6 +1272,75 @@ object CatalogOps {
       .saveAsTable(s"`$db`.`${name}__postings`")
   }
 
+  /** Persisted SpaceSaving term sketch — the heavy-hitter statistic
+    * ([[graft.plans.SpaceSavingTopK]]) as a MAINTAINED artifact:
+    * `{name}__termsketch` holds at most m `(term, count, err, batch_id)`
+    * rows. Sketch-sized state with the batch-id watermark written in the
+    * SAME overwrite (the k-means-model replay discipline — state and
+    * watermark cannot desync). Each refresh aggregates ONLY the batch
+    * (one partial-agg'd pass) and folds it into the stored summary with
+    * the aggregate's OWN merge method — stream-equals-batch is by
+    * construction the same code path Spark's partial aggregation runs.
+    */
+  def createTermSketch(spark: SparkSession, db: String, name: String,
+      docs: DataFrame, m: Int = 256): Unit =
+    writeTermSketch(spark, db, name,
+      sketchOf(docs, m), batchId = -1L)
+
+  /** Fold one batch into the stored sketch — replay-safe via the stored
+    * watermark; see [[createTermSketch]]. */
+  def upsertTermSketch(spark: SparkSession, db: String, name: String,
+      batch: DataFrame, batchId: Long, m: Int = 256): Unit = {
+    import org.apache.spark.sql.functions.col
+    val stored = spark.table(s"`$db`.`${name}__termsketch`")
+      .orderBy(col("term").asc).collect()
+    if (stored.nonEmpty && batchId <= stored.head.getLong(3)) return
+    val sb = scala.collection.mutable.HashMap[String, (Long, Long)](
+      stored.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toIndexedSeq: _*)
+    val merged = mergeAgg(m).merge(sb, sketchOf(batch, m))
+    writeTermSketch(spark, db, name, merged, batchId)
+  }
+
+  /** The stored summary's head — (term, n, err) sorted count-first. */
+  def heavyHittersStored(spark: SparkSession, db: String, name: String,
+      topK: Int = 15): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.table(s"`$db`.`${name}__termsketch`")
+      .select(col("term"), col("count").as("n"), col("err"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(topK)
+  }
+
+  private def mergeAgg(m: Int) = graft.plans.SpaceSavingTopK(
+    org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.StringType, nullable = false), m)
+
+  /** One partial-agg'd sketch pass over a doc batch, collected as the
+    * aggregate's buffer type (≤ m entries reach the driver). */
+  private def sketchOf(docs: DataFrame,
+      m: Int): scala.collection.mutable.HashMap[String, (Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val sketch = toCol(graft.plans.SpaceSavingTopK(
+      toExpr(col("term")), m).toAggregateExpression())
+    val rows = docs.select(explode(split(col("text"), " ")).as("term"))
+      .agg(sketch.as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.count"), col("e.err")).collect()
+    scala.collection.mutable.HashMap(
+      rows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toIndexedSeq: _*)
+  }
+
+  private def writeTermSketch(spark: SparkSession, db: String, name: String,
+      buf: scala.collection.mutable.HashMap[String, (Long, Long)],
+      batchId: Long): Unit = {
+    val rows = buf.toSeq.sortBy { case (t, (c, _)) => (-c, t) }
+      .map { case (t, (c, e)) => (t, c, e, batchId) }
+    spark.createDataFrame(rows)
+      .toDF("term", "count", "err", "batch_id")
+      .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__termsketch`")
+  }
+
   /** Persisted k-means centroid model — the learned blocking quantizer
     * (semantic dedup's cells, IVF's coarse layer) promoted to a
     * MAINTAINED artifact so a growing corpus refreshes it with

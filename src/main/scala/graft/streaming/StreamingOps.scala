@@ -402,6 +402,22 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming term-sketch maintenance — each doc micro-batch folds into
+    * the persisted SpaceSaving summary
+    * ([[graft.sources.CatalogOps.upsertTermSketch]]); replay-safe via the
+    * stored watermark (state + watermark in one overwrite).
+    */
+  def streamingTermSketch(docStream: DataFrame, db: String, name: String,
+      m: Int = 256): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.CatalogOps.upsertTermSketch(
+            batch.sparkSession, db, name, batch.toDF(), id, m)
+      }
+      .start()
+
   /** Streaming k-means model maintenance — each embedding micro-batch
     * applies one mini-batch step to the persisted quantizer
     * ([[graft.sources.CatalogOps.upsertKmeansModel]]). Replay-safe by

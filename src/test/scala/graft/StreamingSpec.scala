@@ -1028,6 +1028,45 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("streaming term sketch equals the batch aggregate when vocab fits; replays no-op") {
+    import graft.sources.{CatalogOps, Tables}
+    import graft.operators.TextAnalysisOps
+    implicit val ctx = spark.sqlContext
+    val db = "rsketchdb"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    CatalogOps.createTermSketch(spark, db, "corpus",
+      rows.filter(_._1 < 200).toIndexedSeq.toDF("doc_id", "text"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingTermSketch(
+      in.toDF.toDF("doc_id", "text"), db, "corpus")
+    try {
+      in.addData(rows.filter(r => r._1 >= 200 && r._1 < 350).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(rows.filter(_._1 >= 350).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def stored() = CatalogOps.heavyHittersStored(spark, db, "corpus", 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // fixture vocabulary (31) fits in m: the maintained sketch is EXACT,
+    // so it must equal the one-shot batch aggregate over all docs
+    val batch = TextAnalysisOps.heavyHitterTermsOn(docs, m = 256, topK = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamed = stored()
+    assert(streamed === batch,
+      "maintained sketch must equal the batch aggregate below saturation")
+    assert(streamed.forall(_._3 == 0L), "no eviction → zero error bounds")
+    // replay: at-or-below-watermark folds must not move the summary
+    CatalogOps.upsertTermSketch(spark, db, "corpus",
+      rows.filter(_._1 >= 350).toIndexedSeq.toDF("doc_id", "text"), 1L)
+    assert(stored() === batch)
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("streaming kmeans maintenance equals manual mini-batch upserts") {
     import graft.sources.{CatalogOps, Tables}
     implicit val ctx = spark.sqlContext
