@@ -84,6 +84,9 @@ object SparkEntry {
     // copies → dHash → pigeonhole-blocked hamming join; rows-only (image
     // decode is engine-native), planted-copy recovery pinned in tests
     "q_image_neardup" -> ((s, d) => DedupOps.imageNearDup(s, d)),
+    // audio-modality near-dup: spectral fingerprint over real PCM decode,
+    // volume-scaled planted copies; rows-only (audio decode engine-native)
+    "q_audio_neardup" -> ((s, d) => DedupOps.audioNearDup(s, d)),
     // SemDeDup-shape semantic dedup: k-means cell blocking + exact cosine
     // verify; rows-only (k-means is engine-native), planted-cluster
     // recovery and the kCells=1 exact ceiling pinned in tests
@@ -279,7 +282,7 @@ object SparkEntry {
     "q_vec_quantize", "q_embed_batch",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_embed", "q_dedup_cc", "q_dedup_substring", "q_dedup_substring_trim",
-    "q_image_neardup", "q_dedup_semantic", "q_dedup_semantic_stored",
+    "q_image_neardup", "q_audio_neardup", "q_dedup_semantic", "q_dedup_semantic_stored",
     "q_text_quality", "q_token_count", "q_term_heavyhitters", "q_bpe_tokens", "q_lm_bigram", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast",
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",

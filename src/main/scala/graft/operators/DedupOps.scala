@@ -825,6 +825,47 @@ object DedupOps {
     imageNearDupOn(imgs.unionAll(copies), maxHamming)
   }
 
+  /** Spectral-fingerprint AUDIO near-dup pairs — the audio-modality
+    * member of the family: per-clip 64-bit Haitsma–Kalker-style hash
+    * ([[MultimodalOps.audioFingerprint]] — real PCM decode, map-side,
+    * amplitude-invariant band-order bits) through the SAME
+    * pigeonhole-blocked hamming join as simhash and image dedup
+    * ([[hammingNearPairs]]). Volume-changed or container-re-encoded
+    * copies of a recording land within a few bits; the audio-dedup pass
+    * a multimodal training pipeline runs is, again, the text plan with a
+    * different fingerprint. Output (a_id, b_id, hamming), a_id < b_id.
+    */
+  def audioNearDupOn(records: org.apache.spark.sql.Dataset[MediaRecord],
+      maxHamming: Int = 6): DataFrame =
+    hammingNearPairs(
+      MultimodalOps.audioFingerprint(records).toDF()
+        .select(col("doc_id").as("id"), col("fp")), maxHamming)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+
+  /** Fixture-driven form of [[audioNearDupOn]] (`q_audio_neardup`): the
+    * corpus carries no audio, so each document's bytes synthesize a
+    * deterministic tone-mix WAV ([[MultimodalOps.renderWav]] — band
+    * choice and temporal envelope from the bytes), and every 7th doc is
+    * VOLUME-SCALED (0.4×) and re-encoded under a surrogate id — the
+    * loudness-changed-copy pathology audio dedup exists for. Planted
+    * pairs (d, d+20000) must come back through the real decode →
+    * fingerprint → blocked-join path. Rows-only (audio decode is
+    * engine-native); planted recovery pinned in tests.
+    */
+  def audioNearDup(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+    import spark.implicits._
+    val clips = MultimodalOps.mediaRecords(spark, dir)
+      .map(r => MediaRecord(r.doc_id,
+        MultimodalOps.renderWav(r.payload), "audio/wav"))
+    val copies = clips.filter((r: MediaRecord) => r.doc_id % 7 == 0)
+      .flatMap((r: MediaRecord) => MultimodalOps.scaleWav(r.payload, 0.4)
+        .map(p => MediaRecord(r.doc_id + 20000, p, "audio/wav")))
+    audioNearDupOn(clips.unionAll(copies), maxHamming)
+  }
+
   /** Embedding-space near-dup: each doc that has a lower-id neighbor at
     * cosine ≥ τ, mapped to its canonical (lowest-id) representative — the
     * "semantic dedup" pass of a training-data pipeline. The pair source is

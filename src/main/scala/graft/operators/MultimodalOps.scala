@@ -29,6 +29,8 @@ case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
 /** Per-channel audio features: RMS level and DC mean, both in [-1, 1]. */
 case class AudioFeature(doc_id: Long, rms: Array[Float], mean: Array[Float])
 
+case class AudioFp(doc_id: Long, fp: Long)
+
 /** Parsed video container metadata (the video-probe output schema).
   * `n_frames` is the stsz sample count of the largest-dimensioned track
   * (the video track — audio tracks carry 0×0 dims), 0 when absent.
@@ -481,6 +483,168 @@ object MultimodalOps {
     }
     out
   }
+
+  /** Fingerprint framing constants — shared by [[audioFingerprint]] and
+    * [[renderWav]] so synthesized tones land on band centers: frames of
+    * [[FpFrame]] mono samples, [[FpBands]]+1 analysis bins at
+    * `bin(b) = 12·(b+1)` of the frame DFT.
+    */
+  private[graft] val FpFrame = 512
+  private[graft] val FpBands = 16 // bits per frame = FpBands (17 bins)
+  private[graft] def fpBin(b: Int): Int = 12 * (b + 1)
+
+  /** Deterministic WAV synthesis from arbitrary document bytes — the
+    * audio analog of [[renderPpm]]: a 16-bit PCM mix with a tone in
+    * EVERY analysis band, whose per-band per-quarter amplitude ORDERING
+    * comes from the payload hash. Energy in every band keeps each
+    * adjacent-band comparison signal-vs-signal (the robustness premise
+    * of the Philips hash — a band with only quantization noise would
+    * hand its bit to noise), while the hash-driven ordering gives
+    * different documents different spectral AND temporal structure —
+    * exactly the two axes the fingerprint reads.
+    */
+  def renderWav(payload: Array[Byte], sampleRate: Float = 8000f,
+      seconds: Double = 0.5, gain: Double = 1.0): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val h = java.util.Arrays.hashCode(payload)
+    val nBins = FpBands + 1
+    // amplitude level per (band, quarter) via a full avalanche mix
+    // (splitmix64 finalizer) — an affine map mod m would give every doc
+    // the same monotone-run band ordering up to wrap position, collapsing
+    // fingerprint entropy (measured: 2.6k spurious near-pairs at sf0.01)
+    def amp(b: Int, q: Int): Double = {
+      var x = h.toLong + b * 0x9E3779B97F4A7C15L + q * 0xBF58476D1CE4E5B9L
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+      x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+      x ^= x >>> 33
+      0.1 + 0.8 * math.floorMod(x, 997L) / 996.0
+    }
+    val freqs = Array.tabulate(nBins)(b => fpBin(b) * sampleRate / FpFrame)
+    val frames = (sampleRate * seconds).toInt
+    val bytes = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val quarter = math.min(3, i * 4 / frames)
+      var v = 0.0
+      var b = 0
+      while (b < nBins) {
+        v += amp(b, quarter) * math.sin(2 * math.Pi * freqs(b) * i / sampleRate)
+        b += 1
+      }
+      val s = math.max(-1.0, math.min(1.0, gain * v / nBins))
+      val q = math.round(s * 32767.0).toInt
+      bytes(2 * i) = (q & 0xFF).toByte
+      bytes(2 * i + 1) = ((q >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate,
+      16, 1, 2, sampleRate, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Volume-changed re-encode: decode, scale samples (clipped), rewrite
+    * as WAV — the canonical audio near-dup pathology (same recording,
+    * different loudness/container).
+    */
+  def scaleWav(b: Array[Byte], gainFactor: Double): Option[Array[Byte]] =
+    readPcm(b).map { case (channels, samples) =>
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val rate = decodeAudio(b).map(_._1.getSampleRate).getOrElse(8000f)
+      val out = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        val s = math.max(-1.0, math.min(1.0, samples(i) * gainFactor))
+        val q = math.round(s * 32767.0).toInt
+        out(2 * i) = (q & 0xFF).toByte
+        out(2 * i + 1) = ((q >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate,
+        16, channels, channels * 2, rate, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(out),
+        fmt, (samples.length / channels).toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+  /** Spectral audio fingerprint — the Haitsma–Kalker (Philips robust
+    * hash) family, simplified to its amplitude-invariant core: per
+    * [[FpFrame]]-sample mono frame, [[FpBands]]+1 band energies (Goertzel
+    * at the fixed [[fpBin]] bins — O(bands·frame) per frame, no FFT
+    * dependency), one sign bit per adjacent-band energy difference
+    * (`E(b) > E(b+1)` — UNIFORM GAIN CANCELS, the invariance the volume
+    * pathology needs), majority-voted within each time quarter →
+    * 4 × 16 = 64 bits. Map-side like every decode here; the fingerprint
+    * column plugs straight into the pigeonhole-blocked hamming join
+    * ([[graft.operators.DedupOps]]). Payloads no reader claims, or
+    * shorter than 4 frames, are dropped (the mixed-corpus contract).
+    */
+  def audioFingerprint(records: Dataset[MediaRecord]): Dataset[AudioFp] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r => audioFingerprintOne(r.payload).map(AudioFp(r.doc_id, _)) }
+    }
+  }
+
+  private[graft] def audioFingerprintOne(payload: Array[Byte]): Option[Long] =
+    readPcm(payload).flatMap { case (channels, samples) =>
+      val n = samples.length / math.max(1, channels)
+      val mono = new Array[Double](n)
+      var i = 0
+      while (i < n * channels) { mono(i / channels) += samples(i) / channels; i += 1 }
+      val nFrames = n / FpFrame
+      if (nFrames < 4) None
+      else {
+        val nBins = FpBands + 1
+        // per-quarter majority counters for each of the 16 bits
+        val votes = Array.ofDim[Int](4, FpBands)
+        val frameCount = new Array[Int](4)
+        val energy = new Array[Double](nBins)
+        var f = 0
+        while (f < nFrames) {
+          var b = 0
+          while (b < nBins) {
+            // Goertzel power at bin fpBin(b) over frame f
+            val w = 2.0 * math.Pi * fpBin(b) / FpFrame
+            val coeff = 2.0 * math.cos(w)
+            var s1 = 0.0; var s2 = 0.0
+            var j = 0
+            while (j < FpFrame) {
+              val s0 = mono(f * FpFrame + j) + coeff * s1 - s2
+              s2 = s1; s1 = s0
+              j += 1
+            }
+            energy(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+            b += 1
+          }
+          val quarter = math.min(3, f * 4 / nFrames)
+          frameCount(quarter) += 1
+          var m = 0
+          while (m < FpBands) {
+            if (energy(m) > energy(m + 1)) votes(quarter)(m) += 1
+            m += 1
+          }
+          f += 1
+        }
+        var fp = 0L
+        var q = 0
+        while (q < 4) {
+          var m = 0
+          while (m < FpBands) {
+            if (2 * votes(q)(m) > frameCount(q))
+              fp |= 1L << (q * FpBands + m)
+            m += 1
+          }
+          q += 1
+        }
+        Some(fp)
+      }
+    }
 
   /** REAL audio container probe via the JDK's OWN sampled-audio stack —
     * `javax.sound.sampled.AudioSystem` (WAV/AIFF/AU readers ship with

@@ -726,6 +726,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(close(feats(2).rms(0), 0.5 / math.sqrt(2)), feats(2).rms.mkString(","))
   }
 
+  test("audio fingerprint: gain-invariant bits; near-dup recovers planted volume copies") {
+    import spark.implicits._
+    import graft.operators.{DedupOps, MediaRecord, MultimodalOps}
+    // (1) uniform gain cancels in the band-order bits: a 0.4× re-encode
+    // fingerprints within a couple of requantization bits of the original
+    val payloads = (0 until 12).map(i => s"doc payload $i with bytes".getBytes("UTF-8"))
+    payloads.foreach { p =>
+      val wav = MultimodalOps.renderWav(p)
+      val fp = MultimodalOps.audioFingerprintOne(wav).get
+      val quiet = MultimodalOps.scaleWav(wav, 0.4).get
+      val fpQ = MultimodalOps.audioFingerprintOne(quiet).get
+      assert(java.lang.Long.bitCount(fp ^ fpQ) <= 2,
+        s"volume change moved the fingerprint ${java.lang.Long.bitCount(fp ^ fpQ)} bits")
+    }
+    // (2) non-audio and too-short payloads are dropped, never mis-hashed
+    assert(MultimodalOps.audioFingerprintOne("not audio".getBytes).isEmpty)
+    assert(MultimodalOps.audioFingerprintOne(
+      MultimodalOps.renderWav(payloads(0), seconds = 0.1)).isEmpty)
+    // (3) end-to-end blocked join: planted volume copies come back
+    val clips = payloads.zipWithIndex.map { case (p, i) =>
+      MediaRecord(i.toLong, MultimodalOps.renderWav(p), "audio/wav")
+    }
+    val copies = clips.filter(_.doc_id % 3 == 0).map(r =>
+      MediaRecord(r.doc_id + 100,
+        MultimodalOps.scaleWav(r.payload, 0.4).get, "audio/wav"))
+    val pairs = DedupOps.audioNearDupOn((clips ++ copies).toDS, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    clips.filter(_.doc_id % 3 == 0).foreach { r =>
+      assert(pairs.contains((r.doc_id, r.doc_id + 100)),
+        s"planted volume copy of ${r.doc_id} not recovered")
+    }
+  }
+
   test("PNG/JPEG decode via the JDK codecs: true dimensions, pixels, and resize") {
     import spark.implicits._
     import graft.operators.{MediaRecord, MultimodalOps}
