@@ -1365,7 +1365,47 @@ object DedupOps {
     * is missing (pinned in StreamingSpec alongside the text twins).
     */
   private[graft] def imageIncrementalBatch(batch0: DataFrame, db: String,
-      name: String, maxHamming: Int = 8, batchId: Option[Long] = None): Unit = {
+      name: String, maxHamming: Int = 8, batchId: Option[Long] = None): Unit =
+    fingerprintIncrementalBatch(batch0, db, name, maxHamming, batchId,
+      hashTableOf = n => s"${n}__imghash",
+      fpOf = (batch, spark) => {
+        import spark.implicits._
+        MultimodalOps.perceptualHash(
+            batch.select(col("doc_id"), col("payload"),
+              lit("application/octet-stream").as("mime")).as[MediaRecord]).toDF()
+          .select(col("doc_id").as("id"), col("dhash").as("fp"))
+      })
+
+  /** The audio twin of [[imageIncrementalBatch]]: same store layout, same
+    * replay discipline, fingerprint = the gain-invariant spectral hash
+    * ([[MultimodalOps.audioFingerprint]]) — a volume-changed re-encode of
+    * a retained recording is dropped at ingest. Store table
+    * `{name}__audiohash`; undecodable payloads are KEPT and leave no
+    * fingerprint rows, like every filter here.
+    */
+  private[graft] def audioIncrementalBatch(batch0: DataFrame, db: String,
+      name: String, maxHamming: Int = 6, batchId: Option[Long] = None): Unit =
+    fingerprintIncrementalBatch(batch0, db, name, maxHamming, batchId,
+      hashTableOf = n => s"${n}__audiohash",
+      fpOf = (batch, spark) => {
+        import spark.implicits._
+        MultimodalOps.audioFingerprint(
+            batch.select(col("doc_id"), col("payload"),
+              lit("audio/wav").as("mime")).as[MediaRecord]).toDF()
+          .select(col("doc_id").as("id"), col("fp"))
+      })
+
+  /** The shared core of the perceptual ingest filters — everything in the
+    * [[imageIncrementalBatch]] contract except how a payload becomes a
+    * 64-bit fingerprint: `fpOf` maps a (doc_id, payload) batch to
+    * (id, fp) rows (dropping unjudgeable payloads), `hashTableOf` names
+    * the per-modality store. One replay-discipline implementation, N
+    * modalities (pinned by the image and audio StreamingSpec twins).
+    */
+  private def fingerprintIncrementalBatch(batch0: DataFrame, db: String,
+      name: String, maxHamming: Int, batchId: Option[Long],
+      hashTableOf: String => String,
+      fpOf: (DataFrame, SparkSession) => DataFrame): Unit = {
     val spark = batch0.sparkSession
     val commitsName = s"${name}__commits"
     if (batchId.isDefined && spark.catalog.tableExists(s"$db.$commitsName")) {
@@ -1373,24 +1413,20 @@ object DedupOps {
         .agg(max(col("batch_id"))).head()
       if (!r.isNullAt(0) && batchId.get <= r.getLong(0)) return
     }
-    import spark.implicits._
     val batch = batch0.select(col("doc_id"), col("payload"))
-    val fps = MultimodalOps.perceptualHash(
-        batch.select(col("doc_id"), col("payload"),
-          lit("application/octet-stream").as("mime")).as[MediaRecord]).toDF()
-      .select(col("doc_id").as("id"), col("dhash").as("fp"))
-      .cache()
+    val hashTable = hashTableOf(name)
+    val fps = fpOf(batch, spark).cache()
     try {
       // in-batch: lowest id wins its hamming neighborhood
       val inBatchDropped = hammingNearPairs(fps, maxHamming)
         .filter(col("a_id") < col("b_id"))
         .select(col("b_id").as("id")).distinct()
-      val storeTable = s"$db.${name}__imghash"
+      val storeTable = s"$db.$hashTable"
       val batchChunks = hammingChunkRows(fps, maxHamming)
       val storeDropped =
         if (spark.catalog.tableExists(storeTable)) {
           // pruned probe: only the batch's chunk buckets are read
-          spark.table(s"`$db`.`${name}__imghash`")
+          spark.table(s"`$db`.`$hashTable`")
             .select(col("chunk"), col("cval"),
               col("doc_id").as("store_id"), col("fp").as("store_fp"))
             .join(broadcast(batchChunks
@@ -1411,13 +1447,13 @@ object DedupOps {
       val rowsToWrite =
         if (spark.catalog.tableExists(storeTable))
           newRows.join(
-            spark.table(s"`$db`.`${name}__imghash`")
+            spark.table(s"`$db`.`$hashTable`")
               .join(broadcast(keptIds), "doc_id")
               .select(col("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
         else newRows
       rowsToWrite.select(col("doc_id"), col("fp"), col("chunk"), col("cval"))
-        .write.mode("append").saveAsTable(s"`$db`.`${name}__imghash`")
+        .write.mode("append").saveAsTable(s"`$db`.`$hashTable`")
       // DOCS second, id-anti-joined for replay idempotency
       val docsToWrite =
         if (spark.catalog.tableExists(s"$db.$name"))

@@ -279,6 +279,25 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming AUDIO near-dup ingest filter — the spectral-fingerprint
+    * twin of [[streamingDedupImage]]
+    * ([[graft.operators.DedupOps.audioIncrementalBatch]] per
+    * micro-batch): a volume-changed or re-encoded copy of a retained
+    * recording never lands twice; undecodable payloads pass through
+    * unjudged. Same store layout and replay discipline (shared core,
+    * pinned in StreamingSpec).
+    */
+  def streamingDedupAudio(mediaStream: DataFrame, db: String, name: String,
+      maxHamming: Int = 6): StreamingQuery =
+    mediaStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.DedupOps.audioIncrementalBatch(batch.toDF(), db, name,
+            maxHamming, batchId = Some(batchId))
+      }
+      .start()
+
   /** Streaming substring TRIM — the cleaning twin of
     * [[streamingDedupSubstring]]: every incoming doc lands, but spans
     * already owned by the retained corpus (or by a lower-id doc in the

@@ -793,6 +793,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming audio near-dup drops volume-scaled copies, keeps fresh and unjudgeable payloads") {
+    import graft.sources.CatalogOps
+    import graft.operators.MultimodalOps
+    implicit val ctx = spark.sqlContext
+    CatalogOps.dropDatabase(spark, "saudiodb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/saudiodb.db"))
+    CatalogOps.createDatabase(spark, "saudiodb")
+    def clip(seed: String): Array[Byte] =
+      MultimodalOps.renderWav(seed.getBytes("UTF-8"))
+    val a = clip("first recording"); val b = clip("second recording")
+    val aQuiet = MultimodalOps.scaleWav(a, 0.4).get
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingOps.streamingDedupAudio(
+      in.toDS.toDF("doc_id", "payload"), "saudiodb", "clips")
+    try {
+      in.addData((0L, a), (1L, b)); q.processAllAvailable()
+      in.addData(
+        (10L, aQuiet),                       // volume copy of stored 0 → dropped
+        (11L, clip("third recording")),      // fresh → kept
+        (12L, "not audio".getBytes("UTF-8")), // unjudgeable → kept, no fp rows
+        (13L, b), (14L, b))                  // copy of stored 1 + in-batch dup → dropped
+      q.processAllAvailable()
+      val kept = spark.table("`saudiodb`.`clips`").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(0L, 1L, 11L, 12L))
+      val fpIds = spark.table("`saudiodb`.`clips__audiohash`")
+        .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(fpIds === Set(0L, 1L, 11L))
+      // one chunk row per pigeonhole chunk (maxHamming 6 → 7) per clip
+      assert(spark.table("`saudiodb`.`clips__audiohash`").count() === 3L * 7)
+    } finally {
+      q.stop()
+      CatalogOps.dropDatabase(spark, "saudiodb")
+    }
+  }
+
   test("image ingest replays converge: committed, post-hashes, and post-docs crash windows") {
     import graft.sources.CatalogOps
     import graft.operators.{DedupOps, MultimodalOps}
