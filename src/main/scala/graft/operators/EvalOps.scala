@@ -145,16 +145,33 @@ object EvalOps {
     val ranked = KnnOps.topKForQueries(
       queries.select(col("query_id"), col("q_embedding")), cand, k)
 
-    // relevance judgment: label equality against the candidate corpus
-    val judged = ranked
-      .join(cand.select(col("vec_id"), col("label")), Seq("vec_id"))
+    // qrels from label equality: relevant = same-label candidate
+    val qrels = cand.select(col("vec_id"), col("label"))
       .join(broadcast(queries.select(col("query_id"), col("q_label"))),
-        Seq("query_id"))
-      .withColumn("rel", (col("label") === col("q_label")).cast("int"))
+        col("label") === col("q_label"))
+      .select(col("query_id"), col("vec_id"))
+    rankEvalOn(ranked, qrels, queries.select(col("query_id")), k)
+  }
 
-    // per-label candidate counts — 10 rows here, label-cardinality rows in
-    // general; broadcast back onto the per-query metrics
-    val relCounts = cand.groupBy(col("label"))
+  /** The metric layer on ARBITRARY tables — evaluate ANY run (cosine,
+    * BM25, hybrid, an external system's) against ANY relevance judgments:
+    * `run` = (query_id, vec_id, rank) with rank 1-based and ≤ k per
+    * query; `qrels` = (query_id, vec_id) relevant pairs; `queryIds` =
+    * one row per evaluated query (queries with no run rows or no
+    * relevant docs still score, as zeros). Scale shape: the run is
+    * k·queries rows and qrels joins it per (query_id, vec_id); the only
+    * per-query state is the handful of aggregated counters — a 10k-query
+    * eval panel is a trivially small job whatever the corpus behind the
+    * run was.
+    */
+  def rankEvalOn(run: DataFrame, qrels: DataFrame, queryIds: DataFrame,
+      k: Int): DataFrame = {
+    val judged = run
+      .join(qrels.select(col("query_id"), col("vec_id"), lit(1).as("rel")),
+        Seq("query_id", "vec_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+
+    val relCounts = qrels.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_rel"))
 
     val w = dcgWeightsMicro(k)
@@ -169,9 +186,8 @@ object EvalOps {
           .otherwise(lit(0L))).cast("bigint").as("dcg_micro"),
         min(when(col("rel") === 1, col("rank"))).as("first_rel"))
 
-    queries.select(col("query_id"), col("q_label"))
-      .join(broadcast(relCounts),
-        queries("q_label") === relCounts("label"), "left")
+    queryIds.select(col("query_id"))
+      .join(relCounts, Seq("query_id"), "left")
       .select(col("query_id"), coalesce(col("n_rel"), lit(0L)).as("n_rel"))
       .join(perQuery, Seq("query_id"), "left")
       .select(

@@ -70,6 +70,20 @@ object LinkOps {
     // N is a driver-side scalar (one count job; a catalog row-count stat
     // at scale) — it parameterizes the teleport term and the edge hash
     val n = docs.count()
+    val init = docs.select(col("doc_id"),
+      lit(math.floor(1e9 / n + 0.5).toLong).as("rank_nano"))
+    asRanks(pageRankFrom(docs, n, init, iters, fanout, damping))
+  }
+
+  /** The iteration core: `iters` Jacobi rounds from an ARBITRARY starting
+    * vector. The update is a deterministic function of the rank vector,
+    * so running i rounds and then j more from the stored result IS the
+    * (i+j)-round trajectory — the property that makes the persisted store
+    * below an exact-continuation maintenance artifact, not an
+    * approximation.
+    */
+  private def pageRankFrom(docs: DataFrame, n: Long, init: DataFrame,
+      iters: Int, fanout: Int, damping: Double): DataFrame = {
     val edges = linkEdges(docs, n, fanout)
     // out-degree differs per node only via dropped self-loops — computed
     // from the edge list itself, joined back on src
@@ -79,8 +93,7 @@ object LinkOps {
     val withDeg = edges.join(outDeg, Seq("src")).localCheckpoint(false)
 
     val teleportNano = math.floor((1.0 - damping) * 1e9 / n + 0.5)
-    var ranks = docs.select(col("doc_id"),
-      lit(math.floor(1e9 / n + 0.5).toLong).as("rank_nano"))
+    var ranks = init
     for (_ <- 1 to iters) {
       // integer-rounded per-edge contribution -> order-independent sum
       val contrib = withDeg
@@ -97,8 +110,57 @@ object LinkOps {
             lit(damping) * coalesce(col("s"), lit(0L)).cast("double") +
             lit(0.5)).cast("bigint").as("rank_nano"))
     }
-    ranks.select(col("doc_id"),
+    ranks
+  }
+
+  private def asRanks(nano: DataFrame): DataFrame =
+    nano.select(col("doc_id"),
         round(col("rank_nano").cast("double") / lit(1e9), 6).as("rank"))
       .orderBy(col("doc_id").asc)
+
+  /** Persist the rank vector as a maintenance artifact:
+    * `{name}__ranks` = (doc_id, rank_nano) + a 1-row iteration watermark
+    * folded into the rows (`iters_done`). At 100 TB nobody recomputes
+    * link centrality from scratch per crawl increment — the stored
+    * vector warm-starts the next rounds ([[refreshRanks]]).
+    */
+  def createRankStore(spark: SparkSession, db: String, name: String,
+      dir: String, iters: Int = 3, fanout: Int = 4,
+      damping: Double = 0.85): Unit = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val init = docs.select(col("doc_id"),
+      lit(math.floor(1e9 / n + 0.5).toLong).as("rank_nano"))
+    pageRankFrom(docs, n, init, iters, fanout, damping)
+      .withColumn("iters_done", lit(iters.toLong))
+      .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__ranks`")
+  }
+
+  /** Continue the iteration from the stored vector: `extraIters` more
+    * rounds over the CURRENT corpus. Same-corpus refresh is an EXACT
+    * trajectory continuation (pinned: create(i) + refresh(j) ==
+    * cold-run(i+j) bit-for-bit); documents added since the last store
+    * seed at the uniform teleport floor for the grown N and the
+    * iteration redistributes from there — the standard warm-start, which
+    * converges to the grown graph's fixed point in far fewer rounds than
+    * a cold start. Overwrites the store and returns the refreshed ranks.
+    */
+  def refreshRanks(spark: SparkSession, db: String, name: String,
+      dir: String, extraIters: Int = 2, fanout: Int = 4,
+      damping: Double = 0.85): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val stored = spark.table(s"`$db`.`${name}__ranks`")
+    val itersDone = stored.select(max(col("iters_done"))).head().getLong(0)
+    val init = docs
+      .join(stored.select(col("doc_id"), col("rank_nano")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rank_nano"),
+          lit(math.floor(1e9 / n + 0.5).toLong)).as("rank_nano"))
+    val next = pageRankFrom(docs, n, init, extraIters, fanout, damping)
+      .withColumn("iters_done", lit(itersDone + extraIters))
+      .localCheckpoint() // materialize BEFORE overwriting the table it reads
+    next.write.mode("overwrite").saveAsTable(s"`$db`.`${name}__ranks`")
+    asRanks(next)
   }
 }

@@ -108,6 +108,54 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("rankEvalOn scores arbitrary runs/qrels, including empty-run and zero-relevant queries") {
+    import spark.implicits._
+    val k = 3
+    val run = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3),
+      (1L, 20L, 1), (1L, 21L, 2)).toDF("query_id", "vec_id", "rank")
+    val qrels = Seq((0L, 11L), (0L, 99L), (2L, 5L)).toDF("query_id", "vec_id")
+    val qids = Seq(0L, 1L, 2L).toDF("query_id")
+    val got = EvalOps.rankEvalOn(run, qrels, qids, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val w = EvalOps.dcgWeightsMicro(k); val idcg = EvalOps.idcgPrefixMicro(k)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = Seq(
+      // q0: hit at rank 2 of 2 relevant → recall .5, mrr .5, ndcg w2/(w1+w2)
+      (0L, 2L, 1L, 0.5, 0.5, r6(w(1).toDouble / idcg(1))),
+      // q1: ran but nothing relevant anywhere → all zeros
+      (1L, 0L, 0L, 0.0, 0.0, 0.0),
+      // q2: relevant exists but the run never returned rows → zeros
+      (2L, 1L, 0L, 0.0, 0.0, 0.0))
+    assert(got === expect)
+  }
+
+  test("rank store: warm-start refresh is an exact trajectory continuation") {
+    import graft.sources.CatalogOps
+    val db = "rankstore_t"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    try {
+      LinkOps.createRankStore(spark, db, "links", sf, iters = 2)
+      val refreshed = LinkOps.refreshRanks(spark, db, "links", sf, extraIters = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val cold = LinkOps.pageRank(spark, sf, iters = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(refreshed === cold,
+        "2 stored + 3 refreshed rounds must equal the 5-round cold run bit-for-bit")
+      assert(spark.table(s"`$db`.`links__ranks`")
+        .select(max(col("iters_done"))).head().getLong(0) === 5L)
+      // a second refresh continues again — the store really is the vector
+      val again = LinkOps.refreshRanks(spark, db, "links", sf, extraIters = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val cold7 = LinkOps.pageRank(spark, sf, iters = 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(again === cold7)
+    } finally spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("pageRank equals a driver-side reference with identical integer arithmetic") {
     val iters = 3; val fanout = 4; val d = 0.85
     val got = LinkOps.pageRank(spark, sf, iters, fanout, d).collect()
