@@ -103,6 +103,9 @@ object SparkEntry {
     // sketch-aggregated vocabulary head: one pass, m-entry partials —
     // exact (and therefore oracled) whenever the vocabulary fits in m
     "q_term_heavyhitters" -> ((s, d) => TextAnalysisOps.heavyHitterTerms(s, d)),
+    // the MAINTAINED sketch (create-half + fold-half each run) — exact
+    // below saturation, so it faces the SAME oracle as the live aggregate
+    "q_term_heavyhitters_stored" -> ((s, d) => TextAnalysisOps.heavyHittersStoredFixture(s, d)),
     // REAL trained-BPE token counts (train-then-count composite, the
     // ingest-cost label); rows-only — the merge loop is engine-native,
     // pinned against a driver-side reference + the Sennrich toy example
@@ -149,6 +152,13 @@ object SparkEntry {
     "q_text_phrase_indexed" -> ((s, d) => {
       val (db, name) = RetrievalOps.ensurePositionalIndex(s, d)
       RetrievalOps.phraseSearchIndexed(s, db, name)
+    }),
+    // ordered proximity (sloppy phrase): in-order terms with up to 2
+    // interleaved tokens per gap; live scan + positions-index twin
+    "q_text_near" -> ((s, d) => RetrievalOps.proximitySearch(s, d)),
+    "q_text_near_indexed" -> ((s, d) => {
+      val (db, name) = RetrievalOps.ensurePositionalIndex(s, d)
+      RetrievalOps.proximitySearchIndexed(s, db, name)
     }),
     // batched phrase serving: ONE index probe answers a phrase table
     // (includes a repeated-term phrase — the offset-coverage edge case)
@@ -283,7 +293,7 @@ object SparkEntry {
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_embed", "q_dedup_cc", "q_dedup_substring", "q_dedup_substring_trim",
     "q_image_neardup", "q_audio_neardup", "q_dedup_semantic", "q_dedup_semantic_stored",
-    "q_text_quality", "q_token_count", "q_term_heavyhitters", "q_bpe_tokens", "q_lm_bigram", "q_multimodal_meta",
+    "q_text_quality", "q_token_count", "q_term_heavyhitters", "q_term_heavyhitters_stored", "q_bpe_tokens", "q_lm_bigram", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast",
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
@@ -291,7 +301,7 @@ object SparkEntry {
     "q_text_bm25", "q_text_bm25_stored", "q_text_bm25_indexed", "q_text_bm25_filtered",
     "q_text_bm25_batch", "q_text_bm25_batch_indexed",
     "q_hybrid_rrf", "q_hybrid_rrf_served", "q_tfidf_topterms", "q_tfidf_indexed",
-    "q_knn_mmr", "q_text_phrase", "q_text_phrase_indexed", "q_text_phrase_batch",
+    "q_knn_mmr", "q_text_phrase", "q_text_phrase_indexed", "q_text_phrase_batch", "q_text_near", "q_text_near_indexed",
     "q_mine_hardneg", "q_mine_hardneg_indexed", "q_eval_rank", "q_link_pagerank",
     "q_decontaminate", "q_pack_sequences", "q_domain_mix", "q_curate_e2e")
 
@@ -355,6 +365,13 @@ object SparkEntry {
     * phrase definition for the engine and the oracle. DuckDB lists are
     * 1-based, so `pos = i - 1` restores the engine's 0-based token offsets.
     */
+  private def heavyHittersOracleSql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |SELECT term, CAST(count(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS err
+      |FROM tok GROUP BY term
+      |ORDER BY n DESC, term ASC
+      |LIMIT 15""".stripMargin
+
   private def phrasePosCtes: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |p AS (SELECT doc_id, i - 1 AS pos, t[i] AS term
@@ -364,6 +381,29 @@ object SparkEntry {
     terms.indices.tail.map(i =>
       s"  JOIN p p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i").mkString("\n"),
     terms.zipWithIndex.map { case (t, i) => s"p$i.term = '$t'" }.mkString(" AND "))
+
+  /** Ordered-proximity oracle: each successive term joins on the
+    * PREVIOUS term's position with a 1 + slop gap window — the same
+    * chain combinatorics the engine's fold computes.
+    */
+  private def proximityOracleSql(slop: Int): String = {
+    val terms = RetrievalOps.PhraseQuery.split(" ").filter(_.nonEmpty).toSeq
+    val joins = terms.indices.tail.map { i =>
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      s"  JOIN p p$i ON p$i.doc_id = p0.doc_id AND p$i.pos > $prev.pos AND p$i.pos <= $prev.pos + ${1 + slop}"
+    }.mkString("\n")
+    val preds = terms.zipWithIndex
+      .map { case (t, i) => s"p$i.term = '$t'" }.mkString(" AND ")
+    s"""WITH $phrasePosCtes,
+       |m AS (
+       |  SELECT p0.doc_id, p0.pos
+       |  FROM p p0
+       |$joins
+       |  WHERE $preds)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |       CAST(min(pos) AS BIGINT) AS first_pos
+       |FROM m GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin
+  }
 
   private def phraseOracleSql: String = {
     val terms = RetrievalOps.PhraseQuery.split(" ").filter(_.nonEmpty).toSeq
@@ -862,12 +902,8 @@ object SparkEntry {
         |       round(CAST(n_alpha AS DOUBLE) / n_tokens, 6) AS avg_word_len,
         |       round(CAST(n_distinct AS DOUBLE) / n_tokens * 0.5 + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5, 6) AS quality
         |FROM t ORDER BY doc_id ASC""".stripMargin,
-    "q_term_heavyhitters" ->
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
-        |SELECT term, CAST(count(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS err
-        |FROM tok GROUP BY term
-        |ORDER BY n DESC, term ASC
-        |LIMIT 15""".stripMargin,
+    "q_term_heavyhitters" -> heavyHittersOracleSql,
+    "q_term_heavyhitters_stored" -> heavyHittersOracleSql,
     "q_token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
@@ -948,6 +984,8 @@ object SparkEntry {
          |ORDER BY bm25 DESC, doc_id ASC
          |LIMIT 20""".stripMargin,
     "q_text_phrase" -> phraseOracleSql,
+    "q_text_near" -> proximityOracleSql(2),
+    "q_text_near_indexed" -> proximityOracleSql(2),
     "q_text_phrase_batch" -> phraseBatchOracleSql,
     // the positional-index probe is bit-identical to the live scan —
     // same oracle, same no-drift point as the bm25 indexed twins

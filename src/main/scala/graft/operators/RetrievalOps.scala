@@ -459,23 +459,71 @@ object RetrievalOps {
   }
 
   /** Shared adjacency tail: from (doc_id, pos, term) occurrence rows of
-    * the phrase's terms, chain n−1 equi-joins `(doc_id, pos+i)` and
-    * aggregate matches per document.
+    * the phrase's terms, chain n−1 joins — each successive term must
+    * follow the PREVIOUS matched term within `1 + slop` positions
+    * (slop = 0 is the exact adjacent phrase; slop > 0 is Lucene's
+    * ordered sloppy phrase: in-order with up to `slop` interleaved
+    * tokens per gap). `n_hits` counts ordered chains (a slop window
+    * admitting two continuations counts both — the same combinatorics
+    * the oracle's join computes), `first_pos` the earliest chain start.
     */
-  private def phraseAdjacency(postings: DataFrame, terms: Seq[String]): DataFrame = {
+  private def phraseAdjacency(postings: DataFrame, terms: Seq[String],
+      slop: Int = 0): DataFrame = {
     val p0 = postings.filter(col("term") === terms.head)
-      .select(col("doc_id"), col("pos"))
+      .select(col("doc_id"), col("pos"), col("pos").as("cur"))
     val matched = terms.zipWithIndex.tail.foldLeft(p0) { case (acc, (t, i)) =>
       val pi = postings.filter(col("term") === t)
         .select(col("doc_id").as(s"d$i"), col("pos").as(s"p$i"))
       acc.join(pi, col("doc_id") === col(s"d$i") &&
-          col(s"p$i") === col("pos") + i)
-        .select(col("doc_id"), col("pos"))
+          col(s"p$i") > col("cur") &&
+          col(s"p$i") <= col("cur") + 1 + slop)
+        .select(col("doc_id"), col("pos"), col(s"p$i").as("cur"))
     }
     matched.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("bigint").as("n_hits"),
         min(col("pos")).cast("bigint").as("first_pos"))
       .orderBy(col("doc_id").asc)
+  }
+
+  /** Ordered PROXIMITY search, live form: the phrase terms in order with
+    * up to `slop` interleaved tokens between consecutive terms — the
+    * sloppy-phrase relaxation every positional engine offers next to the
+    * exact form. Same scan shape as [[phraseSearch]] (the `contains`
+    * pre-gate still applies: proximity containment implies substring
+    * containment per term).
+    */
+  def proximitySearch(spark: SparkSession, dir: String,
+      phrase: String = PhraseQuery, slop: Int = 2): DataFrame =
+    proximitySearchOn(Tables.documents(spark, dir), phrase, slop)
+
+  def proximitySearchOn(docs: DataFrame, phrase: String, slop: Int): DataFrame = {
+    val terms = phrase.split(" ").filter(_.nonEmpty).toSeq
+    require(terms.length >= 2, "proximity search needs at least two terms")
+    require(slop >= 0, s"slop must be non-negative, got $slop")
+    val gated = terms.distinct.foldLeft(docs)(
+      (df, t) => df.filter(col("text").contains(t)))
+    val postings = gated
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(terms.distinct: _*))
+    phraseAdjacency(postings, terms, slop)
+  }
+
+  /** [[proximitySearch]] served from the positional index — same probe
+    * shape as [[phraseSearchIndexed]], bit-identical to the live scan.
+    */
+  def proximitySearchIndexed(spark: SparkSession, db: String, name: String,
+      phrase: String = PhraseQuery, slop: Int = 2): DataFrame = {
+    val terms = phrase.split(" ").filter(_.nonEmpty).toSeq
+    require(terms.length >= 2, "proximity search needs at least two terms")
+    val buckets = terms.distinct.map(graft.sources.CatalogOps.postingsBucketOf)
+    val postings = spark.table(s"`$db`.`${name}__positions`")
+      .filter(col("bucket").isin(buckets.distinct: _*) &&
+        col("term").isin(terms.distinct: _*))
+      .groupBy(col("doc_id"), col("term"), col("pos"))
+      .agg(sum(col("sign")).as("mult"))
+      .filter(col("mult") > 0L)
+      .select(col("doc_id"), col("pos"), col("term"))
+    phraseAdjacency(postings, terms, slop)
   }
 
   /** Build-if-absent positional index for the indexed phrase contract

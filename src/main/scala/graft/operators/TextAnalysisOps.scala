@@ -158,6 +158,37 @@ object TextAnalysisOps {
       .limit(topK)
   }
 
+  /** Build-if-absent maintained term sketch for the stored contract
+    * entry — create-half + fold-half each run (the ensure convention), so
+    * the maintenance path faces the oracle: below saturation the folded
+    * sketch is EXACT, hence the same DuckDB oracle as the live aggregate.
+    */
+  private[graft] def ensureTermSketch(spark: SparkSession, dir: String,
+      m: Int = 256): (String, String) = {
+    import graft.sources.CatalogOps
+    val db = "graft_sketch"
+    val name = "docs"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__termsketch")) {
+        CatalogOps.createDatabase(spark, db)
+        KnnOps.dropTableAndDir(spark, db, s"${name}__termsketch")
+        val docs = Tables.documents(spark, dir)
+        CatalogOps.createTermSketch(spark, db, name,
+          docs.filter(col("doc_id") % 2 === 0), m)
+        CatalogOps.upsertTermSketch(spark, db, name,
+          docs.filter(col("doc_id") % 2 =!= 0), batchId = 0L, m)
+      }
+    }
+    (db, name)
+  }
+
+  /** `q_term_heavyhitters_stored`: the head of the MAINTAINED sketch. */
+  def heavyHittersStoredFixture(spark: SparkSession, dir: String,
+      topK: Int = 15): DataFrame = {
+    val (db, name) = ensureTermSketch(spark, dir)
+    graft.sources.CatalogOps.heavyHittersStored(spark, db, name, topK)
+  }
+
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),

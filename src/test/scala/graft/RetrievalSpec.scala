@@ -563,6 +563,32 @@ class RetrievalSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("proximity search: slop widens in order only; chains counted; indexed equals live") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "stream x table y hash"),   // gaps of 1 → needs slop ≥ 1
+      (2L, "stream table hash"),       // exact phrase: any slop
+      (3L, "hash table stream"),       // wrong order: never
+      (4L, "stream table hash hash"))  // two chains at slop ≥ 0? second hash continues
+      .toDF("doc_id", "text")
+    def run(slop: Int) = RetrievalOps.proximitySearchOn(docs, "stream table hash", slop)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(0) === Seq((2L, 1L, 0L), (4L, 1L, 0L)))
+    // slop 1 admits doc 1's gapped form AND doc 4's second-hash chain
+    assert(run(1) === Seq((1L, 1L, 0L), (2L, 1L, 0L), (4L, 2L, 0L)))
+    // indexed twin equals the live scan on the fixture at the default slop
+    val (db, name) = RetrievalOps.ensurePositionalIndex(spark, sf)
+    val live = RetrievalOps.proximitySearch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ix = RetrievalOps.proximitySearchIndexed(spark, db, name)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(live.nonEmpty && ix === live)
+    // slop result set contains the exact-phrase result set
+    val exact = RetrievalOps.phraseSearchOn(Tables.documents(spark, sf),
+      RetrievalOps.PhraseQuery).collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(live.map(_._1).toSet))
+  }
+
   test("batched phrase probe equals the single-phrase probe per query") {
     val (db, name) = RetrievalOps.ensurePositionalIndex(spark, sf)
     val phrases = RetrievalOps.PhraseBatch
