@@ -476,6 +476,23 @@ object StreamingOps {
     * .bm25ForQueriesIndexed]]); no corpus frame in the signature at all,
     * because the serving path never needs one. Stateless per batch.
     */
+  /** Streaming PHRASE serving — each (query_id, phrase) micro-batch is
+    * answered from the positional index alone
+    * ([[graft.operators.RetrievalOps.phraseForQueriesIndexed]]): zero
+    * corpus scans, one bucket-pruned positions probe per batch.
+    * Stateless per batch, the phrase twin of [[streamingBm25Indexed]].
+    */
+  def streamingPhraseIndexed(queryStream: DataFrame, db: String,
+      name: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.RetrievalOps.phraseForQueriesIndexed(
+            batch.sparkSession, db, name, batch.toDF()), id)
+      }
+      .start()
+
   def streamingBm25Indexed(queryStream: DataFrame, db: String, name: String,
       k: Int = 10)(sink: (DataFrame, Long) => Unit): StreamingQuery =
     queryStream.writeStream

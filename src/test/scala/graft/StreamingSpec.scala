@@ -1193,6 +1193,33 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("streaming phrase serving answers each micro-batch like the batched index probe") {
+    import graft.operators.RetrievalOps
+    implicit val ctx = spark.sqlContext
+    val (db, name) = RetrievalOps.ensurePositionalIndex(spark, TestSpark.Sf)
+    val qs = RetrievalOps.PhraseBatch.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    val in = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = StreamingOps.streamingPhraseIndexed(
+      in.toDF.toDF("query_id", "phrase"), db, name) { (out, _) =>
+      results.synchronized {
+        results ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+    }
+    try {
+      in.addData(qs.take(1))
+      q.processAllAvailable()
+      in.addData(qs.drop(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = RetrievalOps.phraseForQueriesIndexed(spark, db, name,
+        qs.toDF("query_id", "phrase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(results.sortBy(t => (t._1, t._2)).toSeq ===
+      batch.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("streaming indexed BM25 answers each micro-batch like the batched indexed path") {
     import graft.operators.RetrievalOps
     implicit val ctx = spark.sqlContext
