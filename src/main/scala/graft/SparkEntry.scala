@@ -61,8 +61,12 @@ object SparkEntry {
     // construction → rows-only; exhaustive-probe equality test-pinned
     "q_mine_hardneg_indexed" -> ((s, d) => EvalOps.hardNegativesIndexed(s, d)),
     "q_eval_rank"     -> ((s, d) => EvalOps.rankEval(s, d)),
+    "q_eval_rank_macro" -> ((s, d) => EvalOps.rankEvalMacro(s, d)),
     // crawl-side link centrality (deterministic synthetic edge graph)
     "q_link_pagerank" -> ((s, d) => LinkOps.pageRank(s, d)),
+    // the MAINTAINED vector: create(2 rounds) + warm-start refresh(1),
+    // served from the store — exact trajectory ⇒ SAME oracle as cold(3)
+    "q_link_pagerank_stored" -> ((s, d) => LinkOps.pageRankStoredFixture(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
@@ -302,7 +306,7 @@ object SparkEntry {
     "q_text_bm25_batch", "q_text_bm25_batch_indexed",
     "q_hybrid_rrf", "q_hybrid_rrf_served", "q_tfidf_topterms", "q_tfidf_indexed",
     "q_knn_mmr", "q_text_phrase", "q_text_phrase_indexed", "q_text_phrase_batch", "q_text_near", "q_text_near_indexed",
-    "q_mine_hardneg", "q_mine_hardneg_indexed", "q_eval_rank", "q_link_pagerank",
+    "q_mine_hardneg", "q_mine_hardneg_indexed", "q_eval_rank", "q_eval_rank_macro", "q_link_pagerank", "q_link_pagerank_stored",
     "q_decontaminate", "q_pack_sequences", "q_domain_mix", "q_curate_e2e")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
@@ -365,6 +369,85 @@ object SparkEntry {
     * phrase definition for the engine and the oracle. DuckDB lists are
     * 1-based, so `pos = i - 1` restores the engine's 0-based token offsets.
     */
+  /** See EvalOps.rankEval — shared by the per-query entry and the macro
+    * average.
+    */
+  private def rankEvalOracleSql: String = {
+      // ONE weight definition for both engines: the integer micro-unit DCG
+      // discounts come from EvalOps and are injected as list literals, so
+      // no log2 evaluation can diverge between Spark and DuckDB
+      val w = graft.operators.EvalOps.dcgWeightsMicro(10).mkString("[", ", ", "]")
+      val idcg = graft.operators.EvalOps.idcgPrefixMicro(10).mkString("[", ", ", "]")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+         |           FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 8),
+         |scored AS (
+         |  SELECT q.query_id, q.q_label, c.vec_id, c.label,
+         |         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])), 6) AS score
+         |  FROM c CROSS JOIN q
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+         |  FROM scored
+         |), topk AS (SELECT * FROM ranked WHERE rank <= 10),
+         |rc AS (SELECT label, count(*) AS n_rel FROM c GROUP BY label),
+         |per AS (
+         |  SELECT query_id,
+         |         CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |         CAST(sum(CASE WHEN label = q_label THEN list_extract($w, CAST(rank AS INT)) ELSE 0 END) AS BIGINT) AS dcg_micro,
+         |         min(CASE WHEN label = q_label THEN rank END) AS first_rel
+         |  FROM topk GROUP BY query_id)
+         |SELECT q.query_id,
+         |       CAST(coalesce(rc.n_rel, 0) AS BIGINT) AS n_rel,
+         |       CAST(coalesce(per.hits, 0) AS BIGINT) AS hits,
+         |       round(CASE WHEN coalesce(rc.n_rel, 0) > 0
+         |             THEN CAST(coalesce(per.hits, 0) AS DOUBLE) / rc.n_rel ELSE 0.0 END, 6) AS recall_at_k,
+         |       round(CASE WHEN per.first_rel IS NOT NULL
+         |             THEN 1.0 / per.first_rel ELSE 0.0 END, 6) AS mrr,
+         |       round(CASE WHEN coalesce(rc.n_rel, 0) > 0 AND per.dcg_micro IS NOT NULL
+         |             THEN CAST(per.dcg_micro AS DOUBLE) / list_extract($idcg, CAST(least(rc.n_rel, 10) AS INT))
+         |             ELSE 0.0 END, 6) AS ndcg
+         |FROM q
+         |LEFT JOIN rc ON q.q_label = rc.label
+         |LEFT JOIN per ON q.query_id = per.query_id
+         |ORDER BY q.query_id ASC""".stripMargin
+    }
+
+  /** Unrolled Jacobi rounds, arithmetic mirrored expression-for-
+    * expression against LinkOps.pageRank (integer nano-unit ranks,
+    * per-edge contributions rounded BEFORE the order-independent sum).
+    * Shared by the cold 3-round entry and the stored warm-start entry —
+    * exact trajectory continuation means one oracle serves both.
+    */
+  private def pageRankOracleSql: String = {
+      val iterCtes = (1 to 3).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""c$i AS (
+           |  SELECT ed.dst AS doc_id,
+           |         sum(CAST(floor(CAST(r.rank_nano AS DOUBLE) / ed.deg + 0.5) AS BIGINT)) AS s
+           |  FROM ed JOIN $prev r ON ed.src = r.doc_id GROUP BY ed.dst),
+           |r$i AS (
+           |  SELECT d.doc_id,
+           |         CAST(floor(floor((1.0 - 0.85) * 1000000000.0 / n.n + 0.5)
+           |              + 0.85 * CAST(coalesce(c$i.s, 0) AS DOUBLE) + 0.5) AS BIGINT) AS rank_nano
+           |  FROM documents d CROSS JOIN n LEFT JOIN c$i ON d.doc_id = c$i.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
+         |e AS (
+         |  SELECT d.doc_id AS src,
+         |         (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n AS dst
+         |  FROM documents d CROSS JOIN n CROSS JOIN ks
+         |  WHERE (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n <> d.doc_id),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+         |r0 AS (
+         |  SELECT d.doc_id, CAST(floor(1000000000.0 / n.n + 0.5) AS BIGINT) AS rank_nano
+         |  FROM documents d CROSS JOIN n),
+         |$iterCtes
+         |SELECT doc_id, round(CAST(rank_nano AS DOUBLE) / 1000000000.0, 6) AS rank
+         |FROM r3 ORDER BY doc_id ASC""".stripMargin
+    }
+
   private def heavyHittersOracleSql: String =
     """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
       |SELECT term, CAST(count(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS err
@@ -532,77 +615,19 @@ object SparkEntry {
         |SELECT query_id, vec_id, score, rank FROM ranked
         |WHERE rank <= 5
         |ORDER BY query_id ASC, rank ASC""".stripMargin,
-    "q_eval_rank" -> {
-      // ONE weight definition for both engines: the integer micro-unit DCG
-      // discounts come from EvalOps and are injected as list literals, so
-      // no log2 evaluation can diverge between Spark and DuckDB
-      val w = graft.operators.EvalOps.dcgWeightsMicro(10).mkString("[", ", ", "]")
-      val idcg = graft.operators.EvalOps.idcgPrefixMicro(10).mkString("[", ", ", "]")
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
-         |           FROM embeddings WHERE vec_id < 8),
-         |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 8),
-         |scored AS (
-         |  SELECT q.query_id, q.q_label, c.vec_id, c.label,
-         |         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])), 6) AS score
-         |  FROM c CROSS JOIN q
-         |), ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
-         |  FROM scored
-         |), topk AS (SELECT * FROM ranked WHERE rank <= 10),
-         |rc AS (SELECT label, count(*) AS n_rel FROM c GROUP BY label),
-         |per AS (
-         |  SELECT query_id,
-         |         CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-         |         CAST(sum(CASE WHEN label = q_label THEN list_extract($w, CAST(rank AS INT)) ELSE 0 END) AS BIGINT) AS dcg_micro,
-         |         min(CASE WHEN label = q_label THEN rank END) AS first_rel
-         |  FROM topk GROUP BY query_id)
-         |SELECT q.query_id,
-         |       CAST(coalesce(rc.n_rel, 0) AS BIGINT) AS n_rel,
-         |       CAST(coalesce(per.hits, 0) AS BIGINT) AS hits,
-         |       round(CASE WHEN coalesce(rc.n_rel, 0) > 0
-         |             THEN CAST(coalesce(per.hits, 0) AS DOUBLE) / rc.n_rel ELSE 0.0 END, 6) AS recall_at_k,
-         |       round(CASE WHEN per.first_rel IS NOT NULL
-         |             THEN 1.0 / per.first_rel ELSE 0.0 END, 6) AS mrr,
-         |       round(CASE WHEN coalesce(rc.n_rel, 0) > 0 AND per.dcg_micro IS NOT NULL
-         |             THEN CAST(per.dcg_micro AS DOUBLE) / list_extract($idcg, CAST(least(rc.n_rel, 10) AS INT))
-         |             ELSE 0.0 END, 6) AS ndcg
-         |FROM q
-         |LEFT JOIN rc ON q.q_label = rc.label
-         |LEFT JOIN per ON q.query_id = per.query_id
-         |ORDER BY q.query_id ASC""".stripMargin
-    },
-    "q_link_pagerank" -> {
-      // unrolled Jacobi rounds, arithmetic mirrored expression-for-
-      // expression against LinkOps.pageRank (integer nano-unit ranks,
-      // per-edge contributions rounded BEFORE the order-independent sum)
-      val iterCtes = (1 to 3).map { i =>
-        val prev = if (i == 1) "r0" else s"r${i - 1}"
-        s"""c$i AS (
-           |  SELECT ed.dst AS doc_id,
-           |         sum(CAST(floor(CAST(r.rank_nano AS DOUBLE) / ed.deg + 0.5) AS BIGINT)) AS s
-           |  FROM ed JOIN $prev r ON ed.src = r.doc_id GROUP BY ed.dst),
-           |r$i AS (
-           |  SELECT d.doc_id,
-           |         CAST(floor(floor((1.0 - 0.85) * 1000000000.0 / n.n + 0.5)
-           |              + 0.85 * CAST(coalesce(c$i.s, 0) AS DOUBLE) + 0.5) AS BIGINT) AS rank_nano
-           |  FROM documents d CROSS JOIN n LEFT JOIN c$i ON d.doc_id = c$i.doc_id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-         |ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
-         |e AS (
-         |  SELECT d.doc_id AS src,
-         |         (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n AS dst
-         |  FROM documents d CROSS JOIN n CROSS JOIN ks
-         |  WHERE (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n <> d.doc_id),
-         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-         |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
-         |r0 AS (
-         |  SELECT d.doc_id, CAST(floor(1000000000.0 / n.n + 0.5) AS BIGINT) AS rank_nano
-         |  FROM documents d CROSS JOIN n),
-         |$iterCtes
-         |SELECT doc_id, round(CAST(rank_nano AS DOUBLE) / 1000000000.0, 6) AS rank
-         |FROM r3 ORDER BY doc_id ASC""".stripMargin
-    },
+    "q_eval_rank" -> rankEvalOracleSql,
+    // macro averages over the SAME per-query metric subquery — per-query
+    // values are already rounded to 6 dp, so the integer-microunit sum
+    // keeps the average order-independent on both engines
+    "q_eval_rank_macro" ->
+      s"""WITH per AS ($rankEvalOracleSql)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |       round(CAST(sum(CAST(floor(recall_at_k * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6) AS recall_at_k,
+         |       round(CAST(sum(CAST(floor(mrr * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6) AS mrr,
+         |       round(CAST(sum(CAST(floor(ndcg * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6) AS ndcg
+         |FROM per""".stripMargin,
+    "q_link_pagerank" -> pageRankOracleSql,
+    "q_link_pagerank_stored" -> pageRankOracleSql,
     "q_sim_join" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score

@@ -31,6 +31,22 @@ import graft.sources.Tables
   */
 object EvalOps {
 
+  /** Macro (per-query-averaged) form of [[rankEval]] — the single row an
+    * eval report quotes. The per-query metrics are already rounded to 6
+    * decimals, so summing their exact 1e6-microunit integers keeps the
+    * average order-independent (the bigram-oracle trick), matching the
+    * DuckDB mirror bit-for-bit.
+    */
+  def rankEvalMacro(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10): DataFrame = {
+    def microAvg(c: String) =
+      round(sum(floor(col(c) * lit(1e6) + lit(0.5)).cast("bigint"))
+        .cast("double") / count(lit(1)) / lit(1e6), 6).as(c)
+    rankEval(spark, dir, nQueries, k).agg(
+      count(lit(1)).cast("bigint").as("n_queries"),
+      microAvg("recall_at_k"), microAvg("mrr"), microAvg("ndcg"))
+  }
+
   /** 1e6-scaled DCG discount weights: `w(rank) = round(1e6 / log2(rank+1))`
     * for rank = 1..k. Integer micro-units so the grouped DCG sum is exact
     * and order-independent (same trick as the bigram-LM oracle). Shared by

@@ -113,6 +113,38 @@ object LinkOps {
     ranks
   }
 
+  /** Serve the stored vector (doc_id, rank) — the read twin of
+    * [[refreshRanks]] for callers that only probe.
+    */
+  def servedRanks(spark: SparkSession, db: String, name: String): DataFrame =
+    asRanks(spark.table(s"`$db`.`${name}__ranks`")
+      .select(col("doc_id"), col("rank_nano")))
+
+  /** `q_link_pagerank_stored`: the MAINTAINED vector at 3 total rounds —
+    * built create(2 rounds) + refresh(1 round) so every contract run
+    * exercises the warm-start continuation, and served from the store.
+    * The exact-trajectory property makes this face the SAME oracle as
+    * the 3-round cold run; idempotent per session (a store already at
+    * 3 rounds serves as-is instead of advancing).
+    */
+  def pageRankStoredFixture(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CatalogOps
+    val db = "graft_ranks"
+    val name = "links"
+    this.synchronized {
+      val ready = spark.catalog.tableExists(s"$db.${name}__ranks") &&
+        spark.table(s"`$db`.`${name}__ranks`")
+          .agg(max(col("iters_done"))).head().getLong(0) == 3L
+      if (!ready) {
+        CatalogOps.createDatabase(spark, db)
+        KnnOps.dropTableAndDir(spark, db, s"${name}__ranks")
+        createRankStore(spark, db, name, dir, iters = 2)
+        refreshRanks(spark, db, name, dir, extraIters = 1)
+      }
+    }
+    servedRanks(spark, db, name)
+  }
+
   private def asRanks(nano: DataFrame): DataFrame =
     nano.select(col("doc_id"),
         round(col("rank_nano").cast("double") / lit(1e9), 6).as("rank"))
