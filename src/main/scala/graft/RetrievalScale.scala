@@ -92,7 +92,8 @@ object RetrievalScale {
   }
 
   def main(args: Array[String]): Unit =
-    if (args.headOption.contains("maintenance")) maintenance(args.drop(1))
+    if (args.headOption.contains("posmaint")) posMaintenance(args.drop(1))
+    else if (args.headOption.contains("maintenance")) maintenance(args.drop(1))
     else serving(args)
 
   private def serving(args: Array[String]): Unit = {
@@ -158,6 +159,72 @@ object RetrievalScale {
   }
 
   /** Probe cost vs uncompacted log depth — see the object doc. */
+  /** Positions-index maintenance cadence — the phrase-probe analog of
+    * [[maintenance]]: the positional log appends one `batch_id`
+    * sub-partition per touched bucket per micro-batch
+    * ([[graft.sources.CatalogOps.positionsIncrementalBatch]]); this mode
+    * times a planted-phrase probe at growing log depths, then
+    * [[graft.sources.CatalogOps.compactPositions]] and the post-fold
+    * probe. Phrase results are exact integers, so compaction invariance
+    * here is EXACT equality (no fp tolerance needed, unlike BM25).
+    */
+  private def posMaintenance(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toInt else 20000
+    val nBatches = if (args.length > 1) args(1).toInt else 64
+    val vocabN = 10000
+    val batchSize = 200
+    val spark = benchSession()
+    import graft.operators.RetrievalOps
+    import graft.sources.CatalogOps
+
+    val db = "posmaint"
+    CatalogOps.dropDatabase(spark, db)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"/tmp/graft-retrievalscale-warehouse/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    val phrase = "w200 w350 w500"
+    // plant the phrase in every 100th doc so the probe scores real hits
+    def plant(docs: DataFrame): DataFrame =
+      docs.withColumn("text",
+        when(col("doc_id") % 100 === 0, concat(col("text"), lit(" " + phrase)))
+          .otherwise(col("text")))
+    timed(s"build base positions ($nDocs docs)") {
+      CatalogOps.createPositions(spark, db, "c", plant(zipfDocs(spark, nDocs, vocabN)))
+    }
+    def probeRows() = RetrievalOps.phraseSearchIndexed(spark, db, "c", phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def probeSec(): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); probeRows(); (System.nanoTime() - t0) / 1e9
+      }.min
+    def logFiles(): Long =
+      spark.table(s"`$db`.`c__positions`").inputFiles.length.toLong
+
+    require(probeRows().nonEmpty, "planted phrase must have hits")
+    println(f"[retrievalscale] posmaint depth=0 files=${logFiles()} probe=${probeSec()}%.2f s")
+    val checkpoints = Iterator.iterate(1)(_ * 2).takeWhile(_ < nBatches).toSeq :+ nBatches
+    var done = 0
+    checkpoints.foreach { target =>
+      while (done < target) {
+        val b = plant(zipfDocs(spark, batchSize, vocabN,
+          offset = nDocs.toLong + done.toLong * batchSize))
+        CatalogOps.positionsIncrementalBatch(b, db, "c", batchId = done + 1L)
+        done += 1
+      }
+      println(f"[retrievalscale] posmaint depth=$done files=${logFiles()} probe=${probeSec()}%.2f s")
+    }
+    val before = probeRows()
+    val cSec = timed(s"compact positions log ($nBatches batches folded)") {
+      CatalogOps.compactPositions(spark, db, "c")
+    }
+    spark.catalog.refreshTable(s"`$db`.`c__positions`")
+    require(probeRows() == before,
+      "compaction changed the phrase probe (exact-integer results)")
+    println(f"[retrievalscale] posmaint compacted files=${logFiles()} probe=${probeSec()}%.2f s (compact cost $cSec%.2f s, probe results unchanged)")
+    CatalogOps.dropDatabase(spark, db)
+    spark.stop()
+  }
+
   private def maintenance(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toInt else 20000
     val nBatches = if (args.length > 1) args(1).toInt else 64
