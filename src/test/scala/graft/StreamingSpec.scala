@@ -793,6 +793,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint store compaction: fewer files, probe and ingest decisions unchanged") {
+    import graft.sources.CatalogOps
+    import graft.operators.{DedupOps, MultimodalOps}
+    import spark.implicits._
+    val db = "imgcompactdb"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    val rnd = new scala.util.Random(41L)
+    def mosaic(): Array[Byte] =
+      MultimodalOps.renderPpm(Array.fill(192)(rnd.nextInt(256).toByte))
+    val originals = (0 until 8).map(i => (i.toLong, mosaic()))
+    // 4 appended micro-batches -> a multi-file-set store
+    originals.grouped(2).zipWithIndex.foreach { case (g, i) =>
+      DedupOps.imageIncrementalBatch(g.toDF("doc_id", "payload"),
+        db, "imgs", batchId = Some(i.toLong))
+    }
+    val store = s"imgs__imghash"
+    def files() = spark.table(s"`$db`.`$store`").inputFiles.length
+    val before = files()
+    val probePayload = MultimodalOps.resizePpm(
+      Seq(graft.operators.MediaRecord(99L, originals(3)._2, "image/x-portable-pixmap")).toDS,
+      48, 48).collect()(0).payload
+    def probe() = DedupOps.probeImage(spark, db, "imgs", probePayload)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val hitBefore = probe()
+    assert(hitBefore.headOption.exists(_._1 == 3L))
+    CatalogOps.compactCollection(spark, db, store)
+    spark.catalog.refreshTable(s"`$db`.`$store`")
+    assert(files() < before, s"compaction must shrink the file count ($before)")
+    assert(probe() === hitBefore, "serving probe must be compaction-invariant")
+    // the ingest filter still drops a copy of a stored image afterwards
+    DedupOps.imageIncrementalBatch(
+      Seq((100L, originals(5)._2), (101L, mosaic())).toDF("doc_id", "payload"),
+      db, "imgs", batchId = Some(9L))
+    val kept = spark.table(s"`$db`.`imgs`").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(100L) && kept.contains(101L),
+      "post-compaction ingest decisions must match the uncompacted store")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("streaming audio near-dup drops volume-scaled copies, keeps fresh and unjudgeable payloads") {
     import graft.sources.CatalogOps
     import graft.operators.MultimodalOps
