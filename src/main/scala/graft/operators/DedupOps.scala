@@ -1525,25 +1525,48 @@ object DedupOps {
     MultimodalOps.perceptualHashOne(payload) match {
       case None => Seq.empty[(Long, Int)].toDF("doc_id", "hamming")
       case Some((dh, _)) =>
-        // chunk keys derived with EXACTLY hammingChunkRows' layout (the
-        // low bits of an arithmetic shift equal the logical shift's)
-        val nChunks = maxHamming + 1
-        require(nChunks >= 1 && nChunks <= 32, s"maxHamming out of range: $maxHamming")
-        val width = 64 / nChunks
-        val pred = (0 until nChunks).map { c =>
-          val start = c * width
-          val len = if (c == nChunks - 1) 64 - start else width
-          val mask = if (len >= 64) -1L else (1L << len) - 1L
-          col("chunk") === c && col("cval") === ((dh >> start) & mask)
-        }.reduce(_ || _)
-        spark.table(s"`$db`.`${name}__imghash`")
-          .filter(pred)
-          .select(col("doc_id"), col("fp")).distinct()
-          .select(col("doc_id"),
-            bit_count(col("fp").bitwiseXOR(lit(dh))).cast("int").as("hamming"))
-          .filter(col("hamming") <= maxHamming)
-          .orderBy(col("hamming").asc, col("doc_id").asc)
+        probeFingerprintStore(spark, s"`$db`.`${name}__imghash`", dh, maxHamming)
     }
+  }
+
+  /** The audio twin of [[probeImage]]: "have we heard this recording?"
+    * against the streaming audio store — driver-side spectral hash, same
+    * pushed chunk-key predicate, best-first (doc_id, hamming) out.
+    * Undecodable or too-short payloads probe to empty.
+    */
+  def probeAudio(spark: SparkSession, db: String, name: String,
+      payload: Array[Byte], maxHamming: Int = 6): DataFrame = {
+    import spark.implicits._
+    MultimodalOps.audioFingerprintOne(payload) match {
+      case None => Seq.empty[(Long, Int)].toDF("doc_id", "hamming")
+      case Some(fp) =>
+        probeFingerprintStore(spark, s"`$db`.`${name}__audiohash`", fp, maxHamming)
+    }
+  }
+
+  /** Shared single-fingerprint probe: chunk keys derived with EXACTLY
+    * [[hammingChunkRows]]' layout (the low bits of an arithmetic shift
+    * equal the logical shift's) become an OR-of-conjunctions predicate
+    * pushed to the store scan.
+    */
+  private def probeFingerprintStore(spark: SparkSession, table: String,
+      fp: Long, maxHamming: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(nChunks >= 1 && nChunks <= 32, s"maxHamming out of range: $maxHamming")
+    val width = 64 / nChunks
+    val pred = (0 until nChunks).map { c =>
+      val start = c * width
+      val len = if (c == nChunks - 1) 64 - start else width
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      col("chunk") === c && col("cval") === ((fp >> start) & mask)
+    }.reduce(_ || _)
+    spark.table(table)
+      .filter(pred)
+      .select(col("doc_id"), col("fp")).distinct()
+      .select(col("doc_id"),
+        bit_count(col("fp").bitwiseXOR(lit(fp))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("hamming").asc, col("doc_id").asc)
   }
 
   /** Alternating large-star / small-star connected components (Kiveris,

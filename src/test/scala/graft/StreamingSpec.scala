@@ -866,6 +866,16 @@ class StreamingSpec extends AnyFunSuite {
       assert(fpIds === Set(0L, 1L, 11L))
       // one chunk row per pigeonhole chunk (maxHamming 6 → 7) per clip
       assert(spark.table("`saudiodb`.`clips__audiohash`").count() === 3L * 7)
+      // the serving probe: a quiet copy finds its stored original
+      // best-first; fresh and unjudgeable payloads find nothing
+      import graft.operators.DedupOps
+      val hit = DedupOps.probeAudio(spark, "saudiodb", "clips", aQuiet)
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(hit.headOption.exists(h => h._1 === 0L && h._2 <= 2))
+      assert(DedupOps.probeAudio(spark, "saudiodb", "clips",
+        clip("unseen recording")).isEmpty)
+      assert(DedupOps.probeAudio(spark, "saudiodb", "clips",
+        "still not audio".getBytes("UTF-8")).isEmpty)
     } finally {
       q.stop()
       CatalogOps.dropDatabase(spark, "saudiodb")
