@@ -157,6 +157,14 @@ object SparkEntry {
       val (db, name) = RetrievalOps.ensurePositionalIndex(s, d)
       RetrievalOps.phraseSearchIndexed(s, db, name)
     }),
+    // FILTER-composed phrase: metadata predicate restricts candidates
+    // only, pushed below the adjacency chain (Lucene filter semantics)
+    "q_text_phrase_filtered" -> ((s, d) => {
+      val (db, name) = RetrievalOps.ensurePositionalIndex(s, d)
+      RetrievalOps.phraseSearchIndexedFiltered(s, db, name,
+        sources.Tables.documents(s, d), RetrievalOps.PhraseQuery,
+        org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    }),
     // ordered proximity (sloppy phrase): in-order terms with up to 2
     // interleaved tokens per gap; live scan + positions-index twin
     "q_text_near" -> ((s, d) => RetrievalOps.proximitySearch(s, d)),
@@ -305,7 +313,7 @@ object SparkEntry {
     "q_text_bm25", "q_text_bm25_stored", "q_text_bm25_indexed", "q_text_bm25_filtered",
     "q_text_bm25_batch", "q_text_bm25_batch_indexed",
     "q_hybrid_rrf", "q_hybrid_rrf_served", "q_tfidf_topterms", "q_tfidf_indexed",
-    "q_knn_mmr", "q_text_phrase", "q_text_phrase_indexed", "q_text_phrase_batch", "q_text_near", "q_text_near_indexed",
+    "q_knn_mmr", "q_text_phrase", "q_text_phrase_indexed", "q_text_phrase_batch", "q_text_phrase_filtered", "q_text_near", "q_text_near_indexed",
     "q_mine_hardneg", "q_mine_hardneg_indexed", "q_eval_rank", "q_eval_rank_macro", "q_link_pagerank", "q_link_pagerank_stored",
     "q_decontaminate", "q_pack_sequences", "q_domain_mix", "q_curate_e2e")
 
@@ -464,6 +472,24 @@ object SparkEntry {
     terms.indices.tail.map(i =>
       s"  JOIN p p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i").mkString("\n"),
     terms.zipWithIndex.map { case (t, i) => s"p$i.term = '$t'" }.mkString(" AND "))
+
+  /** Phrase oracle with the candidate-restricting id predicate — the
+    * statistics-free FILTER composition (no stats exist to keep
+    * corpus-wide here; the predicate just gates candidates).
+    */
+  private def phraseFilteredOracleSql: String = {
+    val terms = RetrievalOps.PhraseQuery.split(" ").filter(_.nonEmpty).toSeq
+    val (joins, preds) = phraseJoinsAndPreds(terms)
+    s"""WITH $phrasePosCtes,
+       |m AS (
+       |  SELECT p0.doc_id, p0.pos
+       |  FROM p p0
+       |$joins
+       |  WHERE $preds AND p0.doc_id % 2 = 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |       CAST(min(pos) AS BIGINT) AS first_pos
+       |FROM m GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin
+  }
 
   /** Ordered-proximity oracle: each successive term joins on the
     * PREVIOUS term's position with a 1 + slop gap window — the same
@@ -1009,6 +1035,7 @@ object SparkEntry {
          |ORDER BY bm25 DESC, doc_id ASC
          |LIMIT 20""".stripMargin,
     "q_text_phrase" -> phraseOracleSql,
+    "q_text_phrase_filtered" -> phraseFilteredOracleSql,
     "q_text_near" -> proximityOracleSql(2),
     "q_text_near_indexed" -> proximityOracleSql(2),
     "q_text_phrase_batch" -> phraseBatchOracleSql,

@@ -1509,6 +1509,24 @@ object DedupOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Group resolution for audio near-dups — the audio twin of
+    * [[imageDedupConnectedOn]]: connected components over the verified
+    * hamming pairs, each decodable clip labeled with its component's
+    * minimum id (hamming ≤ h is not transitive, so "the same recording's
+    * variants" is the component).
+    */
+  def audioDedupConnectedOn(records: org.apache.spark.sql.Dataset[MediaRecord],
+      maxHamming: Int = 6): DataFrame = {
+    val ids = MultimodalOps.audioFingerprint(records).toDF().select(col("doc_id"))
+    val star = connectedComponentsOn(
+      audioNearDupOn(records, maxHamming)
+        .select(col("a_id").as("a"), col("b_id").as("b")))
+    ids.join(star.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** SERVING probe of the streaming image store — the lookup twin of
     * [[imageIncrementalBatch]] (the ingest filter answers "should this
     * land?", this answers "have we seen this picture?"): near-dups of

@@ -416,6 +416,32 @@ object RetrievalOps {
     phraseAdjacency(postings, terms)
   }
 
+  /** FILTER-index composition on the phrase path — the metadata
+    * predicate restricts CANDIDATES only (Lucene filter semantics, the
+    * same contract as [[bm25TopKIndexedFiltered]]): the allowed-id set
+    * semi-joins the position lists BEFORE the adjacency chain, so the
+    * n−1 joins only ever see filtered occurrences. Bit-identical to
+    * filtering the live scan's corpus → oracled as the phrase SQL with
+    * an id-subquery predicate.
+    */
+  def phraseSearchIndexedFiltered(spark: SparkSession, db: String,
+      name: String, docs: DataFrame, phrase: String,
+      predicate: Column): DataFrame = {
+    val terms = phrase.split(" ").filter(_.nonEmpty).toSeq
+    require(terms.length >= 2, "phrase search needs at least two terms")
+    val buckets = terms.distinct.map(graft.sources.CatalogOps.postingsBucketOf)
+    val allowed = docs.filter(predicate).select(col("doc_id"))
+    val postings = spark.table(s"`$db`.`${name}__positions`")
+      .filter(col("bucket").isin(buckets.distinct: _*) &&
+        col("term").isin(terms.distinct: _*))
+      .join(broadcast(allowed), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"), col("term"), col("pos"))
+      .agg(sum(col("sign")).as("mult"))
+      .filter(col("mult") > 0L)
+      .select(col("doc_id"), col("pos"), col("term"))
+    phraseAdjacency(postings, terms)
+  }
+
   /** Batched phrase serving: ONE positional-index probe answers a whole
     * (query_id, phrase) table — the phrase twin of [[bm25ForQueriesIndexed]].
     * Phrase terms are driver-bounded (they are queries) and broadcast as a

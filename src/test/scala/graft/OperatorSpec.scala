@@ -757,6 +757,18 @@ class OperatorSpec extends AnyFunSuite {
       assert(pairs.contains((r.doc_id, r.doc_id + 100)),
         s"planted volume copy of ${r.doc_id} not recovered")
     }
+    // (4) component resolution: a quiet copy of a quiet copy chains to
+    // the original's group even though ends may differ by > maxHamming
+    val chain = Seq(
+      MediaRecord(50L, MultimodalOps.renderWav(payloads(1)), "audio/wav"),
+      MediaRecord(51L, MultimodalOps.scaleWav(
+        MultimodalOps.renderWav(payloads(1)), 0.5).get, "audio/wav"),
+      MediaRecord(52L, MultimodalOps.scaleWav(MultimodalOps.scaleWav(
+        MultimodalOps.renderWav(payloads(1)), 0.5).get, 0.5).get, "audio/wav"))
+    val comp = DedupOps.audioDedupConnectedOn(chain.toDS, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp === Map(50L -> 50L, 51L -> 50L, 52L -> 50L),
+      s"variant chain must resolve to one group: $comp")
   }
 
   test("PNG/JPEG decode via the JDK codecs: true dimensions, pixels, and resize") {
