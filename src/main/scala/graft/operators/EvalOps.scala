@@ -182,12 +182,18 @@ object EvalOps {
     */
   def rankEvalOn(run: DataFrame, qrels: DataFrame, queryIds: DataFrame,
       k: Int): DataFrame = {
-    val judged = run
-      .join(qrels.select(col("query_id"), col("vec_id"), lit(1).as("rel")),
+    // depth cut enforces the @k contract (a deeper run contributes
+    // nothing — and un-cut, a rank > k would index past the weight
+    // array, an ANSI-mode error); duplicate qrels pairs must not
+    // double-count a hit, so judgments are set-semantics
+    val cut = run.filter(col("rank") <= k)
+    val rels = qrels.select(col("query_id"), col("vec_id")).distinct()
+    val judged = cut
+      .join(rels.withColumn("rel", lit(1)),
         Seq("query_id", "vec_id"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0)))
 
-    val relCounts = qrels.groupBy(col("query_id"))
+    val relCounts = rels.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_rel"))
 
     val w = dcgWeightsMicro(k)

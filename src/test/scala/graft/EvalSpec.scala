@@ -111,9 +111,13 @@ class EvalSpec extends AnyFunSuite {
   test("rankEvalOn scores arbitrary runs/qrels, including empty-run and zero-relevant queries") {
     import spark.implicits._
     val k = 3
-    val run = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3),
+    // a beyond-k row (rank 4 on a relevant doc) must be cut by the @k
+    // contract, not crash the weight lookup or inflate recall; a
+    // duplicated qrels pair must not double-count
+    val run = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3), (0L, 99L, 4),
       (1L, 20L, 1), (1L, 21L, 2)).toDF("query_id", "vec_id", "rank")
-    val qrels = Seq((0L, 11L), (0L, 99L), (2L, 5L)).toDF("query_id", "vec_id")
+    val qrels = Seq((0L, 11L), (0L, 11L), (0L, 99L), (2L, 5L))
+      .toDF("query_id", "vec_id")
     val qids = Seq(0L, 1L, 2L).toDF("query_id")
     val got = EvalOps.rankEvalOn(run, qrels, qids, k).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
