@@ -455,9 +455,14 @@ object RetrievalOps {
     */
   def phraseForQueriesIndexed(spark: SparkSession, db: String, name: String,
       queries: DataFrame): DataFrame = {
+    // an at-least-once feed can replay a query row; duplicates resolve
+    // deterministically (max phrase per id — the topKForQueries rule)
     val qs: Array[(Long, Seq[String])] = queries
       .select(col("query_id"), col("phrase")).collect()
-      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (id, rows) => (id, rows.map(_._2).max) }
+      .toArray.sortBy(_._1)
+      .map { case (id, p) => (id, p.split(" ").filter(_.nonEmpty).toSeq) }
     require(qs.forall(_._2.length >= 2), "phrase search needs at least two terms")
     val allTerms = qs.flatMap(_._2).distinct.toSeq
     val buckets = allTerms.map(graft.sources.CatalogOps.postingsBucketOf).distinct

@@ -609,6 +609,13 @@ class RetrievalSpec extends AnyFunSuite {
     // at sf0.001 not every contract phrase has hits; the probe must still
     // answer a mixed hit/miss batch correctly, with at least one hit
     assert(singles.exists(_.nonEmpty), "every phrase empty — fixture drifted")
+    // replay-proof: duplicated query rows must not change any result
+    val doubled = RetrievalOps.phraseForQueriesIndexed(spark, db, name,
+        qs.unionAll(qs))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(doubled === batched)
   }
 
   test("indexed phrase plan: bucket-pruned positions scan, no corpus, pushed term filter") {
