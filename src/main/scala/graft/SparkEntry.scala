@@ -107,6 +107,10 @@ object SparkEntry {
     // sketch-aggregated vocabulary head: one pass, m-entry partials —
     // exact (and therefore oracled) whenever the vocabulary fits in m
     "q_term_heavyhitters" -> ((s, d) => TextAnalysisOps.heavyHitterTerms(s, d)),
+    // TRAINED quality classifier (fastText-lineage): distributed GD on
+    // heuristic-gate labels, broadcast-weights scoring; rows-only (fp
+    // training is engine-native), learnability + determinism test-pinned
+    "q_quality_lr" -> ((s, d) => MlOps.qualityLrFixture(s, d)),
     // the MAINTAINED sketch (create-half + fold-half each run) — exact
     // below saturation, so it faces the SAME oracle as the live aggregate
     "q_term_heavyhitters_stored" -> ((s, d) => TextAnalysisOps.heavyHittersStoredFixture(s, d)),
@@ -305,7 +309,7 @@ object SparkEntry {
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_embed", "q_dedup_cc", "q_dedup_substring", "q_dedup_substring_trim",
     "q_image_neardup", "q_audio_neardup", "q_dedup_semantic", "q_dedup_semantic_stored",
-    "q_text_quality", "q_token_count", "q_term_heavyhitters", "q_term_heavyhitters_stored", "q_bpe_tokens", "q_lm_bigram", "q_multimodal_meta",
+    "q_text_quality", "q_quality_lr", "q_token_count", "q_term_heavyhitters", "q_term_heavyhitters_stored", "q_bpe_tokens", "q_lm_bigram", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast",
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",

@@ -2841,6 +2841,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(cells.length === 44 && cells.map(_._2).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("LR quality filter: separable classes learned; deterministic; fixture gate recovered above base rate") {
+    import spark.implicits._
+    import graft.operators.MlOps
+    // (1) two disjoint vocabularies — linearly separable in hashed BOW —
+    // must train to (near-)perfect agreement
+    val rnd = new scala.util.Random(11L)
+    val goodV = Vector("alpha", "beta", "gamma", "delta")
+    val badV = Vector("zork", "quux", "fnord", "bleep")
+    val docs = (0 until 80).map { i =>
+      val v = if (i % 2 == 0) goodV else badV
+      (i.toLong, Seq.fill(6 + rnd.nextInt(10))(v(rnd.nextInt(v.length))).mkString(" "),
+        if (i % 2 == 0) 1.0 else 0.0)
+    }
+    val df = docs.toDF("doc_id", "text", "label")
+    val (w, b) = MlOps.trainQualityLr(df, dim = 64, iters = 40)
+    val preds = MlOps.scoreQualityLr(df.select($"doc_id", $"text"), w, b)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val correct = docs.count { case (id, _, y) => preds(id) == y.toInt }
+    assert(correct >= 78, s"separable classes must be learned: $correct/80")
+    // (2) deterministic: same data, same model, bit-for-bit
+    val (w2, b2) = MlOps.trainQualityLr(df, dim = 64, iters = 40)
+    assert(w.toSeq === w2.toSeq && b === b2)
+    // (3) fixture: the trained gate beats the predict-majority base rate
+    // comfortably (measured ~0.87 train agreement vs 0.63 base)
+    val scored = MlOps.qualityLrFixture(spark, sf)
+    val lab = graft.operators.TextAnalysisOps.qualityScore(spark, sf)
+      .select($"doc_id", ($"quality" >= 0.5).cast("int").as("label"))
+    val j = scored.join(lab, "doc_id").cache()
+    try {
+      val n = j.count().toDouble
+      val acc = j.filter($"pred" === $"label").count() / n
+      val base = math.max(lab.filter($"label" === 1).count(),
+        lab.filter($"label" === 0).count()) / n
+      assert(acc >= base + 0.1,
+        f"trained gate must beat the base rate: acc=$acc%.3f base=$base%.3f")
+      // scores are calibrated probabilities, not raw margins
+      assert(scored.filter($"score" < 0.0 || $"score" > 1.0).count() === 0)
+    } finally j.unpersist()
+  }
+
   test("stored semantic dedup: frozen model equals live; mini-batch tracks clusters; replays no-op") {
     import spark.implicits._
     import graft.sources.{CatalogOps, Tables}
