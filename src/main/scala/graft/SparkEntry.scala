@@ -60,6 +60,8 @@ object SparkEntry {
     // ANN-served mining: nprobe-pruned IVF cells, approximate by
     // construction → rows-only; exhaustive-probe equality test-pinned
     "q_mine_hardneg_indexed" -> ((s, d) => EvalOps.hardNegativesIndexed(s, d)),
+    // assembled DPR-style training records: positive + hard negatives
+    "q_mine_pairs" -> ((s, d) => EvalOps.trainingPairs(s, d)),
     "q_eval_rank"     -> ((s, d) => EvalOps.rankEval(s, d)),
     "q_eval_rank_macro" -> ((s, d) => EvalOps.rankEvalMacro(s, d)),
     // crawl-side link centrality (deterministic synthetic edge graph)
@@ -318,7 +320,7 @@ object SparkEntry {
     "q_text_bm25_batch", "q_text_bm25_batch_indexed",
     "q_hybrid_rrf", "q_hybrid_rrf_served", "q_tfidf_topterms", "q_tfidf_indexed",
     "q_knn_mmr", "q_text_phrase", "q_text_phrase_indexed", "q_text_phrase_batch", "q_text_phrase_filtered", "q_text_near", "q_text_near_indexed",
-    "q_mine_hardneg", "q_mine_hardneg_indexed", "q_eval_rank", "q_eval_rank_macro", "q_link_pagerank", "q_link_pagerank_stored",
+    "q_mine_hardneg", "q_mine_hardneg_indexed", "q_mine_pairs", "q_eval_rank", "q_eval_rank_macro", "q_link_pagerank", "q_link_pagerank_stored",
     "q_decontaminate", "q_pack_sequences", "q_domain_mix", "q_curate_e2e")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
@@ -645,6 +647,28 @@ object SparkEntry {
         |SELECT query_id, vec_id, score, rank FROM ranked
         |WHERE rank <= 5
         |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    "q_mine_pairs" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 5),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id, c.label, q.q_label,
+        |         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])), 6) AS score
+        |  FROM c CROSS JOIN q
+        |), pos AS (
+        |  SELECT query_id, 'pos' AS role, rank, vec_id, score FROM (
+        |    SELECT query_id, vec_id, score,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+        |    FROM scored WHERE label = q_label) WHERE rank <= 1
+        |), neg AS (
+        |  SELECT query_id, 'neg' AS role, rank, vec_id, score FROM (
+        |    SELECT query_id, vec_id, score,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+        |    FROM scored WHERE label <> q_label) WHERE rank <= 3
+        |)
+        |SELECT query_id, role, rank, vec_id, score
+        |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+        |ORDER BY query_id ASC, role ASC, rank ASC""".stripMargin,
     "q_eval_rank" -> rankEvalOracleSql,
     // macro averages over the SAME per-query metric subquery — per-query
     // values are already rounded to 6 dp, so the integer-microunit sum

@@ -87,6 +87,35 @@ object EvalOps {
     KnnOps.topKForQueriesPrescored(mismatched, k)
   }
 
+  /** Contrastive TRAINING RECORDS — the assembled DPR-style triple per
+    * query: the single best SAME-label candidate (the positive) plus the
+    * [[hardNegatives]] top-k (the hard negatives), as rows
+    * (query_id, role, rank, vec_id, score). This is the record an
+    * embedding trainer consumes; both halves ride the bounded-heap
+    * scorer, so assembling a 10k-query training set stays one
+    * broadcast-join pass over the corpus.
+    */
+  def trainingPairs(spark: SparkSession, dir: String,
+      nQueries: Int = 5, kNeg: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("label").as("q_label"))
+    val cand = emb.filter(col("vec_id") >= nQueries)
+    val paired = cand.crossJoin(broadcast(queries))
+    def side(cond: Column, role: String, k: Int) =
+      KnnOps.topKForQueriesPrescored(
+        paired.filter(cond)
+          .select(col("query_id"), col("q_embedding"),
+            col("vec_id"), col("embedding")), k)
+        .withColumn("role", lit(role))
+    side(col("label") === col("q_label"), "pos", 1)
+      .unionByName(side(col("label") =!= col("q_label"), "neg", kNeg))
+      .select(col("query_id"), col("role"), col("rank"),
+        col("vec_id"), col("score"))
+      .orderBy(col("query_id").asc, col("role").asc, col("rank").asc)
+  }
+
   /** Hard-negative mining on the INDEX path: the same label-mismatch
     * mining as [[hardNegatives]], served from the IVF cell-partitioned
     * collection — per query only the `nprobe` nearest cells are scanned
