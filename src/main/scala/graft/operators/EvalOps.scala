@@ -104,7 +104,7 @@ object EvalOps {
     val cand = emb.filter(col("vec_id") >= nQueries)
     val paired = cand.crossJoin(broadcast(queries))
     def side(cond: Column, role: String, k: Int) =
-      KnnOps.topKForQueriesPrescored(
+      KnnOps.topKForQueriesPrescoredUnsorted(
         paired.filter(cond)
           .select(col("query_id"), col("q_embedding"),
             col("vec_id"), col("embedding")), k)

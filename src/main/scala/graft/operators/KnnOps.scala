@@ -119,7 +119,16 @@ object KnnOps {
     * caller owns query-side dedup; the corpus-side plan is unchanged
     * (k rows per query per map task reach the shuffle).
     */
-  def topKForQueriesPrescored(paired: DataFrame, k: Int): DataFrame = {
+  def topKForQueriesPrescored(paired: DataFrame, k: Int): DataFrame =
+    topKForQueriesPrescoredUnsorted(paired, k)
+      .orderBy(col("query_id").asc, col("rank").asc)
+
+  /** [[topKForQueriesPrescored]] without the presentation sort — for
+    * callers that union or re-sort downstream (a branch-local sort under
+    * a later global orderBy is a wasted range exchange the optimizer
+    * does not remove; [[EvalOps.trainingPairs]] measured three).
+    */
+  private[graft] def topKForQueriesPrescoredUnsorted(paired: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
     val scored = paired
       .select(col("query_id"), col("vec_id"),
@@ -131,7 +140,6 @@ object KnnOps {
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
       .select(col("query_id"), col("hit.vec_id").as("vec_id"),
         col("hit.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
-      .orderBy(col("query_id").asc, col("rank").asc)
   }
 
   /** Filtered ANN — predicate + knn composed, the declared FilterIndex
