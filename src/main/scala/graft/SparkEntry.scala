@@ -113,6 +113,9 @@ object SparkEntry {
     // heuristic-gate labels, broadcast-weights scoring; rows-only (fp
     // training is engine-native), learnability + determinism test-pinned
     "q_quality_lr" -> ((s, d) => MlOps.qualityLrFixture(s, d)),
+    // XLM-R-style temperature mixing: per-source keep rates learned from
+    // measured domain sizes (α = 0.5), applied map-side
+    "q_domain_mix_temp" -> ((s, d) => TextAnalysisOps.domainMixTemperature(s, d)),
     // the MAINTAINED sketch (create-half + fold-half each run) — exact
     // below saturation, so it faces the SAME oracle as the live aggregate
     "q_term_heavyhitters_stored" -> ((s, d) => TextAnalysisOps.heavyHittersStoredFixture(s, d)),
@@ -321,7 +324,7 @@ object SparkEntry {
     "q_hybrid_rrf", "q_hybrid_rrf_served", "q_tfidf_topterms", "q_tfidf_indexed",
     "q_knn_mmr", "q_text_phrase", "q_text_phrase_indexed", "q_text_phrase_batch", "q_text_phrase_filtered", "q_text_near", "q_text_near_indexed",
     "q_mine_hardneg", "q_mine_hardneg_indexed", "q_mine_pairs", "q_eval_rank", "q_eval_rank_macro", "q_link_pagerank", "q_link_pagerank_stored",
-    "q_decontaminate", "q_pack_sequences", "q_domain_mix", "q_curate_e2e")
+    "q_decontaminate", "q_pack_sequences", "q_domain_mix", "q_domain_mix_temp", "q_curate_e2e")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1217,6 +1220,17 @@ object SparkEntry {
         |SELECT doc_id, shard, n_tok, cum_before,
         |       CAST(shard * 4294967296 + cum_before // 512 AS BIGINT) AS seq_id
         |FROM c ORDER BY doc_id ASC""".stripMargin,
+    "q_domain_mix_temp" ->
+      """WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source),
+        |tot AS (SELECT sum(sqrt(CAST(n_s AS DOUBLE))) AS z, CAST(sum(n_s) AS BIGINT) AS n FROM cnt),
+        |rate AS (
+        |  SELECT source,
+        |         floor(least(1.0, sqrt(CAST(n_s AS DOUBLE)) / tot.z * 0.5 * tot.n / n_s) * 1000000.0 + 0.5) / 1000000.0 AS keep
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT d.doc_id, d.source, rate.keep
+        |FROM documents d JOIN rate USING (source)
+        |WHERE (d.doc_id * 2246822519) % 1000 < rate.keep * 1000
+        |ORDER BY d.doc_id ASC""".stripMargin,
     "q_domain_mix" ->
       """WITH w AS (
         |  SELECT doc_id, source, (doc_id * 2654435761) % 1000 AS bucket,

@@ -714,6 +714,45 @@ object TextAnalysisOps {
   private def mixBucket: Column =
     pmod(col("doc_id") * lit(2654435761L), lit(1000L))
 
+  /** Temperature-mix bucket — its own coprime constant (xxHash PRIME32_2),
+    * independent of [[mixBucket]]/[[splitBucket]] so composing the mixers
+    * never aliases (the sampleSplit lesson).
+    */
+  private def tempBucket: Column =
+    pmod(col("doc_id") * lit(2246822519L), lit(1000L))
+
+  /** TEMPERATURE-based domain mixing (α = 0.5) — the multilingual mixing
+    * rule (Conneau et al., XLM-R; mT5): target draw share per source
+    * `q_s ∝ p_s^α` flattens domain skew, so head domains down-sample hard
+    * and tail domains keep (nearly) everything. Per-source keep rate
+    * `min(1, q_s · frac · N / n_s)` (down-sampling only — a filter cannot
+    * upsample; the capped mass is the standard deviation from the ideal
+    * mix), applied as the usual deterministic hash-bucket filter.
+    *
+    * Plan: one source-cardinality count aggregation broadcast back; the
+    * corpus pass is a map-side filter — zero corpus shuffles, the
+    * domainMix shape with learned-from-data rates. Determinism: the rate
+    * is MICRO-ROUNDED to 6 dp after all fp arithmetic, so the Σ√n̄ sum
+    * order (engine-dependent at the ulp) cannot flip a bucket comparison
+    * — both engines filter on the identical rounded rate.
+    */
+  def domainMixTemperature(spark: SparkSession, dir: String,
+      targetFrac: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(sum(sqrt(col("n_s").cast("double"))).as("z"),
+      sum(col("n_s")).as("n"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("source"),
+        (floor(least(lit(1.0),
+          sqrt(col("n_s").cast("double")) / col("z") * lit(targetFrac) *
+            col("n") / col("n_s")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("keep"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(tempBucket < col("keep") * 1000)
+      .select(col("doc_id"), col("source"), col("keep"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** [[sampleSplit]]'s bucket — xxHash PRIME32_3, coprime with 1000 and
     * independent of [[mixBucket]]'s and the chunk split's constants.
     */

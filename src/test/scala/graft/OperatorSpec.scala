@@ -2841,6 +2841,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(cells.length === 44 && cells.map(_._2).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("temperature mix: tail domains keep more than head domains; kept mass near target") {
+    import spark.implicits._
+    import graft.operators.TextAnalysisOps
+    val out = TextAnalysisOps.domainMixTemperature(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    val keepBySource = out.groupBy(_._2).view.mapValues(_.head._3).toMap
+    // per-source keep rate is a single value (the broadcast rate)
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).distinct.length === 1, s"rate must be constant per source $s")
+    }
+    // α = 0.5 keep rate is monotone NON-INCREASING in source size: verify
+    // against the independently recomputed sizes
+    val sizes = graft.sources.Tables.documents(spark, sf)
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = keepBySource.toSeq.map { case (s, k) => (sizes(s), k) }.sortBy(_._1)
+    rates.sliding(2).foreach {
+      case Seq((n1, k1), (n2, k2)) if n1 < n2 =>
+        assert(k1 >= k2 - 1e-9, s"smaller source ($n1) must keep ≥ larger ($n2): $k1 vs $k2")
+      case _ =>
+    }
+    // kept mass lands near the 0.5 target (hash-bucket granularity)
+    val total = graft.sources.Tables.documents(spark, sf).count().toDouble
+    val frac = out.length / total
+    assert(frac > 0.35 && frac < 0.65, s"kept fraction drifted: $frac")
+  }
+
   test("LR quality filter: separable classes learned; deterministic; fixture gate recovered above base rate") {
     import spark.implicits._
     import graft.operators.MlOps
