@@ -740,6 +740,15 @@ object TextAnalysisOps {
       targetFrac: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    temperatureMixOn(docs, counts, targetFrac)
+  }
+
+  /** The mixing tail on ARBITRARY (doc batch, per-source counts) inputs —
+    * shared by the batch entry and the streaming twin (whose counts come
+    * from the maintained store, so the two cannot diverge arithmetically).
+    */
+  private[graft] def temperatureMixOn(docs: DataFrame, counts: DataFrame,
+      targetFrac: Double): DataFrame = {
     val tot = counts.agg(sum(sqrt(col("n_s").cast("double"))).as("z"),
       sum(col("n_s")).as("n"))
     val rates = counts.crossJoin(broadcast(tot))
@@ -751,6 +760,25 @@ object TextAnalysisOps {
       .filter(tempBucket < col("keep") * 1000)
       .select(col("doc_id"), col("source"), col("keep"))
       .orderBy(col("doc_id").asc)
+  }
+
+  /** One micro-batch of STREAMING temperature mixing: fold the batch's
+    * source counts into the store (replay-safe: watermark rides in the
+    * state overwrite), then mix the batch with rates derived from the
+    * UPDATED counts — arrival-ordered mixing whose rates converge to the
+    * batch rule's as the stream drains (with everything in one batch the
+    * output equals the batch operator exactly, pinned). A replayed batch
+    * no-ops the fold and re-derives the same rates → the same decisions.
+    */
+  private[graft] def tempMixIncrementalBatch(batch: DataFrame, db: String,
+      name: String, batchId: Long, targetFrac: Double): DataFrame = {
+    import graft.sources.CatalogOps
+    val spark = batch.sparkSession
+    CatalogOps.upsertSourceCounts(spark, db, name, batch, batchId)
+    val (counts, _) = CatalogOps.readSourceCounts(spark, db, name)
+    val countsDf = spark.createDataFrame(counts.toSeq.sorted)
+      .toDF("source", "n_s")
+    temperatureMixOn(batch, countsDf, targetFrac)
   }
 
   /** [[sampleSplit]]'s bucket — xxHash PRIME32_3, coprime with 1000 and

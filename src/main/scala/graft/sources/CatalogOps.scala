@@ -1278,6 +1278,54 @@ object CatalogOps {
       .saveAsTable(s"`$db`.`${name}__postings`")
   }
 
+  /** Persisted per-source document counts — the model behind streaming
+    * temperature mixing ([[graft.operators.TextAnalysisOps
+    * .domainMixTemperature]] fed one micro-batch at a time): rows
+    * `(source, n_s, batch_id)`, source-cardinality-sized, watermark in
+    * the state's own overwrite (the k-means-model replay discipline).
+    */
+  def createSourceCounts(spark: SparkSession, db: String, name: String,
+      docs: DataFrame): Unit =
+    writeSourceCounts(spark, db, name, countsOf(docs), batchId = -1L)
+
+  /** Fold one batch's counts into the store — replay-safe via the stored
+    * watermark. */
+  def upsertSourceCounts(spark: SparkSession, db: String, name: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    if (!spark.catalog.tableExists(s"$db.${name}__srccounts")) {
+      writeSourceCounts(spark, db, name, countsOf(batch), batchId)
+      return
+    }
+    val stored = spark.table(s"`$db`.`${name}__srccounts`").collect()
+    if (stored.nonEmpty && batchId <= stored.head.getLong(2)) return
+    val merged = collection.mutable.HashMap[String, Long](
+      stored.map(r => r.getString(0) -> r.getLong(1)).toIndexedSeq: _*)
+    countsOf(batch).foreach { case (s, n) =>
+      merged.update(s, merged.getOrElse(s, 0L) + n)
+    }
+    writeSourceCounts(spark, db, name, merged.toMap, batchId)
+  }
+
+  /** Stored counts → (source → n_s, watermark). */
+  private[graft] def readSourceCounts(spark: SparkSession, db: String,
+      name: String): (Map[String, Long], Long) = {
+    val rows = spark.table(s"`$db`.`${name}__srccounts`").collect()
+    (rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+      if (rows.isEmpty) -1L else rows.head.getLong(2))
+  }
+
+  private def countsOf(docs: DataFrame): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  private def writeSourceCounts(spark: SparkSession, db: String, name: String,
+      counts: Map[String, Long], batchId: Long): Unit =
+    spark.createDataFrame(counts.toSeq.sorted.map { case (s, n) => (s, n, batchId) })
+      .toDF("source", "n_s", "batch_id")
+      .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__srccounts`")
+
   /** Persisted SpaceSaving term sketch — the heavy-hitter statistic
     * ([[graft.plans.SpaceSavingTopK]]) as a MAINTAINED artifact:
     * `{name}__termsketch` holds at most m `(term, count, err, batch_id)`

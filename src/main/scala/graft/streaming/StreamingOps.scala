@@ -437,6 +437,24 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming TEMPERATURE mixing — each (doc_id, source, …) micro-batch
+    * folds its source counts into the maintained store and is mixed with
+    * rates derived from the updated counts
+    * ([[graft.operators.TextAnalysisOps.tempMixIncrementalBatch]]);
+    * kept rows go to the sink. Arrival-ordered: rates converge to the
+    * batch rule's as the stream drains.
+    */
+  def streamingTempMix(docStream: DataFrame, db: String, name: String,
+      targetFrac: Double = 0.5)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.TextAnalysisOps.tempMixIncrementalBatch(
+            batch.toDF(), db, name, id, targetFrac), id)
+      }
+      .start()
+
   /** Streaming k-means model maintenance — each embedding micro-batch
     * applies one mini-batch step to the persisted quantizer
     * ([[graft.sources.CatalogOps.upsertKmeansModel]]). Replay-safe by

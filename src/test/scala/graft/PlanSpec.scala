@@ -187,6 +187,17 @@ class PlanSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "bloomdb")
   }
 
+  test("temperature mix: corpus pass is map-side — rate table broadcasts, no corpus shuffle") {
+    val p = plan(graft.operators.TextAnalysisOps.domainMixTemperature(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the 20-row rate table must broadcast:\n$p")
+    // exchanges: the rate-side aggregations + the presentation sort only —
+    // the corpus-side filter must not hash-shuffle corpus rows
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("source"))
+    assert(hashEx <= 2, s"only the source-cardinality agg may shuffle:\n$p")
+  }
+
   test("sessionization reuses one user_id exchange for window and group-by") {
     // partitioning by user_id satisfies the (user_id, session_id) group-by
     // distribution, so the lag window and the session aggregate share ONE

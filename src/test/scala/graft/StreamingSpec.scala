@@ -1156,6 +1156,50 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("streaming temperature mix: counts converge to corpus; one-batch equals batch; replays no-op") {
+    import graft.sources.{CatalogOps, Tables}
+    import graft.operators.TextAnalysisOps
+    implicit val ctx = spark.sqlContext
+    val db = "rtempmixdb"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val rows = docs.select($"doc_id", $"source").as[(Long, String)].collect()
+    // ALL data in one micro-batch: streaming rates == batch rates exactly
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingTempMix(
+      in.toDF.toDF("doc_id", "source"), db, "mix") { (out, _) =>
+      results.synchronized {
+        results ++= out.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2)))
+      }
+    }
+    try {
+      in.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = TextAnalysisOps.domainMixTemperature(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(results.sortBy(_._1).toSeq === batch.sortBy(_._1),
+      "one-batch streaming mix must equal the batch operator exactly")
+    // counts store holds the corpus counts
+    val (counts, wm) = CatalogOps.readSourceCounts(spark, db, "mix")
+    val want = docs.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === want && wm === 0L)
+    // replay: the fold no-ops and the same rates re-derive
+    val replay = TextAnalysisOps.tempMixIncrementalBatch(
+      rows.toIndexedSeq.toDF("doc_id", "source"), db, "mix", 0L, 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(replay.sortBy(_._1) === batch.sortBy(_._1))
+    assert(CatalogOps.readSourceCounts(spark, db, "mix")._1 === want,
+      "replayed fold must not double-count")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("streaming kmeans maintenance equals manual mini-batch upserts") {
     import graft.sources.{CatalogOps, Tables}
     implicit val ctx = spark.sqlContext
