@@ -64,6 +64,9 @@ object SparkEntry {
     "q_mine_pairs" -> ((s, d) => EvalOps.trainingPairs(s, d)),
     "q_eval_rank"     -> ((s, d) => EvalOps.rankEval(s, d)),
     "q_eval_rank_macro" -> ((s, d) => EvalOps.rankEvalMacro(s, d)),
+    // metrics of the ranking the IVF index actually SERVES — rows-only
+    // (ANN approximate); exhaustive-probe equality to q_eval_rank pinned
+    "q_eval_rank_indexed" -> ((s, d) => EvalOps.rankEvalIndexed(s, d)),
     // crawl-side link centrality (deterministic synthetic edge graph)
     "q_link_pagerank" -> ((s, d) => LinkOps.pageRank(s, d)),
     // the MAINTAINED vector: create(2 rounds) + warm-start refresh(1),
@@ -323,7 +326,7 @@ object SparkEntry {
     "q_text_bm25_batch", "q_text_bm25_batch_indexed",
     "q_hybrid_rrf", "q_hybrid_rrf_served", "q_tfidf_topterms", "q_tfidf_indexed",
     "q_knn_mmr", "q_text_phrase", "q_text_phrase_indexed", "q_text_phrase_batch", "q_text_phrase_filtered", "q_text_near", "q_text_near_indexed",
-    "q_mine_hardneg", "q_mine_hardneg_indexed", "q_mine_pairs", "q_eval_rank", "q_eval_rank_macro", "q_link_pagerank", "q_link_pagerank_stored",
+    "q_mine_hardneg", "q_mine_hardneg_indexed", "q_mine_pairs", "q_eval_rank", "q_eval_rank_macro", "q_eval_rank_indexed", "q_link_pagerank", "q_link_pagerank_stored",
     "q_decontaminate", "q_pack_sequences", "q_domain_mix", "q_domain_mix_temp", "q_curate_e2e")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)

@@ -47,6 +47,43 @@ object EvalOps {
       microAvg("recall_at_k"), microAvg("mrr"), microAvg("ndcg"))
   }
 
+  /** [[rankEval]] over the ranking the IVF INDEX actually serves — the
+    * number a deployment monitors (the exact-scan eval scores a ranking
+    * nobody runs in production). Queries probe `nprobe` of the
+    * cell-partitioned collection ([[KnnOps.topKForQueriesIvf]]); the
+    * metric layer is the shared [[rankEvalOn]]. Approximate by
+    * construction (rows-only); at exhaustive probes it equals
+    * [[rankEval]] bit-for-bit (test-pinned), and the gap between the two
+    * IS the serving-quality cost of the pruning.
+    */
+  def rankEvalIndexed(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, nprobe: Int = 2,
+      kCells: Int = 8, iters: Int = 3): DataFrame = {
+    val (db, name) = KnnOps.ensureIvfProbeCollection(spark, dir, kCells, iters)
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("label").as("q_label"))
+    val cand = emb.filter(col("vec_id") >= nQueries)
+    // the served ranking may surface query rows themselves (the IVF
+    // collection holds the whole corpus) — drop them to keep the
+    // candidate universe identical to the exact eval's
+    val ranked = KnnOps.topKForQueriesIvf(spark, db, name,
+        queries.select(col("query_id"), col("q_embedding")),
+        k + nQueries, nprobe)
+      .filter(col("vec_id") >= nQueries)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+    val qrels = cand.select(col("vec_id"), col("label"))
+      .join(broadcast(queries.select(col("query_id"), col("q_label"))),
+        col("label") === col("q_label"))
+      .select(col("query_id"), col("vec_id"))
+    rankEvalOn(ranked, qrels, queries.select(col("query_id")), k)
+  }
+
   /** 1e6-scaled DCG discount weights: `w(rank) = round(1e6 / log2(rank+1))`
     * for rank = 1..k. Integer micro-units so the grouped DCG sum is exact
     * and order-independent (same trick as the bigram-LM oracle). Shared by

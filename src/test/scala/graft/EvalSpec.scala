@@ -108,6 +108,26 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("indexed eval equals the exact eval at exhaustive probes; valid fractions below") {
+    val exact = EvalOps.rankEval(spark, sf, 8, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val exhaustive = EvalOps.rankEvalIndexed(spark, sf, 8, 10,
+      nprobe = 8, kCells = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(exhaustive === exact,
+      "probing every cell must reproduce the exact-scan eval bit-for-bit")
+    val pruned = EvalOps.rankEvalIndexed(spark, sf, 8, 10,
+      nprobe = 2, kCells = 8).collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(pruned.length === 8)
+    pruned.foreach { case (rec, mrr, ndcg) =>
+      assert(rec >= 0.0 && rec <= 1.0 && mrr >= 0.0 && mrr <= 1.0 &&
+        ndcg >= 0.0 && ndcg <= 1.0)
+    }
+  }
+
   test("rankEvalOn scores arbitrary runs/qrels, including empty-run and zero-relevant queries") {
     import spark.implicits._
     val k = 3
