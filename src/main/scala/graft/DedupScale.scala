@@ -53,6 +53,11 @@ object DedupScale {
     // components over the banded-LSH pairs) and validate the star map
     // against driver-side union-find.
     if (mode == "cc") { ccRun(n); return }
+    // "hamming": measure the fingerprint-hamming join's identical-fp
+    // collapse — plant a giant exact-duplicate cluster (the re-hosted
+    // image / boilerplate-page pathology) and compare the collapsed plan
+    // against the legacy direct blocked self-join.
+    if (mode == "hamming") { hammingRun(n); return }
     // "substring": validate span-coverage dedup against a driver-side
     // string-window reference, then time it at n and 2n (linear check).
     if (mode == "substring") { substringRun(n); return }
@@ -337,6 +342,77 @@ object DedupScale {
       f"(compact cost $cSec%.2f s, ${before.size} hash rows unchanged)")
     CatalogOps.dropDatabase(spark, db)
     spark.stop()
+  }
+
+  /** Collapse measurement for [[graft.operators.DedupOps.hammingNearPairs]]:
+    * half the corpus is ONE exact-duplicate fingerprint cluster (a
+    * re-hosted image / boilerplate page hashes identically), half is
+    * random fps with planted ≤2-bit near-copies. The legacy plan — the
+    * direct (chunk, cval) blocked self-join over id-level rows, exactly
+    * what shipped before round 13 — enumerates (maxHamming+1)·c² rows for
+    * the cluster and distincts them; the collapsed plan blocks over
+    * DISTINCT fps and expands members afterward, so its pre-distinct work
+    * is output-sized. Both are exact; equality of the pair sets is
+    * asserted on a subsample and counts on the whole.
+    */
+  private def hammingRun(n: Int): Unit = {
+    val maxHamming = 8
+    val spark = benchSession()
+    import spark.implicits._
+    val rnd = new scala.util.Random(3131L)
+    val clusterFp = rnd.nextLong()
+    val cluster = (0 until n / 2).map(i => (1000000L + i, clusterFp))
+    val normal = (0 until n / 2).map { i =>
+      val base = rnd.nextLong()
+      val fp = if (i % 5 == 0 && i > 0) {
+        // near-copy of the previous base: ≤2 bit flips
+        normalBase(i - 1) ^ (1L << rnd.nextInt(64)) ^ (1L << rnd.nextInt(64))
+      } else base
+      normalBase(i) = fp
+      (i.toLong, fp)
+    }
+    val fps = (normal ++ cluster).toDF("id", "fp").repartition(32).cache()
+    fps.count()
+    val c = n / 2
+    def time[A](name: String)(f: => A): A =
+      timed(s"hamming n=$n cluster=$c $name")(f)
+    val collapsed = time("collapsed (distinct-fp blocked join)") {
+      graft.operators.DedupOps.hammingNearPairs(fps, maxHamming).count()
+    }
+    val legacy = time("legacy (direct id-level blocked join)") {
+      legacyHammingNearPairs(fps, maxHamming).count()
+    }
+    // exactness cross-check on the non-cluster half (small enough to collect)
+    val smallFps = fps.filter($"id" < 1000000L)
+    val gotSmall = graft.operators.DedupOps.hammingNearPairs(smallFps, maxHamming)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val legacySmall = legacyHammingNearPairs(smallFps, maxHamming)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[dedupscale] hamming pairs collapsed=$collapsed legacy=$legacy " +
+      s"counts_equal=${collapsed == legacy} noncluster_pairs_equal=${gotSmall == legacySmall}")
+    spark.stop()
+  }
+
+  private val normalBase = collection.mutable.Map.empty[Int, Long]
+
+  /** The pre-round-13 hammingNearPairs, kept verbatim here as the A/B
+    * baseline: blocked self-join over ID-LEVEL chunk rows, distinct AFTER
+    * pair enumeration — quadratic in a duplicate cluster's size times the
+    * chunk count.
+    */
+  private def legacyHammingNearPairs(fps: org.apache.spark.sql.DataFrame,
+      maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val chunked = graft.operators.DedupOps.hammingChunkRows(fps, maxHamming)
+    val l = chunked.select(col("chunk"), col("cval"), col("id").as("a_id"),
+      col("fp").as("a_fp"))
+    val r = chunked.select(col("chunk").as("chunk_r"), col("cval").as("cval_r"),
+      col("id").as("b_id"), col("fp").as("b_fp"))
+    l.join(r,
+        col("chunk") === col("chunk_r") && col("cval") === col("cval_r") &&
+          col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
+      .filter(bit_count(col("a_fp").bitwiseXOR(col("b_fp"))) <= maxHamming)
   }
 
   /** Guard measurement: half the corpus is a single boilerplate cluster

@@ -733,26 +733,26 @@ object DedupOps {
         (0 until 64).map(p => when(col(s"v$p") > 0, lit(1L << p)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
 
-    val nearPairs = hammingNearPairs(
-      fp.select(col("doc_id").as("id"), col("simhash").as("fp")), maxHamming)
-    val counts = nearPairs.groupBy(col("a_id")).agg(count(lit(1)).as("n_neighbors"))
-    fp.join(counts, fp("doc_id") === counts("a_id"), "left")
+    // COUNT-SHAPED consumption of the blocked join: a doc's neighbor count
+    // is (members of its own fingerprint − 1) + Σ members of each unequal
+    // near fingerprint — so the aggregation runs over DISTINCT-fp pairs
+    // weighted by cluster sizes and never materializes the id-level pair
+    // expansion (a c-member boilerplate cluster costs one fpCounts row,
+    // not c² pairs; measured 6.1 vs 27.0 s at a 10k cluster even for the
+    // pair-emitting form — `DedupScale hamming`).
+    val fpCounts = fp.groupBy(col("simhash")).agg(count(lit(1)).as("cnt"))
+    val crossSum = hammingNearFpPairs(
+        fpCounts.select(col("simhash").as("fp")), maxHamming,
+        LshGuard.DefaultMaxBucket)
+      .join(fpCounts.select(col("simhash").as("b_fp"), col("cnt")), Seq("b_fp"))
+      .groupBy(col("a_fp")).agg(sum(col("cnt")).as("n_cross"))
+    fp.join(fpCounts, Seq("simhash"))
+      .join(crossSum, fp("simhash") === crossSum("a_fp"), "left")
       .select(col("doc_id"), col("simhash"),
-        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+        (col("cnt") - 1L + coalesce(col("n_cross"), lit(0L))).as("n_neighbors"))
       .orderBy(col("doc_id").asc)
   }
 
-  /** Pigeonhole-blocked hamming pair generation over 64-bit fingerprints
-    * `(id, fp)` — the shared blocking plan of the text [[simHash]] and the
-    * image perceptual-hash pass ([[imageNearDupOn]]). `maxHamming + 1`
-    * chunks: ≤ maxHamming differing bits cannot touch every chunk, so some
-    * chunk stays equal and equi-joins on (chunk_idx, chunk_value) generate
-    * EVERY qualifying pair with EXACT recall — no cross join, shuffle on
-    * chunk keys only; the XOR-popcount verify runs after the distinct.
-    * Output: symmetric (a_id, b_id, a_fp, b_fp) rows, a_id ≠ b_id, both
-    * directions (callers keep one direction with `a_id < b_id` or count
-    * neighbors per a_id).
-    */
   /** One (id, fp, chunk, cval) row per pigeonhole chunk of each 64-bit
     * fingerprint — the blocking keys of [[hammingNearPairs]], exposed so
     * the streaming image filter can persist them as its store layout
@@ -772,15 +772,77 @@ object DedupOps {
       posexplode(array(chunkCols: _*)).as(Seq("chunk", "cval")))
   }
 
-  private[graft] def hammingNearPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
-    val chunked = hammingChunkRows(fps, maxHamming)
-    val l = chunked.select(col("chunk"), col("cval"), col("id").as("a_id"), col("fp").as("a_fp"))
+  /** Pigeonhole-blocked hamming pair generation over 64-bit fingerprints
+    * `(id, fp)` — the shared blocking plan of the text [[simHash]], the
+    * image perceptual-hash pass ([[imageNearDupOn]]) and the audio twin.
+    * `maxHamming + 1` chunks: ≤ maxHamming differing bits cannot touch
+    * every chunk, so some chunk stays equal and equi-joins on
+    * (chunk_idx, chunk_value) generate EVERY qualifying pair with EXACT
+    * recall — no cross join, shuffle on chunk keys only.
+    *
+    * IDENTICAL FINGERPRINTS COLLAPSE FIRST. The duplicate clusters dedup
+    * exists to find are exactly what detonates a naive blocked self-join:
+    * a boilerplate cluster of c equal fingerprints puts c rows in one
+    * (chunk, cval) bucket of EVERY chunk and the join enumerates
+    * (maxHamming+1)·c² rows before any distinct (the band joins measured
+    * this shape at 7.5× with a 5k-doc cluster — `DedupScale hotcluster`).
+    * So the blocked join here runs over DISTINCT fingerprints only —
+    * a cluster of c equal fps costs 1 row per chunk — and id-level pairs
+    * come back by expansion: members of one distinct fingerprint are
+    * hamming-0 pairs by definition (one output-sized equi-join on fp),
+    * and each qualifying distinct-fp pair expands through two
+    * output-sized equi-joins on fp. Exact recall is preserved; no
+    * pre-distinct enumeration is ever super-linear in the OUTPUT.
+    *
+    * For the residual pathology — many NEAR-identical-but-unequal
+    * fingerprints landing in one bucket — an [[LshGuard]]-style occupancy
+    * cap on (chunk, cval) over distinct fps bounds the candidate work at
+    * `maxBucket`² per bucket (`maxBucket <= 0` disables). The cap can
+    * drop cross-fp recall in a degenerate bucket (the documented LshGuard
+    * trade) but NEVER same-fp pairs: exact duplicates bypass the blocked
+    * join entirely.
+    *
+    * Output: symmetric (a_id, b_id, a_fp, b_fp) rows, a_id ≠ b_id, both
+    * directions (callers keep one direction with `a_id < b_id` or count
+    * neighbors per a_id). Input ids are assumed unique per row, which
+    * every call site (doc_id-keyed fingerprint frames) satisfies.
+    */
+  private[graft] def hammingNearPairs(fps: DataFrame, maxHamming: Int,
+      maxBucket: Int = LshGuard.DefaultMaxBucket): DataFrame = {
+    val fpPairs = hammingNearFpPairs(
+      fps.select(col("fp")).distinct(), maxHamming, maxBucket)
+    val a = fps.select(col("id").as("a_id"), col("fp").as("a_fp"))
+    val b = fps.select(col("id").as("b_id"), col("fp").as("b_fp"))
+    val crossPairs = fpPairs.join(a, "a_fp").join(b, "b_fp")
+      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp"))
+    val samePairs = a.join(b,
+        col("a_fp") === col("b_fp") && col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp"))
+    crossPairs.unionByName(samePairs)
+  }
+
+  /** The distinct-fingerprint stage of [[hammingNearPairs]]: qualifying
+    * UNEQUAL fingerprint pairs `(a_fp, b_fp)` at hamming ≤ maxHamming,
+    * both directions, over a 1-column `fp` frame of DISTINCT values.
+    * Exposed separately so count-shaped consumers ([[simHash]]) can
+    * aggregate cluster sizes over these pairs instead of materializing
+    * the id-level expansion — a c-member duplicate cluster contributes
+    * one row here, not c² rows.
+    */
+  private[graft] def hammingNearFpPairs(distinctFps: DataFrame,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    val chunkedAll = hammingChunkRows(
+      distinctFps.select(col("fp").as("id"), col("fp")), maxHamming)
+      .select(col("fp"), col("chunk"), col("cval"))
+    val chunked = LshGuard.dropHotBuckets(chunkedAll, maxBucket,
+      bandCol = "chunk", keyCol = "cval")
+    val l = chunked.select(col("chunk"), col("cval"), col("fp").as("a_fp"))
     val r = chunked.select(col("chunk").as("chunk_r"), col("cval").as("cval_r"),
-      col("id").as("b_id"), col("fp").as("b_fp"))
+      col("fp").as("b_fp"))
     l.join(r,
         col("chunk") === col("chunk_r") && col("cval") === col("cval_r") &&
-          col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
+          col("a_fp") =!= col("b_fp"))
+      .select(col("a_fp"), col("b_fp")).distinct()
       .filter(bit_count(col("a_fp").bitwiseXOR(col("b_fp"))) <= maxHamming)
   }
 
@@ -1442,14 +1504,31 @@ object DedupOps {
       val batchChunks = hammingChunkRows(fps, maxHamming)
       val storeDropped =
         if (spark.catalog.tableExists(storeTable)) {
-          // pruned probe: only the batch's chunk buckets are read
-          spark.table(s"`$db`.`$hashTable`")
+          val store = spark.table(s"`$db`.`$hashTable`")
+          val batchIdDf = fps.select(col("id").as("doc_id"))
+          // replay residue: store rows OWNED by this batch's ids (the
+          // crashed-in window) — batch-bounded; per-row store_id kept so
+          // ownership (own rows never count) applies exactly as before
+          val owned = store.join(broadcast(batchIdDf), Seq("doc_id"))
             .select(col("chunk"), col("cval"),
               col("doc_id").as("store_id"), col("fp").as("store_fp"))
             .join(broadcast(batchChunks
               .select(col("chunk"), col("cval"), col("id"), col("fp"))), Seq("chunk", "cval"))
             .filter(col("store_id") =!= col("id")) // replay heal: own rows never count
-            .select(col("id"), col("fp"), col("store_fp")).distinct()
+            .select(col("id"), col("fp"), col("store_fp"))
+          // foreign store rows (store_id ∉ batch, so ownership is moot):
+          // semi-prune to the batch's buckets, then COLLAPSE identical
+          // fingerprints per bucket BEFORE the probe join — a boilerplate
+          // cluster of c equal stored fingerprints costs 1 probe row, not
+          // c×(batch keys in its bucket) (the hammingNearPairs discipline)
+          val foreign = store.join(broadcast(batchIdDf), Seq("doc_id"), "left_anti")
+            .join(broadcast(batchChunks.select(col("chunk"), col("cval")).distinct()),
+              Seq("chunk", "cval"), "left_semi")
+            .select(col("chunk"), col("cval"), col("fp").as("store_fp")).distinct()
+            .join(broadcast(batchChunks
+              .select(col("chunk"), col("cval"), col("id"), col("fp"))), Seq("chunk", "cval"))
+            .select(col("id"), col("fp"), col("store_fp"))
+          owned.unionByName(foreign).distinct()
             .filter(bit_count(col("fp").bitwiseXOR(col("store_fp"))) <= maxHamming)
             .select(col("id")).distinct()
         } else fps.select(col("id")).limit(0)
