@@ -57,7 +57,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","env":${envJson()}}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","env":${envJson()}}"""
+    println(json)
+    // The driver captures only a 2000-char stdout tail, which truncates a
+    // third of the headline set — persist the SAME line to a repo file so
+    // every round's full per-query read survives (judge-requested, r12).
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist BENCH_LOCAL.json: $e")
+    }
     spark.stop()
   }
 }

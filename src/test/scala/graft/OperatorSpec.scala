@@ -2076,23 +2076,53 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "deldb")
   }
 
-  test("deleteByIds refuses a multi-column-partitioned table") {
+  test("deleteByIds on a multi-column-partitioned table: full-tuple sweep, untouched siblings byte-identical") {
     import graft.sources.CatalogOps
     import spark.implicits._
     CatalogOps.dropDatabase(spark, "delmpdb")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/delmpdb.db"))
     CatalogOps.createDatabase(spark, "delmpdb")
-    // a fully-doomed subpartition (a=1,b=1) with a surviving sibling
-    // (a=1,b=2) is exactly the shape a single-level delete would corrupt
-    Seq((1L, "r1", 1, 1), (2L, "r2", 1, 2), (3L, "r3", 2, 1))
+    // the date×source shape: a fully-doomed subpartition (a=1,b=1) with a
+    // surviving sibling (a=1,b=2) is exactly what a single-level sweep
+    // would corrupt — until r13 this was refused loudly; now the
+    // full-tuple sweep must drop (a=1,b=1) and leave every other
+    // partition's files byte-identical
+    Seq((1L, "r1", 1, 1), (2L, "r2", 1, 2), (3L, "r3", 2, 1),
+        (4L, "r4", 2, 1), (5L, "r5", 2, 2))
       .toDF("vec_id", "v", "a", "b")
       .write.partitionBy("a", "b").saveAsTable("`delmpdb`.`multi`")
-    val e = intercept[IllegalArgumentException] {
-      CatalogOps.deleteByIds(spark, "delmpdb", "multi", Seq(1L).toDF("vec_id"))
+    val tableDir = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath + "/delmpdb.db/multi")
+    def files(a: Int, b: Int): Set[(String, Long)] = {
+      val d = new java.io.File(tableDir, s"a=$a/b=$b")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
     }
-    assert(e.getMessage.contains("at most one partition column"))
-    assert(spark.table("`delmpdb`.`multi`").count() === 3) // untouched
+    val keep12 = files(1, 2)
+    val keep22 = files(2, 2)
+    assert(keep12.nonEmpty && keep22.nonEmpty)
+    // dooms all of (a=1,b=1) [drop], one of two rows in (a=2,b=1)
+    // [rewrite]; (a=1,b=2) and (a=2,b=2) untouched
+    CatalogOps.deleteByIds(spark, "delmpdb", "multi", Seq(1L, 3L).toDF("vec_id"))
+    val after = spark.table("`delmpdb`.`multi`")
+    assert(after.select($"vec_id").collect().map(_.getLong(0)).toSet === Set(2L, 4L, 5L))
+    assert(files(1, 2) === keep12) // surviving sibling byte-identical
+    assert(files(2, 2) === keep22)
+    val parts = spark.sql("SHOW PARTITIONS `delmpdb`.`multi`")
+      .collect().map(_.getString(0)).toSeq
+    assert(!parts.exists(_.startsWith("a=1/b=1")), parts.mkString(","))
+    assert(parts.contains("a=1/b=2") && parts.contains("a=2/b=1"), parts.mkString(","))
+    // second delete dooming the REST of a first-level subtree: (a=2,b=1)
+    // and (a=2,b=2) both drop at the leaf level
+    CatalogOps.deleteByIds(spark, "delmpdb", "multi", Seq(4L, 5L).toDF("vec_id"))
+    assert(spark.table("`delmpdb`.`multi`").select($"vec_id")
+      .collect().map(_.getLong(0)).toSet === Set(2L))
+    val parts2 = spark.sql("SHOW PARTITIONS `delmpdb`.`multi`")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts2 === Seq("a=1/b=2"), parts2.mkString(","))
+    assert(files(1, 2) === keep12)
     CatalogOps.dropDatabase(spark, "delmpdb")
   }
 
