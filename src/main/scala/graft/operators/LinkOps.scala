@@ -132,9 +132,13 @@ object LinkOps {
     val db = "graft_ranks"
     val name = "links"
     this.synchronized {
-      val ready = spark.catalog.tableExists(s"$db.${name}__ranks") &&
-        spark.table(s"`$db`.`${name}__ranks`")
-          .agg(max(col("iters_done"))).head().getLong(0) == 3L
+      val ready = spark.catalog.tableExists(s"$db.${name}__ranks") && {
+        // an interrupted prior create can leave the table EMPTY — max()
+        // over zero rows is null, which means not-ready, not a crash
+        val r = spark.table(s"`$db`.`${name}__ranks`")
+          .agg(max(col("iters_done"))).head()
+        !r.isNullAt(0) && r.getLong(0) == 3L
+      }
       if (!ready) {
         CatalogOps.createDatabase(spark, db)
         KnnOps.dropTableAndDir(spark, db, s"${name}__ranks")

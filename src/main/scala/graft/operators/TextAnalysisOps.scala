@@ -143,17 +143,37 @@ object TextAnalysisOps {
     */
   def heavyHitterTerms(spark: SparkSession, dir: String,
       m: Int = 256, topK: Int = 15): DataFrame =
-    heavyHitterTermsOn(Tables.documents(spark, dir), m, topK)
+    heavyHitterTermsOn(Tables.documents(spark, dir), m, topK,
+      requireExact = true)
 
-  def heavyHitterTermsOn(docs: DataFrame, m: Int, topK: Int): DataFrame = {
+  /** `requireExact = true` (the oracled fixture path) raises if ANY
+    * sketch entry carries a nonzero eviction error: the DuckDB-oracle
+    * parity holds only while the vocabulary fits in m (sketch exact below
+    * saturation), so a larger fixture or vocab drift must surface as a
+    * loud diagnostic instead of a silent hash mismatch. Production use at
+    * m < |vocab| passes false and gets the SpaceSaving bounds.
+    */
+  def heavyHitterTermsOn(docs: DataFrame, m: Int, topK: Int,
+      requireExact: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
     val sketch = toCol(graft.plans.SpaceSavingTopK(
       toExpr(col("term")), m).toAggregateExpression())
-    docs.select(explode(split(col("text"), " ")).as("term"))
+    val entries = docs.select(explode(split(col("text"), " ")).as("term"))
       .agg(sketch.as("hh"))
       .select(explode(col("hh")).as("e"))
       .select(col("e.term").as("term"), col("e.count").as("n"),
         col("e.err").as("err"))
+    val checked =
+      if (!requireExact) entries
+      else entries.select(col("term"),
+        // the guard rides the ORDERING column so it evaluates for every
+        // sketch entry (the sort sees all m rows), not just the emitted topK
+        when(col("err") === 0L, col("n")).otherwise(raise_error(concat(
+          lit("heavy-hitter sketch saturated (evicted entry, err>0) at term "),
+          col("term"),
+          lit(" — the exact-oracle contract needs |vocab| <= m")))).as("n"),
+        col("err"))
+    checked
       .orderBy(col("n").desc, col("term").asc)
       .limit(topK)
   }
@@ -182,11 +202,21 @@ object TextAnalysisOps {
     (db, name)
   }
 
-  /** `q_term_heavyhitters_stored`: the head of the MAINTAINED sketch. */
+  /** `q_term_heavyhitters_stored`: the head of the MAINTAINED sketch.
+    * Same saturation guard as the live fixture: the stored sketch faces
+    * the exact DuckDB oracle, so any evicted entry (err > 0) raises
+    * loudly instead of silently hash-mismatching.
+    */
   def heavyHittersStoredFixture(spark: SparkSession, dir: String,
       topK: Int = 15): DataFrame = {
     val (db, name) = ensureTermSketch(spark, dir)
     graft.sources.CatalogOps.heavyHittersStored(spark, db, name, topK)
+      .select(col("term"),
+        when(col("err") === 0L, col("n")).otherwise(raise_error(concat(
+          lit("stored heavy-hitter sketch saturated (err>0) at term "),
+          col("term")))).as("n"),
+        col("err"))
+      .orderBy(col("n").desc, col("term").asc)
   }
 
   def tokenCount(spark: SparkSession, dir: String): DataFrame =

@@ -92,6 +92,19 @@ case class SpaceSavingTopK(
     buf
   }
 
+  /** Mergeable-summaries combine (Agarwal et al. 2013): per-summary
+    * absent-key floors, then keep the m largest. DETERMINISM CAVEAT:
+    * below saturation (combined key set ≤ m) the merge is exact and
+    * order-independent; ABOVE saturation the intermediate truncation
+    * makes the merged counts depend on the partial-merge order Spark
+    * happens to schedule, so run-to-run output can vary within the
+    * (still-valid) SpaceSaving error bounds. The engine's oracled uses
+    * stay below saturation by construction — [[graft.operators
+    * .TextAnalysisOps.heavyHitterTerms]] raises on any evicted entry so
+    * saturation surfaces as a diagnostic, not a silent mismatch; callers
+    * that run saturated (legitimate at 100 TB vocabularies) get the
+    * published approximation contract, not bit-reproducibility.
+    */
   override def merge(
       b1: mutable.HashMap[String, (Long, Long)],
       b2: mutable.HashMap[String, (Long, Long)]): mutable.HashMap[String, (Long, Long)] = {

@@ -1305,8 +1305,10 @@ object CatalogOps {
     }
     val stored = spark.table(s"`$db`.`${name}__srccounts`").collect()
     if (stored.nonEmpty && batchId <= stored.head.getLong(2)) return
+    // the null-source row is the empty-state watermark sentinel, not a count
     val merged = collection.mutable.HashMap[String, Long](
-      stored.map(r => r.getString(0) -> r.getLong(1)).toIndexedSeq: _*)
+      stored.filter(!_.isNullAt(0))
+        .map(r => r.getString(0) -> r.getLong(1)).toIndexedSeq: _*)
     countsOf(batch).foreach { case (s, n) =>
       merged.update(s, merged.getOrElse(s, 0L) + n)
     }
@@ -1317,7 +1319,7 @@ object CatalogOps {
   private[graft] def readSourceCounts(spark: SparkSession, db: String,
       name: String): (Map[String, Long], Long) = {
     val rows = spark.table(s"`$db`.`${name}__srccounts`").collect()
-    (rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+    (rows.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap,
       if (rows.isEmpty) -1L else rows.head.getLong(2))
   }
 
@@ -1328,10 +1330,18 @@ object CatalogOps {
   }
 
   private def writeSourceCounts(spark: SparkSession, db: String, name: String,
-      counts: Map[String, Long], batchId: Long): Unit =
-    spark.createDataFrame(counts.toSeq.sorted.map { case (s, n) => (s, n, batchId) })
+      counts: Map[String, Long], batchId: Long): Unit = {
+    // the watermark rides in every row, so an EMPTY state must still carry
+    // one — an empty-create followed by a replayed micro-batch would
+    // otherwise double-count (the guard reads the batch_id off stored
+    // rows). A null-source sentinel row holds it; readers skip null keys.
+    val rows =
+      if (counts.isEmpty) Seq((null: String, 0L, batchId))
+      else counts.toSeq.sorted.map { case (s, n) => (s, n, batchId) }
+    spark.createDataFrame(rows)
       .toDF("source", "n_s", "batch_id")
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__srccounts`")
+  }
 
   /** Persisted SpaceSaving term sketch — the heavy-hitter statistic
     * ([[graft.plans.SpaceSavingTopK]]) as a MAINTAINED artifact:
@@ -1349,15 +1359,23 @@ object CatalogOps {
       sketchOf(docs, m), batchId = -1L)
 
   /** Fold one batch into the stored sketch — replay-safe via the stored
-    * watermark; see [[createTermSketch]]. */
+    * watermark; see [[createTermSketch]]. A missing store bootstraps from
+    * the batch (the [[upsertSourceCounts]] convention), so a streaming
+    * feed needs no separate create call.
+    */
   def upsertTermSketch(spark: SparkSession, db: String, name: String,
       batch: DataFrame, batchId: Long, m: Int = 256): Unit = {
     import org.apache.spark.sql.functions.col
-    val stored = spark.table(s"`$db`.`${name}__termsketch`")
-      .orderBy(col("term").asc).collect()
+    if (!spark.catalog.tableExists(s"$db.${name}__termsketch")) {
+      writeTermSketch(spark, db, name, sketchOf(batch, m), batchId)
+      return
+    }
+    val stored = spark.table(s"`$db`.`${name}__termsketch`").collect()
     if (stored.nonEmpty && batchId <= stored.head.getLong(3)) return
+    // the null-term row is the empty-state watermark sentinel, not an entry
     val sb = scala.collection.mutable.HashMap[String, (Long, Long)](
-      stored.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toIndexedSeq: _*)
+      stored.filter(!_.isNullAt(0))
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toIndexedSeq: _*)
     val merged = mergeAgg(m).merge(sb, sketchOf(batch, m))
     writeTermSketch(spark, db, name, merged, batchId)
   }
@@ -1367,6 +1385,7 @@ object CatalogOps {
       topK: Int = 15): DataFrame = {
     import org.apache.spark.sql.functions.col
     spark.table(s"`$db`.`${name}__termsketch`")
+      .filter(col("term").isNotNull) // skip the empty-state watermark sentinel
       .select(col("term"), col("count").as("n"), col("err"))
       .orderBy(col("n").desc, col("term").asc)
       .limit(topK)
@@ -1395,8 +1414,11 @@ object CatalogOps {
   private def writeTermSketch(spark: SparkSession, db: String, name: String,
       buf: scala.collection.mutable.HashMap[String, (Long, Long)],
       batchId: Long): Unit = {
-    val rows = buf.toSeq.sortBy { case (t, (c, _)) => (-c, t) }
-      .map { case (t, (c, e)) => (t, c, e, batchId) }
+    // empty-state watermark sentinel: see writeSourceCounts
+    val rows =
+      if (buf.isEmpty) Seq((null: String, 0L, 0L, batchId))
+      else buf.toSeq.sortBy { case (t, (c, _)) => (-c, t) }
+        .map { case (t, (c, e)) => (t, c, e, batchId) }
     spark.createDataFrame(rows)
       .toDF("term", "count", "err", "batch_id")
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__termsketch`")

@@ -1156,6 +1156,52 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("state stores: missing sketch bootstraps; empty states keep their watermark through replays") {
+    import graft.sources.{CatalogOps, Tables}
+    val db = "rstatewmdb"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"text", $"source")
+    val none = docs.limit(0)
+    val some = docs.filter($"doc_id" < 100)
+
+    // (1) upsertTermSketch on a MISSING store bootstraps instead of failing
+    // (the streamingTermSketch first-micro-batch path, no create call)
+    CatalogOps.upsertTermSketch(spark, db, "boot", some, batchId = 0L)
+    val booted = CatalogOps.heavyHittersStored(spark, db, "boot", 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(booted.nonEmpty, "bootstrap from first batch must hold entries")
+    // and the bootstrap carried the watermark: a replay of batch 0 no-ops
+    CatalogOps.upsertTermSketch(spark, db, "boot", some, batchId = 0L)
+    assert(CatalogOps.heavyHittersStored(spark, db, "boot", 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq === booted)
+
+    // (2) an EMPTY-created source-count store still carries its watermark:
+    // a batch applied once then replayed must count exactly once
+    CatalogOps.createSourceCounts(spark, db, "mix", none)
+    CatalogOps.upsertSourceCounts(spark, db, "mix", some, batchId = 1L)
+    val (counts1, wm1) = CatalogOps.readSourceCounts(spark, db, "mix")
+    assert(counts1.values.sum === some.count(), "first fold counts the batch once")
+    assert(wm1 === 1L)
+    CatalogOps.upsertSourceCounts(spark, db, "mix", some, batchId = 1L) // replay
+    val (counts2, _) = CatalogOps.readSourceCounts(spark, db, "mix")
+    assert(counts2 === counts1, "replayed batch after empty-create must not double-count")
+
+    // (3) same discipline for the sketch: empty create, fold, replay
+    CatalogOps.createTermSketch(spark, db, "empt", none)
+    CatalogOps.upsertTermSketch(spark, db, "empt", some, batchId = 2L)
+    val folded = CatalogOps.heavyHittersStored(spark, db, "empt", 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    CatalogOps.upsertTermSketch(spark, db, "empt", some, batchId = 2L) // replay
+    assert(CatalogOps.heavyHittersStored(spark, db, "empt", 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq === folded,
+      "replayed sketch fold after empty-create must not double-count")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("streaming temperature mix: counts converge to corpus; one-batch equals batch; replays no-op") {
     import graft.sources.{CatalogOps, Tables}
     import graft.operators.TextAnalysisOps
