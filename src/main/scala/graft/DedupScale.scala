@@ -58,6 +58,10 @@ object DedupScale {
     // image / boilerplate-page pathology) and compare the collapsed plan
     // against the legacy direct blocked self-join.
     if (mode == "hamming") { hammingRun(n); return }
+    // "semdedup": the cross-cell boundary-probe grid — planted near-dup
+    // groups, k-means cells, ε ∈ {0, …}: recovered pairs vs extra join
+    // work per epsilon, against the kCells=1 exact ceiling.
+    if (mode == "semdedup") { semDedupRun(n); return }
     // "substring": validate span-coverage dedup against a driver-side
     // string-window reference, then time it at n and 2n (linear check).
     if (mode == "substring") { substringRun(n); return }
@@ -341,6 +345,68 @@ object DedupScale {
     println(f"[dedupscale] winmaint compacted files=${files()} probe=${probeSec()}%.2f s " +
       f"(compact cost $cSec%.2f s, ${before.size} hash rows unchanged)")
     CatalogOps.dropDatabase(spark, db)
+    spark.stop()
+  }
+
+  /** SemDeDup boundary-probe grid: planted near-dup groups (unit-vector
+    * centers + small perturbations, within-group cosine ≥ τ) in a random
+    * background, clustered into kCells ≪ groups so k-means inevitably
+    * SPLITS some groups across cells — the published cross-cell miss.
+    * For each ε the run reports: duplicates recovered (vs the kCells=1
+    * exact ceiling), the double-assigned row fraction (the extra join
+    * work multi-assignment buys), and wall time. The datum behind the
+    * `epsilon` knob's default-off documentation.
+    */
+  private def semDedupRun(n: Int): Unit = {
+    val tau = 0.9
+    val kCells = 16
+    val dim = 16
+    val spark = benchSession()
+    import spark.implicits._
+    val rnd = new scala.util.Random(5151L)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / norm)
+    }
+    // planted groups: 1 in 10 docs is a perturbed copy of a group center
+    val nGroups = n / 20
+    val centers = Array.fill(nGroups)(unit())
+    var id = 0L
+    val rows = collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+    centers.foreach { c =>
+      (0 until 2).foreach { _ =>
+        val v = c.zip(unit()).map { case (ci, pi) => ci + 0.18 * pi }
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        rows += ((id, v.map(_ / norm).toSeq)); id += 1
+      }
+    }
+    while (rows.length < n) { rows += ((id, unit().toSeq)); id += 1 }
+    val emb = rows.toSeq.toDF("vec_id", "embedding").repartition(32).cache()
+    emb.count()
+    def run(eps: Double, k: Int): (Set[Long], Double) = {
+      val t0 = System.nanoTime()
+      val dups = graft.operators.DedupOps
+        .semanticDedupCellsOn(emb, tau, k, iters = 3, epsilon = eps)
+        .select("dup_id").collect().map(_.getLong(0)).toSet
+      (dups, (System.nanoTime() - t0) / 1e9)
+    }
+    val (ceiling, ceilSec) = run(0.0, 1) // kCells=1 ≡ exact all-pairs
+    println(f"[dedupscale] semdedup n=$n groups=$nGroups ceiling_dups=${ceiling.size} ($ceilSec%.1f s)")
+    Seq(0.0, 0.005, 0.01, 0.02, 0.05, 0.1).foreach { eps =>
+      val (dups, sec) = run(eps, kCells)
+      // extra join work ∝ double-assigned fraction
+      val cents = graft.operators.KnnOps.kmeansCentroids(emb, kCells, 3)
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+      val assigned = emb.select(org.apache.spark.sql.functions.explode(
+          toCol(graft.plans.NearCentroidCells(
+            toExpr($"embedding"), cents.toSeq, kCells, eps))).as("cell"))
+        .count()
+      val dblFrac = (assigned - n).toDouble / n
+      val recovered = (dups & ceiling).size.toDouble / math.max(1, ceiling.size)
+      println(f"[dedupscale] semdedup eps=$eps%.3f recovered=${recovered * 100}%.1f%% " +
+        f"double_assigned=${dblFrac * 100}%.1f%% time=$sec%.1f s")
+    }
     spark.stop()
   }
 

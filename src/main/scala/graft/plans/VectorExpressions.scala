@@ -340,6 +340,121 @@ case class NearestCentroid(
     copy(child = newChild)
 }
 
+/** Multi-assignment variant of [[NearestCentroid]] for SemDeDup boundary
+  * probing: the nearest cell ALWAYS, plus the second-nearest cell when the
+  * cosine margin (best − second) is below `epsilon` — a vector sitting on
+  * a cell boundary is blocked into both cells, so a near-dup pair split by
+  * the k-means partition can still meet in the shared second assignment.
+  * `epsilon <= 0` degenerates to a 1-element array (exactly
+  * [[NearestCentroid]]'s cell — same deterministic lowest-index tie rule).
+  * Returns array<int> of 1 or 2 DISTINCT cell ids; interpreted vs codegen
+  * paths are bit-identical (same comparison order).
+  */
+case class NearCentroidCells(
+    child: Expression,
+    centroids: Seq[Double],
+    k: Int,
+    epsilon: Double) extends UnaryExpression {
+
+  require(k > 0 && centroids.nonEmpty && centroids.length % k == 0,
+    s"centroid matrix size ${centroids.length} is not k×dim (k=$k)")
+
+  override def prettyName: String = "vec_near_centroid_cells"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val centArr: Array[Double] = centroids.toArray
+  @transient private lazy val centNorm: Array[Double] = {
+    val d = centroids.length / k
+    Array.tabulate(k) { c =>
+      var s = 0.0; var i = 0
+      while (i < d) { val v = centArr(c * d + i); s += v * v; i += 1 }
+      math.sqrt(s)
+    }
+  }
+
+  private def dim: Int = centroids.length / k
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(n == dim, s"$prettyName: vector dim $n != centroid dim $dim")
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var second = -1; var secondScore = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var ab = 0.0; var i = 0
+      while (i < n) { ab += x.getDouble(i) * centArr(c * n + i); i += 1 }
+      val d = centNorm(c)
+      val score = if (d == 0.0) 0.0 else ab / d
+      if (score > bestScore) {
+        second = best; secondScore = bestScore
+        best = c; bestScore = score
+      } else if (score > secondScore) { second = c; secondScore = score }
+      c += 1
+    }
+    val both = k > 1 && second >= 0 && bestScore - secondScore < epsilon
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (both) Array(best, second) else Array(best))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centArr, "double[]")
+    val nRef = ctx.addReferenceObj("centNorms", centNorm, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val second = ctx.freshName("second")
+      val secondScore = ctx.freshName("secondScore")
+      val ab = ctx.freshName("ab")
+      val d = ctx.freshName("d")
+      val score = ctx.freshName("score")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector dim " + $n + " != centroid dim $dim");
+         |}
+         |int $best = 0;
+         |double $bestScore = Double.NEGATIVE_INFINITY;
+         |int $second = -1;
+         |double $secondScore = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $ab = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $ab += $a.getDouble($i) * $cRef[$c * $n + $i];
+         |  }
+         |  final double $d = $nRef[$c];
+         |  final double $score = ($d == 0.0) ? 0.0 : $ab / $d;
+         |  if ($score > $bestScore) {
+         |    $second = $best; $secondScore = $bestScore;
+         |    $best = $c; $bestScore = $score;
+         |  } else if ($score > $secondScore) {
+         |    $second = $c; $secondScore = $score;
+         |  }
+         |}
+         |final int[] $out =
+         |  ($k > 1 && $second >= 0 && $bestScore - $secondScore < $epsilon)
+         |    ? new int[]{$best, $second} : new int[]{$best};
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Squared L2 distance Σ (aᵢ-bᵢ)², fused single pass. */
 case class L2DistanceSq(left: Expression, right: Expression) extends BinaryVectorExpression {
   override def prettyName: String = "vec_l2sq"

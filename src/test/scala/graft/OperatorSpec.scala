@@ -2869,6 +2869,25 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // at tau=0 every within-cell pair reports; 4 cells × 12 → 11 dups each
     assert(cells.length === 44 && cells.map(_._2).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+
+    // BOUNDARY PROBE (epsilon knob): a near-dup pair sitting ON the cell
+    // boundary — one member leaning to each side — is missed at eps=0 (the
+    // published SemDeDup trade) and recovered once multi-assignment blocks
+    // both members into both cells
+    val u = Seq.tabulate(dim)(i => if (i == 0) 1.02 else if (i == 1) 1.0 else 0.0)
+    val v = Seq.tabulate(dim)(i => if (i == 0) 1.0 else if (i == 1) 1.02 else 0.0)
+    val emb2 = Seq((100L, u), (101L, v)).toDF("vec_id", "embedding")
+    // fixed centroids e0/e1 (no k-means noise): u leans e0, v leans e1 —
+    // the pair splits at eps=0 even though cos(u,v) ≈ 0.9998 ≥ tau
+    val cents = (Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0) ++
+      Seq.tabulate(dim)(i => if (i == 1) 1.0 else 0.0)).toArray
+    def pairFound(eps: Double): Boolean =
+      DedupOps.semanticDedupWithCentroids(emb2, cents, kCells = 2,
+          tau = 0.95, epsilon = eps)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .contains((101L, 100L))
+    assert(!pairFound(0.0), "the split boundary pair must be missed at eps=0")
+    assert(pairFound(0.05), "eps multi-assignment must recover the boundary pair")
   }
 
   test("temperature mix: tail domains keep more than head domains; kept mass near target") {

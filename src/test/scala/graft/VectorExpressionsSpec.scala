@@ -142,6 +142,45 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(viaDf === NearestCentroid(Literal.create(v0, arrT), cents, k).eval(null))
   }
 
+  test("near-centroid multi-assignment: eps=0 equals NearestCentroid; boundary vectors get both cells") {
+    import graft.plans.{NearCentroidCells, NearestCentroid}
+    val rnd = new scala.util.Random(23L)
+    val k = 5; val dim = 12
+    val cents = Seq.fill(k * dim)(rnd.nextGaussian())
+    def cells(v: Seq[Double], eps: Double): Seq[Int] =
+      NearCentroidCells(Literal.create(v, arrT), cents, k, eps).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+    def cosRef(v: Seq[Double], c: Int): Double = {
+      val cv = cents.slice(c * dim, (c + 1) * dim)
+      val ab = v.zip(cv).map { case (x, y) => x * y }.sum
+      val d = math.sqrt(cv.map(x => x * x).sum)
+      if (d == 0.0) 0.0 else ab / d
+    }
+    (1 to 50).foreach { _ =>
+      val v = Seq.fill(dim)(rnd.nextGaussian())
+      val nearest = NearestCentroid(Literal.create(v, arrT), cents, k)
+        .eval(null).asInstanceOf[Int]
+      // eps = 0 degenerates to exactly the single-assignment cell
+      assert(cells(v, 0.0) === Seq(nearest))
+      // a huge eps always yields [best, second] matching brute force
+      val scored = (0 until k).map(c => (cosRef(v, c), -c)).sorted.reverse
+      val want = Seq(-scored(0)._2, -scored(1)._2)
+      assert(cells(v, 1e9) === want)
+      // margin rule: both cells iff best - second < eps
+      val margin = scored(0)._1 - scored(1)._1
+      assert(cells(v, margin * 0.999).length === 1)
+      assert(cells(v, margin * 1.001).length === 2)
+    }
+    // codegen path agrees with the interpreted one
+    val v0 = Seq.fill(dim)(rnd.nextGaussian())
+    val viaDf = Seq(v0).toDF("v")
+      .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        NearCentroidCells(Literal.create(v0, arrT), cents, k, 0.02)).as("c"))
+      .collect()(0).getSeq[Int](0)
+    assert(viaDf === cells(v0, 0.02))
+  }
+
   test("HOF formulation and codegen expression agree after rounding") {
     val rnd = new scala.util.Random(3L)
     val a = Seq.fill(64)(rnd.nextGaussian())
