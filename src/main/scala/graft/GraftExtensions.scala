@@ -82,6 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nav_tree_explode"),
       info("nav_tree_explode", "nav_tree_explode(json) - table function: flatten a nested {title, link, children} nav tree into (title, url, depth) rows at any depth"),
       (children: Seq[Expression]) => graft.plans.NavTreeExplode(children(0))))
+    // `ORDER BY vec_cosine(…) DESC LIMIT k` → bounded-heap TopKScoreId:
+    // the ad-hoc SQL knn form gets the executor-side-merge plan instead of
+    // TakeOrderedAndProject's k×partitions driver merge (see the rule).
+    ext.injectOptimizerRule(_ => graft.plans.CosineTopKRule)
   }
 
   // The matrix arguments are model constants (like a broadcast ML model),

@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Descending, Expression, GetStructField, Literal, NamedExpression, PosExplode, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Rewrite the ad-hoc SQL knn shape
+  * {{{
+  *   SELECT <id>, vec_cosine(<emb>, <query>) AS score
+  *   FROM t ORDER BY score DESC LIMIT k
+  * }}}
+  * into the bounded-heap [[TopKScoreId]] aggregate — the §7.3 ledger's
+  * last optional item: a `spark.sql` user writing the natural ORDER BY
+  * form gets the same scale plan [[graft.operators.KnnOps.topK]] builds
+  * explicitly, without knowing the aggregate exists.
+  *
+  * WHY rewrite at all, when Spark already plans Sort+Limit as
+  * `TakeOrderedAndProject`: that operator keeps k rows per partition and
+  * then merges ALL partitions' candidates ON THE DRIVER — k×partitions
+  * rows of driver memory (100k rows at k=100 over 1000 partitions, per
+  * query). The aggregate form partial-aggregates the same per-partition
+  * heaps through a normal exchange, so the merge is distributed and the
+  * driver sees k rows. Same result, executor-side merge — the shape that
+  * survives a 1000-executor corpus.
+  *
+  * Matches ONLY the exact two-column knn projection (a bigint id and the
+  * cosine alias being sorted on, both directions of column order) under a
+  * global `Sort` on that alias DESC with a literal limit — anything else
+  * is left to Catalyst untouched. Null cosine scores (dim-mismatched
+  * vectors) are EXCLUDED from the aggregate's heap, matching KnnOps
+  * semantics; the ORDER BY form would only surface them (NULLS LAST) when
+  * the corpus has fewer than k valid candidates.
+  *
+  * Ordering contract: the aggregate's single output row carries the array
+  * already sorted (score DESC, id ASC) and posexplode preserves element
+  * order, so the rewritten plan's row order equals the Sort's (with the
+  * id tiebreak KnnOps pins and plain ORDER BY score leaves unspecified).
+  */
+object CosineTopKRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case gl @ GlobalLimit(Literal(k: Int, IntegerType),
+        LocalLimit(Literal(k2: Int, IntegerType),
+          Sort(Seq(SortOrder(scoreAttr: Attribute, Descending, _, _)), true,
+            Project(projectList, child), _)))
+        if k == k2 && k > 0 && projectList.size == 2 =>
+      rewrite(k, scoreAttr, projectList, child).getOrElse(gl)
+  }
+
+  private def rewrite(k: Int, scoreAttr: Attribute,
+      projectList: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    // the sorted-on column must be an alias of the native cosine …
+    val scoreAlias = projectList.collectFirst {
+      case a @ Alias(c: CosineSimilarity, _)
+          if a.exprId == scoreAttr.exprId && c.dataType == DoubleType => a
+    }
+    // … and the other output a bigint id
+    val idNamed = projectList.collectFirst {
+      case n: NamedExpression
+          if n.exprId != scoreAttr.exprId && n.dataType == LongType => n
+    }
+    (scoreAlias, idNamed) match {
+      case (Some(sa), Some(idn)) =>
+        val idExpr: Expression = idn match {
+          case Alias(e, _) => e
+          case attr => attr
+        }
+        val topk = Alias(
+          TopKScoreId(sa.child, idExpr, k).toAggregateExpression(), "__topk")()
+        val agg = Aggregate(Nil, Seq(topk), child)
+        val gen = PosExplode(topk.toAttribute)
+        val genOut = gen.elementSchema.map(f =>
+          AttributeReference(f.name, f.dataType, f.nullable)())
+        val generate = Generate(gen, unrequiredChildIndex = Seq(0),
+          outer = false, qualifier = None,
+          generatorOutput = genOut, child = agg)
+        val pairCol = genOut(1) // struct<vec_id: bigint, score: double>
+        // rebuild the ORIGINAL output attributes (names, order, exprIds)
+        val restored = projectList.map { n =>
+          if (n.exprId == scoreAttr.exprId)
+            Alias(GetStructField(pairCol, 1, Some("score")), n.name)(exprId = n.exprId)
+          else
+            Alias(GetStructField(pairCol, 0, Some("vec_id")), n.name)(exprId = n.exprId)
+        }
+        Some(Project(restored, generate))
+      case _ => None
+    }
+  }
+}

@@ -523,6 +523,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3, p)
   }
+
+  test("ad-hoc SQL ORDER BY vec_cosine DESC LIMIT k rewrites to the bounded-heap aggregate") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    emb.createOrReplaceTempView("plan_emb_topk")
+    val qvec = emb.filter($"vec_id" === 0L)
+      .select($"embedding").head().getSeq[Double](0)
+    val qlit = qvec.mkString("array(", "D, ", "D)")
+    // the exact knn shape: two columns, cosine alias sorted DESC, literal k
+    val df = spark.sql(
+      s"""SELECT vec_id, vec_cosine(embedding, $qlit) AS score
+         |FROM plan_emb_topk WHERE vec_id <> 0
+         |ORDER BY score DESC LIMIT 5""".stripMargin)
+    val p = plan(df)
+    assert(p.toLowerCase.contains("topk_score_id"), p)
+    assert(!p.contains("TakeOrderedAndProject") && !p.contains("Sort "), p)
+    // a third projected column dodges the rewrite → the stock driver-merge
+    // plan, which doubles as the equality baseline
+    val base = spark.sql(
+      s"""SELECT vec_id, vec_cosine(embedding, $qlit) AS score, 1 AS pad
+         |FROM plan_emb_topk WHERE vec_id <> 0
+         |ORDER BY score DESC LIMIT 5""".stripMargin)
+    assert(plan(base).contains("TakeOrderedAndProject"), plan(base))
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = base.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want, "rewritten results must equal the ORDER BY LIMIT form")
+    assert(got.length === 5)
+  }
 }
 
 /** Formulations RETIRED from production, kept only so PlanSpec can pin WHY
