@@ -407,6 +407,23 @@ object DedupScale {
       println(f"[dedupscale] semdedup eps=$eps%.3f recovered=${recovered * 100}%.1f%% " +
         f"double_assigned=${dblFrac * 100}%.1f%% time=$sec%.1f s")
     }
+    // giant-cell refinement: force a degenerate quantizer (kCells=2 over
+    // this geometry puts most of the corpus in one cell → ~(n/2)² pair
+    // candidates) and compare the capped recursive re-cluster against the
+    // uncapped quadratic cell
+    def runCap(cap: Long): (Set[Long], Double) = {
+      val t0 = System.nanoTime()
+      val dups = graft.operators.DedupOps
+        .semanticDedupCellsOn(emb, tau, kCells = 2, iters = 3, epsilon = 0.0,
+          maxCellRows = cap)
+        .select("dup_id").collect().map(_.getLong(0)).toSet
+      (dups, (System.nanoTime() - t0) / 1e9)
+    }
+    val (noCap, noCapSec) = runCap(0L)
+    val (capped, capSec) = runCap((n / 16).toLong)
+    println(f"[dedupscale] semdedup giantcell kCells=2 uncapped=${noCap.size} dups ($noCapSec%.1f s) " +
+      f"capped(n/16)=${capped.size} dups ($capSec%.1f s) " +
+      f"kept=${(capped & noCap).size * 100.0 / math.max(1, noCap.size)}%.1f%% wrong_merges=${(capped -- noCap).size}")
     spark.stop()
   }
 

@@ -2890,6 +2890,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(pairFound(0.05), "eps multi-assignment must recover the boundary pair")
   }
 
+  test("semantic dedup giant-cell refinement: cells split below the cap, tight groups survive, deterministic") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(31L)
+    // a GIANT diffuse cell: 60 vectors all nearest centroid c0, but spread
+    // into 3 internal tight groups (20 each) + one small cell of 6 at c1
+    def around(base: Seq[Double], r: Double): Seq[Double] = {
+      val v = base.zip(Seq.fill(dim)(rnd.nextGaussian())).map { case (b, g) => b + r * g }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val g1 = Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.10)
+    val g2 = Seq.tabulate(dim)(i => if (i == 0) 1.0 else if (i == 1) 0.45 else 0.0)
+    val g3 = Seq.tabulate(dim)(i => if (i == 0) 1.0 else if (i == 2) 0.45 else 0.0)
+    val far = Seq.tabulate(dim)(i => if (i == 3) 1.0 else 0.0)
+    // ids interleave the groups (group = id % 3) so the deterministic
+    // first-rows sub-k-means seeding sees every group
+    val groups = Seq(g1, g2, g3)
+    val rows = (0 until 60).map(i => (i.toLong, around(groups(i % 3), 0.01))) ++
+      (60 until 66).map(i => (i.toLong, around(far, 0.01)))
+    val emb = rows.toDF("vec_id", "embedding")
+    // centroids: c0 = the shared e0-ish direction (all 60 land there), c1 = far
+    val cents = (Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0) ++ far).toArray
+
+    // structural: after refinement no cell exceeds the cap
+    val assigned = emb.select($"vec_id", $"embedding",
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.plans.NearestCentroid(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression($"embedding"),
+          cents.toSeq, 2)).cast("long").as("cell"))
+    val refined = DedupOps.refineCells(assigned, maxCellRows = 25, subK = 4)
+    val sizes = refined.groupBy($"cell").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 25), s"refined cell sizes: ${sizes.mkString(",")}")
+    assert(refined.count() === 66) // row-preserving
+
+    // tight groups survive the split: a subcell is group-pure (intra-group
+    // cosine ≫ inter-group), so every mapping stays inside its own group
+    // and most members still find an in-subcell lower-id neighbor — the
+    // under-merge-only contract (finer groups, never a wrong merge)
+    val dups = DedupOps.semanticDedupWithCentroids(emb, cents, 2, tau = 0.97,
+        maxCellRows = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dups.nonEmpty)
+    dups.foreach { case (d, c) =>
+      if (d >= 60L) assert(c >= 60L, s"far-cell doc $d merged into $c")
+      else assert(c < 60L && d % 3 === c % 3,
+        s"mapping $d -> $c crossed a planted group — a wrong merge")
+    }
+    (0 until 3).foreach { g =>
+      val found = (0 until 60).count(i => i % 3 == g && dups.contains(i.toLong))
+      assert(found >= 15, s"group $g kept only $found/19 dedup mappings after the split")
+    }
+    // deterministic: the refinement trains seeded k-means per hot cell
+    val again = DedupOps.semanticDedupWithCentroids(emb, cents, 2, tau = 0.97,
+        maxCellRows = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again === dups)
+  }
+
   test("temperature mix: tail domains keep more than head domains; kept mass near target") {
     import spark.implicits._
     import graft.operators.TextAnalysisOps
