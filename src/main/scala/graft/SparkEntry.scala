@@ -246,6 +246,8 @@ object SparkEntry {
     "q_clean_text"      -> ((s, d) => TextOps.cleanText(s, d)),
     "q_truncate"        -> ((s, d) => TextOps.truncate(s, d)),
     "q_url_concat"      -> ((s, d) => TextOps.urlConcat(s, d)),
+    "q_url_canonical"   -> ((s, d) => TextOps.urlCanonical(s, d)),
+    "q_url_dedup"       -> ((s, d) => TextOps.urlDedup(s, d)),
     "q_json_extract"    -> ((s, d) => TextOps.jsonExtract(s, d)),
     "q_prompt_template" -> ((s, d) => TextOps.promptTemplate(s, d)),
     "q_citation_format" -> ((s, d) => TextOps.citationFormat(s, d)),
@@ -327,7 +329,8 @@ object SparkEntry {
     "q_hybrid_rrf", "q_hybrid_rrf_served", "q_tfidf_topterms", "q_tfidf_indexed",
     "q_knn_mmr", "q_text_phrase", "q_text_phrase_indexed", "q_text_phrase_batch", "q_text_phrase_filtered", "q_text_near", "q_text_near_indexed",
     "q_mine_hardneg", "q_mine_hardneg_indexed", "q_mine_pairs", "q_eval_rank", "q_eval_rank_macro", "q_eval_rank_indexed", "q_link_pagerank", "q_link_pagerank_stored",
-    "q_decontaminate", "q_pack_sequences", "q_domain_mix", "q_domain_mix_temp", "q_curate_e2e")
+    "q_decontaminate", "q_pack_sequences", "q_domain_mix", "q_domain_mix_temp", "q_curate_e2e",
+    "q_url_canonical", "q_url_dedup")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -467,6 +470,44 @@ object SparkEntry {
          |SELECT doc_id, round(CAST(rank_nano AS DOUBLE) / 1000000000.0, 6) AS rank
          |FROM r3 ORDER BY doc_id ASC""".stripMargin
     }
+
+  /** DuckDB twin of [[graft.operators.TextOps.fixtureUrls]] — the same
+    * five deterministic noise variants per 5-doc group, built from plain
+    * string SQL so both engines face identical inputs.
+    */
+  private def urlFixtureCte: String =
+    """urls AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 0 THEN 'http://www.example.com/d/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+      |      WHEN 1 THEN 'HTTP://WWW.EXAMPLE.COM/d/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+      |      WHEN 2 THEN 'http://www.example.com:80/d/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+      |      WHEN 3 THEN 'http://www.example.com/d/' || CAST(doc_id // 5 AS VARCHAR) || '?b=2&utm_source=news&a=1'
+      |      ELSE 'http://www.example.com/d/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2#section-3'
+      |    END AS url
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.TextOps.canonicalizeUrl]], rule by
+    * rule: fragment, lowercase authority, default ports, tracking-param
+    * drop + sort. Ends in a `canon(doc_id, url, canonical_url)` CTE.
+    */
+  private def urlCanonCte: String =
+    """u1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS s1 FROM urls),
+      |u2 AS (SELECT doc_id, url,
+      |  lower(regexp_extract(s1, '^[^/?#]*//[^/?#]*')) ||
+      |    substr(s1, length(regexp_extract(s1, '^[^/?#]*//[^/?#]*')) + 1) AS s2 FROM u1),
+      |u3 AS (SELECT doc_id, url,
+      |  regexp_replace(regexp_replace(s2,
+      |    '^(http://[^/:?#]*):80([/?#]|$)', '\1\2'),
+      |    '^(https://[^/:?#]*):443([/?#]|$)', '\1\2') AS s3 FROM u2),
+      |u4 AS (SELECT doc_id, url,
+      |  regexp_extract(s3, '^[^?]*') AS base,
+      |  CASE WHEN strpos(s3, '?') > 0 THEN substr(s3, strpos(s3, '?') + 1) ELSE '' END AS q FROM u3),
+      |u5 AS (SELECT doc_id, url, base,
+      |  list_sort(list_filter(string_split(q, '&'),
+      |    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-zA-Z0-9_]*|gclid|fbclid|ref)($|=)'))) AS ps FROM u4),
+      |canon AS (SELECT doc_id, url,
+      |  base || CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canonical_url FROM u5)""".stripMargin
 
   private def heavyHittersOracleSql: String =
     """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
@@ -1395,6 +1436,19 @@ object SparkEntry {
       "SELECT doc_id, substr(text, 1, 6000) AS body, least(n_chars, 6000) AS body_len FROM documents ORDER BY doc_id ASC",
     "q_url_concat" ->
       "SELECT doc_id, 'https://corpus.local/' || source || '/' || doc_id AS url FROM documents ORDER BY doc_id ASC",
+    "q_url_canonical" ->
+      s"""WITH $urlFixtureCte,
+         |$urlCanonCte
+         |SELECT doc_id, url, canonical_url FROM canon ORDER BY doc_id ASC""".stripMargin,
+    "q_url_dedup" ->
+      s"""WITH $urlFixtureCte,
+         |$urlCanonCte,
+         |keep AS (SELECT canonical_url AS cu, min(doc_id) AS canonical_id
+         |         FROM canon GROUP BY canonical_url)
+         |SELECT c.doc_id AS dup_id, k.canonical_id
+         |FROM canon c JOIN keep k ON c.canonical_url = k.cu
+         |WHERE c.doc_id <> k.canonical_id
+         |ORDER BY dup_id ASC""".stripMargin,
     "q_json_extract" ->
       "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k, event_type FROM events ORDER BY event_id ASC",
     "q_prompt_template" ->

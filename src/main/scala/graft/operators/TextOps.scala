@@ -98,6 +98,80 @@ object TextOps {
         concat(lit(UrlBase), col("source"), lit("/"), col("doc_id")).as("url"))
       .orderBy(col("doc_id").asc)
 
+  /** URL canonicalization — the normalize-before-dedup step every crawl
+    * pipeline runs ahead of URL-level dedup (the reference crawls per-URL,
+    * `Crawling.py:13-24`, and re-crawling `HTTP://HOST:80/x?utm_source=…#f`
+    * next to `http://host/x` double-ingests the page). Rules, in order:
+    * (1) drop the fragment; (2) lowercase scheme://authority (path and
+    * query case preserved); (3) strip default ports (http:80, https:443);
+    * (4) drop tracking params (utm_*, gclid, fbclid, ref) and SORT the
+    * survivors, so param order never splits an identity. Every rule is a
+    * codegen'd builtin (regex/HOF projections) — map-side, zero shuffle,
+    * engine-parity with the DuckDB oracle pinned per rule.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val head = regexp_extract(noFrag, "^[^/?#]*//[^/?#]*", 0)
+    val lowered = concat(lower(head), substr(noFrag, length(head) + lit(1)))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/:?#]*):80([/?#]|$)", "$1$2"),
+      "^(https://[^/:?#]*):443([/?#]|$)", "$1$2")
+    val base = regexp_extract(noPort, "^[^?]*", 0)
+    val q = when(instr(noPort, "?") > 0,
+      substr(noPort, instr(noPort, "?") + lit(1))).otherwise(lit(""))
+    val params = filter(split(q, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[a-zA-Z0-9_]*|gclid|fbclid|ref)($|=)"))
+    concat(base,
+      when(size(params) > 0,
+        concat(lit("?"), array_join(array_sort(params), "&"))).otherwise(lit("")))
+  }
+
+  /** Deterministic fixture URLs: groups of 5 consecutive doc_ids share one
+    * canonical identity, each id carrying a different real-world noise
+    * variant (case, default port, tracking params + shuffled order,
+    * fragment) — the synthesis is plain string SQL so the DuckDB oracle
+    * builds the SAME urls and faces the same canonicalizer rules.
+    */
+  private def fixtureUrls(spark: SparkSession, dir: String): DataFrame = {
+    val g = floor(col("doc_id") / 5).cast("long").cast("string")
+    val v = col("doc_id") % 5
+    Tables.documents(spark, dir).select(col("doc_id"),
+      when(v === 0, concat(lit("http://www.example.com/d/"), g, lit("?a=1&b=2")))
+        .when(v === 1, concat(lit("HTTP://WWW.EXAMPLE.COM/d/"), g, lit("?a=1&b=2")))
+        .when(v === 2, concat(lit("http://www.example.com:80/d/"), g, lit("?a=1&b=2")))
+        .when(v === 3, concat(lit("http://www.example.com/d/"), g,
+          lit("?b=2&utm_source=news&a=1")))
+        .otherwise(concat(lit("http://www.example.com/d/"), g,
+          lit("?a=1&b=2#section-3")))
+        .as("url"))
+  }
+
+  /** `q_url_canonical`: (doc_id, url, canonical_url) over the fixture —
+    * all five noise variants of a group collapse to one canonical form.
+    */
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame =
+    fixtureUrls(spark, dir)
+      .select(col("doc_id"), col("url"), canonicalizeUrl(col("url")).as("canonical_url"))
+      .orderBy(col("doc_id").asc)
+
+  /** `q_url_dedup`: URL-level dedup — every doc whose canonical URL was
+    * already claimed by a lower doc_id maps to that keeper, `(dup_id,
+    * canonical_id)`. One hash exchange on the canonical string; the
+    * canonicalization itself is map-side.
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val canon = fixtureUrls(spark, dir)
+      .select(col("doc_id"), canonicalizeUrl(col("url")).as("cu"))
+    // min-per-group then an equi-join back on the SAME key (no per-group
+    // arrays — a boilerplate URL crawled 10⁶ times stays row-shaped, and
+    // the join reuses the aggregation's partitioning)
+    val keepers = canon.groupBy(col("cu")).agg(min(col("doc_id")).as("canonical_id"))
+    canon.join(keepers, Seq("cu"))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as("dup_id"), col("canonical_id"))
+      .orderBy(col("dup_id").asc)
+  }
+
   /** JSON field extraction — ref `json.loads(...)` of the nav payload
     * (`Crawling.py:19`); dynamic-schema analog (`TencentVDB.py:33`) exercised
     * over the `events.props` JSON column.

@@ -2949,6 +2949,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(again === dups)
   }
 
+  test("URL canonicalization: case/port/tracking/fragment/param-order variants collapse; dissimilar urls do not") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    def canon(u: String): String =
+      Seq(Tuple1(u)).toDF("u").select(TextOps.canonicalizeUrl($"u")).head().getString(0)
+    val want = "http://www.example.com/d/7?a=1&b=2"
+    // the five fixture noise classes
+    assert(canon("http://www.example.com/d/7?a=1&b=2") === want)
+    assert(canon("HTTP://WWW.EXAMPLE.COM/d/7?a=1&b=2") === want)
+    assert(canon("http://www.example.com:80/d/7?a=1&b=2") === want)
+    assert(canon("http://www.example.com/d/7?b=2&utm_source=news&a=1") === want)
+    assert(canon("http://www.example.com/d/7?a=1&b=2#section-3") === want)
+    // edge cases
+    assert(canon("https://Host.Example.com:443/P?gclid=x") === "https://host.example.com/P")
+    assert(canon("https://h.co:8443/x") === "https://h.co:8443/x") // non-default port kept
+    assert(canon("http://h.co/A/B?ref=nav") === "http://h.co/A/B")  // path case preserved
+    assert(canon("http://h.co/x?utm=1") === "http://h.co/x?utm=1")  // bare 'utm' is NOT a tracking prefix
+    assert(canon("http://h.co/x?refresh=1") === "http://h.co/x?refresh=1") // 'ref' matches whole name only
+    assert(canon("http://h.co/x?") === "http://h.co/x")
+    // distinct identities stay distinct
+    assert(canon("http://h.co/x?a=1") !== canon("http://h.co/x?a=2"))
+    assert(canon("http://h.co/x") !== canon("https://h.co/x"))
+    // the fixture dedup: every 5-doc group collapses to its lowest id
+    val dups = TextOps.urlDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.nonEmpty)
+    dups.foreach { case (d, c) =>
+      assert(d / 5 === c / 5 && c % 5 === 0L && d % 5 != 0L) }
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(dups.length === (n - (n + 4) / 5).toInt) // all non-keepers flagged
+  }
+
   test("temperature mix: tail domains keep more than head domains; kept mass near target") {
     import spark.implicits._
     import graft.operators.TextAnalysisOps
