@@ -1583,6 +1583,80 @@ object DedupOps {
           .select(col("doc_id").as("id"), col("fp"))
       })
 
+  /** Streaming URL-dedup ingest filter
+    * ([[graft.streaming.StreamingOps.streamingDedupUrl]]) — the
+    * exact-key member of the incremental-dedup family, FIRST-ARRIVAL-
+    * WINS on the CANONICAL url ([[TextOps.canonicalizeUrl]] — a re-crawl
+    * of `HTTP://HOST:80/x?utm_source=…#f` never lands beside
+    * `http://host/x`). Store `{name}__urlseen` = one (cu, doc_id) row per
+    * retained doc; the probe is an equi-join on cu pruned by a broadcast
+    * of the batch's canonical urls — per-batch cost ∝ batch, never the
+    * stored corpus (at scale, bucket the store on cu and the probe is
+    * bucket-local). Replay-safe under at-least-once foreachBatch with the
+    * family's two layers: a 1-row commit watermark no-ops committed
+    * batches, and the urlseen-docs crash window is closed by OWNERSHIP —
+    * a replayed doc probing its own crashed-in store row sees
+    * `store doc_id == doc_id`, which never counts, so it re-reaches the
+    * original decision and the id-anti-joined appends fill in whatever is
+    * missing. Expects (doc_id, url, …) batches; kept docs append with
+    * every batch column.
+    */
+  private[graft] def urlIncrementalBatch(batch0: DataFrame, db: String,
+      name: String, batchId: Option[Long] = None): Unit = {
+    val spark = batch0.sparkSession
+    val commitsName = s"${name}__commits"
+    if (batchId.isDefined && spark.catalog.tableExists(s"$db.$commitsName")) {
+      val r = spark.table(s"`$db`.`$commitsName`")
+        .agg(max(col("batch_id"))).head()
+      if (!r.isNullAt(0) && batchId.get <= r.getLong(0)) return
+    }
+    val canon = batch0.withColumn("__cu", TextOps.canonicalizeUrl(col("url")))
+    val seenTable = s"$db.${name}__urlseen"
+    // in-batch: lowest doc_id per canonical url wins
+    val inBatchKeep = canon.groupBy(col("__cu")).agg(min(col("doc_id")).as("__keep"))
+    val withKeep = canon.join(inBatchKeep, Seq("__cu"))
+    val inBatchDropped = withKeep.filter(col("doc_id") =!= col("__keep"))
+      .select(col("doc_id"))
+    val storeDropped =
+      if (spark.catalog.tableExists(seenTable)) {
+        spark.table(s"`$db`.`${name}__urlseen`")
+          .select(col("cu"), col("doc_id").as("store_id"))
+          .join(broadcast(canon.select(col("__cu").as("cu"), col("doc_id"))), Seq("cu"))
+          .filter(col("store_id") =!= col("doc_id")) // replay heal: own row never counts
+          .select(col("doc_id")).distinct()
+      } else canon.select(col("doc_id")).limit(0)
+    val droppedIds = inBatchDropped.unionByName(storeDropped).distinct()
+    val kept = canon.join(droppedIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // freeze decisions BEFORE the store mutates
+    val keptIds = kept.select(col("doc_id"))
+    // SEEN rows first (crash window healed by ownership, see scaladoc)
+    val newSeen = kept.select(col("__cu").as("cu"), col("doc_id"))
+    val seenToWrite =
+      if (spark.catalog.tableExists(seenTable))
+        newSeen.join(
+          spark.table(s"`$db`.`${name}__urlseen`")
+            .join(broadcast(keptIds), "doc_id")
+            .select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      else newSeen
+    seenToWrite.write.mode("append").saveAsTable(s"`$db`.`${name}__urlseen`")
+    // DOCS second, id-anti-joined for replay idempotency
+    val docRows = kept.drop("__cu", "__keep")
+    val docsToWrite =
+      if (spark.catalog.tableExists(s"$db.$name"))
+        docRows.join(
+          spark.table(s"`$db`.`$name`")
+            .join(broadcast(keptIds), "doc_id")
+            .select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      else docRows
+    docsToWrite.write.mode("append").saveAsTable(s"`$db`.`$name`")
+    batchId.foreach { id =>
+      spark.createDataFrame(Seq(Tuple1(id))).toDF("batch_id")
+        .write.mode("overwrite").saveAsTable(s"`$db`.`$commitsName`")
+    }
+  }
+
   /** The shared core of the perceptual ingest filters — everything in the
     * [[imageIncrementalBatch]] contract except how a payload becomes a
     * 64-bit fingerprint: `fpOf` maps a (doc_id, payload) batch to

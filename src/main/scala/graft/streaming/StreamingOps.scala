@@ -279,6 +279,26 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming URL-dedup ingest filter — the exact-key member of the
+    * incremental-dedup family ([[graft.operators.DedupOps
+    * .urlIncrementalBatch]] per micro-batch): first arrival wins each
+    * CANONICAL url, so a re-crawl under case/port/tracking-param/fragment
+    * noise never lands twice. Store `{name}__urlseen`, probe pruned by a
+    * broadcast of the batch's canonical urls; replay-safe the family's
+    * two-layer way (commit watermark + ownership-healed crash windows,
+    * pinned in StreamingSpec).
+    */
+  def streamingDedupUrl(docStream: DataFrame, db: String,
+      name: String): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.DedupOps.urlIncrementalBatch(batch.toDF(), db, name,
+            batchId = Some(batchId))
+      }
+      .start()
+
   /** Streaming AUDIO near-dup ingest filter — the spectral-fingerprint
     * twin of [[streamingDedupImage]]
     * ([[graft.operators.DedupOps.audioIncrementalBatch]] per

@@ -793,6 +793,58 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming URL dedup: canonical first-arrival-wins; replays and crash windows converge") {
+    import graft.sources.CatalogOps
+    import graft.operators.DedupOps
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val db = "surldb"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    val batch1 = Seq(
+      (10L, "HTTP://WWW.EXAMPLE.COM/d/1?a=1&b=2", "t10"), // case variant of stored 0 → dropped
+      (11L, "http://www.example.com:80/d/2", "t11"),      // port variant of stored 1 → dropped
+      (12L, "http://www.example.com/d/3?utm_source=x", "t12"), // fresh → kept
+      (13L, "http://www.example.com/d/4?b=2&a=1", "t13"), // fresh → kept (lowest in batch)
+      (14L, "http://www.example.com/d/4?a=1&b=2#f", "t14")) // in-batch dup of 13 → dropped
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.streamingDedupUrl(
+      in.toDF.toDF("doc_id", "url", "text"), db, "docs")
+    try {
+      in.addData((0L, "http://www.example.com/d/1?a=1&b=2", "t0"),
+        (1L, "http://www.example.com/d/2", "t1"))
+      q.processAllAvailable()
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def docs() = spark.table(s"`$db`.`docs`").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    def seen() = spark.table(s"`$db`.`docs__urlseen`").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val kept0 = docs()
+    assert(kept0.map(_._1) === Set(0L, 1L, 12L, 13L))
+    assert(seen().map(_._2) === Set(0L, 1L, 12L, 13L)) // one store row per retained doc
+    // canonical forms stored, not raw urls
+    assert(seen().map(_._1).contains("http://www.example.com/d/3"))
+    // COMMITTED replay: the watermark short-circuits, nothing moves
+    DedupOps.urlIncrementalBatch(batch1.toDF("doc_id", "url", "text"),
+      db, "docs", batchId = Some(1L))
+    assert(docs() === kept0 && seen().size === 4)
+    // CRASH WINDOW: seen rows landed, doc rows and watermark lost — the
+    // replay must re-reach the same decisions (ownership: a doc probing
+    // its own crashed-in seen row never counts) and refill the doc rows
+    CatalogOps.deleteByIds(spark, db, "docs", Seq(12L, 13L).toDF("doc_id"),
+      idCol = "doc_id")
+    spark.sql(s"DROP TABLE `$db`.`docs__commits`")
+    DedupOps.urlIncrementalBatch(batch1.toDF("doc_id", "url", "text"),
+      db, "docs", batchId = Some(1L))
+    assert(docs() === kept0, "crash-window replay must converge to the committed state")
+    assert(seen().size === 4, "replayed seen rows must not duplicate")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("fingerprint store compaction: fewer files, probe and ingest decisions unchanged") {
     import graft.sources.CatalogOps
     import graft.operators.{DedupOps, MultimodalOps}
