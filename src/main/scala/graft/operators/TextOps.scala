@@ -162,9 +162,12 @@ object TextOps {
   def urlDedup(spark: SparkSession, dir: String): DataFrame = {
     val canon = fixtureUrls(spark, dir)
       .select(col("doc_id"), canonicalizeUrl(col("url")).as("cu"))
-    // min-per-group then an equi-join back on the SAME key (no per-group
-    // arrays — a boilerplate URL crawled 10⁶ times stays row-shaped, and
-    // the join reuses the aggregation's partitioning)
+    // min-per-group then an equi-join back (no per-group arrays — a
+    // boilerplate URL crawled 10⁶ times stays row-shaped). Observed plan:
+    // the keepers aggregate partial_min's map-side (the exchange carries
+    // one row per distinct cu per partition) and broadcasts back, so the
+    // corpus side never shuffles at all; past the broadcast threshold it
+    // degrades to a co-partitioned join on cu, still never quadratic
     val keepers = canon.groupBy(col("cu")).agg(min(col("doc_id")).as("canonical_id"))
     canon.join(keepers, Seq("cu"))
       .filter(col("doc_id") =!= col("canonical_id"))
