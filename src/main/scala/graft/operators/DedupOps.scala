@@ -1824,6 +1824,25 @@ object DedupOps {
     }
   }
 
+  /** The URL twin of [[probeImage]]: "have we crawled this page?" against
+    * the streaming urlseen store ([[urlIncrementalBatch]]) — the url
+    * canonicalizes through a 1-row local plan (ConvertToLocalRelation
+    * evaluates the projection driver-side; no cluster tasks) so the SAME
+    * Column logic serves ingest and probe, and the canonical form becomes
+    * an equality predicate pushed to the store scan — the read prunes to
+    * at most the matching row groups.
+    * Returns the retaining (doc_id) row, or no rows for a fresh url.
+    */
+  def probeUrl(spark: SparkSession, db: String, name: String,
+      url: String): DataFrame = {
+    import spark.implicits._
+    val cu = Seq(Tuple1(url)).toDF("u")
+      .select(TextOps.canonicalizeUrl(col("u"))).head().getString(0)
+    spark.table(s"`$db`.`${name}__urlseen`")
+      .filter(col("cu") === lit(cu))
+      .select(col("doc_id"))
+  }
+
   /** Shared single-fingerprint probe: chunk keys derived with EXACTLY
     * [[hammingChunkRows]]' layout (the low bits of an arithmetic shift
     * equal the logical shift's) become an OR-of-conjunctions predicate

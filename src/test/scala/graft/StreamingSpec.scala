@@ -842,6 +842,19 @@ class StreamingSpec extends AnyFunSuite {
       db, "docs", batchId = Some(1L))
     assert(docs() === kept0, "crash-window replay must converge to the committed state")
     assert(seen().size === 4, "replayed seen rows must not duplicate")
+    // serving probe: any noise variant of a retained url finds its keeper;
+    // a fresh url probes to empty
+    val hit = DedupOps.probeUrl(spark, db, "docs",
+      "HTTP://WWW.EXAMPLE.COM:80/d/1?utm_medium=m&b=2&a=1#x")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hit === Seq(0L))
+    assert(DedupOps.probeUrl(spark, db, "docs",
+      "http://www.example.com/d/999").isEmpty)
+    // the probe's canonical equality reaches the store scan as a pushed filter
+    val probePlan = DedupOps.probeUrl(spark, db, "docs",
+      "http://www.example.com/d/1?a=1&b=2").queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(probePlan.contains("PushedFilters: [IsNotNull(cu), EqualTo(cu,"), probePlan)
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
