@@ -473,6 +473,27 @@ object DedupScale {
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"[dedupscale] hamming pairs collapsed=$collapsed legacy=$legacy " +
       s"counts_equal=${collapsed == legacy} noncluster_pairs_equal=${gotSmall == legacySmall}")
+
+    // RESIDUAL pathology: a cluster of NEAR-identical-but-UNEQUAL fps
+    // (random ≤2-bit flips of one base — the collapse can't help, every
+    // fp is distinct and they all share most chunk buckets). This is what
+    // the occupancy cap exists for: capped drops the degenerate buckets'
+    // candidates, uncapped re-creates the quadratic join over distinct fps.
+    val nearCluster = (0 until n / 2).map { i =>
+      (2000000L + i, clusterFp ^ (1L << rnd.nextInt(64)) ^ (1L << rnd.nextInt(64)))
+    }
+    val fps2 = (normal ++ nearCluster).toDF("id", "fp").repartition(32).cache()
+    fps2.count()
+    val capped = timed(s"hamming n=$n nearcluster=$c capped (maxBucket=1000)") {
+      graft.operators.DedupOps.hammingNearPairs(fps2, maxHamming, maxBucket = 1000)
+        .count()
+    }
+    val uncapped = timed(s"hamming n=$n nearcluster=$c uncapped (maxBucket=0)") {
+      graft.operators.DedupOps.hammingNearPairs(fps2, maxHamming, maxBucket = 0)
+        .count()
+    }
+    println(s"[dedupscale] hamming nearcluster pairs capped=$capped uncapped=$uncapped " +
+      s"(capped ⊆ uncapped by construction; the gap is the degenerate buckets' recall trade)")
     spark.stop()
   }
 
