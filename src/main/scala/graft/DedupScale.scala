@@ -393,10 +393,12 @@ object DedupScale {
     }
     val (ceiling, ceilSec) = run(0.0, 1) // kCells=1 ≡ exact all-pairs
     println(f"[dedupscale] semdedup n=$n groups=$nGroups ceiling_dups=${ceiling.size} ($ceilSec%.1f s)")
+    // centroids are epsilon-independent: train ONCE for the whole grid so
+    // the double-assignment count never perturbs the per-epsilon timings
+    val cents = graft.operators.KnnOps.kmeansCentroids(emb, kCells, 3)
     Seq(0.0, 0.005, 0.01, 0.02, 0.05, 0.1).foreach { eps =>
       val (dups, sec) = run(eps, kCells)
       // extra join work ∝ double-assigned fraction
-      val cents = graft.operators.KnnOps.kmeansCentroids(emb, kCells, 3)
       import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
       val assigned = emb.select(org.apache.spark.sql.functions.explode(
           toCol(graft.plans.NearCentroidCells(
@@ -439,12 +441,17 @@ object DedupScale {
     * asserted on a subsample and counts on the whole.
     */
   private def hammingRun(n: Int): Unit = {
+    // id spaces: normal 0…n/2-1, cluster 1e6+, nearCluster 2e6+ — they
+    // must not collide (hammingNearPairs assumes unique ids, and the
+    // non-cluster cross-check filters on id < 1e6)
+    require(n / 2 < 1000000, s"hamming mode supports n < 2000000, got $n")
     val maxHamming = 8
     val spark = benchSession()
     import spark.implicits._
     val rnd = new scala.util.Random(3131L)
     val clusterFp = rnd.nextLong()
     val cluster = (0 until n / 2).map(i => (1000000L + i, clusterFp))
+    val normalBase = new Array[Long](n / 2)
     val normal = (0 until n / 2).map { i =>
       val base = rnd.nextLong()
       val fp = if (i % 5 == 0 && i > 0) {
@@ -496,8 +503,6 @@ object DedupScale {
       s"(capped ⊆ uncapped by construction; the gap is the degenerate buckets' recall trade)")
     spark.stop()
   }
-
-  private val normalBase = collection.mutable.Map.empty[Int, Long]
 
   /** The pre-round-13 hammingNearPairs, kept verbatim here as the A/B
     * baseline: blocked self-join over ID-LEVEL chunk rows, distinct AFTER

@@ -801,12 +801,14 @@ object DedupOps {
     * pre-distinct enumeration is ever super-linear in the OUTPUT.
     *
     * For the residual pathology — many NEAR-identical-but-unequal
-    * fingerprints landing in one bucket — an [[LshGuard]]-style occupancy
-    * cap on (chunk, cval) over distinct fps bounds the candidate work at
-    * `maxBucket`² per bucket (`maxBucket <= 0` disables). The cap can
-    * drop cross-fp recall in a degenerate bucket (the documented LshGuard
-    * trade) but NEVER same-fp pairs: exact duplicates bypass the blocked
-    * join entirely.
+    * fingerprints landing in one bucket — a RELATIVE occupancy cap on
+    * (chunk, cval) over distinct fps drops buckets that are both above
+    * `maxBucket` and [[HammingHotFactor]]× their chunk's average
+    * occupancy (`maxBucket <= 0` disables; see [[hammingNearFpPairs]] for
+    * why the absolute LshGuard form would fire on healthy volume here).
+    * The cap can drop cross-fp recall in a degenerate bucket (the
+    * documented trade) but NEVER same-fp pairs: exact duplicates bypass
+    * the blocked join entirely.
     *
     * Output: symmetric (a_id, b_id, a_fp, b_fp) rows, a_id ≠ b_id, both
     * directions (callers keep one direction with `a_id < b_id` or count
@@ -834,14 +836,38 @@ object DedupOps {
     * aggregate cluster sizes over these pairs instead of materializing
     * the id-level expansion — a c-member duplicate cluster contributes
     * one row here, not c² rows.
+    *
+    * The occupancy cap here is RELATIVE, unlike [[LshGuard]]'s absolute
+    * form: a bucket drops only when it holds BOTH more than `maxBucket`
+    * distinct fps AND more than [[HammingHotFactor]]× its chunk's average
+    * occupancy. The pigeonhole key space is tiny (7-bit chunk values at
+    * maxHamming=8 → 128 buckets per chunk), so ordinary corpus VOLUME
+    * saturates an absolute cap — 2M distinct dHashes average ~15k per
+    * bucket on healthy data, and an absolute 10k cap would silently drop
+    * every bucket and destroy near-dup recall. Degeneracy relative to the
+    * corpus's own average is what marks a boilerplate cluster; uniform
+    * volume raises the average with the buckets and never fires the cap.
+    * Both aggregates run over distinct-fp chunk rows (tiny, lazy).
     */
+  private[graft] val HammingHotFactor = 16.0
+
   private[graft] def hammingNearFpPairs(distinctFps: DataFrame,
       maxHamming: Int, maxBucket: Int): DataFrame = {
     val chunkedAll = hammingChunkRows(
       distinctFps.select(col("fp").as("id"), col("fp")), maxHamming)
       .select(col("fp"), col("chunk"), col("cval"))
-    val chunked = LshGuard.dropHotBuckets(chunkedAll, maxBucket,
-      bandCol = "chunk", keyCol = "cval")
+    val chunked =
+      if (maxBucket <= 0) chunkedAll
+      else {
+        val counts = chunkedAll.groupBy(col("chunk"), col("cval"))
+          .agg(count(lit(1)).as("__bsz"))
+        val chunkAvg = counts.groupBy(col("chunk")).agg(avg(col("__bsz")).as("__avg"))
+        val hot = counts.join(chunkAvg, Seq("chunk"))
+          .filter(col("__bsz") > maxBucket &&
+            col("__bsz") > col("__avg") * lit(HammingHotFactor))
+          .select(col("chunk"), col("cval"))
+        chunkedAll.join(broadcast(hot), Seq("chunk", "cval"), "left_anti")
+      }
     val l = chunked.select(col("chunk"), col("cval"), col("fp").as("a_fp"))
     val r = chunked.select(col("chunk").as("chunk_r"), col("cval").as("cval_r"),
       col("fp").as("b_fp"))

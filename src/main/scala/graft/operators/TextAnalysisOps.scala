@@ -203,20 +203,24 @@ object TextAnalysisOps {
   }
 
   /** `q_term_heavyhitters_stored`: the head of the MAINTAINED sketch.
-    * Same saturation guard as the live fixture: the stored sketch faces
-    * the exact DuckDB oracle, so any evicted entry (err > 0) raises
-    * loudly instead of silently hash-mismatching.
+    * Same saturation guard as the live fixture — applied to EVERY stored
+    * entry BEFORE the top-k cut (the guard rides the ordering column, so
+    * the sort evaluates it for all rows; an evicted entry ranked below
+    * the emitted head must still raise, or saturation would surface as a
+    * silent oracle hash-mismatch).
     */
   def heavyHittersStoredFixture(spark: SparkSession, dir: String,
       topK: Int = 15): DataFrame = {
     val (db, name) = ensureTermSketch(spark, dir)
-    graft.sources.CatalogOps.heavyHittersStored(spark, db, name, topK)
+    spark.table(s"`$db`.`${name}__termsketch`")
+      .filter(col("term").isNotNull) // skip the empty-state watermark sentinel
       .select(col("term"),
-        when(col("err") === 0L, col("n")).otherwise(raise_error(concat(
+        when(col("err") === 0L, col("count")).otherwise(raise_error(concat(
           lit("stored heavy-hitter sketch saturated (err>0) at term "),
           col("term")))).as("n"),
         col("err"))
       .orderBy(col("n").desc, col("term").asc)
+      .limit(topK)
   }
 
   def tokenCount(spark: SparkSession, dir: String): DataFrame =

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Descending, Expression, GetStructField, Literal, NamedExpression, PosExplode, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Descending, Expression, GetStructField, Literal, NamedExpression, NullsLast, PosExplode, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
@@ -26,11 +26,13 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   *
   * Matches ONLY the exact two-column knn projection (a bigint id and the
   * cosine alias being sorted on, both directions of column order) under a
-  * global `Sort` on that alias DESC with a literal limit — anything else
-  * is left to Catalyst untouched. Null cosine scores (dim-mismatched
-  * vectors) are EXCLUDED from the aggregate's heap, matching KnnOps
-  * semantics; the ORDER BY form would only surface them (NULLS LAST) when
-  * the corpus has fewer than k valid candidates.
+  * global `Sort` on that alias DESC NULLS LAST (the DESC default; a
+  * NULLS FIRST sort is never rewritten — its answer leads with the null
+  * rows the aggregate skips) with a literal limit — anything else is left
+  * to Catalyst untouched. Null cosine scores (dim-mismatched vectors) and
+  * null ids are EXCLUDED from the aggregate's heap, matching KnnOps
+  * semantics; the ORDER BY form would surface them only when the corpus
+  * has fewer than k valid candidates.
   *
   * Ordering contract: the aggregate's single output row carries the array
   * already sorted (score DESC, id ASC) and posexplode preserves element
@@ -40,9 +42,12 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 object CosineTopKRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // NullsLast only (the DESC default): under NULLS FIRST the null-scored
+    // rows lead the stock result, and the aggregate — which skips nulls —
+    // would return different rows; that shape is left untouched.
     case gl @ GlobalLimit(Literal(k: Int, IntegerType),
         LocalLimit(Literal(k2: Int, IntegerType),
-          Sort(Seq(SortOrder(scoreAttr: Attribute, Descending, _, _)), true,
+          Sort(Seq(SortOrder(scoreAttr: Attribute, Descending, NullsLast, _)), true,
             Project(projectList, child), _)))
         if k == k2 && k > 0 && projectList.size == 2 =>
       rewrite(k, scoreAttr, projectList, child).getOrElse(gl)

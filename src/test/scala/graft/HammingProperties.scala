@@ -62,30 +62,52 @@ object HammingProperties extends Properties("graft.operators.HammingNearPairs") 
       got == expect
     }
 
-  property("occupancy cap never drops same-fp (hamming-0) pairs") =
-    forAll(Gen.choose(3, 12), Gen.long) { (c, base) =>
+  property("relative occupancy cap: fires on a degenerate near-identical cluster, never drops same-fp pairs") =
+    forAll(Gen.choose(3, 8), Gen.long) { (c, base0) =>
       import spark.implicits._
-      // two distinct fps 1 bit apart: every shared (chunk, cval) bucket
-      // holds BOTH distinct fps, so cap=1 fires and kills the cross-fp
-      // candidate — but the exact duplicates of each fp must all survive
-      // (they bypass the blocked join entirely)
-      val rows = (0 until c).map(i => (i.toLong, base)) ++
-        (0 until c).map(i => ((100 + i).toLong, base ^ 1L))
+      val base = base0 | 1024L // keep the low 10 bits from cancelling a flip
+      // c exact copies of base + 1000 near-identical DISTINCT variants
+      // (low-bit flips → only chunk 0 differs, so chunks 1-3 each hold one
+      // 1001-member bucket) + 50 scattered fps. The variant buckets exceed
+      // both the absolute floor (100) and 16× the chunk average (~20), so
+      // the cap FIRES and the cross-fp variant pairs drop — but every
+      // hamming-0 pair of the exact copies must survive (same-fp pairs
+      // bypass the blocked join), and nothing outside the truth appears.
+      val variants = (1 to 1000).map(i => ((10000 + i).toLong, base ^ i.toLong))
+      val scattered = (0 until 50).map { i =>
+        ((50000 + i).toLong, base ^ (1L << (16 + (i % 40))) ^ (1L << (30 + (i % 30))))
+      }
+      val rows = (0 until c).map(i => (i.toLong, base)) ++ variants ++ scattered
       val got = graft.operators.DedupOps
-        .hammingNearPairs(rows.toDF("id", "fp"), 3, maxBucket = 1)
+        .hammingNearPairs(rows.toDF("id", "fp"), 3, maxBucket = 100)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val sameA = (for {
+      val same = (for {
         a <- 0 until c; b <- 0 until c; if a != b
       } yield (a.toLong, b.toLong)).toSet
-      val sameB = (for {
-        a <- 0 until c; b <- 0 until c; if a != b
-      } yield ((100 + a).toLong, (100 + b).toLong)).toSet
-      // capped run must still contain every same-fp pair, and nothing
-      // outside the uncapped truth (cross pairs here are hamming-1, legal)
       val truth = (for {
         (aId, aFp) <- rows; (bId, bFp) <- rows
         if aId != bId && java.lang.Long.bitCount(aFp ^ bFp) <= 3
       } yield (aId, bId)).toSet
-      (sameA ++ sameB).subsetOf(got) && got.subsetOf(truth)
+      same.subsetOf(got) && got.subsetOf(truth) && (truth -- got).nonEmpty
+    }
+
+  property("relative cap never fires on healthy uniform volume above the absolute floor") =
+    forAll(Gen.choose(1L, Long.MaxValue)) { seed =>
+      import spark.implicits._
+      // 600 uniform random fps at maxHamming=8 (128-value chunks): every
+      // bucket holds ~5 fps — far above an absolute cap of 2 but well
+      // inside 16× the chunk average, so NOTHING drops and recall stays
+      // exact. (The pre-fix absolute rule dropped every bucket here and
+      // silently returned only exact duplicates.)
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 600).map(i => (i.toLong, rnd.nextLong()))
+      val got = graft.operators.DedupOps
+        .hammingNearPairs(rows.toDF("id", "fp"), 8, maxBucket = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = (for {
+        (aId, aFp) <- rows; (bId, bFp) <- rows
+        if aId != bId && java.lang.Long.bitCount(aFp ^ bFp) <= 8
+      } yield (aId, bId)).toSet
+      got == truth
     }
 }
