@@ -72,6 +72,12 @@ object SparkEntry {
     // the MAINTAINED vector: create(2 rounds) + warm-start refresh(1),
     // served from the store — exact trajectory ⇒ SAME oracle as cold(3)
     "q_link_pagerank_stored" -> ((s, d) => LinkOps.pageRankStoredFixture(s, d)),
+    // anchor-text aggregation over the same edge graph (document expansion)
+    "q_link_anchors" -> ((s, d) => LinkOps.linkAnchors(s, d)),
+    // incremental re-crawl diff by content hash (added/changed/removed)
+    "q_crawl_delta"    -> ((s, d) => FrontierOps.crawlDelta(s, d)),
+    // next-cycle fetch schedule: staleness priority, per-host politeness cap
+    "q_crawl_frontier" -> ((s, d) => FrontierOps.crawlFrontier(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
@@ -330,7 +336,8 @@ object SparkEntry {
     "q_knn_mmr", "q_text_phrase", "q_text_phrase_indexed", "q_text_phrase_batch", "q_text_phrase_filtered", "q_text_near", "q_text_near_indexed",
     "q_mine_hardneg", "q_mine_hardneg_indexed", "q_mine_pairs", "q_eval_rank", "q_eval_rank_macro", "q_eval_rank_indexed", "q_link_pagerank", "q_link_pagerank_stored",
     "q_decontaminate", "q_pack_sequences", "q_domain_mix", "q_domain_mix_temp", "q_curate_e2e",
-    "q_url_canonical", "q_url_dedup")
+    "q_url_canonical", "q_url_dedup",
+    "q_crawl_delta", "q_crawl_frontier", "q_link_anchors")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -729,6 +736,46 @@ object SparkEntry {
          |FROM per""".stripMargin,
     "q_link_pagerank" -> pageRankOracleSql,
     "q_link_pagerank_stored" -> pageRankOracleSql,
+    "q_link_anchors" ->
+      s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
+         |e AS (
+         |  SELECT d.doc_id AS src,
+         |         (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n AS dst
+         |  FROM documents d CROSS JOIN n CROSS JOIN ks
+         |  WHERE (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n <> d.doc_id),
+         |a AS (SELECT e.dst, list(substr(d.text, 1, 24) ORDER BY e.src) AS l
+         |      FROM e JOIN documents d ON e.src = d.doc_id GROUP BY e.dst)
+         |SELECT dst AS doc_id, CAST(len(l) AS BIGINT) AS in_degree,
+         |       array_to_string(l[1:3], ' | ') AS top_anchors
+         |FROM a ORDER BY doc_id ASC""".stripMargin,
+    "q_crawl_delta" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 13 = 0 THEN substr(text, 1, 10) ELSE text END) AS old_hash
+        |  FROM documents WHERE doc_id % 11 <> 3),
+        |neu AS (SELECT doc_id, md5(text) AS new_hash FROM documents WHERE doc_id % 17 <> 5)
+        |SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+        |       CASE WHEN old.doc_id IS NULL THEN 'added'
+        |            WHEN neu.doc_id IS NULL THEN 'removed'
+        |            WHEN old_hash <> new_hash THEN 'changed' END AS change,
+        |       old_hash, new_hash
+        |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+        |WHERE old.doc_id IS NULL OR neu.doc_id IS NULL OR old_hash <> new_hash
+        |ORDER BY doc_id ASC""".stripMargin,
+    "q_crawl_frontier" ->
+      """WITH f AS (
+        |  SELECT source AS host, doc_id,
+        |         CAST((doc_id % 30) * (CASE lang WHEN 'en' THEN 5 WHEN 'fr' THEN 4
+        |                                         WHEN 'es' THEN 3 WHEN 'de' THEN 2 ELSE 1 END)
+        |              + n_chars % 7 AS BIGINT) AS priority
+        |  FROM documents),
+        |r AS (SELECT host, doc_id, priority,
+        |             row_number() OVER (PARTITION BY host ORDER BY priority DESC, doc_id ASC) AS slot
+        |      FROM f)
+        |SELECT host, CAST(slot AS BIGINT) AS slot, doc_id, priority
+        |FROM r WHERE slot <= 8
+        |ORDER BY host ASC, slot ASC""".stripMargin,
     "q_sim_join" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Crawl-cycle planning — the two passes that sit on either side of the
+  * reference's fetch loop (`Crawling.py:13-51` crawls a fixed nav tree
+  * every run, re-downloading every page unconditionally and never deciding
+  * WHAT to crawl next). A production crawler runs both:
+  *
+  *   - [[crawlDelta]] AFTER a crawl: diff the new snapshot against the
+  *     previous one by content hash, so only added/changed pages re-enter
+  *     the pipeline (re-embed, re-index) and removed pages get retired —
+  *     the incremental form of the reference's blanket re-upsert
+  *     (`TencentVDB.py:69-79` overwrites every id every run).
+  *   - [[crawlFrontier]] BEFORE a crawl: score every known URL by expected
+  *     staleness and emit a per-host politeness-capped fetch schedule
+  *     (Cho & Garcia-Molina, "Synchronizing a database to improve
+  *     freshness", SIGMOD 2000 — revisit frequency ∝ change rate).
+  *
+  * Both are deterministic integer/hash arithmetic, DuckDB-oracled.
+  */
+object FrontierOps {
+
+  /** Previous-snapshot synthesis, shared with the oracle SQL: the old
+    * crawl is missing every `doc_id % 11 == 3` page (those arrive as NEW),
+    * and every `doc_id % 13 == 0` page had shorter content last time
+    * (those re-arrive CHANGED). The new crawl is missing every
+    * `doc_id % 17 == 5` page (those were REMOVED since).
+    */
+  private def oldSnapshot(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, substring(col("text"), 1, 10))
+          .otherwise(col("text")).as("text"))
+
+  private def newSnapshot(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 17 =!= 5).select(col("doc_id"), col("text"))
+
+  /** `q_crawl_delta`: incremental re-crawl diff. Each side is reduced to
+    * `(doc_id, md5(text))` BEFORE the join — page bodies never enter the
+    * exchange; what shuffles is id + 32 hex chars per page regardless of
+    * document size. A full outer join on the id then classifies:
+    * left-only = removed, right-only = added, hash mismatch = changed;
+    * unchanged pages (the overwhelming majority of a re-crawl) are
+    * dropped, so downstream re-embedding work is proportional to the
+    * delta, not the corpus. At 100 TB both snapshots are stored bucketed
+    * by doc_id, making this a shuffle-free sort-merge diff.
+    */
+  def crawlDelta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = oldSnapshot(docs)
+      .select(col("doc_id"), md5(col("text")).as("old_hash"))
+    val neu = newSnapshot(docs)
+      .select(col("doc_id"), md5(col("text")).as("new_hash"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(col("doc_id"), col("change"), col("old_hash"), col("new_hash"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Deterministic staleness fixture, shared with the oracle: age since
+    * last fetch cycles over a month (`doc_id % 30` days) and the expected
+    * change rate is a per-language integer weight (news-ish languages
+    * poll faster in the fixture purely to make rates non-uniform).
+    */
+  private def priorityCol: Column = {
+    val rate = when(col("lang") === "en", 5).when(col("lang") === "fr", 4)
+      .when(col("lang") === "es", 3).when(col("lang") === "de", 2).otherwise(1)
+    ((col("doc_id") % 30) * rate + col("n_chars") % 7).cast("long")
+  }
+
+  /** `q_crawl_frontier`: the next fetch schedule — per host (fixture:
+    * `source` is the host), the top `perHostCap` pages by staleness
+    * priority, with the crawl slot number inside the host's queue.
+    * Integer priority = age_days × change_rate + a size jitter term, so
+    * both engines rank identically with no float ties.
+    *
+    * One hash exchange on host, then a per-host rank — the politeness cap
+    * bounds every host's output at `perHostCap` rows, so the result is
+    * hosts × cap regardless of corpus size. A pathological giant host
+    * (one site owning most of the frontier) costs one partition's sort,
+    * the same skew profile as any per-key window; the rank-filter form
+    * lets AQE split the sort while a collect-per-host form would not.
+    */
+  def crawlFrontier(spark: SparkSession, dir: String,
+                    perHostCap: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("source").as("host"), col("doc_id"), priorityCol.as("priority"))
+      .withColumn("slot", row_number().over(w))
+      .filter(col("slot") <= perHostCap)
+      .select(col("host"), col("slot").cast("long").as("slot"),
+        col("doc_id"), col("priority"))
+      .orderBy(col("host").asc, col("slot").asc)
+  }
+}

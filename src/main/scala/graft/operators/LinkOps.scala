@@ -149,6 +149,39 @@ object LinkOps {
     servedRanks(spark, db, name)
   }
 
+  /** `q_link_anchors`: anchor-text aggregation — for every linked-to page,
+    * the in-degree and the first few anchor texts of its in-links, the
+    * classic web-search document-expansion signal (anchor text often
+    * describes the TARGET better than the target's own body; Brin & Page
+    * 1998 §2.2). The fixture graph is [[linkEdges]]; the "anchor" a
+    * source page would use is its own lead text (first 24 chars).
+    *
+    * Scale shape: the anchor prefix is PROJECTED before the join, so the
+    * edges⋈documents exchange carries (src, dst, 24 chars) — never page
+    * bodies. One co-partitioned join on src, one aggregation on dst.
+    * Per-target state is bounded: the sorted in-link array exists only
+    * within the aggregation and is cut to `topAnchors` on emit; a
+    * mega-in-degree page (every crawl has one: the homepage) makes one
+    * group large but never quadratic. Deterministic: anchors ordered by
+    * src id, which is unique within a target's in-link set.
+    */
+  def linkAnchors(spark: SparkSession, dir: String,
+                  fanout: Int = 4, topAnchors: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.select(col("doc_id")).count()
+    val edges = linkEdges(docs.select(col("doc_id")), n, fanout)
+    val anchors = docs.select(col("doc_id").as("src"),
+      substring(col("text"), 1, 24).as("anchor"))
+    edges.join(anchors, Seq("src"))
+      .groupBy(col("dst").as("doc_id"))
+      .agg(array_sort(collect_list(struct(col("src"), col("anchor")))).as("ins"))
+      .select(col("doc_id"),
+        size(col("ins")).cast("long").as("in_degree"),
+        array_join(transform(slice(col("ins"), 1, topAnchors),
+          x => x.getField("anchor")), " | ").as("top_anchors"))
+      .orderBy(col("doc_id").asc)
+  }
+
   private def asRanks(nano: DataFrame): DataFrame =
     nano.select(col("doc_id"),
         round(col("rank_nano").cast("double") / lit(1e9), 6).as("rank"))

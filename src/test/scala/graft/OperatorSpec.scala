@@ -3178,4 +3178,84 @@ class OperatorSpec extends AnyFunSuite {
       assert(s === exp)
     }
   }
+
+  test("crawl delta: classification matches a brute diff of the two snapshots") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // brute-force the fixture's old/new snapshots and their hash diff
+    val expected = docs.keys.flatMap { id =>
+      val inOld = id % 11 != 3
+      val inNew = id % 17 != 5
+      val oldText = if (id % 13 == 0) docs(id).take(10) else docs(id)
+      (inOld, inNew) match {
+        case (false, true) => Some(id -> "added")
+        case (true, false) => Some(id -> "removed")
+        case (true, true) if oldText != docs(id) => Some(id -> "changed")
+        case _ => None
+      }
+    }.toMap
+    val got = FrontierOps.crawlDelta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === expected)
+    // hashes present exactly on the sides that exist
+    FrontierOps.crawlDelta(spark, sf).collect().foreach { r =>
+      r.getString(1) match {
+        case "added"   => assert(r.isNullAt(2) && !r.isNullAt(3))
+        case "removed" => assert(!r.isNullAt(2) && r.isNullAt(3))
+        case "changed" => assert(!r.isNullAt(2) && !r.isNullAt(3) &&
+          r.getString(2) != r.getString(3))
+      }
+    }
+    assert(expected.values.toSet === Set("added", "removed", "changed"),
+      "fixture must exercise all three classes")
+  }
+
+  test("crawl frontier: politeness cap respected, slots dense, priority formula exact") {
+    val rows = FrontierOps.crawlFrontier(spark, sf, perHostCap = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val rate = Map("en" -> 5L, "fr" -> 4L, "es" -> 3L, "de" -> 2L)
+    val prio = docs.map { case (id, _, lang, nc) =>
+      id -> ((id % 30) * rate.getOrElse(lang, 1L) + nc % 7) }.toMap
+    rows.foreach { case (_, _, id, p) => assert(p === prio(id)) }
+    rows.groupBy(_._1).foreach { case (host, hs) =>
+      assert(hs.length <= 8)
+      val hostSize = docs.count(_._2 == host)
+      assert(hs.length === math.min(8, hostSize), s"host $host not filled")
+      assert(hs.map(_._2).sorted.toSeq === (1 to hs.length).map(_.toLong))
+      // slots ordered by descending priority, doc_id tiebreak
+      val bySlot = hs.sortBy(_._2).map(r => (r._4, r._3))
+      assert(bySlot.sameElements(bySlot.sortBy { case (p, id) => (-p, id) }))
+      // nothing outside the schedule beats anything inside it
+      val scheduled = hs.map(_._3).toSet
+      val bestOutside = docs.filter(d => d._2 == host && !scheduled.contains(d._1))
+        .map(d => (prio(d._1), -d._1)).sorted.reverse.headOption
+      val worstInside = bySlot.last
+      bestOutside.foreach { case (p, negId) =>
+        assert(p < worstInside._1 || (p == worstInside._1 && -negId > worstInside._2)) }
+    }
+  }
+
+  test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val n = docs.size.toLong
+    val edges = for {
+      src <- docs.keys.toSeq; k <- 1 to 4
+      dst = (src * LinkOps.EdgeMult + k * LinkOps.EdgeStride) % n
+      if dst != src
+    } yield (src, dst)
+    val expected = edges.groupBy(_._2).map { case (dst, es) =>
+      val anchors = es.map(_._1).sorted.map(s => docs(s).take(24))
+      dst -> (es.length.toLong, anchors.take(3).mkString(" | "))
+    }
+    val got = LinkOps.linkAnchors(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got === expected)
+  }
 }
