@@ -285,6 +285,9 @@ object SparkEntry {
     // ---- §2.F joins ----
     "q_join_hash"      -> ((s, d) => RelOps.joinHash(s, d)),
     "q_join_salted"    -> ((s, d) => RelOps.joinSalted(s, d)),
+    // probe side cut by a deterministic bloom of the selective build side
+    // BEFORE the exchange; no false negatives ⇒ same oracle as plain join
+    "q_join_bloom"     -> ((s, d) => RelOps.joinBloom(s, d)),
     "q_join_broadcast" -> ((s, d) => RelOps.joinBroadcast(s, d)),
     "q_join_semi"      -> ((s, d) => RelOps.joinSemi(s, d)),
     "q_join_anti"      -> ((s, d) => RelOps.joinAnti(s, d)),
@@ -326,7 +329,7 @@ object SparkEntry {
     "q_dedup_embed", "q_dedup_cc", "q_dedup_substring", "q_dedup_substring_trim",
     "q_image_neardup", "q_audio_neardup", "q_dedup_semantic", "q_dedup_semantic_stored",
     "q_text_quality", "q_quality_lr", "q_token_count", "q_term_heavyhitters", "q_term_heavyhitters_stored", "q_bpe_tokens", "q_lm_bigram", "q_multimodal_meta",
-    "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast",
+    "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast", "q_join_bloom",
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
     "q_events_tumbling", "q_events_sessionize",
@@ -1630,6 +1633,12 @@ object SparkEntry {
       """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey ASC""".stripMargin,
+    "q_join_bloom" ->
+      """SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+        |       round(l.l_extendedprice * (1 - l.l_discount), 4) AS rev, o.o_orderdate
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+        |ORDER BY l_orderkey ASC, l_linenumber ASC""".stripMargin,
     "q_join_broadcast" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -134,6 +134,33 @@ object RelOps {
       .orderBy(col("o_orderkey").asc)
   }
 
+  /** Bloom-reduced equi join — same semantics as the plain lineitem⋈orders
+    * join, with the probe side cut by a bloom filter of the SELECTIVE build
+    * side before any exchange ([[graft.functions.BloomFunctions]]). The
+    * build predicate keeps ~6.7% of orders; probe rows for every other
+    * order drop map-side, so the join's shuffle carries the matching
+    * fraction plus < 0.1% false positives instead of the full fact table.
+    * This is the regime where the build side is too big to broadcast but
+    * far smaller than the probe — between Catalyst's broadcast join (build
+    * fits on every executor) and a full shuffle join (nothing known). No
+    * false negatives ⇒ identical result to the unreduced join, which is
+    * exactly what the DuckDB oracle runs.
+    */
+  def joinBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFunctions
+    val build = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val probe = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("rev"))
+    BloomFunctions.bloomReduce(spark, probe, "l_orderkey", build, "o_orderkey")
+      .join(build, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("rev"), col("o_orderdate"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+  }
+
   /** Broadcast join of small dims: region (5 rows) is broadcast explicitly —
     * zero shuffle on the fact side at any scale.
     */

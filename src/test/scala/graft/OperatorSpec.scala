@@ -3240,6 +3240,50 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom reduce: no false negatives, fp rate in bound, reduced join equals plain join") {
+    import spark.implicits._
+    import graft.functions.BloomFunctions
+    // membership law on a synthetic key set: every inserted key passes
+    val keys = (0L until 3000L).map(_ * 2654435761L % 1000003L).distinct
+    val build = keys.toDF("k")
+    val m = BloomFunctions.sizeFor(keys.length.toLong)
+    val words = BloomFunctions.buildBloomWords(build, "k", m)
+    assert(words.length === (m / 64).toInt)
+    val bloomDf = Seq(Tuple1(words)).toDF("__bloom_words")
+    def survivors(probe: Seq[Long]): Seq[Long] =
+      probe.toDF("k").crossJoin(bloomDf)
+        .where(BloomFunctions.mightContain(col("k"), col("__bloom_words"), m))
+        .select("k").collect().map(_.getLong(0)).toSeq
+    assert(survivors(keys).toSet === keys.toSet, "false negative — forbidden")
+    // absent keys: fp rate must sit near the designed ~1e-3 (loose 1%)
+    val absent = (1L to 20000L).map(_ + 2000000L)
+    val fps = survivors(absent).length
+    assert(fps <= absent.length / 100, s"fp rate ${fps.toDouble / absent.length}")
+    // determinism: rebuild over a different partitioning, same words
+    val words2 = BloomFunctions.buildBloomWords(build.repartition(7), "k", m)
+    assert(words.sameElements(words2))
+    // the contract query equals the unreduced join bit-for-bit
+    val got = RelOps.joinBloom(spark, sf).collect()
+    val build2 = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val plain = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("rev"))
+      .join(build2, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("rev"), col("o_orderdate"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+      .collect()
+    assert(got.sameElements(plain))
+    // and the reduction is real: probe survivors ≈ build selectivity + fp
+    val probeAll = graft.sources.Tables.lineitem(spark, sf).select(col("l_orderkey"))
+    val reduced = BloomFunctions.bloomReduce(spark, probeAll, "l_orderkey",
+      build2, "o_orderkey").count()
+    val total = probeAll.count()
+    assert(reduced < total * 0.15, s"probe kept $reduced of $total")
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
