@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness: bloom-reduced vs plain shuffle join in the regime the
+  * reduction targets — `runMain graft.JoinScale [probeRows] [buildKeys] [reps]`.
+  *
+  * Regime: build side too big to broadcast, probe side much bigger still,
+  * build selective (most probe rows match nothing). At 100 TB that is the
+  * id-backjoin shape (retrieved/filtered id set ⋈ full corpus): the plain
+  * plan shuffles the ENTIRE probe side to the join's exchange; the bloom
+  * plan drops non-members map-side first, so the exchange carries only the
+  * matching fraction plus false positives.
+  *
+  * local[32] emulation: auto-broadcast is disabled for the joins under
+  * test (the 100 TB build side is cluster-broadcastable never, GBs wide),
+  * and match rate is a parameter of the synthesized keys. Wall time AND
+  * shuffle-write bytes are reported — on a single box the shuffle is
+  * loopback so the byte ratio is the transferable number, the wall ratio
+  * the local sanity check.
+  */
+object JoinScale {
+
+  /** Sums shuffle write bytes across completed stages. */
+  private final class ShuffleBytesListener extends SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val probeRows = if (args.length > 0) args(0).toLong else 20000000L
+    val buildKeys = if (args.length > 1) args(1).toLong else 2000000L
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spread = if (args.length > 3) args(3).toLong else 10L // keySpace/buildKeys ⇒ 1/spread match rate
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.functions.BloomFunctions
+
+    // Probe: keys uniform over 10× the build key range -> ~10% match rate.
+    // Payload column makes each shuffled probe row cost real bytes.
+    val keySpace = buildKeys * spread
+    val probe = spark.range(probeRows).select(
+      (abs(xxhash64(col("id"))) % keySpace).as("k"),
+      md5(col("id").cast("string")).as("payload"))
+    // Build: distinct scattered keys in [0, buildKeys) plus a value column.
+    val build = spark.range(buildKeys).select(
+      col("id").as("bk"), (col("id") * 37L % 1000L).as("bv"))
+
+    // The aggregate CONSUMES the payload: under a bare count() Catalyst
+    // prunes every non-key column out of the join's exchange and the plain
+    // plan shuffles 8-byte keys — measured here first, 123 MB plain vs
+    // 126 MB bloom, a wash. The 100 TB backjoin exists to FETCH columns,
+    // so the honest probe carries them through the shuffle.
+    def joined(p: DataFrame): DataFrame =
+      p.join(build, col("k") === col("bk"))
+        .agg(count(lit(1)).as("n"), sum(length(col("payload")) + col("bv")).as("chk"))
+
+    def timed(label: String)(mk: => DataFrame): Unit = {
+      val listener = new ShuffleBytesListener
+      spark.sparkContext.addSparkListener(listener)
+      var best = Double.MaxValue
+      var rows = -1L
+      (1 to reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        rows = mk.collect()(0).getLong(0)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      val mb = listener.bytes.get() / 1e6 / reps
+      println(f"$label%-14s best=$best%7.2f s  rows=$rows%,d  shuffle=$mb%,.0f MB/rep")
+    }
+
+    println(s"probe=$probeRows build=$buildKeys keySpace=$keySpace reps=$reps")
+    timed("plain") { joined(probe) }
+    timed("bloom") {
+      joined(BloomFunctions.bloomReduce(spark, probe, "k", build.select(col("bk")), "bk"))
+    }
+    // The floor: an exact pre-computed semi-join reduction (what the bloom
+    // approximates without the extra shuffle it would cost).
+    timed("exact-semi") {
+      joined(probe.join(build.select(col("bk")), col("k") === col("bk"), "left_semi"))
+    }
+    spark.stop()
+  }
+}
