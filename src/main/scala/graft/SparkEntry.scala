@@ -275,6 +275,9 @@ object SparkEntry {
     "q_approx_distinct"  -> ((s, d) => RelOps.approxDistinct(s, d)),
     "q_grouping_sets"    -> ((s, d) => RelOps.groupingSets(s, d)),
     "q_percentile"       -> ((s, d) => RelOps.percentiles(s, d)),
+    // exact order statistics via iterative histogram refinement — the
+    // bounded-memory scale path (`percentile` buffers whole groups)
+    "q_quantile_exact"   -> ((s, d) => RelOps.quantileExact(s, d)),
     "q_histogram"        -> ((s, d) => RelOps.histogram(s, d)),
     "q_tpch_q1"          -> ((s, d) => RelOps.pricingSummary(s, d)),
     "q_tpch_q3"          -> ((s, d) => RelOps.shippingPriority(s, d)),
@@ -330,6 +333,7 @@ object SparkEntry {
     "q_image_neardup", "q_audio_neardup", "q_dedup_semantic", "q_dedup_semantic_stored",
     "q_text_quality", "q_quality_lr", "q_token_count", "q_term_heavyhitters", "q_term_heavyhitters_stored", "q_bpe_tokens", "q_lm_bigram", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast", "q_join_bloom",
+    "q_quantile_exact",
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
     "q_events_tumbling", "q_events_sessionize",
@@ -1558,6 +1562,19 @@ object SparkEntry {
         |       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
         |       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus ASC""".stripMargin,
+    // the oracle derives the lower order statistic from first principles
+    // (row_number against ⌊p·(n−1)⌋) rather than trusting quantile_disc's
+    // rank convention to coincide
+    "q_quantile_exact" ->
+      """WITH n AS (SELECT count(*) AS c FROM orders),
+        |s AS (SELECT o_totalprice AS v,
+        |             row_number() OVER (ORDER BY o_totalprice) AS rn
+        |      FROM orders),
+        |q(p) AS (VALUES (0.25), (0.5), (0.75), (0.95))
+        |SELECT CAST(q.p AS DOUBLE) AS p, s.v
+        |FROM q CROSS JOIN n
+        |JOIN s ON s.rn = CAST(floor(q.p * (n.c - 1)) AS BIGINT) + 1
+        |ORDER BY p ASC""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket, count(*) AS n
         |FROM orders GROUP BY bucket ORDER BY bucket ASC""".stripMargin,

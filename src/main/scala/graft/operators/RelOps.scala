@@ -382,6 +382,96 @@ object RelOps {
         round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
       .orderBy(col("o_orderstatus").asc)
 
+  /** EXACT order statistics without a global sort — iterative histogram
+    * refinement (the classic distributed selection algorithm). Spark's
+    * `percentile` is exact but materializes every group's values into one
+    * aggregation buffer (per-group memory ∝ rows — a 100 TB column does
+    * not fit), and `approx_percentile` trades exactness away. This is the
+    * third point in that design space: exact AND bounded-memory.
+    *
+    * Per round, one distributed job: bucket the current interval into
+    * `buckets` equi-width bins, `groupBy(bin).agg(count, min, max)` —
+    * partial-agg shuffles ≤ buckets rows per partition, and only the
+    * `buckets`-row histogram reaches the driver (model-sized, the LR/
+    * k-means budget class). The driver walks the cumulative counts to the
+    * bin holding the target rank and recurses into it, using that bin's
+    * OBSERVED min/max as the next interval — derived from the same bucket
+    * expression that counted it, so no float-boundary mismatch is
+    * possible (bucket assignment is monotone in v, hence the value
+    * interval [min_b, max_b] is exactly bin b's row set). Each round
+    * divides the candidate count by ~buckets: 10¹² rows converge in ≤ 4
+    * rounds at 1024 bins; heavy duplicate values collapse to lo == hi
+    * and return immediately. The endgame (≤ `exactThreshold` candidates,
+    * or `maxIters` stall from denormal-width intervals) is a bounded-heap
+    * `orderBy.limit(rank+1)` — TakeOrderedAndProject, never a full sort.
+    *
+    * Rank semantics: the lower order statistic, rank = ⌊p·(n−1)⌋
+    * 0-indexed — always an actual data value (ties well-defined: the
+    * multiset's k-th smallest is unique even when row_number isn't).
+    */
+  def quantileExactOn(base0: DataFrame, valueCol: String, ps: Seq[Double],
+                      buckets: Int = 1024, exactThreshold: Long = 65536,
+                      maxIters: Int = 16): Seq[(Double, Double)] = {
+    val base = base0.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val head = base.agg(count(lit(1)).as("n"), min(col("v")), max(col("v"))).collect()(0)
+    val n = head.getLong(0)
+    require(n > 0, "quantileExactOn: empty input")
+    ps.map { p =>
+      require(p >= 0.0 && p <= 1.0, s"quantile out of range: $p")
+      var rank = math.floor(p * (n - 1)).toLong
+      var lo = head.getDouble(1)
+      var hi = head.getDouble(2)
+      var cnt = n
+      var it = 0
+      var ans = Double.NaN
+      var done = false
+      while (!done) {
+        if (lo == hi) { ans = lo; done = true }
+        else if (cnt <= exactThreshold || it >= maxIters) {
+          require(rank + 1 <= Int.MaxValue, "rank too large for exact endgame")
+          ans = base.where(col("v") >= lo && col("v") <= hi)
+            .orderBy(col("v").asc).limit((rank + 1).toInt)
+            .agg(max(col("v"))).collect()(0).getDouble(0)
+          done = true
+        } else {
+          val w = (hi - lo) / buckets
+          val bin = least(floor((col("v") - lit(lo)) / lit(w)), lit(buckets - 1L)).cast("long")
+          val hist = base.where(col("v") >= lo && col("v") <= hi)
+            .groupBy(bin.as("b"))
+            .agg(count(lit(1)).as("c"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+            .collect()
+            .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+            .toMap
+          var cum = 0L
+          var b = 0L
+          while (cum + hist.get(b).map(_._1).getOrElse(0L) <= rank) {
+            cum += hist.get(b).map(_._1).getOrElse(0L); b += 1
+          }
+          val (bc, bmn, bmx) = hist(b)
+          rank -= cum
+          // No progress is possible only when double resolution is
+          // exhausted inside the bin; the min==max check above or the
+          // maxIters endgame terminates that case.
+          lo = bmn; hi = bmx; cnt = bc; it += 1
+        }
+      }
+      p -> ans
+    }
+  }
+
+  /** Contract surface for [[quantileExactOn]]: exact discrete quantiles of
+    * the order totals. Same shape as [[percentiles]] but the DISCRETE
+    * (lower-order-statistic) definition and the scale plan — no per-group
+    * value buffer, no global sort.
+    */
+  def quantileExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    quantileExactOn(Tables.orders(spark, dir), "o_totalprice",
+      Seq(0.25, 0.5, 0.75, 0.95))
+      .toDF("p", "v").orderBy(col("p").asc)
+  }
+
   /** Fixed-width histogram: floor-binning is a pure projection, the count a
     * standard partial-agg — the profile query of a data-quality pass.
     */

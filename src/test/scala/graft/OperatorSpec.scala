@@ -3284,6 +3284,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(reduced < total * 0.15, s"probe kept $reduced of $total")
   }
 
+  test("exact quantile refinement equals the sorted-array order statistic") {
+    import spark.implicits._
+    // Forced multi-round refinement: tiny bins + tiny exact threshold on a
+    // mix of a continuous ramp, a heavy duplicate spike (40% one value),
+    // and negative values. Seeded PRNG — deterministic.
+    val rnd = new scala.util.Random(42)
+    val vals = Seq.fill(5000) {
+      val u = rnd.nextDouble()
+      if (u < 0.4) 123.456 else rnd.nextDouble() * 2000.0 - 500.0
+    }
+    val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    val got = RelOps.quantileExactOn(vals.toDF("x"), "x", ps,
+      buckets = 8, exactThreshold = 10, maxIters = 32).toMap
+    val sorted = vals.sorted
+    ps.foreach { p =>
+      val want = sorted(math.floor(p * (vals.length - 1)).toInt)
+      assert(got(p) === want, s"p=$p")
+    }
+    // Degenerate: all values identical collapses via lo == hi, no endgame
+    val const = Seq.fill(100)(7.5).toDF("x")
+    assert(RelOps.quantileExactOn(const, "x", Seq(0.5)).head._2 === 7.5)
+    // Pathologically narrow range (sub-ulp spreads) must still terminate
+    val tight = Seq.tabulate(200)(i => 1.0 + i * 1e-16).toDF("x")
+    val t50 = RelOps.quantileExactOn(tight, "x", Seq(0.5),
+      buckets = 4, exactThreshold = 2, maxIters = 3).head._2
+    val tsorted = Seq.tabulate(200)(i => 1.0 + i * 1e-16).sorted
+    assert(t50 === tsorted(math.floor(0.5 * 199).toInt))
+    // Contract query agrees with a brute in-Spark sort at the fixture
+    val fixture = RelOps.quantileExact(spark, sf).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val all = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_totalprice").cast("double")).collect().map(_.getDouble(0)).sorted
+    Seq(0.25, 0.5, 0.75, 0.95).foreach { p =>
+      assert(fixture(p) === all(math.floor(p * (all.length - 1)).toInt), s"fixture p=$p")
+    }
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
