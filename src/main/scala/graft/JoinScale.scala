@@ -23,18 +23,36 @@ import org.apache.spark.sql.functions._
   */
 object JoinScale {
 
-  /** Sums shuffle write bytes across completed stages. */
+  /** Sums shuffle write bytes across completed stages, and tracks the
+    * straggler signal: the longest single task vs the mean, over tasks
+    * that READ shuffle data (reducers — where a hot key lands).
+    */
   private final class ShuffleBytesListener extends SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sumTaskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val nTasks = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
       bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      te.taskMetrics match {
+        case null => ()
+        case m if m.shuffleReadMetrics.recordsRead > 0 =>
+          val ms = m.executorRunTime
+          maxTaskMs.getAndAccumulate(ms, math.max(_, _))
+          sumTaskMs.addAndGet(ms)
+          nTasks.incrementAndGet()
+        case _ => ()
+      }
   }
 
   def main(args: Array[String]): Unit = {
-    val probeRows = if (args.length > 0) args(0).toLong else 20000000L
-    val buildKeys = if (args.length > 1) args(1).toLong else 2000000L
-    val reps = if (args.length > 2) args(2).toInt else 3
-    val spread = if (args.length > 3) args(3).toLong else 10L // keySpace/buildKeys ⇒ 1/spread match rate
+    val skewMode = args.headOption.contains("skew")
+    val num = if (skewMode) args.drop(1) else args
+    val probeRows = if (num.length > 0) num(0).toLong else 20000000L
+    val buildKeys = if (num.length > 1) num(1).toLong else 2000000L
+    val reps = if (num.length > 2) num(2).toInt else 3
+    val spread = if (num.length > 3) num(3).toLong else 10L // keySpace/buildKeys ⇒ 1/spread match rate
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -75,7 +93,50 @@ object JoinScale {
       }
       spark.sparkContext.removeSparkListener(listener)
       val mb = listener.bytes.get() / 1e6 / reps
-      println(f"$label%-14s best=$best%7.2f s  rows=$rows%,d  shuffle=$mb%,.0f MB/rep")
+      val maxMs = listener.maxTaskMs.get()
+      val meanMs = if (listener.nTasks.get() > 0)
+        listener.sumTaskMs.get() / listener.nTasks.get() else 0L
+      val straggle = if (meanMs > 0) maxMs.toDouble / meanMs else 0.0
+      println(f"$label%-14s best=$best%7.2f s  rows=$rows%,d  shuffle=$mb%,.0f MB/rep" +
+        f"  maxTask=$maxMs%,d ms  straggle=$straggle%.1fx")
+    }
+
+    if (skewMode) {
+      // Planted-skew mode: `runMain graft.JoinScale skew [probeRows] [buildKeys]`
+      // 30% of probe rows carry ONE key; the rest spread uniformly. Plain
+      // shuffle join ⇒ one reducer owns 30% of the table. Compared: AQE's
+      // adaptive skew split (sort-merge only), blanket salting (join
+      // [[RelOps.joinSalted]] shape: build replicated S× wholesale), and
+      // the targeted hot-key salt ([[RelOps.joinHotSalted]]).
+      val pr = probeRows
+      val bk = buildKeys
+      val skProbe = spark.range(pr).select(
+        col("id").as("rid"),
+        when(col("id") % 10 < 3, lit(7L))
+          .otherwise(abs(xxhash64(col("id"))) % bk).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val skBuild = spark.range(bk).select(
+        col("id").as("bk"), (col("id") * 37L % 1000L).as("bv"))
+      def agg(df: org.apache.spark.sql.DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n"), sum(length(col("payload")) + col("bv")).as("chk"))
+      println(s"SKEW probe=$pr build=$bk hotShare=30% reps=$reps")
+      timed("plain-aqe") { agg(skProbe.join(skBuild, col("k") === col("bk"))) }
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      timed("plain-noaqe") { agg(skProbe.join(skBuild, col("k") === col("bk"))) }
+      timed("salt-blanket") {
+        val s = 16
+        val p = skProbe.withColumn("salt", pmod(xxhash64(col("rid")), lit(s.toLong)))
+        val b = skBuild.withColumn("salt", explode(sequence(lit(0L), lit(s.toLong - 1))))
+        agg(p.join(b, p("k") === b("bk") && p("salt") === b("salt")))
+      }
+      timed("salt-hotkeys") {
+        agg(graft.operators.RelOps.joinHotSalted(
+          skProbe, "k", "rid", skBuild, "bk",
+          hotThreshold = pr / 1000, saltFactor = 16))
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.stop()
+      return
     }
 
     println(s"probe=$probeRows build=$buildKeys keySpace=$keySpace reps=$reps")

@@ -288,6 +288,11 @@ object SparkEntry {
     // ---- §2.F joins ----
     "q_join_hash"      -> ((s, d) => RelOps.joinHash(s, d)),
     "q_join_salted"    -> ((s, d) => RelOps.joinSalted(s, d)),
+    // salt only measured-hot keys (blanket salting replicates the whole
+    // build side); same semantics as the plain join ⇒ same-oracle class
+    "q_join_skew"      -> ((s, d) => RelOps.joinSkew(s, d)),
+    // the planning query you run before committing to a shuffle key
+    "q_key_skew"       -> ((s, d) => RelOps.keySkew(s, d)),
     // probe side cut by a deterministic bloom of the selective build side
     // BEFORE the exchange; no false negatives ⇒ same oracle as plain join
     "q_join_bloom"     -> ((s, d) => RelOps.joinBloom(s, d)),
@@ -1650,6 +1655,19 @@ object SparkEntry {
       """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey ASC""".stripMargin,
+    "q_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |t AS (SELECT count(*) AS total FROM events)
+        |SELECT user_id, cnt, cnt * 1000000 // total AS share_ppm,
+        |       (cnt * 32 + total - 1) // total AS rec_salt
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, user_id ASC LIMIT 10""".stripMargin,
+    "q_join_skew" ->
+      """WITH u AS (SELECT user_id AS u_id, count(*) AS u_events
+        |           FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.value, u.u_events
+        |FROM events e JOIN u ON e.user_id = u.u_id
+        |ORDER BY event_id ASC""".stripMargin,
     "q_join_bloom" ->
       """SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
         |       round(l.l_extendedprice * (1 - l.l_discount), 4) AS rev, o.o_orderdate

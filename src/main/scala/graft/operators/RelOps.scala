@@ -134,6 +134,89 @@ object RelOps {
       .orderBy(col("o_orderkey").asc)
   }
 
+  /** Key-skew profile — the planning query you run BEFORE committing a
+    * shuffle on a key at 100 TB. Per-key counts partial-agg map-side; the
+    * one-row total rides a broadcast cross join (NOT a window — a window
+    * computing the total would single-partition every distinct key); the
+    * report is a bounded-heap top-k. `share_ppm` is the key's traffic
+    * share in integer parts-per-million and `rec_salt` the salt factor
+    * that levels the key across `partitions` reducers — both integer
+    * arithmetic (`div`), engine-exact. The exact-count form is itself a
+    * shuffle over distinct keys; when even that is too much, the
+    * SpaceSaving sketch ([[graft.plans.SpaceSavingAggregate]]) answers the
+    * same question in one pass with m-entry state (over-estimates only —
+    * harmless here, extra salting is benign).
+    */
+  def keySkewOn(df: DataFrame, keyCol: String, topK: Int,
+                partitions: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col(keyCol), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm"),
+        expr(s"(cnt * $partitions + total - 1) div total").as("rec_salt"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(topK)
+  }
+
+  /** Contract surface: the ten heaviest event users and their salt plan. */
+  def keySkew(spark: SparkSession, dir: String): DataFrame =
+    keySkewOn(Tables.events(spark, dir), "user_id", topK = 10, partitions = 32)
+
+  /** Targeted hot-key salted join — [[joinSalted]] replicates the ENTIRE
+    * build side S×, which multiplies the build shuffle by S whether or not
+    * a key is hot. This form salts ONLY measured-hot keys: a first
+    * partial-agg pass finds keys above `hotThreshold` (bounded output —
+    * at most n/threshold keys — and broadcast back, never collected);
+    * probe rows for hot keys take a deterministic salt from `saltSrcCol`
+    * (any per-row column works: a retried task re-derives the same salt,
+    * and correctness never depends on WHICH salt a row takes since the
+    * build side carries all of them); build rows for hot keys explode S×;
+    * everything else joins salt-0 unreplicated. The join output is
+    * EXACTLY the plain join's. This is the insurance for the cases AQE's
+    * skew-join can't reach: shuffled-hash joins, aggregation-feeding
+    * shuffles, and single-key partitions a size-split can't separate.
+    */
+  def joinHotSalted(probe: DataFrame, probeKey: String, saltSrcCol: String,
+                    build: DataFrame, buildKey: String,
+                    hotThreshold: Long, saltFactor: Int): DataFrame = {
+    require(saltFactor >= 2, s"saltFactor must be >= 2, got $saltFactor")
+    val hot = probe.groupBy(col(probeKey)).agg(count(lit(1)).as("__hc"))
+      .where(col("__hc") > hotThreshold)
+      .select(col(probeKey).as("__hot_key"))
+    val p = probe.join(broadcast(hot), col(probeKey) === col("__hot_key"), "left")
+      .withColumn("__psalt",
+        when(col("__hot_key").isNotNull,
+          pmod(xxhash64(col(saltSrcCol)), lit(saltFactor.toLong)))
+          .otherwise(lit(0L)))
+      .drop("__hot_key")
+    val b = build.join(broadcast(hot), col(buildKey) === col("__hot_key"), "left")
+      .withColumn("__bsalt",
+        explode(when(col("__hot_key").isNotNull,
+          sequence(lit(0L), lit(saltFactor.toLong - 1)))
+          .otherwise(array(lit(0L)))))
+      .drop("__hot_key")
+    p.join(b, p(probeKey) === b(buildKey) && col("__psalt") === col("__bsalt"))
+      .drop("__psalt", "__bsalt")
+  }
+
+  /** Contract surface for [[joinHotSalted]]: enrich events with a per-user
+    * aggregate (the classic fact ⋈ derived-dim self-shape where one viral
+    * user would otherwise pin a reducer). Threshold 60 puts most fixture
+    * users on the salted path, so both branches are oracle-exercised.
+    */
+  def joinSkew(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("u_id"))
+      .agg(count(lit(1)).as("u_events"))
+    joinHotSalted(ev, "user_id", "event_id", users, "u_id",
+        hotThreshold = 60L, saltFactor = 4)
+      .select(col("event_id"), col("user_id"), col("value"), col("u_events"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** Bloom-reduced equi join — same semantics as the plain lineitem⋈orders
     * join, with the probe side cut by a bloom filter of the SELECTIVE build
     * side before any exchange ([[graft.functions.BloomFunctions]]). The

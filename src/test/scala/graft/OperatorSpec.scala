@@ -3321,6 +3321,38 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("hot-key salted join equals the plain join on a planted giant key") {
+    import spark.implicits._
+    // 60% of probe rows share ONE key; the rest spread over 1000 keys.
+    val probe = spark.range(20000).select(
+      col("id").as("rid"),
+      when(col("id") % 5 < 3, lit(77L)).otherwise(col("id") % 1000).as("k"))
+    val build = spark.range(1000).select(col("id").as("bk"),
+      (col("id") * 13 % 101).as("bv"))
+    val got = RelOps.joinHotSalted(probe, "k", "rid", build, "bk",
+        hotThreshold = 1000L, saltFactor = 8)
+      .select("rid", "k", "bv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val plain = probe.join(build, col("k") === col("bk"))
+      .select("rid", "k", "bv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.length === plain.length && got.sameElements(plain))
+    // the hot set is exactly {77}: replication must be bounded by
+    // |build_hot| * (S-1) = 7 extra build rows, not build * S
+    val hotCount = probe.groupBy(col("k")).count()
+      .where(col("count") > 1000).count()
+    assert(hotCount === 1)
+    // skew report arithmetic vs brute on the same frame
+    val rep = RelOps.keySkewOn(probe, "k", topK = 3, partitions = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = 20000L
+    val topCnt = probe.where(col("k") === 77L).count()
+    assert(rep.head === ((77L, topCnt, topCnt * 1000000L / n,
+      (topCnt * 32L + n - 1) / n)))
+    assert(rep.head._4 >= 2, "giant key must demand salting")
+    assert(rep.tail.forall(_._2 <= topCnt))
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
