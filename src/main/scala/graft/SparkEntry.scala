@@ -293,6 +293,8 @@ object SparkEntry {
     "q_join_skew"      -> ((s, d) => RelOps.joinSkew(s, d)),
     // the planning query you run before committing to a shuffle key
     "q_key_skew"       -> ((s, d) => RelOps.keySkew(s, d)),
+    // z-order layout arithmetic (bucket ranks + Morton interleave)
+    "q_zorder_value"   -> ((s, d) => RelOps.zorderValue(s, d)),
     // probe side cut by a deterministic bloom of the selective build side
     // BEFORE the exchange; no false negatives ⇒ same oracle as plain join
     "q_join_bloom"     -> ((s, d) => RelOps.joinBloom(s, d)),
@@ -1668,6 +1670,28 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.value, u.u_events
         |FROM events e JOIN u ON e.user_id = u.u_id
         |ORDER BY event_id ASC""".stripMargin,
+    // the spread LUT is generated from the same code the Spark plan uses;
+    // every arithmetic step mirrors ZorderFunctions.widthBucket exactly
+    // (same IEEE op order), so the comparison is bit-for-bit
+    "q_zorder_value" -> {
+      val lut = (0 until graft.functions.ZorderFunctions.Buckets)
+        .map(graft.functions.ZorderFunctions.spread).mkString("[", ", ", "]")
+      s"""WITH mm AS (SELECT min(value) AS vlo, max(value) AS vhi,
+         |                   min(CAST(user_id AS DOUBLE)) AS ulo,
+         |                   max(CAST(user_id AS DOUBLE)) AS uhi FROM events),
+         |b AS (SELECT event_id,
+         |  CASE WHEN vhi <= vlo THEN 0 ELSE
+         |    CAST(least(greatest(floor((value - vlo) * 256.0 / (vhi - vlo)), 0.0), 255.0) AS BIGINT)
+         |  END AS vb,
+         |  CASE WHEN uhi <= ulo THEN 0 ELSE
+         |    CAST(least(greatest(floor((CAST(user_id AS DOUBLE) - ulo) * 256.0 / (uhi - ulo)), 0.0), 255.0) AS BIGINT)
+         |  END AS ub
+         |  FROM events CROSS JOIN mm)
+         |SELECT event_id, vb, ub,
+         |       list_extract($lut, CAST(vb AS INT) + 1) * 2 +
+         |       list_extract($lut, CAST(ub AS INT) + 1) AS z
+         |FROM b ORDER BY event_id ASC""".stripMargin
+    },
     "q_join_bloom" ->
       """SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
         |       round(l.l_extendedprice * (1 - l.l_discount), 4) AS rev, o.o_orderdate

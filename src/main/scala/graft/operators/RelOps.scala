@@ -163,6 +163,32 @@ object RelOps {
   def keySkew(spark: SparkSession, dir: String): DataFrame =
     keySkewOn(Tables.events(spark, dir), "user_id", topK = 10, partitions = 32)
 
+  /** Z-value computation surface — the row-side arithmetic of the
+    * z-ordered layout ([[graft.sources.CatalogOps.createZorderedCollection]]),
+    * exposed as a query so the oracle can pin it: equi-width bucket ranks
+    * of (value, user_id) over the observed min/max (closed-form IEEE
+    * arithmetic, bit-identical in any engine — unlike the layout's
+    * equi-depth variant whose bounds are data-dependent state) and the
+    * Morton interleave via the 256-entry spread table. The min/max row
+    * rides a broadcast cross join; everything per-row is codegen'd.
+    */
+  def zorderValue(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ZorderFunctions._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("value"),
+        col("user_id").cast("double").as("uid"))
+    val mm = ev.agg(
+      min(col("value")).as("vlo"), max(col("value")).as("vhi"),
+      min(col("uid")).as("ulo"), max(col("uid")).as("uhi"))
+    ev.crossJoin(broadcast(mm))
+      .select(col("event_id"),
+        widthBucket(col("value"), col("vlo"), col("vhi")).as("vb"),
+        widthBucket(col("uid"), col("ulo"), col("uhi")).as("ub"))
+      .select(col("event_id"), col("vb"), col("ub"),
+        zInterleave(col("vb"), col("ub")).as("z"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** Targeted hot-key salted join — [[joinSalted]] replicates the ENTIRE
     * build side S×, which multiplies the build shuffle by S whether or not
     * a key is hot. This form salts ONLY measured-hot keys: a first

@@ -290,6 +290,37 @@ object CatalogOps {
       .partitionBy(partitionCol)
       .saveAsTable(s"`$db`.`$name`")
 
+  /** Z-ordered collection — multi-column min/max pruning from layout
+    * alone. [[createPartitionedCollection]] prunes one low-cardinality
+    * column by directory; [[createBucketedCollection]] co-locates one
+    * join key; this covers the remaining shape — RANGE predicates over
+    * two high-cardinality columns at once — by sorting on the interleaved
+    * bucket ranks ([[graft.functions.ZorderFunctions]]) so every row
+    * group's min/max box is tight in BOTH columns and the ordinary
+    * parquet zone-map skipping prunes multiplicatively (measured:
+    * `LayoutScale`). Equi-depth bucket bounds come from one histogram
+    * pass per column; the z column itself is DROPPED before write — the
+    * layout is the whole index, nothing new to maintain, and a plain
+    * reader sees a plain table. `rowGroupBytes` sets skip granularity
+    * (production default 128 MiB; measurements shrink it).
+    */
+  def createZorderedCollection(spark: SparkSession, db: String, name: String,
+      data: DataFrame, colA: String, colB: String, shards: Int = 8,
+      rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.ZorderFunctions._
+    val bA = equiDepthBounds(data, colA, Buckets)
+    val bB = equiDepthBounds(data, colB, Buckets)
+    data.withColumn("__z",
+        zInterleave(depthBucket(col(colA), bA), depthBucket(col(colB), bB)))
+      .repartitionByRange(shards, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .saveAsTable(s"`$db`.`$name`")
+  }
+
   /** Vector collection — the `build_index=True` ingest analog (ref
     * `TencentVDB.py:79`; the server builds its HNSW index at upsert). We
     * materialize what the cosine metric actually needs at query time: the
@@ -1763,6 +1794,18 @@ object CatalogOps {
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")
 
   /** `drop_database` (`delete_and_drop`, ref `TencentVDB.py:91-98`). */
-  def dropDatabase(spark: SparkSession, name: String): Unit =
+  def dropDatabase(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
+    // CASCADE removes REGISTERED tables' locations; a crashed prior JVM
+    // can leave table dirs the fresh session's catalog never knew about,
+    // and the next managed create then fails LOCATION_ALREADY_EXISTS.
+    // A dropped database's directory is supposed to be gone — finish it.
+    try {
+      import org.apache.hadoop.fs.Path
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val dir = new Path(wh, s"$name.db")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(dir)) fs.delete(dir, true)
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
 }

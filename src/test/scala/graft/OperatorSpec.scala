@@ -3353,6 +3353,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(rep.tail.forall(_._2 <= topCnt))
   }
 
+  test("zorder: interleave law, equi-depth balance, clustered layout prunes both columns") {
+    import spark.implicits._
+    import graft.functions.ZorderFunctions._
+    import graft.sources.{CatalogOps, LayoutStats}
+    // interleave ≡ the bit-twiddled reference on the full 16×16 grid
+    val grid = (for (a <- 0 until 16; b <- 0 until 16) yield (a.toLong, b.toLong))
+    val zs = grid.toDF("a", "b")
+      .select(col("a"), col("b"), zInterleave(col("a"), col("b")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    grid.foreach { case (a, b) =>
+      assert(zs((a, b)) === ((spread(a.toInt) << 1) | spread(b.toInt)))
+    }
+    // equi-depth bounds level a skewed (exponential) column: every bucket
+    // within 2× of the uniform share
+    val rnd = new scala.util.Random(7)
+    val skewed = Seq.fill(20000)(-math.log(1.0 - rnd.nextDouble())).toDF("x")
+    val bounds = equiDepthBounds(skewed, "x", 16)
+    assert(bounds.length === 15)
+    val counts = skewed.groupBy(depthBucket(col("x"), bounds).as("b"))
+      .count().collect().map(_.getLong(1))
+    assert(counts.length === 16)
+    assert(counts.max <= 2 * 20000 / 16 && counts.min >= 20000 / 16 / 2,
+      s"unbalanced: ${counts.sorted.mkString(",")}")
+    // clustered layout: same rows written z-ordered vs sorted-by-x; the
+    // zone-map boxes must prune BOTH columns for z, only x for the sort
+    val db = "zorderdb"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    val data = spark.range(200000).select(
+      (abs(xxhash64(col("id"))) % 100000L).cast("double").as("x"),
+      (abs(xxhash64(col("id"), lit(1))) % 100000L).cast("double").as("y"),
+      col("id"))
+    // 16 KiB groups ≈ 300 row groups: tiles fine enough that the z-box
+    // beats the x-slab (at 64 KiB / 74 groups both read 9 groups — tile
+    // resolution 12.5% can't resolve a 10% slab; pruning is granularity-
+    // bound, measured while writing this test)
+    CatalogOps.createZorderedCollection(spark, db, "zz", data, "x", "y",
+      shards = 1, rowGroupBytes = 16L * 1024)
+    data.repartitionByRange(1, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").option("parquet.block.size", (16L * 1024).toString)
+      .saveAsTable(s"`$db`.`sx`")
+    val zb = LayoutStats.rowGroupBoxes(spark, s"$db.zz", Seq("x", "y"))
+    val sb = LayoutStats.rowGroupBoxes(spark, s"$db.sx", Seq("x", "y"))
+    assert(zb.map(_._2).sum === 200000L && sb.map(_._2).sum === 200000L)
+    assert(zb.length >= 16, s"need multiple row groups, got ${zb.length}")
+    // 10%×10% box: multiplicative pruning beats single-column pruning
+    val box = Seq((0, 20000.0, 30000.0), (1, 40000.0, 50000.0))
+    val (zg, zr, _, _) = LayoutStats.pruneCount(zb, box)
+    val (sg, sr, _, _) = LayoutStats.pruneCount(sb, box)
+    assert(zr < sr, s"z-order rows read $zr !< sorted-x $sr")
+    // y-only predicate: the x-sorted layout cannot prune at all
+    val (_, zyRows, _, _) = LayoutStats.pruneCount(zb, Seq((1, 40000.0, 50000.0)))
+    val (_, syRows, _, _) = LayoutStats.pruneCount(sb, Seq((1, 40000.0, 50000.0)))
+    assert(syRows === 200000L, "x-sort should read everything on a y predicate")
+    assert(zyRows < 200000L / 2, s"z-order y-only read $zyRows")
+    assert(zg > 0 && sg > 0)
+    CatalogOps.dropDatabase(spark, db)
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
