@@ -321,6 +321,123 @@ object CatalogOps {
       .saveAsTable(s"`$db`.`$name`")
   }
 
+  /** Re-cluster a z-ordered collection — the maintenance half of
+    * [[createZorderedCollection]]. Appended micro-batches land in
+    * arrival order, so their row groups span the full (colA, colB) space
+    * and the zone-map stops pruning them (measured in the lifecycle
+    * test: appended groups read on every predicate). Rewriting re-sorts
+    * the WHOLE table on freshly recomputed equi-depth bounds — bounds
+    * drift with the data, so stale splits from create time are not
+    * reused. Same staging discipline as [[compactCollection]]; at 100 TB
+    * the rewrite is amortized like any compaction cadence, and a
+    * partitioned variant would rewrite only the partitions whose dirty
+    * fraction crossed the threshold.
+    */
+  def compactZordered(spark: SparkSession, db: String, name: String,
+      colA: String, colB: String, shards: Int = 8,
+      rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
+    val df = spark.table(s"`$db`.`$name`")
+    val staging = s"__${name}_zorder_staging"
+    createZorderedCollection(spark, db, staging, df, colA, colB,
+      shards, rowGroupBytes)
+    // drop + rename, not a second write: a copy pass through a plain
+    // table read would re-split the staged files and smear the very
+    // clustering the staging write just paid for
+    spark.sql(s"DROP TABLE `$db`.`$name`")
+    spark.sql(s"ALTER TABLE `$db`.`$staging` RENAME TO `$db`.`$name`")
+  }
+
+  /** Persisted zone-map index `{name}__zonemap`: one row per (file,
+    * row-group, column) with the footer min/max box and row count, for
+    * the given NUMERIC columns. Footer min/max is what a pruning scan
+    * consults anyway — but at 100 TB "consult" means opening millions of
+    * footers per query, a listing-scale metadata pass; materializing the
+    * boxes once turns every later planning pass into a scan of one small
+    * table (this is the job Iceberg/Delta manifests do). The footer walk
+    * runs DISTRIBUTED — the file list fans out over executors
+    * (`mapPartitions`, the imperative-IO case the style ledger reserves
+    * it for), so index build cost is bounded by footers/executor, not
+    * footers/driver. Long format (file, rg, rows, col, mn, mx) keeps the
+    * store schema independent of how many columns are indexed.
+    */
+  def createZonemap(spark: SparkSession, db: String, name: String,
+      cols: Seq[String]): Unit = {
+    import spark.implicits._
+    require(cols.nonEmpty, "createZonemap: no columns given")
+    val files = spark.table(s"`$db`.`$name`").inputFiles.toSeq
+    // hadoop Configuration is not serializable; ship the entries and
+    // rebuild per partition (one-time cost per task)
+    val confMap = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().asScala
+        .map(e => e.getKey -> e.getValue).toMap
+    }
+    val colsB = cols.toIndexedSeq
+    val zm = files.toDS().repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import org.apache.hadoop.fs.Path
+        import scala.jdk.CollectionConverters._
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confMap.foreach { case (k, v) => conf.set(k, v) }
+        it.flatMap { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+          try {
+            r.getFooter.getBlocks.asScala.toList.zipWithIndex.flatMap {
+              case (block, rg) =>
+                val byName = block.getColumns.asScala
+                  .map(c => c.getPath.toDotString -> c).toMap
+                colsB.map { c =>
+                  val st = byName(c).getStatistics
+                  require(st != null && !st.isEmpty, s"no statistics for $c in $f")
+                  def d(x: Comparable[_]): Double = x match {
+                    case v: java.lang.Double  => v.doubleValue()
+                    case v: java.lang.Float   => v.doubleValue()
+                    case v: java.lang.Long    => v.doubleValue()
+                    case v: java.lang.Integer => v.doubleValue()
+                    case other => throw new IllegalArgumentException(
+                      s"non-numeric statistics for $c: ${other.getClass}")
+                  }
+                  (f, rg, block.getRowCount,
+                    c, d(st.genericGetMin()), d(st.genericGetMax()))
+                }
+            }
+          } finally r.close()
+        }
+      }.toDF("file", "rg", "rows", "col", "mn", "mx")
+    zm.write.mode("overwrite").saveAsTable(s"`$db`.`${name}__zonemap`")
+  }
+
+  /** Range scan served THROUGH the zone-map index: the planning pass
+    * scans `{name}__zonemap` (not footers) for files holding at least
+    * one row group overlapping EVERY queried range, then reads only
+    * those files with the predicate still pushed (row-group skipping
+    * inside surviving files falls to the ordinary parquet reader). The
+    * collected object is the matched FILE LIST — planning metadata,
+    * query-bounded the same way every table format's driver-side scan
+    * planning is. Result ≡ the plain filtered scan (zone maps
+    * over-approximate, the pushed predicate finishes).
+    */
+  def scanZonemapped(spark: SparkSession, db: String, name: String,
+      ranges: Seq[(String, Double, Double)]): org.apache.spark.sql.DataFrame = {
+    require(ranges.nonEmpty, "scanZonemapped: no ranges given")
+    import org.apache.spark.sql.functions._
+    val zm = spark.table(s"`$db`.`${name}__zonemap`")
+    val overlapping = ranges.map { case (c, lo, hi) =>
+      zm.where(col("col") === c && col("mx") >= lo && col("mn") <= hi)
+        .select(col("file"), col("rg"))
+    }.reduce(_.intersect(_))
+    val files = overlapping.select(col("file")).distinct()
+      .collect().map(_.getString(0))
+    val base = spark.table(s"`$db`.`$name`")
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    if (files.isEmpty) base.where(lit(false))
+    else spark.read.schema(base.schema).parquet(files.toIndexedSeq: _*).where(pred)
+  }
+
   /** Vector collection — the `build_index=True` ingest analog (ref
     * `TencentVDB.py:79`; the server builds its HNSW index at upsert). We
     * materialize what the cosine metric actually needs at query time: the

@@ -3412,6 +3412,51 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, db)
   }
 
+  test("zonemap index serves pruned scans; compaction restores appended clustering") {
+    import graft.sources.{CatalogOps, LayoutStats}
+    val db = "zonemapdb"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    def mk(range: org.apache.spark.sql.Dataset[java.lang.Long]) = range.select(
+      (abs(xxhash64(col("id"))) % 50000L).cast("double").as("x"),
+      (abs(xxhash64(col("id"), lit(1))) % 50000L).cast("double").as("y"),
+      col("id"))
+    CatalogOps.createZorderedCollection(spark, db, "t", mk(spark.range(100000)),
+      "x", "y", shards = 4, rowGroupBytes = 32L * 1024)
+    CatalogOps.createZonemap(spark, db, "t", Seq("x", "y"))
+    val ranges = Seq(("x", 10000.0, 15000.0), ("y", 20000.0, 25000.0))
+    def plain = spark.table(s"$db.t")
+      .where(col("x").between(10000.0, 15000.0) && col("y").between(20000.0, 25000.0))
+    val got = CatalogOps.scanZonemapped(spark, db, "t", ranges)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val want = plain.select("id").collect().map(_.getLong(0)).sorted
+    assert(got.length > 0 && got.sameElements(want))
+    // the pruning is real: the served scan opens a strict subset of files
+    val matched = CatalogOps.scanZonemapped(spark, db, "t", ranges).inputFiles.length
+    val total = spark.table(s"$db.t").inputFiles.length
+    assert(total === 4 && matched < total, s"matched $matched of $total")
+    // a range off the data's support reads nothing and returns empty
+    assert(CatalogOps.scanZonemapped(spark, db, "t",
+      Seq(("x", -10.0, -5.0))).count() === 0L)
+    // appended batches land unclustered: the box predicate's zone-map
+    // cost jumps, then compaction restores it
+    mk(spark.range(100000, 120000)).write.mode("append").saveAsTable(s"`$db`.`t`")
+    val boxIdx = Seq((0, 10000.0, 15000.0), (1, 20000.0, 25000.0))
+    val degraded = LayoutStats.pruneCount(
+      LayoutStats.rowGroupBoxes(spark, s"$db.t", Seq("x", "y")), boxIdx)
+    CatalogOps.compactZordered(spark, db, "t", "x", "y",
+      shards = 4, rowGroupBytes = 32L * 1024)
+    val compacted = LayoutStats.pruneCount(
+      LayoutStats.rowGroupBoxes(spark, s"$db.t", Seq("x", "y")), boxIdx)
+    assert(compacted._4 === 120000L && spark.table(s"$db.t").count() === 120000L)
+    assert(compacted._2 < degraded._2,
+      s"compaction should tighten boxes: ${compacted._2} !< ${degraded._2}")
+    // rebuilt zonemap over the compacted layout still serves exact scans
+    CatalogOps.createZonemap(spark, db, "t", Seq("x", "y"))
+    assert(CatalogOps.scanZonemapped(spark, db, "t", ranges).count() === plain.count())
+    CatalogOps.dropDatabase(spark, db)
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
