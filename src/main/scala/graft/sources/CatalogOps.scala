@@ -362,18 +362,48 @@ object CatalogOps {
     */
   def createZonemap(spark: SparkSession, db: String, name: String,
       cols: Seq[String]): Unit = {
-    import spark.implicits._
     require(cols.nonEmpty, "createZonemap: no columns given")
     val files = spark.table(s"`$db`.`$name`").inputFiles.toSeq
-    // hadoop Configuration is not serializable; ship the entries and
-    // rebuild per partition (one-time cost per task)
+    zonemapOf(spark, files, cols)
+      .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__zonemap`")
+  }
+
+  /** Incremental zonemap maintenance: index only files the store has not
+    * seen (append-fed collections add files, they never mutate them — a
+    * parquet file's boxes are immutable, so file identity IS the
+    * high-water mark and replayed maintenance is a no-op by
+    * construction). Compaction/rewrite changes file names wholesale —
+    * rebuild with [[createZonemap]] after those. Cost ∝ NEW files'
+    * footers, distributed like the full build.
+    */
+  def upsertZonemap(spark: SparkSession, db: String, name: String,
+      cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val store = s"`$db`.`${name}__zonemap`"
+    val known = spark.table(store).select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val fresh = spark.table(s"`$db`.`$name`").inputFiles.toSeq
+      .filterNot(known)
+    if (fresh.isEmpty) return
+    // stage the new files as a temp "collection view" is unnecessary:
+    // reuse the distributed walk on just the fresh list
+    val zm = zonemapOf(spark, fresh, cols)
+    zm.write.mode("append").saveAsTable(store)
+  }
+
+  /** Distributed footer walk shared by [[createZonemap]] and
+    * [[upsertZonemap]].
+    */
+  private def zonemapOf(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
     val confMap = {
       import scala.jdk.CollectionConverters._
       spark.sessionState.newHadoopConf().asScala
         .map(e => e.getKey -> e.getValue).toMap
     }
     val colsB = cols.toIndexedSeq
-    val zm = files.toDS().repartition(spark.sparkContext.defaultParallelism)
+    files.toDS().repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         import org.apache.parquet.hadoop.ParquetFileReader
         import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -406,7 +436,6 @@ object CatalogOps {
           } finally r.close()
         }
       }.toDF("file", "rg", "rows", "col", "mn", "mx")
-    zm.write.mode("overwrite").saveAsTable(s"`$db`.`${name}__zonemap`")
   }
 
   /** Range scan served THROUGH the zone-map index: the planning pass

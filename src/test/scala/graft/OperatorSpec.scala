@@ -3441,6 +3441,14 @@ class OperatorSpec extends AnyFunSuite {
     // appended batches land unclustered: the box predicate's zone-map
     // cost jumps, then compaction restores it
     mk(spark.range(100000, 120000)).write.mode("append").saveAsTable(s"`$db`.`t`")
+    // incremental index maintenance: only the NEW files' footers are
+    // walked; the served scan sees appended rows; a replay is a no-op
+    CatalogOps.upsertZonemap(spark, db, "t", Seq("x", "y"))
+    val zmRows = spark.table(s"$db.t__zonemap").count()
+    CatalogOps.upsertZonemap(spark, db, "t", Seq("x", "y"))
+    assert(spark.table(s"$db.t__zonemap").count() === zmRows, "replay must be a no-op")
+    assert(CatalogOps.scanZonemapped(spark, db, "t", ranges).count() === plain.count(),
+      "served scan must include appended rows")
     val boxIdx = Seq((0, 10000.0, 15000.0), (1, 20000.0, 25000.0))
     val degraded = LayoutStats.pruneCount(
       LayoutStats.rowGroupBoxes(spark, s"$db.t", Seq("x", "y")), boxIdx)

@@ -551,6 +551,43 @@ class PlanSpec extends AnyFunSuite {
     assert(got === want, "rewritten results must equal the ORDER BY LIMIT form")
     assert(got.length === 5)
   }
+
+  test("bloom-reduced join filters the probe below its exchange, build rides one broadcast") {
+    val p = plan(RelOps.joinBloom(spark, sf))
+    // the membership probe (xxhash64 bit tests) must sit on the scan side
+    // of the join's shuffle: a BroadcastNestedLoopJoin against the 1-row
+    // words frame followed by a Filter, with no exchange between the
+    // lineitem scan and that filter
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    val filterIdx = p.indexOf("xxhash64")
+    assert(filterIdx >= 0, p)
+    val scanIdx = p.indexOf("FileScan parquet", filterIdx)
+    assert(scanIdx >= 0, "probe scan must appear below the bloom filter")
+    assert(!p.substring(filterIdx, scanIdx).contains("Exchange"),
+      "no exchange between the bloom filter and the probe scan:\n" + p)
+  }
+
+  test("hot-salted join broadcasts the hot-key set on both sides, explodes only the build") {
+    val p = plan(RelOps.joinSkew(spark, sf))
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2, p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("exact quantile endgame is a bounded heap, refinement a two-phase agg") {
+    // the per-round histogram: partial agg before the exchange
+    import org.apache.spark.sql.functions._
+    val base = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_totalprice").cast("double").as("v"))
+    val hist = base.groupBy(floor(col("v") / 1000.0).cast("long").as("b"))
+      .agg(count(lit(1)), min(col("v")), max(col("v")))
+    val hp = plan(hist)
+    assert(hp.contains("partial_count") && hp.contains("partial_min"), hp)
+    // the endgame: orderBy.limit is TakeOrderedAndProject, not a global sort
+    val end = base.orderBy(col("v").asc).limit(100)
+    val ep = plan(end)
+    assert(ep.contains("TakeOrderedAndProject") &&
+      !ep.contains("Exchange rangepartitioning"), ep)
+  }
 }
 
 /** Formulations RETIRED from production, kept only so PlanSpec can pin WHY
