@@ -293,8 +293,13 @@ object SparkEntry {
     "q_join_skew"      -> ((s, d) => RelOps.joinSkew(s, d)),
     // the planning query you run before committing to a shuffle key
     "q_key_skew"       -> ((s, d) => RelOps.keySkew(s, d)),
+    // the same report served from the maintained SpaceSaving key sketch
+    // (exact below saturation ⇒ same oracle, no ask-time corpus pass)
+    "q_key_skew_stored" -> ((s, d) => RelOps.keySkewStored(s, d)),
     // z-order layout arithmetic (bucket ranks + Morton interleave)
     "q_zorder_value"   -> ((s, d) => RelOps.zorderValue(s, d)),
+    // grouped top-k via the bounded heap (no per-group sort, k·tasks shuffle)
+    "q_group_topk"     -> ((s, d) => RelOps.groupTopK(s, d)),
     // probe side cut by a deterministic bloom of the selective build side
     // BEFORE the exchange; no false negatives ⇒ same oracle as plain join
     "q_join_bloom"     -> ((s, d) => RelOps.joinBloom(s, d)),
@@ -1657,7 +1662,23 @@ object SparkEntry {
       """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey ASC""".stripMargin,
+    "q_group_topk" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+        |  FROM documents)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+        |FROM r WHERE rank <= 5 ORDER BY source ASC, rank ASC""".stripMargin,
     "q_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |t AS (SELECT count(*) AS total FROM events)
+        |SELECT user_id, cnt, cnt * 1000000 // total AS share_ppm,
+        |       (cnt * 32 + total - 1) // total AS rec_salt
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, user_id ASC LIMIT 10""".stripMargin,
+    // the stored twin is exact below sketch saturation ⇒ identical SQL
+    "q_key_skew_stored" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
         |t AS (SELECT count(*) AS total FROM events)
         |SELECT user_id, cnt, cnt * 1000000 // total AS share_ppm,

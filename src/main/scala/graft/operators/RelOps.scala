@@ -163,6 +163,88 @@ object RelOps {
   def keySkew(spark: SparkSession, dir: String): DataFrame =
     keySkewOn(Tables.events(spark, dir), "user_id", topK = 10, partitions = 32)
 
+  /** Build-if-absent maintained KEY sketch for [[keySkewStored]] — the
+    * SpaceSaving store pointed at a join key instead of vocabulary terms
+    * (keys render as single-token "documents", so the whole persisted
+    * term-sketch machinery — watermarked folds, streaming maintenance,
+    * compaction discipline — applies unchanged). Create-half + fold-half
+    * each run, the ensure convention.
+    */
+  private[graft] def ensureKeySketch(spark: SparkSession, dir: String,
+      m: Int = 4096): (String, String) = {
+    import graft.sources.CatalogOps
+    val db = "graft_sketch"
+    val name = "evkeys"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__termsketch")) {
+        CatalogOps.createDatabase(spark, db)
+        KnnOps.dropTableAndDir(spark, db, s"${name}__termsketch")
+        val keys = Tables.events(spark, dir)
+          .select(col("user_id").cast("string").as("text"), col("event_id"))
+        CatalogOps.createTermSketch(spark, db, name,
+          keys.filter(col("event_id") % 2 === 0), m)
+        CatalogOps.upsertTermSketch(spark, db, name,
+          keys.filter(col("event_id") % 2 =!= 0), batchId = 0L, m)
+      }
+    }
+    (db, name)
+  }
+
+  /** `q_key_skew_stored`: the skew report served from the MAINTAINED key
+    * sketch — the shuffle-planning answer without a corpus pass at ask
+    * time (the count pass ran at ingest, folded batch by batch). Below
+    * saturation SpaceSaving is exact, so this faces the SAME oracle as
+    * [[keySkew]]; the saturation guard raises on every entry before the
+    * cut (the stored-heavy-hitters discipline) rather than letting an
+    * eviction surface as a silent mismatch. The total is the sketch's
+    * own count sum — exact for the same reason.
+    */
+  def keySkewStored(spark: SparkSession, dir: String,
+      topK: Int = 10, partitions: Int = 32): DataFrame = {
+    val (db, name) = ensureKeySketch(spark, dir)
+    val sk = spark.table(s"`$db`.`${name}__termsketch`")
+      .filter(col("term").isNotNull)
+      .select(col("term").cast("long").as("user_id"),
+        when(col("err") === 0L, col("count")).otherwise(raise_error(concat(
+          lit("stored key sketch saturated (err>0) at key "),
+          col("term")))).as("cnt"))
+    val total = sk.agg(sum(col("cnt")).as("total"))
+    sk.crossJoin(broadcast(total))
+      .select(col("user_id"), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm"),
+        expr(s"(cnt * $partitions + total - 1) div total").as("rec_salt"))
+      .orderBy(col("cnt").desc, col("user_id").asc)
+      .limit(topK)
+  }
+
+  /** Per-group top-k through the bounded-heap aggregate — the grouped
+    * twin of [[sortLimit]]'s global TakeOrderedAndProject. The rank-window
+    * formulation shuffles EVERY row to its group's window partition and
+    * sorts it there before discarding all but k; the
+    * [[graft.plans.TopKScoreId]] partial aggregation keeps ≤ k entries
+    * per (group × map task) locally, so the exchange carries k·partitions
+    * rows per group and no per-group sort ever materializes. Tie-break
+    * (score DESC, id ASC) matches the window's row_number order exactly —
+    * the oracle IS the window form.
+    */
+  def groupTopKOn(df: DataFrame, groupCol: String, scoreCol: String,
+                  idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val topk = toCol(graft.plans.TopKScoreId(
+      toExpr(col(scoreCol).cast("double")), toExpr(col(idCol).cast("long")), k)
+      .toAggregateExpression())
+    df.groupBy(col(groupCol))
+      .agg(topk.as("__topk"))
+      .select(col(groupCol), posexplode(col("__topk")).as(Seq("__pos", "__hit")))
+      .select(col(groupCol), (col("__pos") + 1).cast("long").as("rank"),
+        col("__hit.vec_id").as(idCol), col("__hit.score").cast("long").as(scoreCol))
+  }
+
+  /** Contract surface: the five longest documents per source. */
+  def groupTopK(spark: SparkSession, dir: String): DataFrame =
+    groupTopKOn(Tables.documents(spark, dir), "source", "n_chars", "doc_id", 5)
+      .orderBy(col("source").asc, col("rank").asc)
+
   /** Z-value computation surface — the row-side arithmetic of the
     * z-ordered layout ([[graft.sources.CatalogOps.createZorderedCollection]]),
     * exposed as a query so the oracle can pin it: equi-width bucket ranks

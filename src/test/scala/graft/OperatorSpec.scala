@@ -3465,6 +3465,32 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, db)
   }
 
+  test("grouped top-k heap equals the rank window, ties and undersized groups included") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // heavy score ties + one group smaller than k
+    val rows = (0 until 5000).map { i =>
+      (s"g${i % 7}", (i * 37 % 50).toLong, i.toLong)
+    } ++ Seq(("tiny", 1L, 90001L), ("tiny", 1L, 90002L))
+    val df = rows.toDF("g", "s", "id")
+    val got = RelOps.groupTopKOn(df, "g", "s", "id", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("id").asc)
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 4).select("g", "rank", "id", "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(got.length === want.length && got.sameElements(want))
+    assert(got.count(_._1 == "tiny") === 2, "undersized group returns all its rows")
+  }
+
+  test("stored key-skew report equals the live count-pass report") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val live = rows(RelOps.keySkew(spark, sf))
+    val stored = rows(RelOps.keySkewStored(spark, sf))
+    assert(live.nonEmpty && stored === live)
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()

@@ -552,6 +552,13 @@ class PlanSpec extends AnyFunSuite {
     assert(got.length === 5)
   }
 
+  test("grouped top-k plans the bounded heap, never a rank window") {
+    val p = plan(RelOps.groupTopK(spark, sf))
+    assert(p.toLowerCase.contains("topk_score_id"), p)
+    assert(!p.contains("row_number") && !p.contains("Window"), p)
+    assert(p.contains("partial_topk_score_id") || p.toLowerCase.contains("partial"), p)
+  }
+
   test("bloom-reduced join filters the probe below its exchange, build rides one broadcast") {
     val p = plan(RelOps.joinBloom(spark, sf))
     // the membership probe (xxhash64 bit tests) must sit on the scan side
