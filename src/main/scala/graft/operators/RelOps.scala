@@ -218,14 +218,26 @@ object RelOps {
   }
 
   /** Per-group top-k through the bounded-heap aggregate — the grouped
-    * twin of [[sortLimit]]'s global TakeOrderedAndProject. The rank-window
-    * formulation shuffles EVERY row to its group's window partition and
-    * sorts it there before discarding all but k; the
+    * twin of [[sortLimit]]'s global TakeOrderedAndProject. The
     * [[graft.plans.TopKScoreId]] partial aggregation keeps ≤ k entries
-    * per (group × map task) locally, so the exchange carries k·partitions
-    * rows per group and no per-group sort ever materializes. Tie-break
-    * (score DESC, id ASC) matches the window's row_number order exactly —
-    * the oracle IS the window form.
+    * per (group × map task) locally, so the exchange carries k·tasks
+    * rows per group and no per-group sort ever materializes.
+    *
+    * Honesty note (measured, `TopKScale`): the folk claim that the
+    * rank-window form "shuffles every row" is NO LONGER TRUE on this
+    * Spark — `InferWindowGroupLimit` (SPARK-37099) plants a partial
+    * WindowGroupLimit below the exchange for row_number-≤-k filters, so
+    * the window form is also map-side bounded. What remains of the gap:
+    * at 100k groups the heap wins modestly (1.60 vs 1.92 s, 179 vs
+    * 191 MB shuffled at 20M rows — one exchange + hash agg vs exchange +
+    * per-partition sort), and at LOW group counts the window form wins
+    * (1.30 vs 2.43 s at 1k groups — WindowGroupLimit is codegen-adjacent
+    * while the imperative heap pays serialization per partial). Use the
+    * aggregate form when the top-k feeds further aggregation in the same
+    * groupBy (one operator, no window barrier), or at high group
+    * cardinality; use the window when you need ranks over few groups.
+    * Tie-break (score DESC, id ASC) matches row_number exactly — the
+    * oracle IS the window form.
     */
   def groupTopKOn(df: DataFrame, groupCol: String, scoreCol: String,
                   idCol: String, k: Int): DataFrame = {
