@@ -283,6 +283,9 @@ object SparkEntry {
     "q_tpch_q3"          -> ((s, d) => RelOps.shippingPriority(s, d)),
     "q_tpch_q4"          -> ((s, d) => RelOps.orderPriorityCheck(s, d)),
     "q_tpch_q5"          -> ((s, d) => RelOps.localSupplierVolume(s, d)),
+    "q_tpch_q10"         -> ((s, d) => RelOps.returnedItemReport(s, d)),
+    "q_tpch_q14"         -> ((s, d) => RelOps.promotionEffect(s, d)),
+    "q_tpch_q18"         -> ((s, d) => RelOps.largeVolumeCustomers(s, d)),
     "q_tpch_q6"          -> ((s, d) => RelOps.revenueChange(s, d)),
     "q_part_brands"      -> ((s, d) => RelOps.partBrandRevenue(s, d)),
     // ---- §2.F joins ----
@@ -344,8 +347,8 @@ object SparkEntry {
     "q_dedup_embed", "q_dedup_cc", "q_dedup_substring", "q_dedup_substring_trim",
     "q_image_neardup", "q_audio_neardup", "q_dedup_semantic", "q_dedup_semantic_stored",
     "q_text_quality", "q_quality_lr", "q_token_count", "q_term_heavyhitters", "q_term_heavyhitters_stored", "q_bpe_tokens", "q_lm_bigram", "q_multimodal_meta",
-    "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_join_hash", "q_join_broadcast", "q_join_bloom",
-    "q_quantile_exact",
+    "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_tpch_q10", "q_join_hash", "q_join_broadcast", "q_join_bloom",
+    "q_quantile_exact", "q_group_topk", "q_key_skew", "q_key_skew_stored", "q_join_skew", "q_zorder_value",
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
     "q_events_tumbling", "q_events_sessionize",
@@ -1646,6 +1649,40 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+    "q_tpch_q14" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)
+        |      ELSE 0 END) AS DOUBLE) / 1000000.0 AS promo,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-07-01')
+        |SELECT round(100.0 * promo / total, 6) AS promo_pct, promo, total FROM s""".stripMargin,
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey ASC
+        |LIMIT 20""".stripMargin,
     // ---- joins ----
     "q_part_brands" ->
       """SELECT p_brand, count(*) AS n_items,

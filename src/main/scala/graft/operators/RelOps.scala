@@ -710,6 +710,81 @@ object RelOps {
       .limit(10)
   }
 
+  /** TPC-H Q10 (returned-item reporting) — the "who returned the most
+    * revenue this quarter" join: returned lineitems ⋈ one-quarter orders
+    * ⋈ customer, nation broadcast for the name, grouped to customer
+    * grain, top-20 by lost revenue (TakeOrderedAndProject — no global
+    * sort). The quarter predicate prunes orders at the scan; the
+    * returnflag predicate prunes lineitem; both reach PushedFilters.
+    * (The fixture schema omits address/phone/comment; the query keeps
+    * the canonical shape over the columns that exist.)
+    */
+  def returnedItemReport(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q14 (promotion effect) — two exact-money sums in one
+    * conditional aggregation over lineitem ⋈ part (part broadcastable at
+    * every scale that matters; at true 100 TB part shuffles once on the
+    * key like any large dim). The ratio divides two integer-micros-exact
+    * doubles, so the quotient is engine-identical; rounded to 6 to
+    * absorb nothing — it's pinned by the oracle either way.
+    */
+  def promotionEffect(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-07-01"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val part = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sumMoney(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))).as("promo"),
+        sumMoney(disc).as("total"))
+      .select(round(lit(100.0) * col("promo") / col("total"), 6).as("promo_pct"),
+        col("promo"), col("total"))
+  }
+
+  /** TPC-H Q18 (large-volume customers) — the HAVING-on-aggregate join:
+    * order quantity totals partial-agg map-side, the HAVING cut drops
+    * all but the outlier orders BEFORE the customer join (a few rows
+    * join, not the fact table), top-k bounded. The quantity sum is
+    * integral in the fixture — exact long arithmetic.
+    */
+  def largeVolumeCustomers(spark: SparkSession, dir: String,
+      minQty: Long = 300L): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
   /** TPC-H Q5 (local supplier volume) — the classic 6-table join-order
     * test: region→nation prune first (tiny dims, broadcast), the
     * customer-nation = supplier-nation condition closes the cycle, and
