@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness: exact quantiles — iterative histogram refinement
+  * (`RelOps.quantileExactOn`) vs Spark's exact `percentile` aggregate
+  * (which buffers the whole column's value-counts in ONE aggregation
+  * buffer) — `runMain graft.QuantileScale [rows]`. Distinct-heavy doubles
+  * are the adversarial case for the buffering form: every value is its
+  * own map entry, so the buffer is the column. The refinement never
+  * holds more than one `buckets`-row histogram anywhere.
+  */
+object QuantileScale {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 100000000L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // distinct-heavy uniform doubles with a 10% duplicate spike
+    val data = spark.range(n).select(
+      when(col("id") % 10 === 0, lit(123456.789))
+        .otherwise((abs(xxhash64(col("id"))) % 1000000000L).cast("double") / 1000.0)
+        .as("v"))
+    val ps = Seq(0.5, 0.99)
+
+    var t0 = System.nanoTime()
+    val refined = graft.operators.RelOps.quantileExactOn(data, "v", ps)
+    val tRefine = (System.nanoTime() - t0) / 1e9
+    println(f"refinement  $tRefine%6.1f s  ${refined.map(_._2).mkString(", ")}")
+
+    t0 = System.nanoTime()
+    val buffered =
+      try {
+        val r = data.agg(expr("percentile(v, array(0.5, 0.99))")).collect()(0)
+          .getSeq[Double](0)
+        f"${(System.nanoTime() - t0) / 1e9}%6.1f s  ${r.mkString(", ")}"
+      } catch {
+        case e: Throwable =>
+          f"FAILED after ${(System.nanoTime() - t0) / 1e9}%6.1f s: " +
+            e.getClass.getSimpleName
+      }
+    println(s"percentile  $buffered")
+    spark.stop()
+  }
+}
