@@ -244,6 +244,9 @@ object SparkEntry {
     "q_scan_documents"  -> ((s, d) => TextOps.scanDocuments(s, d)),
     "q_tree_flatten"    -> ((s, d) => TextOps.treeFlatten(s, d)),
     "q_upsert_lastwins" -> ((s, d) => TextOps.upsertLastWins(s, d)),
+    // snapshot-isolated reads over the append-only version log
+    "q_timetravel_latest" -> ((s, d) => TextOps.timeTravelLatest(s, d)),
+    "q_timetravel_asof"   -> ((s, d) => TextOps.timeTravelAsOf(s, d)),
     // ---- §2.B projections / filters ----
     "q_project_fields"  -> ((s, d) => TextOps.projectFields(s, d)),
     "q_filter_nonempty" -> ((s, d) => TextOps.filterNonempty(s, d)),
@@ -1489,6 +1492,13 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn FROM v)
         |WHERE rn = 1
         |ORDER BY doc_id ASC""".stripMargin,
+    // snapshot contents are pure predicates over the fixture (ensure
+    // builds: v0 = even ids, v1 += odd ids, v2 -= ids < 50), so the
+    // resolved reads have closed-form oracles
+    "q_timetravel_latest" ->
+      "SELECT * FROM documents WHERE doc_id >= 50 ORDER BY doc_id ASC",
+    "q_timetravel_asof" ->
+      "SELECT * FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id ASC",
     "q_project_fields" ->
       "SELECT doc_id, lang AS title, substr(text, 1, 60) AS body FROM documents ORDER BY doc_id ASC",
     "q_filter_nonempty" ->

@@ -192,6 +192,51 @@ object TextOps {
     * dedup keeps the newest version per id. One shuffle on the upsert key —
     * at scale this is the standard MERGE pattern (hash-partition by id).
     */
+  /** Build-if-absent versioned collection for the time-travel contract
+    * queries: snapshot 0 = even docs, snapshot 1 upserts the odd docs,
+    * snapshot 2 tombstones ids < 50. Each snapshot's content is a pure
+    * predicate over the fixture, so every as-of read has a closed-form
+    * DuckDB oracle. Create-half + upsert-half + delete each run the
+    * store is missing — the ensure convention.
+    */
+  private[graft] def ensureVersionedDocs(spark: SparkSession,
+      dir: String): (String, String) = {
+    import graft.sources.CatalogOps
+    val db = "graft_tt"
+    val name = "docs"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__vlog")) {
+        CatalogOps.createDatabase(spark, db)
+        KnnOps.dropTableAndDir(spark, db, s"${name}__vlog")
+        KnnOps.dropTableAndDir(spark, db, s"${name}__vmeta")
+        val docs = Tables.documents(spark, dir)
+        CatalogOps.createVersionedCollection(spark, db, name,
+          docs.filter(col("doc_id") % 2 === 0))
+        CatalogOps.upsertVersioned(spark, db, name,
+          docs.filter(col("doc_id") % 2 =!= 0))
+        CatalogOps.deleteVersioned(spark, db, name, 0L until 50L)
+      }
+    }
+    (db, name)
+  }
+
+  /** `q_timetravel_latest`: the resolved head snapshot — everything ever
+    * upserted minus the tombstoned ids. */
+  def timeTravelLatest(spark: SparkSession, dir: String): DataFrame = {
+    val (db, name) = ensureVersionedDocs(spark, dir)
+    graft.sources.CatalogOps.readVersioned(spark, db, name)
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** `q_timetravel_asof`: snapshot 0 re-read AFTER later upserts and
+    * deletes landed — time travel is the point: history is immutable,
+    * so this faces the create-batch's own oracle. */
+  def timeTravelAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val (db, name) = ensureVersionedDocs(spark, dir)
+    graft.sources.CatalogOps.readVersioned(spark, db, name, asOf = 0L)
+      .orderBy(col("doc_id").asc)
+  }
+
   def upsertLastWins(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val v1 = docs.select(col("doc_id"), col("lang"),

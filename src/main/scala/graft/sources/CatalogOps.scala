@@ -290,6 +290,146 @@ object CatalogOps {
       .partitionBy(partitionCol)
       .saveAsTable(s"`$db`.`$name`")
 
+  // ---- versioned collections (time travel) ----
+
+  /** Versioned collection — snapshot-isolated reads over an APPEND-ONLY
+    * version log (the Delta/Iceberg time-travel capability on plain
+    * parquet). `{name}__vlog` holds every row ever written plus
+    * tombstones, partitioned by the version that wrote it: `__v` (the
+    * snapshot id) and `__op` (+1 upsert, -1 delete). Writes never touch
+    * existing files — an upsert or delete APPENDS one partition
+    * directory, so historical snapshots are immutable by construction
+    * and a crashed writer leaves at worst an unreferenced partition
+    * (the manifest `{name}__vmeta` names the committed max version and
+    * the compaction floor; readers go through it). [[readVersioned]]
+    * resolves any snapshot; [[compactVersioned]] bounds history.
+    */
+  def createVersionedCollection(spark: SparkSession, db: String, name: String,
+      data: DataFrame, idCol: String = "doc_id"): Unit = {
+    import org.apache.spark.sql.functions._
+    data.withColumn("__op", lit(1)).withColumn("__v", lit(0L))
+      .write.mode("overwrite").partitionBy("__v")
+      .saveAsTable(s"`$db`.`${name}__vlog`")
+    writeVmeta(spark, db, name, maxV = 0L, floorV = 0L)
+  }
+
+  private def writeVmeta(spark: SparkSession, db: String, name: String,
+      maxV: Long, floorV: Long): Unit =
+    spark.createDataFrame(Seq((maxV, floorV))).toDF("max_v", "floor")
+      .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__vmeta`")
+
+  private def readVmeta(spark: SparkSession, db: String,
+      name: String): (Long, Long) = {
+    val r = spark.table(s"`$db`.`${name}__vmeta`").collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Append one new snapshot carrying the batch (last-writer-wins at
+    * read). O(batch) — one new `__v` partition, every prior file
+    * untouched. Returns the new version id.
+    */
+  def upsertVersioned(spark: SparkSession, db: String, name: String,
+      batch: DataFrame, idCol: String = "doc_id"): Long = {
+    import org.apache.spark.sql.functions._
+    val (maxV, floorV) = readVmeta(spark, db, name)
+    val v = maxV + 1
+    batch.withColumn("__op", lit(1)).withColumn("__v", lit(v))
+      .write.mode("append").partitionBy("__v")
+      .saveAsTable(s"`$db`.`${name}__vlog`")
+    writeVmeta(spark, db, name, v, floorV)
+    v
+  }
+
+  /** Append a tombstone snapshot for the given ids: rows exist in
+    * snapshots < the returned version and resolve away from it on.
+    */
+  def deleteVersioned(spark: SparkSession, db: String, name: String,
+      ids: Seq[Long], idCol: String = "doc_id"): Long = {
+    import org.apache.spark.sql.functions._
+    val (maxV, floorV) = readVmeta(spark, db, name)
+    val v = maxV + 1
+    val cols = spark.table(s"`$db`.`${name}__vlog`").columns
+      .filterNot(c => c == "__op" || c == "__v")
+    val base = spark.createDataFrame(ids.map(Tuple1(_))).toDF(idCol)
+    val widened = cols.foldLeft(base) { (df, c) =>
+      if (c == idCol) df
+      else df.withColumn(c,
+        lit(null).cast(spark.table(s"`$db`.`${name}__vlog`").schema(c).dataType))
+    }
+    widened.select(cols.map(col).toIndexedSeq: _*)
+      .withColumn("__op", lit(-1)).withColumn("__v", lit(v))
+      .write.mode("append").partitionBy("__v")
+      .saveAsTable(s"`$db`.`${name}__vlog`")
+    writeVmeta(spark, db, name, v, floorV)
+    v
+  }
+
+  /** The collection AS OF a snapshot (default: latest). The `__v <= asOf`
+    * predicate is a PARTITION filter — history after the snapshot is
+    * never read — and resolution is one id-keyed window taking the
+    * newest writer per id (ties inside one version broken by row
+    * content, the [[upsert]] determinism rule), dropping tombstoned
+    * winners. Read cost ∝ rows written up to asOf; [[compactVersioned]]
+    * is the cadence that bounds it. Reads below the compaction floor
+    * refuse loudly — that history no longer exists.
+    */
+  def readVersioned(spark: SparkSession, db: String, name: String,
+      asOf: Long = Long.MaxValue, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val (maxV, floorV) = readVmeta(spark, db, name)
+    val v = math.min(asOf, maxV)
+    require(v >= floorV,
+      s"snapshot $v predates the compaction floor $floorV — compacted history cannot be read")
+    val log = spark.table(s"`$db`.`${name}__vlog`").where(col("__v") <= v)
+    val dataCols = log.columns.filterNot(c => c == "__op" || c == "__v")
+    val tieBreak = struct(dataCols.filterNot(_ == idCol).map(col).toIndexedSeq: _*)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__v").desc, col("__op").asc, tieBreak.desc)
+    log.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col("__op") === 1)
+      .select(dataCols.map(col).toIndexedSeq: _*)
+  }
+
+  /** Fold history at-or-below the floor into ONE materialized snapshot
+    * partition (the resolved rows, re-tagged `__v = floor`), dropping
+    * the per-version partitions it replaces; snapshots above the floor
+    * keep resolving exactly as before (their partitions are untouched —
+    * the same dynamic-partition-overwrite discipline as
+    * [[upsertPartitioned]]). Time travel below the floor is gone — that
+    * is the deal compaction offers.
+    */
+  def compactVersioned(spark: SparkSession, db: String, name: String,
+      floorV: Long, idCol: String = "doc_id"): Unit = {
+    import org.apache.spark.sql.functions._
+    val (maxV, oldFloor) = readVmeta(spark, db, name)
+    require(floorV > oldFloor && floorV <= maxV,
+      s"floor must be in (${oldFloor}, $maxV], got $floorV")
+    val snapshot = readVersioned(spark, db, name, asOf = floorV, idCol)
+      .withColumn("__op", lit(1)).withColumn("__v", lit(floorV))
+    val table = s"`$db`.`${name}__vlog`"
+    val staging = s"`$db`.`__${name}_vlog_compact`"
+    snapshot.write.mode("overwrite").saveAsTable(staging)
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // drop the folded per-version partitions, then land the snapshot
+      (oldFloor to floorV).foreach { v =>
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (__v = $v)")
+      }
+      val targetCols = spark.table(table).columns.toIndexedSeq.map(col)
+      spark.table(staging).select(targetCols: _*)
+        .write.mode("overwrite").insertInto(s"$db.${name}__vlog")
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
+    writeVmeta(spark, db, name, maxV, floorV)
+  }
+
   /** Z-ordered collection — multi-column min/max pruning from layout
     * alone. [[createPartitionedCollection]] prunes one low-cardinality
     * column by directory; [[createBucketedCollection]] co-locates one

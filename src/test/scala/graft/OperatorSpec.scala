@@ -3491,6 +3491,60 @@ class OperatorSpec extends AnyFunSuite {
     assert(live.nonEmpty && stored === live)
   }
 
+  test("versioned collection: snapshot isolation, append-only history, compaction floor") {
+    import graft.sources.CatalogOps
+    val db = "ttdb"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val v0 = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("t"), col("id")).as("text"))
+    CatalogOps.createVersionedCollection(spark, db, "c", v0)
+    def logFiles(): Map[String, Array[Byte]] = {
+      val dir = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        s"$db.db", "c__vlog")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.readAllBytes(p)).toMap
+    }
+    val beforeAppend = logFiles()
+    // v1: modify ids 0..9, add 100..109
+    val v1 = spark.range(10).select(col("id").as("doc_id"), lit("MOD").as("text"))
+      .unionByName(spark.range(100, 110).select(col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text")))
+    assert(CatalogOps.upsertVersioned(spark, db, "c", v1) === 1L)
+    // append-only: every pre-existing file byte-identical
+    val afterAppend = logFiles()
+    beforeAppend.foreach { case (p, bytes) =>
+      assert(afterAppend.contains(p) &&
+        java.util.Arrays.equals(afterAppend(p), bytes), s"file rewritten: $p")
+    }
+    // snapshot isolation across upsert and delete
+    assert(CatalogOps.deleteVersioned(spark, db, "c", 50L until 60L) === 2L)
+    val snap0 = rows(CatalogOps.readVersioned(spark, db, "c", asOf = 0L))
+    val snap1 = rows(CatalogOps.readVersioned(spark, db, "c", asOf = 1L))
+    val latest = rows(CatalogOps.readVersioned(spark, db, "c"))
+    assert(snap0 === (0L until 100L).map(i => (i, s"t$i")).toSet)
+    assert(snap1.size === 110 && snap1((5L, "MOD")) && snap1((105L, "t105")))
+    assert(latest.size === 100 && !latest.exists(_._1 == 55L) && latest((5L, "MOD")))
+    // compaction to floor 1: later snapshots resolve identically, the
+    // pre-floor snapshot refuses loudly
+    CatalogOps.compactVersioned(spark, db, "c", floorV = 1L)
+    assert(rows(CatalogOps.readVersioned(spark, db, "c", asOf = 1L)) === snap1)
+    assert(rows(CatalogOps.readVersioned(spark, db, "c")) === latest)
+    intercept[IllegalArgumentException] {
+      CatalogOps.readVersioned(spark, db, "c", asOf = 0L)
+    }
+    // and the folded log is smaller: one resolved partition replaces two
+    val vs = spark.table(s"$db.c__vlog").select("__v").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(vs.toSeq === Seq(1L, 2L), s"got ${vs.toSeq}")
+    CatalogOps.dropDatabase(spark, db)
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
