@@ -309,6 +309,9 @@ object SparkEntry {
     // probe side cut by a deterministic bloom of the selective build side
     // BEFORE the exchange; no false negatives ⇒ same oracle as plain join
     "q_join_bloom"     -> ((s, d) => RelOps.joinBloom(s, d)),
+    // id membership served bloom-first from the maintained store, exact
+    // confirm behind it ⇒ same output as the plain semi join
+    "q_join_semi_bloom" -> ((s, d) => RelOps.semiJoinBloomStored(s, d)),
     "q_join_broadcast" -> ((s, d) => RelOps.joinBroadcast(s, d)),
     "q_join_semi"      -> ((s, d) => RelOps.joinSemi(s, d)),
     "q_join_anti"      -> ((s, d) => RelOps.joinAnti(s, d)),
@@ -1760,6 +1763,10 @@ object SparkEntry {
          |       list_extract($lut, CAST(ub AS INT) + 1) AS z
          |FROM b ORDER BY event_id ASC""".stripMargin
     },
+    "q_join_semi_bloom" ->
+      """SELECT r.range AS probe_id FROM range(1000) r
+        |WHERE r.range IN (SELECT doc_id FROM documents)
+        |ORDER BY probe_id ASC""".stripMargin,
     "q_join_bloom" ->
       """SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
         |       round(l.l_extendedprice * (1 - l.l_discount), 4) AS rev, o.o_orderdate

@@ -58,20 +58,29 @@ object BloomFunctions {
   private def pos(key: Column, i: Int, m: Long): Column =
     xxhash64(key, lit(i.toLong)).bitwiseAND(lit(m - 1L))
 
+  /** Distributed word-rows form of the filter build: one (w, word) row
+    * per 64-bit word that received a bit — the per-word `bit_or` partial
+    * aggregation IS the whole computation, so the result is
+    * bit-deterministic under any partitioning, and a STORE of these rows
+    * is replay/merge-safe by pure idempotence (OR of the same masks
+    * changes nothing; see `CatalogOps.createBloomStore`).
+    */
+  def bloomWordRows(build: DataFrame, keyCol: String, m: Long): DataFrame = {
+    require((m & (m - 1)) == 0 && m >= 64, s"m must be a power of two >= 64, got $m")
+    val key = col(keyCol)
+    build
+      .select(explode(array((0 until NumHashes).map(i => pos(key, i, m)): _*)).as("pos"))
+      .select((col("pos") / 64).cast("int").as("w"),
+        shiftl(lit(1L), (col("pos") % 64).cast("int")).as("mask"))
+      .groupBy(col("w")).agg(expr("bit_or(mask)").as("word"))
+  }
+
   /** Distributed filter build over `build(keyCol)`: explode the k bit
     * positions per key, reduce per 64-bit word with `bit_or`, collect the
     * m/64-long word array (zero-filled where no bits landed).
     */
   def buildBloomWords(build: DataFrame, keyCol: String, m: Long): Array[Long] = {
-    require((m & (m - 1)) == 0 && m >= 64, s"m must be a power of two >= 64, got $m")
-    val key = col(keyCol)
-    val positions = build
-      .select(explode(array((0 until NumHashes).map(i => pos(key, i, m)): _*)).as("pos"))
-    val words = positions
-      .select((col("pos") / 64).cast("int").as("w"),
-        shiftl(lit(1L), (col("pos") % 64).cast("int")).as("mask"))
-      .groupBy(col("w")).agg(expr("bit_or(mask)").as("word"))
-      .collect()
+    val words = bloomWordRows(build, keyCol, m).collect()
     val arr = new Array[Long]((m / 64).toInt)
     words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
     arr

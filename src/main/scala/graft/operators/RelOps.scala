@@ -364,6 +364,51 @@ object RelOps {
       .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
   }
 
+  /** Build-if-absent maintained bloom store over the document ids —
+    * create-half + upsert-half each run (the ensure convention), so the
+    * contract path exercises the idempotent fold, not just a one-shot
+    * build. Capacity 65536 keys (m = 2²⁰ bits, a 128 KiB word array).
+    */
+  private[graft] def ensureDocsBloom(spark: SparkSession,
+      dir: String): (String, String) = {
+    import graft.sources.CatalogOps
+    val db = "graft_bloom"
+    val name = "docs"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__bloom")) {
+        CatalogOps.createDatabase(spark, db)
+        KnnOps.dropTableAndDir(spark, db, s"${name}__bloom")
+        KnnOps.dropTableAndDir(spark, db, s"${name}__bloommeta")
+        val ids = Tables.documents(spark, dir).select(col("doc_id"))
+        CatalogOps.createBloomStore(spark, db, name,
+          ids.filter(col("doc_id") % 2 === 0), "doc_id", expectedKeys = 65536L)
+        CatalogOps.upsertBloomStore(spark, db, name,
+          ids.filter(col("doc_id") % 2 =!= 0), "doc_id")
+      }
+    }
+    (db, name)
+  }
+
+  /** `q_join_semi_bloom`: id membership against the corpus served
+    * BLOOM-FIRST — the maintained filter ([[graft.sources.CatalogOps
+    * .createBloomStore]]) drops the absent majority of the probe for the
+    * cost of one broadcast word array and codegen'd hashing, and the
+    * exact semi join confirms the survivors. No false negatives + exact
+    * confirm ⇒ the output IS the plain semi join, which is exactly what
+    * the oracle runs. This is the crawl frontier's "which of these URLs
+    * are new?" shape: at 100 TB the store's word log is 2 bytes/key and
+    * the corpus is only touched by the (tiny) confirmed fraction.
+    */
+  def semiJoinBloomStored(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CatalogOps
+    val (db, name) = ensureDocsBloom(spark, dir)
+    val probe = spark.range(1000).select(col("id").as("probe_id"))
+    CatalogOps.probeBloomStore(spark, db, name, probe, "probe_id")
+      .join(Tables.documents(spark, dir).select(col("doc_id")),
+        col("probe_id") === col("doc_id"), "left_semi")
+      .orderBy(col("probe_id").asc)
+  }
+
   /** Broadcast join of small dims: region (5 rows) is broadcast explicitly —
     * zero shuffle on the fact side at any scale.
     */

@@ -290,6 +290,94 @@ object CatalogOps {
       .partitionBy(partitionCol)
       .saveAsTable(s"`$db`.`$name`")
 
+  // ---- maintained bloom membership store ----
+
+  /** Maintained bloom membership store `{name}__bloom` — the crawl-scale
+    * "have we seen this key?" negative path ([[graft.functions
+    * .BloomFunctions]] as a persisted artifact). State is a log of
+    * (w, word) rows; the served filter is their per-word `bit_or` fold.
+    * This is the one maintained store that needs NO replay watermark:
+    * OR is idempotent and commutative, so an at-least-once replay or a
+    * reordered batch folds to the SAME bits by algebra, not by
+    * bookkeeping (pinned bit-for-bit in the spec). `expectedKeys` fixes
+    * the filter size forever — capacity-plan it; [[bloomStoreFill]]
+    * reports occupancy and the implied false-positive rate as the store
+    * grows. Upserts append O(distinct words touched) rows; compaction
+    * folds the log to ≤ m/64 rows.
+    */
+  def createBloomStore(spark: SparkSession, db: String, name: String,
+      keys: DataFrame, keyCol: String, expectedKeys: Long): Unit = {
+    val m = graft.functions.BloomFunctions.sizeFor(expectedKeys)
+    spark.createDataFrame(Seq(Tuple1(m))).toDF("m")
+      .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__bloommeta`")
+    graft.functions.BloomFunctions.bloomWordRows(keys, keyCol, m)
+      .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__bloom`")
+  }
+
+  private def bloomM(spark: SparkSession, db: String, name: String): Long =
+    spark.table(s"`$db`.`${name}__bloommeta`").collect()(0).getLong(0)
+
+  /** Append one batch's word rows — replay-safe by idempotence alone. */
+  def upsertBloomStore(spark: SparkSession, db: String, name: String,
+      keys: DataFrame, keyCol: String): Unit =
+    graft.functions.BloomFunctions
+      .bloomWordRows(keys, keyCol, bloomM(spark, db, name))
+      .write.mode("append").saveAsTable(s"`$db`.`${name}__bloom`")
+
+  /** The served filter: fold the word log, collect the m/64-long array
+    * (model-sized — 2 bytes per capacity key). */
+  def foldedBloomWords(spark: SparkSession, db: String,
+      name: String): (Array[Long], Long) = {
+    import org.apache.spark.sql.functions._
+    val m = bloomM(spark, db, name)
+    val rows = spark.table(s"`$db`.`${name}__bloom`")
+      .groupBy(col("w")).agg(expr("bit_or(word)").as("word")).collect()
+    val arr = new Array[Long]((m / 64).toInt)
+    rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    (arr, m)
+  }
+
+  /** Drop probe rows whose key CANNOT be in the store (no false
+    * negatives; survivors carry < fpp false positives for a downstream
+    * exact confirm). The folded words ride a broadcast 1-row frame; the
+    * per-row probe is codegen'd hashing.
+    */
+  def probeBloomStore(spark: SparkSession, db: String, name: String,
+      probe: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.BloomFunctions
+    val (words, m) = foldedBloomWords(spark, db, name)
+    val bloomDf = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(words)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__bloom_words",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)))))
+    probe.crossJoin(broadcast(bloomDf))
+      .where(BloomFunctions.mightContain(col(keyCol), col("__bloom_words"), m))
+      .drop("__bloom_words")
+  }
+
+  /** Fold the word log in place: ≤ m/64 rows after, same filter. */
+  def compactBloomStore(spark: SparkSession, db: String, name: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val folded = spark.table(s"`$db`.`${name}__bloom`")
+      .groupBy(col("w")).agg(expr("bit_or(word)").as("word"))
+    val staging = s"`$db`.`__${name}_bloom_staging`"
+    folded.write.mode("overwrite").saveAsTable(staging)
+    spark.table(staging).write.mode("overwrite")
+      .saveAsTable(s"`$db`.`${name}__bloom`")
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+  }
+
+  /** Occupancy report: set bits / m, and the implied false-positive rate
+    * fill^k — the signal that the capacity plan has been outgrown. */
+  def bloomStoreFill(spark: SparkSession, db: String, name: String): (Double, Double) = {
+    val (words, m) = foldedBloomWords(spark, db, name)
+    val set = words.map(java.lang.Long.bitCount).map(_.toLong).sum
+    val fill = set.toDouble / m
+    (fill, math.pow(fill, graft.functions.BloomFunctions.NumHashes))
+  }
+
   // ---- versioned collections (time travel) ----
 
   /** Versioned collection — snapshot-isolated reads over an APPEND-ONLY

@@ -3545,6 +3545,41 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, db)
   }
 
+  test("bloom store: replayed and reordered upserts fold to the one-shot filter bit-for-bit") {
+    import graft.sources.CatalogOps
+    import graft.functions.BloomFunctions
+    val db = "bloomdb"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    val all = spark.range(5000).select((col("id") * 2654435761L).as("k"))
+    val a = all.where(col("k") % 3 === 0)
+    val b = all.where(col("k") % 3 =!= 0)
+    CatalogOps.createBloomStore(spark, db, "s", a, "k", expectedKeys = 8192L)
+    CatalogOps.upsertBloomStore(spark, db, "s", b, "k")
+    CatalogOps.upsertBloomStore(spark, db, "s", b, "k") // at-least-once replay
+    CatalogOps.upsertBloomStore(spark, db, "s", a, "k") // out-of-order re-delivery
+    val (folded, m) = CatalogOps.foldedBloomWords(spark, db, "s")
+    val oneShot = BloomFunctions.buildBloomWords(all, "k", m)
+    assert(folded.sameElements(oneShot),
+      "OR-idempotence must make replays invisible")
+    // no false negatives through the served probe; absent keys mostly drop
+    val present = CatalogOps.probeBloomStore(spark, db, "s", all, "k").count()
+    assert(present === 5000L)
+    val absent = spark.range(100000).select((col("id") + 7777777L).as("k"))
+    val survivors = CatalogOps.probeBloomStore(spark, db, "s", absent, "k").count()
+    assert(survivors < 1000L, s"fp survivors $survivors")
+    // fill report: sane occupancy and the fill^k fpp estimate
+    val (fill, fpp) = CatalogOps.bloomStoreFill(spark, db, "s")
+    assert(fill > 0.05 && fill < 0.5 && math.abs(fpp - math.pow(fill, 6)) < 1e-12)
+    // compaction folds the log without changing the filter or the probe
+    val logRows = spark.table(s"$db.s__bloom").count()
+    CatalogOps.compactBloomStore(spark, db, "s")
+    assert(spark.table(s"$db.s__bloom").count() <= (m / 64) &&
+      spark.table(s"$db.s__bloom").count() < logRows)
+    assert(CatalogOps.foldedBloomWords(spark, db, "s")._1.sameElements(oneShot))
+    CatalogOps.dropDatabase(spark, db)
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
