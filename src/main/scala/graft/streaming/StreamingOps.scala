@@ -457,6 +457,24 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming bloom-store maintenance — each key micro-batch appends its
+    * word rows ([[graft.sources.CatalogOps.upsertBloomStore]]). Uniquely
+    * among the maintained stores this needs NO watermark or batch-id
+    * bookkeeping: the store is an OR-fold and OR is idempotent, so an
+    * at-least-once redelivery appends rows that fold to the same bits —
+    * replay safety by algebra (pinned bit-for-bit in OperatorSpec).
+    */
+  def streamingBloomStore(keyStream: DataFrame, db: String, name: String,
+      keyCol: String): StreamingQuery =
+    keyStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.CatalogOps.upsertBloomStore(
+            batch.sparkSession, db, name, batch.toDF(), keyCol)
+      }
+      .start()
+
   /** Streaming TEMPERATURE mixing — each (doc_id, source, …) micro-batch
     * folds its source counts into the maintained store and is mixed with
     * rates derived from the updated counts

@@ -1589,4 +1589,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(received.toSet === batchClean)
     } finally q.stop()
   }
+
+  test("streaming bloom store folds to the batch-built filter across micro-batches") {
+    import graft.sources.CatalogOps
+    import graft.functions.BloomFunctions
+    implicit val ctx = spark.sqlContext
+    val db = "sbloomdb"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    // seed the store empty-capable: create with the first slice
+    val allKeys = (0L until 3000L).map(_ * 2654435761L)
+    CatalogOps.createBloomStore(spark, db, "s",
+      allKeys.take(1000).toDF("k"), "k", expectedKeys = 8192L)
+    val in = MemoryStream[Long]
+    val q = StreamingOps.streamingBloomStore(
+      in.toDS.toDF("k"), db, "s", "k")
+    try {
+      in.addData(allKeys.slice(1000, 2000): _*)
+      q.processAllAvailable()
+      in.addData(allKeys.slice(2000, 3000): _*)
+      in.addData(allKeys.slice(1000, 2000): _*) // redelivery of an old batch
+      q.processAllAvailable()
+      val (folded, m) = CatalogOps.foldedBloomWords(spark, db, "s")
+      val oneShot = BloomFunctions.buildBloomWords(allKeys.toDF("k"), "k", m)
+      assert(folded.sameElements(oneShot),
+        "stream-fed store must equal the batch-built filter bit-for-bit")
+    } finally q.stop()
+    CatalogOps.dropDatabase(spark, db)
+  }
 }
