@@ -276,6 +276,8 @@ object SparkEntry {
     "q_agg_hash"         -> ((s, d) => RelOps.aggHash(s, d)),
     "q_agg_distinct"     -> ((s, d) => RelOps.aggDistinct(s, d)),
     "q_approx_distinct"  -> ((s, d) => RelOps.approxDistinct(s, d)),
+    // the stored twin: HLL registers as a maintained max-fold artifact
+    "q_approx_distinct_stored" -> ((s, d) => RelOps.approxDistinctStored(s, d)),
     "q_grouping_sets"    -> ((s, d) => RelOps.groupingSets(s, d)),
     "q_percentile"       -> ((s, d) => RelOps.percentiles(s, d)),
     // exact order statistics via iterative histogram refinement — the
@@ -306,6 +308,8 @@ object SparkEntry {
     "q_zorder_value"   -> ((s, d) => RelOps.zorderValue(s, d)),
     // grouped top-k via the bounded heap (no per-group sort, k·tasks shuffle)
     "q_group_topk"     -> ((s, d) => RelOps.groupTopK(s, d)),
+    // reproducible per-source sample by hash rank on the same heap
+    "q_sample_stratified" -> ((s, d) => RelOps.sampleStratified(s, d)),
     // probe side cut by a deterministic bloom of the selective build side
     // BEFORE the exchange; no false negatives ⇒ same oracle as plain join
     "q_join_bloom"     -> ((s, d) => RelOps.joinBloom(s, d)),
@@ -1720,6 +1724,16 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
         |FROM r WHERE rank <= 5 ORDER BY source ASC, rank ASC""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH s AS (SELECT source, doc_id,
+        |                  (doc_id * 3266489917) % 1000003 AS h FROM documents),
+        |r AS (SELECT source, doc_id,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY h ASC, doc_id ASC) AS rank
+        |      FROM s)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+        |FROM r WHERE rank <= 10
+        |ORDER BY source ASC, rank ASC""".stripMargin,
     "q_key_skew" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
         |t AS (SELECT count(*) AS total FROM events)

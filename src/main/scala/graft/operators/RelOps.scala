@@ -257,6 +257,58 @@ object RelOps {
     groupTopKOn(Tables.documents(spark, dir), "source", "n_chars", "doc_id", 5)
       .orderBy(col("source").asc, col("rank").asc)
 
+  /** Build-if-absent maintained HLL store over the order custkeys —
+    * create-half + fold-half each run (the ensure convention). */
+  private[graft] def ensureHllOrders(spark: SparkSession,
+      dir: String): (String, String) = {
+    import graft.sources.CatalogOps
+    val db = "graft_hll"
+    val name = "orders"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__hll")) {
+        CatalogOps.createDatabase(spark, db)
+        KnnOps.dropTableAndDir(spark, db, s"${name}__hll")
+        val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey"))
+        CatalogOps.createHllStore(spark, db, name,
+          o.filter(col("o_orderkey") % 2 === 0).select(col("o_custkey")), "o_custkey")
+        CatalogOps.upsertHllStore(spark, db, name,
+          o.filter(col("o_orderkey") % 2 =!= 0).select(col("o_custkey")), "o_custkey")
+      }
+    }
+    (db, name)
+  }
+
+  /** `q_approx_distinct_stored`: the distinct-customer estimate served
+    * from the MAINTAINED HLL registers — [[approxDistinct]]'s question
+    * answered without touching the corpus at ask time. Rows-only by
+    * design (approximate); determinism and replay-invariance are pinned
+    * in the spec, accuracy is the ±1.6% HLL contract at p = 12.
+    */
+  def approxDistinctStored(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (db, name) = ensureHllOrders(spark, dir)
+    Seq(graft.sources.CatalogOps.hllEstimate(spark, db, name))
+      .toDF("approx_custkeys")
+  }
+
+  /** Deterministic stratified sample — exactly `perStratum` docs per
+    * source, chosen by rank under the Knuth multiplier hash (the house
+    * deterministic-uniform: reproducible across runs, partitionings, and
+    * engines — which is the point of sampling training data: the sample
+    * IS an artifact). Rides [[groupTopKOn]]'s bounded heap, so the
+    * exchange carries k rows per (stratum × task), never the stratum.
+    * The negated hash makes "k smallest hashes" the heap's "k best".
+    */
+  def sampleStratified(spark: SparkSession, dir: String,
+      perStratum: Int = 10): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        (-(col("doc_id") * 3266489917L % 1000003L)).as("negh"))
+    groupTopKOn(base, "source", "negh", "doc_id", perStratum)
+      .select(col("source"), col("rank"), col("doc_id"))
+      .orderBy(col("source").asc, col("rank").asc)
+  }
+
   /** Z-value computation surface — the row-side arithmetic of the
     * z-ordered layout ([[graft.sources.CatalogOps.createZorderedCollection]]),
     * exposed as a query so the oracle can pin it: equi-width bucket ranks

@@ -3580,6 +3580,42 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, db)
   }
 
+  test("HLL store: replay-invariant max fold, accuracy in bound, small-range exactness") {
+    import spark.implicits._
+    import graft.sources.CatalogOps
+    val db = "hlldb"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    // 100k distinct keys with duplicates, split into three batches
+    val all = spark.range(300000).select((col("id") % 100000L).as("k"))
+    val b1 = all.where(col("k") % 3 === 0)
+    val b2 = all.where(col("k") % 3 === 1)
+    val b3 = all.where(col("k") % 3 === 2)
+    CatalogOps.createHllStore(spark, db, "s", b1, "k")
+    CatalogOps.upsertHllStore(spark, db, "s", b2, "k")
+    CatalogOps.upsertHllStore(spark, db, "s", b3, "k")
+    CatalogOps.upsertHllStore(spark, db, "s", b2, "k") // redelivery
+    val est = CatalogOps.hllEstimate(spark, db, "s")
+    assert(math.abs(est - 100000L) < 5000L, s"estimate $est")
+    // fold ≡ one-shot registers, bit-identical despite replay + ordering
+    val oneShot = CatalogOps.hllRegisterRows(all, "k")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+    val folded = spark.table(s"$db.s__hll")
+      .groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+    assert(folded.sameElements(oneShot))
+    // compaction preserves the estimate exactly
+    CatalogOps.compactHllStore(spark, db, "s")
+    assert(spark.table(s"$db.s__hll").count() <= 4096L)
+    assert(CatalogOps.hllEstimate(spark, db, "s") === est)
+    // small range: linear counting is near-exact
+    CatalogOps.createHllStore(spark, db, "t",
+      spark.range(100).select(col("id").as("k")), "k")
+    val small = CatalogOps.hllEstimate(spark, db, "t")
+    assert(math.abs(small - 100L) <= 3L, s"small-range estimate $small")
+    CatalogOps.dropDatabase(spark, db)
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
