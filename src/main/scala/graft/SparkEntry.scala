@@ -288,6 +288,8 @@ object SparkEntry {
     "q_tpch_q3"          -> ((s, d) => RelOps.shippingPriority(s, d)),
     "q_tpch_q4"          -> ((s, d) => RelOps.orderPriorityCheck(s, d)),
     "q_tpch_q5"          -> ((s, d) => RelOps.localSupplierVolume(s, d)),
+    "q_tpch_q7"          -> ((s, d) => RelOps.volumeShipping(s, d)),
+    "q_tpch_q8"          -> ((s, d) => RelOps.nationalMarketShare(s, d)),
     "q_tpch_q10"         -> ((s, d) => RelOps.returnedItemReport(s, d)),
     "q_tpch_q14"         -> ((s, d) => RelOps.promotionEffect(s, d)),
     "q_tpch_q18"         -> ((s, d) => RelOps.largeVolumeCustomers(s, d)),
@@ -1666,6 +1668,44 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INT) AS l_year,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""".stripMargin,
+    "q_tpch_q8" ->
+      """WITH t AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |         CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT) AS volu,
+        |         n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        |       round((CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volu ELSE 0 END) AS DOUBLE) / 1000000.0)
+        |             / (CAST(sum(volu) AS DOUBLE) / 1000000.0), 6) AS mkt_share,
+        |       CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volu ELSE 0 END) AS DOUBLE) / 1000000.0 AS nation_vol,
+        |       CAST(sum(volu) AS DOUBLE) / 1000000.0 AS total_vol
+        |FROM t GROUP BY o_year ORDER BY o_year ASC""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue

@@ -882,6 +882,79 @@ object RelOps {
       .limit(20)
   }
 
+  /** TPC-H Q7 (volume shipping) — the bidirectional nation-pair trade
+    * report: one lineitem⋈orders large join carries the fact side; both
+    * nation lookups broadcast; the symmetric pair predicate sits on the
+    * broadcast-joined names, and the ship year derives per row. Money
+    * via integer micros.
+    */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    val pair = (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+      (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"), year(col("l_shipdate")).as("l_year"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .filter(pair)
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("supp_nation").asc, col("cust_nation").asc, col("l_year").asc)
+  }
+
+  /** TPC-H Q8 (national market share) — the deepest join graph the
+    * fixture schema supports (7 tables): region→nation prunes the
+    * customer market, part prunes the product line, and the share is a
+    * conditional/total ratio of two integer-micros-exact sums per year —
+    * engine-identical division.
+    */
+  def nationalMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val americaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "AMERICA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("mkt_nkey"))
+    val suppNation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_type") === "STANDARD").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(americaNations), col("c_nationkey") === col("mkt_nkey"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .groupBy(col("o_year"))
+      .agg(
+        sumMoney(when(col("supp_nation") === "NATION_1", vol).otherwise(lit(0.0))).as("nation_vol"),
+        sumMoney(vol).as("total_vol"))
+      .select(col("o_year"),
+        round(col("nation_vol") / col("total_vol"), 6).as("mkt_share"),
+        col("nation_vol"), col("total_vol"))
+      .orderBy(col("o_year").asc)
+  }
+
   /** TPC-H Q5 (local supplier volume) — the classic 6-table join-order
     * test: region→nation prune first (tiny dims, broadcast), the
     * customer-nation = supplier-nation condition closes the cycle, and
