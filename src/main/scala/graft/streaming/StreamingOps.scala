@@ -475,6 +475,22 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming HLL maintenance — the distinct-count registers fold under
+    * MAX ([[graft.sources.CatalogOps.upsertHllStore]]), so like the bloom
+    * twin this needs no watermark: redelivery appends rows the fold
+    * absorbs by idempotence.
+    */
+  def streamingHllStore(keyStream: DataFrame, db: String, name: String,
+      keyCol: String): StreamingQuery =
+    keyStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.CatalogOps.upsertHllStore(
+            batch.sparkSession, db, name, batch.toDF(), keyCol)
+      }
+      .start()
+
   /** Streaming TEMPERATURE mixing — each (doc_id, source, …) micro-batch
     * folds its source counts into the maintained store and is mixed with
     * rates derived from the updated counts

@@ -1617,4 +1617,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     CatalogOps.dropDatabase(spark, db)
   }
+
+  test("streaming HLL store matches the batch-built registers across replayed batches") {
+    import graft.sources.CatalogOps
+    implicit val ctx = spark.sqlContext
+    val db = "shlldb"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    val keys = (0L until 20000L).map(i => i % 7000L) // duplicates on purpose
+    CatalogOps.createHllStore(spark, db, "s", keys.take(5000).toDF("k"), "k")
+    val in = MemoryStream[Long]
+    val q = StreamingOps.streamingHllStore(in.toDS.toDF("k"), db, "s", "k")
+    try {
+      in.addData(keys.slice(5000, 15000): _*)
+      q.processAllAvailable()
+      in.addData(keys.slice(15000, 20000): _*)
+      in.addData(keys.slice(5000, 15000): _*) // redelivery
+      q.processAllAvailable()
+      val streamEst = CatalogOps.hllEstimate(spark, db, "s")
+      CatalogOps.createHllStore(spark, db, "b", keys.toDF("k"), "k")
+      assert(streamEst === CatalogOps.hllEstimate(spark, db, "b"),
+        "stream-fed registers must serve the batch-built estimate exactly")
+      assert(math.abs(streamEst - 7000L) < 500L, s"estimate $streamEst")
+    } finally q.stop()
+    CatalogOps.dropDatabase(spark, db)
+  }
 }
