@@ -717,47 +717,56 @@ object RelOps {
     val head = base.agg(count(lit(1)).as("n"), min(col("v")), max(col("v"))).collect()(0)
     val n = head.getLong(0)
     require(n > 0, "quantileExactOn: empty input")
-    ps.map { p =>
+    // Joint refinement: quantiles targeting the SAME interval share one
+    // histogram job per round — at scale each histogram is a full scan
+    // of the surviving range, so the scan count is rounds × distinct
+    // intervals, not rounds × quantiles (all ps start in the global
+    // interval, so round one is always a single scan).
+    final case class St(p: Double, var rank: Long, var lo: Double,
+                        var hi: Double, var cnt: Long, var it: Int,
+                        var ans: Double = Double.NaN, var done: Boolean = false)
+    val states = ps.map { p =>
       require(p >= 0.0 && p <= 1.0, s"quantile out of range: $p")
-      var rank = math.floor(p * (n - 1)).toLong
-      var lo = head.getDouble(1)
-      var hi = head.getDouble(2)
-      var cnt = n
-      var it = 0
-      var ans = Double.NaN
-      var done = false
-      while (!done) {
-        if (lo == hi) { ans = lo; done = true }
-        else if (cnt <= exactThreshold || it >= maxIters) {
-          require(rank + 1 <= Int.MaxValue, "rank too large for exact endgame")
-          ans = base.where(col("v") >= lo && col("v") <= hi)
-            .orderBy(col("v").asc).limit((rank + 1).toInt)
+      St(p, math.floor(p * (n - 1)).toLong, head.getDouble(1),
+        head.getDouble(2), n, 0)
+    }
+    while (states.exists(!_.done)) {
+      states.filter(!_.done).foreach { s =>
+        if (s.lo == s.hi) { s.ans = s.lo; s.done = true }
+        else if (s.cnt <= exactThreshold || s.it >= maxIters) {
+          require(s.rank + 1 <= Int.MaxValue, "rank too large for exact endgame")
+          s.ans = base.where(col("v") >= s.lo && col("v") <= s.hi)
+            .orderBy(col("v").asc).limit((s.rank + 1).toInt)
             .agg(max(col("v"))).collect()(0).getDouble(0)
-          done = true
-        } else {
-          val w = (hi - lo) / buckets
-          val bin = least(floor((col("v") - lit(lo)) / lit(w)), lit(buckets - 1L)).cast("long")
-          val hist = base.where(col("v") >= lo && col("v") <= hi)
-            .groupBy(bin.as("b"))
-            .agg(count(lit(1)).as("c"), min(col("v")).as("mn"), max(col("v")).as("mx"))
-            .collect()
-            .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
-            .toMap
+          s.done = true
+        }
+      }
+      val active = states.filter(!_.done)
+      active.groupBy(s => (s.lo, s.hi)).foreach { case ((lo, hi), group) =>
+        val w = (hi - lo) / buckets
+        val bin = least(floor((col("v") - lit(lo)) / lit(w)), lit(buckets - 1L)).cast("long")
+        val hist = base.where(col("v") >= lo && col("v") <= hi)
+          .groupBy(bin.as("b"))
+          .agg(count(lit(1)).as("c"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+          .toMap
+        group.foreach { s =>
           var cum = 0L
           var b = 0L
-          while (cum + hist.get(b).map(_._1).getOrElse(0L) <= rank) {
+          while (cum + hist.get(b).map(_._1).getOrElse(0L) <= s.rank) {
             cum += hist.get(b).map(_._1).getOrElse(0L); b += 1
           }
           val (bc, bmn, bmx) = hist(b)
-          rank -= cum
+          s.rank -= cum
           // No progress is possible only when double resolution is
           // exhausted inside the bin; the min==max check above or the
           // maxIters endgame terminates that case.
-          lo = bmn; hi = bmx; cnt = bc; it += 1
+          s.lo = bmn; s.hi = bmx; s.cnt = bc; s.it += 1
         }
       }
-      p -> ans
     }
+    states.map(s => s.p -> s.ans)
   }
 
   /** Contract surface for [[quantileExactOn]]: exact discrete quantiles of
