@@ -236,6 +236,7 @@ object SparkEntry {
     "q_knn_mmr"        -> ((s, d) => RetrievalOps.mmrRerank(s, d)),
     // ---- §2.I events (batch) ----
     "q_events_tumbling"   -> ((s, d) => EventOps.tumbling(s, d)),
+    "q_events_distinct"   -> ((s, d) => EventOps.tumblingDistinct(s, d)),
     "q_events_hopping"    -> ((s, d) => EventOps.hopping(s, d)),
     "q_events_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "q_events_retention"  -> ((s, d) => EventOps.retention(s, d)),
@@ -284,6 +285,8 @@ object SparkEntry {
     // bounded-memory scale path (`percentile` buffers whole groups)
     "q_quantile_exact"   -> ((s, d) => RelOps.quantileExact(s, d)),
     "q_histogram"        -> ((s, d) => RelOps.histogram(s, d)),
+    // the pre-training validation suite: one row per constraint
+    "q_quality_checks"   -> ((s, d) => RelOps.qualityChecks(s, d)),
     "q_tpch_q1"          -> ((s, d) => RelOps.pricingSummary(s, d)),
     "q_tpch_q3"          -> ((s, d) => RelOps.shippingPriority(s, d)),
     "q_tpch_q4"          -> ((s, d) => RelOps.orderPriorityCheck(s, d)),
@@ -332,6 +335,7 @@ object SparkEntry {
     "q_agg_stats"      -> ((s, d) => RelOps.aggStats(s, d)),
     "q_window_running" -> ((s, d) => RelOps.windowRunning(s, d)),
     "q_window_lag"     -> ((s, d) => RelOps.windowLag(s, d)),
+    "q_window_percentrank" -> ((s, d) => RelOps.windowPercentRank(s, d)),
     "q_window_range"   -> ((s, d) => RelOps.windowRange(s, d)),
     "q_window_firstlast" -> ((s, d) => RelOps.windowFirstLast(s, d)),
     // ---- §2.H sorts / limits / set ops ----
@@ -1423,6 +1427,44 @@ object SparkEntry {
         |       1 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 16 AS n_frames
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
     // ---- events (batch) ----
+    "q_events_distinct" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY date_trunc('day', ts), event_type
+        |ORDER BY day ASC, event_type ASC""".stripMargin,
+    "q_quality_checks" ->
+      """WITH checks AS (
+        |SELECT 'accepted_o_orderstatus' AS chk,
+        |       sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS v,
+        |       count(*) AS t
+        |FROM orders
+        |UNION ALL
+        |SELECT 'fk_orders_customer',
+        |       sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), count(*)
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'notnull_l_shipdate',
+        |       sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), count(*)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'range_l_discount',
+        |       sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), count(*)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'unique_o_orderkey',
+        |       count(*) - count(DISTINCT o_orderkey), count(*)
+        |FROM orders)
+        |SELECT chk AS "check", CAST(v AS BIGINT) AS violations,
+        |       CAST(t AS BIGINT) AS total, CAST(v AS BIGINT) = 0 AS pass
+        |FROM checks ORDER BY chk ASC""".stripMargin,
+    "q_window_percentrank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       percent_rank() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY c_acctbal ASC, c_custkey ASC) AS pr,
+        |       cume_dist() OVER (PARTITION BY c_mktsegment
+        |                         ORDER BY c_acctbal ASC, c_custkey ASC) AS cd
+        |FROM customer ORDER BY c_custkey ASC""".stripMargin,
     "q_events_tumbling" ->
       """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
         |       CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value

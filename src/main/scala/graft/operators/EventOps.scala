@@ -26,6 +26,23 @@ object EventOps {
       .select(col("w.start").as("day"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("day").asc, col("event_type").asc)
 
+  /** Distinct users per tumbling day × type — the windowed-cardinality
+    * report. The EXACT form shuffles (day, type, user) once for the
+    * distinct then aggregates; Catalyst plans count(DISTINCT) as the
+    * standard two-phase expand. At cardinalities where exact distinct is
+    * the bottleneck, the HLL register path
+    * ([[graft.sources.CatalogOps.hllRegisterRows]] grouped by window)
+    * answers the same question in one partial-agg pass with ≤ m rows per
+    * (window × task) — the spec pins it within the ±1.6% HLL contract
+    * against this exact form.
+    */
+  def tumblingDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start").as("day"), col("event_type"), col("n_users"))
+      .orderBy(col("day").asc, col("event_type").asc)
+
   /** Hopping (sliding) windows: 1-day windows every 12 hours — each event
     * lands in windowLength/slide = 2 windows. Spark's `window()` generator
     * duplicates the row per window BEFORE the keyed aggregation, so the

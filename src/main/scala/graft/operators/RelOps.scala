@@ -781,6 +781,55 @@ object RelOps {
       .toDF("p", "v").orderBy(col("p").asc)
   }
 
+  /** Data-quality constraint report — the validation suite you run
+    * before letting a snapshot into training (the Deequ-shape): each
+    * constraint is one aggregate (or one join-aggregate) over its
+    * target, emitted as a (check, violations, total, pass) row. Every
+    * check is partial-agg'd or anti-join shaped — nothing quadratic,
+    * nothing driver-side; the report is constraints-count rows.
+    */
+  def qualityChecks(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    def report(name: String, violations: Column, total: Column,
+               df: DataFrame): DataFrame =
+      df.agg(violations.cast("long").as("violations"), total.cast("long").as("total"))
+        .select(lit(name).as("check"), col("violations"), col("total"),
+          (col("violations") === 0L).as("pass"))
+    val unique = report("unique_o_orderkey",
+      count(lit(1)) - countDistinct(col("o_orderkey")), count(lit(1)), orders)
+    val fk = report("fk_orders_customer",
+      sum(when(col("c_custkey").isNull, 1L).otherwise(0L)), count(lit(1)),
+      orders.join(Tables.customer(spark, dir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left"))
+    val notNull = report("notnull_l_shipdate",
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)), count(lit(1)), li)
+    val range = report("range_l_discount",
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
+        .otherwise(0L)), count(lit(1)), li)
+    val accepted = report("accepted_o_orderstatus",
+      sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)),
+      count(lit(1)), orders)
+    unique.unionByName(fk).unionByName(notNull).unionByName(range)
+      .unionByName(accepted)
+      .orderBy(col("check").asc)
+  }
+
+  /** percent_rank + cume_dist — the remaining analytic-rank surface
+    * (§2.G): both are exact small-integer divisions once the order key
+    * is made unique with the id tie-break, so the doubles are
+    * engine-identical.
+    */
+  def windowPercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .orderBy(col("c_custkey").asc)
+  }
+
   /** Fixed-width histogram: floor-binning is a pure projection, the count a
     * standard partial-agg — the profile query of a data-quality pass.
     */
