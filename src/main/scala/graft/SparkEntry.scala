@@ -365,6 +365,9 @@ object SparkEntry {
     "q_text_quality", "q_quality_lr", "q_token_count", "q_term_heavyhitters", "q_term_heavyhitters_stored", "q_bpe_tokens", "q_lm_bigram", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_tpch_q10", "q_join_hash", "q_join_broadcast", "q_join_bloom",
     "q_quantile_exact", "q_group_topk", "q_key_skew", "q_key_skew_stored", "q_join_skew", "q_zorder_value",
+    "q_join_semi_bloom", "q_timetravel_latest", "q_timetravel_asof", "q_sample_stratified",
+    "q_approx_distinct_stored", "q_quality_checks", "q_events_distinct", "q_window_percentrank",
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q14", "q_tpch_q18",
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
     "q_events_tumbling", "q_events_sessionize",
