@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** RFC 9309 (robots.txt) evaluation — the admission-control half of the
+  * crawl cycle the reference skips entirely (`Crawling.py` fetches
+  * unconditionally; a production crawler legally and operationally
+  * cannot). Parsing and rule evaluation are pure JVM functions over the
+  * per-host robots bodies — model-sized state (hosts × rules), fetched
+  * once per host per cycle through the same injected-fetcher boundary as
+  * [[CrawlOps.fetchPages]] — so the distributed form is a broadcast of
+  * the parsed rule map and a per-row prefix-match, no shuffle anywhere.
+  *
+  * Semantics implemented per RFC 9309 §2.2:
+  *  - group selection: the group whose user-agent token is the LONGEST
+  *    substring of the client's product token (case-insensitive);
+  *    `*` groups apply only when no specific group matches;
+  *  - rule precedence: the matching rule with the LONGEST pattern wins;
+  *    equal lengths resolve to ALLOW;
+  *  - patterns are path prefixes with `*` (any octets) and `$`
+  *    (end anchor); an empty Disallow matches nothing (allow all);
+  *  - no matching rule → allowed.
+  */
+object RobotsOps {
+
+  final case class Rule(allow: Boolean, pattern: String)
+  final case class Group(agents: Seq[String], rules: Seq[Rule])
+
+  /** Parse one robots.txt body into agent groups. Consecutive
+    * `User-agent` lines open one group; `Allow`/`Disallow` lines attach
+    * to the open group; unknown directives and comments are skipped
+    * (RFC 9309 §2.2.3 tolerance).
+    */
+  def parse(text: String): Seq[Group] = {
+    val groups = Seq.newBuilder[Group]
+    var agents = Vector.empty[String]
+    var rules = Vector.empty[Rule]
+    var inAgents = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents, rules)
+      agents = Vector.empty; rules = Vector.empty
+    }
+    text.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val idx = line.indexOf(':')
+      if (idx > 0) {
+        val key = line.substring(0, idx).trim.toLowerCase
+        val value = line.substring(idx + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inAgents) flush()
+            agents :+= value.toLowerCase
+            inAgents = true
+          case "allow" =>
+            inAgents = false
+            if (agents.nonEmpty) rules :+= Rule(allow = true, value)
+          case "disallow" =>
+            inAgents = false
+            if (agents.nonEmpty) rules :+= Rule(allow = false, value)
+          case _ => inAgents = false // crawl-delay, sitemap, unknown
+        }
+      }
+    }
+    flush()
+    groups.result()
+  }
+
+  /** The rule set governing `agent`: the most specific matching group
+    * (longest user-agent token that is a substring of the agent), else
+    * the `*` group, else no rules (everything allowed).
+    */
+  def rulesFor(groups: Seq[Group], agent: String): Seq[Rule] = {
+    val a = agent.toLowerCase
+    val specific = groups.flatMap(g =>
+      g.agents.filter(t => t != "*" && a.contains(t)).map(t => (t.length, g)))
+    if (specific.nonEmpty) specific.maxBy(_._1)._2.rules
+    else groups.find(_.agents.contains("*")).map(_.rules).getOrElse(Seq.empty)
+  }
+
+  /** Length of the pattern if it matches a prefix of `path` (RFC match
+    * specificity = pattern octet length), None otherwise. `*` matches any
+    * run (including empty); `$` at pattern end anchors to path end; an
+    * empty pattern matches nothing.
+    */
+  private[graft] def matchLen(pattern: String, path: String): Option[Int] = {
+    if (pattern.isEmpty) return None
+    val (pat, anchored) =
+      if (pattern.endsWith("$")) (pattern.dropRight(1), true) else (pattern, false)
+    // greedy wildcard prefix match, iterative backtracking
+    def matches(pi0: Int, si0: Int): Boolean = {
+      var pi = pi0; var si = si0
+      var starPi = -1; var starSi = -1
+      while (true) {
+        if (pi < pat.length && pat.charAt(pi) == '*') {
+          starPi = pi; starSi = si; pi += 1
+        } else if (pi < pat.length && si < path.length &&
+          pat.charAt(pi) == path.charAt(si)) {
+          pi += 1; si += 1
+        } else if (pi == pat.length) {
+          // pattern consumed: a prefix match unless anchored to the end
+          if (!anchored || si == path.length) return true
+          // anchored: try to push the last * further
+          if (starPi < 0 || starSi >= path.length) return false
+          starSi += 1; pi = starPi + 1; si = starSi
+        } else if (starPi >= 0 && starSi < path.length) {
+          starSi += 1; pi = starPi + 1; si = starSi
+        } else return false
+      }
+      false
+    }
+    if (matches(0, 0)) Some(pattern.length) else None
+  }
+
+  /** RFC 9309 verdict for one path: longest matching pattern wins,
+    * allow wins length ties, no match allows.
+    */
+  def isAllowed(rules: Seq[Rule], path: String): Boolean = {
+    val hits = rules.flatMap(r => matchLen(r.pattern, path).map(l => (l, r.allow)))
+    if (hits.isEmpty) true
+    else {
+      val best = hits.map(_._1).max
+      hits.filter(_._1 == best).exists(_._2) // any allow at max length wins
+    }
+  }
+
+  /** Distributed admission filter: drop frontier urls their host's robots
+    * rules disallow for `agent`. The parsed rule map (host → rules) is
+    * model-sized and rides the task closure; evaluation is a per-row
+    * prefix match with no shuffle. Hosts with no robots body are allowed
+    * (the RFC 9309 unavailability rule for 404).
+    */
+  def filterAllowed(urls: Dataset[String], robotsByHost: Map[String, String],
+      agent: String): Dataset[String] = {
+    val ruleMap: Map[String, Seq[Rule]] =
+      robotsByHost.map { case (h, txt) => h -> rulesFor(parse(txt), agent) }
+    urls.filter { u =>
+      val uri = try new java.net.URI(u) catch { case _: Exception => null }
+      if (uri == null || uri.getHost == null) false // malformed: never fetch
+      else ruleMap.get(uri.getHost.toLowerCase) match {
+        case None => true
+        case Some(rules) =>
+          val path = Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/")
+          isAllowed(rules, path)
+      }
+    }
+  }
+
+  /** Frontier composition: [[graft.operators.FrontierOps]]' schedule
+    * filtered by robots admission — the fetch list a polite crawler
+    * actually issues.
+    */
+  def admitFrontier(frontier: DataFrame, urlCol: String,
+      robotsByHost: Map[String, String], agent: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    val allowed = filterAllowed(
+      frontier.select(col(urlCol)).distinct().as[String],
+      robotsByHost, agent).toDF(urlCol)
+    frontier.join(org.apache.spark.sql.functions.broadcast(allowed), urlCol)
+  }
+}

@@ -3616,6 +3616,54 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, db)
   }
 
+  test("robots.txt: RFC 9309 longest-match semantics, wildcards, agent groups, frontier admission") {
+    import graft.sources.RobotsOps
+    import graft.sources.RobotsOps.Rule
+    // longest match wins; allow wins ties; empty disallow allows all
+    val g = RobotsOps.parse(
+      """User-agent: *
+        |Disallow: /example/page
+        |Allow: /example/page/
+        |Disallow: /*.php$
+        |Allow: /tie
+        |Disallow: /tie
+        |Disallow:
+        |""".stripMargin)
+    val rules = RobotsOps.rulesFor(g, "anybot/1.0")
+    assert(RobotsOps.isAllowed(rules, "/example/page/index.html")) // allow longer
+    assert(!RobotsOps.isAllowed(rules, "/example/page.html"))      // disallow prefix
+    assert(!RobotsOps.isAllowed(rules, "/index.php"))              // $ anchor hits
+    assert(RobotsOps.isAllowed(rules, "/index.php5"))              // $ anchor misses
+    assert(RobotsOps.isAllowed(rules, "/tie/anything"))            // tie → allow
+    assert(RobotsOps.isAllowed(rules, "/unmentioned"))             // no match → allow
+    // wildcard interior match
+    val w = RobotsOps.rulesFor(RobotsOps.parse(
+      "User-agent: *\nDisallow: /private*/data\n"), "x")
+    assert(!RobotsOps.isAllowed(w, "/private123/data/x"))
+    assert(RobotsOps.isAllowed(w, "/private123/info"))
+    // agent group selection: longest token substring beats *, which beats none
+    val ag = RobotsOps.parse(
+      """User-agent: examplebot
+        |User-agent: examplebot-news
+        |Disallow: /news-only
+        |
+        |User-agent: *
+        |Disallow: /everyone
+        |""".stripMargin)
+    assert(!RobotsOps.isAllowed(RobotsOps.rulesFor(ag, "Mozilla examplebot-news/2.1"), "/news-only"))
+    assert(RobotsOps.isAllowed(RobotsOps.rulesFor(ag, "examplebot-news"), "/everyone"))
+    assert(!RobotsOps.isAllowed(RobotsOps.rulesFor(ag, "randombot"), "/everyone"))
+    assert(RobotsOps.isAllowed(RobotsOps.rulesFor(Seq.empty, "any"), "/anything"))
+    // distributed admission: per-host rules, absent robots allows, malformed drops
+    import spark.implicits._
+    val urls = Seq(
+      "https://a.example/ok", "https://a.example/blocked/x",
+      "https://b.example/anything", "not a url").toDS()
+    val robots = Map("a.example" -> "User-agent: *\nDisallow: /blocked\n")
+    val kept = RobotsOps.filterAllowed(urls, robots, "graftbot").collect().toSet
+    assert(kept === Set("https://a.example/ok", "https://b.example/anything"))
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
