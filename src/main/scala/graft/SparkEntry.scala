@@ -78,6 +78,8 @@ object SparkEntry {
     "q_crawl_delta"    -> ((s, d) => FrontierOps.crawlDelta(s, d)),
     // next-cycle fetch schedule: staleness priority, per-host politeness cap
     "q_crawl_frontier" -> ((s, d) => FrontierOps.crawlFrontier(s, d)),
+    // one crawl-cycle plan: delta's added/changed → capped fetch schedule
+    "q_crawl_e2e"      -> ((s, d) => FrontierOps.crawlCycle(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
@@ -790,6 +792,35 @@ object SparkEntry {
          |SELECT dst AS doc_id, CAST(len(l) AS BIGINT) AS in_degree,
          |       array_to_string(l[1:3], ' | ') AS top_anchors
          |FROM a ORDER BY doc_id ASC""".stripMargin,
+    "q_crawl_e2e" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 13 = 0 THEN substr(text, 1, 10) ELSE text END) AS old_hash
+        |  FROM documents WHERE doc_id % 11 <> 3),
+        |neu AS (SELECT doc_id, md5(text) AS new_hash FROM documents WHERE doc_id % 17 <> 5),
+        |delta AS (
+        |  SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+        |         CASE WHEN old.doc_id IS NULL THEN 'added'
+        |              WHEN neu.doc_id IS NULL THEN 'removed'
+        |              WHEN old_hash <> new_hash THEN 'changed' END AS change
+        |  FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+        |  WHERE old.doc_id IS NULL OR neu.doc_id IS NULL OR old_hash <> new_hash),
+        |p AS (
+        |  SELECT source AS host, doc_id,
+        |         ((doc_id % 30) * CASE lang WHEN 'en' THEN 5 WHEN 'fr' THEN 4
+        |                                    WHEN 'es' THEN 3 WHEN 'de' THEN 2
+        |                                    ELSE 1 END
+        |          + n_chars % 7) AS priority
+        |  FROM documents),
+        |j AS (
+        |  SELECT host, p.doc_id AS doc_id, change, priority,
+        |         row_number() OVER (PARTITION BY host
+        |                            ORDER BY priority DESC, p.doc_id ASC) AS slot
+        |  FROM delta JOIN p ON delta.doc_id = p.doc_id
+        |  WHERE change IN ('added', 'changed'))
+        |SELECT host, CAST(slot AS BIGINT) AS slot, doc_id, change, priority
+        |FROM j WHERE slot <= 5
+        |ORDER BY host ASC, slot ASC""".stripMargin,
     "q_crawl_delta" ->
       """WITH old AS (
         |  SELECT doc_id,

@@ -70,7 +70,7 @@ object FrontierOps {
     * change rate is a per-language integer weight (news-ish languages
     * poll faster in the fixture purely to make rates non-uniform).
     */
-  private def priorityCol: Column = {
+  private[graft] def priorityCol: Column = {
     val rate = when(col("lang") === "en", 5).when(col("lang") === "fr", 4)
       .when(col("lang") === "es", 3).when(col("lang") === "de", 2).otherwise(1)
     ((col("doc_id") % 30) * rate + col("n_chars") % 7).cast("long")
@@ -99,6 +99,31 @@ object FrontierOps {
       .filter(col("slot") <= perHostCap)
       .select(col("host"), col("slot").cast("long").as("slot"),
         col("doc_id"), col("priority"))
+      .orderBy(col("host").asc, col("slot").asc)
+  }
+
+  /** `q_crawl_e2e`: one crawl-cycle plan — the re-crawl delta's
+    * added/changed pages fed straight into the politeness-capped,
+    * staleness-ranked fetch schedule. The delta side reduces to (id,
+    * change) before any join, host/priority attach from the corpus
+    * snapshot, and the per-host rank bounds the output at hosts × cap —
+    * at steady state the delta is the small side, so the schedule join
+    * broadcasts it and the corpus never shuffles.
+    */
+  def crawlCycle(spark: SparkSession, dir: String,
+                 perHostCap: Int = 5): DataFrame = {
+    val refetch = crawlDelta(spark, dir)
+      .filter(col("change").isin("added", "changed"))
+      .select(col("doc_id"), col("change"))
+    val pages = Tables.documents(spark, dir)
+      .select(col("source").as("host"), col("doc_id"), priorityCol.as("priority"))
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+    refetch.join(pages, Seq("doc_id"))
+      .withColumn("slot", row_number().over(w))
+      .filter(col("slot") <= perHostCap)
+      .select(col("host"), col("slot").cast("long").as("slot"),
+        col("doc_id"), col("change"), col("priority"))
       .orderBy(col("host").asc, col("slot").asc)
   }
 }
