@@ -30,23 +30,36 @@ object ZorderFunctions {
   val BucketBits = 8
   val Buckets: Int = 1 << BucketBits // 256
 
-  /** spread(b): bit i of b moves to bit 2i — the Morton even-bit mask. */
-  private[graft] def spread(b: Int): Long = {
+  /** spreadN(b, s): bit i of b moves to bit s·i — the stride-s Morton
+    * mask (s = dimension count). */
+  private[graft] def spreadN(b: Int, stride: Int): Long = {
     var v = 0L
     var i = 0
-    while (i < BucketBits) { v |= ((b >> i) & 1).toLong << (2 * i); i += 1 }
+    while (i < BucketBits) { v |= ((b >> i) & 1).toLong << (stride * i); i += 1 }
     v
   }
 
-  private val spreadLut: Seq[Long] = (0 until Buckets).map(spread)
+  /** spread(b): the 2-D case — bit i moves to bit 2i. */
+  private[graft] def spread(b: Int): Long = spreadN(b, 2)
 
-  /** Interleave two bucket ids (each in [0, 256)) into the z-value:
-    * a's bits land on odd positions, b's on even. Lookup-table form —
-    * two `element_at` on a 256-long literal, whole-stage-codegen'd.
+  private def lutN(stride: Int): Seq[Long] = (0 until Buckets).map(spreadN(_, stride))
+
+  /** Interleave 2–4 bucket ids (each in [0, 256)) into the z-value —
+    * dimension k's bits land on positions ≡ (n−1−k) mod n, so every
+    * dimension contributes equally to locality. Lookup-table form: one
+    * `element_at` on a 256-long literal per dimension, all codegen'd.
     */
+  def zInterleaveN(bucketCols: Seq[Column]): Column = {
+    val n = bucketCols.length
+    require(n >= 2 && n <= 4, s"z-order supports 2-4 dimensions, got $n")
+    bucketCols.zipWithIndex.map { case (c, k) =>
+      element_at(typedlit(lutN(n)), c.cast("int") + 1) * lit(1L << (n - 1 - k))
+    }.reduce(_ + _)
+  }
+
+  /** The 2-D interleave: a's bits on odd positions, b's on even. */
   def zInterleave(bucketA: Column, bucketB: Column): Column =
-    element_at(typedlit(spreadLut), bucketA.cast("int") + 1) * 2 +
-      element_at(typedlit(spreadLut), bucketB.cast("int") + 1)
+    zInterleaveN(Seq(bucketA, bucketB))
 
   /** Equi-width bucket of `v` over [lo, hi] — closed-form floor
     * arithmetic, identical IEEE evaluation in any engine (the oracle

@@ -607,13 +607,25 @@ object CatalogOps {
     */
   def createZorderedCollection(spark: SparkSession, db: String, name: String,
       data: DataFrame, colA: String, colB: String, shards: Int = 8,
+      rowGroupBytes: Long = 128L * 1024 * 1024): Unit =
+    createZorderedCollectionN(spark, db, name, data, Seq(colA, colB),
+      shards, rowGroupBytes)
+
+  /** The N-dimensional form (2–4 columns): stride-N bit interleave of
+    * the per-column equi-depth bucket ranks — every clustered column
+    * gets a tight per-row-group box, at the price of each single-axis
+    * range resolving ~Buckets^((n−1)/n) coarser (the Morton trade;
+    * measured for n = 2 in `LayoutScale`, n = 3 pinned in the spec).
+    */
+  def createZorderedCollectionN(spark: SparkSession, db: String, name: String,
+      data: DataFrame, cols: Seq[String], shards: Int = 8,
       rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
     import org.apache.spark.sql.functions.col
     import graft.functions.ZorderFunctions._
-    val bA = equiDepthBounds(data, colA, Buckets)
-    val bB = equiDepthBounds(data, colB, Buckets)
-    data.withColumn("__z",
-        zInterleave(depthBucket(col(colA), bA), depthBucket(col(colB), bB)))
+    val bucketCols = cols.map { c =>
+      depthBucket(col(c), equiDepthBounds(data, c, Buckets))
+    }
+    data.withColumn("__z", zInterleaveN(bucketCols))
       .repartitionByRange(shards, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
