@@ -474,15 +474,19 @@ object CatalogOps {
     writeVmeta(spark, db, name, maxV = 0L, floorV = 0L)
   }
 
+  // manifest = (head version, compaction floor, streaming batch-id
+  // watermark) in ONE overwrite — state and watermark cannot desync
+  // (the k-means-model replay discipline)
   private def writeVmeta(spark: SparkSession, db: String, name: String,
-      maxV: Long, floorV: Long): Unit =
-    spark.createDataFrame(Seq((maxV, floorV))).toDF("max_v", "floor")
+      maxV: Long, floorV: Long, batchId: Long = -1L): Unit =
+    spark.createDataFrame(Seq((maxV, floorV, batchId)))
+      .toDF("max_v", "floor", "batch_id")
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__vmeta`")
 
   private def readVmeta(spark: SparkSession, db: String,
-      name: String): (Long, Long) = {
+      name: String): (Long, Long, Long) = {
     val r = spark.table(s"`$db`.`${name}__vmeta`").collect()(0)
-    (r.getLong(0), r.getLong(1))
+    (r.getLong(0), r.getLong(1), if (r.schema.length > 2) r.getLong(2) else -1L)
   }
 
   /** Append one new snapshot carrying the batch (last-writer-wins at
@@ -492,12 +496,48 @@ object CatalogOps {
   def upsertVersioned(spark: SparkSession, db: String, name: String,
       batch: DataFrame, idCol: String = "doc_id"): Long = {
     import org.apache.spark.sql.functions._
-    val (maxV, floorV) = readVmeta(spark, db, name)
+    val (maxV, floorV, batchWm) = readVmeta(spark, db, name)
     val v = maxV + 1
     batch.withColumn("__op", lit(1)).withColumn("__v", lit(v))
       .write.mode("append").partitionBy("__v")
       .saveAsTable(s"`$db`.`${name}__vlog`")
-    writeVmeta(spark, db, name, v, floorV)
+    writeVmeta(spark, db, name, v, floorV, batchWm)
+    v
+  }
+
+  /** The streaming-ingest form: one snapshot per micro-batch, replay-safe
+    * through the batch-id watermark carried IN the manifest — an
+    * at-least-once redelivery of an already-committed batch returns the
+    * current head without writing (versions never duplicate). Crash
+    * window: if the process dies between the partition append and the
+    * manifest overwrite, the orphaned partition is above the committed
+    * head and invisible to every reader (readers clamp to the manifest);
+    * the replay rewrites version head+1 — dynamic partition overwrite of
+    * exactly that orphan — and then commits. Exactly-once by
+    * construction, no commit log needed.
+    */
+  def upsertVersionedBatch(spark: SparkSession, db: String, name: String,
+      batch: DataFrame, batchId: Long, idCol: String = "doc_id"): Long = {
+    import org.apache.spark.sql.functions.lit
+    val (maxV, floorV, batchWm) = readVmeta(spark, db, name)
+    if (batchId <= batchWm) return maxV
+    val v = maxV + 1
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // insertInto is positional: project to the table's column order
+      val targetCols = spark.table(s"`$db`.`${name}__vlog`").columns
+        .toIndexedSeq.map(org.apache.spark.sql.functions.col)
+      batch.withColumn("__op", lit(1)).withColumn("__v", lit(v))
+        .select(targetCols: _*)
+        .write.mode("overwrite").insertInto(s"$db.${name}__vlog")
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    writeVmeta(spark, db, name, v, floorV, batchId)
     v
   }
 
@@ -507,7 +547,7 @@ object CatalogOps {
   def deleteVersioned(spark: SparkSession, db: String, name: String,
       ids: Seq[Long], idCol: String = "doc_id"): Long = {
     import org.apache.spark.sql.functions._
-    val (maxV, floorV) = readVmeta(spark, db, name)
+    val (maxV, floorV, batchWm) = readVmeta(spark, db, name)
     val v = maxV + 1
     val cols = spark.table(s"`$db`.`${name}__vlog`").columns
       .filterNot(c => c == "__op" || c == "__v")
@@ -521,7 +561,7 @@ object CatalogOps {
       .withColumn("__op", lit(-1)).withColumn("__v", lit(v))
       .write.mode("append").partitionBy("__v")
       .saveAsTable(s"`$db`.`${name}__vlog`")
-    writeVmeta(spark, db, name, v, floorV)
+    writeVmeta(spark, db, name, v, floorV, batchWm)
     v
   }
 
@@ -538,7 +578,7 @@ object CatalogOps {
       asOf: Long = Long.MaxValue, idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val (maxV, floorV) = readVmeta(spark, db, name)
+    val (maxV, floorV, _) = readVmeta(spark, db, name)
     val v = math.min(asOf, maxV)
     require(v >= floorV,
       s"snapshot $v predates the compaction floor $floorV — compacted history cannot be read")
@@ -563,7 +603,7 @@ object CatalogOps {
   def compactVersioned(spark: SparkSession, db: String, name: String,
       floorV: Long, idCol: String = "doc_id"): Unit = {
     import org.apache.spark.sql.functions._
-    val (maxV, oldFloor) = readVmeta(spark, db, name)
+    val (maxV, oldFloor, batchWm) = readVmeta(spark, db, name)
     require(floorV > oldFloor && floorV <= maxV,
       s"floor must be in (${oldFloor}, $maxV], got $floorV")
     val snapshot = readVersioned(spark, db, name, asOf = floorV, idCol)
@@ -588,7 +628,7 @@ object CatalogOps {
       }
       spark.sql(s"DROP TABLE IF EXISTS $staging")
     }
-    writeVmeta(spark, db, name, maxV, floorV)
+    writeVmeta(spark, db, name, maxV, floorV, batchWm)
   }
 
   /** Z-ordered collection — multi-column min/max pruning from layout

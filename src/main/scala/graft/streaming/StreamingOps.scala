@@ -491,6 +491,25 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming versioned ingest — every micro-batch becomes one
+    * time-travel snapshot ([[graft.sources.CatalogOps
+    * .upsertVersionedBatch]]); the batch-id watermark rides the manifest
+    * overwrite, so an at-least-once redelivery returns the committed
+    * head without writing and versions never duplicate.
+    */
+  def streamingVersioned(docStream: DataFrame, db: String, name: String,
+      idCol: String = "doc_id"): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.CatalogOps.upsertVersionedBatch(
+            batch.sparkSession, db, name, batch.toDF(), id, idCol)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming TEMPERATURE mixing — each (doc_id, source, …) micro-batch
     * folds its source counts into the maintained store and is mixed with
     * rates derived from the updated counts

@@ -3542,6 +3542,26 @@ class OperatorSpec extends AnyFunSuite {
     val vs = spark.table(s"$db.c__vlog").select("__v").distinct()
       .collect().map(_.getLong(0)).sorted
     assert(vs.toSeq === Seq(1L, 2L), s"got ${vs.toSeq}")
+    // duplicate ids inside ONE snapshot resolve deterministically by row
+    // content (the upsert tie-break rule), not by partitioning
+    val dup = spark.range(2).select(lit(500L).as("doc_id"),
+      when(col("id") === 0, "zebra").otherwise("aard").as("text"))
+    CatalogOps.upsertVersioned(spark, db, "c", dup)
+    val resolved = CatalogOps.readVersioned(spark, db, "c")
+      .where(col("doc_id") === 500L).collect()
+    assert(resolved.length === 1 && resolved(0).getString(1) === "zebra")
+    // batch-id watermark: a redelivered micro-batch commits no new version
+    val headBefore = spark.table(s"$db.c__vmeta").collect()(0).getLong(0)
+    val vNew = CatalogOps.upsertVersionedBatch(spark, db, "c",
+      spark.range(1).select(lit(900L).as("doc_id"), lit("s").as("text")),
+      batchId = 7L)
+    assert(vNew === headBefore + 1)
+    val vReplay = CatalogOps.upsertVersionedBatch(spark, db, "c",
+      spark.range(1).select(lit(901L).as("doc_id"), lit("s2").as("text")),
+      batchId = 7L)
+    assert(vReplay === vNew, "redelivered batch must not commit a version")
+    assert(CatalogOps.readVersioned(spark, db, "c")
+      .where(col("doc_id") === 901L).count() === 0L)
     CatalogOps.dropDatabase(spark, db)
   }
 
