@@ -631,6 +631,24 @@ object CatalogOps {
     writeVmeta(spark, db, name, maxV, floorV, batchWm)
   }
 
+  /** Drop crash orphans from a versioned collection: partitions above
+    * the committed head exist only when a writer died between its
+    * partition append and the manifest overwrite — readers never see
+    * them (reads clamp to the manifest), but the bytes linger and a
+    * replayed batch overwrites only ONE orphan slot. Vacuum reclaims
+    * them all; safe to run any time, a no-op on a clean store.
+    */
+  def vacuumVersioned(spark: SparkSession, db: String, name: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val (maxV, _, _) = readVmeta(spark, db, name)
+    val orphans = spark.table(s"`$db`.`${name}__vlog`")
+      .select(col("__v")).distinct()
+      .collect().map(_.getLong(0)).filter(_ > maxV)
+    orphans.foreach { v =>
+      spark.sql(s"ALTER TABLE `$db`.`${name}__vlog` DROP IF EXISTS PARTITION (__v = $v)")
+    }
+  }
+
   /** Z-ordered collection — multi-column min/max pruning from layout
     * alone. [[createPartitionedCollection]] prunes one low-cardinality
     * column by directory; [[createBucketedCollection]] co-locates one

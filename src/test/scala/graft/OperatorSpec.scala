@@ -3562,6 +3562,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(vReplay === vNew, "redelivered batch must not commit a version")
     assert(CatalogOps.readVersioned(spark, db, "c")
       .where(col("doc_id") === 901L).count() === 0L)
+    // manufacture a crash orphan (partition above the committed head):
+    // invisible to reads, reclaimed by vacuum, reads unchanged after
+    val head = spark.table(s"$db.c__vmeta").collect()(0).getLong(0)
+    spark.range(1).select(lit(902L).as("doc_id"), lit("orphan").as("text"),
+        lit(1).as("__op"), lit(head + 5).as("__v"))
+      .write.mode("append").partitionBy("__v").saveAsTable(s"`$db`.`c__vlog`")
+    val latestRows = CatalogOps.readVersioned(spark, db, "c").count()
+    assert(CatalogOps.readVersioned(spark, db, "c")
+      .where(col("doc_id") === 902L).count() === 0L, "orphan must be invisible")
+    CatalogOps.vacuumVersioned(spark, db, "c")
+    assert(spark.table(s"$db.c__vlog").select("__v").distinct()
+      .collect().map(_.getLong(0)).forall(_ <= head), "orphan reclaimed")
+    assert(CatalogOps.readVersioned(spark, db, "c").count() === latestRows)
     CatalogOps.dropDatabase(spark, db)
   }
 
