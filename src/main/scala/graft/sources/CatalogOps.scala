@@ -466,12 +466,37 @@ object CatalogOps {
     * resolves any snapshot; [[compactVersioned]] bounds history.
     */
   def createVersionedCollection(spark: SparkSession, db: String, name: String,
-      data: DataFrame, idCol: String = "doc_id"): Unit = {
+      data: DataFrame, idCol: String = "doc_id", buckets: Int = 0): Unit = {
     import org.apache.spark.sql.functions._
-    data.withColumn("__op", lit(1)).withColumn("__v", lit(0L))
+    val w = data.withColumn("__op", lit(1)).withColumn("__v", lit(0L))
       .write.mode("overwrite").partitionBy("__v")
+    (if (buckets > 0) w.bucketBy(buckets, idCol).sortBy(idCol) else w)
       .saveAsTable(s"`$db`.`${name}__vlog`")
     writeVmeta(spark, db, name, maxV = 0L, floorV = 0L)
+  }
+
+  /** The log's bucket spec, read from catalog metadata (no manifest
+    * field to drift). */
+  private def vlogBuckets(spark: SparkSession, db: String,
+      name: String): Option[(Int, String)] = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(s"${name}__vlog", Some(db)))
+      .bucketSpec.map(bs => (bs.numBuckets, bs.bucketColumnNames.head))
+  }
+
+  /** Append `rows` (already carrying __op/__v) honoring the log's bucket
+    * layout — every snapshot keeps the same id co-location, so
+    * [[readVersioned]]'s resolution window never shuffles on a bucketed
+    * log (plan-pinned).
+    */
+  private def appendVlog(spark: SparkSession, db: String, name: String,
+      rows: DataFrame): Unit = {
+    val w = rows.write.mode("append").partitionBy("__v")
+    (vlogBuckets(spark, db, name) match {
+      case Some((n, c)) => w.bucketBy(n, c).sortBy(c)
+      case None => w
+    }).saveAsTable(s"`$db`.`${name}__vlog`")
   }
 
   // manifest = (head version, compaction floor, streaming batch-id
@@ -498,9 +523,8 @@ object CatalogOps {
     import org.apache.spark.sql.functions._
     val (maxV, floorV, batchWm) = readVmeta(spark, db, name)
     val v = maxV + 1
-    batch.withColumn("__op", lit(1)).withColumn("__v", lit(v))
-      .write.mode("append").partitionBy("__v")
-      .saveAsTable(s"`$db`.`${name}__vlog`")
+    appendVlog(spark, db, name,
+      batch.withColumn("__op", lit(1)).withColumn("__v", lit(v)))
     writeVmeta(spark, db, name, v, floorV, batchWm)
     v
   }
@@ -522,19 +546,27 @@ object CatalogOps {
     val (maxV, floorV, batchWm) = readVmeta(spark, db, name)
     if (batchId <= batchWm) return maxV
     val v = maxV + 1
-    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      // insertInto is positional: project to the table's column order
-      val targetCols = spark.table(s"`$db`.`${name}__vlog`").columns
-        .toIndexedSeq.map(org.apache.spark.sql.functions.col)
-      batch.withColumn("__op", lit(1)).withColumn("__v", lit(v))
-        .select(targetCols: _*)
-        .write.mode("overwrite").insertInto(s"$db.${name}__vlog")
-    } finally {
-      prior match {
-        case Some(p) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    if (vlogBuckets(spark, db, name).isDefined) {
+      // bucketed logs append through the bucket-aware writer; a crash
+      // orphan at v is reclaimed first so the replay cannot double it
+      vacuumVersioned(spark, db, name)
+      appendVlog(spark, db, name,
+        batch.withColumn("__op", lit(1)).withColumn("__v", lit(v)))
+    } else {
+      val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        // insertInto is positional: project to the table's column order
+        val targetCols = spark.table(s"`$db`.`${name}__vlog`").columns
+          .toIndexedSeq.map(org.apache.spark.sql.functions.col)
+        batch.withColumn("__op", lit(1)).withColumn("__v", lit(v))
+          .select(targetCols: _*)
+          .write.mode("overwrite").insertInto(s"$db.${name}__vlog")
+      } finally {
+        prior match {
+          case Some(p) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
       }
     }
     writeVmeta(spark, db, name, v, floorV, batchId)
@@ -557,10 +589,9 @@ object CatalogOps {
       else df.withColumn(c,
         lit(null).cast(spark.table(s"`$db`.`${name}__vlog`").schema(c).dataType))
     }
-    widened.select(cols.map(col).toIndexedSeq: _*)
-      .withColumn("__op", lit(-1)).withColumn("__v", lit(v))
-      .write.mode("append").partitionBy("__v")
-      .saveAsTable(s"`$db`.`${name}__vlog`")
+    appendVlog(spark, db, name,
+      widened.select(cols.map(col).toIndexedSeq: _*)
+        .withColumn("__op", lit(-1)).withColumn("__v", lit(v)))
     writeVmeta(spark, db, name, v, floorV, batchWm)
     v
   }
@@ -619,8 +650,11 @@ object CatalogOps {
         spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (__v = $v)")
       }
       val targetCols = spark.table(table).columns.toIndexedSeq.map(col)
-      spark.table(staging).select(targetCols: _*)
-        .write.mode("overwrite").insertInto(s"$db.${name}__vlog")
+      if (vlogBuckets(spark, db, name).isDefined)
+        appendVlog(spark, db, name, spark.table(staging).select(targetCols: _*))
+      else
+        spark.table(staging).select(targetCols: _*)
+          .write.mode("overwrite").insertInto(s"$db.${name}__vlog")
     } finally {
       prior match {
         case Some(p) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)

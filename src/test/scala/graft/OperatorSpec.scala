@@ -3742,6 +3742,44 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, db)
   }
 
+  test("bucketed versioned log: same lifecycle, exchange-free snapshot resolution") {
+    import graft.sources.CatalogOps
+    val db = "ttbdb"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val v0 = spark.range(2000).select(col("id").as("doc_id"),
+      concat(lit("t"), col("id")).as("text"))
+    CatalogOps.createVersionedCollection(spark, db, "c", v0, buckets = 8)
+    CatalogOps.upsertVersioned(spark, db, "c",
+      spark.range(50).select(col("id").as("doc_id"), lit("MOD").as("text")))
+    CatalogOps.deleteVersioned(spark, db, "c", 100L until 150L)
+    val latest = rows(CatalogOps.readVersioned(spark, db, "c"))
+    assert(latest.size === 1950 && latest((5L, "MOD")) && !latest.exists(_._1 == 120L))
+    assert(rows(CatalogOps.readVersioned(spark, db, "c", asOf = 0L)).size === 2000)
+    // the resolution window rides the bucket layout: NO exchange anywhere
+    val plan = CatalogOps.readVersioned(spark, db, "c")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "bucketed log must resolve without a shuffle:\n" + plan)
+    // the unbucketed twin DOES shuffle (the baseline that proves the pin)
+    CatalogOps.createVersionedCollection(spark, db, "u", v0)
+    val uplan = CatalogOps.readVersioned(spark, db, "u")
+      .queryExecution.executedPlan.toString
+    assert(uplan.contains("Exchange"))
+    // streaming-batch path + compaction keep the bucket property
+    CatalogOps.upsertVersionedBatch(spark, db, "c",
+      spark.range(2000, 2100).select(col("id").as("doc_id"), lit("new").as("text")),
+      batchId = 1L)
+    CatalogOps.compactVersioned(spark, db, "c", floorV = 2L)
+    assert(CatalogOps.readVersioned(spark, db, "c").count() === 2050)
+    val plan2 = CatalogOps.readVersioned(spark, db, "c")
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("Exchange"), "bucketing must survive maintenance")
+    CatalogOps.dropDatabase(spark, db)
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
