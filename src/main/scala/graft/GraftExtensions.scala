@@ -82,6 +82,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nav_tree_explode"),
       info("nav_tree_explode", "nav_tree_explode(json) - table function: flatten a nested {title, link, children} nav tree into (title, url, depth) rows at any depth"),
       (children: Seq[Expression]) => graft.plans.NavTreeExplode(children(0))))
+    ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain", "bloom_might_contain(key, words, m) - membership of key against an m-bit bloom filter's bigint word array (as built by BloomFunctions / the bloom store): no false negatives, ~1e-3 false positives at 16 bits/key"),
+      (children: Seq[Expression]) => {
+        if (children.size != 3) throw new IllegalArgumentException(
+          s"bloom_might_contain expects 3 arguments (key, words, m), got ${children.size}")
+        val m = children(2) match {
+          case Literal(v: Long, _) => v
+          case Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"bloom_might_contain: m must be an integer literal, got $other")
+        }
+        require((m & (m - 1)) == 0 && m >= 64, s"m must be a power of two >= 64, got $m")
+        // the same probe arithmetic as BloomFunctions.mightContain,
+        // assembled at the Expression layer (a Column tree cannot be
+        // returned through a FunctionBuilder)
+        import org.apache.spark.sql.catalyst.expressions._
+        import org.apache.spark.sql.types.IntegerType
+        val key = children(0)
+        val words = children(1)
+        (0 until graft.functions.BloomFunctions.NumHashes).map { i =>
+          val pos = BitwiseAnd(new XxHash64(Seq(key, Literal(i.toLong))), Literal(m - 1L))
+          val wordIdx = Add(Cast(IntegralDivide(pos, Literal(64L)), IntegerType), Literal(1))
+          val word = ElementAt(words, wordIdx)
+          val bit = Cast(Remainder(pos, Literal(64L)), IntegerType)
+          EqualTo(BitwiseAnd(ShiftRight(word, bit), Literal(1L)), Literal(1L))
+        }.reduce[Expression](And(_, _))
+      }))
     // `ORDER BY vec_cosine(…) DESC LIMIT k` → bounded-heap TopKScoreId:
     // the ad-hoc SQL knn form gets the executor-side-merge plan instead of
     // TakeOrderedAndProject's k×partitions driver merge (see the rule).

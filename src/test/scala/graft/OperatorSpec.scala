@@ -3262,6 +3262,21 @@ class OperatorSpec extends AnyFunSuite {
     // determinism: rebuild over a different partitioning, same words
     val words2 = BloomFunctions.buildBloomWords(build.repartition(7), "k", m)
     assert(words.sameElements(words2))
+    // SQL surface: bloom_might_contain equals the Column API verdicts
+    val sqlSurvivors = {
+      Seq(Tuple1(words)).toDF("bw").createOrReplaceTempView("bloom_words_v")
+      val probeAll = (keys ++ (1L to 500L).map(_ + 2000000L))
+      probeAll.toDF("k").createOrReplaceTempView("bloom_probe_v")
+      spark.sql(
+        s"""SELECT k FROM bloom_probe_v CROSS JOIN bloom_words_v
+           |WHERE bloom_might_contain(k, bw, ${m}L)""".stripMargin)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val apiSurvivors = (keys ++ (1L to 500L).map(_ + 2000000L))
+      .toDF("k").crossJoin(bloomDf)
+      .where(BloomFunctions.mightContain(col("k"), col("__bloom_words"), m))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(sqlSurvivors === apiSurvivors)
     // the contract query equals the unreduced join bit-for-bit
     val got = RelOps.joinBloom(spark, sf).collect()
     val build2 = graft.sources.Tables.orders(spark, sf)
