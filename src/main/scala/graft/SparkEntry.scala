@@ -286,6 +286,8 @@ object SparkEntry {
     // exact order statistics via iterative histogram refinement — the
     // bounded-memory scale path (`percentile` buffers whole groups)
     "q_quantile_exact"   -> ((s, d) => RelOps.quantileExact(s, d)),
+    // outlier clipping at exact percentile fences (reuses the refinement)
+    "q_winsorize"        -> ((s, d) => RelOps.winsorize(s, d)),
     "q_histogram"        -> ((s, d) => RelOps.histogram(s, d)),
     // the pre-training validation suite: one row per constraint
     "q_quality_checks"   -> ((s, d) => RelOps.qualityChecks(s, d)),
@@ -1672,6 +1674,20 @@ object SparkEntry {
         |       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
         |       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus ASC""".stripMargin,
+    "q_winsorize" ->
+      """WITH n AS (SELECT count(*) AS c FROM orders),
+        |s AS (SELECT o_totalprice AS v,
+        |             row_number() OVER (ORDER BY o_totalprice) AS rn
+        |      FROM orders),
+        |lo AS (SELECT v FROM s CROSS JOIN n
+        |       WHERE rn = CAST(floor(0.05 * (c - 1)) AS BIGINT) + 1),
+        |hi AS (SELECT v FROM s CROSS JOIN n
+        |       WHERE rn = CAST(floor(0.95 * (c - 1)) AS BIGINT) + 1)
+        |SELECT o_orderkey, o_totalprice,
+        |       least(greatest(o_totalprice, lo.v), hi.v) AS clipped,
+        |       (o_totalprice < lo.v OR o_totalprice > hi.v) AS was_outlier
+        |FROM orders CROSS JOIN lo CROSS JOIN hi
+        |ORDER BY o_orderkey ASC""".stripMargin,
     // the oracle derives the lower order statistic from first principles
     // (row_number against ⌊p·(n−1)⌋) rather than trusting quantile_disc's
     // rank convention to coincide

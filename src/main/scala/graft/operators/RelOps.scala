@@ -830,6 +830,24 @@ object RelOps {
       .orderBy(col("c_custkey").asc)
   }
 
+  /** Winsorization — outlier clipping at exact percentile fences, the
+    * standard numeric-feature cleanup before training. The fences come
+    * from [[quantileExactOn]] (two driver doubles, the bounded-memory
+    * path — never a full sort or a value buffer) and the clip itself is
+    * a pure projection. Exact fences ⇒ the whole query faces a
+    * first-principles rank oracle.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val fences = quantileExactOn(Tables.orders(spark, dir), "o_totalprice",
+      Seq(0.05, 0.95)).map(_._2)
+    val (lo, hi) = (fences(0), fences(1))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        least(greatest(col("o_totalprice"), lit(lo)), lit(hi)).as("clipped"),
+        (col("o_totalprice") < lo || col("o_totalprice") > hi).as("was_outlier"))
+      .orderBy(col("o_orderkey").asc)
+  }
+
   /** Fixed-width histogram: floor-binning is a pure projection, the count a
     * standard partial-agg — the profile query of a data-quality pass.
     */

@@ -290,6 +290,46 @@ object CatalogOps {
       .partitionBy(partitionCol)
       .saveAsTable(s"`$db`.`$name`")
 
+  /** Footer-driven collection profile — the DESCRIBE surface (the
+    * reference prints its collection listing, `TencentVDB.py:26-29`)
+    * answered from metadata alone: file/row-group/row/byte counts from
+    * parquet footers (driver-scale, no scan job), layout spec from the
+    * catalog. One row out.
+    */
+  def describeCollection(spark: SparkSession, db: String,
+      name: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import scala.jdk.CollectionConverters._
+    val files = spark.table(s"`$db`.`$name`").inputFiles
+    val conf = spark.sessionState.newHadoopConf()
+    var groups = 0L
+    var rows = 0L
+    var bytes = 0L
+    files.foreach { f =>
+      val p = new Path(f)
+      bytes += p.getFileSystem(conf).getFileStatus(p).getLen
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = r.getFooter.getBlocks.asScala
+        groups += blocks.size
+        rows += blocks.map(_.getRowCount).sum
+      } finally r.close()
+    }
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(name, Some(db)))
+    val partCols = meta.partitionColumnNames.mkString(",")
+    val bucketSpec = meta.bucketSpec
+      .map(bs => s"${bs.numBuckets}x(${bs.bucketColumnNames.mkString(",")})")
+      .getOrElse("")
+    spark.createDataFrame(Seq(
+      (s"$db.$name", files.length.toLong, groups, rows, bytes, partCols, bucketSpec)))
+      .toDF("table", "files", "row_groups", "rows", "bytes",
+        "partition_cols", "bucket_spec")
+  }
+
   // ---- maintained bloom membership store ----
 
   /** Maintained bloom membership store `{name}__bloom` — the crawl-scale

@@ -3795,6 +3795,25 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, db)
   }
 
+  test("describeCollection profiles from footers: counts exact, layout spec surfaced") {
+    import graft.sources.CatalogOps
+    val db = "descdb"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    val data = spark.range(5000).select(col("id").as("doc_id"),
+      (col("id") % 5).as("cell"))
+    CatalogOps.createBucketedCollection(spark, db, "b", data, "doc_id", buckets = 4)
+    val d = CatalogOps.describeCollection(spark, db, "b").collect()(0)
+    assert(d.getString(0) === s"$db.b")
+    assert(d.getLong(3) === 5000L, "row count from footers must be exact")
+    assert(d.getLong(1) > 0 && d.getLong(2) >= d.getLong(1) && d.getLong(4) > 0)
+    assert(d.getString(6) === "4x(doc_id)")
+    CatalogOps.createPartitionedCollection(spark, db, "p", data, "cell")
+    val dp = CatalogOps.describeCollection(spark, db, "p").collect()(0)
+    assert(dp.getLong(3) === 5000L && dp.getString(5) === "cell")
+    CatalogOps.dropDatabase(spark, db)
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
