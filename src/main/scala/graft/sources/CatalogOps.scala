@@ -303,6 +303,7 @@ object CatalogOps {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.catalyst.TableIdentifier
     import scala.jdk.CollectionConverters._
+    spark.sql(s"REFRESH TABLE `$db`.`$name`") // stale-listing guard
     val files = spark.table(s"`$db`.`$name`").inputFiles
     val conf = spark.sessionState.newHadoopConf()
     var groups = 0L
@@ -808,6 +809,9 @@ object CatalogOps {
   def createZonemap(spark: SparkSession, db: String, name: String,
       cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "createZonemap: no columns given")
+    // the cached relation's file listing can be stale when another plan
+    // (a streaming micro-batch) appended since this session last read it
+    spark.sql(s"REFRESH TABLE `$db`.`$name`")
     val files = spark.table(s"`$db`.`$name`").inputFiles.toSeq
     zonemapOf(spark, files, cols)
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__zonemap`")
@@ -827,6 +831,7 @@ object CatalogOps {
     val store = s"`$db`.`${name}__zonemap`"
     val known = spark.table(store).select(col("file")).distinct()
       .collect().map(_.getString(0)).toSet
+    spark.sql(s"REFRESH TABLE `$db`.`$name`") // see createZonemap
     val fresh = spark.table(s"`$db`.`$name`").inputFiles.toSeq
       .filterNot(known)
     if (fresh.isEmpty) return

@@ -510,6 +510,28 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming zonemap-indexed ingest — each micro-batch appends to the
+    * collection and then indexes ONLY the files it created
+    * ([[graft.sources.CatalogOps.upsertZonemap]]). A third watermark-free
+    * maintenance argument: the store is a set of per-FILE facts and
+    * files are immutable, so file identity is the high-water mark — a
+    * replayed upsertZonemap sees no unknown files and is a no-op.
+    * (The batch append itself is at-least-once like any foreachBatch
+    * sink append; pair with the versioned or dedup ingest paths when the
+    * collection needs exactly-once rows.)
+    */
+  def streamingZonemapIngest(docStream: DataFrame, db: String, name: String,
+      cols: Seq[String]): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          batch.toDF().write.mode("append").saveAsTable(s"`$db`.`$name`")
+          graft.sources.CatalogOps.upsertZonemap(batch.sparkSession, db, name, cols)
+        }
+      }
+      .start()
+
   /** Streaming TEMPERATURE mixing — each (doc_id, source, …) micro-batch
     * folds its source counts into the maintained store and is mixed with
     * rates derived from the updated counts

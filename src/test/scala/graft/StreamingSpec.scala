@@ -1618,6 +1618,37 @@ class StreamingSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, db)
   }
 
+  test("streaming zonemap ingest indexes each batch's files; served scan stays exact") {
+    import graft.sources.CatalogOps
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val db = "szmdb"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    def mk(ids: Seq[Long]) = ids.map(i => (i, (i * 31 % 1000).toDouble)).toDF("doc_id", "x")
+    mk(0L until 500L).write.saveAsTable(s"`$db`.`t`")
+    CatalogOps.createZonemap(spark, db, "t", Seq("x"))
+    val in = MemoryStream[Long]
+    val q = StreamingOps.streamingZonemapIngest(
+      in.toDS.toDF("doc_id").select(col("doc_id"),
+        (col("doc_id") * 31 % 1000).cast("double").as("x")), db, "t", Seq("x"))
+    try {
+      in.addData(500L until 800L: _*)
+      q.processAllAvailable()
+      in.addData(800L until 1000L: _*)
+      q.processAllAvailable()
+      // index covers every file of the grown table; the served scan is exact
+      spark.sql(s"REFRESH TABLE `$db`.`t`") // the appends came from the stream's plans
+      val indexedFiles = spark.table(s"$db.t__zonemap").select("file").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(indexedFiles === spark.table(s"$db.t").inputFiles.toSet)
+      val got = CatalogOps.scanZonemapped(spark, db, "t", Seq(("x", 100.0, 200.0))).count()
+      val want = spark.table(s"$db.t").where(col("x").between(100.0, 200.0)).count()
+      assert(got === want && want > 0)
+    } finally q.stop()
+    CatalogOps.dropDatabase(spark, db)
+  }
+
   test("streaming HLL store matches the batch-built registers across replayed batches") {
     import graft.sources.CatalogOps
     implicit val ctx = spark.sqlContext
