@@ -298,6 +298,8 @@ object SparkEntry {
     "q_tpch_q7"          -> ((s, d) => RelOps.volumeShipping(s, d)),
     "q_tpch_q8"          -> ((s, d) => RelOps.nationalMarketShare(s, d)),
     "q_tpch_q10"         -> ((s, d) => RelOps.returnedItemReport(s, d)),
+    "q_tpch_q15"         -> ((s, d) => RelOps.topSupplier(s, d)),
+    "q_tpch_q17"         -> ((s, d) => RelOps.smallQuantityRevenue(s, d)),
     "q_tpch_q14"         -> ((s, d) => RelOps.promotionEffect(s, d)),
     "q_tpch_q18"         -> ((s, d) => RelOps.largeVolumeCustomers(s, d)),
     "q_tpch_q6"          -> ((s, d) => RelOps.revenueChange(s, d)),
@@ -1812,6 +1814,30 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey ASC
         |LIMIT 20""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey),
+        |m AS (SELECT max(total_revenue) AS max_rev FROM rev)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev CROSS JOIN m
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = max_rev
+        |ORDER BY s_suppkey ASC""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH t AS (
+        |  SELECT l_partkey,
+        |         (sum(CAST(l_quantity AS BIGINT)) * 200000) // count(*) AS thresh_micros
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS small_qty_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN t USING (l_partkey)
+        |WHERE CAST(l_quantity AS BIGINT) * 1000000 < thresh_micros""".stripMargin,
     "q_tpch_q14" ->
       """WITH s AS (
         |  SELECT

@@ -1031,6 +1031,48 @@ object RelOps {
       .orderBy(col("o_year").asc)
   }
 
+  /** TPC-H Q15 (top supplier) — aggregate-then-argmax: per-supplier
+    * quarter revenue (one partial-agg'd pass over the date-pruned fact),
+    * the max revenue via a broadcast one-row cross join (the keySkew
+    * total discipline — never a window over all suppliers), equality
+    * keeps ties like the spec's view form. Money sums integer-micros.
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue) — the correlated-average
+    * decorrelated: per-part average quantity is one partial agg joined
+    * back (broadcast at any realistic part cardinality per executor
+    * budget; shuffles like any dim otherwise), the threshold predicate
+    * is a per-row comparison, and the answer is one exact-money scalar.
+    * The 0.2·avg threshold stays in exact integer micro-units so the
+    * comparison cannot waver between engines.
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    // exact: quantities are integral; threshold = sum*200000/count in
+    // integer micro-units (0.2 × avg × 1e6), compared against qty·1e6
+    val avgQ = li.groupBy(col("l_partkey"))
+      .agg(expr("sum(CAST(l_quantity AS BIGINT)) * 200000 div count(*)").as("thresh_micros"))
+    li.join(broadcast(avgQ), Seq("l_partkey"))
+      .filter(col("l_quantity").cast("long") * lit(1000000L) < col("thresh_micros"))
+      .agg(sumMoney(col("l_extendedprice")).as("small_qty_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** TPC-H Q5 (local supplier volume) — the classic 6-table join-order
     * test: region→nation prune first (tiny dims, broadcast), the
     * customer-nation = supplier-nation condition closes the cycle, and
