@@ -506,6 +506,13 @@ object CatalogOps {
     * the compaction floor; readers go through it). [[readVersioned]]
     * resolves any snapshot; [[compactVersioned]] bounds history.
     */
+  /** `buckets > 0` co-locates the log by id: snapshot resolution runs
+    * with NO exchange (plan-pinned) and post-compact reads measured 10×
+    * faster than the plain log — but a bucketed scan is one task per
+    * bucket with no file splitting, so read cost grows linearly in
+    * history depth (25 files/bucket ⇒ 0.77 → 9.1 s, `VersionScale`):
+    * bucketed logs need a TIGHTER compaction cadence.
+    */
   def createVersionedCollection(spark: SparkSession, db: String, name: String,
       data: DataFrame, idCol: String = "doc_id", buckets: Int = 0): Unit = {
     import org.apache.spark.sql.functions._
