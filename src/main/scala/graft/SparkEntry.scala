@@ -373,7 +373,7 @@ object SparkEntry {
     "q_quantile_exact", "q_group_topk", "q_key_skew", "q_key_skew_stored", "q_join_skew", "q_zorder_value",
     "q_join_semi_bloom", "q_timetravel_latest", "q_timetravel_asof", "q_sample_stratified",
     "q_approx_distinct_stored", "q_quality_checks", "q_events_distinct", "q_window_percentrank",
-    "q_tpch_q7", "q_tpch_q8", "q_tpch_q14", "q_tpch_q18",
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
     "q_winsorize", "q_crawl_e2e",
     "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
