@@ -333,6 +333,8 @@ object SparkEntry {
     "q_join_outer"     -> ((s, d) => RelOps.joinOuter(s, d)),
     "q_join_range"     -> ((s, d) => RelOps.joinRange(s, d)),
     "q_join_asof"      -> ((s, d) => RelOps.joinAsof(s, d)),
+    // keyless time-tolerance join via bucket decomposition (no cartesian)
+    "q_join_interval"  -> ((s, d) => RelOps.joinInterval(s, d)),
     // ---- §2.G windows ----
     "q_window_rank"    -> ((s, d) => RelOps.windowRank(s, d)),
     "q_window_ntile"   -> ((s, d) => RelOps.windowNtile(s, d)),
@@ -1940,6 +1942,14 @@ object SparkEntry {
       """SELECT r.range AS probe_id FROM range(1000) r
         |WHERE r.range IN (SELECT doc_id FROM documents)
         |ORDER BY probe_id ASC""".stripMargin,
+    "q_join_interval" ->
+      """WITH p AS (SELECT event_id AS p_id, ts AS pts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS c_id, ts AS cts FROM events
+        |           WHERE event_type = 'click')
+        |SELECT p_id, c_id, date_diff('second', cts, pts) AS gap_s
+        |FROM p JOIN c ON abs(date_diff('second', cts, pts)) <= 60
+        |ORDER BY p_id ASC, c_id ASC""".stripMargin,
     "q_join_bloom" ->
       """SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
         |       round(l.l_extendedprice * (1 - l.l_discount), 4) AS rev, o.o_orderdate

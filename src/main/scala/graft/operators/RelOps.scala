@@ -416,6 +416,55 @@ object RelOps {
       .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
   }
 
+  /** Pure (keyless) interval join — pairs within a time tolerance and NO
+    * equi key, the join shape Spark has no native operator for (its own
+    * planner falls back to a cartesian/BNLJ: O(|L|·|R|) pair evaluations
+    * — the plan that never finishes at scale). Bucket decomposition:
+    * time quantizes to tolerance-width buckets, the LEFT side explodes
+    * to bucket−1/bucket/bucket+1 (any pair within tol spans at most one
+    * boundary), the join runs EQUI on the bucket, and the exact
+    * predicate finishes. One shuffle per side on the bucket key; pair
+    * work is Σ_b |L_b±1|·|R_b| — density-bounded, not |L|·|R|. Each
+    * qualifying pair meets in exactly ONE right bucket, so no dedup
+    * stage exists to pay for. A hot bucket (a traffic spike) is the
+    * ordinary equi-join skew profile — [[joinHotSalted]] or AQE applies
+    * unchanged. Seconds arithmetic mirrors the oracle's
+    * `date_diff('second', …)` exactly (both floor to epoch seconds).
+    */
+  def intervalJoinOn(left: DataFrame, lTime: String,
+                     right: DataFrame, rTime: String,
+                     tolSeconds: Long): DataFrame = {
+    require(tolSeconds > 0, s"tolerance must be positive, got $tolSeconds")
+    val ls = col(lTime).cast("long")
+    val rs = col(rTime).cast("long")
+    val l = left.withColumn("__ls", ls)
+      .withColumn("__b", explode(array(
+        expr(s"CAST($lTime AS LONG) div $tolSeconds") - 1L,
+        expr(s"CAST($lTime AS LONG) div $tolSeconds"),
+        expr(s"CAST($lTime AS LONG) div $tolSeconds") + 1L)))
+    val r = right.withColumn("__rs", rs)
+      .withColumn("__b", expr(s"CAST($rTime AS LONG) div $tolSeconds"))
+    l.join(r, l("__b") === r("__b") &&
+        abs(col("__ls") - col("__rs")) <= tolSeconds)
+      .drop("__b", "__ls", "__rs")
+  }
+
+  /** `q_join_interval`: purchases paired with every click within ±60 s —
+    * the cross-traffic coincidence query; no shared key exists, so only
+    * the bucketed decomposition scales.
+    */
+  def joinInterval(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("cts"))
+    intervalJoinOn(p, "pts", c, "cts", tolSeconds = 60L)
+      .select(col("p_id"), col("c_id"),
+        (col("pts").cast("long") - col("cts").cast("long")).as("gap_s"))
+      .orderBy(col("p_id").asc, col("c_id").asc)
+  }
+
   /** Build-if-absent maintained bloom store over the document ids —
     * create-half + upsert-half each run (the ensure convention), so the
     * contract path exercises the idempotent fold, not just a one-shot

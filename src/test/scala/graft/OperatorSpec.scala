@@ -3814,6 +3814,36 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, db)
   }
 
+  test("interval join: bucketed decomposition equals the cartesian, no cartesian planned") {
+    import spark.implicits._
+    // randomized times with deliberate boundary values (exact multiples
+    // of the tolerance, equal timestamps, just-inside/just-outside)
+    val rnd = new scala.util.Random(11)
+    val base = 1700000000L
+    val lt = (0 until 300).map(i => base + rnd.nextInt(3600) +
+      (if (i % 7 == 0) 0 else rnd.nextInt(3)))
+    val rt = (0 until 300).map(_ => base + rnd.nextInt(3600))
+    val l = lt.zipWithIndex.map { case (t, i) => (i.toLong, new java.sql.Timestamp(t * 1000L)) }
+      .toDF("lid", "lts")
+    val r = rt.zipWithIndex.map { case (t, i) => (i.toLong, new java.sql.Timestamp(t * 1000L)) }
+      .toDF("rid", "rts")
+    val tol = 30L
+    val got = RelOps.intervalJoinOn(l, "lts", r, "rts", tol)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    val brute = l.crossJoin(r)
+      .where(abs(col("lts").cast("long") - col("rts").cast("long")) <= tol)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    assert(got.length === brute.length && got.sameElements(brute))
+    assert(got.nonEmpty)
+    // no duplicate pairs (each pair meets in exactly one right bucket)
+    assert(got.distinct.length === got.length)
+    // and the plan is an equi join, not a cartesian/BNLJ
+    val plan = RelOps.intervalJoinOn(l, "lts", r, "rts", tol)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
