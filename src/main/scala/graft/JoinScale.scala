@@ -48,7 +48,8 @@ object JoinScale {
 
   def main(args: Array[String]): Unit = {
     val skewMode = args.headOption.contains("skew")
-    val num = if (skewMode) args.drop(1) else args
+    val modal = args.headOption.exists(a => a == "skew" || a == "interval")
+    val num = if (modal) args.drop(1) else args
     val probeRows = if (num.length > 0) num(0).toLong else 20000000L
     val buildKeys = if (num.length > 1) num(1).toLong else 2000000L
     val reps = if (num.length > 2) num(2).toInt else 3
@@ -99,6 +100,40 @@ object JoinScale {
       val straggle = if (meanMs > 0) maxMs.toDouble / meanMs else 0.0
       println(f"$label%-14s best=$best%7.2f s  rows=$rows%,d  shuffle=$mb%,.0f MB/rep" +
         f"  maxTask=$maxMs%,d ms  straggle=$straggle%.1fx")
+    }
+
+    if (args.headOption.contains("interval")) {
+      // `runMain graft.JoinScale interval [leftRows] [rightRows]` —
+      // keyless ±60 s pairing over a month of uniform timestamps:
+      // bucketed decomposition vs Spark's cartesian fallback.
+      val ln = if (num.length > 0) num(0).toLong else 100000L
+      val rn = if (num.length > 1) num(1).toLong else 100000L
+      val monthSec = 30L * 24 * 3600
+      def times(n: Long, salt: Int) = spark.range(n).select(
+        col("id"),
+        timestamp_seconds(lit(1700000000L) +
+          pmod(xxhash64(col("id"), lit(salt)), lit(monthSec))).as("ts"))
+      val lT = times(ln, 1)
+      val rT = times(rn, 2)
+      def t(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = mk.count()
+        println(f"$label%-10s ${(System.nanoTime() - t0) / 1e9}%7.2f s  pairs=$n%,d")
+      }
+      println(s"INTERVAL left=$ln right=$rn tol=60s span=30d")
+      t("bucketed") {
+        graft.operators.RelOps.intervalJoinOn(
+          lT.withColumnRenamed("id", "lid"), "ts",
+          rT.withColumnRenamed("id", "rid")
+            .withColumnRenamed("ts", "rts"), "rts", 60L)
+      }
+      t("cartesian") {
+        lT.withColumnRenamed("id", "lid").crossJoin(
+          rT.withColumnRenamed("id", "rid").withColumnRenamed("ts", "rts"))
+          .where(abs(col("ts").cast("long") - col("rts").cast("long")) <= 60L)
+      }
+      spark.stop()
+      return
     }
 
     if (skewMode) {

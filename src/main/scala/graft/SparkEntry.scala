@@ -377,7 +377,7 @@ object SparkEntry {
     "q_approx_distinct_stored", "q_quality_checks", "q_events_distinct", "q_window_percentrank",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
     "q_winsorize", "q_crawl_e2e",
-    "q_join_asof", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
+    "q_join_asof", "q_join_interval", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
     "q_events_tumbling", "q_events_sessionize",
     "q_text_bm25", "q_text_bm25_stored", "q_text_bm25_indexed", "q_text_bm25_filtered",
