@@ -145,6 +145,8 @@ object SparkEntry {
     "q_text_repetition" -> ((s, d) => TextAnalysisOps.repetitionSignals(s, d)),
     "q_decontaminate"   -> ((s, d) => TextAnalysisOps.decontaminate(s, d)),
     "q_pack_sequences"  -> ((s, d) => TextAnalysisOps.packSequences(s, d)),
+    // padding-minimizing inference batching (pad < bucketWidth by construction)
+    "q_batch_by_length" -> ((s, d) => TextAnalysisOps.batchByLength(s, d)),
     "q_domain_mix"      -> ((s, d) => TextAnalysisOps.domainMix(s, d)),
     "q_curate_e2e"      -> ((s, d) => TextAnalysisOps.curateEndToEnd(s, d)),
     "q_multimodal_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
@@ -1377,6 +1379,17 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.source <> 'src19'
         |ORDER BY d.doc_id ASC""".stripMargin,
+    "q_batch_by_length" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars, n_chars // 200 AS lbucket,
+        |         CAST((row_number() OVER (PARTITION BY n_chars // 200
+        |                                  ORDER BY n_chars ASC, doc_id ASC) - 1)
+        |              // 16 AS BIGINT) AS batch
+        |  FROM documents)
+        |SELECT doc_id, lbucket, batch, n_chars,
+        |       max(n_chars) OVER (PARTITION BY lbucket, batch) AS batch_max,
+        |       max(n_chars) OVER (PARTITION BY lbucket, batch) - n_chars AS pad_chars
+        |FROM b ORDER BY doc_id ASC""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id // 128 AS shard,

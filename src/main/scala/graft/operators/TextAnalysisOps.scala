@@ -223,6 +223,35 @@ object TextAnalysisOps {
       .limit(topK)
   }
 
+  /** Length-bucketed inference batching — group documents into
+    * fixed-size batches of SIMILAR length so per-batch padding (every
+    * sequence pads to its batch max) stays small; random batching wastes
+    * compute ∝ length variance. Lengths shard into equi-WIDTH buckets
+    * (closed-form — a global rank would single-partition the corpus, and
+    * the bucket bound gives the guarantee anyway: padding < bucketWidth
+    * per sequence by construction); within a shard one partitioned rank
+    * assigns batches and one more window accounts the exact padding.
+    * All integer arithmetic — fully oracled.
+    */
+  def batchByLength(spark: SparkSession, dir: String,
+                    batchSize: Int = 16, bucketWidth: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lbucket"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val batched = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"n_chars div $bucketWidth").as("lbucket"))
+      .withColumn("batch",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+    val wb = Window.partitionBy(col("lbucket"), col("batch"))
+    batched
+      .withColumn("batch_max", max(col("n_chars")).over(wb))
+      .withColumn("pad_chars", col("batch_max") - col("n_chars"))
+      .select(col("doc_id"), col("lbucket"), col("batch"), col("n_chars"),
+        col("batch_max"), col("pad_chars"))
+      .orderBy(col("doc_id").asc)
+  }
+
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),

@@ -3844,6 +3844,27 @@ class OperatorSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("length-bucketed batching pads less than arrival-order batching") {
+    import org.apache.spark.sql.expressions.Window
+    val bucketedPad = TextAnalysisOps.batchByLength(spark, sf)
+      .agg(sum(col("pad_chars"))).collect()(0).getLong(0)
+    // the naive baseline: batches of 16 in doc_id (arrival) order
+    val w = Window.orderBy(col("doc_id").asc)
+    val naive = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("batch", ((row_number().over(w) - 1) / 16).cast("long"))
+    val naivePad = naive
+      .withColumn("bmax", max(col("n_chars"))
+        .over(Window.partitionBy(col("batch"))))
+      .agg(sum(col("bmax") - col("n_chars"))).collect()(0).getLong(0)
+    assert(bucketedPad * 2 < naivePad,
+      s"bucketed pad $bucketedPad !<< naive pad $naivePad")
+    // the construction guarantee: padding < bucketWidth per sequence
+    val maxPad = TextAnalysisOps.batchByLength(spark, sf)
+      .agg(max(col("pad_chars"))).collect()(0).getLong(0)
+    assert(maxPad < 200L)
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
