@@ -290,6 +290,8 @@ object SparkEntry {
     "q_quantile_exact"   -> ((s, d) => RelOps.quantileExact(s, d)),
     // outlier clipping at exact percentile fences (reuses the refinement)
     "q_winsorize"        -> ((s, d) => RelOps.winsorize(s, d)),
+    // per-status exact quantiles (report-grain group cardinality)
+    "q_quantile_grouped" -> ((s, d) => RelOps.quantileGrouped(s, d)),
     "q_histogram"        -> ((s, d) => RelOps.histogram(s, d)),
     // the pre-training validation suite: one row per constraint
     "q_quality_checks"   -> ((s, d) => RelOps.qualityChecks(s, d)),
@@ -1692,6 +1694,17 @@ object SparkEntry {
         |       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
         |       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus ASC""".stripMargin,
+    "q_quantile_grouped" ->
+      """WITH s AS (
+        |  SELECT o_orderstatus, o_totalprice AS v,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY o_totalprice) AS rn,
+        |         count(*) OVER (PARTITION BY o_orderstatus) AS c
+        |  FROM orders),
+        |q(p) AS (VALUES (0.5), (0.95))
+        |SELECT o_orderstatus, CAST(q.p AS DOUBLE) AS p, s.v
+        |FROM q JOIN s ON s.rn = CAST(floor(q.p * (s.c - 1)) AS BIGINT) + 1
+        |ORDER BY o_orderstatus ASC, p ASC""".stripMargin,
     "q_winsorize" ->
       """WITH n AS (SELECT count(*) AS c FROM orders),
         |s AS (SELECT o_totalprice AS v,

@@ -879,6 +879,31 @@ object RelOps {
       .orderBy(col("c_custkey").asc)
   }
 
+  /** Grouped exact quantiles for LOW-cardinality groups — one refinement
+    * run per group (jobs = groups × rounds, so this is the right tool at
+    * report grain: statuses, languages, sources-by-class — NOT at
+    * millions of groups, where the whole-distribution path is Spark's
+    * own `percentile` per group or a sketch). The group list is an
+    * explicit argument: the caller states the cardinality contract
+    * instead of discovering it with a distinct scan.
+    */
+  def quantileExactGrouped(df: DataFrame, groupCol: String, valueCol: String,
+                           groups: Seq[String],
+                           ps: Seq[Double]): Seq[(String, Double, Double)] =
+    groups.flatMap { g =>
+      quantileExactOn(df.where(col(groupCol) === g), valueCol, ps)
+        .map { case (p, v) => (g, p, v) }
+    }
+
+  /** Contract surface: exact per-status order-total quantiles. */
+  def quantileGrouped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    quantileExactGrouped(Tables.orders(spark, dir), "o_orderstatus",
+      "o_totalprice", Seq("F", "O", "P"), Seq(0.5, 0.95))
+      .toDF("o_orderstatus", "p", "v")
+      .orderBy(col("o_orderstatus").asc, col("p").asc)
+  }
+
   /** Winsorization — outlier clipping at exact percentile fences, the
     * standard numeric-feature cleanup before training. The fences come
     * from [[quantileExactOn]] (two driver doubles, the bounded-memory
