@@ -292,6 +292,8 @@ object SparkEntry {
     "q_winsorize"        -> ((s, d) => RelOps.winsorize(s, d)),
     // per-status exact quantiles (report-grain group cardinality)
     "q_quantile_grouped" -> ((s, d) => RelOps.quantileGrouped(s, d)),
+    // rank-normalization via a broadcast CDF grid (no global sort)
+    "q_score_calibrate"  -> ((s, d) => RelOps.scoreCalibrate(s, d)),
     "q_histogram"        -> ((s, d) => RelOps.histogram(s, d)),
     // the pre-training validation suite: one row per constraint
     "q_quality_checks"   -> ((s, d) => RelOps.qualityChecks(s, d)),
@@ -1694,6 +1696,27 @@ object SparkEntry {
         |       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
         |       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus ASC""".stripMargin,
+    // the oracle mirrors the grid construction bin for bin (same IEEE
+    // bucket arithmetic as q_zorder_value's discipline)
+    "q_score_calibrate" ->
+      """WITH mm AS (SELECT min(CAST(n_chars AS DOUBLE)) AS lo,
+        |                   max(CAST(n_chars AS DOUBLE)) AS hi,
+        |                   count(*) AS n FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_chars, n,
+        |         CASE WHEN hi <= lo THEN 0 ELSE
+        |           CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - lo) * 1024.0 / (hi - lo)), 0.0), 1023.0) AS BIGINT)
+        |         END AS bin
+        |  FROM documents CROSS JOIN mm),
+        |g AS (
+        |  SELECT bin AS gbin,
+        |         sum(count(*)) OVER (ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - count(*) AS below
+        |  FROM b GROUP BY bin)
+        |SELECT doc_id, n_chars,
+        |       round(CAST(below AS DOUBLE) / n, 6) AS pct
+        |FROM b JOIN g ON b.bin = g.gbin
+        |ORDER BY doc_id ASC""".stripMargin,
     "q_quantile_grouped" ->
       """WITH s AS (
         |  SELECT o_orderstatus, o_totalprice AS v,

@@ -879,6 +879,43 @@ object RelOps {
       .orderBy(col("c_custkey").asc)
   }
 
+  /** Percentile calibration through a broadcast CDF grid —
+    * rank-normalize a score column ("this document is cleaner than X%
+    * of the corpus") WITHOUT the global sort a percent_rank window
+    * costs: one equi-width histogram pass (the quantile-refinement
+    * bucket discipline), a 1024-row cumulative grid (model-sized — the
+    * window that builds it runs over bins, never rows), broadcast back
+    * onto a map-side bin lookup. The calibrated value is the exact
+    * fraction of rows in STRICTLY lower bins — a step approximation of
+    * the true rank with error < 1/bins, which is what calibration
+    * needs (the use is thresholding, not ordering ties).
+    */
+  def calibrateOn(df: DataFrame, valueCol: String,
+                  bins: Int = 1024): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val mm = df.agg(min(v).as("lo"), max(v).as("hi"), count(lit(1)).as("n"))
+    val binned = df.crossJoin(broadcast(mm))
+      .withColumn("__bin",
+        when(col("hi") <= col("lo"), lit(0L)).otherwise(
+          least(greatest(floor((v - col("lo")) * lit(bins.toDouble) /
+            (col("hi") - col("lo"))), lit(0.0)), lit(bins - 1.0)).cast("long")))
+    val w = Window.orderBy(col("__bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = binned.groupBy(col("__bin")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum_thru", sum(col("__c")).over(w))
+      .select(col("__bin").as("__gbin"),
+        (col("__cum_thru") - col("__c")).as("__below"))
+    binned.join(broadcast(grid), col("__bin") === col("__gbin"))
+      .withColumn("pct", round(col("__below").cast("double") / col("n"), 6))
+      .drop("__bin", "__gbin", "__below", "lo", "hi", "n")
+  }
+
+  /** Contract surface: documents rank-normalized by length. */
+  def scoreCalibrate(spark: SparkSession, dir: String): DataFrame =
+    calibrateOn(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars")), "n_chars")
+      .orderBy(col("doc_id").asc)
+
   /** Grouped exact quantiles for LOW-cardinality groups — one refinement
     * run per group (jobs = groups × rounds, so this is the right tool at
     * report grain: statuses, languages, sources-by-class — NOT at

@@ -3865,6 +3865,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(maxPad < 200L)
   }
 
+  test("CDF-grid calibration tracks the true rank within the bin resolution") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(5)
+    val vals = Seq.fill(20000)(rnd.nextGaussian() * 100.0 + 500.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val got = RelOps.calibrateOn(df, "x")
+      .select(col("id"), col("x"), col("pct")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val truePct = df.withColumn("tp",
+        (percent_rank().over(Window.orderBy(col("x").asc, col("id").asc))))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // error bound: the grid's step is the mass of one bin; on a gaussian
+    // the densest of 1024 bins holds well under 1% of the mass
+    val worst = got.keys.map(id => math.abs(got(id)._2 - truePct(id))).max
+    assert(worst < 0.01, s"worst calibration error $worst")
+    // monotone: higher value never gets a lower pct
+    val sortedByX = got.values.toSeq.sortBy(_._1)
+    assert(sortedByX.sliding(2).forall {
+      case Seq((_, p1), (_, p2)) => p1 <= p2; case _ => true
+    })
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
