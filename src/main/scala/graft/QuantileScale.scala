@@ -33,6 +33,29 @@ object QuantileScale {
     val tRefine = (System.nanoTime() - t0) / 1e9
     println(f"refinement  $tRefine%6.1f s  ${refined.map(_._2).mkString(", ")}")
 
+    // rank-normalization: the CDF grid vs the percent_rank window (which
+    // globally sorts into ONE partition — the plan that cannot scale).
+    // These run BEFORE the percentile attempt: that one can OOM-kill the
+    // JVM, which is its result, not the end of the measurement session.
+    t0 = System.nanoTime()
+    graft.operators.RelOps.calibrateOn(data, "v")
+      .agg(sum(col("pct"))).collect()
+    println(f"cdf-grid    ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+    t0 = System.nanoTime()
+    val pr =
+      try {
+        import org.apache.spark.sql.expressions.Window
+        data.withColumn("pct",
+            percent_rank().over(Window.orderBy(col("v").asc)))
+          .agg(sum(col("pct"))).collect()
+        f"${(System.nanoTime() - t0) / 1e9}%6.1f s"
+      } catch {
+        case e: Throwable =>
+          f"FAILED after ${(System.nanoTime() - t0) / 1e9}%6.1f s: " +
+            e.getClass.getSimpleName
+      }
+    println(s"pct-window  $pr")
+
     t0 = System.nanoTime()
     val buffered =
       try {

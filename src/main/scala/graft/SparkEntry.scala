@@ -382,7 +382,7 @@ object SparkEntry {
     "q_join_semi_bloom", "q_timetravel_latest", "q_timetravel_asof", "q_sample_stratified",
     "q_approx_distinct_stored", "q_quality_checks", "q_events_distinct", "q_window_percentrank",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
-    "q_winsorize", "q_crawl_e2e", "q_quantile_grouped", "q_batch_by_length",
+    "q_winsorize", "q_crawl_e2e", "q_quantile_grouped", "q_batch_by_length", "q_score_calibrate",
     "q_join_asof", "q_join_interval", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
     "q_events_tumbling", "q_events_sessionize",
