@@ -3888,6 +3888,40 @@ class OperatorSpec extends AnyFunSuite {
     })
   }
 
+  test("interval join law across randomized tolerances; calibration degenerate inputs") {
+    import spark.implicits._
+    // randomized (seeded) sweep: varying tolerance, clustered + uniform
+    // times, equality with brute force at every setting
+    val rnd = new scala.util.Random(23)
+    (0 until 4).foreach { trial =>
+      val tol = Seq(1L, 7L, 60L, 3600L)(trial)
+      val span = tol * 50
+      def mk(n: Int, salt: Int) = (0 until n).map { i =>
+        val t = 1700000000L + (math.abs(rnd.nextLong()) % span) +
+          (if (i % 5 == 0) tol * (i % 3) else 0L) // exact-multiple boundaries
+        (i.toLong + salt * 100000L, new java.sql.Timestamp(t * 1000L))
+      }
+      val l = mk(120, 1).toDF("lid", "lts")
+      val r = mk(120, 2).toDF("rid", "rts")
+      val got = RelOps.intervalJoinOn(l, "lts", r, "rts", tol)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+      val brute = l.crossJoin(r)
+        .where(abs(col("lts").cast("long") - col("rts").cast("long")) <= tol)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+      assert(got.sameElements(brute), s"tol=$tol: ${got.length} vs ${brute.length}")
+    }
+    // calibration degenerate inputs: all-equal collapses to pct 0 (no row
+    // is strictly below); two-point mass gives exactly the lower fraction
+    val const = Seq.fill(50)(3.14).zipWithIndex.map(_.swap).toDF("id", "x")
+    assert(RelOps.calibrateOn(const, "x").select("pct").collect()
+      .forall(_.getDouble(0) === 0.0))
+    val twoPoint = (Seq.fill(30)(1.0) ++ Seq.fill(70)(2.0))
+      .zipWithIndex.map(_.swap).toDF("id", "x")
+    val pcts = RelOps.calibrateOn(twoPoint, "x")
+      .select("x", "pct").collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(pcts(1.0) === 0.0 && pcts(2.0) === 0.3)
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
