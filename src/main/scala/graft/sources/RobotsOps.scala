@@ -24,7 +24,8 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 object RobotsOps {
 
   final case class Rule(allow: Boolean, pattern: String)
-  final case class Group(agents: Seq[String], rules: Seq[Rule])
+  final case class Group(agents: Seq[String], rules: Seq[Rule],
+      crawlDelay: Option[Double] = None)
 
   /** Parse one robots.txt body into agent groups. Consecutive
     * `User-agent` lines open one group; `Allow`/`Disallow` lines attach
@@ -35,10 +36,11 @@ object RobotsOps {
     val groups = Seq.newBuilder[Group]
     var agents = Vector.empty[String]
     var rules = Vector.empty[Rule]
+    var delay: Option[Double] = None
     var inAgents = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents, rules)
-      agents = Vector.empty; rules = Vector.empty
+      if (agents.nonEmpty) groups += Group(agents, rules, delay)
+      agents = Vector.empty; rules = Vector.empty; delay = None
     }
     text.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -57,7 +59,11 @@ object RobotsOps {
           case "disallow" =>
             inAgents = false
             if (agents.nonEmpty) rules :+= Rule(allow = false, value)
-          case _ => inAgents = false // crawl-delay, sitemap, unknown
+          case "crawl-delay" =>
+            inAgents = false
+            if (agents.nonEmpty)
+              delay = scala.util.Try(value.toDouble).toOption.filter(_ > 0)
+          case _ => inAgents = false // sitemap, unknown
         }
       }
     }
@@ -69,12 +75,20 @@ object RobotsOps {
     * (longest user-agent token that is a substring of the agent), else
     * the `*` group, else no rules (everything allowed).
     */
-  def rulesFor(groups: Seq[Group], agent: String): Seq[Rule] = {
+  def rulesFor(groups: Seq[Group], agent: String): Seq[Rule] =
+    groupFor(groups, agent).map(_.rules).getOrElse(Seq.empty)
+
+  /** Crawl-delay (non-standard but ubiquitous) for `agent`, from the same
+    * group-selection rule. */
+  def crawlDelayFor(groups: Seq[Group], agent: String): Option[Double] =
+    groupFor(groups, agent).flatMap(_.crawlDelay)
+
+  private def groupFor(groups: Seq[Group], agent: String): Option[Group] = {
     val a = agent.toLowerCase
     val specific = groups.flatMap(g =>
       g.agents.filter(t => t != "*" && a.contains(t)).map(t => (t.length, g)))
-    if (specific.nonEmpty) specific.maxBy(_._1)._2.rules
-    else groups.find(_.agents.contains("*")).map(_.rules).getOrElse(Seq.empty)
+    if (specific.nonEmpty) Some(specific.maxBy(_._1)._2)
+    else groups.find(_.agents.contains("*"))
   }
 
   /** Length of the pattern if it matches a prefix of `path` (RFC match
@@ -158,5 +172,30 @@ object RobotsOps {
       frontier.select(col(urlCol)).distinct().as[String],
       robotsByHost, agent).toDF(urlCol)
     frontier.join(org.apache.spark.sql.functions.broadcast(allowed), urlCol)
+  }
+
+  /** Delay-aware slot caps: a host advertising `Crawl-delay: d` can
+    * absorb at most ⌊cycleSeconds/d⌋ fetches per cycle, so its frontier
+    * cap shrinks to min(globalCap, that budget). The frontier already
+    * carries a per-host `slot` rank ([[graft.operators.FrontierOps]]);
+    * this filters it against the per-host budget broadcast from the
+    * model-sized robots map. Hosts with no delay keep the global cap.
+    */
+  def capByCrawlDelay(frontier: DataFrame, hostCol: String, slotCol: String,
+      robotsByHost: Map[String, String], agent: String,
+      cycleSeconds: Double, globalCap: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = frontier.sparkSession
+    val caps = robotsByHost.toSeq.map { case (h, txt) =>
+      val cap = crawlDelayFor(parse(txt), agent) match {
+        case Some(d) => math.min(globalCap.toLong, (cycleSeconds / d).toLong)
+        case None => globalCap.toLong
+      }
+      (h, cap)
+    }
+    val capDf = spark.createDataFrame(caps).toDF("__host", "__cap")
+    frontier.join(broadcast(capDf), col(hostCol) === col("__host"), "left")
+      .where(col(slotCol) <= coalesce(col("__cap"), lit(globalCap.toLong)))
+      .drop("__host", "__cap")
   }
 }

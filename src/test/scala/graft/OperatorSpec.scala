@@ -3710,6 +3710,21 @@ class OperatorSpec extends AnyFunSuite {
     val robots = Map("a.example" -> "User-agent: *\nDisallow: /blocked\n")
     val kept = RobotsOps.filterAllowed(urls, robots, "graftbot").collect().toSet
     assert(kept === Set("https://a.example/ok", "https://b.example/anything"))
+    // crawl-delay: parsed per group, selected with the same agent rule,
+    // and enforced as a per-cycle slot budget on the frontier
+    val dg = RobotsOps.parse(
+      "User-agent: graftbot\nCrawl-delay: 10\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 1\n")
+    assert(RobotsOps.crawlDelayFor(dg, "graftbot/1.0") === Some(10.0))
+    assert(RobotsOps.crawlDelayFor(dg, "other") === Some(1.0))
+    val frontier = (for (h <- Seq("slow.example", "fast.example"); s <- 1 to 8)
+      yield (h, s.toLong)).toDF("host", "slot")
+    val capped = RobotsOps.capByCrawlDelay(frontier, "host", "slot",
+      Map("slow.example" -> "User-agent: *\nCrawl-delay: 20\n"),
+      "graftbot", cycleSeconds = 60.0, globalCap = 8)
+      .groupBy(col("host")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped("slow.example") === 3L, s"60s / 20s delay = 3 slots: $capped")
+    assert(capped("fast.example") === 8L, "no delay keeps the global cap")
   }
 
   test("3-D z-order clusters all three axes; the 2-D layout leaves the third unpruned") {
