@@ -1386,13 +1386,15 @@ object SparkEntry {
     "q_batch_by_length" ->
       """WITH b AS (
         |  SELECT doc_id, n_chars, n_chars // 200 AS lbucket,
-        |         CAST((row_number() OVER (PARTITION BY n_chars // 200
+        |         (doc_id * 2654435761) % 4 AS sub,
+        |         CAST((row_number() OVER (PARTITION BY n_chars // 200,
+        |                                               (doc_id * 2654435761) % 4
         |                                  ORDER BY n_chars ASC, doc_id ASC) - 1)
         |              // 16 AS BIGINT) AS batch
         |  FROM documents)
-        |SELECT doc_id, lbucket, batch, n_chars,
-        |       max(n_chars) OVER (PARTITION BY lbucket, batch) AS batch_max,
-        |       max(n_chars) OVER (PARTITION BY lbucket, batch) - n_chars AS pad_chars
+        |SELECT doc_id, lbucket, sub, batch, n_chars,
+        |       max(n_chars) OVER (PARTITION BY lbucket, sub, batch) AS batch_max,
+        |       max(n_chars) OVER (PARTITION BY lbucket, sub, batch) - n_chars AS pad_chars
         |FROM b ORDER BY doc_id ASC""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (

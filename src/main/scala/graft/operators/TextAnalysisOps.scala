@@ -234,21 +234,29 @@ object TextAnalysisOps {
     * All integer arithmetic — fully oracled.
     */
   def batchByLength(spark: SparkSession, dir: String,
-                    batchSize: Int = 16, bucketWidth: Int = 200): DataFrame = {
+                    batchSize: Int = 16, bucketWidth: Int = 200,
+                    subShards: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lbucket"))
+    // hash SUB-shard inside each length bucket: a corpus where most
+    // documents share one length would otherwise hand a single window
+    // partition the whole corpus — the padding bound survives
+    // sub-sharding untouched (every batch still lives inside one length
+    // bucket); the hash is the engine-shared Knuth multiplier so the
+    // oracle reproduces the exact batching
+    val w = Window.partitionBy(col("lbucket"), col("sub"))
       .orderBy(col("n_chars").asc, col("doc_id").asc)
     val batched = Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
-        expr(s"n_chars div $bucketWidth").as("lbucket"))
+        expr(s"n_chars div $bucketWidth").as("lbucket"),
+        expr(s"(doc_id * 2654435761) % $subShards").as("sub"))
       .withColumn("batch",
         ((row_number().over(w) - 1) / batchSize).cast("long"))
-    val wb = Window.partitionBy(col("lbucket"), col("batch"))
+    val wb = Window.partitionBy(col("lbucket"), col("sub"), col("batch"))
     batched
       .withColumn("batch_max", max(col("n_chars")).over(wb))
       .withColumn("pad_chars", col("batch_max") - col("n_chars"))
-      .select(col("doc_id"), col("lbucket"), col("batch"), col("n_chars"),
-        col("batch_max"), col("pad_chars"))
+      .select(col("doc_id"), col("lbucket"), col("sub"), col("batch"),
+        col("n_chars"), col("batch_max"), col("pad_chars"))
       .orderBy(col("doc_id").asc)
   }
 
