@@ -3937,6 +3937,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(pcts(1.0) === 0.0 && pcts(2.0) === 0.3)
   }
 
+  test("windowed distinct: per-window HLL registers track the exact counts") {
+    import graft.sources.CatalogOps
+    val db = "wdistdb"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    // every (day, type) window of the exact form, re-answered through the
+    // HLL register path — the scale story the tumblingDistinct scaladoc
+    // names for cardinalities where exact distinct is the bottleneck
+    val exact = EventOps.tumblingDistinct(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"),
+        col("user_id"))
+    val windows = exact.keys.toSeq.sortBy(_.toString).take(6)
+    windows.foreach { case (day, typ) =>
+      val slice = ev.where(col("day") === day && col("event_type") === typ)
+        .select(col("user_id").as("k"))
+      CatalogOps.createHllStore(spark, db, "w", slice, "k")
+      val est = CatalogOps.hllEstimate(spark, db, "w")
+      val want = exact((day, typ))
+      // fixture windows are small → linear counting, near-exact
+      assert(math.abs(est - want) <= math.max(2L, want / 20),
+        s"window ($day,$typ): est $est vs exact $want")
+    }
+    CatalogOps.dropDatabase(spark, db)
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
