@@ -559,6 +559,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_topk_score_id") || p.toLowerCase.contains("partial"), p)
   }
 
+  test("length batching windows are partitioned; calibration never range-sorts rows") {
+    val bp = plan(TextAnalysisOps.batchByLength(spark, sf))
+    // the batch-assignment windows must partition on (bucket, sub) — a
+    // SinglePartition exchange would be the whole-corpus-in-one-task plan
+    // the sub-shard exists to prevent (the final presentation orderBy is
+    // the only global sort and TakeOrdered/driver-side)
+    assert(bp.contains("windowspecdefinition(lbucket"), bp)
+    assert(!bp.contains("Exchange SinglePartition"), bp)
+    val cp = plan(RelOps.scoreCalibrate(spark, sf))
+    // row-side work is broadcast joins; the only windowed frame is the
+    // 1024-row grid
+    assert(cp.contains("BroadcastNestedLoopJoin") || cp.contains("BroadcastHashJoin"), cp)
+    assert(!cp.contains("SortMergeJoin"), cp)
+  }
+
   test("bloom-reduced join filters the probe below its exchange, build rides one broadcast") {
     val p = plan(RelOps.joinBloom(spark, sf))
     // the membership probe (xxhash64 bit tests) must sit on the scan side
