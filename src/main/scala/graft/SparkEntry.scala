@@ -95,6 +95,9 @@ object SparkEntry {
     "q_dedup_embed"   -> ((s, d) => DedupOps.embedNearDup(s, d)),
     "q_dedup_ngram"   -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     "q_dedup_cc"      -> ((s, d) => DedupOps.dedupConnected(s, d)),
+    // one identity across url-dup AND exact-text-dup edges (closure of
+    // the union — a mirror of a re-crawl needs both signals)
+    "q_dedup_multi"   -> ((s, d) => DedupOps.dedupMulti(s, d)),
     "q_dedup_substring" -> ((s, d) => DedupOps.dedupSubstring(s, d)),
     "q_dedup_substring_trim" -> ((s, d) => DedupOps.dedupSubstringTrim(s, d)),
     // image-modality near-dup: rendered-mosaic corpus with planted resized
@@ -1630,6 +1633,31 @@ object SparkEntry {
       s"""WITH $urlFixtureCte,
          |$urlCanonCte
          |SELECT doc_id, url, canonical_url FROM canon ORDER BY doc_id ASC""".stripMargin,
+    "q_dedup_multi" ->
+      s"""WITH RECURSIVE $urlFixtureCte,
+         |$urlCanonCte,
+         |uedge AS (
+         |  SELECT c.doc_id AS a, k.canonical_id AS b
+         |  FROM canon c JOIN (SELECT canonical_url AS cu, min(doc_id) AS canonical_id
+         |                     FROM canon GROUP BY canonical_url) k
+         |    ON c.canonical_url = k.cu
+         |  WHERE c.doc_id <> k.canonical_id),
+         |tedge AS (
+         |  SELECT d.doc_id AS a, k.tid AS b
+         |  FROM documents d JOIN (SELECT md5(text) AS h, min(doc_id) AS tid
+         |                         FROM documents GROUP BY md5(text)) k
+         |    ON md5(d.text) = k.h
+         |  WHERE d.doc_id <> k.tid),
+         |p AS (SELECT a, b FROM uedge UNION SELECT a, b FROM tedge),
+         |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         |reach(n, m) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a WHERE e.b <> r.n),
+         |comp AS (SELECT n AS doc_id, least(n, min(m)) AS component FROM reach GROUP BY n)
+         |SELECT d.doc_id, coalesce(k2.component, d.doc_id) AS component
+         |FROM documents d LEFT JOIN comp k2 USING (doc_id)
+         |ORDER BY doc_id ASC""".stripMargin,
     "q_url_dedup" ->
       s"""WITH $urlFixtureCte,
          |$urlCanonCte,

@@ -1910,6 +1910,35 @@ object DedupOps {
     * iterative lineage (on a cluster, `checkpoint` to reliable storage —
     * same plan shape).
     */
+  /** Multi-signal identity resolution — `q_dedup_multi`: one document
+    * identity across DIFFERENT duplicate signals. A crawl corpus carries
+    * the same page as url-level duplicates (tracking-param re-crawls,
+    * [[graft.operators.TextOps.urlDedup]]) AND as byte-identical mirrors
+    * under unrelated urls (exact-text dedup); neither signal alone
+    * resolves "one page" — a mirror of a re-crawl needs BOTH edges and
+    * the transitive closure over their union. Edges from each signal are
+    * keeper-star shaped (min-per-group + join back — never pairwise),
+    * the union feeds [[connectedComponentsOn]], and every doc labels
+    * with its component's minimum id. Both signals are exact, so the
+    * whole resolution faces a recursive-CTE oracle.
+    */
+  def dedupMulti(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val urlPairs = TextOps.urlDedup(spark, dir)
+      .select(col("dup_id").as("a"), col("canonical_id").as("b"))
+    val byText = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val textKeep = byText.groupBy(col("h")).agg(min(col("doc_id")).as("tid"))
+    val textPairs = byText.join(textKeep, "h")
+      .filter(col("doc_id") =!= col("tid"))
+      .select(col("doc_id").as("a"), col("tid").as("b"))
+    val star = connectedComponentsOn(urlPairs.unionAll(textPairs))
+    docs.select(col("doc_id"))
+      .join(star.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy(col("doc_id").asc)
+  }
+
   private[graft] def connectedComponentsOn(pairs: DataFrame): DataFrame = {
     // downhill edges (hi → lo), self-loops dropped
     var edges = pairs

@@ -3964,6 +3964,34 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, db)
   }
 
+  test("multi-signal dedup: both edge types land in one component, closure bridges signals") {
+    val comp = DedupOps.dedupMulti(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every url-dup pair shares a component
+    val urlPairs = TextOps.urlDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(urlPairs.nonEmpty)
+    urlPairs.foreach { case (a, b) => assert(comp(a) === comp(b)) }
+    // every exact-text pair shares a component
+    val byText = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    byText.groupBy(_._2).values.filter(_.length > 1).foreach { g =>
+      val cs = g.map(x => comp(x._1)).distinct
+      assert(cs.length === 1, s"text group split: $g")
+    }
+    // the union closure can only merge: component count is at most either
+    // single signal's, and a synthetic bridge merges through the closure
+    val urlOnly = urlPairs.map(_._1).toSet ++ urlPairs.map(_._2)
+    assert(comp.values.toSet.size <= comp.size - urlPairs.length + 1)
+    import spark.implicits._
+    val bridge = DedupOps.connectedComponentsOn(
+      Seq((10L, 20L), (20L, 30L), (100L, 200L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bridge(20L) === 10L && bridge(30L) === 10L && bridge(200L) === 100L)
+    assert(urlOnly.nonEmpty)
+  }
+
   test("link anchors: in-degree and sorted top anchors match a brute rebuild") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
