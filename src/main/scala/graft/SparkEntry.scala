@@ -377,7 +377,7 @@ object SparkEntry {
     "q_cosine_pair", "q_sim_join", "q_sim_join_lsh", "q_sim_join_auto", "q_vec_centroids",
     "q_vec_quantize", "q_embed_batch",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
-    "q_dedup_embed", "q_dedup_cc", "q_dedup_substring", "q_dedup_substring_trim",
+    "q_dedup_embed", "q_dedup_cc", "q_dedup_multi", "q_dedup_substring", "q_dedup_substring_trim",
     "q_image_neardup", "q_audio_neardup", "q_dedup_semantic", "q_dedup_semantic_stored",
     "q_text_quality", "q_quality_lr", "q_token_count", "q_term_heavyhitters", "q_term_heavyhitters_stored", "q_bpe_tokens", "q_lm_bigram", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_tpch_q10", "q_join_hash", "q_join_broadcast", "q_join_bloom",
