@@ -220,7 +220,11 @@ object LinkOps {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.count()
     val stored = spark.table(s"`$db`.`${name}__ranks`")
-    val itersDone = stored.select(max(col("iters_done"))).head().getLong(0)
+    // an interrupted prior create can leave the store EMPTY — max() over
+    // zero rows is null; warm-start from iteration 0 (= uniform teleport
+    // floor via the coalesce below) instead of NPE-ing
+    val itersHead = stored.select(max(col("iters_done"))).head()
+    val itersDone = if (itersHead.isNullAt(0)) 0L else itersHead.getLong(0)
     val init = docs
       .join(stored.select(col("doc_id"), col("rank_nano")), Seq("doc_id"), "left")
       .select(col("doc_id"),

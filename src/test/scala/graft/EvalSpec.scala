@@ -180,6 +180,28 @@ class EvalSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("rank store: refresh over an EMPTY store warm-starts from zero, no NPE") {
+    import graft.sources.CatalogOps
+    val db = "rankstore_empty_t"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    CatalogOps.createDatabase(spark, db)
+    try {
+      // an interrupted create leaves the table with zero rows: max(iters_done)
+      // is null — refresh must treat that as iters_done=0 and seed every doc
+      // at the uniform teleport floor, i.e. equal the cold run of extraIters
+      spark.createDataFrame(Seq.empty[(Long, Long, Long)])
+        .toDF("doc_id", "rank_nano", "iters_done")
+        .write.mode("overwrite").saveAsTable(s"`$db`.`links__ranks`")
+      val refreshed = LinkOps.refreshRanks(spark, db, "links", sf, extraIters = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val cold = LinkOps.pageRank(spark, sf, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(refreshed === cold)
+      assert(spark.table(s"`$db`.`links__ranks`")
+        .select(max(col("iters_done"))).head().getLong(0) === 2L)
+    } finally spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("pageRank equals a driver-side reference with identical integer arithmetic") {
     val iters = 3; val fanout = 4; val d = 0.85
     val got = LinkOps.pageRank(spark, sf, iters, fanout, d).collect()
