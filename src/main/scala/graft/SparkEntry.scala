@@ -312,6 +312,16 @@ object SparkEntry {
     "q_tpch_q14"         -> ((s, d) => RelOps.promotionEffect(s, d)),
     "q_tpch_q18"         -> ((s, d) => RelOps.largeVolumeCustomers(s, d)),
     "q_tpch_q6"          -> ((s, d) => RelOps.revenueChange(s, d)),
+    "q_tpch_q2"          -> ((s, d) => RelOps.minCostSupplier(s, d)),
+    "q_tpch_q9"          -> ((s, d) => RelOps.productTypeProfit(s, d)),
+    "q_tpch_q11"         -> ((s, d) => RelOps.importantPartValue(s, d)),
+    "q_tpch_q12"         -> ((s, d) => RelOps.latePriorityLines(s, d)),
+    "q_tpch_q13"         -> ((s, d) => RelOps.customerDistribution(s, d)),
+    "q_tpch_q16"         -> ((s, d) => RelOps.supplierPartCounts(s, d)),
+    "q_tpch_q19"         -> ((s, d) => RelOps.discountedRevenueDisjunct(s, d)),
+    "q_tpch_q20"         -> ((s, d) => RelOps.dominantSuppliers(s, d)),
+    "q_tpch_q21"         -> ((s, d) => RelOps.waitingSuppliers(s, d)),
+    "q_tpch_q22"         -> ((s, d) => RelOps.dormantCustomers(s, d)),
     "q_part_brands"      -> ((s, d) => RelOps.partBrandRevenue(s, d)),
     // ---- §2.F joins ----
     "q_join_hash"      -> ((s, d) => RelOps.joinHash(s, d)),
@@ -385,6 +395,8 @@ object SparkEntry {
     "q_join_semi_bloom", "q_timetravel_latest", "q_timetravel_asof", "q_sample_stratified",
     "q_approx_distinct_stored", "q_quality_checks", "q_events_distinct", "q_window_percentrank",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q16",
+    "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
     "q_winsorize", "q_crawl_e2e", "q_quantile_grouped", "q_batch_by_length", "q_score_calibrate",
     "q_join_asof", "q_join_interval", "q_window_rank", "q_window_range", "q_sort_limit", "q_agg_concat",
     "q_upsert_lastwins", "q_tree_flatten", "q_rag_e2e", "q_pipeline_e2e",
@@ -1948,6 +1960,135 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand
         |ORDER BY p_brand ASC""".stripMargin,
+    "q_tpch_q2" ->
+      """WITH eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cand AS (
+        |  SELECT p_partkey, s_acctbal, s_name, n_name,
+        |         CAST(round(l_extendedprice * 1000000.0 / l_quantity) AS BIGINT) AS unit_micros
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN eu ON l_suppkey = s_suppkey
+        |  WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20),
+        |mn AS (SELECT p_partkey, min(unit_micros) AS min_micros FROM cand GROUP BY p_partkey)
+        |SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey,
+        |       CAST(unit_micros AS DOUBLE) / 1000000.0 AS unit_price
+        |FROM cand JOIN mn USING (p_partkey)
+        |WHERE unit_micros = min_micros
+        |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)
+        |                - CAST(round(p_retailprice * 500000.0) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "q_tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey, sum(CAST(round(l_extendedprice * 1000000.0) AS BIGINT)) AS val_micros
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_7')
+        |  GROUP BY l_partkey),
+        |t AS (SELECT sum(val_micros) AS tot_micros FROM v)
+        |SELECT l_partkey AS p_partkey, CAST(val_micros AS DOUBLE) / 1000000.0 AS value
+        |FROM v CROSS JOIN t
+        |WHERE val_micros * 1000 > tot_micros
+        |ORDER BY value DESC, p_partkey ASC""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus ASC""".stripMargin,
+    "q_tpch_q13" ->
+      """WITH c AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM c
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1,5,10,15,20,25,30,35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_tpch_q20" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_partkey, l_suppkey),
+        |tot AS (SELECT l_partkey, sum(q) AS total_q FROM shipped GROUP BY l_partkey),
+        |dom AS (SELECT DISTINCT l_suppkey FROM shipped JOIN tot USING (l_partkey)
+        |        WHERE q * 2 > total_q)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+        |ORDER BY s_suppkey ASC""".stripMargin,
+    "q_tpch_q21" ->
+      """WITH pos AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey, l_suppkey),
+        |w AS (
+        |  SELECT p1.l_suppkey, count(*) AS numwait
+        |  FROM pos p1
+        |  WHERE p1.late = 1
+        |    AND EXISTS (SELECT 1 FROM pos p2
+        |                WHERE p2.l_orderkey = p1.l_orderkey AND p2.l_suppkey <> p1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM pos p3
+        |                    WHERE p3.l_orderkey = p1.l_orderkey AND p3.l_suppkey <> p1.l_suppkey
+        |                      AND p3.late = 1)
+        |  GROUP BY p1.l_suppkey)
+        |SELECT s_suppkey, s_name, numwait
+        |FROM w JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY numwait DESC, s_suppkey ASC
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q22" ->
+      """WITH sel AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |         CAST(round(c_acctbal * 1000000.0) AS BIGINT) AS bal_micros
+        |  FROM customer
+        |  WHERE c_nationkey IN (1,3,5,7,9,11,13) AND c_acctbal > 0),
+        |st AS (SELECT sum(bal_micros) AS sum_micros, count(*) AS n_sel FROM sel)
+        |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |       CAST(sum(bal_micros) AS DOUBLE) / 1000000.0 AS totacctbal
+        |FROM sel CROSS JOIN st
+        |WHERE bal_micros * n_sel > sum_micros
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY cntrycode ASC""".stripMargin,
     "q_join_hash" ->
       """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
