@@ -60,6 +60,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.plans.SpaceSavingTopK(children(0), m)
       }))
+    ext.injectFunction((FunctionIdentifier("qdigest_quantiles"),
+      info("qdigest_quantiles", "qdigest_quantiles(value, levels, capacity, probs) - aggregate: q-digest quantile sketch over [0, 2^levels); returns struct<qs: array<bigint>, internal: boolean, n: bigint> with one lower-quantile estimate per prob; exact (internal=false) while distinct values fit the capacity"),
+      (children: Seq[Expression]) => {
+        if (children.size != 4) throw new IllegalArgumentException(
+          s"qdigest_quantiles expects 4 arguments (value, levels, capacity, probs), got ${children.size}")
+        val probs = children(3) match {
+          case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _) =>
+            elems.map {
+              case Literal(d: Double, _) => d
+              case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+              case other => throw new IllegalArgumentException(
+                s"qdigest_quantiles: probs must be double literals, got $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"qdigest_quantiles: probs must be an array literal, got $other")
+        }
+        graft.plans.QDigestQuantiles(children(0),
+          constInt(children(1), "levels"), constInt(children(2), "capacity"), probs)
+      }))
     ext.injectFunction((FunctionIdentifier("vec_sum_count"),
       info("vec_sum_count", "vec_sum_count(v) - aggregate: element-wise sums + row count of array<double> vectors as struct<sums, n> (centroid = sums[i]/n)"),
       (children: Seq[Expression]) => VecSumCount(children(0))))

@@ -74,6 +74,8 @@ object SparkEntry {
     "q_link_pagerank_stored" -> ((s, d) => LinkOps.pageRankStoredFixture(s, d)),
     // anchor-text aggregation over the same edge graph (document expansion)
     "q_link_anchors" -> ((s, d) => LinkOps.linkAnchors(s, d)),
+    // HITS hubs/authorities: the second classic centrality, nano-int exact
+    "q_link_hits" -> ((s, d) => LinkOps.hits(s, d)),
     // incremental re-crawl diff by content hash (added/changed/removed)
     "q_crawl_delta"    -> ((s, d) => FrontierOps.crawlDelta(s, d)),
     // next-cycle fetch schedule: staleness priority, per-host politeness cap
@@ -248,6 +250,8 @@ object SparkEntry {
     "q_events_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "q_events_retention"  -> ((s, d) => EventOps.retention(s, d)),
     "q_events_funnel"     -> ((s, d) => EventOps.funnel(s, d)),
+    // MATCH_RECOGNIZE-lite: regex over each user's ordered event string
+    "q_events_pattern"    -> ((s, d) => EventOps.eventPattern(s, d)),
     // ---- §2.A scans / sources / sinks ----
     "q_scan_documents"  -> ((s, d) => TextOps.scanDocuments(s, d)),
     "q_tree_flatten"    -> ((s, d) => TextOps.treeFlatten(s, d)),
@@ -295,6 +299,11 @@ object SparkEntry {
     "q_winsorize"        -> ((s, d) => RelOps.winsorize(s, d)),
     // per-status exact quantiles (report-grain group cardinality)
     "q_quantile_grouped" -> ((s, d) => RelOps.quantileGrouped(s, d)),
+    // q-digest sketch quantiles: one pass, sketch-sized exchange; exact
+    // below capacity (raises if compression fired) -> faces the rank oracle
+    "q_quantile_sketch"  -> ((s, d) => RelOps.quantileSketch(s, d)),
+    // the same report served from the MAINTAINED digest store
+    "q_quantile_sketch_stored" -> ((s, d) => RelOps.quantileSketchStored(s, d)),
     // rank-normalization via a broadcast CDF grid (no global sort)
     "q_score_calibrate"  -> ((s, d) => RelOps.scoreCalibrate(s, d)),
     "q_histogram"        -> ((s, d) => RelOps.histogram(s, d)),
@@ -340,6 +349,8 @@ object SparkEntry {
     "q_group_topk"     -> ((s, d) => RelOps.groupTopK(s, d)),
     // reproducible per-source sample by hash rank on the same heap
     "q_sample_stratified" -> ((s, d) => RelOps.sampleStratified(s, d)),
+    // Efraimidis-Spirtes weighted reservoir: top-k by deterministic A-ES key
+    "q_sample_weighted"   -> ((s, d) => RelOps.sampleWeighted(s, d)),
     // probe side cut by a deterministic bloom of the selective build side
     // BEFORE the exchange; no false negatives ⇒ same oracle as plain join
     "q_join_bloom"     -> ((s, d) => RelOps.joinBloom(s, d)),
@@ -391,7 +402,7 @@ object SparkEntry {
     "q_image_neardup", "q_audio_neardup", "q_dedup_semantic", "q_dedup_semantic_stored",
     "q_text_quality", "q_quality_lr", "q_token_count", "q_term_heavyhitters", "q_term_heavyhitters_stored", "q_bpe_tokens", "q_lm_bigram", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_tpch_q10", "q_join_hash", "q_join_broadcast", "q_join_bloom",
-    "q_quantile_exact", "q_group_topk", "q_key_skew", "q_key_skew_stored", "q_join_skew", "q_zorder_value",
+    "q_quantile_exact", "q_quantile_sketch", "q_quantile_sketch_stored", "q_group_topk", "q_key_skew", "q_key_skew_stored", "q_join_skew", "q_zorder_value",
     "q_join_semi_bloom", "q_timetravel_latest", "q_timetravel_asof", "q_sample_stratified",
     "q_approx_distinct_stored", "q_quality_checks", "q_events_distinct", "q_window_percentrank",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
@@ -408,7 +419,8 @@ object SparkEntry {
     "q_mine_hardneg", "q_mine_hardneg_indexed", "q_mine_pairs", "q_eval_rank", "q_eval_rank_macro", "q_eval_rank_indexed", "q_link_pagerank", "q_link_pagerank_stored",
     "q_decontaminate", "q_pack_sequences", "q_domain_mix", "q_domain_mix_temp", "q_curate_e2e",
     "q_url_canonical", "q_url_dedup",
-    "q_crawl_delta", "q_crawl_frontier", "q_link_anchors")
+    "q_crawl_delta", "q_crawl_frontier", "q_link_anchors", "q_link_hits",
+    "q_events_pattern", "q_sample_weighted")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -548,6 +560,47 @@ object SparkEntry {
          |SELECT doc_id, round(CAST(rank_nano AS DOUBLE) / 1000000000.0, 6) AS rank
          |FROM r3 ORDER BY doc_id ASC""".stripMargin
     }
+
+  /** DuckDB twin of [[graft.operators.LinkOps.hits]]: the same synthetic
+    * edge set, the same two L1-normalized integer-nano half-steps per
+    * round, unrolled as chained CTEs — `floor(raw·1e9/total + 0.5)` on
+    * exactly-representable integer inputs is bit-identical in both
+    * engines.
+    */
+  private def hitsOracleSql: String = {
+    def half(i: Int, prevVec: String, prevCol: String, joinOn: String,
+        groupAs: String, vec: String, outCol: String): String =
+      s"""${vec}raw AS (
+         |  SELECT e.$groupAs AS doc_id, sum(v.$prevCol) AS raw
+         |  FROM e JOIN $prevVec v ON e.$joinOn = v.doc_id GROUP BY e.$groupAs),
+         |${vec}tot AS (SELECT sum(raw) AS tot FROM ${vec}raw),
+         |$vec AS (
+         |  SELECT d.doc_id,
+         |         CAST(floor(CAST(coalesce(r.raw, 0) AS DOUBLE) * 1000000000.0
+         |              / CAST(t.tot AS DOUBLE) + 0.5) AS BIGINT) AS $outCol
+         |  FROM documents d CROSS JOIN ${vec}tot t
+         |  LEFT JOIN ${vec}raw r ON d.doc_id = r.doc_id)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      val prevHub = if (i == 1) "h0" else s"h${i - 1}"
+      half(i, prevHub, "hub_nano", "src", "dst", s"a$i", "auth_nano") + ",\n" +
+        half(i, s"a$i", "auth_nano", "dst", "src", s"h$i", "hub_nano")
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
+       |e AS (
+       |  SELECT d.doc_id AS src,
+       |         (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n AS dst
+       |  FROM documents d CROSS JOIN n CROSS JOIN ks
+       |  WHERE ks.k <= 1 + d.doc_id % 4
+       |    AND (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n <> d.doc_id),
+       |h0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS hub_nano FROM documents),
+       |$rounds
+       |SELECT h3.doc_id,
+       |       round(CAST(h3.hub_nano AS DOUBLE) / 1000000000.0, 6) AS hub,
+       |       round(CAST(a3.auth_nano AS DOUBLE) / 1000000000.0, 6) AS auth
+       |FROM h3 JOIN a3 ON h3.doc_id = a3.doc_id
+       |ORDER BY h3.doc_id ASC""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.operators.TextOps.fixtureUrls]] — the same
     * five deterministic noise variants per 5-doc group, built from plain
@@ -806,6 +859,7 @@ object SparkEntry {
          |       round(CAST(sum(CAST(floor(ndcg * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6) AS ndcg
          |FROM per""".stripMargin,
     "q_link_pagerank" -> pageRankOracleSql,
+    "q_link_hits" -> hitsOracleSql,
     "q_link_pagerank_stored" -> pageRankOracleSql,
     "q_link_anchors" ->
       s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
@@ -1576,6 +1630,14 @@ object SparkEntry {
         |FROM ev JOIN f USING (user_id)
         |GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day ASC, day_offset ASC""".stripMargin,
+    "q_events_pattern" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+        |       CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_matches
+        |FROM s ORDER BY user_id ASC""".stripMargin,
     "q_events_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS view_ts FROM events
@@ -2115,6 +2177,45 @@ object SparkEntry {
         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
         |FROM r WHERE rank <= 10
         |ORDER BY source ASC, rank ASC""".stripMargin,
+    "q_quantile_sketch" ->
+      """WITH g AS (SELECT source, n_chars, count(*) AS c
+        |           FROM documents GROUP BY source, n_chars),
+        |w AS (SELECT source, n_chars,
+        |             sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+        |             sum(c) OVER (PARTITION BY source) AS n
+        |      FROM g)
+        |SELECT source,
+        |       min(CASE WHEN cum >= ceiling(0.25 * n) THEN n_chars END) AS p25,
+        |       min(CASE WHEN cum >= ceiling(0.5 * n) THEN n_chars END) AS p50,
+        |       min(CASE WHEN cum >= ceiling(0.9 * n) THEN n_chars END) AS p90,
+        |       min(CASE WHEN cum >= ceiling(0.99 * n) THEN n_chars END) AS p99,
+        |       CAST(max(n) AS BIGINT) AS n_docs
+        |FROM w GROUP BY source
+        |ORDER BY source ASC""".stripMargin,
+    "q_quantile_sketch_stored" ->
+      """WITH g AS (SELECT source, n_chars, count(*) AS c
+        |           FROM documents GROUP BY source, n_chars),
+        |w AS (SELECT source, n_chars,
+        |             sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+        |             sum(c) OVER (PARTITION BY source) AS n
+        |      FROM g)
+        |SELECT source,
+        |       min(CASE WHEN cum >= ceiling(0.25 * n) THEN n_chars END) AS p25,
+        |       min(CASE WHEN cum >= ceiling(0.5 * n) THEN n_chars END) AS p50,
+        |       min(CASE WHEN cum >= ceiling(0.9 * n) THEN n_chars END) AS p90,
+        |       min(CASE WHEN cum >= ceiling(0.99 * n) THEN n_chars END) AS p99,
+        |       CAST(max(n) AS BIGINT) AS n_docs
+        |FROM w GROUP BY source
+        |ORDER BY source ASC""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, n_chars,
+        |         ln((CAST((doc_id * 3266489917) % 1000003 AS DOUBLE) + 0.5) / 1000003.0)
+        |           / CAST(n_chars AS DOUBLE) AS aes_key
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM s
+        |ORDER BY aes_key DESC, doc_id ASC
+        |LIMIT 200""".stripMargin,
     "q_key_skew" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
         |t AS (SELECT count(*) AS total FROM events)

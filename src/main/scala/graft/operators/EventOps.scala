@@ -136,4 +136,37 @@ object EventOps {
           .otherwise(1).as("funnel_stage"))
       .orderBy(col("user_id").asc)
   }
+
+  /** Event-sequence pattern matching (`q_events_pattern`) — a
+    * MATCH_RECOGNIZE-lite: each user's event history becomes one ordered
+    * symbol string (first letter of the event type — the five fixture
+    * types have distinct initials), and a regular expression counts
+    * non-overlapping conversion paths `v[ce]*p` (a view leading to a
+    * purchase through any clicks/errors, broken by a re-view or signup).
+    * Unlike [[funnel]] (earliest-completion semantics), this counts
+    * EVERY completed path per user.
+    *
+    * Scale shape: one shuffle on user_id; the per-user string is bounded
+    * by events-per-user (the sessionize bound — users with 100 TB of
+    * events are a data bug, not a plan input). The sort is in-group
+    * (array_sort of (ts, event_id) structs — deterministic under ties),
+    * the regex runs codegen'd per user row, never materializing pairs.
+    * Pattern semantics are engine-portable: greedy non-overlapping
+    * left-to-right scanning of a backtrack-free pattern matches
+    * identically in Java regex and RE2.
+    */
+  def eventPattern(spark: SparkSession, dir: String,
+      pattern: String = "v[ce]*p"): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("e"))), x => x.getField("c")),
+        "").as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).cast("long").as("seq_len"),
+        regexp_count(col("seq"), lit(pattern)).cast("long").as("n_matches"))
+      .orderBy(col("user_id").asc)
 }

@@ -149,6 +149,79 @@ object LinkOps {
     servedRanks(spark, db, name)
   }
 
+  /** HITS hubs & authorities (`q_link_hits`, Kleinberg 1999) over
+    * [[linkEdges]] — the second classic link-centrality signal next to
+    * [[pageRank]]: a good HUB links to good authorities, a good
+    * AUTHORITY is linked from good hubs, iterated to the mutual fixed
+    * point. Each round is two half-steps — authority(v) = Σ_in hub,
+    * hub(u) = Σ_out authority(new) — each L1-normalized so the vector
+    * sums to 1e9 integer nano-units.
+    *
+    * Determinism (the [[pageRank]] discipline): scores live in integer
+    * nano-units; the normalization `floor(raw·1e9/total + 0.5)` runs in
+    * double on exactly-representable integer inputs with one fixed op
+    * order, so both engines round identically. The L1 total never
+    * reaches the driver — it is a one-row aggregate on a broadcast cross
+    * join (the keySkew/topSupplier pattern).
+    *
+    * Scale shape: per half-step, one shuffle join of the score vector
+    * against the edge list plus one aggregation on the opposite
+    * endpoint — the same textbook round as distributed PageRank, with
+    * the same bucketed-edges upgrade path. The edge list checkpoints
+    * once; per-round vectors checkpoint lazily (doc-sized) because each
+    * is consumed twice (its own L1 total + the next half-step).
+    */
+  def hits(spark: SparkSession, dir: String, iters: Int = 3,
+      fanout: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    // [[linkEdges]]'s affine hash is a PERFECT 4-regular graph (the
+    // multiplier is invertible mod N and no k ≤ 4 produces a self-loop),
+    // whose HITS fixed point is the uniform vector — degenerate. HITS
+    // gets a varying out-degree instead: doc i emits only k ≤ 1 + (i mod
+    // 4) of the same hashed edges, so in-degrees (and the fixed point)
+    // actually vary.
+    val edges = docs
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(1), lit(fanout))).as("k"))
+      .filter(col("k") <= lit(1) + col("src") % lit(4))
+      .withColumn("dst",
+        (col("src") * lit(EdgeMult) + col("k") * lit(EdgeStride)) % lit(n))
+      .filter(col("dst") =!= col("src"))
+      .select(col("src"), col("dst"))
+      .localCheckpoint(false)
+
+    // one L1-normalized half-step: raw in-sums joined back over all docs
+    // (absent endpoint = 0), total on a broadcast one-row frame
+    def normalized(raw: DataFrame, outName: String): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      docs.join(raw, Seq("doc_id"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          floor(coalesce(col("raw"), lit(0L)).cast("double") * lit(1000000000.0)
+            / col("tot").cast("double") + lit(0.5)).cast("bigint").as(outName))
+        .localCheckpoint(false) // consumed twice: own total + next half-step
+    }
+
+    var hub = docs.select(col("doc_id"), lit(1000000000L).as("hub_nano"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = edges
+        .join(hub, edges("src") === hub("doc_id"))
+        .groupBy(col("dst").as("doc_id")).agg(sum(col("hub_nano")).as("raw"))
+      auth = normalized(araw, "auth_nano")
+      val hraw = edges
+        .join(auth, edges("dst") === auth("doc_id"))
+        .groupBy(col("src").as("doc_id")).agg(sum(col("auth_nano")).as("raw"))
+      hub = normalized(hraw, "hub_nano")
+    }
+    hub.join(auth, Seq("doc_id"))
+      .select(col("doc_id"),
+        round(col("hub_nano").cast("double") / lit(1000000000.0), 6).as("hub"),
+        round(col("auth_nano").cast("double") / lit(1000000000.0), 6).as("auth"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** `q_link_anchors`: anchor-text aggregation — for every linked-to page,
     * the in-degree and the first few anchor texts of its in-links, the
     * classic web-search document-expansion signal (anchor text often

@@ -309,6 +309,35 @@ object RelOps {
       .orderBy(col("source").asc, col("rank").asc)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (`q_sample_weighted`)
+    * — Efraimidis–Spirtes A-ES (2006): each doc draws u ∈ (0,1) and the
+    * sample is the top-k by key u^(1/w); inclusion probability is
+    * proportional to weight w (here n_chars — longer docs more likely,
+    * the mixture knob a token-budgeted corpus sample needs). The key is
+    * compared in log space (ln(u)/w, order-isomorphic) so no pow() is
+    * evaluated, and u comes from the house Knuth-multiplier lattice
+    * (`(id·3266489917 mod 1000003 + 0.5)/1000003`) — reproducible across
+    * runs, partitionings, and engines, which is the point: the sample IS
+    * a training-data artifact. The float key is used only to ORDER (key
+    * gaps on the u-lattice are ~1e-9, ten orders above cross-engine libm
+    * ulps) and never emitted.
+    *
+    * Scale shape: this IS the distributed weighted reservoir — A-ES's
+    * "reservoir = top-k by key" makes the whole sample one
+    * TakeOrderedAndProject: per-partition bounded heaps, k rows per
+    * partition to the driver merge, zero shuffles, no state.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    val u = (((col("doc_id") * lit(3266489917L)) % lit(1000003L)).cast("double")
+      + lit(0.5)) / lit(1000003.0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (log(u) / col("n_chars").cast("double")).as("aes_key"))
+      .orderBy(col("aes_key").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   /** Z-value computation surface — the row-side arithmetic of the
     * z-ordered layout ([[graft.sources.CatalogOps.createZorderedCollection]]),
     * exposed as a query so the oracle can pin it: equi-width bucket ranks
@@ -939,6 +968,103 @@ object RelOps {
       "o_totalprice", Seq("F", "O", "P"), Seq(0.5, 0.95))
       .toDF("o_orderstatus", "p", "v")
       .orderBy(col("o_orderstatus").asc, col("p").asc)
+  }
+
+  /** Approximate per-group quantiles via the q-digest sketch
+    * (`q_quantile_sketch`, Shrivastava et al. 2004 —
+    * [[graft.plans.QDigestQuantiles]]): document-length p25/p50/p90/p99
+    * per source in ONE partial-agg'd pass whose exchange carries
+    * ≤ capacity-node sketches per (group × map task), never value rows —
+    * the 100 TB path where [[quantileExactGrouped]]'s per-group
+    * histogram refinement pays multiple passes. Below capacity the
+    * digest is exact (no compression can fire), so the fixture faces the
+    * same first-principles rank oracle as the exact family; the contract
+    * projection RAISES if compression fired (the heavy-hitters
+    * saturation-guard discipline) so drift surfaces as a diagnostic, not
+    * a silent oracle mismatch.
+    */
+  def quantileSketch(spark: SparkSession, dir: String,
+      levels: Int = 10, capacity: Int = 256): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val agg = toCol(graft.plans.QDigestQuantiles(
+      toExpr(col("n_chars")), levels, capacity,
+      Seq(0.25, 0.5, 0.9, 0.99)).toAggregateExpression())
+    def guarded(i: Int): Column =
+      when(col("qd").getField("internal"), raise_error(lit(
+        "q-digest saturated on the fixture: compression fired, the exact-oracle precondition broke")))
+        .otherwise(element_at(col("qd").getField("qs"), i))
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(agg.as("qd"))
+      .select(col("source"),
+        guarded(1).as("p25"), guarded(2).as("p50"),
+        guarded(3).as("p90"), guarded(4).as("p99"),
+        col("qd").getField("n").as("n_docs"))
+      .orderBy(col("source").asc)
+  }
+
+  /** Build-once fixture for the maintained q-digest store: create from
+    * the even half, fold the odd half — every contract run exercises
+    * both the create and the upsert path (the term-sketch fixture
+    * discipline). Below saturation the folded store holds exactly the
+    * full-corpus digests, so the stored twin faces the SAME oracle.
+    */
+  private[graft] def ensureQdigestStore(spark: SparkSession,
+      dir: String): (String, String) = {
+    import graft.sources.CatalogOps
+    val db = "graft_qdigest"
+    val name = "docs"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__qdigest")) {
+        CatalogOps.createDatabase(spark, db)
+        KnnOps.dropTableAndDir(spark, db, s"${name}__qdigest")
+        val docs = Tables.documents(spark, dir)
+        CatalogOps.createQdigestStore(spark, db, name,
+          docs.filter(col("doc_id") % 2 === 0))
+        CatalogOps.upsertQdigest(spark, db, name,
+          docs.filter(col("doc_id") % 2 =!= 0), batchId = 0L)
+      }
+    }
+    (db, name)
+  }
+
+  /** `q_quantile_sketch_stored`: the distribution report served from the
+    * MAINTAINED digests — [[quantileSketch]]'s question answered without
+    * touching the corpus at ask time. The serving plan runs over
+    * sketch-sized input (≤ groups × capacity node rows): one windowed
+    * cumulative sum per source in (rmax ASC, rmin DESC) scan order —
+    * exactly [[graft.plans.QDigest.quantiles]]'s rule, expressed
+    * relationally — then a rank cut per probability. A compression
+    * survivor anywhere in a group raises (aggregated saturation flag, so
+    * lazy CASE evaluation cannot skip it) before any value is emitted.
+    */
+  def quantileSketchStored(spark: SparkSession, dir: String): DataFrame = {
+    val (db, name) = ensureQdigestStore(spark, dir)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("rmax").asc, col("rmin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    val st = spark.table(s"`$db`.`${name}__qdigest`")
+      .filter(col("source").isNotNull) // skip the empty-state watermark sentinel
+      .select(col("source"), col("rmin"), col("rmax"), col("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    def rankCut(p: Double): Column =
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("rmax")))
+    val agg = st.groupBy(col("source")).agg(
+      rankCut(0.25).as("r25"), rankCut(0.5).as("r50"),
+      rankCut(0.9).as("r90"), rankCut(0.99).as("r99"),
+      max(col("n")).as("n_docs"),
+      max(when(col("rmin") =!= col("rmax"), 1).otherwise(0)).as("sat"))
+    def guarded(c: Column): Column =
+      when(col("sat") === 1, raise_error(lit(
+        "stored q-digest saturated: compression fired, the exact-oracle precondition broke")))
+        .otherwise(c)
+    agg.select(col("source"),
+      guarded(col("r25")).as("p25"), guarded(col("r50")).as("p50"),
+      guarded(col("r90")).as("p90"), guarded(col("r99")).as("p99"),
+      col("n_docs"))
+      .orderBy(col("source").asc)
   }
 
   /** Winsorization — outlier clipping at exact percentile fences, the

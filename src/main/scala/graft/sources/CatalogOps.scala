@@ -2058,6 +2058,90 @@ object CatalogOps {
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__termsketch`")
   }
 
+  /** Persisted per-source q-digest quantile sketches
+    * ([[graft.plans.QDigestNodes]]) — per-group distribution statistics
+    * as a MAINTAINED artifact: `{name}__qdigest` holds ≤ capacity nodes
+    * per source as `(source, node, rmin, rmax, cnt, batch_id)` rows.
+    * Sketch-sized state, batch-id watermark in the SAME overwrite (the
+    * term-sketch discipline); each refresh digests ONLY the batch (one
+    * partial-agg'd pass) and folds it with the sketch's own additive
+    * merge — the code path Spark's partial aggregation runs, so
+    * stream-equals-batch below saturation is by construction.
+    */
+  def createQdigestStore(spark: SparkSession, db: String, name: String,
+      docs: DataFrame, levels: Int = 10, capacity: Int = 256): Unit =
+    writeQdigest(spark, db, name,
+      qdigestsOf(docs, levels, capacity), levels, batchId = -1L)
+
+  /** Fold one batch into the stored digests — replay-safe via the stored
+    * watermark; a missing store bootstraps from the batch (the
+    * source-counts convention, so a streaming feed needs no create).
+    */
+  def upsertQdigest(spark: SparkSession, db: String, name: String,
+      batch: DataFrame, batchId: Long, levels: Int = 10,
+      capacity: Int = 256): Unit = {
+    if (!spark.catalog.tableExists(s"$db.${name}__qdigest")) {
+      writeQdigest(spark, db, name,
+        qdigestsOf(batch, levels, capacity), levels, batchId)
+      return
+    }
+    val storedRows = spark.table(s"`$db`.`${name}__qdigest`").collect()
+    if (storedRows.nonEmpty && batchId <= storedRows.head.getLong(5)) return
+    // stored rows → per-source buffers (key 0 = total, rebuilt from counts)
+    val stored = scala.collection.mutable.HashMap.empty[String, graft.plans.QDigest.Buf]
+    storedRows.filter(!_.isNullAt(0)).foreach { r =>
+      val buf = stored.getOrElseUpdate(r.getString(0), graft.plans.QDigest.empty())
+      buf.update(r.getLong(1), r.getLong(4))
+      buf.update(0L, buf.getOrElse(0L, 0L) + r.getLong(4))
+    }
+    qdigestsOf(batch, levels, capacity).foreach { case (src, b) =>
+      stored.get(src) match {
+        case Some(existing) =>
+          graft.plans.QDigest.mergeInto(existing, b, levels, capacity)
+        case None => stored.update(src, b)
+      }
+    }
+    writeQdigest(spark, db, name, stored.toMap, levels, batchId)
+  }
+
+  /** One partial-agg'd digest pass per source; ≤ groups × capacity node
+    * entries reach the driver.
+    */
+  private def qdigestsOf(docs: DataFrame, levels: Int,
+      capacity: Int): Map[String, graft.plans.QDigest.Buf] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val agg = toCol(graft.plans.QDigestNodes(
+      toExpr(col("n_chars")), levels, capacity).toAggregateExpression())
+    val rows = docs.groupBy(col("source")).agg(agg.as("nodes"))
+      .select(col("source"), explode(col("nodes")).as("e"))
+      .select(col("source"), col("e.node"), col("e.cnt")).collect()
+    val out = scala.collection.mutable.HashMap.empty[String, graft.plans.QDigest.Buf]
+    rows.foreach { r =>
+      val buf = out.getOrElseUpdate(r.getString(0), graft.plans.QDigest.empty())
+      buf.update(r.getLong(1), r.getLong(2))
+      buf.update(0L, buf.getOrElse(0L, 0L) + r.getLong(2))
+    }
+    out.toMap
+  }
+
+  private def writeQdigest(spark: SparkSession, db: String, name: String,
+      digests: Map[String, graft.plans.QDigest.Buf], levels: Int,
+      batchId: Long): Unit = {
+    // empty-state watermark sentinel: see writeSourceCounts
+    val rows =
+      if (digests.isEmpty) Seq((null: String, 0L, 0L, 0L, 0L, batchId))
+      else digests.toSeq.sortBy(_._1).flatMap { case (src, buf) =>
+        buf.toSeq.filter(_._1 != 0L).sortBy(_._1).map { case (node, cnt) =>
+          val (rmin, rmax) = graft.plans.QDigest.rangeOf(levels, node)
+          (src, node, rmin, rmax, cnt, batchId)
+        }
+      }
+    spark.createDataFrame(rows)
+      .toDF("source", "node", "rmin", "rmax", "cnt", "batch_id")
+      .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__qdigest`")
+  }
+
   /** Persisted k-means centroid model — the learned blocking quantizer
     * (semantic dedup's cells, IVF's coarse layer) promoted to a
     * MAINTAINED artifact so a growing corpus refreshes it with

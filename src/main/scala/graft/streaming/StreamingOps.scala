@@ -457,6 +457,24 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming q-digest maintenance — each doc micro-batch digests once
+    * (partial-agg'd, sketch-sized result) and folds into the persisted
+    * per-source quantile sketches
+    * ([[graft.sources.CatalogOps.upsertQdigest]]); replay-safe via the
+    * stored watermark (state + watermark in one overwrite), bootstrap on
+    * a missing store (the source-counts convention).
+    */
+  def streamingQdigest(docStream: DataFrame, db: String, name: String,
+      levels: Int = 10, capacity: Int = 256): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.CatalogOps.upsertQdigest(
+            batch.sparkSession, db, name, batch.toDF(), id, levels, capacity)
+      }
+      .start()
+
   /** Streaming bloom-store maintenance — each key micro-batch appends its
     * word rows ([[graft.sources.CatalogOps.upsertBloomStore]]). Uniquely
     * among the maintained stores this needs NO watermark or batch-id

@@ -164,6 +164,84 @@ class OperatorSpec extends AnyFunSuite {
     assert(day0 === users) // every user is active on their own first day
   }
 
+  test("eventPattern equals a driver-side regex over the sorted event strings") {
+    import graft.sources.Tables
+    val got = EventOps.eventPattern(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // reference: plain Scala — same ordering key (ts, event_id), same regex
+    val ref = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3).substring(0, 1))))
+      .groupBy(_._1).map { case (u, es) =>
+        val seq = es.map(_._2).sortBy(t => (t._1, t._2)).map(_._3).mkString
+        (u, seq.length.toLong, "v[ce]*p".r.findAllIn(seq).length.toLong)
+      }.toSeq.sortBy(_._1)
+    assert(got.toSeq === ref)
+  }
+
+  test("weighted sample is k-sized, duplicate-free, and weight-skewed") {
+    import graft.sources.Tables
+    val rows = RelOps.sampleWeighted(spark, sf, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.length === 50)
+    assert(rows.map(_._1).distinct.length === 50) // without replacement
+    // A-ES inclusion prob ∝ n_chars: the sample must skew heavier than
+    // the corpus (not a tight bound — a sanity law on the weighting)
+    val sampleMean = rows.map(_._2).sum.toDouble / rows.length
+    val corpus = Tables.documents(spark, sf).select("n_chars").collect()
+      .map(_.getLong(0))
+    val corpusMean = corpus.sum.toDouble / corpus.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+    // determinism: a second run is bit-identical
+    val again = RelOps.sampleWeighted(spark, sf, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
+  test("HITS vectors are L1-normalized and a rebuilt run is identical") {
+    val rows = LinkOps.hits(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, h, a) => h >= 0.0 && a >= 0.0 })
+    // each vector sums to 1 up to the per-node nano rounding (±0.5e-9 each)
+    val tol = rows.length * 1e-6 + 1e-6
+    assert(math.abs(rows.map(_._2).sum - 1.0) < tol)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < tol)
+    // the fixed point is non-uniform (the affine edge hash skews in-degree)
+    assert(rows.map(_._3).distinct.length > 1)
+    val again = LinkOps.hits(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
+  test("q-digest: live sketch, maintained store, and exact quantiles all agree") {
+    val live = RelOps.quantileSketch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(live.nonEmpty)
+    // the stored twin (create half + fold half) serves the same report
+    val stored = RelOps.quantileSketchStored(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(stored.toSeq === live.toSeq)
+    // and both match the exact per-group rank rule
+    import graft.sources.Tables
+    val byGroup = Tables.documents(spark, sf).select("source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, vs) => s -> vs.map(_._2).sorted.toIndexedSeq }
+    live.foreach { case (src, p25, p50, p90, p99, n) =>
+      val vs = byGroup(src)
+      assert(n === vs.length.toLong)
+      def exact(p: Double): Long =
+        vs((math.ceil(p * vs.length).toLong.max(1L) - 1).toInt)
+      assert((p25, p50, p90, p99) ===
+        ((exact(0.25), exact(0.5), exact(0.9), exact(0.99))), s"group $src")
+    }
+  }
+
   test("similarity-join dispatcher branches agree on the fixture") {
     val viaExact = KnnOps.simJoinAuto(spark, sf, crossoverRows = Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

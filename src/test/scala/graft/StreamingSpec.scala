@@ -1221,6 +1221,47 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("streaming q-digest equals the batch digests below saturation; replays no-op") {
+    import graft.sources.{CatalogOps, Tables}
+    implicit val ctx = spark.sqlContext
+    val db = "rqdigestdb"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val rows = docs.select($"doc_id", $"source", $"n_chars")
+      .as[(Long, String, Long)].collect()
+    // no create call: the first micro-batch bootstraps the store
+    val in = MemoryStream[(Long, String, Long)]
+    val q = StreamingOps.streamingQdigest(
+      in.toDF.toDF("doc_id", "source", "n_chars"), db, "corpus")
+    try {
+      in.addData(rows.filter(_._1 < 150).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(rows.filter(_._1 >= 150).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def state() = spark.table(s"`$db`.`corpus__qdigest`")
+      .select($"source", $"node", $"cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // below saturation the maintained digests equal the one-shot batch
+    // build over all docs — write a reference store and compare node rows
+    CatalogOps.createQdigestStore(spark, db, "ref", docs)
+    val ref = spark.table(s"`$db`.`ref__qdigest`")
+      .select($"source", $"node", $"cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val streamed = state()
+    assert(streamed === ref,
+      "maintained digests must equal the batch build below saturation")
+    // replay: an at-or-below-watermark fold must not move the store
+    CatalogOps.upsertQdigest(spark, db, "corpus",
+      rows.filter(_._1 >= 150).toIndexedSeq.toDF("doc_id", "source", "n_chars"),
+      batchId = 1L)
+    assert(state() === ref)
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("state stores: missing sketch bootstraps; empty states keep their watermark through replays") {
     import graft.sources.{CatalogOps, Tables}
     val db = "rstatewmdb"
