@@ -258,6 +258,8 @@ object SparkEntry {
     "q_upsert_lastwins" -> ((s, d) => TextOps.upsertLastWins(s, d)),
     // snapshot-isolated reads over the append-only version log
     "q_timetravel_latest" -> ((s, d) => TextOps.timeTravelLatest(s, d)),
+    // CDC change feed: insert/update/delete rows between two snapshots
+    "q_timetravel_changes" -> ((s, d) => TextOps.timeTravelChanges(s, d)),
     "q_timetravel_asof"   -> ((s, d) => TextOps.timeTravelAsOf(s, d)),
     // ---- §2.B projections / filters ----
     "q_project_fields"  -> ((s, d) => TextOps.projectFields(s, d)),
@@ -403,7 +405,7 @@ object SparkEntry {
     "q_text_quality", "q_quality_lr", "q_token_count", "q_term_heavyhitters", "q_term_heavyhitters_stored", "q_bpe_tokens", "q_lm_bigram", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_tpch_q10", "q_join_hash", "q_join_broadcast", "q_join_bloom",
     "q_quantile_exact", "q_quantile_sketch", "q_quantile_sketch_stored", "q_group_topk", "q_key_skew", "q_key_skew_stored", "q_join_skew", "q_zorder_value",
-    "q_join_semi_bloom", "q_timetravel_latest", "q_timetravel_asof", "q_sample_stratified",
+    "q_join_semi_bloom", "q_timetravel_latest", "q_timetravel_asof", "q_timetravel_changes", "q_sample_stratified",
     "q_approx_distinct_stored", "q_quality_checks", "q_events_distinct", "q_window_percentrank",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q16",
@@ -1683,6 +1685,19 @@ object SparkEntry {
     // snapshot contents are pure predicates over the fixture (ensure
     // builds: v0 = even ids, v1 += odd ids, v2 -= ids < 50), so the
     // resolved reads have closed-form oracles
+    "q_timetravel_changes" ->
+      """WITH ch AS (
+        |  SELECT 'insert' AS change, CAST(1 AS BIGINT) AS v,
+        |         doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 2 = 1 AND doc_id >= 50
+        |  UNION ALL
+        |  SELECT 'update', CAST(1 AS BIGINT), doc_id, text, 'xx', source, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0 AND doc_id >= 50
+        |  UNION ALL
+        |  SELECT 'delete', CAST(2 AS BIGINT), doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id < 50)
+        |SELECT change, v, doc_id, text, lang, source, n_chars
+        |FROM ch ORDER BY doc_id ASC""".stripMargin,
     "q_timetravel_latest" ->
       "SELECT * FROM documents WHERE doc_id >= 50 ORDER BY doc_id ASC",
     "q_timetravel_asof" ->

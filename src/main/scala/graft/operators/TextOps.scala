@@ -237,6 +237,49 @@ object TextOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Build-if-absent versioned collection for the CDC contract query —
+    * separate from [[ensureVersionedDocs]] because the change feed needs
+    * all three transition kinds: snapshot 0 creates the even docs,
+    * snapshot 1 upserts the odd docs (INSERTs) and REWRITES every
+    * doc_id % 10 == 0 doc with lang 'xx' (UPDATEs), snapshot 2
+    * tombstones ids < 50 (DELETEs). Every snapshot is a pure predicate
+    * over the fixture → the feed has a closed-form DuckDB oracle.
+    */
+  private[graft] def ensureCdcDocs(spark: SparkSession,
+      dir: String): (String, String) = {
+    import graft.sources.CatalogOps
+    val db = "graft_cdc"
+    val name = "docs"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__vlog")) {
+        CatalogOps.createDatabase(spark, db)
+        KnnOps.dropTableAndDir(spark, db, s"${name}__vlog")
+        KnnOps.dropTableAndDir(spark, db, s"${name}__vmeta")
+        val docs = Tables.documents(spark, dir)
+        CatalogOps.createVersionedCollection(spark, db, name,
+          docs.filter(col("doc_id") % 2 === 0))
+        CatalogOps.upsertVersioned(spark, db, name,
+          docs.filter(col("doc_id") % 2 =!= 0)
+            .unionByName(docs.filter(col("doc_id") % 10 === 0)
+              .withColumn("lang", lit("xx"))))
+        CatalogOps.deleteVersioned(spark, db, name, 0L until 50L)
+      }
+    }
+    (db, name)
+  }
+
+  /** `q_timetravel_changes`: the CDC feed from snapshot 0 to head —
+    * inserts (odd survivors, post-image), updates (the lang-rewritten
+    * evens still alive, post-image), deletes (evens below 50,
+    * PRE-image). What an incremental index maintainer consumes instead
+    * of re-diffing snapshots.
+    */
+  def timeTravelChanges(spark: SparkSession, dir: String): DataFrame = {
+    val (db, name) = ensureCdcDocs(spark, dir)
+    graft.sources.CatalogOps.changesVersioned(spark, db, name, fromV = 0L)
+      .orderBy(col("doc_id").asc)
+  }
+
   def upsertLastWins(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val v1 = docs.select(col("doc_id"), col("lang"),

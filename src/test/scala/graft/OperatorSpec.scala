@@ -217,6 +217,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("CDC feed patches snapshot(from) into snapshot(to) exactly") {
+    import graft.sources.CatalogOps
+    val (db, name) = TextOps.ensureCdcDocs(spark, sf)
+    type Doc = (Long, String, String, String, Long)
+    def snap(asOf: Long): Set[Doc] =
+      CatalogOps.readVersioned(spark, db, name, asOf = asOf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSet
+    val pre = snap(0L)
+    val post = snap(Long.MaxValue)
+    val feed = CatalogOps.changesVersioned(spark, db, name, fromV = 0L).collect()
+    val deletes = feed.filter(_.getString(0) == "delete").map(_.getLong(2)).toSet
+    val upserts: Set[Doc] = feed
+      .filter(r => r.getString(0) == "insert" || r.getString(0) == "update")
+      .map(r => (r.getLong(2), r.getString(3), r.getString(4),
+        r.getString(5), r.getLong(6))).toSet
+    // the patch law: apply deletes, overwrite/insert the images → post
+    val patched = pre.filterNot(d =>
+      deletes.contains(d._1) || upserts.exists(_._1 == d._1)) ++ upserts
+    assert(patched === post)
+    // every change kind fires on this fixture
+    assert(feed.map(_.getString(0)).toSet === Set("insert", "update", "delete"))
+    // sub-window feeds classify by their own boundaries
+    val feed01 = CatalogOps.changesVersioned(spark, db, name, 0L, 1L).collect()
+    assert(feed01.map(_.getString(0)).toSet === Set("insert", "update"))
+    val feed12 = CatalogOps.changesVersioned(spark, db, name, 1L, 2L).collect()
+    assert(feed12.map(_.getString(0)).toSet === Set("delete"))
+    // an id inserted and deleted inside the window nets to NO event
+    val insertedThenDeleted = feed.map(_.getLong(2)).toSet
+      .intersect((1L until 50L by 2).toSet)
+    assert(insertedThenDeleted.isEmpty)
+  }
+
   test("q-digest: live sketch, maintained store, and exact quantiles all agree") {
     val live = RelOps.quantileSketch(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
