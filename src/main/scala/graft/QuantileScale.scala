@@ -68,6 +68,33 @@ object QuantileScale {
             e.getClass.getSimpleName
       }
     println(s"percentile  $buffered")
+
+    // q-digest sketch on an INTEGER domain (the per-group path): one
+    // partial-agg'd pass, sketch-sized exchange, fixed error contract —
+    // measured against its own exact answers at forced compression
+    val ints = spark.range(n).select(
+      (abs(xxhash64(col("id"))) % 1048576L).as("v")) // 2^20 domain
+    val probs = Seq(0.5, 0.99)
+    t0 = System.nanoTime()
+    val qd = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+      ints.agg(toCol(graft.plans.QDigestQuantiles(
+          toExpr(col("v")), 20, 1024, probs).toAggregateExpression()).as("qd"))
+        .select(col("qd.qs"), col("qd.internal")).collect()(0)
+    }
+    val tQd = (System.nanoTime() - t0) / 1e9
+    val qdAns = qd.getSeq[Long](0)
+    println(f"qdigest     $tQd%6.1f s  ${qdAns.mkString(", ")}  compressed=${qd.getBoolean(1)}")
+    // observed rank error vs the contract levels·n/capacity
+    t0 = System.nanoTime()
+    val exactInts = graft.operators.RelOps.quantileExactOn(
+      ints.select(col("v").cast("double").as("v")), "v", probs).map(_._2)
+    println(f"int-exact   ${(System.nanoTime() - t0) / 1e9}%6.1f s  ${exactInts.mkString(", ")}")
+    probs.zip(qdAns).foreach { case (p, ans) =>
+      val target = math.ceil(p * n).toLong
+      val rank = ints.filter(col("v") <= ans).count()
+      println(f"p=$p rank(ans)=$rank target=$target |err|=${math.abs(rank - target)} bound=${20L * n / 1024}")
+    }
     spark.stop()
   }
 }

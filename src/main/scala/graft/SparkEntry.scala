@@ -145,6 +145,8 @@ object SparkEntry {
     "q_doc_fingerprint" -> ((s, d) => TextAnalysisOps.fingerprint(s, d)),
     "q_doc_winnow"      -> ((s, d) => TextAnalysisOps.winnowFingerprint(s, d)),
     "q_sample_split"    -> ((s, d) => TextAnalysisOps.sampleSplit(s, d)),
+    // split keyed on the dup-cluster representative: no eval leakage
+    "q_split_leakage"   -> ((s, d) => TextAnalysisOps.splitLeakageSafe(s, d)),
     "q_text_bigrams"    -> ((s, d) => TextAnalysisOps.bigrams(s, d)),
     "q_text_redact"     -> ((s, d) => TextAnalysisOps.redactPii(s, d)),
     "q_text_repetition" -> ((s, d) => TextAnalysisOps.repetitionSignals(s, d)),
@@ -405,7 +407,7 @@ object SparkEntry {
     "q_text_quality", "q_quality_lr", "q_token_count", "q_term_heavyhitters", "q_term_heavyhitters_stored", "q_bpe_tokens", "q_lm_bigram", "q_multimodal_meta",
     "q_agg_hash", "q_grouping_sets", "q_tpch_q3", "q_tpch_q10", "q_join_hash", "q_join_broadcast", "q_join_bloom",
     "q_quantile_exact", "q_quantile_sketch", "q_quantile_sketch_stored", "q_group_topk", "q_key_skew", "q_key_skew_stored", "q_join_skew", "q_zorder_value",
-    "q_join_semi_bloom", "q_timetravel_latest", "q_timetravel_asof", "q_timetravel_changes", "q_sample_stratified",
+    "q_join_semi_bloom", "q_timetravel_latest", "q_timetravel_asof", "q_timetravel_changes", "q_split_leakage", "q_sample_stratified",
     "q_approx_distinct_stored", "q_quality_checks", "q_events_distinct", "q_window_percentrank",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q16",
@@ -1429,6 +1431,15 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp,
         |       CAST(ascii(substr(md5(text), 1, 1)) % 16 AS BIGINT) AS shard
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "q_split_leakage" ->
+      """WITH r AS (SELECT md5(text) AS h, min(doc_id) AS rep
+        |           FROM documents GROUP BY md5(text))
+        |SELECT d.doc_id, r.rep, (r.rep * 3266489917) % 1000 AS bucket,
+        |       CASE WHEN (r.rep * 3266489917) % 1000 < 800 THEN 'train'
+        |            WHEN (r.rep * 3266489917) % 1000 < 900 THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM documents d JOIN r ON md5(d.text) = r.h
+        |ORDER BY d.doc_id ASC""".stripMargin,
     "q_sample_split" ->
       """SELECT doc_id, (doc_id * 3266489917) % 1000 AS bucket,
         |       CASE WHEN (doc_id * 3266489917) % 1000 < 800 THEN 'train'

@@ -85,6 +85,36 @@ object TextAnalysisOps {
           .otherwise("test").as("split"))
       .orderBy(col("doc_id").asc)
 
+  /** Leakage-safe train/valid/test split (`q_split_leakage`) — the split
+    * key is the document's DUPLICATE-CLUSTER representative, not its own
+    * id: two copies of the same page landing on opposite sides of the
+    * split is evaluation leakage (the model is tested on its own
+    * training rows), and hash-splitting doc_ids guarantees exactly that
+    * for any duplicated corpus. Clusters here are exact-text groups
+    * (md5 → min-id representative, the [[graft.operators.DedupOps
+    * .dedupExact]] convention); the same shape takes any cluster id —
+    * feed it the MinHash/CC resolution for near-dup-safe splits.
+    *
+    * Scale: one exchange on the text hash (the dedupExact cost, with
+    * map-side partial min), then the split is a pure projection of the
+    * representative through the same Knuth bucket as [[sampleSplit]] —
+    * members of one cluster share a rep, hence a bucket, hence a split,
+    * by construction.
+    */
+  def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val reps = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("rep"))
+    val bucket = pmod(col("rep") * lit(3266489917L), lit(1000L))
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(reps, "h")
+      .select(col("doc_id"), col("rep"), bucket.as("bucket"),
+        when(bucket < 800, "train")
+          .when(bucket < 900, "valid")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Language/domain ID by marker-set intersection — the n-gram-heuristic
     * shape of a lang-ID pass (count marker hits per class, argmax with a
     * fixed priority tie-break). Pure projection, oracle-expressible.

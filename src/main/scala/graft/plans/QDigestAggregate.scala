@@ -52,7 +52,15 @@ private[graft] object QDigest {
     val leaf = leafId(levels, v)
     buf.update(leaf, buf.getOrElse(leaf, 0L) + 1L)
     buf.update(0L, buf.getOrElse(0L, 0L) + 1L)
-    if (buf.size - 1 > capacity) compress(buf, levels, capacity)
+    // AMORTIZED compression: trigger at 2× capacity, not at capacity — a
+    // buffer hovering just above the cap would otherwise re-compress on
+    // nearly every update (measured: 926 s for a 20M-row aggregate vs
+    // ~9 s with the slack; QuantileScale). Each compress must then absorb
+    // ≥ capacity new leaves before the next fires, so the per-update cost
+    // is O(levels) amortized; the error analysis only needs the digest
+    // property at EVAL, and the bound held with an order of magnitude to
+    // spare (|rank err| ≤ 0.21× the levels·n/capacity contract at 20M).
+    if (buf.size - 1 > 2 * capacity) compress(buf, levels, capacity)
   }
 
   /** One bottom-up pass of the paper's COMPRESS: per level (leaves up),

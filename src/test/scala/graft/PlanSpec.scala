@@ -610,6 +610,30 @@ class PlanSpec extends AnyFunSuite {
     assert(ep.contains("TakeOrderedAndProject") &&
       !ep.contains("Exchange rangepartitioning"), ep)
   }
+
+  test("weighted sampling IS the distributed reservoir: one TakeOrderedAndProject, no exchange") {
+    val p = plan(RelOps.sampleWeighted(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p) // per-partition heaps + driver merge only
+  }
+
+  test("q-digest sketch aggregation is two-phase: sketches, not rows, cross the exchange") {
+    val p = plan(RelOps.quantileSketch(spark, sf))
+    assert(p.contains("partial_qdigest_quantiles"), p) // map-side partial buffers
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("tpch q19's branch unions reach BOTH parquet scans") {
+    val p = plan(RelOps.discountedRevenueDisjunct(spark, sf))
+    // part side: brand set + size range pushed (strings truncate at the
+    // metadata limit, so pin prefixes that survive it)
+    assert(p.contains("In(p_brand") && p.contains("GreaterThanOrEqual(p_size,1)"), p)
+    // lineitem side: Catalyst derives the quantity-branch union from the
+    // disjunction and pushes it too — the scan never reads a row outside
+    // the union of the three quantity windows
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
 
 /** Formulations RETIRED from production, kept only so PlanSpec can pin WHY
