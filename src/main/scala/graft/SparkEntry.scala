@@ -254,6 +254,8 @@ object SparkEntry {
     "q_events_funnel"     -> ((s, d) => EventOps.funnel(s, d)),
     // MATCH_RECOGNIZE-lite: regex over each user's ordered event string
     "q_events_pattern"    -> ((s, d) => EventOps.eventPattern(s, d)),
+    // incremental materialized view: the daily report served from the store
+    "q_report_maintained" -> ((s, d) => EventOps.reportMaintained(s, d)),
     // ---- §2.A scans / sources / sinks ----
     "q_scan_documents"  -> ((s, d) => TextOps.scanDocuments(s, d)),
     "q_tree_flatten"    -> ((s, d) => TextOps.treeFlatten(s, d)),
@@ -355,6 +357,8 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, d) => RelOps.sampleStratified(s, d)),
     // Efraimidis-Spirtes weighted reservoir: top-k by deterministic A-ES key
     "q_sample_weighted"   -> ((s, d) => RelOps.sampleWeighted(s, d)),
+    // per-source weighted reservoirs through the bounded-heap group top-k
+    "q_sample_weighted_grouped" -> ((s, d) => RelOps.sampleWeightedGrouped(s, d)),
     // probe side cut by a deterministic bloom of the selective build side
     // BEFORE the exchange; no false negatives ⇒ same oracle as plain join
     "q_join_bloom"     -> ((s, d) => RelOps.joinBloom(s, d)),
@@ -424,7 +428,7 @@ object SparkEntry {
     "q_decontaminate", "q_pack_sequences", "q_domain_mix", "q_domain_mix_temp", "q_curate_e2e",
     "q_url_canonical", "q_url_dedup",
     "q_crawl_delta", "q_crawl_frontier", "q_link_anchors", "q_link_hits",
-    "q_events_pattern", "q_sample_weighted")
+    "q_events_pattern", "q_sample_weighted", "q_sample_weighted_grouped", "q_report_maintained")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1643,6 +1647,11 @@ object SparkEntry {
         |FROM ev JOIN f USING (user_id)
         |GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day ASC, day_offset ASC""".stripMargin,
+    "q_report_maintained" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY day ASC, event_type ASC""".stripMargin,
     "q_events_pattern" ->
       """WITH s AS (
         |  SELECT user_id,
@@ -2233,6 +2242,19 @@ object SparkEntry {
         |       CAST(max(n) AS BIGINT) AS n_docs
         |FROM w GROUP BY source
         |ORDER BY source ASC""".stripMargin,
+    "q_sample_weighted_grouped" ->
+      """WITH s AS (
+        |  SELECT source, doc_id,
+        |         ln((CAST((doc_id * 3266489917) % 1000003 AS DOUBLE) + 0.5) / 1000003.0)
+        |           / CAST(n_chars AS DOUBLE) AS aes_key
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY aes_key DESC, doc_id ASC) AS rank
+        |      FROM s)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+        |FROM r WHERE rank <= 10
+        |ORDER BY source ASC, rank ASC""".stripMargin,
     "q_sample_weighted" ->
       """WITH s AS (
         |  SELECT doc_id, source, n_chars,

@@ -137,6 +137,45 @@ object EventOps {
       .orderBy(col("user_id").asc)
   }
 
+  /** Build-if-absent maintained daily report for the contract query:
+    * create from the even half of events, fold the odd half — every run
+    * exercises both the create and the bucket-pruned fold (the maintained
+    * -store fixture convention). Exact additive state ⇒ the served report
+    * equals the direct groupBy bit-for-bit, so it faces the same oracle.
+    */
+  private[graft] def ensureAggReport(spark: SparkSession,
+      dir: String): (String, String) = {
+    import graft.sources.CatalogOps
+    val db = "graft_report"
+    val name = "events"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__aggstore")) {
+        CatalogOps.createDatabase(spark, db)
+        KnnOps.dropTableAndDir(spark, db, s"${name}__aggstore")
+        KnnOps.dropTableAndDir(spark, db, s"${name}__aggmeta")
+        val rows = Tables.events(spark, dir).select(col("event_id"),
+          date_trunc("day", col("ts")).as("day"), col("event_type"), col("value"))
+        CatalogOps.createAggReport(spark, db, name,
+          rows.filter(col("event_id") % 2 === 0),
+          keys = Seq("day", "event_type"), valueCol = "value")
+        CatalogOps.upsertAggReport(spark, db, name,
+          rows.filter(col("event_id") % 2 =!= 0), batchId = 0L)
+      }
+    }
+    (db, name)
+  }
+
+  /** `q_report_maintained`: the daily (day × type) count/sum report
+    * served from the MAINTAINED aggregate store — [[tumbling]]'s
+    * question answered without a corpus scan at ask time (the
+    * incremental-materialized-view serving path).
+    */
+  def reportMaintained(spark: SparkSession, dir: String): DataFrame = {
+    val (db, name) = ensureAggReport(spark, dir)
+    graft.sources.CatalogOps.serveAggReport(spark, db, name)
+      .orderBy(col("day").asc, col("event_type").asc)
+  }
+
   /** Event-sequence pattern matching (`q_events_pattern`) — a
     * MATCH_RECOGNIZE-lite: each user's event history becomes one ordered
     * symbol string (first letter of the event type — the five fixture

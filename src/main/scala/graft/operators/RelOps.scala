@@ -338,6 +338,24 @@ object RelOps {
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** Per-group weighted reservoirs (`q_sample_weighted_grouped`) — the
+    * [[sampleWeighted]] A-ES key pushed through [[groupTopKOn]]'s bounded
+    * heap: exactly k weighted draws PER SOURCE (the per-domain token
+    * budget a mixture-controlled corpus sample needs), with the exchange
+    * carrying k rows per (source × map task), never the stratum.
+    */
+  def sampleWeightedGrouped(spark: SparkSession, dir: String,
+      perSource: Int = 10): DataFrame = {
+    val u = (((col("doc_id") * lit(3266489917L)) % lit(1000003L)).cast("double")
+      + lit(0.5)) / lit(1000003.0)
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        (log(u) / col("n_chars").cast("double")).as("aes_key"))
+    groupTopKOn(base, "source", "aes_key", "doc_id", perSource)
+      .select(col("source"), col("rank"), col("doc_id"))
+      .orderBy(col("source").asc, col("rank").asc)
+  }
+
   /** Z-value computation surface — the row-side arithmetic of the
     * z-ordered layout ([[graft.sources.CatalogOps.createZorderedCollection]]),
     * exposed as a query so the oracle can pin it: equi-width bucket ranks

@@ -2120,6 +2120,111 @@ object CatalogOps {
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__termsketch`")
   }
 
+  // ---- maintained additive aggregate report (incremental mat. view) ----
+
+  /** Maintained groupBy report — the simplest and most-used maintained
+    * artifact: an additive (count, micro-exact sum) aggregate at key
+    * grain, kept current by folding batches instead of re-scanning the
+    * corpus (the incremental-materialized-view capability). The store
+    * `{name}__aggstore` is PARTITIONED by a key-hash bucket, so a fold
+    * touches only the buckets the batch's keys land in: fold cost ∝
+    * batch keys + their buckets' stored rows, never the report — and at
+    * 100 TB the report itself is already the small object; the point is
+    * never re-paying the corpus scan that built it.
+    *
+    * Replay safety is PER BUCKET: every row carries the batch id that
+    * last rewrote its bucket, and a fold skips buckets already at-or-past
+    * the incoming id. Dynamic partition overwrite commits per partition,
+    * so a writer dying mid-fold leaves committed buckets (which the
+    * replay skips) and uncommitted buckets (which it folds) — exactly
+    * once per bucket, no commit log.
+    */
+  def createAggReport(spark: SparkSession, db: String, name: String,
+      rows: DataFrame, keys: Seq[String], valueCol: String,
+      buckets: Int = 32, batchId: Long = -1L): Unit = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty && buckets > 0)
+    aggPartials(rows, keys, valueCol, buckets)
+      .withColumn("__batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .saveAsTable(s"`$db`.`${name}__aggstore`")
+    spark.createDataFrame(Seq((buckets, valueCol)))
+      .toDF("buckets", "value_col")
+      .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__aggmeta`")
+  }
+
+  /** One partial-agg'd pass at key grain; sums in exact integer micros. */
+  private def aggPartials(rows: DataFrame, keys: Seq[String],
+      valueCol: String, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col(valueCol) * lit(1000000.0)).cast("long")).as("sum_micros"))
+      .withColumn("__bucket", pmod(hash(keys.map(col): _*), lit(buckets)))
+  }
+
+  /** Fold one batch into the report: aggregate ONLY the batch (tiny), and
+    * rewrite only the buckets it touches (partition-pruned read + dynamic
+    * partition overwrite; untouched buckets byte-identical, pinned).
+    */
+  def upsertAggReport(spark: SparkSession, db: String, name: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val meta = spark.table(s"`$db`.`${name}__aggmeta`").collect()(0)
+    val (buckets, valueCol) = (meta.getInt(0), meta.getString(1))
+    val store = s"`$db`.`${name}__aggstore`"
+    val keys = spark.table(store).columns
+      .filterNot(c => c == "cnt" || c == "sum_micros" ||
+        c == "__batch_id" || c == "__bucket").toSeq
+    val bp = aggPartials(batch, keys, valueCol, buckets)
+      .localCheckpoint(false) // consumed twice: touched-set + the fold
+    val touched = bp.select(col("__bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    // per-bucket watermark: buckets already at-or-past this id were
+    // committed by a prior (possibly crashed) fold of the same batch
+    val stored = spark.table(store)
+      .where(col("__bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
+    val bucketWm = stored.groupBy(col("__bucket"))
+      .agg(max(col("__batch_id")).as("wm")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val eligible = touched.filter(b => bucketWm.getOrElse(b, -1L) < batchId)
+    if (eligible.isEmpty) return
+    val elig = eligible.map(Integer.valueOf).toSeq
+    val folded = stored.where(col("__bucket").isin(elig: _*))
+      .select((keys.map(col) :+ col("cnt") :+ col("sum_micros")): _*)
+      .unionByName(bp.where(col("__bucket").isin(elig: _*))
+        .select((keys.map(col) :+ col("cnt") :+ col("sum_micros")): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_micros")).as("sum_micros"))
+      .withColumn("__bucket", pmod(hash(keys.map(col): _*), lit(buckets)))
+      .withColumn("__batch_id", lit(batchId))
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val targetCols = spark.table(store).columns.toIndexedSeq.map(col)
+      folded.select(targetCols: _*)
+        .write.mode("overwrite").insertInto(s"$db.${name}__aggstore")
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** The report, served from the store: keys + (n, sum_value) — no
+    * corpus scan at ask time.
+    */
+  def serveAggReport(spark: SparkSession, db: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val store = spark.table(s"`$db`.`${name}__aggstore`")
+    val keys = store.columns.filterNot(c => c == "cnt" || c == "sum_micros" ||
+      c == "__batch_id" || c == "__bucket").toSeq
+    store.select((keys.map(col) :+ col("cnt").as("n") :+
+      (col("sum_micros").cast("double") / lit(1000000.0)).as("sum_value")): _*)
+  }
+
   /** Persisted per-source q-digest quantile sketches
     * ([[graft.plans.QDigestNodes]]) — per-group distribution statistics
     * as a MAINTAINED artifact: `{name}__qdigest` holds ≤ capacity nodes

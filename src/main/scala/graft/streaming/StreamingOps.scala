@@ -475,6 +475,31 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming maintenance of an additive aggregate report
+    * ([[graft.sources.CatalogOps.upsertAggReport]]) — the incremental
+    * materialized view fed one micro-batch at a time: each batch
+    * aggregates once (tiny) and rewrites only the key-hash buckets it
+    * touches. A missing store bootstraps from the first batch WITH that
+    * batch's id as the per-bucket watermark, so a redelivered first
+    * micro-batch is a no-op like any other replay (the source-counts
+    * convention, hardened for the create path).
+    */
+  def streamingAggReport(rowStream: DataFrame, db: String, name: String,
+      keys: Seq[String], valueCol: String, buckets: Int = 32): StreamingQuery =
+    rowStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          if (!spark.catalog.tableExists(s"$db.${name}__aggmeta"))
+            graft.sources.CatalogOps.createAggReport(
+              spark, db, name, batch.toDF(), keys, valueCol, buckets, batchId = id)
+          else
+            graft.sources.CatalogOps.upsertAggReport(spark, db, name, batch.toDF(), id)
+        }
+      }
+      .start()
+
   /** Streaming bloom-store maintenance — each key micro-batch appends its
     * word rows ([[graft.sources.CatalogOps.upsertBloomStore]]). Uniquely
     * among the maintained stores this needs NO watermark or batch-id

@@ -217,6 +217,64 @@ class OperatorSpec extends AnyFunSuite {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("maintained agg report: folds are bucket-pruned, replays no-op, report exact") {
+    import graft.sources.{CatalogOps, Tables}
+    val db = "aggreportdb"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    val rows = Tables.events(spark, sf).select(col("event_id"),
+      date_trunc("day", col("ts")).as("day"), col("event_type"), col("value"))
+    CatalogOps.createAggReport(spark, db, "ev",
+      rows.filter(col("event_id") % 2 === 0), Seq("day", "event_type"), "value")
+    val tableDir = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db/ev__aggstore")
+    def bucketFiles(b: Int): Set[(String, Long)] = {
+      val d = new java.io.File(tableDir, s"__bucket=$b")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    // fold a batch touching ONE key: only its bucket may rewrite
+    val oneKey = rows.filter(col("event_id") % 2 =!= 0).limit(1).collect()(0)
+    val oneBatch = rows.filter(col("event_id") % 2 =!= 0)
+      .filter(col("day") === oneKey.getTimestamp(1) &&
+        col("event_type") === oneKey.getString(2))
+    val touchedBucket = oneBatch
+      .select(pmod(hash(col("day"), col("event_type")), lit(32)).as("b"))
+      .head().getInt(0)
+    val before = (0 until 32).map(bucketFiles)
+    CatalogOps.upsertAggReport(spark, db, "ev", oneBatch, batchId = 0L)
+    (0 until 32).filterNot(_ == touchedBucket).foreach { b =>
+      assert(bucketFiles(b) === before(b), s"untouched bucket $b rewrote")
+    }
+    assert(bucketFiles(touchedBucket) !== before(touchedBucket))
+    // fold the rest, then the served report equals the direct groupBy
+    CatalogOps.upsertAggReport(spark, db, "ev",
+      rows.filter(col("event_id") % 2 =!= 0)
+        .filter(col("day") =!= oneKey.getTimestamp(1) ||
+          col("event_type") =!= oneKey.getString(2)), batchId = 1L)
+    def served() = CatalogOps.serveAggReport(spark, db, "ev")
+      .orderBy(col("day"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val direct = rows.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * lit(1000000.0)).cast("long")).cast("double")
+          / lit(1000000.0)).as("sum_value"))
+      .orderBy(col("day"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(served() === direct)
+    // replay: at-or-below-watermark folds change nothing, byte-for-byte
+    val all = (0 until 32).map(bucketFiles)
+    CatalogOps.upsertAggReport(spark, db, "ev", oneBatch, batchId = 0L)
+    CatalogOps.upsertAggReport(spark, db, "ev",
+      rows.filter(col("event_id") % 2 =!= 0), batchId = 1L)
+    (0 until 32).foreach(b => assert(bucketFiles(b) === all(b), s"replay rewrote bucket $b"))
+    assert(served() === direct)
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("CDC feed patches snapshot(from) into snapshot(to) exactly") {
     import graft.sources.CatalogOps
     val (db, name) = TextOps.ensureCdcDocs(spark, sf)

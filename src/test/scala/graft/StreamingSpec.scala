@@ -1221,6 +1221,50 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("streaming agg report equals the batch build; first-batch bootstrap is replay-safe") {
+    import graft.sources.{CatalogOps, Tables}
+    import org.apache.spark.sql.functions.{count, date_trunc, lit, round, sum}
+    implicit val ctx = spark.sqlContext
+    val db = "raggrepdb"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    val rows = Tables.events(spark, TestSpark.Sf).select($"event_id",
+      date_trunc("day", $"ts").as("day"), $"event_type", $"value")
+    val data = rows.as[(Long, java.sql.Timestamp, String, Double)].collect()
+    // no create call: the first micro-batch bootstraps the store with its
+    // own id as the watermark
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val q = StreamingOps.streamingAggReport(
+      in.toDF.toDF("event_id", "day", "event_type", "value"), db, "ev",
+      keys = Seq("day", "event_type"), valueCol = "value")
+    try {
+      in.addData(data.filter(_._1 < 700).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(data.filter(_._1 >= 700).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def served() = CatalogOps.serveAggReport(spark, db, "ev")
+      .orderBy($"day", $"event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val direct = rows.groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(round($"value" * lit(1000000.0)).cast("long")).cast("double")
+          / lit(1000000.0)).as("sum_value"))
+      .orderBy($"day", $"event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(served() === direct,
+      "maintained report must equal the direct aggregate")
+    // replaying EITHER micro-batch (incl. the bootstrap one) is a no-op
+    CatalogOps.upsertAggReport(spark, db, "ev",
+      rows.filter($"event_id" < 700), batchId = 0L)
+    CatalogOps.upsertAggReport(spark, db, "ev",
+      rows.filter($"event_id" >= 700), batchId = 1L)
+    assert(served() === direct)
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("streaming q-digest equals the batch digests below saturation; replays no-op") {
     import graft.sources.{CatalogOps, Tables}
     implicit val ctx = spark.sqlContext
