@@ -76,6 +76,8 @@ object SparkEntry {
     "q_link_anchors" -> ((s, d) => LinkOps.linkAnchors(s, d)),
     // HITS hubs/authorities: the second classic centrality, nano-int exact
     "q_link_hits" -> ((s, d) => LinkOps.hits(s, d)),
+    // degree-ordered triangle count + global clustering coefficient
+    "q_link_triangles" -> ((s, d) => LinkOps.triangleCount(s, d)),
     // incremental re-crawl diff by content hash (added/changed/removed)
     "q_crawl_delta"    -> ((s, d) => FrontierOps.crawlDelta(s, d)),
     // next-cycle fetch schedule: staleness priority, per-host politeness cap
@@ -211,6 +213,8 @@ object SparkEntry {
         s.createDataFrame(qs).toDF("query_id", "phrase"))
     }),
     "q_hybrid_rrf"     -> ((s, d) => RetrievalOps.hybridRrf(s, d)),
+    // RM3-lite pseudo-relevance feedback: seed pool -> expansion -> re-score
+    "q_text_prf"       -> ((s, d) => RetrievalOps.prfTopK(s, d)),
     // both pools from persisted artifacts (BM25 store + routed NSW index):
     // approximate on the vector side by construction → rows-only;
     // exhaustive-settings equality to q_hybrid_rrf pinned in RetrievalSpec
@@ -427,8 +431,9 @@ object SparkEntry {
     "q_mine_hardneg", "q_mine_hardneg_indexed", "q_mine_pairs", "q_eval_rank", "q_eval_rank_macro", "q_eval_rank_indexed", "q_link_pagerank", "q_link_pagerank_stored",
     "q_decontaminate", "q_pack_sequences", "q_domain_mix", "q_domain_mix_temp", "q_curate_e2e",
     "q_url_canonical", "q_url_dedup",
-    "q_crawl_delta", "q_crawl_frontier", "q_link_anchors", "q_link_hits",
-    "q_events_pattern", "q_sample_weighted", "q_sample_weighted_grouped", "q_report_maintained")
+    "q_crawl_delta", "q_crawl_frontier", "q_link_anchors", "q_link_hits", "q_link_triangles",
+    "q_events_pattern", "q_sample_weighted", "q_sample_weighted_grouped", "q_report_maintained",
+    "q_text_prf")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -774,6 +779,41 @@ object SparkEntry {
 
   private def bm25AnyHit: String = bm25Terms.indices.map(i => s"tf$i").mkString(" + ")
 
+  /** DuckDB twin of [[graft.operators.RetrievalOps.prfTopK]]: the static
+    * pass-1 CTEs seed the pool, expansion terms mine dynamically, and the
+    * dynamic-term pass-2 score sums per-term INTEGER-MICRO partials — the
+    * order-independent form both engines reproduce exactly.
+    */
+  private def prfOracleSql: String = {
+    val qList = bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH $bm25BaseCtes,
+       |seed AS (
+       |  SELECT doc_id FROM f CROSS JOIN s
+       |  WHERE $bm25AnyHit > 0
+       |  ORDER BY round($bm25ScoreExpr, 6) DESC, doc_id ASC
+       |  LIMIT 5),
+       |toksd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |exp AS (
+       |  SELECT term FROM toksd JOIN seed USING (doc_id)
+       |  WHERE term NOT IN ($qList) AND length(term) > 0
+       |  GROUP BY term ORDER BY count(*) DESC, term ASC LIMIT 3),
+       |allt AS (SELECT term FROM exp UNION SELECT unnest([$qList]) AS term),
+       |tfr AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |        FROM toksd WHERE term IN (SELECT term FROM allt)
+       |        GROUP BY doc_id, term),
+       |dfr AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfr GROUP BY term),
+       |sc AS (
+       |  SELECT t.doc_id,
+       |         sum(CAST(round(ln((s.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+       |             * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * f.dl / s.avgdl))
+       |             * 1000000.0) AS BIGINT)) AS micros
+       |  FROM tfr t JOIN dfr USING (term) JOIN f ON t.doc_id = f.doc_id CROSS JOIN s
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, CAST(micros AS DOUBLE) / 1000000.0 AS prf_score
+       |FROM sc ORDER BY prf_score DESC, doc_id ASC
+       |LIMIT 20""".stripMargin
+  }
+
   private def bm25AllHit: String =
     bm25Terms.indices.map(i => s"tf$i > 0").mkString(" AND ")
 
@@ -866,6 +906,24 @@ object SparkEntry {
          |       round(CAST(sum(CAST(floor(mrr * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6) AS mrr,
          |       round(CAST(sum(CAST(floor(ndcg * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6) AS ndcg
          |FROM per""".stripMargin,
+    "q_link_triangles" ->
+      s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
+         |e AS (
+         |  SELECT d.doc_id AS src,
+         |         (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n AS dst
+         |  FROM documents d CROSS JOIN n CROSS JOIN ks
+         |  WHERE (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n <> d.doc_id),
+         |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+         |deg AS (SELECT v, count(*) AS d FROM (
+         |          SELECT a AS v FROM u UNION ALL SELECT b FROM u) GROUP BY v),
+         |tri AS (SELECT count(*) AS t FROM u t1
+         |        JOIN u t2 ON t1.b = t2.a
+         |        JOIN u t3 ON t3.a = t1.a AND t3.b = t2.b),
+         |w AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS nw FROM deg)
+         |SELECT t AS n_triangles, nw AS n_wedges,
+         |       round(3.0 * t / nw, 6) AS clustering
+         |FROM tri CROSS JOIN w""".stripMargin,
     "q_link_pagerank" -> pageRankOracleSql,
     "q_link_hits" -> hitsOracleSql,
     "q_link_pagerank_stored" -> pageRankOracleSql,
@@ -1268,6 +1326,7 @@ object SparkEntry {
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id ASC""".stripMargin,
     // ---- lexical / hybrid retrieval ----
+    "q_text_prf" -> prfOracleSql,
     "q_text_bm25" ->
       s"""WITH $bm25BaseCtes
          |SELECT doc_id,

@@ -222,6 +222,55 @@ object LinkOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Triangle count + global clustering coefficient
+    * (`q_link_triangles`) — the graph-quality statistic (link-farm and
+    * community density both show up here first), computed with the
+    * degree-ordered node-iterator (Schank & Wagner 2005): every
+    * undirected edge orients from lower to higher (degree, id) rank, so
+    * each triangle is counted exactly once as a wedge at its
+    * lowest-rank corner closed by an oriented edge — and, the scale
+    * point, the oriented out-degree is O(√m) regardless of how skewed
+    * the raw degrees are, so the wedge join cannot detonate on a hub
+    * the way a naive neighbor self-join does. Wedge total Σd(d−1)/2
+    * stays in exact integers; the clustering ratio divides two exact
+    * longs in double and rounds to 6 — engine-identical.
+    */
+  def triangleCount(spark: SparkSession, dir: String,
+      fanout: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val und = linkEdges(docs, n, fanout)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(false) // consumed three times: degrees, orientation
+    val deg = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dstd"))
+      .localCheckpoint(false) // wedge sides + the closing-edge probe
+    val e1 = oriented.select(col("src"), col("dst").as("wb"), col("dstd").as("bd"))
+    val e2 = oriented.select(col("src"), col("dst").as("wc"), col("dstd").as("cd"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("bd") < col("cd") || (col("bd") === col("cd") && col("wb") < col("wc")))
+    val tri = wedges
+      .join(oriented.select(col("src").as("wb"), col("dst").as("wc")),
+        Seq("wb", "wc"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedgeTotal = deg.agg(
+      sum(expr("(d * (d - 1)) div 2")).as("n_wedges")) // integer-exact
+    tri.crossJoin(broadcast(wedgeTotal))
+      .select(col("n_triangles"), col("n_wedges"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("clustering"))
+  }
+
   /** `q_link_anchors`: anchor-text aggregation — for every linked-to page,
     * the in-degree and the first few anchor texts of its in-links, the
     * classic web-search document-expansion signal (anchor text often

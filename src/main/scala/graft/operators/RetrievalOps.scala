@@ -225,6 +225,66 @@ object RetrievalOps {
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
 
+  /** Pseudo-relevance-feedback query expansion (`q_text_prf`, the
+    * RM3-lite two-pass): BM25 retrieves a small seed pool, the pool's
+    * top terms by total tf (minus the original query's) join the query,
+    * and a second BM25 pass scores the expanded term set — the classic
+    * vocabulary-mismatch fix (Lavrenko & Croft 2001 relevance models,
+    * in the deterministic tf-count form).
+    *
+    * Scale shape: pass 1 is the bounded [[bm25TopK]]; term mining runs
+    * over k0 docs only (broadcast semi join — corpus never moves); the
+    * m expansion strings reach the driver (query-bounded, the documented
+    * collect class) and parameterize pass 2's map-side per-term
+    * projections exactly like any other query. Because pass 2's term
+    * set is DYNAMIC, its score sums per-term partials ROUNDED TO
+    * INTEGER MICROS first (the money discipline) — an order-independent
+    * integer sum both engines reproduce regardless of how their
+    * dynamic-term plans associate the additions.
+    */
+  def prfTopK(spark: SparkSession, dir: String,
+              query: String = graft.SparkEntry.KnnTextQuery,
+              k0: Int = 5, m: Int = 3, k: Int = 20): DataFrame = {
+    val q = queryTerms(query)
+    val docs = Tables.documents(spark, dir)
+    val seed = bm25TopK(spark, dir, query, k0).select(col("doc_id"))
+    val expTerms = docs.join(broadcast(seed), Seq("doc_id"), "left_semi")
+      .select(explode(toks(col("text"))).as("term"))
+      .filter(!col("term").isin(q: _*) && length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc).limit(m)
+      .collect().map(_.getString(0)).toSeq
+    val terms = q ++ expTerms
+    val w = toks(col("text"))
+    val base = docs.select(
+      col("doc_id") +:
+        size(w).cast("double").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(w, x => x === lit(t))).cast("double").as(s"tf$i")
+        }: _*)
+    val statAggs =
+      count(lit(1)).cast("double").as("n") +:
+        avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    def termMicros(i: Int): Column = {
+      val tf = col(s"tf$i")
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      round(idf * (tf * lit(K1Plus1)) /
+        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+        * lit(1000000.0)).cast("long")
+    }
+    val anyHit = terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0
+    base.crossJoin(broadcast(stats))
+      .filter(anyHit)
+      .select(col("doc_id"),
+        (terms.indices.map(termMicros).reduce(_ + _).cast("double")
+          / lit(1000000.0)).as("prf_score"))
+      .orderBy(col("prf_score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** `q_hybrid_rrf`: hybrid retrieval — BM25 lexical pool ∪ exact-cosine
     * vector pool, fused by reciprocal-rank fusion
     * `score(d) = Σ_lists 1/(60 + rank_list(d))`.
