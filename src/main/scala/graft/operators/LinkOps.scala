@@ -243,23 +243,37 @@ object LinkOps {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint(false) // consumed three times: degrees, orientation
+    triangleCountOn(und)
+  }
+
+  /** The parametric core over an undirected distinct edge set (a < b).
+    * `byDegree = false` orients by id alone — the naive form kept for
+    * `graft.TriangleScale`'s hub A/B, where it enumerates a hub's d²/2
+    * wedges and the degree-ordered form provably cannot.
+    */
+  private[graft] def triangleCountOn(und0: DataFrame,
+      byDegree: Boolean = true): DataFrame = {
+    val und = und0.localCheckpoint(false) // consumed by degrees + orientation
     val deg = und.select(col("a").as("v"))
       .unionByName(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val withDeg = und
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
-    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val aFirst =
+      if (byDegree) col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+      else col("a") < col("b") // id order only — the hub-detonating form
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"),
       when(aFirst, col("db")).otherwise(col("da")).as("dstd"))
       .localCheckpoint(false) // wedge sides + the closing-edge probe
+    val rankLt =
+      if (byDegree) col("bd") < col("cd") || (col("bd") === col("cd") && col("wb") < col("wc"))
+      else col("wb") < col("wc")
     val e1 = oriented.select(col("src"), col("dst").as("wb"), col("dstd").as("bd"))
     val e2 = oriented.select(col("src"), col("dst").as("wc"), col("dstd").as("cd"))
-    val wedges = e1.join(e2, Seq("src"))
-      .filter(col("bd") < col("cd") || (col("bd") === col("cd") && col("wb") < col("wc")))
+    val wedges = e1.join(e2, Seq("src")).filter(rankLt)
     val tri = wedges
       .join(oriented.select(col("src").as("wb"), col("dst").as("wc")),
         Seq("wb", "wc"), "left_semi")
