@@ -98,6 +98,8 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => DedupOps.simHash(s, d)),
     "q_dedup_embed"   -> ((s, d) => DedupOps.embedNearDup(s, d)),
     "q_dedup_ngram"   -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
+    // asymmetric containment: A quoted/cropped inside B (Broder 1997)
+    "q_dedup_containment" -> ((s, d) => DedupOps.containmentPairs(s, d)),
     "q_dedup_cc"      -> ((s, d) => DedupOps.dedupConnected(s, d)),
     // one identity across url-dup AND exact-text-dup edges (closure of
     // the union — a mirror of a re-crawl needs both signals)
@@ -150,6 +152,8 @@ object SparkEntry {
     // split keyed on the dup-cluster representative: no eval leakage
     "q_split_leakage"   -> ((s, d) => TextAnalysisOps.splitLeakageSafe(s, d)),
     "q_text_bigrams"    -> ((s, d) => TextAnalysisOps.bigrams(s, d)),
+    // document-level PMI over the df-pruned vocabulary (Church & Hanks)
+    "q_term_cooccur"    -> ((s, d) => TextAnalysisOps.termCooccurrence(s, d)),
     "q_text_redact"     -> ((s, d) => TextAnalysisOps.redactPii(s, d)),
     "q_text_repetition" -> ((s, d) => TextAnalysisOps.repetitionSignals(s, d)),
     "q_decontaminate"   -> ((s, d) => TextAnalysisOps.decontaminate(s, d)),
@@ -240,6 +244,8 @@ object SparkEntry {
           .toDF("query_id", "qtext"))
     }),
     "q_tfidf_topterms" -> ((s, d) => RetrievalOps.tfidfTopTerms(s, d)),
+    // SymSpell deletion-neighborhood fuzzy vocabulary lookup
+    "q_text_fuzzy"     -> ((s, d) => RetrievalOps.fuzzyVocabMatch(s, d)),
     // tf-idf from the postings artifact: one postings scan, no explode,
     // no self-join; bit-identical to the live path → SAME oracle
     "q_tfidf_indexed" -> ((s, d) => {
@@ -258,6 +264,8 @@ object SparkEntry {
     "q_events_funnel"     -> ((s, d) => EventOps.funnel(s, d)),
     // MATCH_RECOGNIZE-lite: regex over each user's ordered event string
     "q_events_pattern"    -> ((s, d) => EventOps.eventPattern(s, d)),
+    // first-order Markov transition matrix over user timelines
+    "q_events_transitions" -> ((s, d) => EventOps.transitions(s, d)),
     // incremental materialized view: the daily report served from the store
     "q_report_maintained" -> ((s, d) => EventOps.reportMaintained(s, d)),
     // ---- §2.A scans / sources / sinks ----
@@ -433,7 +441,8 @@ object SparkEntry {
     "q_url_canonical", "q_url_dedup",
     "q_crawl_delta", "q_crawl_frontier", "q_link_anchors", "q_link_hits", "q_link_triangles",
     "q_events_pattern", "q_sample_weighted", "q_sample_weighted_grouped", "q_report_maintained",
-    "q_text_prf")
+    "q_text_prf", "q_dedup_containment", "q_term_cooccur", "q_text_fuzzy",
+    "q_events_transitions")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1062,6 +1071,22 @@ object SparkEntry {
         |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id)
         |WHERE j >= 0.8
         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    // brute-force directed containment over word 3-gram shingle lists;
+    // the engine's prefix-filter candidates + sorted-merge verify must
+    // reproduce it exactly (the filter is exact-recall by pigeonhole)
+    "q_dedup_containment" ->
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || chr(30) || w[i + 1] || chr(30) || w[i + 2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT a_id, b_id, round(c, 6) AS containment FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS c
+        |  FROM bg a JOIN bg b ON a.doc_id <> b.doc_id)
+        |WHERE c >= 0.6
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
     "q_dedup_substring" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -1445,6 +1470,20 @@ object SparkEntry {
         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf
         |FROM r WHERE rk <= 3
         |ORDER BY doc_id ASC, rk ASC""".stripMargin,
+    // brute-force levenshtein over the whole vocabulary — the engine's
+    // deletion-neighborhood join must find exactly the same matches;
+    // the query-term VALUES literal is built from the ONE Scala list
+    "q_text_fuzzy" ->
+      s"""WITH v AS (
+         |  SELECT term, count(*) AS n_occur
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         |  WHERE len(term) > 0
+         |  GROUP BY 1),
+         |q(q_term) AS (VALUES ${graft.operators.RetrievalOps.FuzzyQueryTerms
+              .map(t => s"('$t')").mkString(", ")})
+         |SELECT q_term, term, n_occur
+         |FROM q JOIN v ON levenshtein(q_term, term) <= 1
+         |ORDER BY q_term ASC, term ASC""".stripMargin,
     "q_text_bigrams" ->
       """SELECT bigram, count(*) AS n FROM (
         |  SELECT unnest(list_transform(range(1, len(w)),
@@ -1453,6 +1492,30 @@ object SparkEntry {
         |  WHERE len(w) >= 2)
         |GROUP BY bigram
         |ORDER BY n DESC, bigram ASC
+        |LIMIT 20""".stripMargin,
+    // document-level PMI: integer counts throughout; the one double op
+    // (ln of an integer ratio, identical operand order) rounded at 6 —
+    // the BM25 cross-engine convention
+    "q_term_cooccur" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        |  FROM documents),
+        |dfreq AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
+        |keep AS (SELECT t, df FROM dfreq ORDER BY df DESC, t ASC LIMIT 64),
+        |pruned AS (SELECT tok.doc_id, tok.t, keep.df
+        |           FROM tok JOIN keep ON tok.t = keep.t),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |pairs AS (
+        |  SELECT a.t AS term_a, b.t AS term_b, a.df AS df_a, b.df AS df_b,
+        |         count(*) AS n_ab
+        |  FROM pruned a JOIN pruned b
+        |    ON a.doc_id = b.doc_id AND a.t < b.t
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT term_a, term_b, n_ab,
+        |       round(ln((CAST(n_ab AS DOUBLE) * CAST(nd AS DOUBLE)) /
+        |                (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE))), 6) AS pmi
+        |FROM pairs CROSS JOIN n
+        |ORDER BY n_ab DESC, term_a ASC, term_b ASC
         |LIMIT 20""".stripMargin,
     "q_text_redact" ->
       """WITH pii AS (
@@ -1719,6 +1782,16 @@ object SparkEntry {
         |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
         |       CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_matches
         |FROM s ORDER BY user_id ASC""".stripMargin,
+    "q_events_transitions" ->
+      """SELECT from_type, to_type, n_trans FROM (
+        |  SELECT from_type, event_type AS to_type, count(*) AS n_trans FROM (
+        |    SELECT event_type,
+        |           lag(event_type) OVER (
+        |             PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS from_type
+        |    FROM events)
+        |  WHERE from_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |ORDER BY n_trans DESC, from_type ASC, to_type ASC""".stripMargin,
     "q_events_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS view_ts FROM events

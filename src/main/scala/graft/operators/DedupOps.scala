@@ -578,6 +578,73 @@ object DedupOps {
     jaccardPairsOn(docs, tau)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs (`q_dedup_containment`):
+    * C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| over distinct word 3-gram
+    * shingles (Broder's containment measure, "On the resemblance and
+    * containment of documents", 1997). Detects the duplication class
+    * symmetric Jaccard structurally misses: a short document wholly
+    * quoted inside a long one (license blocks, syndicated articles with
+    * added commentary, crops) — the pair's union is dominated by B, so
+    * j stays low while C(A→B) ≈ 1. Directed output: (a_id, b_id) means
+    * a_id's shingles are ≥ tau-covered by b_id's; exact duplicates emit
+    * both directions.
+    *
+    * Plan (the AllPairs asymmetric variant): candidates from an
+    * equi-join of A's PREFIX shingles against the full shingle postings
+    * — under ascending-document-frequency order, if |A∩B| ≥ ⌈τ|A|⌉
+    * then at least one of A's first |A| − ⌈τ|A|⌉ + 1 shingles is in B
+    * (pigeonhole), so the join is exact-recall. Prefix shingles are the
+    * RAREST by construction, so the posting buckets the join touches
+    * are the small ones — the same self-limiting property as
+    * [[jaccardPairsPrefixOn]]'s candidate stage; a corpus-wide
+    * boilerplate shingle never enters a prefix unless the document is
+    * nothing but boilerplate. One size block applies (|B| ≥ ⌈τ|A|⌉);
+    * there is deliberately no upper block — containment is one-sided.
+    * Verify is the codegen sorted-merge intersect per candidate pair.
+    */
+  def containmentPairs(spark: SparkSession, dir: String, tau: Double = 0.6): DataFrame =
+    containmentPairsOn(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), tau)
+
+  private[graft] def containmentPairsOn(docs: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau out of range: $tau")
+    val w = split(col("text"), " ")
+    // derived frame (not the raw fixture plan — see the cache gotcha):
+    // read by the token explode, the df counter, and both verify join-backs
+    val sh = docs
+      .filter(size(w) >= 3)
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          transform(sequence(lit(1), size(w) - 2), i =>
+            concat_ws("\u001E", element_at(w, i), // RS joiner (see ngramJaccardPairs)
+              element_at(w, i + 1), element_at(w, i + 2))))).as("s"))
+      .withColumn("n", size(col("s")))
+      .cache()
+    val tok = sh.select(col("doc_id"), col("n"), explode(col("s")).as("t"))
+    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val wnd = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("t").asc)
+    val prefix = tok.join(dfreq, "t")
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= col("n") - ceil(col("n") * tau) + 1)
+      .select(col("t"), col("doc_id").as("a_id"), col("n").as("a_n"))
+    val full = tok.select(col("t").as("t_r"), col("doc_id").as("b_id"),
+      col("n").as("b_n"))
+    val cand = prefix.join(full,
+        col("t") === col("t_r") && col("a_id") =!= col("b_id") &&
+          col("b_n") >= ceil(col("a_n") * tau))
+      .select(col("a_id"), col("b_id")).distinct()
+    val i = toCol(SortedIntersectSize(toExpr(col("a_s")), toExpr(col("b_s"))))
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("s").as("a_s"),
+        col("n").as("a_n")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("s").as("b_s")), "b_id")
+      .withColumn("i", i)
+      .withColumn("c", col("i").cast("double") / col("a_n"))
+      .filter(col("c") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("c"), 6).as("containment"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
   /** Duplicated-SPAN detection — the SUBSTRING granularity of corpus dedup
     * (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
     * Better": exact duplicated token spans are removed corpus-wide, the

@@ -208,4 +208,33 @@ object EventOps {
         length(col("seq")).cast("long").as("seq_len"),
         regexp_count(col("seq"), lit(pattern)).cast("long").as("n_matches"))
       .orderBy(col("user_id").asc)
+
+  /** Event-type transition matrix (`q_events_transitions`) — the Markov
+    * first-order view of user behavior: for each consecutive event pair
+    * within a user's timeline, count (from_type → to_type). The path
+    * analytics primitive under "where do users go after a view?" and the
+    * input to next-event prediction baselines; complements [[funnel]]
+    * (one fixed path) and [[eventPattern]] (one fixed regex) with the
+    * FULL |types|² picture.
+    *
+    * One shuffle on user_id for the lag window (ts, then event_id —
+    * deterministic under timestamp ties), then a count aggregation whose
+    * key space is |types|² — trivially partial-agg'd map-side, so the
+    * second exchange carries at most |types|² rows per partition at any
+    * corpus size.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame =
+    transitionsOn(Tables.events(spark, dir))
+
+  private[graft] def transitionsOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_type").as("to_type"),
+        lag(col("event_type"), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .orderBy(col("n_trans").desc, col("from_type").asc, col("to_type").asc)
+  }
 }

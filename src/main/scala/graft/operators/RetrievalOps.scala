@@ -1109,4 +1109,62 @@ object RetrievalOps {
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** The `q_text_fuzzy` query set: misspellings of fixture-vocabulary
+    * words at Levenshtein distance exactly 1 (insertion `joinn`,
+    * deletion `filtr`, substitutions `hask`/`scam`/`vektor`), one exact
+    * word (`spark`, distance 0), and two that must NOT match — `tabel`
+    * (a transposition: distance 2 in plain Levenshtein) and `qqq`
+    * (nothing within distance 1). Exercises every edit class.
+    */
+  private[graft] val FuzzyQueryTerms: Seq[String] =
+    Seq("joinn", "hask", "filtr", "scam", "spark", "vektor", "tabel", "qqq")
+
+  /** Fuzzy vocabulary lookup (`q_text_fuzzy`) — "did you mean"-class
+    * query correction against the corpus vocabulary, the missing-half of
+    * a lexical retriever over noisy user queries. Returns every corpus
+    * term within Levenshtein distance ≤ 1 of each query term, with its
+    * corpus occurrence count (the rank signal for picking a correction).
+    *
+    * Plan: the SymSpell deletion-neighborhood join (Garbe's public
+    * symmetric-delete algorithm). For maxEdit = 1, lev(q, t) ≤ 1 implies
+    * ({q} ∪ deletes₁(q)) ∩ ({t} ∪ deletes₁(t)) ≠ ∅ — equality covers
+    * distance 0, deletes₁(q) ∋ t covers insertion, q ∈ deletes₁(t)
+    * covers deletion, and a substitution at position i puts the common
+    * i-deleted string in both sets. So an equi-join on the variant
+    * string finds EVERY true match (completeness pinned by ScalaCheck
+    * in FuzzyProperties); the built-in codegen `levenshtein` then
+    * discards the few distance-2 coincidences (two different deletions
+    * colliding). vs the naive form — a |V| × |Q| nested-loop of dynamic
+    * programming — this is a hash join keyed on ~(len+1) variants per
+    * side: the corpus side scales linearly in vocabulary size and the
+    * query side broadcasts, which is the 100 TB shape (vocabulary is
+    * corpus-bounded; queries are user-bounded).
+    */
+  def fuzzyVocabMatch(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = FuzzyQueryTerms): DataFrame =
+    fuzzyVocabMatchOn(spark,
+      Tables.documents(spark, dir).select(col("text")), queryTerms)
+
+  private[graft] def fuzzyVocabMatchOn(spark: SparkSession, docs: DataFrame,
+      queryTerms: Seq[String]): DataFrame = {
+    // {x} ∪ deletes₁(x), as one codegen'd higher-order expression
+    def variants(c: Column): Column =
+      array_union(array(c),
+        transform(sequence(lit(1), length(c)), i =>
+          concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("n_occur"))
+    val vv = vocab.select(col("term"), col("n_occur"),
+      explode(variants(col("term"))).as("v"))
+    val qv = spark.createDataFrame(queryTerms.map(Tuple1(_)))
+      .toDF("q_term")
+      .select(col("q_term"), explode(variants(col("q_term"))).as("v"))
+    vv.join(broadcast(qv), "v")
+      .filter(levenshtein(col("q_term"), col("term")) <= 1)
+      .select(col("q_term"), col("term"), col("n_occur")).distinct()
+      .orderBy(col("q_term").asc, col("term").asc)
+  }
 }

@@ -519,6 +519,56 @@ object TextAnalysisOps {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(topN)
 
+  /** Document-level term co-occurrence with PMI (`q_term_cooccur`) —
+    * pointwise mutual information over per-document distinct-term pairs
+    * (Church & Hanks 1990's association measure, at document rather than
+    * sliding-window granularity): pmi(a,b) = ln(n_ab · N / (df_a · df_b)).
+    * The corpus-exploration companion to [[bigrams]] — bigrams see only
+    * ADJACENT tokens; this sees topical association anywhere in a
+    * document, the signal behind topic drift checks and co-occurrence
+    * embeddings.
+    *
+    * Scale: the pair space is the quadratic hazard — a doc with k
+    * distinct terms emits C(k,2) pairs. Bounded exactly like published
+    * co-occurrence pipelines: the vocabulary is pruned to the `topV`
+    * highest-df terms FIRST (one map-side-combined aggregation, topV-row
+    * model, broadcast back as a semi-join), so per-doc fan-out is
+    * ≤ C(topV, 2) regardless of corpus size, and the pair aggregation
+    * partial-combines map-side on (term_a, term_b) — the exchange
+    * carries at most topV² rows per partition, never corpus-sized. N and
+    * df are exact integers; the one double op (ln of an integer ratio)
+    * is computed identically by both engines and rounded at 6 (the BM25
+    * precedent).
+    */
+  def termCooccurrence(spark: SparkSession, dir: String,
+      topV: Int = 64, topK: Int = 20): DataFrame =
+    termCooccurrenceOn(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      topV, topK)
+
+  private[graft] def termCooccurrenceOn(docs: DataFrame, topV: Int,
+      topK: Int): DataFrame = {
+    val nDocs = docs.count() // one scalar to the driver (corpus size)
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("t"))
+    val keep = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("t").asc).limit(topV)
+    val pruned = tok.join(broadcast(keep), Seq("t"))
+    val a = pruned.select(col("doc_id"), col("t").as("term_a"),
+      col("df").as("df_a"))
+    val b = pruned.select(col("doc_id"), col("t").as("term_b"),
+      col("df").as("df_b"))
+    a.join(b, Seq("doc_id")).filter(col("term_a") < col("term_b"))
+      .groupBy(col("term_a"), col("term_b"), col("df_a"), col("df_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .withColumn("pmi", round(log(
+        (col("n_ab").cast("double") * lit(nDocs.toDouble)) /
+          (col("df_a").cast("double") * col("df_b").cast("double"))), 6))
+      .orderBy(col("n_ab").desc, col("term_a").asc, col("term_b").asc)
+      .limit(topK)
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("pmi"))
+  }
+
   /** PII redaction — the scrubbing pass every training-data pipeline runs
     * before a corpus ships: emails, then IPv4 addresses, then phone-shaped
     * digit runs, each counted at its own stage (phone patterns would

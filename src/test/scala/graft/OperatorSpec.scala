@@ -4179,4 +4179,81 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(got === expected)
   }
+
+  test("containment: directed quoted-inside pairs; prefix-filter candidates lose nothing") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = small + " iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    val other = "one two three four five six seven eight nine ten"
+    val dup = "x y z w v u t s"
+    val docs = Seq((1L, small), (2L, big), (3L, other), (4L, dup), (5L, dup))
+      .toDF("doc_id", "text")
+    val out = DedupOps.containmentPairsOn(docs, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) === 1.0)        // small wholly inside big
+    assert(!out.contains((2L, 1L)))      // but big is NOT covered by small
+    assert(out((4L, 5L)) === 1.0 && out((5L, 4L)) === 1.0) // exact dup: both ways
+    assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // exact-recall on the fixture corpus: the prefix-filtered plan must
+    // equal a local brute force over the same 3-gram shingle sets
+    val fixture = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").sliding(3).filter(_.length == 3)
+          .map(_.mkString("\u001E")).toSet) // the engine's RS joiner
+      .filter(_._2.nonEmpty)
+    val tau = 0.6
+    val brute = (for {
+      (a, sa) <- fixture; (b, sb) <- fixture
+      if a != b
+      c = sa.count(sb.contains).toDouble / sa.size
+      if c >= tau
+    } yield (a, b) -> BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).toMap
+    val gotFix = DedupOps.containmentPairs(spark, sf, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(gotFix === brute)
+    assert(gotFix.nonEmpty) // the fixture plants real containment pairs
+  }
+
+  test("term co-occurrence: document-level pair counts and PMI match hand computation") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "a c a"), (4L, "b d"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps.termCooccurrenceOn(docs, topV = 10, topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    def pmi(nab: Long, dfa: Long, dfb: Long): Double =
+      BigDecimal(math.log(nab.toDouble * 4.0 / (dfa.toDouble * dfb.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // df: a=3 b=3 c=2 d=1; "a c a" counts a ONCE (distinct per doc)
+    val expected = Seq(
+      ("a", "b", 2L, pmi(2, 3, 3)),
+      ("a", "c", 2L, pmi(2, 3, 2)),
+      ("b", "c", 1L, pmi(1, 3, 2)),
+      ("b", "d", 1L, pmi(1, 3, 1)))
+    assert(out.toSeq === expected)
+    // topV prune: keeping only {a, b} (df 3) must drop every c/d pair
+    val pruned = TextAnalysisOps.termCooccurrenceOn(docs, topV = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pruned.toSeq === Seq(("a", "b", 2L)))
+  }
+
+  test("event transitions: lag pairs per user, ts then event_id order, full matrix") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(10), 7L, "view"), (2L, ts(20), 7L, "click"),
+      (3L, ts(30), 7L, "view"), (4L, ts(40), 7L, "click"),
+      // user 8: a ts TIE broken by event_id (5 before 6)
+      (5L, ts(50), 8L, "view"), (6L, ts(50), 8L, "purchase"),
+      (7L, ts(60), 9L, "signup")) // single event: no transition
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.transitionsOn(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("view", "click", 2L),
+      ("click", "view", 1L),
+      ("view", "purchase", 1L)))
+  }
 }
