@@ -9,6 +9,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One event row, typed (the `events` fixture schema minus props). */
 case class Ev(user_id: Long, event_id: Long, ts: Timestamp, event_type: String, value: Double)
 
+/** One finalized event-type transition of [[StreamingOps.statefulTransitions]]. */
+case class TransitionOut(user_id: Long, from_type: String, to_type: String)
+
+/** Keyed state of [[StreamingOps.statefulTransitions]]: the last FINAL
+  * event (nothing can arrive before it any more) plus the not-yet-final
+  * buffer, both as (tsMs, event_id, event_type).
+  */
+case class TransState(last: Option[(Long, Long, String)],
+    pending: List[(Long, Long, String)])
+
 /** A closed user session emitted by the stateful operator. */
 case class SessionOut(user_id: Long, n_events: Long, start_ts: Timestamp, end_ts: Timestamp)
 
@@ -859,6 +869,51 @@ object StreamingOps {
         }
         closed.reverseIterator
       }
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Streaming twin of [[graft.operators.EventOps.transitionsOn]]'s
+    * per-user transition rows: each consecutive (by event time, event_id
+    * tie-break) pair of a user's events emits one (from_type, to_type)
+    * row, EXACTLY once, regardless of arrival order across micro-batches.
+    *
+    * Finality argument (why a pair can be emitted): the watermark
+    * guarantees no future event with ts < watermark. A buffered pair
+    * (a, b), adjacent in event-time order, is FINAL once ts(b) ≤
+    * watermark — any event that could still split it would need
+    * ts ∈ (ts(a), ts(b)) ≤ watermark, which can no longer arrive. So each
+    * invocation ripens the prefix of the sorted buffer up to the
+    * watermark, emits its chained transitions (seeded by the stored last
+    * final event), and keeps only the unripe tail — state per user is the
+    * last final event plus the ≤ watermark-delay-bounded tail, the same
+    * bound as every keyed-state op here. An event-time timeout at the
+    * newest pending ts flushes users that stop receiving data. Same-ts
+    * pairs order by event_id, matching the batch window's tie-break;
+    * batch ≡ streaming pinned under randomized arrival schedules in
+    * TransitionProperties.
+    */
+  def statefulTransitions(events: Dataset[Ev]): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, rows: Iterator[Ev],
+        state: GroupState[TransState]): Iterator[TransitionOut] = {
+      val prior = state.getOption.getOrElse(TransState(None, Nil))
+      val arrived = rows.map(e => (e.ts.getTime, e.event_id, e.event_type)).toList
+      val wm = state.getCurrentWatermarkMs()
+      val sorted = (prior.pending ++ arrived).sortBy(t => (t._1, t._2))
+      val (ripe, tail) = sorted.span(_._1 <= wm)
+      val chain = prior.last.toList ++ ripe
+      val out = chain.zip(chain.drop(1))
+        .map { case (a, b) => TransitionOut(userId, a._3, b._3) }
+      val next = TransState(chain.lastOption, tail)
+      state.update(next)
+      if (tail.nonEmpty) state.setTimeoutTimestamp(tail.map(_._1).max)
+      out.iterator
     }
 
     events
