@@ -69,6 +69,12 @@ object DedupScale {
     // uncompacted micro-batch depth, then the compaction fold — the
     // cadence datum for the substring ingest/trim streams.
     if (mode == "winmaint") { winmaintRun(n); return }
+    // "containment": the asymmetric prefix-filtered containment join vs
+    // blocked all-pairs on planted quoted-inside docs; third arg
+    // "noblocked" skips the O(n²) baseline.
+    if (mode == "containment") {
+      containmentRun(n, args.length > 2 && args(2) == "noblocked"); return
+    }
     val skipBlocked = mode == "noblocked"
     val tau = 0.9
     val spark = benchSession()
@@ -556,6 +562,76 @@ object DedupScale {
     println(s"[dedupscale] non-cluster survivors equal=" +
       s"${guarded.filter(_ < 1000000L) == unguarded.filter(_ < 1000000L)} " +
       s"guarded=${guarded.size} unguarded=${unguarded.size}")
+    spark.stop()
+  }
+
+  /** `containment` mode: the asymmetric prefix-filtered containment join
+    * vs the blocked all-pairs baseline — planted "quoted-inside" docs
+    * (a base doc's full text plus extra suffix tokens, the
+    * syndicated-article shape), equality of the directed survivor sets
+    * required, and the shipped plan timed at n and 2n for the linearity
+    * read. `noblocked` skips the O(n²) baseline.
+    */
+  private def containmentRun(n: Int, skipBlocked: Boolean): Unit = {
+    import org.apache.spark.sql.functions._
+    val tau = 0.6
+    val spark = benchSession()
+    import spark.implicits._
+
+    def gen(count: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(4242L)
+      val vocab = (0 until 10000).map(i => f"w$i%05d")
+      val base = Array.fill(count * 4 / 5)(randomDoc(rnd, vocab))
+      // quoted-inside: base text + 15 fresh tokens appended — containment
+      // (short → long) ≈ 38/38 windows shared = 1.0, jaccard only ~0.72
+      val longs = Array.fill(count / 5) {
+        val b = base(rnd.nextInt(base.length))
+        b ++ randomDoc(rnd, vocab, 15)
+      }
+      (base ++ longs).zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toSeq.toDF("doc_id", "text").repartition(32)
+    }
+
+    val docs = gen(n).cache()
+    docs.count()
+    def time[A](name: String)(f: => A): A = timed(s"containment n=$n $name")(f)
+    val shipped = time("prefix-filtered (shipped)") {
+      graft.operators.DedupOps.containmentPairsOn(docs, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    if (!skipBlocked) {
+      val w = split(col("text"), " ")
+      val sh = docs.filter(size(w) >= 3)
+        .select(col("doc_id"),
+          array_sort(array_distinct(
+            transform(sequence(lit(1), size(w) - 2), i =>
+              concat_ws("\u001E", element_at(w, i), // same RS joiner as the shipped op
+                element_at(w, i + 1), element_at(w, i + 2))))).as("s"))
+        .withColumn("n", size(col("s")))
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+      val i = toCol(graft.plans.SortedIntersectSize(
+        toExpr(col("a_s")), toExpr(col("b_s"))))
+      val blocked = time("blocked all-pairs (baseline)") {
+        sh.select(col("doc_id").as("a_id"), col("s").as("a_s"), col("n").as("a_n"))
+          .repartition(32)
+          .join(sh.select(col("doc_id").as("b_id"), col("s").as("b_s"),
+            col("n").as("b_n")),
+            col("a_id") =!= col("b_id") && col("b_n") >= ceil(col("a_n") * tau))
+          .withColumn("i", i)
+          .filter(col("i").cast("double") / col("a_n") >= tau)
+          .select(col("a_id"), col("b_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      println(s"[dedupscale] survivors equal=${shipped == blocked} " +
+        s"shipped=${shipped.size} blocked=${blocked.size}")
+    }
+    docs.unpersist()
+    val docs2 = gen(2 * n).cache()
+    docs2.count()
+    timed(s"containment n=${2 * n} prefix-filtered (shipped)") {
+      graft.operators.DedupOps.containmentPairsOn(docs2, tau).count()
+    }
     spark.stop()
   }
 }
