@@ -266,6 +266,10 @@ object SparkEntry {
     "q_events_pattern"    -> ((s, d) => EventOps.eventPattern(s, d)),
     // first-order Markov transition matrix over user timelines
     "q_events_transitions" -> ((s, d) => EventOps.transitions(s, d)),
+    // per-type daily z-scores from integer moments; |z| >= 2 flagged
+    "q_events_anomaly"    -> ((s, d) => EventOps.dailyAnomalies(s, d)),
+    // synchronous label propagation communities (rows-only: iterative)
+    "q_link_communities"  -> ((s, d) => LinkOps.labelPropagation(s, d)),
     // incremental materialized view: the daily report served from the store
     "q_report_maintained" -> ((s, d) => EventOps.reportMaintained(s, d)),
     // ---- §2.A scans / sources / sinks ----
@@ -442,7 +446,7 @@ object SparkEntry {
     "q_crawl_delta", "q_crawl_frontier", "q_link_anchors", "q_link_hits", "q_link_triangles",
     "q_events_pattern", "q_sample_weighted", "q_sample_weighted_grouped", "q_report_maintained",
     "q_text_prf", "q_dedup_containment", "q_term_cooccur", "q_text_fuzzy",
-    "q_events_transitions")
+    "q_events_transitions", "q_events_anomaly", "q_link_communities")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1782,6 +1786,25 @@ object SparkEntry {
         |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
         |       CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_matches
         |FROM s ORDER BY user_id ASC""".stripMargin,
+    // integer moments (D days, S = Σn, Q = Σn²) per type; z is ONE shared
+    // double expression over them — identical operand order both engines
+    "q_events_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, count(*) AS d, sum(n) AS s, sum(n * n) AS q
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, day, n,
+        |       round(CAST(d * n - s AS DOUBLE) /
+        |             sqrt(CAST(d AS DOUBLE) * CAST(d * q - s * s AS DOUBLE) /
+        |                  CAST(d - 1 AS DOUBLE)), 6) AS z,
+        |       CAST(abs(round(CAST(d * n - s AS DOUBLE) /
+        |             sqrt(CAST(d AS DOUBLE) * CAST(d * q - s * s AS DOUBLE) /
+        |                  CAST(d - 1 AS DOUBLE)), 6)) >= 2.0 AS BIGINT) AS is_anomaly
+        |FROM daily JOIN m USING (event_type)
+        |WHERE d > 1 AND d * q - s * s > 0
+        |ORDER BY event_type ASC, day ASC""".stripMargin,
     "q_events_transitions" ->
       """SELECT from_type, to_type, n_trans FROM (
         |  SELECT from_type, event_type AS to_type, count(*) AS n_trans FROM (

@@ -226,6 +226,44 @@ object EventOps {
   def transitions(spark: SparkSession, dir: String): DataFrame =
     transitionsOn(Tables.events(spark, dir))
 
+  /** Daily volume anomaly report (`q_events_anomaly`) — for each
+    * (event_type, day) the z-score of that day's event count against the
+    * type's own daily distribution, with |z| ≥ 2 flagged. The
+    * ops-monitoring staple over an event firehose (tracking outages,
+    * bot storms, double-fire bugs).
+    *
+    * Cross-engine exactness: the mean/stddev inputs stay INTEGER all the
+    * way — per-type D (days), S (Σ count), Q (Σ count²) — and z is ONE
+    * shared double expression over them,
+    * (D·x − S) / sqrt(D · (D·Q − S²) / (D − 1)), identical operand
+    * order in both engines (each step is a correctly-rounded IEEE op, so
+    * the engines agree bit-for-bit before the round-6). A built-in
+    * `stddev` would sum doubles in partition order — nondeterministic
+    * across engines AND runs; the integer moments are order-free.
+    *
+    * Scale: one (type, day)-keyed count (partial-agg'd), one type-keyed
+    * moment aggregation whose output is |types| rows broadcast back —
+    * the corpus never shuffles twice.
+    */
+  def dailyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val moments = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("d"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("q"))
+    val z = (col("d") * col("n") - col("s")).cast("double") /
+      sqrt(col("d").cast("double") *
+        (col("d") * col("q") - col("s") * col("s")).cast("double") /
+        (col("d") - 1).cast("double"))
+    daily.join(broadcast(moments), Seq("event_type"))
+      .filter(col("d") > 1 && col("d") * col("q") - col("s") * col("s") > 0)
+      .select(col("event_type"), col("day"), col("n"),
+        round(z, 6).as("z"),
+        (abs(round(z, 6)) >= 2.0).cast("long").as("is_anomaly"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
   private[graft] def transitionsOn(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)

@@ -372,4 +372,66 @@ object LinkOps {
     next.write.mode("overwrite").saveAsTable(s"`$db`.`${name}__ranks`")
     asRanks(next)
   }
+
+  /** Community detection by synchronous LABEL PROPAGATION
+    * (`q_link_communities`, Raghavan et al. 2007) over the undirected
+    * [[linkEdges]] graph. Every node starts as its own label; each round
+    * every node adopts the most frequent label among its NEIGHBORS
+    * (ties → smallest label). The semantic complement of
+    * [[DedupOps]]-style connected components: CC gives one label per
+    * component, so a single bridge edge merges two dense clusters — LPA
+    * keeps dense regions' labels local because a bridge contributes one
+    * vote against a clique's many (pinned in tests on a planted
+    * two-clique + bridge graph).
+    *
+    * Determinism: fixed round count, integer votes, and the per-node
+    * argmax as `max(struct(count, -label))` — an order-free aggregate
+    * (no window, no arbitrary first()); synchronous updates mean no
+    * intra-round order dependence either. (Asynchronous LPA, the other
+    * published variant, is faster to converge but schedule-dependent —
+    * wrong for a reproducible pipeline.)
+    *
+    * Scale: each round is one join of the label vector against the
+    * materialized adjacency (both localCheckpointed once — the pagerank
+    * lineage-truncation rule) plus one (node, label)-keyed count and one
+    * node-keyed max, all partial-agg'd; per-round label state is one row
+    * per node, and labels ride the same partitioning through every
+    * round. Votes per round = 2|E| rows — edge-linear, hub-safe (a hub
+    * contributes one row per incident edge, never a quadratic corner).
+    */
+  def labelPropagation(spark: SparkSession, dir: String, iters: Int = 5,
+      fanout: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val und = linkEdges(docs, n, fanout)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    labelPropagationOn(und, iters)
+  }
+
+  /** Parametric core over an undirected distinct edge set (a < b).
+    * Output: (doc_id, community) ordered by doc_id — community = the
+    * converged (or round-`iters`) label, a member node id.
+    */
+  private[graft] def labelPropagationOn(und0: DataFrame, iters: Int): DataFrame = {
+    val und = und0.localCheckpoint(false)
+    val adj = und.select(col("a").as("v"), col("b").as("nb"))
+      .unionByName(und.select(col("b").as("v"), col("a").as("nb")))
+      .localCheckpoint(false) // re-read every round: truncate once
+    var labels = adj.select(col("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      labels = adj
+        .join(labels.select(col("v").as("nb"), col("label").as("nl")), "nb")
+        .groupBy(col("v"), col("nl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("nl")).as("negl"))).as("m"))
+        .select(col("v"), (-col("m.negl")).as("label"))
+        .localCheckpoint(false)
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("community"))
+      .orderBy(col("doc_id").asc)
+  }
 }

@@ -4239,6 +4239,56 @@ class OperatorSpec extends AnyFunSuite {
     assert(pruned.toSeq === Seq(("a", "b", 2L)))
   }
 
+  test("label propagation: bridged cliques keep distinct communities where CC merges them") {
+    import spark.implicits._
+    // two 5-cliques joined by ONE bridge edge (5)-(10)
+    val cliqueA = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val cliqueB = for (i <- 10L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val und = (cliqueA ++ cliqueB :+ (5L, 10L)).toDF("a", "b")
+    val labels = LinkOps.labelPropagationOn(und, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val la = (1L to 5L).map(labels)
+    val lb = (10L to 14L).map(labels)
+    assert(la.distinct.size === 1, s"clique A split: $la")
+    assert(lb.distinct.size === 1, s"clique B split: $lb")
+    assert(la.head !== lb.head, "the bridge must NOT merge the communities")
+    // the same graph is ONE connected component — the semantic difference
+    val cc = DedupOps.connectedComponentsOn(und).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(((1L to 5L) ++ (10L to 14L)).map(v => cc.getOrElse(v, v)).distinct.size === 1)
+    // determinism: a second run is bit-identical
+    val again = LinkOps.labelPropagationOn(und, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === labels)
+  }
+
+  test("daily anomalies: z from integer moments matches a local reference, flag at |z| >= 2") {
+    val rows = EventOps.dailyAnomalies(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // per type: mean-centered z recomputed locally from the (day, n) pairs
+    rows.groupBy(_._1).foreach { case (_, tRows) =>
+      val d = tRows.length.toLong
+      val s = tRows.map(_._3).sum
+      val q = tRows.map(x => x._3 * x._3).sum
+      tRows.foreach { case (_, _, n, z, flag) =>
+        val want = BigDecimal((d * n - s).toDouble /
+          math.sqrt(d.toDouble * (d * q - s * s).toDouble / (d - 1).toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(z === want)
+        assert(flag === (if (math.abs(z) >= 2.0) 1L else 0L))
+      }
+    }
+    // Σz ≈ 0 per type is NOT exact after rounding; but the raw centered
+    // sums are: Σ(d·n − s) = 0 exactly
+    rows.groupBy(_._1).foreach { case (_, tRows) =>
+      val d = tRows.length.toLong
+      val s = tRows.map(_._3).sum
+      assert(tRows.map(x => d * x._3 - s).sum === 0L)
+    }
+  }
+
   test("event transitions: lag pairs per user, ts then event_id order, full matrix") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
