@@ -88,6 +88,8 @@ object SparkEntry {
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
     "q_vec_centroids" -> ((s, d) => KnnOps.centroids(s, d)),
+    // least-central-to-own-label vectors: the pre-training outlier sweep
+    "q_vec_outliers"  -> ((s, d) => KnnOps.outliers(s, d)),
     "q_vec_quantize"  -> ((s, d) => KnnOps.quantize(s, d)),
     "q_cosine_pair"   -> ((s, d) => cosinePair(s, d)),
     // ---- dedup family (LLM-pipeline north star) ----
@@ -154,6 +156,8 @@ object SparkEntry {
     "q_text_bigrams"    -> ((s, d) => TextAnalysisOps.bigrams(s, d)),
     // document-level PMI over the df-pruned vocabulary (Church & Hanks)
     "q_term_cooccur"    -> ((s, d) => TextAnalysisOps.termCooccurrence(s, d)),
+    // window-granularity PMI (w=3): the word2vec counting pass
+    "q_term_cooccur_win" -> ((s, d) => TextAnalysisOps.termCooccurrenceWindow(s, d)),
     "q_text_redact"     -> ((s, d) => TextAnalysisOps.redactPii(s, d)),
     "q_text_repetition" -> ((s, d) => TextAnalysisOps.repetitionSignals(s, d)),
     "q_decontaminate"   -> ((s, d) => TextAnalysisOps.decontaminate(s, d)),
@@ -446,7 +450,8 @@ object SparkEntry {
     "q_crawl_delta", "q_crawl_frontier", "q_link_anchors", "q_link_hits", "q_link_triangles",
     "q_events_pattern", "q_sample_weighted", "q_sample_weighted_grouped", "q_report_maintained",
     "q_text_prf", "q_dedup_containment", "q_term_cooccur", "q_text_fuzzy",
-    "q_events_transitions", "q_events_anomaly", "q_link_communities")
+    "q_events_transitions", "q_events_anomaly", "q_link_communities",
+    "q_vec_outliers", "q_term_cooccur_win")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1180,6 +1185,22 @@ object SparkEntry {
         |      FROM embeddings)
         |GROUP BY label, pos
         |ORDER BY label ASC, pos ASC""".stripMargin,
+    // centroid micro-rounded BEFORE the cosine in both engines — the
+    // unrounded mean is a row-order-dependent double sum
+    "q_vec_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (
+        |  SELECT label, list(round(cv, 6) ORDER BY pos) AS centroid FROM (
+        |    SELECT label, pos, avg(x) AS cv FROM (
+        |      SELECT label, unnest(v) AS x, unnest(range(len(v))) AS pos FROM e)
+        |    GROUP BY label, pos)
+        |  GROUP BY label)
+        |SELECT e.vec_id, e.label,
+        |       round(list_cosine_similarity(e.v, c.centroid), 6) AS centrality
+        |FROM e JOIN c ON e.label = c.label
+        |ORDER BY centrality ASC, vec_id ASC
+        |LIMIT 20""".stripMargin,
     "q_vec_quantize" ->
       """WITH q AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1519,6 +1540,34 @@ object SparkEntry {
         |       round(ln((CAST(n_ab AS DOUBLE) * CAST(nd AS DOUBLE)) /
         |                (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE))), 6) AS pmi
         |FROM pairs CROSS JOIN n
+        |ORDER BY n_ab DESC, term_a ASC, term_b ASC
+        |LIMIT 20""".stripMargin,
+    // nested list comprehension mirrors the engine's bounded per-position
+    // fan-out; DuckDB range(a,b) is [a,b) so the inner bound carries +1
+    "q_term_cooccur_win" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |pairs AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(w)), i ->
+        |    list_transform(range(i + 1, least(i + 3, len(w)) + 1), j ->
+        |      [least(w[i], w[j]), greatest(w[i], w[j])])))) AS p
+        |  FROM t),
+        |cnt AS (
+        |  SELECT p[1] AS term_a, p[2] AS term_b, count(*) AS n_ab
+        |  FROM pairs GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT x, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(c) AS tu FROM uni),
+        |tp AS (SELECT sum(n_ab) AS t_p FROM cnt)
+        |SELECT term_a, term_b, n_ab,
+        |       round(ln((CAST(n_ab AS DOUBLE) * CAST(tu AS DOUBLE) * CAST(tu AS DOUBLE)) /
+        |                (CAST(t_p AS DOUBLE) * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))), 6) AS pmi
+        |FROM cnt CROSS JOIN tot CROSS JOIN tp
+        |JOIN uni ca ON cnt.term_a = ca.x
+        |JOIN uni cb ON cnt.term_b = cb.x
         |ORDER BY n_ab DESC, term_a ASC, term_b ASC
         |LIMIT 20""".stripMargin,
     "q_text_redact" ->

@@ -450,6 +450,35 @@ object KnnOps {
         transform(col("sc.sums"), x => x / col("sc.n")).as("centroid"))
   }
 
+  /** Embedding-space OUTLIER report (`q_vec_outliers`) — the k vectors
+    * least central to their own label's centroid, by cosine. The standard
+    * curation pass before contrastive training: mislabeled rows, encoder
+    * failures, and off-distribution content all surface as low
+    * self-centrality (the same signal SemDeDup's authors use to pick
+    * cluster keepers, inverted).
+    *
+    * Cross-engine determinism: the per-label centroid is micro-ROUNDED
+    * (6 dp) BEFORE the cosine in both engines — the unrounded mean is a
+    * row-order-dependent double sum, the rounded one a shared exact
+    * input; the cosine then folds dims in array order identically (the
+    * q_cosine_pair precedent). Scale: centroids via [[centroidVectors]]
+    * (one VecSumCount shuffle, |labels| rows broadcast back), centrality
+    * map-side per row, the k-row tail via TakeOrderedAndProject.
+    */
+  def outliers(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val emb = corpus(spark, dir)
+    val cents = centroidVectors(emb)
+      .select(col("label"),
+        transform(col("centroid"), x => round(x, 6)).as("centroid"))
+    val cos = toCol(graft.plans.CosineSimilarity(
+      toExpr(col("embedding")), toExpr(col("centroid"))))
+    emb.join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"), round(cos, 6).as("centrality"))
+      .orderBy(col("centrality").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Lloyd's k-means coarse quantizer over the embedding column — the
     * trained-cell IVF build (the reference's latent IVFFLAT surface, ref
     * `TencentVDB.py:7`). Each iteration is one distributed pass: fused

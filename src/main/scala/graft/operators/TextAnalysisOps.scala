@@ -546,6 +546,59 @@ object TextAnalysisOps {
       Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       topV, topK)
 
+  /** WINDOW-granularity co-occurrence with PMI (`q_term_cooccur_win`) —
+    * the word2vec/GloVe counting pass: token pairs within `w` positions,
+    * PMI from the unigram and pair totals,
+    * ln(n_ab·T_u·T_u / (T_p·c_a·c_b)). Complements [[termCooccurrence]]
+    * (document granularity: topical association) with syntagmatic
+    * association — words that appear NEXT to each other.
+    *
+    * Scale contrast with the document pass: per-token fan-out here is
+    * ≤ w by construction (each position pairs only with its next w
+    * positions, generated by one nested higher-order transform — no
+    * explode-then-self-join, no join at all), so the pair stream is
+    * corpus-LINEAR and needs no vocabulary prune; the doc-level pass
+    * has C(k,2) fan-out and prunes. All counts integer; the one ln
+    * rounds at 6 over an identical operand order.
+    */
+  def termCooccurrenceWindow(spark: SparkSession, dir: String,
+      w: Int = 3, topK: Int = 20): DataFrame =
+    termCooccurrenceWindowOn(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), w, topK)
+
+  private[graft] def termCooccurrenceWindowOn(docs: DataFrame, w: Int,
+      topK: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    val withToks = docs.filter(size(toks) >= 2).select(toks.as("t"))
+    val pairs = withToks.select(explode(flatten(
+      transform(sequence(lit(1), size(col("t")) - 1), i =>
+        transform(
+          sequence(i + 1, least(i + lit(w), size(col("t")))), j =>
+          struct(
+            least(element_at(col("t"), i), element_at(col("t"), j)).as("a"),
+            greatest(element_at(col("t"), i), element_at(col("t"), j)).as("b"))))))
+      .as("p"))
+      .select(col("p.a").as("term_a"), col("p.b").as("term_b"))
+    // cached: the pair aggregate feeds both the T_p scalar and the final
+    // join (one pair pass, not two — the jaccardPairsDictOn convention)
+    val cnt = pairs.groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("n_ab")).cache()
+    val uni = docs.select(explode(tokens(col("text"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("c"))
+    // three scalars/model tables: T_u (tokens), T_p (pairs), unigram counts
+    val tu = uni.select(sum(col("c"))).head().getLong(0)
+    val tp = cnt.select(sum(col("n_ab"))).head().getLong(0)
+    cnt
+      .join(broadcast(uni.select(col("x").as("term_a"), col("c").as("ca"))), "term_a")
+      .join(broadcast(uni.select(col("x").as("term_b"), col("c").as("cb"))), "term_b")
+      .withColumn("pmi", round(log(
+        (col("n_ab").cast("double") * lit(tu.toDouble) * lit(tu.toDouble)) /
+          (lit(tp.toDouble) * col("ca").cast("double") * col("cb").cast("double"))), 6))
+      .orderBy(col("n_ab").desc, col("term_a").asc, col("term_b").asc)
+      .limit(topK)
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("pmi"))
+  }
+
   private[graft] def termCooccurrenceOn(docs: DataFrame, topV: Int,
       topK: Int): DataFrame = {
     val nDocs = docs.count() // one scalar to the driver (corpus size)

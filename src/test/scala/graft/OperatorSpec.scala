@@ -4239,6 +4239,61 @@ class OperatorSpec extends AnyFunSuite {
     assert(pruned.toSeq === Seq(("a", "b", 2L)))
   }
 
+  test("window co-occurrence: bounded fan-out pairs and PMI match hand computation") {
+    import spark.implicits._
+    // "a b c d": w=2 pairs = (a,b)(a,c)(b,c)(b,d)(c,d); "x a": (a,x)
+    val docs = Seq((1L, "a b c d"), (2L, "x a")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.termCooccurrenceWindowOn(docs, w = 2, topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // unigrams: a=2 b=1 c=1 d=1 x=1, T_u=6; T_p=6
+    def pmi(nab: Long, ca: Long, cb: Long): Double =
+      BigDecimal(math.log(nab.toDouble * 6.0 * 6.0 / (6.0 * ca.toDouble * cb.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Seq(
+      ("a", "b", 1L, pmi(1, 2, 1)), ("a", "c", 1L, pmi(1, 2, 1)),
+      ("a", "x", 1L, pmi(1, 2, 1)), ("b", "c", 1L, pmi(1, 1, 1)),
+      ("b", "d", 1L, pmi(1, 1, 1)), ("c", "d", 1L, pmi(1, 1, 1)))
+    assert(out.toSeq === expected)
+    // a repeated token within the window co-occurs with itself
+    val rep = TextAnalysisOps.termCooccurrenceWindowOn(
+      Seq((1L, "a a b")).toDF("doc_id", "text"), w = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rep.toSeq === Seq(("a", "b", 2L), ("a", "a", 1L)))
+  }
+
+  test("vec outliers: least-central rows match a local centroid+cosine reference") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](2).toArray, r.getInt(1)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = emb.groupBy(_._3).view.mapValues { rows =>
+      val dim = rows.head._2.length
+      Array.tabulate(dim)(i => r6(rows.map(_._2(i)).sum / rows.length))
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val local = emb.map { case (id, v, l) => id -> (l, r6(cos(v, cents(l)))) }.toMap
+    val got = KnnOps.outliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got.length === math.min(20, emb.length))
+    assert(got === got.sortBy(t => (t._3, t._1))) // ascending, id tie-break
+    // the local loop's fold order can differ from the codegen fold by an
+    // ulp, so compare scores with tolerance and require every reported
+    // outlier to sit at or below the local 20th-smallest score boundary
+    val tol = 2e-6
+    got.foreach { case (id, l, s) =>
+      assert(local(id)._1 === l)
+      assert(math.abs(local(id)._2 - s) <= tol, s"id=$id $s vs ${local(id)._2}")
+    }
+    val boundary = local.values.map(_._2).toSeq.sorted
+      .take(math.min(20, emb.length)).last
+    assert(got.forall(_._3 <= boundary + tol))
+  }
+
   test("label propagation: bridged cliques keep distinct communities where CC merges them") {
     import spark.implicits._
     // two 5-cliques joined by ONE bridge edge (5)-(10)
