@@ -78,6 +78,8 @@ object SparkEntry {
     "q_link_hits" -> ((s, d) => LinkOps.hits(s, d)),
     // degree-ordered triangle count + global clustering coefficient
     "q_link_triangles" -> ((s, d) => LinkOps.triangleCount(s, d)),
+    // fraction of directed edges whose reverse exists (link-farm tell)
+    "q_link_reciprocity" -> ((s, d) => LinkOps.reciprocity(s, d)),
     // incremental re-crawl diff by content hash (added/changed/removed)
     "q_crawl_delta"    -> ((s, d) => FrontierOps.crawlDelta(s, d)),
     // next-cycle fetch schedule: staleness priority, per-host politeness cap
@@ -270,6 +272,8 @@ object SparkEntry {
     "q_events_pattern"    -> ((s, d) => EventOps.eventPattern(s, d)),
     // first-order Markov transition matrix over user timelines
     "q_events_transitions" -> ((s, d) => EventOps.transitions(s, d)),
+    // the maintained form: boundary-state store, no event scan at ask time
+    "q_events_transitions_stored" -> ((s, d) => EventOps.transitionsStored(s, d)),
     // per-type daily z-scores from integer moments; |z| >= 2 flagged
     "q_events_anomaly"    -> ((s, d) => EventOps.dailyAnomalies(s, d)),
     // synchronous label propagation communities (rows-only: iterative)
@@ -451,7 +455,8 @@ object SparkEntry {
     "q_events_pattern", "q_sample_weighted", "q_sample_weighted_grouped", "q_report_maintained",
     "q_text_prf", "q_dedup_containment", "q_term_cooccur", "q_text_fuzzy",
     "q_events_transitions", "q_events_anomaly", "q_link_communities",
-    "q_vec_outliers", "q_term_cooccur_win")
+    "q_vec_outliers", "q_term_cooccur_win", "q_link_reciprocity",
+    "q_events_transitions_stored")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -835,6 +840,21 @@ object SparkEntry {
   private def bm25AllHit: String =
     bm25Terms.indices.map(i => s"tf$i > 0").mkString(" AND ")
 
+  /** Shared by `q_events_transitions` and its maintained-store twin —
+    * the boundary-bridged fold is pinned exactly equal to the one-shot
+    * matrix, so both face the same SQL.
+    */
+  private val TransitionsSql: String =
+    """SELECT from_type, to_type, n_trans FROM (
+      |  SELECT from_type, event_type AS to_type, count(*) AS n_trans FROM (
+      |    SELECT event_type,
+      |           lag(event_type) OVER (
+      |             PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS from_type
+      |    FROM events)
+      |  WHERE from_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |ORDER BY n_trans DESC, from_type ASC, to_type ASC""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // ---- vector ----
     "q_knn_text" ->
@@ -924,6 +944,20 @@ object SparkEntry {
          |       round(CAST(sum(CAST(floor(mrr * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6) AS mrr,
          |       round(CAST(sum(CAST(floor(ndcg * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6) AS ndcg
          |FROM per""".stripMargin,
+    "q_link_reciprocity" ->
+      s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
+         |e AS (
+         |  SELECT DISTINCT d.doc_id AS src,
+         |         (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n AS dst
+         |  FROM documents d CROSS JOIN n CROSS JOIN ks
+         |  WHERE (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n <> d.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         |       CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
+         |       round(CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+         |             CAST(count(*) AS DOUBLE), 6) AS reciprocity
+         |FROM e LEFT JOIN (SELECT dst AS src, src AS dst FROM e) r
+         |  ON e.src = r.src AND e.dst = r.dst""".stripMargin,
     "q_link_triangles" ->
       s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
          |ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
@@ -1854,16 +1888,9 @@ object SparkEntry {
         |FROM daily JOIN m USING (event_type)
         |WHERE d > 1 AND d * q - s * s > 0
         |ORDER BY event_type ASC, day ASC""".stripMargin,
-    "q_events_transitions" ->
-      """SELECT from_type, to_type, n_trans FROM (
-        |  SELECT from_type, event_type AS to_type, count(*) AS n_trans FROM (
-        |    SELECT event_type,
-        |           lag(event_type) OVER (
-        |             PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS from_type
-        |    FROM events)
-        |  WHERE from_type IS NOT NULL
-        |  GROUP BY 1, 2)
-        |ORDER BY n_trans DESC, from_type ASC, to_type ASC""".stripMargin,
+    "q_events_transitions" -> TransitionsSql,
+    // the boundary-bridged fold equals the one-shot matrix exactly
+    "q_events_transitions_stored" -> TransitionsSql,
     "q_events_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS view_ts FROM events

@@ -226,6 +226,131 @@ object EventOps {
   def transitions(spark: SparkSession, dir: String): DataFrame =
     transitionsOn(Tables.events(spark, dir))
 
+  /** Maintained transition-matrix store — the incremental form of a
+    * NON-additive aggregate. A count/sum report folds by pure addition
+    * ([[ensureAggReport]]); the transition matrix does not: a user's
+    * last event of batch k and first event of batch k+1 form a
+    * transition no within-batch pass can see. The store therefore
+    * carries BOUNDARY STATE — each user's last (ts, event_id, type) —
+    * and every fold adds three pieces: the batch's internal transitions,
+    * the bridge transitions (stored boundary → the batch's first event
+    * per user), and the refreshed boundary. Matrix rows, boundary rows,
+    * and the replay watermark all live in ONE table (a `kind` column)
+    * so a fold is a single atomic overwrite — state and watermark cannot
+    * desync, the versioned-store/k-means-store commit design. Requires
+    * time-ordered folds (each batch entirely after the last — the
+    * ingest reality the streaming twin's watermark enforces end-to-end);
+    * under that contract the served matrix equals the full-corpus batch
+    * matrix EXACTLY, so it faces the same oracle.
+    *
+    * Scale: a fold shuffles only the batch (one user-partitioned window)
+    * plus a |users|-row boundary join; the matrix is |types|² rows; the
+    * overwrite is matrix + boundary + 1 row, never event history.
+    */
+  private[graft] def transStoreFold(spark: SparkSession, db: String,
+      name: String, batch: DataFrame, batchId: Long): Unit = {
+    val table = s"`$db`.`${name}__transstore`"
+    val exists = spark.catalog.tableExists(s"$db.${name}__transstore")
+    val prior =
+      if (exists) {
+        val t = spark.table(table)
+        val wm = t.filter(col("kind") === "w")
+          .select(max(col("batch_id"))).head().getLong(0)
+        if (batchId <= wm) return // committed replay: no-op
+        t
+      } else null
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val evs = batch.select(col("user_id"), col("event_id"), col("ts"),
+      col("event_type"))
+    val internal = transitionsOn(evs)
+      .select(col("from_type"), col("to_type"), col("n_trans").as("n"))
+    val firstLast = evs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnd", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+    val first = firstLast.filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("first_type"))
+    val last = firstLast.filter(col("rnd") === 1)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("to_type"))
+    val (bridge, newBound) =
+      if (prior == null) (spark.emptyDataFrame.select(lit("").as("from_type"),
+        lit("").as("to_type"), lit(0L).as("n")).limit(0), last)
+      else {
+        val bound = prior.filter(col("kind") === "b")
+          .select(col("user_id"), col("ts"), col("event_id"), col("to_type"))
+        val br = bound.select(col("user_id"), col("to_type").as("from_type"))
+          .join(first, "user_id")
+          .groupBy(col("from_type"), col("first_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        // time-ordered folds: a user in the batch replaces its boundary
+        val nb = bound.join(last.select(col("user_id")), Seq("user_id"),
+          "left_anti").unionByName(last)
+        (br, nb)
+      }
+    val oldMatrix =
+      if (prior == null) internal.limit(0)
+      else prior.filter(col("kind") === "m")
+        .select(col("from_type"), col("to_type"), col("n"))
+    val matrix = oldMatrix.unionByName(internal).unionByName(bridge)
+      .groupBy(col("from_type"), col("to_type")).agg(sum(col("n")).as("n"))
+    val out = matrix.select(lit("m").as("kind"), col("from_type"),
+        col("to_type"), col("n"), lit(null).cast("long").as("user_id"),
+        lit(null).cast("timestamp").as("ts"),
+        lit(null).cast("long").as("event_id"), lit(batchId).as("batch_id"))
+      .unionByName(newBound.select(lit("b").as("kind"),
+        lit(null).cast("string").as("from_type"), col("to_type"),
+        lit(null).cast("long").as("n"), col("user_id"), col("ts"),
+        col("event_id"), lit(batchId).as("batch_id")))
+      .unionByName(spark.range(1).select(lit("w").as("kind"),
+        lit(null).cast("string").as("from_type"),
+        lit(null).cast("string").as("to_type"),
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("user_id"),
+        lit(null).cast("timestamp").as("ts"),
+        lit(null).cast("long").as("event_id"), lit(batchId).as("batch_id")))
+      .localCheckpoint() // materialize BEFORE overwriting the table it reads
+    out.write.mode("overwrite").saveAsTable(s"`$db`.`${name}__transstore`")
+  }
+
+  /** Serve the maintained matrix — [[transitions]]'s question without an
+    * event scan at ask time.
+    */
+  private[graft] def serveTransStore(spark: SparkSession, db: String,
+      name: String): DataFrame =
+    spark.table(s"`$db`.`${name}__transstore`")
+      .filter(col("kind") === "m")
+      .select(col("from_type"), col("to_type"), col("n").as("n_trans"))
+      .orderBy(col("n_trans").desc, col("from_type").asc, col("to_type").asc)
+
+  /** `q_events_transitions_stored`: build-if-absent fixture — create the
+    * store from the chronologically FIRST half of events, fold the
+    * second half (both the create and the boundary-bridged fold exercise
+    * every contract run), serve the matrix. Equals the one-shot batch
+    * matrix exactly → faces the SAME oracle as `q_events_transitions`.
+    */
+  def transitionsStored(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CatalogOps
+    val db = "graft_trans"
+    val name = "events"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__transstore")) {
+        CatalogOps.createDatabase(spark, db)
+        KnnOps.dropTableAndDir(spark, db, s"${name}__transstore")
+        val evs = Tables.events(spark, dir)
+        val bounds = evs.select(min(col("ts")).cast("long").as("lo"),
+          max(col("ts")).cast("long").as("hi")).head()
+        val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+        transStoreFold(spark, db, name,
+          evs.filter(col("ts").cast("long") <= mid), batchId = 0L)
+        transStoreFold(spark, db, name,
+          evs.filter(col("ts").cast("long") > mid), batchId = 1L)
+      }
+    }
+    serveTransStore(spark, db, name)
+  }
+
   /** Daily volume anomaly report (`q_events_anomaly`) — for each
     * (event_type, day) the z-score of that day's event count against the
     * type's own daily distribution, with |z| ≥ 2 flagged. The

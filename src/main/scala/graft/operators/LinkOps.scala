@@ -373,6 +373,27 @@ object LinkOps {
     asRanks(next)
   }
 
+  /** Link reciprocity (`q_link_reciprocity`) — the fraction of directed
+    * edges whose reverse also exists. The classic link-farm / mutual-
+    * citation signal (organic web graphs run low; reciprocal cliques are
+    * a spam tell) and a one-number health check of the crawl graph. One
+    * distinct edge derivation read twice (localCheckpoint), one
+    * (src, dst)-keyed self left-join marking reversals, one single-row
+    * aggregate — the ratio divides two exact longs, round-6.
+    */
+  def reciprocity(spark: SparkSession, dir: String, fanout: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = linkEdges(docs, n, fanout).distinct().localCheckpoint(false)
+    e.join(e.select(col("dst").as("src"), col("src").as("dst"))
+        .withColumn("has_rev", lit(1)), Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(coalesce(col("has_rev"), lit(0))).cast("long").as("n_reciprocal"))
+      .select(col("n_edges"), col("n_reciprocal"),
+        round(col("n_reciprocal").cast("double") /
+          col("n_edges").cast("double"), 6).as("reciprocity"))
+  }
+
   /** Community detection by synchronous LABEL PROPAGATION
     * (`q_link_communities`, Raghavan et al. 2007) over the undirected
     * [[linkEdges]] graph. Every node starts as its own label; each round

@@ -4344,6 +4344,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("maintained transition matrix: boundary-bridged folds equal one-shot, replay no-ops") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val (db, name) = ("graft_trans_test", "ev")
+    graft.sources.CatalogOps.createDatabase(spark, db)
+    KnnOps.dropTableAndDir(spark, db, s"${name}__transstore")
+    // three time-ordered batches; users 7 and 8 straddle every boundary,
+    // so the bridge path carries real transitions each fold
+    val b0 = Seq((1L, ts(10), 7L, "view"), (2L, ts(20), 8L, "view"),
+      (3L, ts(30), 7L, "click"))
+    val b1 = Seq((4L, ts(40), 7L, "purchase"), (5L, ts(50), 8L, "click"),
+      (6L, ts(60), 9L, "signup"))
+    val b2 = Seq((7L, ts(70), 8L, "purchase"), (8L, ts(80), 9L, "view"),
+      (9L, ts(90), 7L, "view"))
+    def df(b: Seq[(Long, java.sql.Timestamp, Long, String)]) =
+      b.toDF("event_id", "ts", "user_id", "event_type")
+    EventOps.transStoreFold(spark, db, name, df(b0), 0L)
+    EventOps.transStoreFold(spark, db, name, df(b1), 1L)
+    EventOps.transStoreFold(spark, db, name, df(b2), 2L)
+    def served() = EventOps.serveTransStore(spark, db, name).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val want = EventOps.transitionsOn(df(b0 ++ b1 ++ b2)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(served() === want)
+    assert(want.map(_._3).sum === 6L) // 9 events, 3 users → 6 transitions
+    // committed replay: folding batch 1 again changes nothing
+    EventOps.transStoreFold(spark, db, name, df(b1), 1L)
+    assert(served() === want)
+  }
+
   test("event transitions: lag pairs per user, ts then event_id order, full matrix") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
