@@ -160,6 +160,8 @@ object SparkEntry {
     "q_term_cooccur"    -> ((s, d) => TextAnalysisOps.termCooccurrence(s, d)),
     // window-granularity PMI (w=3): the word2vec counting pass
     "q_term_cooccur_win" -> ((s, d) => TextAnalysisOps.termCooccurrenceWindow(s, d)),
+    // pairwise source-distribution JSD: the mixture-shift alarm
+    "q_source_drift"     -> ((s, d) => TextAnalysisOps.sourceDrift(s, d)),
     "q_text_redact"     -> ((s, d) => TextAnalysisOps.redactPii(s, d)),
     "q_text_repetition" -> ((s, d) => TextAnalysisOps.repetitionSignals(s, d)),
     "q_decontaminate"   -> ((s, d) => TextAnalysisOps.decontaminate(s, d)),
@@ -456,7 +458,7 @@ object SparkEntry {
     "q_text_prf", "q_dedup_containment", "q_term_cooccur", "q_text_fuzzy",
     "q_events_transitions", "q_events_anomaly", "q_link_communities",
     "q_vec_outliers", "q_term_cooccur_win", "q_link_reciprocity",
-    "q_events_transitions_stored")
+    "q_events_transitions_stored", "q_source_drift")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1604,6 +1606,35 @@ object SparkEntry {
         |JOIN uni cb ON cnt.term_b = cb.x
         |ORDER BY n_ab DESC, term_a ASC, term_b ASC
         |LIMIT 20""".stripMargin,
+    // per-term contribution nano-rounded BEFORE the sum (one shared
+    // double expression over integer counts) — order-free integer Σ
+    "q_source_drift" ->
+      """WITH counts AS (
+        |  SELECT source, t, count(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(c) AS n FROM counts GROUP BY 1),
+        |vocab AS (SELECT DISTINCT t FROM counts),
+        |dense AS (
+        |  SELECT s.source, v.t, coalesce(c.c, 0) AS c, s.n
+        |  FROM tot s CROSS JOIN vocab v
+        |  LEFT JOIN counts c ON c.source = s.source AND c.t = v.t),
+        |p AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE) AS pa,
+        |         CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE) AS pb
+        |  FROM dense a JOIN dense b ON a.t = b.t AND a.source < b.source),
+        |q AS (SELECT source_a, source_b, pa, pb, (pa + pb) / 2.0 AS m FROM p),
+        |nano AS (
+        |  SELECT source_a, source_b,
+        |         CAST(floor(((CASE WHEN pa > 0 THEN pa * ln(pa / m) ELSE 0 END) * 0.5 +
+        |                     (CASE WHEN pb > 0 THEN pb * ln(pb / m) ELSE 0 END) * 0.5)
+        |                    * 1000000000.0 + 0.5) AS BIGINT) AS nn
+        |  FROM q)
+        |SELECT source_a, source_b,
+        |       round(CAST(sum(nn) AS DOUBLE) / 1000000000.0, 6) AS jsd
+        |FROM nano GROUP BY 1, 2
+        |ORDER BY source_a ASC, source_b ASC""".stripMargin,
     "q_text_redact" ->
       """WITH pii AS (
         |  SELECT doc_id,

@@ -546,6 +546,59 @@ object TextAnalysisOps {
       Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       topV, topK)
 
+  /** Pairwise SOURCE-DISTRIBUTION drift (`q_source_drift`) — the
+    * Jensen-Shannon divergence between every two sources' term
+    * distributions, JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2
+    * (Lin 1991). The corpus-monitoring number behind mixture-shift
+    * alarms: a re-crawled source whose language drifted, a domain whose
+    * boilerplate changed, a feed that silently switched topic all move
+    * their pairwise JSD before any downstream metric notices. Bounded in
+    * [0, ln 2], symmetric, defined at zero counts (the KL terms vanish).
+    *
+    * Cross-engine exactness (the pagerank nano-unit convention): each
+    * term's contribution is computed as ONE shared double expression
+    * over the integer counts and floor(x·1e9 + 0.5)-rounded to an
+    * integer BEFORE the sum, so the per-pair total is an
+    * order-independent integer sum — a raw double Σ over the vocabulary
+    * would depend on partition order and diverge between engines.
+    *
+    * Scale: the dense frame is |sources| × |vocab| (the size of the df
+    * table itself — sources are FEW); the pair join fans each term to
+    * |sources|² rows, partial-agg'd on (source_a, source_b). The corpus
+    * shuffles once, into the (source, term) count.
+    */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    sourceDriftOn(Tables.documents(spark, dir).select(col("source"), col("text")))
+
+  private[graft] def sourceDriftOn(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val vocab = counts.select(col("t")).distinct()
+    val full = totals.crossJoin(vocab)
+      .join(counts, Seq("source", "t"), "left")
+      .select(col("source"), col("t"),
+        coalesce(col("c"), lit(0L)).as("c"), col("n"))
+    val a = full.select(col("source").as("source_a"), col("t"),
+      col("c").as("ca"), col("n").as("na"))
+    val b = full.select(col("source").as("source_b"), col("t"),
+      col("c").as("cb"), col("n").as("nb"))
+    val pa = col("ca").cast("double") / col("na").cast("double")
+    val pb = col("cb").cast("double") / col("nb").cast("double")
+    val m = (pa + pb) / lit(2.0)
+    def contrib(p: Column): Column =
+      when(p > 0, p * log(p / m)).otherwise(lit(0.0))
+    val nano = floor((contrib(pa) * lit(0.5) + contrib(pb) * lit(0.5)) *
+      lit(1e9) + lit(0.5)).cast("long")
+    a.join(b, Seq("t")).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), nano.as("nn"))
+      .groupBy(col("source_a"), col("source_b")).agg(sum(col("nn")).as("sn"))
+      .select(col("source_a"), col("source_b"),
+        round(col("sn").cast("double") / lit(1e9), 6).as("jsd"))
+      .orderBy(col("source_a").asc, col("source_b").asc)
+  }
+
   /** WINDOW-granularity co-occurrence with PMI (`q_term_cooccur_win`) —
     * the word2vec/GloVe counting pass: token pairs within `w` positions,
     * PMI from the unigram and pair totals,

@@ -4239,6 +4239,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(pruned.toSeq === Seq(("a", "b", 2L)))
   }
 
+  test("source drift: JSD is 0 for identical, ln 2 for disjoint, hand value between") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a a b"), ("s2", "a a b"),        // identical distributions
+      ("s3", "c c d"),                          // disjoint vocabulary
+      ("s4", "a b"))                            // same support as s1, shifted
+      .toDF("source", "text")
+    val out = TextAnalysisOps.sourceDriftOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.size === 6)
+    assert(out(("s1", "s2")) === 0.0)
+    assert(math.abs(out(("s1", "s3")) - math.log(2)) < 1e-6)
+    assert(math.abs(out(("s2", "s3")) - math.log(2)) < 1e-6)
+    // hand value s1 vs s4: P=(2/3,1/3), Q=(1/2,1/2) over {a,b}
+    def kl(p: Seq[Double], m: Seq[Double]) =
+      p.zip(m).map { case (pi, mi) => if (pi > 0) pi * math.log(pi / mi) else 0.0 }.sum
+    val (pp, qq) = (Seq(2.0 / 3, 1.0 / 3), Seq(0.5, 0.5))
+    val mm = pp.zip(qq).map { case (x, y) => (x + y) / 2 }
+    val want = 0.5 * kl(pp, mm) + 0.5 * kl(qq, mm)
+    assert(math.abs(out(("s1", "s4")) - want) < 1e-6)
+    // symmetric by construction: only a<b pairs emitted, each exactly once
+    assert(out.keys.forall { case (x, y) => x < y })
+  }
+
   test("window co-occurrence: bounded fan-out pairs and PMI match hand computation") {
     import spark.implicits._
     // "a b c d": w=2 pairs = (a,b)(a,c)(b,c)(b,d)(c,d); "x a": (a,x)
