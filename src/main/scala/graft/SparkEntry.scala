@@ -80,6 +80,8 @@ object SparkEntry {
     "q_link_triangles" -> ((s, d) => LinkOps.triangleCount(s, d)),
     // fraction of directed edges whose reverse exists (link-farm tell)
     "q_link_reciprocity" -> ((s, d) => LinkOps.reciprocity(s, d)),
+    // pages cited together (A^T A off-diagonal): related-pages signal
+    "q_link_cocitation"  -> ((s, d) => LinkOps.coCitation(s, d)),
     // incremental re-crawl diff by content hash (added/changed/removed)
     "q_crawl_delta"    -> ((s, d) => FrontierOps.crawlDelta(s, d)),
     // next-cycle fetch schedule: staleness priority, per-host politeness cap
@@ -458,7 +460,7 @@ object SparkEntry {
     "q_text_prf", "q_dedup_containment", "q_term_cooccur", "q_text_fuzzy",
     "q_events_transitions", "q_events_anomaly", "q_link_communities",
     "q_vec_outliers", "q_term_cooccur_win", "q_link_reciprocity",
-    "q_events_transitions_stored", "q_source_drift")
+    "q_events_transitions_stored", "q_source_drift", "q_link_cocitation")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -960,6 +962,19 @@ object SparkEntry {
          |             CAST(count(*) AS DOUBLE), 6) AS reciprocity
          |FROM e LEFT JOIN (SELECT dst AS src, src AS dst FROM e) r
          |  ON e.src = r.src AND e.dst = r.dst""".stripMargin,
+    "q_link_cocitation" ->
+      s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
+         |e AS (
+         |  SELECT DISTINCT d.doc_id AS src,
+         |         (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n AS dst
+         |  FROM documents d CROSS JOIN n CROSS JOIN ks
+         |  WHERE (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n <> d.doc_id)
+         |SELECT l.dst AS a, r.dst AS b, count(*) AS n_cocite
+         |FROM e l JOIN e r ON l.src = r.src AND l.dst < r.dst
+         |GROUP BY 1, 2
+         |ORDER BY n_cocite DESC, a ASC, b ASC
+         |LIMIT 20""".stripMargin,
     "q_link_triangles" ->
       s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
          |ks AS (SELECT unnest([1, 2, 3, 4]) AS k),

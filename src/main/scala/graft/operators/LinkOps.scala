@@ -394,6 +394,34 @@ object LinkOps {
           col("n_edges").cast("double"), 6).as("reciprocity"))
   }
 
+  /** Co-citation similarity (`q_link_cocitation`, Small 1973) — pairs of
+    * pages cited TOGETHER: for every two distinct link targets sharing a
+    * source, the number of co-citing sources. The classic related-pages
+    * signal (A^T·A off-diagonal) and the link-analysis complement of the
+    * content-based similarity family.
+    *
+    * Scale: the pair fan-out per source is C(out-degree, 2) — bounded by
+    * the crawler's own fanout (a page links to dozens, not millions), so
+    * the pair stream is edge-linear with a small constant; the
+    * aggregation partial-combines on (a, b). The hub hazard lives on the
+    * IN-degree side and never materializes: a page cited by millions
+    * contributes one row per citing source, not a quadratic corner —
+    * the transpose problem (bibliographic coupling over out-hubs) would
+    * need the triangle counting treatment instead.
+    */
+  def coCitation(spark: SparkSession, dir: String, fanout: Int = 4,
+      topK: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = linkEdges(docs, n, fanout).distinct().localCheckpoint(false)
+    val l = e.select(col("src"), col("dst").as("a"))
+    val r = e.select(col("src"), col("dst").as("b"))
+    l.join(r, Seq("src")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_cocite"))
+      .orderBy(col("n_cocite").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+  }
+
   /** Community detection by synchronous LABEL PROPAGATION
     * (`q_link_communities`, Raghavan et al. 2007) over the undirected
     * [[linkEdges]] graph. Every node starts as its own label; each round
