@@ -921,4 +921,26 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  /** Streaming-MAINTAINED transition matrix: the watermark-finalized
+    * transition rows of [[statefulTransitions]] (each emitted exactly
+    * once) fold into the additive aggregate store — compose the
+    * order-sensitive half (keyed state finalizes event order) with the
+    * additive half (per-bucket-watermarked count folds), and the
+    * non-additive aggregate becomes a maintained artifact with no
+    * bespoke store code. Serve via
+    * [[graft.sources.CatalogOps.serveAggReport]]: (from_type, to_type,
+    * n) with no event scan at ask time. A redelivered micro-batch
+    * no-ops at the bucket watermark; an idle user flushes through the
+    * state op's event-time timeout. The batch twin of the SERVED matrix
+    * is [[graft.operators.EventOps.transitionsOn]] — equality pinned in
+    * StreamingSpec.
+    */
+  def streamingTransitionMatrix(events: Dataset[Ev], db: String,
+      name: String, buckets: Int = 32): StreamingQuery = {
+    import events.sparkSession.implicits._
+    streamingAggReport(
+      statefulTransitions(events).toDF().withColumn("one", lit(1.0)),
+      db, name, keys = Seq("from_type", "to_type"), valueCol = "one", buckets)
+  }
 }

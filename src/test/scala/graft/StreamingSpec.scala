@@ -1265,6 +1265,42 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("streaming-maintained transition matrix: served counts equal the batch lag pairs") {
+    import graft.sources.CatalogOps
+    implicit val ctx = spark.sqlContext
+    val db = "rtransdb"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // out-of-order WITHIN batches; a user straddling both batches
+    val b0 = Seq(Ev(7L, 3L, ts(30), "view", 1.0), Ev(7L, 1L, ts(10), "view", 1.0),
+      Ev(7L, 2L, ts(20), "click", 1.0), Ev(8L, 4L, ts(15), "view", 1.0))
+    val b1 = Seq(Ev(8L, 5L, ts(45), "purchase", 1.0), Ev(7L, 6L, ts(50), "click", 1.0))
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.streamingTransitionMatrix(in.toDS, db, "ev")
+    try {
+      in.addData(b0); q.processAllAvailable()
+      in.addData(b1); q.processAllAvailable()
+      // advance the watermark far past everything, twice, so the state
+      // op's event-time timeouts flush the pending tails into the store
+      in.addData(Ev(999L, 901L, ts(100000), "view", 1.0)); q.processAllAvailable()
+      in.addData(Ev(999L, 902L, ts(200000), "view", 1.0)); q.processAllAvailable()
+    } finally q.stop()
+    val served = CatalogOps.serveAggReport(spark, db, "ev")
+      .filter($"from_type" =!= "view" || $"to_type" =!= "view" ||
+        $"n" =!= 1L) // drop the flush user's lone view->view row
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val all = (b0 ++ b1).map(e => (e.user_id, e.event_id, e.ts, e.event_type))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val want = graft.operators.EventOps.transitionsOn(all).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(served === want,
+      s"served matrix must equal the batch lag pairs: $served vs $want")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("streaming q-digest equals the batch digests below saturation; replays no-op") {
     import graft.sources.{CatalogOps, Tables}
     implicit val ctx = spark.sqlContext
