@@ -156,4 +156,96 @@ object MlOps {
       labeled.filter(col("doc_id") % 2 === 0), dim, iters)
     scoreQualityLr(docs.select(col("doc_id"), col("text")), w, b)
   }
+
+  /** `q_select_dsir`: DSIR — data selection via importance reweighting
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023). The third selection method next to the
+    * heuristic gate and the trained classifier, and the one production
+    * pretraining mixes actually use to steer a crawl toward a target
+    * domain: fit two bag-of-n-gram unigram LMs — one on the TARGET
+    * corpus (here: the `targetLang` documents, standing in for the
+    * curated high-quality set), one on the RAW pool (the whole corpus) —
+    * and weight every pool document by its log importance ratio
+    * Σ_f c_f(x)·[ln p̂_tgt(f) − ln p̂_raw(f)] over unigram + bigram
+    * features (the paper's feature space), add-1 smoothed over the
+    * shared vocabulary. The top-`m` by per-feature average (length
+    * de-biased) are the selection. The paper's final Gumbel-top-k
+    * resample is one extra hash-seeded noise column on this same frame;
+    * the deterministic ranking form ships because it is the part with
+    * an exact cross-engine answer.
+    *
+    * Cross-engine exactness (the [[TextAnalysisOps.sourceDriftOn]]
+    * nano-unit convention): each feature's log-ratio is ONE shared
+    * double expression over exact integer counts,
+    * floor(·×1e9 + 0.5)-rounded to a BIGINT per feature BEFORE any sum,
+    * so a document's weight is an order-independent integer dot product
+    * — engine- and partition-order-exact, same oracle arithmetic.
+    *
+    * Scale: ONE corpus tokenize pass lands at (doc, feature, count)
+    * grain — the only corpus-sized exchange; the model aggregate above
+    * it is bounded at distinct features, the two scalars ride a
+    * broadcast one-row frame, and scoring re-joins the cached pair
+    * frame against the vocab-sized ratio table on `f` (sort-merge; at
+    * open-web vocabularies the paper hashes features into ~10⁴ buckets
+    * precisely to bound this model — [[graft.plans.FeatureHashEmbed]]
+    * supplies that variant when the vocab outgrows a join side).
+    * Selection is a bounded TakeOrdered, never a global sort.
+    */
+  def dsirSelect(spark: SparkSession, dir: String, targetLang: String = "en",
+      m: Int = 100): DataFrame =
+    dsirSelectOn(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text")),
+      col("lang") === lit(targetLang), m)
+
+  /** `docs` must carry (doc_id, lang, source, text); `isTarget` marks the
+    * target-corpus rows (they stay in the scored pool — DSIR weights are
+    * relative, and the target's own documents ranking high is the
+    * expected sanity signal).
+    */
+  private[graft] def dsirSelectOn(docs: DataFrame, isTarget: Column,
+      m: Int): DataFrame = {
+    val t = split(col("text"), " ")
+    // unigrams ++ adjacent bigrams ("w1 w2" — a space never occurs inside
+    // a token, so the two feature families cannot collide)
+    val feats = concat(t,
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1), i =>
+          concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+        .otherwise(array().cast("array<string>")))
+    // the one corpus-grain exchange: occurrence stream → (doc, f, c)
+    val pair = docs
+      .select(col("doc_id"), isTarget.as("tgt"), explode(feats).as("f"))
+      .groupBy(col("doc_id"), col("tgt"), col("f"))
+      .agg(count(lit(1)).as("c"))
+      .cache() // feeds model build AND scoring: one tokenize, one shuffle
+    val model = pair.groupBy(col("f")).agg(
+      sum(when(col("tgt"), col("c")).otherwise(lit(0L))).as("ct"),
+      sum(col("c")).as("cr"))
+    val scalars = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"),
+      count(lit(1)).as("v"))
+    val lnr = model.crossJoin(broadcast(scalars))
+      .select(col("f"),
+        floor(log(
+          ((col("ct") + lit(1L)).cast("double") /
+            (col("tt") + col("v")).cast("double")) /
+          ((col("cr") + lit(1L)).cast("double") /
+            (col("tr") + col("v")).cast("double")))
+          * lit(1e9) + lit(0.5)).cast("long").as("w"))
+    val per = pair.join(lnr, Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("w")).as("lw_nano"), sum(col("c")).as("n_feat"))
+    per
+      .join(docs.select(col("doc_id"), col("lang"), col("source")),
+        Seq("doc_id"))
+      .withColumn("lw_avg",
+        round(col("lw_nano").cast("double") / lit(1e9) /
+          col("n_feat").cast("double"), 6))
+      .orderBy(
+        (col("lw_nano").cast("double") / col("n_feat").cast("double")).desc,
+        col("doc_id").asc)
+      .limit(m)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_feat"),
+        col("lw_nano"), col("lw_avg"))
+  }
 }

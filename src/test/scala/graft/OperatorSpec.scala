@@ -4415,4 +4415,50 @@ class OperatorSpec extends AnyFunSuite {
       ("click", "view", 1L),
       ("view", "purchase", 1L)))
   }
+
+  test("dsir: target-like pool docs outrank target-unlike; partition-order invariant") {
+    import spark.implicits._
+    import graft.operators.MlOps
+    // target corpus (lang=tg) dominated by the marker bigram "alpha beta";
+    // pool docs (lang=pl): one echoing the target distribution, one of
+    // fresh off-target tokens, one mixed
+    val docs = Seq(
+      (1L, "tg", "s0", "alpha beta alpha beta alpha beta"),
+      (2L, "tg", "s0", "alpha beta gamma alpha beta"),
+      (3L, "pl", "s1", "alpha beta alpha beta"),       // target-like
+      (4L, "pl", "s1", "zeta eta theta iota kappa"),   // off-target
+      (5L, "pl", "s1", "alpha beta zeta eta")          // mixed
+    ).toDF("doc_id", "lang", "source", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      MlOps.dsirSelectOn(df, col("lang") === "tg", m = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(5)))
+    val got = run(docs)
+    val byId = got.toMap
+    // ranking: target-like pool doc above mixed above off-target
+    assert(byId(3L) > byId(5L) && byId(5L) > byId(4L),
+      s"importance order violated: $got")
+    // a target doc or the target-echoing pool doc tops the list — never
+    // the off-target or mixed pool docs
+    assert(Set(1L, 2L, 3L).contains(got.head._1), s"unexpected top: $got")
+    // exact invariance under input partitioning (integer nano arithmetic)
+    val re = run(docs.repartition(7))
+    assert(re.toSeq === got.toSeq)
+  }
+
+  test("dsir: m caps the selection and keeps the global best") {
+    import spark.implicits._
+    import graft.operators.MlOps
+    val docs = (1L to 20L).map { i =>
+      val txt = if (i <= 5) "target marker tokens here"
+                else if (i % 2 == 0) "target marker tokens here too"
+                else "completely different words entirely"
+      (i, if (i <= 5) "tg" else "pl", "s", txt)
+    }.toDF("doc_id", "lang", "source", "text")
+    val all = MlOps.dsirSelectOn(docs, col("lang") === "tg", m = 100)
+      .collect().map(_.getLong(0))
+    val top3 = MlOps.dsirSelectOn(docs, col("lang") === "tg", m = 3)
+      .collect().map(_.getLong(0))
+    assert(top3.toSeq === all.take(3).toSeq)
+    assert(top3.length === 3)
+  }
 }
