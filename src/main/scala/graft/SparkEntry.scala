@@ -82,6 +82,8 @@ object SparkEntry {
     "q_link_reciprocity" -> ((s, d) => LinkOps.reciprocity(s, d)),
     // pages cited together (A^T A off-diagonal): related-pages signal
     "q_link_cocitation"  -> ((s, d) => LinkOps.coCitation(s, d)),
+    // depth-limited multi-source BFS: min-hop crawl depth from the seeds
+    "q_link_depth"       -> ((s, d) => LinkOps.bfsDepth(s, d)),
     // incremental re-crawl diff by content hash (added/changed/removed)
     "q_crawl_delta"    -> ((s, d) => FrontierOps.crawlDelta(s, d)),
     // next-cycle fetch schedule: staleness priority, per-host politeness cap
@@ -464,7 +466,7 @@ object SparkEntry {
     "q_events_transitions", "q_events_anomaly", "q_link_communities",
     "q_vec_outliers", "q_term_cooccur_win", "q_link_reciprocity",
     "q_events_transitions_stored", "q_source_drift", "q_link_cocitation",
-    "q_select_dsir")
+    "q_select_dsir", "q_link_depth")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -997,6 +999,23 @@ object SparkEntry {
          |SELECT t AS n_triangles, nw AS n_wedges,
          |       round(3.0 * t / nw, 6) AS clustering
          |FROM tri CROSS JOIN w""".stripMargin,
+    // BFS depth: recursive-CTE min-hop reference over the same edge hash
+    "q_link_depth" ->
+      s"""WITH RECURSIVE n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
+         |e AS (
+         |  SELECT DISTINCT d.doc_id AS src,
+         |         (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n AS dst
+         |  FROM documents d CROSS JOIN n CROSS JOIN ks
+         |  WHERE (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n <> d.doc_id),
+         |bfs(doc_id, depth) AS (
+         |  SELECT doc_id, 0 AS depth FROM documents WHERE doc_id % 100 = 0
+         |  UNION
+         |  SELECT e.dst, b.depth + 1 FROM bfs b JOIN e ON e.src = b.doc_id
+         |  WHERE b.depth < 3)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(min(depth) AS INT) AS depth
+         |FROM bfs GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
     "q_link_pagerank" -> pageRankOracleSql,
     "q_link_hits" -> hitsOracleSql,
     "q_link_pagerank_stored" -> pageRankOracleSql,

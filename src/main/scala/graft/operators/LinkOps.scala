@@ -483,4 +483,60 @@ object LinkOps {
     labels.select(col("v").as("doc_id"), col("label").as("community"))
       .orderBy(col("doc_id").asc)
   }
+
+  /** Depth-limited multi-source BFS (`q_link_depth`) — min-hop distance
+    * from a seed set within `maxDepth` rounds: the crawl-scheduling
+    * primitive behind depth-limited frontier expansion (a crawler that
+    * stops at depth d fetches exactly this set, in exactly these waves)
+    * and the reachability complement of the centrality family — pagerank
+    * weights reachable mass, BFS says WHAT is reachable and how soon.
+    * Seeds here are `doc_id % seedMod == 0` (the fixture's stand-in for
+    * a seed-URL list).
+    *
+    * Scale: textbook frontier iteration — each round joins only the
+    * CURRENT frontier (nodes discovered last round, never the full
+    * visited set) against the materialized edge list on `src`, anti-joins
+    * the visited set to keep fresh nodes, and unions them in at depth r.
+    * Per-round join work is |frontier|·fanout rows; the visited set rides
+    * one exchange for the anti join. The edge list localCheckpoints once
+    * and the per-round frames re-checkpoint (the [[pageRank]] lineage
+    * rule — an unrolled declarative plan doubles per round). Rounds are
+    * bounded by `maxDepth` BY CONTRACT — depth-limited crawling wants
+    * the cutoff anyway, so there is no unbounded-iteration hazard; an
+    * exhaustive closure would add an emptiness check per round (the
+    * [[graft.operators.DedupOps]] CC discipline).
+    *
+    * Determinism: a node's depth is its min hop count — a pure function
+    * of graph + seeds with nothing to tie-break (any parent discovering
+    * a node in round r assigns the same depth r).
+    */
+  def bfsDepth(spark: SparkSession, dir: String, seedMod: Long = 100,
+      maxDepth: Int = 3, fanout: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = linkEdges(docs, n, fanout).distinct()
+    bfsDepthOn(docs.filter(col("doc_id") % lit(seedMod) === 0), e, maxDepth)
+  }
+
+  /** Parametric core: `seeds` (doc_id) at depth 0 over directed edges
+    * (src, dst). Output: (doc_id, depth) for every node within
+    * `maxDepth` hops, ordered by doc_id.
+    */
+  private[graft] def bfsDepthOn(seeds: DataFrame, edges: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val e = edges.localCheckpoint(false)
+    var visited = seeds.select(col("doc_id"), lit(0).as("depth"))
+      .localCheckpoint(false)
+    var frontier = visited.select(col("doc_id"))
+    for (r <- 1 to maxDepth) {
+      val next = frontier.join(e, frontier("doc_id") === e("src"))
+        .select(col("dst").as("doc_id")).distinct()
+        .join(visited.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(r).as("depth"))
+        .localCheckpoint(false)
+      visited = visited.unionByName(next).localCheckpoint(false)
+      frontier = next.select(col("doc_id"))
+    }
+    visited.orderBy(col("doc_id").asc)
+  }
 }

@@ -4461,4 +4461,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(top3.toSeq === all.take(3).toSeq)
     assert(top3.length === 3)
   }
+
+  test("bfs depth: min-hop on a diamond+chain, depth cutoff, partition invariance") {
+    import spark.implicits._
+    import graft.operators.LinkOps
+    // 1→2, 1→3, 2→4, 3→4 (diamond), 4→5→6→7 (chain past the cutoff)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("doc_id")
+    val got = LinkOps.bfsDepthOn(seeds, e, maxDepth = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // node 4 is reachable at depth 2 via both branches — min-hop, once
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3))
+    // deeper cutoff reaches the chain tail; shallower stops earlier
+    val deep = LinkOps.bfsDepthOn(seeds, e, maxDepth = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(deep(6L) === 4 && deep(7L) === 5)
+    // multi-source: a second seed re-roots its own neighborhood at 0
+    val two = LinkOps.bfsDepthOn(Seq(1L, 5L).toDF("doc_id"), e, maxDepth = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(two(5L) === 0 && two(6L) === 1 && two(7L) === 2 && two(4L) === 2)
+    // exact invariance under input partitioning
+    val re = LinkOps.bfsDepthOn(seeds.repartition(5), e.repartition(7), 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(re === got)
+  }
 }
