@@ -412,6 +412,8 @@ object SparkEntry {
     "q_pivot"          -> ((s, d) => RelOps.pivotEvents(s, d)),
     "q_unpivot"        -> ((s, d) => RelOps.unpivotLineitem(s, d)),
     "q_agg_stats"      -> ((s, d) => RelOps.aggStats(s, d)),
+    // Pearson matrix from exact integer-cent moments: one pass, 15 numbers
+    "q_corr_matrix"    -> ((s, d) => RelOps.corrMatrix(s, d)),
     "q_window_running" -> ((s, d) => RelOps.windowRunning(s, d)),
     "q_window_lag"     -> ((s, d) => RelOps.windowLag(s, d)),
     "q_window_percentrank" -> ((s, d) => RelOps.windowPercentRank(s, d)),
@@ -466,7 +468,7 @@ object SparkEntry {
     "q_events_transitions", "q_events_anomaly", "q_link_communities",
     "q_vec_outliers", "q_term_cooccur_win", "q_link_reciprocity",
     "q_events_transitions_stored", "q_source_drift", "q_link_cocitation",
-    "q_select_dsir", "q_link_depth")
+    "q_select_dsir", "q_link_depth", "q_corr_matrix")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1916,6 +1918,44 @@ object SparkEntry {
         |SELECT chk AS "check", CAST(v AS BIGINT) AS violations,
         |       CAST(t AS BIGINT) AS total, CAST(v AS BIGINT) = 0 AS pass
         |FROM checks ORDER BY chk ASC""".stripMargin,
+    // Pearson from exact integer-cent moments: r is ONE shared double
+    // expression over them with identical operand order in both engines
+    "q_corr_matrix" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS d,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS e,
+        |         CAST(round(l_quantity * 100) AS BIGINT) AS q,
+        |         CAST(round(l_tax * 100) AS BIGINT) AS t
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(d) AS DOUBLE) AS sd, CAST(sum(e) AS DOUBLE) AS se,
+        |         CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(t) AS DOUBLE) AS st,
+        |         CAST(sum(d*d) AS DOUBLE) AS qd, CAST(sum(e*e) AS DOUBLE) AS qe,
+        |         CAST(sum(q*q) AS DOUBLE) AS qq, CAST(sum(t*t) AS DOUBLE) AS qt,
+        |         CAST(sum(d*e) AS DOUBLE) AS pde, CAST(sum(d*q) AS DOUBLE) AS pdq,
+        |         CAST(sum(d*t) AS DOUBLE) AS pdt, CAST(sum(e*q) AS DOUBLE) AS peq,
+        |         CAST(sum(e*t) AS DOUBLE) AS pet, CAST(sum(q*t) AS DOUBLE) AS pqt
+        |  FROM c)
+        |SELECT col_a, col_b, corr FROM (
+        |  SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+        |         round((n*pde - sd*se) / (sqrt(n*qd - sd*sd) * sqrt(n*qe - se*se)), 6) AS corr FROM m
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_quantity',
+        |         round((n*pdq - sd*sq) / (sqrt(n*qd - sd*sd) * sqrt(n*qq - sq*sq)), 6) FROM m
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_tax',
+        |         round((n*pdt - sd*st) / (sqrt(n*qd - sd*sd) * sqrt(n*qt - st*st)), 6) FROM m
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_quantity',
+        |         round((n*peq - se*sq) / (sqrt(n*qe - se*se) * sqrt(n*qq - sq*sq)), 6) FROM m
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_tax',
+        |         round((n*pet - se*st) / (sqrt(n*qe - se*se) * sqrt(n*qt - st*st)), 6) FROM m
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_tax',
+        |         round((n*pqt - sq*st) / (sqrt(n*qq - sq*sq) * sqrt(n*qt - st*st)), 6) FROM m)
+        |ORDER BY col_a ASC, col_b ASC""".stripMargin,
     "q_window_percentrank" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |       percent_rank() OVER (PARTITION BY c_mktsegment

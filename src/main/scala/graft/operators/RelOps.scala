@@ -1815,4 +1815,56 @@ object RelOps {
       .agg(count(lit(1)).as("numcust"), sumMoney(col("c_acctbal")).as("totacctbal"))
       .orderBy(col("cntrycode").asc)
   }
+
+  /** Pearson correlation matrix (`q_corr_matrix`) over lineitem's four
+    * money/quantity columns — the numeric-profiling pass next to
+    * [[qualityChecks]]: feature-redundancy screening and drift baselining
+    * both start from exactly this matrix.
+    *
+    * Determinism (the [[graft.operators.EventOps]] anomaly convention,
+    * extended to products): every moment is an EXACT integer — values
+    * scale to cents (2-decimal money, so round(x·100) is exact), per-row
+    * products stay inside long, and sums accumulate as decimal(38,0)
+    * (Spark) / HUGEINT (DuckDB) so no partition-order double drift can
+    * exist. A built-in `corr()` would sum doubles in partition order —
+    * nondeterministic across runs AND engines. The final r =
+    * (n·P−S_a·S_b)/(√(n·Q_a−S_a²)·√(n·Q_b−S_b²)) is one shared double
+    * expression over the exact moments with identical operand order in
+    * both engines, round-6.
+    *
+    * Scale: ONE corpus pass computes all 15 moments map-side-partially
+    * (the shuffle carries one 15-number row per task); the matrix
+    * assembly reads the one-row frame — localCheckpointed so the six
+    * pair projections share the single pass instead of re-deriving it.
+    */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val names = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+    val cents = names.map(c => round(col(c) * lit(100.0)).cast("long").as(c))
+    corrMatrixOn(Tables.lineitem(spark, dir).select(cents: _*), names)
+  }
+
+  /** Parametric core: `base` columns must already be exact integers
+    * (longs small enough that pairwise per-row products fit in long).
+    */
+  private[graft] def corrMatrixOn(base: DataFrame,
+      names: Seq[String]): DataFrame = {
+    val pairs = for {
+      i <- names.indices; j <- names.indices if i < j
+    } yield (names(i), names(j))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val aggs = Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
+      names.map(c => sum(d38(col(c))).as(s"s_$c")) ++
+      names.map(c => sum(d38(col(c) * col(c))).as(s"q_$c")) ++
+      pairs.map { case (a, b) => sum(d38(col(a) * col(b))).as(s"p_${a}_${b}") }
+    val m = base.agg(aggs.head, aggs.tail: _*).localCheckpoint(false)
+    def dbl(c: String) = col(c).cast("double")
+    val rows = pairs.map { case (a, b) =>
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        round((dbl("n") * dbl(s"p_${a}_${b}") - dbl(s"s_$a") * dbl(s"s_$b")) /
+          (sqrt(dbl("n") * dbl(s"q_$a") - dbl(s"s_$a") * dbl(s"s_$a")) *
+            sqrt(dbl("n") * dbl(s"q_$b") - dbl(s"s_$b") * dbl(s"s_$b"))),
+          6).as("corr"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("col_a").asc, col("col_b").asc)
+  }
 }

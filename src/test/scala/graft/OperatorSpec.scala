@@ -4486,4 +4486,28 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(re === got)
   }
+
+  test("corr matrix: hand values, bounds, partition invariance") {
+    import spark.implicits._
+    import graft.operators.RelOps
+    // y = 2x (r=1), z = -x (r=-1), w independent-ish
+    val df = Seq((1L, 2L, -1L, 5L), (2L, 4L, -2L, 3L), (3L, 6L, -3L, 8L),
+      (4L, 8L, -4L, 1L), (5L, 10L, -5L, 9L))
+      .toDF("x", "y", "z", "w")
+    val names = Seq("w", "x", "y", "z")
+    val got = RelOps.corrMatrixOn(df, names).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(got(("x", "y")) === 1.0)
+    assert(got(("x", "z")) === -1.0)
+    assert(got(("y", "z")) === -1.0)
+    assert(got.values.forall(v => v >= -1.0 && v <= 1.0))
+    assert(got.size === 6)
+    val re = RelOps.corrMatrixOn(df.repartition(7), names).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(re === got)
+    // fixture run returns 6 in-range rows
+    val fix = RelOps.corrMatrix(spark, sf).collect()
+    assert(fix.length === 6 &&
+      fix.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
 }
