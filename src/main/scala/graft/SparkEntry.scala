@@ -147,6 +147,9 @@ object SparkEntry {
     // DSIR importance-weighted selection (Xie et al. 2023): target-vs-raw
     // n-gram LM log-ratio per doc, nano-unit exact → fully oracled
     "q_select_dsir"     -> ((s, d) => MlOps.dsirSelect(s, d)),
+    // the MAINTAINED model (create-half + fold-half): integer count folds
+    // make the served selection bit-identical → SAME oracle
+    "q_select_dsir_stored" -> ((s, d) => MlOps.dsirSelectStored(s, d)),
     // the MAINTAINED sketch (create-half + fold-half each run) — exact
     // below saturation, so it faces the SAME oracle as the live aggregate
     "q_term_heavyhitters_stored" -> ((s, d) => TextAnalysisOps.heavyHittersStoredFixture(s, d)),
@@ -468,7 +471,7 @@ object SparkEntry {
     "q_events_transitions", "q_events_anomaly", "q_link_communities",
     "q_vec_outliers", "q_term_cooccur_win", "q_link_reciprocity",
     "q_events_transitions_stored", "q_source_drift", "q_link_cocitation",
-    "q_select_dsir", "q_link_depth", "q_corr_matrix")
+    "q_select_dsir", "q_link_depth", "q_corr_matrix", "q_select_dsir_stored")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1454,6 +1457,39 @@ object SparkEntry {
     // DSIR: per-feature ln-ratio nano-rounded BEFORE the per-doc sum —
     // the same order-independent integer arithmetic as the Spark plan
     "q_select_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |occ AS (
+        |  SELECT doc_id, lang, unnest(t) AS f FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS f
+        |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |pair AS (
+        |  SELECT doc_id, lang, f, count(*) AS c FROM occ GROUP BY doc_id, lang, f),
+        |model AS (
+        |  SELECT f, sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct,
+        |         sum(c) AS cr
+        |  FROM pair GROUP BY f),
+        |s AS (SELECT sum(ct) AS tt, sum(cr) AS tr, count(*) AS v FROM model),
+        |lnr AS (
+        |  SELECT f, CAST(floor(ln(
+        |      ((ct + 1.0) / CAST(tt + v AS DOUBLE)) /
+        |      ((cr + 1.0) / CAST(tr + v AS DOUBLE))) * 1000000000.0 + 0.5)
+        |    AS BIGINT) AS w
+        |  FROM model CROSS JOIN s),
+        |per AS (
+        |  SELECT doc_id, sum(c * w) AS lw_nano, sum(c) AS n_feat
+        |  FROM pair JOIN lnr USING (f) GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, d.source, CAST(p.n_feat AS BIGINT) AS n_feat,
+        |       CAST(p.lw_nano AS BIGINT) AS lw_nano,
+        |       round(CAST(p.lw_nano AS DOUBLE) / 1000000000.0 / p.n_feat, 6)
+        |         AS lw_avg
+        |FROM per p JOIN documents d USING (doc_id)
+        |ORDER BY CAST(p.lw_nano AS DOUBLE) / p.n_feat DESC, d.doc_id ASC
+        |LIMIT 100""".stripMargin,
+    // maintained-model form: bit-identical (integer count folds) — SAME oracle
+    "q_select_dsir_stored" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
         |occ AS (

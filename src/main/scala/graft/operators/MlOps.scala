@@ -205,26 +205,122 @@ object MlOps {
     */
   private[graft] def dsirSelectOn(docs: DataFrame, isTarget: Column,
       m: Int): DataFrame = {
+    // the one corpus-grain exchange, shared by model build AND scoring:
+    // one tokenize, one shuffle
+    val pair = dsirPairsOf(docs, isTarget).cache()
+    dsirRank(
+      dsirWeigh(pair, dsirLnrOf(dsirModelOf(pair))),
+      docs.select(col("doc_id"), col("lang"), col("source")), m)
+  }
+
+  /** Build-if-absent maintained DSIR model for the stored contract
+    * entry — create on even doc_ids, fold the odd half (the ensure
+    * convention, [[TextAnalysisOps.ensureTermSketch]]): the maintenance
+    * path itself faces the oracle, because integer count folds make the
+    * maintained model EQUAL the one-shot model.
+    */
+  private[graft] def ensureDsirModel(spark: SparkSession, dir: String,
+      targetLang: String = "en"): (String, String) = {
+    import graft.sources.CatalogOps
+    val db = "graft_dsir"
+    val name = "docs"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__dsirmodel")) {
+        CatalogOps.createDatabase(spark, db)
+        KnnOps.dropTableAndDir(spark, db, s"${name}__dsirmodel")
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        val isT = col("lang") === lit(targetLang)
+        CatalogOps.createDsirModel(spark, db, name,
+          docs.filter(col("doc_id") % 2 === 0), isT)
+        CatalogOps.upsertDsirModel(spark, db, name,
+          docs.filter(col("doc_id") % 2 =!= 0), isT, batchId = 0L)
+      }
+    }
+    (db, name)
+  }
+
+  /** `q_select_dsir_stored`: the selection served from the MAINTAINED
+    * model — the corpus pass that builds the count tables is already
+    * paid; ask time costs one tokenize of the pool plus the vocab join.
+    * Because folds are exact integer additions, the served output is
+    * bit-identical to [[dsirSelect]] and faces the SAME DuckDB oracle —
+    * the maintained artifact must never drift from the definition.
+    */
+  def dsirSelectStored(spark: SparkSession, dir: String,
+      targetLang: String = "en", m: Int = 100): DataFrame = {
+    import graft.sources.CatalogOps
+    val (db, name) = ensureDsirModel(spark, dir, targetLang)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val pair = dsirPairsOf(docs, col("lang") === lit(targetLang))
+    dsirRank(
+      dsirWeigh(pair, dsirLnrOf(CatalogOps.readDsirModel(spark, db, name))),
+      docs.select(col("doc_id"), col("lang"), col("source")), m)
+  }
+
+  /** One streaming micro-batch against the maintained DSIR model: fold
+    * the batch's counts in ([[graft.sources.CatalogOps.upsertDsirModel]],
+    * replay-safe via the row-carried watermark), then weigh THIS batch
+    * against the UPDATED model — the arrival-ordered online form (an
+    * early batch faces a younger model; the final model still equals the
+    * batch model exactly). Returns (doc_id, lang, source, n_feat,
+    * lw_nano) for the batch; the sink owns durability (key on (doc_id,
+    * batch_id) for at-least-once replays — the model side already
+    * no-ops).
+    */
+  private[graft] def dsirIncrementalBatch(batch: DataFrame, db: String,
+      name: String, batchId: Long, targetLang: String): DataFrame = {
+    import graft.sources.CatalogOps
+    val spark = batch.sparkSession
+    val isT = col("lang") === lit(targetLang)
+    CatalogOps.upsertDsirModel(spark, db, name, batch, isT, batchId)
+    val pair = dsirPairsOf(batch, isT)
+    dsirWeigh(pair, dsirLnrOf(CatalogOps.readDsirModel(spark, db, name)))
+      .join(batch.select(col("doc_id"), col("lang"), col("source")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_feat"),
+        col("lw_nano"))
+  }
+
+  /** Unigram ++ adjacent-bigram feature array over `text` ("w1 w2" — a
+    * space never occurs inside a token, so the families cannot collide).
+    */
+  private[graft] def dsirFeats: Column = {
     val t = split(col("text"), " ")
-    // unigrams ++ adjacent bigrams ("w1 w2" — a space never occurs inside
-    // a token, so the two feature families cannot collide)
-    val feats = concat(t,
+    concat(t,
       when(size(t) >= 2,
         transform(sequence(lit(1), size(t) - 1), i =>
           concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
         .otherwise(array().cast("array<string>")))
-    // the one corpus-grain exchange: occurrence stream → (doc, f, c)
-    val pair = docs
-      .select(col("doc_id"), isTarget.as("tgt"), explode(feats).as("f"))
+  }
+
+  /** Occurrence stream reduced to (doc_id, tgt, f, c) grain. */
+  private[graft] def dsirPairsOf(docs: DataFrame,
+      isTarget: Column): DataFrame =
+    docs.select(col("doc_id"), isTarget.as("tgt"), explode(dsirFeats).as("f"))
       .groupBy(col("doc_id"), col("tgt"), col("f"))
       .agg(count(lit(1)).as("c"))
-      .cache() // feeds model build AND scoring: one tokenize, one shuffle
-    val model = pair.groupBy(col("f")).agg(
+
+  /** (f, ct, cr): per-feature target and raw (= whole pool) counts —
+    * exchange bounded at distinct features. Integer counts ⇒ the model
+    * folds ADDITIVELY: create + upsert over disjoint halves reproduce
+    * the one-shot model exactly, the property the stored form leans on.
+    */
+  private[graft] def dsirModelOf(pair: DataFrame): DataFrame =
+    pair.groupBy(col("f")).agg(
       sum(when(col("tgt"), col("c")).otherwise(lit(0L))).as("ct"),
       sum(col("c")).as("cr"))
+
+  /** (f, w): the add-1-smoothed log importance ratio per feature,
+    * nano-rounded to a BIGINT — ONE shared double expression over the
+    * exact integer counts, identical in the DuckDB oracle. Scalars ride
+    * a broadcast one-row frame.
+    */
+  private[graft] def dsirLnrOf(model: DataFrame): DataFrame = {
     val scalars = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"),
       count(lit(1)).as("v"))
-    val lnr = model.crossJoin(broadcast(scalars))
+    model.crossJoin(broadcast(scalars))
       .select(col("f"),
         floor(log(
           ((col("ct") + lit(1L)).cast("double") /
@@ -232,12 +328,23 @@ object MlOps {
           ((col("cr") + lit(1L)).cast("double") /
             (col("tr") + col("v")).cast("double")))
           * lit(1e9) + lit(0.5)).cast("long").as("w"))
-    val per = pair.join(lnr, Seq("f"))
+  }
+
+  /** (doc_id, lw_nano, n_feat): order-free integer dot product of the
+    * doc's feature counts against the nano-rounded ratio table.
+    */
+  private[graft] def dsirWeigh(pair: DataFrame, lnr: DataFrame): DataFrame =
+    pair.join(lnr, Seq("f"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c") * col("w")).as("lw_nano"), sum(col("c")).as("n_feat"))
-    per
-      .join(docs.select(col("doc_id"), col("lang"), col("source")),
-        Seq("doc_id"))
+
+  /** The selection tail: metadata join, length-de-biased average, top-m
+    * bounded TakeOrdered. Shared by the live and stored paths so the
+    * two cannot diverge arithmetically.
+    */
+  private[graft] def dsirRank(per: DataFrame, meta: DataFrame,
+      m: Int): DataFrame =
+    per.join(meta, Seq("doc_id"))
       .withColumn("lw_avg",
         round(col("lw_nano").cast("double") / lit(1e9) /
           col("n_feat").cast("double"), 6))
@@ -247,5 +354,4 @@ object MlOps {
       .limit(m)
       .select(col("doc_id"), col("lang"), col("source"), col("n_feat"),
         col("lw_nano"), col("lw_avg"))
-  }
 }

@@ -2120,6 +2120,84 @@ object CatalogOps {
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__termsketch`")
   }
 
+  // ---- maintained DSIR model (target/raw n-gram count store) ----
+
+  /** Persisted DSIR feature-count model
+    * ([[graft.operators.MlOps.dsirSelect]] as a MAINTAINED artifact):
+    * `{name}__dsirmodel` holds `(f, ct, cr, batch_id)` — per-feature
+    * target and raw counts, vocab-sized, with the replay watermark in
+    * the SAME overwrite (the k-means-model discipline: state and
+    * watermark cannot desync). Counts are INTEGERS, so folds are exact
+    * additions — a maintained model equals the one-shot model built on
+    * the union of its batches, and the weights served from it face the
+    * SAME DuckDB oracle as the live pass. The fold is fully distributed
+    * (union → groupBy(f) → sum, eagerly materialized before the
+    * overwrite); nothing vocab-sized reaches the driver. At open-web
+    * vocabularies, partition the store by a feature-hash bucket and fold
+    * per touched bucket (the aggstore discipline) — the fixture store is
+    * one overwrite.
+    */
+  def createDsirModel(spark: SparkSession, db: String, name: String,
+      docs: DataFrame, isTarget: org.apache.spark.sql.Column): Unit =
+    writeDsirModel(spark, db, name,
+      graft.operators.MlOps.dsirModelOf(
+        graft.operators.MlOps.dsirPairsOf(docs, isTarget)),
+      batchId = -1L)
+
+  /** Fold one batch's counts into the stored model — replay-safe via the
+    * row-carried watermark; a missing store bootstraps from the batch
+    * (the [[upsertSourceCounts]] convention).
+    */
+  def upsertDsirModel(spark: SparkSession, db: String, name: String,
+      batch: DataFrame, isTarget: org.apache.spark.sql.Column,
+      batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val batchModel = graft.operators.MlOps.dsirModelOf(
+      graft.operators.MlOps.dsirPairsOf(batch, isTarget))
+    if (!spark.catalog.tableExists(s"$db.${name}__dsirmodel")) {
+      writeDsirModel(spark, db, name, batchModel, batchId)
+      return
+    }
+    val stored = spark.table(s"`$db`.`${name}__dsirmodel`")
+    // watermark rides every row (incl. the empty-state sentinel), so one
+    // head row answers the replay check
+    val wm = stored.select(max(col("batch_id"))).head()
+    if (!wm.isNullAt(0) && batchId <= wm.getLong(0)) return
+    val merged = stored.filter(col("f").isNotNull)
+      .select(col("f"), col("ct"), col("cr"))
+      .unionByName(batchModel)
+      .groupBy(col("f"))
+      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+    writeDsirModel(spark, db, name, merged, batchId)
+  }
+
+  /** Stored model → (f, ct, cr), sentinel row dropped. */
+  def readDsirModel(spark: SparkSession, db: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.table(s"`$db`.`${name}__dsirmodel`")
+      .filter(col("f").isNotNull)
+      .select(col("f"), col("ct"), col("cr"))
+  }
+
+  private def writeDsirModel(spark: SparkSession, db: String, name: String,
+      model: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    // materialize BEFORE the overwrite: the merged plan reads the table
+    // being replaced (localCheckpoint truncates the lineage — the
+    // staging-swap alternative without the second table)
+    val rows = model
+      .select(col("f"), col("ct").cast("long").as("ct"),
+        col("cr").cast("long").as("cr"), lit(batchId).as("batch_id"))
+      .localCheckpoint(true)
+    val out =
+      if (rows.isEmpty)
+        // empty-state watermark sentinel: see writeSourceCounts
+        spark.createDataFrame(Seq((null: String, 0L, 0L, batchId)))
+          .toDF("f", "ct", "cr", "batch_id")
+      else rows
+    out.write.mode("overwrite").saveAsTable(s"`$db`.`${name}__dsirmodel`")
+  }
+
   // ---- maintained additive aggregate report (incremental mat. view) ----
 
   /** Maintained groupBy report — the simplest and most-used maintained

@@ -603,6 +603,25 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming DSIR — the maintained importance model
+    * ([[graft.sources.CatalogOps.createDsirModel]]) fed one micro-batch
+    * at a time, each batch weighed against the counts SO FAR
+    * ([[graft.operators.MlOps.dsirIncrementalBatch]]). Model folds are
+    * replay-safe via the row-carried watermark; emitted weights are
+    * at-least-once — key the sink on (doc_id, batch_id).
+    */
+  def streamingDsir(docStream: DataFrame, db: String, name: String,
+      targetLang: String = "en")
+      (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.MlOps.dsirIncrementalBatch(
+            batch.toDF(), db, name, id, targetLang), id)
+      }
+      .start()
+
   /** Streaming k-means model maintenance — each embedding micro-batch
     * applies one mini-batch step to the persisted quantizer
     * ([[graft.sources.CatalogOps.upsertKmeansModel]]). Replay-safe by

@@ -4510,4 +4510,12 @@ class OperatorSpec extends AnyFunSuite {
     assert(fix.length === 6 &&
       fix.forall(r => math.abs(r.getDouble(2)) <= 1.0))
   }
+
+  test("dsir stored: maintained model serves the live selection bit-for-bit") {
+    import graft.operators.MlOps
+    val live = MlOps.dsirSelect(spark, sf).collect().toSeq
+    val stored = MlOps.dsirSelectStored(spark, sf).collect().toSeq
+    assert(stored === live,
+      "integer count folds must reproduce the one-shot selection exactly")
+  }
 }

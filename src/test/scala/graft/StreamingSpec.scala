@@ -1794,4 +1794,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     CatalogOps.dropDatabase(spark, db)
   }
+
+  test("streaming dsir: model converges to batch; scores use counts so far; replays no-op") {
+    import graft.sources.{CatalogOps, Tables}
+    import graft.operators.MlOps
+    import org.apache.spark.sql.functions.{col, lit}
+    implicit val ctx = spark.sqlContext
+    val db = "rdsirdb"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"lang", $"source", $"text")
+    val rows = docs.as[(Long, String, String, String)].collect()
+    val (b0, b1) = rows.partition(_._1 < 250)
+    val scores = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = StreamingOps.streamingDsir(
+      in.toDF.toDF("doc_id", "lang", "source", "text"), db, "docs") {
+      (out, id) => scores.synchronized {
+        scores(id) = out.collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+      }
+    }
+    try {
+      in.addData(b0.toIndexedSeq); q.processAllAvailable()
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    def modelSet() = CatalogOps.readDsirModel(spark, db, "docs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // final model equals the one-shot batch model over all docs
+    val want = MlOps.dsirModelOf(
+      MlOps.dsirPairsOf(docs, col("lang") === lit("en"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(modelSet() === want,
+      "integer count folds must converge to the one-shot model")
+    // the second batch was weighed against the by-then-complete model
+    val lnr = MlOps.dsirLnrOf(CatalogOps.readDsirModel(spark, db, "docs"))
+    val wantB1 = MlOps.dsirWeigh(
+      MlOps.dsirPairsOf(docs.filter($"doc_id" >= 250),
+        col("lang") === lit("en")), lnr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scores(1L) === wantB1)
+    // a replayed committed batch no-ops the model and re-derives weights
+    val replayed = MlOps.dsirIncrementalBatch(
+      b1.toIndexedSeq.toDF("doc_id", "lang", "source", "text"),
+      db, "docs", 1L, "en")
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(replayed === wantB1 && modelSet() === want,
+      "replayed fold must not double-count")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
 }
