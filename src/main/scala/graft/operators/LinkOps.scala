@@ -493,18 +493,26 @@ object LinkOps {
     * Seeds here are `doc_id % seedMod == 0` (the fixture's stand-in for
     * a seed-URL list).
     *
-    * Scale: textbook frontier iteration — each round joins only the
-    * CURRENT frontier (nodes discovered last round, never the full
-    * visited set) against the materialized edge list on `src`, anti-joins
-    * the visited set to keep fresh nodes, and unions them in at depth r.
-    * Per-round join work is |frontier|·fanout rows; the visited set rides
-    * one exchange for the anti join. The edge list localCheckpoints once
-    * and the per-round frames re-checkpoint (the [[pageRank]] lineage
-    * rule — an unrolled declarative plan doubles per round). Rounds are
-    * bounded by `maxDepth` BY CONTRACT — depth-limited crawling wants
-    * the cutoff anyway, so there is no unbounded-iteration hazard; an
-    * exhaustive closure would add an emptiness check per round (the
-    * [[graft.operators.DedupOps]] CC discipline).
+    * Scale: frontier iteration where the BIG sides never ride an
+    * exchange. Each round broadcasts the CURRENT frontier (nodes
+    * discovered last round, never the full visited set) and semi-joins
+    * the checkpointed edge list map-side for the out-neighborhood;
+    * dedup broadcasts those candidate ids and streams the visited
+    * deltas map-side. Edge and visited rows are only SCANNED — the
+    * round's whole shuffle is the candidate distinct, so total exchange
+    * stays linear in rounds instead of the quadratic Σ|visited_r| a
+    * per-round anti-join pays and the R·|E| a per-round edge shuffle
+    * pays (both measured in `graft.GraphScale`); a huge-frontier round
+    * (expander regime, where saturation bounds round count) falls back
+    * to shuffled joins rather than a multi-GiB broadcast.
+    * Visited accumulates as per-round checkpointed deltas unioned
+    * lazily (the [[pageRank]] lineage rule — an unrolled declarative
+    * plan doubles per round; re-checkpointing the full set would
+    * rewrite it R times). Rounds are bounded by `maxDepth` BY CONTRACT —
+    * depth-limited crawling wants the cutoff anyway — and an exhausted
+    * frontier (the per-round count is free: it materializes the delta's
+    * checkpoint) stops early, the [[graft.operators.DedupOps]] CC
+    * discipline.
     *
     * Determinism: a node's depth is its min hop count — a pure function
     * of graph + seeds with nothing to tie-break (any parent discovering
@@ -523,20 +531,65 @@ object LinkOps {
     * `maxDepth` hops, ordered by doc_id.
     */
   private[graft] def bfsDepthOn(seeds: DataFrame, edges: DataFrame,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int, dedupBroadcastMax: Long = 2000000L): DataFrame = {
+    // Edges checkpoint ONCE and are only ever STREAMED: in the
+    // small-frontier regime the probe broadcasts the frontier and
+    // semi-joins the edge list map-side, so edge rows never ride an
+    // exchange (pinning a repartition through localCheckpoint does not
+    // survive AQE — measured: the pinned form still re-exchanged the
+    // edge side every round).
     val e = edges.localCheckpoint(false)
-    var visited = seeds.select(col("doc_id"), lit(0).as("depth"))
+    val first = seeds.select(col("doc_id"), lit(0).as("depth"))
       .localCheckpoint(false)
-    var frontier = visited.select(col("doc_id"))
-    for (r <- 1 to maxDepth) {
-      val next = frontier.join(e, frontier("doc_id") === e("src"))
-        .select(col("dst").as("doc_id")).distinct()
-        .join(visited.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), lit(r).as("depth"))
+    // Visited is a buffer of per-round checkpointed DELTAS, unioned
+    // lazily — not one frame re-checkpointed per round, which would
+    // rewrite Σ|visited_r| ≈ R²/2·|frontier| rows over R rounds.
+    val deltas = scala.collection.mutable.ArrayBuffer[DataFrame](first)
+    def visitedIds: DataFrame =
+      deltas.map(_.select(col("doc_id"))).reduce(_ unionByName _)
+    var frontier = first.select(col("doc_id"))
+    var nFrontier = first.count()
+    var r = 1
+    while (r <= maxDepth && nFrontier > 0) {
+      val cand = (
+        if (nFrontier <= dedupBroadcastMax)
+          // Frontier broadcast, edges streamed: the round's only
+          // exchange is the distinct over the frontier's out-
+          // neighborhood. A semi join suffices — multiplicity dies in
+          // the distinct anyway, so don't materialize it.
+          e.join(broadcast(frontier), e("src") === frontier("doc_id"),
+            "left_semi")
+        else
+          // Huge frontier: broadcast would not fit; pay the shuffled
+          // join, amortized over the few rounds this regime can last.
+          e.join(frontier, e("src") === frontier("doc_id"), "left_semi")
+        ).select(col("dst").as("doc_id")).distinct()
         .localCheckpoint(false)
-      visited = visited.unionByName(next).localCheckpoint(false)
+      val nCand = cand.count()
+      val fresh =
+        if (nCand <= dedupBroadcastMax) {
+          // Membership test WITHOUT shuffling the visited set: broadcast
+          // the candidate ids, stream every visited delta map-side to
+          // collect the already-seen subset (≤ |cand| rows), then a
+          // broadcast anti-join of two small sides. Visited bytes never
+          // cross the wire — the round's only exchange is cand's
+          // distinct, proportional to the frontier's out-neighborhood.
+          val seen = visitedIds
+            .join(broadcast(cand), Seq("doc_id"), "left_semi")
+          cand.join(broadcast(seen), Seq("doc_id"), "left_anti")
+        } else {
+          // Expander regime: the frontier saturates the graph in a few
+          // rounds, so the shuffled anti-join's visited exchange is paid
+          // only O(1) times — and a multi-GiB broadcast would be worse.
+          cand.join(visitedIds, Seq("doc_id"), "left_anti")
+        }
+      val next = fresh.select(col("doc_id"), lit(r).as("depth"))
+        .localCheckpoint(false)
+      nFrontier = next.count()
+      if (nFrontier > 0) deltas += next
       frontier = next.select(col("doc_id"))
+      r += 1
     }
-    visited.orderBy(col("doc_id").asc)
+    deltas.reduce(_ unionByName _).orderBy(col("doc_id").asc)
   }
 }
