@@ -82,6 +82,7 @@ object SparkEntry {
     "q_link_reciprocity" -> ((s, d) => LinkOps.reciprocity(s, d)),
     // pages cited together (A^T A off-diagonal): related-pages signal
     "q_link_cocitation"  -> ((s, d) => LinkOps.coCitation(s, d)),
+    "q_link_coupling"    -> ((s, d) => LinkOps.coupling(s, d)),
     // depth-limited multi-source BFS: min-hop crawl depth from the seeds
     "q_link_depth"       -> ((s, d) => LinkOps.bfsDepth(s, d)),
     // incremental re-crawl diff by content hash (added/changed/removed)
@@ -150,6 +151,10 @@ object SparkEntry {
     // the MAINTAINED model (create-half + fold-half): integer count folds
     // make the served selection bit-identical → SAME oracle
     "q_select_dsir_stored" -> ((s, d) => MlOps.dsirSelectStored(s, d)),
+    // farthest-first k-center coreset (Gonzalez 1985 / Sener & Savarese
+    // 2018): the DIVERSITY selection pass; rows-only — iterative greedy
+    // with fp state, pinned against a driver-side reference instead
+    "q_select_kcenter"  -> ((s, d) => MlOps.kcenterSelect(s, d)),
     // the MAINTAINED sketch (create-half + fold-half each run) — exact
     // below saturation, so it faces the SAME oracle as the live aggregate
     "q_term_heavyhitters_stored" -> ((s, d) => TextAnalysisOps.heavyHittersStoredFixture(s, d)),
@@ -471,7 +476,8 @@ object SparkEntry {
     "q_events_transitions", "q_events_anomaly", "q_link_communities",
     "q_vec_outliers", "q_term_cooccur_win", "q_link_reciprocity",
     "q_events_transitions_stored", "q_source_drift", "q_link_cocitation",
-    "q_select_dsir", "q_link_depth", "q_corr_matrix", "q_select_dsir_stored")
+    "q_select_dsir", "q_link_depth", "q_corr_matrix", "q_select_dsir_stored",
+    "q_link_coupling", "q_select_kcenter")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -985,6 +991,21 @@ object SparkEntry {
          |FROM e l JOIN e r ON l.src = r.src AND l.dst < r.dst
          |GROUP BY 1, 2
          |ORDER BY n_cocite DESC, a ASC, b ASC
+         |LIMIT 20""".stripMargin,
+    "q_link_coupling" ->
+      s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
+         |e AS (
+         |  SELECT DISTINCT d.doc_id AS src,
+         |         (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n AS dst
+         |  FROM documents d CROSS JOIN n CROSS JOIN ks
+         |  WHERE (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n <> d.doc_id),
+         |keep AS (SELECT dst FROM e GROUP BY dst HAVING count(*) <= 1000),
+         |p AS (SELECT e.src, e.dst FROM e JOIN keep ON e.dst = keep.dst)
+         |SELECT l.src AS a, r.src AS b, count(*) AS n_couple
+         |FROM p l JOIN p r ON l.dst = r.dst AND l.src < r.src
+         |GROUP BY 1, 2
+         |ORDER BY n_couple DESC, a ASC, b ASC
          |LIMIT 20""".stripMargin,
     "q_link_triangles" ->
       s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),

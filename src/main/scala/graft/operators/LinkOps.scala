@@ -406,8 +406,8 @@ object LinkOps {
     * aggregation partial-combines on (a, b). The hub hazard lives on the
     * IN-degree side and never materializes: a page cited by millions
     * contributes one row per citing source, not a quadratic corner —
-    * the transpose problem (bibliographic coupling over out-hubs) would
-    * need the triangle counting treatment instead.
+    * the transpose problem (bibliographic coupling over in-hubs) is
+    * [[coupling]], shipped with the stop-node prune.
     */
   def coCitation(spark: SparkSession, dir: String, fanout: Int = 4,
       topK: Int = 20): DataFrame = {
@@ -419,6 +419,55 @@ object LinkOps {
     l.join(r, Seq("src")).filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_cocite"))
       .orderBy(col("n_cocite").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+  }
+
+  /** Bibliographic coupling (`q_link_coupling`, Kessler 1963) — pairs of
+    * pages citing the SAME target: for every two distinct sources sharing
+    * a link target, the number of shared targets. The transpose of
+    * [[coCitation]] (A·A^T off-diagonal): co-citation relates the CITED,
+    * coupling relates the CITING — the duplicate-mirror / topic-sibling
+    * signal on the crawl side (two pages with near-identical out-link
+    * sets are template instances or mirrors long before their text says
+    * so).
+    *
+    * Scale: this is the side [[coCitation]]'s scaladoc flags as the hub
+    * hazard — pair fan-out per TARGET is C(in-degree, 2), and in-degree
+    * is unbounded (a page cited by millions detonates one join key
+    * quadratically; out-degree was safe because the crawler's own fanout
+    * bounds it). Shipped treatment is the published stop-node prune, the
+    * exact analogue of [[graft.operators.TextAnalysisOps]]' topV
+    * df-prune for doc-level co-occurrence: targets with in-degree >
+    * `maxIn` are dropped BEFORE pairing. A universally-cited page (front
+    * page, license text, spec) carries ~zero discriminative coupling
+    * signal — identical to a stopword in term space — so the prune caps
+    * per-target work at C(maxIn, 2) while keeping the informative mass.
+    * The prune is part of the metric's DEFINITION here (mirrored in the
+    * oracle), not a silent truncation; on the fixture lattice (in-degree
+    * ≈ fanout) it keeps everything.
+    */
+  def coupling(spark: SparkSession, dir: String, fanout: Int = 4,
+      maxIn: Int = 1000, topK: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    couplingOn(linkEdges(docs, n, fanout).distinct(), maxIn, topK)
+  }
+
+  /** Parametric core: distinct directed edges (src, dst) in, top-`topK`
+    * coupled source pairs out; targets with in-degree > `maxIn` dropped
+    * before pairing.
+    */
+  private[graft] def couplingOn(edges: DataFrame, maxIn: Int,
+      topK: Int): DataFrame = {
+    val e = edges.localCheckpoint(false)
+    val keep = e.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
+      .filter(col("indeg") <= maxIn).select(col("dst"))
+    val pruned = e.join(keep, Seq("dst"), "left_semi")
+    val l = pruned.select(col("dst"), col("src").as("a"))
+    val r = pruned.select(col("dst"), col("src").as("b"))
+    l.join(r, Seq("dst")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_couple"))
+      .orderBy(col("n_couple").desc, col("a").asc, col("b").asc)
       .limit(topK)
   }
 

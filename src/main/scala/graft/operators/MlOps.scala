@@ -354,4 +354,92 @@ object MlOps {
       .limit(m)
       .select(col("doc_id"), col("lang"), col("source"), col("n_feat"),
         col("lw_nano"), col("lw_avg"))
+
+  /** Farthest-first k-center coreset selection (`q_select_kcenter`;
+    * Gonzalez 1985 farthest-point traversal, the 2-approximation for the
+    * k-center objective; Sener & Savarese ICLR 2018 ship exactly this
+    * greedy as the core-set selector for training-data subsampling). The
+    * DIVERSITY complement of [[dsirSelect]]: DSIR keeps what looks like
+    * the target, k-center keeps a set whose covering radius over
+    * embedding space is (within 2×) minimal — the "one of everything"
+    * pass a curation pipeline runs before the "more of the good stuff"
+    * pass. Output is the selection trajectory: (rank, vec_id, radius)
+    * where radius is the chosen point's cosine distance to the nearest
+    * earlier center — the monotone non-increasing covering-radius curve
+    * (pinned), whose elbow is the operational "diverse enough" signal.
+    *
+    * Deterministic: the seed is the minimum vec_id; each round's argmax
+    * breaks distance ties toward the smaller vec_id via one order-free
+    * `max(struct(dmin, -vec_id, embedding))` aggregate — no window, no
+    * first(); doubles compare exactly, and every row's dmin is the same
+    * least-of-cosines expression regardless of partitioning (pinned).
+    *
+    * Scale: the state frame carries (vec_id, embedding, running dmin) —
+    * ONE column update per round, zero shuffles: the new center rides in
+    * as a broadcast one-row frame (the [[trainQualityLr]] data/plan
+    * split, so the codegen cache serves every round instead of janino
+    * recompiling a vector literal), dmin folds via `least`, and the
+    * round's argmax is a partial-aggregated single-row reduce. Only
+    * k·dim doubles ever reach the driver; per-round state re-checkpoints
+    * (the pagerank lineage rule). A radius that rounds to zero at the
+    * reported 6-dp precision means every remaining point coincides with
+    * a chosen center at output resolution — further centers are dead
+    * weight, so selection stops early.
+    * Rows-only by design: the greedy is iterative with fp state —
+    * engine-native; pinned against an independent driver-side reference
+    * and a planted-cluster resolution test instead.
+    */
+  def kcenterSelect(spark: SparkSession, dir: String, k: Int = 16): DataFrame =
+    kcenterOn(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), k)
+
+  /** Parametric core: (vec_id, embedding array<double>) in, the first
+    * min(k, #distinct-positions) greedy centers out.
+    */
+  private[graft] def kcenterOn(emb: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.cosineFast
+    val spark = emb.sparkSession
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(false)
+    val seed = base.orderBy(col("vec_id").asc).limit(1).collect()
+    require(seed.nonEmpty, "cannot select from an empty embedding set")
+    def step(st: DataFrame, center: Seq[Double]): DataFrame = {
+      val cDf = spark.createDataFrame(Seq(Tuple1(center))).toDF("cvec")
+      st.crossJoin(broadcast(cDf))
+        .select(col("vec_id"), col("embedding"),
+          least(col("dmin"),
+            lit(1.0) - cosineFast(col("embedding"), col("cvec"))).as("dmin"))
+        .localCheckpoint(false)
+    }
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](
+      (1, seed(0).getLong(0), 0.0))
+    var state = step(
+      base.withColumn("dmin", lit(Double.MaxValue)),
+      seed(0).getSeq[Double](1))
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val m = state
+        .agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"),
+          col("embedding").as("e"))).as("m"))
+        .select(col("m.dmin"), (-col("m.nid")).as("vec_id"), col("m.e"))
+        .head()
+      // stop when the covering radius rounds to zero at the REPORTED
+      // precision: cos(v, v) is 1 ± ulp (sqrt(aa)² ≠ aa exactly), so an
+      // exact-zero test would keep selecting duplicate positions with
+      // radius ~1e-16; a center whose radius prints as 0.000000 is dead
+      // weight by the output's own definition
+      if (math.floor(m.getDouble(0) * 1e6 + 0.5) <= 0.0) exhausted = true
+      else {
+        picked += ((r, m.getLong(1), m.getDouble(0)))
+        state = step(state, m.getSeq[Double](2))
+        r += 1
+      }
+    }
+    spark.createDataFrame(picked.toSeq).toDF("rank", "vec_id", "radius")
+      .select(col("rank"), col("vec_id"),
+        round(col("radius"), 6).as("radius"))
+      .orderBy(col("rank").asc)
+  }
 }

@@ -4487,6 +4487,94 @@ class OperatorSpec extends AnyFunSuite {
     assert(re === got)
   }
 
+  test("coupling: hand counts, hub prune drops the promiscuous target, determinism") {
+    import spark.implicits._
+    import graft.operators.LinkOps
+    // sources 1,2 share targets {10,11}; 2,3 share {12}; plus a hub
+    // target 99 cited by EVERY source — in-degree 3 > maxIn=2, pruned
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 12L), (1L, 99L), (2L, 99L), (3L, 99L)).toDF("src", "dst")
+    val got = LinkOps.couplingOn(e, maxIn = 2, topK = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // hub 99 contributes nothing: (1,2)=2 via {10,11}, (2,3)=1 via {12}
+    assert(got === Map((1L, 2L) -> 2L, (2L, 3L) -> 1L))
+    // without the prune the hub couples everyone to everyone
+    val un = LinkOps.couplingOn(e, maxIn = 10, topK = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(un === Map((1L, 2L) -> 3L, (2L, 3L) -> 2L, (1L, 3L) -> 1L))
+    // topK tie order is (count desc, a, b) — deterministic cut
+    val top1 = LinkOps.couplingOn(e, maxIn = 10, topK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(top1.toSeq === Seq((1L, 2L, 3L)))
+    // partition invariance
+    val re = LinkOps.couplingOn(e.repartition(7), maxIn = 2, topK = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(re === got)
+  }
+
+  test("kcenter: cluster resolution, reference equality, radius curve, dup stop") {
+    import spark.implicits._
+    import graft.operators.MlOps
+    // independent greedy reference — same cosine accumulation order as
+    // CosineSimilarity (dot/(sqrt(aa)*sqrt(bb))), max-dist tie -> min id,
+    // stop when the radius rounds to zero at 6 dp
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      val d = math.sqrt(aa) * math.sqrt(bb)
+      1.0 - (if (d == 0.0) 0.0 else dot / d)
+    }
+    def refGreedy(vs: Seq[(Long, Array[Double])], k: Int): Seq[(Int, Long, Double)] = {
+      val sorted = vs.sortBy(_._1)
+      var picked = List((1, sorted.head._1, 0.0))
+      val dmin = scala.collection.mutable.Map(
+        vs.map { case (id, v) => id -> cosD(v, sorted.head._2) }: _*)
+      val byId = vs.toMap
+      var r = 2
+      var stop = false
+      while (r <= k && !stop) {
+        val (id, d) = dmin.toSeq.map { case (i, dd) => (i, dd) }
+          .sortBy { case (i, dd) => (-dd, i) }.head
+        if (math.floor(d * 1e6 + 0.5) <= 0.0) stop = true
+        else {
+          picked ::= ((r, id, d))
+          val cv = byId(id)
+          vs.foreach { case (i, v) => dmin(i) = math.min(dmin(i), cosD(v, cv)) }
+          r += 1
+        }
+      }
+      picked.reverse.map { case (rk, id, d) =>
+        (rk, id, math.floor(d * 1e6 + 0.5) / 1e6)
+      }
+    }
+    // three tight planted clusters around orthogonal axes + jitter
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 30L).map { i =>
+      val base = Array.fill(8)(0.0)
+      base((i % 3).toInt * 2) = 1.0
+      (i, base.map(_ + rnd.nextDouble() * 0.01))
+    }
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val got = MlOps.kcenterOn(df, k = 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    // first three picks cover all three clusters before any revisit
+    val firstClusters = got.take(3).map(_._2 % 3).toSet
+    assert(firstClusters.size === 3)
+    // radius curve is non-increasing from rank 2 on
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b })
+    // exact match against the independent reference (ids + round-6 radius)
+    assert(got === refGreedy(vecs, 5))
+    // partition invariance
+    val re = MlOps.kcenterOn(df.repartition(7), k = 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(re === got)
+    // all-identical positions: selection stops after the seed
+    val dup = (0L until 6L).map(i => (i, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
+    val d1 = MlOps.kcenterOn(dup, k = 4).collect()
+    assert(d1.length === 1 && d1(0).getLong(1) === 0L)
+  }
+
   test("corr matrix: hand values, bounds, partition invariance") {
     import spark.implicits._
     import graft.operators.RelOps
