@@ -180,6 +180,9 @@ object SparkEntry {
     "q_text_redact"     -> ((s, d) => TextAnalysisOps.redactPii(s, d)),
     "q_text_repetition" -> ((s, d) => TextAnalysisOps.repetitionSignals(s, d)),
     "q_decontaminate"   -> ((s, d) => TextAnalysisOps.decontaminate(s, d)),
+    // SEMANTIC decontamination: max cosine vs a broadcast eval-suite row,
+    // folded map-side — catches paraphrase leakage n-grams can't
+    "q_decontaminate_sem" -> ((s, d) => KnnOps.semanticDecontaminate(s, d)),
     "q_pack_sequences"  -> ((s, d) => TextAnalysisOps.packSequences(s, d)),
     // padding-minimizing inference batching (pad < bucketWidth by construction)
     "q_batch_by_length" -> ((s, d) => TextAnalysisOps.batchByLength(s, d)),
@@ -477,7 +480,7 @@ object SparkEntry {
     "q_vec_outliers", "q_term_cooccur_win", "q_link_reciprocity",
     "q_events_transitions_stored", "q_source_drift", "q_link_cocitation",
     "q_select_dsir", "q_link_depth", "q_corr_matrix", "q_select_dsir_stored",
-    "q_link_coupling", "q_select_kcenter")
+    "q_link_coupling", "q_select_kcenter", "q_decontaminate_sem")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1840,6 +1843,20 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.source <> 'src19'
         |ORDER BY d.doc_id ASC""".stripMargin,
+    "q_decontaminate_sem" ->
+      """WITH ev AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE label = 0),
+        |c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE label <> 0),
+        |m AS (
+        |  SELECT c.vec_id,
+        |         round(max(list_cosine_similarity(c.e, ev.e)), 6) AS max_eval_cos
+        |  FROM c CROSS JOIN ev GROUP BY c.vec_id)
+        |SELECT vec_id, max_eval_cos,
+        |       CAST(CASE WHEN max_eval_cos >= 0.45 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS contaminated
+        |FROM m ORDER BY vec_id ASC""".stripMargin,
     "q_batch_by_length" ->
       """WITH b AS (
         |  SELECT doc_id, n_chars, n_chars // 200 AS lbucket,

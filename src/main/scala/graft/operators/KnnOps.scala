@@ -1324,4 +1324,49 @@ object KnnOps {
       .select(col("embedding")).head().getSeq[Double](0).toArray
     topKPq(spark, db, name, corpus(spark, dir), qVec, queryId, k, rescoreK)
   }
+
+  /** SEMANTIC decontamination (`q_decontaminate_sem`) — per corpus vector
+    * the maximum cosine against a held-out eval set, flagged at `tau`:
+    * the embedding-space complement of
+    * [[graft.operators.TextAnalysisOps.decontaminate]]'s n-gram overlap
+    * (frontier-lab data reports run BOTH: n-grams catch verbatim
+    * inclusion, embeddings catch paraphrase/translation leakage that
+    * shares no surface n-gram). The eval set here is one held-out label
+    * of the embeddings fixture — the stand-in for an embedded benchmark
+    * suite.
+    *
+    * Scale: the [[graft.plans.SortedProbeCount]] shape transplanted to
+    * vectors — an eval suite is benchmark-sized (thousands), so it
+    * collapses to ONE broadcast row holding the vector list, and every
+    * corpus row folds its max cosine map-side through one higher-order
+    * `aggregate` over that list: one corpus pass, ZERO shuffles, no hash
+    * exchange near the corpus, |corpus|·|eval|·dim multiplies
+    * embarrassingly parallel. No frame grows with contamination. The
+    * max is order-free, so the (canonically vec_id-sorted) eval array
+    * order cannot matter; round-6 applies AFTER the max (the FIXTURES.md
+    * determinism convention, shared operand order with the DuckDB
+    * `list_cosine_similarity` oracle). An empty eval set yields
+    * max_eval_cos = -1 and nothing flagged.
+    */
+  def semanticDecontaminate(spark: SparkSession, dir: String,
+      evalLabel: Int = 0, tau: Double = 0.45): DataFrame =
+    semanticDecontaminateOn(Tables.embeddings(spark, dir), evalLabel, tau)
+
+  /** Parametric core: (vec_id, label, embedding array<double>) in. */
+  private[graft] def semanticDecontaminateOn(emb: DataFrame,
+      evalLabel: Int, tau: Double): DataFrame = {
+    val evalRow = emb.filter(col("label") === evalLabel)
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("es"))
+      .select(transform(col("es"), e => e("embedding")).as("evecs"))
+    emb.filter(col("label") =!= evalLabel)
+      .crossJoin(broadcast(evalRow))
+      .select(col("vec_id"),
+        round(aggregate(col("evecs"), lit(-1.0),
+          (acc, v) => greatest(acc, cosineFast(col("embedding"), v))), 6)
+          .as("max_eval_cos"))
+      .select(col("vec_id"), col("max_eval_cos"),
+        (col("max_eval_cos") >= tau).cast("long").as("contaminated"))
+      .orderBy(col("vec_id").asc)
+  }
 }

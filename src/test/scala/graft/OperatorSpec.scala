@@ -4575,6 +4575,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(d1.length === 1 && d1(0).getLong(1) === 0L)
   }
 
+  test("semantic decontamination: hand cosines, threshold flag, empty eval set") {
+    import spark.implicits._
+    import graft.operators.KnnOps
+    // eval label 0 = axes e1 and e2; corpus: a copy of e1 (cos 1), a
+    // 45-degree blend (cos ~0.7071), and an orthogonal e3 (cos 0)
+    val emb = Seq(
+      (1L, 0, Seq(1.0, 0.0, 0.0)),
+      (2L, 0, Seq(0.0, 1.0, 0.0)),
+      (10L, 1, Seq(2.0, 0.0, 0.0)),
+      (11L, 1, Seq(1.0, 1.0, 0.0)),
+      (12L, 2, Seq(0.0, 0.0, 5.0))
+    ).toDF("vec_id", "label", "embedding")
+    val got = KnnOps.semanticDecontaminateOn(emb, evalLabel = 0, tau = 0.45)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === Seq((10L, 1.0, 1L), (11L, 0.707107, 1L), (12L, 0.0, 0L)))
+    // tau above the blend: only the exact copy is flagged
+    val strict = KnnOps.semanticDecontaminateOn(emb, evalLabel = 0, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(strict === Seq((10L, 1L), (11L, 0L), (12L, 0L)))
+    // empty eval set: everything survives with max_eval_cos = -1
+    val none = KnnOps.semanticDecontaminateOn(emb, evalLabel = 9, tau = 0.45)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(none.forall { case (_, c, f) => c === -1.0 && f === 0L })
+    assert(none.length === 5)
+    // partition invariance
+    val re = KnnOps.semanticDecontaminateOn(emb.repartition(7), 0, 0.45)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(re === got)
+  }
+
   test("corr matrix: hand values, bounds, partition invariance") {
     import spark.implicits._
     import graft.operators.RelOps
