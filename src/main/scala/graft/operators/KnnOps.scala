@@ -1354,19 +1354,42 @@ object KnnOps {
 
   /** Parametric core: (vec_id, label, embedding array<double>) in. */
   private[graft] def semanticDecontaminateOn(emb: DataFrame,
-      evalLabel: Int, tau: Double): DataFrame = {
-    val evalRow = emb.filter(col("label") === evalLabel)
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
-        .as("es"))
-      .select(transform(col("es"), e => e("embedding")).as("evecs"))
+      evalLabel: Int, tau: Double): DataFrame =
     emb.filter(col("label") =!= evalLabel)
-      .crossJoin(broadcast(evalRow))
-      .select(col("vec_id"),
-        round(aggregate(col("evecs"), lit(-1.0),
-          (acc, v) => greatest(acc, cosineFast(col("embedding"), v))), 6)
-          .as("max_eval_cos"))
+      .crossJoin(broadcast(evalVecsOf(emb.filter(col("label") === evalLabel))))
+      .select(col("vec_id"), maxEvalCos.as("max_eval_cos"))
       .select(col("vec_id"), col("max_eval_cos"),
         (col("max_eval_cos") >= tau).cast("long").as("contaminated"))
       .orderBy(col("vec_id").asc)
-  }
+
+  /** One-row broadcast eval-suite frame: the eval vectors as a single
+    * canonically vec_id-sorted list column `evecs` — build once, cache,
+    * probe per batch (the n-gram `ngramSet` analogue for vectors).
+    */
+  private[graft] def evalVecsOf(evalEmb: DataFrame): DataFrame =
+    evalEmb
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("es"))
+      .select(transform(col("es"), e => e("embedding")).as("evecs"))
+
+  /** round-6 max cosine of this row's `embedding` over the broadcast
+    * `evecs` list — the shared scoring expression of the report and
+    * ingest-filter forms (they cannot diverge).
+    */
+  private def maxEvalCos: Column =
+    round(aggregate(col("evecs"), lit(-1.0),
+      (acc, v) => greatest(acc, cosineFast(col("embedding"), v))), 6)
+
+  /** Ingest-filter form of [[semanticDecontaminate]]: the clean survivors
+    * of one embedded-document batch against a prebuilt eval-vector row —
+    * what a streaming pipeline applies per micro-batch (cf.
+    * [[graft.operators.TextAnalysisOps.decontaminateBatch]] for the
+    * n-gram stage). Returns batch rows with max eval cosine < `tau`,
+    * original columns preserved; stateless, the batch never shuffles.
+    */
+  def semanticDecontaminateBatch(batch: DataFrame, evalVecs: DataFrame,
+      tau: Double = 0.45): DataFrame =
+    batch.crossJoin(broadcast(evalVecs))
+      .filter(maxEvalCos < tau)
+      .drop("evecs")
 }

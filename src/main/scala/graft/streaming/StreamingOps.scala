@@ -755,6 +755,32 @@ object StreamingOps {
     q
   }
 
+  /** Streaming SEMANTIC decontamination — the embedding-space twin of
+    * [[streamingDecontaminate]]: each micro-batch of embedded documents
+    * drops rows whose max cosine against the eval suite reaches tau
+    * ([[graft.operators.KnnOps.semanticDecontaminateBatch]]). The eval
+    * vectors collapse to ONE cached row here; per batch they ride a
+    * broadcast and the max-cosine folds map-side — stateless, no store,
+    * the batch never shuffles. Runs beside the n-gram stage (verbatim
+    * inclusion) to catch paraphrase leakage as documents arrive.
+    */
+  def streamingDecontaminateSem(embStream: DataFrame, evalEmb: DataFrame,
+      tau: Double = 0.45)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val evalVecs = graft.operators.KnnOps.evalVecsOf(evalEmb).cache()
+    evalVecs.count() // materialize once, before the first batch
+    val q = embStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.KnnOps.semanticDecontaminateBatch(
+            batch.toDF(), evalVecs, tau), id)
+      }
+      .start()
+    releaseOnTermination(embStream.sparkSession, q,
+      () => { evalVecs.unpersist(); () })
+    q
+  }
+
   /** Release a cached frame when a streaming query terminates — without
     * this every started/stopped stream leaves a cached plan in executor
     * storage for the session's lifetime (unpersist is idempotent, so the

@@ -634,6 +634,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(l_quantity,1"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("semantic decontamination: corpus pass is map-side — eval suite broadcasts, corpus never hash-shuffles") {
+    val p = plan(graft.operators.KnnOps.semanticDecontaminate(spark, sf))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row eval suite must broadcast:\n$p")
+    // the only hash exchange allowed is the eval-side collect_list agg
+    // (single row); corpus rows ride scan → fold → presentation sort
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"corpus rows must not hash-shuffle:\n$p")
+  }
 }
 
 /** Formulations RETIRED from production, kept only so PlanSpec can pin WHY

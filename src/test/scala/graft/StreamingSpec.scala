@@ -1711,6 +1711,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic decontamination equals the batch pass on the same vectors") {
+    import graft.operators.KnnOps
+    implicit val ctx = spark.sqlContext
+    // eval suite on axes e1/e2; corpus split so a contaminated vector
+    // lands in EACH micro-batch (a near-copy of e1, a near-copy of e2)
+    val evalEmb = Seq(
+      (900L, Seq(1.0, 0.0, 0.0)),
+      (901L, Seq(0.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      (1L, Seq(0.0, 0.0, 4.0)), // orthogonal — clean
+      (2L, Seq(5.0, 0.1, 0.0)), // ~e1 — contaminated
+      (3L, Seq(0.1, 0.1, 1.0)), // mostly e3 — clean at tau=.45
+      (4L, Seq(0.0, 2.0, 0.2)), // ~e2 — contaminated
+      (5L, Seq(-1.0, 0.0, 1.0))) // negative cosine — clean
+    val received = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.streamingDecontaminateSem(
+      in.toDS.toDF("vec_id", "embedding"), evalEmb) { (out, _) =>
+      received ++= out.collect().map(_.getLong(0))
+    }
+    try {
+      in.addData(vecs.take(3): _*); q.processAllAvailable()
+      in.addData(vecs.drop(3): _*); q.processAllAvailable()
+      val batchClean = KnnOps.semanticDecontaminateBatch(
+        vecs.toDF("vec_id", "embedding"), KnnOps.evalVecsOf(evalEmb))
+        .collect().map(_.getLong(0)).toSet
+      assert(batchClean === Set(1L, 3L, 5L)) // both planted hits dropped
+      assert(received.toSet === batchClean)
+      // the ingest filter agrees row-for-row with the report form's flag
+      val all = vecs.map { case (id, v) => (id, 1, v) } ++
+        Seq((900L, 0, Seq(1.0, 0.0, 0.0)), (901L, 0, Seq(0.0, 1.0, 0.0)))
+      val report = KnnOps.semanticDecontaminateOn(
+        all.toDF("vec_id", "label", "embedding"), evalLabel = 0, tau = 0.45)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(report.filter(_._2 === 0L).keySet === batchClean)
+    } finally q.stop()
+  }
+
   test("streaming bloom store folds to the batch-built filter across micro-batches") {
     import graft.sources.CatalogOps
     import graft.functions.BloomFunctions
