@@ -183,6 +183,9 @@ object SparkEntry {
     // SEMANTIC decontamination: max cosine vs a broadcast eval-suite row,
     // folded map-side — catches paraphrase leakage n-grams can't
     "q_decontaminate_sem" -> ((s, d) => KnnOps.semanticDecontaminate(s, d)),
+    // CCNet head/middle/tail: bigram-LM score split at EXACT tercile
+    // fences from the iterative histogram refinement
+    "q_ppl_buckets"     -> ((s, d) => TextAnalysisOps.pplBuckets(s, d)),
     "q_pack_sequences"  -> ((s, d) => TextAnalysisOps.packSequences(s, d)),
     // padding-minimizing inference batching (pad < bucketWidth by construction)
     "q_batch_by_length" -> ((s, d) => TextAnalysisOps.batchByLength(s, d)),
@@ -480,7 +483,8 @@ object SparkEntry {
     "q_vec_outliers", "q_term_cooccur_win", "q_link_reciprocity",
     "q_events_transitions_stored", "q_source_drift", "q_link_cocitation",
     "q_select_dsir", "q_link_depth", "q_corr_matrix", "q_select_dsir_stored",
-    "q_link_coupling", "q_select_kcenter", "q_decontaminate_sem")
+    "q_link_coupling", "q_select_kcenter", "q_decontaminate_sem",
+    "q_ppl_buckets")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1478,6 +1482,43 @@ object SparkEntry {
         |       CAST(coalesce(a.min_cond_p, 0.0) AS DOUBLE) AS min_cond_p
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id ASC""".stripMargin,
+    // same LM CTEs as q_lm_bigram; fences = exact order statistics at
+    // ranks floor(p*(n-1)) — value-at-rank is tie-permutation invariant
+    "q_ppl_buckets" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |big AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |lc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+        |bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+        |per AS (
+        |  SELECT b.doc_id, CAST(bc.c2 AS DOUBLE) / lc.c1 AS p
+        |  FROM big b JOIN bc USING (w1, w2) JOIN lc USING (w1)),
+        |agg AS (
+        |  SELECT doc_id,
+        |         floor(CAST(sum(CAST(floor(p * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |               / count(*) + 0.5) / 1000000.0 AS avg_cond_p
+        |  FROM per GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, CAST(coalesce(a.avg_cond_p, 0.0) AS DOUBLE) AS avg_cond_p
+        |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+        |ranked AS (
+        |  SELECT avg_cond_p,
+        |         row_number() OVER (ORDER BY avg_cond_p) - 1 AS r FROM scored),
+        |f AS (
+        |  SELECT max(CASE WHEN r = CAST(floor((1.0 / 3.0) * (n - 1)) AS BIGINT)
+        |               THEN avg_cond_p END) AS f1,
+        |         max(CASE WHEN r = CAST(floor((2.0 / 3.0) * (n - 1)) AS BIGINT)
+        |               THEN avg_cond_p END) AS f2
+        |  FROM ranked CROSS JOIN stats)
+        |SELECT s.doc_id, s.avg_cond_p,
+        |       CASE WHEN s.avg_cond_p <= f.f1 THEN 'tail'
+        |            WHEN s.avg_cond_p <= f.f2 THEN 'middle'
+        |            ELSE 'head' END AS bucket
+        |FROM scored s CROSS JOIN f
+        |ORDER BY s.doc_id ASC""".stripMargin,
     // DSIR: per-feature ln-ratio nano-rounded BEFORE the per-doc sum —
     // the same order-independent integer arithmetic as the Spark plan
     "q_select_dsir" ->

@@ -355,6 +355,44 @@ object TextAnalysisOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** CCNet-style perplexity bucketing (`q_ppl_buckets`; Wenzek et al.
+    * 2020 §3.3) — the corpus split by language-model score into
+    * head / middle / tail at exact tercile fences, the stage CCNet runs
+    * between dedup and the final sample (train on head+middle, keep tail
+    * for ablations). The LM here is [[lmBigramScoreOn]]'s exactly-
+    * testable bigram MLE (avg conditional probability — CCNet's
+    * perplexity ordering inverted: high avg_cond_p = low perplexity =
+    * head), so every score is the micro-rounded shared double the
+    * q_lm_bigram oracle already hash-matches, and the fences are EXACT
+    * order statistics from [[RelOps.quantileExactOn]]'s iterative
+    * histogram refinement at ranks floor(p·(n−1)) — the same
+    * floor-on-the-same-double in both engines, so bucket boundaries
+    * cannot drift. Buckets compare on those exactly-shared values:
+    * tail ≤ f(1/3) < middle ≤ f(2/3) < head.
+    *
+    * Scale: the scored frame (doc_id, avg_cond_p) localCheckpoints once
+    * — the LM pass (two broadcast model joins) does not re-run for the
+    * fence probe; fences cost refinement-histogram rounds whose shuffle
+    * carries ≤ bins rows per partition (never a global sort — the
+    * percent_rank window form single-partitions the corpus); assignment
+    * is one map-side projection with two literal fences.
+    */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame =
+    pplBucketsOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  private[graft] def pplBucketsOn(docs: DataFrame): DataFrame = {
+    val scored = lmBigramScoreOn(docs).select(col("doc_id"), col("avg_cond_p"))
+      .localCheckpoint(false)
+    val fences = RelOps.quantileExactOn(scored, "avg_cond_p",
+      Seq(1.0 / 3.0, 2.0 / 3.0))
+    val (f1, f2) = (fences(0)._2, fences(1)._2)
+    scored.select(col("doc_id"), col("avg_cond_p"),
+      when(col("avg_cond_p") <= f1, lit("tail"))
+        .when(col("avg_cond_p") <= f2, lit("middle"))
+        .otherwise(lit("head")).as("bucket"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Train a byte-pair-encoding merge table (Sennrich, Haddow & Birch
     * 2016, "Neural Machine Translation of Rare Words with Subword
     * Units") — the REAL tokenizer behind [[tokenCount]]'s proxy. The

@@ -4575,6 +4575,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(d1.length === 1 && d1(0).getLong(1) === 0L)
   }
 
+  test("ppl buckets: hand LM terciles, boundary semantics, partition invariance") {
+    import spark.implicits._
+    import graft.operators.TextAnalysisOps
+    // corpus-trained bigram MLE with three exact probability plateaus:
+    // (a,a) p=1.0 ×3 docs, (b,*) split 2/2 so p=0.5 ×4, (c,*) split
+    // 4 ways so p=0.25 ×4 — n=11, fences at ranks floor(10/3)=3 -> 0.25
+    // and floor(20/3)=6 -> 0.5: tail<=0.25, middle<=0.5, head above
+    val docs = Seq(
+      (1L, "a a a a"), (2L, "a a a a"), (3L, "a a a a"),
+      (4L, "b m"), (5L, "b m"), (6L, "b n"), (7L, "b n"),
+      (8L, "c p1"), (9L, "c p2"), (10L, "c p3"), (11L, "c p4")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.pplBucketsOn(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    val byBucket = got.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket("head") === Set(1L, 2L, 3L))
+    assert(byBucket("middle") === Set(4L, 5L, 6L, 7L))
+    assert(byBucket("tail") === Set(8L, 9L, 10L, 11L))
+    assert(got.filter(_._3 == "head").forall(_._2 === 1.0))
+    assert(got.filter(_._3 == "middle").forall(_._2 === 0.5))
+    assert(got.filter(_._3 == "tail").forall(_._2 === 0.25))
+    // partition invariance
+    val re = TextAnalysisOps.pplBucketsOn(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(re === got)
+    // degenerate: all scores equal -> everything is tail (<= both fences)
+    val same = Seq((1L, "z z z"), (2L, "z z z")).toDF("doc_id", "text")
+    val s = TextAnalysisOps.pplBucketsOn(same).collect().map(_.getString(2))
+    assert(s.forall(_ === "tail"))
+  }
+
   test("semantic decontamination: hand cosines, threshold flag, empty eval set") {
     import spark.implicits._
     import graft.operators.KnnOps
