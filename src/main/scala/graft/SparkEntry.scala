@@ -186,6 +186,9 @@ object SparkEntry {
     // CCNet head/middle/tail: bigram-LM score split at EXACT tercile
     // fences from the iterative histogram refinement
     "q_ppl_buckets"     -> ((s, d) => TextAnalysisOps.pplBuckets(s, d)),
+    // the published Gopher rule battery — every ratio threshold an
+    // integer cross-multiplication, boundary-exact in both engines
+    "q_gopher_rules"    -> ((s, d) => TextAnalysisOps.gopherRules(s, d)),
     "q_pack_sequences"  -> ((s, d) => TextAnalysisOps.packSequences(s, d)),
     // padding-minimizing inference batching (pad < bucketWidth by construction)
     "q_batch_by_length" -> ((s, d) => TextAnalysisOps.batchByLength(s, d)),
@@ -484,7 +487,7 @@ object SparkEntry {
     "q_events_transitions_stored", "q_source_drift", "q_link_cocitation",
     "q_select_dsir", "q_link_depth", "q_corr_matrix", "q_select_dsir_stored",
     "q_link_coupling", "q_select_kcenter", "q_decontaminate_sem",
-    "q_ppl_buckets")
+    "q_ppl_buckets", "q_gopher_rules")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1482,6 +1485,49 @@ object SparkEntry {
         |       CAST(coalesce(a.min_cond_p, 0.0) AS DOUBLE) AS min_cond_p
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id ASC""".stripMargin,
+    // every ratio rule is an integer cross-multiplication — no division,
+    // no rounding site, boundary-exact in both engines by construction
+    "q_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t,
+        |         string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) +
+        |      CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+        |      AS n_symbols,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, l -> starts_with(trim(l), '-')
+        |      OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(ls, l -> ends_with(trim(l), '...'))) AS BIGINT)
+        |      AS n_ell_end,
+        |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+        |      AS n_alpha_words,
+        |    CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+        |      s -> list_contains(list_transform(t, w -> lower(w)), s))) AS BIGINT)
+        |      AS n_stopwords
+        |  FROM base),
+        |r AS (
+        |  SELECT *,
+        |    CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_word_count,
+        |    CAST(n_chars >= 3 * n_words AND n_chars <= 10 * n_words AS BIGINT)
+        |      AS r_word_len,
+        |    CAST(10 * n_symbols <= n_words AS BIGINT) AS r_symbol_ratio,
+        |    CAST(10 * n_bullet <= 9 * n_lines AS BIGINT) AS r_bullet,
+        |    CAST(10 * n_ell_end <= 3 * n_lines AS BIGINT) AS r_ellipsis,
+        |    CAST(5 * n_alpha_words >= 4 * n_words AS BIGINT) AS r_alpha,
+        |    CAST(n_stopwords >= 2 AS BIGINT) AS r_stopwords
+        |  FROM c)
+        |SELECT doc_id, n_words, n_chars, n_symbols, n_lines, n_bullet,
+        |       n_ell_end, n_alpha_words, n_stopwords, r_word_count,
+        |       r_word_len, r_symbol_ratio, r_bullet, r_ellipsis, r_alpha,
+        |       r_stopwords,
+        |       r_word_count * r_word_len * r_symbol_ratio * r_bullet *
+        |         r_ellipsis * r_alpha * r_stopwords AS keep
+        |FROM r ORDER BY doc_id ASC""".stripMargin,
     // same LM CTEs as q_lm_bigram; fences = exact order statistics at
     // ranks floor(p*(n-1)) — value-at-rank is tie-permutation invariant
     "q_ppl_buckets" ->

@@ -157,6 +157,76 @@ object TextAnalysisOps {
           least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)) * lit(0.5), 6))
       .orderBy(col("doc_id").asc)
 
+  /** The Gopher quality-rule battery (`q_gopher_rules`; Rae et al. 2021,
+    * Appendix A1.1 — the MassiveWeb document filters, the named rule set
+    * production pipelines cite verbatim): word-count bounds, mean-word-
+    * length bounds, symbol-to-word ratio (# and ellipsis), bullet-start
+    * and ellipsis-end line ratios, alphabetic-word ratio, and minimum
+    * distinct-stopword presence — per document one flag per rule plus
+    * the conjunctive keep. Complements [[qualityScore]] (a generic
+    * composite) with the published battery ablations reference.
+    *
+    * Every RATIO comparison is an integer cross-multiplication
+    * (10·symbols ≤ words, 5·alpha_words ≥ 4·words, 3·words ≤ chars ≤
+    * 10·words, …) — no division, no rounding site, so Spark and the
+    * DuckDB oracle agree on every boundary BY CONSTRUCTION (the
+    * engine's integer-exactness discipline applied to thresholds).
+    * Stopword presence counts the fixed 8-word list via a bounded
+    * `filter` over the LIST (8 iterations/row, order-free), never a
+    * per-token join. One map-side projection over the corpus: zero
+    * shuffles before the presentation sort, scales as the scan.
+    */
+  def gopherRules(spark: SparkSession, dir: String,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame =
+    gopherRulesOn(Tables.documents(spark, dir), minWords, maxWords)
+
+  private[graft] def gopherRulesOn(docs: DataFrame,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val words = tokens(col("text"))
+    val lines = split(col("text"), "\n")
+    val nWords = size(words).cast("long")
+    val nChars = aggregate(transform(words, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nHash = ((length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast("long"))
+    val nEllipsis = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("*"))).cast("long")
+    val nEllEnd = size(filter(lines, l => trim(l).endsWith("..."))).cast("long")
+    val nAlphaW = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val nStop = size(filter(
+      array(stop.map(lit): _*),
+      s => array_contains(transform(words, w => lower(w)), s))).cast("long")
+    docs
+      .select(col("doc_id"), nWords.as("n_words"), nChars.as("n_chars"),
+        (nHash + nEllipsis).as("n_symbols"), nLines.as("n_lines"),
+        nBullet.as("n_bullet"), nEllEnd.as("n_ell_end"),
+        nAlphaW.as("n_alpha_words"), nStop.as("n_stopwords"))
+      .select(col("*"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .cast("long").as("r_word_count"),
+        (col("n_chars") >= lit(3L) * col("n_words") &&
+          col("n_chars") <= lit(10L) * col("n_words"))
+          .cast("long").as("r_word_len"),
+        (lit(10L) * col("n_symbols") <= col("n_words"))
+          .cast("long").as("r_symbol_ratio"),
+        (lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines"))
+          .cast("long").as("r_bullet"),
+        (lit(10L) * col("n_ell_end") <= lit(3L) * col("n_lines"))
+          .cast("long").as("r_ellipsis"),
+        (lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+          .cast("long").as("r_alpha"),
+        (col("n_stopwords") >= 2L).cast("long").as("r_stopwords"))
+      .withColumn("keep",
+        (col("r_word_count") * col("r_word_len") * col("r_symbol_ratio") *
+          col("r_bullet") * col("r_ellipsis") * col("r_alpha") *
+          col("r_stopwords")).cast("long"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish sub-word proxy
     * (alphabetic runs) — the cost model of a tokenizer pass without the
     * tokenizer. `regexp_extract_all` is codegen'd; per-row only.

@@ -4575,6 +4575,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(d1.length === 1 && d1(0).getLong(1) === 0L)
   }
 
+  test("gopher rules: each rule trips on its planted violation, keep is the conjunction") {
+    import spark.implicits._
+    import graft.operators.TextAnalysisOps
+    val pass = ("the quick brown fox and lazy dogs run " * 7).trim
+    val docs = Seq(
+      (1L, pass),                                     // clean: keep
+      (2L, "the and tiny short text here now"),       // too few words
+      (3L, pass + " # # # # # # #"),                  // symbol ratio
+      (4L, "- one\n- two\n- three\n- four"),          // all bullet lines
+      (5L, "alpha beta gamma...\ndelta epsilon zeta\neta theta iota...\nkappa lambda mu"), // ellipsis lines
+      (6L, "zzz yyy xxx www vvv uuu"),                // no stopwords
+      (7L, "a b c d e f g h")                         // mean word length < 3
+    ).toDF("doc_id", "text")
+    val got = TextAnalysisOps.gopherRulesOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, name: String): Long =
+      got(id).getLong(got(id).fieldIndex(name))
+    assert(flag(1L, "keep") === 1L)
+    assert(flag(2L, "r_word_count") === 0L && flag(2L, "r_word_len") === 1L &&
+      flag(2L, "r_stopwords") === 1L && flag(2L, "keep") === 0L)
+    assert(flag(3L, "r_symbol_ratio") === 0L && flag(3L, "r_word_count") === 1L &&
+      flag(3L, "r_alpha") === 1L)
+    assert(flag(4L, "r_bullet") === 0L)
+    assert(flag(5L, "r_ellipsis") === 0L)
+    assert(flag(6L, "r_stopwords") === 0L)
+    assert(flag(7L, "r_word_len") === 0L)
+    // hand counters on the clean doc: 56 words, 8-word pattern x7
+    assert(got(1L).getLong(got(1L).fieldIndex("n_words")) === 56L)
+    assert(got(1L).getLong(got(1L).fieldIndex("n_stopwords")) === 2L)
+    // partition invariance
+    val re = TextAnalysisOps.gopherRulesOn(docs.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.toSeq)).toMap
+    assert(re === got.map { case (k, r) => (k, r.toSeq) })
+  }
+
   test("ppl buckets: hand LM terciles, boundary semantics, partition invariance") {
     import spark.implicits._
     import graft.operators.TextAnalysisOps
