@@ -189,6 +189,8 @@ object SparkEntry {
     // the published Gopher rule battery — every ratio threshold an
     // integer cross-multiplication, boundary-exact in both engines
     "q_gopher_rules"    -> ((s, d) => TextAnalysisOps.gopherRules(s, d)),
+    // the CCNet composition: rule gate AND LM head+middle buckets
+    "q_curate_ccnet"    -> ((s, d) => TextAnalysisOps.curateCcnet(s, d)),
     "q_pack_sequences"  -> ((s, d) => TextAnalysisOps.packSequences(s, d)),
     // padding-minimizing inference batching (pad < bucketWidth by construction)
     "q_batch_by_length" -> ((s, d) => TextAnalysisOps.batchByLength(s, d)),
@@ -487,7 +489,7 @@ object SparkEntry {
     "q_events_transitions_stored", "q_source_drift", "q_link_cocitation",
     "q_select_dsir", "q_link_depth", "q_corr_matrix", "q_select_dsir_stored",
     "q_link_coupling", "q_select_kcenter", "q_decontaminate_sem",
-    "q_ppl_buckets", "q_gopher_rules")
+    "q_ppl_buckets", "q_gopher_rules", "q_curate_ccnet")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1528,6 +1530,76 @@ object SparkEntry {
         |       r_word_count * r_word_len * r_symbol_ratio * r_bullet *
         |         r_ellipsis * r_alpha * r_stopwords AS keep
         |FROM r ORDER BY doc_id ASC""".stripMargin,
+    // the two gates' CTEs composed verbatim (thresholds 20/100000/1)
+    "q_curate_ccnet" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t,
+        |         string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) +
+        |      CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+        |      AS n_symbols,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, l -> starts_with(trim(l), '-')
+        |      OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(ls, l -> ends_with(trim(l), '...'))) AS BIGINT)
+        |      AS n_ell_end,
+        |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+        |      AS n_alpha_words,
+        |    CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+        |      s -> list_contains(list_transform(t, w -> lower(w)), s))) AS BIGINT)
+        |      AS n_stopwords
+        |  FROM base),
+        |kept AS (
+        |  SELECT doc_id, n_words FROM c
+        |  WHERE n_words >= 20 AND n_words <= 100000
+        |    AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+        |    AND 10 * n_symbols <= n_words
+        |    AND 10 * n_bullet <= 9 * n_lines
+        |    AND 10 * n_ell_end <= 3 * n_lines
+        |    AND 5 * n_alpha_words >= 4 * n_words
+        |    AND n_stopwords >= 1),
+        |big AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM base WHERE len(t) >= 2)),
+        |lc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+        |bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+        |per AS (
+        |  SELECT b.doc_id, CAST(bc.c2 AS DOUBLE) / lc.c1 AS p
+        |  FROM big b JOIN bc USING (w1, w2) JOIN lc USING (w1)),
+        |agg AS (
+        |  SELECT doc_id,
+        |         floor(CAST(sum(CAST(floor(p * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |               / count(*) + 0.5) / 1000000.0 AS avg_cond_p
+        |  FROM per GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, CAST(coalesce(a.avg_cond_p, 0.0) AS DOUBLE) AS avg_cond_p
+        |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+        |ranked AS (
+        |  SELECT avg_cond_p,
+        |         row_number() OVER (ORDER BY avg_cond_p) - 1 AS r FROM scored),
+        |f AS (
+        |  SELECT max(CASE WHEN r = CAST(floor((1.0 / 3.0) * (n - 1)) AS BIGINT)
+        |               THEN avg_cond_p END) AS f1,
+        |         max(CASE WHEN r = CAST(floor((2.0 / 3.0) * (n - 1)) AS BIGINT)
+        |               THEN avg_cond_p END) AS f2
+        |  FROM ranked CROSS JOIN stats),
+        |bucketed AS (
+        |  SELECT s.doc_id, s.avg_cond_p,
+        |         CASE WHEN s.avg_cond_p <= f.f1 THEN 'tail'
+        |              WHEN s.avg_cond_p <= f.f2 THEN 'middle'
+        |              ELSE 'head' END AS bucket
+        |  FROM scored s CROSS JOIN f)
+        |SELECT k.doc_id, k.n_words, b.avg_cond_p, b.bucket
+        |FROM kept k JOIN bucketed b USING (doc_id)
+        |WHERE b.bucket <> 'tail'
+        |ORDER BY k.doc_id ASC""".stripMargin,
     // same LM CTEs as q_lm_bigram; fences = exact order statistics at
     // ranks floor(p*(n-1)) — value-at-rank is tie-permutation invariant
     "q_ppl_buckets" ->

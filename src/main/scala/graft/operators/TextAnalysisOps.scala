@@ -177,11 +177,13 @@ object TextAnalysisOps {
     * shuffles before the presentation sort, scales as the scan.
     */
   def gopherRules(spark: SparkSession, dir: String,
-      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame =
-    gopherRulesOn(Tables.documents(spark, dir), minWords, maxWords)
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minStop: Long = 2L): DataFrame =
+    gopherRulesOn(Tables.documents(spark, dir), minWords, maxWords, minStop)
 
   private[graft] def gopherRulesOn(docs: DataFrame,
-      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minStop: Long = 2L): DataFrame = {
     val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val words = tokens(col("text"))
     val lines = split(col("text"), "\n")
@@ -219,11 +221,42 @@ object TextAnalysisOps {
           .cast("long").as("r_ellipsis"),
         (lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
           .cast("long").as("r_alpha"),
-        (col("n_stopwords") >= 2L).cast("long").as("r_stopwords"))
+        (col("n_stopwords") >= minStop).cast("long").as("r_stopwords"))
       .withColumn("keep",
         (col("r_word_count") * col("r_word_len") * col("r_symbol_ratio") *
           col("r_bullet") * col("r_ellipsis") * col("r_alpha") *
           col("r_stopwords")).cast("long"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** The CCNet curation chain (`q_curate_ccnet`; Wenzek et al. 2020) —
+    * the published two-gate composition: the Gopher rule battery keeps
+    * structurally sound documents, the LM perplexity split keeps the
+    * head+middle buckets (CCNet trains on exactly those; tail is held
+    * for ablations). Output: the surviving documents with their LM
+    * score and bucket — the input a tokenizer/packer stage consumes.
+    * Thresholds are fixture-fit like [[curateEndToEnd]]'s (minWords 20,
+    * one stopword on the synthetic vocabulary); the published defaults
+    * stay on [[gopherRules]] itself.
+    *
+    * Scale: both gates derive from ONE documents scan each — the rule
+    * battery is a map-side projection, the LM pass shuffles the corpus
+    * once at bigram grain and re-broadcasts model-sized counts, fences
+    * are bins-bounded refinement rounds; the final id-equi-join of two
+    * corpus-derived frames rides one exchange per side (at 100 TB both
+    * sides bucket by doc_id → shuffle-free sort-merge). Nothing here
+    * grows super-linearly.
+    */
+  def curateCcnet(spark: SparkSession, dir: String,
+      minWords: Long = 20L, minStop: Long = 1L): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val kept = gopherRulesOn(docs, minWords, 100000L, minStop)
+      .filter(col("keep") === 1L)
+      .select(col("doc_id"), col("n_words"))
+    val scored = pplBucketsOn(docs)
+      .filter(col("bucket") =!= "tail")
+    kept.join(scored, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("avg_cond_p"), col("bucket"))
       .orderBy(col("doc_id").asc)
   }
 
