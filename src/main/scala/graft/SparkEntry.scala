@@ -191,6 +191,9 @@ object SparkEntry {
     "q_gopher_rules"    -> ((s, d) => TextAnalysisOps.gopherRules(s, d)),
     // the CCNet composition: rule gate AND LM head+middle buckets
     "q_curate_ccnet"    -> ((s, d) => TextAnalysisOps.curateCcnet(s, d)),
+    // JL Rademacher projection from a shared integer-lattice matrix —
+    // map-side, matrix never materialized, one rounding site
+    "q_vec_project"     -> ((s, d) => KnnOps.vecProject(s, d)),
     "q_pack_sequences"  -> ((s, d) => TextAnalysisOps.packSequences(s, d)),
     // padding-minimizing inference batching (pad < bucketWidth by construction)
     "q_batch_by_length" -> ((s, d) => TextAnalysisOps.batchByLength(s, d)),
@@ -489,7 +492,7 @@ object SparkEntry {
     "q_events_transitions_stored", "q_source_drift", "q_link_cocitation",
     "q_select_dsir", "q_link_depth", "q_corr_matrix", "q_select_dsir_stored",
     "q_link_coupling", "q_select_kcenter", "q_decontaminate_sem",
-    "q_ppl_buckets", "q_gopher_rules", "q_curate_ccnet")
+    "q_ppl_buckets", "q_gopher_rules", "q_curate_ccnet", "q_vec_project")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1530,6 +1533,22 @@ object SparkEntry {
         |       r_word_count * r_word_len * r_symbol_ratio * r_bullet *
         |         r_ellipsis * r_alpha * r_stopwords AS keep
         |FROM r ORDER BY doc_id ASC""".stripMargin,
+    // the ±1 matrix cell recomputed from the same integer lattice; the
+    // fold is an explicit left-to-right list_reduce so the double
+    // summation order matches Spark's aggregate exactly
+    "q_vec_project" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ks AS (SELECT unnest(range(0, 16)) AS k)
+        |SELECT e.vec_id, CAST(ks.k AS BIGINT) AS k,
+        |       round(list_reduce(
+        |         list_transform(range(0, len(v)), j ->
+        |           v[j + 1] * (CASE WHEN (((ks.k * 65537::BIGINT + j + 1)
+        |               * 2654435761::BIGINT) % 2147483647) % 2 = 0
+        |             THEN 1.0 ELSE -1.0 END)),
+        |         (a, b) -> a + b) / sqrt(16.0), 6) AS v
+        |FROM e CROSS JOIN ks
+        |ORDER BY vec_id ASC, k ASC""".stripMargin,
     // the two gates' CTEs composed verbatim (thresholds 20/100000/1)
     "q_curate_ccnet" ->
       """WITH base AS (

@@ -1392,4 +1392,52 @@ object KnnOps {
     batch.crossJoin(broadcast(evalVecs))
       .filter(maxEvalCos < tau)
       .drop("evecs")
+
+  /** Johnson–Lindenstrauss random projection (`q_vec_project`; Johnson &
+    * Lindenstrauss 1984; Achlioptas 2003 for the ±1 database-friendly
+    * form) — embeddings down-projected to `outDim` via a Rademacher
+    * matrix, the standard cheapening step before a coarse ANN pass or a
+    * sketch: pairwise geometry survives within the JL distortion bound
+    * while per-vector cost drops dim/outDim-fold.
+    *
+    * The matrix is never materialized: sign(k, j) is a DETERMINISTIC
+    * integer cell — parity of ((k·65537 + j + 1) · 2654435761 mod
+    * 2147483647), the engine's Knuth multiplicative hash over the
+    * flattened index (a LINEAR form in (k, j) would be parity-degenerate
+    * wherever the mod never fires: the first drafted lattice gave rows
+    * k = 0, 1 perfectly alternating signs — caught by the geometry pin
+    * below, not by inspection) — so both engines recompute the same ±1
+    * entry from integers, exactly. The projected value
+    * folds v[j]·sign in ascending j — one shared summation order — and
+    * scales by 1/√outDim AFTER the fold, one rounding site at 6 dp.
+    * Output at (vec_id, k, v) grain so the oracle compares scalars.
+    *
+    * Scale: pure map-side projection — zero shuffles before the
+    * presentation sort, outDim·dim multiply-adds per row, no state, no
+    * model. The JL geometry claim is test-pinned empirically (pairwise
+    * L2 rank agreement on planted geometry), not just cited.
+    */
+  def vecProject(spark: SparkSession, dir: String,
+      outDim: Int = 16): DataFrame =
+    vecProjectOn(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")), outDim)
+
+  private[graft] def vecProjectOn(emb: DataFrame, outDim: Int): DataFrame = {
+    val dim = size(col("embedding"))
+    def sign(k: Column, j: Column): Column = {
+      val cell = pmod((k * lit(65537L) + j + lit(1L)) * lit(2654435761L),
+        lit(2147483647L))
+      when(pmod(cell, lit(2L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
+    }
+    emb.select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(outDim - 1)), k =>
+          struct(k.cast("long").as("k"),
+            round(
+              aggregate(sequence(lit(0), dim - 1), lit(0.0),
+                (acc, j) => acc +
+                  element_at(col("embedding"), j + 1) * sign(k.cast("long"), j.cast("long")))
+                / sqrt(lit(outDim.toDouble)), 6).as("v")))).as("p"))
+      .select(col("vec_id"), col("p.k").as("k"), col("p.v").as("v"))
+      .orderBy(col("vec_id").asc, col("k").asc)
+  }
 }

@@ -4641,6 +4641,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(s.forall(_ === "tail"))
   }
 
+  test("vec project: JL geometry survives, basis-vector sanity, partition invariance") {
+    import spark.implicits._
+    import graft.operators.KnnOps
+    // three separated clusters in 32-d, projected to 8-d: nearest
+    // neighbor in PROJECTED space must stay within-cluster (the JL
+    // claim, pinned empirically — matrix and jitter are deterministic)
+    val rnd = new scala.util.Random(11)
+    val base = Array.tabulate(3)(c => Array.tabulate(32)(j =>
+      if (j % 3 == c) 1.0 else 0.0))
+    val vecs = (0 until 21).map { i =>
+      (i.toLong, base(i % 3).map(_ + rnd.nextGaussian() * 0.05).toSeq)
+    }
+    val proj = KnnOps.vecProjectOn(vecs.toDF("vec_id", "embedding"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    (0 until 21).foreach { i =>
+      val nn = (0 until 21).filter(_ != i)
+        .minBy(j => d2(proj(i.toLong), proj(j.toLong)))
+      assert(nn % 3 === i % 3, s"NN of $i crossed clusters after projection")
+    }
+    // one-hot basis vector: every projected coordinate is ±1/sqrt(8)
+    val eVec = (0 until 32).map(j => if (j == 5) 1.0 else 0.0)
+    val pe = KnnOps.vecProjectOn(Seq((0L, eVec)).toDF("vec_id", "embedding"), 8)
+      .collect().map(_.getDouble(2))
+    val unit = math.floor(1.0 / math.sqrt(8.0) * 1e6 + 0.5) / 1e6
+    assert(pe.length === 8 && pe.forall(v => math.abs(v) === unit))
+    // partition invariance
+    val re = KnnOps.vecProjectOn(vecs.toDF("vec_id", "embedding").repartition(7), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val orig = KnnOps.vecProjectOn(vecs.toDF("vec_id", "embedding"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(re === orig)
+  }
+
   test("semantic decontamination: hand cosines, threshold flag, empty eval set") {
     import spark.implicits._
     import graft.operators.KnnOps
