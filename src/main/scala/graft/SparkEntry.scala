@@ -194,6 +194,9 @@ object SparkEntry {
     // JL Rademacher projection from a shared integer-lattice matrix —
     // map-side, matrix never materialized, one rounding site
     "q_vec_project"     -> ((s, d) => KnnOps.vecProject(s, d)),
+    // two-phase projected knn: coarse scan over the stored JL space,
+    // full-precision rescore; rows-only (approximate by construction)
+    "q_knn_projected"   -> ((s, d) => KnnOps.topKProjectedProbe(s, d)),
     "q_pack_sequences"  -> ((s, d) => TextAnalysisOps.packSequences(s, d)),
     // padding-minimizing inference batching (pad < bucketWidth by construction)
     "q_batch_by_length" -> ((s, d) => TextAnalysisOps.batchByLength(s, d)),
@@ -492,7 +495,8 @@ object SparkEntry {
     "q_events_transitions_stored", "q_source_drift", "q_link_cocitation",
     "q_select_dsir", "q_link_depth", "q_corr_matrix", "q_select_dsir_stored",
     "q_link_coupling", "q_select_kcenter", "q_decontaminate_sem",
-    "q_ppl_buckets", "q_gopher_rules", "q_curate_ccnet", "q_vec_project")
+    "q_ppl_buckets", "q_gopher_rules", "q_curate_ccnet", "q_vec_project",
+    "q_knn_projected")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.

@@ -1422,22 +1422,102 @@ object KnnOps {
     vecProjectOn(Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding")), outDim)
 
-  private[graft] def vecProjectOn(emb: DataFrame, outDim: Int): DataFrame = {
-    val dim = size(col("embedding"))
+  private[graft] def vecProjectOn(emb: DataFrame, outDim: Int): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(projectArray(col("embedding"), outDim)))
+      .select(col("vec_id"), col("pos").cast("long").as("k"),
+        col("col").as("v"))
+      .orderBy(col("vec_id").asc, col("k").asc)
+
+  /** The rounded outDim-length JL projection of `vec` as one array
+    * column — the shared builder of the report form ([[vecProjectOn]])
+    * and the stored collection
+    * ([[graft.sources.CatalogOps.createProjectedCollection]]).
+    */
+  private[graft] def projectArray(vec: Column, outDim: Int): Column = {
     def sign(k: Column, j: Column): Column = {
       val cell = pmod((k * lit(65537L) + j + lit(1L)) * lit(2654435761L),
         lit(2147483647L))
       when(pmod(cell, lit(2L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
     }
-    emb.select(col("vec_id"),
-        explode(transform(sequence(lit(0), lit(outDim - 1)), k =>
-          struct(k.cast("long").as("k"),
-            round(
-              aggregate(sequence(lit(0), dim - 1), lit(0.0),
-                (acc, j) => acc +
-                  element_at(col("embedding"), j + 1) * sign(k.cast("long"), j.cast("long")))
-                / sqrt(lit(outDim.toDouble)), 6).as("v")))).as("p"))
-      .select(col("vec_id"), col("p.k").as("k"), col("p.v").as("v"))
-      .orderBy(col("vec_id").asc, col("k").asc)
+    transform(sequence(lit(0), lit(outDim - 1)), k =>
+      round(
+        aggregate(sequence(lit(0), size(vec) - 1), lit(0.0),
+          (acc, j) => acc +
+            element_at(vec, j + 1) * sign(k.cast("long"), j.cast("long")))
+          / sqrt(lit(outDim.toDouble)), 6))
+  }
+
+  /** Driver-side twin of [[projectArray]] for a single query vector —
+    * the same integer sign cells, the same ascending-j fold, the same
+    * scale-then-round. Query projection is outDim·dim multiply-adds
+    * once per ask; only the projected k doubles enter the plan.
+    */
+  private[graft] def projectVecDriver(v: Array[Double], outDim: Int): Array[Double] =
+    Array.tabulate(outDim) { k =>
+      var s = 0.0
+      var j = 0
+      while (j < v.length) {
+        val cell = ((k.toLong * 65537L + j + 1L) * 2654435761L) % 2147483647L
+        s += v(j) * (if (cell % 2L == 0L) 1.0 else -1.0)
+        j += 1
+      }
+      BigDecimal(s / math.sqrt(outDim.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+  /** Two-phase PROJECTED knn (`q_knn_projected`) — phase 1 scans the
+    * stored JL-projected collection (outDim doubles per row instead of
+    * dim: the byte/flop cut is the point of storing the projection) and
+    * keeps `rescoreK` candidates by projected cosine through the
+    * bounded `orderBy.limit`; phase 2 re-scores ONLY those at full
+    * precision via a broadcast semi-join into the full table. One plan,
+    * no driver collect between phases (the [[topKQuantized]] shape with
+    * the JL space as the coarse metric). Approximate by construction —
+    * rows-only, with exhaustive-rescoreK equality to the exact scan and
+    * planted-cluster recall test-pinned (the candidate-generation
+    * contract every coarse phase in this engine carries).
+    */
+  def topKProjected(spark: SparkSession, db: String, name: String,
+      full: DataFrame, qVec: Array[Double], excludeId: Long = -1L,
+      k: Int = 3, rescoreK: Int = 12, outDim: Int = 16): DataFrame = {
+    val qp = projectVecDriver(qVec, outDim)
+    val pq = spark.range(1).select(typedLit(qp.toSeq).as("pq"))
+    val candidates = spark.table(s"`$db`.`$name`")
+      .filter(col("vec_id") =!= excludeId)
+      .crossJoin(broadcast(pq))
+      .select(col("vec_id"), cosineFast(col("pvec"), col("pq")).as("ascore"))
+      .orderBy(col("ascore").desc, col("vec_id").asc)
+      .limit(math.max(k, rescoreK))
+      .select(col("vec_id"))
+    val q = spark.range(1).select(typedLit(qVec.toSeq).as("q_embedding"))
+    full.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candidates), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Probe entry: create-once projected collection over the fixture,
+    * then one ask (vec 0's neighbors, itself excluded).
+    */
+  def topKProjectedProbe(spark: SparkSession, dir: String,
+      queryId: Long = 0L, k: Int = 3, rescoreK: Int = 12): DataFrame = {
+    import graft.sources.CatalogOps
+    val db = "graft_proj_probe"
+    val name = "emb_proj"
+    // single-JVM guard only — see the cross-session note in [[topKIvfProbe]]
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.$name")) {
+        CatalogOps.createDatabase(spark, db)
+        dropTableAndDir(spark, db, name)
+        CatalogOps.createProjectedCollection(spark, db, name, corpus(spark, dir))
+      }
+    }
+    val qVec = corpus(spark, dir).filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    topKProjected(spark, db, name, corpus(spark, dir), qVec, queryId, k, rescoreK)
   }
 }

@@ -1157,6 +1157,25 @@ object CatalogOps {
       .write.mode("overwrite").saveAsTable(s"`$db`.`$name`")
   }
 
+  /** JL-PROJECTED collection — the stored form of
+    * [[graft.operators.KnnOps.projectArray]]: (vec_id, pvec) with the
+    * vector down-projected once at write time, so every coarse phase-1
+    * scan reads outDim doubles per row instead of dim (the projection
+    * costs outDim·dim per row — it only pays off PRE-COMPUTED; computing
+    * it per query would cost more than exact scoring). The matrix is a
+    * shared integer-hash construction, so queries project driver-side
+    * to the same space with no stored model at all.
+    */
+  def createProjectedCollection(spark: SparkSession, db: String, name: String,
+      data: DataFrame, vecCol: String = "embedding", outDim: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    data
+      .withColumn("pvec",
+        graft.operators.KnnOps.projectArray(col(vecCol), outDim))
+      .drop(vecCol)
+      .write.mode("overwrite").saveAsTable(s"`$db`.`$name`")
+  }
+
   /** PRODUCT-QUANTIZED collection — the next footprint step after
     * [[createQuantizedCollection]]: per-subspace k-means codebooks
     * ([[graft.operators.KnnOps.pqCodebooks]], one distributed Lloyd pass

@@ -1818,6 +1818,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"filtered-NSW fixture recall $recall")
   }
 
+  test("projected collection: exhaustive rescore equals exact; planted clusters recalled") {
+    import spark.implicits._
+    // exhaustive rescoreK: phase 1 passes every row, so the rescore
+    // reproduces the exact scan bit for bit — candidate generation can
+    // only ever DROP, never distort
+    KnnOps.topKProjectedProbe(spark, sf) // ensure the session collection
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val qVec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    val got = KnnOps.topKProjected(spark, "graft_proj_probe", "emb_proj",
+        emb, qVec, excludeId = 0L, k = 3, rescoreK = 500)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = KnnOps.topK(spark, sf, queryId = 0L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === exact.toSeq)
+    // planted clusters: JL at outDim 16 must recall a tight cluster's
+    // members through the coarse phase at production rescoreK
+    val rnd = new scala.util.Random(23)
+    val base = Array.tabulate(4)(c => Array.tabulate(64)(j =>
+      if (j % 4 == c) 1.0 else 0.0))
+    val planted = (0 until 40).map { i =>
+      (i.toLong, base(i % 4).map(_ + rnd.nextGaussian() * 0.02).toSeq)
+    }.toDF("vec_id", "embedding")
+    graft.sources.CatalogOps.createDatabase(spark, "graft_proj_test")
+    graft.sources.CatalogOps.createProjectedCollection(
+      spark, "graft_proj_test", "planted", planted)
+    val q = planted.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    val top = KnnOps.topKProjected(spark, "graft_proj_test", "planted",
+        planted, q, excludeId = 0L, k = 5, rescoreK = 12)
+      .collect().map(_.getLong(0))
+    // all five neighbors come from vec 0's own cluster (ids ≡ 0 mod 4)
+    assert(top.forall(_ % 4 === 0L), s"cluster recall failed: ${top.toSeq}")
+    graft.sources.CatalogOps.dropDatabase(spark, "graft_proj_test")
+  }
+
   test("quantized probe with a predicate equals the exact filtered scan at full rescore") {
     KnnOps.topKQuantizedProbe(spark, sf) // ensure the session collection
     val qVec = graft.sources.Tables.embeddings(spark, sf)
