@@ -1300,6 +1300,46 @@ object DedupOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** KEEP-BEST duplicate resolution (`q_dedup_keepbest`) — for every
+    * near-dup cluster ([[dedupConnected]]'s transitive-closure
+    * components), keep the HIGHEST-QUALITY copy instead of the first:
+    * the production survivor policy (the copies of a near-dup cluster
+    * differ — truncation, boilerplate, OCR noise — and min-id keeps an
+    * arbitrary one; every serious pipeline keeps the best). Quality is
+    * the engine's oracled composite (distinct-ratio + length ramp, the
+    * q_text_quality formula), ties resolve to the smaller doc_id — the
+    * [[dedupExact]] convention.
+    *
+    * Scale: the CC resolution dominates and is reused unchanged; the
+    * survivor pick adds ONE component-keyed partial-aggregated
+    * `max(struct(quality, −doc_id))` — order-free, no window over the
+    * corpus, the exchange carries one row per (component × map task).
+    * Both engines compare the ROUNDED quality, so the argmax cannot
+    * straddle a rounding boundary.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String,
+      tau: Double = 0.95): DataFrame = {
+    val comp = dedupConnected(spark, dir, tau)
+    val toks = split(col("text"), " ")
+    val q = Tables.documents(spark, dir).select(col("doc_id"),
+      round(size(array_distinct(toks)).cast("double") / size(toks) * lit(0.5) +
+        least(lit(1.0), size(toks).cast("double") / lit(100.0)) * lit(0.5), 6)
+        .as("quality"))
+    keepBestOn(comp, q)
+  }
+
+  /** Parametric core: (doc_id, component) × (doc_id, quality) in,
+    * one (component, kept_doc_id, quality, n_members) row per cluster.
+    */
+  private[graft] def keepBestOn(comp: DataFrame, quality: DataFrame): DataFrame =
+    comp.join(quality, Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("w"))
+      .select(col("component"), (-col("w.nid")).as("kept_doc_id"),
+        col("w.quality").as("quality"), col("n_members"))
+      .orderBy(col("component").asc)
+
   /** One micro-batch of the STREAMING near-dup dedup
     * ([[graft.streaming.StreamingOps.streamingDedupMinhash]]): the
     * continuous-crawl analog of [[minHashLsh]], FIRST-ARRIVAL-WINS across

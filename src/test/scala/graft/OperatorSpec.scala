@@ -4677,6 +4677,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(s.forall(_ === "tail"))
   }
 
+  test("keep-best dedup: best quality wins, ties to min id, singletons pass through") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 8L), (9L, 8L))
+      .toDF("doc_id", "component")
+    val quality = Seq((1L, 0.4), (2L, 0.9), (3L, 0.9), (7L, 0.1),
+      (8L, 0.5), (9L, 0.5)).toDF("doc_id", "quality")
+    val got = DedupOps.keepBestOn(comp, quality).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1L, 2L, 0.9, 3L),   // 2 and 3 tie on quality -> smaller id
+      (7L, 7L, 0.1, 1L),   // singleton passes through
+      (8L, 8L, 0.5, 2L)))  // tie -> min id
+    // partition invariance
+    val re = DedupOps.keepBestOn(comp.repartition(5), quality.repartition(3))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(re === got)
+  }
+
   test("vec project: JL geometry survives, basis-vector sanity, partition invariance") {
     import spark.implicits._
     import graft.operators.KnnOps
