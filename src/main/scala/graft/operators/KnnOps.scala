@@ -1500,6 +1500,54 @@ object KnnOps {
       .limit(k)
   }
 
+  /** Batched two-phase projected knn — [[topKProjected]] for a query
+    * TABLE (query_id, q_embedding), one job for the whole batch: the
+    * query side projects IN-PLAN through [[projectArray]] (outDim·dim
+    * once per query — queries are few, rows are many: the asymmetry the
+    * stored collection exists for), phase 1 scores every (pvec, query)
+    * pair via the broadcast query side, the bounded-heap
+    * [[graft.plans.TopKScoreId]] keeps `rescoreK` candidates per query,
+    * phase 2 re-scores the exploded candidate set at full precision.
+    * The per-micro-batch scorer of
+    * [[graft.streaming.StreamingOps.streamingKnnProjected]].
+    * Output ≡ running [[topKProjected]] per query (test-pinned).
+    */
+  def topKForQueriesProjected(spark: SparkSession, db: String, name: String,
+      full: DataFrame, queries: DataFrame, k: Int = 3,
+      rescoreK: Int = 12, outDim: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    // replayed query_ids resolve deterministically (see topKForQueries)
+    val uniq = queries.groupBy(col("query_id"))
+      .agg(max(struct(col("q_embedding"))).as("__w"))
+      .select(col("query_id"), col("__w.q_embedding").as("q_embedding"))
+      .withColumn("pq", projectArray(col("q_embedding"), outDim))
+    val scored = spark.table(s"`$db`.`$name`")
+      .crossJoin(broadcast(uniq.select(col("query_id"), col("pq"))))
+      .select(col("query_id"), col("vec_id"),
+        cosineFast(col("pvec"), col("pq")).as("ascore"))
+    val candK = toCol(graft.plans.TopKScoreId(
+      toExpr(col("ascore")), toExpr(col("vec_id")), math.max(k, rescoreK))
+      .toAggregateExpression())
+    val candidates = scored.groupBy(col("query_id"))
+      .agg(candK.as("cand"))
+      .select(col("query_id"), explode(col("cand")).as("hit"))
+      .select(col("query_id"), col("hit.vec_id").as("vec_id"))
+      .join(broadcast(uniq.select(col("query_id"), col("q_embedding"))),
+        "query_id")
+    val rescored = full.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candidates), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFast(col("embedding"), col("q_embedding")), 6).as("score"))
+    val topk = toCol(graft.plans.TopKScoreId(
+      toExpr(col("score")), toExpr(col("vec_id")), k).toAggregateExpression())
+    rescored.groupBy(col("query_id"))
+      .agg(topk.as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.vec_id").as("vec_id"),
+        col("hit.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** Probe entry: create-once projected collection over the fixture,
     * then one ask (vec 0's neighbors, itself excluded).
     */

@@ -195,6 +195,25 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming twin of the projected two-phase knn: each query
+    * micro-batch scores against the stored JL collection through
+    * [[graft.operators.KnnOps.topKForQueriesProjected]] — queries
+    * project in-plan, the coarse scan reads outDim doubles per row,
+    * survivors rescore at full precision. Same per-batch contract as
+    * [[streamingKnnQuantized]].
+    */
+  def streamingKnnProjected(queryStream: DataFrame, db: String, name: String,
+      full: DataFrame, k: Int = 3, rescoreK: Int = 12)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.KnnOps.topKForQueriesProjected(
+            batch.sparkSession, db, name, full, batch.toDF(), k, rescoreK), id)
+      }
+      .start()
+
   /** Streaming NEAR-DUP dedup — the continuous-crawl ingest filter
     * ([[graft.operators.DedupOps.dedupIncrementalBatch]] per micro-batch):
     * each batch of (doc_id, text) dedupes within itself, probes the

@@ -1854,6 +1854,27 @@ class OperatorSpec extends AnyFunSuite {
     graft.sources.CatalogOps.dropDatabase(spark, "graft_proj_test")
   }
 
+  test("batched projected probe equals the per-query two-phase probe") {
+    import spark.implicits._
+    KnnOps.topKProjectedProbe(spark, sf) // ensure the session collection
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val batch = KnnOps.topKForQueriesProjected(spark, "graft_proj_probe",
+        "emb_proj", emb, queries, k = 3, rescoreK = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(batch.length === 12) // 4 queries × k
+    (0L until 4L).foreach { qid =>
+      val qVec = emb.filter(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Double](0).toArray
+      val single = KnnOps.topKProjected(spark, "graft_proj_probe", "emb_proj",
+          emb, qVec, excludeId = -1L, k = 3, rescoreK = 12)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(batch.filter(_._1 == qid).map(t => (t._2, t._3)).toSeq === single.toSeq,
+        s"query $qid diverged")
+    }
+  }
+
   test("quantized probe with a predicate equals the exact filtered scan at full rescore") {
     KnnOps.topKQuantizedProbe(spark, sf) // ensure the session collection
     val qVec = graft.sources.Tables.embeddings(spark, sf)

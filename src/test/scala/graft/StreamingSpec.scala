@@ -278,6 +278,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming projected knn runs the single-plan probe per micro-batch") {
+    import graft.sources.{CatalogOps, Tables}
+    import graft.operators.KnnOps
+    implicit val ctx = spark.sqlContext
+    CatalogOps.dropDatabase(spark, "sprojdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/sprojdb.db"))
+    CatalogOps.createDatabase(spark, "sprojdb")
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    CatalogOps.createProjectedCollection(spark, "sprojdb", "emb_proj", emb)
+    val queries = emb.filter($"vec_id" < 4).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](2)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+    val q = StreamingOps.streamingKnnProjected(
+      in.toDS.toDF("query_id", "q_embedding"), "sprojdb", "emb_proj", emb, k = 3) { (out, _) =>
+      results.synchronized {
+        results ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      }
+    }
+    try {
+      in.addData(queries.take(2).toSeq: _*); q.processAllAvailable()
+      in.addData(queries.drop(2).toSeq: _*); q.processAllAvailable()
+      // stream output ≡ the batch single-plan probe over the same queries
+      val expected = KnnOps.topKForQueriesProjected(spark, "sprojdb", "emb_proj",
+          emb, emb.filter($"vec_id" < 4)
+            .select($"vec_id".as("query_id"), $"embedding".as("q_embedding")), k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(results.toSet === expected)
+      assert(results.size === 12) // 4 queries × k=3, each exactly once
+    } finally {
+      q.stop()
+      CatalogOps.dropDatabase(spark, "sprojdb")
+    }
+  }
+
   test("streaming PQ knn answers each micro-batch like the batched ADC probe") {
     import graft.sources.{CatalogOps, Tables}
     import graft.operators.KnnOps
