@@ -1176,6 +1176,53 @@ object CatalogOps {
       .write.mode("overwrite").saveAsTable(s"`$db`.`$name`")
   }
 
+  /** Incremental upsert into a projected collection — the same
+    * last-write-wins discipline as the other index upsert paths
+    * (in-batch id collisions resolve by row value; pure-insert batches
+    * append, updates go through a staged overwrite). The projection is
+    * PER-ROW (no model, no neighbors, no cells), so an upsert derives
+    * exactly the new rows' pvecs and touches nothing else — the cheapest
+    * maintenance in the index family. outDim is inferred from the stored
+    * rows, so a batch can never silently write a different-width space.
+    */
+  def upsertProjected(spark: SparkSession, db: String, name: String,
+      batch: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.sql.functions._
+    val table = s"`$db`.`$name`"
+    val head = spark.table(table).select(size(col("pvec")).as("d"))
+      .limit(1).collect()
+    require(head.nonEmpty,
+      s"$db.$name has no rows — outDim is undeterminable; " +
+        "recreate via createProjectedCollection")
+    val outDim = head(0).getInt(0)
+    val keyW = max(struct(batch.columns.filterNot(_ == idCol)
+      .map(col).toIndexedSeq: _*)).as("__w")
+    val dedup = batch.groupBy(col(idCol)).agg(keyW)
+      .select(col(idCol) +: batch.columns.filterNot(_ == idCol)
+        .map(c => col(s"__w.$c").as(c)).toIndexedSeq: _*)
+    val derived = dedup
+      .withColumn("pvec",
+        graft.operators.KnnOps.projectArray(col(vecCol), outDim))
+      .drop(vecCol)
+    val targetCols = spark.table(table).columns.toIndexedSeq.map(col)
+    val updates = spark.table(table)
+      .join(broadcast(dedup.select(col(idCol))), idCol).limit(1).count()
+    if (updates == 0L) {
+      derived.select(targetCols: _*).write.mode("append").insertInto(s"$db.$name")
+    } else {
+      val staging = s"`$db`.`__${name}_upsert_staging`"
+      spark.table(table)
+        .join(broadcast(dedup.select(col(idCol))), Seq(idCol), "left_anti")
+        .unionByName(derived.select(targetCols: _*))
+        .write.mode("overwrite").saveAsTable(staging)
+      try {
+        spark.table(staging).select(targetCols: _*)
+          .write.mode("overwrite").insertInto(s"$db.$name")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
+  }
+
   /** PRODUCT-QUANTIZED collection — the next footprint step after
     * [[createQuantizedCollection]]: per-subspace k-means codebooks
     * ([[graft.operators.KnnOps.pqCodebooks]], one distributed Lloyd pass

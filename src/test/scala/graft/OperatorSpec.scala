@@ -1875,6 +1875,38 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("projected upsert lifecycle: incremental build equals one-shot, updates overwrite") {
+    import spark.implicits._
+    import graft.sources.CatalogOps
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    CatalogOps.dropDatabase(spark, "proj_life")
+    CatalogOps.createDatabase(spark, "proj_life")
+    // incremental: create on the first 300 ids, upsert the rest
+    CatalogOps.createProjectedCollection(spark, "proj_life", "inc",
+      emb.filter(col("vec_id") < 300))
+    CatalogOps.upsertProjected(spark, "proj_life", "inc",
+      emb.filter(col("vec_id") >= 300))
+    CatalogOps.createProjectedCollection(spark, "proj_life", "oneshot", emb)
+    val qVec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    def ask(name: String) = KnnOps.topKProjected(spark, "proj_life", name,
+        emb, qVec, excludeId = 0L, k = 3, rescoreK = 12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ask("inc") === ask("oneshot"))
+    // update: re-upsert id 7 with a counterfeit vector — its stored pvec
+    // must become the counterfeit's projection, row count unchanged
+    val fake = Seq((7L, 9, Seq.fill(64)(0.25))).toDF("vec_id", "label", "embedding")
+    CatalogOps.upsertProjected(spark, "proj_life", "inc", fake)
+    val stored = spark.table("proj_life.inc").filter(col("vec_id") === 7L)
+      .select(col("pvec")).head().getSeq[Double](0)
+    val expect = fake.select(
+        KnnOps.projectArray(col("embedding"), 16).as("p"))
+      .head().getSeq[Double](0)
+    assert(stored === expect)
+    assert(spark.table("proj_life.inc").count() === emb.count())
+    CatalogOps.dropDatabase(spark, "proj_life")
+  }
+
   test("quantized probe with a predicate equals the exact filtered scan at full rescore") {
     KnnOps.topKQuantizedProbe(spark, sf) // ensure the session collection
     val qVec = graft.sources.Tables.embeddings(spark, sf)
