@@ -1432,9 +1432,21 @@ object KnnOps {
   /** The rounded outDim-length JL projection of `vec` as one array
     * column — the shared builder of the report form ([[vecProjectOn]])
     * and the stored collection
-    * ([[graft.sources.CatalogOps.createProjectedCollection]]).
+    * ([[graft.sources.CatalogOps.createProjectedCollection]]). Fused
+    * codegen kernel ([[graft.plans.JlProject]]); the HOF formulation it
+    * replaced is retained below as the spec for the equality pin.
     */
   private[graft] def projectArray(vec: Column, outDim: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.plans.JlProject(toExpr(vec), outDim))
+  }
+
+  /** The original nested-HOF formulation of [[projectArray]] — kept as
+    * the executable SPEC of the fused kernel (ScalaCheck-pinned equal),
+    * not used in any production path: the inner `aggregate` lambda
+    * evaluates interpreted, which dominates the arithmetic at ingest.
+    */
+  private[graft] def projectArrayHof(vec: Column, outDim: Int): Column = {
     def sign(k: Column, j: Column): Column = {
       val cell = pmod((k * lit(65537L) + j + lit(1L)) * lit(2654435761L),
         lit(2147483647L))

@@ -93,6 +93,28 @@ object SelectionProperties extends Properties("graft.operators.Selection") {
     }
   }
 
+  // ---- JL projection: fused kernel ≡ HOF spec ----
+
+  private val realVectors: Gen[List[(Long, List[Double])]] = for {
+    n <- Gen.choose(1, 6)
+    d <- Gen.choose(1, 24)
+    vs <- Gen.listOfN(n, Gen.listOfN(d,
+      Gen.chooseNum(-10.0, 10.0).suchThat(x => !x.isNaN)))
+  } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+
+  property("JlProject fused kernel == nested-HOF spec, bit for bit") =
+    forAll(realVectors, Gen.choose(1, 20)) { (vs, outDim) =>
+      import spark.implicits._
+      val df = vs.toDF("vec_id", "embedding")
+      val fused = df.select(col("vec_id"),
+          graft.operators.KnnOps.projectArray(col("embedding"), outDim).as("p"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+      val hof = df.select(col("vec_id"),
+          graft.operators.KnnOps.projectArrayHof(col("embedding"), outDim).as("p"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+      fused == hof
+    }
+
   property("kcenterOn == driver greedy (ids and round-6 radii), ties and dups included") =
     forAll(vectors, Gen.choose(1, 6)) { (vs, k) =>
       import spark.implicits._
