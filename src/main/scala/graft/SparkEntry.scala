@@ -91,6 +91,10 @@ object SparkEntry {
     "q_crawl_frontier" -> ((s, d) => FrontierOps.crawlFrontier(s, d)),
     // one crawl-cycle plan: delta's added/changed → capped fetch schedule
     "q_crawl_e2e"      -> ((s, d) => FrontierOps.crawlCycle(s, d)),
+    // the POLITE frontier: RFC 9309 admission gates the schedule (a
+    // disallowed URL never consumes a slot) and crawl-delay shrinks the
+    // per-host cap — RobotsOps (built r13) wired into the crawl cycle
+    "q_crawl_robots"   -> ((s, d) => FrontierOps.crawlFrontierRobots(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
@@ -490,7 +494,7 @@ object SparkEntry {
     "q_mine_hardneg", "q_mine_hardneg_indexed", "q_mine_pairs", "q_eval_rank", "q_eval_rank_macro", "q_eval_rank_indexed", "q_link_pagerank", "q_link_pagerank_stored",
     "q_decontaminate", "q_pack_sequences", "q_domain_mix", "q_domain_mix_temp", "q_curate_e2e",
     "q_url_canonical", "q_url_dedup",
-    "q_crawl_delta", "q_crawl_frontier", "q_link_anchors", "q_link_hits", "q_link_triangles",
+    "q_crawl_delta", "q_crawl_frontier", "q_crawl_robots", "q_link_anchors", "q_link_hits", "q_link_triangles",
     "q_events_pattern", "q_sample_weighted", "q_sample_weighted_grouped", "q_report_maintained",
     "q_text_prf", "q_dedup_containment", "q_term_cooccur", "q_text_fuzzy",
     "q_events_transitions", "q_events_anomaly", "q_link_communities",
@@ -1123,6 +1127,49 @@ object SparkEntry {
         |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
         |WHERE old.doc_id IS NULL OR neu.doc_id IS NULL OR old_hash <> new_hash
         |ORDER BY doc_id ASC""".stripMargin,
+    // RFC 9309 admission + delay caps, re-derived from a HANDWRITTEN
+    // literal rules table (host class = numeric suffix % 4, mirroring
+    // RobotsOps.fixtureRobots): per (page, rule) LIKE match carrying the
+    // robots pattern's octet length, longest match wins, allow wins the
+    // length tie, no match → allowed; cap = least(8, floor(10/delay)).
+    // A group-selection bug (class 2: the graftbot group, not `*`) or a
+    // wildcard/$-anchor bug (class 1: '/*7$' → LIKE '/%7') diverges here.
+    "q_crawl_robots" ->
+      """WITH f AS (
+        |  SELECT source AS host, doc_id,
+        |         '/' || lang || '/p' || CAST(doc_id AS VARCHAR) AS path,
+        |         CAST((doc_id % 30) * (CASE lang WHEN 'en' THEN 5 WHEN 'fr' THEN 4
+        |                                         WHEN 'es' THEN 3 WHEN 'de' THEN 2 ELSE 1 END)
+        |              + n_chars % 7 AS BIGINT) AS priority,
+        |         try_cast(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 AS hc
+        |  FROM documents),
+        |rules(hc, allow, pat, plen) AS (VALUES
+        |  (0, false, '/de/%', 4), (0, false, '/zh/%', 4),
+        |  (1, false, '/%7', 4), (1, true, '/en/%', 4), (1, false, '/en%', 3),
+        |  (2, false, '/es/%', 4)),
+        |m AS (
+        |  SELECT f.host, f.doc_id, f.path, f.priority, f.hc, r.allow, r.plen
+        |  FROM f LEFT JOIN rules r ON f.hc = r.hc AND f.path LIKE r.pat),
+        |mm AS (
+        |  SELECT host, doc_id, path, priority, hc, allow, plen,
+        |         max(plen) OVER (PARTITION BY host, doc_id) AS best
+        |  FROM m),
+        |v AS (
+        |  SELECT host, doc_id, path, priority, hc
+        |  FROM mm
+        |  GROUP BY host, doc_id, path, priority, hc, best
+        |  HAVING best IS NULL OR bool_or(allow AND plen = best)),
+        |delays(hc, delay) AS (VALUES (0, 2.0), (1, 3.0)),
+        |r2 AS (
+        |  SELECT v.host, v.doc_id, v.path, v.priority,
+        |         least(CAST(8 AS BIGINT),
+        |               CAST(coalesce(floor(10.0 / d.delay), 8) AS BIGINT)) AS cap,
+        |         row_number() OVER (PARTITION BY v.host
+        |                            ORDER BY v.priority DESC, v.doc_id ASC) AS slot
+        |  FROM v LEFT JOIN delays d ON v.hc = d.hc)
+        |SELECT host, CAST(slot AS BIGINT) AS slot, doc_id, path, priority
+        |FROM r2 WHERE slot <= cap
+        |ORDER BY host ASC, slot ASC""".stripMargin,
     "q_crawl_frontier" ->
       """WITH f AS (
         |  SELECT source AS host, doc_id,

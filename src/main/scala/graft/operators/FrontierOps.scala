@@ -102,6 +102,58 @@ object FrontierOps {
       .orderBy(col("host").asc, col("slot").asc)
   }
 
+  /** `q_crawl_robots`: the POLITE frontier — [[crawlFrontier]]'s
+    * staleness schedule gated by RFC 9309 admission
+    * ([[graft.sources.RobotsOps]], built r13, wired here) and
+    * crawl-delay-shrunk per-host caps. The reference fetches
+    * unconditionally (`Crawling.py:13-24`); a production crawler cannot
+    * schedule a disallowed URL, and a host advertising `Crawl-delay: d`
+    * can absorb at most ⌊cycle/d⌋ fetches per cycle.
+    *
+    * Order of operations is the semantic point: admission runs BEFORE
+    * the per-host rank, so a disallowed URL never consumes a politeness
+    * slot (the next-best allowed page gets it); the delay cap then
+    * truncates each host's queue at min(globalCap, ⌊cycleSeconds/delay⌋).
+    *
+    * Scale shape: the rule map is host-keyed model state (one parsed
+    * body per host per cycle — the robots store of a real crawler),
+    * broadcast via the task closure; admission is a map-side per-row
+    * prefix match, then the same single hash exchange + per-host rank as
+    * [[crawlFrontier]]. The delay caps join is a broadcast of hosts×1
+    * rows. Output stays bounded at hosts × cap.
+    *
+    * Fixture: path = `/lang/p<doc_id>`; per-host bodies from
+    * [[graft.sources.RobotsOps.fixtureRobots]] (prefix rules, wildcard +
+    * `$`-anchor with a longest-match allow tie, agent-group selection,
+    * and a robots-less class). The DuckDB oracle re-derives the verdicts
+    * from a handwritten literal rules table.
+    */
+  def crawlFrontierRobots(spark: SparkSession, dir: String,
+      agent: String = graft.sources.RobotsOps.FixtureAgent,
+      globalCap: Int = 8, cycleSeconds: Double = 10.0): DataFrame = {
+    import graft.sources.RobotsOps
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // hosts are catalog-scale (the robots store of a crawler is one row
+    // per host); the bodies would arrive through the injected fetcher —
+    // the fixture derives them deterministically from the host name
+    val hosts = docs.select(col("source")).distinct().as[String].collect().toSeq
+    val robots = RobotsOps.fixtureRobots(hosts)
+    val pages = docs.select(col("source").as("host"), col("doc_id"),
+      concat(lit("/"), col("lang"), lit("/p"), col("doc_id")).as("path"),
+      priorityCol.as("priority"))
+    val admitted = RobotsOps.admitByHostPath(pages, "host", "path", robots, agent)
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+    val ranked = admitted.withColumn("slot", row_number().over(w))
+      .filter(col("slot") <= globalCap)
+    RobotsOps.capByCrawlDelay(ranked, "host", "slot", robots, agent,
+        cycleSeconds, globalCap)
+      .select(col("host"), col("slot").cast("long").as("slot"),
+        col("doc_id"), col("path"), col("priority"))
+      .orderBy(col("host").asc, col("slot").asc)
+  }
+
   /** `q_crawl_e2e`: one crawl-cycle plan — the re-crawl delta's
     * added/changed pages fed straight into the politeness-capped,
     * staleness-ranked fetch schedule. The delta side reduces to (id,

@@ -137,6 +137,73 @@ object RobotsOps {
     }
   }
 
+  /** The user-agent product token the engine crawls as — one definition
+    * for the frontier gate, the fixture bodies, and the tests.
+    */
+  val FixtureAgent = "graftbot"
+
+  /** Deterministic fixture robots corpus for the synthetic hosts
+    * (`srcK`) — the per-host bodies a crawl cycle would have fetched
+    * before scheduling, exercising every RFC 9309 semantic the evaluator
+    * implements. Host class = K % 4:
+    *
+    *  - class 0: plain prefix rules (`/de/`, `/zh/` disallowed) +
+    *    `Crawl-delay: 2`;
+    *  - class 1: wildcard + end-anchor (a disallow of any path ending
+    *    in 7: slash, star, 7, dollar — spelled out because the literal
+    *    would nest this comment) against `Allow: /en/` (longest-match
+    *    TIE at length 4, allow wins) over `Disallow: /en` (shorter,
+    *    loses) + `Crawl-delay: 3`;
+    *  - class 2: GROUP SELECTION — a `googlebot` group and a `*` group
+    *    both disallow everything; the `graftbot` group disallows only
+    *    `/es/`. Picking the wrong group blanks (or floods) the host.
+    *  - class 3: no robots body → everything allowed (RFC 9309 §2.3.1.2
+    *    unavailability rule).
+    *
+    * The DuckDB oracle mirrors these rules as a handwritten literal
+    * table (LIKE patterns + pattern lengths), NOT through this parser —
+    * so a group-selection or longest-match bug here diverges from the
+    * oracle instead of being copied into it.
+    */
+  def fixtureRobots(hosts: Seq[String]): Map[String, String] = hosts.flatMap { h: String =>
+    val digits = h.reverse.takeWhile(_.isDigit).reverse
+    val cls: Int = if (digits.isEmpty) 3 else (BigInt(digits) % 4).toInt
+    cls match {
+      case 0 => Some(h ->
+        "User-agent: *\nDisallow: /de/\nDisallow: /zh/\nCrawl-delay: 2\n")
+      case 1 => Some(h ->
+        "User-agent: *\nDisallow: /*7$\nAllow: /en/\nDisallow: /en\nCrawl-delay: 3\n")
+      case 2 => Some(h ->
+        ("User-agent: googlebot\nDisallow: /\n\n" +
+          "User-agent: graftbot\nDisallow: /es/\n\n" +
+          "User-agent: *\nDisallow: /\n"))
+      case _ => None
+    }
+  }.toMap
+
+  /** Admission gate over (host, path) COLUMNS — the form the frontier
+    * scheduler composes ([[graft.operators.FrontierOps.crawlFrontierRobots]]):
+    * rows whose host's rules disallow the path for `agent` are dropped
+    * BEFORE any ranking, so a disallowed URL never consumes a politeness
+    * slot. The parsed per-host rule map is model-sized (the robots store
+    * is host-keyed, one body per host per cycle) and rides the task
+    * closure; evaluation is a map-side per-row prefix match — no shuffle,
+    * no fetch. Hosts with no robots body are allowed (RFC 9309 §2.3.1.2).
+    */
+  def admitByHostPath(frontier: DataFrame, hostCol: String, pathCol: String,
+      robotsByHost: Map[String, String], agent: String): DataFrame = {
+    val ruleMap: Map[String, Seq[Rule]] =
+      robotsByHost.map { case (h, txt) => h -> rulesFor(parse(txt), agent) }
+    val hi = frontier.schema.fieldIndex(hostCol)
+    val pi = frontier.schema.fieldIndex(pathCol)
+    frontier.filter { r: org.apache.spark.sql.Row =>
+      !r.isNullAt(hi) && !r.isNullAt(pi) && (ruleMap.get(r.getString(hi)) match {
+        case None => true
+        case Some(rules) => isAllowed(rules, r.getString(pi))
+      })
+    }
+  }
+
   /** Distributed admission filter: drop frontier urls their host's robots
     * rules disallow for `agent`. The parsed rule map (host → rules) is
     * model-sized and rides the task closure; evaluation is a per-row

@@ -3983,6 +3983,62 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(capped("slow.example") === 3L, s"60s / 20s delay = 3 slots: $capped")
     assert(capped("fast.example") === 8L, "no delay keeps the global cap")
+    // wildcard + $-anchor battery (the class-1 fixture rule family)
+    val star = RobotsOps.rulesFor(RobotsOps.parse(
+      "User-agent: *\nDisallow: /*7$\nAllow: /en/\nDisallow: /en\n"), "graftbot")
+    assert(!RobotsOps.isAllowed(star, "/fr/p17"))  // anchored wildcard hits
+    assert(RobotsOps.isAllowed(star, "/fr/p170")) // $ anchor misses
+    assert(RobotsOps.isAllowed(star, "/en/p17"))  // len-4 tie → allow wins
+    assert(!RobotsOps.isAllowed(star, "/enx"))    // bare /en prefix disallows
+    assert(RobotsOps.isAllowed(star, "/en/p3"))   // allow outranks /en
+  }
+
+  test("robots-gated frontier: disallowed URLs never take a slot, delay shrinks caps") {
+    import graft.sources.RobotsOps
+    val rows = FrontierOps.crawlFrontierRobots(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val rate = Map("en" -> 5L, "fr" -> 4L, "es" -> 3L, "de" -> 2L)
+    val prio = docs.map { case (id, _, lang, nc) =>
+      id -> ((id % 30) * rate.getOrElse(lang, 1L) + nc % 7) }.toMap
+    def cls(host: String): Int = host.reverse.takeWhile(_.isDigit).reverse.toInt % 4
+    // independent mirror of the fixture verdicts (NOT through RobotsOps)
+    def allowed(host: String, lang: String, id: Long): Boolean = cls(host) match {
+      case 0 => lang != "de" && lang != "zh"
+      case 1 => lang == "en" || !s"/$lang/p$id".endsWith("7")
+      case 2 => lang != "es"
+      case _ => true
+    }
+    val cap = Map(0 -> 5, 1 -> 3, 2 -> 8, 3 -> 8)
+    // exact expected schedule: admit → rank by (priority DESC, id) → cap
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (host, hd) =>
+      hd.toSeq.filter(d => allowed(host, d._3, d._1))
+        .sortBy(d => (-prio(d._1), d._1))
+        .take(cap(cls(host)))
+        .zipWithIndex
+        .map { case (d, i) => (host, (i + 1).toLong, d._1, s"/${d._3}/p${d._1}", prio(d._1)) }
+    }.toSet
+    assert(rows.toSet === expected)
+    // the headline guarantee: a disallowed URL that WOULD have won a
+    // politeness slot is excluded, and its slot goes to the next-best
+    // allowed page (slots stay dense)
+    val unguarded = FrontierOps.crawlFrontier(spark, sf, perHostCap = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docLang = docs.map(d => d._1 -> d._3).toMap
+    val blockedScheduled = unguarded.filter { case (h, slot, id) =>
+      slot <= cap(cls(h)) && !allowed(h, docLang(id), id) }
+    assert(blockedScheduled.nonEmpty,
+      "fixture should have a disallowed page inside the unguarded schedule")
+    val byHost = rows.groupBy(_._1)
+    blockedScheduled.foreach { case (h, _, id) =>
+      val sched = byHost.getOrElse(h, Array.empty)
+      assert(!sched.exists(_._3 == id), s"disallowed $id scheduled on $h")
+      assert(sched.map(_._2).sorted.toSeq ===
+        (1 to sched.length).map(_.toLong), s"slots not dense on $h")
+    }
   }
 
   test("3-D z-order clusters all three axes; the 2-D layout leaves the third unpruned") {
