@@ -117,6 +117,10 @@ object SparkEntry {
     // keep the BEST copy per near-dup cluster, not the first: one
     // component-keyed order-free argmax on top of the CC resolution
     "q_dedup_keepbest" -> ((s, d) => DedupOps.dedupKeepBest(s, d)),
+    // the MAINTAINED closure: component store built create(evens) +
+    // incremental refresh(odds), keep-best served as one store read +
+    // argmax — same oracle as the live twin (the fold is exact)
+    "q_dedup_keepbest_stored" -> ((s, d) => DedupOps.keepBestStoredFixture(s, d)),
     // one identity across url-dup AND exact-text-dup edges (closure of
     // the union — a mirror of a re-crawl needs both signals)
     "q_dedup_multi"   -> ((s, d) => DedupOps.dedupMulti(s, d)),
@@ -503,7 +507,8 @@ object SparkEntry {
     "q_select_dsir", "q_link_depth", "q_corr_matrix", "q_select_dsir_stored",
     "q_link_coupling", "q_select_kcenter", "q_decontaminate_sem",
     "q_ppl_buckets", "q_gopher_rules", "q_curate_ccnet", "q_vec_project",
-    "q_knn_projected", "q_dedup_keepbest")
+    "q_knn_projected", "q_dedup_keepbest", "q_dedup_keepbest_stored",
+    "q_crawl_robots")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -518,6 +523,46 @@ object SparkEntry {
         round(cosineFast(col("a_emb"), col("b_emb")), 6).as("score"))
       .orderBy(col("a_id").asc)
   }
+
+  /** Shared by q_dedup_keepbest (live closure) and
+    * q_dedup_keepbest_stored (maintained component store) — the
+    * incremental merge fold is exact, so both face one oracle: the CC
+    * closure composed with the q_text_quality composite, ranked on the
+    * ROUNDED quality with doc_id tie-break.
+    */
+  private val KeepBestOracle: String =
+    """WITH RECURSIVE
+      |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))) >= 0.95),
+      |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |reach(n, m) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a WHERE e.b <> r.n),
+      |comp AS (SELECT n AS doc_id, least(n, min(m)) AS component FROM reach GROUP BY n),
+      |cl AS (
+      |  SELECT d.doc_id, coalesce(k.component, d.doc_id) AS component
+      |  FROM documents d LEFT JOIN comp k USING (doc_id)),
+      |q AS (
+      |  SELECT doc_id,
+      |         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |             / len(string_split(text, ' ')) * 0.5 +
+      |           least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) * 0.5, 6)
+      |           AS quality
+      |  FROM documents),
+      |sel AS (
+      |  SELECT cl.component, q.doc_id, q.quality,
+      |         row_number() OVER (PARTITION BY cl.component
+      |           ORDER BY q.quality DESC, q.doc_id ASC) AS rn,
+      |         count(*) OVER (PARTITION BY cl.component) AS n_members
+      |  FROM cl JOIN q USING (doc_id))
+      |SELECT component, doc_id AS kept_doc_id, quality,
+      |       CAST(n_members AS BIGINT) AS n_members
+      |FROM sel WHERE rn = 1
+      |ORDER BY component ASC""".stripMargin
 
   /** Shared by q_json_tree (schema-typed explodes) and q_json_tree_deep
     * (recursive Generator) — identical rows by contract.
@@ -1334,39 +1379,10 @@ object SparkEntry {
         |ORDER BY doc_id ASC""".stripMargin,
     // the CC closure composed with the q_text_quality composite; both
     // engines rank on the ROUNDED quality, doc_id breaks ties
-    "q_dedup_keepbest" ->
-      """WITH RECURSIVE
-        |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))) >= 0.95),
-        |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
-        |reach(n, m) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a WHERE e.b <> r.n),
-        |comp AS (SELECT n AS doc_id, least(n, min(m)) AS component FROM reach GROUP BY n),
-        |cl AS (
-        |  SELECT d.doc_id, coalesce(k.component, d.doc_id) AS component
-        |  FROM documents d LEFT JOIN comp k USING (doc_id)),
-        |q AS (
-        |  SELECT doc_id,
-        |         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |             / len(string_split(text, ' ')) * 0.5 +
-        |           least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) * 0.5, 6)
-        |           AS quality
-        |  FROM documents),
-        |sel AS (
-        |  SELECT cl.component, q.doc_id, q.quality,
-        |         row_number() OVER (PARTITION BY cl.component
-        |           ORDER BY q.quality DESC, q.doc_id ASC) AS rn,
-        |         count(*) OVER (PARTITION BY cl.component) AS n_members
-        |  FROM cl JOIN q USING (doc_id))
-        |SELECT component, doc_id AS kept_doc_id, quality,
-        |       CAST(n_members AS BIGINT) AS n_members
-        |FROM sel WHERE rn = 1
-        |ORDER BY component ASC""".stripMargin,
+    "q_dedup_keepbest" -> KeepBestOracle,
+    // the stored twin faces the SAME oracle: create(evens) + incremental
+    // refresh(odds) is an exact fold, not an approximation
+    "q_dedup_keepbest_stored" -> KeepBestOracle,
     "q_events_hopping" ->
       """SELECT w_start, event_type, count(*) AS n FROM (
         |  SELECT event_type,

@@ -1340,6 +1340,202 @@ object DedupOps {
         col("w.quality").as("quality"), col("n_members"))
       .orderBy(col("component").asc)
 
+  // ---------------------------------------------------------------------
+  // MAINTAINED COMPONENT STORE — the transitive closure as a serving
+  // artifact. [[dedupConnected]] / [[dedupKeepBest]] each re-pay the full
+  // LSH pair pass + star rounds per call; a pipeline that wants components
+  // AND survivors (AND membership probes) should pay the closure once and
+  // serve it — the rank-store pattern ([[LinkOps.createRankStore]])
+  // applied to the one expensive artifact that lacked it. The algebraic
+  // license for the incremental fold: NEW DOCUMENTS ONLY ADD EDGES, and
+  // added edges can only MERGE components — never split them — so the
+  // delta resolves on the QUOTIENT graph (stored components contracted to
+  // their labels) whose size is bounded by the delta's edge set, not the
+  // corpus. create(n) + refresh(batch) == cold(n + batch) exactly, because
+  // LSH pair discovery is a pure per-pair predicate: pairs(full corpus) =
+  // pairs(old) ∪ pairs(new, new) ∪ pairs(new, old), and connected
+  // components of an edge UNION are independent of discovery order. (The
+  // one caveat is the LshGuard hot-bucket cap, whose bucket sizes are
+  // measured per-pass — equality holds while no band bucket crosses the
+  // guard, the same published contract as the streaming minhash filter.)
+  //
+  // Layout: `{name}__components` (doc_id, component) partitioned by
+  // bucket = pmod(hash(doc_id), 32) — doc-keyed so a row NEVER moves
+  // partitions when its component label changes; a refresh rewrites only
+  // the buckets holding merged-component members or new docs (dynamic
+  // overwrite, untouched buckets byte-stable). `{name}__csigs` (doc_id,
+  // band, bkey) is the probe surface new batches equi-join (at 100 TB:
+  // bucketed on bkey so the probe is bucket-local); `{name}__cdata`
+  // (doc_id, s, n) carries the sorted token arrays the exact-Jaccard
+  // verify needs (the general-path representation — the store must not
+  // depend on the corpus fitting a 64-word vocabulary). `{name}__cmeta`
+  // carries the refresh epoch.
+  // ---------------------------------------------------------------------
+
+  private val CompStoreBuckets = 32
+
+  /** (doc_id, band, bkey) rows from a [[minhashSigMeta]] frame — the LSH
+    * blocking keys, shared by the store layout and its probe.
+    */
+  private def bandRows(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until NumBands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        xxhash64(col(s"h${2 * bnd}"), col(s"h${2 * bnd + 1}")).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  private def compTable(db: String, name: String) = s"`$db`.`${name}__components`"
+
+  /** Build the store from scratch: full LSH pair pass + transitive
+    * closure over `docs` (doc_id, text), persisted with the probe
+    * artifacts a future refresh needs.
+    */
+  def createComponentStore(spark: SparkSession, db: String, name: String,
+      docs0: DataFrame, tau: Double = 0.95): Unit = {
+    val docs = docs0.select(col("doc_id"), col("text"))
+    val star = connectedComponentsOn(
+      minHashLshPairsOn(docs, tau).select(col("a_id").as("a"), col("b_id").as("b")))
+    docs.select(col("doc_id"))
+      .join(star.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        pmod(hash(col("doc_id")), lit(CompStoreBuckets)).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .saveAsTable(compTable(db, name))
+    val sig = minhashSigMeta(docs, None).cache()
+    bandRows(sig).write.mode("overwrite").saveAsTable(s"`$db`.`${name}__csigs`")
+    sig.select(col("doc_id"), col("s"), col("n"))
+      .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cdata`")
+    sig.unpersist()
+    spark.createDataFrame(Seq(Tuple1(1L))).toDF("epoch")
+      .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cmeta`")
+  }
+
+  /** Incremental fold of a NEW-DOCUMENT batch into the stored closure.
+    * Work is delta-bounded end to end: the batch's band keys equi-join
+    * the signature store (new–old candidates), the batch LSH-pairs
+    * itself (new–new), old endpoints contract to their stored component
+    * label, and the star rounds run on that quotient graph. The rewrite
+    * touches ONLY the buckets holding merged-component members or new
+    * docs; every other partition's files stay byte-identical. Ids must
+    * be fresh — the store is an append-only corpus artifact (updates are
+    * a delete + re-add lifecycle, like every index store here).
+    */
+  def refreshComponents(spark: SparkSession, db: String, name: String,
+      newDocs0: DataFrame, tau: Double = 0.95): Unit = {
+    val newDocs = newDocs0.select(col("doc_id"), col("text"))
+    val comps = spark.table(compTable(db, name))
+    val newIds = newDocs.select(col("doc_id")).localCheckpoint(false)
+    require(comps.join(broadcast(newIds), Seq("doc_id"), "left_semi").isEmpty,
+      "refreshComponents takes NEW ids only (append-only store; updates are delete + re-add)")
+    val sig = minhashSigMeta(newDocs, None).cache()
+    // new–new: the ordinary banded pair pass within the batch
+    val nn = minHashLshPairsOn(newDocs, tau)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    // new–old: batch band keys probe the signature store (bucket-local at
+    // scale), then exact-Jaccard verify against ONLY the candidate docs
+    val stored = spark.table(s"`$db`.`${name}__csigs`")
+      .select(col("band").as("band_s"), col("bkey").as("bkey_s"),
+        col("doc_id").as("old_id"))
+    val cand = bandRows(sig)
+      .join(stored, col("band") === col("band_s") && col("bkey") === col("bkey_s"))
+      .select(col("doc_id").as("new_id"), col("old_id")).distinct()
+    val cdata = spark.table(s"`$db`.`${name}__cdata`")
+    val no = cand
+      .join(sig.select(col("doc_id").as("new_id"), col("s").as("a_s"),
+        col("n").as("a_n")), "new_id")
+      .join(cdata.select(col("doc_id").as("old_id"), col("s").as("b_s"),
+        col("n").as("b_n")), "old_id")
+      .filter(jaccardFast(col("a_s"), col("b_s"), col("a_n"), col("b_n")) >= tau)
+      .select(col("new_id"), col("old_id"))
+    // quotient: contract each old endpoint to its stored component label;
+    // the star rounds then run over |delta edges| + touched labels only
+    val noComp = no
+      .join(comps.select(col("doc_id").as("old_id"), col("component")), "old_id")
+      .select(col("new_id").as("a"), col("component").as("b"))
+    val star = connectedComponentsOn(nn.unionByName(noComp))
+      .localCheckpoint(false) // read twice: new-row labels + old-label remap
+    val newRows = newIds
+      .join(star.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        pmod(hash(col("doc_id")), lit(CompStoreBuckets)).as("bucket"))
+    // star nodes are new ids or OLD component labels; the non-new rows
+    // are exactly the merged-label remap (model-sized: ≤ |delta| merges)
+    val remap = star.join(broadcast(newIds),
+        star("node") === newIds("doc_id"), "left_anti")
+      .select(col("node").as("component"), col("component").as("newcomp"))
+    // touched buckets: merged-component members + the new docs' buckets
+    val touched = comps.join(broadcast(remap.select(col("component"))),
+        Seq("component"), "left_semi").select(col("bucket"))
+      .unionByName(newRows.select(col("bucket")))
+      .distinct()
+    val staged = comps
+      .join(broadcast(touched), Seq("bucket"), "left_semi")
+      .join(broadcast(remap), Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("newcomp"), col("component")).as("component"), col("bucket"))
+      .unionByName(newRows)
+      .localCheckpoint() // materialize BEFORE overwriting the table it reads
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try staged.select(col("doc_id"), col("component"), col("bucket"))
+      .write.mode("overwrite").insertInto(s"$db.${name}__components")
+    finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // probe artifacts append; epoch bumps
+    bandRows(sig).write.mode("append").saveAsTable(s"`$db`.`${name}__csigs`")
+    sig.select(col("doc_id"), col("s"), col("n"))
+      .write.mode("append").saveAsTable(s"`$db`.`${name}__cdata`")
+    sig.unpersist()
+    val epoch = spark.table(s"`$db`.`${name}__cmeta`")
+      .agg(max(col("epoch"))).head().getLong(0)
+    spark.createDataFrame(Seq(Tuple1(epoch + 1))).toDF("epoch")
+      .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cmeta`")
+  }
+
+  /** Serve the stored closure — the read twin of [[refreshComponents]]. */
+  def servedComponents(spark: SparkSession, db: String, name: String): DataFrame =
+    spark.table(compTable(db, name)).select(col("doc_id"), col("component"))
+
+  /** `q_dedup_keepbest_stored`: [[dedupKeepBest]] answered from the
+    * MAINTAINED store — built create(even ids) + refresh(odd ids) so every
+    * contract run exercises the incremental merge fold, then served as
+    * one store read + quality join + component argmax (the ~4 s closure
+    * re-run drops to the join cost). Same oracle as `q_dedup_keepbest`:
+    * the fold is exact, not approximate. Idempotent per session.
+    */
+  def keepBestStoredFixture(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CatalogOps
+    val db = "graft_comps"
+    val name = "docs"
+    this.synchronized {
+      val ready = spark.catalog.tableExists(s"$db.${name}__cmeta") && {
+        val r = spark.table(s"`$db`.`${name}__cmeta`")
+          .agg(max(col("epoch"))).head()
+        !r.isNullAt(0) && r.getLong(0) == 2L
+      }
+      if (!ready) {
+        CatalogOps.createDatabase(spark, db)
+        Seq("components", "csigs", "cdata", "cmeta").foreach(sfx =>
+          KnnOps.dropTableAndDir(spark, db, s"${name}__$sfx"))
+        val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        createComponentStore(spark, db, name, docs.filter(col("doc_id") % 2 === 0))
+        refreshComponents(spark, db, name, docs.filter(col("doc_id") % 2 === 1))
+      }
+    }
+    val toks = split(col("text"), " ")
+    val q = Tables.documents(spark, dir).select(col("doc_id"),
+      round(size(array_distinct(toks)).cast("double") / size(toks) * lit(0.5) +
+        least(lit(1.0), size(toks).cast("double") / lit(100.0)) * lit(0.5), 6)
+        .as("quality"))
+    keepBestOn(servedComponents(spark, db, name), q)
+  }
+
   /** One micro-batch of the STREAMING near-dup dedup
     * ([[graft.streaming.StreamingOps.streamingDedupMinhash]]): the
     * continuous-crawl analog of [[minHashLsh]], FIRST-ARRIVAL-WINS across

@@ -4041,6 +4041,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("component store: create + incremental refresh equals the cold closure; keep-best serves from it") {
+    import graft.sources.{CatalogOps, Tables}
+    val db = "compstoredb"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // create on even ids, fold in the odds — the store must land on the
+    // full-corpus closure exactly (new edges only merge, never split)
+    DedupOps.createComponentStore(spark, db, "t", docs.filter(col("doc_id") % 2 === 0))
+    DedupOps.refreshComponents(spark, db, "t", docs.filter(col("doc_id") % 2 === 1))
+    val stored = DedupOps.servedComponents(spark, db, "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cold = DedupOps.dedupConnected(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored === cold)
+    // a second, disjoint refresh keeps the law (epoch-3 store == cold on
+    // the shifted corpus is covered by the union argument; here: ids must
+    // be fresh — re-folding an existing id is refused loudly)
+    intercept[IllegalArgumentException] {
+      DedupOps.refreshComponents(spark, db, "t", docs.limit(1))
+    }
+    // keep-best from the store is byte-identical to the live closure
+    val servedKb = DedupOps.keepBestStoredFixture(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val liveKb = DedupOps.dedupKeepBest(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(servedKb.toSeq === liveKb.toSeq)
+    CatalogOps.dropDatabase(spark, db)
+  }
+
   test("3-D z-order clusters all three axes; the 2-D layout leaves the third unpruned") {
     import graft.sources.{CatalogOps, LayoutStats}
     import graft.functions.ZorderFunctions._
