@@ -482,12 +482,15 @@ object LinkOps {
     * vote against a clique's many (pinned in tests on a planted
     * two-clique + bridge graph).
     *
-    * Determinism: fixed round count, integer votes, and the per-node
-    * argmax as `max(struct(count, -label))` — an order-free aggregate
-    * (no window, no arbitrary first()); synchronous updates mean no
-    * intra-round order dependence either. (Asynchronous LPA, the other
-    * published variant, is faster to converge but schedule-dependent —
-    * wrong for a reproducible pipeline.)
+    * Determinism: a fixed round BUDGET with an exact zero-change early
+    * stop (r14 — see [[labelPropagationRounds]]: idempotence at the
+    * fixed point makes stopping bit-identical to running every round),
+    * integer votes, and the per-node argmax as
+    * `max(struct(count, -label))` — an order-free aggregate (no window,
+    * no arbitrary first()); synchronous updates mean no intra-round
+    * order dependence either. (Asynchronous LPA, the other published
+    * variant, is faster to converge but schedule-dependent — wrong for
+    * a reproducible pipeline.)
     *
     * Scale: each round is one join of the label vector against the
     * materialized adjacency (both localCheckpointed once — the pagerank
@@ -512,7 +515,21 @@ object LinkOps {
     * Output: (doc_id, community) ordered by doc_id — community = the
     * converged (or round-`iters`) label, a member node id.
     */
-  private[graft] def labelPropagationOn(und0: DataFrame, iters: Int): DataFrame = {
+  private[graft] def labelPropagationOn(und0: DataFrame, iters: Int): DataFrame =
+    labelPropagationRounds(und0, iters)._1
+
+  /** The iteration with its round count exposed (for the convergence
+    * tests). Synchronous LPA is IDEMPOTENT at a fixed point — a round
+    * that changes no label makes every later round identical — so the
+    * loop stops at the first zero-change round: the result is
+    * bit-identical to running all `iters` rounds (oscillating graphs —
+    * bipartite 2-cycles — never hit the stop and run the full budget,
+    * the published bound for synchronous LPA). The change probe is one
+    * node-keyed join + take(1) over two frames the loop already
+    * materializes — node-sized, no new corpus pass.
+    */
+  private[graft] def labelPropagationRounds(und0: DataFrame,
+      iters: Int): (DataFrame, Int) = {
     val und = und0.localCheckpoint(false)
     val adj = und.select(col("a").as("v"), col("b").as("nb"))
       .unionByName(und.select(col("b").as("v"), col("a").as("nb")))
@@ -520,17 +537,25 @@ object LinkOps {
     var labels = adj.select(col("v")).distinct()
       .select(col("v"), col("v").as("label"))
       .localCheckpoint(false)
-    for (_ <- 1 to iters) {
-      labels = adj
+    var rounds = 0
+    var converged = false
+    while (rounds < iters && !converged) {
+      val next = adj
         .join(labels.select(col("v").as("nb"), col("label").as("nl")), "nb")
         .groupBy(col("v"), col("nl")).agg(count(lit(1)).as("c"))
         .groupBy(col("v"))
         .agg(max(struct(col("c"), (-col("nl")).as("negl"))).as("m"))
         .select(col("v"), (-col("m.negl")).as("label"))
         .localCheckpoint(false)
+      converged = next
+        .join(labels.select(col("v"), col("label").as("prev")), "v")
+        .filter(col("label") =!= col("prev"))
+        .isEmpty
+      labels = next
+      rounds += 1
     }
-    labels.select(col("v").as("doc_id"), col("label").as("community"))
-      .orderBy(col("doc_id").asc)
+    (labels.select(col("v").as("doc_id"), col("label").as("community"))
+      .orderBy(col("doc_id").asc), rounds)
   }
 
   /** Depth-limited multi-source BFS (`q_link_depth`) — min-hop distance
