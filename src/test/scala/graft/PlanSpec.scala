@@ -552,6 +552,47 @@ class PlanSpec extends AnyFunSuite {
     assert(got.length === 5)
   }
 
+  test("batched SQL knn: rank-filtered row_number window rewrites to per-group heaps") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    emb.createOrReplaceTempView("plan_emb_topk_b")
+    val sqlBody =
+      """SELECT q.query_id, c.vec_id, vec_cosine(c.embedding, q.qvec) AS score,
+        |       row_number() OVER (PARTITION BY q.query_id
+        |         ORDER BY vec_cosine(c.embedding, q.qvec) DESC) AS rn
+        |FROM (SELECT vec_id AS query_id, embedding AS qvec
+        |      FROM plan_emb_topk_b WHERE vec_id < 2) q
+        |CROSS JOIN (SELECT vec_id, embedding
+        |            FROM plan_emb_topk_b WHERE vec_id >= 2) c""".stripMargin
+    val df = spark.sql(
+      s"SELECT query_id, vec_id, score, rn FROM ($sqlBody) WHERE rn <= 4")
+    val p = plan(df)
+    assert(p.toLowerCase.contains("topk_score_id"), p)
+    assert(!p.contains("Window") && !p.contains("row_number"), p)
+    // a second carried column dodges the rewrite → the stock window plan,
+    // which doubles as the equality baseline (incl. the restored rank)
+    // (a foldable pad constant gets hoisted above the filter and the
+    // rewrite still fires — the dodge must be a genuinely carried column)
+    val base = spark.sql(
+      s"""SELECT query_id, vec_id, score, rn, pad FROM (
+         |  SELECT q.query_id, c.vec_id, vec_cosine(c.embedding, q.qvec) AS score,
+         |         size(c.embedding) AS pad,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY vec_cosine(c.embedding, q.qvec) DESC) AS rn
+         |  FROM (SELECT vec_id AS query_id, embedding AS qvec
+         |        FROM plan_emb_topk_b WHERE vec_id < 2) q
+         |  CROSS JOIN (SELECT vec_id, embedding
+         |              FROM plan_emb_topk_b WHERE vec_id >= 2) c) WHERE rn <= 4""".stripMargin)
+    assert(plan(base).contains("Window"), plan(base))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val got = df.collect().map(key).sortBy(t => (t._1, t._4))
+    val want = base.collect().map(key).sortBy(t => (t._1, t._4))
+    assert(got.toSeq === want.toSeq,
+      "rewritten batched knn must equal the window form, ranks included")
+    assert(got.length === 8) // 2 queries × k=4
+  }
+
   test("grouped top-k plans the bounded heap, never a rank window") {
     val p = plan(RelOps.groupTopK(spark, sf))
     assert(p.toLowerCase.contains("topk_score_id"), p)
