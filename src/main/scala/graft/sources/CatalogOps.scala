@@ -1641,6 +1641,26 @@ object CatalogOps {
     * live inside CSR arrays — only a graph rebuild can remove them).
     * `ids` is a 1-column frame (any name) and broadcasts — delete cost
     * scales with the touched partitions, not the table.
+    *
+    * CRASH CONTRACT (single-writer; pinned in tests): the stage →
+    * insertInto → drop-staging dance has three failure windows, each
+    * recoverable by RE-RUNNING THE SAME CALL —
+    *  - crash after the stage write, before insertInto: the target is
+    *    untouched (pre-delete state, row-consistent); the orphaned
+    *    staging table is reclaimed by the next call's `overwrite` stage
+    *    write, whatever stale schema or rows it holds;
+    *  - crash DURING insertInto's commit: each partition lands at either
+    *    its pre- or post-delete version (the committer moves files per
+    *    partition), so every partition is row-consistent and the re-run
+    *    anti-joins the doomed ids out of whichever mix survived —
+    *    deletion is idempotent on row content, the re-run converges;
+    *  - crash after insertInto, before the staging drop: the target is
+    *    fully post-delete; the orphan is reclaimed as above and the
+    *    re-run is a content no-op.
+    * Readers concurrent with the commit window can observe the mixed
+    * state — the documented single-writer trade of plain-parquet tables
+    * (the versioned-collection family is the MVCC alternative: appended
+    * `__v` snapshots never rewrite files).
     */
   def deleteByIds(spark: SparkSession, db: String, name: String,
       ids: DataFrame, idCol: String = "vec_id"): Unit = {

@@ -2334,6 +2334,55 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "deldb")
   }
 
+  test("staging-swap crash windows: orphaned staging reclaimed, re-run converges") {
+    import graft.sources.CatalogOps
+    import spark.implicits._
+    CatalogOps.dropDatabase(spark, "crashdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/crashdb.db"))
+    CatalogOps.createDatabase(spark, "crashdb")
+    // window 1 — crash AFTER the stage write, BEFORE insertInto: target
+    // untouched, staging orphaned with arbitrary stale content. The next
+    // call must overwrite the orphan (not merge it) and land correctly.
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("vec_id", "text")
+      .write.saveAsTable("`crashdb`.`flat`")
+    Seq((99L, "stale", 7)).toDF("vec_id", "junk", "extra") // wrong schema too
+      .write.saveAsTable("`crashdb`.`__flat_delete_staging`")
+    CatalogOps.deleteByIds(spark, "crashdb", "flat", Seq(2L).toDF("vec_id"))
+    assert(spark.table("`crashdb`.`flat`").select($"vec_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    assert(!spark.catalog.tableExists("crashdb.__flat_delete_staging"),
+      "staging must be dropped after a successful swap")
+    // same window on a PARTITIONED table
+    Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1), (4L, "d", 2))
+      .toDF("vec_id", "text", "cell")
+      .write.partitionBy("cell").saveAsTable("`crashdb`.`part`")
+    Seq((77L, "stale")).toDF("vec_id", "junk")
+      .write.saveAsTable("`crashdb`.`__part_delete_staging`")
+    CatalogOps.deleteByIds(spark, "crashdb", "part", Seq(3L).toDF("vec_id"))
+    assert(spark.table("`crashdb`.`part`").select($"vec_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+    assert(!spark.catalog.tableExists("crashdb.__part_delete_staging"))
+    // window 3 — crash AFTER insertInto, BEFORE the staging drop: the
+    // target is already post-delete; re-running the SAME call must be a
+    // content no-op that reclaims the orphan (idempotent recovery)
+    spark.table("`crashdb`.`part`")
+      .write.saveAsTable("`crashdb`.`__part_delete_staging`") // plausible orphan
+    CatalogOps.deleteByIds(spark, "crashdb", "part", Seq(3L).toDF("vec_id"))
+    assert(spark.table("`crashdb`.`part`").select($"vec_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+    assert(!spark.catalog.tableExists("crashdb.__part_delete_staging"))
+    // window 2 proxy — a partition left at its PRE-delete version while
+    // others committed (the mid-commit mix): re-run converges. Simulate
+    // by re-inserting a doomed row into its original partition.
+    Seq((3L, "c", 1)).toDF("vec_id", "text", "cell")
+      .write.mode("append").insertInto("crashdb.part")
+    CatalogOps.deleteByIds(spark, "crashdb", "part", Seq(3L).toDF("vec_id"))
+    assert(spark.table("`crashdb`.`part`").select($"vec_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+    CatalogOps.dropDatabase(spark, "crashdb")
+  }
+
   test("deleteByIds on a multi-column-partitioned table: full-tuple sweep, untouched siblings byte-identical") {
     import graft.sources.CatalogOps
     import spark.implicits._
