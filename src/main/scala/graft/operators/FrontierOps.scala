@@ -154,6 +154,83 @@ object FrontierOps {
       .orderBy(col("host").asc, col("slot").asc)
   }
 
+  /** Apply one crawl delta to a maintained IVF collection — the
+    * reference's operational loop (re-crawl → re-embed → re-index,
+    * `TencentVDB.py:69-79`, which blanket-overwrites EVERY id every run)
+    * made incremental: only added/changed pages re-embed (map-side
+    * [[graft.plans.FeatureHashEmbed]], zero shuffle) and re-index
+    * through the partition-scoped [[graft.sources.CatalogOps.upsertIvf]]
+    * (cells re-derived from the PERSISTED quantizer; only touched cell
+    * partitions rewrite), and removed pages leave through
+    * [[graft.sources.CatalogOps.deleteByIds]] (doomed partitions only).
+    * Work per cycle ∝ |delta|, never the corpus.
+    *
+    * Idempotent on content: upsert is overwrite-by-id and delete is
+    * id-anti-join, so re-applying the same delta is a no-op — which is
+    * exactly the replay guarantee the streaming twin
+    * ([[graft.streaming.StreamingOps.streamingCrawlMaintain]]) needs
+    * under foreachBatch's at-least-once, in-order redelivery.
+    *
+    * `delta` carries (doc_id, change, text) — text non-null for
+    * added/changed rows (the re-crawled body), ignored for removals.
+    */
+  def applyCrawlDelta(spark: SparkSession, db: String, name: String,
+      delta: DataFrame, dim: Int = 64): Unit = {
+    import graft.functions.VectorFunctions.l2Normalize
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    import graft.sources.CatalogOps
+    val ups = delta.filter(col("change").isin("added", "changed"))
+      .select(col("doc_id").as("vec_id"),
+        l2Normalize(toCol(graft.plans.FeatureHashEmbed(toExpr(col("text")), dim)))
+          .as("embedding"))
+    if (!ups.isEmpty) CatalogOps.upsertIvf(spark, db, name, ups)
+    val rm = delta.filter(col("change") === "removed")
+      .select(col("doc_id").as("vec_id"))
+    if (!rm.isEmpty) CatalogOps.deleteByIds(spark, db, name, rm)
+  }
+
+  /** `q_crawl_maintain`: the whole maintained loop on the fixture —
+    * build the IVF collection from the PREVIOUS crawl snapshot, apply
+    * [[crawlDelta]]'s added/changed/removed pages through
+    * [[applyCrawlDelta]], and emit the maintained collection's state
+    * (vec_id, cell, content signature). Rows-only by design (k-means
+    * cells and the hash embedder are engine-native); the streaming twin
+    * and the batch apply are pinned equal in tests, and the maintained
+    * content is pinned equal to embedding the post-delta corpus under
+    * the frozen quantizer. Idempotent per session.
+    */
+  def crawlMaintainFixture(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.l2Normalize
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    import graft.sources.CatalogOps
+    import graft.operators.KnnOps
+    val db = "graft_crawl"
+    val name = "kb"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__maintdone")) {
+        CatalogOps.createDatabase(spark, db)
+        Seq(name, s"${name}__model", s"${name}__maintdone").foreach(t =>
+          KnnOps.dropTableAndDir(spark, db, t))
+        val docs = Tables.documents(spark, dir)
+        val old = oldSnapshot(docs).select(col("doc_id").as("vec_id"),
+          l2Normalize(toCol(graft.plans.FeatureHashEmbed(toExpr(col("text")), 64)))
+            .as("embedding"))
+        CatalogOps.createIvfCollection(spark, db, name, old)
+        val withText = crawlDelta(spark, dir)
+          .join(newSnapshot(docs), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("change"), col("text"))
+        applyCrawlDelta(spark, db, name, withText)
+        spark.createDataFrame(Seq(Tuple1(1L))).toDF("done")
+          .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__maintdone`")
+      }
+    }
+    spark.table(s"`$db`.`$name`")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        xxhash64(array_join(transform(col("embedding"),
+          x => round(x * 1e6).cast("long").cast("string")), ",")).as("sig"))
+      .orderBy(col("vec_id").asc)
+  }
+
   /** `q_crawl_e2e`: one crawl-cycle plan — the re-crawl delta's
     * added/changed pages fed straight into the politeness-capped,
     * staleness-ranked fetch schedule. The delta side reduces to (id,

@@ -214,6 +214,38 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming crawl-cycle maintenance — the reference's operational
+    * loop (re-crawl → re-embed → re-index, `TencentVDB.py:69-79`) as a
+    * maintained pipeline: each micro-batch of crawl-delta rows
+    * (doc_id, change, text) re-embeds its added/changed pages map-side
+    * and folds them into the IVF collection through the partition-scoped
+    * upsert, and retires its removed pages through the partition-scoped
+    * delete ([[graft.operators.FrontierOps.applyCrawlDelta]] per batch).
+    * Work per batch ∝ |delta|; the collection and its quantizer model
+    * are the persisted state.
+    *
+    * Replay safety WITHOUT a watermark: the batch apply is idempotent on
+    * content (upsert is overwrite-by-id, delete an id-anti-join), so
+    * foreachBatch's at-least-once, in-order redelivery folds to the same
+    * collection by algebra — the bloom-store argument, with idempotence
+    * in place of the OR monoid. (Cross-batch REORDERING would not be
+    * safe — a replayed older batch could regress an id — but Structured
+    * Streaming replays batches in order by contract.) Pinned in
+    * StreamingSpec: streamed batches ≡ the one-shot batch apply ≡ the
+    * post-delta corpus under the frozen quantizer, and a re-applied
+    * batch is a content no-op.
+    */
+  def streamingCrawlMaintain(deltaStream: DataFrame, db: String,
+      name: String, dim: Int = 64): StreamingQuery =
+    deltaStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.FrontierOps.applyCrawlDelta(
+            batch.sparkSession, db, name, batch.toDF(), dim)
+      }
+      .start()
+
   /** Streaming NEAR-DUP dedup — the continuous-crawl ingest filter
     * ([[graft.operators.DedupOps.dedupIncrementalBatch]] per micro-batch):
     * each batch of (doc_id, text) dedupes within itself, probes the

@@ -1920,4 +1920,70 @@ class StreamingSpec extends AnyFunSuite {
       "replayed fold must not double-count")
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
+
+  test("streaming crawl maintain ≡ one-shot batch apply ≡ frozen-model content; replay no-ops") {
+    import graft.sources.CatalogOps
+    import graft.operators.{FrontierOps, KnnOps}
+    import graft.functions.VectorFunctions.l2Normalize
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val db = "scrawldb"
+    CatalogOps.dropDatabase(spark, db)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    def embed(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id").as("vec_id"),
+      l2Normalize(toCol(graft.plans.FeatureHashEmbed(toExpr(col("text")), 64)))
+        .as("embedding"))
+    val words = Seq("crawl", "vector", "index", "page", "nav", "query")
+    val oldDocs = (0L until 12L).map(i =>
+      (i, s"${words(i.toInt % 6)} body ${words((i.toInt + 2) % 6)} page $i"))
+    // two identical collections: one streamed into, one batch-applied
+    CatalogOps.createIvfCollection(spark, db, "kb", embed(oldDocs.toDF("doc_id", "text")))
+    CatalogOps.createIvfCollection(spark, db, "kb2", embed(oldDocs.toDF("doc_id", "text")))
+    val delta = Seq(
+      (3L, "changed", "revised vector body three"),
+      (7L, "changed", "revised index body seven"),
+      (20L, "added", "brand new crawl page twenty"),
+      (21L, "added", "brand new nav page twentyone"),
+      (5L, "removed", null: String),
+      (9L, "removed", null: String))
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.streamingCrawlMaintain(
+      in.toDS.toDF("doc_id", "change", "text"), db, "kb")
+    try {
+      in.addData(delta(0), delta(4)); q.processAllAvailable()
+      in.addData(delta(1), delta(2)); q.processAllAvailable()
+      in.addData(delta(3), delta(5)); q.processAllAvailable()
+    } finally q.stop()
+    FrontierOps.applyCrawlDelta(spark, db, "kb2",
+      delta.toDF("doc_id", "change", "text"))
+    def state(t: String): Map[Long, (Long, Seq[Double])] =
+      spark.table(s"`$db`.`$t`")
+        .select(col("vec_id"), col("cell").cast("long"), col("embedding"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    val streamed = state("kb")
+    assert(streamed === state("kb2"),
+      "streamed micro-batches must land exactly where the one-shot apply lands")
+    // frozen-model content: the post-delta corpus, embedded, cells from
+    // the PERSISTED quantizer (maintenance never retrains)
+    val post = oldDocs.filterNot(d => Set(3L, 5L, 7L, 9L).contains(d._1)) ++
+      Seq((3L, "revised vector body three"), (7L, "revised index body seven"),
+        (20L, "brand new crawl page twenty"), (21L, "brand new nav page twentyone"))
+    val (cents, kCells) = KnnOps.readCoarseModel(spark, db, "kb")
+    val assign = toCol(graft.plans.NearestCentroid(
+      toExpr(col("embedding")), cents.toSeq, kCells))
+    val expected = embed(post.toDF("doc_id", "text"))
+      .select(col("vec_id"), assign.cast("long").as("cell"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(streamed === expected)
+    // at-least-once redelivery: re-applying an already-applied batch is a
+    // content no-op (idempotence is the replay guarantee — no watermark)
+    FrontierOps.applyCrawlDelta(spark, db, "kb",
+      Seq(delta(1), delta(2)).toDF("doc_id", "change", "text"))
+    assert(state("kb") === streamed, "replayed batch must not change content")
+    CatalogOps.dropDatabase(spark, db)
+  }
 }
