@@ -95,6 +95,11 @@ object SparkEntry {
     // disallowed URL never consumes a slot) and crawl-delay shrinks the
     // per-host cap — RobotsOps (built r13) wired into the crawl cycle
     "q_crawl_robots"   -> ((s, d) => FrontierOps.crawlFrontierRobots(s, d)),
+    // the maintained loop end to end: IVF collection built from the OLD
+    // snapshot, the delta's added/changed re-embedded + upserted and its
+    // removals retired — rows-only (k-means cells + hash embedder are
+    // engine-native); streaming twin ≡ batch apply pinned in tests
+    "q_crawl_maintain" -> ((s, d) => FrontierOps.crawlMaintainFixture(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
@@ -114,6 +119,9 @@ object SparkEntry {
     // asymmetric containment: A quoted/cropped inside B (Broder 1997)
     "q_dedup_containment" -> ((s, d) => DedupOps.containmentPairs(s, d)),
     "q_dedup_cc"      -> ((s, d) => DedupOps.dedupConnected(s, d)),
+    // the closure served from the maintained component store (one
+    // bucketed read; same recursive-CTE oracle — the fold is exact)
+    "q_dedup_cc_stored" -> ((s, d) => DedupOps.connectedStoredFixture(s, d)),
     // keep the BEST copy per near-dup cluster, not the first: one
     // component-keyed order-free argmax on top of the CC resolution
     "q_dedup_keepbest" -> ((s, d) => DedupOps.dedupKeepBest(s, d)),
@@ -508,7 +516,7 @@ object SparkEntry {
     "q_link_coupling", "q_select_kcenter", "q_decontaminate_sem",
     "q_ppl_buckets", "q_gopher_rules", "q_curate_ccnet", "q_vec_project",
     "q_knn_projected", "q_dedup_keepbest", "q_dedup_keepbest_stored",
-    "q_crawl_robots")
+    "q_dedup_cc_stored", "q_crawl_robots", "q_crawl_maintain")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -530,6 +538,26 @@ object SparkEntry {
     * closure composed with the q_text_quality composite, ranked on the
     * ROUNDED quality with doc_id tie-break.
     */
+  /** Shared by q_dedup_cc (live transitive closure) and q_dedup_cc_stored
+    * (the maintained component store) — the incremental fold is exact.
+    */
+  private val ConnectedOracle: String =
+    """WITH RECURSIVE
+      |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))) >= 0.95),
+      |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |reach(n, m) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a WHERE e.b <> r.n),
+      |comp AS (SELECT n AS doc_id, least(n, min(m)) AS component FROM reach GROUP BY n)
+      |SELECT d.doc_id, coalesce(k.component, d.doc_id) AS component
+      |FROM documents d LEFT JOIN comp k USING (doc_id)
+      |ORDER BY doc_id ASC""".stripMargin
+
   private val KeepBestOracle: String =
     """WITH RECURSIVE
       |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
@@ -1361,22 +1389,10 @@ object SparkEntry {
         |  FROM tokpos tp LEFT JOIN dropk d ON tp.doc_id = d.doc_id AND tp.k = d.k
         |  GROUP BY tp.doc_id)
         |SELECT doc_id, kept_text, n_removed FROM kept ORDER BY doc_id ASC""".stripMargin,
-    "q_dedup_cc" ->
-      """WITH RECURSIVE
-        |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))) >= 0.95),
-        |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
-        |reach(n, m) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a WHERE e.b <> r.n),
-        |comp AS (SELECT n AS doc_id, least(n, min(m)) AS component FROM reach GROUP BY n)
-        |SELECT d.doc_id, coalesce(k.component, d.doc_id) AS component
-        |FROM documents d LEFT JOIN comp k USING (doc_id)
-        |ORDER BY doc_id ASC""".stripMargin,
+    "q_dedup_cc" -> ConnectedOracle,
+    // the stored twin faces the SAME recursive-CTE oracle: the
+    // incremental merge fold is exact
+    "q_dedup_cc_stored" -> ConnectedOracle,
     // the CC closure composed with the q_text_quality composite; both
     // engines rank on the ROUNDED quality, doc_id breaks ties
     "q_dedup_keepbest" -> KeepBestOracle,

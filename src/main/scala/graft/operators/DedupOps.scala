@@ -1498,9 +1498,108 @@ object DedupOps {
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cmeta`")
   }
 
+  /** Remove documents from the stored closure — the fold [[refreshComponents]]
+    * cannot express: deleting a node can SPLIT its component (it may have
+    * been the only bridge), so the touched components re-resolve from
+    * scratch — but ONLY them. The stored probe artifacts make that local:
+    * the surviving members' band keys re-join among themselves
+    * (`{name}__csigs` restricted to the touched components' survivors),
+    * exact Jaccard re-verifies from `{name}__cdata`, and the star rounds
+    * run on that member-bounded subgraph. Untouched components never
+    * enter any join; the rewrite touches only the buckets holding member
+    * rows (dynamic overwrite). `tau` must be the store's build threshold
+    * (the same contract as [[refreshComponents]]).
+    *
+    * The sig/data stores purge their doomed rows through the staged
+    * whole-table anti-join (they are unpartitioned here; at 100 TB the
+    * sig store is bucketed on the band key and the purge rewrites only
+    * the doomed ids' buckets — the deleteByIds shape).
+    */
+  def removeFromComponents(spark: SparkSession, db: String, name: String,
+      ids: DataFrame, tau: Double = 0.95): Unit = {
+    val doomed = ids.toDF("doc_id").distinct().localCheckpoint(false)
+    val comps = spark.table(compTable(db, name))
+    val touchedComps = comps.join(broadcast(doomed), Seq("doc_id"), "left_semi")
+      .select(col("component")).distinct()
+    // every row of every touched component (doomed + survivors), with its
+    // bucket — the full rewrite/re-resolution scope
+    val members = comps.join(broadcast(touchedComps), Seq("component"), "left_semi")
+      .localCheckpoint(false)
+    val survivors = members.join(broadcast(doomed), Seq("doc_id"), "left_anti")
+      .select(col("doc_id")).localCheckpoint(false)
+    // re-resolve among survivors only: band keys from the sig store,
+    // exact-Jaccard verify from the data store
+    val sigs = spark.table(s"`$db`.`${name}__csigs`")
+      .join(broadcast(survivors), Seq("doc_id"), "left_semi")
+    val l = sigs.select(col("band"), col("bkey"), col("doc_id").as("a_id"))
+    val r = sigs.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
+      col("doc_id").as("b_id"))
+    val cand = l.join(r, col("band") === col("band_r") &&
+        col("bkey") === col("bkey_r") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val cdata = spark.table(s"`$db`.`${name}__cdata`")
+    val pairs = cand
+      .join(cdata.select(col("doc_id").as("a_id"), col("s").as("a_s"),
+        col("n").as("a_n")), "a_id")
+      .join(cdata.select(col("doc_id").as("b_id"), col("s").as("b_s"),
+        col("n").as("b_n")), "b_id")
+      .filter(jaccardFast(col("a_s"), col("b_s"), col("a_n"), col("b_n")) >= tau)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    val star = connectedComponentsOn(pairs)
+    val newRows = survivors
+      .join(star.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        pmod(hash(col("doc_id")), lit(CompStoreBuckets)).as("bucket"))
+    val touchedBuckets = members.select(col("bucket")).distinct()
+    val staged = comps
+      .join(broadcast(touchedBuckets), Seq("bucket"), "left_semi")
+      .join(broadcast(members.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("component"), col("bucket"))
+      .unionByName(newRows)
+      .localCheckpoint() // materialize BEFORE overwriting the table it reads
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      staged.write.mode("overwrite").insertInto(s"$db.${name}__components")
+      // a bucket whose every row was a doomed member is absent from the
+      // staged frame — drop its partition rather than leave it stale
+      touchedBuckets.join(staged.select(col("bucket")).distinct(),
+          Seq("bucket"), "left_anti")
+        .collect().foreach(rw => spark.sql(
+          s"ALTER TABLE ${compTable(db, name)} DROP IF EXISTS PARTITION (bucket=${rw.get(0)})"))
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // purge the probe artifacts (staged anti-join; see scaladoc for the
+    // bucketed form at scale)
+    Seq("csigs", "cdata").foreach { sfx =>
+      val t = s"`$db`.`${name}__$sfx`"
+      val kept = spark.table(t)
+        .join(broadcast(doomed), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      kept.write.mode("overwrite").insertInto(s"$db.${name}__$sfx")
+    }
+    val epoch = spark.table(s"`$db`.`${name}__cmeta`")
+      .agg(max(col("epoch"))).head().getLong(0)
+    spark.createDataFrame(Seq(Tuple1(epoch + 1))).toDF("epoch")
+      .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cmeta`")
+  }
+
   /** Serve the stored closure — the read twin of [[refreshComponents]]. */
   def servedComponents(spark: SparkSession, db: String, name: String): DataFrame =
     spark.table(compTable(db, name)).select(col("doc_id"), col("component"))
+
+  /** `q_dedup_cc_stored`: [[dedupConnected]] answered from the
+    * MAINTAINED store — one bucketed read instead of the LSH pair pass +
+    * star rounds. Same oracle as the live closure (the fold is exact).
+    */
+  def connectedStoredFixture(spark: SparkSession, dir: String): DataFrame = {
+    ensureComponentStoreFixture(spark, dir)
+    servedComponents(spark, "graft_comps", "docs")
+      .orderBy(col("doc_id").asc)
+  }
 
   /** `q_dedup_keepbest_stored`: [[dedupKeepBest]] answered from the
     * MAINTAINED store — built create(even ids) + refresh(odd ids) so every
@@ -1510,6 +1609,19 @@ object DedupOps {
     * the fold is exact, not approximate. Idempotent per session.
     */
   def keepBestStoredFixture(spark: SparkSession, dir: String): DataFrame = {
+    ensureComponentStoreFixture(spark, dir)
+    val toks = split(col("text"), " ")
+    val q = Tables.documents(spark, dir).select(col("doc_id"),
+      round(size(array_distinct(toks)).cast("double") / size(toks) * lit(0.5) +
+        least(lit(1.0), size(toks).cast("double") / lit(100.0)) * lit(0.5), 6)
+        .as("quality"))
+    keepBestOn(servedComponents(spark, "graft_comps", "docs"), q)
+  }
+
+  /** Session-idempotent fixture store: create(even ids) + refresh(odd
+    * ids), so every cold session exercises the incremental merge fold.
+    */
+  private def ensureComponentStoreFixture(spark: SparkSession, dir: String): Unit = {
     import graft.sources.CatalogOps
     val db = "graft_comps"
     val name = "docs"
@@ -1528,12 +1640,6 @@ object DedupOps {
         refreshComponents(spark, db, name, docs.filter(col("doc_id") % 2 === 1))
       }
     }
-    val toks = split(col("text"), " ")
-    val q = Tables.documents(spark, dir).select(col("doc_id"),
-      round(size(array_distinct(toks)).cast("double") / size(toks) * lit(0.5) +
-        least(lit(1.0), size(toks).cast("double") / lit(100.0)) * lit(0.5), 6)
-        .as("quality"))
-    keepBestOn(servedComponents(spark, db, name), q)
   }
 
   /** One micro-batch of the STREAMING near-dup dedup

@@ -4120,6 +4120,40 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, db)
   }
 
+  test("component store removal: bridge delete splits, duplicate delete doesn't, rebuild equality") {
+    import graft.sources.CatalogOps
+    import spark.implicits._
+    val db = "comprmdb"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    def toks(from: Int, until: Int) = (from until until).map(i => s"w$i").mkString(" ")
+    // A≈B and B≈C at j=39/41≈0.951, A vs C at 38/42≈0.905 < 0.95: B is
+    // the bridge. X/X' are an unrelated exact-dup pair.
+    val docs = Seq(
+      (1L, toks(1, 41)), (2L, toks(2, 42)), (3L, toks(3, 43)),
+      (10L, (1 to 10).map(i => s"u$i").mkString(" ")),
+      (11L, (1 to 10).map(i => s"u$i").mkString(" ")))
+    def served(name: String) = DedupOps.servedComponents(spark, db, name)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    DedupOps.createComponentStore(spark, db, "t", docs.toDF("doc_id", "text"))
+    assert(served("t") === Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    // deleting the bridge SPLITS {1,2,3}; the dup pair is untouched
+    DedupOps.removeFromComponents(spark, db, "t", Seq(2L).toDF("doc_id"))
+    assert(served("t") === Set((1L, 1L), (3L, 3L), (10L, 10L), (11L, 10L)))
+    // equality with a cold rebuild on the surviving corpus
+    DedupOps.createComponentStore(spark, db, "cold",
+      docs.filter(_._1 != 2L).toDF("doc_id", "text"))
+    assert(served("t") === served("cold"))
+    // deleting one exact-dup copy does NOT split the survivor's component
+    DedupOps.removeFromComponents(spark, db, "t", Seq(11L).toDF("doc_id"))
+    assert(served("t") === Set((1L, 1L), (3L, 3L), (10L, 10L)))
+    // lifecycle roundtrip: re-adding a bridge doc re-merges via refresh
+    // (the purged sig/data stores must still probe correctly)
+    DedupOps.refreshComponents(spark, db, "t", Seq((20L, toks(2, 42))).toDF("doc_id", "text"))
+    assert(served("t") === Set((1L, 1L), (3L, 1L), (20L, 1L), (10L, 10L)))
+    CatalogOps.dropDatabase(spark, db)
+  }
+
   test("3-D z-order clusters all three axes; the 2-D layout leaves the third unpruned") {
     import graft.sources.{CatalogOps, LayoutStats}
     import graft.functions.ZorderFunctions._
