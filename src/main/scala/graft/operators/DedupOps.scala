@@ -1409,8 +1409,22 @@ object DedupOps {
     sig.select(col("doc_id"), col("s"), col("n"))
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cdata`")
     sig.unpersist()
-    spark.createDataFrame(Seq(Tuple1(1L))).toDF("epoch")
+    // tau travels with the store: every fold must re-verify at the SAME
+    // threshold or the stored closure silently changes meaning
+    spark.createDataFrame(Seq((1L, tau))).toDF("epoch", "tau")
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cmeta`")
+  }
+
+  /** The store's build threshold + current epoch; folds must match tau. */
+  private def compMeta(spark: SparkSession, db: String, name: String,
+      tau: Double): Long = {
+    val r = spark.table(s"`$db`.`${name}__cmeta`")
+      .agg(max(col("epoch")), max(col("tau"))).head()
+    require(r.getDouble(1) == tau,
+      s"component store `$name` was built at tau=${r.getDouble(1)}; " +
+        s"folding at tau=$tau would change what 'duplicate' means — " +
+        "rebuild the store to change the threshold")
+    r.getLong(0)
   }
 
   /** Incremental fold of a NEW-DOCUMENT batch into the stored closure.
@@ -1426,6 +1440,7 @@ object DedupOps {
   def refreshComponents(spark: SparkSession, db: String, name: String,
       newDocs0: DataFrame, tau: Double = 0.95): Unit = {
     val newDocs = newDocs0.select(col("doc_id"), col("text"))
+    val epoch0 = compMeta(spark, db, name, tau) // refuses a tau mismatch
     val comps = spark.table(compTable(db, name))
     val newIds = newDocs.select(col("doc_id")).localCheckpoint(false)
     require(comps.join(broadcast(newIds), Seq("doc_id"), "left_semi").isEmpty,
@@ -1492,9 +1507,7 @@ object DedupOps {
     sig.select(col("doc_id"), col("s"), col("n"))
       .write.mode("append").saveAsTable(s"`$db`.`${name}__cdata`")
     sig.unpersist()
-    val epoch = spark.table(s"`$db`.`${name}__cmeta`")
-      .agg(max(col("epoch"))).head().getLong(0)
-    spark.createDataFrame(Seq(Tuple1(epoch + 1))).toDF("epoch")
+    spark.createDataFrame(Seq((epoch0 + 1, tau))).toDF("epoch", "tau")
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cmeta`")
   }
 
@@ -1508,7 +1521,8 @@ object DedupOps {
     * run on that member-bounded subgraph. Untouched components never
     * enter any join; the rewrite touches only the buckets holding member
     * rows (dynamic overwrite). `tau` must be the store's build threshold
-    * (the same contract as [[refreshComponents]]).
+    * — a mismatch is refused loudly (it would silently change what
+    * "duplicate" means; the threshold travels in `{name}__cmeta`).
     *
     * The sig/data stores purge their doomed rows through the staged
     * whole-table anti-join (they are unpartitioned here; at 100 TB the
@@ -1517,6 +1531,7 @@ object DedupOps {
     */
   def removeFromComponents(spark: SparkSession, db: String, name: String,
       ids: DataFrame, tau: Double = 0.95): Unit = {
+    val epoch0 = compMeta(spark, db, name, tau) // refuses a tau mismatch
     val doomed = ids.toDF("doc_id").distinct().localCheckpoint(false)
     val comps = spark.table(compTable(db, name))
     val touchedComps = comps.join(broadcast(doomed), Seq("doc_id"), "left_semi")
@@ -1581,9 +1596,7 @@ object DedupOps {
         .localCheckpoint()
       kept.write.mode("overwrite").insertInto(s"$db.${name}__$sfx")
     }
-    val epoch = spark.table(s"`$db`.`${name}__cmeta`")
-      .agg(max(col("epoch"))).head().getLong(0)
-    spark.createDataFrame(Seq(Tuple1(epoch + 1))).toDF("epoch")
+    spark.createDataFrame(Seq((epoch0 + 1, tau))).toDF("epoch", "tau")
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cmeta`")
   }
 

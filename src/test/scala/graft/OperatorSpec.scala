@@ -4151,6 +4151,14 @@ class OperatorSpec extends AnyFunSuite {
     // (the purged sig/data stores must still probe correctly)
     DedupOps.refreshComponents(spark, db, "t", Seq((20L, toks(2, 42))).toDF("doc_id", "text"))
     assert(served("t") === Set((1L, 1L), (3L, 1L), (20L, 1L), (10L, 10L)))
+    // tau travels with the store: a mismatched fold is refused loudly
+    intercept[IllegalArgumentException] {
+      DedupOps.refreshComponents(spark, db, "t",
+        Seq((30L, toks(50, 60))).toDF("doc_id", "text"), tau = 0.8)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.removeFromComponents(spark, db, "t", Seq(1L).toDF("doc_id"), tau = 0.8)
+    }
     CatalogOps.dropDatabase(spark, db)
   }
 
