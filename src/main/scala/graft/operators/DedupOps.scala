@@ -1404,10 +1404,17 @@ object DedupOps {
         pmod(hash(col("doc_id")), lit(CompStoreBuckets)).as("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .saveAsTable(compTable(db, name))
+    // probe stores are doc-id bucketed too: a removal purge rewrites only
+    // the doomed ids' buckets, never the table (the deleteByIds shape)
     val sig = minhashSigMeta(docs, None).cache()
-    bandRows(sig).write.mode("overwrite").saveAsTable(s"`$db`.`${name}__csigs`")
+    bandRows(sig)
+      .withColumn("bucket", pmod(hash(col("doc_id")), lit(CompStoreBuckets)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .saveAsTable(s"`$db`.`${name}__csigs`")
     sig.select(col("doc_id"), col("s"), col("n"))
-      .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cdata`")
+      .withColumn("bucket", pmod(hash(col("doc_id")), lit(CompStoreBuckets)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .saveAsTable(s"`$db`.`${name}__cdata`")
     sig.unpersist()
     // tau travels with the store: every fold must re-verify at the SAME
     // threshold or the stored closure silently changes meaning
@@ -1450,11 +1457,18 @@ object DedupOps {
     val nn = minHashLshPairsOn(newDocs, tau)
       .select(col("a_id").as("a"), col("b_id").as("b"))
     // new–old: batch band keys probe the signature store (bucket-local at
-    // scale), then exact-Jaccard verify against ONLY the candidate docs
-    val stored = spark.table(s"`$db`.`${name}__csigs`")
+    // scale), then exact-Jaccard verify against ONLY the candidate docs.
+    // Both sides pass the hot-bucket guard first — a boilerplate cluster
+    // in the STORE crossed with a hot batch bucket is the same quadratic
+    // corner every other band join here caps (the LshGuard recall
+    // contract applies identically)
+    val stored = LshGuard.dropHotBuckets(
+        spark.table(s"`$db`.`${name}__csigs`")
+          .select(col("band"), col("bkey"), col("doc_id")),
+        LshGuard.DefaultMaxBucket)
       .select(col("band").as("band_s"), col("bkey").as("bkey_s"),
         col("doc_id").as("old_id"))
-    val cand = bandRows(sig)
+    val cand = LshGuard.dropHotBuckets(bandRows(sig), LshGuard.DefaultMaxBucket)
       .join(stored, col("band") === col("band_s") && col("bkey") === col("bkey_s"))
       .select(col("doc_id").as("new_id"), col("old_id")).distinct()
     val cdata = spark.table(s"`$db`.`${name}__cdata`")
@@ -1503,9 +1517,12 @@ object DedupOps {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
     // probe artifacts append; epoch bumps
-    bandRows(sig).write.mode("append").saveAsTable(s"`$db`.`${name}__csigs`")
+    bandRows(sig)
+      .withColumn("bucket", pmod(hash(col("doc_id")), lit(CompStoreBuckets)))
+      .write.mode("append").insertInto(s"$db.${name}__csigs")
     sig.select(col("doc_id"), col("s"), col("n"))
-      .write.mode("append").saveAsTable(s"`$db`.`${name}__cdata`")
+      .withColumn("bucket", pmod(hash(col("doc_id")), lit(CompStoreBuckets)))
+      .write.mode("append").insertInto(s"$db.${name}__cdata")
     sig.unpersist()
     spark.createDataFrame(Seq((epoch0 + 1, tau))).toDF("epoch", "tau")
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cmeta`")
@@ -1524,10 +1541,9 @@ object DedupOps {
     * — a mismatch is refused loudly (it would silently change what
     * "duplicate" means; the threshold travels in `{name}__cmeta`).
     *
-    * The sig/data stores purge their doomed rows through the staged
-    * whole-table anti-join (they are unpartitioned here; at 100 TB the
-    * sig store is bucketed on the band key and the purge rewrites only
-    * the doomed ids' buckets — the deleteByIds shape).
+    * The sig/data stores are doc-id bucketed like the components table,
+    * so their purge rewrites only the doomed ids' buckets (the
+    * deleteByIds shape: untouched buckets byte-stable, emptied drop).
     */
   def removeFromComponents(spark: SparkSession, db: String, name: String,
       ids: DataFrame, tau: Double = 0.95): Unit = {
@@ -1543,9 +1559,15 @@ object DedupOps {
     val survivors = members.join(broadcast(doomed), Seq("doc_id"), "left_anti")
       .select(col("doc_id")).localCheckpoint(false)
     // re-resolve among survivors only: band keys from the sig store,
-    // exact-Jaccard verify from the data store
-    val sigs = spark.table(s"`$db`.`${name}__csigs`")
-      .join(broadcast(survivors), Seq("doc_id"), "left_semi")
+    // exact-Jaccard verify from the data store. Hot-bucket guard before
+    // the self-join — a giant touched component IS the boilerplate-
+    // cluster shape, and an unguarded self-join over its shared band
+    // keys would be the r12 hamming pathology all over again
+    val sigs = LshGuard.dropHotBuckets(
+      spark.table(s"`$db`.`${name}__csigs`")
+        .select(col("band"), col("bkey"), col("doc_id"))
+        .join(broadcast(survivors), Seq("doc_id"), "left_semi"),
+      LshGuard.DefaultMaxBucket)
     val l = sigs.select(col("band"), col("bkey"), col("doc_id").as("a_id"))
     val r = sigs.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
       col("doc_id").as("b_id"))
@@ -1587,14 +1609,32 @@ object DedupOps {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    // purge the probe artifacts (staged anti-join; see scaladoc for the
-    // bucketed form at scale)
+    // purge the probe artifacts: both stores are doc-id bucketed, so the
+    // rewrite reads and overwrites ONLY the doomed ids' buckets (the
+    // deleteByIds shape — untouched buckets byte-stable, emptied drop)
+    val doomedBuckets = doomed
+      .select(pmod(hash(col("doc_id")), lit(CompStoreBuckets)).as("bucket"))
+      .distinct()
     Seq("csigs", "cdata").foreach { sfx =>
       val t = s"`$db`.`${name}__$sfx`"
       val kept = spark.table(t)
+        .join(broadcast(doomedBuckets), Seq("bucket"), "left_semi")
         .join(broadcast(doomed), Seq("doc_id"), "left_anti")
         .localCheckpoint()
-      kept.write.mode("overwrite").insertInto(s"$db.${name}__$sfx")
+      val prior2 = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        val targetCols = spark.table(t).columns.toIndexedSeq.map(col)
+        kept.select(targetCols: _*)
+          .write.mode("overwrite").insertInto(s"$db.${name}__$sfx")
+        doomedBuckets.join(kept.select(col("bucket")).distinct(),
+            Seq("bucket"), "left_anti")
+          .collect().foreach(rw => spark.sql(
+            s"ALTER TABLE $t DROP IF EXISTS PARTITION (bucket=${rw.get(0)})"))
+      } finally prior2 match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
     }
     spark.createDataFrame(Seq((epoch0 + 1, tau))).toDF("epoch", "tau")
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cmeta`")
