@@ -353,6 +353,10 @@ object SparkEntry {
     "q_url_canonical"   -> ((s, d) => TextOps.urlCanonical(s, d)),
     "q_url_dedup"       -> ((s, d) => TextOps.urlDedup(s, d)),
     "q_json_extract"    -> ((s, d) => TextOps.jsonExtract(s, d)),
+    // PII redaction: emails/IPv4/phones → typed placeholders + counts,
+    // deterministically PLANTED into the fixture corpus (no organic PII
+    // in word soup); one map-side projection, three codegen'd regexes
+    "q_pii_redact"     -> ((s, d) => TextOps.piiRedact(s, d)),
     "q_prompt_template" -> ((s, d) => TextOps.promptTemplate(s, d)),
     "q_citation_format" -> ((s, d) => TextOps.citationFormat(s, d)),
     "q_html_extract"    -> ((s, d) => TextOps.htmlExtract(s, d)),
@@ -516,7 +520,7 @@ object SparkEntry {
     "q_link_coupling", "q_select_kcenter", "q_decontaminate_sem",
     "q_ppl_buckets", "q_gopher_rules", "q_curate_ccnet", "q_vec_project",
     "q_knn_projected", "q_dedup_keepbest", "q_dedup_keepbest_stored",
-    "q_dedup_cc_stored", "q_crawl_robots", "q_crawl_maintain")
+    "q_dedup_cc_stored", "q_crawl_robots", "q_crawl_maintain", "q_pii_redact")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2475,6 +2479,30 @@ object SparkEntry {
       "SELECT doc_id, n_chars FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0 ORDER BY doc_id ASC",
     "q_filter_metadata" ->
       "SELECT doc_id, lang, source FROM documents WHERE lang = 'en' ORDER BY doc_id ASC",
+    // identical pattern literals and the SAME staged replacement order
+    // (email → ip → phone) on both engines: counts are taken on the text
+    // AFTER the earlier stages so count ≡ what the replace actually hit
+    "q_pii_redact" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 7 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |         CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+        |         CASE WHEN doc_id % 13 = 0 THEN ' call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, t,
+        |              regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |       FROM c),
+        |s2 AS (SELECT doc_id, t, t1,
+        |              regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+        |       FROM s1)
+        |SELECT doc_id,
+        |       regexp_replace(t2, '\+\d{1,3}[ -]\d{3}[ -]\d{4}\b', '<PHONE>', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |       CAST(len(regexp_extract_all(t2, '\+\d{1,3}[ -]\d{3}[ -]\d{4}\b')) AS BIGINT) AS n_phones
+        |FROM s2
+        |ORDER BY doc_id ASC""".stripMargin,
     "q_clean_text" ->
       """SELECT doc_id, substr(cleaned, 1, 80) AS cleaned, CAST(length(cleaned) AS BIGINT) AS clean_len
         |FROM (SELECT doc_id,

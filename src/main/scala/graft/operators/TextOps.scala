@@ -82,6 +82,69 @@ object TextOps {
         length(col("cleaned")).as("clean_len"))
       .orderBy(col("doc_id").asc)
 
+  /** Regex pattern literals of the PII families — ONE definition shared
+    * by the engine and (as the same literal text) the DuckDB oracle.
+    * Both engines' regex dialects (java.util.regex, RE2) agree on every
+    * construct used: character classes, bounded repetition, `\b`, and
+    * non-capturing groups.
+    */
+  private[graft] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiIp = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private[graft] val PiiPhone = "\\+\\d{1,3}[ -]\\d{3}[ -]\\d{4}\\b"
+
+  /** PII REDACTION (`q_pii_redact`) — the privacy scrub every published
+    * training-data pipeline runs before anything else sees the text (C4
+    * strips pages on bad-word lines; Dolma/CCNet-class pipelines mask
+    * emails / IPs / phone numbers): emails, IPv4 addresses, and
+    * international-format phone numbers are replaced with typed
+    * placeholder tokens, with per-category counts kept for the corpus
+    * privacy report. Replacement order is fixed (email → ip → phone) so
+    * overlapping matches resolve identically everywhere.
+    *
+    * The fixture corpus is synthetic word soup with no organic PII, so
+    * the query PLANTS it deterministically (the dedup-fixture
+    * discipline): doc_id % 7 == 0 appends an email, % 11 == 0 an IPv4,
+    * % 13 == 0 a phone — both engines build the same corpus from the
+    * same arithmetic, so redaction has real positives AND untouched
+    * negatives to get wrong.
+    *
+    * Scale: one map-side projection — three codegen'd regexes per row,
+    * no shuffle, no UDF; the 100 TB scrub is scan-bound by construction.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact u"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10.0."), col("doc_id") % 256, lit("."),
+            col("doc_id") % 100)).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" call +1 555 "), lpad((col("doc_id") % 10000).cast("string"),
+            4, "0"))).otherwise(lit(""))).as("text"))
+    piiRedactOn(planted)
+  }
+
+  /** Parametric core: (doc_id, text) in; (doc_id, redacted, n_emails,
+    * n_ips, n_phones) out, ordered by doc_id.
+    */
+  private[graft] def piiRedactOn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          PiiEmail, "<EMAIL>"), PiiIp, "<IP>"), PiiPhone, "<PHONE>")
+          .as("redacted"),
+        size(regexp_extract_all(col("text"), lit(PiiEmail), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(
+          regexp_replace(col("text"), PiiEmail, "<EMAIL>"),
+          lit(PiiIp), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(
+          regexp_replace(regexp_replace(col("text"), PiiEmail, "<EMAIL>"),
+            PiiIp, "<IP>"),
+          lit(PiiPhone), lit(0))).cast("long").as("n_phones"))
+      .orderBy(col("doc_id").asc)
+
   /** Head-truncate at ingest — ref `text[:6000]` (`Crawling.py:45`); the
     * prompt-side variant is 20000 (`main_server.py:143`). Pure projection.
     */

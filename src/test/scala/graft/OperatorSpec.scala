@@ -4120,6 +4120,24 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, db)
   }
 
+  test("pii redaction: multiple matches, staged order, negatives untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org twice"),          // two emails
+      (2L, "ips 10.0.0.1 and 192.168.255.3 end"),           // two ips
+      (3L, "call +1 555 0100 or +44 123 4567 now"),         // two phones
+      (4L, "version 1.2 costs $3 at w17 plain"),            // negatives only
+      (5L, "mixed u5@example.com from 10.0.5.5 call +1 555 0005"))
+    val out = TextOps.piiRedactOn(rows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out(0) === ((1L, "mail <EMAIL> and <EMAIL> twice", 2L, 0L, 0L)))
+    assert(out(1) === ((2L, "ips <IP> and <IP> end", 0L, 2L, 0L)))
+    assert(out(2) === ((3L, "call <PHONE> or <PHONE> now", 0L, 0L, 2L)))
+    assert(out(3) === ((4L, "version 1.2 costs $3 at w17 plain", 0L, 0L, 0L)))
+    assert(out(4) === ((5L, "mixed <EMAIL> from <IP> call <PHONE>", 1L, 1L, 1L)))
+  }
+
   test("component store removal: bridge delete splits, duplicate delete doesn't, rebuild equality") {
     import graft.sources.CatalogOps
     import spark.implicits._
