@@ -100,6 +100,14 @@ object SparkEntry {
     // removals retired — rows-only (k-means cells + hash embedder are
     // engine-native); streaming twin ≡ batch apply pinned in tests
     "q_crawl_maintain" -> ((s, d) => FrontierOps.crawlMaintainFixture(s, d)),
+    // sitemap ingestion: per-host XML bodies parsed (from_xml) into
+    // (url, lastmod), classified new/stale/fresh vs the corpus — the
+    // discovery half next to robots' admission half; the oracle computes
+    // the expected answer in closed form, so a mangled parse diverges
+    "q_crawl_sitemap"  -> ((s, d) => FrontierOps.crawlSitemap(s, d)),
+    // the WHOLE next-cycle plan composed: sitemap candidates (new ahead
+    // of stale) → robots admission → delay-capped politeness schedule
+    "q_crawl_plan"     -> ((s, d) => FrontierOps.crawlPlan(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
@@ -520,7 +528,8 @@ object SparkEntry {
     "q_link_coupling", "q_select_kcenter", "q_decontaminate_sem",
     "q_ppl_buckets", "q_gopher_rules", "q_curate_ccnet", "q_vec_project",
     "q_knn_projected", "q_dedup_keepbest", "q_dedup_keepbest_stored",
-    "q_dedup_cc_stored", "q_crawl_robots", "q_crawl_maintain", "q_pii_redact")
+    "q_dedup_cc_stored", "q_crawl_robots", "q_crawl_maintain", "q_pii_redact",
+    "q_crawl_sitemap", "q_crawl_plan")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1204,6 +1213,78 @@ object SparkEntry {
         |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
         |WHERE old.doc_id IS NULL OR neu.doc_id IS NULL OR old_hash <> new_hash
         |ORDER BY doc_id ASC""".stripMargin,
+    // closed-form expected answer (no XML on the oracle side): the
+    // engine must round-trip through real XML parsing and land exactly
+    // on this arithmetic
+    "q_crawl_sitemap" ->
+      """WITH base AS (SELECT source AS host, doc_id, lang FROM documents),
+        |known AS (
+        |  SELECT host,
+        |         'https://' || host || '/' || lang || '/p' || CAST(doc_id AS VARCHAR) AS url,
+        |         '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+        |         CASE WHEN CAST('2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+        |                   > (DATE '2026-02-01' - CAST(doc_id % 30 AS INT))
+        |              THEN 'stale' ELSE 'fresh' END AS status
+        |  FROM base),
+        |disc AS (
+        |  SELECT host, 'https://' || host || '/disc/p' || CAST(doc_id AS VARCHAR) AS url,
+        |         '2026-01-15' AS lastmod, 'new' AS status
+        |  FROM base WHERE doc_id % 5 = 0)
+        |SELECT host, url, lastmod, status FROM known
+        |UNION ALL
+        |SELECT host, url, lastmod, status FROM disc
+        |ORDER BY host ASC, url ASC""".stripMargin,
+    // the composed plan: sitemap candidates in closed form, the same
+    // handwritten literal robots rules, longest-match + allow-tie, then
+    // the delay-capped per-host rank — one chained-CTE mirror of the
+    // whole planning pass
+    "q_crawl_plan" ->
+      """WITH base AS (
+        |  SELECT source AS host, doc_id, lang,
+        |         try_cast(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 AS hc,
+        |         CAST((doc_id % 30) * (CASE lang WHEN 'en' THEN 5 WHEN 'fr' THEN 4
+        |                                         WHEN 'es' THEN 3 WHEN 'de' THEN 2 ELSE 1 END)
+        |              + n_chars % 7 AS BIGINT) AS p
+        |  FROM documents),
+        |cand AS (
+        |  SELECT host, hc,
+        |         'https://' || host || '/' || lang || '/p' || CAST(doc_id AS VARCHAR) AS url,
+        |         '/' || lang || '/p' || CAST(doc_id AS VARCHAR) AS path,
+        |         p AS priority, 'stale' AS status
+        |  FROM base
+        |  WHERE CAST('2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+        |        > (DATE '2026-02-01' - CAST(doc_id % 30 AS INT))
+        |  UNION ALL
+        |  SELECT host, hc,
+        |         'https://' || host || '/disc/p' || CAST(doc_id AS VARCHAR),
+        |         '/disc/p' || CAST(doc_id AS VARCHAR),
+        |         CAST(160 AS BIGINT), 'new'
+        |  FROM base WHERE doc_id % 5 = 0),
+        |rules(hc, allow, pat, plen) AS (VALUES
+        |  (0, false, '/de/%', 4), (0, false, '/zh/%', 4),
+        |  (1, false, '/%7', 4), (1, true, '/en/%', 4), (1, false, '/en%', 3),
+        |  (2, false, '/es/%', 4)),
+        |m AS (
+        |  SELECT c.host, c.hc, c.url, c.priority, c.status, r.allow, r.plen
+        |  FROM cand c LEFT JOIN rules r ON c.hc = r.hc AND c.path LIKE r.pat),
+        |mm AS (SELECT host, hc, url, priority, status, allow, plen,
+        |              max(plen) OVER (PARTITION BY host, url) AS best
+        |       FROM m),
+        |v AS (
+        |  SELECT host, hc, url, priority, status FROM mm
+        |  GROUP BY host, hc, url, priority, status, best
+        |  HAVING best IS NULL OR bool_or(allow AND plen = best)),
+        |delays(hc, delay) AS (VALUES (0, 2.0), (1, 3.0)),
+        |r2 AS (
+        |  SELECT v.host, v.url, v.priority, v.status,
+        |         least(CAST(8 AS BIGINT),
+        |               CAST(coalesce(floor(10.0 / d.delay), 8) AS BIGINT)) AS cap,
+        |         row_number() OVER (PARTITION BY v.host
+        |                            ORDER BY v.priority DESC, v.url ASC) AS slot
+        |  FROM v LEFT JOIN delays d ON v.hc = d.hc)
+        |SELECT host, CAST(slot AS BIGINT) AS slot, url, priority, status
+        |FROM r2 WHERE slot <= cap
+        |ORDER BY host ASC, slot ASC""".stripMargin,
     // RFC 9309 admission + delay caps, re-derived from a HANDWRITTEN
     // literal rules table (host class = numeric suffix % 4, mirroring
     // RobotsOps.fixtureRobots): per (page, rule) LIKE match carrying the

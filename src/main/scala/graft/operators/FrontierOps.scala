@@ -154,6 +154,116 @@ object FrontierOps {
       .orderBy(col("host").asc, col("slot").asc)
   }
 
+  /** `q_crawl_sitemap`: sitemap ingestion — the discovery half of the
+    * crawl cycle next to robots' admission half: a host's sitemap XML
+    * (sitemaps.org protocol; the production complement of the
+    * reference's hand-listed nav tree, `Crawling.py:13-24`) is parsed
+    * into (url, lastmod) entries and classified against the corpus —
+    * `new` (sitemap-only URL: a discovery to seed), `stale` (known URL
+    * whose advertised lastmod is newer than our last fetch: schedule a
+    * refresh), `fresh` (known and current: skip). This is how a polite
+    * crawler avoids both re-fetching fresh pages AND missing new ones.
+    *
+    * The engine genuinely parses XML (`from_xml` over the per-host body
+    * text the fetch boundary would return; the fixture derives the
+    * bodies deterministically from the corpus, the q_json_tree
+    * discipline) — while the DuckDB oracle computes the expected answer
+    * in CLOSED FORM from the same arithmetic, so a parse that drops or
+    * mangles any entry diverges.
+    *
+    * Scale: one map-side XML parse + Generate per host body (the
+    * protocol caps a sitemap at 50k URLs, so per-row work is bounded),
+    * then one url-keyed join against the corpus projected to
+    * (url, last_fetch). No corpus re-shuffle; output = sitemap entries.
+    */
+  def crawlSitemap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+    val docs = Tables.documents(spark, dir)
+    val known = docs.select(col("source").as("host"), col("doc_id"),
+      concat(lit("https://"), col("source"), lit("/"), col("lang"),
+        lit("/p"), col("doc_id")).as("url"),
+      concat(lit("2026-01-"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")).as("lastmod"))
+    val disc = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("source").as("host"), col("doc_id"),
+        concat(lit("https://"), col("source"), lit("/disc/p"), col("doc_id")).as("url"),
+        lit("2026-01-15").as("lastmod"))
+    // one sitemap TEXT body per host — what the fetcher would return;
+    // entries sorted by url so the body is deterministic
+    val xmlByHost = known.unionByName(disc)
+      .select(col("host"), col("url"),
+        concat(lit("<url><loc>"), col("url"), lit("</loc><lastmod>"),
+          col("lastmod"), lit("</lastmod></url>")).as("entry"))
+      .groupBy(col("host"))
+      .agg(concat(lit("<urlset>"),
+        array_join(transform(array_sort(collect_list(struct(col("url"), col("entry")))),
+          x => x.getField("entry")), ""),
+        lit("</urlset>")).as("xml"))
+    val schema = StructType(Seq(StructField("url", ArrayType(StructType(Seq(
+      StructField("loc", StringType), StructField("lastmod", StringType)))))))
+    val parsed = xmlByHost.select(col("host"),
+        explode(from_xml(col("xml"), schema).getField("url")).as("u"))
+      .select(col("host"), col("u.loc").as("url"), col("u.lastmod").as("lastmod"))
+    val corpus = docs.select(
+      concat(lit("https://"), col("source"), lit("/"), col("lang"),
+        lit("/p"), col("doc_id")).as("curl"),
+      date_sub(to_date(lit("2026-02-01")), (col("doc_id") % 30).cast("int"))
+        .as("last_fetch"))
+    parsed.join(corpus, parsed("url") === corpus("curl"), "left")
+      .select(col("host"), col("url"), col("lastmod"),
+        when(col("curl").isNull, lit("new"))
+          .when(to_date(col("lastmod")) > col("last_fetch"), lit("stale"))
+          .otherwise(lit("fresh")).as("status"))
+      .orderBy(col("host").asc, col("url").asc)
+  }
+
+  /** `q_crawl_plan`: the WHOLE next-cycle plan, composed — what the
+    * crawler actually fetches next: the sitemap pass supplies the
+    * candidates ([[crawlSitemap]]'s `new` discoveries, ranked ahead of
+    * everything at a fixed seed priority, and `stale` known pages at
+    * their staleness priority), RFC 9309 admission drops what robots
+    * forbids BEFORE any slot is assigned, and each host's queue is cut
+    * at its crawl-delay-shrunk cap. One query = the full planning pass
+    * of a production crawl cycle (discover → prioritize → admit →
+    * schedule politely); the reference hard-codes all four decisions
+    * (`Crawling.py:13-24`).
+    *
+    * Scale shape is the sum of its parts: map-side sitemap parse, one
+    * url-keyed priority join, closure-broadcast admission, one hash
+    * exchange + per-host rank bounded at hosts × cap.
+    */
+  def crawlPlan(spark: SparkSession, dir: String,
+      agent: String = graft.sources.RobotsOps.FixtureAgent,
+      globalCap: Int = 8, cycleSeconds: Double = 10.0): DataFrame = {
+    import graft.sources.RobotsOps
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val sm = crawlSitemap(spark, dir).filter(col("status").isin("new", "stale"))
+    val prio = docs.select(
+      concat(lit("https://"), col("source"), lit("/"), col("lang"),
+        lit("/p"), col("doc_id")).as("curl"),
+      priorityCol.as("p"))
+    // discoveries outrank refreshes: unseen pages are the crawl's whole
+    // point, and the fixture's staleness priorities top out at 151
+    val cand = sm.join(prio, sm("url") === prio("curl"), "left")
+      .select(col("host"), col("url"),
+        when(col("status") === "new", lit(160L)).otherwise(col("p")).as("priority"),
+        col("status"),
+        regexp_replace(col("url"), "^https://[^/]+", "").as("path"))
+    val hosts = docs.select(col("source")).distinct().as[String].collect().toSeq
+    val robots = RobotsOps.fixtureRobots(hosts)
+    val admitted = RobotsOps.admitByHostPath(cand, "host", "path", robots, agent)
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("priority").desc, col("url").asc)
+    val ranked = admitted.withColumn("slot", row_number().over(w))
+      .filter(col("slot") <= globalCap)
+    RobotsOps.capByCrawlDelay(ranked, "host", "slot", robots, agent,
+        cycleSeconds, globalCap)
+      .select(col("host"), col("slot").cast("long").as("slot"),
+        col("url"), col("priority"), col("status"))
+      .orderBy(col("host").asc, col("slot").asc)
+  }
+
   /** Apply one crawl delta to a maintained IVF collection — the
     * reference's operational loop (re-crawl → re-embed → re-index,
     * `TencentVDB.py:69-79`, which blanket-overwrites EVERY id every run)

@@ -4120,6 +4120,27 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, db)
   }
 
+  test("sitemap ingestion: statuses partition correctly, discoveries are sitemap-only") {
+    val rows = FrontierOps.crawlSitemap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(rows.length === docs.length + docs.count(_ % 5 == 0))
+    val byStatus = rows.groupBy(_._4)
+    assert(byStatus.keySet === Set("new", "stale", "fresh"))
+    // every discovery is a sitemap-only /disc/ url, and nothing else is
+    assert(byStatus("new").forall(_._2.contains("/disc/p")))
+    assert((byStatus("stale") ++ byStatus("fresh")).forall(!_._2.contains("/disc/p")))
+    assert(byStatus("new").length === docs.count(_ % 5 == 0))
+    // stale ⇔ advertised lastmod strictly newer than the last fetch
+    rows.filter(!_._2.contains("/disc/p")).foreach { case (_, url, lastmod, status) =>
+      val id = url.substring(url.lastIndexOf("/p") + 2).toLong
+      val lastFetch = java.time.LocalDate.parse("2026-02-01").minusDays(id % 30)
+      val expect = if (java.time.LocalDate.parse(lastmod).isAfter(lastFetch)) "stale" else "fresh"
+      assert(status === expect, s"$url lastmod=$lastmod")
+    }
+  }
+
   test("pii redaction: multiple matches, staged order, negatives untouched") {
     import spark.implicits._
     val rows = Seq(
