@@ -98,6 +98,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NearestCentroid(children(0), constDoubles(children(1), "centroids"),
           constInt(children(2), "k"))
       }))
+    ext.injectFunction((FunctionIdentifier("text_nfc"),
+      info("text_nfc", "text_nfc(s) - Unicode NFC canonical normalization (ASCII rows returned untouched)"),
+      (children: Seq[Expression]) => graft.plans.NfcNormalize(children.head)))
+    ext.injectFunction((FunctionIdentifier("text_fold_accents"),
+      info("text_fold_accents", "text_fold_accents(s) - NFD + drop marks: accent-insensitive match key (é→e, ñ→n; ligatures pass through)"),
+      (children: Seq[Expression]) => graft.plans.AccentFold(children.head)))
     ext.injectFunction((FunctionIdentifier("nav_tree_explode"),
       info("nav_tree_explode", "nav_tree_explode(json) - table function: flatten a nested {title, link, children} nav tree into (title, url, depth) rows at any depth"),
       (children: Seq[Expression]) => graft.plans.NavTreeExplode(children(0))))

@@ -365,6 +365,10 @@ object SparkEntry {
     // deterministically PLANTED into the fixture corpus (no organic PII
     // in word soup); one map-side projection, three codegen'd regexes
     "q_pii_redact"     -> ((s, d) => TextOps.piiRedact(s, d)),
+    // Unicode NFC + accent folding via native codegen expressions; the
+    // oracle runs DuckDB's utf8proc twins (nfc_normalize/strip_accents) —
+    // two independent conformant implementations must agree byte-for-byte
+    "q_text_normalize" -> ((s, d) => TextOps.textNormalize(s, d)),
     "q_prompt_template" -> ((s, d) => TextOps.promptTemplate(s, d)),
     "q_citation_format" -> ((s, d) => TextOps.citationFormat(s, d)),
     "q_html_extract"    -> ((s, d) => TextOps.htmlExtract(s, d)),
@@ -529,7 +533,7 @@ object SparkEntry {
     "q_ppl_buckets", "q_gopher_rules", "q_curate_ccnet", "q_vec_project",
     "q_knn_projected", "q_dedup_keepbest", "q_dedup_keepbest_stored",
     "q_dedup_cc_stored", "q_crawl_robots", "q_crawl_maintain", "q_pii_redact",
-    "q_crawl_sitemap", "q_crawl_plan")
+    "q_crawl_sitemap", "q_crawl_plan", "q_text_normalize")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2560,6 +2564,20 @@ object SparkEntry {
       "SELECT doc_id, n_chars FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0 ORDER BY doc_id ASC",
     "q_filter_metadata" ->
       "SELECT doc_id, lang, source FROM documents WHERE lang = 'en' ORDER BY doc_id ASC",
+    // the decomposed plant is built from the same code points via chr();
+    // the precomposed one is already NFC and must pass through unchanged
+    "q_text_normalize" ->
+      ("""WITH c AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 3 = 0 THEN ' caf' || chr(233) || ' na' || chr(239) || 've' ELSE '' END ||
+        |         CASE WHEN doc_id % 4 = 0 THEN ' Zu' || chr(776) || 'rich pin' || chr(771) || 'ata' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS norm,
+        |       strip_accents(nfc_normalize(t)) AS folded,
+        |       CAST(nfc_normalize(t) <> t AS BIGINT) AS changed
+        |FROM c
+        |ORDER BY doc_id ASC""").stripMargin,
     // identical pattern literals and the SAME staged replacement order
     // (email → ip → phone) on both engines: counts are taken on the text
     // AFTER the earlier stages so count ≡ what the replace actually hit

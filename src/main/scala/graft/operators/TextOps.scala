@@ -145,6 +145,50 @@ object TextOps {
           lit(PiiPhone), lit(0))).cast("long").as("n_phones"))
       .orderBy(col("doc_id").asc)
 
+  /** Unicode normalization (`q_text_normalize`) — the pass that must run
+    * BEFORE anything byte-keyed: the same visible string arrives
+    * precomposed (é) or decomposed (e + U+0301) from different crawls,
+    * and every downstream operator that hashes bytes (exact-dedup
+    * digests, MinHash shingles, BM25 terms, feature-hash embeddings)
+    * treats the two as different documents unless NFC runs first. Emits
+    * the NFC form, the accent-FOLDED form (the diacritic-insensitive
+    * match key: résumé ≈ resume), and whether normalization changed
+    * anything (the corpus-hygiene signal: a high changed-rate source is
+    * shipping decomposed text).
+    *
+    * The fixture corpus is pure ASCII, so the query PLANTS both cases
+    * deterministically: a PRECOMPOSED accent snippet (already NFC —
+    * normalization must NOT touch it) and a DECOMPOSED one (combining
+    * marks — NFC must compose it; both engines build it from the same
+    * code points). Engine side runs the native codegen expressions
+    * ([[graft.plans.NfcNormalize]], [[graft.plans.AccentFold]] — ASCII
+    * rows return the input object, zero allocation); the oracle runs
+    * DuckDB's utf8proc twins (`nfc_normalize`, `strip_accents`) — two
+    * independent conformant implementations must agree byte-for-byte.
+    *
+    * Scale: one map-side projection, no shuffle — normalization of a
+    * 100 TB corpus is scan-bound by construction.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    // explicit code points so source-file encoding can never blur the
+    // cases: %3 plants PRECOMPOSED é/ï (U+00E9, U+00EF — already NFC),
+    // %4 plants DECOMPOSED u/n + combining marks (U+0308, U+0303)
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" caf\u00E9 na\u00EFve"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(" Zu\u0308rich pin\u0303ata"))
+          .otherwise(lit(""))).as("t"))
+    planted
+      .select(col("doc_id"), col("t"),
+        toCol(graft.plans.NfcNormalize(toExpr(col("t")))).as("norm"))
+      .select(col("doc_id"), col("norm"),
+        toCol(graft.plans.AccentFold(toExpr(col("norm")))).as("folded"),
+        (col("norm") =!= col("t")).cast("long").as("changed"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Head-truncate at ingest — ref `text[:6000]` (`Crawling.py:45`); the
     * prompt-side variant is 20000 (`main_server.py:143`). Pure projection.
     */

@@ -4141,6 +4141,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("unicode normalization: NFC composes, fold drops marks, ASCII object identity, SQL surface") {
+    import graft.plans.UnicodeKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val dec = UTF8String.fromString("Zürich piñata é")
+    val pre = UTF8String.fromString("Zürich piñata é")
+    assert(UnicodeKernels.nfc(dec).toString === pre.toString)
+    assert(UnicodeKernels.nfc(pre) eq pre, "already-NFC input returns the input object")
+    val ascii = UTF8String.fromString("plain w7")
+    assert(UnicodeKernels.nfc(ascii) eq ascii)
+    assert(UnicodeKernels.foldAccents(ascii) eq ascii)
+    assert(UnicodeKernels.foldAccents(pre).toString === "Zurich pinata e")
+    // non-mark specials (the fi ligature) pass through — strip_accents parity
+    assert(UnicodeKernels.foldAccents(
+      UTF8String.fromString("\uFB01n d\u00E9j\u00E0 vu")).toString === "\uFB01n deja vu")
+    // SQL surface exercises the codegen path end to end
+    val r = spark.sql(
+      "SELECT text_nfc('é') AS a, text_fold_accents('café') AS b").head()
+    assert(r.getString(0) === "é" && r.getString(1) === "cafe")
+  }
+
   test("pii redaction: multiple matches, staged order, negatives untouched") {
     import spark.implicits._
     val rows = Seq(
