@@ -71,6 +71,29 @@ object RobotsOps {
     groups.result()
   }
 
+  /** `Sitemap:` records (the sitemaps.org extension RFC 9309 §2.2.4
+    * carries as "other records") — GLOBAL, not group-scoped: every
+    * sitemap URL applies regardless of which agent group matched. This
+    * is how a crawler discovers the sitemap bodies
+    * [[graft.operators.FrontierOps.crawlSitemap]] ingests — robots.txt
+    * is the one URL a crawler can always construct, and its Sitemap
+    * lines bootstrap everything else. File order kept, duplicates
+    * dropped; the directive value is a full URL, returned verbatim
+    * (case of the URL matters, unlike directive keys).
+    */
+  def sitemaps(text: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    text.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val idx = line.indexOf(':')
+      if (idx > 0 && line.substring(0, idx).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(idx + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.result().distinct
+  }
+
   /** The rule set governing `agent`: the most specific matching group
     * (longest user-agent token that is a substring of the agent), else
     * the `*` group, else no rules (everything allowed).

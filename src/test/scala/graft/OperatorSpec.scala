@@ -4040,6 +4040,14 @@ class OperatorSpec extends AnyFunSuite {
     assert(RobotsOps.isAllowed(star, "/en/p17"))  // len-4 tie → allow wins
     assert(!RobotsOps.isAllowed(star, "/enx"))    // bare /en prefix disallows
     assert(RobotsOps.isAllowed(star, "/en/p3"))   // allow outranks /en
+    // Sitemap records: global (group-independent), URL case preserved,
+    // duplicates dropped, comments stripped, parse() still ignores them
+    val smBody = "User-agent: a\nDisallow: /x\nSitemap: https://h/S1.xml\n" +
+      "User-agent: *\nSITEMAP: https://h/S1.xml # dup, key case-insensitive\n" +
+      "sitemap: https://h/s2.xml\nSitemap:\n"
+    assert(RobotsOps.sitemaps(smBody) ===
+      Seq("https://h/S1.xml", "https://h/s2.xml"))
+    assert(RobotsOps.rulesFor(RobotsOps.parse(smBody), "zbot") === Seq.empty)
   }
 
   test("robots-gated frontier: disallowed URLs never take a slot, delay shrinks caps") {
