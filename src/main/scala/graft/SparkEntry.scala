@@ -369,6 +369,9 @@ object SparkEntry {
     // oracle runs DuckDB's utf8proc twins (nfc_normalize/strip_accents) —
     // two independent conformant implementations must agree byte-for-byte
     "q_text_normalize" -> ((s, d) => TextOps.textNormalize(s, d)),
+    // normalize-then-dedup composition: byte-different/NFC-identical
+    // planted twins collapse to one digest (a raw-byte dedup keeps both)
+    "q_dedup_unicode"  -> ((s, d) => TextOps.dedupUnicode(s, d)),
     "q_prompt_template" -> ((s, d) => TextOps.promptTemplate(s, d)),
     "q_citation_format" -> ((s, d) => TextOps.citationFormat(s, d)),
     "q_html_extract"    -> ((s, d) => TextOps.htmlExtract(s, d)),
@@ -533,7 +536,7 @@ object SparkEntry {
     "q_ppl_buckets", "q_gopher_rules", "q_curate_ccnet", "q_vec_project",
     "q_knn_projected", "q_dedup_keepbest", "q_dedup_keepbest_stored",
     "q_dedup_cc_stored", "q_crawl_robots", "q_crawl_maintain", "q_pii_redact",
-    "q_crawl_sitemap", "q_crawl_plan", "q_text_normalize")
+    "q_crawl_sitemap", "q_crawl_plan", "q_text_normalize", "q_dedup_unicode")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2564,6 +2567,21 @@ object SparkEntry {
       "SELECT doc_id, n_chars FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0 ORDER BY doc_id ASC",
     "q_filter_metadata" ->
       "SELECT doc_id, lang, source FROM documents WHERE lang = 'en' ORDER BY doc_id ASC",
+    // the +20000 twin carries the precomposed suffix, the +40000 twin the
+    // decomposed one — same NFC form, different bytes; min-id per
+    // normalized digest keeps the +20000 copy and drops the +40000 one
+    "q_dedup_unicode" ->
+      """WITH twins AS (SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' caf' || chr(233) FROM twins
+        |  UNION ALL
+        |  SELECT doc_id + 40000, text || ' cafe' || chr(769) FROM twins)
+        |SELECT min(doc_id) AS doc_id, md5(nfc_normalize(text)) AS fp
+        |FROM corpus
+        |GROUP BY md5(nfc_normalize(text))
+        |ORDER BY doc_id ASC""".stripMargin,
     // the decomposed plant is built from the same code points via chr();
     // the precomposed one is already NFC and must pass through unchanged
     "q_text_normalize" ->

@@ -189,6 +189,38 @@ object TextOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** NORMALIZED exact dedup (`q_dedup_unicode`) — the composition
+    * [[textNormalize]] exists for: exact-dedup digests hash BYTES, so
+    * the same visible document crawled precomposed from one mirror and
+    * decomposed from another is two "unique" documents to a raw md5 —
+    * NFC first makes them one. The fixture plants exactly that pair for
+    * every `doc_id % 9 == 0` base doc: a `+20000` twin carrying a
+    * PRECOMPOSED accent suffix and a `+40000` twin carrying the same
+    * suffix DECOMPOSED (different bytes, same NFC form). The normalized
+    * digest dedup keeps the `+20000` copy and drops the `+40000` one;
+    * a raw-byte dedup would keep both — the planted divergence this
+    * entry exists to catch.
+    *
+    * Same plan shape as the exact dedup it composes with
+    * ([[graft.operators.DedupOps.dedupExact]]-style min-per-digest):
+    * one map-side NFC + md5, one partial-agg'd digest exchange.
+    */
+  def dedupUnicode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val docs = Tables.documents(spark, dir)
+    val twins = docs.filter(col("doc_id") % 9 === 0)
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(twins.select((col("doc_id") + 20000L).as("doc_id"),
+        concat(col("text"), lit(" caf\u00E9")).as("text")))
+      .unionByName(twins.select((col("doc_id") + 40000L).as("doc_id"),
+        concat(col("text"), lit(" cafe\u0301")).as("text")))
+    val fp = corpus.select(col("doc_id"),
+      md5(toCol(graft.plans.NfcNormalize(toExpr(col("text"))))).as("fp"))
+    fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Head-truncate at ingest — ref `text[:6000]` (`Crawling.py:45`); the
     * prompt-side variant is 20000 (`main_server.py:143`). Pure projection.
     */
