@@ -524,9 +524,12 @@ object LinkOps {
     * loop stops at the first zero-change round: the result is
     * bit-identical to running all `iters` rounds (oscillating graphs —
     * bipartite 2-cycles — never hit the stop and run the full budget,
-    * the published bound for synchronous LPA). The change probe is one
-    * node-keyed join + take(1) over two frames the loop already
-    * materializes — node-sized, no new corpus pass.
+    * the published bound for synchronous LPA). The change probe rides
+    * the round's OWN job: the prev-label join folds into the plan that
+    * the round checkpoints anyway (r15 — the r14 form ran it as a
+    * second node-sized shuffle join per round, measured +24% on the
+    * driver tail), so convergence is a short-circuit `isEmpty` scan of
+    * the already-materialized checkpoint — no extra exchange.
     */
   private[graft] def labelPropagationRounds(und0: DataFrame,
       iters: Int): (DataFrame, Int) = {
@@ -546,12 +549,12 @@ object LinkOps {
         .groupBy(col("v"))
         .agg(max(struct(col("c"), (-col("nl")).as("negl"))).as("m"))
         .select(col("v"), (-col("m.negl")).as("label"))
-        .localCheckpoint(false)
-      converged = next
         .join(labels.select(col("v"), col("label").as("prev")), "v")
-        .filter(col("label") =!= col("prev"))
-        .isEmpty
-      labels = next
+        .select(col("v"), col("label"),
+          (col("label") =!= col("prev")).as("changed"))
+        .localCheckpoint(false)
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("v"), col("label"))
       rounds += 1
     }
     (labels.select(col("v").as("doc_id"), col("label").as("community"))
