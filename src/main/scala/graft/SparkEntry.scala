@@ -297,24 +297,21 @@ object SparkEntry {
     // exhaustive-settings equality to q_hybrid_rrf pinned in RetrievalSpec
     "q_hybrid_rrf_served" -> ((s, d) => RetrievalOps.hybridRrfServed(s, d)),
     // batched lexical serving: one corpus scan for a whole query table;
-    // rows-only (per-query fp chain not SQL-shareable across a join) —
-    // bit-equality to the stored single-query path pinned in RetrievalSpec
+    // fully oracled (r15): the batch is 3 literal queries, so the oracle
+    // is a UNION ALL of three single-query chains — each per-query fp
+    // chain preserved exactly (also bit-pinned to the stored
+    // single-query path in RetrievalSpec)
     "q_text_bm25_batch" -> ((s, d) => {
       val (db, name) = RetrievalOps.ensureBm25Store(s, d)
       RetrievalOps.bm25ForQueriesStored(s, sources.Tables.documents(s, d), db, name,
-        s.createDataFrame(Seq(
-          (0L, KnnTextQuery), (1L, "hash join merge"), (2L, "stream window agg")))
-          .toDF("query_id", "qtext"))
+        s.createDataFrame(Bm25Batch).toDF("query_id", "qtext"))
     }),
     // postings-index batched serving: zero corpus scans for a whole query
-    // table; rows-only — bit-equality to the stored batched path (itself
-    // pinned to the single-query chain) pinned in RetrievalSpec
+    // table; bit-identical to the stored batched path -> SAME oracle
     "q_text_bm25_batch_indexed" -> ((s, d) => {
       val (db, name) = RetrievalOps.ensureLexicalIndex(s, d)
       RetrievalOps.bm25ForQueriesIndexed(s, db, name,
-        s.createDataFrame(Seq(
-          (0L, KnnTextQuery), (1L, "hash join merge"), (2L, "stream window agg")))
-          .toDF("query_id", "qtext"))
+        s.createDataFrame(Bm25Batch).toDF("query_id", "qtext"))
     }),
     "q_tfidf_topterms" -> ((s, d) => RetrievalOps.tfidfTopTerms(s, d)),
     // SymSpell deletion-neighborhood fuzzy vocabulary lookup
@@ -1060,31 +1057,81 @@ object SparkEntry {
 
   private def bm25Terms: Seq[String] = RetrievalOps.queryTerms(KnnTextQuery)
 
-  private def bm25BaseCtes: String = {
-    val ts = bm25Terms
+  /** Per-document tf columns + corpus stats CTEs for ONE query's term
+    * set, CTE names suffixed so several queries' chains can coexist in
+    * one WITH (the batched oracle is a UNION ALL of these).
+    */
+  private def bm25BaseCtesFor(ts: Seq[String], sfx: String): String = {
     val tfCols = ts.indices.map(i =>
       s"CAST(len(list_filter(string_split(text, ' '), x -> x = '${ts(i)}')) AS DOUBLE) AS tf$i")
       .mkString(",\n       ")
     val dfAggs = ts.indices.map(i =>
       s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
       .mkString(",\n       ")
-    s"""f AS (
+    s"""f$sfx AS (
        |  SELECT doc_id,
        |       CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
        |       $tfCols
        |  FROM documents),
-       |s AS (
+       |s$sfx AS (
        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
        |       $dfAggs
-       |  FROM f)""".stripMargin
+       |  FROM f$sfx)""".stripMargin
   }
 
-  private def bm25ScoreExpr: String =
-    bm25Terms.indices.map(i =>
+  private def bm25BaseCtes: String = bm25BaseCtesFor(bm25Terms, "")
+
+  /** Okapi sum in TERM-INDEX order — the same left-to-right addition
+    * order as the engine's tidx-sorted fold, and a tf=0 term adds an
+    * exact +0.0, so per-query sums are bit-identical across the live,
+    * stored, and batched chains.
+    */
+  private def bm25ScoreExprFor(ts: Seq[String]): String =
+    ts.indices.map(i =>
       s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))")
       .mkString("\n     + ")
 
-  private def bm25AnyHit: String = bm25Terms.indices.map(i => s"tf$i").mkString(" + ")
+  private def bm25ScoreExpr: String = bm25ScoreExprFor(bm25Terms)
+
+  private def bm25AnyHitFor(ts: Seq[String]): String =
+    ts.indices.map(i => s"tf$i").mkString(" + ")
+
+  private def bm25AnyHit: String = bm25AnyHitFor(bm25Terms)
+
+  /** The queries of the batched BM25 contract entries — shared with the
+    * oracle builder so the literal batch and its SQL mirror cannot drift.
+    */
+  private[graft] val Bm25Batch: Seq[(Long, String)] = Seq(
+    0L -> KnnTextQuery, 1L -> "hash join merge", 2L -> "stream window agg")
+
+  /** The batched-BM25 oracle (VERDICT r14 §5): each batch query is 3
+    * LITERAL queries, so the batch is a UNION ALL of three single-query
+    * chains — each branch the already-proven q_text_bm25 oracle with its
+    * own terms — which preserves every per-query fp chain exactly. One
+    * SQL body faces both q_text_bm25_batch and q_text_bm25_batch_indexed
+    * (the engine pins them bit-identical to the stored single-query
+    * path, so they share the oracle).
+    */
+  private def bm25BatchOracleSql(k: Int = 10): String = {
+    val branches = Bm25Batch.map { case (qid, q) =>
+      val ts = RetrievalOps.queryTerms(q)
+      s"""SELECT query_id, rank, doc_id, bm25 FROM (
+         |  SELECT CAST($qid AS BIGINT) AS query_id,
+         |         CAST(row_number() OVER (
+         |           ORDER BY round(${bm25ScoreExprFor(ts)}, 6) DESC, doc_id ASC)
+         |           AS BIGINT) AS rank,
+         |         doc_id,
+         |         round(${bm25ScoreExprFor(ts)}, 6) AS bm25
+         |  FROM f$qid CROSS JOIN s$qid
+         |  WHERE ${bm25AnyHitFor(ts)} > 0) WHERE rank <= $k""".stripMargin
+    }
+    val ctes = Bm25Batch.map { case (qid, q) =>
+      bm25BaseCtesFor(RetrievalOps.queryTerms(q), qid.toString)
+    }.mkString(",\n")
+    s"""WITH $ctes
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY query_id ASC, rank ASC""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.operators.RetrievalOps.prfTopK]]: the static
     * pass-1 CTEs seed the pool, expansion terms mine dynamically, and the
@@ -2040,6 +2087,11 @@ object SparkEntry {
          |WHERE $bm25AnyHit > 0
          |ORDER BY bm25 DESC, doc_id ASC
          |LIMIT 20""".stripMargin,
+    // three literal single-query chains UNION ALL'd — per-query fp
+    // arithmetic identical to q_text_bm25's proven oracle
+    "q_text_bm25_batch" -> bm25BatchOracleSql(),
+    // engine output bit-identical to the stored batched path -> same SQL
+    "q_text_bm25_batch_indexed" -> bm25BatchOracleSql(),
     // the stored-stats probe is bit-identical to the live two-scan path
     // (exact-integer partials; see RetrievalOps.bm25TopKStored) — it
     // faces the SAME oracle, which is the point: the persisted artifact
