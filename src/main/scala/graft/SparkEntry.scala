@@ -368,6 +368,9 @@ object SparkEntry {
     // deterministically PLANTED into the fixture corpus (no organic PII
     // in word soup); one map-side projection, three codegen'd regexes
     "q_pii_redact"     -> ((s, d) => TextOps.piiRedact(s, d)),
+    // + Luhn-gated credit-card stage: candidates by regex, redaction
+    // only on mod-10-valid numbers; planted valid AND Luhn-failing
+    "q_pii_redact_cc"  -> ((s, d) => TextOps.piiRedactCc(s, d)),
     // Unicode NFC + accent folding via native codegen expressions; the
     // oracle runs DuckDB's utf8proc twins (nfc_normalize/strip_accents) —
     // two independent conformant implementations must agree byte-for-byte
@@ -540,7 +543,7 @@ object SparkEntry {
     "q_knn_projected", "q_dedup_keepbest", "q_dedup_keepbest_stored",
     "q_dedup_cc_stored", "q_crawl_maintain", "q_pii_redact",
     "q_crawl_sitemap", "q_crawl_plan", "q_text_normalize", "q_dedup_unicode",
-    "q_lang_id", "q_curate_e2e_lang")
+    "q_lang_id", "q_curate_e2e_lang", "q_pii_redact_cc")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2765,6 +2768,60 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
         |       CAST(len(regexp_extract_all(t2, '\+\d{1,3}[ -]\d{3}[ -]\d{4}\b')) AS BIGINT) AS n_phones
         |FROM s2
+        |ORDER BY doc_id ASC""".stripMargin,
+    // the q_pii_redact chain + the Luhn-gated card stage; check digit and
+    // validity share ONE closed-form mod-10 sum (integer-exact both sides)
+    "q_pii_redact_cc" ->
+      """WITH p0 AS (
+        |  SELECT doc_id, text,
+        |         '4' || lpad(CAST((doc_id * 1000003) % 10000000000000 AS VARCHAR), 14, '0') AS body
+        |  FROM documents),
+        |p1 AS (
+        |  SELECT doc_id, text, body,
+        |         (10 - (list_sum(list_transform(range(1, 16), i ->
+        |            CASE WHEN i % 2 = 1 THEN
+        |              CASE WHEN 2 * CAST(substr(body, CAST(16 - i AS INT), 1) AS BIGINT) > 9
+        |                   THEN 2 * CAST(substr(body, CAST(16 - i AS INT), 1) AS BIGINT) - 9
+        |                   ELSE 2 * CAST(substr(body, CAST(16 - i AS INT), 1) AS BIGINT) END
+        |              ELSE CAST(substr(body, CAST(16 - i AS INT), 1) AS BIGINT) END)) % 10)) % 10 AS chk
+        |  FROM p0),
+        |c AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 7 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |         CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+        |         CASE WHEN doc_id % 13 = 0 THEN ' call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |         CASE WHEN doc_id % 17 = 0 THEN ' card ' || body || CAST(chk AS VARCHAR) ELSE '' END ||
+        |         CASE WHEN doc_id % 19 = 0 AND doc_id % 17 <> 0 THEN ' ref ' || body || CAST((chk + 5) % 10 AS VARCHAR) ELSE '' END AS t
+        |  FROM p1),
+        |s1 AS (SELECT doc_id, t,
+        |              regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |       FROM c),
+        |s2 AS (SELECT doc_id, t, t1,
+        |              regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+        |       FROM s1),
+        |s3 AS (SELECT doc_id, t, t1, t2,
+        |              regexp_replace(t2, '\+\d{1,3}[ -]\d{3}[ -]\d{4}\b', '<PHONE>', 'g') AS t3
+        |       FROM s2),
+        |s4 AS (SELECT doc_id, t, t1, t2, t3,
+        |              regexp_extract(t3, '\b\d{16}\b') AS cand
+        |       FROM s3),
+        |s5 AS (SELECT doc_id, t, t1, t2, t3, cand,
+        |              cand <> '' AND (list_sum(list_transform(range(1, length(cand) + 1), i ->
+        |                CASE WHEN i % 2 = 0 THEN
+        |                  CASE WHEN 2 * CAST(substr(cand, CAST(length(cand) - i + 1 AS INT), 1) AS BIGINT) > 9
+        |                       THEN 2 * CAST(substr(cand, CAST(length(cand) - i + 1 AS INT), 1) AS BIGINT) - 9
+        |                       ELSE 2 * CAST(substr(cand, CAST(length(cand) - i + 1 AS INT), 1) AS BIGINT) END
+        |                  ELSE CAST(substr(cand, CAST(length(cand) - i + 1 AS INT), 1) AS BIGINT) END)) % 10 = 0) AS ok
+        |       FROM s4)
+        |SELECT doc_id,
+        |       CASE WHEN ok THEN replace(t3, cand, '<CARD>') ELSE t3 END AS redacted,
+        |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |       CAST(len(regexp_extract_all(t2, '\+\d{1,3}[ -]\d{3}[ -]\d{4}\b')) AS BIGINT) AS n_phones,
+        |       CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS n_cards,
+        |       CAST(CASE WHEN cand <> '' AND NOT ok THEN 1 ELSE 0 END AS BIGINT) AS n_card_rejected
+        |FROM s5
         |ORDER BY doc_id ASC""".stripMargin,
     "q_clean_text" ->
       """SELECT doc_id, substr(cleaned, 1, 80) AS cleaned, CAST(length(cleaned) AS BIGINT) AS clean_len

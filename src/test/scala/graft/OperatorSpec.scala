@@ -4187,6 +4187,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4) === ((5L, "mixed <EMAIL> from <IP> call <PHONE>", 1L, 1L, 1L)))
   }
 
+  test("pii card stage: Luhn gate redacts valid, keeps invalid; multi-candidate fold") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "pay 4111111111111111 now"),                    // valid (Luhn 0)
+      (2L, "order 4111111111111112 ref"),                  // candidate, Luhn-fails
+      (3L, "two 4111111111111111 and 5500005555555559 x"), // both valid
+      (4L, "mix 4111111111111111 bad 4111111111111113 y"), // one of each
+      (5L, "short 411111111111111 and long 41111111111111111 z")) // not 16-digit
+    val out = TextOps.piiRedactCcOn(rows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(5),
+        r.getLong(6)))
+    assert(out(0) === ((1L, "pay <CARD> now", 1L, 0L)))
+    assert(out(1) === ((2L, "order 4111111111111112 ref", 0L, 1L)))
+    assert(out(2) === ((3L, "two <CARD> and <CARD> x", 2L, 0L)))
+    assert(out(3) === ((4L, "mix <CARD> bad 4111111111111113 y", 1L, 1L)))
+    assert(out(4) === ((5L, "short 411111111111111 and long 41111111111111111 z", 0L, 0L)))
+  }
+
   test("component store removal: bridge delete splits, duplicate delete doesn't, rebuild equality") {
     import graft.sources.CatalogOps
     import spark.implicits._
