@@ -105,8 +105,12 @@ object SparkEntry {
     // discovery half next to robots' admission half; the oracle computes
     // the expected answer in closed form, so a mangled parse diverges
     "q_crawl_sitemap"  -> ((s, d) => FrontierOps.crawlSitemap(s, d)),
-    // the WHOLE next-cycle plan composed: sitemap candidates (new ahead
-    // of stale) → robots admission → delay-capped politeness schedule
+    // the two-level <sitemapindex> -> <urlset> protocol (how a 50k+-URL
+    // host publishes): parse index, walk child locs through the fetch
+    // boundary, parse each urlset; closed-form oracle
+    "q_crawl_sitemap_index" -> ((s, d) => FrontierOps.crawlSitemapIndex(s, d)),
+    // the WHOLE next-cycle plan composed: sitemap-INDEX candidates (new
+    // ahead of stale) → robots admission → delay-capped politeness schedule
     "q_crawl_plan"     -> ((s, d) => FrontierOps.crawlPlan(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
@@ -543,7 +547,8 @@ object SparkEntry {
     "q_knn_projected", "q_dedup_keepbest", "q_dedup_keepbest_stored",
     "q_dedup_cc_stored", "q_crawl_maintain", "q_pii_redact",
     "q_crawl_sitemap", "q_crawl_plan", "q_text_normalize", "q_dedup_unicode",
-    "q_lang_id", "q_curate_e2e_lang", "q_pii_redact_cc")
+    "q_lang_id", "q_curate_e2e_lang", "q_pii_redact_cc",
+    "q_crawl_sitemap_index")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1434,6 +1439,36 @@ object SparkEntry {
         |SELECT host, url, lastmod, status FROM known
         |UNION ALL
         |SELECT host, url, lastmod, status FROM disc
+        |ORDER BY host ASC, url ASC""".stripMargin,
+    // closed-form mirror of the two-level protocol: rank -> 10-entry
+    // chunk -> child loc -> same classification; a parse that drops an
+    // entry or misroutes it to the wrong child diverges
+    "q_crawl_sitemap_index" ->
+      """WITH base AS (SELECT source AS host, doc_id, lang FROM documents),
+        |known AS (
+        |  SELECT host,
+        |         'https://' || host || '/' || lang || '/p' || CAST(doc_id AS VARCHAR) AS url,
+        |         '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+        |         CASE WHEN CAST('2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+        |                   > (DATE '2026-02-01' - CAST(doc_id % 30 AS INT))
+        |              THEN 'stale' ELSE 'fresh' END AS status
+        |  FROM base),
+        |disc AS (
+        |  SELECT host, 'https://' || host || '/disc/p' || CAST(doc_id AS VARCHAR) AS url,
+        |         '2026-01-15' AS lastmod, 'new' AS status
+        |  FROM base WHERE doc_id % 5 = 0),
+        |e AS (
+        |  SELECT host, url, lastmod, status FROM known
+        |  UNION ALL
+        |  SELECT host, url, lastmod, status FROM disc),
+        |ch AS (
+        |  SELECT host, url, lastmod, status,
+        |         (row_number() OVER (PARTITION BY host ORDER BY url ASC) - 1) // 10 AS child
+        |  FROM e)
+        |SELECT host,
+        |       'https://' || host || '/sitemap-' || CAST(child AS VARCHAR) || '.xml' AS sitemap,
+        |       url, lastmod, status
+        |FROM ch
         |ORDER BY host ASC, url ASC""".stripMargin,
     // the composed plan: sitemap candidates in closed form, the same
     // handwritten literal robots rules, longest-match + allow-tie, then

@@ -217,6 +217,123 @@ object FrontierOps {
       .orderBy(col("host").asc, col("url").asc)
   }
 
+  /** The fixture's sitemap ENTRY set — (host, url, lastmod) exactly as
+    * [[crawlSitemap]] derives it (known pages with advertised lastmods +
+    * every-5th discovery), factored so the flat and index forms cannot
+    * drift.
+    */
+  private def sitemapEntries(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val known = docs.select(col("source").as("host"),
+      concat(lit("https://"), col("source"), lit("/"), col("lang"),
+        lit("/p"), col("doc_id")).as("url"),
+      concat(lit("2026-01-"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")).as("lastmod"))
+    val disc = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("source").as("host"),
+        concat(lit("https://"), col("source"), lit("/disc/p"), col("doc_id")).as("url"),
+        lit("2026-01-15").as("lastmod"))
+    known.unionByName(disc)
+  }
+
+  /** The corpus freshness view shared by the sitemap classifiers:
+    * (curl, last_fetch).
+    */
+  private def corpusFetchDates(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      concat(lit("https://"), col("source"), lit("/"), col("lang"),
+        lit("/p"), col("doc_id")).as("curl"),
+      date_sub(to_date(lit("2026-02-01")), (col("doc_id") % 30).cast("int"))
+        .as("last_fetch"))
+
+  /** `q_crawl_sitemap_index`: the TWO-LEVEL sitemaps.org protocol —
+    * `<sitemapindex>` → child `<urlset>`s. This is how every host with
+    * more than 50k URLs publishes (the protocol caps one sitemap file at
+    * 50k entries and an index at 50k child sitemaps), i.e. exactly the
+    * hosts a 100 TB crawl cares about; [[crawlSitemap]]'s single-urlset
+    * parse covers only the small-host case.
+    *
+    * The fixture shards each host's entry set into sequential child
+    * sitemaps of `childCap` URLs (url-ordered, the way generators emit
+    * them) and publishes a per-host index of the child locs. The ENGINE
+    * then walks the real protocol: parse the index XML (`from_xml`),
+    * explode the child locs, "fetch" each child through the body table
+    * (the join IS the fetch boundary — in production the injected
+    * fetcher returns each loc's bytes), parse each child's urlset, and
+    * classify entries new/stale/fresh against the corpus exactly as the
+    * flat form does. The DuckDB oracle re-derives everything in closed
+    * form (rank → chunk → child loc → classification), so a parse that
+    * drops an entry, a child, or misroutes an entry to the wrong child
+    * diverges.
+    *
+    * Both protocol caps are enforced LOUDLY: `childCap` ≤ 50k by
+    * contract, and the index build raises (inside the aggregate, so the
+    * guard rides the plan) if a host accumulates more than 50k child
+    * sitemaps.
+    *
+    * Scale: the chunk rank is one hash exchange on `host` (bounded: a
+    * host's sitemap universe is ≤ 50k × 50k entries by protocol, and
+    * real indexes are built per host anyway); XML build/parse stays
+    * map-side per (host, child); the child "fetch" join is
+    * (host, loc)-keyed at child grain — catalog-scale, not corpus-scale.
+    */
+  def crawlSitemapIndex(spark: SparkSession, dir: String,
+      childCap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+    require(childCap >= 1 && childCap <= 50000,
+      s"sitemaps.org caps one sitemap at 50k URLs, got childCap=$childCap")
+    val w = Window.partitionBy(col("host")).orderBy(col("url").asc)
+    val chunked = sitemapEntries(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sloc",
+        concat(lit("https://"), col("host"), lit("/sitemap-"),
+          floor((col("rn") - 1) / childCap).cast("long"), lit(".xml")))
+    // child urlset bodies, entries url-sorted inside each child
+    val childXml = chunked
+      .select(col("host"), col("sloc"), col("url"),
+        concat(lit("<url><loc>"), col("url"), lit("</loc><lastmod>"),
+          col("lastmod"), lit("</lastmod></url>")).as("entry"))
+      .groupBy(col("host"), col("sloc"))
+      .agg(concat(lit("<urlset>"),
+        array_join(transform(array_sort(collect_list(struct(col("url"), col("entry")))),
+          x => x.getField("entry")), ""),
+        lit("</urlset>")).as("cxml"))
+    // per-host index body over the sorted child locs, 50k-cap guarded
+    val indexXml = childXml
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("nc"),
+        concat(lit("<sitemapindex>"),
+          array_join(transform(array_sort(collect_list(col("sloc"))),
+            s => concat(lit("<sitemap><loc>"), s, lit("</loc></sitemap>"))), ""),
+          lit("</sitemapindex>")).as("ixml"))
+      .select(col("host"),
+        when(col("nc") <= 50000, col("ixml"))
+          .otherwise(raise_error(concat(lit("sitemap index for host "),
+            col("host"), lit(" exceeds the 50k child cap")))).as("ixml"))
+    val idxSchema = StructType(Seq(StructField("sitemap", ArrayType(StructType(Seq(
+      StructField("loc", StringType)))))))
+    val childLocs = indexXml.select(col("host"),
+        explode(from_xml(col("ixml"), idxSchema).getField("sitemap")).as("s"))
+      .select(col("host"), col("s.loc").as("loc"))
+    val urlSchema = StructType(Seq(StructField("url", ArrayType(StructType(Seq(
+      StructField("loc", StringType), StructField("lastmod", StringType)))))))
+    // the fetch boundary: each discovered child loc pulls its body
+    val parsed = childLocs
+      .join(childXml.select(col("host"), col("sloc"), col("cxml")),
+        childLocs("host") === childXml("host") && col("loc") === col("sloc"))
+      .select(childLocs("host").as("host"), col("sloc").as("sitemap"),
+        explode(from_xml(col("cxml"), urlSchema).getField("url")).as("u"))
+      .select(col("host"), col("sitemap"), col("u.loc").as("url"),
+        col("u.lastmod").as("lastmod"))
+    val corpus = corpusFetchDates(spark, dir)
+    parsed.join(corpus, parsed("url") === corpus("curl"), "left")
+      .select(col("host"), col("sitemap"), col("url"), col("lastmod"),
+        when(col("curl").isNull, lit("new"))
+          .when(to_date(col("lastmod")) > col("last_fetch"), lit("stale"))
+          .otherwise(lit("fresh")).as("status"))
+      .orderBy(col("host").asc, col("url").asc)
+  }
+
   /** `q_crawl_plan`: the WHOLE next-cycle plan, composed — what the
     * crawler actually fetches next: the sitemap pass supplies the
     * candidates ([[crawlSitemap]]'s `new` discoveries, ranked ahead of
@@ -238,7 +355,13 @@ object FrontierOps {
     import graft.sources.RobotsOps
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val sm = crawlSitemap(spark, dir).filter(col("status").isin("new", "stale"))
+    // candidates come through the full two-level index protocol (r15) —
+    // same entry set as the flat parse by construction, so the plan (and
+    // its oracle) is unchanged while the discovery path is the one a
+    // 50k+-URL host actually publishes
+    val sm = crawlSitemapIndex(spark, dir)
+      .select(col("host"), col("url"), col("lastmod"), col("status"))
+      .filter(col("status").isin("new", "stale"))
     val prio = docs.select(
       concat(lit("https://"), col("source"), lit("/"), col("lang"),
         lit("/p"), col("doc_id")).as("curl"),

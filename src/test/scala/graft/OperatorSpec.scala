@@ -4205,6 +4205,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4) === ((5L, "short 411111111111111 and long 41111111111111111 z", 0L, 0L)))
   }
 
+  test("sitemap index: two-level walk reproduces the flat entry set exactly") {
+    val flat = FrontierOps.crawlSitemap(spark, TestSpark.Sf)
+      .select("host", "url", "lastmod", "status")
+    val idx = FrontierOps.crawlSitemapIndex(spark, TestSpark.Sf)
+    val idxFlat = idx.select("host", "url", "lastmod", "status")
+    assert(idxFlat.exceptAll(flat).isEmpty && flat.exceptAll(idxFlat).isEmpty)
+    // the index form must actually shard: some host spans >1 child sitemap
+    val multi = idx.groupBy(col("host"))
+      .agg(countDistinct(col("sitemap")).as("nc"))
+      .filter(col("nc") > 1).count()
+    assert(multi > 0)
+  }
+
   test("component store removal: bridge delete splits, duplicate delete doesn't, rebuild equality") {
     import graft.sources.CatalogOps
     import spark.implicits._
