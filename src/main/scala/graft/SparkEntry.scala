@@ -124,6 +124,10 @@ object SparkEntry {
     "q_dedup_exact"   -> ((s, d) => DedupOps.dedupExact(s, d)),
     "q_dedup_jaccard" -> ((s, d) => DedupOps.jaccardPairs(s, d)),
     "q_dedup_minhash" -> ((s, d) => DedupOps.minHashLsh(s, d)),
+    // NFC-first shingles faced against planted byte-different/
+    // NFC-identical twins: the fuzzy path now collapses what the exact
+    // digest (q_dedup_unicode) collapses
+    "q_dedup_minhash_unicode" -> ((s, d) => DedupOps.minHashLshUnicode(s, d)),
     "q_dedup_minhash_pairs" -> ((s, d) => DedupOps.minHashLshPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simHash(s, d)),
     "q_dedup_embed"   -> ((s, d) => DedupOps.embedNearDup(s, d)),
@@ -548,7 +552,7 @@ object SparkEntry {
     "q_dedup_cc_stored", "q_crawl_maintain", "q_pii_redact",
     "q_crawl_sitemap", "q_crawl_plan", "q_text_normalize", "q_dedup_unicode",
     "q_lang_id", "q_curate_e2e_lang", "q_pii_redact_cc",
-    "q_crawl_sitemap_index")
+    "q_crawl_sitemap_index", "q_dedup_minhash_unicode")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1629,6 +1633,25 @@ object SparkEntry {
         |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id
         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))) >= 0.95)
         |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT b_id FROM dup)
+        |ORDER BY doc_id ASC""".stripMargin,
+    // the q_dedup_unicode planting through the FUZZY survivor rule, token
+    // sets nfc_normalize'd (utf8proc) — must equal the engine's NFC-first
+    // minhash chain
+    "q_dedup_minhash_unicode" ->
+      """WITH twins AS (SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' caf' || chr(233) FROM twins
+        |  UNION ALL
+        |  SELECT doc_id + 40000, text || ' cafe' || chr(769) FROM twins),
+        |ws AS (SELECT doc_id, list_distinct(string_split(nfc_normalize(text), ' ')) AS s FROM corpus),
+        |dup AS (
+        |  SELECT DISTINCT b.doc_id AS b_id
+        |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))) >= 0.95)
+        |SELECT doc_id FROM corpus
         |WHERE doc_id NOT IN (SELECT b_id FROM dup)
         |ORDER BY doc_id ASC""".stripMargin,
     "q_dedup_ngram" ->

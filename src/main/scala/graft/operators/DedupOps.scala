@@ -27,11 +27,25 @@ object DedupOps {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
   import graft.plans.SortedIntersectSize
 
-  /** Distinct word set of a document — the shingle unit for set-similarity.
-    * (Word 1-grams; the fixture vocabulary is word-bag text. For real
-    * corpora swap in character n-gram shingles — same plan shape.)
+  /** NFC-normalize before anything byte-keyed (r15, SURVEY's own argument
+    * for q_text_normalize): the same visible string arrives precomposed or
+    * decomposed from different crawls, and shingles that hash raw bytes
+    * treat the two as different documents — the twin pair the exact
+    * digest (q_dedup_unicode) collapses would still be two documents to
+    * every fuzzy path. ASCII rows return the input OBJECT (the
+    * [[graft.plans.NfcNormalize]] zero-allocation fast path), so on
+    * byte-clean corpora every hash, signature and stored artifact is
+    * unchanged — the flipped default is free where it doesn't matter and
+    * correct where it does (pinned: q_dedup_minhash_unicode).
     */
-  private def tokenSet(c: Column): Column = array_distinct(split(c, " "))
+  private def nfc(c: Column): Column =
+    toCol(graft.plans.NfcNormalize(toExpr(c)))
+
+  /** Distinct word set of a document — the shingle unit for set-similarity,
+    * NFC-first. (Word 1-grams; the fixture vocabulary is word-bag text. For
+    * real corpora swap in character n-gram shingles — same plan shape.)
+    */
+  private def tokenSet(c: Column): Column = array_distinct(split(nfc(c), " "))
 
   /** Sorted variant — the build-side invariant of [[SortedIntersectSize]]
     * (sort ONCE per row at build time, not per pair).
@@ -396,6 +410,31 @@ object DedupOps {
       tau, maxBucket,
       KnnOps.parquetRowCount(spark, s"$dir/documents.parquet"))
 
+  /** `q_dedup_minhash_unicode`: the NFC-first shingle default faced
+    * against planted byte-different/NFC-identical twins — the
+    * q_dedup_unicode planting (precomposed `café` at +20000, decomposed
+    * `cafe`+U+0301 at +40000 on every 9th doc) run through the FUZZY
+    * path. With raw-byte shingles the decomposed twin's accented token
+    * never matches its precomposed sibling's, so the pair survives as
+    * two documents; with NFC-first shingles the twins are identical word
+    * SETS (collapsed by the representative step, exact-dup grade) and
+    * the +40000 copies are removed. The oracle recomputes the survivor
+    * rule brute-force over `nfc_normalize`d token sets — utf8proc vs the
+    * engine's own NFC kernel, two independent implementations agreeing
+    * through the whole minhash chain.
+    */
+  def minHashLshUnicode(spark: SparkSession, dir: String,
+      tau: Double = 0.95): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val twins = docs.filter(col("doc_id") % 9 === 0)
+    val corpus = docs
+      .unionByName(twins.select((col("doc_id") + 20000L).as("doc_id"),
+        concat(col("text"), lit(" caf\u00E9")).as("text")))
+      .unionByName(twins.select((col("doc_id") + 40000L).as("doc_id"),
+        concat(col("text"), lit(" cafe\u0301")).as("text")))
+    minHashLshOn(corpus, tau)
+  }
+
   /** Corpus-parametric form of [[minHashLsh]] — see [[jaccardPairsOn]].
     * Band buckets larger than `maxBucket` are dropped from candidate
     * generation ([[LshGuard]] — recall contract and fixture headroom).
@@ -566,7 +605,10 @@ object DedupOps {
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
+      // normalize ONCE here: the bigram shingles below are re-tokenized by
+      // jaccardPairsOn's (already NFC-first) tokenSet, and NFC is
+      // idempotent, so the second pass is a no-op object return
+      .select(col("doc_id"), nfc(col("text")).as("text"))
       .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"),
         array_join(
@@ -608,7 +650,7 @@ object DedupOps {
 
   private[graft] def containmentPairsOn(docs: DataFrame, tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau out of range: $tau")
-    val w = split(col("text"), " ")
+    val w = split(nfc(col("text")), " ")
     // derived frame (not the raw fixture plan — see the cache gotcha):
     // read by the token explode, the df counter, and both verify join-backs
     val sh = docs
@@ -685,7 +727,7 @@ object DedupOps {
     * nothing.
     */
   private[graft] def windowHashes(docs: DataFrame, w: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val toks = docs.select(col("doc_id"), split(nfc(col("text")), " ").as("t"))
     toks.filter(size(col("t")) >= w)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("t")) - lit(w - 1)),
@@ -693,7 +735,7 @@ object DedupOps {
   }
 
   private[graft] def dedupSubstringOn(docs: DataFrame, w: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val toks = docs.select(col("doc_id"), split(nfc(col("text")), " ").as("t"))
     val counts = toks.select(col("doc_id"),
       greatest(size(col("t")) - lit(w - 1), lit(0)).cast("long").as("n_windows"))
     val exploded = windowHashes(docs, w)
@@ -739,7 +781,7 @@ object DedupOps {
     dedupSubstringTrimOn(corpusWithDups(spark, dir), w)
 
   private[graft] def dedupSubstringTrimOn(docs: DataFrame, w: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val toks = docs.select(col("doc_id"), split(nfc(col("text")), " ").as("t"))
     def wins = toks.filter(size(col("t")) >= w)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("t")) - lit(w - 1)),
@@ -1950,7 +1992,7 @@ object DedupOps {
       if (!r.isNullAt(0) && batchId.get <= r.getLong(0)) return
     }
     val batch = batch0.select(col("doc_id"), col("text"))
-    val toks = batch.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val toks = batch.select(col("doc_id"), split(nfc(col("text")), " ").as("t"))
     val wins = toks.filter(size(col("t")) >= w)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("t")) - lit(w - 1)),

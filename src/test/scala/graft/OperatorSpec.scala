@@ -4205,6 +4205,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4) === ((5L, "short 411111111111111 and long 41111111111111111 z", 0L, 0L)))
   }
 
+  test("minhash NFC-first shingles: decomposed twin collapses onto its precomposed sibling") {
+    val out = DedupOps.minHashLshUnicode(spark, TestSpark.Sf)
+      .select(col("doc_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    // every +40000 (decomposed) copy is an exact SET duplicate of its
+    // +20000 (precomposed) sibling after NFC, so none may survive;
+    // without normalization the twins' accented tokens differ byte-wise
+    // and every +40000 copy would survive
+    assert("caf\u00E9" != "cafe\u0301")
+    assert(!out.exists(_ >= 40000L))
+    assert(out.nonEmpty)
+  }
+
   test("sitemap index: two-level walk reproduces the flat entry set exactly") {
     val flat = FrontierOps.crawlSitemap(spark, TestSpark.Sf)
       .select("host", "url", "lastmod", "status")
