@@ -1459,21 +1459,26 @@ object DedupOps {
       .saveAsTable(s"`$db`.`${name}__cdata`")
     sig.unpersist()
     // tau travels with the store: every fold must re-verify at the SAME
-    // threshold or the stored closure silently changes meaning
-    spark.createDataFrame(Seq((1L, tau))).toDF("epoch", "tau")
+    // threshold or the stored closure silently changes meaning;
+    // guard_hits accumulates the folds' hot-bucket drops (ADVICE r14 —
+    // a nonzero counter says the stored closure may differ from a cold
+    // rebuild through the guard, loudly instead of silently)
+    spark.createDataFrame(Seq((1L, tau, 0L))).toDF("epoch", "tau", "guard_hits")
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cmeta`")
   }
 
-  /** The store's build threshold + current epoch; folds must match tau. */
+  /** The store's build threshold + current (epoch, cumulative guard-hit
+    * count); folds must match tau.
+    */
   private def compMeta(spark: SparkSession, db: String, name: String,
-      tau: Double): Long = {
+      tau: Double): (Long, Long) = {
     val r = spark.table(s"`$db`.`${name}__cmeta`")
-      .agg(max(col("epoch")), max(col("tau"))).head()
+      .agg(max(col("epoch")), max(col("tau")), max(col("guard_hits"))).head()
     require(r.getDouble(1) == tau,
       s"component store `$name` was built at tau=${r.getDouble(1)}; " +
         s"folding at tau=$tau would change what 'duplicate' means — " +
         "rebuild the store to change the threshold")
-    r.getLong(0)
+    (r.getLong(0), r.getLong(2))
   }
 
   /** Incremental fold of a NEW-DOCUMENT batch into the stored closure.
@@ -1489,7 +1494,7 @@ object DedupOps {
   def refreshComponents(spark: SparkSession, db: String, name: String,
       newDocs0: DataFrame, tau: Double = 0.95): Unit = {
     val newDocs = newDocs0.select(col("doc_id"), col("text"))
-    val epoch0 = compMeta(spark, db, name, tau) // refuses a tau mismatch
+    val (epoch0, hits0) = compMeta(spark, db, name, tau) // refuses a tau mismatch
     val comps = spark.table(compTable(db, name))
     val newIds = newDocs.select(col("doc_id")).localCheckpoint(false)
     require(comps.join(broadcast(newIds), Seq("doc_id"), "left_semi").isEmpty,
@@ -1500,17 +1505,32 @@ object DedupOps {
       .select(col("a_id").as("a"), col("b_id").as("b"))
     // new–old: batch band keys probe the signature store (bucket-local at
     // scale), then exact-Jaccard verify against ONLY the candidate docs.
-    // Both sides pass the hot-bucket guard first — a boilerplate cluster
-    // in the STORE crossed with a hot batch bucket is the same quadratic
-    // corner every other band join here caps (the LshGuard recall
-    // contract applies identically)
-    val stored = LshGuard.dropHotBuckets(
-        spark.table(s"`$db`.`${name}__csigs`")
-          .select(col("band"), col("bkey"), col("doc_id")),
-        LshGuard.DefaultMaxBucket)
+    // The hot-bucket guard measures bucket sizes over the COMBINED
+    // store+batch view (ADVICE r14: per-side measurement let a bucket
+    // crossing the cap only in the combined view diverge silently from
+    // the cold build, which measures over the whole corpus): ONE hot
+    // set, anti-joined from both sides, and its size lands in __cmeta as
+    // a cumulative guard-hit counter so a fold that actually dropped
+    // rows is detectable after the fact. (The new–new pass still
+    // measures within the batch — a bucket hot corpus-wide but cold
+    // in-batch keeps its in-batch pairs, which only ADDS edges the cold
+    // closure's guard dropped; the counter flags exactly these folds.)
+    val storedRaw = spark.table(s"`$db`.`${name}__csigs`")
+      .select(col("band"), col("bkey"), col("doc_id"))
+    val hot = storedRaw.select(col("band"), col("bkey"))
+      .unionByName(bandRows(sig).select(col("band"), col("bkey")))
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > LshGuard.DefaultMaxBucket)
+      .select(col("band"), col("bkey"))
+      .localCheckpoint(false)
+    val guardHits = hot.count()
+    val stored = storedRaw
+      .join(broadcast(hot), Seq("band", "bkey"), "left_anti")
       .select(col("band").as("band_s"), col("bkey").as("bkey_s"),
         col("doc_id").as("old_id"))
-    val cand = LshGuard.dropHotBuckets(bandRows(sig), LshGuard.DefaultMaxBucket)
+    val cand = bandRows(sig)
+      .join(broadcast(hot), Seq("band", "bkey"), "left_anti")
       .join(stored, col("band") === col("band_s") && col("bkey") === col("bkey_s"))
       .select(col("doc_id").as("new_id"), col("old_id")).distinct()
     val cdata = spark.table(s"`$db`.`${name}__cdata`")
@@ -1566,7 +1586,8 @@ object DedupOps {
       .withColumn("bucket", pmod(hash(col("doc_id")), lit(CompStoreBuckets)))
       .write.mode("append").insertInto(s"$db.${name}__cdata")
     sig.unpersist()
-    spark.createDataFrame(Seq((epoch0 + 1, tau))).toDF("epoch", "tau")
+    spark.createDataFrame(Seq((epoch0 + 1, tau, hits0 + guardHits)))
+      .toDF("epoch", "tau", "guard_hits")
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cmeta`")
   }
 
@@ -1589,7 +1610,7 @@ object DedupOps {
     */
   def removeFromComponents(spark: SparkSession, db: String, name: String,
       ids: DataFrame, tau: Double = 0.95): Unit = {
-    val epoch0 = compMeta(spark, db, name, tau) // refuses a tau mismatch
+    val (epoch0, hits0) = compMeta(spark, db, name, tau) // refuses a tau mismatch
     val doomed = ids.toDF("doc_id").distinct().localCheckpoint(false)
     val comps = spark.table(compTable(db, name))
     val touchedComps = comps.join(broadcast(doomed), Seq("doc_id"), "left_semi")
@@ -1678,7 +1699,8 @@ object DedupOps {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
-    spark.createDataFrame(Seq((epoch0 + 1, tau))).toDF("epoch", "tau")
+    spark.createDataFrame(Seq((epoch0 + 1, tau, hits0)))
+      .toDF("epoch", "tau", "guard_hits")
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cmeta`")
   }
 
@@ -1715,24 +1737,37 @@ object DedupOps {
 
   /** Session-idempotent fixture store: create(even ids) + refresh(odd
     * ids), so every cold session exercises the incremental merge fold.
+    *
+    * The ready-check keys on the persisted epoch AND a fixture
+    * fingerprint (`{name}__cfix` carries the source dir — ADVICE r14:
+    * epoch alone survives across sessions on a persistent warehouse and
+    * would serve a stale store against a fresh oracle when the fixture
+    * dir changes; the documents fixtures differ in CONTENT across scale
+    * factors, so the dir is the fingerprint).
     */
   private def ensureComponentStoreFixture(spark: SparkSession, dir: String): Unit = {
     import graft.sources.CatalogOps
     val db = "graft_comps"
     val name = "docs"
     this.synchronized {
-      val ready = spark.catalog.tableExists(s"$db.${name}__cmeta") && {
-        val r = spark.table(s"`$db`.`${name}__cmeta`")
-          .agg(max(col("epoch"))).head()
-        !r.isNullAt(0) && r.getLong(0) == 2L
-      }
+      val ready = spark.catalog.tableExists(s"$db.${name}__cmeta") &&
+        spark.catalog.tableExists(s"$db.${name}__cfix") && {
+          val r = spark.table(s"`$db`.`${name}__cmeta`")
+            .agg(max(col("epoch"))).head()
+          val f = spark.table(s"`$db`.`${name}__cfix`")
+            .agg(max(col("fixture"))).head()
+          !r.isNullAt(0) && r.getLong(0) == 2L &&
+            !f.isNullAt(0) && f.getString(0) == dir
+        }
       if (!ready) {
         CatalogOps.createDatabase(spark, db)
-        Seq("components", "csigs", "cdata", "cmeta").foreach(sfx =>
+        Seq("components", "csigs", "cdata", "cmeta", "cfix").foreach(sfx =>
           KnnOps.dropTableAndDir(spark, db, s"${name}__$sfx"))
         val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
         createComponentStore(spark, db, name, docs.filter(col("doc_id") % 2 === 0))
         refreshComponents(spark, db, name, docs.filter(col("doc_id") % 2 === 1))
+        spark.createDataFrame(Seq(Tuple1(dir))).toDF("fixture")
+          .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cfix`")
       }
     }
   }

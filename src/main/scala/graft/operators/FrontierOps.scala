@@ -440,7 +440,17 @@ object FrontierOps {
     val db = "graft_crawl"
     val name = "kb"
     this.synchronized {
-      if (!spark.catalog.tableExists(s"$db.${name}__maintdone")) {
+      // ready-check carries the fixture dir (ADVICE r14: a bare done
+      // marker survives across sessions on a persistent warehouse and
+      // would serve a stale collection when the fixture dir changes)
+      val ready = spark.catalog.tableExists(s"$db.${name}__maintdone") && {
+        val t = spark.table(s"`$db`.`${name}__maintdone`")
+        t.columns.contains("fixture") && { // pre-r15 markers lack it: rebuild
+          val r = t.agg(max(col("fixture"))).head()
+          !r.isNullAt(0) && r.getString(0) == dir
+        }
+      }
+      if (!ready) {
         CatalogOps.createDatabase(spark, db)
         Seq(name, s"${name}__model", s"${name}__maintdone").foreach(t =>
           KnnOps.dropTableAndDir(spark, db, t))
@@ -453,7 +463,7 @@ object FrontierOps {
           .join(newSnapshot(docs), Seq("doc_id"), "left")
           .select(col("doc_id"), col("change"), col("text"))
         applyCrawlDelta(spark, db, name, withText)
-        spark.createDataFrame(Seq(Tuple1(1L))).toDF("done")
+        spark.createDataFrame(Seq((1L, dir))).toDF("done", "fixture")
           .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__maintdone`")
       }
     }
