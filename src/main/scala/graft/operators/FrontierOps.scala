@@ -130,15 +130,18 @@ object FrontierOps {
     */
   def crawlFrontierRobots(spark: SparkSession, dir: String,
       agent: String = graft.sources.RobotsOps.FixtureAgent,
-      globalCap: Int = 8, cycleSeconds: Double = 10.0): DataFrame = {
+      globalCap: Int = 8, cycleSeconds: Double = 10.0,
+      fetch: String => Option[String] =
+        graft.sources.RobotsOps.fixtureFetch): DataFrame = {
     import graft.sources.RobotsOps
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     // hosts are catalog-scale (the robots store of a crawler is one row
-    // per host); the bodies would arrive through the injected fetcher —
-    // the fixture derives them deterministically from the host name
+    // per host); the bodies arrive through the INJECTED control-plane
+    // fetcher (r15 — one implementation serves fixture and production,
+    // the CrawlOps offline/online split made uniform)
     val hosts = docs.select(col("source")).distinct().as[String].collect().toSeq
-    val robots = RobotsOps.fixtureRobots(hosts)
+    val robots = RobotsOps.robotsByFetch(hosts, fetch)
     val pages = docs.select(col("source").as("host"), col("doc_id"),
       concat(lit("/"), col("lang"), lit("/p"), col("doc_id")).as("path"),
       priorityCol.as("priority"))
@@ -236,6 +239,48 @@ object FrontierOps {
     known.unionByName(disc)
   }
 
+  /** The fixture's sitemap BODY derivation — (index (host, ixml),
+    * children (host, sloc, cxml)): the host's entry set sharded into
+    * sequential url-ordered child sitemaps of `childCap` URLs plus a
+    * per-host index of the child locs, 50k-cap guarded inside the
+    * aggregate. This is the fixture implementation of
+    * [[crawlSitemapIndex]]'s injected fetch surface.
+    */
+  private def fixtureSitemapBodies(spark: SparkSession, dir: String,
+      childCap: Int): (DataFrame, DataFrame) = {
+    require(childCap >= 1 && childCap <= 50000,
+      s"sitemaps.org caps one sitemap at 50k URLs, got childCap=$childCap")
+    val w = Window.partitionBy(col("host")).orderBy(col("url").asc)
+    val chunked = sitemapEntries(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sloc",
+        concat(lit("https://"), col("host"), lit("/sitemap-"),
+          floor((col("rn") - 1) / childCap).cast("long"), lit(".xml")))
+    // child urlset bodies, entries url-sorted inside each child
+    val childXml = chunked
+      .select(col("host"), col("sloc"), col("url"),
+        concat(lit("<url><loc>"), col("url"), lit("</loc><lastmod>"),
+          col("lastmod"), lit("</lastmod></url>")).as("entry"))
+      .groupBy(col("host"), col("sloc"))
+      .agg(concat(lit("<urlset>"),
+        array_join(transform(array_sort(collect_list(struct(col("url"), col("entry")))),
+          x => x.getField("entry")), ""),
+        lit("</urlset>")).as("cxml"))
+    // per-host index body over the sorted child locs, 50k-cap guarded
+    val indexXml = childXml
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("nc"),
+        concat(lit("<sitemapindex>"),
+          array_join(transform(array_sort(collect_list(col("sloc"))),
+            s => concat(lit("<sitemap><loc>"), s, lit("</loc></sitemap>"))), ""),
+          lit("</sitemapindex>")).as("ixml"))
+      .select(col("host"),
+        when(col("nc") <= 50000, col("ixml"))
+          .otherwise(raise_error(concat(lit("sitemap index for host "),
+            col("host"), lit(" exceeds the 50k child cap")))).as("ixml"))
+    (indexXml, childXml)
+  }
+
   /** The corpus freshness view shared by the sitemap classifiers:
     * (curl, last_fetch).
     */
@@ -278,38 +323,17 @@ object FrontierOps {
     * (host, loc)-keyed at child grain — catalog-scale, not corpus-scale.
     */
   def crawlSitemapIndex(spark: SparkSession, dir: String,
-      childCap: Int = 10): DataFrame = {
+      childCap: Int = 10,
+      bodies: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
-    require(childCap >= 1 && childCap <= 50000,
-      s"sitemaps.org caps one sitemap at 50k URLs, got childCap=$childCap")
-    val w = Window.partitionBy(col("host")).orderBy(col("url").asc)
-    val chunked = sitemapEntries(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("sloc",
-        concat(lit("https://"), col("host"), lit("/sitemap-"),
-          floor((col("rn") - 1) / childCap).cast("long"), lit(".xml")))
-    // child urlset bodies, entries url-sorted inside each child
-    val childXml = chunked
-      .select(col("host"), col("sloc"), col("url"),
-        concat(lit("<url><loc>"), col("url"), lit("</loc><lastmod>"),
-          col("lastmod"), lit("</lastmod></url>")).as("entry"))
-      .groupBy(col("host"), col("sloc"))
-      .agg(concat(lit("<urlset>"),
-        array_join(transform(array_sort(collect_list(struct(col("url"), col("entry")))),
-          x => x.getField("entry")), ""),
-        lit("</urlset>")).as("cxml"))
-    // per-host index body over the sorted child locs, 50k-cap guarded
-    val indexXml = childXml
-      .groupBy(col("host"))
-      .agg(count(lit(1)).as("nc"),
-        concat(lit("<sitemapindex>"),
-          array_join(transform(array_sort(collect_list(col("sloc"))),
-            s => concat(lit("<sitemap><loc>"), s, lit("</loc></sitemap>"))), ""),
-          lit("</sitemapindex>")).as("ixml"))
-      .select(col("host"),
-        when(col("nc") <= 50000, col("ixml"))
-          .otherwise(raise_error(concat(lit("sitemap index for host "),
-            col("host"), lit(" exceeds the 50k child cap")))).as("ixml"))
+    // the fetch surface (r15, VERDICT §8): `bodies` is what the fetchers
+    // return — the per-host index XML (host, ixml) and the per-child
+    // urlset XML (host, sloc, cxml). Production fills them through
+    // [[graft.sources.CrawlOps.fetchPages]] (child sitemaps are
+    // corpus-scale at 50k×50k: executor-side fetch); the default derives
+    // the fixture bodies below — ONE injected surface, same plan.
+    val (indexXml, childXml) = bodies.getOrElse(
+      fixtureSitemapBodies(spark, dir, childCap))
     val idxSchema = StructType(Seq(StructField("sitemap", ArrayType(StructType(Seq(
       StructField("loc", StringType)))))))
     val childLocs = indexXml.select(col("host"),
@@ -351,7 +375,9 @@ object FrontierOps {
     */
   def crawlPlan(spark: SparkSession, dir: String,
       agent: String = graft.sources.RobotsOps.FixtureAgent,
-      globalCap: Int = 8, cycleSeconds: Double = 10.0): DataFrame = {
+      globalCap: Int = 8, cycleSeconds: Double = 10.0,
+      fetch: String => Option[String] =
+        graft.sources.RobotsOps.fixtureFetch): DataFrame = {
     import graft.sources.RobotsOps
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -374,7 +400,7 @@ object FrontierOps {
         col("status"),
         regexp_replace(col("url"), "^https://[^/]+", "").as("path"))
     val hosts = docs.select(col("source")).distinct().as[String].collect().toSeq
-    val robots = RobotsOps.fixtureRobots(hosts)
+    val robots = RobotsOps.robotsByFetch(hosts, fetch)
     val admitted = RobotsOps.admitByHostPath(cand, "host", "path", robots, agent)
     val w = Window.partitionBy(col("host"))
       .orderBy(col("priority").desc, col("url").asc)

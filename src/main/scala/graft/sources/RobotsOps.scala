@@ -188,21 +188,46 @@ object RobotsOps {
     * so a group-selection or longest-match bug here diverges from the
     * oracle instead of being copied into it.
     */
-  def fixtureRobots(hosts: Seq[String]): Map[String, String] = hosts.flatMap { h: String =>
-    val digits = h.reverse.takeWhile(_.isDigit).reverse
+  def fixtureRobots(hosts: Seq[String]): Map[String, String] =
+    robotsByFetch(hosts, fixtureFetch)
+
+  /** The robots.txt URL of a host (RFC 9309 §2.3: always at the root). */
+  def robotsUrl(host: String): String = s"https://$host/robots.txt"
+
+  /** Fetch each host's robots body through an INJECTED control-plane
+    * fetcher (r15, VERDICT §8): one URL per host, driver-side — robots
+    * acquisition is catalog-scale control plane, unlike the page fetch
+    * (corpus-scale, executor-side through
+    * [[graft.sources.CrawlOps.fetchPages]]). `None` = no robots body
+    * (404/unreachable), which RFC 9309 §2.3.1.2 treats as allow-all —
+    * the same offline/online split as the page connector: production
+    * injects an HTTP client, the fixture injects [[fixtureFetch]].
+    */
+  def robotsByFetch(hosts: Seq[String],
+      fetch: String => Option[String]): Map[String, String] =
+    hosts.flatMap(h => fetch(robotsUrl(h)).map(h -> _)).toMap
+
+  /** The fixture control-plane fetcher: derives each host's body from
+    * the host name embedded in the URL (class = digits % 4, above) —
+    * exactly what the injected HTTP fetcher would have returned.
+    */
+  def fixtureFetch: String => Option[String] = { url =>
+    val host = url.stripPrefix("https://").stripPrefix("http://")
+      .takeWhile(_ != '/')
+    val digits = host.reverse.takeWhile(_.isDigit).reverse
     val cls: Int = if (digits.isEmpty) 3 else (BigInt(digits) % 4).toInt
     cls match {
-      case 0 => Some(h ->
+      case 0 => Some(
         "User-agent: *\nDisallow: /de/\nDisallow: /zh/\nCrawl-delay: 2\n")
-      case 1 => Some(h ->
+      case 1 => Some(
         "User-agent: *\nDisallow: /*7$\nAllow: /en/\nDisallow: /en\nCrawl-delay: 3\n")
-      case 2 => Some(h ->
-        ("User-agent: googlebot\nDisallow: /\n\n" +
+      case 2 => Some(
+        "User-agent: googlebot\nDisallow: /\n\n" +
           "User-agent: graftbot\nDisallow: /es/\n\n" +
-          "User-agent: *\nDisallow: /\n"))
+          "User-agent: *\nDisallow: /\n")
       case _ => None
     }
-  }.toMap
+  }
 
   /** Admission gate over (host, path) COLUMNS — the form the frontier
     * scheduler composes ([[graft.operators.FrontierOps.crawlFrontierRobots]]):

@@ -4218,6 +4218,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("robots admission honors a NON-fixture body through the injected fetcher") {
+    import graft.sources.RobotsOps
+    // deny-all for src1 (a fixture class-1 host that normally schedules),
+    // no body anywhere else (RFC allow-all)
+    val fetch: String => Option[String] = url =>
+      if (url == "https://src1/robots.txt")
+        Some("User-agent: *\nDisallow: /\n")
+      else None
+    val out = FrontierOps.crawlFrontierRobots(spark, TestSpark.Sf, fetch = fetch)
+      .select(col("host")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(!out.contains("src1"))
+    // and the fixture fetch (the default) DOES schedule src1
+    val base = FrontierOps.crawlFrontierRobots(spark, TestSpark.Sf)
+      .select(col("host")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(base.contains("src1"))
+  }
+
+  test("sitemap index parses NON-fixture bodies through the injected fetch surface") {
+    import spark.implicits._
+    val idx = Seq(("h1",
+      "<sitemapindex><sitemap><loc>https://h1/sitemap-0.xml</loc></sitemap>" +
+        "<sitemap><loc>https://h1/sitemap-1.xml</loc></sitemap></sitemapindex>"))
+      .toDF("host", "ixml")
+    val children = Seq(
+      ("h1", "https://h1/sitemap-0.xml",
+        "<urlset><url><loc>https://h1/a</loc><lastmod>2026-01-10</lastmod></url>" +
+          "<url><loc>https://h1/b</loc><lastmod>2026-01-11</lastmod></url></urlset>"),
+      ("h1", "https://h1/sitemap-1.xml",
+        "<urlset><url><loc>https://h1/c</loc><lastmod>2026-01-12</lastmod></url></urlset>"))
+      .toDF("host", "sloc", "cxml")
+    val out = FrontierOps.crawlSitemapIndex(spark, TestSpark.Sf,
+        bodies = Some((idx, children)))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4)))
+    assert(out.toSeq === Seq(
+      ("https://h1/sitemap-0.xml", "https://h1/a", "2026-01-10", "new"),
+      ("https://h1/sitemap-0.xml", "https://h1/b", "2026-01-11", "new"),
+      ("https://h1/sitemap-1.xml", "https://h1/c", "2026-01-12", "new")))
+  }
+
   test("sitemap index: two-level walk reproduces the flat entry set exactly") {
     val flat = FrontierOps.crawlSitemap(spark, TestSpark.Sf)
       .select("host", "url", "lastmod", "status")
