@@ -186,6 +186,9 @@ object SparkEntry {
     // the MAINTAINED model (create-half + fold-half): integer count folds
     // make the served selection bit-identical → SAME oracle
     "q_select_dsir_stored" -> ((s, d) => MlOps.dsirSelectStored(s, d)),
+    // DSIR targeted by the DERIVED language label (the last consumer
+    // that trusted the fixture lang column as ground truth)
+    "q_select_dsir_langid" -> ((s, d) => MlOps.dsirSelectLangId(s, d)),
     // farthest-first k-center coreset (Gonzalez 1985 / Sener & Savarese
     // 2018): the DIVERSITY selection pass; rows-only — iterative greedy
     // with fp state, pinned against a driver-side reference instead
@@ -552,7 +555,8 @@ object SparkEntry {
     "q_dedup_cc_stored", "q_crawl_maintain", "q_pii_redact",
     "q_crawl_sitemap", "q_crawl_plan", "q_text_normalize", "q_dedup_unicode",
     "q_lang_id", "q_curate_e2e_lang", "q_pii_redact_cc",
-    "q_crawl_sitemap_index", "q_dedup_minhash_unicode")
+    "q_crawl_sitemap_index", "q_dedup_minhash_unicode",
+    "q_select_dsir_langid")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2105,6 +2109,45 @@ object SparkEntry {
         |FROM per p JOIN documents d USING (doc_id)
         |ORDER BY CAST(p.lw_nano AS DOUBLE) / p.n_feat DESC, d.doc_id ASC
         |LIMIT 100""".stripMargin,
+    // the q_select_dsir chain with the DERIVED label marking the target:
+    // lang-id CTEs supply the per-doc prediction, everything downstream
+    // (features, add-1 smoothing, nano-rounded log-ratio dot product,
+    // length-de-biased top-m) is the proven dsir arithmetic verbatim
+    "q_select_dsir_langid" ->
+      s"""WITH $langIdCtes,
+         |toks AS (
+         |  SELECT d.doc_id, p.predicted, string_split(d.text, ' ') AS t
+         |  FROM documents d JOIN lpred p USING (doc_id)),
+         |occ AS (
+         |  SELECT doc_id, predicted, unnest(t) AS f FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, predicted, t[i] || ' ' || t[i + 1] AS f
+         |  FROM (SELECT doc_id, predicted, t, unnest(range(1, len(t))) AS i
+         |        FROM toks WHERE len(t) >= 2)),
+         |pair AS (
+         |  SELECT doc_id, predicted, f, count(*) AS c
+         |  FROM occ GROUP BY doc_id, predicted, f),
+         |model AS (
+         |  SELECT f, sum(CASE WHEN predicted = 'en' THEN c ELSE 0 END) AS ct,
+         |         sum(c) AS cr
+         |  FROM pair GROUP BY f),
+         |ds AS (SELECT sum(ct) AS tt, sum(cr) AS tr, count(*) AS v FROM model),
+         |lnr AS (
+         |  SELECT f, CAST(floor(ln(
+         |      ((ct + 1.0) / CAST(tt + v AS DOUBLE)) /
+         |      ((cr + 1.0) / CAST(tr + v AS DOUBLE))) * 1000000000.0 + 0.5)
+         |    AS BIGINT) AS w
+         |  FROM model CROSS JOIN ds),
+         |per AS (
+         |  SELECT doc_id, sum(c * w) AS lw_nano, sum(c) AS n_feat
+         |  FROM pair JOIN lnr USING (f) GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang, d.source, CAST(p.n_feat AS BIGINT) AS n_feat,
+         |       CAST(p.lw_nano AS BIGINT) AS lw_nano,
+         |       round(CAST(p.lw_nano AS DOUBLE) / 1000000000.0 / p.n_feat, 6)
+         |         AS lw_avg
+         |FROM per p JOIN documents d USING (doc_id)
+         |ORDER BY CAST(p.lw_nano AS DOUBLE) / p.n_feat DESC, d.doc_id ASC
+         |LIMIT 100""".stripMargin,
     // maintained-model form: bit-identical (integer count folds) — SAME oracle
     "q_select_dsir_stored" ->
       """WITH toks AS (

@@ -157,6 +157,21 @@ object LangIdOps {
         col("s_de"), col("s_en"), col("s_es"), col("s_fr"), col("s_zh"))
       .orderBy(col("doc_id").asc)
 
+  /** documents + the DERIVED language label — the frame every
+    * downstream consumer that used to trust the fixture `lang` column
+    * gates on instead: (doc_id, lang, source, text, predicted), built
+    * in ONE scan (the rendered surface is internal; the classifier sees
+    * only text). `lang` stays for accuracy pins and output metadata.
+    */
+  def documentsWithDerivedLang(spark: SparkSession, dir: String): DataFrame =
+    withLangScores(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          renderedCol(col("lang"), col("text")).as("rtext")),
+      textCol = "rtext")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        col("predicted"))
+
   /** `q_curate_e2e_lang`: the CCNet chain with language identification as
     * its first gate — the composition CCNet actually publishes (lang-id →
     * per-language corpus → quality gates). Documents whose DERIVED label
@@ -171,11 +186,7 @@ object LangIdOps {
     // one scan carries BOTH surfaces: the rendered text the classifier
     // sees and the original text the quality gates consume — the lang
     // gate is a map-side filter, never a self-join of the corpus
-    val kept = withLangScores(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text"),
-          renderedCol(col("lang"), col("text")).as("rtext")),
-      textCol = "rtext")
+    val kept = documentsWithDerivedLang(spark, dir)
       .filter(col("predicted") === lit(targetLang))
       .select(col("doc_id"), col("text"))
     TextAnalysisOps.curateCcnetOn(kept)

@@ -198,6 +198,20 @@ object MlOps {
         .select(col("doc_id"), col("lang"), col("source"), col("text")),
       col("lang") === lit(targetLang), m)
 
+  /** `q_select_dsir_langid`: DSIR whose target corpus is marked by the
+    * DERIVED language label (r15 — the last consumer that trusted the
+    * fixture `lang` column as ground truth; CCNet-class pipelines derive
+    * it, [[graft.operators.LangIdOps]]). The target set is "documents
+    * the trigram classifier calls `targetLang` from surface text alone";
+    * features and weighting are unchanged, so the oracle is the
+    * q_select_dsir chain with the lang-id CTEs supplying the marker.
+    */
+  def dsirSelectLangId(spark: SparkSession, dir: String,
+      targetLang: String = "en", m: Int = 100): DataFrame =
+    dsirSelectOn(
+      graft.operators.LangIdOps.documentsWithDerivedLang(spark, dir),
+      col("predicted") === lit(targetLang), m)
+
   /** `docs` must carry (doc_id, lang, source, text); `isTarget` marks the
     * target-corpus rows (they stay in the scored pool — DSIR weights are
     * relative, and the target's own documents ranking high is the
