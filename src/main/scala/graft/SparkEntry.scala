@@ -818,6 +818,44 @@ object SparkEntry {
        |WHERE b.bucket <> 'tail'
        |ORDER BY k.doc_id ASC""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.LinkOps.labelPropagation]] (r15 —
+    * flips q_link_communities from rows-only to fully oracled): the same
+    * synthetic undirected edge set, the synchronous vote-argmax round
+    * unrolled 5× as chained CTEs. EVERY quantity is an integer (labels
+    * are node ids, votes are counts) and the argmax tie-break is (count
+    * DESC, label ASC) on both sides, so the trajectories are exact.
+    * The engine's zero-change early stop is bit-identical to running
+    * the full budget (synchronous LPA is idempotent at a fixed point —
+    * the property LpaProperties pins), so the oracle always runs all 5
+    * rounds.
+    */
+  private def lpaOracleSql(iters: Int = 5): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"l${i - 1}"
+      s"""v$i AS (
+         |  SELECT adj.v, l.label AS nl, count(*) AS c
+         |  FROM adj JOIN $prev l ON adj.nb = l.v GROUP BY adj.v, l.label),
+         |l$i AS (
+         |  SELECT v, nl AS label FROM (
+         |    SELECT v, nl, row_number() OVER (
+         |      PARTITION BY v ORDER BY c DESC, nl ASC) AS rn FROM v$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
+       |e AS (
+       |  SELECT d.doc_id AS src,
+       |         (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n AS dst
+       |  FROM documents d CROSS JOIN n CROSS JOIN ks
+       |  WHERE (d.doc_id * ${graft.operators.LinkOps.EdgeMult} + ks.k * ${graft.operators.LinkOps.EdgeStride}) % n.n <> d.doc_id),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+       |adj AS (SELECT a AS v, b AS nb FROM und UNION ALL SELECT b, a FROM und),
+       |l0 AS (SELECT DISTINCT v, v AS label FROM adj),
+       |$rounds
+       |SELECT v AS doc_id, label AS community
+       |FROM l$iters ORDER BY doc_id ASC""".stripMargin
+  }
+
   private def rankEvalOracleSql: String = {
       // ONE weight definition for both engines: the integer micro-unit DCG
       // discounts come from EvalOps and are injected as list literals, so
@@ -1369,6 +1407,10 @@ object SparkEntry {
          |       CAST(min(depth) AS INT) AS depth
          |FROM bfs GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
     "q_link_pagerank" -> pageRankOracleSql,
+    // synchronous LPA unrolled 5 rounds — all-integer trajectory, exact;
+    // early-stop ≡ full budget by idempotence (law-pinned), so the
+    // engine's convergence stop faces the full-budget oracle
+    "q_link_communities" -> lpaOracleSql(),
     "q_link_hits" -> hitsOracleSql,
     "q_link_pagerank_stored" -> pageRankOracleSql,
     "q_link_anchors" ->
