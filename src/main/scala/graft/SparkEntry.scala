@@ -233,6 +233,12 @@ object SparkEntry {
     // literal char-trigram log-odds profile over the rendered-surface
     // fixture — one map-side codegen expression, zero corpus exchanges
     "q_lang_id"         -> ((s, d) => LangIdOps.langIdFixture(s, d)),
+    // the per-language accuracy surface (lang x predicted counts)
+    "q_lang_confusion"  -> ((s, d) => LangIdOps.langConfusion(s, d)),
+    // Gopher's repetition GATES (Rae et al. A1.1): duplicated-line
+    // chars + char-weighted top-2-gram, 20% integer-ratio thresholds
+    // (q_text_repetition is the count-based top-bigram SIGNAL)
+    "q_gopher_repetition" -> ((s, d) => TextAnalysisOps.gopherRepetition(s, d)),
     // the composed chain: derived lang gate -> per-language CCNet battery
     "q_curate_e2e_lang" -> ((s, d) => LangIdOps.curateE2eLang(s, d)),
     // JL Rademacher projection from a shared integer-lattice matrix —
@@ -556,7 +562,7 @@ object SparkEntry {
     "q_crawl_sitemap", "q_crawl_plan", "q_text_normalize", "q_dedup_unicode",
     "q_lang_id", "q_curate_e2e_lang", "q_pii_redact_cc",
     "q_crawl_sitemap_index", "q_dedup_minhash_unicode",
-    "q_select_dsir_langid")
+    "q_select_dsir_langid", "q_lang_confusion", "q_gopher_repetition")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2071,6 +2077,52 @@ object SparkEntry {
          |  s_de, s_en, s_es, s_fr, s_zh
          |FROM lpred
          |ORDER BY doc_id ASC""".stripMargin,
+    // the confusion matrix of the derived label vs the fixture label
+    "q_lang_confusion" ->
+      s"""WITH $langIdCtes
+         |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM lpred GROUP BY lang, predicted
+         |ORDER BY lang ASC, predicted ASC""".stripMargin,
+    // Gopher repetition battery: planted line structure, integer char
+    // counts, 20% cross-multiplied gates — all closed-form
+    "q_gopher_repetition" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 6 = 0
+        |              THEN chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40)
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 8 = 0 AND doc_id % 6 <> 0
+        |              THEN chr(10) || substr(text, 1, 40) ELSE '' END AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, t,
+        |         CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        |         CAST(list_sum(list_transform(string_split(t, chr(10)),
+        |           l -> length(l))) AS BIGINT) AS line_chars,
+        |         CAST(list_sum(list_transform(string_split(t, chr(10)),
+        |           l -> length(l))) AS BIGINT)
+        |           - CAST(list_sum(list_transform(list_distinct(string_split(t, chr(10))),
+        |               l -> length(l))) AS BIGINT) AS dup_line_chars
+        |  FROM c),
+        |bg AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS b
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM (SELECT doc_id, string_split_regex(t, '[ \n]') AS w FROM c)
+        |        WHERE len(w) >= 2)),
+        |t2 AS (
+        |  SELECT doc_id, max(cnt * length(b)) AS top2_chars
+        |  FROM (SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY doc_id, b)
+        |  GROUP BY doc_id)
+        |SELECT m.doc_id, m.n_lines, m.line_chars, m.dup_line_chars,
+        |       CAST(coalesce(t2.top2_chars, 0) AS BIGINT) AS top2_chars,
+        |       CAST(CASE WHEN 5 * m.dup_line_chars <= m.line_chars THEN 1 ELSE 0 END AS BIGINT) AS r_dup_line,
+        |       CAST(CASE WHEN 5 * coalesce(t2.top2_chars, 0) <= m.line_chars THEN 1 ELSE 0 END AS BIGINT) AS r_top2,
+        |       CAST(CASE WHEN 5 * m.dup_line_chars <= m.line_chars
+        |                  AND 5 * coalesce(t2.top2_chars, 0) <= m.line_chars
+        |             THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m LEFT JOIN t2 USING (doc_id)
+        |ORDER BY m.doc_id ASC""".stripMargin,
     // lang-id as the chain's FIRST gate: the CCNet battery (gates AND
     // perplexity fences) computed over the derived-en subset only
     "q_curate_e2e_lang" ->

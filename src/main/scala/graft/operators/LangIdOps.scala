@@ -157,6 +157,18 @@ object LangIdOps {
         col("s_de"), col("s_en"), col("s_es"), col("s_fr"), col("s_zh"))
       .orderBy(col("doc_id").asc)
 
+  /** `q_lang_confusion`: the classifier's confusion matrix against the
+    * fixture label — (lang, predicted, n_docs): the accuracy surface a
+    * curation operator publishes with its language gate (CCNet reports
+    * exactly this per-language quality table). One map-side scoring
+    * pass + one tiny (≤ langs²-row) aggregation.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    withLangScores(renderedDocuments(spark, dir))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang").asc, col("predicted").asc)
+
   /** documents + the DERIVED language label — the frame every
     * downstream consumer that used to trust the fixture `lang` column
     * gates on instead: (doc_id, lang, source, text, predicted), built

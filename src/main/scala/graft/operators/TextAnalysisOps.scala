@@ -229,6 +229,77 @@ object TextAnalysisOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** The Gopher REPETITION battery (`q_gopher_repetition`; Rae et al.
+    * 2021, Appendix A1.1's other half — [[gopherRules]] implements the
+    * structural rules, this implements the repetition signals every
+    * production pipeline pairs them with; [[repetitionSignals]] is the
+    * count-based top-bigram SIGNAL — this is the char-weighted GATE
+    * battery): the fraction of characters
+    * in DUPLICATED lines and the fraction of characters covered by the
+    * single most frequent word 2-gram, each gated at the published 20%
+    * threshold via integer cross-multiplication (5·dup ≤ total) — no
+    * division, boundary-exact in both engines.
+    *
+    * The fixture corpus is single-line word soup, so the query PLANTS
+    * line structure deterministically (the PII discipline): doc_id % 6
+    * appends one 40-char line TWICE (a duplicated line — boilerplate),
+    * doc_id % 8 (and not % 6) appends it once (an extra but unique
+    * line). Both engines rebuild the same corpus from the same
+    * arithmetic, so the gate has real positives and negatives.
+    *
+    * Scale: one map-side projection — the line metrics are HOF folds
+    * over the split, the top-2-gram metric is a bounded per-row
+    * distinct×occurrence fold (quadratic in the DOCUMENT's bigram
+    * count, never in the corpus). Zero shuffles before the sort.
+    */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 6 === 0,
+          concat(lit("\n"), substring(col("text"), 1, 40),
+            lit("\n"), substring(col("text"), 1, 40))).otherwise(lit("")),
+        when(col("doc_id") % 8 === 0 && col("doc_id") % 6 =!= 0,
+          concat(lit("\n"), substring(col("text"), 1, 40))).otherwise(lit("")))
+        .as("text"))
+    gopherRepetitionOn(planted)
+  }
+
+  /** Parametric core: (doc_id, text) in; line/2-gram repetition metrics
+    * + keep flags out. All counts are integers; fractions never
+    * materialize (the flags cross-multiply).
+    */
+  private[graft] def gopherRepetitionOn(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val lineChars = aggregate(
+      transform(lines, l => length(l).cast("long")), lit(0L), (a, x) => a + x)
+    val distinctChars = aggregate(
+      transform(array_distinct(lines), l => length(l).cast("long")),
+      lit(0L), (a, x) => a + x)
+    // tokens across line breaks: split on space OR newline so a planted
+    // line boundary never glues two words into a phantom token
+    val w = split(col("text"), "[ \n]")
+    val bg = transform(sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+    val top2 = when(size(w) >= 2,
+      aggregate(array_distinct(bg), lit(0L), (acc, b) =>
+        greatest(acc,
+          size(filter(bg, x => x === b)).cast("long") * length(b))))
+      .otherwise(lit(0L))
+    docs
+      .select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        lineChars.as("line_chars"),
+        (lineChars - distinctChars).as("dup_line_chars"),
+        top2.as("top2_chars"))
+      .select(col("*"),
+        (lit(5L) * col("dup_line_chars") <= col("line_chars"))
+          .cast("long").as("r_dup_line"),
+        (lit(5L) * col("top2_chars") <= col("line_chars"))
+          .cast("long").as("r_top2"))
+      .withColumn("keep", (col("r_dup_line") * col("r_top2")).cast("long"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** The CCNet curation chain (`q_curate_ccnet`; Wenzek et al. 2020) —
     * the published two-gate composition: the Gopher rule battery keeps
     * structurally sound documents, the LM perplexity split keeps the
