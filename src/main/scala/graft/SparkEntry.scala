@@ -241,6 +241,8 @@ object SparkEntry {
     "q_gopher_repetition" -> ((s, d) => TextAnalysisOps.gopherRepetition(s, d)),
     // the composed chain: derived lang gate -> per-language CCNet battery
     "q_curate_e2e_lang" -> ((s, d) => LangIdOps.curateE2eLang(s, d)),
+    // the FULL CCNet: every language through its own LM + fences, union'd
+    "q_curate_multilang" -> ((s, d) => LangIdOps.curateMultilang(s, d)),
     // JL Rademacher projection from a shared integer-lattice matrix —
     // map-side, matrix never materialized, one rounding site
     "q_vec_project"     -> ((s, d) => KnnOps.vecProject(s, d)),
@@ -562,7 +564,8 @@ object SparkEntry {
     "q_crawl_sitemap", "q_crawl_plan", "q_text_normalize", "q_dedup_unicode",
     "q_lang_id", "q_curate_e2e_lang", "q_pii_redact_cc",
     "q_crawl_sitemap_index", "q_dedup_minhash_unicode",
-    "q_select_dsir_langid", "q_lang_confusion", "q_gopher_repetition")
+    "q_select_dsir_langid", "q_lang_confusion", "q_gopher_repetition",
+    "q_curate_multilang")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -755,11 +758,19 @@ object SparkEntry {
     * whole-corpus entry on ONE SQL body.
     */
   private def curateCcnetSql(rel: String): String =
-    s"""base AS (
+    "WITH " + curateCcnetCtes(rel, "") + "\n" + curateCcnetSelect("") +
+      "\nORDER BY doc_id ASC"
+
+  /** The CCNet chain's CTE list with every CTE name suffixed by `x`, so
+    * several languages' chains (q_curate_multilang) can coexist in one
+    * WITH; [[curateCcnetSelect]] is the matching final projection.
+    */
+  private def curateCcnetCtes(rel: String, x: String): String =
+    s"""base$x AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS t,
        |         string_split(text, chr(10)) AS ls
        |  FROM $rel),
-       |c AS (
+       |c$x AS (
        |  SELECT doc_id,
        |    CAST(len(t) AS BIGINT) AS n_words,
        |    CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT) AS n_chars,
@@ -776,9 +787,9 @@ object SparkEntry {
        |    CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
        |      s -> list_contains(list_transform(t, w -> lower(w)), s))) AS BIGINT)
        |      AS n_stopwords
-       |  FROM base),
-       |kept AS (
-       |  SELECT doc_id, n_words FROM c
+       |  FROM base$x),
+       |kept$x AS (
+       |  SELECT doc_id, n_words FROM c$x
        |  WHERE n_words >= 20 AND n_words <= 100000
        |    AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
        |    AND 10 * n_symbols <= n_words
@@ -786,43 +797,44 @@ object SparkEntry {
        |    AND 10 * n_ell_end <= 3 * n_lines
        |    AND 5 * n_alpha_words >= 4 * n_words
        |    AND n_stopwords >= 1),
-       |big AS (
+       |big$x AS (
        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-       |        FROM base WHERE len(t) >= 2)),
-       |lc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
-       |bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
-       |per AS (
-       |  SELECT b.doc_id, CAST(bc.c2 AS DOUBLE) / lc.c1 AS p
-       |  FROM big b JOIN bc USING (w1, w2) JOIN lc USING (w1)),
-       |agg AS (
+       |        FROM base$x WHERE len(t) >= 2)),
+       |lc$x AS (SELECT w1, count(*) AS c1 FROM big$x GROUP BY w1),
+       |bc$x AS (SELECT w1, w2, count(*) AS c2 FROM big$x GROUP BY w1, w2),
+       |per$x AS (
+       |  SELECT b.doc_id, CAST(bc$x.c2 AS DOUBLE) / lc$x.c1 AS p
+       |  FROM big$x b JOIN bc$x USING (w1, w2) JOIN lc$x USING (w1)),
+       |agg$x AS (
        |  SELECT doc_id,
        |         floor(CAST(sum(CAST(floor(p * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
        |               / count(*) + 0.5) / 1000000.0 AS avg_cond_p
-       |  FROM per GROUP BY doc_id),
-       |scored AS (
+       |  FROM per$x GROUP BY doc_id),
+       |scored$x AS (
        |  SELECT d.doc_id, CAST(coalesce(a.avg_cond_p, 0.0) AS DOUBLE) AS avg_cond_p
-       |  FROM $rel d LEFT JOIN agg a USING (doc_id)),
-       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
-       |ranked AS (
+       |  FROM $rel d LEFT JOIN agg$x a USING (doc_id)),
+       |stats$x AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored$x),
+       |ranked$x AS (
        |  SELECT avg_cond_p,
-       |         row_number() OVER (ORDER BY avg_cond_p) - 1 AS r FROM scored),
-       |f AS (
+       |         row_number() OVER (ORDER BY avg_cond_p) - 1 AS r FROM scored$x),
+       |f$x AS (
        |  SELECT max(CASE WHEN r = CAST(floor((1.0 / 3.0) * (n - 1)) AS BIGINT)
        |               THEN avg_cond_p END) AS f1,
        |         max(CASE WHEN r = CAST(floor((2.0 / 3.0) * (n - 1)) AS BIGINT)
        |               THEN avg_cond_p END) AS f2
-       |  FROM ranked CROSS JOIN stats),
-       |bucketed AS (
+       |  FROM ranked$x CROSS JOIN stats$x),
+       |bucketed$x AS (
        |  SELECT s.doc_id, s.avg_cond_p,
        |         CASE WHEN s.avg_cond_p <= f.f1 THEN 'tail'
        |              WHEN s.avg_cond_p <= f.f2 THEN 'middle'
        |              ELSE 'head' END AS bucket
-       |  FROM scored s CROSS JOIN f)
-       |SELECT k.doc_id, k.n_words, b.avg_cond_p, b.bucket
-       |FROM kept k JOIN bucketed b USING (doc_id)
-       |WHERE b.bucket <> 'tail'
-       |ORDER BY k.doc_id ASC""".stripMargin
+       |  FROM scored$x s CROSS JOIN f$x f)""".stripMargin
+
+  private def curateCcnetSelect(x: String): String =
+    s"""SELECT k.doc_id, k.n_words, b.avg_cond_p, b.bucket
+       |FROM kept$x k JOIN bucketed$x b USING (doc_id)
+       |WHERE b.bucket <> 'tail'""".stripMargin
 
   /** DuckDB twin of [[graft.operators.LinkOps.labelPropagation]] (r15 —
     * flips q_link_communities from rows-only to fully oracled): the same
@@ -2067,7 +2079,7 @@ object SparkEntry {
         |FROM e CROSS JOIN ks
         |ORDER BY vec_id ASC, k ASC""".stripMargin,
     // the two gates' CTEs composed verbatim (thresholds 20/100000/1)
-    "q_curate_ccnet" -> ("WITH " + curateCcnetSql("documents")),
+    "q_curate_ccnet" -> curateCcnetSql("documents"),
     // char-trigram profile lang-id over the rendered-surface corpus —
     // same literal model VALUES the Spark expression carries
     "q_lang_id" ->
@@ -2131,7 +2143,8 @@ object SparkEntry {
           |  SELECT d.doc_id, d.text
           |  FROM documents d JOIN lpred p USING (doc_id)
           |  WHERE p.predicted = 'en'),
-          |""".stripMargin + curateCcnetSql("endocs")),
+          |""".stripMargin + curateCcnetCtes("endocs", "") + "\n" +
+        curateCcnetSelect("") + "\nORDER BY doc_id ASC"),
     // same LM CTEs as q_lm_bigram; fences = exact order statistics at
     // ranks floor(p*(n-1)) — value-at-rank is tie-permutation invariant
     "q_ppl_buckets" ->
@@ -2242,6 +2255,24 @@ object SparkEntry {
          |FROM per p JOIN documents d USING (doc_id)
          |ORDER BY CAST(p.lw_nano AS DOUBLE) / p.n_feat DESC, d.doc_id ASC
          |LIMIT 100""".stripMargin,
+    // the full per-language CCNet: one suffixed copy of the proven chain
+    // per language over its derived-label shard, union'd with the tag
+    "q_curate_multilang" -> {
+      val ctes = LangIdOps.langs.map { l =>
+        s"""end_$l AS (
+           |  SELECT d.doc_id, d.text
+           |  FROM documents d JOIN lpred p USING (doc_id)
+           |  WHERE p.predicted = '$l'),
+           |${curateCcnetCtes(s"end_$l", s"_$l")}""".stripMargin
+      }.mkString(",\n")
+      val branches = LangIdOps.langs.map { l =>
+        s"SELECT '$l' AS lang, q.* FROM (\n${curateCcnetSelect(s"_$l")}) q"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $langIdCtes,
+         |$ctes
+         |$branches
+         |ORDER BY lang ASC, doc_id ASC""".stripMargin
+    },
     // maintained-model form: bit-identical (integer count folds) — SAME oracle
     "q_select_dsir_stored" ->
       """WITH toks AS (
