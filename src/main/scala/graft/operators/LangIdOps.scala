@@ -169,6 +169,23 @@ object LangIdOps {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang").asc, col("predicted").asc)
 
+  /** Append the derived label to ANY frame carrying (lang, text) — the
+    * shared batch/stream gate surface ([[documentsWithDerivedLang]],
+    * [[graft.streaming.StreamingOps.streamingCurateLang]]). Rendering is
+    * LENIENT here (out-of-vocabulary tokens pass through unrendered —
+    * real streams are not vocabulary-frozen; on the fixture corpus every
+    * token is in-dictionary, so this equals the strict form exactly).
+    */
+  def withDerivedLangOn(docs: DataFrame): DataFrame = {
+    val lenient = array_join(
+      transform(split(col("text"), " "),
+        t => coalesce(
+          try_element_at(renderMap, concat(col("lang"), lit("|"), t)), t)),
+      " ")
+    withLangScores(docs.withColumn("__rtext", lenient), textCol = "__rtext")
+      .drop("__rtext")
+  }
+
   /** documents + the DERIVED language label — the frame every
     * downstream consumer that used to trust the fixture `lang` column
     * gates on instead: (doc_id, lang, source, text, predicted), built
@@ -176,11 +193,8 @@ object LangIdOps {
     * only text). `lang` stays for accuracy pins and output metadata.
     */
   def documentsWithDerivedLang(spark: SparkSession, dir: String): DataFrame =
-    withLangScores(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), col("source"), col("text"),
-          renderedCol(col("lang"), col("text")).as("rtext")),
-      textCol = "rtext")
+    withDerivedLangOn(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text")))
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         col("predicted"))
 

@@ -888,6 +888,43 @@ object StreamingOps {
     q
   }
 
+  /** [[streamingCurate]] with LANGUAGE IDENTIFICATION as the first gate
+    * (r15 — the streaming twin of `q_curate_e2e_lang`'s composition):
+    * each micro-batch derives every document's label from surface text
+    * ([[graft.operators.LangIdOps.withDerivedLangOn]] — lenient
+    * rendering, a stream is not vocabulary-frozen), drops non-target
+    * languages BEFORE the token-floor/mix gates, then decontaminates
+    * and folds survivors into the maintained near-dup store exactly as
+    * the plain composite does. The language gate is STATELESS (a
+    * map-side projection), so replay safety and the crash-window
+    * contract are inherited unchanged from [[streamingCurate]]'s
+    * batch-id-idempotent fold.
+    */
+  def streamingCurateLang(docStream: DataFrame, evalDocs: DataFrame,
+      db: String, name: String, targetLang: String = "en",
+      minTokens: Int = 20, tau: Double = 0.9, n: Int = 4): StreamingQuery = {
+    import graft.operators.{DedupOps, LangIdOps, TextAnalysisOps}
+    import org.apache.spark.sql.functions.col
+    val evalNg = TextAnalysisOps.ngramSet(evalDocs, n).cache()
+    val q = docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val langGated = LangIdOps.withDerivedLangOn(batch.toDF())
+            .filter(col("predicted") === targetLang)
+            .select(col("doc_id"), col("source"), col("text"))
+          val gated = TextAnalysisOps.curateGates(langGated, minTokens)
+          val clean = TextAnalysisOps.decontaminateBatch(gated, evalNg, n)
+          DedupOps.dedupIncrementalBatch(
+            clean.select(col("doc_id"), col("text")),
+            db, name, tau, batchId = Some(batchId))
+        }
+      }
+      .start()
+    releaseOnTermination(docStream.sparkSession, q, () => { evalNg.unpersist(); () })
+    q
+  }
+
   /** Custom keyed state with `flatMapGroupsWithState`: per-user session
     * accumulation with explicit timeout — the chat-session analog (carry
     * history while active, emit + reset on gap, ref `main_server.py:69-84`).

@@ -744,6 +744,45 @@ class StreamingSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "rpackdb")
   }
 
+  test("streaming curation with the language gate: non-target languages drop before the gates") {
+    import graft.sources.CatalogOps
+    implicit val ctx = spark.sqlContext
+    CatalogOps.dropDatabase(spark, "slangdb")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/slangdb.db"))
+    CatalogOps.createDatabase(spark, "slangdb")
+    def uniq(tag: String, k: Int) = (0 until k).map(i => s"$tag$i").mkString(" ")
+    // ENGLISH-scoring marker words (en trigram profile hits) + neutral
+    // unique filler (letter+digit tokens hit no language's profile)
+    def enText(tag: String) = "window batch hash row merge " + uniq(tag, 20)
+    // FRENCH-rendered dictionary words: the classifier must call it fr
+    // and the gate must drop it BEFORE any quality gate sees it
+    val frText = "donnees rapide requete fusion etincelle " + uniq("f", 20)
+    val evalDocs = Seq((900L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = StreamingOps.streamingCurateLang(
+      in.toDS.toDF("doc_id", "source", "lang", "text"),
+      evalDocs, "slangdb", "corpus")
+    try {
+      in.addData(
+        (1L, "src3", "en", enText("a")),  // en, survives everything
+        (2L, "src3", "fr", frText),       // classified fr → language gate
+        (3L, "src3", "en", uniq("b", 25))) // all-neutral text: argmax falls
+                                           // to 'de' (tie-break) → dropped
+      q.processAllAvailable()
+      in.addData(
+        (10L, "src3", "en", enText("a")), // near-dup of stored 1 → dropped
+        (11L, "src3", "en", enText("e"))) // fresh en → kept
+      q.processAllAvailable()
+      val kept = spark.table("`slangdb`.`corpus`").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 11L))
+    } finally {
+      q.stop()
+      CatalogOps.dropDatabase(spark, "slangdb")
+    }
+  }
+
   test("streaming curation chain: gates, decontamination, and dedup compose per micro-batch") {
     import graft.sources.CatalogOps
     implicit val ctx = spark.sqlContext
