@@ -648,9 +648,14 @@ object DedupOps {
     containmentPairsOn(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")), tau)
 
-  private[graft] def containmentPairsOn(docs: DataFrame, tau: Double): DataFrame = {
+  private[graft] def containmentPairsOn(docs0: DataFrame, tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau out of range: $tau")
-    val w = split(nfc(col("text")), " ")
+    // normalize ONCE as a projected column: `w` is referenced at several
+    // HOF sites below, and HOF lambdas don't get codegen subexpression
+    // elimination — an inlined nfc(split(...)) would re-scan the string
+    // per element_at (measured ~1.2x on q_dedup_containment)
+    val docs = docs0.select(col("doc_id"), nfc(col("text")).as("text"))
+    val w = split(col("text"), " ")
     // derived frame (not the raw fixture plan — see the cache gotcha):
     // read by the token explode, the df counter, and both verify join-backs
     val sh = docs

@@ -295,9 +295,14 @@ object LangIdOps {
     // one scan carries BOTH surfaces: the rendered text the classifier
     // sees and the original text the quality gates consume — the lang
     // gate is a map-side filter, never a self-join of the corpus
+    // materialize the gated subset once: curateCcnetOn reads its input
+    // TWICE (rule battery + LM pass), and re-deriving the render+score
+    // projection per consumer doubles the scan cost (measured 4.4 s vs
+    // 3.0 s at sf0.1)
     val kept = documentsWithDerivedLang(spark, dir)
       .filter(col("predicted") === lit(targetLang))
       .select(col("doc_id"), col("text"))
+      .localCheckpoint(false)
     TextAnalysisOps.curateCcnetOn(kept)
   }
 }
