@@ -4205,6 +4205,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4) === ((5L, "short 411111111111111 and long 41111111111111111 z", 0L, 0L)))
   }
 
+  test("gopher repetition gates: duplicated lines and dominant bigrams flag, clean text keeps") {
+    import spark.implicits._
+    val rows = Seq(
+      // 3 identical 11-char lines: line_chars 33, distinct 11, dup 22 →
+      // 5·22 > 33 fails dup gate; "aa bb" covers 3×5=15 chars → 5·15 > 33
+      (1L, "aa bb cc dd\naa bb cc dd\naa bb cc dd"),
+      // dominant bigram, single line: "x y" ×4 × 3 chars = 12 of 15
+      (2L, "x y x y x y x y"),
+      // long all-distinct text: top bigram covers 7 of ~110 chars → keeps
+      (3L, (1 to 30).map(i => s"w$i").mkString(" ")))
+    val out = TextAnalysisOps.gopherRepetitionOn(rows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // (doc_id, n_lines, line_chars, dup_line_chars, top2_chars, r_dup, r_top2, keep)
+    assert(out(0) === ((1L, 3L, 33L, 22L, 15L, 0L, 0L, 0L)))
+    assert(out(1) === ((2L, 1L, 15L, 0L, 12L, 1L, 0L, 0L)))
+    val d3 = out(2)
+    assert(d3._2 === 1L && d3._4 === 0L && d3._6 === 1L && d3._7 === 1L
+      && d3._8 === 1L)
+  }
+
   test("minhash NFC-first shingles: decomposed twin collapses onto its precomposed sibling") {
     val out = DedupOps.minHashLshUnicode(spark, TestSpark.Sf)
       .select(col("doc_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
