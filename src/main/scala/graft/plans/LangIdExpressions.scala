@@ -107,6 +107,14 @@ object TrigramLang {
   * CASE — ZERO exchanges over the corpus, the shape a 100 TB first-gate
   * must have (CCNet runs lang-id before anything else precisely because
   * it's a scan-bound map).
+  *
+  * Measured against the equivalent HOF formulation (per-token
+  * `transform(sequence)` windows + `try_element_at` map probes per
+  * language — `graft.LangIdScale`, 200k × 60-token docs, checksums
+  * asserted equal): fused 0.5–0.9 s vs HOF 9.4–9.7 s — ~20×. The HOF
+  * form pays interpreted higher-order machinery, a substring allocation
+  * per window, and 5 separate per-language passes; this is one byte scan
+  * with an open-addressed int probe scoring all languages at once.
   */
 case class TrigramLangScore(child: Expression, langs: Seq[String],
     entries: Seq[(String, String, Long)]) extends UnaryExpression {
