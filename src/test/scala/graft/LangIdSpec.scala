@@ -37,7 +37,12 @@ class LangIdSpec extends AnyFunSuite {
       "tabla consulta grupo", "biaoge chaxun fenzu shuju",
       "window batch hash row", "streuwert schluessel aggregat",
       "a  b", // empty token from a double space: zero grams, like split -1
-      "xyzzy plugh nothingmatches")
+      "xyzzy plugh nothingmatches",
+      // non-ASCII: byte windows (fused) and char windows (reference)
+      // differ in position but CANNOT differ in matches — every profile
+      // gram is ASCII and UTF-8 continuation bytes are >= 0x80, so any
+      // window overlapping a multibyte char misses in both forms
+      "héllo wörld straße")
     val got = texts.toDF("text")
       .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
         graft.plans.TrigramLangScore(
