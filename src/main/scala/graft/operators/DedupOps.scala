@@ -1497,7 +1497,8 @@ object DedupOps {
     * a delete + re-add lifecycle, like every index store here).
     */
   def refreshComponents(spark: SparkSession, db: String, name: String,
-      newDocs0: DataFrame, tau: Double = 0.95): Unit = {
+      newDocs0: DataFrame, tau: Double = 0.95,
+      maxBucket: Int = LshGuard.DefaultMaxBucket): Unit = {
     val newDocs = newDocs0.select(col("doc_id"), col("text"))
     val (epoch0, hits0) = compMeta(spark, db, name, tau) // refuses a tau mismatch
     val comps = spark.table(compTable(db, name))
@@ -1526,7 +1527,7 @@ object DedupOps {
       .unionByName(bandRows(sig).select(col("band"), col("bkey")))
       .groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") > LshGuard.DefaultMaxBucket)
+      .filter(col("__bsz") > maxBucket)
       .select(col("band"), col("bkey"))
       .localCheckpoint(false)
     val guardHits = hot.count()

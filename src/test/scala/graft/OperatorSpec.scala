@@ -4205,6 +4205,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4) === ((5L, "short 411111111111111 and long 41111111111111111 z", 0L, 0L)))
   }
 
+  test("component-store fold records guard hits when the combined view crosses the cap") {
+    import graft.sources.CatalogOps
+    import spark.implicits._
+    val db = "guarddb"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    def toks(from: Int, until: Int) = (from until until).map(i => s"g$i").mkString(" ")
+    // near-identical docs share every band key, so the combined
+    // store+batch view concentrates into hot buckets a cap of 1 drops
+    DedupOps.createComponentStore(spark, db, "t",
+      Seq((1L, toks(1, 41)), (2L, toks(2, 42))).toDF("doc_id", "text"))
+    DedupOps.refreshComponents(spark, db, "t",
+      Seq((3L, toks(3, 43))).toDF("doc_id", "text"), maxBucket = 1)
+    val m = spark.table(s"`$db`.`t__cmeta`")
+      .agg(max(col("epoch")), max(col("guard_hits"))).head()
+    assert(m.getLong(0) === 2L)
+    // the fold actually dropped candidate rows — and said so
+    assert(m.getLong(1) > 0L)
+    // a normal-cap fold on a fresh store records zero
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    DedupOps.createComponentStore(spark, db, "u",
+      Seq((1L, toks(1, 41))).toDF("doc_id", "text"))
+    DedupOps.refreshComponents(spark, db, "u",
+      Seq((9L, (1 to 12).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text"))
+    val m2 = spark.table(s"`$db`.`u__cmeta`")
+      .agg(max(col("guard_hits"))).head()
+    assert(m2.getLong(0) === 0L)
+    CatalogOps.dropDatabase(spark, db)
+  }
+
   test("gopher repetition gates: duplicated lines and dominant bigrams flag, clean text keeps") {
     import spark.implicits._
     val rows = Seq(
