@@ -148,6 +148,9 @@ object SparkEntry {
     // one identity across url-dup AND exact-text-dup edges (closure of
     // the union — a mirror of a re-crawl needs both signals)
     "q_dedup_multi"   -> ((s, d) => DedupOps.dedupMulti(s, d)),
+    // Dolma-style paragraph dedup: corpus-wide duplicated paragraphs
+    // (boilerplate) flagged per doc with char accounting + 20% keep gate
+    "q_dedup_paragraph" -> ((s, d) => DedupOps.dedupParagraph(s, d)),
     "q_dedup_substring" -> ((s, d) => DedupOps.dedupSubstring(s, d)),
     "q_dedup_substring_trim" -> ((s, d) => DedupOps.dedupSubstringTrim(s, d)),
     // image-modality near-dup: rendered-mosaic corpus with planted resized
@@ -565,7 +568,7 @@ object SparkEntry {
     "q_lang_id", "q_curate_e2e_lang", "q_pii_redact_cc",
     "q_crawl_sitemap_index", "q_dedup_minhash_unicode",
     "q_select_dsir_langid", "q_lang_confusion", "q_gopher_repetition",
-    "q_curate_multilang")
+    "q_curate_multilang", "q_dedup_paragraph")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1717,6 +1720,33 @@ object SparkEntry {
         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))) >= 0.95)
         |SELECT doc_id FROM corpus
         |WHERE doc_id NOT IN (SELECT b_id FROM dup)
+        |ORDER BY doc_id ASC""".stripMargin,
+    // corpus-wide paragraph counts over the planted boilerplate — all
+    // integer char accounting, 20% cross-multiplied gate
+    "q_dedup_paragraph" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 4 = 0
+        |              THEN chr(10) || chr(10) || 'subscribe to the newsletter today'
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 10 = 0
+        |              THEN chr(10) || chr(10) || 'all rights reserved legal notice'
+        |              ELSE '' END AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(string_split(t, chr(10) || chr(10))) AS para
+        |  FROM c),
+        |hc AS (SELECT md5(para) AS h, count(*) AS cnt FROM p GROUP BY md5(para)),
+        |j AS (SELECT p.doc_id, p.para, hc.cnt FROM p JOIN hc ON md5(p.para) = hc.h)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_paras,
+        |       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+        |       CAST(sum(CASE WHEN cnt > 1 THEN length(para) ELSE 0 END) AS BIGINT) AS dup_chars,
+        |       CAST(sum(length(para)) AS BIGINT) AS total_chars,
+        |       CAST(CASE WHEN 5 * sum(CASE WHEN cnt > 1 THEN length(para) ELSE 0 END)
+        |                      <= sum(length(para)) THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM j GROUP BY doc_id
         |ORDER BY doc_id ASC""".stripMargin,
     "q_dedup_ngram" ->
       """WITH bg AS (

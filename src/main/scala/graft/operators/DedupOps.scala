@@ -692,6 +692,61 @@ object DedupOps {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
+  /** PARAGRAPH-level corpus dedup (`q_dedup_paragraph`; Dolma,
+    * Soldaini et al. 2024 §4.2 run exactly this pass — paragraphs
+    * duplicated ACROSS the corpus are boilerplate: navigation blocks,
+    * subscribe footers, license text — the granularity between the
+    * within-document line signal (q_gopher_repetition) and whole-doc
+    * fingerprints): every paragraph hashes, corpus-wide counts flag the
+    * duplicated ones, and each document reports its duplicated-paragraph
+    * character fraction with a keep gate at the 20% integer-ratio
+    * threshold (the repetition battery's convention — no division).
+    *
+    * The word-soup fixture is paragraph-less, so the query PLANTS
+    * corpus-wide boilerplate deterministically: doc_id % 4 appends a
+    * shared "subscribe" paragraph, doc_id % 10 a shared "rights"
+    * paragraph — the same fixed strings across documents, so they are
+    * corpus-duplicates BY CONSTRUCTION while each doc's own text
+    * paragraph stays (mostly) unique.
+    *
+    * Scale: paragraph-grain exchanges keyed on the 128-bit hash (one
+    * count aggregation + one join-back) — never a pair join; this is
+    * the shape Dolma runs with a bloom membership test instead of the
+    * exact count, and [[graft.functions.BloomFunctions]]' maintained
+    * bloom store is exactly that streaming/approximate swap-in when the
+    * corpus-wide exact count is too expensive per increment.
+    */
+  def dedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit("\n\nsubscribe to the newsletter today")).otherwise(lit("")),
+        when(col("doc_id") % 10 === 0,
+          lit("\n\nall rights reserved legal notice")).otherwise(lit("")))
+        .as("text"))
+    paragraphDedupOn(planted)
+  }
+
+  /** Parametric core: (doc_id, text) in; per-doc paragraph counts,
+    * duplicated-paragraph char accounting, and the keep gate out.
+    */
+  private[graft] def paragraphDedupOn(docs: DataFrame): DataFrame = {
+    val paras = docs.select(col("doc_id"),
+      explode(split(col("text"), "\n\n")).as("para"))
+      .withColumn("h", md5(col("para")))
+    val counts = paras.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    paras.join(counts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_paras"),
+        sum(when(col("c") > 1, length(col("para")).cast("long"))
+          .otherwise(0L)).as("dup_chars"),
+        sum(length(col("para")).cast("long")).as("total_chars"))
+      .withColumn("keep",
+        (lit(5L) * col("dup_chars") <= col("total_chars")).cast("long"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Duplicated-SPAN detection — the SUBSTRING granularity of corpus dedup
     * (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
     * Better": exact duplicated token spans are removed corpus-wide, the
