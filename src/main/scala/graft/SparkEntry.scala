@@ -206,6 +206,10 @@ object SparkEntry {
     // corpus-trained bigram-LM quality score (CCNet-lineage filter);
     // exact integer-micros accumulation → fully DuckDB-oracled
     "q_lm_bigram"       -> ((s, d) => TextAnalysisOps.lmBigramScore(s, d)),
+    // the BOUNDED maintained LM (CCNet's published shape): sample-trained
+    // count logs folded + top-V pruned at serve, OOV floored to p = 0 —
+    // broadcast-safe by construction at any corpus scale; fully oracled
+    "q_lm_bigram_stored" -> ((s, d) => TextAnalysisOps.lmBigramScoreStored(s, d)),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysisOps.fingerprint(s, d)),
     "q_doc_winnow"      -> ((s, d) => TextAnalysisOps.winnowFingerprint(s, d)),
     "q_sample_split"    -> ((s, d) => TextAnalysisOps.sampleSplit(s, d)),
@@ -568,7 +572,7 @@ object SparkEntry {
     "q_lang_id", "q_curate_e2e_lang", "q_pii_redact_cc",
     "q_crawl_sitemap_index", "q_dedup_minhash_unicode",
     "q_select_dsir_langid", "q_lang_confusion", "q_gopher_repetition",
-    "q_curate_multilang", "q_dedup_paragraph")
+    "q_curate_multilang", "q_dedup_paragraph", "q_lm_bigram_stored")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2038,6 +2042,40 @@ object SparkEntry {
         |per AS (
         |  SELECT b.doc_id, CAST(bc.c2 AS DOUBLE) / lc.c1 AS p
         |  FROM big b JOIN bc USING (w1, w2) JOIN lc USING (w1)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         floor(CAST(sum(CAST(floor(p * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |               / count(*) + 0.5) / 1000000.0 AS avg_cond_p,
+        |         floor(min(p) * 1000000.0 + 0.5) / 1000000.0 AS min_cond_p
+        |  FROM per GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(coalesce(a.avg_cond_p, 0.0) AS DOUBLE) AS avg_cond_p,
+        |       CAST(coalesce(a.min_cond_p, 0.0) AS DOUBLE) AS min_cond_p
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id ASC""".stripMargin,
+    // the bounded maintained LM: counts from the doc_id%2=0 training
+    // sample only, top-512 prune with the (c2 desc, w1, w2) total-order
+    // tie-break, OOV transitions floored to p = 0 — every stage exact SQL
+    "q_lm_bigram_stored" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |big AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |strain AS (SELECT * FROM big WHERE doc_id % 2 = 0),
+        |lc AS (SELECT w1, count(*) AS c1 FROM strain GROUP BY w1),
+        |bc AS (SELECT w1, w2, count(*) AS c2 FROM strain GROUP BY w1, w2),
+        |pruned AS (
+        |  SELECT w1, w2, c2 FROM (
+        |    SELECT *, row_number() OVER (ORDER BY c2 DESC, w1 ASC, w2 ASC) AS rn
+        |    FROM bc)
+        |  WHERE rn <= 512),
+        |model AS (
+        |  SELECT p.w1, p.w2, CAST(p.c2 AS DOUBLE) / lc.c1 AS p
+        |  FROM pruned p JOIN lc USING (w1)),
+        |per AS (
+        |  SELECT b.doc_id, coalesce(m.p, 0.0) AS p
+        |  FROM big b LEFT JOIN model m USING (w1, w2)),
         |agg AS (
         |  SELECT doc_id, count(*) AS n_bigrams,
         |         floor(CAST(sum(CAST(floor(p * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)

@@ -249,12 +249,22 @@ object LangIdOps {
             element_at(col("t"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("lang"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // broadcast-vs-shuffle for the per-language model joins is the same
+    // statistics dispatch as lmBigramScoreOn's: the (lang, w1[, w2])
+    // counts are corpus-derived (heaps-law at 100 TB), so they broadcast
+    // only when measured under the shared ceiling — above it the corpus
+    // shuffles on the word keys, same answers either way
     val lc = big.groupBy(col("lang"), col("w1")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint(false)
     val bc = big.groupBy(col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
+    val modelSized = bc.count() <= TextAnalysisOps.LmBroadcastMaxTypes
+    val (bcJoin, lcJoin) =
+      if (modelSized) (broadcast(bc), broadcast(lc)) else (bc, lc)
     val agg = big
-      .join(broadcast(bc), Seq("lang", "w1", "w2"))
-      .join(broadcast(lc), Seq("lang", "w1"))
+      .join(bcJoin, Seq("lang", "w1", "w2"))
+      .join(lcJoin, Seq("lang", "w1"))
       .withColumn("p", col("c2").cast("double") / col("c1"))
       .groupBy(col("doc_id"))
       .agg((floor(sum(floor(col("p") * lit(1000000.0) + lit(0.5)).cast("long"))

@@ -312,7 +312,9 @@ object TextAnalysisOps {
     *
     * Scale: both gates derive from ONE documents scan each — the rule
     * battery is a map-side projection, the LM pass shuffles the corpus
-    * once at bigram grain and re-broadcasts model-sized counts, fences
+    * once at bigram grain and re-joins its count tables by broadcast only
+    * when [[lmBigramScoreOn]]'s statistics dispatch measures them
+    * model-sized (heaps-law counts shuffle instead), fences
     * are bins-bounded refinement rounds; the final id-equi-join of two
     * corpus-derived frames rides one exchange per side (at 100 TB both
     * sides bucket by doc_id → shuffle-free sort-merge). Nothing here
@@ -493,19 +495,35 @@ object TextAnalysisOps {
     * transition. Docs under two tokens carry zeros.
     *
     * Plan: the bigram stream derives per-row (transform over token
-    * positions, no self-join), the two count tables partial-agg map-side
-    * and are MODEL-sized (vocabulary / vocabulary², Zipf-truncated to
-    * top-M bigrams in a production LM — the standard pruning), so they
-    * BROADCAST back into the stream: the corpus itself never shuffles on
-    * the skewed word keys. Scoring uses the exact integer-micros
-    * accumulator (each p is an exact small-int division; its micros
-    * rounding is engine-identical, the sum is integer-exact), so the
-    * whole query faces the DuckDB oracle bit-for-bit.
+    * positions, no self-join), the two count tables partial-agg map-side.
+    * Whether they re-join by BROADCAST is a statistics decision, not a
+    * hint: the counts are derived from the corpus being scored, so their
+    * size follows heaps law — model-sized on a closed vocabulary, multi-GB
+    * on open text at 100 TB, where a forced broadcast dies at the 8 GB
+    * ceiling. The dispatch measures the ACTUAL statistic (distinct bigram
+    * types, a `count()` over the localCheckpoint'd aggregate the join
+    * consumes anyway) and broadcasts only under [[LmBroadcastMaxTypes]];
+    * above it the corpus shuffles on the word keys — a plain hash join,
+    * correct at any scale (the same answers either way; PlanSpec pins both
+    * regimes, `LmScale` measures the flip). The bounded-artifact
+    * alternative (CCNet's published shape — train ONCE on a sample, prune
+    * to top-V) is [[lmBigramScoreStored]]. Scoring uses the exact
+    * integer-micros accumulator (each p is an exact small-int division;
+    * its micros rounding is engine-identical, the sum is integer-exact),
+    * so the whole query faces the DuckDB oracle bit-for-bit.
     */
   def lmBigramScore(spark: SparkSession, dir: String): DataFrame =
     lmBigramScoreOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
-  private[graft] def lmBigramScoreOn(docs: DataFrame): DataFrame = {
+  /** Broadcast ceiling for corpus-derived LM count tables: ~4M types ×
+    * ~32 B/row ≈ 128 MB — comfortably model-sized; anything larger
+    * shuffles. Shared by [[lmBigramScoreOn]] and
+    * [[LangIdOps.curateMultilang]]'s per-language LM.
+    */
+  private[graft] val LmBroadcastMaxTypes: Long = 4000000L
+
+  private[graft] def lmBigramScoreOn(docs: DataFrame,
+      broadcastMaxTypes: Long = LmBroadcastMaxTypes): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
     val big = toks.filter(size(col("t")) >= 2)
       .select(col("doc_id"),
@@ -513,15 +531,25 @@ object TextAnalysisOps {
           struct(element_at(col("t"), i).as("w1"),
             element_at(col("t"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // checkpoint the count tables: the dispatch statistic (their row
+    // count) and the model joins then read ONE materialization instead of
+    // re-aggregating the corpus per consumer
     val leftCounts = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val bigramCounts = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
+    val bigramCounts = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
+    val modelSized = bigramCounts.count() <= broadcastMaxTypes
+    val (bcJoin, lcJoin) =
+      if (modelSized) (broadcast(bigramCounts), broadcast(leftCounts))
+      else (bigramCounts, leftCounts)
     // rounding is floor(x + 0.5) THROUGHOUT — HALF_UP evaluated on the
     // shared binary double, so Spark and the SQL oracle agree by
     // construction (round()'s decimal-string HALF_UP can differ from the
     // engine-side binary rounding exactly at .5-at-7th-decimal boundaries)
     val scored = big
-      .join(broadcast(bigramCounts), Seq("w1", "w2"))
-      .join(broadcast(leftCounts), Seq("w1"))
+      .join(bcJoin, Seq("w1", "w2"))
+      .join(lcJoin, Seq("w1"))
       .withColumn("p", col("c2").cast("double") / col("c1"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -574,6 +602,121 @@ object TextAnalysisOps {
       when(col("avg_cond_p") <= f1, lit("tail"))
         .when(col("avg_cond_p") <= f2, lit("middle"))
         .otherwise(lit("head")).as("bucket"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Per-batch bigram/unigram count partials for the maintained LM store
+    * — the same append-only-log convention as the BM25 statistics
+    * (associative integer counts per batch; the serve folds by sum, so
+    * merge order can never change a count). Writes two logs:
+    * `name__lmuni` (w1, c1, batch_id) and `name__lmbi` (w1, w2, c2,
+    * batch_id).
+    */
+  private def writeLmPartials(spark: SparkSession, db: String, name: String,
+      docs: DataFrame, overwrite: Boolean, batchId: Long = -1L): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    val big = docs
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+        struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(mode).partitionBy("batch_id")
+      .saveAsTable(s"`$db`.`${name}__lmuni`")
+    big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(mode).partitionBy("batch_id")
+      .saveAsTable(s"`$db`.`${name}__lmbi`")
+  }
+
+  /** Build-if-absent maintained bigram LM — CCNet's published discipline
+    * (Wenzek et al. 2020 §3: the filtering LM is trained ONCE on a
+    * bounded clean sample, never on the corpus being scored): the
+    * training set is the `doc_id % 2 = 0` half, ingested as TWO batches
+    * (create + fold) so the maintenance path faces the oracle. The
+    * artifact is bounded twice over — by the sample at train time and by
+    * the top-V prune at serve time — which is what makes
+    * [[lmBigramScoreStored]]'s broadcast safe BY CONSTRUCTION at any
+    * corpus scale, unlike the in-query LM whose size follows the corpus
+    * (that one dispatches, see [[lmBigramScoreOn]]).
+    */
+  private[graft] def ensureLmStore(spark: SparkSession, dir: String): (String, String) = {
+    import graft.sources.CatalogOps
+    val db = "graft_lm"
+    val name = "docs"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__lmbi") ||
+          !spark.catalog.tableExists(s"$db.${name}__lmuni")) {
+        CatalogOps.createDatabase(spark, db)
+        Seq(s"${name}__lmbi", s"${name}__lmuni")
+          .foreach(KnnOps.dropTableAndDir(spark, db, _))
+        val sample = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 2 === 0)
+        writeLmPartials(spark, db, name,
+          sample.filter(col("doc_id") % 4 === 0), overwrite = true)
+        writeLmPartials(spark, db, name,
+          sample.filter(col("doc_id") % 4 =!= 0), overwrite = false,
+          batchId = 0L)
+      }
+    }
+    (db, name)
+  }
+
+  /** `q_lm_bigram_stored`: LM-score the WHOLE corpus against the bounded
+    * maintained model — the scale-safe form of [[lmBigramScoreOn]] and
+    * the shape every published pipeline runs (sample-trained LM, pruned
+    * vocabulary, out-of-model transitions floored to p = 0).
+    *
+    * Serve plan: fold the count logs (sum per key — exact integer merge),
+    * prune to the top-V bigrams (count-desc, (w1, w2)-asc tie-break — a
+    * TakeOrderedAndProject, never a global sort), fuse the unigram
+    * denominators in (model rows carry precomputed p = c2/c1), and LEFT
+    * broadcast-join the corpus bigram stream against the ≤ V-row model:
+    * the corpus never shuffles, the broadcast is bounded by the literal V
+    * regardless of corpus or sample vocabulary. Fully DuckDB-oracled —
+    * the sample filter, the prune window, and the OOV floor are all
+    * exactly mirrorable SQL.
+    */
+  def lmBigramScoreStored(spark: SparkSession, dir: String,
+      topV: Int = 512): DataFrame = {
+    val (db, name) = ensureLmStore(spark, dir)
+    val lc = spark.table(s"`$db`.`${name}__lmuni`")
+      .groupBy(col("w1")).agg(sum(col("c1")).as("c1"))
+    val bcPruned = spark.table(s"`$db`.`${name}__lmbi`")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c2")).as("c2"))
+      .orderBy(col("c2").desc, col("w1").asc, col("w2").asc)
+      .limit(topV)
+    val model = bcPruned.join(lc, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        (col("c2").cast("double") / col("c1")).as("p"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val big = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val scored = big
+      .join(broadcast(model), Seq("w1", "w2"), "left_outer")
+      .withColumn("p", coalesce(col("p"), lit(0.0)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(sum(floor(col("p") * lit(1000000.0) + lit(0.5)).cast("long"))
+            .cast("double") / count(lit(1)) + lit(0.5)).cast("double")
+          / lit(1000000.0)).as("avg_cond_p"),
+        (floor(min(col("p")) * lit(1000000.0) + lit(0.5)).cast("double")
+          / lit(1000000.0)).as("min_cond_p"))
+    toks.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_cond_p"), lit(0.0)).as("avg_cond_p"),
+        coalesce(col("min_cond_p"), lit(0.0)).as("min_cond_p"))
       .orderBy(col("doc_id").asc)
   }
 

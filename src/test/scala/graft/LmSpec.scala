@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{TextAnalysisOps, LangIdOps}
+import graft.sources.Tables
+
+/** The bigram-LM scale contract (VERDICT r15's one flagged seam): the
+  * in-query LM broadcasts its corpus-derived count tables ONLY when the
+  * measured statistic (distinct bigram types) is model-sized; above the
+  * ceiling the corpus shuffles on the word keys — same answers, a plan
+  * that survives heaps-law vocabulary growth. The bounded maintained LM
+  * ([[TextAnalysisOps.lmBigramScoreStored]]) is the CCNet-published
+  * alternative: sample-trained, top-V pruned, broadcast-safe by
+  * construction.
+  */
+class LmSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(SimpleMode)
+
+  private def docs: DataFrame =
+    Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+
+  test("model-sized regime broadcasts both LM count joins") {
+    val p = plan(TextAnalysisOps.lmBigramScore(spark, sf))
+    val n = p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin")
+    assert(n >= 2, s"expected both model joins broadcast:\n$p")
+  }
+
+  test("above-ceiling regime drops the broadcast hint (corpus shuffles on word keys)") {
+    // at the fixture's sizes Catalyst's own size policy would still
+    // auto-broadcast the (accurately stats'd) checkpointed count tables —
+    // which is correct; disabling it emulates the at-scale regime where
+    // the tables exceed every broadcast ceiling, so the pin verifies the
+    // HINT is gone and nothing forces a heaps-law table onto the driver
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(k)
+    try {
+      spark.conf.set(k, "-1")
+      val p = plan(TextAnalysisOps.lmBigramScoreOn(docs, broadcastMaxTypes = 0L))
+      assert(!p.contains("BroadcastHashJoin"),
+        s"forced broadcast survived the dispatch:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set(k, prev)
+  }
+
+  test("both regimes are ONE contract: identical rows either side of the ceiling") {
+    val bc = TextAnalysisOps.lmBigramScoreOn(docs).collect().toSeq
+    val sh = TextAnalysisOps.lmBigramScoreOn(docs, broadcastMaxTypes = 0L)
+      .collect().toSeq
+    assert(bc == sh)
+  }
+
+  test("curateMultilang's per-language LM rides the same dispatch (plan has broadcasts at fixture scale)") {
+    val p = plan(LangIdOps.curateMultilang(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("stored LM: the top-V prune actually bites on the fixture sample") {
+    TextAnalysisOps.lmBigramScoreStored(spark, sf) // ensure the store
+    val types = spark.table("`graft_lm`.`docs__lmbi`")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c2")).as("c2"))
+      .count()
+    assert(types > 512L,
+      s"fixture sample carries only $types bigram types — the prune is a no-op and the oracle would not face it")
+  }
+
+  test("stored LM plan: bounded broadcast + TakeOrderedAndProject prune, no global sort") {
+    val df = TextAnalysisOps.lmBigramScoreStored(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("stored LM scores every document and counts ALL bigram positions (OOV included)") {
+    val stored = TextAnalysisOps.lmBigramScoreStored(spark, sf)
+      .select(col("doc_id"), col("n_bigrams"))
+    val live = TextAnalysisOps.lmBigramScore(spark, sf)
+      .select(col("doc_id"), col("n_bigrams"))
+    // denominators agree: the stored model floors OOV to p = 0 instead of
+    // dropping positions, so n_bigrams is model-independent
+    assert(stored.exceptAll(live).isEmpty && live.exceptAll(stored).isEmpty)
+  }
+
+  test("stored LM is sample-trained: an out-of-sample-only transition scores p = 0") {
+    // a doc whose bigrams never appear in the doc_id % 2 = 0 half would
+    // floor to 0; synthesize the check directly against the folded model:
+    // every model row's (w1, w2) must come from the training sample
+    val model = spark.table("`graft_lm`.`docs__lmbi`")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c2")).as("c2"))
+    // cheap containment proxy: total folded mass equals the sample's
+    // total bigram positions (counts are exact integer partial folds)
+    val folded = model.agg(sum(col("c2"))).head().getLong(0)
+    val expected = docs.filter(col("doc_id") % 2 === 0)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .agg(sum(size(col("t")) - 1)).head().getLong(0)
+    assert(folded == expected, s"folded=$folded expected=$expected")
+  }
+}
