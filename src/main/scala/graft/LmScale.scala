@@ -30,9 +30,12 @@ object LmScale {
     import graft.operators.TextAnalysisOps
 
     def corpus(vocab: Long) = {
+      // hash-mixed draws (a linear counter mod v yields only v distinct
+      // bigram types — consecutive positions march in lockstep; the mix
+      // makes adjacent tokens independent so types grow heaps-law-like)
       val d = spark.range(n).select(col("id").as("doc_id"),
         concat_ws(" ", transform(sequence(lit(1), lit(40)), k =>
-          concat(lit("w"), pmod((col("id") * 40 + k) * lit(2654435761L),
+          concat(lit("w"), pmod(hash(col("id"), k).cast("long"),
             lit(vocab))))).as("text"))
         .localCheckpoint() // corpus generation off the clock
       d
@@ -63,13 +66,15 @@ object LmScale {
           concat(element_at(col("t"), i), lit(" "),
             element_at(col("t"), i + 1)))).as("bg"))
         .agg(countDistinct(col("bg"))).head().getLong(0)
-      val (df, tPicked) = time {
-        val d = TextAnalysisOps.lmBigramScoreOn(docs)
-        d.agg(count(lit(1))).head(); d
+      val (_, tPicked) = time {
+        TextAnalysisOps.lmBigramScoreOn(docs).agg(count(lit(1))).head()
       }
+      // the dispatch decision IS types <= ceiling (the hint drop is
+      // plan-pinned in LmSpec; here the interest is where the flip lands
+      // and what each regime costs)
       val regime =
-        if (df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
-          "broadcast" else "shuffle"
+        if (types <= TextAnalysisOps.LmBroadcastMaxTypes) "broadcast"
+        else "shuffle"
       val (_, tShuffle) = time {
         TextAnalysisOps.lmBigramScoreOn(docs, broadcastMaxTypes = 0L)
           .agg(count(lit(1))).head()

@@ -246,6 +246,10 @@ object SparkEntry {
     // chars + char-weighted top-2-gram, 20% integer-ratio thresholds
     // (q_text_repetition is the count-based top-bigram SIGNAL)
     "q_gopher_repetition" -> ((s, d) => TextAnalysisOps.gopherRepetition(s, d)),
+    // the COMPLETE A1.1 battery: all 13 published gates — line/paragraph
+    // dup fractions + char fractions, top-2/3/4-gram shares, duplicated
+    // n-gram char coverage n=5..10 (no-double-count position rule)
+    "q_gopher_repetition_full" -> ((s, d) => TextAnalysisOps.gopherRepetitionFull(s, d)),
     // the composed chain: derived lang gate -> per-language CCNet battery
     "q_curate_e2e_lang" -> ((s, d) => LangIdOps.curateE2eLang(s, d)),
     // the FULL CCNet: every language through its own LM + fences, union'd
@@ -572,7 +576,8 @@ object SparkEntry {
     "q_lang_id", "q_curate_e2e_lang", "q_pii_redact_cc",
     "q_crawl_sitemap_index", "q_dedup_minhash_unicode",
     "q_select_dsir_langid", "q_lang_confusion", "q_gopher_repetition",
-    "q_curate_multilang", "q_dedup_paragraph", "q_lm_bigram_stored")
+    "q_curate_multilang", "q_dedup_paragraph", "q_lm_bigram_stored",
+    "q_gopher_repetition_full")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -756,6 +761,109 @@ object SparkEntry {
        |      WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
        |      ELSE 'zh' END AS predicted
        |  FROM lsc)""".stripMargin
+
+  /** Oracle for the COMPLETE A1.1 repetition battery — planted text,
+    * split surfaces, and all thirteen integer-ratio gates mirrored in
+    * DuckDB. The per-n gram fragments are GENERATED from the same n list
+    * the Spark operator iterates, so engine and oracle cannot drift on a
+    * hand-copied index; the duplicated-n-gram coverage mirrors the
+    * no-double-count position rule (a token counts once iff any
+    * duplicated n-gram covers it).
+    */
+  private def gopherRepetitionFullSql: String = {
+    def grams(n: Int): String =
+      s"""list_transform(range(1, len(w) - ${n - 2}), j ->
+         |      array_to_string(list_slice(w, j, j + ${n - 1}), ' ')) AS g$n""".stripMargin
+    def topN(n: Int): String =
+      s"""CAST(coalesce(list_max(list_transform(list_distinct(g$n), g ->
+         |      len(list_filter(g$n, x -> x = g)) * length(g))), 0) AS BIGINT)
+         |      AS top${n}_chars""".stripMargin
+    def dupN(n: Int): String =
+      s"""CAST(coalesce(list_sum(list_transform(range(1, len(w) + 1), i ->
+         |      CASE WHEN len(list_filter(
+         |          range(greatest(1, i - ${n - 1}), least(i, len(w) - ${n - 1}) + 1),
+         |          j -> list_contains(
+         |            list_filter(list_distinct(g$n), g ->
+         |              len(list_filter(g$n, x -> x = g)) >= 2),
+         |            g$n[j]))) > 0
+         |      THEN length(w[i]) ELSE 0 END)), 0) AS BIGINT) AS dup${n}_chars""".stripMargin
+    val flagDefs = Seq(
+      "CAST(CASE WHEN 10 * dup_lines <= 3 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_dup_line",
+      "CAST(CASE WHEN 10 * dup_paras <= 3 * n_paras THEN 1 ELSE 0 END AS BIGINT) AS r_dup_para",
+      "CAST(CASE WHEN 5 * dup_line_chars <= line_chars THEN 1 ELSE 0 END AS BIGINT) AS r_line_chars",
+      "CAST(CASE WHEN 5 * dup_para_chars <= para_chars THEN 1 ELSE 0 END AS BIGINT) AS r_para_chars",
+      "CAST(CASE WHEN 5 * top2_chars <= line_chars THEN 1 ELSE 0 END AS BIGINT) AS r_top2",
+      "CAST(CASE WHEN 50 * top3_chars <= 9 * line_chars THEN 1 ELSE 0 END AS BIGINT) AS r_top3",
+      "CAST(CASE WHEN 25 * top4_chars <= 4 * line_chars THEN 1 ELSE 0 END AS BIGINT) AS r_top4",
+      "CAST(CASE WHEN 20 * dup5_chars <= 3 * w_chars THEN 1 ELSE 0 END AS BIGINT) AS r_dup5",
+      "CAST(CASE WHEN 50 * dup6_chars <= 7 * w_chars THEN 1 ELSE 0 END AS BIGINT) AS r_dup6",
+      "CAST(CASE WHEN 100 * dup7_chars <= 13 * w_chars THEN 1 ELSE 0 END AS BIGINT) AS r_dup7",
+      "CAST(CASE WHEN 25 * dup8_chars <= 3 * w_chars THEN 1 ELSE 0 END AS BIGINT) AS r_dup8",
+      "CAST(CASE WHEN 100 * dup9_chars <= 11 * w_chars THEN 1 ELSE 0 END AS BIGINT) AS r_dup9",
+      "CAST(CASE WHEN 10 * dup10_chars <= w_chars THEN 1 ELSE 0 END AS BIGINT) AS r_dup10")
+    val flagNames = Seq("r_dup_line", "r_dup_para", "r_line_chars",
+      "r_para_chars", "r_top2", "r_top3", "r_top4",
+      "r_dup5", "r_dup6", "r_dup7", "r_dup8", "r_dup9", "r_dup10")
+    s"""WITH src AS (
+       |  SELECT doc_id, text,
+       |    array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS blk12,
+       |    array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS blk3,
+       |    substr(text, 1, CAST(length(text) // 2 AS INT)) AS half
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 6 = 0
+       |         THEN chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40)
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 8 = 0 AND doc_id % 6 <> 0
+       |         THEN chr(10) || substr(text, 1, 40) ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' ' || blk12 || ' ' || blk12 ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0 THEN repeat(' ' || blk3, 8) ELSE '' END ||
+       |    CASE WHEN doc_id % 9 = 0
+       |         THEN chr(10) || chr(10) || half || chr(10) || chr(10) || half
+       |         ELSE '' END AS t
+       |  FROM src),
+       |m AS (
+       |  SELECT doc_id,
+       |    string_split(t, chr(10)) AS ls,
+       |    string_split(t, chr(10) || chr(10)) AS ps,
+       |    list_filter(string_split_regex(t, '[ \\n]'), x -> x <> '') AS w
+       |  FROM c),
+       |g AS (
+       |  SELECT doc_id, ls, ps, w,
+       |    ${(2 to 10).map(grams).mkString(",\n    ")}
+       |  FROM m),
+       |b AS (
+       |  SELECT doc_id,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS dup_lines,
+       |    CAST(coalesce(list_sum(list_transform(ls, l -> length(l))), 0) AS BIGINT) AS line_chars,
+       |    CAST(coalesce(list_sum(list_transform(ls, l -> length(l))), 0)
+       |      - coalesce(list_sum(list_transform(list_distinct(ls), l -> length(l))), 0) AS BIGINT) AS dup_line_chars,
+       |    CAST(len(ps) AS BIGINT) AS n_paras,
+       |    CAST(len(ps) - len(list_distinct(ps)) AS BIGINT) AS dup_paras,
+       |    CAST(coalesce(list_sum(list_transform(ps, p -> length(p))), 0) AS BIGINT) AS para_chars,
+       |    CAST(coalesce(list_sum(list_transform(ps, p -> length(p))), 0)
+       |      - coalesce(list_sum(list_transform(list_distinct(ps), p -> length(p))), 0) AS BIGINT) AS dup_para_chars,
+       |    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS w_chars,
+       |    ${Seq(2, 3, 4).map(topN).mkString(",\n    ")},
+       |    ${(5 to 10).map(dupN).mkString(",\n    ")}
+       |  FROM g),
+       |f AS (
+       |  SELECT *,
+       |    ${flagDefs.mkString(",\n    ")}
+       |  FROM b)
+       |SELECT doc_id, n_lines, dup_lines, line_chars, dup_line_chars,
+       |       n_paras, dup_paras, para_chars, dup_para_chars, w_chars,
+       |       top2_chars, top3_chars, top4_chars,
+       |       dup5_chars, dup6_chars, dup7_chars, dup8_chars, dup9_chars,
+       |       dup10_chars,
+       |       ${flagNames.mkString(", ")},
+       |       ${flagNames.mkString(" * ")} AS keep
+       |FROM f
+       |ORDER BY doc_id ASC""".stripMargin
+  }
 
   /** The CCNet two-gate chain (Gopher battery + LM head/middle buckets,
     * thresholds 20/100000/1) over the relation `rel` — CTE list plus the
@@ -2203,6 +2311,9 @@ object SparkEntry {
         |             THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM m LEFT JOIN t2 USING (doc_id)
         |ORDER BY m.doc_id ASC""".stripMargin,
+    // the COMPLETE A1.1 battery — generated per-n fragments, thirteen
+    // integer-ratio gates, planted both-sides structure
+    "q_gopher_repetition_full" -> gopherRepetitionFullSql,
     // lang-id as the chain's FIRST gate: the CCNet battery (gates AND
     // perplexity fences) computed over the derived-en subset only
     "q_curate_e2e_lang" ->

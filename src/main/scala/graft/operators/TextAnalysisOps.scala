@@ -300,6 +300,222 @@ object TextAnalysisOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Word n-grams (space-joined) of the token-array ATTRIBUTE `w` —
+    * `w` must be a materialized column, not an expression tree: inside
+    * the per-position lambda only attribute reads stay cheap (a captured
+    * subtree would re-evaluate per element — the lambda-recompute trap
+    * this whole battery is structured around). Guarded for size < n
+    * (ANSI sequence(1, 0) is descending).
+    */
+  private def ngrams(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)), j =>
+        array_join(slice(w, j, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Char-weighted share of the single most frequent word n-gram
+    * (count × gram length incl. joining spaces — the q_gopher_repetition
+    * top-2-gram convention generalized) — computed as the best RUN of
+    * the sorted gram array: one O(G log G) sort + one linear fold, never
+    * the distinct×occurrence quadratic (G ~ document length; at 9 n
+    * values per document the quadratic form measured minutes at sf0.01).
+    */
+  private def topNgramChars(gn: Column): Column =
+    aggregate(array_sort(gn),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, g) => {
+        val run = when(g === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(st.getField("best"),
+            run * length(g).cast("long")).as("best"))
+      },
+      st => st.getField("best"))
+
+  /** Token positions (1-based) covered-starts of DUPLICATED n-grams —
+    * sort (gram, position) structs, walk the runs once, and collect the
+    * start position of every gram occurring ≥ 2 times. Linearithmic per
+    * row; positions come out gram-sorted (the consumer re-sorts).
+    */
+  private def dupPositions(gn: Column): Column =
+    when(size(gn) >= 2, {
+      val spos = array_sort(zip_with(gn, sequence(lit(1), size(gn)),
+        (g, j) => struct(g.as("g"), j.cast("long").as("j"))))
+      aggregate(spos,
+        struct(lit("").as("pg"), lit(0L).as("pj"), lit(false).as("inr"),
+          array().cast("array<long>").as("js")),
+        (st, e) => {
+          val g = e.getField("g")
+          val j = e.getField("j")
+          val isDup = g === st.getField("pg")
+          val js = when(isDup && !st.getField("inr"),
+              concat(st.getField("js"), array(st.getField("pj"), j)))
+            .when(isDup, concat(st.getField("js"), array(j)))
+            .otherwise(st.getField("js"))
+          struct(g.as("pg"), j.as("pj"), isDup.as("inr"), js.as("js"))
+        },
+        st => st.getField("js"))
+    }).otherwise(array().cast("array<long>"))
+
+  /** Characters covered by DUPLICATED word n-grams — Rae et al. A1.1's
+    * n ≥ 5 repetition metric with the published no-double-count rule
+    * ("taking care not to count characters that occur in overlapping
+    * n-grams more than once"): interval UNION over the duplicated grams'
+    * [j, j+n−1] position spans, walked once in position order with a
+    * (last-covered, total) fold; chars come from the prefix-sum array
+    * `cums0` (cums0[m+1] = Σ token chars of the first m tokens —
+    * separators excluded, the convention the oracle mirrors). `dupJs`
+    * and `cums0` must be ATTRIBUTES (lambda-interior reads).
+    */
+  private def coveredChars(dupJs: Column, cums0: Column, n: Int): Column =
+    aggregate(array_sort(dupJs),
+      struct(lit(0L).as("last"), lit(0L).as("tot")),
+      (st, j) => {
+        val end = j + (n - 1)
+        val from = greatest(j - 1, st.getField("last"))
+        val add = when(end > st.getField("last"),
+          element_at(cums0, (end + 1).cast("int")) -
+            element_at(cums0, (from + 1).cast("int")))
+          .otherwise(lit(0L))
+        struct(greatest(end, st.getField("last")).as("last"),
+          (st.getField("tot") + add).as("tot"))
+      },
+      st => st.getField("tot"))
+
+  /** The COMPLETE Gopher repetition battery (`q_gopher_repetition_full`;
+    * Rae et al. 2021 Appendix A1.1, table 2 — all thirteen published
+    * gates): duplicate line / paragraph FRACTIONS at 30%, duplicate line
+    * / paragraph CHAR fractions at 20%, top 2/3/4-gram char fractions at
+    * 20/18/16%, and duplicated n-gram char coverage for n = 5..10 at
+    * 15/14/13/12/11/10% — every threshold an integer
+    * cross-multiplication (the q_gopher_rules convention: no division,
+    * no rounding site, boundary-exact in both engines).
+    *
+    * Planted structure (the PII/repetition discipline — the fixture is
+    * single-line word soup, so every gate needs BOTH sides built in):
+    * doc_id % 6 re-plants q_gopher_repetition's duplicated 40-char line
+    * pair and % 8 its unique extra line (line gates + the n ≤ 7 dup
+    * grams their 7-token period implies); % 7 appends the first TWELVE
+    * tokens twice (long duplicated n-grams — the only source of n =
+    * 8..10 failures besides % 11); % 11 appends the first THREE tokens
+    * eight times (top-3/4-gram failures — an 8× phrase is ~30% of chars
+    * vs the 18/16% fences); % 9 appends HALF the document as a
+    * duplicated paragraph twice (paragraph gates: 1 dup of 3 paras
+    * breaches 30%, and the half-length copy is ~25% of paragraph chars
+    * vs the 20% fence at any document length). GopherSpec pins that
+    * every one of the thirteen flags takes both values on the fixture.
+    *
+    * Scale: one map-side projection per document — line/paragraph
+    * metrics are HOF folds over splits, gram metrics are per-row bounded
+    * folds (quadratic in the document's own length only). Zero
+    * exchanges before the presentation sort.
+    */
+  def gopherRepetitionFull(spark: SparkSession, dir: String): DataFrame = {
+    val firstToks = (k: Int) =>
+      array_join(slice(split(col("text"), " "), 1, k), " ")
+    val halfDoc = col("text").substr(lit(1),
+      (length(col("text")) / 2).cast("int"))
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 6 === 0,
+          concat(lit("\n"), substring(col("text"), 1, 40),
+            lit("\n"), substring(col("text"), 1, 40))).otherwise(lit("")),
+        when(col("doc_id") % 8 === 0 && col("doc_id") % 6 =!= 0,
+          concat(lit("\n"), substring(col("text"), 1, 40))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" "), firstToks(12), lit(" "), firstToks(12)))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          repeat(concat(lit(" "), firstToks(3)), 8)).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          concat(lit("\n\n"), halfDoc, lit("\n\n"), halfDoc))
+          .otherwise(lit("")))
+        .as("text"))
+    gopherRepetitionFullOn(planted)
+  }
+
+  private[graft] def gopherRepetitionFullOn(docs: DataFrame): DataFrame = {
+    def sumLen(arr: Column): Column = aggregate(
+      transform(arr, x => length(x).cast("long")), lit(0L), (a, x) => a + x)
+    // STAGED projections: every array consumed inside a later lambda is
+    // materialized as a column first and multi-referenced downstream, so
+    // CollapseProject cannot inline it back into a lambda body (a
+    // captured non-attribute subtree re-evaluates per element — the
+    // first cut did exactly that and measured MINUTES per 500 docs where
+    // this form measures milliseconds)
+    val split1 = docs.select(col("doc_id"),
+      split(col("text"), "\n").as("ls"),
+      split(col("text"), "\n\n").as("ps"),
+      // tokens across separators, empties dropped (a \n\n boundary
+      // yields an empty token in both engines; neither counts a word)
+      filter(split(col("text"), "[ \n]"), x => x =!= "").as("w"))
+    val w = col("w")
+    // prefix char sums: cums0[m+1] = Σ len(w_1..w_m); the +0 head entry
+    // keeps every fold lookup 1-based and in range
+    val cums0 = transform(sequence(lit(0), size(w)), i =>
+      aggregate(slice(w, lit(1), i), lit(0L), (a, x) => a + length(x)))
+    val metrics = split1.select(col("doc_id"),
+      size(col("ls")).cast("long").as("n_lines"),
+      (size(col("ls")) - size(array_distinct(col("ls"))))
+        .cast("long").as("dup_lines"),
+      sumLen(col("ls")).as("line_chars"),
+      (sumLen(col("ls")) - sumLen(array_distinct(col("ls"))))
+        .as("dup_line_chars"),
+      size(col("ps")).cast("long").as("n_paras"),
+      (size(col("ps")) - size(array_distinct(col("ps"))))
+        .cast("long").as("dup_paras"),
+      sumLen(col("ps")).as("para_chars"),
+      (sumLen(col("ps")) - sumLen(array_distinct(col("ps"))))
+        .as("dup_para_chars"),
+      sumLen(w).as("w_chars"),
+      cums0.as("cums0"),
+      topNgramChars(ngrams(w, 2)).as("top2_chars"),
+      topNgramChars(ngrams(w, 3)).as("top3_chars"),
+      topNgramChars(ngrams(w, 4)).as("top4_chars"),
+      dupPositions(ngrams(w, 5)).as("djs5"),
+      dupPositions(ngrams(w, 6)).as("djs6"),
+      dupPositions(ngrams(w, 7)).as("djs7"),
+      dupPositions(ngrams(w, 8)).as("djs8"),
+      dupPositions(ngrams(w, 9)).as("djs9"),
+      dupPositions(ngrams(w, 10)).as("djs10"))
+    val base = metrics.select(col("doc_id"), col("n_lines"),
+      col("dup_lines"), col("line_chars"), col("dup_line_chars"),
+      col("n_paras"), col("dup_paras"), col("para_chars"),
+      col("dup_para_chars"), col("w_chars"),
+      col("top2_chars"), col("top3_chars"), col("top4_chars"),
+      coveredChars(col("djs5"), col("cums0"), 5).as("dup5_chars"),
+      coveredChars(col("djs6"), col("cums0"), 6).as("dup6_chars"),
+      coveredChars(col("djs7"), col("cums0"), 7).as("dup7_chars"),
+      coveredChars(col("djs8"), col("cums0"), 8).as("dup8_chars"),
+      coveredChars(col("djs9"), col("cums0"), 9).as("dup9_chars"),
+      coveredChars(col("djs10"), col("cums0"), 10).as("dup10_chars"))
+    // Rae et al. A1.1 thresholds as exact integer ratios:
+    // 30% = 3/10, 20% = 1/5, 18% = 9/50, 16% = 4/25,
+    // 15% = 3/20, 14% = 7/50, 13% = 13/100, 12% = 3/25,
+    // 11% = 11/100, 10% = 1/10
+    val flags = Seq(
+      ("r_dup_line", lit(10L) * col("dup_lines") <= lit(3L) * col("n_lines")),
+      ("r_dup_para", lit(10L) * col("dup_paras") <= lit(3L) * col("n_paras")),
+      ("r_line_chars", lit(5L) * col("dup_line_chars") <= col("line_chars")),
+      ("r_para_chars", lit(5L) * col("dup_para_chars") <= col("para_chars")),
+      ("r_top2", lit(5L) * col("top2_chars") <= col("line_chars")),
+      ("r_top3", lit(50L) * col("top3_chars") <= lit(9L) * col("line_chars")),
+      ("r_top4", lit(25L) * col("top4_chars") <= lit(4L) * col("line_chars")),
+      ("r_dup5", lit(20L) * col("dup5_chars") <= lit(3L) * col("w_chars")),
+      ("r_dup6", lit(50L) * col("dup6_chars") <= lit(7L) * col("w_chars")),
+      ("r_dup7", lit(100L) * col("dup7_chars") <= lit(13L) * col("w_chars")),
+      ("r_dup8", lit(25L) * col("dup8_chars") <= lit(3L) * col("w_chars")),
+      ("r_dup9", lit(100L) * col("dup9_chars") <= lit(11L) * col("w_chars")),
+      ("r_dup10", lit(10L) * col("dup10_chars") <= col("w_chars")))
+    val flagged = flags.foldLeft(base) { case (df, (name, c)) =>
+      df.withColumn(name, c.cast("long"))
+    }
+    flagged
+      .withColumn("keep",
+        flags.map { case (name, _) => col(name) }.reduce(_ * _).cast("long"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** The CCNet curation chain (`q_curate_ccnet`; Wenzek et al. 2020) —
     * the published two-gate composition: the Gopher rule battery keeps
     * structurally sound documents, the LM perplexity split keeps the
