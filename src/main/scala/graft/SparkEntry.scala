@@ -192,6 +192,10 @@ object SparkEntry {
     // DSIR targeted by the DERIVED language label (the last consumer
     // that trusted the fixture lang column as ground truth)
     "q_select_dsir_langid" -> ((s, d) => MlOps.dsirSelectLangId(s, d)),
+    // the maintained model TRAINED on the derived label too (r16): no
+    // ground-truth lang consumer anywhere in the stored chain; integer
+    // folds keep it bit-identical to the live derived-label selection
+    "q_select_dsir_stored_langid" -> ((s, d) => MlOps.dsirSelectStoredLangId(s, d)),
     // farthest-first k-center coreset (Gonzalez 1985 / Sener & Savarese
     // 2018): the DIVERSITY selection pass; rows-only — iterative greedy
     // with fp state, pinned against a driver-side reference instead
@@ -577,7 +581,7 @@ object SparkEntry {
     "q_crawl_sitemap_index", "q_dedup_minhash_unicode",
     "q_select_dsir_langid", "q_lang_confusion", "q_gopher_repetition",
     "q_curate_multilang", "q_dedup_paragraph", "q_lm_bigram_stored",
-    "q_gopher_repetition_full")
+    "q_gopher_repetition_full", "q_select_dsir_stored_langid")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -761,6 +765,50 @@ object SparkEntry {
        |      WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
        |      ELSE 'zh' END AS predicted
        |  FROM lsc)""".stripMargin
+
+  /** Oracle shared by q_select_dsir_langid and its maintained-model twin
+    * q_select_dsir_stored_langid (integer count folds make the served
+    * selection bit-identical): the q_select_dsir chain with the DERIVED
+    * label marking the target — lang-id CTEs supply the per-doc
+    * prediction, everything downstream (features, add-1 smoothing,
+    * nano-rounded log-ratio dot product, length-de-biased top-m) is the
+    * proven dsir arithmetic verbatim.
+    */
+  private def dsirLangIdSql: String =
+    s"""WITH $langIdCtes,
+       |toks AS (
+       |  SELECT d.doc_id, p.predicted, string_split(d.text, ' ') AS t
+       |  FROM documents d JOIN lpred p USING (doc_id)),
+       |occ AS (
+       |  SELECT doc_id, predicted, unnest(t) AS f FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, predicted, t[i] || ' ' || t[i + 1] AS f
+       |  FROM (SELECT doc_id, predicted, t, unnest(range(1, len(t))) AS i
+       |        FROM toks WHERE len(t) >= 2)),
+       |pair AS (
+       |  SELECT doc_id, predicted, f, count(*) AS c
+       |  FROM occ GROUP BY doc_id, predicted, f),
+       |model AS (
+       |  SELECT f, sum(CASE WHEN predicted = 'en' THEN c ELSE 0 END) AS ct,
+       |         sum(c) AS cr
+       |  FROM pair GROUP BY f),
+       |ds AS (SELECT sum(ct) AS tt, sum(cr) AS tr, count(*) AS v FROM model),
+       |lnr AS (
+       |  SELECT f, CAST(floor(ln(
+       |      ((ct + 1.0) / CAST(tt + v AS DOUBLE)) /
+       |      ((cr + 1.0) / CAST(tr + v AS DOUBLE))) * 1000000000.0 + 0.5)
+       |    AS BIGINT) AS w
+       |  FROM model CROSS JOIN ds),
+       |per AS (
+       |  SELECT doc_id, sum(c * w) AS lw_nano, sum(c) AS n_feat
+       |  FROM pair JOIN lnr USING (f) GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang, d.source, CAST(p.n_feat AS BIGINT) AS n_feat,
+       |       CAST(p.lw_nano AS BIGINT) AS lw_nano,
+       |       round(CAST(p.lw_nano AS DOUBLE) / 1000000000.0 / p.n_feat, 6)
+       |         AS lw_avg
+       |FROM per p JOIN documents d USING (doc_id)
+       |ORDER BY CAST(p.lw_nano AS DOUBLE) / p.n_feat DESC, d.doc_id ASC
+       |LIMIT 100""".stripMargin
 
   /** Oracle for the COMPLETE A1.1 repetition battery — planted text,
     * split surfaces, and all thirteen integer-ratio gates mirrored in
@@ -2399,41 +2447,12 @@ object SparkEntry {
     // lang-id CTEs supply the per-doc prediction, everything downstream
     // (features, add-1 smoothing, nano-rounded log-ratio dot product,
     // length-de-biased top-m) is the proven dsir arithmetic verbatim
-    "q_select_dsir_langid" ->
-      s"""WITH $langIdCtes,
-         |toks AS (
-         |  SELECT d.doc_id, p.predicted, string_split(d.text, ' ') AS t
-         |  FROM documents d JOIN lpred p USING (doc_id)),
-         |occ AS (
-         |  SELECT doc_id, predicted, unnest(t) AS f FROM toks
-         |  UNION ALL
-         |  SELECT doc_id, predicted, t[i] || ' ' || t[i + 1] AS f
-         |  FROM (SELECT doc_id, predicted, t, unnest(range(1, len(t))) AS i
-         |        FROM toks WHERE len(t) >= 2)),
-         |pair AS (
-         |  SELECT doc_id, predicted, f, count(*) AS c
-         |  FROM occ GROUP BY doc_id, predicted, f),
-         |model AS (
-         |  SELECT f, sum(CASE WHEN predicted = 'en' THEN c ELSE 0 END) AS ct,
-         |         sum(c) AS cr
-         |  FROM pair GROUP BY f),
-         |ds AS (SELECT sum(ct) AS tt, sum(cr) AS tr, count(*) AS v FROM model),
-         |lnr AS (
-         |  SELECT f, CAST(floor(ln(
-         |      ((ct + 1.0) / CAST(tt + v AS DOUBLE)) /
-         |      ((cr + 1.0) / CAST(tr + v AS DOUBLE))) * 1000000000.0 + 0.5)
-         |    AS BIGINT) AS w
-         |  FROM model CROSS JOIN ds),
-         |per AS (
-         |  SELECT doc_id, sum(c * w) AS lw_nano, sum(c) AS n_feat
-         |  FROM pair JOIN lnr USING (f) GROUP BY doc_id)
-         |SELECT d.doc_id, d.lang, d.source, CAST(p.n_feat AS BIGINT) AS n_feat,
-         |       CAST(p.lw_nano AS BIGINT) AS lw_nano,
-         |       round(CAST(p.lw_nano AS DOUBLE) / 1000000000.0 / p.n_feat, 6)
-         |         AS lw_avg
-         |FROM per p JOIN documents d USING (doc_id)
-         |ORDER BY CAST(p.lw_nano AS DOUBLE) / p.n_feat DESC, d.doc_id ASC
-         |LIMIT 100""".stripMargin,
+    "q_select_dsir_langid" -> dsirLangIdSql,
+    // maintained derived-label model (r16): integer count folds keep the
+    // served selection bit-identical to the live derived-label chain —
+    // SAME oracle; the LAST ground-truth lang consumer (the stored
+    // model's training marker) is gone
+    "q_select_dsir_stored_langid" -> dsirLangIdSql,
     // the full per-language CCNet: one suffixed copy of the proven chain
     // per language over its derived-label shard, union'd with the tag
     "q_curate_multilang" -> {

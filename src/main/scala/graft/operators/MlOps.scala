@@ -273,6 +273,51 @@ object MlOps {
       docs.select(col("doc_id"), col("lang"), col("source")), m)
   }
 
+  /** Build-if-absent maintained DSIR model whose target marker is the
+    * DERIVED language label (r16 — the stored model was the last
+    * ground-truth lang consumer: [[ensureDsirModel]] trains on the
+    * fixture column a crawl never has; this one trains on what the
+    * trigram classifier says, [[graft.operators.LangIdOps
+    * .documentsWithDerivedLang]]). Same create-half + fold-half ensure
+    * convention, its own store name so both models coexist.
+    */
+  private[graft] def ensureDsirModelLangId(spark: SparkSession, dir: String,
+      targetLang: String = "en"): (String, String) = {
+    import graft.sources.CatalogOps
+    val db = "graft_dsir"
+    val name = "docs_langid"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__dsirmodel")) {
+        CatalogOps.createDatabase(spark, db)
+        KnnOps.dropTableAndDir(spark, db, s"${name}__dsirmodel")
+        val docs = graft.operators.LangIdOps.documentsWithDerivedLang(spark, dir)
+        val isT = col("predicted") === lit(targetLang)
+        CatalogOps.createDsirModel(spark, db, name,
+          docs.filter(col("doc_id") % 2 === 0), isT)
+        CatalogOps.upsertDsirModel(spark, db, name,
+          docs.filter(col("doc_id") % 2 =!= 0), isT, batchId = 0L)
+      }
+    }
+    (db, name)
+  }
+
+  /** `q_select_dsir_stored_langid`: the maintained-model selection with
+    * NO ground-truth consumer anywhere in the chain — the model trains
+    * on the derived label, the ask-time marker is the derived label.
+    * Integer count folds keep the served output bit-identical to
+    * [[dsirSelectLangId]], so it faces the SAME DuckDB oracle.
+    */
+  def dsirSelectStoredLangId(spark: SparkSession, dir: String,
+      targetLang: String = "en", m: Int = 100): DataFrame = {
+    import graft.sources.CatalogOps
+    val (db, name) = ensureDsirModelLangId(spark, dir, targetLang)
+    val docs = graft.operators.LangIdOps.documentsWithDerivedLang(spark, dir)
+    val pair = dsirPairsOf(docs, col("predicted") === lit(targetLang))
+    dsirRank(
+      dsirWeigh(pair, dsirLnrOf(CatalogOps.readDsirModel(spark, db, name))),
+      docs.select(col("doc_id"), col("lang"), col("source")), m)
+  }
+
   /** One streaming micro-batch against the maintained DSIR model: fold
     * the batch's counts in ([[graft.sources.CatalogOps.upsertDsirModel]],
     * replay-safe via the row-carried watermark), then weigh THIS batch
