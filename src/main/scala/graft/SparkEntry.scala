@@ -415,6 +415,12 @@ object SparkEntry {
     "q_prompt_template" -> ((s, d) => TextOps.promptTemplate(s, d)),
     "q_citation_format" -> ((s, d) => TextOps.citationFormat(s, d)),
     "q_html_extract"    -> ((s, d) => TextOps.htmlExtract(s, d)),
+    // block-scored MAIN-CONTENT extraction (jusText/trafilatura class):
+    // word floor + link-density fence per block, boilerplate dropped
+    "q_html_main"       -> ((s, d) => TextOps.htmlMain(s, d)),
+    // the ingest chain with the block scorer where the ref pulls one
+    // container — extraction feeds collapse/truncate/upsert/fingerprint
+    "q_ingest_e2e_main" -> ((s, d) => TextOps.ingestEndToEndMain(s, d)),
     "q_json_tree"       -> ((s, d) => TextOps.jsonTree(s, d)),
     "q_json_tree_deep"  -> ((s, d) => TextOps.jsonTreeDeep(s, d)),
     "q_rag_e2e"         -> ((s, d) => TextOps.ragEndToEndText(s, d, KnnTextQuery)),
@@ -581,7 +587,8 @@ object SparkEntry {
     "q_crawl_sitemap_index", "q_dedup_minhash_unicode",
     "q_select_dsir_langid", "q_lang_confusion", "q_gopher_repetition",
     "q_curate_multilang", "q_dedup_paragraph", "q_lm_bigram_stored",
-    "q_gopher_repetition_full", "q_select_dsir_stored_langid")
+    "q_gopher_repetition_full", "q_select_dsir_stored_langid",
+    "q_html_main", "q_ingest_e2e_main")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -765,6 +772,42 @@ object SparkEntry {
        |      WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
        |      ELSE 'zh' END AS predicted
        |  FROM lsc)""".stripMargin
+
+  /** Block-scored main-content CTEs over a relation carrying (doc_id,
+    * text, ...) — pages (the planted full page), blk (per-block text +
+    * link chars), kp (the two closed-form gates), mt (joined main text).
+    * Extra input columns ride through (`SELECT *`), so the ingest
+    * composition reuses the chain verbatim.
+    */
+  private def htmlMainCtes(rel: String): String =
+    s"""pages AS (
+       |  SELECT *, '<html><body>' ||
+       |    '<div class="nav"><a href="/">home</a> <a href="/about">about</a> <a href="/products">products</a></div>' ||
+       |    '<div class="main">' || substr(text, 1, CAST(length(text) // 2 AS INT)) || '</div>' ||
+       |    '<div class="main2">' || substr(text, CAST(length(text) // 2 AS INT) + 1) ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' see <a href="/d">details</a>' ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN repeat(' <a href="/p">more link text here</a>', 6) ELSE '' END ||
+       |    '</div>' ||
+       |    '<div class="share">share</div>' ||
+       |    '<div class="footer"><a href="/privacy">privacy</a> <a href="/terms">terms</a> copyright corpus</div>' ||
+       |    '</body></html>' AS html
+       |  FROM $rel),
+       |blk AS (
+       |  SELECT *, list_filter(list_transform(string_split(html, '</div>'), b ->
+       |      struct_pack(
+       |        txt := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')),
+       |        lch := CAST(coalesce(list_sum(list_transform(
+       |          regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1), x -> length(x))), 0) AS BIGINT))),
+       |    s -> struct_extract(s, 'txt') <> '') AS blocks
+       |  FROM pages),
+       |kp AS (
+       |  SELECT *, list_filter(blocks, s ->
+       |      len(string_split(struct_extract(s, 'txt'), ' ')) >= 5
+       |      AND 5 * struct_extract(s, 'lch') <= length(struct_extract(s, 'txt'))) AS kept
+       |  FROM blk),
+       |mt AS (
+       |  SELECT *, array_to_string(list_transform(kept, s -> struct_extract(s, 'txt')), ' ') AS main_text
+       |  FROM kp)""".stripMargin
 
   /** Oracle shared by q_select_dsir_langid and its maintained-model twin
     * q_select_dsir_stored_langid (integer count folds make the served
@@ -2154,6 +2197,39 @@ object SparkEntry {
         |       regexp_extract('<html><body><div class="J-markdown-box">' || substr(text, 1, 80) || '</div></body></html>',
         |                      '(?s)<div class="J-markdown-box">(.*?)</div>', 1) AS body
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    // main-content extraction: the same planted page, the same two
+    // closed-form gates (word floor + 20% link-density cross-mult)
+    "q_html_main" ->
+      (s"""WITH ${htmlMainCtes("documents")}
+          |SELECT doc_id, CAST(len(blocks) AS BIGINT) AS n_blocks,
+          |       CAST(len(kept) AS BIGINT) AS n_kept,
+          |       CAST(length(main_text) AS BIGINT) AS main_chars,
+          |       CAST(len(list_filter(string_split(main_text, ' '),
+          |         t -> t = 'the' OR t = 'a')) AS BIGINT) AS stop_words,
+          |       main_text
+          |FROM mt ORDER BY doc_id ASC""".stripMargin),
+    // the ingest chain with block-scored extraction where the reference
+    // pulls one container: versions -> pages -> main text -> collapse +
+    // truncate -> last-writer-wins -> fingerprint
+    "q_ingest_e2e_main" ->
+      (s"""WITH v AS (
+          |  SELECT 'https://corpus.local/' || source || '/' || doc_id AS url, doc_id, text,
+          |         CAST(1 AS BIGINT) AS version
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT 'https://corpus.local/' || source || '/' || doc_id, doc_id, text || ' refreshed', 2
+          |  FROM documents WHERE doc_id % 5 = 0),
+          |${htmlMainCtes("v")},
+          |c AS (
+          |  SELECT url, doc_id, version, CAST(len(kept) AS BIGINT) AS n_kept,
+          |         substr(regexp_replace(main_text, ' +', ' ', 'g'), 1, 6000) AS body
+          |  FROM mt),
+          |u AS (
+          |  SELECT *, row_number() OVER (PARTITION BY url ORDER BY version DESC) AS rn FROM c)
+          |SELECT url, doc_id, version, n_kept,
+          |       CAST(length(body) AS BIGINT) AS body_len, md5(body) AS fp
+          |FROM u WHERE rn = 1
+          |ORDER BY url ASC""".stripMargin),
     // ---- text analysis ----
     "q_text_lang" ->
       """WITH s AS (

@@ -878,6 +878,119 @@ object TextOps {
         regexp_extract(col("html"), MarkdownBoxRegex, 1).as("body"))
       .orderBy(col("doc_id").asc)
 
+  /** Deterministic full-page HTML around each document — the planted
+    * fixture for MAIN-CONTENT extraction (the zero-egress corpus has no
+    * markup): navigation, two content blocks carrying the document's two
+    * halves, a short social stub, and a link-heavy footer. Gate
+    * variation is planted per doc_id: % 3 adds one inline link to the
+    * second content block (passes link density), % 5 spams it with six
+    * boilerplate links (fails), and 1–2-token documents yield content
+    * halves under the word floor — every rule fires both ways on the
+    * corpus. Both engines rebuild the page from the same arithmetic.
+    */
+  private[graft] def plantedPage(docs: DataFrame): DataFrame = {
+    val half = (length(col("text")) / 2).cast("int")
+    val first = col("text").substr(lit(1), half)
+    val second = col("text").substr(half + 1, length(col("text")))
+    docs.withColumn("html", concat(
+      lit("<html><body>"),
+      lit("<div class=\"nav\"><a href=\"/\">home</a> <a href=\"/about\">about</a> <a href=\"/products\">products</a></div>"),
+      lit("<div class=\"main\">"), first, lit("</div>"),
+      lit("<div class=\"main2\">"), second,
+      when(col("doc_id") % 3 === 0,
+        lit(" see <a href=\"/d\">details</a>")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        repeat(lit(" <a href=\"/p\">more link text here</a>"), 6))
+        .otherwise(lit("")),
+      lit("</div>"),
+      lit("<div class=\"share\">share</div>"),
+      lit("<div class=\"footer\"><a href=\"/privacy\">privacy</a> <a href=\"/terms\">terms</a> copyright corpus</div>"),
+      lit("</body></html>")))
+  }
+
+  /** MAIN-CONTENT extraction (`q_html_main`) — the boilerplate-removal
+    * stage every published pipeline (C4, Dolma, FineWeb) runs between
+    * fetch and the quality gates, which [[htmlExtract]]'s
+    * one-CSS-selector pull (the reference's shape, `Crawling.py:41-44`)
+    * skips: block-level scoring in the jusText / trafilatura class
+    * (Kohlschütter 2010 / Pomikálek 2011), closed-form so the oracle
+    * mirrors it exactly. Blocks split on the `</div>` boundary; per
+    * block the TEXT surface (tags stripped, whitespace collapsed) and
+    * its LINK characters (anchor inner text) are measured, and a block
+    * is content iff it clears the word floor (≥ 5 words) and the
+    * link-density fence (5·link_chars ≤ text_chars — the 20%
+    * cross-multiplication convention). Stopword density — jusText's
+    * third signal — is REPORTED, not gated: the fixture vocabulary is
+    * synthetic word soup where function-word presence is a coin flip,
+    * so a stopword gate would encode noise (documented fixture-fit, the
+    * q_curate_e2e threshold discipline).
+    *
+    * Scale: one map-side projection per document — block split, per-
+    * block regex strips, and the keep filter are row-local; arrays are
+    * staged as multi-referenced columns (the gopherRepetitionFull
+    * lambda-recompute discipline). Zero exchanges before the sort.
+    * Appends columns, preserving the input's (the ingest composition
+    * carries url/version through).
+    */
+  private[graft] def htmlMainOn(pages: DataFrame): DataFrame = {
+    val rawBlocks = transform(split(col("html"), "</div>"), b =>
+      struct(
+        trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "), " +", " "))
+          .as("txt"),
+        aggregate(
+          regexp_extract_all(b, lit("<a[^>]*>([^<]*)</a>"), lit(1)),
+          lit(0L), (a, x) => a + length(x)).as("lch")))
+    val staged = pages
+      .withColumn("__blocks",
+        filter(rawBlocks, s => s.getField("txt") =!= ""))
+      .withColumn("__kept",
+        filter(col("__blocks"), s =>
+          size(split(s.getField("txt"), " ")) >= 5 &&
+            lit(5L) * s.getField("lch") <= length(s.getField("txt"))))
+      .withColumn("main_text",
+        array_join(transform(col("__kept"), s => s.getField("txt")), " "))
+    staged.select(col("*"),
+      size(col("__blocks")).cast("long").as("n_blocks"),
+      size(col("__kept")).cast("long").as("n_kept"),
+      length(col("main_text")).cast("long").as("main_chars"),
+      size(filter(split(col("main_text"), " "),
+        t => t === "the" || t === "a")).cast("long").as("stop_words"))
+      .drop("__blocks", "__kept")
+  }
+
+  def htmlMain(spark: SparkSession, dir: String): DataFrame =
+    htmlMainOn(plantedPage(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        col("main_chars"), col("stop_words"), col("main_text"))
+      .orderBy(col("doc_id").asc)
+
+  /** `q_ingest_e2e_main`: the ingest chain with main-content extraction
+    * where the reference pulls one container — full pages (re-crawl
+    * batch included) → block-scored main text → whitespace collapse +
+    * 6000-char truncate → last-writer-wins upsert → content fingerprint.
+    * Same plan spine as [[ingestEndToEnd]] (projections into ONE
+    * id-keyed shuffle), the extraction stays map-side.
+    */
+  def ingestEndToEndMain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val url = concat(lit("https://corpus.local/"), col("source"), lit("/"), col("doc_id"))
+    val v1 = docs.select(url.as("url"), col("doc_id"), col("text"), lit(1L).as("version"))
+    val v2 = docs.filter(col("doc_id") % 5 === 0) // simulated re-crawl batch
+      .select(url.as("url"), col("doc_id"),
+        concat(col("text"), lit(" refreshed")).as("text"), lit(2L).as("version"))
+    val extracted = htmlMainOn(plantedPage(v1.unionAll(v2)))
+      .select(col("url"), col("doc_id"), col("version"), col("n_kept"),
+        substring(regexp_replace(col("main_text"), " +", " "), 1, 6000).as("body"))
+    val w = Window.partitionBy(col("url")).orderBy(col("version").desc)
+    extracted
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("url"), col("doc_id"), col("version"), col("n_kept"),
+        length(col("body")).cast("long").as("body_len"), md5(col("body")).as("fp"))
+      .orderBy(col("url").asc)
+  }
+
   /** Retrieval cap — ref `limit=3` (`main_server.py:41`) standalone:
     * `orderBy + limit` compiles to `TakeOrderedAndProject` (bounded
     * per-partition top-k, no global sort).
