@@ -197,8 +197,9 @@ object SparkEntry {
     // folds keep it bit-identical to the live derived-label selection
     "q_select_dsir_stored_langid" -> ((s, d) => MlOps.dsirSelectStoredLangId(s, d)),
     // farthest-first k-center coreset (Gonzalez 1985 / Sener & Savarese
-    // 2018): the DIVERSITY selection pass; rows-only — iterative greedy
-    // with fp state, pinned against a driver-side reference instead
+    // 2018): the DIVERSITY selection pass — FULLY oracled as of r16
+    // (micro-rounded distances replay as chained pick/fold CTE rounds,
+    // kcenterOracleSql); driver-reference + planted-cluster pins stay
     "q_select_kcenter"  -> ((s, d) => MlOps.kcenterSelect(s, d)),
     // the MAINTAINED sketch (create-half + fold-half each run) — exact
     // below saturation, so it faces the SAME oracle as the live aggregate
@@ -356,8 +357,9 @@ object SparkEntry {
       val (db, name) = RetrievalOps.ensureLexicalIndex(s, d)
       RetrievalOps.tfidfTopTermsIndexed(s, db, name)
     }),
-    // greedy MMR is not one-query SQL-expressible: rows-only by design,
-    // cross-checked in RetrievalSpec against a reference implementation
+    // greedy MMR, FULLY oracled as of r16: micro-integer scores with
+    // pool-order ties replay exactly as k-1 chained CTE rounds
+    // (mmrOracleSql); RetrievalSpec still cross-checks the greedy core
     "q_knn_mmr"        -> ((s, d) => RetrievalOps.mmrRerank(s, d)),
     // ---- §2.I events (batch) ----
     "q_events_tumbling"   -> ((s, d) => EventOps.tumbling(s, d)),
@@ -772,6 +774,84 @@ object SparkEntry {
        |      WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
        |      ELSE 'zh' END AS predicted
        |  FROM lsc)""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.RetrievalOps.mmrRerank]] (r16 —
+    * flips q_knn_mmr from rows-only to fully oracled, the
+    * q_link_communities discipline applied to the serving stack): the
+    * greedy unrolled as k−1 chained CTE rounds over the top-`pool`
+    * candidate set. Every compared quantity is shared-double exact —
+    * rel rounds at 6 (the knn convention), pairwise sims floor-half-up
+    * at 6, the score `0.7·rel − (1.0 − 0.7)·maxSim` keeps the engine's
+    * operand order so IEEE arithmetic is bit-identical, and the argmax
+    * is its integer micro value with (sm DESC, pool position ASC) ties
+    * — exactly the engine's scan. Round 1 is always pool position 1
+    * (the score is monotone in rel with ties falling to the first).
+    */
+  private def mmrOracleSql(pool: Int = 20, k: Int = 10): String = {
+    val qv = knnTextQueryVec().mkString(", ")
+    val rounds = (2 to k).map { i =>
+      val prev = s"sel${i - 1}"
+      s"""cand$i AS MATERIALIZED (
+         |  SELECT c.p, c.vec_id, c.rel,
+         |    CAST(floor((0.7 * c.rel - (1.0 - 0.7) * max(s.sim)) * 1000000.0 + 0.5) AS BIGINT) AS sm
+         |  FROM pool c JOIN simm s ON s.pa = c.p AND s.pb IN (SELECT p FROM $prev)
+         |  WHERE c.p NOT IN (SELECT p FROM $prev)
+         |  GROUP BY c.p, c.vec_id, c.rel),
+         |pick$i AS MATERIALIZED (
+         |  SELECT CAST($i AS BIGINT) AS rank, p, vec_id, rel, sm FROM cand$i
+         |  ORDER BY sm DESC, p ASC LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pool AS MATERIALIZED (
+       |  SELECT vec_id, v, rel, row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS p
+       |  FROM (SELECT vec_id, v,
+       |          round(list_cosine_similarity(v, CAST([$qv] AS DOUBLE[])), 6) AS rel
+       |        FROM e)
+       |  QUALIFY p <= $pool),
+       |simm AS MATERIALIZED (
+       |  SELECT a.p AS pa, b.p AS pb,
+       |         floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5) / 1000000.0 AS sim
+       |  FROM pool a JOIN pool b ON a.p <> b.p),
+       |sel1 AS MATERIALIZED (
+       |  SELECT CAST(1 AS BIGINT) AS rank, p, vec_id, rel,
+       |         CAST(floor((0.7 * rel - (1.0 - 0.7) * 0.0) * 1000000.0 + 0.5) AS BIGINT) AS sm
+       |  FROM pool WHERE p = 1),
+       |$rounds
+       |SELECT rank, vec_id, rel, CAST(sm AS DOUBLE) / 1000000.0 AS mmr
+       |FROM sel$k ORDER BY rank ASC""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.operators.MlOps.kcenterOn]] (r16 — flips
+    * q_select_kcenter from rows-only to fully oracled): farthest-first
+    * unrolled as k−1 chained (pick, fold) CTE rounds. Distances are
+    * micro-rounded at computation in BOTH engines (the r16 semantics),
+    * so state, argmax (dmin DESC, vec_id ASC — the engine's
+    * max(struct(dmin, −vec_id))), and the reported radius are exact
+    * integers-over-1e6. The oracle runs the full k: the fixture never
+    * hits the zero-radius early stop (CORRECTNESS pins 16 rows).
+    */
+  private def kcenterOracleSql(k: Int = 16): String = {
+    val d6 = (a: String, b: String) =>
+      s"floor((1.0 - list_cosine_similarity($a, $b)) * 1000000.0 + 0.5) / 1000000.0"
+    val rounds = (2 to k).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT vec_id, v, dmin FROM d${i - 1} ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+         |d$i AS MATERIALIZED (
+         |  SELECT d.vec_id, d.v, least(d.dmin, ${d6("d.v", "p.v")}) AS dmin
+         |  FROM d${i - 1} d CROSS JOIN p$i p)""".stripMargin
+    }.mkString(",\n")
+    val branches = (2 to k).map(i =>
+      s"SELECT $i, vec_id, dmin FROM p$i").mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 1),
+       |d1 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v, ${d6("e.v", "c1.v")} AS dmin
+       |  FROM e CROSS JOIN c1),
+       |$rounds
+       |SELECT CAST(1 AS INT) AS rank, vec_id, 0.0 AS radius FROM c1
+       |UNION ALL $branches
+       |ORDER BY rank ASC""".stripMargin
+  }
 
   /** Block-scored main-content CTEs over a relation carrying (doc_id,
     * text, ...) — pages (the planted full page), blk (per-block text +
@@ -1635,6 +1715,10 @@ object SparkEntry {
     // early-stop ≡ full budget by idempotence (law-pinned), so the
     // engine's convergence stop faces the full-budget oracle
     "q_link_communities" -> lpaOracleSql(),
+    // greedy serving/selection loops unrolled as chained CTE rounds —
+    // the same flip, applied to the two remaining deterministic greedies
+    "q_knn_mmr" -> mmrOracleSql(),
+    "q_select_kcenter" -> kcenterOracleSql(),
     "q_link_hits" -> hitsOracleSql,
     "q_link_pagerank_stored" -> pageRankOracleSql,
     "q_link_anchors" ->

@@ -430,8 +430,12 @@ object MlOps {
     * Deterministic: the seed is the minimum vec_id; each round's argmax
     * breaks distance ties toward the smaller vec_id via one order-free
     * `max(struct(dmin, -vec_id, embedding))` aggregate — no window, no
-    * first(); doubles compare exactly, and every row's dmin is the same
-    * least-of-cosines expression regardless of partitioning (pinned).
+    * first(); distances are micro-rounded at computation (r16), so the
+    * state, the argmax, and the reported radius all live at 6-dp
+    * precision regardless of partitioning (pinned) AND the whole greedy
+    * trajectory replays exactly as a k-round chained-CTE DuckDB oracle —
+    * q_select_kcenter is fully oracled as of r16 (the spec's driver
+    * reference and planted-cluster pins stay).
     *
     * Scale: the state frame carries (vec_id, embedding, running dmin) —
     * ONE column update per round, zero shuffles: the new center rides in
@@ -443,10 +447,8 @@ object MlOps {
     * (the pagerank lineage rule). A radius that rounds to zero at the
     * reported 6-dp precision means every remaining point coincides with
     * a chosen center at output resolution — further centers are dead
-    * weight, so selection stops early.
-    * Rows-only by design: the greedy is iterative with fp state —
-    * engine-native; pinned against an independent driver-side reference
-    * and a planted-cluster resolution test instead.
+    * weight, so selection stops early (the oracle runs the full k — the
+    * fixture never hits the zero-radius floor, CORRECTNESS pins 16/16).
     */
   def kcenterSelect(spark: SparkSession, dir: String, k: Int = 16): DataFrame =
     kcenterOn(
@@ -465,10 +467,17 @@ object MlOps {
     require(seed.nonEmpty, "cannot select from an empty embedding set")
     def step(st: DataFrame, center: Seq[Double]): DataFrame = {
       val cDf = spark.createDataFrame(Seq(Tuple1(center))).toDF("cvec")
+      // distances micro-rounded AT COMPUTATION (floor-half-up on the
+      // shared double): the dmin state, the argmax, and the reported
+      // radius all live at the output's 6-dp precision, so the greedy
+      // trajectory is exactly what a chained-CTE DuckDB oracle replays
+      // (r16 — the q_link_communities flip; ties at 6 dp break to the
+      // smaller id via the -vec_id struct field)
       st.crossJoin(broadcast(cDf))
         .select(col("vec_id"), col("embedding"),
           least(col("dmin"),
-            lit(1.0) - cosineFast(col("embedding"), col("cvec"))).as("dmin"))
+            floor((lit(1.0) - cosineFast(col("embedding"), col("cvec")))
+              * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("dmin"))
         .localCheckpoint(false)
     }
     val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](

@@ -650,12 +650,13 @@ object RetrievalOps {
     * engine runs it: on the BOUNDED pool, after the distributed top-pool
     * scan. The pool (`TakeOrderedAndProject`) is coalesced to one task and
     * the greedy loop runs there via `mapPartitions` — pool² = O(400) dot
-    * products, never on the driver, never corpus-scale. Ties (equal mmr
-    * within 1e-12) break toward the lower vec_id; rel is pre-rounded so
-    * pool membership and seeding match the oracle-style determinism rules.
-    * No SQL oracle by design (greedy iteration is not expressible in one
-    * query); the spec cross-checks against an independent reference
-    * implementation.
+    * products, never on the driver, never corpus-scale. Every compared
+    * quantity is micro-rounded (pairwise sims at 6 dp, the score as its
+    * integer micro value) with ties breaking toward pool order (lowest
+    * id among highest rel) — exactly the argmax a k-round chained-CTE
+    * mirrors, so as of r16 the greedy is FULLY DuckDB-oracled (the
+    * q_link_communities flip applied to the serving stack); the spec
+    * additionally cross-checks the shared greedy core.
     */
   def mmrRerank(spark: SparkSession, dir: String,
                 query: String = graft.SparkEntry.KnnTextQuery,
@@ -697,25 +698,31 @@ object RetrievalOps {
     val n = pool.length
     while (out.length < math.min(k, n)) {
       var bestIdx = -1
-      var bestScore = Double.NegativeInfinity
+      var bestSm = Long.MinValue
       var i = 0
       while (i < n) {
         if (!selected.contains(i)) {
+          // pairwise sims pre-rounded at 6 dp (floor-half-up on the
+          // shared double — the cross-engine convention), the score
+          // compared as its INTEGER micro value: ties at output
+          // precision break toward pool order (lowest id among highest
+          // rel), which is exactly (sm DESC, pool position ASC) — the
+          // chained-CTE oracle's argmax, so the greedy faces DuckDB
           val maxSim =
             if (selected.isEmpty) 0.0
-            else selected.map(j => cos(pool(i)._2, pool(j)._2)).max
+            else selected.map(j =>
+              math.floor(cos(pool(i)._2, pool(j)._2) * 1e6 + 0.5) / 1e6).max
           val score = lambda * pool(i)._3 - (1.0 - lambda) * maxSim
-          // strict > with the pool pre-sorted (rel desc, id asc) makes the
-          // tie-break deterministic: first (lowest-id among highest-rel) wins
-          if (score > bestScore + 1e-12) {
-            bestIdx = i; bestScore = score
+          val sm = math.floor(score * 1e6 + 0.5).toLong
+          if (sm > bestSm) {
+            bestIdx = i; bestSm = sm
           }
         }
         i += 1
       }
       selected += bestIdx
       out += ((out.length + 1L, pool(bestIdx)._1,
-        pool(bestIdx)._3, math.rint(bestScore * 1e6) / 1e6))
+        pool(bestIdx)._3, bestSm / 1e6))
     }
     out.toSeq
   }

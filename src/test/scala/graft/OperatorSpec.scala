@@ -4987,8 +4987,9 @@ class OperatorSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.operators.MlOps
     // independent greedy reference — same cosine accumulation order as
-    // CosineSimilarity (dot/(sqrt(aa)*sqrt(bb))), max-dist tie -> min id,
-    // stop when the radius rounds to zero at 6 dp
+    // CosineSimilarity (dot/(sqrt(aa)*sqrt(bb))), distances micro-rounded
+    // AT COMPUTATION (the r16 oracle-exact semantics), max-dist tie ->
+    // min id, stop when the radius rounds to zero at 6 dp
     def cosD(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
@@ -4998,8 +4999,10 @@ class OperatorSpec extends AnyFunSuite {
     def refGreedy(vs: Seq[(Long, Array[Double])], k: Int): Seq[(Int, Long, Double)] = {
       val sorted = vs.sortBy(_._1)
       var picked = List((1, sorted.head._1, 0.0))
+      def cosD6(a: Array[Double], b: Array[Double]): Double =
+        math.floor(cosD(a, b) * 1e6 + 0.5) / 1e6
       val dmin = scala.collection.mutable.Map(
-        vs.map { case (id, v) => id -> cosD(v, sorted.head._2) }: _*)
+        vs.map { case (id, v) => id -> cosD6(v, sorted.head._2) }: _*)
       val byId = vs.toMap
       var r = 2
       var stop = false
@@ -5010,13 +5013,11 @@ class OperatorSpec extends AnyFunSuite {
         else {
           picked ::= ((r, id, d))
           val cv = byId(id)
-          vs.foreach { case (i, v) => dmin(i) = math.min(dmin(i), cosD(v, cv)) }
+          vs.foreach { case (i, v) => dmin(i) = math.min(dmin(i), cosD6(v, cv)) }
           r += 1
         }
       }
-      picked.reverse.map { case (rk, id, d) =>
-        (rk, id, math.floor(d * 1e6 + 0.5) / 1e6)
-      }
+      picked.reverse.map { case (rk, id, d) => (rk, id, d) }
     }
     // three tight planted clusters around orthogonal axes + jitter
     val rnd = new scala.util.Random(7)

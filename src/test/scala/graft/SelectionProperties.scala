@@ -70,11 +70,17 @@ object SelectionProperties extends Properties("graft.operators.Selection") {
     1.0 - (if (d == 0.0) 0.0 else dot / d)
   }
 
+  // distances micro-rounded AT COMPUTATION — the r16 engine semantics
+  // (state, argmax, and radius all at 6-dp; what the DuckDB chained-CTE
+  // oracle replays)
+  private def cosD6(a: Seq[Double], b: Seq[Double]): Double =
+    math.floor(cosD(a, b) * 1e6 + 0.5) / 1e6
+
   private def refGreedy(vs: Seq[(Long, Seq[Double])], k: Int): Seq[(Int, Long, Double)] = {
     val sorted = vs.sortBy(_._1)
     var picked = List((1, sorted.head._1, 0.0))
     val dmin = scala.collection.mutable.Map(
-      vs.map { case (id, v) => id -> cosD(v, sorted.head._2) }: _*)
+      vs.map { case (id, v) => id -> cosD6(v, sorted.head._2) }: _*)
     val byId = vs.toMap
     var r = 2
     var stop = false
@@ -84,13 +90,11 @@ object SelectionProperties extends Properties("graft.operators.Selection") {
       else {
         picked ::= ((r, id, d))
         val cv = byId(id)
-        vs.foreach { case (i, v) => dmin(i) = math.min(dmin(i), cosD(v, cv)) }
+        vs.foreach { case (i, v) => dmin(i) = math.min(dmin(i), cosD6(v, cv)) }
         r += 1
       }
     }
-    picked.reverse.map { case (rk, id, d) =>
-      (rk, id, math.floor(d * 1e6 + 0.5) / 1e6)
-    }
+    picked.reverse.map { case (rk, id, d) => (rk, id, d) }
   }
 
   // ---- JL projection: fused kernel ≡ HOF spec ----
