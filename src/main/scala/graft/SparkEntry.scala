@@ -151,6 +151,12 @@ object SparkEntry {
     // Dolma-style paragraph dedup: corpus-wide duplicated paragraphs
     // (boilerplate) flagged per doc with char accounting + 20% keep gate
     "q_dedup_paragraph" -> ((s, d) => DedupOps.dedupParagraph(s, d)),
+    // the Dolma-style STREAMING form over the maintained bloom store
+    // (r16): first-arrival flags, capacity-planned membership — rows-only
+    // by design (bloom false positives are legal output); streamed ≡
+    // exact first-arrival below saturation + fill budget + replay
+    // idempotence pinned in StreamingSpec
+    "q_dedup_paragraph_stream" -> ((s, d) => DedupOps.paragraphStreamFixture(s, d)),
     "q_dedup_substring" -> ((s, d) => DedupOps.dedupSubstring(s, d)),
     "q_dedup_substring_trim" -> ((s, d) => DedupOps.dedupSubstringTrim(s, d)),
     // image-modality near-dup: rendered-mosaic corpus with planted resized
@@ -590,7 +596,7 @@ object SparkEntry {
     "q_select_dsir_langid", "q_lang_confusion", "q_gopher_repetition",
     "q_curate_multilang", "q_dedup_paragraph", "q_lm_bigram_stored",
     "q_gopher_repetition_full", "q_select_dsir_stored_langid",
-    "q_html_main", "q_ingest_e2e_main")
+    "q_html_main", "q_ingest_e2e_main", "q_dedup_paragraph_stream")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.

@@ -747,6 +747,106 @@ object DedupOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** One micro-batch of STREAMING paragraph dedup over the maintained
+    * BLOOM store — the Dolma-style swap-in [[paragraphDedupOn]]'s scaladoc
+    * names: at crawl scale the corpus-wide exact paragraph count is too
+    * expensive per increment, so membership is a capacity-planned bloom
+    * filter (false positives = a unique paragraph occasionally counted
+    * duplicated, the trade Dolma ships; NO false negatives — boilerplate
+    * never slips through). FIRST-ARRIVAL semantics: a paragraph's first
+    * occurrence (across batches via the store, within the batch via a
+    * (doc_id, pos) window) is clean, every later occurrence is
+    * duplicated — the streaming counterpart of the batch form's
+    * corpus-count c > 1 flag (which also flags the first occurrence;
+    * the spec pins the exact relation).
+    *
+    * Store/replay discipline: the bloom word log is idempotent by
+    * algebra (OR — the one maintained store needing no watermark), so
+    * state survives at-least-once replay bit-for-bit; the RETURNED
+    * flags of a replayed batch drift (its own hashes are now in the
+    * store), so a sink must key on (doc_id, batch) — the
+    * [[MlOps.dsirIncrementalBatch]] caveat, documented not hidden.
+    */
+  private[graft] def paragraphIncrementalBatch(batch: DataFrame, db: String,
+      name: String): DataFrame = {
+    import graft.sources.CatalogOps
+    import graft.functions.BloomFunctions
+    val spark = batch.sparkSession
+    val paras = batch
+      .select(col("doc_id"), posexplode(split(col("text"), "\n\n"))
+        .as(Seq("pos", "para")))
+      .withColumn("h", md5(col("para")))
+    // probe the store state SO FAR (before this batch's append)
+    val (words, m) = CatalogOps.foldedBloomWords(spark, db, name)
+    val bloomDf = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(words)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__bloom_words",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, false)))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id").asc, col("pos").asc)
+    val flagged = paras.crossJoin(broadcast(bloomDf))
+      .withColumn("seen",
+        BloomFunctions.mightContain(col("h"), col("__bloom_words"), m) ||
+          row_number().over(w) > 1)
+      .drop("__bloom_words")
+    val out = flagged
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("seen"), 1L).otherwise(0L)).as("n_dup_paras"),
+        sum(when(col("seen"), length(col("para")).cast("long"))
+          .otherwise(0L)).as("dup_chars"),
+        sum(length(col("para")).cast("long")).as("total_chars"))
+      .withColumn("keep",
+        (lit(5L) * col("dup_chars") <= col("total_chars")).cast("long"))
+      .localCheckpoint() // flags are fixed BEFORE the store advances
+    CatalogOps.upsertBloomStore(spark, db, name,
+      paras.select(col("h")).distinct(), "h")
+    out
+  }
+
+  /** Build-if-absent streamed-paragraph results over the fixture — the
+    * `q_dedup_paragraph_stream` contract entry: the SAME planted corpus
+    * as [[dedupParagraph]], fed oldest-half-first (doc_id % 2 = 0 then
+    * the odd half) through [[paragraphIncrementalBatch]] over a fresh
+    * capacity-planned bloom store. Rows-only by design (bloom membership
+    * is approximate — a false positive is legal output); the spec pins
+    * streamed ≡ exact first-arrival reference below saturation, the
+    * fill/fpp budget, and the store's replay idempotence.
+    */
+  def paragraphStreamFixture(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CatalogOps
+    val db = "graft_parastream"
+    val name = "docs"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__results")) {
+        CatalogOps.createDatabase(spark, db)
+        Seq(s"${name}__results", s"${name}__bloom", s"${name}__bloommeta")
+          .foreach(KnnOps.dropTableAndDir(spark, db, _))
+        val planted = Tables.documents(spark, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0,
+              lit("\n\nsubscribe to the newsletter today")).otherwise(lit("")),
+            when(col("doc_id") % 10 === 0,
+              lit("\n\nall rights reserved legal notice")).otherwise(lit("")))
+            .as("text"))
+        CatalogOps.createBloomStore(spark, db, name,
+          planted.select(md5(col("text")).as("h")).limit(0), "h",
+          expectedKeys = 16384L)
+        Seq(0L, 1L).foreach { half =>
+          paragraphIncrementalBatch(
+            planted.filter(col("doc_id") % 2 === half), db, name)
+            .write.mode("append").saveAsTable(s"`$db`.`${name}__results`")
+        }
+      }
+    }
+    spark.table(s"`$db`.`${name}__results`")
+      .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
+        col("dup_chars"), col("total_chars"), col("keep"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Duplicated-SPAN detection — the SUBSTRING granularity of corpus dedup
     * (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
     * Better": exact duplicated token spans are removed corpus-wide, the

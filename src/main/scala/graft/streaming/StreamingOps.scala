@@ -340,6 +340,37 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming PARAGRAPH dedup — the Dolma-style bloom-membership form
+    * of [[graft.operators.DedupOps.dedupParagraph]]
+    * ([[graft.operators.DedupOps.paragraphIncrementalBatch]] per
+    * micro-batch): each batch's paragraphs probe the maintained bloom
+    * store (first arrival clean, every later occurrence duplicated —
+    * across batches via the store, within a batch via the (doc_id, pos)
+    * window), per-doc accounting + the 20% keep gate append to
+    * `{name}__results` keyed by batch_id, and the batch's paragraph
+    * hashes fold into the store. The word log is idempotent by algebra
+    * (OR — no watermark needed for STATE); a replayed batch's output
+    * rows drift (its hashes are already stored), so the results sink
+    * keys on (doc_id, batch_id) — at-least-once, pinned in
+    * StreamingSpec along with streamed ≡ exact-first-arrival below
+    * saturation.
+    */
+  def streamingDedupParagraph(docStream: DataFrame, db: String,
+      name: String): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions.lit
+          graft.operators.DedupOps
+            .paragraphIncrementalBatch(batch.toDF(), db, name)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append")
+            .saveAsTable(s"`$db`.`${name}__results`")
+        }
+      }
+      .start()
+
   /** Streaming URL-dedup ingest filter — the exact-key member of the
     * incremental-dedup family ([[graft.operators.DedupOps
     * .urlIncrementalBatch]] per micro-batch): first arrival wins each

@@ -2025,4 +2025,101 @@ class StreamingSpec extends AnyFunSuite {
     assert(state("kb") === streamed, "replayed batch must not change content")
     CatalogOps.dropDatabase(spark, db)
   }
+
+  test("streaming paragraph dedup: first-arrival over the bloom store ≡ exact reference; state replay-idempotent") {
+    import graft.sources.CatalogOps
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val db = "sparadb"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    CatalogOps.createBloomStore(spark, db, "docs",
+      Seq.empty[String].toDF("h").limit(0), "h", expectedKeys = 4096L)
+    // boilerplate "sub" recurs across batches; doc 3 repeats its own para
+    val b0 = Seq(
+      (0L, "alpha beta\n\nsub"),
+      (1L, "gamma delta"))
+    val b1 = Seq(
+      (2L, "epsilon zeta\n\nsub"),          // sub seen in b0 → dup
+      (3L, "own para\n\nown para"),          // within-batch dup (2nd flagged)
+      (4L, "gamma delta"))                   // whole text = b0 doc 1's para → dup
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingDedupParagraph(
+      in.toDF.toDF("doc_id", "text"), db, "docs")
+    try {
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(s"`$db`.`docs__results`")
+      .select(col("doc_id"), col("n_paras"), col("n_dup_paras"), col("keep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // exact first-arrival reference over the arrival order
+    val expected = Set(
+      (0L, 2L, 0L, 1L),  // first arrivals all clean
+      (1L, 1L, 0L, 1L),
+      (2L, 2L, 1L, 1L),  // "sub" (4 chars) dup but under 20% of 16 chars? 5*3<=15? -> computed below
+      (3L, 2L, 1L, 0L),  // second "own para" dup: 5*8 > 17 -> dropped
+      (4L, 1L, 1L, 0L))  // whole doc is a seen paragraph -> dropped
+    // recompute doc 2's gate honestly: dup_chars=3 ("sub"), total=15 -> keep
+    assert(got === expected, s"got=$got")
+    // saturation budget: fill tiny, implied fpp ~ 0 at this capacity
+    val (fill, fpp) = CatalogOps.bloomStoreFill(spark, db, "docs")
+    assert(fill < 0.01 && fpp < 1e-6, s"fill=$fill fpp=$fpp")
+    // STATE replay idempotence by algebra: re-folding the same batch's
+    // hashes leaves the served words bit-identical
+    val before = CatalogOps.foldedBloomWords(spark, db, "docs")._1.toSeq
+    CatalogOps.upsertBloomStore(spark, db, "docs",
+      b1.toDF("doc_id", "text")
+        .select(explode(split(col("text"), "\n\n")).as("para"))
+        .select(md5(col("para")).as("h")).distinct(), "h")
+    val after = CatalogOps.foldedBloomWords(spark, db, "docs")._1.toSeq
+    assert(after === before)
+    CatalogOps.dropDatabase(spark, db)
+  }
+
+  test("paragraphStreamFixture: streamed halves ≡ exact first-arrival over the planted corpus") {
+    import graft.operators.DedupOps
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = DedupOps.paragraphStreamFixture(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // exact first-arrival reference: arrival order = (doc_id % 2, doc_id,
+    // pos) — the fixture feeds the even half first
+    val planted = Tables.documents(spark, TestSpark.Sf).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit("\n\nsubscribe to the newsletter today")).otherwise(lit("")),
+        when(col("doc_id") % 10 === 0,
+          lit("\n\nall rights reserved legal notice")).otherwise(lit("")))
+        .as("text"))
+    val paras = planted.select(col("doc_id"),
+        posexplode(split(col("text"), "\n\n")).as(Seq("pos", "para")))
+      .withColumn("h", md5(col("para")))
+    val w = Window.partitionBy(col("h"))
+      .orderBy((col("doc_id") % 2).asc, col("doc_id").asc, col("pos").asc)
+    val ref = paras.withColumn("dup", row_number().over(w) > 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_paras"),
+        sum(when(col("dup"), length(col("para")).cast("long"))
+          .otherwise(0L)).as("dup_chars"),
+        sum(length(col("para")).cast("long")).as("total_chars"))
+      .withColumn("keep",
+        (lit(5L) * col("dup_chars") <= col("total_chars")).cast("long"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === ref, "streamed result diverged from the exact first-arrival reference (bloom below saturation)")
+    // relation to the BATCH form: batch flags every occurrence of a
+    // duplicated paragraph (corpus count > 1), first-arrival flags all
+    // but the first — so streamed dup counts are bounded by batch's
+    val batch = DedupOps.dedupParagraph(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got.forall { case (id, (_, nd, _, _, _)) => nd <= batch(id) })
+  }
 }
