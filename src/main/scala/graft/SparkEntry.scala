@@ -253,6 +253,9 @@ object SparkEntry {
     "q_lang_id"         -> ((s, d) => LangIdOps.langIdFixture(s, d)),
     // the per-language accuracy surface (lang x predicted counts)
     "q_lang_confusion"  -> ((s, d) => LangIdOps.langConfusion(s, d)),
+    // the CONFIDENCE band (r16): integer score margin + unknown verdict
+    // below the fixed fence — CCNet's low-confidence routing
+    "q_lang_id_margin"  -> ((s, d) => LangIdOps.langIdMargin(s, d)),
     // Gopher's repetition GATES (Rae et al. A1.1): duplicated-line
     // chars + char-weighted top-2-gram, 20% integer-ratio thresholds
     // (q_text_repetition is the count-based top-bigram SIGNAL)
@@ -263,6 +266,9 @@ object SparkEntry {
     "q_gopher_repetition_full" -> ((s, d) => TextAnalysisOps.gopherRepetitionFull(s, d)),
     // the composed chain: derived lang gate -> per-language CCNet battery
     "q_curate_e2e_lang" -> ((s, d) => LangIdOps.curateE2eLang(s, d)),
+    // the lang gate routed through the CONFIDENCE band (r16): en-verdict
+    // only — low-margin docs go to unknown and out, CCNet's §3.1 routing
+    "q_curate_e2e_verdict" -> ((s, d) => LangIdOps.curateE2eLangVerdict(s, d)),
     // the FULL CCNet: every language through its own LM + fences, union'd
     "q_curate_multilang" -> ((s, d) => LangIdOps.curateMultilang(s, d)),
     // JL Rademacher projection from a shared integer-lattice matrix —
@@ -596,7 +602,8 @@ object SparkEntry {
     "q_select_dsir_langid", "q_lang_confusion", "q_gopher_repetition",
     "q_curate_multilang", "q_dedup_paragraph", "q_lm_bigram_stored",
     "q_gopher_repetition_full", "q_select_dsir_stored_langid",
-    "q_html_main", "q_ingest_e2e_main", "q_dedup_paragraph_stream")
+    "q_html_main", "q_ingest_e2e_main", "q_dedup_paragraph_stream",
+    "q_lang_id_margin", "q_curate_e2e_verdict")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -738,7 +745,12 @@ object SparkEntry {
     * rendering, `^tok$` trigram windows, per-language integer log-odds
     * sums, argmax with the lang-ascending tie-break — ending at
     * `lpred(doc_id, lang, s_de..s_zh, predicted)`. Shared by q_lang_id
-    * and q_curate_e2e_lang.
+    * and every derived-label consumer. Rendering is LENIENT (LEFT JOIN,
+    * out-of-vocabulary tokens pass through raw — r16, mirroring
+    * [[graft.operators.LangIdOps.withDerivedLangOn]]'s contract; the
+    * strict q_lang_id engine path raises on OOV rather than rendering,
+    * so on any corpus BOTH engines produce rows the two forms agree on:
+    * the frozen fixture is fully in-dictionary).
     */
   private def langIdCtes: String =
     s"""ldict AS (SELECT * FROM (VALUES
@@ -749,9 +761,10 @@ object SparkEntry {
        |  SELECT doc_id, lang, t, unnest(range(1, len(t) + 1)) AS i
        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)),
        |lrend AS (
-       |  SELECT x.doc_id, x.lang, string_agg(d.word, ' ' ORDER BY x.i) AS rtext
+       |  SELECT x.doc_id, x.lang,
+       |         string_agg(coalesce(d.word, x.tok), ' ' ORDER BY x.i) AS rtext
        |  FROM (SELECT doc_id, lang, i, t[i] AS tok FROM ltoks) x
-       |  JOIN ldict d ON d.dlang = x.lang AND d.tok = x.tok
+       |  LEFT JOIN ldict d ON d.dlang = x.lang AND d.tok = x.tok
        |  GROUP BY x.doc_id, x.lang),
        |lwords AS (
        |  SELECT doc_id, lang, rt[j] AS w
@@ -2479,6 +2492,24 @@ object SparkEntry {
          |  s_de, s_en, s_es, s_fr, s_zh
          |FROM lpred
          |ORDER BY doc_id ASC""".stripMargin,
+    // margin = best - second-best integer score (a CASE over the argmax);
+    // verdict fences it at the fixed integer minimum — boundary-exact
+    "q_lang_id_margin" ->
+      s"""WITH $langIdCtes,
+         |mg AS (
+         |  SELECT doc_id, lang, predicted,
+         |    greatest(s_de, s_en, s_es, s_fr, s_zh) -
+         |    CASE predicted
+         |      WHEN 'de' THEN greatest(s_en, s_es, s_fr, s_zh)
+         |      WHEN 'en' THEN greatest(s_de, s_es, s_fr, s_zh)
+         |      WHEN 'es' THEN greatest(s_de, s_en, s_fr, s_zh)
+         |      WHEN 'fr' THEN greatest(s_de, s_en, s_es, s_zh)
+         |      ELSE greatest(s_de, s_en, s_es, s_fr) END AS margin
+         |  FROM lpred)
+         |SELECT doc_id, lang, predicted, margin,
+         |  CASE WHEN margin >= ${LangIdOps.DefaultMinMargin} THEN predicted
+         |       ELSE 'unknown' END AS verdict
+         |FROM mg ORDER BY doc_id ASC""".stripMargin,
     // the confusion matrix of the derived label vs the fixture label
     "q_lang_confusion" ->
       s"""WITH $langIdCtes
@@ -2536,6 +2567,18 @@ object SparkEntry {
           |  SELECT d.doc_id, d.text
           |  FROM documents d JOIN lpred p USING (doc_id)
           |  WHERE p.predicted = 'en'),
+          |""".stripMargin + curateCcnetCtes("endocs", "") + "\n" +
+        curateCcnetSelect("") + "\nORDER BY doc_id ASC"),
+    // the confidence-banded gate: en verdict only — with predicted = 'en'
+    // the second-best score is the greatest of the non-en scores
+    "q_curate_e2e_verdict" ->
+      (s"""WITH $langIdCtes,
+          |endocs AS (
+          |  SELECT d.doc_id, d.text
+          |  FROM documents d JOIN lpred p USING (doc_id)
+          |  WHERE p.predicted = 'en'
+          |    AND p.s_en - greatest(p.s_de, p.s_es, p.s_fr, p.s_zh)
+          |        >= ${LangIdOps.DefaultMinMargin}),
           |""".stripMargin + curateCcnetCtes("endocs", "") + "\n" +
         curateCcnetSelect("") + "\nORDER BY doc_id ASC"),
     // same LM CTEs as q_lm_bigram; fences = exact order statistics at

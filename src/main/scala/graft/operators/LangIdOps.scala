@@ -145,6 +145,53 @@ object LangIdOps {
     withS.withColumn("predicted", pred).drop("__s")
   }
 
+  /** Append the CONFIDENCE surface to a scored frame (r16 — CCNet drops
+    * documents whose classifier confidence is low, Wenzek et al. 2020
+    * §3.1 route them to an "unknown" bucket rather than force a label):
+    * `margin` = best score − second-best score (exact integers — the
+    * trigram sums are integer log-odds), `verdict` = the prediction when
+    * the margin clears `minMargin`, else `unknown`. The second-best is a
+    * CASE over the argmax — the same closed form the DuckDB oracle
+    * mirrors; requires [[withLangScores]] columns.
+    */
+  def withLangVerdict(scored: DataFrame, minMargin: Long): DataFrame = {
+    val runnerUp = langs.map { l =>
+      val others = langs.filter(_ != l).map(o => col(s"s_$o"))
+      (l, greatest(others: _*))
+    }
+    val second = runnerUp.tail.foldLeft(
+      when(col("predicted") === runnerUp.head._1, runnerUp.head._2)) {
+      case (acc, (l, g)) => acc.when(col("predicted") === l, g)
+    }
+    scored
+      .withColumn("margin",
+        greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr"),
+          col("s_zh")) - second)
+      .withColumn("verdict",
+        when(col("margin") >= minMargin, col("predicted"))
+          .otherwise(lit("unknown")))
+  }
+
+  /** `q_lang_id_margin`: the confidence band faced against the oracle —
+    * (doc_id, lang, predicted, margin, verdict). `minMargin` is a fixed
+    * integer fence on the exact integer margin, so the verdict column is
+    * boundary-exact in both engines.
+    */
+  def langIdMargin(spark: SparkSession, dir: String,
+      minMargin: Long = DefaultMinMargin): DataFrame =
+    withLangVerdict(withLangScores(renderedDocuments(spark, dir)), minMargin)
+      .select(col("doc_id"), col("lang"), col("predicted"),
+        col("margin"), col("verdict"))
+      .orderBy(col("doc_id").asc)
+
+  /** The fixture fence: picked from the rendered corpus's margin
+    * distribution so BOTH verdicts occur at every fixture scale (pinned
+    * in LangIdSpec: 4 unknowns at sf0.001, 1 at sf0.01) — short
+    * documents carry small margins, full-length ones land in the tens
+    * of thousands.
+    */
+  private[graft] val DefaultMinMargin: Long = 5000L
+
   /** `q_lang_id`: identify each rendered document's language from surface
     * text alone and face it against the fixture label. Output carries the
     * five scores, the prediction, and the per-row `correct` flag the
@@ -298,6 +345,27 @@ object LangIdOps {
       .select(col("lang"), col("doc_id"), col("n_words"),
         col("avg_cond_p"), col("bucket"))
       .orderBy(col("lang").asc, col("doc_id").asc)
+  }
+
+  /** `q_curate_e2e_verdict` (r16): the lang gate routed through the
+    * CONFIDENCE band — CCNet keeps a document for language L only when
+    * the classifier is CONFIDENT (Wenzek et al. 2020 §3.1); low-margin
+    * documents go to `unknown` and out of every per-language shard
+    * rather than polluting one. Identical to [[curateE2eLang]] except
+    * the gate is `verdict === targetLang`: en-predicted documents under
+    * the margin fence are routed out BEFORE the quality battery.
+    */
+  def curateE2eLangVerdict(spark: SparkSession, dir: String,
+      targetLang: String = "en",
+      minMargin: Long = DefaultMinMargin): DataFrame = {
+    val kept = withLangVerdict(
+        withDerivedLangOn(Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))),
+        minMargin)
+      .filter(col("verdict") === lit(targetLang))
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(false)
+    TextAnalysisOps.curateCcnetOn(kept)
   }
 
   def curateE2eLang(spark: SparkSession, dir: String,

@@ -90,4 +90,47 @@ class LangIdSpec extends AnyFunSuite {
       .select(col("doc_id")).as[Long].collect().toSet
     assert(out.map(_.getLong(0)).forall(en.contains))
   }
+
+  test("confidence band: both verdicts occur, margins are exact integers, empty text is unknown") {
+    import spark.implicits._
+    val m = LangIdOps.langIdMargin(spark, TestSpark.Sf).localCheckpoint()
+    val verdicts = m.select(col("verdict")).distinct()
+      .as[String].collect().toSet
+    assert(verdicts.contains("unknown"), "fence never fires on the fixture")
+    assert(verdicts.size > 1, "fence rejects everything")
+    // below-fence rows are exactly the unknowns; at/above keep the label
+    val bad = m.filter(
+      (col("margin") < LangIdOps.DefaultMinMargin && col("verdict") =!= "unknown") ||
+        (col("margin") >= LangIdOps.DefaultMinMargin &&
+          col("verdict") =!= col("predicted"))).count()
+    assert(bad == 0L)
+    // the degenerate document: all scores 0, margin 0, unknown
+    val empty = LangIdOps.withLangVerdict(
+      LangIdOps.withLangScores(Seq((1L, "")).toDF("doc_id", "text")),
+      LangIdOps.DefaultMinMargin)
+      .select(col("margin"), col("verdict")).head()
+    assert(empty.getLong(0) == 0L && empty.getString(1) == "unknown")
+  }
+
+  test("verdict gate composition: the banded gate = the lang gate minus exactly the low-margin docs") {
+    // pin at the GATE (the CCNet battery downstream recomputes its
+    // perplexity fences over whatever subset it is fed, so output sets
+    // are not simply nested — the gate-level algebra is the contract)
+    val scored = LangIdOps.withLangVerdict(
+      LangIdOps.withLangScores(LangIdOps.renderedDocuments(spark, TestSpark.Sf)),
+      LangIdOps.DefaultMinMargin).localCheckpoint()
+    val langGate = scored.filter(col("predicted") === "en")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val bandGate = scored.filter(col("verdict") === "en")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val lowMarginEn = scored
+      .filter(col("predicted") === "en" && col("verdict") === "unknown")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(bandGate == langGate -- lowMarginEn)
+    assert((bandGate & lowMarginEn).isEmpty)
+    // and the banded chain is the CCNet battery over exactly that gate
+    val out = LangIdOps.curateE2eLangVerdict(spark, TestSpark.Sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out.subsetOf(bandGate))
+  }
 }
