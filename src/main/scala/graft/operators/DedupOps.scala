@@ -1595,10 +1595,12 @@ object DedupOps {
     * artifacts a future refresh needs.
     */
   def createComponentStore(spark: SparkSession, db: String, name: String,
-      docs0: DataFrame, tau: Double = 0.95): Unit = {
+      docs0: DataFrame, tau: Double = 0.95,
+      maxBucket: Int = LshGuard.DefaultMaxBucket): Unit = {
     val docs = docs0.select(col("doc_id"), col("text"))
     val star = connectedComponentsOn(
-      minHashLshPairsOn(docs, tau).select(col("a_id").as("a"), col("b_id").as("b")))
+      minHashLshPairsOn(docs, tau, maxBucket)
+        .select(col("a_id").as("a"), col("b_id").as("b")))
     docs.select(col("doc_id"))
       .join(star.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1618,26 +1620,35 @@ object DedupOps {
       .write.mode("overwrite").partitionBy("bucket")
       .saveAsTable(s"`$db`.`${name}__cdata`")
     sig.unpersist()
-    // tau travels with the store: every fold must re-verify at the SAME
-    // threshold or the stored closure silently changes meaning;
-    // guard_hits accumulates the folds' hot-bucket drops (ADVICE r14 —
-    // a nonzero counter says the stored closure may differ from a cold
-    // rebuild through the guard, loudly instead of silently)
-    spark.createDataFrame(Seq((1L, tau, 0L))).toDF("epoch", "tau", "guard_hits")
+    // tau AND maxBucket travel with the store: every fold must re-verify
+    // at the SAME threshold and the SAME hot-bucket cap, or the stored
+    // closure silently changes meaning / the guard semantics drift
+    // across epochs (ADVICE r15 — exactly the drift class the tau
+    // require() already guards); guard_hits accumulates the folds'
+    // hot-bucket drops (ADVICE r14 — a nonzero counter says the stored
+    // closure may differ from a cold rebuild through the guard, loudly
+    // instead of silently)
+    spark.createDataFrame(Seq((1L, tau, 0L, maxBucket.toLong)))
+      .toDF("epoch", "tau", "guard_hits", "max_bucket")
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cmeta`")
   }
 
-  /** The store's build threshold + current (epoch, cumulative guard-hit
-    * count); folds must match tau.
+  /** The store's build threshold + hot-bucket cap + current (epoch,
+    * cumulative guard-hit count); folds must match tau AND maxBucket.
     */
   private def compMeta(spark: SparkSession, db: String, name: String,
-      tau: Double): (Long, Long) = {
+      tau: Double, maxBucket: Int): (Long, Long) = {
     val r = spark.table(s"`$db`.`${name}__cmeta`")
-      .agg(max(col("epoch")), max(col("tau")), max(col("guard_hits"))).head()
+      .agg(max(col("epoch")), max(col("tau")), max(col("guard_hits")),
+        max(col("max_bucket"))).head()
     require(r.getDouble(1) == tau,
       s"component store `$name` was built at tau=${r.getDouble(1)}; " +
         s"folding at tau=$tau would change what 'duplicate' means — " +
         "rebuild the store to change the threshold")
+    require(r.getLong(3) == maxBucket.toLong,
+      s"component store `$name` was built with maxBucket=${r.getLong(3)}; " +
+        s"folding at maxBucket=$maxBucket would change the hot-bucket " +
+        "guard semantics across epochs — rebuild the store to change the cap")
     (r.getLong(0), r.getLong(2))
   }
 
@@ -1655,7 +1666,7 @@ object DedupOps {
       newDocs0: DataFrame, tau: Double = 0.95,
       maxBucket: Int = LshGuard.DefaultMaxBucket): Unit = {
     val newDocs = newDocs0.select(col("doc_id"), col("text"))
-    val (epoch0, hits0) = compMeta(spark, db, name, tau) // refuses a tau mismatch
+    val (epoch0, hits0) = compMeta(spark, db, name, tau, maxBucket) // refuses tau/cap mismatch
     val comps = spark.table(compTable(db, name))
     val newIds = newDocs.select(col("doc_id")).localCheckpoint(false)
     require(comps.join(broadcast(newIds), Seq("doc_id"), "left_semi").isEmpty,
@@ -1747,8 +1758,8 @@ object DedupOps {
       .withColumn("bucket", pmod(hash(col("doc_id")), lit(CompStoreBuckets)))
       .write.mode("append").insertInto(s"$db.${name}__cdata")
     sig.unpersist()
-    spark.createDataFrame(Seq((epoch0 + 1, tau, hits0 + guardHits)))
-      .toDF("epoch", "tau", "guard_hits")
+    spark.createDataFrame(Seq((epoch0 + 1, tau, hits0 + guardHits, maxBucket.toLong)))
+      .toDF("epoch", "tau", "guard_hits", "max_bucket")
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cmeta`")
   }
 
@@ -1770,8 +1781,9 @@ object DedupOps {
     * deleteByIds shape: untouched buckets byte-stable, emptied drop).
     */
   def removeFromComponents(spark: SparkSession, db: String, name: String,
-      ids: DataFrame, tau: Double = 0.95): Unit = {
-    val (epoch0, hits0) = compMeta(spark, db, name, tau) // refuses a tau mismatch
+      ids: DataFrame, tau: Double = 0.95,
+      maxBucket: Int = LshGuard.DefaultMaxBucket): Unit = {
+    val (epoch0, hits0) = compMeta(spark, db, name, tau, maxBucket) // refuses tau/cap mismatch
     val doomed = ids.toDF("doc_id").distinct().localCheckpoint(false)
     val comps = spark.table(compTable(db, name))
     val touchedComps = comps.join(broadcast(doomed), Seq("doc_id"), "left_semi")
@@ -1791,7 +1803,7 @@ object DedupOps {
       spark.table(s"`$db`.`${name}__csigs`")
         .select(col("band"), col("bkey"), col("doc_id"))
         .join(broadcast(survivors), Seq("doc_id"), "left_semi"),
-      LshGuard.DefaultMaxBucket)
+      maxBucket)
     val l = sigs.select(col("band"), col("bkey"), col("doc_id").as("a_id"))
     val r = sigs.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
       col("doc_id").as("b_id"))
@@ -1860,8 +1872,8 @@ object DedupOps {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
-    spark.createDataFrame(Seq((epoch0 + 1, tau, hits0)))
-      .toDF("epoch", "tau", "guard_hits")
+    spark.createDataFrame(Seq((epoch0 + 1, tau, hits0, maxBucket.toLong)))
+      .toDF("epoch", "tau", "guard_hits", "max_bucket")
       .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__cmeta`")
   }
 
@@ -1912,7 +1924,9 @@ object DedupOps {
     val name = "docs"
     this.synchronized {
       val ready = spark.catalog.tableExists(s"$db.${name}__cmeta") &&
-        spark.catalog.tableExists(s"$db.${name}__cfix") && {
+        spark.catalog.tableExists(s"$db.${name}__cfix") &&
+        // pre-r16 stores carry no max_bucket column — rebuild once
+        spark.table(s"`$db`.`${name}__cmeta`").columns.contains("max_bucket") && {
           val r = spark.table(s"`$db`.`${name}__cmeta`")
             .agg(max(col("epoch"))).head()
           val f = spark.table(s"`$db`.`${name}__cfix`")

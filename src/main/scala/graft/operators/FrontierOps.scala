@@ -372,12 +372,19 @@ object FrontierOps {
     * Scale shape is the sum of its parts: map-side sitemap parse, one
     * url-keyed priority join, closure-broadcast admission, one hash
     * exchange + per-host rank bounded at hosts × cap.
+    *
+    * ONE injected control plane (r16, closing the r15 advice gap):
+    * `fetch` serves the robots bodies and `sitemapBodies` the
+    * index/child sitemap XML — a production caller supplies both from
+    * the same fetcher and no fixture derivation remains on its path;
+    * each defaults to the fixture surface.
     */
   def crawlPlan(spark: SparkSession, dir: String,
       agent: String = graft.sources.RobotsOps.FixtureAgent,
       globalCap: Int = 8, cycleSeconds: Double = 10.0,
       fetch: String => Option[String] =
-        graft.sources.RobotsOps.fixtureFetch): DataFrame = {
+        graft.sources.RobotsOps.fixtureFetch,
+      sitemapBodies: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import graft.sources.RobotsOps
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -385,7 +392,7 @@ object FrontierOps {
     // same entry set as the flat parse by construction, so the plan (and
     // its oracle) is unchanged while the discovery path is the one a
     // 50k+-URL host actually publishes
-    val sm = crawlSitemapIndex(spark, dir)
+    val sm = crawlSitemapIndex(spark, dir, bodies = sitemapBodies)
       .select(col("host"), col("url"), col("lastmod"), col("status"))
       .filter(col("status").isin("new", "stale"))
     val prio = docs.select(

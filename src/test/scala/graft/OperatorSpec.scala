@@ -4312,6 +4312,21 @@ class OperatorSpec extends AnyFunSuite {
       ("https://h1/sitemap-1.xml", "https://h1/c", "2026-01-12", "new")))
   }
 
+  test("crawlPlan consumes injected sitemap bodies: ONE control-plane fetch surface (r16)") {
+    import spark.implicits._
+    val idx = Seq(("src1",
+      "<sitemapindex><sitemap><loc>https://src1/sitemap-0.xml</loc></sitemap></sitemapindex>"))
+      .toDF("host", "ixml")
+    val children = Seq(("src1", "https://src1/sitemap-0.xml",
+      "<urlset><url><loc>https://src1/en/p999999</loc><lastmod>2026-01-10</lastmod></url></urlset>"))
+      .toDF("host", "sloc", "cxml")
+    val out = FrontierOps.crawlPlan(spark, TestSpark.Sf,
+      sitemapBodies = Some((idx, children))).collect()
+    // the plan is built from the INJECTED discovery, not the fixture one
+    assert(out.map(_.getString(2)).toSet === Set("https://src1/en/p999999"))
+    assert(out.forall(r => r.getString(4) == "new" && r.getLong(3) == 160L))
+  }
+
   test("sitemap index: two-level walk reproduces the flat entry set exactly") {
     val flat = FrontierOps.crawlSitemap(spark, TestSpark.Sf)
       .select("host", "url", "lastmod", "status")
@@ -4363,6 +4378,16 @@ class OperatorSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       DedupOps.removeFromComponents(spark, db, "t", Seq(1L).toDF("doc_id"), tau = 0.8)
+    }
+    // r16: the hot-bucket cap travels in __cmeta like tau — a fold at a
+    // different cap would silently change guard semantics across epochs
+    intercept[IllegalArgumentException] {
+      DedupOps.refreshComponents(spark, db, "t",
+        Seq((31L, toks(50, 60))).toDF("doc_id", "text"), maxBucket = 7)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.removeFromComponents(spark, db, "t", Seq(1L).toDF("doc_id"),
+        maxBucket = 7)
     }
     CatalogOps.dropDatabase(spark, db)
   }

@@ -32,6 +32,15 @@ def load_queries(path):
     pairs = re.findall(r'"(q_[a-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)', tail)
     if not pairs:
         raise SystemExit(f"{path}: no queries dict and no recoverable tail pairs")
+    # the tail is a fixed-size truncation: its LAST pair may have lost
+    # digits at the cut ("q_x":1.819 -> "q_x":1.), recovering a wrong
+    # seconds value that would flag a false REGRESSED/IMPROVED — keep it
+    # only when a clean delimiter (comma/brace) follows the number
+    last_name, last_val = pairs[-1]
+    if not re.search(
+            r'"%s":%s\s*[,}\]]' % (re.escape(last_name), re.escape(last_val)),
+            tail):
+        pairs = pairs[:-1]
     return {k: float(v) for k, v in pairs}
 
 
