@@ -282,6 +282,11 @@ object SparkEntry {
     "q_batch_by_length" -> ((s, d) => TextAnalysisOps.batchByLength(s, d)),
     "q_domain_mix"      -> ((s, d) => TextAnalysisOps.domainMix(s, d)),
     "q_curate_e2e"      -> ((s, d) => TextAnalysisOps.curateEndToEnd(s, d)),
+    // C4's published cleaning battery (Raffel et al. 2020 §2.2): line
+    // retention + page drops, planted both-sides like the Gopher gates
+    "q_c4_rules"        -> ((s, d) => TextAnalysisOps.c4Rules(s, d)),
+    // the curation chain with C4 line cleaning as its FIRST stage
+    "q_curate_e2e_c4"   -> ((s, d) => TextAnalysisOps.curateEndToEndC4(s, d)),
     "q_multimodal_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
     // ---- lexical / hybrid retrieval (RAG serving stack) ----
     "q_text_bm25"      -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
@@ -603,7 +608,8 @@ object SparkEntry {
     "q_curate_multilang", "q_dedup_paragraph", "q_lm_bigram_stored",
     "q_gopher_repetition_full", "q_select_dsir_stored_langid",
     "q_html_main", "q_ingest_e2e_main", "q_dedup_paragraph_stream",
-    "q_lang_id_margin", "q_curate_e2e_verdict")
+    "q_lang_id_margin", "q_curate_e2e_verdict",
+    "q_c4_rules", "q_curate_e2e_c4")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1054,6 +1060,42 @@ object SparkEntry {
        |FROM f
        |ORDER BY doc_id ASC""".stripMargin
   }
+
+  /** Shared C4-battery CTE fragment (q_c4_rules / q_curate_e2e_c4):
+    * `c` rebuilds TextAnalysisOps.c4Planted's page corpus from the same
+    * doc_id arithmetic (Spark slice(w, i, n) ↔ DuckDB w[i : i+n-1],
+    * both clamping), `k` applies the line-retention predicate —
+    * terminal punctuation, ≥5 words, no "javascript" — exactly as
+    * c4LineKeep. The page-drop predicates stay in the consumers (the
+    * metrics entry emits them as flags; the e2e filters on them).
+    */
+  private val c4PageDropSql: String =
+    """contains(t, 'badword1') OR contains(t, 'badword2')
+      |           OR contains(t, 'badword3') OR contains(t, 'lorem ipsum')
+      |           OR contains(t, '{')""".stripMargin
+  private val c4Ctes: String =
+    """c AS (
+      |  SELECT doc_id, source,
+      |         array_to_string(w[1:6], ' ') || '.' ||
+      |         CASE WHEN doc_id % 2 = 0 THEN chr(10) || array_to_string(w[2:7], ' ') || '!' ELSE '' END ||
+      |         CASE WHEN doc_id % 3 = 0 THEN chr(10) || array_to_string(w[3:8], ' ') || '?' ELSE '' END ||
+      |         CASE WHEN doc_id % 4 = 0 THEN chr(10) || array_to_string(w[2:9], ' ') || '?' ELSE '' END ||
+      |         chr(10) || array_to_string(w[1:4], ' ') || '.' ||
+      |         chr(10) || array_to_string(w[1:7], ' ') ||
+      |         CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'enable javascript to view the ' || array_to_string(w[1:3], ' ') || '.' ELSE '' END ||
+      |         CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'the classic lorem ipsum filler marks this page as boilerplate.' ELSE '' END ||
+      |         CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'function render() { return ' || array_to_string(w[1:2], ' ') || ' }' ELSE '' END ||
+      |         CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'this page cites badword2 alongside ' || array_to_string(w[1:3], ' ') || '.' ELSE '' END
+      |           AS t
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)),
+      |k AS (
+      |  SELECT doc_id, source, t,
+      |         CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+      |         list_filter(string_split(t, chr(10)), l ->
+      |           substr(l, length(l), 1) IN ('.', '!', '?', '"')
+      |           AND len(string_split(l, ' ')) >= 5
+      |           AND NOT contains(l, 'javascript')) AS kept
+      |  FROM c)""".stripMargin
 
   /** The CCNet two-gate chain (Gopher battery + LM head/middle buckets,
     * thresholds 20/100000/1) over the relation `rel` — CTE list plus the
@@ -3105,6 +3147,58 @@ object SparkEntry {
         |  FROM clean)
         |SELECT doc_id, source, n_tok, CAST(shard * 4294967296 + cum_before // 512 AS BIGINT) AS seq_id
         |FROM packed ORDER BY doc_id ASC""".stripMargin,
+    // C4's cleaning battery: planted pages, line retention, page flags
+    "q_c4_rules" ->
+      (s"""WITH $c4Ctes
+        |SELECT doc_id, n_lines,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       array_to_string(kept, chr(10)) AS kept_text,
+        |       CAST(CASE WHEN len(kept) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS r_sentences,
+        |       CAST(CASE WHEN contains(t, 'badword1') OR contains(t, 'badword2')
+        |                   OR contains(t, 'badword3') THEN 0 ELSE 1 END AS BIGINT) AS r_badword,
+        |       CAST(CASE WHEN contains(t, 'lorem ipsum') THEN 0 ELSE 1 END AS BIGINT) AS r_lorem,
+        |       CAST(CASE WHEN contains(t, '{') THEN 0 ELSE 1 END AS BIGINT) AS r_brace,
+        |       CAST(CASE WHEN len(kept) >= 3 AND NOT ($c4PageDropSql)
+        |             THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM k ORDER BY doc_id ASC""".stripMargin),
+    // the curation chain with C4 cleaning first: the q_curate_e2e tail
+    // over the RETAINED text (eval n-grams stay raw — the benchmark
+    // split is the contamination source, never cleaned training data)
+    "q_curate_e2e_c4" ->
+      (s"""WITH $c4Ctes,
+        |cleaned AS (
+        |  SELECT doc_id, source, array_to_string(kept, ' ') AS text
+        |  FROM k
+        |  WHERE len(kept) >= 3 AND NOT ($c4PageDropSql)),
+        |gated AS (
+        |  SELECT doc_id, source, text,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM cleaned
+        |  WHERE source <> 'src19'
+        |    AND len(string_split(text, ' ')) >= 20
+        |    AND (doc_id * 2654435761) % 1000 <
+        |        (coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT), length(source)) % 4 + 1) * 0.25 * 1000),
+        |ng AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 2),
+        |           i -> list_aggregate(string_split(text, ' ')[i:i+3], 'string_agg', ' ')))) AS g
+        |  FROM gated),
+        |eng AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 2),
+        |           i -> list_aggregate(string_split(text, ' ')[i:i+3], 'string_agg', ' ')))) AS g
+        |  FROM documents WHERE source = 'src19'),
+        |dirty AS (SELECT DISTINCT ng.doc_id FROM ng JOIN eng USING (g)),
+        |clean AS (
+        |  SELECT g.doc_id, g.source, g.n_tok, g.doc_id // 128 AS shard
+        |  FROM gated g LEFT JOIN dirty d ON g.doc_id = d.doc_id
+        |  WHERE d.doc_id IS NULL),
+        |packed AS (
+        |  SELECT doc_id, source, n_tok, shard,
+        |         CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM clean)
+        |SELECT doc_id, source, n_tok, CAST(shard * 4294967296 + cum_before // 512 AS BIGINT) AS seq_id
+        |FROM packed ORDER BY doc_id ASC""".stripMargin),
     "q_doc_winnow" ->
       """WITH h AS (
         |  SELECT doc_id,

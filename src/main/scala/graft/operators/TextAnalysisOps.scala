@@ -516,6 +516,172 @@ object TextAnalysisOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Bad-word lexicon the C4 battery gates on — stands in for C4's
+    * published blocklist (the "List of Dirty, Naughty, Obscene..."
+    * words; Raffel et al. 2020 §2.2). The fixture corpus is synthetic
+    * word soup with no organic profanity, so the lexicon is PLANTED
+    * tokens (the PII-corpus discipline) — ONE definition the engine
+    * gates on and the oracle mirrors as literals.
+    */
+  private[graft] val C4BadWords = Seq("badword1", "badword2", "badword3")
+
+  /** C4's line-retention predicate (Raffel et al. 2020 §2.2): keep a
+    * line iff it ends in a terminal punctuation mark (period,
+    * exclamation, question mark, end quote), has at least five words,
+    * and does not carry the word "javascript" (C4 drops such lines —
+    * cookie/JS-warning boilerplate). Shared by the metrics entry and
+    * the e2e composition so the two cannot diverge.
+    */
+  private def c4LineKeep(l: Column): Column =
+    substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+      size(split(l, " ")) >= 5 &&
+      !l.contains("javascript")
+
+  /** C4's page-level drop predicates over the full page text: bad-word
+    * lexicon hit, "lorem ipsum" placeholder, and a curly brace (code
+    * leakage). Each returns TRUE when the page survives that rule.
+    */
+  private def c4PageBadword(t: Column): Column =
+    !C4BadWords.map(wd => t.contains(wd)).reduce(_ || _)
+  private def c4PageLorem(t: Column): Column = !t.contains("lorem ipsum")
+  private def c4PageBrace(t: Column): Column = !t.contains("{")
+
+  /** The deterministic C4 page planting both engines rebuild from the
+    * same arithmetic (the PII/repetition discipline — the fixture is
+    * single-line word soup, so every rule needs BOTH sides built in):
+    * every page gets one always-kept sentence (6 words + "."), one
+    * word-floor failure (4 words + "."), and one no-terminal-punct
+    * failure (7 bare words); doc_id % 2 / % 3 / % 4 add more kept
+    * sentences of different lengths (the 3-sentence page floor passes
+    * exactly on % 4 and % 6, and the retained-token counts straddle the
+    * e2e chain's 20-token floor: 18 on %6-not-%4, 20 on %4-not-%3, 26
+    * on %12 — boundary-exact both ways); % 5 adds a javascript line
+    * (terminal-punctuated and long enough — only the javascript rule
+    * can drop it); % 17 / % 19 / % 23 poison the page with lorem-ipsum
+    * filler, a curly-brace code line, and a planted bad word.
+    */
+  private def c4Planted(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    def tok(from: Int, n: Int): Column = array_join(slice(w, from, n), " ")
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      concat(
+        tok(1, 6), lit("."),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("\n"), tok(2, 6), lit("!"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("\n"), tok(3, 6), lit("?"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("\n"), tok(2, 8), lit("?"))).otherwise(lit("")),
+        lit("\n"), tok(1, 4), lit("."),
+        lit("\n"), tok(1, 7),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("\nenable javascript to view the "), tok(1, 3),
+            lit("."))).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit("\nthe classic lorem ipsum filler marks this page as boilerplate."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 19 === 0,
+          concat(lit("\nfunction render() { return "), tok(1, 2),
+            lit(" }"))).otherwise(lit("")),
+        when(col("doc_id") % 23 === 0,
+          concat(lit("\nthis page cites badword2 alongside "), tok(1, 3),
+            lit(".")))
+          .otherwise(lit(""))).as("text"))
+  }
+
+  /** The C4 cleaning battery (`q_c4_rules`; Raffel et al. 2020 §2.2 —
+    * the rule set behind the most-used public pretraining corpus): line
+    * retention by terminal punctuation + ≥5 words + no "javascript",
+    * page drops for bad-word lexicon hits, "lorem ipsum", a curly
+    * brace, and fewer than three retained sentences. Emits per page the
+    * line counts, the retained text, and each rule's flag — the gate
+    * battery shape of [[gopherRepetitionFull]] (a downstream mixer
+    * filters on `keep`; auditors read the per-rule flags).
+    *
+    * Scale: one map-side projection per document — the line filter is a
+    * HOF over the split, the page predicates are substring probes.
+    * Zero exchanges before the presentation sort; the 100 TB pass is
+    * scan-bound by construction.
+    */
+  def c4Rules(spark: SparkSession, dir: String): DataFrame =
+    c4RulesOn(c4Planted(spark, dir))
+
+  /** Parametric core: (doc_id, text) in; line metrics, retained text,
+    * per-rule flags, and their conjunction out. `lines` and `kept` are
+    * STAGED attributes (the lambda-recompute discipline: an array
+    * consumed by later lambdas must be materialized, not an expression
+    * subtree re-evaluated per element).
+    */
+  private[graft] def c4RulesOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        split(col("text"), "\n").as("lines"))
+      .select(col("doc_id"), col("text"),
+        size(col("lines")).cast("long").as("n_lines"),
+        filter(col("lines"), l => c4LineKeep(l)).as("kept"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), "\n").as("kept_text"),
+        (size(col("kept")) >= 3).cast("long").as("r_sentences"),
+        c4PageBadword(col("text")).cast("long").as("r_badword"),
+        c4PageLorem(col("text")).cast("long").as("r_lorem"),
+        c4PageBrace(col("text")).cast("long").as("r_brace"))
+      .withColumn("keep", (col("r_sentences") * col("r_badword") *
+        col("r_lorem") * col("r_brace")).cast("long"))
+      .orderBy(col("doc_id").asc)
+
+  /** C4-cleaned pages as a (doc_id, source, text) corpus — the pages
+    * that survive every page rule, carrying only their RETAINED lines
+    * (C4 trains on the cleaned text, not the raw page). Same staged
+    * map-side shape as [[c4RulesOn]]; shared predicates, zero joins —
+    * the e2e composition consumes one projection, not a metrics⋈pages
+    * self-join.
+    */
+  private[graft] def c4KeptOn(pages: DataFrame): DataFrame =
+    pages
+      .select(col("doc_id"), col("source"), col("text"),
+        split(col("text"), "\n").as("lines"))
+      .select(col("doc_id"), col("source"), col("text"),
+        filter(col("lines"), l => c4LineKeep(l)).as("kept"))
+      .filter(size(col("kept")) >= 3 &&
+        c4PageBadword(col("text")) && c4PageLorem(col("text")) &&
+        c4PageBrace(col("text")))
+      .select(col("doc_id"), col("source"),
+        array_join(col("kept"), "\n").as("text"))
+
+  /** The curation chain with C4 as its FIRST stage (`q_curate_e2e_c4`):
+    * raw pages → C4 line cleaning + page drops → token-count floor →
+    * weighted domain mixing → benchmark decontamination → sequence
+    * packing. This is the published pipeline order (C4 cleans before
+    * anything counts tokens) and the [[curateEndToEnd]] cost order: all
+    * gates up to decontamination are map-side on the scan, the
+    * benchmark n-gram probe is an eval-sized broadcast, and packing's
+    * shard-key hash is the only data shuffle. Decontamination n-grams
+    * come from the RAW benchmark split (the eval set is never C4-
+    * cleaned — it is the contamination source, not training data).
+    */
+  def curateEndToEndC4(spark: SparkSession, dir: String,
+      evalSource: String = "src19", minTokens: Int = 20,
+      budget: Int = 512, shardSize: Int = 128): DataFrame = {
+    // line joins flatten to spaces so the chain's ONE token convention
+    // (space split — n_tok, mix, decontamination grams) sees words, not
+    // newline-glued token pairs
+    val cleaned = c4KeptOn(c4Planted(spark, dir))
+      .withColumn("text", translate(col("text"), "\n", " "))
+    val gated = cleaned
+      .filter(col("source") =!= evalSource)
+      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      .filter(col("n_tok") >= minTokens)
+      .filter(mixBucket < mixWeight * 1000)
+      .select(col("doc_id"), col("source"), col("text"), col("n_tok"))
+    val evalNg = ngramSet(Tables.documents(spark, dir)
+      .filter(col("source") === evalSource))
+    val clean = decontaminateBatch(gated, evalNg).drop("text")
+    withPacking(clean, budget, shardSize)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("seq_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** The CCNet curation chain (`q_curate_ccnet`; Wenzek et al. 2020) —
     * the published two-gate composition: the Gopher rule battery keeps
     * structurally sound documents, the LM perplexity split keeps the

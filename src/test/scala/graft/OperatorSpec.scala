@@ -4213,9 +4213,12 @@ class OperatorSpec extends AnyFunSuite {
     CatalogOps.createDatabase(spark, db)
     def toks(from: Int, until: Int) = (from until until).map(i => s"g$i").mkString(" ")
     // near-identical docs share every band key, so the combined
-    // store+batch view concentrates into hot buckets a cap of 1 drops
+    // store+batch view concentrates into hot buckets a cap of 1 drops.
+    // The cap is a CREATE-time property carried in __cmeta (folding at
+    // a different cap is refused), so the store is built at cap 1 too
     DedupOps.createComponentStore(spark, db, "t",
-      Seq((1L, toks(1, 41)), (2L, toks(2, 42))).toDF("doc_id", "text"))
+      Seq((1L, toks(1, 41)), (2L, toks(2, 42))).toDF("doc_id", "text"),
+      maxBucket = 1)
     DedupOps.refreshComponents(spark, db, "t",
       Seq((3L, toks(3, 43))).toDF("doc_id", "text"), maxBucket = 1)
     val m = spark.table(s"`$db`.`t__cmeta`")
