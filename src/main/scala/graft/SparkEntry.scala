@@ -256,6 +256,9 @@ object SparkEntry {
     // the CONFIDENCE band (r16): integer score margin + unknown verdict
     // below the fixed fence — CCNet's low-confidence routing
     "q_lang_id_margin"  -> ((s, d) => LangIdOps.langIdMargin(s, d)),
+    // Unicode-script mix + purity gate — the check that runs before
+    // (or alongside) statistical lang-id; planted non-Latin runs
+    "q_script_detect"   -> ((s, d) => LangIdOps.scriptDetect(s, d)),
     // Gopher's repetition GATES (Rae et al. A1.1): duplicated-line
     // chars + char-weighted top-2-gram, 20% integer-ratio thresholds
     // (q_text_repetition is the count-based top-bigram SIGNAL)
@@ -609,7 +612,7 @@ object SparkEntry {
     "q_gopher_repetition_full", "q_select_dsir_stored_langid",
     "q_html_main", "q_ingest_e2e_main", "q_dedup_paragraph_stream",
     "q_lang_id_margin", "q_curate_e2e_verdict",
-    "q_c4_rules", "q_curate_e2e_c4")
+    "q_c4_rules", "q_curate_e2e_c4", "q_script_detect")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2552,6 +2555,39 @@ object SparkEntry {
          |  CASE WHEN margin >= ${LangIdOps.DefaultMinMargin} THEN predicted
          |       ELSE 'unknown' END AS verdict
          |FROM mg ORDER BY doc_id ASC""".stripMargin,
+    // script-block char counts + dominant script + Latin-purity gate;
+    // planted codepoints via chr() (the q_text_normalize convention)
+    "q_script_detect" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 6 = 0 THEN ' ' || chr(1087) || chr(1088) || chr(1080) || chr(1074) ELSE '' END ||
+        |         CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(945) || chr(946) || chr(947) ELSE '' END ||
+        |         CASE WHEN doc_id % 10 = 0 THEN ' ' || chr(20013) || chr(25991) ELSE '' END ||
+        |         CASE WHEN doc_id % 11 = 0 THEN ' ' || chr(1606) || chr(1589) ELSE '' END ||
+        |         CASE WHEN doc_id % 13 = 0 THEN ' ' || regexp_replace(text, '[a-z]', chr(1103), 'g')
+        |                || ' ' || regexp_replace(text, '[a-z]', chr(1103), 'g') ELSE '' END AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(length(t) AS BIGINT) AS n_chars,
+        |         CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        |         CAST(length(regexp_replace(t, '[^\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |         CAST(length(regexp_replace(t, '[^\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
+        |         CAST(length(regexp_replace(t, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+        |         CAST(length(regexp_replace(t, '[^\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic
+        |  FROM p)
+        |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+        |       CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+        |              AND n_latin >= n_cjk AND n_latin >= n_arabic THEN 'latin'
+        |            WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_cjk
+        |              AND n_cyrillic >= n_arabic THEN 'cyrillic'
+        |            WHEN n_greek >= n_cjk AND n_greek >= n_arabic THEN 'greek'
+        |            WHEN n_cjk >= n_arabic THEN 'cjk'
+        |            ELSE 'arabic' END AS script,
+        |       CAST(CASE WHEN 20 * (n_cyrillic + n_greek + n_cjk + n_arabic) <= n_chars
+        |             THEN 1 ELSE 0 END AS BIGINT) AS r_latin
+        |FROM m ORDER BY doc_id ASC""".stripMargin,
     // the confusion matrix of the derived label vs the fixture label
     "q_lang_confusion" ->
       s"""WITH $langIdCtes

@@ -383,4 +383,83 @@ object LangIdOps {
       .localCheckpoint(false)
     TextAnalysisOps.curateCcnetOn(kept)
   }
+
+  /** SCRIPT DETECTION (`q_script_detect`) — the Unicode-script mix
+    * check every published multilingual pipeline runs BEFORE (or
+    * alongside) statistical lang-id: per document, character counts in
+    * the major script blocks (Latin, Cyrillic, Greek, CJK Unified,
+    * Arabic), the dominant script, and the script-purity gate (CCNet
+    * routes by fastText whose first signal is script; corpora like
+    * OSCAR drop documents whose script mix is inconsistent with the
+    * detected language). The gate keeps a document iff non-Latin
+    * SCRIPTED characters are ≤ 5% of all characters — an integer
+    * cross-multiplication (20·nonlatin ≤ n_chars), boundary-exact in
+    * both engines.
+    *
+    * The fixture corpus is ASCII word soup, so non-Latin runs are
+    * PLANTED (the PII discipline, with the q_text_normalize convention
+    * of DuckDB chr() for the same codepoints): doc_id % 6 appends a
+    * Cyrillic snippet, % 7 Greek, % 10 CJK, % 11 Arabic — small runs
+    * that leave short docs' gates honestly marginal; % 13 appends the
+    * document's own lowercase letters transliterated to Cyrillic TWICE
+    * (n_cyrillic = 2·n_latin, so the dominant script flips and the
+    * purity gate definitively fails, whatever the doc's length).
+    *
+    * Scale: one map-side projection — five codegen'd regex counts per
+    * row, zero exchanges before the presentation sort; the 100 TB pass
+    * is scan-bound. Dominance ties resolve by a fixed priority chain
+    * (latin ≥ cyrillic ≥ greek ≥ cjk ≥ arabic), the same CASE order
+    * the oracle renders.
+    */
+  def scriptDetect(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 6 === 0,
+          lit(" прив")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit(" αβγ")).otherwise(lit("")),
+        when(col("doc_id") % 10 === 0,
+          lit(" 中文")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" نص")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" "),
+            regexp_replace(col("text"), "[a-z]", "я"), lit(" "),
+            regexp_replace(col("text"), "[a-z]", "я")))
+          .otherwise(lit(""))).as("text"))
+    scriptDetectOn(planted)
+  }
+
+  /** Parametric core: (doc_id, text) in; per-script char counts, the
+    * dominant script, and the Latin-purity flag out. A script count is
+    * the length after deleting every NON-member character — one
+    * codegen'd regexp_replace per script, no UDF, no explode.
+    */
+  private[graft] def scriptDetectOn(docs: DataFrame): DataFrame = {
+    def cnt(range: String): Column =
+      length(regexp_replace(col("text"), s"[^$range]", "")).cast("long")
+    docs
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        cnt("A-Za-z").as("n_latin"),
+        cnt("\\x{0400}-\\x{04FF}").as("n_cyrillic"),
+        cnt("\\x{0370}-\\x{03FF}").as("n_greek"),
+        cnt("\\x{4E00}-\\x{9FFF}").as("n_cjk"),
+        cnt("\\x{0600}-\\x{06FF}").as("n_arabic"))
+      .select(col("*"),
+        when(col("n_latin") >= col("n_cyrillic") &&
+             col("n_latin") >= col("n_greek") &&
+             col("n_latin") >= col("n_cjk") &&
+             col("n_latin") >= col("n_arabic"), "latin")
+          .when(col("n_cyrillic") >= col("n_greek") &&
+                col("n_cyrillic") >= col("n_cjk") &&
+                col("n_cyrillic") >= col("n_arabic"), "cyrillic")
+          .when(col("n_greek") >= col("n_cjk") &&
+                col("n_greek") >= col("n_arabic"), "greek")
+          .when(col("n_cjk") >= col("n_arabic"), "cjk")
+          .otherwise("arabic").as("script"),
+        (lit(20L) * (col("n_cyrillic") + col("n_greek") + col("n_cjk") +
+          col("n_arabic")) <= col("n_chars")).cast("long").as("r_latin"))
+      .orderBy(col("doc_id").asc)
+  }
 }

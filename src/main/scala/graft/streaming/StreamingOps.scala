@@ -956,6 +956,43 @@ object StreamingOps {
     q
   }
 
+  /** [[streamingCurate]] with C4 LINE CLEANING as the first stage (r16 —
+    * the streaming twin of `q_curate_e2e_c4`'s composition): each
+    * micro-batch's pages pass the C4 battery
+    * ([[graft.operators.TextAnalysisOps.c4KeptOn]] — line retention by
+    * terminal punctuation / ≥5 words / no "javascript", page drops for
+    * bad words, "lorem ipsum", braces, <3 retained sentences), and the
+    * RETAINED text (line joins flattened to spaces, the batch chain's
+    * one-token-convention) feeds the token-floor/mix gates,
+    * decontamination, and the replay-safe near-dup fold. The C4 stage
+    * is STATELESS (a map-side projection), so replay safety and the
+    * crash-window contract are inherited unchanged from
+    * [[streamingCurate]]'s batch-id-idempotent fold.
+    */
+  def streamingCurateC4(docStream: DataFrame, evalDocs: DataFrame,
+      db: String, name: String, minTokens: Int = 20, tau: Double = 0.9,
+      n: Int = 4): StreamingQuery = {
+    import graft.operators.{DedupOps, TextAnalysisOps}
+    import org.apache.spark.sql.functions.{col, translate}
+    val evalNg = TextAnalysisOps.ngramSet(evalDocs, n).cache()
+    val q = docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val cleaned = TextAnalysisOps.c4KeptOn(batch.toDF())
+            .withColumn("text", translate(col("text"), "\n", " "))
+          val gated = TextAnalysisOps.curateGates(cleaned, minTokens)
+          val clean = TextAnalysisOps.decontaminateBatch(gated, evalNg, n)
+          DedupOps.dedupIncrementalBatch(
+            clean.select(col("doc_id"), col("text")),
+            db, name, tau, batchId = Some(batchId))
+        }
+      }
+      .start()
+    releaseOnTermination(docStream.sparkSession, q, () => { evalNg.unpersist(); () })
+    q
+  }
+
   /** Custom keyed state with `flatMapGroupsWithState`: per-user session
     * accumulation with explicit timeout — the chat-session analog (carry
     * history while active, emit + reset on gap, ref `main_server.py:69-84`).

@@ -133,4 +133,42 @@ class LangIdSpec extends AnyFunSuite {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(out.subsetOf(bandGate))
   }
+
+  test("script detection: counts, dominance priority, and the purity gate") {
+    // hand documents, one per dominant script; counts checked exactly
+    val docs = Seq(
+      (1L, "abc def"),                         // pure latin
+      (2L, "ab \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"), // cyrillic-dominant
+      (3L, "ab \u03b1\u03b2\u03b3\u03b4"),                 // greek-dominant
+      (4L, "ab \u4e2d\u6587\u6587\u672c"),                 // cjk-dominant
+      (5L, "ab \u0646\u0635\u0639\u0631"),                 // arabic-dominant
+      (6L, ""))                                 // empty: all zero, latin by tie
+    val out = LangIdOps.scriptDetectOn(
+      spark.createDataFrame(docs).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getLong(5), r.getLong(6), r.getString(7), r.getLong(8))).toMap
+    assert(out(1L) === ((7L, 6L, 0L, 0L, 0L, 0L, "latin", 1L)))
+    assert(out(2L) === ((13L, 2L, 9L, 0L, 0L, 0L, "cyrillic", 0L)))
+    assert(out(3L) === ((7L, 2L, 0L, 4L, 0L, 0L, "greek", 0L)))
+    assert(out(4L) === ((7L, 2L, 0L, 0L, 4L, 0L, "cjk", 0L)))
+    assert(out(5L) === ((7L, 2L, 0L, 0L, 0L, 4L, "arabic", 0L)))
+    assert(out(6L) === ((0L, 0L, 0L, 0L, 0L, 0L, "latin", 1L)))
+  }
+
+  test("script detection: the planted fixture exercises the gate and flips dominance on %13") {
+    val full = LangIdOps.scriptDetect(spark, TestSpark.Sf).localCheckpoint()
+    val agg = full.agg(
+      min(col("r_latin")), max(col("r_latin")),
+      count(when(col("script") === "cyrillic", 1)),
+      count(when(col("script") === "latin", 1))).head()
+    assert(agg.getLong(0) == 0L && agg.getLong(1) == 1L)
+    assert(agg.getLong(2) > 0L && agg.getLong(3) > 0L)
+    // %13 docs: transliterated copy appended twice -> cyrillic dominates
+    val m13 = full.filter(col("doc_id") % 13 === 0)
+      .agg(min(when(col("n_cyrillic") > col("n_latin"), 1L).otherwise(0L)),
+        max(col("r_latin"))).head()
+    assert(m13.getLong(0) == 1L, "every %13 doc must be cyrillic-dominant")
+    assert(m13.getLong(1) == 0L, "%13 docs must fail the purity gate")
+  }
 }

@@ -819,6 +819,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming curation with C4 first: line cleaning and page drops precede the gates") {
+    import graft.sources.CatalogOps
+    implicit val ctx = spark.sqlContext
+    CatalogOps.dropDatabase(spark, "sc4db")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/sc4db.db"))
+    CatalogOps.createDatabase(spark, "sc4db")
+    // six-word terminal-punctuated sentences: each is C4-retained
+    def sent(tag: String, i: Int) =
+      (0 until 6).map(j => s"$tag$i$j").mkString(" ") + "."
+    def page(tag: String, n: Int) = (0 until n).map(sent(tag, _)).mkString("\n")
+    val evalDocs = Seq((900L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.streamingCurateC4(
+      in.toDS.toDF("doc_id", "source", "text"), evalDocs, "sc4db", "corpus")
+    try {
+      in.addData(
+        (1L, "src3", page("a", 4)),                     // 4 kept lines, 24 tokens: survives
+        (2L, "src3", page("b", 2) + "\nshort line."),   // 2 kept sentences → C4 page floor
+        (3L, "src3", page("c", 4) + "\ncode { x }"),    // brace → C4 page drop
+        (4L, "src3", page("d", 3)),                     // 3 kept lines = 18 tokens → token floor
+        (5L, "src3", "alpha beta gamma delta epsilon zeta.\n" + page("g", 3))) // eval 4-gram → decontaminated
+      q.processAllAvailable()
+      in.addData(
+        (10L, "src3", page("a", 4)),                    // duplicate of stored 1 → dropped
+        (11L, "src3", page("f", 4)))                    // fresh → kept
+      q.processAllAvailable()
+      val kept = spark.table("`sc4db`.`corpus`").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 11L))
+    } finally {
+      q.stop()
+      CatalogOps.dropDatabase(spark, "sc4db")
+    }
+  }
+
   test("streaming image near-dup drops re-encoded and resized copies, keeps fresh and unjudgeable payloads") {
     import graft.sources.CatalogOps
     import graft.operators.{MediaRecord, MultimodalOps}
