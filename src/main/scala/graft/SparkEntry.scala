@@ -151,6 +151,9 @@ object SparkEntry {
     // Dolma-style paragraph dedup: corpus-wide duplicated paragraphs
     // (boilerplate) flagged per doc with char accounting + 20% keep gate
     "q_dedup_paragraph" -> ((s, d) => DedupOps.dedupParagraph(s, d)),
+    // C4's three-sentence-span dedup: first arrival stays, later
+    // occurrences removed, retained text reassembled per doc
+    "q_dedup_span3"     -> ((s, d) => DedupOps.dedupSpan3(s, d)),
     // the Dolma-style STREAMING form over the maintained bloom store
     // (r16): first-arrival flags, capacity-planned membership — rows-only
     // by design (bloom false positives are legal output); streamed ≡
@@ -612,7 +615,7 @@ object SparkEntry {
     "q_gopher_repetition_full", "q_select_dsir_stored_langid",
     "q_html_main", "q_ingest_e2e_main", "q_dedup_paragraph_stream",
     "q_lang_id_margin", "q_curate_e2e_verdict",
-    "q_c4_rules", "q_curate_e2e_c4", "q_script_detect")
+    "q_c4_rules", "q_curate_e2e_c4", "q_script_detect", "q_dedup_span3")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2072,6 +2075,40 @@ object SparkEntry {
         |SELECT doc_id FROM corpus
         |WHERE doc_id NOT IN (SELECT b_id FROM dup)
         |ORDER BY doc_id ASC""".stripMargin,
+    // C4 span dedup: first-arrival min over (doc_id, pos) mirrored as
+    // min(doc_id·1e6 + pos); coverage via nested list lambdas
+    "q_dedup_span3" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         array_to_string(w[1:6], ' ') || ' one.' || chr(10) ||
+        |         array_to_string(w[2:7], ' ') || ' two.' || chr(10) ||
+        |         array_to_string(w[3:8], ' ') || ' three.' || chr(10) ||
+        |         array_to_string(w[1:5], ' ') || ' four.' ||
+        |         CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'we use cookies on this site.' || chr(10) || 'accept all cookies to continue.' || chr(10) || 'see our privacy policy for details.' ELSE '' END ||
+        |         CASE WHEN doc_id % 9 = 0 THEN chr(10) || array_to_string(w[1:6], ' ') || ' one.' || chr(10) || array_to_string(w[2:7], ' ') || ' two.' || chr(10) || array_to_string(w[3:8], ' ') || ' three.' ELSE '' END AS t
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |sa AS (SELECT doc_id, string_split(t, chr(10)) AS sents FROM c),
+        |spans AS (
+        |  SELECT doc_id, j AS pos, md5(array_to_string(sents[j:j+2], chr(10))) AS h
+        |  FROM (SELECT doc_id, sents, unnest(range(1, len(sents) - 1)) AS j FROM sa)),
+        |frst AS (SELECT h, min(doc_id * 1000000 + pos) AS f FROM spans GROUP BY h),
+        |removed AS (
+        |  SELECT doc_id, list(pos) AS rem
+        |  FROM spans JOIN frst USING (h)
+        |  WHERE doc_id * 1000000 + pos <> f
+        |  GROUP BY doc_id),
+        |k AS (
+        |  SELECT sa.doc_id, sents, coalesce(r.rem, CAST([] AS BIGINT[])) AS rem
+        |  FROM sa LEFT JOIN removed r ON sa.doc_id = r.doc_id),
+        |k2 AS (
+        |  SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sents, sents,
+        |         list_filter(range(1, len(sents) + 1), i ->
+        |           len(list_filter(rem, p -> i >= p AND i <= p + 2)) = 0) AS keptidx
+        |  FROM k)
+        |SELECT doc_id, n_sents,
+        |       CAST(n_sents - len(keptidx) AS BIGINT) AS n_removed_sents,
+        |       coalesce(array_to_string(list_transform(keptidx, i -> sents[i]), chr(10)), '') AS kept_text
+        |FROM k2 ORDER BY doc_id ASC""".stripMargin,
     // corpus-wide paragraph counts over the planted boilerplate — all
     // integer char accounting, 20% cross-multiplied gate
     "q_dedup_paragraph" ->

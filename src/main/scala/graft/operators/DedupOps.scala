@@ -747,6 +747,94 @@ object DedupOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** C4's THREE-SENTENCE-SPAN dedup (`q_dedup_span3`; Raffel et al.
+    * 2020 §2.2: "we removed all but one of any three-sentence span
+    * occurring more than once") — the sub-document dedup that strips
+    * shared boilerplate (cookie banners, legal footers) out of pages
+    * whose bodies are unique, where document-grain dedup keeps both
+    * copies and paragraph-grain dedup needs the boilerplate to be its
+    * own paragraph. First-arrival semantics: a span's globally first
+    * occurrence (min (doc_id, position)) stays; every later occurrence
+    * is removed, and a document's retained text is its sentences not
+    * covered by any removed span.
+    *
+    * The fixture corpus is single-line word soup, so pages are PLANTED
+    * (the PII discipline): four body sentences from the doc's own token
+    * slices (unique spans), `% 4` appends a SHARED three-sentence
+    * cookie banner (the cross-document duplicate — removed everywhere
+    * but its first carrier), `% 9` re-appends the doc's own first three
+    * sentences (a within-document repeat — the copy goes, the original
+    * stays).
+    *
+    * Scale shape: spans exchange at HASH grain only — a map-side
+    * combinable min-struct aggregation finds first arrivals (never a
+    * row_number sort: a hot boilerplate hash would serialize one
+    * partition), the join back is span⋈1-row-per-hash (AQE handles the
+    * hot-key skew), and coverage/reassembly is per-document HOF work on
+    * a doc-grain exchange. No pair joins anywhere.
+    */
+  def dedupSpan3(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    def tok(from: Int, n: Int): Column = array_join(slice(w, from, n), " ")
+    val boiler = lit("we use cookies on this site.\naccept all cookies to continue.\nsee our privacy policy for details.")
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(
+        tok(1, 6), lit(" one."),
+        lit("\n"), tok(2, 6), lit(" two."),
+        lit("\n"), tok(3, 6), lit(" three."),
+        lit("\n"), tok(1, 5), lit(" four."),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("\n"), boiler)).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          concat(lit("\n"), tok(1, 6), lit(" one.\n"), tok(2, 6),
+            lit(" two.\n"), tok(3, 6), lit(" three.")))
+          .otherwise(lit(""))).as("text"))
+    spanDedupOn(planted)
+  }
+
+  /** Parametric core: (doc_id, text) in; sentence counts, removed-span
+    * coverage, and the retained text out. Sentences are newline-split
+    * (the C4 battery's line grain); spans are hashes of consecutive
+    * sentence triples (1-based starts), and a sentence is removed iff
+    * some REMOVED span occurrence covers its position. Arrays consumed
+    * inside later lambdas are staged attributes (the lambda-recompute
+    * discipline).
+    */
+  private[graft] def spanDedupOn(docs: DataFrame): DataFrame = {
+    val staged = docs.select(col("doc_id"),
+      split(col("text"), "\n").as("sents"))
+    val spans = staged.select(col("doc_id"),
+        explode(when(size(col("sents")) >= 3,
+          transform(sequence(lit(1), size(col("sents")) - 2), j =>
+            struct(j.as("pos"),
+              md5(array_join(slice(col("sents"), j, lit(3)), "\n")).as("h"))))
+          .otherwise(array().cast("array<struct<pos:int,h:string>>")))
+          .as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+    // first arrival per span hash: map-side combinable min over the
+    // (doc_id, pos) struct — one hash-grain exchange, skew-immune
+    val first = spans.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val removed = spans.join(first, Seq("h"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("f"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("rem"))
+    staged.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sents"),
+        coalesce(col("rem"), array().cast("array<int>")).as("rem"))
+      .select(col("doc_id"), col("rem"),
+        size(col("sents")).cast("long").as("n_sents"),
+        filter(zip_with(col("sents"), sequence(lit(1), size(col("sents"))),
+          (s, i) => struct(s.as("s"), i.as("i"))),
+          x => !exists(col("rem"), p =>
+            x.getField("i") >= p && x.getField("i") <= p + 2)).as("keptArr"))
+      .select(col("doc_id"), col("n_sents"),
+        (col("n_sents") - size(col("keptArr"))).as("n_removed_sents"),
+        array_join(transform(col("keptArr"), x => x.getField("s")), "\n")
+          .as("kept_text"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** One micro-batch of STREAMING paragraph dedup over the maintained
     * BLOOM store — the Dolma-style swap-in [[paragraphDedupOn]]'s scaladoc
     * names: at crawl scale the corpus-wide exact paragraph count is too
