@@ -422,6 +422,9 @@ object SparkEntry {
     "q_url_concat"      -> ((s, d) => TextOps.urlConcat(s, d)),
     "q_url_canonical"   -> ((s, d) => TextOps.urlCanonical(s, d)),
     "q_url_dedup"       -> ((s, d) => TextOps.urlDedup(s, d)),
+    // RefinedWeb-style URL admission: UT1-class domain blocklist +
+    // weighted strict/soft URL-word score, broadcast-dimension join
+    "q_url_blocklist"   -> ((s, d) => TextOps.urlBlocklist(s, d)),
     "q_json_extract"    -> ((s, d) => TextOps.jsonExtract(s, d)),
     // PII redaction: emails/IPv4/phones → typed placeholders + counts,
     // deterministically PLANTED into the fixture corpus (no organic PII
@@ -595,7 +598,7 @@ object SparkEntry {
     "q_knn_mmr", "q_text_phrase", "q_text_phrase_indexed", "q_text_phrase_batch", "q_text_phrase_filtered", "q_text_near", "q_text_near_indexed",
     "q_mine_hardneg", "q_mine_hardneg_indexed", "q_mine_pairs", "q_eval_rank", "q_eval_rank_macro", "q_eval_rank_indexed", "q_link_pagerank", "q_link_pagerank_stored",
     "q_decontaminate", "q_pack_sequences", "q_domain_mix", "q_domain_mix_temp", "q_curate_e2e",
-    "q_url_canonical", "q_url_dedup",
+    "q_url_canonical", "q_url_dedup", "q_url_blocklist",
     "q_crawl_delta", "q_crawl_frontier", "q_crawl_robots", "q_link_anchors", "q_link_hits", "q_link_triangles",
     "q_events_pattern", "q_sample_weighted", "q_sample_weighted_grouped", "q_report_maintained",
     "q_text_prf", "q_dedup_containment", "q_term_cooccur", "q_text_fuzzy",
@@ -3662,6 +3665,28 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(k2.component, d.doc_id) AS component
          |FROM documents d LEFT JOIN comp k2 USING (doc_id)
          |ORDER BY doc_id ASC""".stripMargin,
+    // UT1-class blocklist + weighted URL-word score, planted hosts
+    "q_url_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example/page/' || CAST(doc_id AS VARCHAR) ||
+        |         CASE WHEN doc_id % 7 = 0 THEN '/casino/bonus' ELSE '' END ||
+        |         CASE WHEN doc_id % 8 = 0 THEN '/bet-and-win' ELSE '' END AS url
+        |  FROM documents),
+        |b(bhost) AS (VALUES ('host0.example'), ('host6.example'), ('host12.example'), ('host18.example')),
+        |m AS (
+        |  SELECT doc_id, url, regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+        |         (CASE WHEN contains(url, 'casino') THEN 5 ELSE 0 END
+        |          + CASE WHEN contains(url, 'bet') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(url, 'win') THEN 1 ELSE 0 END) AS sc
+        |  FROM u)
+        |SELECT m.doc_id, m.url, m.host,
+        |       CAST(CASE WHEN b.bhost IS NULL THEN 1 ELSE 0 END AS BIGINT) AS r_domain,
+        |       CAST(sc AS BIGINT) AS url_score,
+        |       CAST(CASE WHEN sc < 5 THEN 1 ELSE 0 END AS BIGINT) AS r_score,
+        |       CAST(CASE WHEN b.bhost IS NULL AND sc < 5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m LEFT JOIN b ON m.host = b.bhost
+        |ORDER BY m.doc_id ASC""".stripMargin,
     "q_url_dedup" ->
       s"""WITH $urlFixtureCte,
          |$urlCanonCte,

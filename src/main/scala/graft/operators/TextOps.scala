@@ -407,6 +407,66 @@ object TextOps {
       .orderBy(col("dup_id").asc)
   }
 
+  /** Blocklist + scoring lexicons for [[urlBlocklist]] — stand-ins for
+    * RefinedWeb's UT1 domain blocklist and its strict/soft URL word
+    * lists (Penedo et al. 2023 §G.1); planted like the PII corpora,
+    * ONE definition the engine gates on and the oracle mirrors.
+    */
+  private[graft] val UrlBlockedHosts: Seq[String] =
+    Seq("host0.example", "host6.example", "host12.example", "host18.example")
+  private[graft] val UrlStrictWords: Seq[String] = Seq("casino")
+  private[graft] val UrlSoftWords: Seq[String] = Seq("bet", "win")
+
+  /** URL FILTERING (`q_url_blocklist`; RefinedWeb, Penedo et al. 2023
+    * §G.1) — the admission gate between crawl and fetch that every
+    * web-scale pipeline runs: a domain blocklist (UT1-class) plus a
+    * weighted URL-word score (strict words weigh 5, soft words 1;
+    * a URL is rejected at score ≥ 5 — one strict hit or an implausible
+    * pile-up of soft hits). Emits per URL the host, both rule flags,
+    * the score, and their conjunction.
+    *
+    * The fixture has no URL column, so URLs are PLANTED from doc_id
+    * arithmetic: host cycles over 20 synthetic domains (4 of them
+    * blocklisted — 20%), % 7 paths carry the strict word, % 8 paths
+    * two soft words (score 2 — scored but passing, the gate's other
+    * side).
+    *
+    * Scale: host extraction and scoring are map-side codegen; the
+    * blocklist join is a BROADCAST left join — the UT1 list is a
+    * fixed-size artifact (millions of domains, not corpus-scale), the
+    * canonical broadcast-dimension shape. Zero corpus shuffles before
+    * the presentation sort.
+    */
+  def urlBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(lit("http://host"), (col("doc_id") % 20).cast("string"),
+        lit(".example/page/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 7 === 0, lit("/casino/bonus")).otherwise(lit("")),
+        when(col("doc_id") % 8 === 0, lit("/bet-and-win")).otherwise(lit("")))
+        .as("url"))
+    import spark.implicits._
+    urlBlocklistOn(planted, UrlBlockedHosts.toDF("host"))
+  }
+
+  /** Parametric core: (doc_id, url) in, blocklist (host) aside;
+    * (doc_id, url, host, r_domain, url_score, r_score, keep) out.
+    */
+  private[graft] def urlBlocklistOn(urls: DataFrame, blocked: DataFrame): DataFrame = {
+    val host = regexp_extract(col("url"), "^[a-z]+://([^/:?#]+)", 1)
+    val score = (UrlStrictWords.map(w => when(col("url").contains(w), 5L).otherwise(0L)) ++
+      UrlSoftWords.map(w => when(col("url").contains(w), 1L).otherwise(0L)))
+      .reduce(_ + _)
+    urls.select(col("doc_id"), col("url"), host.as("host"))
+      .join(broadcast(blocked.select(col("host"), lit(1L).as("__blk"))),
+        Seq("host"), "left")
+      .select(col("doc_id"), col("url"), col("host"),
+        col("__blk").isNull.cast("long").as("r_domain"),
+        score.as("url_score"))
+      .withColumn("r_score", (col("url_score") < 5L).cast("long"))
+      .withColumn("keep", (col("r_domain") * col("r_score")).cast("long"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** JSON field extraction — ref `json.loads(...)` of the nav payload
     * (`Crawling.py:19`); dynamic-schema analog (`TencentVDB.py:33`) exercised
     * over the `events.props` JSON column.

@@ -5259,4 +5259,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(stored === live,
       "integer count folds must reproduce the one-shot selection exactly")
   }
+
+  test("url blocklist: domain and score rules gate independently, both sides planted") {
+    import spark.implicits._
+    val blocked = Seq("bad.example").toDF("host")
+    val urls = Seq(
+      (1L, "http://ok.example/page/1"),               // clean
+      (2L, "http://bad.example/page/2"),              // domain rule
+      (3L, "http://ok.example/casino/bonus"),         // strict word: score 5
+      (4L, "http://ok.example/bet-and-win"),          // two softs: score 2, passes
+      (5L, "http://bad.example/casino/win")           // both rules fail, score 6
+    ).toDF("doc_id", "url")
+    val out = TextOps.urlBlocklistOn(urls, blocked)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out(1L) === (("ok.example", 1L, 0L, 1L, 1L)))
+    assert(out(2L) === (("bad.example", 0L, 0L, 1L, 0L)))
+    assert(out(3L) === (("ok.example", 1L, 5L, 0L, 0L)))
+    assert(out(4L) === (("ok.example", 1L, 2L, 1L, 1L)))
+    assert(out(5L) === (("bad.example", 0L, 6L, 0L, 0L)))
+  }
+
+  test("url blocklist fixture: every flag takes both values and the join is broadcast") {
+    val full = TextOps.urlBlocklist(spark, sf).localCheckpoint()
+    Seq("r_domain", "r_score", "keep").foreach { f =>
+      val r = full.agg(min(col(f)), max(col(f))).head()
+      assert(r.getLong(0) == 0L && r.getLong(1) == 1L, s"$f must take both values")
+    }
+    val plan = TextOps.urlBlocklist(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "blocklist must join by broadcast")
+  }
 }
