@@ -112,6 +112,20 @@ object SparkEntry {
     // the WHOLE next-cycle plan composed: sitemap-INDEX candidates (new
     // ahead of stale) → robots admission → delay-capped politeness schedule
     "q_crawl_plan"     -> ((s, d) => FrontierOps.crawlPlan(s, d)),
+    // WARC member round-trip (ISO 28500, the Common Crawl delivery
+    // format): planted per-host members re-split, headers parsed,
+    // Content-Length validated — the archive-ingestion stage a 100 TB
+    // pipeline runs where the reference fetches one URL at a time
+    "q_warc_parse"     -> ((s, d) => graft.sources.WarcOps.warcParse(s, d)),
+    // WET-style text conversion of the length-valid 200 responses —
+    // envelope dropped, markup stripped, whitespace collapsed
+    "q_warc_wet"       -> ((s, d) => graft.sources.WarcOps.warcWet(s, d)),
+    // CDX capture-index planning (CDXJ lines, real SURT + from_json
+    // round-trip): latest good capture per urlkey — what to fetch
+    "q_cdx_latest"     -> ((s, d) => graft.sources.CdxOps.cdxLatest(s, d)),
+    // revisit collapse: captures vs distinct digests per urlkey — the
+    // storage-dedup ratio an archive reader plans against
+    "q_cdx_revisit"    -> ((s, d) => graft.sources.CdxOps.cdxRevisit(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
@@ -145,6 +159,9 @@ object SparkEntry {
     // incremental refresh(odds), keep-best served as one store read +
     // argmax — same oracle as the live twin (the fold is exact)
     "q_dedup_keepbest_stored" -> ((s, d) => DedupOps.keepBestStoredFixture(s, d)),
+    // SoftDeDup-style reweighting: 1/|cluster| sampling weight (ppm,
+    // integer division) over the CC clusters instead of hard removal
+    "q_dedup_soft"    -> ((s, d) => DedupOps.dedupSoft(s, d)),
     // one identity across url-dup AND exact-text-dup edges (closure of
     // the union — a mirror of a re-crawl needs both signals)
     "q_dedup_multi"   -> ((s, d) => DedupOps.dedupMulti(s, d)),
@@ -284,6 +301,9 @@ object SparkEntry {
     // full-precision rescore; rows-only (approximate by construction)
     "q_knn_projected"   -> ((s, d) => KnnOps.topKProjectedProbe(s, d)),
     "q_pack_sequences"  -> ((s, d) => TextAnalysisOps.packSequences(s, d)),
+    // export shard planning: content-addressed hash sharding + balance
+    // report — the layout stage between curation and the trainer
+    "q_shard_assign"    -> ((s, d) => TextAnalysisOps.shardAssign(s, d)),
     // padding-minimizing inference batching (pad < bucketWidth by construction)
     "q_batch_by_length" -> ((s, d) => TextAnalysisOps.batchByLength(s, d)),
     "q_domain_mix"      -> ((s, d) => TextAnalysisOps.domainMix(s, d)),
@@ -618,7 +638,9 @@ object SparkEntry {
     "q_gopher_repetition_full", "q_select_dsir_stored_langid",
     "q_html_main", "q_ingest_e2e_main", "q_dedup_paragraph_stream",
     "q_lang_id_margin", "q_curate_e2e_verdict",
-    "q_c4_rules", "q_curate_e2e_c4", "q_script_detect", "q_dedup_span3")
+    "q_c4_rules", "q_curate_e2e_c4", "q_script_detect", "q_dedup_span3",
+    "q_warc_parse", "q_warc_wet", "q_cdx_latest", "q_cdx_revisit",
+    "q_shard_assign", "q_dedup_soft")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1898,6 +1920,91 @@ object SparkEntry {
         |       url, lastmod, status
         |FROM ch
         |ORDER BY host ASC, url ASC""".stripMargin,
+    // closed-form mirror of the WARC round-trip: the oracle rebuilds the
+    // payload string directly and measures it; the engine must re-split
+    // the member, parse headers, and validate lengths to land on the
+    // same numbers (the q_crawl_sitemap convention — no WARC parsing on
+    // the oracle side)
+    "q_warc_parse" ->
+      """WITH p AS (
+        |  SELECT source AS host,
+        |         'https://' || source || '.example/' || lang || '/p' ||
+        |           CAST(doc_id AS VARCHAR) AS url,
+        |         doc_id,
+        |         'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |           'Content-Type: text/html' || chr(13) || chr(10) ||
+        |           chr(13) || chr(10) ||
+        |           '<html><head><title>' || source || '/p' ||
+        |           CAST(doc_id AS VARCHAR) || '</title></head><body><p>' ||
+        |           text || '</p></body></html>' AS payload
+        |  FROM documents)
+        |SELECT host, url,
+        |       '<urn:md5:' || md5(url) || '>' AS rec_id,
+        |       '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |         'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') ||
+        |         ':00:00Z' AS warc_date,
+        |       'response' AS warc_type,
+        |       CAST(length(payload) +
+        |            CASE WHEN doc_id % 13 = 7 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS content_length,
+        |       CAST(length(payload) AS BIGINT) AS payload_len,
+        |       '200' AS http_status,
+        |       CAST(CASE WHEN doc_id % 13 = 7 THEN 0 ELSE 1 END AS BIGINT)
+        |         AS len_ok
+        |FROM p
+        |ORDER BY url ASC""".stripMargin,
+    // WET mirror: title + body text with markup gone — only the
+    // length-valid records survive, so the planted corrupt rows are out
+    "q_warc_wet" ->
+      """WITH w AS (
+        |  SELECT 'https://' || source || '.example/' || lang || '/p' ||
+        |           CAST(doc_id AS VARCHAR) AS url,
+        |         trim(regexp_replace(
+        |           source || '/p' || CAST(doc_id AS VARCHAR) || ' ' || text,
+        |           ' +', ' ', 'g')) AS wet_text
+        |  FROM documents WHERE doc_id % 13 <> 7)
+        |SELECT url, wet_text,
+        |       CAST(len(str_split(wet_text, ' ')) AS BIGINT) AS n_words
+        |FROM w
+        |ORDER BY url ASC""".stripMargin,
+    // closed-form mirror of the CDX plan: which capture wins is pure
+    // doc_id arithmetic on the oracle side; the engine must SURT, split
+    // and from_json its way to the same row
+    "q_cdx_latest" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, text, n_chars,
+        |         CASE WHEN doc_id % 9 = 0 OR doc_id % 10 = 0
+        |              THEN 1 ELSE 2 END AS chosen
+        |  FROM documents)
+        |SELECT 'example,' || source || ')/' || lang || '/p' ||
+        |         CAST(doc_id AS VARCHAR) AS urlkey,
+        |       'https://' || source || '.example/' || lang || '/p' ||
+        |         CAST(doc_id AS VARCHAR) AS url,
+        |       '202601' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |         lpad(CAST(chosen * 8 AS VARCHAR), 2, '0') || '0000' AS ts,
+        |       md5(text || CASE WHEN doc_id % 4 = 0 THEN '1'
+        |                        ELSE CAST(chosen AS VARCHAR) END) AS digest,
+        |       CAST(n_chars + chosen AS BIGINT) AS length
+        |FROM d
+        |ORDER BY urlkey ASC""".stripMargin,
+    // revisit mirror: good-capture and distinct-digest counts in closed
+    // form (two good captures unless the third was a 404/PDF; one
+    // distinct digest on the % 4 revisit plant)
+    "q_cdx_revisit" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang,
+        |         CASE WHEN doc_id % 9 = 0 OR doc_id % 10 = 0
+        |              THEN 1 ELSE 2 END AS n_captures
+        |  FROM documents)
+        |SELECT 'example,' || source || ')/' || lang || '/p' ||
+        |         CAST(doc_id AS VARCHAR) AS urlkey,
+        |       CAST(n_captures AS BIGINT) AS n_captures,
+        |       CAST(CASE WHEN n_captures = 1 OR doc_id % 4 = 0
+        |                 THEN 1 ELSE 2 END AS BIGINT) AS n_unique,
+        |       CAST(CASE WHEN n_captures = 2 AND doc_id % 4 = 0
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS has_revisit
+        |FROM d
+        |ORDER BY urlkey ASC""".stripMargin,
     // the composed plan: sitemap candidates in closed form, the same
     // handwritten literal robots rules, longest-match + allow-tie, then
     // the delay-capped per-host rank — one chained-CTE mirror of the
@@ -2222,6 +2329,29 @@ object SparkEntry {
     // the stored twin faces the SAME recursive-CTE oracle: the
     // incremental merge fold is exact
     "q_dedup_cc_stored" -> ConnectedOracle,
+    // SoftDeDup weights: the CC closure + component sizes + the same
+    // integer ppm division
+    "q_dedup_soft" ->
+      """WITH RECURSIVE
+        |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))) >= 0.95),
+        |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(n, m) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a WHERE e.b <> r.n),
+        |comp AS (SELECT n AS doc_id, least(n, min(m)) AS component FROM reach GROUP BY n),
+        |cl AS (
+        |  SELECT d.doc_id, coalesce(k.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp k USING (doc_id)),
+        |sz AS (SELECT component, count(*) AS csize FROM cl GROUP BY component)
+        |SELECT cl.doc_id, cl.component, CAST(sz.csize AS BIGINT) AS csize,
+        |       CAST(1000000 // sz.csize AS BIGINT) AS weight_ppm
+        |FROM cl JOIN sz USING (component)
+        |ORDER BY cl.doc_id ASC""".stripMargin,
     // the CC closure composed with the q_text_quality composite; both
     // engines rank on the ROUNDED quality, doc_id breaks ties
     "q_dedup_keepbest" -> KeepBestOracle,
@@ -3174,6 +3304,27 @@ object SparkEntry {
         |SELECT doc_id, shard, n_tok, cum_before,
         |       CAST(shard * 4294967296 + cum_before // 512 AS BIGINT) AS seq_id
         |FROM c ORDER BY doc_id ASC""".stripMargin,
+    // hash-shard mirror: the last md5 nibble is the shard in both
+    // engines; balance share is integer ppm against the heaviest shard
+    "q_shard_assign" ->
+      """WITH a AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         CAST(instr('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS BIGINT)
+        |           AS shard
+        |  FROM documents),
+        |g AS (
+        |  SELECT shard, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+        |         sum(n_chars) AS n_bytes, min(doc_id) AS min_doc
+        |  FROM a GROUP BY shard)
+        |SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_bytes AS BIGINT) AS n_bytes,
+        |       CAST(min_doc AS BIGINT) AS min_doc,
+        |       CAST((1000000 * n_tokens) // max(n_tokens) OVER () AS BIGINT)
+        |         AS share_ppm
+        |FROM g ORDER BY shard ASC""".stripMargin,
     "q_domain_mix_temp" ->
       """WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source),
         |tot AS (SELECT sum(sqrt(CAST(n_s AS DOUBLE))) AS z, CAST(sum(n_s) AS BIGINT) AS n FROM cnt),

@@ -1618,6 +1618,32 @@ object DedupOps {
     keepBestOn(comp, q)
   }
 
+  /** SOFT DEDUPLICATION (`q_dedup_soft`) — down-weight duplicates
+    * instead of dropping them (the SoftDeDup reweighting family; the
+    * standard alternative when hard removal costs long-tail coverage):
+    * every document receives sampling weight `1/|cluster|` over the
+    * transitive near-dup clusters [[dedupConnected]] resolves, so each
+    * distinct content mass contributes one document's worth of expected
+    * training tokens regardless of how many copies the crawl captured.
+    * Weights are emitted in ppm via INTEGER division (`1000000 div
+    * size`) — no float path for either engine to diverge on.
+    *
+    * Scale: reuses the CC closure unchanged (the maintained component
+    * store serves the same answer without the pair pass); the weight
+    * itself adds one component-grain count aggregate and one
+    * component-keyed join — partial-aggregated, no new corpus-grain
+    * exchange, no window over the corpus.
+    */
+  def dedupSoft(spark: SparkSession, dir: String,
+      tau: Double = 0.95): DataFrame = {
+    val comp = dedupConnected(spark, dir, tau)
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    comp.join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("csize"),
+        expr("1000000 div csize").as("weight_ppm"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Parametric core: (doc_id, component) × (doc_id, quality) in,
     * one (component, kept_doc_id, quality, n_members) row per cluster.
     */

@@ -1697,6 +1697,42 @@ object TextAnalysisOps {
         col("cum_before"), col("seq_id"))
       .orderBy(col("doc_id").asc)
 
+  /** EXPORT SHARD PLANNING (`q_shard_assign`) — how a curated corpus is
+    * written out for training: documents hash-assigned to a fixed shard
+    * count (trainer workers read shards in parallel, so assignment must
+    * be deterministic, key-uniform, and independent of input order —
+    * content-addressed, never row-number). Shard = last hex nibble of
+    * `md5(doc_id)`; the report is per-shard doc/token/char totals plus
+    * each shard's token share of the heaviest shard in ppm (the balance
+    * check — a skewed layout starves workers).
+    *
+    * Scale: assignment is one map-side projection; the exchange is
+    * shard-grain (16 rows), and the balance window runs over those 16
+    * rows, not the corpus. At 100 TB the same shard column drives the
+    * real write (`repartition(n, col("shard")).write`) — hash sharding
+    * is skew-immune because the key is a hash, not a domain value.
+    */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("shard",
+        (expr("instr('0123456789abcdef', " +
+          "substring(md5(cast(doc_id as string)), 32, 1))") - 1L)
+          .cast("long"))
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_bytes"),
+        min(col("doc_id")).as("min_doc"))
+      .withColumn("__max_tok",
+        max(col("n_tokens")).over(Window.partitionBy()))
+      .withColumn("share_ppm", expr("(1000000 * n_tokens) div __max_tok"))
+      .drop("__max_tok")
+      .orderBy(col("shard").asc)
+  }
+
   /** Domain mixing: deterministic weighted down-sampling per source — the
     * mixture pass that rebalances a crawl toward target domain weights
     * before training. Keep-decision uses a Knuth multiplicative hash

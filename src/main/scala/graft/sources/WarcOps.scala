@@ -1,0 +1,142 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC container round-trip — the ingestion format every web-scale
+  * corpus actually arrives in (ISO 28500; Common Crawl publishes its
+  * crawls as WARC/WET/WAT). The reference fetches pages one URL at a
+  * time (ref `Crawling.py:41-44`); a 100 TB pipeline instead reads
+  * archived WARC members — concatenated records of WARC headers, an
+  * HTTP envelope, and the payload — and must re-split, parse, and
+  * length-validate them before any downstream stage runs.
+  *
+  * The zero-egress fixture has no archive files, so WARC members are
+  * PLANTED from `documents` arithmetic (the q_crawl_sitemap
+  * convention): one response record per document, grouped into one
+  * member per host. The engine must round-trip through a REAL record
+  * split + header parse + Content-Length check and land exactly on the
+  * closed form the DuckDB oracle computes directly. Gate variation is
+  * planted: every `doc_id % 13 == 7` record's Content-Length header
+  * overstates the payload by one byte (a truncated-transfer stand-in),
+  * so the length gate fires both ways on the corpus.
+  *
+  * Scale: record building, splitting and header parsing are all
+  * map-side codegen (concat / split / regexp_extract); the only
+  * exchange is the host-grain member assembly (collect_list at host
+  * cardinality — the grain archives are written at). Parsing N members
+  * is embarrassingly parallel: one task per member span, no shuffle at
+  * all in a real `binaryFile` read. Payloads never leave their row —
+  * no corpus-grain wide rows are shuffled.
+  */
+object WarcOps {
+
+  private val Crlf = "\r\n"
+  private val BlankLine = Crlf + Crlf
+
+  /** The planted per-document record pieces, shared by the member
+    * builder and the WET/Scaladoc arithmetic. Payload = HTTP/1.1
+    * envelope + a full HTML page titled `source/p<doc_id>`.
+    */
+  private[graft] def plantedRecords(docs: DataFrame): DataFrame = {
+    val url = concat(lit("https://"), col("source"), lit(".example/"),
+      col("lang"), lit("/p"), col("doc_id").cast("string"))
+    val payload = concat(
+      lit("HTTP/1.1 200 OK" + Crlf + "Content-Type: text/html" + BlankLine),
+      lit("<html><head><title>"), col("source"), lit("/p"),
+      col("doc_id").cast("string"), lit("</title></head><body><p>"),
+      col("text"), lit("</p></body></html>"))
+    val warcDate = concat(lit("2026-01-"),
+      lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"), lit("T"),
+      lpad((col("doc_id") % 24).cast("string"), 2, "0"), lit(":00:00Z"))
+    // the planted corruption: % 13 == 7 headers overstate by one byte
+    val declaredLen = length(payload) +
+      when(col("doc_id") % 13 === 7, 1L).otherwise(0L)
+    docs.select(
+      col("source").as("host"), col("doc_id"),
+      concat(
+        lit("WARC/1.0" + Crlf),
+        lit("WARC-Type: response" + Crlf),
+        lit("WARC-Target-URI: "), url, lit(Crlf),
+        lit("WARC-Date: "), warcDate, lit(Crlf),
+        lit("WARC-Record-ID: <urn:md5:"), md5(url), lit(">" + Crlf),
+        lit("Content-Type: application/http" + Crlf),
+        lit("Content-Length: "), declaredLen.cast("string"),
+        lit(BlankLine),
+        payload, lit(BlankLine)).as("rec"))
+  }
+
+  /** One WARC member per host: records concatenated in doc_id order —
+    * the grain real archives are written at. The collect_list is
+    * host-cardinality, not corpus-cardinality per group (each host's
+    * member is its own row), so the exchange is the narrow one a real
+    * archive writer would also pay.
+    */
+  private[graft] def warcMembersOf(docs: DataFrame): DataFrame =
+    plantedRecords(docs)
+      .groupBy(col("host"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          s => s.getField("rec")), "").as("warc"))
+
+  /** Parse (host, warc) members back into records: resync-split on the
+    * record magic, header block = everything before the first blank
+    * line, payload = the rest minus the record terminator, then header
+    * extraction + the Content-Length validation every WARC reader runs.
+    * Entirely map-side after the explode.
+    */
+  private[graft] def warcParseOn(members: DataFrame): DataFrame = {
+    val recs = members
+      .select(col("host"),
+        explode(filter(split(col("warc"), "WARC/1\\.0\r\n"),
+          r => length(r) > 0)).as("rec"))
+    val hdr = substring_index(col("rec"), BlankLine, 1)
+    val payload = col("rec").substr(length(hdr) + lit(5),
+      length(col("rec")) - length(hdr) - lit(8))
+    def header(name: String): Column =
+      regexp_extract(col("rec").substr(lit(1), length(hdr)),
+        name + ": ([^\r\n]+)", 1)
+    recs.select(
+      col("host"),
+      header("WARC-Target-URI").as("url"),
+      header("WARC-Record-ID").as("rec_id"),
+      header("WARC-Date").as("warc_date"),
+      header("WARC-Type").as("warc_type"),
+      header("Content-Length").cast("long").as("content_length"),
+      length(payload).cast("long").as("payload_len"),
+      regexp_extract(payload, "^HTTP/1\\.1 ([0-9]+)", 1).as("http_status"),
+      payload.as("payload"))
+      .withColumn("len_ok",
+        (col("payload_len") === col("content_length")).cast("long"))
+  }
+
+  /** `q_warc_parse`: the full member round-trip over the planted
+    * corpus — build members, re-split, parse headers, validate lengths.
+    */
+  def warcParse(spark: SparkSession, dir: String): DataFrame =
+    warcParseOn(warcMembersOf(Tables.documents(spark, dir)))
+      .select(col("host"), col("url"), col("rec_id"), col("warc_date"),
+        col("warc_type"), col("content_length"), col("payload_len"),
+        col("http_status"), col("len_ok"))
+      .orderBy(col("url").asc)
+
+  /** `q_warc_wet`: WET-style text extraction from parsed members —
+    * keep only length-valid 200 responses, drop the HTTP envelope,
+    * strip markup, collapse whitespace (the Common Crawl WET contract:
+    * one text conversion per valid response record). The length gate
+    * does real work here: the planted corrupt records are excluded.
+    */
+  def warcWet(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = warcParseOn(warcMembersOf(Tables.documents(spark, dir)))
+      .filter(col("len_ok") === 1L && col("http_status") === "200")
+    val httpHdr = substring_index(col("payload"), BlankLine, 1)
+    val html = col("payload").substr(length(httpHdr) + lit(5),
+      length(col("payload")) - length(httpHdr) - lit(4))
+    parsed
+      .withColumn("wet_text",
+        trim(regexp_replace(regexp_replace(html, "<[^>]*>", " "), " +", " ")))
+      .select(col("url"), col("wet_text"),
+        size(split(col("wet_text"), " ")).cast("long").as("n_words"))
+      .orderBy(col("url").asc)
+  }
+}

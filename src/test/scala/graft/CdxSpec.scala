@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{CdxOps, Tables}
+
+/** CDX capture-index queries: the SURT transform must really reverse
+  * host labels, the parse must recover every planted capture, and the
+  * latest/revisit plans must land on the closed-form winners.
+  */
+class CdxSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+
+  private lazy val docs = Tables.documents(spark, sf).localCheckpoint()
+
+  test("SURT reverses host labels and keeps the path") {
+    import spark.implicits._
+    val out = Seq("https://www.news.example/a/p1")
+      .toDF("url").select(CdxOps.surtOf(col("url")).as("k"))
+      .head().getString(0)
+    assert(out == "example,news,www)/a/p1")
+  }
+
+  test("parse recovers three captures per document") {
+    val parsed = CdxOps.cdxParseOn(CdxOps.cdxShardsOf(docs))
+    assert(parsed.count() == 3L * docs.count())
+    assert(parsed.filter(col("url").isNull || col("digest").isNull ||
+      col("length").isNull).count() == 0L)
+  }
+
+  test("latest picks the newest good capture and both fallbacks fire") {
+    val latest = CdxOps.cdxLatest(spark, sf).localCheckpoint()
+    assert(latest.count() == docs.count())
+    val byId = latest.withColumn("doc_id",
+      regexp_extract(col("urlkey"), "/p([0-9]+)$", 1).cast("long"))
+    // a %9 doc (404 third capture) and a %10 doc (pdf) fall back to 08h
+    assert(byId.filter(col("doc_id") % 9 === 0 &&
+      !col("ts").substr(9, 2).equalTo("08")).count() == 0L)
+    assert(byId.filter(col("doc_id") % 10 === 0 &&
+      !col("ts").substr(9, 2).equalTo("08")).count() == 0L)
+    // everyone else takes the 16h capture
+    assert(byId.filter(col("doc_id") % 9 =!= 0 && col("doc_id") % 10 =!= 0 &&
+      !col("ts").substr(9, 2).equalTo("16")).count() == 0L)
+  }
+
+  test("revisit collapse counts distinct digests, both sides planted") {
+    val rev = CdxOps.cdxRevisit(spark, sf).localCheckpoint()
+    val withId = rev.withColumn("doc_id",
+      regexp_extract(col("urlkey"), "/p([0-9]+)$", 1).cast("long"))
+    // the %4 plant with two good captures is a revisit
+    assert(withId.filter(col("doc_id") % 4 === 0 && col("doc_id") % 9 =!= 0 &&
+      col("doc_id") % 10 =!= 0 && col("has_revisit") =!= 1L).count() == 0L)
+    // non-%4 docs with two captures carry two distinct digests
+    assert(withId.filter(col("doc_id") % 4 =!= 0 && col("n_captures") === 2L &&
+      col("n_unique") =!= 2L).count() == 0L)
+    assert(rev.filter(col("has_revisit") === 1L).count() > 0L)
+    assert(rev.filter(col("has_revisit") === 0L).count() > 0L)
+  }
+}
