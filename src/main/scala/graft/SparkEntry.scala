@@ -126,6 +126,9 @@ object SparkEntry {
     // revisit collapse: captures vs distinct digests per urlkey — the
     // storage-dedup ratio an archive reader plans against
     "q_cdx_revisit"    -> ((s, d) => graft.sources.CdxOps.cdxRevisit(s, d)),
+    // WAT-style anchor extraction from the planted full pages — the
+    // parse stage between archive and the link-graph family
+    "q_wat_links"      -> ((s, d) => graft.sources.WarcOps.watLinks(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
@@ -640,7 +643,7 @@ object SparkEntry {
     "q_lang_id_margin", "q_curate_e2e_verdict",
     "q_c4_rules", "q_curate_e2e_c4", "q_script_detect", "q_dedup_span3",
     "q_warc_parse", "q_warc_wet", "q_cdx_latest", "q_cdx_revisit",
-    "q_shard_assign", "q_dedup_soft")
+    "q_shard_assign", "q_dedup_soft", "q_wat_links")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2005,6 +2008,27 @@ object SparkEntry {
         |                 THEN 1 ELSE 0 END AS BIGINT) AS has_revisit
         |FROM d
         |ORDER BY urlkey ASC""".stripMargin,
+    // WAT mirror: the planted page's anchor inventory rebuilt
+    // arithmetically — nav triple, % 3 details link, six % 5
+    // boilerplate links, footer pair, positions computed in closed form
+    "q_wat_links" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS hasd,
+        |         CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS hasp
+        |  FROM documents),
+        |links AS (
+        |  SELECT doc_id, 0 AS pos, '/' AS href, 'home' AS anchor FROM d
+        |  UNION ALL SELECT doc_id, 1, '/about', 'about' FROM d
+        |  UNION ALL SELECT doc_id, 2, '/products', 'products' FROM d
+        |  UNION ALL SELECT doc_id, 3, '/d', 'details' FROM d WHERE hasd = 1
+        |  UNION ALL SELECT doc_id, 3 + hasd + r.i, '/p', 'more link text here'
+        |    FROM d CROSS JOIN (SELECT unnest(range(6)) AS i) r WHERE hasp = 1
+        |  UNION ALL SELECT doc_id, 3 + hasd + 6 * hasp, '/privacy', 'privacy' FROM d
+        |  UNION ALL SELECT doc_id, 4 + hasd + 6 * hasp, '/terms', 'terms' FROM d)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, href, anchor
+        |FROM links
+        |ORDER BY doc_id ASC, pos ASC""".stripMargin,
     // the composed plan: sitemap candidates in closed form, the same
     // handwritten literal robots rules, longest-match + allow-tie, then
     // the delay-capped per-host rank — one chained-CTE mirror of the

@@ -126,17 +126,53 @@ object WarcOps {
     * one text conversion per valid response record). The length gate
     * does real work here: the planted corrupt records are excluded.
     */
-  def warcWet(spark: SparkSession, dir: String): DataFrame = {
-    val parsed = warcParseOn(warcMembersOf(Tables.documents(spark, dir)))
+  def warcWet(spark: SparkSession, dir: String): DataFrame =
+    wetOn(warcParseOn(warcMembersOf(Tables.documents(spark, dir))))
+      .orderBy(col("url").asc)
+
+  /** The WET conversion core on ANY parsed-record frame — shared by the
+    * batch entry and the streaming ingest twin (identical arithmetic by
+    * construction).
+    */
+  private[graft] def wetOn(parsed: DataFrame): DataFrame = {
+    val valid = parsed
       .filter(col("len_ok") === 1L && col("http_status") === "200")
     val httpHdr = substring_index(col("payload"), BlankLine, 1)
     val html = col("payload").substr(length(httpHdr) + lit(5),
       length(col("payload")) - length(httpHdr) - lit(4))
-    parsed
+    valid
       .withColumn("wet_text",
         trim(regexp_replace(regexp_replace(html, "<[^>]*>", " "), " +", " ")))
       .select(col("url"), col("wet_text"),
         size(split(col("wet_text"), " ")).cast("long").as("n_words"))
-      .orderBy(col("url").asc)
+  }
+
+  /** `q_wat_links`: WAT-style link extraction — per page, every anchor
+    * tag parsed to (position, href, anchor text). This is the stage
+    * between the archive and the link family ([[graft.operators.LinkOps]]
+    * consumes edge tables; a real pipeline must first EXTRACT them from
+    * markup — Common Crawl publishes exactly this as its WAT sidecar).
+    * Pages are the planted full-page fixture main-content extraction
+    * already uses ([[graft.operators.TextOps.plantedPage]]), so the
+    * anchor inventory is closed-form: 3 nav links, a `% 3` inline
+    * details link, six `% 5` boilerplate links, and 2 footer links —
+    * the oracle rebuilds positions arithmetically; the engine must find
+    * and split every tag.
+    *
+    * Scale: regexp_extract_all + posexplode is one map-side Generate —
+    * output is links-per-page bounded, never corpus-quadratic; the only
+    * exchange is the presentation sort.
+    */
+  def watLinks(spark: SparkSession, dir: String): DataFrame = {
+    val pages = graft.operators.TextOps.plantedPage(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    pages
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("html"),
+          lit("<a href=\"[^\"]*\"[^>]*>[^<]*</a>"), lit(0))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        regexp_extract(col("col"), "href=\"([^\"]*)\"", 1).as("href"),
+        regexp_extract(col("col"), ">([^<]*)</a>", 1).as("anchor"))
+      .orderBy(col("doc_id").asc, col("pos").asc)
   }
 }

@@ -134,6 +134,32 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming ARCHIVE ingest (r16 — the streaming twin of
+    * `q_warc_parse`/`q_warc_wet`): WARC members arrive as a stream of
+    * (host, warc) blobs (how a live crawl hands archives to the
+    * pipeline), each micro-batch re-splits and parses the members
+    * ([[graft.sources.WarcOps.warcParseOn]]), converts the length-valid
+    * 200 responses to WET text ([[graft.sources.WarcOps.wetOn]] — the
+    * SAME core the batch entry runs), and merges by url into a catalog
+    * collection (last-writer-wins, the re-crawl contract). Parse and
+    * conversion are STATELESS map-side work, so replay safety comes
+    * from the upsert's idempotence — re-delivering a member rewrites
+    * the same rows.
+    */
+  def streamingWarcIngest(memberStream: DataFrame, db: String,
+      name: String): StreamingQuery =
+    memberStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val wet = graft.sources.WarcOps.wetOn(
+            graft.sources.WarcOps.warcParseOn(batch.toDF()))
+          graft.sources.CatalogOps.upsert(
+            batch.sparkSession, db, name, wet, "url")
+        }
+      }
+      .start()
+
   /** Streaming knn — the reference's query path (`searchByText`, ref
     * `main_server.py:40-44`) as a stream: each micro-batch of query
     * vectors (query_id, q_embedding) is answered with the bounded-heap

@@ -60,4 +60,55 @@ class WarcSpec extends AnyFunSuite {
         col("doc_id").cast("string"), lit(" "), col("text")))
     assert(joined.count() == 0L)
   }
+
+  test("WAT link extraction recovers the planted anchor inventory") {
+    val links = WarcOps.watLinks(spark, sf).localCheckpoint()
+    // doc 1 (not %3, not %5): nav triple + footer pair, positions 0..4
+    val d1 = links.filter(col("doc_id") === 1L)
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+    assert(d1.toSeq == Seq((0L, "/", "home"), (1L, "/about", "about"),
+      (2L, "/products", "products"), (3L, "/privacy", "privacy"),
+      (4L, "/terms", "terms")))
+    // doc 15 (%3 and %5): details + six boilerplate links in between
+    val d15 = links.filter(col("doc_id") === 15L).count()
+    assert(d15 == 12L)
+    assert(links.filter(col("doc_id") === 15L && col("href") === "/p")
+      .count() == 6L)
+  }
+
+  test("streaming WARC ingest ≡ batch WET, replay-idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.CatalogOps
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val db = "swarcdb"
+    CatalogOps.dropDatabase(spark, db)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    val members = WarcOps.warcMembersOf(docs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sortBy(_._1)
+    val (b0, b1) = members.splitAt(members.size / 2)
+    CatalogOps.createCollection(spark, db, "wet",
+      Seq.empty[(String, String, Long)].toDF("url", "wet_text", "n_words"),
+      shards = 1)
+    val in = MemoryStream[(String, String)]
+    val q = StreamingOps.streamingWarcIngest(
+      in.toDF.toDF("host", "warc"), db, "wet")
+    try {
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b0.take(1): _*); q.processAllAvailable() // replay a member
+    } finally {
+      q.stop()
+    }
+    val streamed = spark.table(s"`$db`.`wet`")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = WarcOps.warcWet(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    CatalogOps.dropDatabase(spark, db)
+  }
 }
