@@ -165,6 +165,9 @@ object SparkEntry {
     // SoftDeDup-style reweighting: 1/|cluster| sampling weight (ppm,
     // integer division) over the CC clusters instead of hard removal
     "q_dedup_soft"    -> ((s, d) => DedupOps.dedupSoft(s, d)),
+    // the weights served from the maintained component store — the
+    // reweighting a pipeline actually runs (live closure = backfill)
+    "q_dedup_soft_stored" -> ((s, d) => DedupOps.dedupSoftStoredFixture(s, d)),
     // one identity across url-dup AND exact-text-dup edges (closure of
     // the union — a mirror of a re-crawl needs both signals)
     "q_dedup_multi"   -> ((s, d) => DedupOps.dedupMulti(s, d)),
@@ -310,6 +313,9 @@ object SparkEntry {
     // padding-minimizing inference batching (pad < bucketWidth by construction)
     "q_batch_by_length" -> ((s, d) => TextAnalysisOps.batchByLength(s, d)),
     "q_domain_mix"      -> ((s, d) => TextAnalysisOps.domainMix(s, d)),
+    // DoReMi-class learned mixture: multiplicative weights on integer
+    // excess quality, uniform smoothing, trajectory-average output
+    "q_domain_doremi"   -> ((s, d) => TextAnalysisOps.domainDoremi(s, d)),
     "q_curate_e2e"      -> ((s, d) => TextAnalysisOps.curateEndToEnd(s, d)),
     // C4's published cleaning battery (Raffel et al. 2020 §2.2): line
     // retention + page drops, planted both-sides like the Gopher gates
@@ -643,7 +649,8 @@ object SparkEntry {
     "q_lang_id_margin", "q_curate_e2e_verdict",
     "q_c4_rules", "q_curate_e2e_c4", "q_script_detect", "q_dedup_span3",
     "q_warc_parse", "q_warc_wet", "q_cdx_latest", "q_cdx_revisit",
-    "q_shard_assign", "q_dedup_soft", "q_wat_links")
+    "q_shard_assign", "q_dedup_soft", "q_dedup_soft_stored", "q_wat_links",
+    "q_domain_doremi")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -684,6 +691,74 @@ object SparkEntry {
       |SELECT d.doc_id, coalesce(k.component, d.doc_id) AS component
       |FROM documents d LEFT JOIN comp k USING (doc_id)
       |ORDER BY doc_id ASC""".stripMargin
+
+  /** Generated chained-CTE mirror of the DoReMi multiplicative-weights
+    * loop (`q_domain_doremi`): two CTEs per round — raw update, then
+    * normalize + smooth + trajectory accumulate — every division over
+    * nonnegative integers, the exact operation order of
+    * `TextAnalysisOps.domainDoremi`.
+    */
+  private def doremiOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      s"""r${k}a AS (
+         |  SELECT source, n_docs, excess_nano, uw, acc,
+         |         w * (1000000000 + excess_nano) // 1000000000 AS raw
+         |  FROM r${k - 1}),
+         |r$k AS (
+         |  SELECT source, n_docs, excess_nano, uw,
+         |         ((raw * 1000000 // sum(raw) OVER ()) * 9 + uw) // 10 AS w,
+         |         acc + ((raw * 1000000 // sum(raw) OVER ()) * 9 + uw) // 10 AS acc
+         |  FROM r${k}a)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT source,
+       |         CAST(floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |             / len(string_split(text, ' ')) * 0.5 +
+       |           least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) * 0.5)
+       |           * 1000000000.0 + 0.5) AS BIGINT) AS qn
+       |  FROM documents),
+       |d AS (SELECT source, count(*) AS n_docs, sum(qn) AS s_nano FROM q GROUP BY source),
+       |e AS (
+       |  SELECT source, n_docs,
+       |         s_nano // n_docs - (sum(s_nano) OVER ()) // (sum(n_docs) OVER ()) AS excess_nano,
+       |         1000000 // (count(*) OVER ()) AS uw
+       |  FROM d),
+       |r0 AS (SELECT source, n_docs, excess_nano, uw, uw AS w,
+       |       CAST(0 AS BIGINT) AS acc FROM e),
+       |$roundCtes
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(excess_nano AS BIGINT) AS excess_nano,
+       |       CAST(w AS BIGINT) AS final_w_ppm,
+       |       CAST(acc // $rounds AS BIGINT) AS avg_w_ppm
+       |FROM r$rounds
+       |ORDER BY source ASC""".stripMargin
+  }
+
+  /** Shared by q_dedup_soft (live closure) and q_dedup_soft_stored (the
+    * maintained component store) — the fold is exact and the ppm weight
+    * arithmetic is shared integer division.
+    */
+  private val SoftDedupOracle: String =
+    """WITH RECURSIVE
+      |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))) >= 0.95),
+      |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |reach(n, m) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a WHERE e.b <> r.n),
+      |comp AS (SELECT n AS doc_id, least(n, min(m)) AS component FROM reach GROUP BY n),
+      |cl AS (
+      |  SELECT d.doc_id, coalesce(k.component, d.doc_id) AS component
+      |  FROM documents d LEFT JOIN comp k USING (doc_id)),
+      |sz AS (SELECT component, count(*) AS csize FROM cl GROUP BY component)
+      |SELECT cl.doc_id, cl.component, CAST(sz.csize AS BIGINT) AS csize,
+      |       CAST(1000000 // sz.csize AS BIGINT) AS weight_ppm
+      |FROM cl JOIN sz USING (component)
+      |ORDER BY cl.doc_id ASC""".stripMargin
 
   private val KeepBestOracle: String =
     """WITH RECURSIVE
@@ -2354,28 +2429,11 @@ object SparkEntry {
     // incremental merge fold is exact
     "q_dedup_cc_stored" -> ConnectedOracle,
     // SoftDeDup weights: the CC closure + component sizes + the same
-    // integer ppm division
-    "q_dedup_soft" ->
-      """WITH RECURSIVE
-        |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))) >= 0.95),
-        |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
-        |reach(n, m) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a WHERE e.b <> r.n),
-        |comp AS (SELECT n AS doc_id, least(n, min(m)) AS component FROM reach GROUP BY n),
-        |cl AS (
-        |  SELECT d.doc_id, coalesce(k.component, d.doc_id) AS component
-        |  FROM documents d LEFT JOIN comp k USING (doc_id)),
-        |sz AS (SELECT component, count(*) AS csize FROM cl GROUP BY component)
-        |SELECT cl.doc_id, cl.component, CAST(sz.csize AS BIGINT) AS csize,
-        |       CAST(1000000 // sz.csize AS BIGINT) AS weight_ppm
-        |FROM cl JOIN sz USING (component)
-        |ORDER BY cl.doc_id ASC""".stripMargin,
+    // integer ppm division; the stored twin folds exactly
+    "q_dedup_soft" -> SoftDedupOracle,
+    "q_dedup_soft_stored" -> SoftDedupOracle,
+    // DoReMi loop mirrored round by round in generated CTEs
+    "q_domain_doremi" -> doremiOracle(5),
     // the CC closure composed with the q_text_quality composite; both
     // engines rank on the ROUNDED quality, doc_id breaks ties
     "q_dedup_keepbest" -> KeepBestOracle,

@@ -2005,6 +2005,21 @@ object DedupOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** `q_dedup_soft_stored`: [[dedupSoft]] answered from the MAINTAINED
+    * component store — the serve path a pipeline actually reweights
+    * from (the live closure is the backfill). Same oracle as the live
+    * twin: the fold is exact, and the weight arithmetic is shared.
+    */
+  def dedupSoftStoredFixture(spark: SparkSession, dir: String): DataFrame = {
+    ensureComponentStoreFixture(spark, dir)
+    val comp = servedComponents(spark, "graft_comps", "docs")
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    comp.join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("csize"),
+        expr("1000000 div csize").as("weight_ppm"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** `q_dedup_keepbest_stored`: [[dedupKeepBest]] answered from the
     * MAINTAINED store — built create(even ids) + refresh(odd ids) so every
     * contract run exercises the incremental merge fold, then served as

@@ -1733,6 +1733,66 @@ object TextAnalysisOps {
       .orderBy(col("shard").asc)
   }
 
+  /** DOMAIN REWEIGHTING, DoReMi-class (`q_domain_doremi`; Xie et al.
+    * NeurIPS 2023): learn the training mixture instead of fixing it —
+    * domains whose quality signal runs above the corpus mean get
+    * up-weighted multiplicatively, smoothed toward uniform, and the
+    * published output is the AVERAGE of the weight trajectory (not the
+    * final round). The paper's excess signal is a proxy-model loss gap;
+    * the deterministic analog here is the engine's oracled quality
+    * composite (the q_text_quality formula) in nano units, so the whole
+    * loop is exact integer arithmetic — update
+    * `raw = w·(1e9 + excess) div 1e9`, renormalize
+    * `w = raw·1e6 div Σraw`, smooth `w = (9w + uniform) div 10`
+    * (c = 0.1) — every division over nonnegative operands, order-free,
+    * mirrored verbatim by the oracle's chained per-round CTEs.
+    *
+    * Scale: ONE corpus pass lands at domain grain (the only
+    * corpus-sized exchange, map-side partial-aggregated); the iteration
+    * runs entirely on the domain-cardinality frame (windows over tens
+    * of rows — domains are crawl metadata, never corpus-scale), kept
+    * off the corpus plan by a localCheckpoint. At 100 TB the weight
+    * loop costs the same as at sf0.001.
+    */
+  def domainDoremi(spark: SparkSession, dir: String,
+      rounds: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val qNano = floor((size(array_distinct(toks)).cast("double") / size(toks)
+      * lit(0.5) +
+      least(lit(1.0), size(toks).cast("double") / lit(100.0)) * lit(0.5))
+      * lit(1e9) + lit(0.5)).cast("long")
+    val doms = Tables.documents(spark, dir)
+      .select(col("source"), qNano.as("qn"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("qn")).as("s_nano"))
+      .localCheckpoint()
+    val all = Window.partitionBy()
+    var cur = doms
+      .withColumn("__stot", sum(col("s_nano")).over(all))
+      .withColumn("__ntot", sum(col("n_docs")).over(all))
+      .withColumn("excess_nano",
+        expr("s_nano div n_docs - __stot div __ntot"))
+      .withColumn("uw", expr("1000000 div count(1) over ()"))
+      .withColumn("w", col("uw"))
+      .withColumn("acc", lit(0L))
+      .drop("__stot", "__ntot")
+    (1 to rounds).foreach { _ =>
+      cur = cur
+        .withColumn("raw",
+          expr("w * (1000000000 + excess_nano) div 1000000000"))
+        .withColumn("__sraw", sum(col("raw")).over(all))
+        .withColumn("w", expr("raw * 1000000 div __sraw"))
+        .withColumn("w", expr("(w * 9 + uw) div 10"))
+        .withColumn("acc", col("acc") + col("w"))
+        .drop("raw", "__sraw")
+    }
+    cur.select(col("source"), col("n_docs"), col("excess_nano"),
+        col("w").as("final_w_ppm"),
+        expr(s"acc div $rounds").as("avg_w_ppm"))
+      .orderBy(col("source").asc)
+  }
+
   /** Domain mixing: deterministic weighted down-sampling per source — the
     * mixture pass that rebalances a crawl toward target domain weights
     * before training. Keep-decision uses a Knuth multiplicative hash

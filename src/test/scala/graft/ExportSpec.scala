@@ -48,4 +48,61 @@ class ExportSpec extends AnyFunSuite {
       .filter(col("csize") =!= col("n")).count()
     assert(bad == 0L)
   }
+
+  test("stored soft-dedup weights equal the live closure's") {
+    val live = DedupOps.dedupSoft(spark, sf).collect().toSeq
+    val stored = DedupOps.dedupSoftStoredFixture(spark, sf).collect().toSeq
+    assert(live.map(_.toSeq) == stored.map(_.toSeq))
+  }
+
+  test("DoReMi loop: excess both signs, monotone ordering, smoothing floor") {
+    val out = TextAnalysisOps.domainDoremi(spark, sf).localCheckpoint()
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(2),
+      r.getLong(3), r.getLong(4)))
+    // excess quality runs above AND below the corpus mean
+    assert(rows.exists(_._2 > 0L) && rows.exists(_._2 < 0L))
+    // higher excess never yields a lower final weight (update is monotone)
+    val sorted = rows.sortBy(_._2)
+    assert(sorted.map(_._3).zip(sorted.map(_._3).tail).forall { case (a, b) => a <= b })
+    // uniform smoothing keeps every domain above a tenth of uniform
+    val u = 1000000L / rows.length
+    assert(rows.forall(_._3 >= u / 10))
+    // trajectory average sits within the weight range seen at the end
+    assert(rows.forall { case (_, _, fw, aw) => aw > 0 && fw > 0 })
+  }
+
+  test("DoReMi matches a driver-side integer reference on the fixture") {
+    import graft.sources.Tables
+    // independent reference: same integer arithmetic, plain Scala
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def qn(t: String): Long = {
+      val toks = t.split(" ", -1)
+      val q = toks.distinct.length.toDouble / toks.length * 0.5 +
+        math.min(1.0, toks.length.toDouble / 100.0) * 0.5
+      math.floor(q * 1e9 + 0.5).toLong
+    }
+    val byDom = docs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, ds) => (s, ds.length.toLong, ds.map(d => qn(d._2)).sum) }
+    val stot = byDom.map(_._3).sum; val ntot = byDom.map(_._2).sum
+    val meanAll = stot / ntot
+    val nd = byDom.length
+    val uw = 1000000L / nd
+    var w = byDom.map(_ => uw)
+    var acc = byDom.map(_ => 0L)
+    val ex = byDom.map { case (_, n, s) => s / n - meanAll }
+    (1 to 5).foreach { _ =>
+      val raw = w.zip(ex).map { case (wi, e) => wi * (1000000000L + e) / 1000000000L }
+      val sraw = raw.sum
+      w = raw.map(r => (r * 1000000L / sraw * 9 + uw) / 10)
+      acc = acc.zip(w).map { case (a, wi) => a + wi }
+    }
+    val expected = byDom.zipWithIndex.map { case ((s, n, _), i) =>
+      (s, n, ex(i), w(i), acc(i) / 5) }
+    val got = TextAnalysisOps.domainDoremi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+  }
 }
