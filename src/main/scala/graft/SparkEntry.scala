@@ -316,6 +316,9 @@ object SparkEntry {
     // DoReMi-class learned mixture: multiplicative weights on integer
     // excess quality, uniform smoothing, trajectory-average output
     "q_domain_doremi"   -> ((s, d) => TextAnalysisOps.domainDoremi(s, d)),
+    // T5 span corruption: content-addressed masking, maximal-run spans,
+    // sentinel input/target pairs — the denoising-objective data prep
+    "q_span_corrupt"    -> ((s, d) => TextAnalysisOps.spanCorrupt(s, d)),
     "q_curate_e2e"      -> ((s, d) => TextAnalysisOps.curateEndToEnd(s, d)),
     // C4's published cleaning battery (Raffel et al. 2020 §2.2): line
     // retention + page drops, planted both-sides like the Gopher gates
@@ -650,7 +653,7 @@ object SparkEntry {
     "q_c4_rules", "q_curate_e2e_c4", "q_script_detect", "q_dedup_span3",
     "q_warc_parse", "q_warc_wet", "q_cdx_latest", "q_cdx_revisit",
     "q_shard_assign", "q_dedup_soft", "q_dedup_soft_stored", "q_wat_links",
-    "q_domain_doremi")
+    "q_domain_doremi", "q_span_corrupt")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2434,6 +2437,45 @@ object SparkEntry {
     "q_dedup_soft_stored" -> SoftDedupOracle,
     // DoReMi loop mirrored round by round in generated CTEs
     "q_domain_doremi" -> doremiOracle(5),
+    // span-corruption mirror: same md5-nibble mask, lag/run windows,
+    // ordered FILTER string_aggs — byte-identical pairs by construction
+    "q_span_corrupt" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         unnest(range(len(string_split(text, ' ')))) AS p
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, p, toks[p + 1] AS tok,
+        |         CASE WHEN instr('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |               CAST(p AS VARCHAR)), 32, 1)) - 1 < 3
+        |           THEN 1 ELSE 0 END AS m
+        |  FROM t),
+        |w AS (
+        |  SELECT *, CASE WHEN m = 1 AND
+        |        coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY p), 0) = 0
+        |      THEN 1 ELSE 0 END AS fos
+        |  FROM tok),
+        |k AS (
+        |  SELECT *, sum(fos) OVER (PARTITION BY doc_id ORDER BY p) AS kk
+        |  FROM w),
+        |pieces AS (
+        |  SELECT doc_id, p, m, kk,
+        |         CASE WHEN m = 0 THEN tok
+        |              WHEN fos = 1 THEN '<extra_id_' || CAST(kk - 1 AS VARCHAR) || '>'
+        |         END AS ip,
+        |         CASE WHEN fos = 1 THEN '<extra_id_' || CAST(kk - 1 AS VARCHAR) || '> ' || tok
+        |              WHEN m = 1 THEN tok
+        |         END AS tp
+        |  FROM k)
+        |SELECT doc_id,
+        |       coalesce(string_agg(ip, ' ' ORDER BY p) FILTER (WHERE ip IS NOT NULL), '') AS input_text,
+        |       coalesce(string_agg(tp, ' ' ORDER BY p) FILTER (WHERE tp IS NOT NULL), '') AS target_text,
+        |       CAST(coalesce(max(kk), 0) AS BIGINT) AS n_spans,
+        |       CAST(sum(m) AS BIGINT) AS n_masked
+        |FROM pieces
+        |GROUP BY doc_id
+        |ORDER BY doc_id ASC""".stripMargin,
     // the CC closure composed with the q_text_quality composite; both
     // engines rank on the ROUNDED quality, doc_id breaks ties
     "q_dedup_keepbest" -> KeepBestOracle,

@@ -1733,6 +1733,60 @@ object TextAnalysisOps {
       .orderBy(col("shard").asc)
   }
 
+  /** SPAN CORRUPTION (`q_span_corrupt`; T5, Raffel et al. 2020 §3.1.4) —
+    * the denoising-objective data prep: mask token spans, replace each
+    * with a sentinel in the input, and emit the sentinel-delimited spans
+    * as the target. Randomness is CONTENT-ADDRESSED (the shard-assign
+    * discipline): token (doc, p) is masked iff the last md5 nibble of
+    * `"doc:p"` is < 3 (a 3/16 ≈ 19% corruption rate, T5's 15% band), and
+    * a span is a maximal masked run (T5 merges contiguous corrupted
+    * tokens under one sentinel) — so both engines, and any re-run at any
+    * partitioning, produce byte-identical pairs.
+    *
+    * Scale: one posexplode + two doc-keyed windows + one doc-keyed
+    * reassembly — ONE exchange on doc_id (Catalyst reuses the window's
+    * hash partitioning for the final groupBy); window state is bounded
+    * by document length, never corpus-scale. The md5-per-token cost is
+    * the price of order-independent reproducibility — the property that
+    * makes the 100 TB run resumable mid-shard.
+    */
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+    val masked = toks.withColumn("m",
+      (expr("instr('0123456789abcdef', substring(md5(concat(" +
+        "cast(doc_id as string), ':', cast(p as string))), 32, 1))") - 1 < 3)
+        .cast("int"))
+    val spans = masked
+      .withColumn("fos",
+        (col("m") === 1 &&
+          coalesce(lag(col("m"), 1).over(byPos), lit(0)) === 0).cast("int"))
+      .withColumn("k", sum(col("fos")).over(byPos))
+    val pieces = spans.select(col("doc_id"), col("p"), col("m"), col("k"),
+      when(col("m") === 0, col("tok"))
+        .when(col("fos") === 1,
+          concat(lit("<extra_id_"), (col("k") - 1).cast("string"), lit(">")))
+        .as("ip"),
+      when(col("fos") === 1,
+        concat(lit("<extra_id_"), (col("k") - 1).cast("string"), lit("> "),
+          col("tok")))
+        .when(col("m") === 1, col("tok"))
+        .as("tp"))
+    pieces.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("ip").isNotNull, struct(col("p"), col("ip"))))),
+          s => s.getField("ip")), " ").as("input_text"),
+        array_join(transform(array_sort(collect_list(
+          when(col("tp").isNotNull, struct(col("p"), col("tp"))))),
+          s => s.getField("tp")), " ").as("target_text"),
+        max(col("k")).cast("long").as("n_spans"),
+        sum(col("m")).cast("long").as("n_masked"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** DOMAIN REWEIGHTING, DoReMi-class (`q_domain_doremi`; Xie et al.
     * NeurIPS 2023): learn the training mixture instead of fixing it —
     * domains whose quality signal runs above the corpus mean get

@@ -105,4 +105,40 @@ class ExportSpec extends AnyFunSuite {
         r.getLong(4))).toSeq
     assert(got == expected)
   }
+
+  test("span corruption: sentinels round-trip, spans are maximal runs") {
+    val out = TextAnalysisOps.spanCorrupt(spark, sf).localCheckpoint()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = out.collect()
+    assert(rows.length == docs.size)
+    rows.take(200).foreach { r =>
+      val (id, input, target, nSpans, nMasked) = (r.getLong(0),
+        r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))
+      val toks = docs(id).split(" ", -1)
+      // independent reference mask from the same content-addressed hash
+      val m = toks.indices.map { p =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:$p".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        "0123456789abcdef".indexOf(h.charAt(31)) < 3
+      }
+      assert(nMasked == m.count(identity))
+      val runs = m.zipWithIndex.foldLeft(0) { case (acc, (v, i)) =>
+        if (v && (i == 0 || !m(i - 1))) acc + 1 else acc }
+      assert(nSpans == runs)
+      // reconstruct: replacing sentinels in input by target spans gives text
+      if (nSpans > 0) {
+        val spanToks = target.split(" ").foldLeft(Vector.empty[Vector[String]]) {
+          (acc, t) => if (t.startsWith("<extra_id_")) acc :+ Vector.empty
+                      else acc.init :+ (acc.last :+ t) }
+        val rebuilt = input.split(" ").flatMap { t =>
+          if (t.startsWith("<extra_id_")) {
+            val k = t.stripPrefix("<extra_id_").stripSuffix(">").toInt
+            spanToks(k)
+          } else Seq(t) }.mkString(" ")
+        assert(rebuilt == docs(id), s"doc $id failed round-trip")
+      } else assert(input == docs(id))
+    }
+  }
 }
