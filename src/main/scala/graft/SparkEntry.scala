@@ -319,6 +319,9 @@ object SparkEntry {
     // T5 span corruption: content-addressed masking, maximal-run spans,
     // sentinel input/target pairs — the denoising-objective data prep
     "q_span_corrupt"    -> ((s, d) => TextAnalysisOps.spanCorrupt(s, d)),
+    // FIM infilling prep: content-addressed 50% gate + ordered cuts,
+    // PSM rendering — pure map-side projection
+    "q_fim_transform"   -> ((s, d) => TextAnalysisOps.fimTransform(s, d)),
     "q_curate_e2e"      -> ((s, d) => TextAnalysisOps.curateEndToEnd(s, d)),
     // C4's published cleaning battery (Raffel et al. 2020 §2.2): line
     // retention + page drops, planted both-sides like the Gopher gates
@@ -653,7 +656,7 @@ object SparkEntry {
     "q_c4_rules", "q_curate_e2e_c4", "q_script_detect", "q_dedup_span3",
     "q_warc_parse", "q_warc_wet", "q_cdx_latest", "q_cdx_revisit",
     "q_shard_assign", "q_dedup_soft", "q_dedup_soft_stored", "q_wat_links",
-    "q_domain_doremi", "q_span_corrupt")
+    "q_domain_doremi", "q_span_corrupt", "q_fim_transform")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2475,6 +2478,32 @@ object SparkEntry {
         |       CAST(sum(m) AS BIGINT) AS n_masked
         |FROM pieces
         |GROUP BY doc_id
+        |ORDER BY doc_id ASC""".stripMargin,
+    // FIM mirror: same md5-nibble gate and cuts, list slicing in PSM
+    // order — double-space seams at empty segments are part of the
+    // contract on both sides
+    "q_fim_transform" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':' || 'c1'), 32, 1)) - 1 AS BIGINT) AS na,
+        |         CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':' || 'c2'), 32, 1)) - 1 AS BIGINT) AS nb,
+        |         CASE WHEN instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':' || 'fim'), 32, 1)) - 1 < 8
+        |              THEN 1 ELSE 0 END AS fim
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk, n_tok, fim,
+        |         least(na * n_tok // 16, nb * n_tok // 16) AS c1,
+        |         greatest(na * n_tok // 16, nb * n_tok // 16) AS c2
+        |  FROM t)
+        |SELECT doc_id, CAST(fim AS BIGINT) AS fim, n_tok,
+        |       CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+        |       CASE WHEN fim = 0 THEN array_to_string(tk, ' ')
+        |            ELSE '<PRE> ' || coalesce(array_to_string(tk[1:c1], ' '), '') ||
+        |                 ' <SUF> ' || coalesce(array_to_string(tk[c2+1:n_tok], ' '), '') ||
+        |                 ' <MID> ' || coalesce(array_to_string(tk[c1+1:c2], ' '), '')
+        |       END AS rendered
+        |FROM c
         |ORDER BY doc_id ASC""".stripMargin,
     // the CC closure composed with the q_text_quality composite; both
     // engines rank on the ROUNDED quality, doc_id breaks ties

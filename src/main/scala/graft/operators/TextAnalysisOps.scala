@@ -1787,6 +1787,51 @@ object TextAnalysisOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** FILL-IN-THE-MIDDLE (`q_fim_transform`; Bavarian et al. 2022) — the
+    * infilling data prep every code-capable model trains with: split
+    * each document at two cut points into (prefix, middle, suffix) and
+    * re-render in PSM order `<PRE> prefix <SUF> suffix <MID> middle`.
+    * The paper applies FIM to a random half at random cuts; here both
+    * draws are CONTENT-ADDRESSED md5 nibbles (the span-corruption
+    * discipline): docs whose `"doc:fim"` nibble is < 8 transform (50%
+    * rate), cut points are the two `"doc:c1"`/`"doc:c2"` nibbles scaled
+    * to token positions and ordered — deterministic, partition-free,
+    * byte-identical across engines and re-runs.
+    *
+    * Scale: pure map-side projection (slice + array_join on the token
+    * array); zero exchanges before the presentation sort. The
+    * document-level transform never inspects other rows, so it composes
+    * with any upstream gate at no plan cost.
+    */
+  def fimTransform(spark: SparkSession, dir: String): DataFrame = {
+    def nib(salt: String): Column =
+      expr("instr('0123456789abcdef', substring(md5(concat(" +
+        s"cast(doc_id as string), ':', '$salt')), 32, 1))") - 1
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .withColumn("__na", nib("c1").cast("long"))
+      .withColumn("__nb", nib("c2").cast("long"))
+      .withColumn("fim", (nib("fim") < 8).cast("long"))
+      .withColumn("c1",
+        expr("least(__na * n_tok div 16, __nb * n_tok div 16)"))
+      .withColumn("c2",
+        expr("greatest(__na * n_tok div 16, __nb * n_tok div 16)"))
+      .select(col("doc_id"), col("fim"), col("n_tok"), col("c1"), col("c2"),
+        when(col("fim") === 0L, array_join(col("tk"), " "))
+          .otherwise(concat(
+            lit("<PRE> "),
+            array_join(slice(col("tk"), lit(1), col("c1").cast("int")), " "),
+            lit(" <SUF> "),
+            array_join(slice(col("tk"), col("c2").cast("int") + 1,
+              (col("n_tok") - col("c2")).cast("int")), " "),
+            lit(" <MID> "),
+            array_join(slice(col("tk"), col("c1").cast("int") + 1,
+              (col("c2") - col("c1")).cast("int")), " ")))
+          .as("rendered"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** DOMAIN REWEIGHTING, DoReMi-class (`q_domain_doremi`; Xie et al.
     * NeurIPS 2023): learn the training mixture instead of fixing it —
     * domains whose quality signal runs above the corpus mean get

@@ -141,4 +141,29 @@ class ExportSpec extends AnyFunSuite {
       } else assert(input == docs(id))
     }
   }
+
+  test("FIM: 50% gate both ways, segments partition the token stream") {
+    val out = TextAnalysisOps.fimTransform(spark, sf).localCheckpoint()
+    val fims = out.agg(sum(col("fim")), count(lit(1))).head()
+    assert(fims.getLong(0) > 0 && fims.getLong(0) < fims.getLong(1))
+    // untransformed docs render verbatim
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(col("fim") === 0L).collect().foreach { r =>
+      assert(r.getAs[String]("rendered") == docs(r.getLong(0)))
+    }
+    // transformed docs: reordering SUF/MID back recovers the text
+    out.filter(col("fim") === 1L).collect().take(100).foreach { r =>
+      val s = r.getAs[String]("rendered")
+      val pre = s.substring("<PRE> ".length, s.indexOf(" <SUF> "))
+      val suf = s.substring(s.indexOf(" <SUF> ") + " <SUF> ".length,
+        s.indexOf(" <MID> "))
+      val mid = s.substring(s.indexOf(" <MID> ") + " <MID> ".length)
+      val rebuilt = Seq(pre, mid, suf).filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == docs(r.getLong(0)), s"doc ${r.getLong(0)}")
+      // cut invariants
+      assert(r.getLong(3) <= r.getLong(4) && r.getLong(4) <= r.getLong(2))
+    }
+  }
 }
