@@ -322,6 +322,9 @@ object SparkEntry {
     // FIM infilling prep: content-addressed 50% gate + ordered cuts,
     // PSM rendering — pure map-side projection
     "q_fim_transform"   -> ((s, d) => TextAnalysisOps.fimTransform(s, d)),
+    // the published stage-wise removal table: docs/tokens surviving each
+    // curation stage + per-stage keep ppm — same gates as the entries
+    "q_curation_funnel" -> ((s, d) => TextAnalysisOps.curationFunnel(s, d)),
     "q_curate_e2e"      -> ((s, d) => TextAnalysisOps.curateEndToEnd(s, d)),
     // C4's published cleaning battery (Raffel et al. 2020 §2.2): line
     // retention + page drops, planted both-sides like the Gopher gates
@@ -656,7 +659,8 @@ object SparkEntry {
     "q_c4_rules", "q_curate_e2e_c4", "q_script_detect", "q_dedup_span3",
     "q_warc_parse", "q_warc_wet", "q_cdx_latest", "q_cdx_revisit",
     "q_shard_assign", "q_dedup_soft", "q_dedup_soft_stored", "q_wat_links",
-    "q_domain_doremi", "q_span_corrupt", "q_fim_transform")
+    "q_domain_doremi", "q_span_corrupt", "q_fim_transform",
+    "q_curation_funnel")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2479,6 +2483,141 @@ object SparkEntry {
         |FROM pieces
         |GROUP BY doc_id
         |ORDER BY doc_id ASC""".stripMargin,
+    // funnel mirror: each stage flag is the PROVEN oracle fragment of
+    // its own entry (lang-id CTEs, gopher battery, repetition plants,
+    // md5 first-arrival, n-gram hits, mix bucket), cumulative products,
+    // a 7-row union, and the lag-window keep ppm
+    "q_curation_funnel" ->
+      s"""WITH $langIdCtes,
+        |flang AS (
+        |  SELECT doc_id, CASE WHEN predicted = 'en' THEN 1 ELSE 0 END AS f_lang
+        |  FROM lpred),
+        |gc AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) +
+        |      CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(string_split(text, chr(10)), l -> starts_with(trim(l), '-')
+        |      OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(string_split(text, chr(10)), l -> ends_with(trim(l), '...'))) AS BIGINT) AS n_ell_end,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+        |      s -> list_contains(list_transform(string_split(text, ' '), w -> lower(w)), s))) AS BIGINT) AS n_stopwords
+        |  FROM documents),
+        |fgop AS (
+        |  SELECT doc_id,
+        |    CAST(n_words >= 20 AND n_words <= 100000 AS BIGINT) *
+        |    CAST(n_chars >= 3 * n_words AND n_chars <= 10 * n_words AS BIGINT) *
+        |    CAST(10 * n_symbols <= n_words AS BIGINT) *
+        |    CAST(10 * n_bullet <= 9 * n_lines AS BIGINT) *
+        |    CAST(10 * n_ell_end <= 3 * n_lines AS BIGINT) *
+        |    CAST(5 * n_alpha_words >= 4 * n_words AS BIGINT) *
+        |    CAST(n_stopwords >= 1 AS BIGINT) AS f_gopher
+        |  FROM gc),
+        |rc AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 6 = 0
+        |              THEN chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40)
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 8 = 0 AND doc_id % 6 <> 0
+        |              THEN chr(10) || substr(text, 1, 40) ELSE '' END AS t
+        |  FROM documents),
+        |rm AS (
+        |  SELECT doc_id, t,
+        |         CAST(list_sum(list_transform(string_split(t, chr(10)),
+        |           l -> length(l))) AS BIGINT) AS line_chars,
+        |         CAST(list_sum(list_transform(string_split(t, chr(10)),
+        |           l -> length(l))) AS BIGINT)
+        |           - CAST(list_sum(list_transform(list_distinct(string_split(t, chr(10))),
+        |               l -> length(l))) AS BIGINT) AS dup_line_chars
+        |  FROM rc),
+        |rbg AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS b
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM (SELECT doc_id, string_split_regex(t, '[ \\n]') AS w FROM rc)
+        |        WHERE len(w) >= 2)),
+        |rt2 AS (
+        |  SELECT doc_id, max(cnt * length(b)) AS top2_chars
+        |  FROM (SELECT doc_id, b, count(*) AS cnt FROM rbg GROUP BY doc_id, b)
+        |  GROUP BY doc_id),
+        |frep AS (
+        |  SELECT rm.doc_id,
+        |         CAST(CASE WHEN 5 * rm.dup_line_chars <= rm.line_chars
+        |                    AND 5 * coalesce(rt2.top2_chars, 0) <= rm.line_chars
+        |               THEN 1 ELSE 0 END AS BIGINT) AS f_rep
+        |  FROM rm LEFT JOIN rt2 USING (doc_id)),
+        |fded AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+        |              THEN 1 ELSE 0 END AS f_dedup
+        |  FROM documents),
+        |dtok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |dng AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_distinct(list_transform(range(1, len(t) - 2),
+        |           i -> list_aggregate(t[i:i+3], 'string_agg', ' ')))) AS g
+        |  FROM dtok),
+        |deval AS (SELECT DISTINCT g FROM dng WHERE source = 'src19'),
+        |dhits AS (
+        |  SELECT dng.doc_id, count(*) AS shared
+        |  FROM dng JOIN deval USING (g) WHERE dng.source <> 'src19'
+        |  GROUP BY dng.doc_id),
+        |fdec AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN d.source <> 'src19' AND coalesce(h.shared, 0) = 0
+        |              THEN 1 ELSE 0 END AS f_decon
+        |  FROM documents d LEFT JOIN dhits h USING (doc_id)),
+        |fmix AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) >= 20
+        |               AND (doc_id * 2654435761) % 1000 <
+        |                   (coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT),
+        |                     length(source)) % 4 + 1) * 0.25 * 1000
+        |              THEN 1 ELSE 0 END AS f_mix
+        |  FROM documents),
+        |fl AS (
+        |  SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+        |         f_lang, f_gopher, f_rep, f_dedup, f_decon, f_mix
+        |  FROM documents d
+        |  JOIN flang USING (doc_id) JOIN fgop USING (doc_id)
+        |  JOIN frep USING (doc_id) JOIN fded USING (doc_id)
+        |  JOIN fdec USING (doc_id) JOIN fmix USING (doc_id)),
+        |kk AS (
+        |  SELECT *, f_lang AS k1, f_lang * f_gopher AS k2,
+        |         f_lang * f_gopher * f_rep AS k3,
+        |         f_lang * f_gopher * f_rep * f_dedup AS k4,
+        |         f_lang * f_gopher * f_rep * f_dedup * f_decon AS k5,
+        |         f_lang * f_gopher * f_rep * f_dedup * f_decon * f_mix AS k6
+        |  FROM fl),
+        |agg AS (
+        |  SELECT count(*) AS n0, sum(n_tok) AS t0,
+        |         sum(k1) AS n1, sum(n_tok * k1) AS t1,
+        |         sum(k2) AS n2, sum(n_tok * k2) AS t2,
+        |         sum(k3) AS n3, sum(n_tok * k3) AS t3,
+        |         sum(k4) AS n4, sum(n_tok * k4) AS t4,
+        |         sum(k5) AS n5, sum(n_tok * k5) AS t5,
+        |         sum(k6) AS n6, sum(n_tok * k6) AS t6
+        |  FROM kk),
+        |st AS (
+        |  SELECT 0 AS stage, 'raw' AS stage_name, n0 AS n_docs, t0 AS n_tokens FROM agg
+        |  UNION ALL SELECT 1, 'lang_id', n1, t1 FROM agg
+        |  UNION ALL SELECT 2, 'gopher_rules', n2, t2 FROM agg
+        |  UNION ALL SELECT 3, 'gopher_repetition', n3, t3 FROM agg
+        |  UNION ALL SELECT 4, 'dedup_exact', n4, t4 FROM agg
+        |  UNION ALL SELECT 5, 'decontaminate', n5, t5 FROM agg
+        |  UNION ALL SELECT 6, 'domain_mix', n6, t6 FROM agg)
+        |SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+        |       CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(CASE WHEN lag(n_docs) OVER (ORDER BY stage) IS NULL THEN 1000000
+        |                 WHEN lag(n_docs) OVER (ORDER BY stage) = 0 THEN 0
+        |                 ELSE n_docs * 1000000 // lag(n_docs) OVER (ORDER BY stage)
+        |            END AS BIGINT) AS kept_ppm
+        |FROM st
+        |ORDER BY stage ASC""".stripMargin,
     // FIM mirror: same md5-nibble gate and cuts, list slicing in PSM
     // order — double-space seams at empty segments are part of the
     // contract on both sides

@@ -1787,6 +1787,93 @@ object TextAnalysisOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** CURATION FUNNEL (`q_curation_funnel`) — the stage-wise removal
+    * table every corpus paper publishes (C4 §2.2's table, RefinedWeb's
+    * Figure 2, Dolma's data sheet): how many documents and tokens
+    * survive each successive curation stage, and the per-stage keep
+    * rate. Stages in published order: derived-language gate → Gopher
+    * structural battery → Gopher repetition gates (over the planted
+    * line-structure surrogate, the q_gopher_repetition fixture) →
+    * exact-hash dedup (first arrival) → benchmark decontamination
+    * (eval source's documents drop here too — they are the benchmark) →
+    * token floor + weighted domain mix. Each flag is the SAME gate its
+    * own contract entry runs, so the funnel cannot drift from the ops
+    * it summarizes.
+    *
+    * Scale: every flag is map-side except dedup (one hash-grain
+    * exchange) and the flag assembly (doc-keyed equi-joins — all hash
+    * on the same key, co-partitioned; a production funnel would fuse
+    * the map-side flags into one scan projection, which Catalyst
+    * largely does after the joins collapse to one exchange family).
+    * The cumulative fold and the 7-row stack cost nothing.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val lang = graft.operators.LangIdOps.documentsWithDerivedLang(spark, dir)
+      .select(col("doc_id"),
+        (col("predicted") === "en").cast("long").as("f_lang"))
+    // fixture-fit thresholds (the curateCcnet discipline: the synthetic
+    // vocabulary carries one stopword, and documents run 20-100 tokens;
+    // published defaults stay on the battery entry itself)
+    val gop = gopherRulesOn(docs, 20L, 100000L, 1L)
+      .select(col("doc_id"), col("keep").as("f_gopher"))
+    val rep = gopherRepetition(spark, dir)
+      .select(col("doc_id"), col("keep").as("f_rep"))
+    val hashes = docs.select(col("doc_id"), md5(col("text")).as("__h"))
+    val ded = hashes
+      .join(hashes.groupBy(col("__h")).agg(min(col("doc_id")).as("__kid")),
+        Seq("__h"))
+      .select(col("doc_id"),
+        (col("doc_id") === col("__kid")).cast("long").as("f_dedup"))
+    val evalNg = ngramSet(docs.filter(col("source") === "src19"))
+    val dec = contaminationOn(
+      docs.select(col("doc_id"), col("source"), col("text")), evalNg)
+      .select(col("doc_id"),
+        (col("source") =!= "src19" && col("contaminated") === 0L)
+          .cast("long").as("f_decon"))
+    val mix = docs.select(col("doc_id"),
+      (size(tokens(col("text"))).cast("long") >= 20L &&
+        mixBucket < mixWeight * 1000).cast("long").as("f_mix"))
+    val flags = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(lang, Seq("doc_id")).join(gop, Seq("doc_id"))
+      .join(rep, Seq("doc_id")).join(ded, Seq("doc_id"))
+      .join(dec, Seq("doc_id")).join(mix, Seq("doc_id"))
+      .withColumn("k1", col("f_lang"))
+      .withColumn("k2", col("k1") * col("f_gopher"))
+      .withColumn("k3", col("k2") * col("f_rep"))
+      .withColumn("k4", col("k3") * col("f_dedup"))
+      .withColumn("k5", col("k4") * col("f_decon"))
+      .withColumn("k6", col("k5") * col("f_mix"))
+    val a = flags.agg(
+      count(lit(1)).as("n0"), sum(col("n_tok")).as("t0"),
+      sum(col("k1")).as("n1"), sum(col("n_tok") * col("k1")).as("t1"),
+      sum(col("k2")).as("n2"), sum(col("n_tok") * col("k2")).as("t2"),
+      sum(col("k3")).as("n3"), sum(col("n_tok") * col("k3")).as("t3"),
+      sum(col("k4")).as("n4"), sum(col("n_tok") * col("k4")).as("t4"),
+      sum(col("k5")).as("n5"), sum(col("n_tok") * col("k5")).as("t5"),
+      sum(col("k6")).as("n6"), sum(col("n_tok") * col("k6")).as("t6"))
+    val staged = a.select(expr(
+      "stack(7, CAST(0 AS BIGINT), 'raw', n0, t0," +
+        " CAST(1 AS BIGINT), 'lang_id', n1, t1," +
+        " CAST(2 AS BIGINT), 'gopher_rules', n2, t2," +
+        " CAST(3 AS BIGINT), 'gopher_repetition', n3, t3," +
+        " CAST(4 AS BIGINT), 'dedup_exact', n4, t4," +
+        " CAST(5 AS BIGINT), 'decontaminate', n5, t5," +
+        " CAST(6 AS BIGINT), 'domain_mix', n6, t6)" +
+        " as (stage, stage_name, n_docs, n_tokens)"))
+    val w = Window.orderBy(col("stage"))
+    staged
+      .withColumn("__prev", lag(col("n_docs"), 1).over(w))
+      .withColumn("kept_ppm",
+        when(col("__prev").isNull, lit(1000000L))
+          .when(col("__prev") === 0L, lit(0L))
+          .otherwise(expr("n_docs * 1000000 div __prev")))
+      .drop("__prev")
+      .orderBy(col("stage").asc)
+  }
+
   /** FILL-IN-THE-MIDDLE (`q_fim_transform`; Bavarian et al. 2022) — the
     * infilling data prep every code-capable model trains with: split
     * each document at two cut points into (prefix, middle, suffix) and

@@ -166,4 +166,29 @@ class ExportSpec extends AnyFunSuite {
       assert(r.getLong(3) <= r.getLong(4) && r.getLong(4) <= r.getLong(2))
     }
   }
+
+  test("curation funnel: monotone, raw row matches corpus, ppm arithmetic") {
+    val f = TextAnalysisOps.curationFunnel(spark, sf).localCheckpoint()
+    val rows = f.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._2).toSeq == Seq("raw", "lang_id", "gopher_rules",
+      "gopher_repetition", "dedup_exact", "decontaminate", "domain_mix"))
+    assert(rows.head._3 == Tables.documents(spark, sf).count())
+    // docs and tokens both non-increasing down the funnel
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+    assert(rows.map(_._4).sliding(2).forall(p => p(0) >= p(1)))
+    // keep ppm re-derives from adjacent counts
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._5 == (if (a._3 == 0) 0L else b._3 * 1000000L / a._3))
+    }
+    assert(rows.head._5 == 1000000L)
+    // most stages remove something at sf0.001 (a cumulative stage may
+    // find nothing left to remove on the small slice — that's honest)
+    assert(rows.map(_._3).distinct.length >= 5)
+    assert(rows.last._3 < rows.head._3 / 5)
+    // the lang stage keeps exactly the derived-en docs
+    val en = graft.operators.LangIdOps.documentsWithDerivedLang(spark, sf)
+      .filter(col("predicted") === "en").count()
+    assert(rows(1)._3 == en)
+  }
 }
