@@ -269,25 +269,36 @@ object TextAnalysisOps {
     * materialize (the flags cross-multiply).
     */
   private[graft] def gopherRepetitionOn(docs: DataFrame): DataFrame = {
-    val lines = split(col("text"), "\n")
+    // STAGE the arrays as materialized columns (the gopherRepetitionFull
+    // lambda-recompute discipline): a consumer that filters or multiplies
+    // on `keep` makes the optimizer substitute its defining expression
+    // into the predicate — with `bg` as an inline subtree that re-derives
+    // the whole bigram array PER LAMBDA ELEMENT, the quadratic fold
+    // became quadratic-with-recompute (measured 40 s vs 0.2 s at
+    // sf0.001, found via the q_curation_funnel composition). As staged
+    // attributes the substitution stops at the column reference.
     val lineChars = aggregate(
-      transform(lines, l => length(l).cast("long")), lit(0L), (a, x) => a + x)
-    val distinctChars = aggregate(
-      transform(array_distinct(lines), l => length(l).cast("long")),
+      transform(col("__lines"), l => length(l).cast("long")),
       lit(0L), (a, x) => a + x)
-    // tokens across line breaks: split on space OR newline so a planted
-    // line boundary never glues two words into a phantom token
-    val w = split(col("text"), "[ \n]")
-    val bg = transform(sequence(lit(1), size(w) - 1),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
-    val top2 = when(size(w) >= 2,
-      aggregate(array_distinct(bg), lit(0L), (acc, b) =>
-        greatest(acc,
-          size(filter(bg, x => x === b)).cast("long") * length(b))))
-      .otherwise(lit(0L))
+    val distinctChars = aggregate(
+      transform(array_distinct(col("__lines")), l => length(l).cast("long")),
+      lit(0L), (a, x) => a + x)
+    // linear sorted-run fold (topNgramChars) instead of the original
+    // distinct×occurrence quadratic: same value (best run count × gram
+    // length ≡ max distinct count × length), but bounded even when a
+    // consumer's filter pushdown inlines the expression — the quadratic
+    // form measured 40 s at sf0.001 under `filter(keep === 1)`
+    val top2 = topNgramChars(col("__bg"))
     docs
+      .withColumn("__lines", split(col("text"), "\n"))
+      // tokens across line breaks: split on space OR newline so a planted
+      // line boundary never glues two words into a phantom token
+      .withColumn("__w", split(col("text"), "[ \n]"))
+      .withColumn("__bg", transform(sequence(lit(1), size(col("__w")) - 1),
+        i => concat_ws(" ", element_at(col("__w"), i),
+          element_at(col("__w"), i + 1))))
       .select(col("doc_id"),
-        size(lines).cast("long").as("n_lines"),
+        size(col("__lines")).cast("long").as("n_lines"),
         lineChars.as("line_chars"),
         (lineChars - distinctChars).as("dup_line_chars"),
         top2.as("top2_chars"))
@@ -1835,18 +1846,26 @@ object TextAnalysisOps {
     val mix = docs.select(col("doc_id"),
       (size(tokens(col("text"))).cast("long") >= 20L &&
         mixBucket < mixWeight * 1000).cast("long").as("f_mix"))
+    // checkpoint the assembled flags: the cumulative products reference
+    // each flag up to six times, and without the lineage cut the
+    // optimizer would inline six copies of the gate expressions into
+    // the aggregate (the recompute blowup the repetition staging above
+    // guards against, here cut wholesale — flags are one skinny row per
+    // doc, the cheapest thing in the plan to materialize)
     val flags = docs
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
       .join(lang, Seq("doc_id")).join(gop, Seq("doc_id"))
       .join(rep, Seq("doc_id")).join(ded, Seq("doc_id"))
       .join(dec, Seq("doc_id")).join(mix, Seq("doc_id"))
+      .localCheckpoint()
+    val folded = flags
       .withColumn("k1", col("f_lang"))
       .withColumn("k2", col("k1") * col("f_gopher"))
       .withColumn("k3", col("k2") * col("f_rep"))
       .withColumn("k4", col("k3") * col("f_dedup"))
       .withColumn("k5", col("k4") * col("f_decon"))
       .withColumn("k6", col("k5") * col("f_mix"))
-    val a = flags.agg(
+    val a = folded.agg(
       count(lit(1)).as("n0"), sum(col("n_tok")).as("t0"),
       sum(col("k1")).as("n1"), sum(col("n_tok") * col("k1")).as("t1"),
       sum(col("k2")).as("n2"), sum(col("n_tok") * col("k2")).as("t2"),
