@@ -325,6 +325,9 @@ object SparkEntry {
     // the published stage-wise removal table: docs/tokens surviving each
     // curation stage + per-stage keep ppm — same gates as the entries
     "q_curation_funnel" -> ((s, d) => TextAnalysisOps.curationFunnel(s, d)),
+    // annealing-phase plan: exact 90th-percentile quality fence routes
+    // the top slice to the final training stretch + a 10% replay slice
+    "q_anneal_mix"      -> ((s, d) => TextAnalysisOps.annealMix(s, d)),
     "q_curate_e2e"      -> ((s, d) => TextAnalysisOps.curateEndToEnd(s, d)),
     // C4's published cleaning battery (Raffel et al. 2020 §2.2): line
     // retention + page drops, planted both-sides like the Gopher gates
@@ -660,7 +663,7 @@ object SparkEntry {
     "q_warc_parse", "q_warc_wet", "q_cdx_latest", "q_cdx_revisit",
     "q_shard_assign", "q_dedup_soft", "q_dedup_soft_stored", "q_wat_links",
     "q_domain_doremi", "q_span_corrupt", "q_fim_transform",
-    "q_curation_funnel")
+    "q_curation_funnel", "q_anneal_mix")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2618,6 +2621,29 @@ object SparkEntry {
         |            END AS BIGINT) AS kept_ppm
         |FROM st
         |ORDER BY stage ASC""".stripMargin,
+    // anneal mirror: the shared rounded quality, the exact order
+    // statistic at rank floor(0.9·(n−1)) (the q_quantile_exact
+    // convention), strict-above routing, and the coprime replay bucket
+    "q_anneal_mix" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |             / len(string_split(text, ' ')) * 0.5 +
+        |           least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) * 0.5, 6)
+        |           AS quality
+        |  FROM documents),
+        |n AS (SELECT count(*) AS c FROM q),
+        |s AS (SELECT quality AS v, row_number() OVER (ORDER BY quality) AS rn FROM q),
+        |f AS (
+        |  SELECT s.v AS fence FROM s CROSS JOIN n
+        |  WHERE s.rn = CAST(floor(0.9 * (n.c - 1)) AS BIGINT) + 1)
+        |SELECT q.doc_id, q.quality,
+        |       CASE WHEN q.quality > f.fence THEN 'anneal' ELSE 'main' END AS phase,
+        |       CAST(CASE WHEN q.quality > f.fence
+        |                  OR (q.doc_id * 1540483477) % 1000 < 100
+        |             THEN 1 ELSE 0 END AS BIGINT) AS anneal_epoch
+        |FROM q CROSS JOIN f
+        |ORDER BY q.doc_id ASC""".stripMargin,
     // FIM mirror: same md5-nibble gate and cuts, list slicing in PSM
     // order — double-space seams at empty segments are part of the
     // contract on both sides

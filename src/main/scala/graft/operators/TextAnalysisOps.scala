@@ -1798,6 +1798,40 @@ object TextAnalysisOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** ANNEALING MIXTURE (`q_anneal_mix`) — the "midtraining" phase plan
+    * production runs publish (Llama 3's annealing, phi's curated final
+    * phase): the last training stretch re-weights toward the
+    * highest-quality slice. Documents whose oracled quality composite
+    * (the q_text_quality formula, 6-dp rounded) exceeds the EXACT 90th
+    * percentile fence go to the `anneal` phase; the anneal epoch also
+    * replays a 10% deterministic hash slice of the main corpus (its own
+    * coprime multiplier — the sampleSplit aliasing lesson) so the final
+    * phase keeps distributional coverage.
+    *
+    * Scale: quality is map-side; the fence is ONE exact order statistic
+    * from [[RelOps.quantileExactOn]]'s histogram refinement (bins-bounded
+    * rounds — never a corpus top-k collect, never a global sort);
+    * assignment is a map-side projection against two literals.
+    */
+  def annealMix(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val quality = round(
+      size(array_distinct(toks)).cast("double") / size(toks) * lit(0.5) +
+        least(lit(1.0), size(toks).cast("double") / lit(100.0)) * lit(0.5), 6)
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), quality.as("quality"))
+      .localCheckpoint(false)
+    val fence = RelOps.quantileExactOn(scored, "quality", Seq(0.9))(0)._2
+    scored
+      .withColumn("phase",
+        when(col("quality") > fence, lit("anneal")).otherwise(lit("main")))
+      .withColumn("anneal_epoch",
+        (col("phase") === "anneal" ||
+          pmod(col("doc_id") * lit(1540483477L), lit(1000L)) < 100)
+          .cast("long"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** CURATION FUNNEL (`q_curation_funnel`) — the stage-wise removal
     * table every corpus paper publishes (C4 §2.2's table, RefinedWeb's
     * Figure 2, Dolma's data sheet): how many documents and tokens

@@ -191,4 +191,27 @@ class ExportSpec extends AnyFunSuite {
       .filter(col("predicted") === "en").count()
     assert(rows(1)._3 == en)
   }
+
+  test("anneal mix: ~10% anneal phase above an exact fence + replay slice") {
+    val out = TextAnalysisOps.annealMix(spark, sf).localCheckpoint()
+    val n = out.count()
+    val anneal = out.filter(col("phase") === "anneal")
+    // strict-above routing puts AT MOST 10% in the anneal phase
+    assert(anneal.count() <= (n + 9) / 10)
+    assert(anneal.count() > 0)
+    // every anneal doc outranks every main doc on quality
+    val maxMain = out.filter(col("phase") === "main")
+      .agg(max(col("quality"))).head().getDouble(0)
+    val minAnneal = anneal.agg(min(col("quality"))).head().getDouble(0)
+    assert(minAnneal > maxMain)
+    // the anneal epoch = phase ∪ the 10% hash replay slice, exactly
+    val bad = out.filter(col("anneal_epoch") =!=
+      (col("phase") === "anneal" ||
+        pmod(col("doc_id") * lit(1540483477L), lit(1000L)) < 100)
+        .cast("long")).count()
+    assert(bad == 0L)
+    // the replay slice contributes main-phase docs (coverage holds)
+    assert(out.filter(col("phase") === "main" &&
+      col("anneal_epoch") === 1L).count() > 0L)
+  }
 }
