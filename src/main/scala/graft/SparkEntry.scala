@@ -328,6 +328,9 @@ object SparkEntry {
     // annealing-phase plan: exact 90th-percentile quality fence routes
     // the top slice to the final training stretch + a 10% replay slice
     "q_anneal_mix"      -> ((s, d) => TextAnalysisOps.annealMix(s, d)),
+    // data-constrained scaling check: epochs per domain under the
+    // learned mixture and a 4-pass budget; ~4-epoch value-cliff flag
+    "q_epoch_plan"      -> ((s, d) => TextAnalysisOps.epochPlan(s, d)),
     "q_curate_e2e"      -> ((s, d) => TextAnalysisOps.curateEndToEnd(s, d)),
     // C4's published cleaning battery (Raffel et al. 2020 §2.2): line
     // retention + page drops, planted both-sides like the Gopher gates
@@ -663,7 +666,7 @@ object SparkEntry {
     "q_warc_parse", "q_warc_wet", "q_cdx_latest", "q_cdx_revisit",
     "q_shard_assign", "q_dedup_soft", "q_dedup_soft_stored", "q_wat_links",
     "q_domain_doremi", "q_span_corrupt", "q_fim_transform",
-    "q_curation_funnel", "q_anneal_mix")
+    "q_curation_funnel", "q_anneal_mix", "q_epoch_plan")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -711,7 +714,7 @@ object SparkEntry {
     * nonnegative integers, the exact operation order of
     * `TextAnalysisOps.domainDoremi`.
     */
-  private def doremiOracle(rounds: Int): String = {
+  private def doremiCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { k =>
       s"""r${k}a AS (
          |  SELECT source, n_docs, excess_nano, uw, acc,
@@ -723,7 +726,7 @@ object SparkEntry {
          |         acc + ((raw * 1000000 // sum(raw) OVER ()) * 9 + uw) // 10 AS acc
          |  FROM r${k}a)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT source,
        |         CAST(floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
        |             / len(string_split(text, ' ')) * 0.5 +
@@ -738,14 +741,39 @@ object SparkEntry {
        |  FROM d),
        |r0 AS (SELECT source, n_docs, excess_nano, uw, uw AS w,
        |       CAST(0 AS BIGINT) AS acc FROM e),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def doremiOracle(rounds: Int): String =
+    s"""WITH ${doremiCtes(rounds)}
        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
        |       CAST(excess_nano AS BIGINT) AS excess_nano,
        |       CAST(w AS BIGINT) AS final_w_ppm,
        |       CAST(acc // $rounds AS BIGINT) AS avg_w_ppm
        |FROM r$rounds
        |ORDER BY source ASC""".stripMargin
-  }
+
+  /** The epoch plan extends the DoReMi CTEs with per-domain token sums
+    * and the scale-relative 4-pass budget.
+    */
+  private def epochPlanOracle(rounds: Int): String =
+    s"""WITH ${doremiCtes(rounds)},
+       |tk AS (
+       |  SELECT source, sum(len(string_split(text, ' '))) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |j AS (
+       |  SELECT r$rounds.source, r$rounds.n_docs, tk.n_tokens,
+       |         acc // $rounds AS avg_w_ppm
+       |  FROM r$rounds JOIN tk USING (source)),
+       |b AS (SELECT *, 4 * sum(n_tokens) OVER () AS budget FROM j)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(avg_w_ppm AS BIGINT) AS avg_w_ppm,
+       |       CAST(avg_w_ppm * budget // n_tokens AS BIGINT) AS epochs_micro,
+       |       CAST(CASE WHEN avg_w_ppm * budget // n_tokens <= 4000000
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS r_epochs
+       |FROM b
+       |ORDER BY source ASC""".stripMargin
 
   /** Shared by q_dedup_soft (live closure) and q_dedup_soft_stored (the
     * maintained component store) — the fold is exact and the ppm weight
@@ -2447,6 +2475,8 @@ object SparkEntry {
     "q_dedup_soft_stored" -> SoftDedupOracle,
     // DoReMi loop mirrored round by round in generated CTEs
     "q_domain_doremi" -> doremiOracle(5),
+    // the DoReMi CTEs + token sums + the 4-pass budget arithmetic
+    "q_epoch_plan" -> epochPlanOracle(5),
     // span-corruption mirror: same md5-nibble mask, lag/run windows,
     // ordered FILTER string_aggs — byte-identical pairs by construction
     "q_span_corrupt" ->

@@ -2032,6 +2032,43 @@ object TextAnalysisOps {
       .orderBy(col("source").asc)
   }
 
+  /** EPOCH PLANNING (`q_epoch_plan`) — the data-constrained scaling
+    * check (Muennighoff et al. 2023: repeating data holds value for
+    * ~4 epochs, then decays): given the DoReMi mixture
+    * ([[domainDoremi]]'s trajectory-average weights) and a token
+    * budget, how many epochs does each domain repeat, and which domains
+    * exceed the ~4-epoch value cliff? `epochs_micro = w_ppm · budget
+    * div domain_tokens` — the weight is per-million, so the ppm·budget
+    * product IS micro-epochs; all integer, order-free.
+    *
+    * Scale: the DoReMi pass (one corpus pass to domain grain) + one
+    * more domain-grain token aggregate off the same scan shape; the
+    * plan arithmetic is a domain-cardinality join. Nothing here grows
+    * with the corpus beyond the two grouped passes.
+    */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weights = domainDoremi(spark, dir)
+      .select(col("source"), col("n_docs"), col("avg_w_ppm"))
+    val toksPerDom = Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    weights.join(toksPerDom, Seq("source"))
+      // budget = a 4-pass global token budget, so the plan is
+      // scale-relative: a domain repeats >4 epochs exactly when its
+      // weight share outruns 1x its token share — both flag sides exist
+      // whenever the learned mixture disagrees with the size mixture
+      .withColumn("__budget",
+        lit(4L) * sum(col("n_tokens")).over(Window.partitionBy()))
+      .withColumn("epochs_micro",
+        expr("avg_w_ppm * __budget div n_tokens"))
+      .withColumn("r_epochs",
+        (col("epochs_micro") <= 4000000L).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("avg_w_ppm"), col("epochs_micro"), col("r_epochs"))
+      .orderBy(col("source").asc)
+  }
+
   /** Domain mixing: deterministic weighted down-sampling per source — the
     * mixture pass that rebalances a crawl toward target domain weights
     * before training. Keep-decision uses a Knuth multiplicative hash

@@ -214,4 +214,18 @@ class ExportSpec extends AnyFunSuite {
     assert(out.filter(col("phase") === "main" &&
       col("anneal_epoch") === 1L).count() > 0L)
   }
+
+  test("epoch plan: micro-epoch arithmetic and scale-relative budget") {
+    val plan = TextAnalysisOps.epochPlan(spark, sf).localCheckpoint()
+    val rows = plan.collect().map(r => (r.getString(0), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5)))
+    val budget = 4L * rows.map(_._2).sum
+    rows.foreach { case (_, nt, w, em, fl) =>
+      assert(em == w * budget / nt)
+      assert(fl == (if (em <= 4000000L) 1L else 0L))
+    }
+    // epochs average ~4e6 by construction; the learned mixture spreads
+    // them around the cliff whenever weight share != token share
+    assert(rows.map(_._4).max > rows.map(_._4).min)
+  }
 }
