@@ -331,6 +331,11 @@ object SparkEntry {
     // data-constrained scaling check: epochs per domain under the
     // learned mixture and a 4-pass budget; ~4-epoch value-cliff flag
     "q_epoch_plan"      -> ((s, d) => TextAnalysisOps.epochPlan(s, d)),
+    // the funnel maintained as a STREAM over the bloom store: per-batch
+    // stage totals appended, served by summing the log — rows-only
+    // (bloom membership approximate); streamed ≡ batch pinned below
+    // saturation in the spec
+    "q_curation_funnel_stream" -> ((s, d) => TextAnalysisOps.funnelStreamFixture(s, d)),
     "q_curate_e2e"      -> ((s, d) => TextAnalysisOps.curateEndToEnd(s, d)),
     // C4's published cleaning battery (Raffel et al. 2020 §2.2): line
     // retention + page drops, planted both-sides like the Gopher gates
@@ -666,7 +671,8 @@ object SparkEntry {
     "q_warc_parse", "q_warc_wet", "q_cdx_latest", "q_cdx_revisit",
     "q_shard_assign", "q_dedup_soft", "q_dedup_soft_stored", "q_wat_links",
     "q_domain_doremi", "q_span_corrupt", "q_fim_transform",
-    "q_curation_funnel", "q_anneal_mix", "q_epoch_plan")
+    "q_curation_funnel", "q_anneal_mix", "q_epoch_plan",
+    "q_curation_funnel_stream")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.

@@ -252,8 +252,16 @@ object TextAnalysisOps {
     * distinct×occurrence fold (quadratic in the DOCUMENT's bigram
     * count, never in the corpus). Zero shuffles before the sort.
     */
-  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    gopherRepetitionOn(
+      plantedRepetitionText(Tables.documents(spark, dir)))
+
+  /** The q_gopher_repetition line-structure plant on ANY (doc_id, text)
+    * frame — shared by the batch entry and the streaming funnel twin so
+    * the two corpora cannot diverge.
+    */
+  private[graft] def plantedRepetitionText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       concat(col("text"),
         when(col("doc_id") % 6 === 0,
           concat(lit("\n"), substring(col("text"), 1, 40),
@@ -261,8 +269,6 @@ object TextAnalysisOps {
         when(col("doc_id") % 8 === 0 && col("doc_id") % 6 =!= 0,
           concat(lit("\n"), substring(col("text"), 1, 40))).otherwise(lit("")))
         .as("text"))
-    gopherRepetitionOn(planted)
-  }
 
   /** Parametric core: (doc_id, text) in; line/2-gram repetition metrics
     * + keep flags out. All counts are integers; fractions never
@@ -1853,18 +1859,8 @@ object TextAnalysisOps {
     * The cumulative fold and the 7-row stack cost nothing.
     */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val lang = graft.operators.LangIdOps.documentsWithDerivedLang(spark, dir)
-      .select(col("doc_id"),
-        (col("predicted") === "en").cast("long").as("f_lang"))
-    // fixture-fit thresholds (the curateCcnet discipline: the synthetic
-    // vocabulary carries one stopword, and documents run 20-100 tokens;
-    // published defaults stay on the battery entry itself)
-    val gop = gopherRulesOn(docs, 20L, 100000L, 1L)
-      .select(col("doc_id"), col("keep").as("f_gopher"))
-    val rep = gopherRepetition(spark, dir)
-      .select(col("doc_id"), col("keep").as("f_rep"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
     val hashes = docs.select(col("doc_id"), md5(col("text")).as("__h"))
     val ded = hashes
       .join(hashes.groupBy(col("__h")).agg(min(col("doc_id")).as("__kid")),
@@ -1872,6 +1868,31 @@ object TextAnalysisOps {
       .select(col("doc_id"),
         (col("doc_id") === col("__kid")).cast("long").as("f_dedup"))
     val evalNg = ngramSet(docs.filter(col("source") === "src19"))
+    funnelReport(funnelStageSums(funnelFlagsOn(docs, evalNg, ded)))
+  }
+
+  /** Per-document funnel flags on ANY (doc_id, lang, source, text)
+    * frame, the DEDUP flag injected (batch = corpus min-id per hash;
+    * streaming = bloom first-arrival) — shared by the batch entry and
+    * the streaming twin so the gates cannot diverge. Fixture-fit Gopher
+    * thresholds (the curateCcnet discipline: the synthetic vocabulary
+    * carries one stopword, and documents run 20-100 tokens; published
+    * defaults stay on the battery entry itself). The result
+    * localCheckpoints: the cumulative products reference each flag up
+    * to six times, and without the lineage cut the optimizer would
+    * inline six copies of the gate expressions into the aggregate (the
+    * recompute blowup the repetition staging guards against, here cut
+    * wholesale — flags are one skinny row per doc).
+    */
+  private[graft] def funnelFlagsOn(docs: DataFrame, evalNg: DataFrame,
+      dedupFlag: DataFrame): DataFrame = {
+    val lang = graft.operators.LangIdOps.withDerivedLangOn(docs)
+      .select(col("doc_id"),
+        (col("predicted") === "en").cast("long").as("f_lang"))
+    val gop = gopherRulesOn(docs, 20L, 100000L, 1L)
+      .select(col("doc_id"), col("keep").as("f_gopher"))
+    val rep = gopherRepetitionOn(plantedRepetitionText(docs))
+      .select(col("doc_id"), col("keep").as("f_rep"))
     val dec = contaminationOn(
       docs.select(col("doc_id"), col("source"), col("text")), evalNg)
       .select(col("doc_id"),
@@ -1880,33 +1901,38 @@ object TextAnalysisOps {
     val mix = docs.select(col("doc_id"),
       (size(tokens(col("text"))).cast("long") >= 20L &&
         mixBucket < mixWeight * 1000).cast("long").as("f_mix"))
-    // checkpoint the assembled flags: the cumulative products reference
-    // each flag up to six times, and without the lineage cut the
-    // optimizer would inline six copies of the gate expressions into
-    // the aggregate (the recompute blowup the repetition staging above
-    // guards against, here cut wholesale — flags are one skinny row per
-    // doc, the cheapest thing in the plan to materialize)
-    val flags = docs
+    docs
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
       .join(lang, Seq("doc_id")).join(gop, Seq("doc_id"))
-      .join(rep, Seq("doc_id")).join(ded, Seq("doc_id"))
+      .join(rep, Seq("doc_id")).join(dedupFlag, Seq("doc_id"))
       .join(dec, Seq("doc_id")).join(mix, Seq("doc_id"))
       .localCheckpoint()
-    val folded = flags
+  }
+
+  /** Cumulative stage totals of one flag frame — a single 14-column
+    * row (n0..t6), associative across batches: the streaming twin sums
+    * its per-batch rows into exactly this shape.
+    */
+  private[graft] def funnelStageSums(flags: DataFrame): DataFrame =
+    flags
       .withColumn("k1", col("f_lang"))
       .withColumn("k2", col("k1") * col("f_gopher"))
       .withColumn("k3", col("k2") * col("f_rep"))
       .withColumn("k4", col("k3") * col("f_dedup"))
       .withColumn("k5", col("k4") * col("f_decon"))
       .withColumn("k6", col("k5") * col("f_mix"))
-    val a = folded.agg(
-      count(lit(1)).as("n0"), sum(col("n_tok")).as("t0"),
-      sum(col("k1")).as("n1"), sum(col("n_tok") * col("k1")).as("t1"),
-      sum(col("k2")).as("n2"), sum(col("n_tok") * col("k2")).as("t2"),
-      sum(col("k3")).as("n3"), sum(col("n_tok") * col("k3")).as("t3"),
-      sum(col("k4")).as("n4"), sum(col("n_tok") * col("k4")).as("t4"),
-      sum(col("k5")).as("n5"), sum(col("n_tok") * col("k5")).as("t5"),
-      sum(col("k6")).as("n6"), sum(col("n_tok") * col("k6")).as("t6"))
+      .agg(
+        count(lit(1)).as("n0"), sum(col("n_tok")).as("t0"),
+        sum(col("k1")).as("n1"), sum(col("n_tok") * col("k1")).as("t1"),
+        sum(col("k2")).as("n2"), sum(col("n_tok") * col("k2")).as("t2"),
+        sum(col("k3")).as("n3"), sum(col("n_tok") * col("k3")).as("t3"),
+        sum(col("k4")).as("n4"), sum(col("n_tok") * col("k4")).as("t4"),
+        sum(col("k5")).as("n5"), sum(col("n_tok") * col("k5")).as("t5"),
+        sum(col("k6")).as("n6"), sum(col("n_tok") * col("k6")).as("t6"))
+
+  /** The 7-row funnel report from one stage-totals row. */
+  private[graft] def funnelReport(a: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val staged = a.select(expr(
       "stack(7, CAST(0 AS BIGINT), 'raw', n0, t0," +
         " CAST(1 AS BIGINT), 'lang_id', n1, t1," +
@@ -1925,6 +1951,84 @@ object TextAnalysisOps {
           .otherwise(expr("n_docs * 1000000 div __prev")))
       .drop("__prev")
       .orderBy(col("stage").asc)
+  }
+
+  /** One micro-batch of the STREAMING funnel: dedup first-arrival comes
+    * from the maintained bloom store (probe the state SO FAR, then
+    * advance it — the paragraphIncrementalBatch convention), every
+    * other gate is the stateless [[funnelFlagsOn]] map-side battery,
+    * and the batch contributes ONE stage-totals row to the append-only
+    * `{name}__funnel` log (integer sums — fold order can never change a
+    * count). Serving sums the log and renders [[funnelReport]].
+    */
+  private[graft] def funnelIncrementalBatch(batch: DataFrame,
+      evalNg: DataFrame, db: String, name: String): DataFrame = {
+    import graft.sources.CatalogOps
+    import graft.functions.BloomFunctions
+    val spark = batch.sparkSession
+    val hashed = batch.select(col("doc_id"), md5(col("text")).as("__h"))
+    val (words, m) = CatalogOps.foldedBloomWords(spark, db, name)
+    val bloomDf = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(words)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__bloom_words",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, false)))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col("doc_id").asc)
+    val ded = hashed.crossJoin(broadcast(bloomDf))
+      .withColumn("f_dedup",
+        (!(BloomFunctions.mightContain(col("__h"), col("__bloom_words"), m) ||
+          row_number().over(w) > 1)).cast("long"))
+      .select(col("doc_id"), col("f_dedup"))
+    // flags are fixed (checkpointed) BEFORE the store advances
+    val sums = funnelStageSums(funnelFlagsOn(batch, evalNg, ded))
+      .localCheckpoint()
+    CatalogOps.upsertBloomStore(spark, db, name,
+      hashed.select(col("__h")).distinct(), "__h")
+    sums
+  }
+
+  /** `q_curation_funnel_stream`: the funnel maintained as a stream —
+    * the SAME fixture corpus fed in two doc_id-ordered halves through
+    * [[funnelIncrementalBatch]] over a fresh capacity-planned bloom
+    * store, served by summing the log. Rows-only by design (bloom
+    * membership is approximate — a false positive is legal output);
+    * the spec pins streamed ≡ batch report below saturation and the
+    * log-fold associativity.
+    */
+  def funnelStreamFixture(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CatalogOps
+    val db = "graft_funnelstream"
+    val name = "docs"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__funnel")) {
+        CatalogOps.createDatabase(spark, db)
+        Seq(s"${name}__funnel", s"${name}__bloom", s"${name}__bloommeta")
+          .foreach(graft.operators.KnnOps.dropTableAndDir(spark, db, _))
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        import spark.implicits._
+        CatalogOps.createBloomStore(spark, db, name,
+          Seq.empty[String].toDF("__h"), "__h", expectedKeys = 16384L)
+        val evalNg = ngramSet(docs.filter(col("source") === "src19"))
+          .localCheckpoint()
+        val n = docs.count()
+        Seq(col("doc_id") < n / 2, col("doc_id") >= n / 2).foreach { half =>
+          funnelIncrementalBatch(docs.filter(half), evalNg, db, name)
+            .write.mode("append").saveAsTable(s"`$db`.`${name}__funnel`")
+        }
+      }
+    }
+    val summed = spark.table(s"`$db`.`${name}__funnel`").agg(
+      sum(col("n0")).as("n0"), sum(col("t0")).as("t0"),
+      sum(col("n1")).as("n1"), sum(col("t1")).as("t1"),
+      sum(col("n2")).as("n2"), sum(col("t2")).as("t2"),
+      sum(col("n3")).as("n3"), sum(col("t3")).as("t3"),
+      sum(col("n4")).as("n4"), sum(col("t4")).as("t4"),
+      sum(col("n5")).as("n5"), sum(col("t5")).as("t5"),
+      sum(col("n6")).as("n6"), sum(col("t6")).as("t6"))
+    funnelReport(summed)
   }
 
   /** FILL-IN-THE-MIDDLE (`q_fim_transform`; Bavarian et al. 2022) — the

@@ -160,6 +160,37 @@ object StreamingOps {
       }
       .start()
 
+  /** STREAMING curation funnel (r16 — the live data-card twin of
+    * `q_curation_funnel`): each micro-batch runs the same per-document
+    * gate battery ([[graft.operators.TextAnalysisOps.funnelFlagsOn]] —
+    * lang-id, Gopher battery, repetition, decontamination, mix), takes
+    * its dedup first-arrival from the maintained bloom store, and
+    * appends ONE stage-totals row to the `{name}__funnel` log. Totals
+    * are associative integer sums, so the served report (sum the log,
+    * render) equals the batch funnel below bloom saturation when
+    * delivery is doc_id-ordered.
+    */
+  def streamingCurationFunnel(docStream: DataFrame, evalDocs: DataFrame,
+      db: String, name: String): StreamingQuery = {
+    import graft.operators.TextAnalysisOps
+    val evalNg = TextAnalysisOps.ngramSet(evalDocs).cache()
+    val q = docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions.lit
+          TextAnalysisOps
+            .funnelIncrementalBatch(batch.toDF(), evalNg, db, name)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append")
+            .saveAsTable(s"`$db`.`${name}__funnel`")
+        }
+      }
+      .start()
+    releaseOnTermination(docStream.sparkSession, q, () => { evalNg.unpersist(); () })
+    q
+  }
+
   /** Streaming knn — the reference's query path (`searchByText`, ref
     * `main_server.py:40-44`) as a stream: each micro-batch of query
     * vectors (query_id, q_embedding) is answered with the bounded-heap

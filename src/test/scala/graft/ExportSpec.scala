@@ -228,4 +228,47 @@ class ExportSpec extends AnyFunSuite {
     // them around the cliff whenever weight share != token share
     assert(rows.map(_._4).max > rows.map(_._4).min)
   }
+
+  test("streaming funnel ≡ batch funnel below saturation (ordered halves)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.{CatalogOps, Tables}
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val db = "sfunneldb"
+    CatalogOps.dropDatabase(spark, db)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    CatalogOps.createBloomStore(spark, db, "docs",
+      Seq.empty[String].toDF("__h"), "__h", expectedKeys = 16384L)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val rows = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    val (b0, b1) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = StreamingOps.streamingCurationFunnel(
+      in.toDF.toDF("doc_id", "lang", "source", "text"),
+      docs.filter(col("source") === "src19"), db, "docs")
+    try {
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val summed = spark.table(s"`$db`.`docs__funnel`").agg(
+      sum(col("n0")).as("n0"), sum(col("t0")).as("t0"),
+      sum(col("n1")).as("n1"), sum(col("t1")).as("t1"),
+      sum(col("n2")).as("n2"), sum(col("t2")).as("t2"),
+      sum(col("n3")).as("n3"), sum(col("t3")).as("t3"),
+      sum(col("n4")).as("n4"), sum(col("t4")).as("t4"),
+      sum(col("n5")).as("n5"), sum(col("t5")).as("t5"),
+      sum(col("n6")).as("n6"), sum(col("t6")).as("t6"))
+    val streamed = TextAnalysisOps.funnelReport(summed)
+      .collect().map(_.toSeq)
+    val batch = TextAnalysisOps.curationFunnel(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+    CatalogOps.dropDatabase(spark, db)
+  }
 }
