@@ -331,6 +331,9 @@ object SparkEntry {
     // data-constrained scaling check: epochs per domain under the
     // learned mixture and a 4-pass budget; ~4-epoch value-cliff flag
     "q_epoch_plan"      -> ((s, d) => TextAnalysisOps.epochPlan(s, d)),
+    // SFT pair formatting with loss-mask accounting: planted
+    // prompt/response halves, chat template, masked-token counts
+    "q_sft_format"      -> ((s, d) => TextAnalysisOps.sftFormat(s, d)),
     // the funnel maintained as a STREAM over the bloom store: per-batch
     // stage totals appended, served by summing the log — rows-only
     // (bloom membership approximate); streamed ≡ batch pinned below
@@ -672,7 +675,7 @@ object SparkEntry {
     "q_shard_assign", "q_dedup_soft", "q_dedup_soft_stored", "q_wat_links",
     "q_domain_doremi", "q_span_corrupt", "q_fim_transform",
     "q_curation_funnel", "q_anneal_mix", "q_epoch_plan",
-    "q_curation_funnel_stream")
+    "q_curation_funnel_stream", "q_sft_format")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2680,6 +2683,22 @@ object SparkEntry {
         |             THEN 1 ELSE 0 END AS BIGINT) AS anneal_epoch
         |FROM q CROSS JOIN f
         |ORDER BY q.doc_id ASC""".stripMargin,
+    // SFT mirror: same halves, template and integer mask accounting
+    "q_sft_format" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, tk, n, n // 2 AS np FROM t)
+        |SELECT doc_id,
+        |       '<|user|> ' || coalesce(array_to_string(tk[1:np], ' '), '') ||
+        |         ' <|assistant|> ' ||
+        |         coalesce(array_to_string(tk[np+1:n], ' '), '') AS rendered,
+        |       CAST(n + 2 AS BIGINT) AS n_total,
+        |       CAST(np + 2 AS BIGINT) AS n_masked,
+        |       CAST((np + 2) * 1000000 // (n + 2) AS BIGINT) AS mask_ppm
+        |FROM c
+        |ORDER BY doc_id ASC""".stripMargin,
     // FIM mirror: same md5-nibble gate and cuts, list slicing in PSM
     // order — double-space seams at empty segments are part of the
     // contract on both sides

@@ -1804,6 +1804,35 @@ object TextAnalysisOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** SFT PAIR FORMATTING (`q_sft_format`) — instruction-tuning data
+    * prep: render (prompt, response) into a chat template and emit the
+    * LOSS-MASK accounting (prompt + role tokens are masked out of the
+    * loss; only response tokens train — the part plain templating ops
+    * like q_prompt_template don't carry). The fixture has no dialogue,
+    * so pairs are PLANTED from each document's token halves: prompt =
+    * first ⌊n/2⌋ tokens, response = the rest. Mask = the two role
+    * markers + every prompt token; the response's trailing marker-free
+    * tail is the trained span.
+    *
+    * Scale: pure map-side projection — slice/join on the token array,
+    * zero exchanges before the presentation sort.
+    */
+  def sftFormat(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("np", expr("n div 2"))
+      .select(col("doc_id"),
+        concat(lit("<|user|> "),
+          array_join(slice(col("tk"), lit(1), col("np").cast("int")), " "),
+          lit(" <|assistant|> "),
+          array_join(slice(col("tk"), col("np").cast("int") + 1,
+            (col("n") - col("np")).cast("int")), " ")).as("rendered"),
+        (col("n") + 2L).as("n_total"),
+        (col("np") + 2L).as("n_masked"))
+      .withColumn("mask_ppm", expr("n_masked * 1000000 div n_total"))
+      .orderBy(col("doc_id").asc)
+
   /** ANNEALING MIXTURE (`q_anneal_mix`) — the "midtraining" phase plan
     * production runs publish (Llama 3's annealing, phi's curated final
     * phase): the last training stretch re-weights toward the

@@ -271,4 +271,25 @@ class ExportSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
     CatalogOps.dropDatabase(spark, db)
   }
+
+  test("SFT formatting: template round-trips, mask covers prompt + roles") {
+    val out = TextAnalysisOps.sftFormat(spark, sf).localCheckpoint()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.collect().take(200).foreach { r =>
+      val (id, rendered, nTotal, nMasked, ppm) = (r.getLong(0),
+        r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val toks = docs(id).split(" ", -1)
+      assert(nTotal == toks.length + 2)
+      assert(nMasked == toks.length / 2 + 2)
+      assert(ppm == nMasked * 1000000L / nTotal)
+      // stripping role markers recovers the original text
+      val body = rendered.replace("<|user|> ", "")
+        .replace(" <|assistant|> ", " ")
+      assert(body == docs(id), s"doc $id")
+      // the rendered token stream is exactly n_total long
+      assert(rendered.split(" ", -1).length == nTotal)
+    }
+  }
 }
