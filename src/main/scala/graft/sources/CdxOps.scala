@@ -72,18 +72,24 @@ object CdxOps {
         (col("n_chars") + col("c")).cast("long").as("length"))).as("meta"))
   }
 
-  /** One CDXJ shard per host: lines sorted (urlkey, ts) — the sort
-    * order the format is named for.
+  /** CDXJ shards: lines sorted (urlkey, ts), one shard per (host,
+    * 1000-doc chunk) — like [[WarcOps.warcMembersOf]], a shard row must
+    * never scale with a host's page count (real indexes split into
+    * bounded cdx-NNNNN files); the chunk key bounds the collect_list,
+    * and the parse re-splits lines, so downstream consumers and the
+    * oracle see records, not shards.
     */
   private[graft] def cdxShardsOf(docs: DataFrame): DataFrame =
     plantedCaptures(docs)
-      .select(col("source").as("host"), col("urlkey"), col("ts"),
+      .select(col("source").as("host"), col("doc_id"), col("urlkey"),
+        col("ts"),
         concat(col("urlkey"), lit(" "), col("ts"), lit(" "), col("meta"))
           .as("line"))
-      .groupBy(col("host"))
+      .groupBy(col("host"), expr("doc_id div 1000").as("__chunk"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("urlkey"), col("ts"),
           col("line")))), s => s.getField("line")), "\n").as("cdx"))
+      .select(col("host"), col("cdx"))
 
   /** Re-split shards into lines and parse: urlkey and timestamp are the
     * two space-delimited head fields, the rest is JSON (`from_json`).

@@ -66,18 +66,22 @@ object WarcOps {
         payload, lit(BlankLine)).as("rec"))
   }
 
-  /** One WARC member per host: records concatenated in doc_id order —
-    * the grain real archives are written at. The collect_list is
-    * host-cardinality, not corpus-cardinality per group (each host's
-    * member is its own row), so the exchange is the narrow one a real
-    * archive writer would also pay.
+  /** WARC members: records concatenated in doc_id order, one member per
+    * (host, 1000-record chunk) — real archives cap member size (Common
+    * Crawl writes ~1 GB members), so a member row must NEVER scale with
+    * a host's page count: the chunk key bounds the collect_list at
+    * 1000 records regardless of host size. Parsing re-splits on the
+    * record magic, so the member grouping is invisible to every
+    * downstream consumer (and to the oracle, which mirrors records,
+    * not members).
     */
   private[graft] def warcMembersOf(docs: DataFrame): DataFrame =
     plantedRecords(docs)
-      .groupBy(col("host"))
+      .groupBy(col("host"), expr("doc_id div 1000").as("__chunk"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
           s => s.getField("rec")), "").as("warc"))
+      .select(col("host"), col("warc"))
 
   /** Parse (host, warc) members back into records: resync-split on the
     * record magic, header block = everything before the first blank

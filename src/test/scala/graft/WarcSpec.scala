@@ -16,10 +16,17 @@ class WarcSpec extends AnyFunSuite {
   private lazy val docs = Tables.documents(spark, sf).localCheckpoint()
   private lazy val parsed = WarcOps.warcParse(spark, sf).localCheckpoint()
 
-  test("one parsed record per document, one member per host") {
+  test("one parsed record per document, one member per (host, chunk)") {
     assert(parsed.count() == docs.count())
     assert(WarcOps.warcMembersOf(docs).count() ==
-      docs.select(col("source")).distinct().count())
+      docs.select(col("source"), expr("doc_id div 1000")).distinct().count())
+    // the chunk cap binds: a synthetic host bigger than one chunk splits
+    import spark.implicits._
+    val big = (0L until 2500L).map(i => (i, "en", "hostx", "w " * 3))
+      .toDF("doc_id", "lang", "source", "text")
+    assert(WarcOps.warcMembersOf(big).count() == 3L)
+    // and the parse still recovers every record across the split
+    assert(WarcOps.warcParseOn(WarcOps.warcMembersOf(big)).count() == 2500L)
   }
 
   test("headers parse back to the planted values") {
