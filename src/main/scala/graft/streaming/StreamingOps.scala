@@ -178,12 +178,23 @@ object StreamingOps {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          import org.apache.spark.sql.functions.lit
-          TextAnalysisOps
-            .funnelIncrementalBatch(batch.toDF(), evalNg, db, name)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append")
-            .saveAsTable(s"`$db`.`${name}__funnel`")
+          import org.apache.spark.sql.functions.{col, lit}
+          val spark = batch.sparkSession
+          // replay guard: totals are SUMS, so a redelivered batch would
+          // double-count — the batch_id column is the commit watermark
+          // (the maintained-store family convention); a batch whose row
+          // already landed is a no-op (the bloom append below it is
+          // idempotent by construction, so the crash window is safe)
+          val replayed = spark.catalog.tableExists(s"$db.${name}__funnel") &&
+            !spark.table(s"`$db`.`${name}__funnel`")
+              .filter(col("batch_id") === batchId).isEmpty
+          if (!replayed) {
+            TextAnalysisOps
+              .funnelIncrementalBatch(batch.toDF(), evalNg, db, name)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append")
+              .saveAsTable(s"`$db`.`${name}__funnel`")
+          }
         }
       }
       .start()

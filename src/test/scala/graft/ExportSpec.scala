@@ -256,19 +256,31 @@ class ExportSpec extends AnyFunSuite {
       in.addData(b0: _*); q.processAllAvailable()
       in.addData(b1: _*); q.processAllAvailable()
     } finally q.stop()
-    val summed = spark.table(s"`$db`.`docs__funnel`").agg(
-      sum(col("n0")).as("n0"), sum(col("t0")).as("t0"),
-      sum(col("n1")).as("n1"), sum(col("t1")).as("t1"),
-      sum(col("n2")).as("n2"), sum(col("t2")).as("t2"),
-      sum(col("n3")).as("n3"), sum(col("t3")).as("t3"),
-      sum(col("n4")).as("n4"), sum(col("t4")).as("t4"),
-      sum(col("n5")).as("n5"), sum(col("t5")).as("t5"),
-      sum(col("n6")).as("n6"), sum(col("t6")).as("t6"))
-    val streamed = TextAnalysisOps.funnelReport(summed)
-      .collect().map(_.toSeq)
+    def report() = {
+      val summed = spark.table(s"`$db`.`docs__funnel`").agg(
+        sum(col("n0")).as("n0"), sum(col("t0")).as("t0"),
+        sum(col("n1")).as("n1"), sum(col("t1")).as("t1"),
+        sum(col("n2")).as("n2"), sum(col("t2")).as("t2"),
+        sum(col("n3")).as("n3"), sum(col("t3")).as("t3"),
+        sum(col("n4")).as("n4"), sum(col("t4")).as("t4"),
+        sum(col("n5")).as("n5"), sum(col("t5")).as("t5"),
+        sum(col("n6")).as("n6"), sum(col("t6")).as("t6"))
+      TextAnalysisOps.funnelReport(summed).collect().map(_.toSeq).toSeq
+    }
+    val streamed = report()
     val batch = TextAnalysisOps.curationFunnel(spark, sf)
-      .collect().map(_.toSeq)
-    assert(streamed.toSeq == batch.toSeq)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // redelivery storm: a fresh query replaying batch 0 is a no-op (the
+    // batch_id watermark guards the sum-log against double counting)
+    val in2 = MemoryStream[(Long, String, String, String)]
+    val q2 = StreamingOps.streamingCurationFunnel(
+      in2.toDF.toDF("doc_id", "lang", "source", "text"),
+      docs.filter(col("source") === "src19"), db, "docs")
+    try {
+      in2.addData(b0: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(report() == batch)
     CatalogOps.dropDatabase(spark, db)
   }
 
