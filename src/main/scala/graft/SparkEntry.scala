@@ -126,6 +126,10 @@ object SparkEntry {
     // revisit collapse: captures vs distinct digests per urlkey — the
     // storage-dedup ratio an archive reader plans against
     "q_cdx_revisit"    -> ((s, d) => graft.sources.CdxOps.cdxRevisit(s, d)),
+    // the INDEXER: CDXJ capture records built FROM the parsed WARC
+    // members (fetch -> archive -> index -> plan; q_cdx_latest consumes
+    // what this step produces); only length-valid records index
+    "q_cdx_index"      -> ((s, d) => graft.sources.CdxOps.cdxIndexFromWarc(s, d)),
     // WAT-style anchor extraction from the planted full pages — the
     // parse stage between archive and the link-graph family
     "q_wat_links"      -> ((s, d) => graft.sources.WarcOps.watLinks(s, d)),
@@ -675,7 +679,7 @@ object SparkEntry {
     "q_shard_assign", "q_dedup_soft", "q_dedup_soft_stored", "q_wat_links",
     "q_domain_doremi", "q_span_corrupt", "q_fim_transform",
     "q_curation_funnel", "q_anneal_mix", "q_epoch_plan",
-    "q_curation_funnel_stream", "q_sft_format")
+    "q_curation_funnel_stream", "q_sft_format", "q_cdx_index")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2132,6 +2136,28 @@ object SparkEntry {
         |       CAST(CASE WHEN n_captures = 2 AND doc_id % 4 = 0
         |                 THEN 1 ELSE 0 END AS BIGINT) AS has_revisit
         |FROM d
+        |ORDER BY urlkey ASC""".stripMargin,
+    // indexer mirror: the q_warc_parse payload rebuild, corrupt rows
+    // excluded, SURT/timestamp/digest in closed form
+    "q_cdx_index" ->
+      """WITH p AS (
+        |  SELECT source, lang, doc_id,
+        |         'https://' || source || '.example/' || lang || '/p' ||
+        |           CAST(doc_id AS VARCHAR) AS url,
+        |         'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |           'Content-Type: text/html' || chr(13) || chr(10) ||
+        |           chr(13) || chr(10) ||
+        |           '<html><head><title>' || source || '/p' ||
+        |           CAST(doc_id AS VARCHAR) || '</title></head><body><p>' ||
+        |           text || '</p></body></html>' AS payload
+        |  FROM documents WHERE doc_id % 13 <> 7)
+        |SELECT 'example,' || source || ')/' || lang || '/p' ||
+        |         CAST(doc_id AS VARCHAR) AS urlkey,
+        |       '202601' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |         lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || '0000' AS ts,
+        |       url, '200' AS status, md5(payload) AS digest,
+        |       CAST(length(payload) AS BIGINT) AS length
+        |FROM p
         |ORDER BY urlkey ASC""".stripMargin,
     // WAT mirror: the planted page's anchor inventory rebuilt
     // arithmetically — nav triple, % 3 details link, six % 5

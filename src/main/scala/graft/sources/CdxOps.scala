@@ -127,6 +127,29 @@ object CdxOps {
       .orderBy(col("urlkey").asc)
   }
 
+  /** `q_cdx_index`: the INDEXER — build CDXJ capture records FROM the
+    * parsed WARC members (how capture indexes actually come to exist:
+    * fetch → archive → index → plan; [[cdxLatest]] consumes what this
+    * step produces). Only length-valid records are indexed (a truncated
+    * member never becomes a capture); urlkey is the real SURT, the
+    * timestamp folds down from the WARC-Date header, the digest is the
+    * payload hash. Entirely map-side after the member re-split.
+    */
+  def cdxIndexFromWarc(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = WarcOps.warcParseOn(
+      WarcOps.warcMembersOf(Tables.documents(spark, dir)))
+      .filter(col("len_ok") === 1L)
+    parsed.select(
+      surtOf(col("url")).as("urlkey"),
+      concat(lit("2026"), substring(col("warc_date"), 6, 2),
+        substring(col("warc_date"), 9, 2), substring(col("warc_date"), 12, 2),
+        lit("0000")).as("ts"),
+      col("url"), col("http_status").as("status"),
+      md5(col("payload")).as("digest"),
+      col("payload_len").as("length"))
+      .orderBy(col("urlkey").asc)
+  }
+
   /** `q_cdx_revisit`: revisit collapse — per urlkey, how many good
     * captures exist and how many distinct payloads they carry (the
     * dedup ratio an archive reader plans storage against).

@@ -44,6 +44,17 @@ class CdxSpec extends AnyFunSuite {
       !col("ts").substr(9, 2).equalTo("16")).count() == 0L)
   }
 
+  test("indexer: one capture per valid WARC record, corrupt rows out") {
+    val idx = CdxOps.cdxIndexFromWarc(spark, sf).localCheckpoint()
+    assert(idx.count() == docs.filter(col("doc_id") % 13 =!= 7).count())
+    // timestamps fold down from WARC-Date: 14 digits, 2026-01 prefix
+    assert(idx.filter(!col("ts").rlike("^202601[0-9]{8}$")).count() == 0L)
+    // digest is the payload hash: identical docs (if any) share digests,
+    // and every digest is a 32-char hex md5
+    assert(idx.filter(!col("digest").rlike("^[0-9a-f]{32}$")).count() == 0L)
+    assert(idx.filter(col("status") =!= "200").count() == 0L)
+  }
+
   test("revisit collapse counts distinct digests, both sides planted") {
     val rev = CdxOps.cdxRevisit(spark, sf).localCheckpoint()
     val withId = rev.withColumn("doc_id",
