@@ -300,9 +300,17 @@ object TextAnalysisOps {
       // tokens across line breaks: split on space OR newline so a planted
       // line boundary never glues two words into a phantom token
       .withColumn("__w", split(col("text"), "[ \n]"))
-      .withColumn("__bg", transform(sequence(lit(1), size(col("__w")) - 1),
-        i => concat_ws(" ", element_at(col("__w"), i),
-          element_at(col("__w"), i + 1))))
+      // guard the degenerate single-token/empty text (r16 ADVICE):
+      // sequence(1, 0) yields the DESCENDING [1, 0] and element_at(_, 0)
+      // throws — this function is documented for ANY (doc_id, text)
+      // frame (it feeds funnelFlagsOn), so a one-word doc must not crash
+      // the funnel; topNgramChars over the empty array is 0, matching
+      // the pre-staging when(size >= 2, ...).otherwise(0L) semantics
+      .withColumn("__bg", when(size(col("__w")) >= 2,
+        transform(sequence(lit(1), size(col("__w")) - 1),
+          i => concat_ws(" ", element_at(col("__w"), i),
+            element_at(col("__w"), i + 1))))
+        .otherwise(array().cast("array<string>")))
       .select(col("doc_id"),
         size(col("__lines")).cast("long").as("n_lines"),
         lineChars.as("line_chars"),
@@ -1989,6 +1997,18 @@ object TextAnalysisOps {
     * and the batch contributes ONE stage-totals row to the append-only
     * `{name}__funnel` log (integer sums — fold order can never change a
     * count). Serving sums the log and renders [[funnelReport]].
+    *
+    * This function READS the store but never advances it — the caller
+    * commits the returned totals row first, THEN calls
+    * [[funnelAdvanceBloom]] (r16 ADVICE: advancing the store before the
+    * totals row is durable is not crash-atomic — a crash in that window
+    * would make the replayed batch recompute its dedup flags against a
+    * bloom already containing its own hashes, permanently zeroing
+    * f_dedup for the batch). With commit-then-advance, a crash before
+    * the totals append replays against the UNMOVED store (same flags);
+    * a crash after it is caught by the batch_id watermark, and the
+    * store catch-up is safe to re-run because bloom upserts are
+    * idempotent by OR-algebra.
     */
   private[graft] def funnelIncrementalBatch(batch: DataFrame,
       evalNg: DataFrame, db: String, name: String): DataFrame = {
@@ -2010,13 +2030,22 @@ object TextAnalysisOps {
         (!(BloomFunctions.mightContain(col("__h"), col("__bloom_words"), m) ||
           row_number().over(w) > 1)).cast("long"))
       .select(col("doc_id"), col("f_dedup"))
-    // flags are fixed (checkpointed) BEFORE the store advances
-    val sums = funnelStageSums(funnelFlagsOn(batch, evalNg, ded))
+    // flags are fixed (checkpointed) against the store AS-OF this batch
+    funnelStageSums(funnelFlagsOn(batch, evalNg, ded))
       .localCheckpoint()
-    CatalogOps.upsertBloomStore(spark, db, name,
-      hashed.select(col("__h")).distinct(), "__h")
-    sums
   }
+
+  /** Advance the funnel's bloom store by one batch's content hashes —
+    * called AFTER the batch's totals row is durably appended (see
+    * [[funnelIncrementalBatch]]). Idempotent: re-running on a replay
+    * folds the same words to the same bits, so a crash between the
+    * totals append and this advance only means the store lags until the
+    * redelivery re-upserts the same hashes.
+    */
+  private[graft] def funnelAdvanceBloom(batch: DataFrame, db: String,
+      name: String): Unit =
+    graft.sources.CatalogOps.upsertBloomStore(batch.sparkSession, db, name,
+      batch.select(md5(col("text")).as("__h")).distinct(), "__h")
 
   /** `q_curation_funnel_stream`: the funnel maintained as a stream —
     * the SAME fixture corpus fed in two doc_id-ordered halves through
@@ -2031,9 +2060,17 @@ object TextAnalysisOps {
     val db = "graft_funnelstream"
     val name = "docs"
     this.synchronized {
-      if (!spark.catalog.tableExists(s"$db.${name}__funnel")) {
+      // completion marker (r16 ADVICE): `synchronized` only serializes
+      // one JVM, and a crash mid-backfill leaves a partial log that
+      // tableExists alone would serve forever. The marker is written
+      // LAST, so marker-present ⇒ backfill finished; marker-absent ⇒
+      // rebuild from scratch; marker/log mismatch ⇒ fail loudly (the
+      // __cmeta require() convention).
+      val metaTbl = s"`$db`.`${name}__funnelmeta`"
+      if (!spark.catalog.tableExists(s"$db.${name}__funnelmeta")) {
         CatalogOps.createDatabase(spark, db)
-        Seq(s"${name}__funnel", s"${name}__bloom", s"${name}__bloommeta")
+        Seq(s"${name}__funnel", s"${name}__bloom", s"${name}__bloommeta",
+          s"${name}__funnelmeta")
           .foreach(graft.operators.KnnOps.dropTableAndDir(spark, db, _))
         val docs = Tables.documents(spark, dir)
           .select(col("doc_id"), col("lang"), col("source"), col("text"))
@@ -2044,10 +2081,21 @@ object TextAnalysisOps {
           .localCheckpoint()
         val n = docs.count()
         Seq(col("doc_id") < n / 2, col("doc_id") >= n / 2).foreach { half =>
-          funnelIncrementalBatch(docs.filter(half), evalNg, db, name)
+          val b = docs.filter(half)
+          // totals-row-then-store-advance, same order as the live stream
+          funnelIncrementalBatch(b, evalNg, db, name)
             .write.mode("append").saveAsTable(s"`$db`.`${name}__funnel`")
+          funnelAdvanceBloom(b, db, name)
         }
+        spark.createDataFrame(Seq(Tuple1(2L))).toDF("expected_batches")
+          .write.mode("overwrite").saveAsTable(metaTbl)
       }
+      val expected = spark.table(metaTbl).head().getLong(0)
+      val logged = spark.table(s"`$db`.`${name}__funnel`").count()
+      require(logged == expected,
+        s"funnel stream fixture `$db.$name` is corrupt: marker promises " +
+          s"$expected batch rows, log has $logged — drop the `$db` " +
+          "database to rebuild")
     }
     val summed = spark.table(s"`$db`.`${name}__funnel`").agg(
       sum(col("n0")).as("n0"), sum(col("t0")).as("t0"),

@@ -182,9 +182,11 @@ object StreamingOps {
           val spark = batch.sparkSession
           // replay guard: totals are SUMS, so a redelivered batch would
           // double-count — the batch_id column is the commit watermark
-          // (the maintained-store family convention); a batch whose row
-          // already landed is a no-op (the bloom append below it is
-          // idempotent by construction, so the crash window is safe)
+          // (the maintained-store family convention). Commit order is
+          // totals-row-THEN-store-advance (r16 ADVICE): a crash before
+          // the append replays against the unmoved bloom (same flags);
+          // a crash after it skips the recompute here and the advance
+          // below catches the store up idempotently (OR-algebra).
           val replayed = spark.catalog.tableExists(s"$db.${name}__funnel") &&
             !spark.table(s"`$db`.`${name}__funnel`")
               .filter(col("batch_id") === batchId).isEmpty
@@ -195,6 +197,9 @@ object StreamingOps {
               .write.mode("append")
               .saveAsTable(s"`$db`.`${name}__funnel`")
           }
+          // on a fresh batch this is the normal advance; on a replay the
+          // totals row already landed but the store may lag — re-upsert
+          TextAnalysisOps.funnelAdvanceBloom(batch.toDF(), db, name)
         }
       }
       .start()

@@ -284,6 +284,78 @@ class ExportSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, db)
   }
 
+  test("gopher repetition survives degenerate one-token and empty docs") {
+    import spark.implicits._
+    // r16 ADVICE: the staged __bg bigram array used to evaluate
+    // sequence(1, 0) → descending [1, 0] → element_at(_, 0) throws for
+    // any doc with < 2 tokens; gopherRepetitionOn is documented for ANY
+    // (doc_id, text) frame (it feeds the funnel), so this must not crash
+    val docs = Seq(
+      (0L, "single"),
+      (1L, ""),
+      (2L, "two words two words two words two words two words")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysisOps.gopherRepetitionOn(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // degenerate docs have no bigram, so top-2-gram mass is 0
+    assert(out(0L) == 0L)
+    assert(out(1L) == 0L)
+    // the repeated-phrase doc still measures a dominant bigram run
+    assert(out(2L) > 0L)
+  }
+
+  test("funnel crash window: totals committed, store lagging — replay-stable") {
+    import graft.sources.{CatalogOps, Tables}
+    import spark.implicits._
+    val db = "sfunnelcrash"
+    CatalogOps.dropDatabase(spark, db)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    CatalogOps.createBloomStore(spark, db, "docs",
+      Seq.empty[String].toDF("__h"), "__h", expectedKeys = 16384L)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val evalNg = TextAnalysisOps.ngramSet(
+      docs.filter(col("source") === "src19")).localCheckpoint()
+    val n = docs.count()
+    val (b0, b1) = (docs.filter(col("doc_id") < n / 2),
+      docs.filter(col("doc_id") >= n / 2))
+    // batch 0: totals row lands... and then we CRASH before the store
+    // advance (the r16 ADVICE window)
+    TextAnalysisOps.funnelIncrementalBatch(b0, evalNg, db, "docs")
+      .withColumn("batch_id", lit(0L))
+      .write.mode("append").saveAsTable(s"`$db`.`docs__funnel`")
+    // recovery redelivers batch 0: the batch_id watermark skips the
+    // recompute; the store catch-up re-upserts the same hashes
+    assert(!spark.table(s"`$db`.`docs__funnel`")
+      .filter(col("batch_id") === 0L).isEmpty)
+    TextAnalysisOps.funnelAdvanceBloom(b0, db, "docs")
+    // a second redelivery after a crash between append and advance —
+    // the advance is idempotent, so running it again changes nothing
+    TextAnalysisOps.funnelAdvanceBloom(b0, db, "docs")
+    // batch 1 proceeds normally
+    TextAnalysisOps.funnelIncrementalBatch(b1, evalNg, db, "docs")
+      .withColumn("batch_id", lit(1L))
+      .write.mode("append").saveAsTable(s"`$db`.`docs__funnel`")
+    TextAnalysisOps.funnelAdvanceBloom(b1, db, "docs")
+    val summed = spark.table(s"`$db`.`docs__funnel`").agg(
+      sum(col("n0")).as("n0"), sum(col("t0")).as("t0"),
+      sum(col("n1")).as("n1"), sum(col("t1")).as("t1"),
+      sum(col("n2")).as("n2"), sum(col("t2")).as("t2"),
+      sum(col("n3")).as("n3"), sum(col("t3")).as("t3"),
+      sum(col("n4")).as("n4"), sum(col("t4")).as("t4"),
+      sum(col("n5")).as("n5"), sum(col("t5")).as("t5"),
+      sum(col("n6")).as("n6"), sum(col("t6")).as("t6"))
+    val streamed = TextAnalysisOps.funnelReport(summed)
+      .collect().map(_.toSeq).toSeq
+    val batch = TextAnalysisOps.curationFunnel(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // crash + replay-through-the-window produced the exact batch report
+    assert(streamed == batch)
+    CatalogOps.dropDatabase(spark, db)
+  }
+
   test("SFT formatting: template round-trips, mask covers prompt + roles") {
     val out = TextAnalysisOps.sftFormat(spark, sf).localCheckpoint()
     val docs = Tables.documents(spark, sf)
