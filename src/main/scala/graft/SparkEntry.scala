@@ -277,6 +277,10 @@ object SparkEntry {
     "q_gopher_rules"    -> ((s, d) => TextAnalysisOps.gopherRules(s, d)),
     // the CCNet composition: rule gate AND LM head+middle buckets
     "q_curate_ccnet"    -> ((s, d) => TextAnalysisOps.curateCcnet(s, d)),
+    // the published serve shape (r17): the SAME chain scored against the
+    // sample-trained maintained LM — no corpus-derived count table, no
+    // dispatch decision job anywhere in the serve plan
+    "q_curate_ccnet_stored" -> ((s, d) => TextAnalysisOps.curateCcnetStored(s, d)),
     // language identification (CCNet's first gate, derived not trusted):
     // literal char-trigram log-odds profile over the rendered-surface
     // fixture — one map-side codegen expression, zero corpus exchanges
@@ -304,6 +308,9 @@ object SparkEntry {
     "q_curate_e2e_verdict" -> ((s, d) => LangIdOps.curateE2eLangVerdict(s, d)),
     // the FULL CCNet: every language through its own LM + fences, union'd
     "q_curate_multilang" -> ((s, d) => LangIdOps.curateMultilang(s, d)),
+    // the per-language maintained-LM serve (r17): each shard scored
+    // against ITS stored sample-trained model, |langs|*512-row broadcast
+    "q_curate_multilang_stored" -> ((s, d) => LangIdOps.curateMultilangStored(s, d)),
     // JL Rademacher projection from a shared integer-lattice matrix —
     // map-side, matrix never materialized, one rounding site
     "q_vec_project"     -> ((s, d) => KnnOps.vecProject(s, d)),
@@ -679,7 +686,8 @@ object SparkEntry {
     "q_shard_assign", "q_dedup_soft", "q_dedup_soft_stored", "q_wat_links",
     "q_domain_doremi", "q_span_corrupt", "q_fim_transform",
     "q_curation_funnel", "q_anneal_mix", "q_epoch_plan",
-    "q_curation_funnel_stream", "q_sft_format", "q_cdx_index")
+    "q_curation_funnel_stream", "q_sft_format", "q_cdx_index",
+    "q_curate_ccnet_stored", "q_curate_multilang_stored")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1345,6 +1353,90 @@ object SparkEntry {
     s"""SELECT k.doc_id, k.n_words, b.avg_cond_p, b.bucket
        |FROM kept$x k JOIN bucketed$x b USING (doc_id)
        |WHERE b.bucket <> 'tail'""".stripMargin
+
+  /** The STORED-LM CCNet chain's CTE list (r17): identical to
+    * [[curateCcnetCtes]] except the in-query LM count tables are
+    * replaced by the maintained-model chain — counts from the
+    * `doc_id % 2 = 0` training sample only, top-512 prune with the
+    * (c2 desc, w1, w2) total-order tie-break, OOV transitions floored
+    * to p = 0 (the q_lm_bigram_stored oracle's exact stages, scoped to
+    * `rel` so the per-language branches train per shard exactly like
+    * the engine's per-language store).
+    */
+  private def curateCcnetStoredCtes(rel: String, x: String): String =
+    s"""base$x AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS t,
+       |         string_split(text, chr(10)) AS ls
+       |  FROM $rel),
+       |c$x AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT) AS n_chars,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) +
+       |      CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+       |      AS n_symbols,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(ls, l -> starts_with(trim(l), '-')
+       |      OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(ls, l -> ends_with(trim(l), '...'))) AS BIGINT)
+       |      AS n_ell_end,
+       |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+       |      AS n_alpha_words,
+       |    CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+       |      s -> list_contains(list_transform(t, w -> lower(w)), s))) AS BIGINT)
+       |      AS n_stopwords
+       |  FROM base$x),
+       |kept$x AS (
+       |  SELECT doc_id, n_words FROM c$x
+       |  WHERE n_words >= 20 AND n_words <= 100000
+       |    AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+       |    AND 10 * n_symbols <= n_words
+       |    AND 10 * n_bullet <= 9 * n_lines
+       |    AND 10 * n_ell_end <= 3 * n_lines
+       |    AND 5 * n_alpha_words >= 4 * n_words
+       |    AND n_stopwords >= 1),
+       |big$x AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+       |        FROM base$x WHERE len(t) >= 2)),
+       |strain$x AS (SELECT * FROM big$x WHERE doc_id % 2 = 0),
+       |slc$x AS (SELECT w1, count(*) AS c1 FROM strain$x GROUP BY w1),
+       |sbc$x AS (SELECT w1, w2, count(*) AS c2 FROM strain$x GROUP BY w1, w2),
+       |pruned$x AS (
+       |  SELECT w1, w2, c2 FROM (
+       |    SELECT *, row_number() OVER (ORDER BY c2 DESC, w1 ASC, w2 ASC) AS rn
+       |    FROM sbc$x)
+       |  WHERE rn <= 512),
+       |model$x AS (
+       |  SELECT p.w1, p.w2, CAST(p.c2 AS DOUBLE) / lc.c1 AS p
+       |  FROM pruned$x p JOIN slc$x lc USING (w1)),
+       |per$x AS (
+       |  SELECT b.doc_id, coalesce(m.p, 0.0) AS p
+       |  FROM big$x b LEFT JOIN model$x m USING (w1, w2)),
+       |agg$x AS (
+       |  SELECT doc_id,
+       |         floor(CAST(sum(CAST(floor(p * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |               / count(*) + 0.5) / 1000000.0 AS avg_cond_p
+       |  FROM per$x GROUP BY doc_id),
+       |scored$x AS (
+       |  SELECT d.doc_id, CAST(coalesce(a.avg_cond_p, 0.0) AS DOUBLE) AS avg_cond_p
+       |  FROM $rel d LEFT JOIN agg$x a USING (doc_id)),
+       |stats$x AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored$x),
+       |ranked$x AS (
+       |  SELECT avg_cond_p,
+       |         row_number() OVER (ORDER BY avg_cond_p) - 1 AS r FROM scored$x),
+       |f$x AS (
+       |  SELECT max(CASE WHEN r = CAST(floor((1.0 / 3.0) * (n - 1)) AS BIGINT)
+       |               THEN avg_cond_p END) AS f1,
+       |         max(CASE WHEN r = CAST(floor((2.0 / 3.0) * (n - 1)) AS BIGINT)
+       |               THEN avg_cond_p END) AS f2
+       |  FROM ranked$x CROSS JOIN stats$x),
+       |bucketed$x AS (
+       |  SELECT s.doc_id, s.avg_cond_p,
+       |         CASE WHEN s.avg_cond_p <= f.f1 THEN 'tail'
+       |              WHEN s.avg_cond_p <= f.f2 THEN 'middle'
+       |              ELSE 'head' END AS bucket
+       |  FROM scored$x s CROSS JOIN f$x f)""".stripMargin
 
   /** DuckDB twin of [[graft.operators.LinkOps.labelPropagation]] (r15 —
     * flips q_link_communities from rows-only to fully oracled): the same
@@ -3097,6 +3189,11 @@ object SparkEntry {
         |ORDER BY vec_id ASC, k ASC""".stripMargin,
     // the two gates' CTEs composed verbatim (thresholds 20/100000/1)
     "q_curate_ccnet" -> curateCcnetSql("documents"),
+    // the maintained-LM serve: same gates + fences, scores from the
+    // doc_id%2=0 sample-trained top-512 model with OOV floored to 0
+    "q_curate_ccnet_stored" ->
+      ("WITH " + curateCcnetStoredCtes("documents", "") + "\n" +
+        curateCcnetSelect("") + "\nORDER BY doc_id ASC"),
     // char-trigram profile lang-id over the rendered-surface corpus —
     // same literal model VALUES the Spark expression carries
     "q_lang_id" ->
@@ -3321,6 +3418,24 @@ object SparkEntry {
       }.mkString(",\n")
       val branches = LangIdOps.langs.map { l =>
         s"SELECT '$l' AS lang, q.* FROM (\n${curateCcnetSelect(s"_$l")}) q"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $langIdCtes,
+         |$ctes
+         |$branches
+         |ORDER BY lang ASC, doc_id ASC""".stripMargin
+    },
+    // the per-language maintained-LM serve: each language's branch is
+    // the stored-CCNet chain trained on ITS doc_id%2=0 shard sample
+    "q_curate_multilang_stored" -> {
+      val ctes = LangIdOps.langs.map { l =>
+        s"""end_s$l AS (
+           |  SELECT d.doc_id, d.text
+           |  FROM documents d JOIN lpred p USING (doc_id)
+           |  WHERE p.predicted = '$l'),
+           |${curateCcnetStoredCtes(s"end_s$l", s"_s$l")}""".stripMargin
+      }.mkString(",\n")
+      val branches = LangIdOps.langs.map { l =>
+        s"SELECT '$l' AS lang, q.* FROM (\n${curateCcnetSelect(s"_s$l")}) q"
       }.mkString("\nUNION ALL\n")
       s"""WITH $langIdCtes,
          |$ctes

@@ -347,6 +347,152 @@ object LangIdOps {
       .orderBy(col("lang").asc, col("doc_id").asc)
   }
 
+  /** Per-batch per-LANGUAGE bigram/unigram count partials for the
+    * multilang LM store — [[TextAnalysisOps]]' LM-store convention with
+    * the DERIVED language on every key (each language's model trains on
+    * the documents the classifier routed to it, never on the fixture
+    * label). Logs: `{name}__mlmuni` (lang, w1, c1, batch_id) and
+    * `{name}__mlmbi` (lang, w1, w2, c2, batch_id); associative integer
+    * counts, the serve folds by sum.
+    */
+  private def writeMlLmPartials(spark: SparkSession, db: String,
+      name: String, docs: DataFrame, overwrite: Boolean,
+      batchId: Long = -1L): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    val big = docs
+      .select(col("lang"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("lang"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    big.groupBy(col("lang"), col("w1")).agg(count(lit(1)).as("c1"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(mode).partitionBy("batch_id")
+      .saveAsTable(s"`$db`.`${name}__mlmuni`")
+    big.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(mode).partitionBy("batch_id")
+      .saveAsTable(s"`$db`.`${name}__mlmbi`")
+  }
+
+  /** Build-if-absent PER-LANGUAGE maintained bigram LMs — CCNet shards
+    * by detected language and trains one filtering LM per shard (Wenzek
+    * et al. 2020 §3); this is that artifact family as one store. The
+    * training set is the `doc_id % 2 = 0` half routed by its DERIVED
+    * label, ingested as TWO batches (create + fold) so the maintenance
+    * path faces the oracle. Bounded by the sample at train time and the
+    * per-language top-V prune at serve time.
+    */
+  private[graft] def ensureLmStoreMultilang(spark: SparkSession,
+      dir: String): (String, String) = {
+    import graft.sources.CatalogOps
+    val db = "graft_lmml"
+    val name = "docs"
+    this.synchronized {
+      if (!spark.catalog.tableExists(s"$db.${name}__mlmbi") ||
+          !spark.catalog.tableExists(s"$db.${name}__mlmuni")) {
+        CatalogOps.createDatabase(spark, db)
+        Seq(s"${name}__mlmbi", s"${name}__mlmuni")
+          .foreach(graft.operators.KnnOps.dropTableAndDir(spark, db, _))
+        val sample = documentsWithDerivedLang(spark, dir)
+          .select(col("predicted").as("lang"), col("doc_id"), col("text"))
+          .filter(col("doc_id") % 2 === 0)
+        writeMlLmPartials(spark, db, name,
+          sample.filter(col("doc_id") % 4 === 0), overwrite = true)
+        writeMlLmPartials(spark, db, name,
+          sample.filter(col("doc_id") % 4 =!= 0), overwrite = false,
+          batchId = 0L)
+      }
+    }
+    (db, name)
+  }
+
+  /** `q_curate_multilang_stored` (r17): the full multilingual CCNet
+    * served from the per-language MAINTAINED LMs — [[curateMultilang]]
+    * with the in-query per-language LM train replaced by the store fold
+    * + per-language top-V prune. The serve plan's only corpus-grain
+    * work is the map-side lang-id/render pass, the structural gate
+    * battery, the bigram explode joining a broadcast bounded at
+    * |langs|·V model rows, and one doc_id-grain aggregation — no
+    * corpus-derived count table, no dispatch decision job (pinned in
+    * LmSpec). Out-of-model transitions floor to p = 0 (each language's
+    * OOV discipline, per [[TextAnalysisOps.lmBigramScoreStored]]);
+    * per-language tercile fences stay exact corpus order statistics
+    * exactly as the live form computes them.
+    */
+  def curateMultilangStored(spark: SparkSession, dir: String,
+      topV: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (db, name) = ensureLmStoreMultilang(spark, dir)
+    // fold the logs (exact integer merges), prune per language: the
+    // window runs over the folded SAMPLE vocabulary (store-sized, never
+    // corpus-sized — at 100 TB the sample is bounded by policy), one
+    // lang-partition each, then the ≤ |langs|·V model broadcasts
+    val lc = spark.table(s"`$db`.`${name}__mlmuni`")
+      .groupBy(col("lang"), col("w1")).agg(sum(col("c1")).as("c1"))
+    val wv = Window.partitionBy(col("lang"))
+      .orderBy(col("c2").desc, col("w1").asc, col("w2").asc)
+    val pruned = spark.table(s"`$db`.`${name}__mlmbi`")
+      .groupBy(col("lang"), col("w1"), col("w2")).agg(sum(col("c2")).as("c2"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") <= topV)
+      .drop("rn")
+    val model = pruned.join(lc, Seq("lang", "w1"))
+      .select(col("lang"), col("w1"), col("w2"),
+        (col("c2").cast("double") / col("c1")).as("p"))
+    val docs = documentsWithDerivedLang(spark, dir)
+      .select(col("doc_id"), col("text"), col("predicted").as("lang"))
+    val kept = TextAnalysisOps.gopherRulesOn(
+        docs.select(col("doc_id"), col("text")), 20L, 100000L, 1L)
+      .filter(col("keep") === 1L)
+      .select(col("doc_id"), col("n_words"))
+    val toks = docs.select(col("doc_id"), col("lang"),
+      split(col("text"), " ").as("t"))
+    val big = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val agg = big
+      .join(broadcast(model), Seq("lang", "w1", "w2"), "left_outer")
+      .withColumn("p", coalesce(col("p"), lit(0.0)))
+      .groupBy(col("doc_id"))
+      .agg((floor(sum(floor(col("p") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .cast("double") / count(lit(1)) + lit(0.5)).cast("double")
+        / lit(1000000.0)).as("avg_cond_p"))
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("avg_cond_p"), lit(0.0)).as("avg_cond_p"))
+    val wr = Window.partitionBy(col("lang")).orderBy(col("avg_cond_p").asc)
+    val ranked = scored.withColumn("r", row_number().over(wr) - 1)
+    val nl = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val fences = ranked.join(broadcast(nl), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(
+        max(when(col("r") ===
+          floor(lit(1.0 / 3.0) * (col("n") - 1)).cast("long"),
+          col("avg_cond_p"))).as("f1"),
+        max(when(col("r") ===
+          floor(lit(2.0 / 3.0) * (col("n") - 1)).cast("long"),
+          col("avg_cond_p"))).as("f2"))
+    val bucketed = scored.join(broadcast(fences), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("avg_cond_p"),
+        when(col("avg_cond_p") <= col("f1"), lit("tail"))
+          .when(col("avg_cond_p") <= col("f2"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+    kept.join(bucketed, Seq("doc_id"))
+      .filter(col("bucket") =!= "tail")
+      .select(col("lang"), col("doc_id"), col("n_words"),
+        col("avg_cond_p"), col("bucket"))
+      .orderBy(col("lang").asc, col("doc_id").asc)
+  }
+
   /** `q_curate_e2e_verdict` (r16): the lang gate routed through the
     * CONFIDENCE band — CCNet keeps a document for language L only when
     * the classifier is CONFIDENT (Wenzek et al. 2020 §3.1); low-margin

@@ -750,6 +750,50 @@ object TextAnalysisOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** `q_curate_ccnet_stored` (r17): the CCNet chain served from the
+    * MAINTAINED LM — the shape the paper actually runs (Wenzek et al.
+    * 2020 §3: the filtering LM is trained once on a bounded clean
+    * sample, then every shard is scored against that artifact). The
+    * live [[curateCcnet]] retrains the bigram LM on the corpus being
+    * scored every run — scale-safe via the statistics dispatch, but at
+    * 100 TB the train + the dispatch's decision `count()` are corpus
+    * scans this form never pays: [[lmBigramScoreStored]]'s model is
+    * bounded by the sample at train time and the top-V prune at serve
+    * time, so the ONLY corpus-grain work left is the map-side gate
+    * battery, the bigram explode joining a ≤V-row broadcast, and one
+    * doc_id-grain aggregation. No corpus-derived count table is built
+    * anywhere in the serve plan (pinned in LmSpec). Fences stay exact
+    * per-corpus order statistics — CCNet computes percentile fences per
+    * shard too; they are bins-bounded refinement rounds, not a model
+    * train. Output schema identical to [[curateCcnet]]; rows differ
+    * only through the score source (sample-trained + OOV-floored vs
+    * in-query MLE), exactly as published.
+    */
+  def curateCcnetStored(spark: SparkSession, dir: String,
+      minWords: Long = 20L, minStop: Long = 1L): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val kept = gopherRulesOn(docs, minWords, 100000L, minStop)
+      .filter(col("keep") === 1L)
+      .select(col("doc_id"), col("n_words"))
+    // localCheckpoint: the fence probe and the bucket projection both
+    // read the scored frame — one materialization, zero re-serves of
+    // the model join
+    val scored = lmBigramScoreStored(spark, dir)
+      .select(col("doc_id"), col("avg_cond_p"))
+      .localCheckpoint(false)
+    val fences = RelOps.quantileExactOn(scored, "avg_cond_p",
+      Seq(1.0 / 3.0, 2.0 / 3.0))
+    val (f1, f2) = (fences(0)._2, fences(1)._2)
+    val bucketed = scored.select(col("doc_id"), col("avg_cond_p"),
+      when(col("avg_cond_p") <= f1, lit("tail"))
+        .when(col("avg_cond_p") <= f2, lit("middle"))
+        .otherwise(lit("head")).as("bucket"))
+      .filter(col("bucket") =!= "tail")
+    kept.join(bucketed, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("avg_cond_p"), col("bucket"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish sub-word proxy
     * (alphabetic runs) — the cost model of a tokenizer pass without the
     * tokenizer. `regexp_extract_all` is codegen'd; per-row only.

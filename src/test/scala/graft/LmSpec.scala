@@ -88,6 +88,72 @@ class LmSpec extends AnyFunSuite {
     assert(stored.exceptAll(live).isEmpty && live.exceptAll(stored).isEmpty)
   }
 
+  test("stored-LM CCNet serve plan: no corpus-derived count table (r17)") {
+    // the live chain trains the LM in-query: its plan carries count(1)
+    // aggregates keyed by word columns over the corpus bigram stream.
+    // The stored serve must not — its only w-keyed aggregates are the
+    // store-log SUM folds, and the corpus-side keys are doc_id/lang only.
+    def wKeyedCountAggs(p: String): Int = p.linesIterator.count(l =>
+      l.contains("Aggregate") && l.contains("w1#") && l.contains("count(1)"))
+    // matcher self-check: the live LM-train SHAPE (an un-checkpointed
+    // count(1) keyed by the word column) must trip it — the production
+    // live chain hides its aggregates behind localCheckpoint, so the
+    // reference is built inline
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w1"))
+    val liveShape = toks.join(
+      toks.groupBy(col("w1")).agg(count(lit(1)).as("c1")), Seq("w1"))
+    assert(wKeyedCountAggs(plan(liveShape)) > 0,
+      s"pin self-check against the live LM-train shape:\n${plan(liveShape)}")
+    val stored = plan(LangIdOps.curateMultilangStored(spark, sf))
+    assert(wKeyedCountAggs(stored) == 0,
+      s"stored serve still builds a corpus-derived count table:\n$stored")
+    // the model rides the store tables + a bounded broadcast
+    assert(stored.contains("mlmbi") && stored.contains("mlmuni"), stored)
+    assert(stored.contains("BroadcastHashJoin"), stored)
+    // the whole-corpus stored chain's LM side is lmBigramScoreStored's
+    // already-pinned plan; pin the composition's scored frame the same way
+    val ccnet = plan(TextAnalysisOps.lmBigramScoreStored(spark, sf))
+    assert(wKeyedCountAggs(ccnet.linesIterator
+      .filterNot(_.contains("lmbi")).filterNot(_.contains("lmuni"))
+      .mkString("\n")) == 0, ccnet)
+  }
+
+  test("multilang LM store is per-language sample-trained, prune bites per lang") {
+    LangIdOps.curateMultilangStored(spark, sf) // ensure the store
+    val folded = spark.table("`graft_lmml`.`docs__mlmbi`")
+      .groupBy(col("lang"), col("w1"), col("w2")).agg(sum(col("c2")).as("c2"))
+      .localCheckpoint(false)
+    // each language's folded mass equals ITS derived-lang sample's
+    // bigram positions — models never leak across shards
+    val perLang = folded.groupBy(col("lang")).agg(sum(col("c2")).as("mass"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = LangIdOps.documentsWithDerivedLang(spark, sf)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("predicted").as("lang"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .groupBy(col("lang")).agg(sum(size(col("t")) - 1).as("mass"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang == expected)
+    // the top-512 prune is live for every language at sf0.01+
+    val types = folded.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types.values.forall(_ > 512L),
+      s"per-lang types $types — the prune would be a no-op for some shard")
+  }
+
+  test("stored curate serves are deterministic and bucket-complete") {
+    val a = TextAnalysisOps.curateCcnetStored(spark, sf).collect().toSeq
+    val b = TextAnalysisOps.curateCcnetStored(spark, sf).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+    assert(a.forall(r => r.getString(3) == "head" || r.getString(3) == "middle"))
+    val m = LangIdOps.curateMultilangStored(spark, sf).collect().toSeq
+    assert(m.nonEmpty)
+    assert(m.map(_.getString(0)).distinct.size > 1,
+      "stored multilang should keep docs across several languages")
+  }
+
   test("stored LM is sample-trained: an out-of-sample-only transition scores p = 0") {
     // a doc whose bigrams never appear in the doc_id % 2 = 0 half would
     // floor to 0; synthesize the check directly against the folded model:
