@@ -133,6 +133,11 @@ object SparkEntry {
     // WAT-style anchor extraction from the planted full pages — the
     // parse stage between archive and the link-graph family
     "q_wat_links"      -> ((s, d) => graft.sources.WarcOps.watLinks(s, d)),
+    // the COMPLETE archive->training spine (r17): WARC members -> parse
+    // + length gate -> envelope strip -> main-content extraction (keys
+    // recovered from the record URL) -> six-gate funnel -> export shard
+    // plan of the survivors — CC dump in, training shards out
+    "q_archive_e2e"    -> ((s, d) => graft.sources.WarcOps.archiveE2e(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
@@ -687,7 +692,7 @@ object SparkEntry {
     "q_domain_doremi", "q_span_corrupt", "q_fim_transform",
     "q_curation_funnel", "q_anneal_mix", "q_epoch_plan",
     "q_curation_funnel_stream", "q_sft_format", "q_cdx_index",
-    "q_curate_ccnet_stored", "q_curate_multilang_stored")
+    "q_curate_ccnet_stored", "q_curate_multilang_stored", "q_archive_e2e")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -929,14 +934,130 @@ object SparkEntry {
     * so on any corpus BOTH engines produce rows the two forms agree on:
     * the frozen fixture is fully in-dictionary).
     */
-  private def langIdCtes: String =
+  /** Per-document curation-funnel flag CTEs over `rel` (doc_id, lang,
+    * source, text) — the six gate flags, the fl join, and the kk
+    * cumulative products; requires [[langIdCtesOn]](rel) upstream for
+    * `lpred`. Shared by q_curation_funnel (rel = documents) and
+    * q_archive_e2e (rel = the WARC-extracted corpus, r17).
+    */
+  private def funnelFlagCtes(rel: String): String =
+    (s"""flang AS (
+        |  SELECT doc_id, CASE WHEN predicted = 'en' THEN 1 ELSE 0 END AS f_lang
+        |  FROM lpred),
+        |gc AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) +
+        |      CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(string_split(text, chr(10)), l -> starts_with(trim(l), '-')
+        |      OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(string_split(text, chr(10)), l -> ends_with(trim(l), '...'))) AS BIGINT) AS n_ell_end,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+        |      s -> list_contains(list_transform(string_split(text, ' '), w -> lower(w)), s))) AS BIGINT) AS n_stopwords
+        |  FROM $rel),
+        |fgop AS (
+        |  SELECT doc_id,
+        |    CAST(n_words >= 20 AND n_words <= 100000 AS BIGINT) *
+        |    CAST(n_chars >= 3 * n_words AND n_chars <= 10 * n_words AS BIGINT) *
+        |    CAST(10 * n_symbols <= n_words AS BIGINT) *
+        |    CAST(10 * n_bullet <= 9 * n_lines AS BIGINT) *
+        |    CAST(10 * n_ell_end <= 3 * n_lines AS BIGINT) *
+        |    CAST(5 * n_alpha_words >= 4 * n_words AS BIGINT) *
+        |    CAST(n_stopwords >= 1 AS BIGINT) AS f_gopher
+        |  FROM gc),
+        |rc AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 6 = 0
+        |              THEN chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40)
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 8 = 0 AND doc_id % 6 <> 0
+        |              THEN chr(10) || substr(text, 1, 40) ELSE '' END AS t
+        |  FROM $rel),
+        |rm AS (
+        |  SELECT doc_id, t,
+        |         CAST(list_sum(list_transform(string_split(t, chr(10)),
+        |           l -> length(l))) AS BIGINT) AS line_chars,
+        |         CAST(list_sum(list_transform(string_split(t, chr(10)),
+        |           l -> length(l))) AS BIGINT)
+        |           - CAST(list_sum(list_transform(list_distinct(string_split(t, chr(10))),
+        |               l -> length(l))) AS BIGINT) AS dup_line_chars
+        |  FROM rc),
+        |rbg AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS b
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM (SELECT doc_id, string_split_regex(t, '[ \\n]') AS w FROM rc)
+        |        WHERE len(w) >= 2)),
+        |rt2 AS (
+        |  SELECT doc_id, max(cnt * length(b)) AS top2_chars
+        |  FROM (SELECT doc_id, b, count(*) AS cnt FROM rbg GROUP BY doc_id, b)
+        |  GROUP BY doc_id),
+        |frep AS (
+        |  SELECT rm.doc_id,
+        |         CAST(CASE WHEN 5 * rm.dup_line_chars <= rm.line_chars
+        |                    AND 5 * coalesce(rt2.top2_chars, 0) <= rm.line_chars
+        |               THEN 1 ELSE 0 END AS BIGINT) AS f_rep
+        |  FROM rm LEFT JOIN rt2 USING (doc_id)),
+        |fded AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+        |              THEN 1 ELSE 0 END AS f_dedup
+        |  FROM $rel),
+        |dtok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM $rel),
+        |dng AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_distinct(list_transform(range(1, len(t) - 2),
+        |           i -> list_aggregate(t[i:i+3], 'string_agg', ' ')))) AS g
+        |  FROM dtok),
+        |deval AS (SELECT DISTINCT g FROM dng WHERE source = 'src19'),
+        |dhits AS (
+        |  SELECT dng.doc_id, count(*) AS shared
+        |  FROM dng JOIN deval USING (g) WHERE dng.source <> 'src19'
+        |  GROUP BY dng.doc_id),
+        |fdec AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN d.source <> 'src19' AND coalesce(h.shared, 0) = 0
+        |              THEN 1 ELSE 0 END AS f_decon
+        |  FROM $rel d LEFT JOIN dhits h USING (doc_id)),
+        |fmix AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) >= 20
+        |               AND (doc_id * 2654435761) % 1000 <
+        |                   (coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT),
+        |                     length(source)) % 4 + 1) * 0.25 * 1000
+        |              THEN 1 ELSE 0 END AS f_mix
+        |  FROM $rel),
+        |fl AS (
+        |  SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+        |         f_lang, f_gopher, f_rep, f_dedup, f_decon, f_mix
+        |  FROM $rel d
+        |  JOIN flang USING (doc_id) JOIN fgop USING (doc_id)
+        |  JOIN frep USING (doc_id) JOIN fded USING (doc_id)
+        |  JOIN fdec USING (doc_id) JOIN fmix USING (doc_id)),
+        |kk AS (
+        |  SELECT *, f_lang AS k1, f_lang * f_gopher AS k2,
+        |         f_lang * f_gopher * f_rep AS k3,
+        |         f_lang * f_gopher * f_rep * f_dedup AS k4,
+        |         f_lang * f_gopher * f_rep * f_dedup * f_decon AS k5,
+        |         f_lang * f_gopher * f_rep * f_dedup * f_decon * f_mix AS k6
+        |  FROM fl)""").stripMargin
+
+  private def langIdCtes: String = langIdCtesOn("documents")
+
+  /** [[langIdCtes]] over any relation carrying (doc_id, lang, text) —
+    * the archive e2e runs lang-id over the EXTRACTED corpus (r17).
+    */
+  private def langIdCtesOn(rel: String): String =
     s"""ldict AS (SELECT * FROM (VALUES
        |    $langDictValues) AS t(dlang, tok, word)),
        |lprof AS (SELECT * FROM (VALUES
        |    $langProfValues) AS t(plang, g, w)),
        |ltoks AS (
        |  SELECT doc_id, lang, t, unnest(range(1, len(t) + 1)) AS i
-       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)),
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM $rel)),
        |lrend AS (
        |  SELECT x.doc_id, x.lang,
        |         string_agg(coalesce(d.word, x.tok), ' ' ORDER BY x.i) AS rtext
@@ -2191,6 +2312,39 @@ object SparkEntry {
         |       CAST(len(str_split(wet_text, ' ')) AS BIGINT) AS n_words
         |FROM w
         |ORDER BY url ASC""".stripMargin,
+    // the archive->training spine: valid records are closed-form
+    // (doc_id % 13 <> 7), main_text from the proven html-main CTEs,
+    // lang-id + six-gate funnel over the EXTRACTED corpus, shard plan
+    // of the k6 survivors — the engine must round-trip the real bytes
+    "q_archive_e2e" ->
+      (s"""WITH xraw AS (
+          |  SELECT doc_id, lang, source, text FROM documents
+          |  WHERE doc_id % 13 <> 7),
+          |""".stripMargin + htmlMainCtes("xraw") + ",\n" +
+        s"""|xdocs AS (
+           |  SELECT doc_id, lang, source, main_text AS text FROM mt),
+           |""".stripMargin + langIdCtesOn("xdocs") + ",\n" +
+        funnelFlagCtes("xdocs") + ",\n" +
+        s"""|surv AS (SELECT doc_id, n_tok FROM kk WHERE k6 = 1),
+           |sh AS (
+           |  SELECT s.doc_id, s.n_tok,
+           |         CAST(length(x.text) AS BIGINT) AS n_bytes,
+           |         CAST(instr('0123456789abcdef',
+           |           substr(md5(CAST(s.doc_id AS VARCHAR)), 32, 1)) - 1
+           |           AS BIGINT) AS shard
+           |  FROM surv s JOIN xdocs x USING (doc_id)),
+           |agg AS (
+           |  SELECT shard, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+           |         sum(n_bytes) AS n_bytes, min(doc_id) AS min_doc
+           |  FROM sh GROUP BY shard)
+           |SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+           |       CAST(n_tokens AS BIGINT) AS n_tokens,
+           |       CAST(n_bytes AS BIGINT) AS n_bytes,
+           |       CAST(min_doc AS BIGINT) AS min_doc,
+           |       CAST((1000000 * n_tokens) // max(n_tokens) OVER ()
+           |         AS BIGINT) AS share_ppm
+           |FROM agg
+           |ORDER BY shard ASC""".stripMargin),
     // closed-form mirror of the CDX plan: which capture wins is pure
     // doc_id arithmetic on the oracle side; the engine must SURT, split
     // and from_json its way to the same row
@@ -2648,111 +2802,9 @@ object SparkEntry {
     // md5 first-arrival, n-gram hits, mix bucket), cumulative products,
     // a 7-row union, and the lag-window keep ppm
     "q_curation_funnel" ->
-      s"""WITH $langIdCtes,
-        |flang AS (
-        |  SELECT doc_id, CASE WHEN predicted = 'en' THEN 1 ELSE 0 END AS f_lang
-        |  FROM lpred),
-        |gc AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS n_chars,
-        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) +
-        |      CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
-        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-        |    CAST(len(list_filter(string_split(text, chr(10)), l -> starts_with(trim(l), '-')
-        |      OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet,
-        |    CAST(len(list_filter(string_split(text, chr(10)), l -> ends_with(trim(l), '...'))) AS BIGINT) AS n_ell_end,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
-        |    CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
-        |      s -> list_contains(list_transform(string_split(text, ' '), w -> lower(w)), s))) AS BIGINT) AS n_stopwords
-        |  FROM documents),
-        |fgop AS (
-        |  SELECT doc_id,
-        |    CAST(n_words >= 20 AND n_words <= 100000 AS BIGINT) *
-        |    CAST(n_chars >= 3 * n_words AND n_chars <= 10 * n_words AS BIGINT) *
-        |    CAST(10 * n_symbols <= n_words AS BIGINT) *
-        |    CAST(10 * n_bullet <= 9 * n_lines AS BIGINT) *
-        |    CAST(10 * n_ell_end <= 3 * n_lines AS BIGINT) *
-        |    CAST(5 * n_alpha_words >= 4 * n_words AS BIGINT) *
-        |    CAST(n_stopwords >= 1 AS BIGINT) AS f_gopher
-        |  FROM gc),
-        |rc AS (
-        |  SELECT doc_id,
-        |         text ||
-        |         CASE WHEN doc_id % 6 = 0
-        |              THEN chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40)
-        |              ELSE '' END ||
-        |         CASE WHEN doc_id % 8 = 0 AND doc_id % 6 <> 0
-        |              THEN chr(10) || substr(text, 1, 40) ELSE '' END AS t
-        |  FROM documents),
-        |rm AS (
-        |  SELECT doc_id, t,
-        |         CAST(list_sum(list_transform(string_split(t, chr(10)),
-        |           l -> length(l))) AS BIGINT) AS line_chars,
-        |         CAST(list_sum(list_transform(string_split(t, chr(10)),
-        |           l -> length(l))) AS BIGINT)
-        |           - CAST(list_sum(list_transform(list_distinct(string_split(t, chr(10))),
-        |               l -> length(l))) AS BIGINT) AS dup_line_chars
-        |  FROM rc),
-        |rbg AS (
-        |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS b
-        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
-        |        FROM (SELECT doc_id, string_split_regex(t, '[ \\n]') AS w FROM rc)
-        |        WHERE len(w) >= 2)),
-        |rt2 AS (
-        |  SELECT doc_id, max(cnt * length(b)) AS top2_chars
-        |  FROM (SELECT doc_id, b, count(*) AS cnt FROM rbg GROUP BY doc_id, b)
-        |  GROUP BY doc_id),
-        |frep AS (
-        |  SELECT rm.doc_id,
-        |         CAST(CASE WHEN 5 * rm.dup_line_chars <= rm.line_chars
-        |                    AND 5 * coalesce(rt2.top2_chars, 0) <= rm.line_chars
-        |               THEN 1 ELSE 0 END AS BIGINT) AS f_rep
-        |  FROM rm LEFT JOIN rt2 USING (doc_id)),
-        |fded AS (
-        |  SELECT doc_id,
-        |         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
-        |              THEN 1 ELSE 0 END AS f_dedup
-        |  FROM documents),
-        |dtok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
-        |dng AS (
-        |  SELECT doc_id, source,
-        |         unnest(list_distinct(list_transform(range(1, len(t) - 2),
-        |           i -> list_aggregate(t[i:i+3], 'string_agg', ' ')))) AS g
-        |  FROM dtok),
-        |deval AS (SELECT DISTINCT g FROM dng WHERE source = 'src19'),
-        |dhits AS (
-        |  SELECT dng.doc_id, count(*) AS shared
-        |  FROM dng JOIN deval USING (g) WHERE dng.source <> 'src19'
-        |  GROUP BY dng.doc_id),
-        |fdec AS (
-        |  SELECT d.doc_id,
-        |         CASE WHEN d.source <> 'src19' AND coalesce(h.shared, 0) = 0
-        |              THEN 1 ELSE 0 END AS f_decon
-        |  FROM documents d LEFT JOIN dhits h USING (doc_id)),
-        |fmix AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(string_split(text, ' ')) >= 20
-        |               AND (doc_id * 2654435761) % 1000 <
-        |                   (coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT),
-        |                     length(source)) % 4 + 1) * 0.25 * 1000
-        |              THEN 1 ELSE 0 END AS f_mix
-        |  FROM documents),
-        |fl AS (
-        |  SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
-        |         f_lang, f_gopher, f_rep, f_dedup, f_decon, f_mix
-        |  FROM documents d
-        |  JOIN flang USING (doc_id) JOIN fgop USING (doc_id)
-        |  JOIN frep USING (doc_id) JOIN fded USING (doc_id)
-        |  JOIN fdec USING (doc_id) JOIN fmix USING (doc_id)),
-        |kk AS (
-        |  SELECT *, f_lang AS k1, f_lang * f_gopher AS k2,
-        |         f_lang * f_gopher * f_rep AS k3,
-        |         f_lang * f_gopher * f_rep * f_dedup AS k4,
-        |         f_lang * f_gopher * f_rep * f_dedup * f_decon AS k5,
-        |         f_lang * f_gopher * f_rep * f_dedup * f_decon * f_mix AS k6
-        |  FROM fl),
-        |agg AS (
+      (s"""WITH $langIdCtes,
+          |""".stripMargin + funnelFlagCtes("documents") + ",\n" +
+        s"""|agg AS (
         |  SELECT count(*) AS n0, sum(n_tok) AS t0,
         |         sum(k1) AS n1, sum(n_tok * k1) AS t1,
         |         sum(k2) AS n2, sum(n_tok * k2) AS t2,
@@ -2777,7 +2829,7 @@ object SparkEntry {
         |                 ELSE n_docs * 1000000 // lag(n_docs) OVER (ORDER BY stage)
         |            END AS BIGINT) AS kept_ppm
         |FROM st
-        |ORDER BY stage ASC""".stripMargin,
+        |ORDER BY stage ASC""".stripMargin),
     // anneal mirror: the shared rounded quality, the exact order
     // statistic at rank floor(0.9·(n−1)) (the q_quantile_exact
     // convention), strict-above routing, and the coprime replay bucket

@@ -38,14 +38,25 @@ object WarcOps {
     * builder and the WET/Scaladoc arithmetic. Payload = HTTP/1.1
     * envelope + a full HTML page titled `source/p<doc_id>`.
     */
-  private[graft] def plantedRecords(docs: DataFrame): DataFrame = {
+  private[graft] def plantedRecords(docs: DataFrame): DataFrame =
+    plantedRecordsOf(docs,
+      concat(lit("<html><head><title>"), col("source"), lit("/p"),
+        col("doc_id").cast("string"), lit("</title></head><body><p>"),
+        col("text"), lit("</p></body></html>")))
+
+  /** The record builder parameterized on the payload HTML — the simple
+    * title+paragraph page for the parse/WET entries, the full planted
+    * page ([[graft.operators.TextOps.plantedPage]]) for the archive
+    * e2e spine (r17). Headers, dates, and the % 13 == 7 length
+    * corruption are identical regardless of body.
+    */
+  private[graft] def plantedRecordsOf(docs: DataFrame,
+      html: Column): DataFrame = {
     val url = concat(lit("https://"), col("source"), lit(".example/"),
       col("lang"), lit("/p"), col("doc_id").cast("string"))
     val payload = concat(
       lit("HTTP/1.1 200 OK" + Crlf + "Content-Type: text/html" + BlankLine),
-      lit("<html><head><title>"), col("source"), lit("/p"),
-      col("doc_id").cast("string"), lit("</title></head><body><p>"),
-      col("text"), lit("</p></body></html>"))
+      html)
     val warcDate = concat(lit("2026-01-"),
       lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"), lit("T"),
       lpad((col("doc_id") % 24).cast("string"), 2, "0"), lit(":00:00Z"))
@@ -76,7 +87,14 @@ object WarcOps {
     * not members).
     */
   private[graft] def warcMembersOf(docs: DataFrame): DataFrame =
-    plantedRecords(docs)
+    warcMembersFrom(plantedRecords(docs))
+
+  /** Member assembly over ANY (host, doc_id, rec) record frame — the
+    * (host, 1000-record chunk) grain bounds every member row
+    * regardless of host size.
+    */
+  private[graft] def warcMembersFrom(records: DataFrame): DataFrame =
+    records
       .groupBy(col("host"), expr("doc_id div 1000").as("__chunk"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
@@ -149,6 +167,94 @@ object WarcOps {
         trim(regexp_replace(regexp_replace(html, "<[^>]*>", " "), " +", " ")))
       .select(col("url"), col("wet_text"),
         size(split(col("wet_text"), " ")).cast("long").as("n_words"))
+  }
+
+  /** `q_archive_e2e` (r17): the COMPLETE archive→training spine in one
+    * composed plan — the actual shape of a 100 TB pipeline (CC dump in,
+    * training shards out), composing every stage r16 built separately:
+    *
+    *   WARC members (payload = the FULL planted page, not the title
+    *   stub) → record re-split + header parse + Content-Length gate
+    *   ([[warcParseOn]]; the % 13 == 7 corrupt records drop here) →
+    *   HTTP envelope strip → block-scored MAIN-CONTENT extraction
+    *   ([[graft.operators.TextOps.htmlMainOn]]) with (doc_id, lang,
+    *   source) recovered from the record URL, never trusted from a side
+    *   channel → the six-gate curation funnel
+    *   ([[graft.operators.TextAnalysisOps.funnelFlagsOn]]) over the
+    *   EXTRACTED text → hash shard assignment of the survivors (the
+    *   q_shard_assign report, scoped to what actually ships).
+    *
+    * Output: the 16-row export shard plan of the surviving corpus —
+    * every upstream byte (a dropped record, a boilerplate block, a
+    * failed gate) moves these totals, so the hash-match verifies the
+    * whole spine.
+    *
+    * Scale: parse/extract/keys are map-side on the member split; the
+    * extracted corpus localCheckpoints ONCE before the funnel (its six
+    * gate consumers would otherwise each re-run the parse chain — the
+    * curateE2eLang materialize-the-gated-subset discipline); the funnel
+    * adds its one hash-grain dedup exchange; shard totals are a 16-row
+    * exchange. No corpus-grain exchange beyond the member assembly and
+    * the funnel's own profile.
+    */
+  def archiveE2e(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextOps
+    val docs0 = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val paged = TextOps.plantedPage(docs0)
+    val members = warcMembersFrom(plantedRecordsOf(paged, col("html")))
+    val parsed = warcParseOn(members)
+      .filter(col("len_ok") === 1L && col("http_status") === "200")
+    val httpHdr = substring_index(col("payload"), BlankLine, 1)
+    val keyed = parsed.select(
+      regexp_extract(col("url"), "^https://([^.]+)\\.example/", 1)
+        .as("source"),
+      regexp_extract(col("url"), "\\.example/([^/]+)/p", 1).as("lang"),
+      regexp_extract(col("url"), "/p([0-9]+)$", 1).cast("long").as("doc_id"),
+      col("payload").substr(length(httpHdr) + lit(5),
+        length(col("payload")) - length(httpHdr) - lit(4)).as("html"))
+    val xdocs = TextOps.htmlMainOn(keyed)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("main_text").as("text"))
+      .localCheckpoint(false)
+    shardPlanOfSurvivors(xdocs)
+  }
+
+  /** Funnel + shard-plan tail of the archive spine over any extracted
+    * (doc_id, lang, source, text) corpus — factored so the spec can pin
+    * the WARC round-trip lossless (archive path ≡ direct extraction).
+    */
+  private[graft] def shardPlanOfSurvivors(xdocs: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysisOps
+    import org.apache.spark.sql.expressions.Window
+    val hashes = xdocs.select(col("doc_id"), md5(col("text")).as("__h"))
+    val ded = hashes
+      .join(hashes.groupBy(col("__h")).agg(min(col("doc_id")).as("__kid")),
+        Seq("__h"))
+      .select(col("doc_id"),
+        (col("doc_id") === col("__kid")).cast("long").as("f_dedup"))
+    val evalNg = TextAnalysisOps.ngramSet(xdocs.filter(col("source") === "src19"))
+    val surv = TextAnalysisOps.funnelFlagsOn(xdocs, evalNg, ded)
+      .filter(col("f_lang") * col("f_gopher") * col("f_rep") *
+        col("f_dedup") * col("f_decon") * col("f_mix") === 1L)
+      .select(col("doc_id"), col("n_tok"))
+    surv
+      .join(xdocs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_bytes")), Seq("doc_id"))
+      .withColumn("shard",
+        (expr("instr('0123456789abcdef', " +
+          "substring(md5(cast(doc_id as string)), 32, 1))") - 1L)
+          .cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_bytes")).as("n_bytes"),
+        min(col("doc_id")).as("min_doc"))
+      .withColumn("__max_tok",
+        max(col("n_tokens")).over(Window.partitionBy()))
+      .withColumn("share_ppm", expr("(1000000 * n_tokens) div __max_tok"))
+      .drop("__max_tok")
+      .orderBy(col("shard").asc)
   }
 
   /** `q_wat_links`: WAT-style link extraction — per page, every anchor

@@ -118,4 +118,28 @@ class WarcSpec extends AnyFunSuite {
     assert(streamed == batch)
     CatalogOps.dropDatabase(spark, db)
   }
+
+  test("archive e2e: the WARC round-trip is lossless (archive path ≡ direct extraction)") {
+    import graft.operators.TextOps
+    val viaArchive = WarcOps.archiveE2e(spark, sf).collect().map(_.toSeq).toSeq
+    // reference: the same spine with the archive skipped — extract
+    // main content straight off the planted pages of the length-valid
+    // (doc_id % 13 <> 7) corpus; any parse/split/envelope byte slip in
+    // the archive path would move the shard totals
+    val direct = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 13 =!= 7)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val xdocs = TextOps.htmlMainOn(TextOps.plantedPage(direct))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("main_text").as("text"))
+      .localCheckpoint(false)
+    val ref = WarcOps.shardPlanOfSurvivors(xdocs).collect().map(_.toSeq).toSeq
+    assert(viaArchive == ref)
+    // the plan is non-degenerate: survivors exist, gates did real work
+    assert(viaArchive.nonEmpty)
+    val nDocs = viaArchive.map(_(1).asInstanceOf[Long]).sum
+    val nValid = direct.count()
+    assert(nDocs > 0 && nDocs < nValid,
+      s"funnel should keep some but not all: kept=$nDocs of $nValid")
+  }
 }
