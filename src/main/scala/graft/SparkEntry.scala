@@ -225,18 +225,19 @@ object SparkEntry {
     // measured domain sizes (α = 0.5), applied map-side
     "q_domain_mix_temp" -> ((s, d) => TextAnalysisOps.domainMixTemperature(s, d)),
     // DSIR importance-weighted selection (Xie et al. 2023): target-vs-raw
-    // n-gram LM log-ratio per doc, nano-unit exact → fully oracled
-    "q_select_dsir"     -> ((s, d) => MlOps.dsirSelect(s, d)),
-    // the MAINTAINED model (create-half + fold-half): integer count folds
-    // make the served selection bit-identical → SAME oracle
-    "q_select_dsir_stored" -> ((s, d) => MlOps.dsirSelectStored(s, d)),
-    // DSIR targeted by the DERIVED language label (the last consumer
-    // that trusted the fixture lang column as ground truth)
-    "q_select_dsir_langid" -> ((s, d) => MlOps.dsirSelectLangId(s, d)),
-    // the maintained model TRAINED on the derived label too (r16): no
-    // ground-truth lang consumer anywhere in the stored chain; integer
-    // folds keep it bit-identical to the live derived-label selection
-    "q_select_dsir_stored_langid" -> ((s, d) => MlOps.dsirSelectStoredLangId(s, d)),
+    // n-gram LM log-ratio per doc, nano-unit exact → fully oracled.
+    // The DEFAULT chain targets the DERIVED language label as of r17 —
+    // no default consumes the fixture lang column (ground truth a crawl
+    // never has); the fixture-label originals live on as _goldlang
+    // continuity twins below
+    "q_select_dsir"     -> ((s, d) => MlOps.dsirSelectLangId(s, d)),
+    // the MAINTAINED model, trained AND asked on the derived label:
+    // integer count folds keep it bit-identical to the live selection
+    "q_select_dsir_stored" -> ((s, d) => MlOps.dsirSelectStoredLangId(s, d)),
+    // continuity twins: the fixture-label forms (accuracy-pin surface —
+    // the derived default is judged against these)
+    "q_select_dsir_goldlang" -> ((s, d) => MlOps.dsirSelect(s, d)),
+    "q_select_dsir_stored_goldlang" -> ((s, d) => MlOps.dsirSelectStored(s, d)),
     // farthest-first k-center coreset (Gonzalez 1985 / Sener & Savarese
     // 2018): the DIVERSITY selection pass — FULLY oracled as of r16
     // (micro-rounded distances replay as chained pick/fold CTE rounds,
@@ -682,9 +683,9 @@ object SparkEntry {
     "q_crawl_sitemap", "q_crawl_plan", "q_text_normalize", "q_dedup_unicode",
     "q_lang_id", "q_curate_e2e_lang", "q_pii_redact_cc",
     "q_crawl_sitemap_index", "q_dedup_minhash_unicode",
-    "q_select_dsir_langid", "q_lang_confusion", "q_gopher_repetition",
+    "q_select_dsir_goldlang", "q_lang_confusion", "q_gopher_repetition",
     "q_curate_multilang", "q_dedup_paragraph", "q_lm_bigram_stored",
-    "q_gopher_repetition_full", "q_select_dsir_stored_langid",
+    "q_gopher_repetition_full", "q_select_dsir_stored_goldlang",
     "q_html_main", "q_ingest_e2e_main", "q_dedup_paragraph_stream",
     "q_lang_id_margin", "q_curate_e2e_verdict",
     "q_c4_rules", "q_curate_e2e_c4", "q_script_detect", "q_dedup_span3",
@@ -3549,7 +3550,8 @@ object SparkEntry {
         |ORDER BY s.doc_id ASC""".stripMargin,
     // DSIR: per-feature ln-ratio nano-rounded BEFORE the per-doc sum —
     // the same order-independent integer arithmetic as the Spark plan
-    "q_select_dsir" ->
+    // (the fixture-label continuity twin; the default is derived-label)
+    "q_select_dsir_goldlang" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
         |occ AS (
@@ -3585,12 +3587,12 @@ object SparkEntry {
     // lang-id CTEs supply the per-doc prediction, everything downstream
     // (features, add-1 smoothing, nano-rounded log-ratio dot product,
     // length-de-biased top-m) is the proven dsir arithmetic verbatim
-    "q_select_dsir_langid" -> dsirLangIdSql,
+    "q_select_dsir" -> dsirLangIdSql,
     // maintained derived-label model (r16): integer count folds keep the
     // served selection bit-identical to the live derived-label chain —
     // SAME oracle; the LAST ground-truth lang consumer (the stored
     // model's training marker) is gone
-    "q_select_dsir_stored_langid" -> dsirLangIdSql,
+    "q_select_dsir_stored" -> dsirLangIdSql,
     // the full per-language CCNet: one suffixed copy of the proven chain
     // per language over its derived-label shard, union'd with the tag
     "q_curate_multilang" -> {
@@ -3628,7 +3630,7 @@ object SparkEntry {
          |ORDER BY lang ASC, doc_id ASC""".stripMargin
     },
     // maintained-model form: bit-identical (integer count folds) — SAME oracle
-    "q_select_dsir_stored" ->
+    "q_select_dsir_stored_goldlang" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
         |occ AS (

@@ -191,6 +191,9 @@ object MlOps {
     * supplies that variant when the vocab outgrows a join side).
     * Selection is a bounded TakeOrdered, never a global sort.
     */
+  /** Bound as `q_select_dsir_goldlang` since r17 — the fixture-label
+    * continuity twin the derived-label default is judged against.
+    */
   def dsirSelect(spark: SparkSession, dir: String, targetLang: String = "en",
       m: Int = 100): DataFrame =
     dsirSelectOn(
@@ -198,10 +201,11 @@ object MlOps {
         .select(col("doc_id"), col("lang"), col("source"), col("text")),
       col("lang") === lit(targetLang), m)
 
-  /** `q_select_dsir_langid`: DSIR whose target corpus is marked by the
-    * DERIVED language label (r15 — the last consumer that trusted the
-    * fixture `lang` column as ground truth; CCNet-class pipelines derive
-    * it, [[graft.operators.LangIdOps]]). The target set is "documents
+  /** `q_select_dsir` (the DEFAULT binding as of r17): DSIR whose target
+    * corpus is marked by the DERIVED language label (CCNet-class
+    * pipelines derive it, [[graft.operators.LangIdOps]]) — no default
+    * chain consumes the fixture `lang` column, which is ground truth a
+    * crawl never has. The target set is "documents
     * the trigram classifier calls `targetLang` from surface text alone";
     * features and weighting are unchanged, so the oracle is the
     * q_select_dsir chain with the lang-id CTEs supplying the marker.
@@ -254,7 +258,8 @@ object MlOps {
     (db, name)
   }
 
-  /** `q_select_dsir_stored`: the selection served from the MAINTAINED
+  /** `q_select_dsir_stored_goldlang` (since r17; previously the default
+    * stored binding): the fixture-label selection served from the MAINTAINED
     * model — the corpus pass that builds the count tables is already
     * paid; ask time costs one tokenize of the pool plus the vocab join.
     * Because folds are exact integer additions, the served output is
@@ -301,7 +306,8 @@ object MlOps {
     (db, name)
   }
 
-  /** `q_select_dsir_stored_langid`: the maintained-model selection with
+  /** `q_select_dsir_stored` (the DEFAULT binding as of r17): the
+    * maintained-model selection with
     * NO ground-truth consumer anywhere in the chain — the model trains
     * on the derived label, the ask-time marker is the derived label.
     * Integer count folds keep the served output bit-identical to
