@@ -75,6 +75,12 @@ object DedupScale {
     if (mode == "containment") {
       containmentRun(n, args.length > 2 && args(2) == "noblocked"); return
     }
+    // "spanskew": adversarial boilerplate skew for the r16 span dedup +
+    // funnel hash dedup — one span hash carrying n/2 occurrences, then a
+    // 10× hotter variant; bounded per-stage time is the claim under test
+    // (min-struct first arrival is map-side combinable; the join back is
+    // a 1-row-per-hash build side under AQE skew handling).
+    if (mode == "spanskew") { spanSkewRun(n); return }
     val skipBlocked = mode == "noblocked"
     val tau = 0.9
     val spark = benchSession()
@@ -632,6 +638,68 @@ object DedupScale {
     timed(s"containment n=${2 * n} prefix-filtered (shipped)") {
       graft.operators.DedupOps.containmentPairsOn(docs2, tau).count()
     }
+    spark.stop()
+  }
+
+  /** Adversarial boilerplate skew for the span dedup and the funnel's
+    * hash-grain dedup (VERDICT r16 task 6): three corpora at the same
+    * n — uniform (every sentence unique), plant-A (ONE boilerplate
+    * sentence-triple in 50% of docs → one span hash carrying n/2
+    * occurrences), and plant-B (the triple repeated 10× in 50% of docs
+    * → three overlapping hot hashes carrying 10× plant-A's occurrence
+    * mass). The claim under test: per-corpus time stays bounded by the
+    * row mass (roughly linear), never cluster-quadratic — the
+    * first-arrival is a map-side-combinable min-struct aggregate and
+    * the join back builds on ONE row per hash. The funnel analog plants
+    * 50% exact-duplicate documents against the md5 groupBy + join.
+    */
+  private def spanSkewRun(n: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = benchSession()
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 10000).map(i => s"w$i")
+    val boiler = "we use cookies on this site.\naccept all cookies to continue.\nsee our privacy policy for details."
+    def gen(plantEvery: Int, repeats: Int) =
+      (0L until n.toLong).map { id =>
+        val sents = (0 until 6).map(_ =>
+          randomDoc(rnd, vocab, 8).mkString(" ") + ".")
+        val planted =
+          if (plantEvery > 0 && id % plantEvery == 0)
+            sents ++ Seq.fill(repeats)(boiler)
+          else sents
+        (id, planted.mkString("\n"))
+      }.toDF("doc_id", "text")
+    Seq(("uniform", gen(0, 0)), ("hot-1x (50% of docs)", gen(2, 1)),
+        ("hot-10x (50% x 10 repeats)", gen(2, 10))).foreach { case (tag, df) =>
+      val docs = df.cache(); docs.count()
+      val out = timed(s"spanDedup n=$n $tag") {
+        graft.operators.DedupOps.spanDedupOn(docs)
+          .agg(sum(col("n_removed_sents"))).head().getLong(0)
+      }
+      println(s"[dedupscale]   removed sentence mass: $out")
+      docs.unpersist()
+    }
+    // the funnel's exact-dedup stage under 50% identical documents
+    def fdocs(dup: Boolean) =
+      (0L until n.toLong).map { id =>
+        val t = if (dup && id % 2 == 0) "the boilerplate page text"
+        else randomDoc(rnd, vocab, 40).mkString(" ")
+        (id, t)
+      }.toDF("doc_id", "text")
+    Seq(("uniform", fdocs(false)), ("50% one identical text", fdocs(true)))
+      .foreach { case (tag, df) =>
+        val docs = df.cache(); docs.count()
+        val kept = timed(s"funnel hash-dedup n=$n $tag") {
+          val hashes = docs.select(col("doc_id"), md5(col("text")).as("__h"))
+          hashes
+            .join(hashes.groupBy(col("__h"))
+              .agg(min(col("doc_id")).as("__kid")), Seq("__h"))
+            .filter(col("doc_id") === col("__kid")).count()
+        }
+        println(s"[dedupscale]   first arrivals kept: $kept")
+        docs.unpersist()
+      }
     spark.stop()
   }
 }

@@ -50,6 +50,32 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out(2L) === ((2L, 0L, "a\nb")))
   }
 
+  test("hot-span skew: 50% boilerplate carriers stay exact; first arrival is an aggregate, not a window") {
+    // the adversarial web-corpus shape (r17 probe `DedupScale spanskew`:
+    // 10× occurrence mass costs 1.3× wall-clock): ONE span hash carried
+    // by half the corpus must stay correct AND keep the skew-immune plan
+    val boiler = "b one.\nb two.\nb three."
+    val docs = (0L until 200L).map { id =>
+      val own = s"u$id a.\nu$id b.\nu$id c."
+      (id, if (id % 2 == 0) s"$own\n$boiler" else own)
+    }
+    val out = run(docs)
+    // first arrival (doc 0) keeps everything; every other even doc loses
+    // exactly the three boilerplate sentences
+    assert(out(0L) === ((6L, 0L, s"u0 a.\nu0 b.\nu0 c.\n$boiler")))
+    (2L until 200L by 2).foreach { id =>
+      assert(out(id) === ((6L, 3L, s"u$id a.\nu$id b.\nu$id c.")), s"doc $id")
+    }
+    (1L until 200L by 2).foreach(id => assert(out(id)._2 === 0L))
+    // regression pin on the PLAN: the first-arrival must stay a
+    // map-side-combinable aggregate (partial_min below the exchange) —
+    // a row_number window here would serialize the hot hash's partition
+    val plan = DedupOps.spanDedupOn(docs.toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("row_number"), plan)
+  }
+
   test("planted fixture: exactly one page keeps the shared cookie banner") {
     val full = DedupOps.dedupSpan3(spark, TestSpark.Sf).localCheckpoint()
     val carriers = full.filter(col("kept_text").contains("we use cookies")).count()
