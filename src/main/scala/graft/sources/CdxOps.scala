@@ -111,21 +111,35 @@ object CdxOps {
   }
 
   /** `q_cdx_latest`: the fetch plan — latest 200 text/html capture per
-    * urlkey. The window partitions on urlkey (bounded captures per key);
-    * ties cannot arise (timestamps differ by construction, as in real
-    * indexes at second grain).
+    * urlkey. The winner is a MAX-STRUCT AGGREGATE at urlkey grain, not
+    * a rank window (r17, VERDICT r16 task 7): real archives put
+    * millions of captures on hot homepages, and a row_number window
+    * hands ALL of a key's captures to one task — the max-struct form is
+    * map-side combinable (partial_max below the exchange), so a hot
+    * urlkey costs one struct per partition (the span-dedup
+    * first-arrival discipline). Fixed-width digit timestamps make the
+    * lexicographic struct order the numeric recency order; ties cannot
+    * arise (timestamps differ by construction at second grain, as in
+    * real indexes) and would fall deterministically to (url, digest,
+    * length) if they ever did. Same winner as the window form — the
+    * oracle is unchanged.
     */
-  def cdxLatest(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val parsed = cdxParseOn(cdxShardsOf(Tables.documents(spark, dir)))
+  def cdxLatest(spark: SparkSession, dir: String): DataFrame =
+    latestOf(cdxParseOn(cdxShardsOf(Tables.documents(spark, dir))))
+
+  /** The hot-key-immune latest-capture core over any parsed capture
+    * frame — exposed so the spec can pin plan shape + exactness under a
+    * planted million-capture urlkey.
+    */
+  private[graft] def latestOf(parsed: DataFrame): DataFrame =
+    parsed
       .filter(col("status") === "200" && col("mime") === "text/html")
-    val w = Window.partitionBy(col("urlkey")).orderBy(col("ts").desc)
-    parsed.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("urlkey"), col("url"), col("ts"), col("digest"),
-        col("length"))
+      .groupBy(col("urlkey"))
+      .agg(max(struct(col("ts"), col("url"), col("digest"),
+        col("length"))).as("f"))
+      .select(col("urlkey"), col("f.url").as("url"), col("f.ts").as("ts"),
+        col("f.digest").as("digest"), col("f.length").as("length"))
       .orderBy(col("urlkey").asc)
-  }
 
   /** `q_cdx_index`: the INDEXER — build CDXJ capture records FROM the
     * parsed WARC members (how capture indexes actually come to exist:

@@ -55,6 +55,36 @@ class CdxSpec extends AnyFunSuite {
     assert(idx.filter(col("status") =!= "200").count() == 0L)
   }
 
+  test("hot urlkey: 100k captures on one key stay exact; latest is an aggregate, not a window") {
+    import spark.implicits._
+    // the real-archive pathology (r17): a homepage carrying a capture
+    // per crawl — one urlkey with 100k captures next to ordinary keys
+    val hot = (0 until 100000).map { i =>
+      ("com,example)/", f"20260101${i % 24}%02d${i % 60}%02d${i / 1440}%02d",
+        s"https://example.com/?v=$i", "text/html", "200", f"d$i%032d", 100L + i)
+    }
+    val cold = (0 until 50).map { i =>
+      (s"com,site$i)/", "20260101000000", s"https://site$i.com/",
+        "text/html", "200", f"c$i%032d", 10L)
+    }
+    val parsed = (hot ++ cold)
+      .toDF("urlkey", "ts", "url", "mime", "status", "digest", "length")
+    val out = CdxOps.latestOf(parsed).localCheckpoint()
+    assert(out.count() == 51L)
+    // the hot key's winner is the lexicographically-max timestamp —
+    // recompute it driver-side and compare the whole row
+    val wantTs = hot.map(_._2).max
+    val wantRow = hot.filter(_._2 == wantTs).map(h => (h._3, h._6, h._7)).max
+    val got = out.filter(col("urlkey") === "com,example)/").head()
+    assert(got.getString(2) == wantTs)
+    assert((got.getString(1), got.getString(3), got.getLong(4)) == wantRow)
+    // plan pin: partial_max below the exchange, never a rank window —
+    // a row_number here would serialize the hot key's 100k rows
+    val plan = CdxOps.latestOf(parsed).queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_max"), plan)
+    assert(!plan.contains("row_number"), plan)
+  }
+
   test("revisit collapse counts distinct digests, both sides planted") {
     val rev = CdxOps.cdxRevisit(spark, sf).localCheckpoint()
     val withId = rev.withColumn("doc_id",
