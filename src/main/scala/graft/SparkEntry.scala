@@ -353,9 +353,10 @@ object SparkEntry {
     // prompt/response halves, chat template, masked-token counts
     "q_sft_format"      -> ((s, d) => TextAnalysisOps.sftFormat(s, d)),
     // the funnel maintained as a STREAM over the bloom store: per-batch
-    // stage totals appended, served by summing the log — rows-only
-    // (bloom membership approximate); streamed ≡ batch pinned below
-    // saturation in the spec
+    // stage totals appended, served by summing the log — fully oracled
+    // as of r17 against the batch report SQL (ordered halves + the
+    // build's require()'d zero-FP measurement make the log fold
+    // algebraically the batch fold)
     "q_curation_funnel_stream" -> ((s, d) => TextAnalysisOps.funnelStreamFixture(s, d)),
     "q_curate_e2e"      -> ((s, d) => TextAnalysisOps.curateEndToEnd(s, d)),
     // C4's published cleaning battery (Raffel et al. 2020 §2.2): line
@@ -2933,6 +2934,40 @@ object SparkEntry {
     // md5 first-arrival, n-gram hits, mix bucket), cumulative products,
     // a 7-row union, and the lag-window keep ppm
     "q_curation_funnel" ->
+      (s"""WITH $langIdCtes,
+          |""".stripMargin + funnelFlagCtes("documents") + ",\n" +
+        s"""|agg AS (
+        |  SELECT count(*) AS n0, sum(n_tok) AS t0,
+        |         sum(k1) AS n1, sum(n_tok * k1) AS t1,
+        |         sum(k2) AS n2, sum(n_tok * k2) AS t2,
+        |         sum(k3) AS n3, sum(n_tok * k3) AS t3,
+        |         sum(k4) AS n4, sum(n_tok * k4) AS t4,
+        |         sum(k5) AS n5, sum(n_tok * k5) AS t5,
+        |         sum(k6) AS n6, sum(n_tok * k6) AS t6
+        |  FROM kk),
+        |st AS (
+        |  SELECT 0 AS stage, 'raw' AS stage_name, n0 AS n_docs, t0 AS n_tokens FROM agg
+        |  UNION ALL SELECT 1, 'lang_id', n1, t1 FROM agg
+        |  UNION ALL SELECT 2, 'gopher_rules', n2, t2 FROM agg
+        |  UNION ALL SELECT 3, 'gopher_repetition', n3, t3 FROM agg
+        |  UNION ALL SELECT 4, 'dedup_exact', n4, t4 FROM agg
+        |  UNION ALL SELECT 5, 'decontaminate', n5, t5 FROM agg
+        |  UNION ALL SELECT 6, 'domain_mix', n6, t6 FROM agg)
+        |SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+        |       CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(CASE WHEN lag(n_docs) OVER (ORDER BY stage) IS NULL THEN 1000000
+        |                 WHEN lag(n_docs) OVER (ORDER BY stage) = 0 THEN 0
+        |                 ELSE n_docs * 1000000 // lag(n_docs) OVER (ORDER BY stage)
+        |            END AS BIGINT) AS kept_ppm
+        |FROM st
+        |ORDER BY stage ASC""".stripMargin),
+    // the STREAM twin faces the SAME report oracle as of r17: ordered
+    // halves + zero bloom false positives make the log fold
+    // algebraically the batch fold (no FN by construction; FP = 0 is
+    // require()'d in the fixture build against the exact half-1 hash
+    // set — a deterministic guarantee, not a probability)
+    "q_curation_funnel_stream" ->
       (s"""WITH $langIdCtes,
           |""".stripMargin + funnelFlagCtes("documents") + ",\n" +
         s"""|agg AS (

@@ -2094,10 +2094,17 @@ object TextAnalysisOps {
   /** `q_curation_funnel_stream`: the funnel maintained as a stream —
     * the SAME fixture corpus fed in two doc_id-ordered halves through
     * [[funnelIncrementalBatch]] over a fresh capacity-planned bloom
-    * store, served by summing the log. Rows-only by design (bloom
-    * membership is approximate — a false positive is legal output);
-    * the spec pins streamed ≡ batch report below saturation and the
-    * log-fold associativity.
+    * store, served by summing the log. FULLY ORACLED as of r17 against
+    * the batch report SQL: with ordered halves the log fold is
+    * algebraically the batch fold — a hash's global first arrival wins
+    * within its half (min doc_id) and blocks the other half through the
+    * bloom — PROVIDED no half-2 probe false-positives against half-1's
+    * store (false negatives are impossible by construction). That
+    * precondition is not left to probability: the build measures FPs
+    * against the EXACT half-1 hash set and require()s zero, refusing to
+    * serve a drifted report (re-plan `expectedKeys` if it ever fires).
+    * Production streams keep the documented bloom trade — this fixture
+    * pins that below saturation the stream IS the batch answer.
     */
   def funnelStreamFixture(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.CatalogOps
@@ -2124,13 +2131,27 @@ object TextAnalysisOps {
         val evalNg = ngramSet(docs.filter(col("source") === "src19"))
           .localCheckpoint()
         val n = docs.count()
-        Seq(col("doc_id") < n / 2, col("doc_id") >= n / 2).foreach { half =>
-          val b = docs.filter(half)
-          // totals-row-then-store-advance, same order as the live stream
-          funnelIncrementalBatch(b, evalNg, db, name)
-            .write.mode("append").saveAsTable(s"`$db`.`${name}__funnel`")
-          funnelAdvanceBloom(b, db, name)
-        }
+        val h1 = docs.filter(col("doc_id") < n / 2)
+        val h2 = docs.filter(col("doc_id") >= n / 2)
+        // totals-row-then-store-advance, same order as the live stream
+        funnelIncrementalBatch(h1, evalNg, db, name)
+          .write.mode("append").saveAsTable(s"`$db`.`${name}__funnel`")
+        funnelAdvanceBloom(h1, db, name)
+        // the zero-FP guarantee behind the batch-equality oracle: any
+        // half-2 hash the store claims to contain must ACTUALLY be a
+        // half-1 hash — measured exactly, refused loudly otherwise
+        val fps = CatalogOps.probeBloomStore(spark, db, name,
+            h2.select(md5(col("text")).as("__h")).distinct(), "__h")
+          .join(h1.select(md5(col("text")).as("__h")).distinct(),
+            Seq("__h"), "left_anti")
+          .count()
+        require(fps == 0L,
+          s"funnel stream fixture: $fps bloom false positive(s) at " +
+            "expectedKeys=16384 — the served report would drift from " +
+            "the batch oracle; raise the store capacity")
+        funnelIncrementalBatch(h2, evalNg, db, name)
+          .write.mode("append").saveAsTable(s"`$db`.`${name}__funnel`")
+        funnelAdvanceBloom(h2, db, name)
         spark.createDataFrame(Seq(Tuple1(2L))).toDF("expected_batches")
           .write.mode("overwrite").saveAsTable(metaTbl)
       }
