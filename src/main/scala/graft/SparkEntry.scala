@@ -138,6 +138,11 @@ object SparkEntry {
     // recovered from the record URL) -> six-gate funnel -> export shard
     // plan of the survivors — CC dump in, training shards out
     "q_archive_e2e"    -> ((s, d) => graft.sources.WarcOps.archiveE2e(s, d)),
+    // the spine as a STREAM (r17): per-batch extract + bloom
+    // first-arrival + gate battery appending shard partials, served by
+    // folding the log — ordered halves + require()'d zero-FP make it
+    // face the SAME oracle as the batch spine
+    "q_archive_e2e_stream" -> ((s, d) => graft.sources.WarcOps.archiveStreamFixture(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
@@ -695,7 +700,8 @@ object SparkEntry {
     "q_domain_doremi", "q_span_corrupt", "q_fim_transform",
     "q_curation_funnel", "q_anneal_mix", "q_epoch_plan",
     "q_curation_funnel_stream", "q_sft_format", "q_cdx_index",
-    "q_curate_ccnet_stored", "q_curate_multilang_stored", "q_archive_e2e")
+    "q_curate_ccnet_stored", "q_curate_multilang_stored", "q_archive_e2e",
+    "q_archive_e2e_stream")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1061,6 +1067,40 @@ object SparkEntry {
          |GROUP BY d.doc_id
          |ORDER BY d.doc_id ASC""".stripMargin
   }
+
+  /** The archive-spine oracle — shared by q_archive_e2e and its
+    * streaming twin (ordered halves + the fixture's require()'d
+    * zero-FP measurement make the folded shard log the batch answer).
+    */
+  private def archiveE2eOracleSql: String =
+    (s"""WITH xraw AS (
+          |  SELECT doc_id, lang, source, text FROM documents
+          |  WHERE doc_id % 13 <> 7),
+          |""".stripMargin + htmlMainCtes("xraw") + ",\n" +
+        s"""|xdocs AS (
+           |  SELECT doc_id, lang, source, main_text AS text FROM mt),
+           |""".stripMargin + langIdCtesOn("xdocs") + ",\n" +
+        funnelFlagCtes("xdocs") + ",\n" +
+        s"""|surv AS (SELECT doc_id, n_tok FROM kk WHERE k6 = 1),
+           |sh AS (
+           |  SELECT s.doc_id, s.n_tok,
+           |         CAST(length(x.text) AS BIGINT) AS n_bytes,
+           |         CAST(instr('0123456789abcdef',
+           |           substr(md5(CAST(s.doc_id AS VARCHAR)), 32, 1)) - 1
+           |           AS BIGINT) AS shard
+           |  FROM surv s JOIN xdocs x USING (doc_id)),
+           |agg AS (
+           |  SELECT shard, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+           |         sum(n_bytes) AS n_bytes, min(doc_id) AS min_doc
+           |  FROM sh GROUP BY shard)
+           |SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+           |       CAST(n_tokens AS BIGINT) AS n_tokens,
+           |       CAST(n_bytes AS BIGINT) AS n_bytes,
+           |       CAST(min_doc AS BIGINT) AS min_doc,
+           |       CAST((1000000 * n_tokens) // max(n_tokens) OVER ()
+           |         AS BIGINT) AS share_ppm
+           |FROM agg
+           |ORDER BY shard ASC""".stripMargin)
 
   /** Per-document curation-funnel flag CTEs over `rel` (doc_id, lang,
     * source, text) — the six gate flags, the fl join, and the kk
@@ -2444,35 +2484,8 @@ object SparkEntry {
     // (doc_id % 13 <> 7), main_text from the proven html-main CTEs,
     // lang-id + six-gate funnel over the EXTRACTED corpus, shard plan
     // of the k6 survivors — the engine must round-trip the real bytes
-    "q_archive_e2e" ->
-      (s"""WITH xraw AS (
-          |  SELECT doc_id, lang, source, text FROM documents
-          |  WHERE doc_id % 13 <> 7),
-          |""".stripMargin + htmlMainCtes("xraw") + ",\n" +
-        s"""|xdocs AS (
-           |  SELECT doc_id, lang, source, main_text AS text FROM mt),
-           |""".stripMargin + langIdCtesOn("xdocs") + ",\n" +
-        funnelFlagCtes("xdocs") + ",\n" +
-        s"""|surv AS (SELECT doc_id, n_tok FROM kk WHERE k6 = 1),
-           |sh AS (
-           |  SELECT s.doc_id, s.n_tok,
-           |         CAST(length(x.text) AS BIGINT) AS n_bytes,
-           |         CAST(instr('0123456789abcdef',
-           |           substr(md5(CAST(s.doc_id AS VARCHAR)), 32, 1)) - 1
-           |           AS BIGINT) AS shard
-           |  FROM surv s JOIN xdocs x USING (doc_id)),
-           |agg AS (
-           |  SELECT shard, count(*) AS n_docs, sum(n_tok) AS n_tokens,
-           |         sum(n_bytes) AS n_bytes, min(doc_id) AS min_doc
-           |  FROM sh GROUP BY shard)
-           |SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
-           |       CAST(n_tokens AS BIGINT) AS n_tokens,
-           |       CAST(n_bytes AS BIGINT) AS n_bytes,
-           |       CAST(min_doc AS BIGINT) AS min_doc,
-           |       CAST((1000000 * n_tokens) // max(n_tokens) OVER ()
-           |         AS BIGINT) AS share_ppm
-           |FROM agg
-           |ORDER BY shard ASC""".stripMargin),
+    "q_archive_e2e" -> archiveE2eOracleSql,
+    "q_archive_e2e_stream" -> archiveE2eOracleSql,
     // closed-form mirror of the CDX plan: which capture wins is pure
     // doc_id arithmetic on the oracle side; the engine must SURT, split
     // and from_json its way to the same row

@@ -197,12 +197,30 @@ object WarcOps {
     * exchange. No corpus-grain exchange beyond the member assembly and
     * the funnel's own profile.
     */
-  def archiveE2e(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.TextOps
+  def archiveE2e(spark: SparkSession, dir: String): DataFrame =
+    shardPlanOfSurvivors(
+      extractOf(plantedSpineMembers(spark, dir)).localCheckpoint(false))
+
+  /** The archive spine's planted member input: WARC members whose
+    * payload body is the FULL planted page (shared by the batch entry
+    * and the streaming fixture so the two spines read the same bytes).
+    */
+  private[graft] def plantedSpineMembers(spark: SparkSession,
+      dir: String): DataFrame = {
     val docs0 = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
-    val paged = TextOps.plantedPage(docs0)
-    val members = warcMembersFrom(plantedRecordsOf(paged, col("html")))
+    warcMembersFrom(plantedRecordsOf(
+      graft.operators.TextOps.plantedPage(docs0), col("html")))
+  }
+
+  /** Member bytes → extracted corpus: record re-split + header parse +
+    * Content-Length gate, HTTP envelope strip, block-scored main
+    * content, (doc_id, lang, source) recovered from the record URL.
+    * Map-side end to end after the member explode; callers checkpoint
+    * (the frame feeds the funnel's six gate consumers).
+    */
+  private[graft] def extractOf(members: DataFrame): DataFrame = {
+    import graft.operators.TextOps
     val parsed = warcParseOn(members)
       .filter(col("len_ok") === 1L && col("http_status") === "200")
     val httpHdr = substring_index(col("payload"), BlankLine, 1)
@@ -213,11 +231,9 @@ object WarcOps {
       regexp_extract(col("url"), "/p([0-9]+)$", 1).cast("long").as("doc_id"),
       col("payload").substr(length(httpHdr) + lit(5),
         length(col("payload")) - length(httpHdr) - lit(4)).as("html"))
-    val xdocs = TextOps.htmlMainOn(keyed)
+    TextOps.htmlMainOn(keyed)
       .select(col("doc_id"), col("lang"), col("source"),
         col("main_text").as("text"))
-      .localCheckpoint(false)
-    shardPlanOfSurvivors(xdocs)
   }
 
   /** Funnel + shard-plan tail of the archive spine over any extracted
@@ -226,7 +242,6 @@ object WarcOps {
     */
   private[graft] def shardPlanOfSurvivors(xdocs: DataFrame): DataFrame = {
     import graft.operators.TextAnalysisOps
-    import org.apache.spark.sql.expressions.Window
     val hashes = xdocs.select(col("doc_id"), md5(col("text")).as("__h"))
     val ded = hashes
       .join(hashes.groupBy(col("__h")).agg(min(col("doc_id")).as("__kid")),
@@ -234,6 +249,17 @@ object WarcOps {
       .select(col("doc_id"),
         (col("doc_id") === col("__kid")).cast("long").as("f_dedup"))
     val evalNg = TextAnalysisOps.ngramSet(xdocs.filter(col("source") === "src19"))
+    shardReportOf(survivorShardPartials(xdocs, evalNg, ded))
+  }
+
+  /** Survivors of the six-gate funnel folded to per-shard partials —
+    * (shard, n_docs, n_tokens, n_bytes, min_doc), all associative, so
+    * the streaming spine appends one partial set per micro-batch and
+    * the serve folds them to the batch answer exactly.
+    */
+  private[graft] def survivorShardPartials(xdocs: DataFrame,
+      evalNg: DataFrame, ded: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysisOps
     val surv = TextAnalysisOps.funnelFlagsOn(xdocs, evalNg, ded)
       .filter(col("f_lang") * col("f_gopher") * col("f_rep") *
         col("f_dedup") * col("f_decon") * col("f_mix") === 1L)
@@ -250,11 +276,125 @@ object WarcOps {
         sum(col("n_tok")).as("n_tokens"),
         sum(col("n_bytes")).as("n_bytes"),
         min(col("doc_id")).as("min_doc"))
+  }
+
+  /** Fold shard partials (one set per batch, or the batch path's single
+    * set) into the final plan: sums + min are exact integer merges, the
+    * balance share computes AT SERVE over the folded totals (a ppm
+    * ratio is not associative — only its inputs are).
+    */
+  private[graft] def shardReportOf(partials: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    partials
+      .groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_bytes")).as("n_bytes"),
+        min(col("min_doc")).as("min_doc"))
       .withColumn("__max_tok",
         max(col("n_tokens")).over(Window.partitionBy()))
       .withColumn("share_ppm", expr("(1000000 * n_tokens) div __max_tok"))
       .drop("__max_tok")
       .orderBy(col("shard").asc)
+  }
+
+  /** One micro-batch of the STREAMING archive spine: extracted docs'
+    * dedup first-arrival comes from the maintained bloom store (probe
+    * the state so far; the caller advances it AFTER the partials row
+    * lands — the crash-atomic funnel discipline), every other gate is
+    * the stateless battery, and the batch contributes one shard-partial
+    * set to the append-only `{name}__shards` log.
+    */
+  private[graft] def archiveIncrementalBatch(xdocs: DataFrame,
+      evalNg: DataFrame, db: String, name: String): DataFrame = {
+    import graft.functions.BloomFunctions
+    import graft.sources.CatalogOps
+    val spark = xdocs.sparkSession
+    val hashed = xdocs.select(col("doc_id"), md5(col("text")).as("__h"))
+    val (words, m) = CatalogOps.foldedBloomWords(spark, db, name)
+    val bloomDf = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(words)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__bloom_words",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, false)))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col("doc_id").asc)
+    val ded = hashed.crossJoin(broadcast(bloomDf))
+      .withColumn("f_dedup",
+        (!(BloomFunctions.mightContain(col("__h"), col("__bloom_words"), m) ||
+          row_number().over(w) > 1)).cast("long"))
+      .select(col("doc_id"), col("f_dedup"))
+    survivorShardPartials(xdocs, evalNg, ded).localCheckpoint()
+  }
+
+  /** `q_archive_e2e_stream` (r17): the archive→training spine as a
+    * STREAM — the same planted members fed in two doc_id-ordered halves
+    * through [[archiveIncrementalBatch]] over a fresh capacity-planned
+    * bloom store, served by folding the shard-partials log
+    * ([[shardReportOf]]). FULLY ORACLED against q_archive_e2e's SQL:
+    * ordered halves make the bloom-vs-min-id first-arrival identical to
+    * the global min-id (no false negatives by construction), and the
+    * build measures half-2 false positives against the exact half-1
+    * hash set and require()s zero — the q_curation_funnel_stream
+    * discipline. The decontamination n-gram set is STATIC side input
+    * (a benchmark suite is known up front), derived once here from the
+    * full extracted corpus' src19 docs so stream and batch face the
+    * same eval set.
+    */
+  def archiveStreamFixture(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysisOps
+    val db = "graft_archivestream"
+    val name = "docs"
+    this.synchronized {
+      val metaTbl = s"`$db`.`${name}__shardsmeta`"
+      if (!spark.catalog.tableExists(s"$db.${name}__shardsmeta")) {
+        CatalogOps.createDatabase(spark, db)
+        Seq(s"${name}__shards", s"${name}__bloom", s"${name}__bloommeta",
+          s"${name}__shardsmeta")
+          .foreach(graft.operators.KnnOps.dropTableAndDir(spark, db, _))
+        import spark.implicits._
+        CatalogOps.createBloomStore(spark, db, name,
+          Seq.empty[String].toDF("__h"), "__h", expectedKeys = 16384L)
+        val xall = extractOf(plantedSpineMembers(spark, dir))
+          .localCheckpoint(false)
+        val evalNg = TextAnalysisOps
+          .ngramSet(xall.filter(col("source") === "src19"))
+          .localCheckpoint(false)
+        val n = Tables.documents(spark, dir).count()
+        val h1 = xall.filter(col("doc_id") < n / 2)
+        val h2 = xall.filter(col("doc_id") >= n / 2)
+        archiveIncrementalBatch(h1, evalNg, db, name)
+          .withColumn("batch_id", lit(0L))
+          .write.mode("append").saveAsTable(s"`$db`.`${name}__shards`")
+        TextAnalysisOps.funnelAdvanceBloom(h1, db, name)
+        // zero-FP guarantee behind the batch-equality oracle
+        val fps = CatalogOps.probeBloomStore(spark, db, name,
+            h2.select(md5(col("text")).as("__h")).distinct(), "__h")
+          .join(h1.select(md5(col("text")).as("__h")).distinct(),
+            Seq("__h"), "left_anti")
+          .count()
+        require(fps == 0L,
+          s"archive stream fixture: $fps bloom false positive(s) at " +
+            "expectedKeys=16384 — the served shard plan would drift " +
+            "from the batch oracle; raise the store capacity")
+        archiveIncrementalBatch(h2, evalNg, db, name)
+          .withColumn("batch_id", lit(1L))
+          .write.mode("append").saveAsTable(s"`$db`.`${name}__shards`")
+        TextAnalysisOps.funnelAdvanceBloom(h2, db, name)
+        spark.createDataFrame(Seq(Tuple1(2L))).toDF("expected_batches")
+          .write.mode("overwrite").saveAsTable(metaTbl)
+      }
+      val expected = spark.table(metaTbl).head().getLong(0)
+      val logged = spark.table(s"`$db`.`${name}__shards`")
+        .select(col("batch_id")).distinct().count()
+      require(logged == expected,
+        s"archive stream fixture `$db.$name` is corrupt: marker promises " +
+          s"$expected batches, log has $logged — drop the `$db` database " +
+          "to rebuild")
+    }
+    shardReportOf(spark.table(s"`$db`.`${name}__shards`")
+      .drop("batch_id"))
   }
 
   /** `q_wat_links`: WAT-style link extraction — per page, every anchor

@@ -207,6 +207,50 @@ object StreamingOps {
     q
   }
 
+  /** STREAMING archive→training spine (r17 — the live twin of
+    * `q_archive_e2e`): each micro-batch of WARC members re-splits,
+    * parses, length-gates and main-content-extracts map-side
+    * ([[graft.sources.WarcOps.extractOf]] — the SAME core the batch
+    * entry runs), takes its dedup first-arrival from the maintained
+    * bloom store, runs the stateless gate battery against the STATIC
+    * eval n-gram set, and appends one shard-partials set to the
+    * `{name}__shards` log. Serving folds the log
+    * ([[graft.sources.WarcOps.shardReportOf]] — sums and mins are
+    * associative; the balance ppm computes at serve). Replay safety is
+    * the crash-atomic funnel discipline: batch_id watermark on the log,
+    * partials committed BEFORE the store advance, store catch-up
+    * idempotent by OR-algebra.
+    */
+  def streamingArchiveSpine(memberStream: DataFrame, evalDocs: DataFrame,
+      db: String, name: String): StreamingQuery = {
+    import graft.operators.TextAnalysisOps
+    import graft.sources.WarcOps
+    val evalNg = TextAnalysisOps.ngramSet(evalDocs).cache()
+    val q = memberStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions.{col, lit}
+          val spark = batch.sparkSession
+          val xdocs = WarcOps.extractOf(batch.toDF()).localCheckpoint()
+          val replayed = spark.catalog.tableExists(s"$db.${name}__shards") &&
+            !spark.table(s"`$db`.`${name}__shards`")
+              .filter(col("batch_id") === batchId).isEmpty
+          if (!replayed) {
+            WarcOps.archiveIncrementalBatch(xdocs, evalNg, db, name)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append")
+              .saveAsTable(s"`$db`.`${name}__shards`")
+          }
+          // fresh batch: the normal advance; replay: idempotent catch-up
+          TextAnalysisOps.funnelAdvanceBloom(xdocs, db, name)
+        }
+      }
+      .start()
+    releaseOnTermination(memberStream.sparkSession, q, () => { evalNg.unpersist(); () })
+    q
+  }
+
   /** Streaming knn — the reference's query path (`searchByText`, ref
     * `main_server.py:40-44`) as a stream: each micro-batch of query
     * vectors (query_id, q_embedding) is answered with the bounded-heap

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.{Tables, WarcOps}
+import graft.sources.{CatalogOps, Tables, WarcOps}
 
 /** WARC member round-trip (ISO 28500): the parse must recover exactly
   * one record per planted document, the length gate must fire both
@@ -116,6 +116,59 @@ class WarcSpec extends AnyFunSuite {
     val batch = WarcOps.warcWet(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
+    CatalogOps.dropDatabase(spark, db)
+  }
+
+  test("streaming archive spine ≡ batch spine, replay-idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val db = "sarchivedb"
+    CatalogOps.dropDatabase(spark, db)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$db.db"))
+    CatalogOps.createDatabase(spark, db)
+    CatalogOps.createBloomStore(spark, db, "docs",
+      Seq.empty[String].toDF("__h"), "__h", expectedKeys = 16384L)
+    val n = Tables.documents(spark, sf).count()
+    def membersOf(half: org.apache.spark.sql.Column) = {
+      val d = Tables.documents(spark, sf).filter(half)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      graft.sources.WarcOps.warcMembersFrom(
+        graft.sources.WarcOps.plantedRecordsOf(
+          graft.operators.TextOps.plantedPage(d), col("html")))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+    }
+    val (b0, b1) = (membersOf(col("doc_id") < n / 2),
+      membersOf(col("doc_id") >= n / 2))
+    // static eval suite: the extracted src19 docs (known up front)
+    val evalDocs = graft.sources.WarcOps.extractOf(
+      graft.sources.WarcOps.plantedSpineMembers(spark, sf))
+      .filter(col("source") === "src19").localCheckpoint()
+    val in = MemoryStream[(String, String)]
+    val q = StreamingOps.streamingArchiveSpine(
+      in.toDF.toDF("host", "warc"), evalDocs, db, "docs")
+    try {
+      in.addData(b0.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def served() = graft.sources.WarcOps.shardReportOf(
+      spark.table(s"`$db`.`docs__shards`").drop("batch_id"))
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.sources.WarcOps.archiveE2e(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served() == batch)
+    // redelivery storm: replaying batch 0 through a fresh query is a
+    // no-op (watermark skips the partials; the store catch-up is
+    // idempotent by OR-algebra)
+    val in2 = MemoryStream[(String, String)]
+    val q2 = StreamingOps.streamingArchiveSpine(
+      in2.toDF.toDF("host", "warc"), evalDocs, db, "docs")
+    try {
+      in2.addData(b0.toIndexedSeq: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(served() == batch)
     CatalogOps.dropDatabase(spark, db)
   }
 
