@@ -323,6 +323,11 @@ object SparkEntry {
     // the per-language maintained-LM serve (r17): each shard scored
     // against ITS stored sample-trained model, |langs|*512-row broadcast
     "q_curate_multilang_stored" -> ((s, d) => LangIdOps.curateMultilangStored(s, d)),
+    // the composed en chain served from the stored en model (r17)
+    "q_curate_e2e_lang_stored" -> ((s, d) => LangIdOps.curateE2eLangStored(s, d)),
+    // the confidence-banded gate on the stored en model (r17): the model
+    // stays prediction-routed; gates/scoring/fences run over the verdict
+    "q_curate_e2e_verdict_stored" -> ((s, d) => LangIdOps.curateE2eVerdictStored(s, d)),
     // JL Rademacher projection from a shared integer-lattice matrix —
     // map-side, matrix never materialized, one rounding site
     "q_vec_project"     -> ((s, d) => KnnOps.vecProject(s, d)),
@@ -701,7 +706,8 @@ object SparkEntry {
     "q_curation_funnel", "q_anneal_mix", "q_epoch_plan",
     "q_curation_funnel_stream", "q_sft_format", "q_cdx_index",
     "q_curate_ccnet_stored", "q_curate_multilang_stored", "q_archive_e2e",
-    "q_archive_e2e_stream")
+    "q_archive_e2e_stream", "q_curate_e2e_lang_stored",
+    "q_curate_e2e_verdict_stored")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1653,6 +1659,15 @@ object SparkEntry {
     * the engine's per-language store).
     */
   private def curateCcnetStoredCtes(rel: String, x: String): String =
+    curateCcnetStoredCtes(rel, x, rel)
+
+  /** `trainRel` scopes the LM training sample separately from the
+    * scored corpus (r17: the verdict-banded stored serve scores the
+    * VERDICT subset against the model trained on the PREDICTED-en
+    * sample — the store routes by prediction, not confidence).
+    */
+  private def curateCcnetStoredCtes(rel: String, x: String,
+      trainRel: String): String =
     s"""base$x AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS t,
        |         string_split(text, chr(10)) AS ls
@@ -1688,7 +1703,12 @@ object SparkEntry {
        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
        |        FROM base$x WHERE len(t) >= 2)),
-       |strain$x AS (SELECT * FROM big$x WHERE doc_id % 2 = 0),
+       |strain$x AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+       |              FROM $trainRel WHERE doc_id % 2 = 0)
+       |        WHERE len(t) >= 2)),
        |slc$x AS (SELECT w1, count(*) AS c1 FROM strain$x GROUP BY w1),
        |sbc$x AS (SELECT w1, w2, count(*) AS c2 FROM strain$x GROUP BY w1, w2),
        |pruned$x AS (
@@ -3659,6 +3679,32 @@ object SparkEntry {
          |$branches
          |ORDER BY lang ASC, doc_id ASC""".stripMargin
     },
+    // the composed en chain on the stored en model: train CTEs scoped to
+    // the predicted-en sample, everything else the proven chain
+    "q_curate_e2e_lang_stored" ->
+      (s"""WITH $langIdCtes,
+          |endocs AS (
+          |  SELECT d.doc_id, d.text
+          |  FROM documents d JOIN lpred p USING (doc_id)
+          |  WHERE p.predicted = 'en'),
+          |""".stripMargin + curateCcnetStoredCtes("endocs", "") + "\n" +
+        curateCcnetSelect("") + "\nORDER BY doc_id ASC"),
+    // the banded gate on the stored en model: the TRAIN rel stays the
+    // predicted-en sample, the scored corpus is the verdict subset
+    "q_curate_e2e_verdict_stored" ->
+      (s"""WITH $langIdCtes,
+          |entrain AS (
+          |  SELECT d.doc_id, d.text
+          |  FROM documents d JOIN lpred p USING (doc_id)
+          |  WHERE p.predicted = 'en'),
+          |vdocs AS (
+          |  SELECT d.doc_id, d.text
+          |  FROM documents d JOIN lpred p USING (doc_id)
+          |  WHERE p.predicted = 'en'
+          |    AND p.s_en - greatest(p.s_de, p.s_es, p.s_fr, p.s_zh)
+          |        >= ${LangIdOps.DefaultMinMargin}),
+          |""".stripMargin + curateCcnetStoredCtes("vdocs", "", "entrain") + "\n" +
+        curateCcnetSelect("") + "\nORDER BY doc_id ASC"),
     // the per-language maintained-LM serve: each language's branch is
     // the stored-CCNet chain trained on ITS doc_id%2=0 shard sample
     "q_curate_multilang_stored" -> {

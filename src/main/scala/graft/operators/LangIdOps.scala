@@ -493,6 +493,69 @@ object LangIdOps {
       .orderBy(col("lang").asc, col("doc_id").asc)
   }
 
+  /** One language's bounded model from the multilang LM store: fold
+    * that language's logs, top-V prune under the (count DESC, w1, w2)
+    * total order (single language → TakeOrderedAndProject, never a
+    * global sort), fuse the unigram denominators in. ≤ V rows at any
+    * corpus scale.
+    */
+  private def storedLangModel(spark: SparkSession, db: String, name: String,
+      lang: String, topV: Int): DataFrame = {
+    val lc = spark.table(s"`$db`.`${name}__mlmuni`")
+      .filter(col("lang") === lit(lang))
+      .groupBy(col("w1")).agg(sum(col("c1")).as("c1"))
+    spark.table(s"`$db`.`${name}__mlmbi`")
+      .filter(col("lang") === lit(lang))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c2")).as("c2"))
+      .orderBy(col("c2").desc, col("w1").asc, col("w2").asc)
+      .limit(topV)
+      .join(lc, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        (col("c2").cast("double") / col("c1")).as("p"))
+  }
+
+  /** `q_curate_e2e_lang_stored` (r17): the per-language composed chain
+    * served from the MAINTAINED en model — [[curateE2eLang]] with the
+    * in-query LM train replaced by the stored artifact
+    * ([[ensureLmStoreMultilang]]'s en shard, trained on the derived-en
+    * doc_id % 2 = 0 sample). Gates and fences compute over the
+    * en-predicted subset exactly as the live form; the serve plan's
+    * only corpus-grain work is the map-side lang gate, the gate
+    * battery, and the bigram explode against a ≤ V-row broadcast.
+    */
+  def curateE2eLangStored(spark: SparkSession, dir: String,
+      targetLang: String = "en", topV: Int = 512): DataFrame = {
+    val (db, name) = ensureLmStoreMultilang(spark, dir)
+    val model = storedLangModel(spark, db, name, targetLang, topV)
+    val kept = documentsWithDerivedLang(spark, dir)
+      .filter(col("predicted") === lit(targetLang))
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(false)
+    TextAnalysisOps.curateCcnetStoredOn(kept, model)
+  }
+
+  /** `q_curate_e2e_verdict_stored` (r17): the confidence-banded gate
+    * served from the stored en model. The MODEL stays the store's en
+    * shard (routed by prediction — the classifier cannot re-train the
+    * LM per confidence band), while gates, scoring and fences run over
+    * the VERDICT subset only: low-margin documents are out before the
+    * battery, exactly like the live [[curateE2eLangVerdict]].
+    */
+  def curateE2eVerdictStored(spark: SparkSession, dir: String,
+      targetLang: String = "en", minMargin: Long = DefaultMinMargin,
+      topV: Int = 512): DataFrame = {
+    val (db, name) = ensureLmStoreMultilang(spark, dir)
+    val model = storedLangModel(spark, db, name, targetLang, topV)
+    val kept = withLangVerdict(
+        withDerivedLangOn(Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))),
+        minMargin)
+      .filter(col("verdict") === lit(targetLang))
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(false)
+    TextAnalysisOps.curateCcnetStoredOn(kept, model)
+  }
+
   /** `q_curate_e2e_verdict` (r16): the lang gate routed through the
     * CONFIDENCE band — CCNet keeps a document for language L only when
     * the classifier is CONFIDENT (Wenzek et al. 2020 §3.1); low-margin

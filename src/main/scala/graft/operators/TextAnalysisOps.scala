@@ -794,6 +794,52 @@ object TextAnalysisOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** The stored-LM CCNet chain over ANY (doc_id, text) frame scored
+    * against a caller-supplied bounded model (w1, w2, p) — the
+    * parametric core behind the per-language stored serves
+    * ([[graft.operators.LangIdOps.curateE2eLangStored]] /
+    * `curateE2eVerdictStored`): Gopher gates map-side, the bigram
+    * stream LEFT-joins the broadcast model (OOV floored to p = 0), one
+    * doc_id-grain aggregation, exact tercile fences over the fed
+    * subset. No corpus-derived count table anywhere.
+    */
+  private[graft] def curateCcnetStoredOn(docs: DataFrame, model: DataFrame,
+      minWords: Long = 20L, minStop: Long = 1L): DataFrame = {
+    val kept = gopherRulesOn(docs, minWords, 100000L, minStop)
+      .filter(col("keep") === 1L)
+      .select(col("doc_id"), col("n_words"))
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val big = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val agg = big
+      .join(broadcast(model), Seq("w1", "w2"), "left_outer")
+      .withColumn("p", coalesce(col("p"), lit(0.0)))
+      .groupBy(col("doc_id"))
+      .agg((floor(sum(floor(col("p") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .cast("double") / count(lit(1)) + lit(0.5)).cast("double")
+        / lit(1000000.0)).as("avg_cond_p"))
+    val scored = docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("avg_cond_p"), lit(0.0)).as("avg_cond_p"))
+      .localCheckpoint(false)
+    val fences = RelOps.quantileExactOn(scored, "avg_cond_p",
+      Seq(1.0 / 3.0, 2.0 / 3.0))
+    val (f1, f2) = (fences(0)._2, fences(1)._2)
+    val bucketed = scored.select(col("doc_id"), col("avg_cond_p"),
+      when(col("avg_cond_p") <= f1, lit("tail"))
+        .when(col("avg_cond_p") <= f2, lit("middle"))
+        .otherwise(lit("head")).as("bucket"))
+      .filter(col("bucket") =!= "tail")
+    kept.join(bucketed, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("avg_cond_p"), col("bucket"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish sub-word proxy
     * (alphabetic runs) — the cost model of a tokenizer pass without the
     * tokenizer. `regexp_extract_all` is codegen'd; per-row only.

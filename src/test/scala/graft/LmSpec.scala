@@ -117,6 +117,13 @@ class LmSpec extends AnyFunSuite {
     assert(wKeyedCountAggs(ccnet.linesIterator
       .filterNot(_.contains("lmbi")).filterNot(_.contains("lmuni"))
       .mkString("\n")) == 0, ccnet)
+    // the per-language composed serves (r17): same discipline — the
+    // final frame's plan reads the checkpointed scored frame, and the
+    // kept-side gate battery carries no w-keyed count table either
+    Seq(plan(LangIdOps.curateE2eLangStored(spark, sf)),
+        plan(LangIdOps.curateE2eVerdictStored(spark, sf))).foreach { p =>
+      assert(wKeyedCountAggs(p) == 0, p)
+    }
   }
 
   test("multilang LM store is per-language sample-trained, prune bites per lang") {
