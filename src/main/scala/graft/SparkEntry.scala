@@ -192,10 +192,10 @@ object SparkEntry {
     // occurrences removed, retained text reassembled per doc
     "q_dedup_span3"     -> ((s, d) => DedupOps.dedupSpan3(s, d)),
     // the Dolma-style STREAMING form over the maintained bloom store
-    // (r16): first-arrival flags, capacity-planned membership — rows-only
-    // by design (bloom false positives are legal output); streamed ≡
-    // exact first-arrival below saturation + fill budget + replay
-    // idempotence pinned in StreamingSpec
+    // (r16): first-arrival flags, capacity-planned membership — fully
+    // oracled as of r17: the even-then-odd half order makes first
+    // arrival the deterministic (doc_id % 2, doc_id, pos) rank, and the
+    // fixture build require()s zero measured bloom false positives
     "q_dedup_paragraph_stream" -> ((s, d) => DedupOps.paragraphStreamFixture(s, d)),
     "q_dedup_substring" -> ((s, d) => DedupOps.dedupSubstring(s, d)),
     "q_dedup_substring_trim" -> ((s, d) => DedupOps.dedupSubstringTrim(s, d)),
@@ -2807,6 +2807,38 @@ object SparkEntry {
         |FROM k2 ORDER BY doc_id ASC""".stripMargin,
     // corpus-wide paragraph counts over the planted boilerplate — all
     // integer char accounting, 20% cross-multiplied gate
+    // the streaming form's first arrival is the deterministic
+    // (half parity, doc_id, pos) rank once the fixture's zero-FP
+    // require holds — the batch twin's planting, first-arrival flags
+    "q_dedup_paragraph_stream" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN chr(10) || chr(10) || 'subscribe to the newsletter today'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 10 = 0
+        |         THEN chr(10) || chr(10) || 'all rights reserved legal notice'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+        |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+        |        FROM planted),
+        |       unnest(range(1, len(ps) + 1)) AS t(i)),
+        |fl AS (
+        |  SELECT doc_id, para,
+        |         row_number() OVER (PARTITION BY md5(para)
+        |           ORDER BY doc_id % 2, doc_id, pos) > 1 AS seen
+        |  FROM paras)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_paras,
+        |       CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+        |       CAST(sum(CASE WHEN seen THEN length(para) ELSE 0 END) AS BIGINT) AS dup_chars,
+        |       CAST(sum(length(para)) AS BIGINT) AS total_chars,
+        |       CAST(CASE WHEN 5 * sum(CASE WHEN seen THEN length(para) ELSE 0 END)
+        |                  <= sum(length(para)) THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM fl GROUP BY doc_id
+        |ORDER BY doc_id ASC""".stripMargin,
     "q_dedup_paragraph" ->
       """WITH c AS (
         |  SELECT doc_id,

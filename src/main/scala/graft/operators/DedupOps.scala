@@ -898,19 +898,30 @@ object DedupOps {
     * `q_dedup_paragraph_stream` contract entry: the SAME planted corpus
     * as [[dedupParagraph]], fed oldest-half-first (doc_id % 2 = 0 then
     * the odd half) through [[paragraphIncrementalBatch]] over a fresh
-    * capacity-planned bloom store. Rows-only by design (bloom membership
-    * is approximate — a false positive is legal output); the spec pins
-    * streamed ≡ exact first-arrival reference below saturation, the
-    * fill/fpp budget, and the store's replay idempotence.
+    * capacity-planned bloom store. FULLY ORACLED as of r17: with the
+    * even-then-odd delivery order, first arrival is the deterministic
+    * (doc_id % 2, doc_id, pos) rank per paragraph hash — PROVIDED no
+    * odd-half probe false-positives against the even-half store (no
+    * false negatives by construction). The build measures that exactly
+    * (probe anti-joined against the even half's true paragraph set) and
+    * require()s zero, refusing to serve drifted flags; production
+    * streams keep the documented bloom trade. The spec still pins
+    * streamed ≡ exact first-arrival below saturation, the fill/fpp
+    * budget, and the store's replay idempotence.
     */
   def paragraphStreamFixture(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.CatalogOps
     val db = "graft_parastream"
     val name = "docs"
     this.synchronized {
-      if (!spark.catalog.tableExists(s"$db.${name}__results")) {
+      // completion marker written LAST (the funnelStreamFixture r17
+      // discipline): marker-present ⇒ both halves landed; absent ⇒
+      // rebuild; mismatch ⇒ fail loudly
+      val metaTbl = s"`$db`.`${name}__resultsmeta`"
+      if (!spark.catalog.tableExists(s"$db.${name}__resultsmeta")) {
         CatalogOps.createDatabase(spark, db)
-        Seq(s"${name}__results", s"${name}__bloom", s"${name}__bloommeta")
+        Seq(s"${name}__results", s"${name}__bloom", s"${name}__bloommeta",
+          s"${name}__resultsmeta")
           .foreach(KnnOps.dropTableAndDir(spark, db, _))
         val planted = Tables.documents(spark, dir).select(col("doc_id"),
           concat(col("text"),
@@ -922,12 +933,33 @@ object DedupOps {
         CatalogOps.createBloomStore(spark, db, name,
           planted.select(md5(col("text")).as("h")).limit(0), "h",
           expectedKeys = 16384L)
-        Seq(0L, 1L).foreach { half =>
-          paragraphIncrementalBatch(
-            planted.filter(col("doc_id") % 2 === half), db, name)
-            .write.mode("append").saveAsTable(s"`$db`.`${name}__results`")
-        }
+        def paraHashes(half: Long) = planted
+          .filter(col("doc_id") % 2 === half)
+          .select(explode(split(col("text"), "\n\n")).as("para"))
+          .select(md5(col("para")).as("h")).distinct()
+        paragraphIncrementalBatch(
+          planted.filter(col("doc_id") % 2 === 0L), db, name)
+          .write.mode("append").saveAsTable(s"`$db`.`${name}__results`")
+        // zero-FP guarantee behind the r17 oracle flip: any odd-half
+        // paragraph the store claims to have seen must ACTUALLY be an
+        // even-half paragraph — measured exactly, refused loudly
+        val fps = CatalogOps.probeBloomStore(spark, db, name,
+            paraHashes(1L), "h")
+          .join(paraHashes(0L), Seq("h"), "left_anti")
+          .count()
+        require(fps == 0L,
+          s"paragraph stream fixture: $fps bloom false positive(s) at " +
+            "expectedKeys=16384 — the served flags would drift from the " +
+            "first-arrival oracle; raise the store capacity")
+        paragraphIncrementalBatch(
+          planted.filter(col("doc_id") % 2 === 1L), db, name)
+          .write.mode("append").saveAsTable(s"`$db`.`${name}__results`")
+        spark.createDataFrame(Seq(Tuple1(2L))).toDF("expected_batches")
+          .write.mode("overwrite").saveAsTable(metaTbl)
       }
+      require(spark.table(metaTbl).head().getLong(0) == 2L,
+        s"paragraph stream fixture `$db.$name` marker is corrupt — " +
+          s"drop the `$db` database to rebuild")
     }
     spark.table(s"`$db`.`${name}__results`")
       .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
