@@ -362,6 +362,13 @@ object SparkEntry {
     // SFT pair formatting with loss-mask accounting: planted
     // prompt/response halves, chat template, masked-token counts
     "q_sft_format"      -> ((s, d) => TextAnalysisOps.sftFormat(s, d)),
+    // write-then-verify sharded export (r17): documents land in a
+    // shard-partitioned collection, the manifest computes FROM THE
+    // WRITTEN table — per-shard totals + id range + bit_xor content
+    // checksum, so a lost/doubled/corrupted row fails the oracle
+    "q_export_verified" -> ((s, d) => graft.sources.CatalogOps
+      .exportShardedVerified(s, "graft_export", "docs",
+        graft.sources.Tables.documents(s, d))),
     // the funnel maintained as a STREAM over the bloom store: per-batch
     // stage totals appended, served by summing the log — fully oracled
     // as of r17 against the batch report SQL (ordered halves + the
@@ -707,7 +714,7 @@ object SparkEntry {
     "q_curation_funnel_stream", "q_sft_format", "q_cdx_index",
     "q_curate_ccnet_stored", "q_curate_multilang_stored", "q_archive_e2e",
     "q_archive_e2e_stream", "q_curate_e2e_lang_stored",
-    "q_curate_e2e_verdict_stored")
+    "q_curate_e2e_verdict_stored", "q_export_verified")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2506,6 +2513,34 @@ object SparkEntry {
     // of the k6 survivors — the engine must round-trip the real bytes
     "q_archive_e2e" -> archiveE2eOracleSql,
     "q_archive_e2e_stream" -> archiveE2eOracleSql,
+    // the manifest is closed-form from documents arithmetic; the engine
+    // must round-trip the WRITE to produce it — any write-path byte slip
+    // moves the bit_xor checksum
+    "q_export_verified" -> {
+      val mult = (1 to 12).map(k =>
+        s"(instr('0123456789abcdef', substr(h, $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
+        .mkString(" +\n           ")
+      s"""WITH r AS (
+         |  SELECT doc_id, text,
+         |         instr('0123456789abcdef',
+         |           substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS shard,
+         |         md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)) AS h
+         |  FROM documents),
+         |m AS (
+         |  SELECT CAST(shard AS BIGINT) AS shard, doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |         CAST(length(text) AS BIGINT) AS n_bytes,
+         |         CAST($mult AS BIGINT) AS ck
+         |  FROM r)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+         |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+         |       CAST(max(doc_id) AS BIGINT) AS max_doc,
+         |       CAST(bit_xor(ck) AS BIGINT) AS checksum
+         |FROM m GROUP BY shard
+         |ORDER BY shard ASC""".stripMargin
+    },
     // closed-form mirror of the CDX plan: which capture wins is pure
     // doc_id arithmetic on the oracle side; the engine must SURT, split
     // and from_json its way to the same row

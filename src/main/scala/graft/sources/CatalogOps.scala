@@ -2807,6 +2807,55 @@ object CatalogOps {
     spark.catalog.refreshTable(s"`$db`.`$t`")
   }
 
+  /** VERIFIED SHARDED EXPORT (`q_export_verified`, r17) — the write
+    * stage q_shard_assign only PLANS: documents land in a
+    * shard-partitioned collection (content-addressed md5-nibble shard,
+    * `partitionBy` → one directory per shard, the layout trainer
+    * workers read in parallel), and the manifest is computed FROM THE
+    * WRITTEN TABLE, not from the input — write-then-verify, so a lost
+    * row, a double-write, or a corrupted text surfaces as a manifest
+    * mismatch against the closed-form oracle. Per shard: doc/token/byte
+    * totals, id range, and an order-free content checksum —
+    * `bit_xor` over a 48-bit value drawn from md5(doc_id ':' md5(text))
+    * — covering both membership AND bytes (XOR is the associative,
+    * overflow-free fold that survives any corpus size; a sum checksum
+    * overflows BIGINT near 10^12 docs).
+    *
+    * Scale: the write is `repartition`-free here (16 hash partitions via
+    * partitionBy; at 100 TB precede with `repartition(n, col("shard"))`
+    * so each task writes one directory); the manifest pass is ONE scan
+    * of the written table with a 16-row exchange — the deliberate
+    * verification cost (footer-only counts are free via
+    * [[describeCollection]], but only a scan can checksum content).
+    */
+  def exportShardedVerified(spark: SparkSession, db: String, name: String,
+      docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    createDatabase(spark, db)
+    graft.operators.KnnOps.dropTableAndDir(spark, db, name)
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("shard",
+        (expr("instr('0123456789abcdef', " +
+          "substring(md5(cast(doc_id as string)), 32, 1))") - 1L)
+          .cast("long"))
+      .write.mode("overwrite").partitionBy("shard")
+      .saveAsTable(s"`$db`.`$name`")
+    val written = spark.table(s"`$db`.`$name`")
+    written.select(col("shard").cast("long").as("shard"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_bytes"),
+        expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
+          "':', md5(text))), 1, 12), 16, 10) as bigint)").as("ck"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_bytes")).as("n_bytes"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(ck)").as("checksum"))
+      .orderBy(col("shard").asc)
+  }
+
   /** `drop_collection` (ref `TencentVDB.py:87-89`). */
   def dropCollection(spark: SparkSession, db: String, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")

@@ -356,6 +356,39 @@ class ExportSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, db)
   }
 
+  test("verified export: written-table manifest equals the input's closed form, 16 shard dirs") {
+    import graft.sources.CatalogOps
+    val docs = Tables.documents(spark, sf)
+    val got = CatalogOps.exportShardedVerified(spark, "exptest", "docs", docs)
+      .collect().map(_.toSeq).toSeq
+    // the same arithmetic over the INPUT (no write round-trip): equality
+    // pins that the write lost, duplicated, and corrupted nothing
+    val want = docs.select(col("doc_id"), col("text"))
+      .withColumn("shard",
+        (expr("instr('0123456789abcdef', " +
+          "substring(md5(cast(doc_id as string)), 32, 1))") - 1L).cast("long"))
+      .select(col("shard"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_bytes"),
+        expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
+          "':', md5(text))), 1, 12), 16, 10) as bigint)").as("ck"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_bytes")).as("n_bytes"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"), expr("bit_xor(ck)").as("checksum"))
+      .orderBy(col("shard").asc)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(got.size == 16)
+    // the layout is real: one catalog partition per shard
+    assert(spark.sql("SHOW PARTITIONS `exptest`.`docs`").count() == 16L)
+    // re-export is deterministic (overwrite-by-construction)
+    val again = CatalogOps.exportShardedVerified(spark, "exptest", "docs", docs)
+      .collect().map(_.toSeq).toSeq
+    assert(again == got)
+    CatalogOps.dropDatabase(spark, "exptest")
+  }
+
   test("SFT formatting: template round-trips, mask covers prompt + roles") {
     val out = TextAnalysisOps.sftFormat(spark, sf).localCheckpoint()
     val docs = Tables.documents(spark, sf)
