@@ -1022,6 +1022,12 @@ object SparkEntry {
     * join the word stream against the final form lengths. MATERIALIZED
     * is load-bearing: without it DuckDB inlines each round's state into
     * every downstream reference and the scan count grows exponentially.
+    * SELF-GUARDING (ADVICE r17): both fixture-bound assumptions — the
+    * corpus vocabulary fits the top-10000 LIMIT (else the final join
+    * drops OOV words the engine still encodes) and the max merge bound
+    * Σ(len(w)+1) − |vocab| fits the unroll — are asserted in a `grd`
+    * CTE via error(), so a scale change fails the oracle LOUDLY at run
+    * time instead of surfacing as a puzzling row mismatch.
     */
   private def bpeOracleSql(rounds: Int = 138): String = {
     def roundCtes(r: Int): String = {
@@ -1073,10 +1079,20 @@ object SparkEntry {
       s""",
          |fin AS (SELECT w, CAST(len(f) AS BIGINT) AS n_sym FROM s$rounds),
          |docw AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |grd AS MATERIALIZED (
+         |  SELECT CASE
+         |    WHEN (SELECT count(DISTINCT w) FROM docw WHERE length(w) > 0)
+         |         > 10000
+         |      THEN error('bpe oracle invalid at this corpus scale: more than 10000 distinct words, so the top-10000 vocabulary LIMIT would drop OOV words the engine still encodes')
+         |    WHEN (SELECT sum(length(w) + 1) - count(*) FROM w0) > $rounds
+         |      THEN error('bpe oracle invalid at this corpus scale: the maximum merge bound sum(len(w)+1) - |vocab| exceeds the $rounds unrolled rounds, so the unroll may stop short of the engine fixed point')
+         |    ELSE 1 END AS ok)
          |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
-         |FROM (SELECT * FROM docw WHERE length(w) > 0) d JOIN fin USING (w)
+         |FROM (SELECT * FROM docw
+         |      WHERE length(w) > 0 AND (SELECT ok FROM grd) = 1) d
+         |JOIN fin USING (w)
          |GROUP BY d.doc_id
          |ORDER BY d.doc_id ASC""".stripMargin
   }

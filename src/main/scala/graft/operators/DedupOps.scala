@@ -1112,7 +1112,8 @@ object DedupOps {
     * scale-correct). Fully DuckDB-oracled as of r17 (bit_count(xor) at
     * sf-scale brute force on the oracle side; the engine must block).
     */
-  def simHash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simHash(spark: SparkSession, dir: String, maxHamming: Int = 3,
+      maxBucket: Int = 0): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val voteCols = (0 until 64).map { p =>
       // nibble k = p/4 lives in 4-hex group g = k/4 at in-group offset
@@ -1150,9 +1151,18 @@ object DedupOps {
     // not c² pairs; measured 6.1 vs 27.0 s at a 10k cluster even for the
     // pair-emitting form — `DedupScale hamming`).
     val fpCounts = fp.groupBy(col("simhash")).agg(count(lit(1)).as("cnt"))
+    // maxBucket defaults to 0 (guard OFF) because this is the fully
+    // ORACLED entry: the DuckDB twin brute-forces every bit_count(xor)
+    // pair over the distinct fingerprints, so a hot (chunk, cval) bucket
+    // dropped by the guard would undercount n_neighbors and diverge
+    // (ADVICE r17). The exposure is bounded: blocking runs over DISTINCT
+    // fingerprints, so a guard-worthy bucket needs > 10k distinct
+    // near-identical signatures, not 10k duplicate docs. A 100 TB caller
+    // trading exactness for hot-bucket immunity passes
+    // LshGuard.DefaultMaxBucket — and accepts that guarded buckets make
+    // the count a lower bound (OperatorSpec pins both modes equal here).
     val crossSum = hammingNearFpPairs(
-        fpCounts.select(col("simhash").as("fp")), maxHamming,
-        LshGuard.DefaultMaxBucket)
+        fpCounts.select(col("simhash").as("fp")), maxHamming, maxBucket)
       .join(fpCounts.select(col("simhash").as("b_fp"), col("cnt")), Seq("b_fp"))
       .groupBy(col("a_fp")).agg(sum(col("cnt")).as("n_cross"))
     fp.join(fpCounts, Seq("simhash"))

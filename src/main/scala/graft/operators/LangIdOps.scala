@@ -392,10 +392,14 @@ object LangIdOps {
     val db = "graft_lmml"
     val name = "docs"
     this.synchronized {
-      if (!spark.catalog.tableExists(s"$db.${name}__mlmbi") ||
-          !spark.catalog.tableExists(s"$db.${name}__mlmuni")) {
+      // the build is TWO partial writes (create-half then fold-half); a
+      // crash between them leaves both log tables existing but
+      // half-trained, so readiness gates on a `__mlmmeta` completion
+      // marker written LAST — the r17 stream-fixture discipline
+      // (ADVICE r17); a marker-less store rebuilds from scratch
+      if (!spark.catalog.tableExists(s"$db.${name}__mlmmeta")) {
         CatalogOps.createDatabase(spark, db)
-        Seq(s"${name}__mlmbi", s"${name}__mlmuni")
+        Seq(s"${name}__mlmbi", s"${name}__mlmuni", s"${name}__mlmmeta")
           .foreach(graft.operators.KnnOps.dropTableAndDir(spark, db, _))
         val sample = documentsWithDerivedLang(spark, dir)
           .select(col("predicted").as("lang"), col("doc_id"), col("text"))
@@ -405,6 +409,8 @@ object LangIdOps {
         writeMlLmPartials(spark, db, name,
           sample.filter(col("doc_id") % 4 =!= 0), overwrite = false,
           batchId = 0L)
+        spark.createDataFrame(Seq(Tuple1(2L))).toDF("batches_written")
+          .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__mlmmeta`")
       }
     }
     (db, name)

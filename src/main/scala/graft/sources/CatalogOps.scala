@@ -2829,7 +2829,12 @@ object CatalogOps {
     * [[describeCollection]], but only a scan can checksum content).
     */
   def exportShardedVerified(spark: SparkSession, db: String, name: String,
-      docs: DataFrame): DataFrame = {
+      docs: DataFrame): DataFrame = this.synchronized {
+    // the whole drop → write → manifest-scan sequence runs under the
+    // fixture builders' this.synchronized discipline, and the manifest
+    // localCheckpoints (16 rows) before the lock releases — a concurrent
+    // or interrupted re-export can no longer race the scan into a
+    // spurious mismatch or serve a half-dropped table (ADVICE r17)
     import org.apache.spark.sql.functions._
     createDatabase(spark, db)
     graft.operators.KnnOps.dropTableAndDir(spark, db, name)
@@ -2854,6 +2859,7 @@ object CatalogOps {
         max(col("doc_id")).as("max_doc"),
         expr("bit_xor(ck)").as("checksum"))
       .orderBy(col("shard").asc)
+      .localCheckpoint()
   }
 
   /** `drop_collection` (ref `TencentVDB.py:87-89`). */

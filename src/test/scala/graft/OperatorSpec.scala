@@ -1765,6 +1765,13 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.length === 500)
     val total = rows.map(_.getLong(2)).sum
     assert(total % 2 === 0) // pair symmetry: every neighbor edge counted twice
+    // the contract entry runs guard-OFF (exact, matches the brute-force
+    // oracle); pin that the production guard is NOT binding at fixture
+    // scale — if a blocking bucket ever trips it, the two modes diverge
+    // loudly here instead of silently undercounting against the oracle
+    val guarded = DedupOps.simHash(spark, sf,
+      maxBucket = graft.operators.LshGuard.DefaultMaxBucket).collect()
+    assert(guarded.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
   }
 
   test("filtered IVF probe: exact at exhaustive probes, valid + recall-bounded below") {
