@@ -369,6 +369,14 @@ object SparkEntry {
     "q_export_verified" -> ((s, d) => graft.sources.CatalogOps
       .exportShardedVerified(s, "graft_export", "docs",
         graft.sources.Tables.documents(s, d))),
+    // the export as a STREAM (r18): per-micro-batch idempotent
+    // (shard, batch_id) partition writes + a manifest-partials log in
+    // docs-then-log commit order, served by recomputing the manifest
+    // FROM the written table and require()-reconciling it against the
+    // folded log — stream-in -> verified-shards-out, same closed-form
+    // oracle as the batch export
+    "q_export_verified_stream" -> ((s, d) => graft.sources.CatalogOps
+      .exportStreamFixture(s, d)),
     // the funnel maintained as a STREAM over the bloom store: per-batch
     // stage totals appended, served by summing the log — fully oracled
     // as of r17 against the batch report SQL (ordered halves + the
@@ -714,7 +722,8 @@ object SparkEntry {
     "q_curation_funnel_stream", "q_sft_format", "q_cdx_index",
     "q_curate_ccnet_stored", "q_curate_multilang_stored", "q_archive_e2e",
     "q_archive_e2e_stream", "q_curate_e2e_lang_stored",
-    "q_curate_e2e_verdict_stored", "q_export_verified")
+    "q_curate_e2e_verdict_stored", "q_export_verified",
+    "q_export_verified_stream")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1095,6 +1104,39 @@ object SparkEntry {
          |JOIN fin USING (w)
          |GROUP BY d.doc_id
          |ORDER BY d.doc_id ASC""".stripMargin
+  }
+
+  /** The verified-export manifest in closed form — per-shard totals,
+    * id range, and the 48-bit md5-draw bit_xor content checksum over
+    * the whole corpus. Shared by q_export_verified and its streaming
+    * twin (the halves partition the corpus and every manifest column
+    * folds associatively, so the served stream manifest is this exact
+    * aggregate).
+    */
+  private def exportManifestOracleSql: String = {
+    val mult = (1 to 12).map(k =>
+      s"(instr('0123456789abcdef', substr(h, $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
+      .mkString(" +\n           ")
+    s"""WITH r AS (
+       |  SELECT doc_id, text,
+       |         instr('0123456789abcdef',
+       |           substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS shard,
+       |         md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)) AS h
+       |  FROM documents),
+       |m AS (
+       |  SELECT CAST(shard AS BIGINT) AS shard, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         CAST(length(text) AS BIGINT) AS n_bytes,
+       |         CAST($mult AS BIGINT) AS ck
+       |  FROM r)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+       |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       |       CAST(max(doc_id) AS BIGINT) AS max_doc,
+       |       CAST(bit_xor(ck) AS BIGINT) AS checksum
+       |FROM m GROUP BY shard
+       |ORDER BY shard ASC""".stripMargin
   }
 
   /** The archive-spine oracle — shared by q_archive_e2e and its
@@ -2532,31 +2574,12 @@ object SparkEntry {
     // the manifest is closed-form from documents arithmetic; the engine
     // must round-trip the WRITE to produce it — any write-path byte slip
     // moves the bit_xor checksum
-    "q_export_verified" -> {
-      val mult = (1 to 12).map(k =>
-        s"(instr('0123456789abcdef', substr(h, $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
-        .mkString(" +\n           ")
-      s"""WITH r AS (
-         |  SELECT doc_id, text,
-         |         instr('0123456789abcdef',
-         |           substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS shard,
-         |         md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)) AS h
-         |  FROM documents),
-         |m AS (
-         |  SELECT CAST(shard AS BIGINT) AS shard, doc_id,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-         |         CAST(length(text) AS BIGINT) AS n_bytes,
-         |         CAST($mult AS BIGINT) AS ck
-         |  FROM r)
-         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-         |       CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
-         |       CAST(min(doc_id) AS BIGINT) AS min_doc,
-         |       CAST(max(doc_id) AS BIGINT) AS max_doc,
-         |       CAST(bit_xor(ck) AS BIGINT) AS checksum
-         |FROM m GROUP BY shard
-         |ORDER BY shard ASC""".stripMargin
-    },
+    "q_export_verified" -> exportManifestOracleSql,
+    // the STREAMING export faces the SAME closed form: the two ordered
+    // halves partition the corpus, sums/min/max/bit_xor are associative,
+    // and the serve require()s the written table ≡ the folded log before
+    // returning — so the folded manifest IS the batch manifest exactly
+    "q_export_verified_stream" -> exportManifestOracleSql,
     // closed-form mirror of the CDX plan: which capture wins is pure
     // doc_id arithmetic on the oracle side; the engine must SURT, split
     // and from_json its way to the same row

@@ -2821,15 +2821,20 @@ object CatalogOps {
     * overflow-free fold that survives any corpus size; a sum checksum
     * overflows BIGINT near 10^12 docs).
     *
-    * Scale: the write is `repartition`-free here (16 hash partitions via
-    * partitionBy; at 100 TB precede with `repartition(n, col("shard"))`
-    * so each task writes one directory); the manifest pass is ONE scan
-    * of the written table with a 16-row exchange — the deliberate
-    * verification cost (footer-only counts are free via
-    * [[describeCollection]], but only a scan can checksum content).
+    * Scale: with `repartitionTasks = 0` (the fixture default) the write
+    * is `repartition`-free — at local[32] every task may open all 16
+    * shard directories (small-files behavior, harmless at fixture
+    * scale). At 100 TB pass `repartitionTasks > 0`: the write is then
+    * preceded by `repartition(n, col("shard"))` so each task writes
+    * into exactly one shard directory — same manifest bit-for-bit
+    * (ExportSpec pins it), one file per shard per task instead of
+    * shards × tasks files. The manifest pass is ONE scan of the written
+    * table with a 16-row exchange — the deliberate verification cost
+    * (footer-only counts are free via [[describeCollection]], but only
+    * a scan can checksum content).
     */
   def exportShardedVerified(spark: SparkSession, db: String, name: String,
-      docs: DataFrame): DataFrame = this.synchronized {
+      docs: DataFrame, repartitionTasks: Int = 0): DataFrame = this.synchronized {
     // the whole drop → write → manifest-scan sequence runs under the
     // fixture builders' this.synchronized discipline, and the manifest
     // localCheckpoints (16 rows) before the lock releases — a concurrent
@@ -2838,11 +2843,11 @@ object CatalogOps {
     import org.apache.spark.sql.functions._
     createDatabase(spark, db)
     graft.operators.KnnOps.dropTableAndDir(spark, db, name)
-    docs.select(col("doc_id"), col("text"))
-      .withColumn("shard",
-        (expr("instr('0123456789abcdef', " +
-          "substring(md5(cast(doc_id as string)), 32, 1))") - 1L)
-          .cast("long"))
+    val sharded = docs.select(col("doc_id"), col("text"))
+      .withColumn("shard", exportShardCol)
+    (if (repartitionTasks > 0)
+       sharded.repartition(repartitionTasks, col("shard"))
+     else sharded)
       .write.mode("overwrite").partitionBy("shard")
       .saveAsTable(s"`$db`.`$name`")
     val written = spark.table(s"`$db`.`$name`")
@@ -2860,6 +2865,181 @@ object CatalogOps {
         expr("bit_xor(ck)").as("checksum"))
       .orderBy(col("shard").asc)
       .localCheckpoint()
+  }
+
+  /** The content-addressed shard draw shared by every export surface:
+    * last md5 nibble of the doc id — 16 balanced shards, closed-form on
+    * the oracle side.
+    */
+  private[graft] def exportShardCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    (expr("instr('0123456789abcdef', " +
+      "substring(md5(cast(doc_id as string)), 32, 1))") - 1L).cast("long")
+  }
+
+  /** One micro-batch of the STREAMING verified export (r18 — VERDICT
+    * task 1: stream-in → verified-shards-out, the shape of a live
+    * ingest): the batch's documents land in the shard-partitioned
+    * collection `{db}.{name}` via an IDEMPOTENT dynamic partition
+    * overwrite of exactly this batch's `(shard, batch_id)` partitions —
+    * a replayed batch rewrites the same bytes instead of appending
+    * duplicates, which is what makes the write side crash-atomic
+    * without any transaction log. The caller then appends the batch's
+    * manifest partials (computed FROM THE INPUT, pre-write) to
+    * `{name}__manifestlog` — docs-then-log order, so every crash window
+    * replays to a reconciled state:
+    *
+    *   - crash after docs, before log → replay rewrites the same
+    *     partitions (no-op by idempotence) and appends the log row once;
+    *   - crash after log → the replay guard (batch_id present in the
+    *     log) skips both.
+    *
+    * Scale: the write is a map-side projection + partitioned append
+    * (one batch's data, never the collection); the partials row set is
+    * a ≤ 16-row aggregate of the batch. Per-batch `(shard, batch_id)`
+    * partitioning is the streaming layout — a periodic
+    * [[compactWinhashes]]-style fold can rewrite old batches into one
+    * directory per shard once their batches age out of the replay
+    * window (the trainer reads prune on `shard` either way).
+    */
+  def exportIncrementalBatch(spark: SparkSession, db: String, name: String,
+      docs: DataFrame, batchId: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val batch = docs.select(col("doc_id"), col("text"))
+      .withColumn("shard", exportShardCol)
+      .withColumn("batch_id", lit(batchId))
+    if (!spark.catalog.tableExists(s"$db.$name")) {
+      createDatabase(spark, db)
+      batch.write.partitionBy("shard", "batch_id")
+        .saveAsTable(s"`$db`.`$name`")
+    } else {
+      val k = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(k)
+      spark.conf.set(k, "dynamic")
+      // insertInto is positional: data columns first, partition columns
+      // (shard, batch_id) last — matching the create above
+      try batch.select(col("doc_id"), col("text"), col("shard"),
+          col("batch_id"))
+        .write.mode("overwrite").insertInto(s"`$db`.`$name`")
+      finally prev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
+    // the manifest partials THIS batch believes it wrote — n/min/max/xor
+    // are all associative, so the serve folds the log exactly
+    batch.select(col("shard"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_bytes"),
+        expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
+          "':', md5(text))), 1, 12), 16, 10) as bigint)").as("ck"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_bytes")).as("n_bytes"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(ck)").as("checksum"))
+      .localCheckpoint()
+  }
+
+  /** Serve the streaming verified export: recompute the manifest FROM
+    * THE WRITTEN TABLE (one scan — the deliberate verification cost,
+    * exactly [[exportShardedVerified]]'s arithmetic), fold the
+    * append-only partials log (sums/min/max are exact integer merges,
+    * the checksum is an order-free bit_xor fold), and RECONCILE the two
+    * per shard — count, token/byte totals, id range, and content
+    * checksum must all agree, so a lost row, a doubled row, or a
+    * corrupted byte anywhere between what the stream believed it wrote
+    * and what the table actually holds surfaces as a require() here,
+    * not as silent training-data drift. Returns the written-table
+    * manifest (the q_export_verified schema — same closed-form oracle).
+    */
+  def exportVerifiedStreamServe(spark: SparkSession, db: String,
+      name: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val written = spark.table(s"`$db`.`$name`")
+      .select(col("shard").cast("long").as("shard"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_bytes"),
+        expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
+          "':', md5(text))), 1, 12), 16, 10) as bigint)").as("ck"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_bytes")).as("n_bytes"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(ck)").as("checksum"))
+      .localCheckpoint()
+    val folded = spark.table(s"`$db`.`${name}__manifestlog`")
+      .groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_bytes")).as("n_bytes"),
+        min(col("min_doc")).as("min_doc"),
+        max(col("max_doc")).as("max_doc"),
+        expr("bit_xor(checksum)").as("checksum"))
+    val cols = Seq("n_docs", "n_tokens", "n_bytes", "min_doc", "max_doc",
+      "checksum")
+    val mismatch = written.as("w")
+      .join(folded.as("l"), Seq("shard"), "full_outer")
+      .filter(cols.map(c => !(col(s"w.$c") <=> col(s"l.$c")))
+        .reduce(_ || _))
+      .select(col("shard")).collect().map(_.getLong(0)).sorted
+    require(mismatch.isEmpty,
+      s"verified streaming export `$db.$name`: written table and folded " +
+        s"manifest log disagree on shard(s) ${mismatch.mkString(", ")} — " +
+        "a row was lost, doubled, or corrupted between stream and storage")
+    written.orderBy(col("shard").asc)
+  }
+
+  /** `q_export_verified_stream` (r18): the verified sharded export as a
+    * STREAM — the corpus fed in two doc_id-ordered halves through
+    * [[exportIncrementalBatch]] (idempotent partition-scoped writes +
+    * manifest partials log, docs-then-log commit order), served by
+    * [[exportVerifiedStreamServe]]'s written-table-vs-folded-log
+    * reconciliation. FULLY ORACLED against q_export_verified's
+    * closed-form manifest SQL: the two halves partition the corpus, so
+    * folded sums/min/max/bit_xor equal the batch aggregate exactly —
+    * no approximation anywhere on this path. Build-if-absent with the
+    * completion marker written last + a corruption require() at serve
+    * (the r17 stream-fixture discipline).
+    */
+  def exportStreamFixture(spark: SparkSession, dir: String): DataFrame = {
+    val db = "graft_exportstream"
+    val name = "docs"
+    this.synchronized {
+      val metaTbl = s"`$db`.`${name}__manifestmeta`"
+      if (!spark.catalog.tableExists(s"$db.${name}__manifestmeta")) {
+        import org.apache.spark.sql.functions._
+        createDatabase(spark, db)
+        Seq(name, s"${name}__manifestlog", s"${name}__manifestmeta")
+          .foreach(graft.operators.KnnOps.dropTableAndDir(spark, db, _))
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"))
+        val n = docs.count()
+        Seq(0L, 1L).foreach { bid =>
+          val half = if (bid == 0L) docs.filter(col("doc_id") < n / 2)
+            else docs.filter(col("doc_id") >= n / 2)
+          exportIncrementalBatch(spark, db, name, half, bid)
+            .withColumn("batch_id", lit(bid))
+            .write.mode("append")
+            .saveAsTable(s"`$db`.`${name}__manifestlog`")
+        }
+        spark.createDataFrame(Seq(Tuple1(2L))).toDF("expected_batches")
+          .write.mode("overwrite").saveAsTable(metaTbl)
+      }
+      val expected = spark.table(metaTbl).head().getLong(0)
+      val logged = spark.table(s"`$db`.`${name}__manifestlog`")
+        .select(org.apache.spark.sql.functions.col("batch_id"))
+        .distinct().count()
+      require(logged == expected,
+        s"export stream fixture `$db.$name` is corrupt: marker promises " +
+          s"$expected batches, log has $logged — drop the `$db` database " +
+          "to rebuild")
+    }
+    exportVerifiedStreamServe(spark, db, name)
   }
 
   /** `drop_collection` (ref `TencentVDB.py:87-89`). */

@@ -251,6 +251,47 @@ object StreamingOps {
     q
   }
 
+  /** STREAMING verified export (r18 — the live composition of the r17
+    * batch export and the shard-partials discipline): each micro-batch
+    * of (doc_id, text) documents lands in the shard-partitioned
+    * collection through
+    * [[graft.sources.CatalogOps.exportIncrementalBatch]] — an
+    * IDEMPOTENT dynamic overwrite of the batch's own `(shard,
+    * batch_id)` partitions, so foreachBatch's at-least-once redelivery
+    * rewrites bytes instead of duplicating them — and appends the
+    * batch's manifest partials to `{name}__manifestlog` in
+    * docs-then-log commit order. The replay guard (batch_id already in
+    * the log) makes every crash window converge: docs without log →
+    * rewrite + log once; docs with log → skip both.
+    * [[graft.sources.CatalogOps.exportVerifiedStreamServe]] then
+    * recomputes the manifest FROM THE WRITTEN TABLE and reconciles it
+    * against the folded log — stream-in → verified-shards-out.
+    */
+  def streamingVerifiedExport(docStream: DataFrame, db: String,
+      name: String): StreamingQuery = {
+    import graft.sources.CatalogOps
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions.{col, lit}
+          val spark = batch.sparkSession
+          val replayed =
+            spark.catalog.tableExists(s"$db.${name}__manifestlog") &&
+              !spark.table(s"`$db`.`${name}__manifestlog`")
+                .filter(col("batch_id") === batchId).isEmpty
+          if (!replayed) {
+            CatalogOps.exportIncrementalBatch(spark, db, name,
+                batch.toDF(), batchId)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append")
+              .saveAsTable(s"`$db`.`${name}__manifestlog`")
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming knn — the reference's query path (`searchByText`, ref
     * `main_server.py:40-44`) as a stream: each micro-batch of query
     * vectors (query_id, q_embedding) is answered with the bounded-heap

@@ -389,6 +389,110 @@ class ExportSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "exptest")
   }
 
+  test("streaming verified export ≡ batch manifest; replay storm is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.CatalogOps
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val db = "sexpstream"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val (b0, b1) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingVerifiedExport(
+      in.toDF.toDF("doc_id", "text"), db, "docs")
+    try {
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val served = CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq
+    val batch = CatalogOps.exportShardedVerified(spark, "sexpbatch", "docs",
+      docs).collect().map(_.toSeq).toSeq
+    assert(served == batch)
+    // redelivery storm: a fresh query replaying batch 0 must change
+    // neither the written table nor the log (the batch_id replay guard
+    // + the idempotent (shard, batch_id) partition overwrite)
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamingOps.streamingVerifiedExport(
+      in2.toDF.toDF("doc_id", "text"), db, "docs")
+    try {
+      in2.addData(b0: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq == batch)
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.dropDatabase(spark, "sexpbatch")
+  }
+
+  test("export crash window: docs written, log missing — replay reconciles") {
+    import graft.sources.CatalogOps
+    val db = "sexpcrash"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val (b0, b1) = (docs.filter(col("doc_id") < n / 2),
+      docs.filter(col("doc_id") >= n / 2))
+    // batch 0 lands normally: docs, then its partials row set
+    CatalogOps.exportIncrementalBatch(spark, db, "docs", b0, 0L)
+      .withColumn("batch_id", lit(0L))
+      .write.mode("append").saveAsTable(s"`$db`.`docs__manifestlog`")
+    // batch 1 writes its docs... and we CRASH before the log append
+    CatalogOps.exportIncrementalBatch(spark, db, "docs", b1, 1L)
+    // recovery redelivers batch 1: not in the log, so the whole batch
+    // re-runs — the (shard, batch_id) dynamic overwrite rewrites the
+    // same partitions instead of appending duplicates
+    CatalogOps.exportIncrementalBatch(spark, db, "docs", b1, 1L)
+      .withColumn("batch_id", lit(1L))
+      .write.mode("append").saveAsTable(s"`$db`.`docs__manifestlog`")
+    // a spurious re-run of batch 0's WRITE half (replay past the guard
+    // window) is also byte-stable by idempotence
+    CatalogOps.exportIncrementalBatch(spark, db, "docs", b0, 0L)
+    val served = CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq
+    val batch = CatalogOps.exportShardedVerified(spark, "sexpbatch2", "docs",
+      docs).collect().map(_.toSeq).toSeq
+    assert(served == batch)
+    // and the reconciliation has TEETH: corrupt the log and serve fails
+    spark.sql(s"INSERT INTO `$db`.`docs__manifestlog` VALUES " +
+      "(3, 1, 1, 1, 0, 0, 7, 99)")
+    intercept[IllegalArgumentException] {
+      CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+    }
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.dropDatabase(spark, "sexpbatch2")
+  }
+
+  test("repartitioned export: same manifest, one file per shard directory") {
+    import graft.sources.CatalogOps
+    val docs = Tables.documents(spark, sf)
+    val plain = CatalogOps.exportShardedVerified(spark, "sexppart", "docs",
+      docs).collect().map(_.toSeq).toSeq
+    val reparted = CatalogOps.exportShardedVerified(spark, "sexppart", "docs",
+      docs, repartitionTasks = 16).collect().map(_.toSeq).toSeq
+    // the documented 100 TB advice is executable and answer-preserving
+    assert(reparted == plain)
+    // each task now writes into exactly one shard directory: every
+    // shard=* dir holds ONE parquet file (vs up to tasks× without)
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED `sexppart`.`docs`")
+      .filter(col("col_name") === "Location").head().getString(1)
+    val root = new java.io.File(new java.net.URI(loc))
+    val shardDirs = root.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == 16)
+    shardDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"${d.getName}: expected 1 parquet file, found ${parts.length}")
+    }
+    CatalogOps.dropDatabase(spark, "sexppart")
+  }
+
   test("SFT formatting: template round-trips, mask covers prompt + roles") {
     val out = TextAnalysisOps.sftFormat(spark, sf).localCheckpoint()
     val docs = Tables.documents(spark, sf)
