@@ -143,6 +143,12 @@ object SparkEntry {
     // folding the log — ordered halves + require()'d zero-FP make it
     // face the SAME oracle as the batch spine
     "q_archive_e2e_stream" -> ((s, d) => graft.sources.WarcOps.archiveStreamFixture(s, d)),
+    // revisit-aware spine (r18): members planted with % 4 byte-identical
+    // re-crawl captures; extraction runs ONCE per distinct payload
+    // digest (min-struct winner, combinable) and fans out to captures —
+    // same shard plan, measurably fewer extraction rows (WarcSpec pins
+    // both), same closed-form oracle
+    "q_archive_e2e_revisit" -> ((s, d) => graft.sources.WarcOps.archiveE2eRevisit(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
@@ -723,7 +729,7 @@ object SparkEntry {
     "q_curate_ccnet_stored", "q_curate_multilang_stored", "q_archive_e2e",
     "q_archive_e2e_stream", "q_curate_e2e_lang_stored",
     "q_curate_e2e_verdict_stored", "q_export_verified",
-    "q_export_verified_stream")
+    "q_export_verified_stream", "q_archive_e2e_revisit")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2571,6 +2577,10 @@ object SparkEntry {
     // of the k6 survivors — the engine must round-trip the real bytes
     "q_archive_e2e" -> archiveE2eOracleSql,
     "q_archive_e2e_stream" -> archiveE2eOracleSql,
+    // the revisit plant adds only byte-identical captures of existing
+    // pages and the digest collapse + (digest, url) fan-out returns the
+    // full spine's corpus exactly — same closed form
+    "q_archive_e2e_revisit" -> archiveE2eOracleSql,
     // the manifest is closed-form from documents arithmetic; the engine
     // must round-trip the WRITE to produce it — any write-path byte slip
     // moves the bit_xor checksum

@@ -48,18 +48,25 @@ object WarcOps {
     * title+paragraph page for the parse/WET entries, the full planted
     * page ([[graft.operators.TextOps.plantedPage]]) for the archive
     * e2e spine (r17). Headers, dates, and the % 13 == 7 length
-    * corruption are identical regardless of body.
+    * corruption are identical regardless of body. `capture = 2` plants
+    * a REVISIT of the same page (r18): a later crawl of the same URL
+    * returning byte-identical payload — WARC-Date one month later and
+    * a distinct record id, everything else (URL, payload, corruption
+    * rule) unchanged, so its payload digest collides with capture 1's
+    * by construction.
     */
   private[graft] def plantedRecordsOf(docs: DataFrame,
-      html: Column): DataFrame = {
+      html: Column, capture: Int = 1): DataFrame = {
     val url = concat(lit("https://"), col("source"), lit(".example/"),
       col("lang"), lit("/p"), col("doc_id").cast("string"))
     val payload = concat(
       lit("HTTP/1.1 200 OK" + Crlf + "Content-Type: text/html" + BlankLine),
       html)
-    val warcDate = concat(lit("2026-01-"),
+    val warcDate = concat(lit(f"2026-$capture%02d-"),
       lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"), lit("T"),
       lpad((col("doc_id") % 24).cast("string"), 2, "0"), lit(":00:00Z"))
+    val recId = if (capture == 1) md5(url)
+      else md5(concat(url, lit(s"#$capture")))
     // the planted corruption: % 13 == 7 headers overstate by one byte
     val declaredLen = length(payload) +
       when(col("doc_id") % 13 === 7, 1L).otherwise(0L)
@@ -70,7 +77,7 @@ object WarcOps {
         lit("WARC-Type: response" + Crlf),
         lit("WARC-Target-URI: "), url, lit(Crlf),
         lit("WARC-Date: "), warcDate, lit(Crlf),
-        lit("WARC-Record-ID: <urn:md5:"), md5(url), lit(">" + Crlf),
+        lit("WARC-Record-ID: <urn:md5:"), recId, lit(">" + Crlf),
         lit("Content-Type: application/http" + Crlf),
         lit("Content-Length: "), declaredLen.cast("string"),
         lit(BlankLine),
@@ -219,10 +226,17 @@ object WarcOps {
     * Map-side end to end after the member explode; callers checkpoint
     * (the frame feeds the funnel's six gate consumers).
     */
-  private[graft] def extractOf(members: DataFrame): DataFrame = {
+  private[graft] def extractOf(members: DataFrame): DataFrame =
+    extractFromValid(warcParseOn(members)
+      .filter(col("len_ok") === 1L && col("http_status") === "200"))
+
+  /** Envelope strip + URL key recovery + block-scored main content over
+    * any length-valid parsed-record frame carrying (url, payload) —
+    * the per-record extraction core, factored (r18) so the full and
+    * revisit-aware spines share one implementation.
+    */
+  private[graft] def extractFromValid(parsed: DataFrame): DataFrame = {
     import graft.operators.TextOps
-    val parsed = warcParseOn(members)
-      .filter(col("len_ok") === 1L && col("http_status") === "200")
     val httpHdr = substring_index(col("payload"), BlankLine, 1)
     val keyed = parsed.select(
       regexp_extract(col("url"), "^https://([^.]+)\\.example/", 1)
@@ -235,6 +249,89 @@ object WarcOps {
       .select(col("doc_id"), col("lang"), col("source"),
         col("main_text").as("text"))
   }
+
+  /** The revisit-planted spine input (r18): the same full-page members
+    * as [[plantedSpineMembers]] plus a SECOND capture of every
+    * `doc_id % 4 == 0` page — byte-identical payload, one month later
+    * (the q_cdx_revisit `% 4` shared-digest convention at the member
+    * layer: real crawls re-fetch unchanged pages constantly and archive
+    * the duplicates as revisit records).
+    */
+  private[graft] def plantedSpineMembersRevisit(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs0 = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val paged = graft.operators.TextOps.plantedPage(docs0)
+    warcMembersFrom(
+      plantedRecordsOf(paged, col("html"))
+        .unionByName(plantedRecordsOf(paged.filter(col("doc_id") % 4 === 0),
+          col("html"), capture = 2)))
+  }
+
+  /** Length-valid parsed records of the revisit-planted members —
+    * factored so the spec can measure capture rows vs distinct digests
+    * (the extraction-savings probe).
+    */
+  private[graft] def revisitValidRecords(spark: SparkSession,
+      dir: String): DataFrame =
+    warcParseOn(plantedSpineMembersRevisit(spark, dir))
+      .filter(col("len_ok") === 1L && col("http_status") === "200")
+
+  /** Revisit-aware extraction (r18): extract ONCE per distinct payload
+    * digest and fan the result out to captures — what a real Common
+    * Crawl reader does with revisit records (q_cdx_revisit MEASURES the
+    * collapse ratio; this exploits it). The winner per digest is the
+    * earliest capture via a min-struct aggregate (map-side combinable —
+    * a million-revisit page costs one struct per partition, never a
+    * rank window on a hot digest); the heavy block-scored extraction
+    * runs only on winners; the fan-out is one digest-keyed equi-join;
+    * capture-grain key recovery stays on each capture's OWN url, so two
+    * urls sharing bytes keep their identities. Identical twin captures
+    * of one url collapse at (digest, url) grain — the extracted corpus
+    * is exactly the full-extraction spine's, with measurably fewer
+    * extraction rows (the revisit share).
+    */
+  private[graft] def extractRevisitAware(valid: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    val withDigest = valid.withColumn("__digest", md5(col("payload")))
+    val winners = withDigest
+      .groupBy(col("__digest"))
+      .agg(min(struct(col("warc_date"), col("rec_id"), col("url"),
+        col("payload"))).as("__w"))
+      .select(col("__digest"), col("__w").getField("payload").as("payload"))
+    val httpHdr = substring_index(col("payload"), BlankLine, 1)
+    val mainByDigest = TextOps.htmlMainOn(
+        winners.select(col("__digest"),
+          col("payload").substr(length(httpHdr) + lit(5),
+            length(col("payload")) - length(httpHdr) - lit(4)).as("html")))
+      .select(col("__digest"), col("main_text").as("text"))
+    withDigest.select(col("__digest"), col("url")).distinct()
+      .join(mainByDigest, Seq("__digest"))
+      .select(
+        regexp_extract(col("url"), "/p([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        regexp_extract(col("url"), "\\.example/([^/]+)/p", 1).as("lang"),
+        regexp_extract(col("url"), "^https://([^.]+)\\.example/", 1)
+          .as("source"),
+        col("text"))
+  }
+
+  /** `q_archive_e2e_revisit` (r18): the archive→training spine over the
+    * REVISIT-PLANTED members with digest-collapsed extraction — the
+    * same 16-row shard plan as q_archive_e2e (the planted revisits are
+    * byte-identical re-crawls of existing pages, so the extracted
+    * corpus is unchanged; WarcSpec pins plan equality and the
+    * extraction-row savings), against the same closed-form oracle.
+    * Scale trade, documented: one extra digest-grain exchange (the
+    * winner aggregate + fan-out join) buys extraction work proportional
+    * to DISTINCT content instead of captures — on real crawls the
+    * revisit share is large, and block-scored extraction dominates the
+    * per-record cost.
+    */
+  def archiveE2eRevisit(spark: SparkSession, dir: String): DataFrame =
+    shardPlanOfSurvivors(
+      extractRevisitAware(revisitValidRecords(spark, dir))
+        .localCheckpoint(false))
 
   /** Funnel + shard-plan tail of the archive spine over any extracted
     * (doc_id, lang, source, text) corpus — factored so the spec can pin

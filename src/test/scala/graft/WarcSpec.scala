@@ -195,4 +195,27 @@ class WarcSpec extends AnyFunSuite {
     assert(nDocs > 0 && nDocs < nValid,
       s"funnel should keep some but not all: kept=$nDocs of $nValid")
   }
+
+  test("revisit-aware spine: same shard plan, extraction rows drop by the revisit share") {
+    // answers unchanged: the digest collapse + fan-out reproduces the
+    // full-extraction spine's plan bit for bit
+    val full = WarcOps.archiveE2e(spark, sf).collect().map(_.toSeq).toSeq
+    val revisit = WarcOps.archiveE2eRevisit(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(revisit == full)
+    // the savings are real and exactly the planted share: capture rows
+    // carry the % 4 twins, distinct digests (= extraction input) don't
+    val valid = WarcOps.revisitValidRecords(spark, sf).localCheckpoint()
+    val captures = valid.count()
+    val digests = valid.select(md5(col("payload"))).distinct().count()
+    val base = docs.filter(col("doc_id") % 13 =!= 7)
+    val expectedDigests = base.count()
+    val expectedCaptures = expectedDigests +
+      base.filter(col("doc_id") % 4 === 0).count()
+    assert(digests == expectedDigests,
+      s"one extraction per distinct page: $digests vs $expectedDigests")
+    assert(captures == expectedCaptures,
+      s"capture rows carry the revisits: $captures vs $expectedCaptures")
+    assert(digests < captures)
+  }
 }
