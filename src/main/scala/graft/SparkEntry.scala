@@ -149,6 +149,13 @@ object SparkEntry {
     // same shard plan, measurably fewer extraction rows (WarcSpec pins
     // both), same closed-form oracle
     "q_archive_e2e_revisit" -> ((s, d) => graft.sources.WarcOps.archiveE2eRevisit(s, d)),
+    // the FULL loop (r18): discover -> admit -> schedule -> fetch ->
+    // archive -> extract -> curate -> shard in ONE composed plan — the
+    // crawl plan's politeness-capped schedule crosses the injected
+    // fetch surface into WARC members and feeds the unchanged spine;
+    // the schedule side broadcasts (hosts x cap), the corpus never
+    // shuffles for the fetch join
+    "q_crawl_archive_e2e" -> ((s, d) => graft.sources.WarcOps.crawlArchiveE2e(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
@@ -729,7 +736,8 @@ object SparkEntry {
     "q_curate_ccnet_stored", "q_curate_multilang_stored", "q_archive_e2e",
     "q_archive_e2e_stream", "q_curate_e2e_lang_stored",
     "q_curate_e2e_verdict_stored", "q_export_verified",
-    "q_export_verified_stream", "q_archive_e2e_revisit")
+    "q_export_verified_stream", "q_archive_e2e_revisit",
+    "q_crawl_archive_e2e")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1112,6 +1120,59 @@ object SparkEntry {
          |ORDER BY d.doc_id ASC""".stripMargin
   }
 
+  /** The crawl-plan derivation as reusable CTEs ending at
+    * `r2(host, url, priority, status, cap, slot)` — sitemap candidates
+    * in closed form, the handwritten literal robots rules
+    * (longest-match + allow-tie), delay-shrunk caps, per-host rank.
+    * Shared by q_crawl_plan (which SELECTs the schedule) and the
+    * crawl→archive composition (which feeds the scheduled page ids
+    * into the archive spine, r18).
+    */
+  private def crawlPlanCtes: String =
+    """base AS (
+      |  SELECT source AS host, doc_id, lang,
+      |         try_cast(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 AS hc,
+      |         CAST((doc_id % 30) * (CASE lang WHEN 'en' THEN 5 WHEN 'fr' THEN 4
+      |                                         WHEN 'es' THEN 3 WHEN 'de' THEN 2 ELSE 1 END)
+      |              + n_chars % 7 AS BIGINT) AS p
+      |  FROM documents),
+      |cand AS (
+      |  SELECT host, hc,
+      |         'https://' || host || '/' || lang || '/p' || CAST(doc_id AS VARCHAR) AS url,
+      |         '/' || lang || '/p' || CAST(doc_id AS VARCHAR) AS path,
+      |         p AS priority, 'stale' AS status
+      |  FROM base
+      |  WHERE CAST('2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+      |        > (DATE '2026-02-01' - CAST(doc_id % 30 AS INT))
+      |  UNION ALL
+      |  SELECT host, hc,
+      |         'https://' || host || '/disc/p' || CAST(doc_id AS VARCHAR),
+      |         '/disc/p' || CAST(doc_id AS VARCHAR),
+      |         CAST(160 AS BIGINT), 'new'
+      |  FROM base WHERE doc_id % 5 = 0),
+      |rules(hc, allow, pat, plen) AS (VALUES
+      |  (0, false, '/de/%', 4), (0, false, '/zh/%', 4),
+      |  (1, false, '/%7', 4), (1, true, '/en/%', 4), (1, false, '/en%', 3),
+      |  (2, false, '/es/%', 4)),
+      |m AS (
+      |  SELECT c.host, c.hc, c.url, c.priority, c.status, r.allow, r.plen
+      |  FROM cand c LEFT JOIN rules r ON c.hc = r.hc AND c.path LIKE r.pat),
+      |mm AS (SELECT host, hc, url, priority, status, allow, plen,
+      |              max(plen) OVER (PARTITION BY host, url) AS best
+      |       FROM m),
+      |v AS (
+      |  SELECT host, hc, url, priority, status FROM mm
+      |  GROUP BY host, hc, url, priority, status, best
+      |  HAVING best IS NULL OR bool_or(allow AND plen = best)),
+      |delays(hc, delay) AS (VALUES (0, 2.0), (1, 3.0)),
+      |r2 AS (
+      |  SELECT v.host, v.url, v.priority, v.status,
+      |         least(CAST(8 AS BIGINT),
+      |               CAST(coalesce(floor(10.0 / d.delay), 8) AS BIGINT)) AS cap,
+      |         row_number() OVER (PARTITION BY v.host
+      |                            ORDER BY v.priority DESC, v.url ASC) AS slot
+      |  FROM v LEFT JOIN delays d ON v.hc = d.hc)""".stripMargin
+
   /** The verified-export manifest in closed form — per-shard totals,
     * id range, and the 48-bit md5-draw bit_xor content checksum over
     * the whole corpus. Shared by q_export_verified and its streaming
@@ -1149,11 +1210,21 @@ object SparkEntry {
     * streaming twin (ordered halves + the fixture's require()'d
     * zero-FP measurement make the folded shard log the batch answer).
     */
-  private def archiveE2eOracleSql: String =
-    (s"""WITH xraw AS (
-          |  SELECT doc_id, lang, source, text FROM documents
-          |  WHERE doc_id % 13 <> 7),
-          |""".stripMargin + htmlMainCtes("xraw") + ",\n" +
+  private def archiveE2eOracleSql: String = archiveSpineOracleSql(
+    """xraw AS (
+      |  SELECT doc_id, lang, source, text FROM documents
+      |  WHERE doc_id % 13 <> 7)""".stripMargin)
+
+  /** The archive spine's CTE chain parameterized on the `xraw` input
+    * corpus definition (r18): main-content extraction, lang-id, six
+    * gate flags, survivor shard plan — one builder serves the
+    * full-corpus spines AND the crawl-composed spine (whose xraw is the
+    * SCHEDULED subset). `prefixCtes` (each comma-terminated) precede
+    * xraw — the crawl composition threads its whole plan derivation in.
+    */
+  private def archiveSpineOracleSql(xrawCte: String,
+      prefixCtes: String = ""): String =
+    ("WITH " + prefixCtes + xrawCte + ",\n" + htmlMainCtes("xraw") + ",\n" +
         s"""|xdocs AS (
            |  SELECT doc_id, lang, source, main_text AS text FROM mt),
            |""".stripMargin + langIdCtesOn("xdocs") + ",\n" +
@@ -2581,6 +2652,25 @@ object SparkEntry {
     // pages and the digest collapse + (digest, url) fan-out returns the
     // full spine's corpus exactly — same closed form
     "q_archive_e2e_revisit" -> archiveE2eOracleSql,
+    // the crawl-plan CTEs thread straight into the spine's: scheduled
+    // page ids (both URL shapes canonicalize via /p<id>) subset the
+    // corpus, then the identical extraction/funnel/shard chain runs
+    // over the fetched pages — one chained-CTE mirror of the full loop
+    // MATERIALIZED on sched/xraw is load-bearing (the q_bpe_tokens
+    // lesson): the spine CTEs reference xraw many times, and DuckDB
+    // would otherwise re-inline the whole crawl-plan derivation into
+    // each reference (measured: 0.3 s materialized vs > 5 min inlined)
+    "q_crawl_archive_e2e" -> archiveSpineOracleSql(
+      """xraw AS MATERIALIZED (
+        |  SELECT d.doc_id, d.lang, d.source, d.text
+        |  FROM documents d JOIN sched USING (doc_id)
+        |  WHERE d.doc_id % 13 <> 7)""".stripMargin,
+      prefixCtes = crawlPlanCtes + """,
+        |sched AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(regexp_extract(url, '/p([0-9]+)$', 1)
+        |    AS BIGINT) AS doc_id
+        |  FROM r2 WHERE slot <= cap),
+        |""".stripMargin),
     // the manifest is closed-form from documents arithmetic; the engine
     // must round-trip the WRITE to produce it — any write-path byte slip
     // moves the bit_xor checksum
@@ -2676,52 +2766,10 @@ object SparkEntry {
     // the delay-capped per-host rank — one chained-CTE mirror of the
     // whole planning pass
     "q_crawl_plan" ->
-      """WITH base AS (
-        |  SELECT source AS host, doc_id, lang,
-        |         try_cast(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 AS hc,
-        |         CAST((doc_id % 30) * (CASE lang WHEN 'en' THEN 5 WHEN 'fr' THEN 4
-        |                                         WHEN 'es' THEN 3 WHEN 'de' THEN 2 ELSE 1 END)
-        |              + n_chars % 7 AS BIGINT) AS p
-        |  FROM documents),
-        |cand AS (
-        |  SELECT host, hc,
-        |         'https://' || host || '/' || lang || '/p' || CAST(doc_id AS VARCHAR) AS url,
-        |         '/' || lang || '/p' || CAST(doc_id AS VARCHAR) AS path,
-        |         p AS priority, 'stale' AS status
-        |  FROM base
-        |  WHERE CAST('2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
-        |        > (DATE '2026-02-01' - CAST(doc_id % 30 AS INT))
-        |  UNION ALL
-        |  SELECT host, hc,
-        |         'https://' || host || '/disc/p' || CAST(doc_id AS VARCHAR),
-        |         '/disc/p' || CAST(doc_id AS VARCHAR),
-        |         CAST(160 AS BIGINT), 'new'
-        |  FROM base WHERE doc_id % 5 = 0),
-        |rules(hc, allow, pat, plen) AS (VALUES
-        |  (0, false, '/de/%', 4), (0, false, '/zh/%', 4),
-        |  (1, false, '/%7', 4), (1, true, '/en/%', 4), (1, false, '/en%', 3),
-        |  (2, false, '/es/%', 4)),
-        |m AS (
-        |  SELECT c.host, c.hc, c.url, c.priority, c.status, r.allow, r.plen
-        |  FROM cand c LEFT JOIN rules r ON c.hc = r.hc AND c.path LIKE r.pat),
-        |mm AS (SELECT host, hc, url, priority, status, allow, plen,
-        |              max(plen) OVER (PARTITION BY host, url) AS best
-        |       FROM m),
-        |v AS (
-        |  SELECT host, hc, url, priority, status FROM mm
-        |  GROUP BY host, hc, url, priority, status, best
-        |  HAVING best IS NULL OR bool_or(allow AND plen = best)),
-        |delays(hc, delay) AS (VALUES (0, 2.0), (1, 3.0)),
-        |r2 AS (
-        |  SELECT v.host, v.url, v.priority, v.status,
-        |         least(CAST(8 AS BIGINT),
-        |               CAST(coalesce(floor(10.0 / d.delay), 8) AS BIGINT)) AS cap,
-        |         row_number() OVER (PARTITION BY v.host
-        |                            ORDER BY v.priority DESC, v.url ASC) AS slot
-        |  FROM v LEFT JOIN delays d ON v.hc = d.hc)
+      ("WITH " + crawlPlanCtes + """
         |SELECT host, CAST(slot AS BIGINT) AS slot, url, priority, status
         |FROM r2 WHERE slot <= cap
-        |ORDER BY host ASC, slot ASC""".stripMargin,
+        |ORDER BY host ASC, slot ASC""".stripMargin),
     // RFC 9309 admission + delay caps, re-derived from a HANDWRITTEN
     // literal rules table (host class = numeric suffix % 4, mirroring
     // RobotsOps.fixtureRobots): per (page, rule) LIKE match carrying the

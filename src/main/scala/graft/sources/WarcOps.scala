@@ -494,6 +494,48 @@ object WarcOps {
       .drop("batch_id"))
   }
 
+  /** `q_crawl_archive_e2e` (r18): the FULL loop — the last unjoined
+    * seam closed. [[graft.operators.FrontierOps.crawlPlan]] runs the
+    * whole planning pass (sitemap-index discovery → RFC 9309 admission
+    * → delay-capped politeness schedule), the schedule crosses the
+    * injected fetch surface into WARC response records (the
+    * q_crawl_sitemap body-injection convention: the fixture fetcher
+    * returns each scheduled page's planted full-page bytes; production
+    * swaps in [[CrawlOps.fetchPages]]), and the members feed the
+    * UNCHANGED archive spine: parse + length gate → envelope strip →
+    * main-content extraction → six-gate funnel → export shard plan.
+    * Discover → admit → schedule → fetch → archive → extract → curate
+    * → shard, one composed plan, fully oracled (every fragment is
+    * closed-form; the oracle threads the crawl-plan CTEs into the
+    * spine's).
+    *
+    * Page identity at the fetch boundary: the schedule names pages by
+    * URL (a known page at `/{lang}/p{id}`, a sitemap discovery at
+    * `/disc/p{id}`); the fetcher canonicalizes both to the page id —
+    * exactly the fetch-dedup any crawler runs — so a page scheduled as
+    * both refresh and discovery fetches once.
+    *
+    * Scale: the schedule is hosts × cap rows (bounded by politeness,
+    * never corpus-scale), so the fetch join BROADCASTS the scheduled
+    * ids against the corpus-side page store — the corpus never
+    * shuffles for the join; downstream is the spine's own profile
+    * (member assembly + funnel dedup exchanges on the FETCHED subset).
+    */
+  def crawlArchiveE2e(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{FrontierOps, TextOps}
+    val sched = FrontierOps.crawlPlan(spark, dir)
+    val ids = sched
+      .select(regexp_extract(col("url"), "/p([0-9]+)$", 1).cast("long")
+        .as("doc_id"))
+      .distinct()
+    val fetched = Tables.documents(spark, dir)
+      .join(broadcast(ids), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val members = warcMembersFrom(plantedRecordsOf(
+      TextOps.plantedPage(fetched), col("html")))
+    shardPlanOfSurvivors(extractOf(members).localCheckpoint(false))
+  }
+
   /** `q_wat_links`: WAT-style link extraction — per page, every anchor
     * tag parsed to (position, href, anchor text). This is the stage
     * between the archive and the link family ([[graft.operators.LinkOps]]

@@ -218,4 +218,30 @@ class WarcSpec extends AnyFunSuite {
       s"capture rows carry the revisits: $captures vs $expectedCaptures")
     assert(digests < captures)
   }
+
+  test("crawl→archive: the composed plan is the spine over exactly the fetched schedule") {
+    import graft.operators.{FrontierOps, TextOps}
+    val composed = WarcOps.crawlArchiveE2e(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // reference: derive the scheduled page ids from the plan the same
+    // way the fetch boundary does, then run the spine directly over
+    // that subset — the composition must add or lose nothing
+    val sched = FrontierOps.crawlPlan(spark, sf)
+    val ids = sched.select(regexp_extract(col("url"), "/p([0-9]+)$", 1)
+      .cast("long").as("doc_id")).distinct().localCheckpoint()
+    val subset = docs.join(ids, Seq("doc_id"))
+      .filter(col("doc_id") % 13 =!= 7)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val xdocs = TextOps.htmlMainOn(TextOps.plantedPage(subset))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("main_text").as("text"))
+      .localCheckpoint(false)
+    val ref = WarcOps.shardPlanOfSurvivors(xdocs).collect().map(_.toSeq).toSeq
+    assert(composed == ref)
+    // the schedule is a real restriction (politeness caps bind) and the
+    // fetch boundary dedups refresh + discovery of the same page
+    assert(ids.count() > 0 && ids.count() < docs.count())
+    assert(ids.count() <= sched.count())
+    assert(composed.nonEmpty)
+  }
 }
