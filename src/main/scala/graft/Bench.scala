@@ -23,6 +23,22 @@ object Bench {
     s"""{"load_avg":$load,"mem_available_kb":$memAvailKb,"cpus":$cpus}"""
   }
 
+  /** The pinned CALIBRATION set (r18, VERDICT task 4): five untouched,
+    * cache-stable entries spanning scan/join/agg/window shapes, each
+    * ≥ 0.25 s at sf0.1 on the reference box (scheduler noise lives
+    * below 0.2 s). Bench times them FIRST and LAST around the headline
+    * passes and emits both into the envelope, so `tools/bench_diff.py`
+    * can compute a machine-speed factor between two rounds from the
+    * SAME queries' drift — making the "is this regression code or
+    * environment" argument mechanical instead of hand-made each round.
+    * Do not edit these entries' operators lightly: a code change to a
+    * calibration query silently biases the factor (bench_diff prints
+    * the per-query calibration ratios so a lone outlier is visible).
+    */
+  private[graft] val calibrationQueries: Seq[String] = Seq(
+    "q_tpch_q3", "q_tpch_q18", "q_window_rank", "q_dedup_exact",
+    "q_grouping_sets")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -57,13 +73,30 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    // calibration pass: best of two reps per pinned query (they are all
+    // in benchQueries, so the warmup above already JIT'd them)
+    def calPass(): Map[String, Double] = calibrationQueries.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> t
+    }.toMap
+    val calFirst = calPass()
     val passes = Seq(timedPass(), timedPass(), timedPass())
+    val calLast = calPass()
     val results = passes.head.map { case (k, _) => k -> passes.map(_(k)).min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    def calJson(m: Map[String, Double]): String = calibrationQueries
+      .map(k => s"\"" + k + "\":" + m(k)).mkString("{", ",", "}")
+    // calibration rides LAST on the line: the driver keeps only a
+    // 2000-char stdout TAIL, so trailing keys are the ones that survive
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","env":${envJson()}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","env":${envJson()},"calibration":{"first":${calJson(calFirst)},"last":${calJson(calLast)}}}"""
     println(json)
     // The driver captures only a 2000-char stdout tail, which truncates a
     // third of the headline set — persist the SAME line to a repo file so

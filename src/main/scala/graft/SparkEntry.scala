@@ -237,7 +237,14 @@ object SparkEntry {
     "q_term_heavyhitters" -> ((s, d) => TextAnalysisOps.heavyHitterTerms(s, d)),
     // TRAINED quality classifier (fastText-lineage): distributed GD on
     // heuristic-gate labels, broadcast-weights scoring; rows-only (fp
-    // training is engine-native), learnability + determinism test-pinned
+    // training is engine-native), learnability + determinism test-pinned.
+    // An oracle flip via fixed-point weight updates was EVALUATED and
+    // rejected (r18, VERDICT task 6): the features come from the
+    // xxhash64 embed kernel (not SQL-expressible — the q_embed_batch
+    // class), and the sigmoid trajectory is transcendental, so an
+    // integer-scaled mirror would have to replace exp() with a rational
+    // approximation on BOTH engines — changing the operator to fit the
+    // oracle rather than oracling the operator
     "q_quality_lr" -> ((s, d) => MlOps.qualityLrFixture(s, d)),
     // XLM-R-style temperature mixing: per-source keep rates learned from
     // measured domain sizes (α = 0.5), applied map-side

@@ -27,6 +27,14 @@ class WarcSpec extends AnyFunSuite {
     assert(WarcOps.warcMembersOf(big).count() == 3L)
     // and the parse still recovers every record across the split
     assert(WarcOps.warcParseOn(WarcOps.warcMembersOf(big)).count() == 2500L)
+    // the skew-immunity mechanism itself (r18, SpineScale's host-skew
+    // probe pins the timings; this pins the structure): one host owning
+    // EVERY record still never grows a member past its 1000-record
+    // chunk — member rows are bounded by the grain, not the host
+    val maxRecs = WarcOps.warcMembersOf(big)
+      .select((size(split(col("warc"), "WARC/1\\.0\r\n")) - 1).as("r"))
+      .agg(max(col("r"))).head().getInt(0)
+    assert(maxRecs == 1000)
   }
 
   test("headers parse back to the planted values") {
