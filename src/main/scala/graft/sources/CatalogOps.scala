@@ -2943,6 +2943,46 @@ object CatalogOps {
       .localCheckpoint()
   }
 
+  /** Fold the streaming export's per-batch partitions (r18): a live
+    * ingest accretes one `(shard, batch_id)` partition set per
+    * micro-batch — correct (the batch grain is what makes replays
+    * idempotent) but small-files-shaped over time. This maintenance
+    * fold rewrites every COMMITTED batch (batch_id present in the
+    * manifest log — those are exactly the batches the replay guard
+    * skips, so their partitions never rewrite again) into the
+    * watermark batch's partitions, one file per shard, while any
+    * mid-crash-window batch (docs written, log row missing) keeps its
+    * own partitions untouched so its replay still overwrites exactly
+    * what it originally wrote. Row set, manifest, and checksum are
+    * unchanged by construction ([[exportVerifiedStreamServe]] serves
+    * identical bytes pre/post — ExportSpec pins it, replay storm
+    * included); same staging-table swap as [[compactWinhashes]].
+    */
+  def compactExportShards(spark: SparkSession, db: String,
+      name: String): Unit = {
+    import org.apache.spark.sql.functions._
+    if (!spark.catalog.tableExists(s"$db.$name") ||
+        !spark.catalog.tableExists(s"$db.${name}__manifestlog")) return
+    val logged = spark.table(s"`$db`.`${name}__manifestlog`")
+      .select(col("batch_id")).distinct()
+    val r = logged.agg(max(col("batch_id"))).head()
+    if (r.isNullAt(0)) return
+    val watermark = r.getLong(0)
+    val docs = spark.table(s"`$db`.`$name`")
+    val folded = docs.join(logged, Seq("batch_id"))
+      .withColumn("batch_id", lit(watermark))
+      .unionByName(docs.join(logged, Seq("batch_id"), "left_anti"))
+      .select(col("doc_id"), col("text"), col("shard"), col("batch_id"))
+      .repartition(16, col("shard"))
+    val staging = s"`$db`.`__${name}_compact_staging`"
+    folded.write.mode("overwrite").saveAsTable(staging)
+    try spark.table(staging)
+      .write.mode("overwrite").partitionBy("shard", "batch_id")
+      .saveAsTable(s"`$db`.`$name`")
+    finally spark.sql(s"DROP TABLE IF EXISTS $staging")
+    spark.catalog.refreshTable(s"`$db`.`$name`")
+  }
+
   /** Serve the streaming verified export: recompute the manifest FROM
     * THE WRITTEN TABLE (one scan — the deliberate verification cost,
     * exactly [[exportShardedVerified]]'s arithmetic), fold the

@@ -468,6 +468,52 @@ class ExportSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "sexpbatch2")
   }
 
+  test("export compaction folds committed batches, serve and replay unchanged") {
+    import graft.sources.CatalogOps
+    val db = "sexpcompact"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val n = docs.count()
+    Seq(0L, 1L).foreach { bid =>
+      val half = if (bid == 0L) docs.filter(col("doc_id") < n / 2)
+        else docs.filter(col("doc_id") >= n / 2)
+      CatalogOps.exportIncrementalBatch(spark, db, "docs", half, bid)
+        .withColumn("batch_id", lit(bid))
+        .write.mode("append").saveAsTable(s"`$db`.`docs__manifestlog`")
+    }
+    val before = CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq
+    val partsBefore = spark.sql(s"SHOW PARTITIONS `$db`.`docs`").count()
+    CatalogOps.compactExportShards(spark, db, "docs")
+    // every committed batch folded into the watermark partition set:
+    // 16 shards x 2 batches -> 16 shards x 1 batch
+    val partsAfter = spark.sql(s"SHOW PARTITIONS `$db`.`docs`").count()
+    assert(partsBefore == 32L && partsAfter == 16L,
+      s"partitions $partsBefore -> $partsAfter")
+    // serve reads identical bytes: manifest, id ranges, checksums all
+    // reconcile against the UNchanged log
+    val after = CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before)
+    // replay storm post-compaction: batch 0 is in the log, so the
+    // guard skips it — the folded layout is never re-fragmented
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = docs.filter(col("doc_id") < n / 2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingVerifiedExport(
+      in.toDF.toDF("doc_id", "text"), db, "docs")
+    try { in.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    assert(spark.sql(s"SHOW PARTITIONS `$db`.`docs`").count() == 16L)
+    assert(CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq == before)
+    CatalogOps.dropDatabase(spark, db)
+  }
+
   test("repartitioned export: same manifest, one file per shard directory") {
     import graft.sources.CatalogOps
     val docs = Tables.documents(spark, sf)
