@@ -54,6 +54,17 @@ object SpineScale {
         while (toks.size < 40) toks += vocab(rnd.nextInt(vocab.length))
         (id, "en", host, toks.mkString(" "))
       }.toDF("doc_id", "lang", "source", "text")
+    // untimed warmup at n/4 absorbs JIT + codegen compilation so the
+    // uniform-first measured ordering is not flattered by warm hot runs
+    locally {
+      val w = gen(0).limit(n / 4).cache(); w.count()
+      val m = WarcOps.warcMembersFrom(WarcOps.plantedRecordsOf(
+        TextOps.plantedPage(w), col("html"))).cache()
+      WarcOps.shardPlanOfSurvivors(
+        WarcOps.extractOf(m).localCheckpoint()).collect()
+      m.unpersist(); w.unpersist()
+      println(s"[spinescale] warmup done (n=${n / 4} uniform, untimed)")
+    }
     Seq(("uniform (50 hosts)", 0), ("hot-1x (one host, 50%)", 2),
         ("hot-10x (one host, ~91%)", 11)).foreach { case (tag, hotEvery) =>
       val docs = gen(hotEvery).cache(); docs.count()
