@@ -522,18 +522,28 @@ object WarcOps {
     * (member assembly + funnel dedup exchanges on the FETCHED subset).
     */
   def crawlArchiveE2e(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{FrontierOps, TextOps}
-    val sched = FrontierOps.crawlPlan(spark, dir)
+    import graft.operators.TextOps
+    val members = warcMembersFrom(plantedRecordsOf(
+      TextOps.plantedPage(fetchedSpineDocs(spark, dir)), col("html")))
+    shardPlanOfSurvivors(extractOf(members).localCheckpoint(false))
+  }
+
+  /** The composed loop's fetch stage: scheduled page ids (both URL
+    * shapes canonicalize via /p<id> — the fetch-dedup) pulled against
+    * the corpus-side page store with the schedule BROADCAST — factored
+    * so WarcSpec can pin the broadcast on the pre-checkpoint plan (the
+    * final frame's executedPlan starts at the checkpoint boundary).
+    */
+  private[graft] def fetchedSpineDocs(spark: SparkSession,
+      dir: String): DataFrame = {
+    val sched = graft.operators.FrontierOps.crawlPlan(spark, dir)
     val ids = sched
       .select(regexp_extract(col("url"), "/p([0-9]+)$", 1).cast("long")
         .as("doc_id"))
       .distinct()
-    val fetched = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .join(broadcast(ids), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
-    val members = warcMembersFrom(plantedRecordsOf(
-      TextOps.plantedPage(fetched), col("html")))
-    shardPlanOfSurvivors(extractOf(members).localCheckpoint(false))
   }
 
   /** `q_wat_links`: WAT-style link extraction — per page, every anchor

@@ -251,5 +251,14 @@ class WarcSpec extends AnyFunSuite {
     assert(ids.count() > 0 && ids.count() < docs.count())
     assert(ids.count() <= sched.count())
     assert(composed.nonEmpty)
+    // the scale claim is plan-pinned, not prose: the fetch join
+    // BROADCASTS the hosts x cap schedule side — the corpus never
+    // shuffles to meet it (pinned on the pre-checkpoint fetch stage;
+    // the composed frame's executedPlan starts at the checkpoint)
+    val plan = WarcOps.fetchedSpineDocs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      "fetch join must broadcast the scheduled ids")
   }
 }
