@@ -149,6 +149,13 @@ object SparkEntry {
     // same shard plan, measurably fewer extraction rows (WarcSpec pins
     // both), same closed-form oracle
     "q_archive_e2e_revisit" -> ((s, d) => graft.sources.WarcOps.archiveE2eRevisit(s, d)),
+    // the revisit spine as a STREAM (r18): extraction is STORE-BACKED
+    // across micro-batches — digest the batch, anti-join the maintained
+    // xtexts store, extract only never-seen digests, fold the capture
+    // corpus from store + new; an unchanged page re-fetched in every
+    // crawl extracts exactly once, ever. Same oracle as the batch spine
+    "q_archive_e2e_revisit_stream" -> ((s, d) =>
+      graft.sources.WarcOps.archiveRevisitStreamFixture(s, d)),
     // the FULL loop (r18): discover -> admit -> schedule -> fetch ->
     // archive -> extract -> curate -> shard in ONE composed plan — the
     // crawl plan's politeness-capped schedule crosses the injected
@@ -744,7 +751,7 @@ object SparkEntry {
     "q_archive_e2e_stream", "q_curate_e2e_lang_stored",
     "q_curate_e2e_verdict_stored", "q_export_verified",
     "q_export_verified_stream", "q_archive_e2e_revisit",
-    "q_crawl_archive_e2e")
+    "q_crawl_archive_e2e", "q_archive_e2e_revisit_stream")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2659,6 +2666,10 @@ object SparkEntry {
     // pages and the digest collapse + (digest, url) fan-out returns the
     // full spine's corpus exactly — same closed form
     "q_archive_e2e_revisit" -> archiveE2eOracleSql,
+    // the store changes WHERE a text comes from, never what it is
+    // (digests are content addresses); ordered halves + require()'d
+    // zero-FP carry the stream-oracle argument unchanged
+    "q_archive_e2e_revisit_stream" -> archiveE2eOracleSql,
     // the crawl-plan CTEs thread straight into the spine's: scheduled
     // page ids (both URL shapes canonicalize via /p<id>) subset the
     // corpus, then the identical extraction/funnel/shard chain runs

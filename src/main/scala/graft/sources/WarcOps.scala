@@ -258,9 +258,15 @@ object WarcOps {
     * the duplicates as revisit records).
     */
   private[graft] def plantedSpineMembersRevisit(spark: SparkSession,
-      dir: String): DataFrame = {
-    val docs0 = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      dir: String): DataFrame =
+    plantedSpineMembersRevisitOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text")))
+
+  /** The revisit member builder over ANY (doc_id, lang, source, text)
+    * frame — the streaming fixture feeds doc_id-ordered halves.
+    */
+  private[graft] def plantedSpineMembersRevisitOf(
+      docs0: DataFrame): DataFrame = {
     val paged = graft.operators.TextOps.plantedPage(docs0)
     warcMembersFrom(
       plantedRecordsOf(paged, col("html"))
@@ -423,6 +429,154 @@ object WarcOps {
           row_number().over(w) > 1)).cast("long"))
       .select(col("doc_id"), col("f_dedup"))
     survivorShardPartials(xdocs, evalNg, ded).localCheckpoint()
+  }
+
+  /** STORE-BACKED revisit-aware extraction for the STREAMING spine
+    * (r18): a live CC reader sees the same payload digests across
+    * micro-batches (revisits of unchanged pages arrive in every
+    * crawl), so extraction should run once per digest ACROSS the
+    * stream, not once per batch-local digest. This maintains a
+    * `{name}__xtexts` (digest → extracted main text) store: per batch,
+    * digest the valid records, anti-join against the store, run the
+    * heavy block-scored extraction ONLY on never-seen digests, append
+    * them, and fold the batch's capture-grain corpus from store ∪ new.
+    *
+    * Replay safety needs no log: the anti-join makes a replayed append
+    * a no-op (its digests are already stored), and if a crash landed
+    * between the append and the shard-partials commit, the replay
+    * simply finds everything stored and re-emits identical partials —
+    * texts are content-addressed by digest, so a double-write could
+    * only ever write the same bytes (the read side still folds
+    * min-per-digest so even that is deterministic).
+    *
+    * Scale: the store is DISTINCT-CONTENT-sized (the whole point); the
+    * anti-join and fan-out join are digest-keyed equi-joins; the
+    * winner aggregate is the same combinable min-struct as the batch
+    * revisit path.
+    */
+  private[graft] def revisitXdocsOf(members: DataFrame, db: String,
+      name: String): DataFrame = {
+    import graft.operators.TextOps
+    val spark = members.sparkSession
+    val xt = s"`$db`.`${name}__xtexts`"
+    val valid = warcParseOn(members)
+      .filter(col("len_ok") === 1L && col("http_status") === "200")
+      .withColumn("__digest", md5(col("payload")))
+      .localCheckpoint()
+    val winners = valid
+      .groupBy(col("__digest"))
+      .agg(min(struct(col("warc_date"), col("rec_id"), col("url"),
+        col("payload"))).as("__w"))
+      .select(col("__digest"), col("__w").getField("payload").as("payload"))
+    val newWinners =
+      if (spark.catalog.tableExists(s"$db.${name}__xtexts"))
+        winners.join(spark.table(xt).select(col("__digest")),
+          Seq("__digest"), "left_anti")
+      else winners
+    val httpHdr = substring_index(col("payload"), BlankLine, 1)
+    TextOps.htmlMainOn(
+        newWinners.select(col("__digest"),
+          col("payload").substr(length(httpHdr) + lit(5),
+            length(col("payload")) - length(httpHdr) - lit(4)).as("html")))
+      .select(col("__digest"), col("main_text").as("text"))
+      .write.mode("append").saveAsTable(xt)
+    spark.catalog.refreshTable(xt)
+    val texts = spark.table(xt)
+      .groupBy(col("__digest")).agg(min(col("text")).as("text"))
+    valid.select(col("__digest"), col("url")).distinct()
+      .join(texts, Seq("__digest"))
+      .select(
+        regexp_extract(col("url"), "/p([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        regexp_extract(col("url"), "\\.example/([^/]+)/p", 1).as("lang"),
+        regexp_extract(col("url"), "^https://([^.]+)\\.example/", 1)
+          .as("source"),
+        col("text"))
+      .localCheckpoint()
+  }
+
+  /** `q_archive_e2e_revisit_stream` (r18): the revisit-planted members
+    * fed in two doc_id-ordered halves through store-backed extraction
+    * ([[revisitXdocsOf]]) + the standard incremental gate battery
+    * ([[archiveIncrementalBatch]]), served by folding the shard log.
+    * FULLY ORACLED against the batch spine's SQL — the extraction
+    * store changes WHERE a text comes from, never what it is (digests
+    * are content addresses), and the ordered halves + require()'d
+    * zero-FP bloom measurement carry the r17 stream-oracle argument
+    * unchanged. The build also require()s the extraction-savings
+    * invariant: the store holds exactly one row per distinct digest.
+    */
+  def archiveRevisitStreamFixture(spark: SparkSession,
+      dir: String): DataFrame = {
+    import graft.operators.TextAnalysisOps
+    val db = "graft_archrevstream"
+    val name = "docs"
+    this.synchronized {
+      val metaTbl = s"`$db`.`${name}__shardsmeta`"
+      if (!spark.catalog.tableExists(s"$db.${name}__shardsmeta")) {
+        CatalogOps.createDatabase(spark, db)
+        Seq(s"${name}__shards", s"${name}__xtexts", s"${name}__bloom",
+          s"${name}__bloommeta", s"${name}__shardsmeta")
+          .foreach(graft.operators.KnnOps.dropTableAndDir(spark, db, _))
+        import spark.implicits._
+        CatalogOps.createBloomStore(spark, db, name,
+          Seq.empty[String].toDF("__h"), "__h", expectedKeys = 16384L)
+        val docs0 = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        // the static decontamination side input — same eval set as the
+        // batch spine (a benchmark suite is known up front)
+        val evalNg = TextAnalysisOps
+          .ngramSet(extractOf(plantedSpineMembers(spark, dir))
+            .filter(col("source") === "src19"))
+          .localCheckpoint(false)
+        val n = docs0.count()
+        var h1x: DataFrame = null
+        Seq(0L, 1L).foreach { bid =>
+          val half = if (bid == 0L) docs0.filter(col("doc_id") < n / 2)
+            else docs0.filter(col("doc_id") >= n / 2)
+          val xdocs = revisitXdocsOf(
+            plantedSpineMembersRevisitOf(half), db, name)
+          if (bid == 0L) {
+            h1x = xdocs
+          } else {
+            // zero-FP guarantee behind the batch-equality oracle
+            val fps = CatalogOps.probeBloomStore(spark, db, name,
+                xdocs.select(md5(col("text")).as("__h")).distinct(), "__h")
+              .join(h1x.select(md5(col("text")).as("__h")).distinct(),
+                Seq("__h"), "left_anti")
+              .count()
+            require(fps == 0L,
+              s"revisit stream fixture: $fps bloom false positive(s) at " +
+                "expectedKeys=16384 — the served shard plan would drift " +
+                "from the batch oracle; raise the store capacity")
+          }
+          archiveIncrementalBatch(xdocs, evalNg, db, name)
+            .withColumn("batch_id", lit(bid))
+            .write.mode("append").saveAsTable(s"`$db`.`${name}__shards`")
+          TextAnalysisOps.funnelAdvanceBloom(xdocs, db, name)
+        }
+        // the savings invariant: one stored extraction per distinct
+        // digest across the whole stream (the %4 twins and any
+        // cross-batch repeats never re-extracted)
+        val stored = spark.table(s"`$db`.`${name}__xtexts`").count()
+        val distinctDigests = spark.table(s"`$db`.`${name}__xtexts`")
+          .select(col("__digest")).distinct().count()
+        require(stored == distinctDigests,
+          s"extraction store holds $stored rows for $distinctDigests " +
+            "digests — the anti-join idempotence invariant broke")
+        spark.createDataFrame(Seq(Tuple1(2L))).toDF("expected_batches")
+          .write.mode("overwrite").saveAsTable(metaTbl)
+      }
+      val expected = spark.table(metaTbl).head().getLong(0)
+      val logged = spark.table(s"`$db`.`${name}__shards`")
+        .select(col("batch_id")).distinct().count()
+      require(logged == expected,
+        s"revisit stream fixture `$db.$name` is corrupt: marker promises " +
+          s"$expected batches, log has $logged — drop the `$db` database " +
+          "to rebuild")
+    }
+    shardReportOf(spark.table(s"`$db`.`${name}__shards`")
+      .drop("batch_id"))
   }
 
   /** `q_archive_e2e_stream` (r17): the archive→training spine as a

@@ -251,6 +251,48 @@ object StreamingOps {
     q
   }
 
+  /** STREAMING revisit-aware archive spine (r18): like
+    * [[streamingArchiveSpine]] but extraction is STORE-BACKED — each
+    * micro-batch digests its valid records, anti-joins the maintained
+    * `{name}__xtexts` store, block-score-extracts ONLY never-seen
+    * digests, and folds its capture corpus from store ∪ new
+    * ([[graft.sources.WarcOps.revisitXdocsOf]]) before the standard
+    * bloom first-arrival + gate battery + shard-partials append. Across
+    * a stream of real crawls this is where the revisit collapse pays:
+    * an unchanged page re-fetched in every crawl extracts exactly once,
+    * ever. Replay safety: the store append is idempotent by anti-join
+    * (content-addressed digests), the partials log keeps the batch_id
+    * guard, the bloom advance is OR-idempotent.
+    */
+  def streamingArchiveRevisitSpine(memberStream: DataFrame,
+      evalDocs: DataFrame, db: String, name: String): StreamingQuery = {
+    import graft.operators.TextAnalysisOps
+    import graft.sources.WarcOps
+    val evalNg = TextAnalysisOps.ngramSet(evalDocs).cache()
+    val q = memberStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions.{col, lit}
+          val spark = batch.sparkSession
+          val xdocs = WarcOps.revisitXdocsOf(batch.toDF(), db, name)
+          val replayed = spark.catalog.tableExists(s"$db.${name}__shards") &&
+            !spark.table(s"`$db`.`${name}__shards`")
+              .filter(col("batch_id") === batchId).isEmpty
+          if (!replayed) {
+            WarcOps.archiveIncrementalBatch(xdocs, evalNg, db, name)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append")
+              .saveAsTable(s"`$db`.`${name}__shards`")
+          }
+          TextAnalysisOps.funnelAdvanceBloom(xdocs, db, name)
+        }
+      }
+      .start()
+    releaseOnTermination(memberStream.sparkSession, q, () => { evalNg.unpersist(); () })
+    q
+  }
+
   /** STREAMING verified export (r18 — the live composition of the r17
     * batch export and the shard-partials discipline): each micro-batch
     * of (doc_id, text) documents lands in the shard-partitioned

@@ -180,6 +180,57 @@ class WarcSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, db)
   }
 
+  test("streaming revisit spine: store-backed extraction ≡ batch spine, once per digest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val db = "sarchrevdb"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    CatalogOps.createBloomStore(spark, db, "docs",
+      Seq.empty[String].toDF("__h"), "__h", expectedKeys = 16384L)
+    val n = Tables.documents(spark, sf).count()
+    def membersOf(half: org.apache.spark.sql.Column) =
+      WarcOps.plantedSpineMembersRevisitOf(
+          Tables.documents(spark, sf).filter(half)
+            .select(col("doc_id"), col("lang"), col("source"), col("text")))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+    val (b0, b1) = (membersOf(col("doc_id") < n / 2),
+      membersOf(col("doc_id") >= n / 2))
+    val evalDocs = WarcOps.extractOf(WarcOps.plantedSpineMembers(spark, sf))
+      .filter(col("source") === "src19").localCheckpoint()
+    val in = MemoryStream[(String, String)]
+    val q = StreamingOps.streamingArchiveRevisitSpine(
+      in.toDF.toDF("host", "warc"), evalDocs, db, "docs")
+    try {
+      in.addData(b0.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def served() = WarcOps.shardReportOf(
+      spark.table(s"`$db`.`docs__shards`").drop("batch_id"))
+      .collect().map(_.toSeq).toSeq
+    val batch = WarcOps.archiveE2e(spark, sf).collect().map(_.toSeq).toSeq
+    assert(served() == batch)
+    // extraction ran once per distinct digest across the WHOLE stream:
+    // the store holds exactly the valid page count, not captures
+    val stored = spark.table(s"`$db`.`docs__xtexts`")
+    val nValid = docs.filter(col("doc_id") % 13 =!= 7).count()
+    assert(stored.count() == nValid)
+    assert(stored.select(col("__digest")).distinct().count() == nValid)
+    // redelivery storm: a fresh query replaying batch 0 changes
+    // neither the store (anti-join idempotence) nor the log (guard)
+    val in2 = MemoryStream[(String, String)]
+    val q2 = StreamingOps.streamingArchiveRevisitSpine(
+      in2.toDF.toDF("host", "warc"), evalDocs, db, "docs")
+    try {
+      in2.addData(b0.toIndexedSeq: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(served() == batch)
+    assert(spark.table(s"`$db`.`docs__xtexts`").count() == nValid)
+    CatalogOps.dropDatabase(spark, db)
+  }
+
   test("archive e2e: the WARC round-trip is lossless (archive path ≡ direct extraction)") {
     import graft.operators.TextOps
     val viaArchive = WarcOps.archiveE2e(spark, sf).collect().map(_.toSeq).toSeq
