@@ -37,6 +37,7 @@ object SpineScale {
 
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 30000
+    if (args.length > 1 && args(1) == "hotdigest") { hotDigestRun(n); return }
     val spark = benchSession()
     import spark.implicits._
     import graft.operators.TextOps
@@ -92,6 +93,63 @@ object SpineScale {
         WarcOps.shardPlanOfSurvivors(extracted).collect().length
       }
       members.unpersist(); docs.unpersist()
+    }
+    spark.stop()
+  }
+
+  /** `hotdigest` mode (r18): the revisit path's one new join shape is
+    * the digest-keyed fan-out (captures ⋈ extracted-text). Its
+    * pathology is a MEGA-DUP page — identical bytes served from many
+    * URLs — which concentrates 50% of all capture rows on ONE digest
+    * key. The winner aggregate is combinable (safe by construction);
+    * this measures the fan-out join under that key, uniform vs hot,
+    * plus a 10× hotter (~91%) variant. AQE's skew-join split is the
+    * mechanism under test (the build side is one row per digest; the
+    * probe side partition is what must split).
+    */
+  private def hotDigestRun(n: Int): Unit = {
+    val spark = benchSession()
+    import spark.implicits._
+    import graft.operators.TextOps
+    import graft.sources.WarcOps
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 10000).map(i => s"w$i")
+    val boiler = (0 until 40).map(i => s"w$i").mkString(" ")
+    def gen(hotEvery: Int) =
+      (0L until n.toLong).map { id =>
+        val text =
+          if (hotEvery > 0 && id % hotEvery != hotEvery - 1) boiler
+          else {
+            val toks = collection.mutable.LinkedHashSet.empty[String]
+            while (toks.size < 40) toks += vocab(rnd.nextInt(vocab.length))
+            toks.mkString(" ")
+          }
+        (id, "en", s"src${id % 50}", text)
+      }.toDF("doc_id", "lang", "source", "text")
+    // untimed warmup
+    locally {
+      val w = gen(0).limit(n / 4).cache(); w.count()
+      WarcOps.extractRevisitAware(WarcOps.warcParseOn(
+          WarcOps.plantedSpineMembersRevisitOf(w))
+        .filter(col("len_ok") === 1L && col("http_status") === "200"))
+        .count()
+      w.unpersist()
+      println(s"[spinescale] hotdigest warmup done (n=${n / 4}, untimed)")
+    }
+    Seq(("uniform", 0), ("hot-1x (one digest, 50%)", 2),
+        ("hot-10x (one digest, ~91%)", 11)).foreach { case (tag, hotEvery) =>
+      val docs = gen(hotEvery).cache(); docs.count()
+      val valid = WarcOps.warcParseOn(
+          WarcOps.plantedSpineMembersRevisitOf(docs))
+        .filter(col("len_ok") === 1L && col("http_status") === "200")
+        .localCheckpoint()
+      val out = timed(s"hotdigest n=$n $tag  digest-collapse+fanout") {
+        WarcOps.extractRevisitAware(valid).count()
+      }
+      val digests = valid.select(md5(col("payload"))).distinct().count()
+      println(s"[spinescale]   capture-grain rows out: $out, " +
+        s"distinct digests extracted: $digests")
+      docs.unpersist()
     }
     spark.stop()
   }
