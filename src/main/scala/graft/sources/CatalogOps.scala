@@ -2917,7 +2917,15 @@ object CatalogOps {
       val prev = spark.conf.getOption(k)
       spark.conf.set(k, "dynamic")
       // insertInto is positional: data columns first, partition columns
-      // (shard, batch_id) last — matching the create above
+      // (shard, batch_id) last — matching the create above. The dynamic
+      // mode must ride the SESSION conf (set-and-restore): the writer
+      // option `partitionOverwriteMode` is documented for datasource
+      // `save` paths but is NOT honored by insertInto on a catalog
+      // table — measured here as static semantics silently wiping every
+      // other batch's partitions (ExportSpec's crash-window test
+      // catches exactly this). The mutation window is one micro-batch
+      // write inside foreachBatch, which Structured Streaming
+      // serializes per query.
       try batch.select(col("doc_id"), col("text"), col("shard"),
           col("batch_id"))
         .write.mode("overwrite").insertInto(s"`$db`.`$name`")
