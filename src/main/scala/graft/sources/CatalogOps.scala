@@ -2903,11 +2903,19 @@ object CatalogOps {
     * window (the trainer reads prune on `shard` either way).
     */
   def exportIncrementalBatch(spark: SparkSession, db: String, name: String,
-      docs: DataFrame, batchId: Long): DataFrame = {
+      docs: DataFrame, batchId: Long, repartitionTasks: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions._
-    val batch = docs.select(col("doc_id"), col("text"))
+    // repartitionTasks > 0 bounds the batch's file fan-out exactly like
+    // the batch export's knob: without it every task opens every shard
+    // directory (tasks × shards files PER BATCH — measured 8192 files
+    // at 16 batches on local[32], `graft.ExportScale`); with it each
+    // task writes one directory, one file per (shard, batch)
+    val keyed = docs.select(col("doc_id"), col("text"))
       .withColumn("shard", exportShardCol)
       .withColumn("batch_id", lit(batchId))
+    val batch =
+      if (repartitionTasks > 0) keyed.repartition(repartitionTasks, col("shard"))
+      else keyed
     if (!spark.catalog.tableExists(s"$db.$name")) {
       createDatabase(spark, db)
       batch.write.partitionBy("shard", "batch_id")
@@ -3070,7 +3078,8 @@ object CatalogOps {
         Seq(0L, 1L).foreach { bid =>
           val half = if (bid == 0L) docs.filter(col("doc_id") < n / 2)
             else docs.filter(col("doc_id") >= n / 2)
-          exportIncrementalBatch(spark, db, name, half, bid)
+          exportIncrementalBatch(spark, db, name, half, bid,
+              repartitionTasks = 16)
             .withColumn("batch_id", lit(bid))
             .write.mode("append")
             .saveAsTable(s"`$db`.`${name}__manifestlog`")

@@ -310,7 +310,12 @@ object StreamingOps {
     * against the folded log — stream-in → verified-shards-out.
     */
   def streamingVerifiedExport(docStream: DataFrame, db: String,
-      name: String): StreamingQuery = {
+      name: String, repartitionTasks: Int = 16): StreamingQuery = {
+    // repartitionTasks=16 (one task per shard) is the live DEFAULT: it
+    // bounds each batch at one file per (shard, batch) AND ingests ~2×
+    // faster than the unrepartitioned form (28.2 vs 52.7 s for 16
+    // batches of 12.5k docs, 256 vs 8192 files — `graft.ExportScale`);
+    // the answer is write-layout-invariant either way
     import graft.sources.CatalogOps
     docStream.writeStream
       .outputMode("append")
@@ -324,7 +329,7 @@ object StreamingOps {
                 .filter(col("batch_id") === batchId).isEmpty
           if (!replayed) {
             CatalogOps.exportIncrementalBatch(spark, db, name,
-                batch.toDF(), batchId)
+                batch.toDF(), batchId, repartitionTasks)
               .withColumn("batch_id", lit(batchId))
               .write.mode("append")
               .saveAsTable(s"`$db`.`${name}__manifestlog`")
