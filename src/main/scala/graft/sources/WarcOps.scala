@@ -524,10 +524,19 @@ object WarcOps {
         val docs0 = Tables.documents(spark, dir)
           .select(col("doc_id"), col("lang"), col("source"), col("text"))
         // the static decontamination side input — same eval set as the
-        // batch spine (a benchmark suite is known up front)
-        val evalNg = TextAnalysisOps
-          .ngramSet(extractOf(plantedSpineMembers(spark, dir))
-            .filter(col("source") === "src19"))
+        // batch spine (a benchmark suite is known up front). Derived by
+        // DIRECT extraction of the src19 valid pages rather than a
+        // full-corpus member parse: the WarcSpec lossless pin
+        // guarantees direct ≡ archive-path extraction, and an eval
+        // suite is a small known artifact — no reason to parse the
+        // whole corpus to obtain it at build
+        val evalNg = TextAnalysisOps.ngramSet(
+            graft.operators.TextOps.htmlMainOn(
+                graft.operators.TextOps.plantedPage(
+                  docs0.filter(col("source") === "src19" &&
+                    col("doc_id") % 13 =!= 7)))
+              .select(col("doc_id"), col("lang"), col("source"),
+                col("main_text").as("text")))
           .localCheckpoint(false)
         val n = docs0.count()
         var h1x: DataFrame = null
