@@ -412,6 +412,15 @@ object LangIdOps {
         spark.createDataFrame(Seq(Tuple1(2L))).toDF("batches_written")
           .write.mode("overwrite").saveAsTable(s"`$db`.`${name}__mlmmeta`")
       }
+      // the marker promises both log tables exist — if external cleanup
+      // removed them while the marker survived, fail LOUDLY here (the
+      // archiveStreamFixture corruption discipline) instead of a bare
+      // table-not-found at first serve
+      require(spark.catalog.tableExists(s"$db.${name}__mlmbi") &&
+        spark.catalog.tableExists(s"$db.${name}__mlmuni"),
+        s"multilang LM store `$db.$name` is corrupt: completion marker " +
+          "present but a log table is missing — drop the " +
+          s"`$db` database to rebuild")
     }
     (db, name)
   }

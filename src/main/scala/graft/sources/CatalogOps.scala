@@ -2850,19 +2850,7 @@ object CatalogOps {
      else sharded)
       .write.mode("overwrite").partitionBy("shard")
       .saveAsTable(s"`$db`.`$name`")
-    val written = spark.table(s"`$db`.`$name`")
-    written.select(col("shard").cast("long").as("shard"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"),
-        length(col("text")).cast("long").as("n_bytes"),
-        expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
-          "':', md5(text))), 1, 12), 16, 10) as bigint)").as("ck"))
-      .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).as("n_tokens"),
-        sum(col("n_bytes")).as("n_bytes"),
-        min(col("doc_id")).as("min_doc"),
-        max(col("doc_id")).as("max_doc"),
-        expr("bit_xor(ck)").as("checksum"))
+    manifestAggOf(spark.table(s"`$db`.`$name`"))
       .orderBy(col("shard").asc)
       .localCheckpoint()
   }
@@ -2875,6 +2863,31 @@ object CatalogOps {
     import org.apache.spark.sql.functions._
     (expr("instr('0123456789abcdef', " +
       "substring(md5(cast(doc_id as string)), 32, 1))") - 1L).cast("long")
+  }
+
+  /** The per-shard manifest aggregate over any (shard, doc_id, text)
+    * frame — doc/token/byte totals, id range, and the 48-bit
+    * md5-draw bit_xor content checksum. ONE implementation (r18 review):
+    * the batch export, the incremental batch's partials, and the stream
+    * serve's written-table scan must stay bit-identical to each other
+    * AND to the SQL oracle — a drift in any copy would fire the serve's
+    * reconciliation require() as a spurious corruption, or silently
+    * diverge engine from oracle.
+    */
+  private[graft] def manifestAggOf(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    rows.select(col("shard").cast("long").as("shard"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_bytes"),
+        expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
+          "':', md5(text))), 1, 12), 16, 10) as bigint)").as("ck"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_bytes")).as("n_bytes"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(ck)").as("checksum"))
   }
 
   /** One micro-batch of the STREAMING verified export (r18 — VERDICT
@@ -2910,9 +2923,14 @@ object CatalogOps {
     // directory (tasks × shards files PER BATCH — measured 8192 files
     // at 16 batches on local[32], `graft.ExportScale`); with it each
     // task writes one directory, one file per (shard, batch)
+    // localCheckpoint once: the batch feeds TWO consumers (the docs
+    // write and the partials aggregate) — without it the source
+    // lineage, including the optional repartition exchange, would run
+    // twice per micro-batch (r18 review)
     val keyed = docs.select(col("doc_id"), col("text"))
       .withColumn("shard", exportShardCol)
       .withColumn("batch_id", lit(batchId))
+      .localCheckpoint()
     val batch =
       if (repartitionTasks > 0) keyed.repartition(repartitionTasks, col("shard"))
       else keyed
@@ -2943,20 +2961,10 @@ object CatalogOps {
       }
     }
     // the manifest partials THIS batch believes it wrote — n/min/max/xor
-    // are all associative, so the serve folds the log exactly
-    batch.select(col("shard"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"),
-        length(col("text")).cast("long").as("n_bytes"),
-        expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
-          "':', md5(text))), 1, 12), 16, 10) as bigint)").as("ck"))
-      .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).as("n_tokens"),
-        sum(col("n_bytes")).as("n_bytes"),
-        min(col("doc_id")).as("min_doc"),
-        max(col("doc_id")).as("max_doc"),
-        expr("bit_xor(ck)").as("checksum"))
-      .localCheckpoint()
+    // are all associative, so the serve folds the log exactly; computed
+    // from the pre-repartition checkpoint (the ≤16-row aggregate needs
+    // no shard co-location)
+    manifestAggOf(keyed).localCheckpoint()
   }
 
   /** Fold the streaming export's per-batch partitions (r18): a live
@@ -2972,11 +2980,37 @@ object CatalogOps {
     * what it originally wrote. Row set, manifest, and checksum are
     * unchanged by construction ([[exportVerifiedStreamServe]] serves
     * identical bytes pre/post — ExportSpec pins it, replay storm
-    * included); same staging-table swap as [[compactWinhashes]].
+    * included).
+    *
+    * CRASH-ATOMIC, unlike the plain [[compactWinhashes]] staging swap
+    * (r18 review: this table is the PRIMARY exported corpus, not a
+    * rebuildable derived store — a crash mid-rewrite must not lose
+    * committed data). The staging table is the write-ahead copy and a
+    * `__compact_ready` marker written AFTER it makes completeness
+    * provable: marker present → staging is whole, so entry (or the
+    * next compaction) FINISHES the target rewrite from staging —
+    * preserving any batches that landed after the fold via a
+    * batch_id anti-join against staging; staging without marker →
+    * an incomplete fold, discarded untouched-target. Every crash
+    * point between fold, marker, rewrite, and cleanup therefore
+    * replays to a reconciled state. Compaction is maintenance: run it
+    * from one place at a time (the fixture builders' synchronized
+    * discipline), not concurrently with itself.
     */
   def compactExportShards(spark: SparkSession, db: String,
       name: String): Unit = {
     import org.apache.spark.sql.functions._
+    val staging = s"`$db`.`__${name}_compact_staging`"
+    val ready = s"`$db`.`__${name}_compact_ready`"
+    // recovery BEFORE the normal path: a surviving marker proves a
+    // complete staged fold whose target rewrite may have died mid-way
+    if (spark.catalog.tableExists(s"$db.__${name}_compact_ready")) {
+      finishExportCompaction(spark, db, name)
+    } else if (spark.catalog.tableExists(s"$db.__${name}_compact_staging")) {
+      // fold died before its marker: staging may be partial; the
+      // target was never touched — discard and refold below
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
     if (!spark.catalog.tableExists(s"$db.$name") ||
         !spark.catalog.tableExists(s"$db.${name}__manifestlog")) return
     val logged = spark.table(s"`$db`.`${name}__manifestlog`")
@@ -2990,12 +3024,54 @@ object CatalogOps {
       .unionByName(docs.join(logged, Seq("batch_id"), "left_anti"))
       .select(col("doc_id"), col("text"), col("shard"), col("batch_id"))
       .repartition(16, col("shard"))
-    val staging = s"`$db`.`__${name}_compact_staging`"
     folded.write.mode("overwrite").saveAsTable(staging)
-    try spark.table(staging)
-      .write.mode("overwrite").partitionBy("shard", "batch_id")
+    // marker LAST: its presence proves the staging write completed, and
+    // its CONTENT is the WAL metadata — the original batch ids the fold
+    // consumed (their rows now ride staging under the watermark id, so
+    // the finish step must NOT also copy them from the target)
+    logged.select(col("batch_id").as("folded_batch_id"))
+      .coalesce(1).write.mode("overwrite").saveAsTable(ready)
+    finishExportCompaction(spark, db, name)
+  }
+
+  /** Complete a staged export compaction: rewrite the target from the
+    * proven-complete staging copy, preserving any batches that landed
+    * after the fold (batch_ids absent from staging), then clear the
+    * marker and staging. Idempotent — a crash anywhere inside replays
+    * from the top on the next [[compactExportShards]] call.
+    */
+  private def finishExportCompaction(spark: SparkSession, db: String,
+      name: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val staging = s"`$db`.`__${name}_compact_staging`"
+    val ready = s"`$db`.`__${name}_compact_ready`"
+    val staged = spark.table(staging)
+    // everything staging already carries must NOT be copied again from
+    // the target: the watermark + pending batches under their own ids
+    // (stagedIds) AND the folded batches under their ORIGINAL ids —
+    // recorded in the marker, because the fold's rewrite erased them
+    val stagedIds = staged.select(col("batch_id")).distinct()
+    val foldedIds = spark.table(ready)
+      .select(col("folded_batch_id").as("batch_id")).distinct()
+    val extra =
+      try {
+        if (spark.catalog.tableExists(s"$db.$name"))
+          spark.table(s"`$db`.`$name`")
+            .join(stagedIds, Seq("batch_id"), "left_anti")
+            .join(foldedIds, Seq("batch_id"), "left_anti")
+            .select(col("doc_id"), col("text"), col("shard"),
+              col("batch_id"))
+        else null
+      } catch { case scala.util.control.NonFatal(_) => null }
+    // localCheckpoint breaks the plan's dependency on the target table
+    // (Spark refuses to overwrite a table its own plan reads) AND
+    // freezes the bytes before the destructive rewrite
+    val full = (if (extra == null) staged
+      else staged.unionByName(extra)).localCheckpoint()
+    full.write.mode("overwrite").partitionBy("shard", "batch_id")
       .saveAsTable(s"`$db`.`$name`")
-    finally spark.sql(s"DROP TABLE IF EXISTS $staging")
+    spark.sql(s"DROP TABLE IF EXISTS $ready")
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
     spark.catalog.refreshTable(s"`$db`.`$name`")
   }
 
@@ -3014,19 +3090,7 @@ object CatalogOps {
   def exportVerifiedStreamServe(spark: SparkSession, db: String,
       name: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val written = spark.table(s"`$db`.`$name`")
-      .select(col("shard").cast("long").as("shard"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"),
-        length(col("text")).cast("long").as("n_bytes"),
-        expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
-          "':', md5(text))), 1, 12), 16, 10) as bigint)").as("ck"))
-      .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).as("n_tokens"),
-        sum(col("n_bytes")).as("n_bytes"),
-        min(col("doc_id")).as("min_doc"),
-        max(col("doc_id")).as("max_doc"),
-        expr("bit_xor(ck)").as("checksum"))
+    val written = manifestAggOf(spark.table(s"`$db`.`$name`"))
       .localCheckpoint()
     val folded = spark.table(s"`$db`.`${name}__manifestlog`")
       .groupBy(col("shard"))

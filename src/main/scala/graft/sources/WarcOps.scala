@@ -237,18 +237,54 @@ object WarcOps {
     */
   private[graft] def extractFromValid(parsed: DataFrame): DataFrame = {
     import graft.operators.TextOps
-    val httpHdr = substring_index(col("payload"), BlankLine, 1)
-    val keyed = parsed.select(
-      regexp_extract(col("url"), "^https://([^.]+)\\.example/", 1)
-        .as("source"),
-      regexp_extract(col("url"), "\\.example/([^/]+)/p", 1).as("lang"),
-      regexp_extract(col("url"), "/p([0-9]+)$", 1).cast("long").as("doc_id"),
-      col("payload").substr(length(httpHdr) + lit(5),
-        length(col("payload")) - length(httpHdr) - lit(4)).as("html"))
-    TextOps.htmlMainOn(keyed)
+    TextOps.htmlMainOn(parsed.select(urlKeyCols :+ payloadHtmlCol: _*))
       .select(col("doc_id"), col("lang"), col("source"),
         col("main_text").as("text"))
   }
+
+  /** Key recovery from a capture URL — THE single definition of the
+    * `https://{source}.example/{lang}/p{doc_id}` convention (r18
+    * review: this triple appeared in three extraction sites; one copy
+    * drifting would silently diverge them on non-fixture corpora).
+    */
+  private def urlKeyCols: Seq[Column] = Seq(
+    regexp_extract(col("url"), "/p([0-9]+)$", 1).cast("long").as("doc_id"),
+    regexp_extract(col("url"), "\\.example/([^/]+)/p", 1).as("lang"),
+    regexp_extract(col("url"), "^https://([^.]+)\\.example/", 1)
+      .as("source"))
+
+  /** The HTTP-envelope strip: payload → html body (`as("html")`). */
+  private def payloadHtmlCol: Column = {
+    val httpHdr = substring_index(col("payload"), BlankLine, 1)
+    col("payload").substr(length(httpHdr) + lit(5),
+      length(col("payload")) - length(httpHdr) - lit(4)).as("html")
+  }
+
+  /** Earliest capture per distinct payload digest — the combinable
+    * min-struct winner shared by the batch and store-backed revisit
+    * paths: (digest, payload).
+    */
+  private def digestWinnersOf(withDigest: DataFrame): DataFrame =
+    withDigest
+      .groupBy(col("__digest"))
+      .agg(min(struct(col("warc_date"), col("rec_id"), col("url"),
+        col("payload"))).as("__w"))
+      .select(col("__digest"), col("__w").getField("payload").as("payload"))
+
+  /** Block-scored main text of winner payloads: (digest, text). */
+  private def mainTextByDigest(winners: DataFrame): DataFrame =
+    graft.operators.TextOps.htmlMainOn(
+        winners.select(col("__digest"), payloadHtmlCol))
+      .select(col("__digest"), col("main_text").as("text"))
+
+  /** Fan one extraction per digest out to the captures, key recovery on
+    * each capture's OWN url: (doc_id, lang, source, text).
+    */
+  private def fanOutToCaptures(withDigest: DataFrame,
+      texts: DataFrame): DataFrame =
+    withDigest.select(col("__digest"), col("url")).distinct()
+      .join(texts, Seq("__digest"))
+      .select(urlKeyCols :+ col("text"): _*)
 
   /** The revisit-planted spine input (r18): the same full-page members
     * as [[plantedSpineMembers]] plus a SECOND capture of every
@@ -298,28 +334,9 @@ object WarcOps {
     * extraction rows (the revisit share).
     */
   private[graft] def extractRevisitAware(valid: DataFrame): DataFrame = {
-    import graft.operators.TextOps
     val withDigest = valid.withColumn("__digest", md5(col("payload")))
-    val winners = withDigest
-      .groupBy(col("__digest"))
-      .agg(min(struct(col("warc_date"), col("rec_id"), col("url"),
-        col("payload"))).as("__w"))
-      .select(col("__digest"), col("__w").getField("payload").as("payload"))
-    val httpHdr = substring_index(col("payload"), BlankLine, 1)
-    val mainByDigest = TextOps.htmlMainOn(
-        winners.select(col("__digest"),
-          col("payload").substr(length(httpHdr) + lit(5),
-            length(col("payload")) - length(httpHdr) - lit(4)).as("html")))
-      .select(col("__digest"), col("main_text").as("text"))
-    withDigest.select(col("__digest"), col("url")).distinct()
-      .join(mainByDigest, Seq("__digest"))
-      .select(
-        regexp_extract(col("url"), "/p([0-9]+)$", 1).cast("long")
-          .as("doc_id"),
-        regexp_extract(col("url"), "\\.example/([^/]+)/p", 1).as("lang"),
-        regexp_extract(col("url"), "^https://([^.]+)\\.example/", 1)
-          .as("source"),
-        col("text"))
+    fanOutToCaptures(withDigest,
+      mainTextByDigest(digestWinnersOf(withDigest)))
   }
 
   /** `q_archive_e2e_revisit` (r18): the archive→training spine over the
@@ -456,43 +473,27 @@ object WarcOps {
     */
   private[graft] def revisitXdocsOf(members: DataFrame, db: String,
       name: String): DataFrame = {
-    import graft.operators.TextOps
     val spark = members.sparkSession
     val xt = s"`$db`.`${name}__xtexts`"
     val valid = warcParseOn(members)
       .filter(col("len_ok") === 1L && col("http_status") === "200")
       .withColumn("__digest", md5(col("payload")))
       .localCheckpoint()
-    val winners = valid
-      .groupBy(col("__digest"))
-      .agg(min(struct(col("warc_date"), col("rec_id"), col("url"),
-        col("payload"))).as("__w"))
-      .select(col("__digest"), col("__w").getField("payload").as("payload"))
+    val winners = digestWinnersOf(valid)
     val newWinners =
       if (spark.catalog.tableExists(s"$db.${name}__xtexts"))
         winners.join(spark.table(xt).select(col("__digest")),
           Seq("__digest"), "left_anti")
       else winners
-    val httpHdr = substring_index(col("payload"), BlankLine, 1)
-    TextOps.htmlMainOn(
-        newWinners.select(col("__digest"),
-          col("payload").substr(length(httpHdr) + lit(5),
-            length(col("payload")) - length(httpHdr) - lit(4)).as("html")))
-      .select(col("__digest"), col("main_text").as("text"))
+    mainTextByDigest(newWinners)
       .write.mode("append").saveAsTable(xt)
     spark.catalog.refreshTable(xt)
+    // min-fold makes the read deterministic even if the single-writer
+    // invariant were ever violated (texts are content-addressed, so
+    // duplicates could only ever be identical bytes anyway)
     val texts = spark.table(xt)
       .groupBy(col("__digest")).agg(min(col("text")).as("text"))
-    valid.select(col("__digest"), col("url")).distinct()
-      .join(texts, Seq("__digest"))
-      .select(
-        regexp_extract(col("url"), "/p([0-9]+)$", 1).cast("long")
-          .as("doc_id"),
-        regexp_extract(col("url"), "\\.example/([^/]+)/p", 1).as("lang"),
-        regexp_extract(col("url"), "^https://([^.]+)\\.example/", 1)
-          .as("source"),
-        col("text"))
-      .localCheckpoint()
+    fanOutToCaptures(valid, texts).localCheckpoint()
   }
 
   /** `q_archive_e2e_revisit_stream` (r18): the revisit-planted members

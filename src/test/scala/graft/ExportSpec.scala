@@ -514,6 +514,66 @@ class ExportSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, db)
   }
 
+  test("export compaction crash windows: marker-proven staging recovers, partial staging discards") {
+    import graft.sources.CatalogOps
+    val db = "sexpcrash3"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val n = docs.count()
+    def ingest(bid: Long, part: org.apache.spark.sql.DataFrame): Unit =
+      CatalogOps.exportIncrementalBatch(spark, db, "docs", part, bid,
+          repartitionTasks = 16)
+        .withColumn("batch_id", lit(bid))
+        .write.mode("append").saveAsTable(s"`$db`.`docs__manifestlog`")
+    ingest(0L, docs.filter(col("doc_id") < n / 3))
+    ingest(1L, docs.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3))
+    // simulate a compaction that finished its fold (staging + marker)
+    // and then CRASHED during the target rewrite — worst case: while a
+    // NEW batch also landed after the fold
+    val logged = spark.table(s"`$db`.`docs__manifestlog`")
+      .select(col("batch_id")).distinct()
+    spark.table(s"`$db`.`docs`").join(logged, Seq("batch_id"))
+      .withColumn("batch_id", lit(1L))
+      .select(col("doc_id"), col("text"), col("shard"), col("batch_id"))
+      .write.mode("overwrite").saveAsTable(s"`$db`.`__docs_compact_staging`")
+    logged.select(col("batch_id").as("folded_batch_id"))
+      .write.mode("overwrite").saveAsTable(s"`$db`.`__docs_compact_ready`")
+    ingest(2L, docs.filter(col("doc_id") >= 2 * n / 3))
+    val want = CatalogOps.exportShardedVerified(spark, "sexpwant", "docs",
+      docs).collect().map(_.toSeq).toSeq
+    // recovery: the next compaction completes the swap from the proven
+    // staging AND preserves the post-fold batch via the batch_id
+    // anti-join — then refolds everything
+    CatalogOps.compactExportShards(spark, db, "docs")
+    assert(CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq == want)
+    assert(!spark.catalog.tableExists(s"$db.__docs_compact_ready"))
+    assert(!spark.catalog.tableExists(s"$db.__docs_compact_staging"))
+    // a fold that died BEFORE its marker leaves partial staging: it is
+    // discarded untouched-target and the refold proceeds normally
+    spark.table(s"`$db`.`docs`").limit(5)
+      .write.mode("overwrite").saveAsTable(s"`$db`.`__docs_compact_staging`")
+    CatalogOps.compactExportShards(spark, db, "docs")
+    assert(CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq == want)
+    // worst case: marker-proven staging with the target DESTROYED —
+    // recovery rebuilds it from the write-ahead copy alone
+    spark.table(s"`$db`.`docs`")
+      .select(col("doc_id"), col("text"), col("shard"), col("batch_id"))
+      .localCheckpoint()
+      .write.mode("overwrite").saveAsTable(s"`$db`.`__docs_compact_staging`")
+    spark.table(s"`$db`.`docs__manifestlog`")
+      .select(col("batch_id").as("folded_batch_id")).distinct()
+      .write.mode("overwrite").saveAsTable(s"`$db`.`__docs_compact_ready`")
+    graft.operators.KnnOps.dropTableAndDir(spark, db, "docs")
+    CatalogOps.compactExportShards(spark, db, "docs")
+    assert(CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq == want)
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.dropDatabase(spark, "sexpwant")
+  }
+
   test("repartitioned export: same manifest, one file per shard directory") {
     import graft.sources.CatalogOps
     val docs = Tables.documents(spark, sf)

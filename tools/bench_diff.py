@@ -115,6 +115,23 @@ def main():
         if cand:
             factor = statistics.median(cand)
             source = "median-of-common (no calibration block on both sides)"
+            # TRUST BAND: the all-entries median cannot distinguish a
+            # slower box from a uniform genuine regression (a code change
+            # slowing EVERYTHING 1.4x would set factor=1.4 and absolve
+            # itself). Modest drift is overwhelmingly environmental
+            # (PERF_NOTES history: 0.93-1.14 across rounds); outside the
+            # band, gate on RAW ratios and demand a human/calibrated
+            # adjudication. Calibration-sourced factors (pinned untouched
+            # queries) are exempt — that is the point of the block.
+            if not (0.75 <= factor <= 1.25):
+                print(f"WARNING: fallback factor {factor:.3f} outside the "
+                      "trust band [0.75, 1.25] — either the environment "
+                      "shifted drastically or the change is a UNIFORM "
+                      "regression; gating on RAW ratios (factor forced "
+                      "to 1.0). Re-run against a calibrated baseline to "
+                      "adjudicate.")
+                factor = 1.0
+                source = "raw (fallback factor outside trust band)"
     print(f"machine-speed factor: {factor:.3f} (source: {source})")
 
     flagged = []
