@@ -2939,32 +2939,35 @@ object CatalogOps {
       batch.write.partitionBy("shard", "batch_id")
         .saveAsTable(s"`$db`.`$name`")
     } else {
-      val k = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(k)
-      spark.conf.set(k, "dynamic")
       // insertInto is positional: data columns first, partition columns
-      // (shard, batch_id) last — matching the create above. The dynamic
-      // mode must ride the SESSION conf (set-and-restore): the writer
-      // option `partitionOverwriteMode` is documented for datasource
-      // `save` paths but is NOT honored by insertInto on a catalog
-      // table — measured here as static semantics silently wiping every
-      // other batch's partitions (ExportSpec's crash-window test
-      // catches exactly this). The mutation window is one micro-batch
-      // write inside foreachBatch, which Structured Streaming
-      // serializes per query.
-      try batch.select(col("doc_id"), col("text"), col("shard"),
-          col("batch_id"))
-        .write.mode("overwrite").insertInto(s"`$db`.`$name`")
-      finally prev match {
-        case Some(v) => spark.conf.set(k, v)
-        case None => spark.conf.unset(k)
-      }
+      // (shard, batch_id) last — matching the create above
+      insertDynamicOverwrite(batch.select(col("doc_id"), col("text"),
+        col("shard"), col("batch_id")), s"`$db`.`$name`")
     }
     // the manifest partials THIS batch believes it wrote — n/min/max/xor
     // are all associative, so the serve folds the log exactly; computed
     // from the pre-repartition checkpoint (the ≤16-row aggregate needs
     // no shard co-location)
     manifestAggOf(keyed).localCheckpoint()
+  }
+
+  /** Partition-scoped overwrite insertInto on a CLONED session: dynamic
+    * partitionOverwriteMode must ride the session conf (the writer
+    * option is not honored by insertInto on a catalog table — measured
+    * as static semantics silently wiping every other batch's
+    * partitions), but mutating the SHARED session conf leaks dynamic
+    * semantics to any concurrent writer in the window and two
+    * concurrent set/restores can strand a stale value (ADVICE r18).
+    * `newSession()` shares the SparkContext and catalog but owns an
+    * isolated conf, so the dynamic mode is scoped to exactly this
+    * write; the frame re-binds to the clone via its RDD (callers pass
+    * checkpointed/shuffled plans, so the re-bind adds no recompute).
+    */
+  private def insertDynamicOverwrite(df: DataFrame, table: String): Unit = {
+    val s2 = df.sparkSession.newSession()
+    s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    s2.createDataFrame(df.rdd, df.schema)
+      .write.mode("overwrite").insertInto(table)
   }
 
   /** Fold the streaming export's per-batch partitions (r18): a live
@@ -2985,17 +2988,26 @@ object CatalogOps {
     * CRASH-ATOMIC, unlike the plain [[compactWinhashes]] staging swap
     * (r18 review: this table is the PRIMARY exported corpus, not a
     * rebuildable derived store — a crash mid-rewrite must not lose
-    * committed data). The staging table is the write-ahead copy and a
-    * `__compact_ready` marker written AFTER it makes completeness
-    * provable: marker present → staging is whole, so entry (or the
-    * next compaction) FINISHES the target rewrite from staging —
-    * preserving any batches that landed after the fold via a
-    * batch_id anti-join against staging; staging without marker →
-    * an incomplete fold, discarded untouched-target. Every crash
-    * point between fold, marker, rewrite, and cleanup therefore
-    * replays to a reconciled state. Compaction is maintenance: run it
-    * from one place at a time (the fixture builders' synchronized
-    * discipline), not concurrently with itself.
+    * committed data). Staging holds ONLY the folded rows re-keyed to
+    * the watermark batch, and a `__compact_ready` marker written AFTER
+    * it makes completeness provable: marker present → staging is
+    * whole, so entry (or the next compaction) FINISHES the target
+    * rewrite; staging without marker → an incomplete fold, discarded
+    * untouched-target. The finish step is PARTITION-SCOPED (ADVICE
+    * r18: the old full-table overwrite raced live ingest — a batch
+    * committed between the fold snapshot and the rewrite was wiped,
+    * and its log row then blocked re-landing forever): a dynamic
+    * partition overwrite lands the folded rows in exactly the
+    * `(shard, watermark)` partitions, then the folded batches'
+    * ORIGINAL partitions drop one `(shard, batch_id)` spec at a time —
+    * a batch landing concurrently under a NEW batch_id is never
+    * touched, so compaction is safe to run beside live ingest of the
+    * same export (just not beside another compaction of it — the
+    * fixture builders' synchronized discipline). Every crash point
+    * between fold, marker, overwrite, drops, and cleanup replays to a
+    * reconciled state; mid-finish the target transiently holds folded
+    * + original copies, which is why [[exportVerifiedStreamServe]]
+    * refuses to serve while a marker is present.
     */
   def compactExportShards(spark: SparkSession, db: String,
       name: String): Unit = {
@@ -3019,26 +3031,34 @@ object CatalogOps {
     if (r.isNullAt(0)) return
     val watermark = r.getLong(0)
     val docs = spark.table(s"`$db`.`$name`")
+    // staging = the committed rows ONLY, re-keyed to the watermark;
+    // uncommitted (mid-crash-window) batches stay out of staging and
+    // out of the drop set, so their partitions survive untouched
     val folded = docs.join(logged, Seq("batch_id"))
       .withColumn("batch_id", lit(watermark))
-      .unionByName(docs.join(logged, Seq("batch_id"), "left_anti"))
       .select(col("doc_id"), col("text"), col("shard"), col("batch_id"))
       .repartition(16, col("shard"))
     folded.write.mode("overwrite").saveAsTable(staging)
     // marker LAST: its presence proves the staging write completed, and
     // its CONTENT is the WAL metadata — the original batch ids the fold
-    // consumed (their rows now ride staging under the watermark id, so
-    // the finish step must NOT also copy them from the target)
+    // consumed (exactly the partitions the finish step must drop)
     logged.select(col("batch_id").as("folded_batch_id"))
       .coalesce(1).write.mode("overwrite").saveAsTable(ready)
     finishExportCompaction(spark, db, name)
   }
 
-  /** Complete a staged export compaction: rewrite the target from the
-    * proven-complete staging copy, preserving any batches that landed
-    * after the fold (batch_ids absent from staging), then clear the
-    * marker and staging. Idempotent — a crash anywhere inside replays
-    * from the top on the next [[compactExportShards]] call.
+  /** Complete a staged export compaction, partition-scoped: land the
+    * folded rows via dynamic overwrite of their own `(shard,
+    * watermark)` partitions, then drop the folded batches' original
+    * partitions (recorded in the marker). Batches that landed after
+    * the fold keep their partitions — staging never saw them and the
+    * drop set never names them. Idempotent — a crash anywhere inside
+    * replays from the top on the next [[compactExportShards]] call
+    * (the overwrite rewrites identical bytes, the drops are
+    * IF EXISTS). Errors propagate (ADVICE r18: the old version
+    * swallowed NonFatal and could destructively proceed on a
+    * transient read failure) — compaction is safely retryable from
+    * the top.
     */
   private def finishExportCompaction(spark: SparkSession, db: String,
       name: String): Unit = {
@@ -3046,30 +3066,24 @@ object CatalogOps {
     val staging = s"`$db`.`__${name}_compact_staging`"
     val ready = s"`$db`.`__${name}_compact_ready`"
     val staged = spark.table(staging)
-    // everything staging already carries must NOT be copied again from
-    // the target: the watermark + pending batches under their own ids
-    // (stagedIds) AND the folded batches under their ORIGINAL ids —
-    // recorded in the marker, because the fold's rewrite erased them
-    val stagedIds = staged.select(col("batch_id")).distinct()
     val foldedIds = spark.table(ready)
-      .select(col("folded_batch_id").as("batch_id")).distinct()
-    val extra =
-      try {
-        if (spark.catalog.tableExists(s"$db.$name"))
-          spark.table(s"`$db`.`$name`")
-            .join(stagedIds, Seq("batch_id"), "left_anti")
-            .join(foldedIds, Seq("batch_id"), "left_anti")
-            .select(col("doc_id"), col("text"), col("shard"),
-              col("batch_id"))
-        else null
-      } catch { case scala.util.control.NonFatal(_) => null }
-    // localCheckpoint breaks the plan's dependency on the target table
-    // (Spark refuses to overwrite a table its own plan reads) AND
-    // freezes the bytes before the destructive rewrite
-    val full = (if (extra == null) staged
-      else staged.unionByName(extra)).localCheckpoint()
-    full.write.mode("overwrite").partitionBy("shard", "batch_id")
-      .saveAsTable(s"`$db`.`$name`")
+      .select(col("folded_batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val watermark = foldedIds.last
+    if (!spark.catalog.tableExists(s"$db.$name")) {
+      // the scoped finish never drops the target, but a marker can
+      // outlive an EXTERNAL drop of it — recreate from the write-ahead
+      // copy (committed data; there is nothing else left to preserve)
+      staged.write.partitionBy("shard", "batch_id")
+        .saveAsTable(s"`$db`.`$name`")
+    } else {
+      insertDynamicOverwrite(staged, s"`$db`.`$name`")
+      foldedIds.filter(_ != watermark).foreach { id =>
+        spark.sql(s"ALTER TABLE `$db`.`$name` DROP IF EXISTS " +
+          (0 until 16).map(s => s"PARTITION (shard=$s, batch_id=$id)")
+            .mkString(", "))
+      }
+    }
     spark.sql(s"DROP TABLE IF EXISTS $ready")
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     spark.catalog.refreshTable(s"`$db`.`$name`")
@@ -3090,6 +3104,14 @@ object CatalogOps {
   def exportVerifiedStreamServe(spark: SparkSession, db: String,
       name: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // a surviving compaction marker means a fold's finish step is in
+    // flight or crashed mid-way — the target can transiently hold the
+    // folded rows AND the originals; fail actionably instead of as a
+    // puzzling checksum mismatch
+    require(!spark.catalog.tableExists(s"$db.__${name}_compact_ready"),
+      s"verified streaming export `$db.$name`: a compaction marker is " +
+        "present — a fold is in flight or crashed mid-finish; run " +
+        "compactExportShards to complete recovery before serving")
     val written = manifestAggOf(spark.table(s"`$db`.`$name`"))
       .localCheckpoint()
     val folded = spark.table(s"`$db`.`${name}__manifestlog`")

@@ -485,7 +485,13 @@ object WarcOps {
         winners.join(spark.table(xt).select(col("__digest")),
           Seq("__digest"), "left_anti")
       else winners
-    mainTextByDigest(newWinners)
+    // localCheckpoint before the append: the plan otherwise READS the
+    // table it appends to (the anti-join above) — Spark 4.1 analyzes
+    // that fine, but the pattern is version-sensitive ("Cannot insert
+    // into a table that is also being read from" on older releases)
+    // and the checkpoint pins the new-digest row set before the write
+    // either way (ADVICE r18)
+    mainTextByDigest(newWinners).localCheckpoint()
       .write.mode("append").saveAsTable(xt)
     spark.catalog.refreshTable(xt)
     // min-fold makes the read deterministic even if the single-writer

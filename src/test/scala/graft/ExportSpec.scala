@@ -540,11 +540,18 @@ class ExportSpec extends AnyFunSuite {
     logged.select(col("batch_id").as("folded_batch_id"))
       .write.mode("overwrite").saveAsTable(s"`$db`.`__docs_compact_ready`")
     ingest(2L, docs.filter(col("doc_id") >= 2 * n / 3))
+    // while the marker survives the serve refuses actionably instead of
+    // failing reconciliation on a transient folded+original mix
+    intercept[IllegalArgumentException] {
+      CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+    }
     val want = CatalogOps.exportShardedVerified(spark, "sexpwant", "docs",
       docs).collect().map(_.toSeq).toSeq
-    // recovery: the next compaction completes the swap from the proven
-    // staging AND preserves the post-fold batch via the batch_id
-    // anti-join — then refolds everything
+    // recovery: the next compaction finishes the PARTITION-SCOPED
+    // rewrite from the proven staging (dynamic overwrite of the
+    // watermark partitions + drops of the folded originals) — the
+    // post-fold batch's partitions are never named, so it survives —
+    // then refolds everything
     CatalogOps.compactExportShards(spark, db, "docs")
     assert(CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
       .collect().map(_.toSeq).toSeq == want)
