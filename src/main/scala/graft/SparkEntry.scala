@@ -404,6 +404,12 @@ object SparkEntry {
     // oracle as the batch export
     "q_export_verified_stream" -> ((s, d) => graft.sources.CatalogOps
       .exportStreamFixture(s, d)),
+    // the spine's survivors land as verified bytes (r19): WARC members
+    // -> parse -> extract -> six-gate funnel -> the CURATED text
+    // written sharded + manifest recomputed from the written table —
+    // the curate -> verified-write seam a production pipeline ships
+    "q_spine_export_verified" -> ((s, d) => graft.sources.WarcOps
+      .spineExportVerified(s, d)),
     // the funnel maintained as a STREAM over the bloom store: per-batch
     // stage totals appended, served by summing the log — fully oracled
     // as of r17 against the batch report SQL (ordered halves + the
@@ -751,7 +757,8 @@ object SparkEntry {
     "q_archive_e2e_stream", "q_curate_e2e_lang_stored",
     "q_curate_e2e_verdict_stored", "q_export_verified",
     "q_export_verified_stream", "q_archive_e2e_revisit",
-    "q_crawl_archive_e2e", "q_archive_e2e_revisit_stream")
+    "q_crawl_archive_e2e", "q_archive_e2e_revisit_stream",
+    "q_spine_export_verified")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1194,16 +1201,24 @@ object SparkEntry {
     * folds associatively, so the served stream manifest is this exact
     * aggregate).
     */
-  private def exportManifestOracleSql: String = {
+  private def exportManifestOracleSql: String =
+    "WITH " + manifestSelectOver("documents")
+
+  /** The manifest CTE chain + final select over ANY relation carrying
+    * (doc_id, text) — shared by the raw-corpus exports and the r19
+    * spine-survivor export (whose relation is the funnel's output).
+    * Caller supplies the leading `WITH ` and any upstream CTEs.
+    */
+  private def manifestSelectOver(rel: String): String = {
     val mult = (1 to 12).map(k =>
       s"(instr('0123456789abcdef', substr(h, $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
       .mkString(" +\n           ")
-    s"""WITH r AS (
+    s"""r AS (
        |  SELECT doc_id, text,
        |         instr('0123456789abcdef',
        |           substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS shard,
        |         md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)) AS h
-       |  FROM documents),
+       |  FROM $rel),
        |m AS (
        |  SELECT CAST(shard AS BIGINT) AS shard, doc_id,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
@@ -1229,22 +1244,45 @@ object SparkEntry {
       |  SELECT doc_id, lang, source, text FROM documents
       |  WHERE doc_id % 13 <> 7)""".stripMargin)
 
-  /** The archive spine's CTE chain parameterized on the `xraw` input
-    * corpus definition (r18): main-content extraction, lang-id, six
-    * gate flags, survivor shard plan — one builder serves the
-    * full-corpus spines AND the crawl-composed spine (whose xraw is the
-    * SCHEDULED subset). `prefixCtes` (each comma-terminated) precede
-    * xraw — the crawl composition threads its whole plan derivation in.
+  /** The archive spine's CTE chain up to the six-gate SURVIVORS,
+    * parameterized on the `xraw` input corpus definition (r18, split
+    * r19): main-content extraction, lang-id, gate flags, `surv`
+    * (doc_id, n_tok). One prefix serves the shard-plan tail
+    * ([[archiveSpineOracleSql]]) and the r19 verified-export tail
+    * ([[spineExportOracleSql]]). `prefixCtes` (each comma-terminated)
+    * precede xraw — the crawl composition threads its whole plan
+    * derivation in. `xdocs` is MATERIALIZED: the funnel CTEs reference
+    * it ~8×, and the export tail adds a 9th (the q_bpe_tokens
+    * re-inline lesson).
+    */
+  private def spineSurvCtes(xrawCte: String,
+      prefixCtes: String = ""): String =
+    ("WITH " + prefixCtes + xrawCte + ",\n" + htmlMainCtes("xraw") + ",\n" +
+      s"""|xdocs AS MATERIALIZED (
+          |  SELECT doc_id, lang, source, main_text AS text FROM mt),
+          |""".stripMargin + langIdCtesOn("xdocs") + ",\n" +
+      funnelFlagCtes("xdocs") + ",\n" +
+      "surv AS (SELECT doc_id, n_tok FROM kk WHERE k6 = 1)")
+
+  /** The spine-survivor verified-export oracle (r19): the spine chain
+    * to `surv`, the survivors' curated text re-joined, then the
+    * closed-form manifest arithmetic over exactly those rows.
+    */
+  private def spineExportOracleSql: String =
+    spineSurvCtes("""xraw AS (
+      |  SELECT doc_id, lang, source, text FROM documents
+      |  WHERE doc_id % 13 <> 7)""".stripMargin) + ",\n" +
+      """|sdocs AS MATERIALIZED (
+         |  SELECT s.doc_id, x.text FROM surv s JOIN xdocs x USING (doc_id)),
+         |""".stripMargin + manifestSelectOver("sdocs")
+
+  /** The shard-plan tail over the spine survivors — q_archive_e2e and
+    * every composition serving the 16-row export shard PLAN.
     */
   private def archiveSpineOracleSql(xrawCte: String,
       prefixCtes: String = ""): String =
-    ("WITH " + prefixCtes + xrawCte + ",\n" + htmlMainCtes("xraw") + ",\n" +
-        s"""|xdocs AS (
-           |  SELECT doc_id, lang, source, main_text AS text FROM mt),
-           |""".stripMargin + langIdCtesOn("xdocs") + ",\n" +
-        funnelFlagCtes("xdocs") + ",\n" +
-        s"""|surv AS (SELECT doc_id, n_tok FROM kk WHERE k6 = 1),
-           |sh AS (
+    (spineSurvCtes(xrawCte, prefixCtes) + ",\n" +
+        s"""|sh AS (
            |  SELECT s.doc_id, s.n_tok,
            |         CAST(length(x.text) AS BIGINT) AS n_bytes,
            |         CAST(instr('0123456789abcdef',
@@ -2698,6 +2736,10 @@ object SparkEntry {
     // and the serve require()s the written table ≡ the folded log before
     // returning — so the folded manifest IS the batch manifest exactly
     "q_export_verified_stream" -> exportManifestOracleSql,
+    // the spine CTEs thread into the manifest arithmetic: survivors'
+    // curated text, sharded + checksummed — any byte lost between the
+    // gate battery and storage moves the bit_xor
+    "q_spine_export_verified" -> spineExportOracleSql,
     // closed-form mirror of the CDX plan: which capture wins is pure
     // doc_id arithmetic on the oracle side; the engine must SURT, split
     // and from_json its way to the same row

@@ -361,6 +361,18 @@ object WarcOps {
     * the WARC round-trip lossless (archive path ≡ direct extraction).
     */
   private[graft] def shardPlanOfSurvivors(xdocs: DataFrame): DataFrame = {
+    val (evalNg, ded) = batchGateInputs(xdocs)
+    shardReportOf(survivorShardPartials(xdocs, evalNg, ded))
+  }
+
+  /** The BATCH spine's two gate side inputs over one whole extracted
+    * corpus: the global min-doc_id exact-dedup flag (hash-grain
+    * aggregate, no pairs) and the src19 decontamination n-gram set —
+    * factored (r19) so the shard plan and the verified export of the
+    * same survivors derive them identically.
+    */
+  private[graft] def batchGateInputs(
+      xdocs: DataFrame): (DataFrame, DataFrame) = {
     import graft.operators.TextAnalysisOps
     val hashes = xdocs.select(col("doc_id"), md5(col("text")).as("__h"))
     val ded = hashes
@@ -369,7 +381,56 @@ object WarcOps {
       .select(col("doc_id"),
         (col("doc_id") === col("__kid")).cast("long").as("f_dedup"))
     val evalNg = TextAnalysisOps.ngramSet(xdocs.filter(col("source") === "src19"))
-    shardReportOf(survivorShardPartials(xdocs, evalNg, ded))
+    (evalNg, ded)
+  }
+
+  /** Six-gate survivors of an extracted corpus: (doc_id, n_tok) — the
+    * shared filter behind the shard partials and the survivor-docs
+    * export feed.
+    */
+  private[graft] def funnelSurvivors(xdocs: DataFrame,
+      evalNg: DataFrame, ded: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysisOps
+    TextAnalysisOps.funnelFlagsOn(xdocs, evalNg, ded)
+      .filter(col("f_lang") * col("f_gopher") * col("f_rep") *
+        col("f_dedup") * col("f_decon") * col("f_mix") === 1L)
+      .select(col("doc_id"), col("n_tok"))
+  }
+
+  /** The survivors as an exportable (doc_id, text) corpus — what a
+    * production spine actually SHIPS (r19, VERDICT task 1): the
+    * curated text, not the raw input. One doc_id equi-join back to the
+    * extracted frame; the funnel flags never carry the text column
+    * through their six-way join.
+    */
+  private[graft] def survivorDocs(xdocs: DataFrame,
+      evalNg: DataFrame, ded: DataFrame): DataFrame =
+    funnelSurvivors(xdocs, evalNg, ded).select(col("doc_id"))
+      .join(xdocs.select(col("doc_id"), col("text")), Seq("doc_id"))
+
+  /** `q_spine_export_verified` (r19 — VERDICT task 1): the archive
+    * spine's SURVIVORS land as verified bytes. Where q_archive_e2e
+    * stops at the 16-row shard PLAN and q_export_verified ships the
+    * RAW corpus, this composes the two seams a production pipeline
+    * actually joins: WARC members → parse + length gate → extraction →
+    * six-gate funnel → the surviving CURATED text written to a
+    * shard-partitioned collection with the manifest recomputed FROM
+    * THE WRITTEN TABLE ([[CatalogOps.exportShardedVerified]] — totals,
+    * id range, bit_xor content checksum per shard). Fully oracled: the
+    * spine CTEs thread into the closed-form manifest SQL, so any byte
+    * lost between gate and storage moves the checksum.
+    *
+    * Scale: the funnel's profile is the spine's (one hash-grain dedup
+    * exchange over the extracted corpus); the export adds one shard
+    * repartition of the SURVIVORS (the shipped subset, not the input)
+    * and the one-scan manifest — the deliberate verification cost.
+    */
+  def spineExportVerified(spark: SparkSession, dir: String): DataFrame = {
+    val xdocs = extractOf(plantedSpineMembers(spark, dir))
+      .localCheckpoint(false)
+    val (evalNg, ded) = batchGateInputs(xdocs)
+    CatalogOps.exportShardedVerified(spark, "graft_spineexport", "docs",
+      survivorDocs(xdocs, evalNg, ded), repartitionTasks = 16)
   }
 
   /** Survivors of the six-gate funnel folded to per-shard partials —
@@ -379,12 +440,7 @@ object WarcOps {
     */
   private[graft] def survivorShardPartials(xdocs: DataFrame,
       evalNg: DataFrame, ded: DataFrame): DataFrame = {
-    import graft.operators.TextAnalysisOps
-    val surv = TextAnalysisOps.funnelFlagsOn(xdocs, evalNg, ded)
-      .filter(col("f_lang") * col("f_gopher") * col("f_rep") *
-        col("f_dedup") * col("f_decon") * col("f_mix") === 1L)
-      .select(col("doc_id"), col("n_tok"))
-    surv
+    funnelSurvivors(xdocs, evalNg, ded)
       .join(xdocs.select(col("doc_id"),
         length(col("text")).cast("long").as("n_bytes")), Seq("doc_id"))
       .withColumn("shard",
@@ -426,7 +482,19 @@ object WarcOps {
     * set to the append-only `{name}__shards` log.
     */
   private[graft] def archiveIncrementalBatch(xdocs: DataFrame,
-      evalNg: DataFrame, db: String, name: String): DataFrame = {
+      evalNg: DataFrame, db: String, name: String): DataFrame =
+    survivorShardPartials(xdocs, evalNg,
+      incrementalDedupFlags(xdocs, db, name)).localCheckpoint()
+
+  /** The STREAM spine's exact-dedup flag for one micro-batch: probe
+    * the maintained bloom store (the state SO FAR — the caller
+    * advances it after the batch's outputs commit) plus a batch-local
+    * first-arrival for intra-batch twins. Factored (r19) so the
+    * shard-partials path and the survivor-docs export path share one
+    * definition of "first arrival across the stream".
+    */
+  private[graft] def incrementalDedupFlags(xdocs: DataFrame, db: String,
+      name: String): DataFrame = {
     import graft.functions.BloomFunctions
     import graft.sources.CatalogOps
     val spark = xdocs.sparkSession
@@ -440,12 +508,11 @@ object WarcOps {
             org.apache.spark.sql.types.LongType, false)))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h")).orderBy(col("doc_id").asc)
-    val ded = hashed.crossJoin(broadcast(bloomDf))
+    hashed.crossJoin(broadcast(bloomDf))
       .withColumn("f_dedup",
         (!(BloomFunctions.mightContain(col("__h"), col("__bloom_words"), m) ||
           row_number().over(w) > 1)).cast("long"))
       .select(col("doc_id"), col("f_dedup"))
-    survivorShardPartials(xdocs, evalNg, ded).localCheckpoint()
   }
 
   /** STORE-BACKED revisit-aware extraction for the STREAMING spine

@@ -323,4 +323,27 @@ class WarcSpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"),
       "fetch join must broadcast the scheduled ids")
   }
+
+  test("spine export: written manifest agrees with the independent shard plan") {
+    // two PATHS to the same survivors: the shard PLAN aggregates funnel
+    // partials (n_tok from the flag battery), the verified export
+    // recomputes everything FROM THE WRITTEN TABLE — per-shard docs,
+    // tokens, bytes, and min id must agree exactly, so a row lost or
+    // altered in the write round-trip diverges the two
+    val manifest = WarcOps.spineExportVerified(spark, sf)
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("n_bytes"), col("min_doc"))
+      .collect().map(_.toSeq).toSeq
+    val plan = WarcOps.archiveE2e(spark, sf)
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("n_bytes"), col("min_doc"))
+      .collect().map(_.toSeq).toSeq
+    assert(manifest == plan)
+    // the export ships the CURATED subset: strictly fewer docs than the
+    // corpus, and the layout is one partition dir per shard
+    val shipped = manifest.map(_(1).asInstanceOf[Long]).sum
+    assert(shipped > 0 && shipped < docs.count())
+    assert(spark.sql("SHOW PARTITIONS `graft_spineexport`.`docs`")
+      .count() == 16L)
+  }
 }
