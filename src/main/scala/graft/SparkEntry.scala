@@ -410,6 +410,13 @@ object SparkEntry {
     // the curate -> verified-write seam a production pipeline ships
     "q_spine_export_verified" -> ((s, d) => graft.sources.WarcOps
       .spineExportVerified(s, d)),
+    // the spine-survivor export as a STREAM (r19): per-batch gate
+    // battery over the maintained bloom store, survivors landed via
+    // idempotent (shard, batch_id) writes in docs -> log -> bloom
+    // commit order, compacted to one file set per shard, served by the
+    // written-table-vs-folded-log reconciliation — same closed form
+    "q_spine_export_verified_stream" -> ((s, d) => graft.sources.WarcOps
+      .spineExportStreamFixture(s, d)),
     // the funnel maintained as a STREAM over the bloom store: per-batch
     // stage totals appended, served by summing the log — fully oracled
     // as of r17 against the batch report SQL (ordered halves + the
@@ -758,7 +765,7 @@ object SparkEntry {
     "q_curate_e2e_verdict_stored", "q_export_verified",
     "q_export_verified_stream", "q_archive_e2e_revisit",
     "q_crawl_archive_e2e", "q_archive_e2e_revisit_stream",
-    "q_spine_export_verified")
+    "q_spine_export_verified", "q_spine_export_verified_stream")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2740,6 +2747,11 @@ object SparkEntry {
     // curated text, sharded + checksummed — any byte lost between the
     // gate battery and storage moves the bit_xor
     "q_spine_export_verified" -> spineExportOracleSql,
+    // the streamed halves partition the batch funnel's survivor set
+    // (ordered halves + require()'d zero-FP bloom), every manifest
+    // column folds associatively, and the fixture compacts before
+    // serving — so the served manifest IS the batch manifest exactly
+    "q_spine_export_verified_stream" -> spineExportOracleSql,
     // closed-form mirror of the CDX plan: which capture wins is pure
     // doc_id arithmetic on the oracle side; the engine must SURT, split
     // and from_json its way to the same row

@@ -433,6 +433,81 @@ object WarcOps {
       survivorDocs(xdocs, evalNg, ded), repartitionTasks = 16)
   }
 
+  /** `q_spine_export_verified_stream` (r19): the spine-survivor export
+    * as a STREAM — the extracted corpus fed in two doc_id-ordered
+    * halves through the incremental gate battery + idempotent export
+    * write, served by [[CatalogOps.exportVerifiedStreamServe]]'s
+    * written-table-vs-folded-log reconciliation. FULLY ORACLED against
+    * the batch spine-export manifest SQL: ordered halves + the
+    * require()'d zero-FP bloom measurement make the streamed survivor
+    * set exactly the batch funnel's, and every manifest column folds
+    * associatively. After the backfill the fixture runs the full
+    * maintenance cadence ([[CatalogOps.compactExportShards]]) so the
+    * served answer is demonstrably fold-invariant on the Verify path,
+    * not just in specs.
+    */
+  def spineExportStreamFixture(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysisOps
+    val db = "graft_spineexpstream"
+    val name = "docs"
+    this.synchronized {
+      val metaTbl = s"`$db`.`${name}__expmeta`"
+      if (!spark.catalog.tableExists(s"$db.${name}__expmeta")) {
+        CatalogOps.createDatabase(spark, db)
+        Seq(name, s"${name}__manifestlog", s"${name}__bloom",
+          s"${name}__bloommeta", s"${name}__expmeta")
+          .foreach(graft.operators.KnnOps.dropTableAndDir(spark, db, _))
+        import spark.implicits._
+        CatalogOps.createBloomStore(spark, db, name,
+          Seq.empty[String].toDF("__h"), "__h", expectedKeys = 16384L)
+        val xall = extractOf(plantedSpineMembers(spark, dir))
+          .localCheckpoint(false)
+        val evalNg = TextAnalysisOps
+          .ngramSet(xall.filter(col("source") === "src19"))
+          .localCheckpoint(false)
+        val n = Tables.documents(spark, dir).count()
+        val h1 = xall.filter(col("doc_id") < n / 2)
+        val h2 = xall.filter(col("doc_id") >= n / 2)
+        def land(bid: Long, xdocs: DataFrame): Unit = {
+          CatalogOps.exportIncrementalBatch(spark, db, name,
+              survivorDocs(xdocs, evalNg,
+                incrementalDedupFlags(xdocs, db, name)),
+              bid, repartitionTasks = 16)
+            .withColumn("batch_id", lit(bid))
+            .write.mode("append").saveAsTable(s"`$db`.`${name}__manifestlog`")
+          TextAnalysisOps.funnelAdvanceBloom(xdocs, db, name)
+        }
+        land(0L, h1)
+        // zero-FP guarantee behind the batch-equality oracle
+        val fps = CatalogOps.probeBloomStore(spark, db, name,
+            h2.select(md5(col("text")).as("__h")).distinct(), "__h")
+          .join(h1.select(md5(col("text")).as("__h")).distinct(),
+            Seq("__h"), "left_anti")
+          .count()
+        require(fps == 0L,
+          s"spine export stream fixture: $fps bloom false positive(s) at " +
+            "expectedKeys=16384 — the served manifest would drift from " +
+            "the batch oracle; raise the store capacity")
+        land(1L, h2)
+        // the live maintenance cadence, exercised on the Verify path:
+        // fold the per-batch partitions to one file set per shard —
+        // the served answer must be byte-identical pre/post (the
+        // manifest log is untouched, the reconciliation still holds)
+        CatalogOps.compactExportShards(spark, db, name)
+        spark.createDataFrame(Seq(Tuple1(2L))).toDF("expected_batches")
+          .write.mode("overwrite").saveAsTable(metaTbl)
+      }
+      val expected = spark.table(metaTbl).head().getLong(0)
+      val logged = spark.table(s"`$db`.`${name}__manifestlog`")
+        .select(col("batch_id")).distinct().count()
+      require(logged == expected,
+        s"spine export stream fixture `$db.$name` is corrupt: marker " +
+          s"promises $expected batches, log has $logged — drop the `$db` " +
+          "database to rebuild")
+    }
+    CatalogOps.exportVerifiedStreamServe(spark, db, name)
+  }
+
   /** Survivors of the six-gate funnel folded to per-shard partials —
     * (shard, n_docs, n_tokens, n_bytes, min_doc), all associative, so
     * the streaming spine appends one partial set per micro-batch and

@@ -293,6 +293,56 @@ object StreamingOps {
     q
   }
 
+  /** STREAMING spine-survivor export (r19 — VERDICT task 1, live
+    * form): each micro-batch of EXTRACTED docs (doc_id, lang, source,
+    * text) passes the incremental gate battery — bloom-store exact
+    * dedup first-arrival plus the stateless gates against the static
+    * `evalNg` decontamination side input — and the SURVIVING curated
+    * text lands through
+    * [[graft.sources.CatalogOps.exportIncrementalBatch]]'s idempotent
+    * `(shard, batch_id)` partition write, with the batch's manifest
+    * partials appended in docs → log → bloom-advance commit order.
+    *
+    * The replay discipline differs from [[streamingVerifiedExport]] in
+    * one load-bearing way: the bloom advance runs EVEN FOR REPLAYED
+    * batches (it is an idempotent bit-OR), because a crash between the
+    * log append and the store advance would otherwise leave the dedup
+    * state permanently behind the log. Conversely a batch missing its
+    * log row recomputes IDENTICAL survivors on replay precisely
+    * because the commit order guarantees its bloom advance has not
+    * happened yet — gates replayed against un-advanced state are
+    * deterministic. WarcSpec walks both crash windows.
+    */
+  def streamingSpineExport(xdocStream: DataFrame, evalNg: DataFrame,
+      db: String, name: String): StreamingQuery = {
+    import graft.sources.{CatalogOps, WarcOps}
+    import graft.operators.TextAnalysisOps
+    xdocStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          // checkpoint once: the gate battery reads the batch many ways
+          val xdocs = batch.toDF().localCheckpoint()
+          val replayed =
+            spark.catalog.tableExists(s"$db.${name}__manifestlog") &&
+              !spark.table(s"`$db`.`${name}__manifestlog`")
+                .filter(col("batch_id") === batchId).isEmpty
+          if (!replayed) {
+            CatalogOps.exportIncrementalBatch(spark, db, name,
+                WarcOps.survivorDocs(xdocs, evalNg,
+                  WarcOps.incrementalDedupFlags(xdocs, db, name)),
+                batchId, repartitionTasks = 16)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append")
+              .saveAsTable(s"`$db`.`${name}__manifestlog`")
+          }
+          TextAnalysisOps.funnelAdvanceBloom(xdocs, db, name)
+        }
+      }
+      .start()
+  }
+
   /** STREAMING verified export (r18 — the live composition of the r17
     * batch export and the shard-partials discipline): each micro-batch
     * of (doc_id, text) documents lands in the shard-partitioned

@@ -346,4 +346,61 @@ class WarcSpec extends AnyFunSuite {
     assert(spark.sql("SHOW PARTITIONS `graft_spineexport`.`docs`")
       .count() == 16L)
   }
+
+  test("spine export stream: crash windows + replay storm converge on the batch manifest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysisOps
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val db = "sspineexp"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    CatalogOps.createBloomStore(spark, db, "docs",
+      Seq.empty[String].toDF("__h"), "__h", expectedKeys = 16384L)
+    val xall = WarcOps.extractOf(WarcOps.plantedSpineMembers(spark, sf))
+      .localCheckpoint(false)
+    val evalNg = TextAnalysisOps.ngramSet(
+      xall.filter(col("source") === "src19")).localCheckpoint()
+    val n = docs.count()
+    val rows = xall.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    val (b0, b1) = rows.partition(_._1 < n / 2)
+    // crash window 1: batch 0's docs land, the log row does NOT — the
+    // commit order (docs -> log -> bloom) means the gates' store never
+    // advanced, so the redelivery below recomputes IDENTICAL survivors
+    // and the (shard, batch_id) overwrite rewrites the same bytes
+    val h1 = xall.filter(col("doc_id") < n / 2)
+    CatalogOps.exportIncrementalBatch(spark, db, "docs",
+      WarcOps.survivorDocs(h1, evalNg,
+        WarcOps.incrementalDedupFlags(h1, db, "docs")),
+      0L, repartitionTasks = 16)
+    // recovery: the stream redelivers batch 0 (absent from the log →
+    // full re-run) and proceeds to batch 1
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = StreamingOps.streamingSpineExport(
+      in.toDF.toDF("doc_id", "lang", "source", "text"), evalNg, db, "docs")
+    try {
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    // crash window 2: a replay storm AFTER batch 0's log row landed —
+    // the guard skips docs+log; the bloom advance re-runs idempotently
+    // (the always-advance half of the discipline)
+    val in2 = MemoryStream[(Long, String, String, String)]
+    val q2 = StreamingOps.streamingSpineExport(
+      in2.toDF.toDF("doc_id", "lang", "source", "text"), evalNg, db, "docs")
+    try { in2.addData(b0: _*); q2.processAllAvailable() } finally q2.stop()
+    val want = WarcOps.spineExportVerified(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq == want)
+    // maintenance fold: layout changes, served bytes do not
+    CatalogOps.compactExportShards(spark, db, "docs")
+    assert(spark.sql(s"SHOW PARTITIONS `$db`.`docs`").count() == 16L)
+    assert(CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq == want)
+    CatalogOps.dropDatabase(spark, db)
+  }
 }
