@@ -163,6 +163,13 @@ object SparkEntry {
     // the schedule side broadcasts (hosts x cap), the corpus never
     // shuffles for the fetch join
     "q_crawl_archive_e2e" -> ((s, d) => graft.sources.WarcOps.crawlArchiveE2e(s, d)),
+    // the full loop LIVE (r19): repeated crawl cycles — half schedule,
+    // then the steady-state full re-crawl — through store-backed
+    // revisit extraction, the incremental gate battery, and the
+    // verified export; revisits extract once ACROSS cycles and
+    // re-fetched texts never re-export
+    "q_crawl_archive_e2e_stream" -> ((s, d) => graft.sources.WarcOps
+      .crawlArchiveStreamFixture(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
@@ -765,7 +772,8 @@ object SparkEntry {
     "q_curate_e2e_verdict_stored", "q_export_verified",
     "q_export_verified_stream", "q_archive_e2e_revisit",
     "q_crawl_archive_e2e", "q_archive_e2e_revisit_stream",
-    "q_spine_export_verified", "q_spine_export_verified_stream")
+    "q_spine_export_verified", "q_spine_export_verified_stream",
+    "q_crawl_archive_e2e_stream")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -1220,25 +1228,25 @@ object SparkEntry {
     val mult = (1 to 12).map(k =>
       s"(instr('0123456789abcdef', substr(h, $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
       .mkString(" +\n           ")
-    s"""r AS (
+    s"""mfr AS (
        |  SELECT doc_id, text,
        |         instr('0123456789abcdef',
        |           substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS shard,
        |         md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)) AS h
        |  FROM $rel),
-       |m AS (
+       |mfm AS (
        |  SELECT CAST(shard AS BIGINT) AS shard, doc_id,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
        |         CAST(length(text) AS BIGINT) AS n_bytes,
        |         CAST($mult AS BIGINT) AS ck
-       |  FROM r)
+       |  FROM mfr)
        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |       CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
        |       CAST(min(doc_id) AS BIGINT) AS min_doc,
        |       CAST(max(doc_id) AS BIGINT) AS max_doc,
        |       CAST(bit_xor(ck) AS BIGINT) AS checksum
-       |FROM m GROUP BY shard
+       |FROM mfm GROUP BY shard
        |ORDER BY shard ASC""".stripMargin
   }
 
@@ -1276,9 +1284,17 @@ object SparkEntry {
     * closed-form manifest arithmetic over exactly those rows.
     */
   private def spineExportOracleSql: String =
-    spineSurvCtes("""xraw AS (
+    spineExportOracleSqlOf("""xraw AS (
       |  SELECT doc_id, lang, source, text FROM documents
-      |  WHERE doc_id % 13 <> 7)""".stripMargin) + ",\n" +
+      |  WHERE doc_id % 13 <> 7)""".stripMargin)
+
+  /** [[spineExportOracleSql]] parameterized on the input corpus — the
+    * crawl-loop compositions thread their schedule derivation in as
+    * `prefixCtes` and restrict `xraw` to the fetched subset.
+    */
+  private def spineExportOracleSqlOf(xrawCte: String,
+      prefixCtes: String = ""): String =
+    spineSurvCtes(xrawCte, prefixCtes) + ",\n" +
       """|sdocs AS MATERIALIZED (
          |  SELECT s.doc_id, x.text FROM surv s JOIN xdocs x USING (doc_id)),
          |""".stripMargin + manifestSelectOver("sdocs")
@@ -2752,6 +2768,23 @@ object SparkEntry {
     // column folds associatively, and the fixture compacts before
     // serving — so the served manifest IS the batch manifest exactly
     "q_spine_export_verified_stream" -> spineExportOracleSql,
+    // the FULL loop live: crawl-plan CTEs -> fetched-subset spine
+    // CTEs -> manifest closed form. Ordered cycles (half schedule,
+    // then the full re-crawl) + the require()'d zero-FP bloom make
+    // the streamed survivor set exactly the batch funnel's over the
+    // fetched corpus; the re-crawl's revisits extract once across
+    // cycles and never re-export, so the served manifest IS this
+    "q_crawl_archive_e2e_stream" -> spineExportOracleSqlOf(
+      """xraw AS MATERIALIZED (
+        |  SELECT d.doc_id, d.lang, d.source, d.text
+        |  FROM documents d JOIN sched USING (doc_id)
+        |  WHERE d.doc_id % 13 <> 7)""".stripMargin,
+      prefixCtes = crawlPlanCtes + """,
+        |sched AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(regexp_extract(url, '/p([0-9]+)$', 1)
+        |    AS BIGINT) AS doc_id
+        |  FROM r2 WHERE slot <= cap),
+        |""".stripMargin),
     // closed-form mirror of the CDX plan: which capture wins is pure
     // doc_id arithmetic on the oracle side; the engine must SURT, split
     // and from_json its way to the same row

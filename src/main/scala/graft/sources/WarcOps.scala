@@ -833,11 +833,130 @@ object WarcOps {
     * shuffles for the join; downstream is the spine's own profile
     * (member assembly + funnel dedup exchanges on the FETCHED subset).
     */
-  def crawlArchiveE2e(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.TextOps
-    val members = warcMembersFrom(plantedRecordsOf(
-      TextOps.plantedPage(fetchedSpineDocs(spark, dir)), col("html")))
-    shardPlanOfSurvivors(extractOf(members).localCheckpoint(false))
+  def crawlArchiveE2e(spark: SparkSession, dir: String): DataFrame =
+    shardPlanOfSurvivors(
+      extractOf(crawlMembersOf(fetchedSpineDocs(spark, dir)))
+        .localCheckpoint(false))
+
+  /** The composed loop's archive stage: fetched pages rendered to full
+    * planted pages and assembled into WARC response members — factored
+    * (r19) so the batch loop and its streaming cycles build members
+    * identically.
+    */
+  private[graft] def crawlMembersOf(docs: DataFrame): DataFrame =
+    warcMembersFrom(plantedRecordsOf(
+      graft.operators.TextOps.plantedPage(docs), col("html")))
+
+  /** `q_crawl_archive_e2e_stream` (r19 — VERDICT task 2): the FULL
+    * loop as a LIVE stream — repeated crawl cycles through crawlPlan →
+    * fetch → store-backed revisit extraction ([[revisitXdocsOf]]) →
+    * incremental gate battery → verified export, served by the
+    * written-table-vs-folded-log reconciliation.
+    *
+    * Cycle fixture (two ordered cycle-batches, the r17 convention
+    * lifted to the CYCLE level): cycle 0 is a crawl that got through
+    * the first half of its schedule (`doc_id < n/2`); cycle 1 is the
+    * steady-state FULL re-crawl — the first half arrives again as
+    * byte-identical revisits, the second half for the first time.
+    * That makes every maintained store earn its keep across cycles:
+    * the `__xtexts` extraction store collapses the revisits (extract
+    * once per digest ACROSS cycles — require()'d: store rows ==
+    * distinct digests), the bloom store drops the re-fetched texts at
+    * the dedup gate so nothing re-exports, and the export log keeps
+    * the (shard, batch_id) writes idempotent.
+    *
+    * FULLY ORACLED against the composed batch SQL (crawl-plan CTEs →
+    * spine-survivor CTEs → closed-form manifest): the ordered cycles +
+    * the require()'d zero-FP bloom measurement make the streamed
+    * survivor set exactly the batch funnel's over the fetched corpus,
+    * and every manifest column folds associatively. The fixture runs
+    * [[CatalogOps.compactExportShards]] after the backfill so the
+    * Verify-path answer is demonstrably fold-invariant.
+    *
+    * Scale: the schedule is hosts × cap (politeness-bounded), so the
+    * fetch join broadcasts cycle ids against the page store; the
+    * re-crawl's extraction cost drops by the revisit share via the
+    * digest store; export work per cycle ∝ NEW survivors only.
+    */
+  def crawlArchiveStreamFixture(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysisOps, TextOps}
+    val db = "graft_crawlarchstream"
+    val name = "docs"
+    this.synchronized {
+      val metaTbl = s"`$db`.`${name}__expmeta`"
+      if (!spark.catalog.tableExists(s"$db.${name}__expmeta")) {
+        CatalogOps.createDatabase(spark, db)
+        Seq(name, s"${name}__manifestlog", s"${name}__xtexts",
+          s"${name}__bloom", s"${name}__bloommeta", s"${name}__expmeta")
+          .foreach(graft.operators.KnnOps.dropTableAndDir(spark, db, _))
+        import spark.implicits._
+        CatalogOps.createBloomStore(spark, db, name,
+          Seq.empty[String].toDF("__h"), "__h", expectedKeys = 16384L)
+        val fetched = fetchedSpineDocs(spark, dir).localCheckpoint(false)
+        // static decontamination side input — the batch composition's
+        // eval set, derived by direct extraction of the fetched
+        // corpus' valid src19 pages (direct ≡ archive-path extraction
+        // is the WarcSpec lossless pin)
+        val evalNg = TextAnalysisOps.ngramSet(
+            TextOps.htmlMainOn(TextOps.plantedPage(
+                fetched.filter(col("source") === "src19" &&
+                  col("doc_id") % 13 =!= 7)))
+              .select(col("doc_id"), col("lang"), col("source"),
+                col("main_text").as("text")))
+          .localCheckpoint(false)
+        val n = Tables.documents(spark, dir).count()
+        def land(bid: Long, xdocs: DataFrame): Unit = {
+          CatalogOps.exportIncrementalBatch(spark, db, name,
+              survivorDocs(xdocs, evalNg,
+                incrementalDedupFlags(xdocs, db, name)),
+              bid, repartitionTasks = 16)
+            .withColumn("batch_id", lit(bid))
+            .write.mode("append")
+            .saveAsTable(s"`$db`.`${name}__manifestlog`")
+          TextAnalysisOps.funnelAdvanceBloom(xdocs, db, name)
+        }
+        val x0 = revisitXdocsOf(
+          crawlMembersOf(fetched.filter(col("doc_id") < n / 2)), db, name)
+        land(0L, x0)
+        val x1 = revisitXdocsOf(crawlMembersOf(fetched), db, name)
+        // zero-FP guarantee behind the batch-equality oracle: the NEW
+        // half's texts must not collide into the advanced bloom
+        val fps = CatalogOps.probeBloomStore(spark, db, name,
+            x1.filter(col("doc_id") >= n / 2)
+              .select(md5(col("text")).as("__h")).distinct(), "__h")
+          .join(x0.select(md5(col("text")).as("__h")).distinct(),
+            Seq("__h"), "left_anti")
+          .count()
+        require(fps == 0L,
+          s"crawl-archive stream fixture: $fps bloom false positive(s) " +
+            "at expectedKeys=16384 — the served manifest would drift " +
+            "from the batch oracle; raise the store capacity")
+        land(1L, x1)
+        // extract-once ACROSS cycles: the full re-crawl added only the
+        // never-seen digests — one stored extraction per distinct
+        // digest over both cycles
+        val stored = spark.table(s"`$db`.`${name}__xtexts`").count()
+        val distinctDigests = spark.table(s"`$db`.`${name}__xtexts`")
+          .select(col("__digest")).distinct().count()
+        require(stored == distinctDigests,
+          s"extraction store holds $stored rows for $distinctDigests " +
+            "digests across cycles — the anti-join idempotence " +
+            "invariant broke")
+        // the live maintenance cadence on the Verify path: fold the
+        // per-batch partitions; the served answer must not move
+        CatalogOps.compactExportShards(spark, db, name)
+        spark.createDataFrame(Seq(Tuple1(2L))).toDF("expected_batches")
+          .write.mode("overwrite").saveAsTable(metaTbl)
+      }
+      val expected = spark.table(metaTbl).head().getLong(0)
+      val logged = spark.table(s"`$db`.`${name}__manifestlog`")
+        .select(col("batch_id")).distinct().count()
+      require(logged == expected,
+        s"crawl-archive stream fixture `$db.$name` is corrupt: marker " +
+          s"promises $expected batches, log has $logged — drop the " +
+          s"`$db` database to rebuild")
+    }
+    CatalogOps.exportVerifiedStreamServe(spark, db, name)
   }
 
   /** The composed loop's fetch stage: scheduled page ids (both URL

@@ -403,4 +403,83 @@ class WarcSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq == want)
     CatalogOps.dropDatabase(spark, db)
   }
+
+  test("crawl-archive stream: crash + replay storm converge, revisits extract once across cycles") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val db = "scrawlarch"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    CatalogOps.createBloomStore(spark, db, "docs",
+      Seq.empty[String].toDF("__h"), "__h", expectedKeys = 16384L)
+    // batch reference: the composed loop's survivors shipped through the
+    // verified export — the manifest every streamed cycle plan must fold to
+    val fetched = WarcOps.fetchedSpineDocs(spark, sf).localCheckpoint()
+    val xall = WarcOps.extractOf(WarcOps.crawlMembersOf(fetched))
+      .localCheckpoint(false)
+    val (evalNg, ded) = WarcOps.batchGateInputs(xall)
+    CatalogOps.dropDatabase(spark, db + "b")
+    val want = CatalogOps.exportShardedVerified(spark, db + "b", "docs",
+        WarcOps.survivorDocs(xall, evalNg, ded), repartitionTasks = 16)
+      .collect().map(_.toSeq).toSeq
+    // two crawl CYCLES as member micro-batches: a half-finished schedule,
+    // then the steady-state full re-crawl (the first half arrives again
+    // as byte-identical revisits)
+    val n = docs.count()
+    def members(d: org.apache.spark.sql.DataFrame) =
+      WarcOps.crawlMembersOf(d).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+    val b0 = members(fetched.filter(col("doc_id") < n / 2))
+    val b1 = members(fetched)
+    // crash window: cycle 0's extraction store advanced AND its docs
+    // landed, but the crash hit before the log row — the commit order
+    // (xtexts -> docs -> log -> bloom) means redelivery recomputes
+    // IDENTICAL survivors (bloom never advanced, the store anti-join is
+    // a no-op) and the (shard, batch_id) overwrite rewrites the same bytes
+    val x0 = WarcOps.revisitXdocsOf(
+      spark.createDataFrame(b0.toSeq).toDF("host", "warc"), db, "docs")
+    CatalogOps.exportIncrementalBatch(spark, db, "docs",
+      WarcOps.survivorDocs(x0, evalNg,
+        WarcOps.incrementalDedupFlags(x0, db, "docs")),
+      0L, repartitionTasks = 16)
+    // recovery: the stream redelivers cycle 0 (absent from the log ->
+    // full re-run), then runs the full re-crawl cycle
+    val in = MemoryStream[(String, String)]
+    val q = StreamingOps.streamingCrawlArchive(
+      in.toDF.toDF("host", "warc"), evalNg, db, "docs")
+    try {
+      in.addData(b0.toSeq: _*); q.processAllAvailable()
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // replay storm AFTER cycle 0's log row landed: the guard skips
+    // docs+log, the bloom advance re-runs idempotently, and the
+    // content-addressed extraction store anti-joins to a no-op
+    val in2 = MemoryStream[(String, String)]
+    val q2 = StreamingOps.streamingCrawlArchive(
+      in2.toDF.toDF("host", "warc"), evalNg, db, "docs")
+    try { in2.addData(b0.toSeq: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq == want)
+    // extract-once ACROSS cycles, even under crash + storm: the store
+    // holds exactly one row per distinct payload digest of the full
+    // corpus, though the first half was delivered three times
+    // (refresh: the stream's appends ran in foreachBatch's cloned
+    // sessions — this session's cached file listing is stale)
+    spark.catalog.refreshTable(s"$db.docs__xtexts")
+    val stored = spark.table(s"`$db`.`docs__xtexts`").count()
+    val allDigests = WarcOps.warcParseOn(
+        spark.createDataFrame(b1.toSeq).toDF("host", "warc"))
+      .filter(col("len_ok") === 1L && col("http_status") === "200")
+      .select(md5(col("payload"))).distinct().count()
+    assert(stored == allDigests,
+      s"store rows $stored != distinct full-corpus digests $allDigests")
+    // maintenance fold: layout changes, served bytes do not
+    CatalogOps.compactExportShards(spark, db, "docs")
+    assert(CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq == want)
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.dropDatabase(spark, db + "b")
+  }
 }
