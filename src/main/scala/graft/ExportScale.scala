@@ -55,10 +55,10 @@ object ExportScale {
     timed(s"ingest n=$n as $nBatches batches (repartitionTasks=$repTasks)") {
       (0 until nBatches).foreach { b =>
         val batch = docs.filter(col("doc_id") % nBatches === b)
-        CatalogOps.exportIncrementalBatch(spark, db, name, batch, b.toLong,
-            repartitionTasks = repTasks)
-          .withColumn("batch_id", lit(b.toLong))
-          .write.mode("append").saveAsTable(s"`$db`.`${name}__manifestlog`")
+        CatalogOps.appendBatchLog(spark, db, s"${name}__manifestlog",
+          CatalogOps.exportIncrementalBatch(spark, db, name, batch,
+            b.toLong, repartitionTasks = repTasks),
+          b.toLong)
       }
     }
     println(s"[exportscale]   files at depth $nBatches: ${fileCount()}")
@@ -76,6 +76,22 @@ object ExportScale {
     }
     require(after == before, "compaction changed the served manifest")
     println("[exportscale] served manifest identical pre/post compaction")
+    // the LOG side (r19): fold the per-batch partial rows to one row
+    // per shard under the watermark — row count collapses from
+    // batches×16 to 16, the serve's log fold reads one partition
+    def logRows(): Long =
+      spark.table(s"`$db`.`${name}__manifestlog`").count()
+    println(s"[exportscale]   log rows at depth $nBatches: ${logRows()}")
+    timed("compactBatchLog") {
+      CatalogOps.compactBatchLog(spark, db, s"${name}__manifestlog")
+    }
+    println(s"[exportscale]   log rows after fold: ${logRows()}")
+    val afterLog = timed("serve after log fold") {
+      CatalogOps.exportVerifiedStreamServe(spark, db, name)
+        .collect().map(_.toSeq).toSeq
+    }
+    require(afterLog == before, "log fold changed the served manifest")
+    println("[exportscale] served manifest identical pre/post log fold")
     CatalogOps.dropDatabase(spark, db)
     spark.stop()
   }

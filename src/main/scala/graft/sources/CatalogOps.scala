@@ -3025,16 +3025,30 @@ object CatalogOps {
     }
     if (!spark.catalog.tableExists(s"$db.$name") ||
         !spark.catalog.tableExists(s"$db.${name}__manifestlog")) return
-    val logged = spark.table(s"`$db`.`${name}__manifestlog`")
+    val loggedIds = spark.table(s"`$db`.`${name}__manifestlog`")
       .select(col("batch_id")).distinct()
-    val r = logged.agg(max(col("batch_id"))).head()
-    if (r.isNullAt(0)) return
-    val watermark = r.getLong(0)
+      .collect().map(_.getLong(0)).toSet
+    // a PRIOR compactBatchLog may have folded old log rows away — those
+    // ids are committed too (the replay guard's wm semantics), so fold
+    // their docs partitions as well; batchCommitted's invariant (an
+    // uncommitted id exceeds every committed id) keeps this safe
+    val logWm: Option[Long] =
+      if (spark.catalog.tableExists(s"$db.${name}__manifestlog__wm")) {
+        val r = spark.table(s"`$db`.`${name}__manifestlog__wm`")
+          .agg(max(col("watermark"))).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      } else None
     val docs = spark.table(s"`$db`.`$name`")
+    val docIds = docs.select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0))
+    val committedIds = (docIds.filter(id => logWm.exists(id <= _))
+      ++ docIds.filter(loggedIds.contains)).distinct.sorted
+    if (committedIds.isEmpty) return
+    val watermark = committedIds.last
     // staging = the committed rows ONLY, re-keyed to the watermark;
     // uncommitted (mid-crash-window) batches stay out of staging and
     // out of the drop set, so their partitions survive untouched
-    val folded = docs.join(logged, Seq("batch_id"))
+    val folded = docs.filter(col("batch_id").isin(committedIds: _*))
       .withColumn("batch_id", lit(watermark))
       .select(col("doc_id"), col("text"), col("shard"), col("batch_id"))
       .repartition(16, col("shard"))
@@ -3042,7 +3056,8 @@ object CatalogOps {
     // marker LAST: its presence proves the staging write completed, and
     // its CONTENT is the WAL metadata — the original batch ids the fold
     // consumed (exactly the partitions the finish step must drop)
-    logged.select(col("batch_id").as("folded_batch_id"))
+    spark.createDataFrame(committedIds.map(Tuple1(_)).toIndexedSeq)
+      .toDF("folded_batch_id")
       .coalesce(1).write.mode("overwrite").saveAsTable(ready)
     finishExportCompaction(spark, db, name)
   }
@@ -3089,6 +3104,226 @@ object CatalogOps {
     spark.catalog.refreshTable(s"`$db`.`$name`")
   }
 
+  /** Append one batch's per-shard partial rows to the append-only
+    * batch log `{logName}`, stamping `batch_id`. Creates the log
+    * PARTITIONED BY batch_id so [[compactBatchLog]] can later fold old
+    * batches partition-scoped (safe beside live ingest of new
+    * batches); appends to an existing log in its own layout either
+    * way. One call per committed micro-batch — log-row presence IS the
+    * batch's commit record ([[batchCommitted]]).
+    */
+  def appendBatchLog(spark: SparkSession, db: String, logName: String,
+      partials: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val rows = partials.withColumn("batch_id", lit(batchId))
+    if (!spark.catalog.tableExists(s"$db.$logName")) {
+      createDatabase(spark, db)
+      rows.write.partitionBy("batch_id").saveAsTable(s"`$db`.`$logName`")
+    } else {
+      // saveAsTable(append) demands the declared partitioning MATCH the
+      // table's — re-declare it for the partitioned layout this helper
+      // creates, omit it for a legacy unpartitioned log
+      val partitioned = spark.catalog.listColumns(s"$db.$logName")
+        .collect().exists(c => c.name == "batch_id" && c.isPartition)
+      val w = rows.write.mode("append")
+      (if (partitioned) w.partitionBy("batch_id") else w)
+        .saveAsTable(s"`$db`.`$logName`")
+    }
+  }
+
+  /** The streaming replay guard over a (possibly compacted) batch log:
+    * a batch is committed iff its id sits at or under the log's
+    * compaction watermark (`{logName}__wm` — the ids
+    * [[compactBatchLog]] folded away) OR its log row is present.
+    * Sound under the single-sequential-writer discipline every stream
+    * here runs: an uncommitted (mid-crash-window) batch id is always
+    * GREATER than every committed id at the moment it crashed — its
+    * failure stops the query before any later batch can commit — so no
+    * watermark ever covers an id whose replay must still run.
+    */
+  def batchCommitted(spark: SparkSession, db: String, logName: String,
+      batchId: Long): Boolean = {
+    import org.apache.spark.sql.functions._
+    if (!spark.catalog.tableExists(s"$db.$logName")) return false
+    val folded = spark.catalog.tableExists(s"$db.${logName}__wm") && {
+      val r = spark.table(s"`$db`.`${logName}__wm`")
+        .agg(max(col("watermark"))).head()
+      !r.isNullAt(0) && batchId <= r.getLong(0)
+    }
+    folded || !spark.table(s"`$db`.`$logName`")
+      .filter(col("batch_id") === batchId).isEmpty
+  }
+
+  /** Column-name-dispatched merge for folding batch-log partials to
+    * one row per shard: counts/totals sum, the id range folds
+    * min/max, the content checksum is an order-free bit_xor — exactly
+    * the serve-side fold, so folding the LOG cannot move any serve.
+    */
+  private def logFoldExprs(
+      logDf: DataFrame): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    logDf.schema.fieldNames.toSeq
+      .filterNot(c => c == "shard" || c == "batch_id")
+      .map {
+        case c @ "min_doc"  => min(col(c)).as(c)
+        case c @ "max_doc"  => max(col(c)).as(c)
+        case c @ "checksum" => expr(s"bit_xor(`$c`)").as(c)
+        case c              => sum(col(c)).as(c)
+      }
+  }
+
+  /** Fold a streaming batch log (r19 — the [[compactExportShards]]
+    * discipline applied to the LOG side): a live ingest appends one
+    * ≤16-row partial set per micro-batch, which is exactly right for
+    * replay but accretes one partition + file per batch forever. This
+    * fold rewrites every current batch's rows into ONE row per shard
+    * under the watermark batch (all log columns merge associatively —
+    * [[logFoldExprs]] — so every serve that folds the log is
+    * byte-identical pre/post), while the replay guard keeps skipping
+    * the folded-away ids via the append-only `{logName}__wm` watermark
+    * written BEFORE anything is rewritten.
+    *
+    * Crash-atomic and ingest-safe: watermark append first (from then
+    * on every folded id still reads committed whatever else happens);
+    * staging holds the complete folded row set; the `_compact_ready`
+    * marker written AFTER staging carries the WAL drop set; the finish
+    * step lands the folded rows by dynamic overwrite of the watermark
+    * partition and drops the folded batches' own partitions one spec
+    * at a time — a batch landing concurrently under a NEW batch_id is
+    * never touched. Mid-finish the log transiently double-counts
+    * (folded + surviving originals), which is why
+    * [[exportVerifiedStreamServe]] refuses to serve while the marker
+    * is present. Not safe concurrent with ITSELF (the fixture
+    * builders' synchronized discipline).
+    */
+  def compactBatchLog(spark: SparkSession, db: String,
+      logName: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val staging = s"`$db`.`__${logName}_compact_staging`"
+    val ready = s"`$db`.`__${logName}_compact_ready`"
+    if (spark.catalog.tableExists(s"$db.__${logName}_compact_ready")) {
+      finishBatchLogCompaction(spark, db, logName)
+    } else if (spark.catalog.tableExists(s"$db.__${logName}_compact_staging")) {
+      // fold died before its marker: staging may be partial; the log
+      // was never touched — discard and refold below
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
+    if (!spark.catalog.tableExists(s"$db.$logName")) return
+    require(spark.catalog.listColumns(s"$db.$logName").collect()
+        .exists(c => c.name == "batch_id" && c.isPartition),
+      s"batch log `$db`.`$logName` is not partitioned by batch_id " +
+        "(legacy layout) — rebuild it through appendBatchLog before " +
+        "compacting")
+    val log = spark.table(s"`$db`.`$logName`")
+    val ids = log.select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (ids.length < 2) return
+    val wm = ids.last
+    // replay-guard watermark FIRST, append-only (a crash mid-append
+    // loses at most this one row and never prior ones): from here every
+    // id ≤ wm reads committed via batchCommitted even after its row folds
+    val wmRow = spark.createDataFrame(Seq(Tuple1(wm))).toDF("watermark")
+      .coalesce(1)
+    if (!spark.catalog.tableExists(s"$db.${logName}__wm"))
+      wmRow.write.saveAsTable(s"`$db`.`${logName}__wm`")
+    else wmRow.write.mode("append").saveAsTable(s"`$db`.`${logName}__wm`")
+    // snapshot on the id set: a batch appending mid-fold lands a NEW id
+    // that stays out of staging and out of the drop set
+    val exprs = logFoldExprs(log)
+    val folded = log.filter(col("batch_id").isin(ids: _*))
+      .groupBy(col("shard")).agg(exprs.head, exprs.tail: _*)
+      .withColumn("batch_id", lit(wm))
+      .select(log.columns.map(col).toIndexedSeq: _*)
+    folded.coalesce(1).write.mode("overwrite").saveAsTable(staging)
+    // marker LAST: presence proves staging is whole; content is the WAL
+    spark.createDataFrame(ids.map(Tuple1(_)).toIndexedSeq)
+      .toDF("folded_batch_id")
+      .coalesce(1).write.mode("overwrite").saveAsTable(ready)
+    finishBatchLogCompaction(spark, db, logName)
+  }
+
+  /** Complete a staged batch-log fold, partition-scoped: dynamic
+    * overwrite of the watermark partition, then drop the folded ids'
+    * own partitions (from the marker WAL). Idempotent — a crash
+    * anywhere replays from the top on the next [[compactBatchLog]]
+    * call; errors propagate (retryable from the top).
+    */
+  private def finishBatchLogCompaction(spark: SparkSession, db: String,
+      logName: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val staging = s"`$db`.`__${logName}_compact_staging`"
+    val ready = s"`$db`.`__${logName}_compact_ready`"
+    val staged = spark.table(staging)
+    val foldedIds = spark.table(ready)
+      .select(col("folded_batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val wm = foldedIds.last
+    if (!spark.catalog.tableExists(s"$db.$logName")) {
+      // a marker can outlive an EXTERNAL drop of the log — restore the
+      // committed fold from the write-ahead copy
+      staged.write.partitionBy("batch_id").saveAsTable(s"`$db`.`$logName`")
+    } else {
+      insertDynamicOverwrite(staged, s"`$db`.`$logName`")
+      foldedIds.filter(_ != wm).foreach { id =>
+        spark.sql(s"ALTER TABLE `$db`.`$logName` DROP IF EXISTS " +
+          s"PARTITION (batch_id=$id)")
+      }
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $ready")
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    spark.catalog.refreshTable(s"`$db`.`$logName`")
+  }
+
+  /** Crash-atomic FILE fold of an append-accreting content-addressed
+    * store (r19 — the `__xtexts` digest→text extraction store's
+    * maintenance): per-batch appends leave one file set per batch; this
+    * rewrites the table into `files` files with rows deduplicated at
+    * whole-row grain (appends are content-addressed, so a duplicate
+    * row is byte-identical by construction — the dedup is a file-size
+    * bonus, never a semantic change). Staging + marker + overwrite:
+    * staging holds the complete folded copy BEFORE the target is
+    * touched, so a crash between the target's drop and rewrite
+    * recovers from the write-ahead copy on the next call.
+    *
+    * Concurrent ingest tolerance is the content-addressed store's own:
+    * an append landing between the snapshot and the overwrite is lost
+    * from the store, which is SELF-HEALING (the next batch seeing that
+    * digest re-extracts and re-appends — extra work, never a wrong
+    * answer, because readers fold min-per-digest). Run it at ingest
+    * quiesce to avoid the wasted re-extraction; never concurrent with
+    * itself.
+    */
+  def compactContentStore(spark: SparkSession, db: String, table: String,
+      files: Int = 16): Unit = {
+    val staging = s"`$db`.`__${table}_files_staging`"
+    val ready = s"`$db`.`__${table}_files_ready`"
+    if (spark.catalog.tableExists(s"$db.__${table}_files_ready")) {
+      finishContentStoreCompaction(spark, db, table)
+    } else if (spark.catalog.tableExists(s"$db.__${table}_files_staging")) {
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
+    if (!spark.catalog.tableExists(s"$db.$table")) return
+    spark.table(s"`$db`.`$table`").distinct().repartition(files)
+      .write.mode("overwrite").saveAsTable(staging)
+    spark.createDataFrame(Seq(Tuple1(files.toLong))).toDF("files")
+      .coalesce(1).write.mode("overwrite").saveAsTable(ready)
+    finishContentStoreCompaction(spark, db, table)
+  }
+
+  /** Complete a staged content-store file fold: overwrite the target
+    * from the write-ahead staging copy, then clean up. Idempotent.
+    */
+  private def finishContentStoreCompaction(spark: SparkSession, db: String,
+      table: String): Unit = {
+    val staging = s"`$db`.`__${table}_files_staging`"
+    val ready = s"`$db`.`__${table}_files_ready`"
+    spark.table(staging).write.mode("overwrite")
+      .saveAsTable(s"`$db`.`$table`")
+    spark.sql(s"DROP TABLE IF EXISTS $ready")
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    spark.catalog.refreshTable(s"`$db`.`$table`")
+  }
+
   /** Serve the streaming verified export: recompute the manifest FROM
     * THE WRITTEN TABLE (one scan — the deliberate verification cost,
     * exactly [[exportShardedVerified]]'s arithmetic), fold the
@@ -3112,6 +3347,14 @@ object CatalogOps {
       s"verified streaming export `$db.$name`: a compaction marker is " +
         "present — a fold is in flight or crashed mid-finish; run " +
         "compactExportShards to complete recovery before serving")
+    // same refusal for the LOG side: mid-finish the log transiently
+    // holds the folded watermark row AND surviving originals (double
+    // count) — fail actionably instead of as a reconciliation mismatch
+    require(!spark.catalog.tableExists(
+        s"$db.__${name}__manifestlog_compact_ready"),
+      s"verified streaming export `$db.$name`: a manifest-log fold is " +
+        "in flight or crashed mid-finish; run compactBatchLog to " +
+        "complete recovery before serving")
     val written = manifestAggOf(spark.table(s"`$db`.`$name`"))
       .localCheckpoint()
     val folded = spark.table(s"`$db`.`${name}__manifestlog`")
@@ -3164,11 +3407,10 @@ object CatalogOps {
         Seq(0L, 1L).foreach { bid =>
           val half = if (bid == 0L) docs.filter(col("doc_id") < n / 2)
             else docs.filter(col("doc_id") >= n / 2)
-          exportIncrementalBatch(spark, db, name, half, bid,
-              repartitionTasks = 16)
-            .withColumn("batch_id", lit(bid))
-            .write.mode("append")
-            .saveAsTable(s"`$db`.`${name}__manifestlog`")
+          appendBatchLog(spark, db, s"${name}__manifestlog",
+            exportIncrementalBatch(spark, db, name, half, bid,
+              repartitionTasks = 16),
+            bid)
         }
         spark.createDataFrame(Seq(Tuple1(2L))).toDF("expected_batches")
           .write.mode("overwrite").saveAsTable(metaTbl)

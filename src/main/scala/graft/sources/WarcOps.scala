@@ -469,12 +469,12 @@ object WarcOps {
         val h1 = xall.filter(col("doc_id") < n / 2)
         val h2 = xall.filter(col("doc_id") >= n / 2)
         def land(bid: Long, xdocs: DataFrame): Unit = {
-          CatalogOps.exportIncrementalBatch(spark, db, name,
+          CatalogOps.appendBatchLog(spark, db, s"${name}__manifestlog",
+            CatalogOps.exportIncrementalBatch(spark, db, name,
               survivorDocs(xdocs, evalNg,
                 incrementalDedupFlags(xdocs, db, name)),
-              bid, repartitionTasks = 16)
-            .withColumn("batch_id", lit(bid))
-            .write.mode("append").saveAsTable(s"`$db`.`${name}__manifestlog`")
+              bid, repartitionTasks = 16),
+            bid)
           TextAnalysisOps.funnelAdvanceBloom(xdocs, db, name)
         }
         land(0L, h1)
@@ -708,9 +708,8 @@ object WarcOps {
                 "expectedKeys=16384 — the served shard plan would drift " +
                 "from the batch oracle; raise the store capacity")
           }
-          archiveIncrementalBatch(xdocs, evalNg, db, name)
-            .withColumn("batch_id", lit(bid))
-            .write.mode("append").saveAsTable(s"`$db`.`${name}__shards`")
+          CatalogOps.appendBatchLog(spark, db, s"${name}__shards",
+            archiveIncrementalBatch(xdocs, evalNg, db, name), bid)
           TextAnalysisOps.funnelAdvanceBloom(xdocs, db, name)
         }
         // the savings invariant: one stored extraction per distinct
@@ -773,9 +772,8 @@ object WarcOps {
         val n = Tables.documents(spark, dir).count()
         val h1 = xall.filter(col("doc_id") < n / 2)
         val h2 = xall.filter(col("doc_id") >= n / 2)
-        archiveIncrementalBatch(h1, evalNg, db, name)
-          .withColumn("batch_id", lit(0L))
-          .write.mode("append").saveAsTable(s"`$db`.`${name}__shards`")
+        CatalogOps.appendBatchLog(spark, db, s"${name}__shards",
+          archiveIncrementalBatch(h1, evalNg, db, name), 0L)
         TextAnalysisOps.funnelAdvanceBloom(h1, db, name)
         // zero-FP guarantee behind the batch-equality oracle
         val fps = CatalogOps.probeBloomStore(spark, db, name,
@@ -787,9 +785,8 @@ object WarcOps {
           s"archive stream fixture: $fps bloom false positive(s) at " +
             "expectedKeys=16384 — the served shard plan would drift " +
             "from the batch oracle; raise the store capacity")
-        archiveIncrementalBatch(h2, evalNg, db, name)
-          .withColumn("batch_id", lit(1L))
-          .write.mode("append").saveAsTable(s"`$db`.`${name}__shards`")
+        CatalogOps.appendBatchLog(spark, db, s"${name}__shards",
+          archiveIncrementalBatch(h2, evalNg, db, name), 1L)
         TextAnalysisOps.funnelAdvanceBloom(h2, db, name)
         spark.createDataFrame(Seq(Tuple1(2L))).toDF("expected_batches")
           .write.mode("overwrite").saveAsTable(metaTbl)
@@ -886,8 +883,14 @@ object WarcOps {
       val metaTbl = s"`$db`.`${name}__expmeta`"
       if (!spark.catalog.tableExists(s"$db.${name}__expmeta")) {
         CatalogOps.createDatabase(spark, db)
-        Seq(name, s"${name}__manifestlog", s"${name}__xtexts",
-          s"${name}__bloom", s"${name}__bloommeta", s"${name}__expmeta")
+        Seq(name, s"${name}__manifestlog", s"${name}__manifestlog__wm",
+          s"${name}__xtexts", s"${name}__bloom", s"${name}__bloommeta",
+          s"${name}__expmeta", s"__${name}_compact_staging",
+          s"__${name}_compact_ready",
+          s"__${name}__manifestlog_compact_staging",
+          s"__${name}__manifestlog_compact_ready",
+          s"__${name}__xtexts_files_staging",
+          s"__${name}__xtexts_files_ready")
           .foreach(graft.operators.KnnOps.dropTableAndDir(spark, db, _))
         import spark.implicits._
         CatalogOps.createBloomStore(spark, db, name,
@@ -906,13 +909,12 @@ object WarcOps {
           .localCheckpoint(false)
         val n = Tables.documents(spark, dir).count()
         def land(bid: Long, xdocs: DataFrame): Unit = {
-          CatalogOps.exportIncrementalBatch(spark, db, name,
+          CatalogOps.appendBatchLog(spark, db, s"${name}__manifestlog",
+            CatalogOps.exportIncrementalBatch(spark, db, name,
               survivorDocs(xdocs, evalNg,
                 incrementalDedupFlags(xdocs, db, name)),
-              bid, repartitionTasks = 16)
-            .withColumn("batch_id", lit(bid))
-            .write.mode("append")
-            .saveAsTable(s"`$db`.`${name}__manifestlog`")
+              bid, repartitionTasks = 16),
+            bid)
           TextAnalysisOps.funnelAdvanceBloom(xdocs, db, name)
         }
         val x0 = revisitXdocsOf(
@@ -942,19 +944,26 @@ object WarcOps {
           s"extraction store holds $stored rows for $distinctDigests " +
             "digests across cycles — the anti-join idempotence " +
             "invariant broke")
-        // the live maintenance cadence on the Verify path: fold the
-        // per-batch partitions; the served answer must not move
+        // the FULL live maintenance cadence on the Verify path (r19):
+        // fold the docs table's per-batch partitions, fold the manifest
+        // log to one row per shard under the watermark, and file-fold
+        // the extraction store — the served answer must not move
+        // through any of the three
         CatalogOps.compactExportShards(spark, db, name)
+        CatalogOps.compactBatchLog(spark, db, s"${name}__manifestlog")
+        CatalogOps.compactContentStore(spark, db, s"${name}__xtexts")
         spark.createDataFrame(Seq(Tuple1(2L))).toDF("expected_batches")
           .write.mode("overwrite").saveAsTable(metaTbl)
       }
       val expected = spark.table(metaTbl).head().getLong(0)
-      val logged = spark.table(s"`$db`.`${name}__manifestlog`")
-        .select(col("batch_id")).distinct().count()
-      require(logged == expected,
+      // the log is compacted at build, so batch-count completeness reads
+      // from the id RANGE (watermark semantics), not distinct rows
+      val maxId = spark.table(s"`$db`.`${name}__manifestlog`")
+        .agg(max(col("batch_id"))).head().getLong(0)
+      require(maxId == expected - 1L,
         s"crawl-archive stream fixture `$db.$name` is corrupt: marker " +
-          s"promises $expected batches, log has $logged — drop the " +
-          s"`$db` database to rebuild")
+          s"promises batches 0..${expected - 1}, log watermark is " +
+          s"$maxId — drop the `$db` database to rebuild")
     }
     CatalogOps.exportVerifiedStreamServe(spark, db, name)
   }

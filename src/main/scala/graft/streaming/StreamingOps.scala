@@ -233,14 +233,12 @@ object StreamingOps {
           import org.apache.spark.sql.functions.{col, lit}
           val spark = batch.sparkSession
           val xdocs = WarcOps.extractOf(batch.toDF()).localCheckpoint()
-          val replayed = spark.catalog.tableExists(s"$db.${name}__shards") &&
-            !spark.table(s"`$db`.`${name}__shards`")
-              .filter(col("batch_id") === batchId).isEmpty
-          if (!replayed) {
-            WarcOps.archiveIncrementalBatch(xdocs, evalNg, db, name)
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("append")
-              .saveAsTable(s"`$db`.`${name}__shards`")
+          if (!graft.sources.CatalogOps.batchCommitted(spark, db,
+              s"${name}__shards", batchId)) {
+            graft.sources.CatalogOps.appendBatchLog(spark, db,
+              s"${name}__shards",
+              WarcOps.archiveIncrementalBatch(xdocs, evalNg, db, name),
+              batchId)
           }
           // fresh batch: the normal advance; replay: idempotent catch-up
           TextAnalysisOps.funnelAdvanceBloom(xdocs, db, name)
@@ -276,14 +274,12 @@ object StreamingOps {
           import org.apache.spark.sql.functions.{col, lit}
           val spark = batch.sparkSession
           val xdocs = WarcOps.revisitXdocsOf(batch.toDF(), db, name)
-          val replayed = spark.catalog.tableExists(s"$db.${name}__shards") &&
-            !spark.table(s"`$db`.`${name}__shards`")
-              .filter(col("batch_id") === batchId).isEmpty
-          if (!replayed) {
-            WarcOps.archiveIncrementalBatch(xdocs, evalNg, db, name)
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("append")
-              .saveAsTable(s"`$db`.`${name}__shards`")
+          if (!graft.sources.CatalogOps.batchCommitted(spark, db,
+              s"${name}__shards", batchId)) {
+            graft.sources.CatalogOps.appendBatchLog(spark, db,
+              s"${name}__shards",
+              WarcOps.archiveIncrementalBatch(xdocs, evalNg, db, name),
+              batchId)
           }
           TextAnalysisOps.funnelAdvanceBloom(xdocs, db, name)
         }
@@ -324,18 +320,14 @@ object StreamingOps {
           val spark = batch.sparkSession
           // checkpoint once: the gate battery reads the batch many ways
           val xdocs = batch.toDF().localCheckpoint()
-          val replayed =
-            spark.catalog.tableExists(s"$db.${name}__manifestlog") &&
-              !spark.table(s"`$db`.`${name}__manifestlog`")
-                .filter(col("batch_id") === batchId).isEmpty
-          if (!replayed) {
-            CatalogOps.exportIncrementalBatch(spark, db, name,
+          if (!CatalogOps.batchCommitted(spark, db,
+              s"${name}__manifestlog", batchId)) {
+            CatalogOps.appendBatchLog(spark, db, s"${name}__manifestlog",
+              CatalogOps.exportIncrementalBatch(spark, db, name,
                 WarcOps.survivorDocs(xdocs, evalNg,
                   WarcOps.incrementalDedupFlags(xdocs, db, name)),
-                batchId, repartitionTasks = 16)
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("append")
-              .saveAsTable(s"`$db`.`${name}__manifestlog`")
+                batchId, repartitionTasks = 16),
+              batchId)
           }
           TextAnalysisOps.funnelAdvanceBloom(xdocs, db, name)
         }
@@ -375,18 +367,14 @@ object StreamingOps {
           // by content addressing) and yields the cycle's capture-grain
           // corpus, checkpointed inside revisitXdocsOf
           val xdocs = WarcOps.revisitXdocsOf(batch.toDF(), db, name)
-          val replayed =
-            spark.catalog.tableExists(s"$db.${name}__manifestlog") &&
-              !spark.table(s"`$db`.`${name}__manifestlog`")
-                .filter(col("batch_id") === batchId).isEmpty
-          if (!replayed) {
-            CatalogOps.exportIncrementalBatch(spark, db, name,
+          if (!CatalogOps.batchCommitted(spark, db,
+              s"${name}__manifestlog", batchId)) {
+            CatalogOps.appendBatchLog(spark, db, s"${name}__manifestlog",
+              CatalogOps.exportIncrementalBatch(spark, db, name,
                 WarcOps.survivorDocs(xdocs, evalNg,
                   WarcOps.incrementalDedupFlags(xdocs, db, name)),
-                batchId, repartitionTasks = 16)
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("append")
-              .saveAsTable(s"`$db`.`${name}__manifestlog`")
+                batchId, repartitionTasks = 16),
+              batchId)
           }
           TextAnalysisOps.funnelAdvanceBloom(xdocs, db, name)
         }
@@ -424,16 +412,12 @@ object StreamingOps {
         if (!batch.isEmpty) {
           import org.apache.spark.sql.functions.{col, lit}
           val spark = batch.sparkSession
-          val replayed =
-            spark.catalog.tableExists(s"$db.${name}__manifestlog") &&
-              !spark.table(s"`$db`.`${name}__manifestlog`")
-                .filter(col("batch_id") === batchId).isEmpty
-          if (!replayed) {
-            CatalogOps.exportIncrementalBatch(spark, db, name,
-                batch.toDF(), batchId, repartitionTasks)
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("append")
-              .saveAsTable(s"`$db`.`${name}__manifestlog`")
+          if (!CatalogOps.batchCommitted(spark, db,
+              s"${name}__manifestlog", batchId)) {
+            CatalogOps.appendBatchLog(spark, db, s"${name}__manifestlog",
+              CatalogOps.exportIncrementalBatch(spark, db, name,
+                batch.toDF(), batchId, repartitionTasks),
+              batchId)
           }
         }
       }

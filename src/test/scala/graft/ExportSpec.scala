@@ -581,6 +581,86 @@ class ExportSpec extends AnyFunSuite {
     CatalogOps.dropDatabase(spark, "sexpwant")
   }
 
+  test("manifest-log fold: serve identical, folded ids stay guarded, crash windows recover") {
+    import graft.sources.CatalogOps
+    val db = "slogfold"
+    CatalogOps.dropDatabase(spark, db)
+    CatalogOps.createDatabase(spark, db)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val n = docs.count()
+    def ingest(bid: Long, part: org.apache.spark.sql.DataFrame): Unit =
+      CatalogOps.appendBatchLog(spark, db, "docs__manifestlog",
+        CatalogOps.exportIncrementalBatch(spark, db, "docs", part, bid,
+          repartitionTasks = 16),
+        bid)
+    ingest(0L, docs.filter(col("doc_id") < n / 3))
+    ingest(1L, docs.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3))
+    ingest(2L, docs.filter(col("doc_id") >= 2 * n / 3))
+    val before = CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq
+    val rowsBefore = spark.table(s"`$db`.`docs__manifestlog`").count()
+    CatalogOps.compactBatchLog(spark, db, "docs__manifestlog")
+    // three per-batch partial sets fold to ONE row per shard under the
+    // watermark partition; every serve-side fold is associative, so the
+    // served manifest cannot move
+    val log = spark.table(s"`$db`.`docs__manifestlog`")
+    assert(log.select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(log.count() == 16L && rowsBefore > 16L)
+    assert(CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq == before)
+    // the folded-away ids STAY committed: the guard reads the __wm
+    // watermark, so a replay storm of batch 0 re-fragments nothing
+    assert(Seq(0L, 1L, 2L).forall(
+      CatalogOps.batchCommitted(spark, db, "docs__manifestlog", _)))
+    assert(!CatalogOps.batchCommitted(spark, db, "docs__manifestlog", 3L))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val b0 = docs.filter(col("doc_id") < n / 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingVerifiedExport(
+      in.toDF.toDF("doc_id", "text"), db, "docs")
+    try { in.addData(b0.toSeq: _*); q.processAllAvailable() } finally q.stop()
+    spark.catalog.refreshTable(s"$db.docs__manifestlog")
+    assert(spark.table(s"`$db`.`docs__manifestlog`").count() == 16L)
+    assert(CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq == before)
+    // the docs-table compaction composes AFTER a log fold: batch ids
+    // under the watermark are committed even without their log rows
+    CatalogOps.compactExportShards(spark, db, "docs")
+    assert(spark.sql(s"SHOW PARTITIONS `$db`.`docs`").count() == 16L)
+    assert(CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq == before)
+    // crash window A: a fold that died before its marker leaves partial
+    // staging — discarded, log untouched, refold proceeds
+    spark.table(s"`$db`.`docs__manifestlog`").limit(5).localCheckpoint()
+      .write.mode("overwrite")
+      .saveAsTable(s"`$db`.`__docs__manifestlog_compact_staging`")
+    CatalogOps.compactBatchLog(spark, db, "docs__manifestlog")
+    assert(CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq == before)
+    // crash window B: marker-proven staging mid-finish — the serve
+    // refuses actionably (the log transiently double-counts); the next
+    // compaction call finishes the scoped rewrite and serves identically
+    val logT = spark.table(s"`$db`.`docs__manifestlog`")
+    logT.localCheckpoint().write.mode("overwrite")
+      .saveAsTable(s"`$db`.`__docs__manifestlog_compact_staging`")
+    spark.createDataFrame(Seq(Tuple1(2L))).toDF("folded_batch_id")
+      .write.mode("overwrite")
+      .saveAsTable(s"`$db`.`__docs__manifestlog_compact_ready`")
+    intercept[IllegalArgumentException] {
+      CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+    }
+    CatalogOps.compactBatchLog(spark, db, "docs__manifestlog")
+    assert(!spark.catalog.tableExists(s"$db.__docs__manifestlog_compact_ready"))
+    assert(CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq == before)
+    CatalogOps.dropDatabase(spark, db)
+  }
+
   test("repartitioned export: same manifest, one file per shard directory") {
     import graft.sources.CatalogOps
     val docs = Tables.documents(spark, sf)

@@ -475,10 +475,24 @@ class WarcSpec extends AnyFunSuite {
       .select(md5(col("payload"))).distinct().count()
     assert(stored == allDigests,
       s"store rows $stored != distinct full-corpus digests $allDigests")
-    // maintenance fold: layout changes, served bytes do not
+    // maintenance folds: docs partitions, then the manifest LOG, then
+    // the extraction store's files — layout changes, served bytes do not
     CatalogOps.compactExportShards(spark, db, "docs")
+    CatalogOps.compactBatchLog(spark, db, "docs__manifestlog")
+    CatalogOps.compactContentStore(spark, db, "docs__xtexts")
     assert(CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
       .collect().map(_.toSeq).toSeq == want)
+    // a storm AFTER all three folds: batch 0's log row folded away, but
+    // the __wm watermark keeps it guarded — nothing re-fragments, the
+    // store stays one-row-per-digest
+    val in3 = MemoryStream[(String, String)]
+    val q3 = StreamingOps.streamingCrawlArchive(
+      in3.toDF.toDF("host", "warc"), evalNg, db, "docs")
+    try { in3.addData(b0.toSeq: _*); q3.processAllAvailable() } finally q3.stop()
+    assert(CatalogOps.exportVerifiedStreamServe(spark, db, "docs")
+      .collect().map(_.toSeq).toSeq == want)
+    spark.catalog.refreshTable(s"$db.docs__xtexts")
+    assert(spark.table(s"`$db`.`docs__xtexts`").count() == allDigests)
     CatalogOps.dropDatabase(spark, db)
     CatalogOps.dropDatabase(spark, db + "b")
   }
