@@ -170,6 +170,12 @@ object SparkEntry {
     // re-fetched texts never re-export
     "q_crawl_archive_e2e_stream" -> ((s, d) => graft.sources.WarcOps
       .crawlArchiveStreamFixture(s, d)),
+    // the extraction store's RETENTION story live (r19): generational
+    // eviction between crawl cycles — evicted digests re-extract
+    // exactly once (self-healing miss), retained ones never, and the
+    // served manifest is byte-identical to the un-evicted loop's
+    "q_crawl_archive_evict" -> ((s, d) => graft.sources.WarcOps
+      .crawlArchiveEvictFixture(s, d)),
     "q_sim_join"      -> ((s, d) => KnnOps.simJoin(s, d)),
     "q_sim_join_lsh"  -> ((s, d) => KnnOps.simJoinLsh(s, d)),
     "q_sim_join_auto" -> ((s, d) => KnnOps.simJoinAuto(s, d)),
@@ -773,7 +779,7 @@ object SparkEntry {
     "q_export_verified_stream", "q_archive_e2e_revisit",
     "q_crawl_archive_e2e", "q_archive_e2e_revisit_stream",
     "q_spine_export_verified", "q_spine_export_verified_stream",
-    "q_crawl_archive_e2e_stream")
+    "q_crawl_archive_e2e_stream", "q_crawl_archive_evict")
 
   /** Adjacent-pair cosine — the bare metric surface (ref `TencentVDB.py:46`)
     * as a row-level function, vec_id i vs i+1.
@@ -2775,6 +2781,22 @@ object SparkEntry {
     // fetched corpus; the re-crawl's revisits extract once across
     // cycles and never re-export, so the served manifest IS this
     "q_crawl_archive_e2e_stream" -> spineExportOracleSqlOf(
+      """xraw AS MATERIALIZED (
+        |  SELECT d.doc_id, d.lang, d.source, d.text
+        |  FROM documents d JOIN sched USING (doc_id)
+        |  WHERE d.doc_id % 13 <> 7)""".stripMargin,
+      prefixCtes = crawlPlanCtes + """,
+        |sched AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(regexp_extract(url, '/p([0-9]+)$', 1)
+        |    AS BIGINT) AS doc_id
+        |  FROM r2 WHERE slot <= cap),
+        |""".stripMargin),
+    // generational eviction between cycles moves extraction WORK (the
+    // evicted digests re-extract, require()'d exactly-once), never a
+    // byte of output: extractions are pure functions of the payload
+    // behind the digest, so the served manifest faces the SAME closed
+    // form as the un-evicted loop
+    "q_crawl_archive_evict" -> spineExportOracleSqlOf(
       """xraw AS MATERIALIZED (
         |  SELECT d.doc_id, d.lang, d.source, d.text
         |  FROM documents d JOIN sched USING (doc_id)

@@ -3303,21 +3303,33 @@ object CatalogOps {
       spark.sql(s"DROP TABLE IF EXISTS $staging")
     }
     if (!spark.catalog.tableExists(s"$db.$table")) return
-    spark.table(s"`$db`.`$table`").distinct().repartition(files)
-      .write.mode("overwrite").saveAsTable(staging)
+    // carry the target's partitioning through the fold (the __xtexts
+    // store is generation-partitioned for eviction — a fold must not
+    // flatten the layout retention depends on)
+    val partCols = spark.catalog.listColumns(s"$db.$table")
+      .collect().filter(_.isPartition).map(_.name).toSeq
+    val folded = spark.table(s"`$db`.`$table`").distinct().repartition(files)
+    val w = folded.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .saveAsTable(staging)
     spark.createDataFrame(Seq(Tuple1(files.toLong))).toDF("files")
       .coalesce(1).write.mode("overwrite").saveAsTable(ready)
     finishContentStoreCompaction(spark, db, table)
   }
 
   /** Complete a staged content-store file fold: overwrite the target
-    * from the write-ahead staging copy, then clean up. Idempotent.
+    * from the write-ahead staging copy (in the staging table's own
+    * partition layout — it carries the target's), then clean up.
+    * Idempotent.
     */
   private def finishContentStoreCompaction(spark: SparkSession, db: String,
       table: String): Unit = {
     val staging = s"`$db`.`__${table}_files_staging`"
     val ready = s"`$db`.`__${table}_files_ready`"
-    spark.table(staging).write.mode("overwrite")
+    val partCols = spark.catalog.listColumns(s"$db.__${table}_files_staging")
+      .collect().filter(_.isPartition).map(_.name).toSeq
+    val w = spark.table(staging).write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .saveAsTable(s"`$db`.`$table`")
     spark.sql(s"DROP TABLE IF EXISTS $ready")
     spark.sql(s"DROP TABLE IF EXISTS $staging")

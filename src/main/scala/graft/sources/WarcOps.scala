@@ -614,7 +614,7 @@ object WarcOps {
     * revisit path.
     */
   private[graft] def revisitXdocsOf(members: DataFrame, db: String,
-      name: String): DataFrame = {
+      name: String, gen: Long = 0L): DataFrame = {
     val spark = members.sparkSession
     val xt = s"`$db`.`${name}__xtexts`"
     val valid = warcParseOn(members)
@@ -633,8 +633,18 @@ object WarcOps {
     // into a table that is also being read from" on older releases)
     // and the checkpoint pins the new-digest row set before the write
     // either way (ADVICE r18)
-    mainTextByDigest(newWinners).localCheckpoint()
-      .write.mode("append").saveAsTable(xt)
+    // `gen` partitions the store generationally (r19 — the retention
+    // story): a digest lands in the generation CURRENT when it was
+    // first extracted, and [[evictXtextGenerations]] retires whole old
+    // generations by metadata-only partition drop. A still-hot digest
+    // evicted with its generation simply re-extracts once on its next
+    // appearance and re-lands in the current generation — segmented-
+    // LRU behavior with zero per-row bookkeeping.
+    val newRows = mainTextByDigest(newWinners).localCheckpoint()
+      .withColumn("__gen", lit(gen))
+    if (!spark.catalog.tableExists(s"$db.${name}__xtexts"))
+      newRows.write.partitionBy("__gen").saveAsTable(xt)
+    else newRows.write.mode("append").partitionBy("__gen").saveAsTable(xt)
     spark.catalog.refreshTable(xt)
     // min-fold makes the read deterministic even if the single-writer
     // invariant were ever violated (texts are content-addressed, so
@@ -642,6 +652,46 @@ object WarcOps {
     val texts = spark.table(xt)
       .groupBy(col("__digest")).agg(min(col("text")).as("text"))
     fanOutToCaptures(valid, texts).localCheckpoint()
+  }
+
+  /** Retention for the `{name}__xtexts` extraction store (r19 — the
+    * growth policy the distinct-content-sized store needs at 100 TB,
+    * where distinct content is still petabyte-class): drop every
+    * generation below `keepFromGen` as a METADATA-ONLY partition
+    * retirement — no row rewrite, no staging, cost independent of
+    * store size (contrast [[CatalogOps.deleteByIds]], the row-level
+    * anti-join rewrite, which would scan and rewrite the retained
+    * petabytes to delete the expired ones).
+    *
+    * The policy is segmented LRU with self-healing misses: a digest
+    * lives in the generation CURRENT at its first extraction
+    * ([[revisitXdocsOf]]'s `gen`), so eviction retires whole cold
+    * segments; a still-recurring digest caught in a retired segment
+    * re-extracts ONCE on its next appearance and re-lands in the
+    * current generation. Content addressing makes the only failure
+    * mode extra work — never a wrong answer, because an extraction is
+    * a pure function of the payload bytes behind the digest. The two
+    * invariants WarcSpec pins: eviction NEVER re-extracts a retained
+    * digest (retained generations are untouched and the anti-join
+    * still sees them), and a fully-evicted store converges back to
+    * one row per distinct digest.
+    *
+    * Crash contract: each partition drop is an independent idempotent
+    * metadata op — a crash mid-eviction leaves some generations
+    * retired and the rest retirable by re-running the same call.
+    */
+  def evictXtextGenerations(spark: SparkSession, db: String,
+      name: String, keepFromGen: Long): Unit = {
+    if (!spark.catalog.tableExists(s"$db.${name}__xtexts")) return
+    val doomed = spark.sql(s"SHOW PARTITIONS `$db`.`${name}__xtexts`")
+      .collect().map(_.getString(0))
+      .map(_.stripPrefix("__gen=").toLong)
+      .filter(_ < keepFromGen)
+    doomed.foreach { g =>
+      spark.sql(s"ALTER TABLE `$db`.`${name}__xtexts` DROP IF EXISTS " +
+        s"PARTITION (__gen=$g)")
+    }
+    spark.catalog.refreshTable(s"`$db`.`${name}__xtexts`")
   }
 
   /** `q_archive_e2e_revisit_stream` (r18): the revisit-planted members
@@ -693,7 +743,7 @@ object WarcOps {
           val half = if (bid == 0L) docs0.filter(col("doc_id") < n / 2)
             else docs0.filter(col("doc_id") >= n / 2)
           val xdocs = revisitXdocsOf(
-            plantedSpineMembersRevisitOf(half), db, name)
+            plantedSpineMembersRevisitOf(half), db, name, gen = bid)
           if (bid == 0L) {
             h1x = xdocs
           } else {
@@ -918,9 +968,11 @@ object WarcOps {
           TextAnalysisOps.funnelAdvanceBloom(xdocs, db, name)
         }
         val x0 = revisitXdocsOf(
-          crawlMembersOf(fetched.filter(col("doc_id") < n / 2)), db, name)
+          crawlMembersOf(fetched.filter(col("doc_id") < n / 2)), db, name,
+          gen = 0L)
         land(0L, x0)
-        val x1 = revisitXdocsOf(crawlMembersOf(fetched), db, name)
+        val x1 = revisitXdocsOf(crawlMembersOf(fetched), db, name,
+          gen = 1L)
         // zero-FP guarantee behind the batch-equality oracle: the NEW
         // half's texts must not collide into the advanced bloom
         val fps = CatalogOps.probeBloomStore(spark, db, name,
@@ -964,6 +1016,121 @@ object WarcOps {
         s"crawl-archive stream fixture `$db.$name` is corrupt: marker " +
           s"promises batches 0..${expected - 1}, log watermark is " +
           s"$maxId — drop the `$db` database to rebuild")
+    }
+    CatalogOps.exportVerifiedStreamServe(spark, db, name)
+  }
+
+  /** `q_crawl_archive_evict` (r19 — VERDICT item 5, the extraction
+    * store's RETENTION story made live): the crawl loop's cycles with
+    * generational eviction between them. The `__xtexts` store is
+    * distinct-content-sized — at 100 TB still petabyte-class — so it
+    * cannot grow unbounded; [[evictXtextGenerations]] retires whole
+    * cold generations by metadata-only partition drop, and a
+    * still-recurring digest caught in a retired generation simply
+    * re-extracts once and re-lands in the current one (segmented LRU
+    * with self-healing misses — content addressing makes eviction's
+    * only cost extra work, never a changed answer).
+    *
+    * The fixture runs three cycles: cycle 0 (half schedule, gen 0)
+    * stores the first half's digests; cycle 1 (full re-crawl, gen 1)
+    * extracts only the never-seen half (the extract-once invariant);
+    * then the retention horizon passes gen 0 and eviction retires it;
+    * cycle 2 (full re-crawl, gen 2) re-extracts EXACTLY the evicted
+    * digests — the retained gen-1 digests never re-extract
+    * (require()'d both ways) — and the store converges back to one
+    * row per distinct digest. Cycles 0-1 land exports; cycle 2's
+    * survivors all dedup away against the advanced bloom (a pure
+    * maintenance re-fetch), so the served manifest is the SAME
+    * closed form as q_crawl_archive_e2e_stream — eviction between
+    * cycles moved extraction WORK, never a byte of output.
+    */
+  def crawlArchiveEvictFixture(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysisOps, TextOps}
+    val db = "graft_crawlarchevict"
+    val name = "docs"
+    this.synchronized {
+      val metaTbl = s"`$db`.`${name}__expmeta`"
+      if (!spark.catalog.tableExists(s"$db.${name}__expmeta")) {
+        CatalogOps.createDatabase(spark, db)
+        Seq(name, s"${name}__manifestlog", s"${name}__manifestlog__wm",
+          s"${name}__xtexts", s"${name}__bloom", s"${name}__bloommeta",
+          s"${name}__expmeta")
+          .foreach(graft.operators.KnnOps.dropTableAndDir(spark, db, _))
+        import spark.implicits._
+        CatalogOps.createBloomStore(spark, db, name,
+          Seq.empty[String].toDF("__h"), "__h", expectedKeys = 16384L)
+        val fetched = fetchedSpineDocs(spark, dir).localCheckpoint(false)
+        val evalNg = TextAnalysisOps.ngramSet(
+            TextOps.htmlMainOn(TextOps.plantedPage(
+                fetched.filter(col("source") === "src19" &&
+                  col("doc_id") % 13 =!= 7)))
+              .select(col("doc_id"), col("lang"), col("source"),
+                col("main_text").as("text")))
+          .localCheckpoint(false)
+        val n = Tables.documents(spark, dir).count()
+        def land(bid: Long, xdocs: DataFrame): Unit = {
+          CatalogOps.appendBatchLog(spark, db, s"${name}__manifestlog",
+            CatalogOps.exportIncrementalBatch(spark, db, name,
+              survivorDocs(xdocs, evalNg,
+                incrementalDedupFlags(xdocs, db, name)),
+              bid, repartitionTasks = 16),
+            bid)
+          TextAnalysisOps.funnelAdvanceBloom(xdocs, db, name)
+        }
+        val x0 = revisitXdocsOf(
+          crawlMembersOf(fetched.filter(col("doc_id") < n / 2)), db, name,
+          gen = 0L)
+        land(0L, x0)
+        def genRows(g: Long): Long = spark.table(s"`$db`.`${name}__xtexts`")
+          .filter(col("__gen") === g).count()
+        val d0 = genRows(0L)
+        val x1 = revisitXdocsOf(crawlMembersOf(fetched), db, name,
+          gen = 1L)
+        val fps = CatalogOps.probeBloomStore(spark, db, name,
+            x1.filter(col("doc_id") >= n / 2)
+              .select(md5(col("text")).as("__h")).distinct(), "__h")
+          .join(x0.select(md5(col("text")).as("__h")).distinct(),
+            Seq("__h"), "left_anti")
+          .count()
+        require(fps == 0L,
+          s"crawl-archive evict fixture: $fps bloom false positive(s) " +
+            "at expectedKeys=16384 — the served manifest would drift " +
+            "from the batch oracle; raise the store capacity")
+        land(1L, x1)
+        val d1 = genRows(1L)
+        // the retention horizon passes generation 0: metadata-only drop
+        evictXtextGenerations(spark, db, name, keepFromGen = 1L)
+        require(genRows(0L) == 0L && genRows(1L) == d1,
+          "eviction must retire exactly the expired generation")
+        // cycle 2, a maintenance re-fetch after eviction: EXACTLY the
+        // evicted digests re-extract (self-healing miss); the retained
+        // generation never re-extracts a digest
+        revisitXdocsOf(crawlMembersOf(fetched), db, name, gen = 2L)
+        val d2 = genRows(2L)
+        require(d2 == d0,
+          s"post-eviction re-crawl re-extracted $d2 digests; expected " +
+            s"exactly the $d0 evicted ones — retained digests must " +
+            "never re-extract, evicted ones exactly once")
+        require(genRows(1L) == d1,
+          "the retained generation changed across the re-crawl — a " +
+            "retained digest was re-extracted")
+        val stored = spark.table(s"`$db`.`${name}__xtexts`").count()
+        val distinctDigests = spark.table(s"`$db`.`${name}__xtexts`")
+          .select(col("__digest")).distinct().count()
+        require(stored == distinctDigests && stored == d1 + d2,
+          s"store did not converge to one row per digest after " +
+            s"eviction + self-heal ($stored rows, $distinctDigests " +
+            "digests)")
+        spark.createDataFrame(Seq(Tuple1(2L))).toDF("expected_batches")
+          .write.mode("overwrite").saveAsTable(metaTbl)
+      }
+      val expected = spark.table(metaTbl).head().getLong(0)
+      val logged = spark.table(s"`$db`.`${name}__manifestlog`")
+        .select(col("batch_id")).distinct().count()
+      require(logged == expected,
+        s"crawl-archive evict fixture `$db.$name` is corrupt: marker " +
+          s"promises $expected batches, log has $logged — drop the " +
+          s"`$db` database to rebuild")
     }
     CatalogOps.exportVerifiedStreamServe(spark, db, name)
   }

@@ -273,7 +273,8 @@ object StreamingOps {
         if (!batch.isEmpty) {
           import org.apache.spark.sql.functions.{col, lit}
           val spark = batch.sparkSession
-          val xdocs = WarcOps.revisitXdocsOf(batch.toDF(), db, name)
+          val xdocs = WarcOps.revisitXdocsOf(batch.toDF(), db, name,
+            gen = batchId)
           if (!graft.sources.CatalogOps.batchCommitted(spark, db,
               s"${name}__shards", batchId)) {
             graft.sources.CatalogOps.appendBatchLog(spark, db,
@@ -366,7 +367,8 @@ object StreamingOps {
           // the extraction store advances unconditionally (replay-safe
           // by content addressing) and yields the cycle's capture-grain
           // corpus, checkpointed inside revisitXdocsOf
-          val xdocs = WarcOps.revisitXdocsOf(batch.toDF(), db, name)
+          val xdocs = WarcOps.revisitXdocsOf(batch.toDF(), db, name,
+            gen = batchId)
           if (!CatalogOps.batchCommitted(spark, db,
               s"${name}__manifestlog", batchId)) {
             CatalogOps.appendBatchLog(spark, db, s"${name}__manifestlog",
