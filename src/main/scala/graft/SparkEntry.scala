@@ -57,15 +57,32 @@ object SparkEntry {
     "q_knn_hnsw_filtered" -> ((s, d) => GraphAnnOps.topKNswFiltered(s, d)),
     // retrieval-evaluation / pair-mining layer over the knn core
     "q_mine_hardneg"  -> ((s, d) => EvalOps.hardNegatives(s, d)),
-    // ANN-served mining: nprobe-pruned IVF cells, approximate by
-    // construction → rows-only; exhaustive-probe equality test-pinned
+    // ANN-served mining: nprobe-pruned IVF cells. Rows-only with a
+    // DIRECT pin, not one inherited from the index entries (r19): the
+    // default nprobe < kCells makes the mining pool recall<1 by
+    // construction — which cells a query probes depends on the
+    // engine-trained k-means centroids, so no closed-form SQL can
+    // replay the pruned candidate set. What EvalSpec pins DIRECTLY on
+    // THIS entry: at nprobe = kCells the result equals q_mine_hardneg's
+    // exact mining bit-for-bit (the approximation is exactly the cell
+    // pruning, nothing else), and at pruned probes every mined hit is
+    // label-mismatched with dense consistent ranks (a valid, possibly
+    // shallower pool — never a wrong pair)
     "q_mine_hardneg_indexed" -> ((s, d) => EvalOps.hardNegativesIndexed(s, d)),
     // assembled DPR-style training records: positive + hard negatives
     "q_mine_pairs" -> ((s, d) => EvalOps.trainingPairs(s, d)),
     "q_eval_rank"     -> ((s, d) => EvalOps.rankEval(s, d)),
     "q_eval_rank_macro" -> ((s, d) => EvalOps.rankEvalMacro(s, d)),
-    // metrics of the ranking the IVF index actually SERVES — rows-only
-    // (ANN approximate); exhaustive-probe equality to q_eval_rank pinned
+    // metrics of the ranking the IVF index actually SERVES. Rows-only
+    // with a DIRECT pin (r19): the evaluated run is the nprobe-pruned
+    // probe's — recall<1 against the exact run by construction, and
+    // the pruned candidate set depends on engine-trained centroids no
+    // oracle can replay. EvalSpec pins DIRECTLY on THIS entry: at
+    // nprobe = kCells the whole metric frame (n_rel, hits, recall,
+    // MRR, nDCG) equals q_eval_rank's exact-scan eval bit-for-bit,
+    // and at pruned probes every metric is a valid fraction per query
+    // — the entry measures the index's true serving quality, which is
+    // exactly why its numbers must NOT equal the exact ones
     "q_eval_rank_indexed" -> ((s, d) => EvalOps.rankEvalIndexed(s, d)),
     // crawl-side link centrality (deterministic synthetic edge graph)
     "q_link_pagerank" -> ((s, d) => LinkOps.pageRank(s, d)),
@@ -499,9 +516,17 @@ object SparkEntry {
     "q_hybrid_rrf"     -> ((s, d) => RetrievalOps.hybridRrf(s, d)),
     // RM3-lite pseudo-relevance feedback: seed pool -> expansion -> re-score
     "q_text_prf"       -> ((s, d) => RetrievalOps.prfTopK(s, d)),
-    // both pools from persisted artifacts (BM25 store + routed NSW index):
-    // approximate on the vector side by construction → rows-only;
-    // exhaustive-settings equality to q_hybrid_rrf pinned in RetrievalSpec
+    // both pools from persisted artifacts (BM25 store + routed NSW
+    // index). Rows-only with a DIRECT pin (r19): the vector pool is a
+    // beam-searched NSW walk — recall<1 by construction, and the walk
+    // order depends on the engine-built graph no SQL can replay. What
+    // RetrievalSpec pins DIRECTLY on THIS entry: at exhaustive
+    // settings (beam ≥ corpus, all cells) the ENTIRE fusion equals
+    // q_hybrid_rrf bit-for-bit; at production settings the output is
+    // still exactly k rows whose rrf scores recompute from the two
+    // rank columns by the 1/(60+r) arithmetic, and the LEXICAL side's
+    // ranks equal the exact run's (only the vector pool is
+    // approximate — the fusion and the BM25 half never are)
     "q_hybrid_rrf_served" -> ((s, d) => RetrievalOps.hybridRrfServed(s, d)),
     // batched lexical serving: one corpus scan for a whole query table;
     // fully oracled (r15): the batch is 3 literal queries, so the oracle
