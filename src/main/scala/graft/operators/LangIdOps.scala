@@ -301,10 +301,14 @@ object LangIdOps {
     // counts are corpus-derived (heaps-law at 100 TB), so they broadcast
     // only when measured under the shared ceiling — above it the corpus
     // shuffles on the word keys, same answers either way
-    val lc = big.groupBy(col("lang"), col("w1")).agg(count(lit(1)).as("c1"))
-      .localCheckpoint(false)
     val bc = big.groupBy(col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
+    // unigram counts derive FROM the bigram table (r19 optimization,
+    // guide §2.3): c1(lang, w1) = Σ_w2 c2(lang, w1, w2) exactly — one
+    // corpus explode + exchange instead of two, the lmBigramScoreOn rule
+    // with the language key riding along
+    val lc = bc.groupBy(col("lang"), col("w1")).agg(sum(col("c2")).as("c1"))
       .localCheckpoint(false)
     val modelSized = bc.count() <= TextAnalysisOps.LmBroadcastMaxTypes
     val (bcJoin, lcJoin) =
@@ -317,10 +321,15 @@ object LangIdOps {
       .agg((floor(sum(floor(col("p") * lit(1000000.0) + lit(0.5)).cast("long"))
           .cast("double") / count(lit(1)) + lit(0.5)).cast("double")
         / lit(1000000.0)).as("avg_cond_p"))
+    // localCheckpoint (r19 optimization): the rank window, the
+    // per-language count and the bucket projection all read the scored
+    // frame — without the cut each re-runs the whole derived-lang +
+    // explode + model-join + aggregate chain (the pplBucketsOn discipline)
     val scored = docs.select(col("doc_id"), col("lang"))
       .join(agg, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("lang"),
         coalesce(col("avg_cond_p"), lit(0.0)).as("avg_cond_p"))
+      .localCheckpoint(false)
     // per-language tercile fences: exact value-at-rank (the oracle's own
     // convention, identical to quantileExactOn's)
     val wr = Window.partitionBy(col("lang")).orderBy(col("avg_cond_p").asc)
@@ -480,10 +489,15 @@ object LangIdOps {
       .agg((floor(sum(floor(col("p") * lit(1000000.0) + lit(0.5)).cast("long"))
           .cast("double") / count(lit(1)) + lit(0.5)).cast("double")
         / lit(1000000.0)).as("avg_cond_p"))
+    // localCheckpoint (r19 optimization): the rank window, the
+    // per-language count and the bucket projection all read the scored
+    // frame — without the cut each re-runs the whole derived-lang +
+    // explode + model-join + aggregate chain (the pplBucketsOn discipline)
     val scored = docs.select(col("doc_id"), col("lang"))
       .join(agg, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("lang"),
         coalesce(col("avg_cond_p"), lit(0.0)).as("avg_cond_p"))
+      .localCheckpoint(false)
     val wr = Window.partitionBy(col("lang")).orderBy(col("avg_cond_p").asc)
     val ranked = scored.withColumn("r", row_number().over(wr) - 1)
     val nl = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))

@@ -183,7 +183,20 @@ object TextAnalysisOps {
 
   private[graft] def gopherRulesOn(docs: DataFrame,
       minWords: Long = 50L, maxWords: Long = 100000L,
-      minStop: Long = 2L): DataFrame = {
+      minStop: Long = 2L): DataFrame =
+    withGopherKeep(docs.select(col("doc_id"), col("text")),
+        minWords, maxWords, minStop)
+      .drop("text")
+      .orderBy(col("doc_id").asc)
+
+  /** The Gopher metric + rule + keep columns APPENDED to any frame
+    * carrying `text` (every input column preserved) — the single
+    * definition behind [[gopherRulesOn]] and the fused funnel battery
+    * ([[funnelFlagsOn]]), which composes the flag into one scan-stage
+    * projection instead of a per-gate doc_id join.
+    */
+  private def withGopherKeep(docs: DataFrame,
+      minWords: Long, maxWords: Long, minStop: Long): DataFrame = {
     val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val words = tokens(col("text"))
     val lines = split(col("text"), "\n")
@@ -203,7 +216,7 @@ object TextAnalysisOps {
       array(stop.map(lit): _*),
       s => array_contains(transform(words, w => lower(w)), s))).cast("long")
     docs
-      .select(col("doc_id"), nWords.as("n_words"), nChars.as("n_chars"),
+      .select(col("*"), nWords.as("n_words"), nChars.as("n_chars"),
         (nHash + nEllipsis).as("n_symbols"), nLines.as("n_lines"),
         nBullet.as("n_bullet"), nEllEnd.as("n_ell_end"),
         nAlphaW.as("n_alpha_words"), nStop.as("n_stopwords"))
@@ -226,7 +239,6 @@ object TextAnalysisOps {
         (col("r_word_count") * col("r_word_len") * col("r_symbol_ratio") *
           col("r_bullet") * col("r_ellipsis") * col("r_alpha") *
           col("r_stopwords")).cast("long"))
-      .orderBy(col("doc_id").asc)
   }
 
   /** The Gopher REPETITION battery (`q_gopher_repetition`; Rae et al.
@@ -261,20 +273,35 @@ object TextAnalysisOps {
     * the two corpora cannot diverge.
     */
   private[graft] def plantedRepetitionText(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      concat(col("text"),
-        when(col("doc_id") % 6 === 0,
-          concat(lit("\n"), substring(col("text"), 1, 40),
-            lit("\n"), substring(col("text"), 1, 40))).otherwise(lit("")),
-        when(col("doc_id") % 8 === 0 && col("doc_id") % 6 =!= 0,
-          concat(lit("\n"), substring(col("text"), 1, 40))).otherwise(lit("")))
-        .as("text"))
+    docs.select(col("doc_id"), plantedRepetitionCol.as("text"))
+
+  /** The planted line structure as a COLUMN over (doc_id, text) — shared
+    * by [[plantedRepetitionText]] and the fused funnel battery.
+    */
+  private def plantedRepetitionCol: Column =
+    concat(col("text"),
+      when(col("doc_id") % 6 === 0,
+        concat(lit("\n"), substring(col("text"), 1, 40),
+          lit("\n"), substring(col("text"), 1, 40))).otherwise(lit("")),
+      when(col("doc_id") % 8 === 0 && col("doc_id") % 6 =!= 0,
+        concat(lit("\n"), substring(col("text"), 1, 40))).otherwise(lit("")))
 
   /** Parametric core: (doc_id, text) in; line/2-gram repetition metrics
     * + keep flags out. All counts are integers; fractions never
     * materialize (the flags cross-multiply).
     */
-  private[graft] def gopherRepetitionOn(docs: DataFrame): DataFrame = {
+  private[graft] def gopherRepetitionOn(docs: DataFrame): DataFrame =
+    withRepetitionKeep(docs.select(col("doc_id"), col("text")), "text")
+      .drop("text")
+      .orderBy(col("doc_id").asc)
+
+  /** The repetition metric + flag + keep columns APPENDED to any frame
+    * carrying `textCol` (every input column preserved) — the single
+    * definition behind [[gopherRepetitionOn]] and the fused funnel
+    * battery ([[funnelFlagsOn]]).
+    */
+  private def withRepetitionKeep(docs: DataFrame,
+      textCol: String): DataFrame = {
     // STAGE the arrays as materialized columns (the gopherRepetitionFull
     // lambda-recompute discipline): a consumer that filters or multiplies
     // on `keep` makes the optimizer substitute its defining expression
@@ -296,10 +323,10 @@ object TextAnalysisOps {
     // form measured 40 s at sf0.001 under `filter(keep === 1)`
     val top2 = topNgramChars(col("__bg"))
     docs
-      .withColumn("__lines", split(col("text"), "\n"))
+      .withColumn("__lines", split(col(textCol), "\n"))
       // tokens across line breaks: split on space OR newline so a planted
       // line boundary never glues two words into a phantom token
-      .withColumn("__w", split(col("text"), "[ \n]"))
+      .withColumn("__w", split(col(textCol), "[ \n]"))
       // guard the degenerate single-token/empty text (r16 ADVICE):
       // sequence(1, 0) yields the DESCENDING [1, 0] and element_at(_, 0)
       // throws — this function is documented for ANY (doc_id, text)
@@ -311,7 +338,7 @@ object TextAnalysisOps {
           i => concat_ws(" ", element_at(col("__w"), i),
             element_at(col("__w"), i + 1))))
         .otherwise(array().cast("array<string>")))
-      .select(col("doc_id"),
+      .select(col("*"),
         size(col("__lines")).cast("long").as("n_lines"),
         lineChars.as("line_chars"),
         (lineChars - distinctChars).as("dup_line_chars"),
@@ -322,7 +349,7 @@ object TextAnalysisOps {
         (lit(5L) * col("top2_chars") <= col("line_chars"))
           .cast("long").as("r_top2"))
       .withColumn("keep", (col("r_dup_line") * col("r_top2")).cast("long"))
-      .orderBy(col("doc_id").asc)
+      .drop("__lines", "__w", "__bg")
   }
 
   /** Word n-grams (space-joined) of the token-array ATTRIBUTE `w` —
@@ -1031,10 +1058,16 @@ object TextAnalysisOps {
     // checkpoint the count tables: the dispatch statistic (their row
     // count) and the model joins then read ONE materialization instead of
     // re-aggregating the corpus per consumer
-    val leftCounts = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      .localCheckpoint(false)
     val bigramCounts = big.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
+    // the unigram table derives FROM the bigram table, not from a second
+    // corpus pass (r19 optimization round, guide §2.3 — aggregate before
+    // you shuffle): c1(w1) = Σ_w2 c2(w1, w2) exactly (both count the same
+    // bigram stream), so the explode + corpus-grain exchange runs once
+    // and the unigram fold is vocabulary-sized
+    val leftCounts = bigramCounts.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"))
       .localCheckpoint(false)
     val modelSized = bigramCounts.count() <= broadcastMaxTypes
     val (bcJoin, lcJoin) =
@@ -1661,6 +1694,21 @@ object TextAnalysisOps {
     * hit aggregate is small and broadcast back for the zero-fill left
     * join: the full corpus is never shuffled.
     */
+  // dev-probe shims (FlagProbe bisects the fused funnel battery)
+  private[graft] def probeGopher(df: DataFrame): DataFrame =
+    withGopherKeep(df, 20L, 100000L, 1L)
+      .withColumn("f_gopher", col("keep"))
+      .drop("n_words", "n_chars", "n_symbols", "n_lines", "n_bullet",
+        "n_ell_end", "n_alpha_words", "n_stopwords", "r_word_count",
+        "r_word_len", "r_symbol_ratio", "r_bullet", "r_ellipsis",
+        "r_alpha", "r_stopwords", "keep")
+  private[graft] def probeRep(df: DataFrame): DataFrame =
+    withRepetitionKeep(df.withColumn("__ptext", plantedRepetitionCol), "__ptext")
+      .withColumn("f_rep", col("keep"))
+      .drop("n_lines", "line_chars", "dup_line_chars", "top2_chars",
+        "r_dup_line", "r_top2", "keep", "__ptext")
+  private[graft] def probeNgrams(t: Column): Column = wordNgrams(tokens(t), 4)
+
   private def wordNgrams(t: Column, n: Int): Column =
     when(size(t) >= n,
       array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
@@ -2013,26 +2061,70 @@ object TextAnalysisOps {
     */
   private[graft] def funnelFlagsOn(docs: DataFrame, evalNg: DataFrame,
       dedupFlag: DataFrame): DataFrame = {
-    val lang = graft.operators.LangIdOps.withDerivedLangOn(docs)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    // FUSED gate battery (r19 optimization round, guide §2.4 — remove
+    // shuffles outright): five of the six gates are row-local — lang,
+    // gopher, repetition and mix are pure projections of the row, and the
+    // decontamination probe joins a single-row broadcast array — so they
+    // compose as ONE scan-stage projection chain. The previous form built
+    // one frame per gate and inner-joined six of them on doc_id: 6
+    // corpus-grain exchanges (plus a sort per join side) for values
+    // derivable from the row itself. Only the dedup flag is genuine
+    // corpus STATE (batch: min-id per content hash; streaming: bloom
+    // first-arrival), so it stays a frame and costs the one equi-join.
+    // Gate arithmetic is shared with the standalone entries
+    // (withGopherKeep / withRepetitionKeep / plantedRepetitionCol /
+    // SortedProbeCount) — the flags cannot drift from q_gopher_rules /
+    // q_gopher_repetition / q_decontaminate.
+    val evalArr = broadcast(
+      evalNg.agg(array_sort(collect_set(col("g"))).as("__eval_g")))
+    val gopherDrop = Seq("n_words", "n_chars", "n_symbols", "n_lines",
+      "n_bullet", "n_ell_end", "n_alpha_words", "n_stopwords",
+      "r_word_count", "r_word_len", "r_symbol_ratio", "r_bullet",
+      "r_ellipsis", "r_alpha", "r_stopwords", "keep")
+    val repDrop = Seq("n_lines", "line_chars", "dup_line_chars",
+      "top2_chars", "r_dup_line", "r_top2", "keep", "__ptext")
+    // Spread BEFORE the fused battery: a small corpus arrives as one scan
+    // split (one file = one task), and the fused projection would run the
+    // whole per-row battery on a single core where the join form ran six
+    // one-task gate stages concurrently. One deterministic hash exchange
+    // on doc_id unlocks task parallelism AND is exactly the partitioning
+    // the dedup-flag equi-join needs, so the join adds no exchange on
+    // this side. The partition count is EXPLICIT (core count): a keyed
+    // repartition without one is sized by spark.sql.shuffle.partitions
+    // and then AQE-coalesced — a few-MB corpus folds back to ONE
+    // partition and the battery serializes again (measured: 4.9 s vs
+    // 1.1 s flags-full at sf0.1). At real scale the scan's own splits
+    // provide parallelism and this one exchange replaces the join's.
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val lang = graft.operators.LangIdOps.withDerivedLangOn(spread)
+      .withColumn("f_lang", (col("predicted") === "en").cast("long"))
+    val gop = withGopherKeep(lang, 20L, 100000L, 1L)
+      .withColumn("f_gopher", col("keep"))
+      .drop(gopherDrop: _*)
+    val rep = withRepetitionKeep(
+        gop.withColumn("__ptext", plantedRepetitionCol), "__ptext")
+      .withColumn("f_rep", col("keep"))
+      .drop(repDrop: _*)
+    val dec = rep.join(evalArr) // 1-row build side: BroadcastNestedLoopJoin
+      .withColumn("__shared",
+        toCol(graft.plans.SortedProbeCount(
+          toExpr(array_sort(wordNgrams(tokens(col("text")), 4))),
+          toExpr(col("__eval_g")))).cast("long"))
+      .withColumn("f_decon",
+        (col("source") =!= "src19" && (col("__shared") > 0)
+          .cast("long") === 0L).cast("long"))
+      .drop("__eval_g", "__shared")
+    dec
       .select(col("doc_id"),
-        (col("predicted") === "en").cast("long").as("f_lang"))
-    val gop = gopherRulesOn(docs, 20L, 100000L, 1L)
-      .select(col("doc_id"), col("keep").as("f_gopher"))
-    val rep = gopherRepetitionOn(plantedRepetitionText(docs))
-      .select(col("doc_id"), col("keep").as("f_rep"))
-    val dec = contaminationOn(
-      docs.select(col("doc_id"), col("source"), col("text")), evalNg)
-      .select(col("doc_id"),
-        (col("source") =!= "src19" && col("contaminated") === 0L)
-          .cast("long").as("f_decon"))
-    val mix = docs.select(col("doc_id"),
-      (size(tokens(col("text"))).cast("long") >= 20L &&
-        mixBucket < mixWeight * 1000).cast("long").as("f_mix"))
-    docs
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
-      .join(lang, Seq("doc_id")).join(gop, Seq("doc_id"))
-      .join(rep, Seq("doc_id")).join(dedupFlag, Seq("doc_id"))
-      .join(dec, Seq("doc_id")).join(mix, Seq("doc_id"))
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        col("f_lang"), col("f_gopher"), col("f_rep"), col("f_decon"),
+        (size(tokens(col("text"))).cast("long") >= 20L &&
+          mixBucket < mixWeight * 1000).cast("long").as("f_mix"))
+      .join(dedupFlag, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tok"), col("f_lang"), col("f_gopher"),
+        col("f_rep"), col("f_dedup"), col("f_decon"), col("f_mix"))
       .localCheckpoint()
   }
 
