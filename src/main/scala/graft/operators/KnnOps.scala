@@ -300,7 +300,15 @@ object KnnOps {
     val banded = LshGuard.dropHotBuckets(
       emb.select(col("vec_id"), posexplode(bandKeys).as(Seq("band", "bkey"))),
       maxBucket, parquetRowCount(spark, s"$dir/embeddings.parquet"))
+    // Stream-side spread (the [[simJoin]] rule applied to the banded
+    // plan, r19 optimization round): the candidate enumeration is the
+    // probe side of a broadcast join whose parallelism is the stream
+    // side's partition count — a one-file fixture scan is ONE task doing
+    // every bucket-pair probe. The exchange moves 16-byte rows (b× the
+    // corpus ids, no payload); the count is explicit so AQE cannot
+    // coalesce the few-MB frame back to one partition.
     val l = banded.select(col("band"), col("bkey"), col("vec_id").as("a_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"),
       col("vec_id").as("b_id"))
     // Dedup the skinny pair rows BEFORE fetching embeddings: measured both

@@ -503,6 +503,17 @@ object MultimodalOps {
     * different documents different spectral AND temporal structure —
     * exactly the two axes the fingerprint reads.
     */
+  /** One FpFrame-period sine per analysis bin, shared by every synth
+    * call: `toneTable(b)(i) = sin(2π·fpBin(b)·i/FpFrame)` — the exact
+    * expression [[renderWav]]'s tone loop evaluated per clip, hoisted to
+    * a per-JVM constant (the bins and the frame length are fixed).
+    */
+  private lazy val toneTable: Array[Array[Double]] =
+    Array.tabulate(FpBands + 1) { b =>
+      val k = fpBin(b)
+      Array.tabulate(FpFrame)(i => math.sin(2 * math.Pi * k * i / FpFrame))
+    }
+
   def renderWav(payload: Array[Byte], sampleRate: Float = 8000f,
       seconds: Double = 0.5, gain: Double = 1.0): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
@@ -525,17 +536,22 @@ object MultimodalOps {
     // samples, so each quarter's mix is EXACTLY periodic with period
     // FpFrame — synthesize one 512-sample waveform per quarter and tile
     // (17 tones × 4·512 sins per clip instead of 17 × every sample;
-    // measured 28 s → ~4 s for the sf0.1 contract entry)
+    // measured 28 s → ~4 s for the sf0.1 contract entry). The sins
+    // themselves depend only on (bin, phase) — [[toneTable]] holds them,
+    // computed once per JVM, so the per-clip synth is pure FMA
+    // (r19 optimization round: 35k math.sin calls/clip → table reads;
+    // bit-identical by construction — the table entry is the SAME double
+    // expression this loop used to evaluate inline)
     val wave = Array.ofDim[Double](4, FpFrame)
     var q = 0
     while (q < 4) {
       var b = 0
       while (b < nBins) {
         val a = amp(b, q)
-        val k = fpBin(b)
+        val tone = toneTable(b)
         var i = 0
         while (i < FpFrame) {
-          wave(q)(i) += a * math.sin(2 * math.Pi * k * i / FpFrame)
+          wave(q)(i) += a * tone(i)
           i += 1
         }
         b += 1
