@@ -62,9 +62,23 @@ object MlOps {
     * 0.840 @ 25) while each round costs a full ~150 ms corpus pass —
     * the default stops at round ~12, halving the contract entry.
     */
+  /** Bounded-sample local-iteration ceiling for [[trainQualityLr]] — the
+    * same 64k-row grain that already coalesces the sample to ONE task: a
+    * sample at or under it (≤ ~35 MB of features at dim 64) is collected
+    * once — the broadcast-side size class — and the GD rounds iterate
+    * driver-side with the IDENTICAL accumulation order (the distributed
+    * round folds one partition sequentially, which is exactly the
+    * collected row order), so the trajectory is bit-equal. Above the
+    * ceiling the broadcast-weights distributed rounds run unchanged —
+    * the production-sample path. LrDispatchSpec pins the (w, b)
+    * bit-equality of the two paths on the fixture.
+    */
+  private[graft] val LrLocalMaxRows: Long = 65536L
+
   def trainQualityLr(labeled: DataFrame, dim: Int = 64, iters: Int = 30,
       step: Double = 4.0, l2: Double = 1e-4,
-      relTol: Double = 0.25): (Array[Double], Double) = {
+      relTol: Double = 0.25,
+      localMaxRows: Long = LrLocalMaxRows): (Array[Double], Double) = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
     import graft.functions.VectorFunctions.dotFast
     val nFeat = dim + 2
@@ -76,6 +90,63 @@ object MlOps {
       var b = 0.0
       val n = featsRaw.count().toDouble
       require(n > 0, "cannot train on an empty set")
+      var firstDelta = -1.0
+      var stopped = false
+      // shared per-round weight update + plateau early stop — one
+      // definition so the local and distributed paths cannot drift
+      def applyUpdate(grad: Seq[Double], gradB: Double): Unit = {
+        var i = 0
+        var maxDelta = math.abs(step * gradB / n)
+        while (i < nFeat) {
+          val d = step * (grad(i) / n + l2 * w(i))
+          if (math.abs(d) > maxDelta) maxDelta = math.abs(d)
+          w(i) -= d; i += 1
+        }
+        b -= step * gradB / n
+        if (firstDelta < 0.0) firstDelta = maxDelta
+        else if (relTol > 0.0 && maxDelta < relTol * firstDelta) stopped = true
+      }
+      if (n <= localMaxRows) {
+        // statistics dispatch (r19 optimization round, the CC/broadcast
+        // discipline): a one-task sample pays a full job launch +
+        // broadcast build PER GD ROUND for microseconds of gradient
+        // arithmetic — collect the featurized rows once and run the
+        // SAME float program driver-side. Arithmetic replication, term
+        // by term: margin = Σᵢ x(i)·w(i) then + b (DotProduct's
+        // sequential fold), σ = 1.0/(1.0+StrictMath.exp(−m)) — Spark's
+        // math-expression codegen emits StrictMath, and Math.exp differs
+        // at the last ulp (found by the LrDispatchSpec bit-equality pin)
+        // —, residual = σ − y,
+        // per-row gradient g(i) = x(i)·residual, gradient sum = clone
+        // of the first row's g then element-wise adds in row order
+        // (VecSumCount.addInto over the single coalesced partition),
+        // Σresidual sequential in the same order. Null rows skip, as
+        // the null-safe expressions skip them.
+        val data = featsRaw.coalesce(1).select(col("x"), col("y")).collect()
+        for (_ <- 1 to iters if !stopped) {
+          var grad: Array[Double] = null
+          var rb = 0.0
+          data.foreach { row =>
+            if (!row.isNullAt(0) && !row.isNullAt(1)) {
+              val x = row.getSeq[Double](0)
+              val y = row.getDouble(1)
+              var m = 0.0
+              var i = 0
+              while (i < nFeat) { m += x(i) * w(i); i += 1 }
+              m += b
+              val r = 1.0 / (1.0 + java.lang.StrictMath.exp(-m)) - y
+              val g = new Array[Double](nFeat)
+              var j = 0
+              while (j < nFeat) { g(j) = x(j) * r; j += 1 }
+              if (grad == null) grad = g
+              else { var t = 0; while (t < nFeat) { grad(t) += g(t); t += 1 } }
+              rb += r
+            }
+          }
+          applyUpdate(grad, rb)
+        }
+        return (w, b)
+      }
       // Right-size the per-round scan: each GD round is a tiny two-stage
       // job, and a fixture-sized sample spread over the session's default
       // partitioning pays ~1 task LAUNCH per partition per round for
@@ -90,8 +161,6 @@ object MlOps {
       val sumCount = toCol(graft.plans.VecSumCount(
         toExpr(col("g"))).toAggregateExpression())
       val spark = labeled.sparkSession
-      var firstDelta = -1.0
-      var stopped = false
       for (_ <- 1 to iters if !stopped) {
         // weights ride in as a broadcast 1-row frame, NOT a literal: a
         // literal bakes the values into the generated source, so every
@@ -105,18 +174,7 @@ object MlOps {
           .select(transform(col("x"), e => e * resid).as("g"), resid.as("r"))
           .agg(sumCount.as("sc"), sum(col("r")).as("rb"))
           .select(col("sc.sums"), col("rb")).head()
-        val grad = row.getSeq[Double](0)
-        val gradB = row.getDouble(1)
-        var i = 0
-        var maxDelta = math.abs(step * gradB / n)
-        while (i < nFeat) {
-          val d = step * (grad(i) / n + l2 * w(i))
-          if (math.abs(d) > maxDelta) maxDelta = math.abs(d)
-          w(i) -= d; i += 1
-        }
-        b -= step * gradB / n
-        if (firstDelta < 0.0) firstDelta = maxDelta
-        else if (relTol > 0.0 && maxDelta < relTol * firstDelta) stopped = true
+        applyUpdate(row.getSeq[Double](0), row.getDouble(1))
       }
       (w, b)
     } finally featsRaw.unpersist()
@@ -484,13 +542,21 @@ object MlOps {
           least(col("dmin"),
             floor((lit(1.0) - cosineFast(col("embedding"), col("cvec")))
               * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("dmin"))
-        .localCheckpoint(false)
     }
     val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](
       (1, seed(0).getLong(0), 0.0))
     var state = step(
       base.withColumn("dmin", lit(Double.MaxValue)),
       seed(0).getSeq[Double](1))
+      .localCheckpoint(false)
+    // Amortized lineage cut (r19 optimization): the old form paid TWO
+    // jobs per round (state checkpoint + argmax); the argmax now reads
+    // the lazily-chained state — identical `least` arithmetic, just
+    // unmaterialized — and the checkpoint lands every 4th round to keep
+    // the plan bounded (the pagerank lineage rule, at a coarser grain).
+    // Re-evaluating ≤ 3 chained cosine folds inside one agg job is
+    // row-local work; the saved per-round job launch is wall-clock.
+    var sinceCut = 0
     var r = 2
     var exhausted = false
     while (r <= k && !exhausted) {
@@ -508,6 +574,8 @@ object MlOps {
       else {
         picked += ((r, m.getLong(1), m.getDouble(0)))
         state = step(state, m.getSeq[Double](2))
+        sinceCut += 1
+        if (sinceCut >= 4) { state = state.localCheckpoint(false); sinceCut = 0 }
         r += 1
       }
     }

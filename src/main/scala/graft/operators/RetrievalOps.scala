@@ -256,12 +256,17 @@ object RetrievalOps {
       .collect().map(_.getString(0)).toSeq
     val terms = q ++ expTerms
     val w = toks(col("text"))
+    // localCheckpoint (r19 optimization): the stats aggregate AND the
+    // final scoring pass both read this frame — without the cut each
+    // re-runs the |terms| per-row HOF term-frequency scans; the
+    // materialized rows are skinny (id + |terms|+1 doubles)
     val base = docs.select(
       col("doc_id") +:
         size(w).cast("double").as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(w, x => x === lit(t))).cast("double").as(s"tf$i")
         }: _*)
+      .localCheckpoint(false)
     val statAggs =
       count(lit(1)).cast("double").as("n") +:
         avg(col("dl")).as("avgdl") +:
