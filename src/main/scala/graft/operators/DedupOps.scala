@@ -200,7 +200,17 @@ object DedupOps {
     */
   private def prefixCandidatesFromTok(tok: DataFrame, tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau out of range: $tau")
-    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // document-frequency join dispatches on the MEASURED vocabulary size
+    // (r19 optimization round, the lmBigramScoreOn statistics discipline):
+    // under the shared ceiling the df table broadcasts and the exploded
+    // token frame never shuffles on the token key for the join (the
+    // per-doc prefix window still exchanges by doc_id, as it must);
+    // heaps-law vocabularies above the ceiling hash-join as before
+    val dfreq0 = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
+    val dfreq = if (dfreq0.count() <=
+        graft.operators.TextAnalysisOps.LmBroadcastMaxTypes)
+      broadcast(dfreq0) else dfreq0
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("t").asc)
     val prefix = tok.join(dfreq, "t")
       .withColumn("rn", row_number().over(w))
@@ -668,7 +678,14 @@ object DedupOps {
       .withColumn("n", size(col("s")))
       .cache()
     val tok = sh.select(col("doc_id"), col("n"), explode(col("s")).as("t"))
-    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // shingle-frequency join: same measured-size broadcast dispatch as
+    // prefixCandidatesFromTok (r19) — shingle vocabularies follow the
+    // corpus, so the ceiling guards the broadcast at scale
+    val dfreq0 = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
+    val dfreq = if (dfreq0.count() <=
+        graft.operators.TextAnalysisOps.LmBroadcastMaxTypes)
+      broadcast(dfreq0) else dfreq0
     val wnd = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("t").asc)
     val prefix = tok.join(dfreq, "t")
       .withColumn("rn", row_number().over(wnd))

@@ -455,11 +455,22 @@ object MlOps {
 
   /** (doc_id, lw_nano, n_feat): order-free integer dot product of the
     * doc's feature counts against the nano-rounded ratio table.
+    *
+    * The ratio-table join dispatches on the MEASURED model size (r19
+    * optimization round — the [[TextAnalysisOps.lmBigramScoreOn]]
+    * statistics discipline): under the shared ceiling the vocab-sized
+    * table broadcasts and the corpus-grain pair frame never shuffles on
+    * the feature key; above it (heaps-law vocabularies) the plain hash
+    * join runs as before — same rows either way.
     */
-  private[graft] def dsirWeigh(pair: DataFrame, lnr: DataFrame): DataFrame =
-    pair.join(lnr, Seq("f"))
+  private[graft] def dsirWeigh(pair: DataFrame, lnr: DataFrame): DataFrame = {
+    val lnrMat = lnr.localCheckpoint(false)
+    val modelSized = lnrMat.count() <= TextAnalysisOps.LmBroadcastMaxTypes
+    val lnrJoin = if (modelSized) broadcast(lnrMat) else lnrMat
+    pair.join(lnrJoin, Seq("f"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c") * col("w")).as("lw_nano"), sum(col("c")).as("n_feat"))
+  }
 
   /** The selection tail: metadata join, length-de-biased average, top-m
     * bounded TakeOrdered. Shared by the live and stored paths so the
