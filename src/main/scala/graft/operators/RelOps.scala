@@ -829,7 +829,30 @@ object RelOps {
     while (states.exists(!_.done)) {
       states.filter(!_.done).foreach { s =>
         if (s.lo == s.hi) { s.ans = s.lo; s.done = true }
-        else if (s.cnt <= exactThreshold || s.it >= maxIters) {
+      }
+      // batched endgame (r19 optimization): states that reached a
+      // bounded candidate interval resolve from ONE collect per distinct
+      // interval — ≤ exactThreshold doubles, the broadcast size class —
+      // instead of one orderBy.limit job each. Arrays.sort uses
+      // Double.compare ordering (−0.0 < 0.0, NaN greatest), exactly the
+      // physical ordering the orderBy/max form walked, so the rank-th
+      // element is the identical double. The maxIters stall with an
+      // over-threshold interval keeps the bounded-heap job (a collect
+      // there would be unbounded).
+      states.filter(s => !s.done && s.cnt <= exactThreshold)
+        .groupBy(s => (s.lo, s.hi)).foreach { case ((lo, hi), group) =>
+          val vals = base.where(col("v") >= lo && col("v") <= hi)
+            .collect().map(_.getDouble(0))
+          java.util.Arrays.sort(vals)
+          group.foreach { s =>
+            require(s.rank < vals.length,
+              s"quantileExactOn: rank ${s.rank} outside interval of ${vals.length}")
+            s.ans = vals(s.rank.toInt)
+            s.done = true
+          }
+        }
+      states.filter(!_.done).foreach { s =>
+        if (s.it >= maxIters) {
           require(s.rank + 1 <= Int.MaxValue, "rank too large for exact endgame")
           s.ans = base.where(col("v") >= s.lo && col("v") <= s.hi)
             .orderBy(col("v").asc).limit((s.rank + 1).toInt)
