@@ -172,7 +172,8 @@ object LinkOps {
     * is consumed twice (its own L1 total + the next half-step).
     */
   def hits(spark: SparkSession, dir: String, iters: Int = 3,
-      fanout: Int = 4): DataFrame = {
+      fanout: Int = 4,
+      localMaxEdges: Long = LinkLocalMaxEdges): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.count()
     // [[linkEdges]]'s affine hash is a PERFECT 4-regular graph (the
@@ -190,6 +191,61 @@ object LinkOps {
       .filter(col("dst") =!= col("src"))
       .select(col("src"), col("dst"))
       .localCheckpoint(false)
+
+    // statistics dispatch (r19 optimization round, the LPA/CC rule): a
+    // bounded edge set iterates driver-side. The arithmetic replicates
+    // the distributed half-step exactly: long in-sums (order-free exact
+    // integers), the L1 total a long sum over all docs (absent endpoint
+    // contributes 0), normalization floor(raw·1e9/tot + 0.5) on the same
+    // exactly-representable doubles. Only edge-endpoint nodes can carry
+    // nonzero mass after round one, so the local state is edge-bounded;
+    // the final assembly joins the local result back over `docs`
+    // distributed (absent docs normalize to floor(0.5) = 0, as in the
+    // distributed left join).
+    if (edges.count() <= localMaxEdges) {
+      val es = edges.collect().map(row => (row.getLong(0), row.getLong(1)))
+      var hubM = new java.util.HashMap[Long, Long]()
+      var authM: java.util.HashMap[Long, Long] = null
+      def halfStep(by: ((Long, Long)) => Long, of: ((Long, Long)) => Long,
+          prev: java.util.HashMap[Long, Long],
+          prevDefault: Long): java.util.HashMap[Long, Long] = {
+        val raw = new java.util.HashMap[Long, Long]()
+        es.foreach { edge =>
+          val w = if (prev == null) prevDefault
+            else prev.getOrDefault(of(edge), 0L)
+          raw.put(by(edge), raw.getOrDefault(by(edge), 0L) + w)
+        }
+        var tot = 0L
+        raw.forEach { (_, v) => tot += v }
+        val out = new java.util.HashMap[Long, Long]()
+        raw.forEach { (k, v) =>
+          out.put(k, math.floor(v.toDouble * 1000000000.0
+            / tot.toDouble + 0.5).toLong)
+        }
+        out
+      }
+      for (i <- 1 to iters) {
+        // authority(dst) = Σ hub(src); hub = 1e9 everywhere in round 1
+        authM = halfStep(_._2, _._1, if (i == 1) null else hubM, 1000000000L)
+        // hub(src) = Σ auth(dst); every dst has an auth value (0 default)
+        hubM = halfStep(_._1, _._2, authM, 0L)
+      }
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      val keys = new java.util.HashSet[Long]()
+      keys.addAll(hubM.keySet()); keys.addAll(authM.keySet())
+      keys.forEach { k =>
+        rows += ((k, hubM.getOrDefault(k, 0L), authM.getOrDefault(k, 0L)))
+      }
+      val local = spark.createDataFrame(rows.toSeq)
+        .toDF("doc_id", "hub_nano", "auth_nano")
+      return docs.join(local, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(coalesce(col("hub_nano"), lit(0L)).cast("double")
+            / lit(1000000000.0), 6).as("hub"),
+          round(coalesce(col("auth_nano"), lit(0L)).cast("double")
+            / lit(1000000000.0), 6).as("auth"))
+        .orderBy(col("doc_id").asc)
+    }
 
     // one L1-normalized half-step: raw in-sums joined back over all docs
     // (absent endpoint = 0), total on a broadcast one-row frame
@@ -531,9 +587,75 @@ object LinkOps {
     * driver tail), so convergence is a short-circuit `isEmpty` scan of
     * the already-materialized checkpoint — no extra exchange.
     */
+  /** Bounded-edge local-resolution ceiling for the iterative link
+    * operators (LPA / BFS / HITS) — the
+    * [[graft.operators.DedupOps.connectedComponentsOn]] dispatch applied
+    * to the family: an edge set at or under this count (~16 MB, the
+    * broadcast size class) collects once and iterates driver-side with
+    * the identical integer arithmetic, where the distributed rounds pay
+    * several exchanges + actions of job latency EACH. Above it the
+    * distributed iterations run unchanged (the asymptotic path).
+    * LinkDispatchSpec pins the per-operator equality on random graphs.
+    */
+  private[graft] val LinkLocalMaxEdges: Long = 1000000L
+
+  /** Driver-side synchronous LPA over a collected bounded edge list —
+    * the same vote counting ((count DESC, label ASC) argmax), the same
+    * synchronous update, the same zero-change early stop as the
+    * distributed rounds; pure integer arithmetic, so equality is exact.
+    */
+  private def localLpa(edges: Array[(Long, Long)],
+      iters: Int): (Seq[(Long, Long)], Int) = {
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    def nbrs(v: Long) = {
+      var l = adj.get(v)
+      if (l == null) { l = scala.collection.mutable.ArrayBuffer[Long](); adj.put(v, l) }
+      l
+    }
+    edges.foreach { case (a, b) => nbrs(a) += b; nbrs(b) += a }
+    var labels = new java.util.HashMap[Long, Long]()
+    adj.keySet().forEach(v => labels.put(v, v))
+    var rounds = 0
+    var converged = false
+    while (rounds < iters && !converged) {
+      val next = new java.util.HashMap[Long, Long]()
+      var changed = false
+      adj.forEach { (v, ns) =>
+        val votes = new java.util.HashMap[Long, Long]()
+        ns.foreach { nb =>
+          val nl = labels.get(nb)
+          votes.put(nl, votes.getOrDefault(nl, 0L) + 1L)
+        }
+        var bestC = -1L
+        var bestL = Long.MaxValue
+        votes.forEach { (l, c) =>
+          if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+        }
+        next.put(v, bestL)
+        if (bestL != labels.get(v)) changed = true
+      }
+      converged = !changed
+      labels = next
+      rounds += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    labels.forEach { (v, l) => out += ((v, l)) }
+    (out.toSeq, rounds)
+  }
+
   private[graft] def labelPropagationRounds(und0: DataFrame,
-      iters: Int): (DataFrame, Int) = {
+      iters: Int, localMaxEdges: Long = LinkLocalMaxEdges): (DataFrame, Int) = {
     val und = und0.localCheckpoint(false)
+    // statistics dispatch (r19 optimization round): bounded edge sets
+    // resolve driver-side — the count rides the checkpoint the
+    // distributed path materializes anyway
+    if (und.count() <= localMaxEdges) {
+      val spark = und.sparkSession
+      val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val (labels, rounds) = localLpa(es, iters)
+      return (spark.createDataFrame(labels).toDF("doc_id", "community")
+        .orderBy(col("doc_id").asc), rounds)
+    }
     val adj = und.select(col("a").as("v"), col("b").as("nb"))
       .unionByName(und.select(col("b").as("v"), col("a").as("nb")))
       .localCheckpoint(false) // re-read every round: truncate once
@@ -608,14 +730,55 @@ object LinkOps {
     * `maxDepth` hops, ordered by doc_id.
     */
   private[graft] def bfsDepthOn(seeds: DataFrame, edges: DataFrame,
-      maxDepth: Int, dedupBroadcastMax: Long = 2000000L): DataFrame = {
-    // Edges checkpoint ONCE and are only ever STREAMED: in the
-    // small-frontier regime the probe broadcasts the frontier and
+      maxDepth: Int, dedupBroadcastMax: Long = 2000000L,
+      localMaxEdges: Long = LinkLocalMaxEdges): DataFrame = {
+    // statistics dispatch (r19 optimization round, the LPA/CC rule):
+    // bounded edges + bounded seeds resolve driver-side — min-hop depth
+    // is a pure integer function of graph + seeds, nothing to drift
+    val e = edges.localCheckpoint(false)
+    locally {
+      if (e.count() <= localMaxEdges) {
+        val seedIds = seeds.select(col("doc_id")).localCheckpoint(false)
+        if (seedIds.count() <= localMaxEdges) {
+          val spark = e.sparkSession
+          val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+          e.collect().foreach { row =>
+            val s = row.getLong(0)
+            var l = adj.get(s)
+            if (l == null) { l = scala.collection.mutable.ArrayBuffer[Long](); adj.put(s, l) }
+            l += row.getLong(1)
+          }
+          val depth = new java.util.HashMap[Long, Int]()
+          var frontier = scala.collection.mutable.ArrayBuffer[Long]()
+          seedIds.collect().foreach { row =>
+            val v = row.getLong(0)
+            if (!depth.containsKey(v)) { depth.put(v, 0); frontier += v }
+          }
+          var r = 1
+          while (r <= maxDepth && frontier.nonEmpty) {
+            val next = scala.collection.mutable.ArrayBuffer[Long]()
+            frontier.foreach { v =>
+              val ns = adj.get(v)
+              if (ns != null) ns.foreach { d =>
+                if (!depth.containsKey(d)) { depth.put(d, r); next += d }
+              }
+            }
+            frontier = next
+            r += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+          depth.forEach { (v, d) => out += ((v, d)) }
+          return spark.createDataFrame(out.toSeq).toDF("doc_id", "depth")
+            .orderBy(col("doc_id").asc)
+        }
+      }
+    }
+    // Edges checkpoint ONCE (`e` above) and are only ever STREAMED: in
+    // the small-frontier regime the probe broadcasts the frontier and
     // semi-joins the edge list map-side, so edge rows never ride an
     // exchange (pinning a repartition through localCheckpoint does not
     // survive AQE — measured: the pinned form still re-exchanged the
     // edge side every round).
-    val e = edges.localCheckpoint(false)
     val first = seeds.select(col("doc_id"), lit(0).as("depth"))
       .localCheckpoint(false)
     // Visited is a buffer of per-round checkpointed DELTAS, unioned
