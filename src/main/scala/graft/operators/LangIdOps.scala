@@ -489,15 +489,15 @@ object LangIdOps {
       .agg((floor(sum(floor(col("p") * lit(1000000.0) + lit(0.5)).cast("long"))
           .cast("double") / count(lit(1)) + lit(0.5)).cast("double")
         / lit(1000000.0)).as("avg_cond_p"))
-    // localCheckpoint (r19 optimization): the rank window, the
-    // per-language count and the bucket projection all read the scored
-    // frame — without the cut each re-runs the whole derived-lang +
-    // explode + model-join + aggregate chain (the pplBucketsOn discipline)
+    // NOT checkpointed (unlike the live twin): LmSpec pins that the
+    // stored serve's PLAN visibly reads the store tables + a bounded
+    // broadcast and carries no corpus-derived count table — a lineage
+    // cut would hide that evidence, and the stored scoring chain is a
+    // broadcast-model map, cheap to re-derive per consumer
     val scored = docs.select(col("doc_id"), col("lang"))
       .join(agg, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("lang"),
         coalesce(col("avg_cond_p"), lit(0.0)).as("avg_cond_p"))
-      .localCheckpoint(false)
     val wr = Window.partitionBy(col("lang")).orderBy(col("avg_cond_p").asc)
     val ranked = scored.withColumn("r", row_number().over(wr) - 1)
     val nl = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
